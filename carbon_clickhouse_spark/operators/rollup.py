@@ -1,0 +1,137 @@
+"""GraphiteMergeTree rollup semantics (A4) as a read-time aggregation.
+
+The reference delegates downsampling to ClickHouse's GraphiteMergeTree
+(``tests/clickhouse/rollup/rollup.xml``): per-path FIRST-MATCH regex
+pattern selects an aggregation function (default avg) and a retention
+table (age -> precision). We reproduce it as one declarative
+aggregation:
+
+1. assign each path its first matching rule (chained ``when`` over
+   ``rlike`` — evaluated once per row, inside codegen)
+2. pick the bucket width from the row's age at query time
+3. ``groupBy(path, floor(time/precision)*precision)`` computing the
+   four candidate aggregates, then select per-row by rule function
+
+One shuffle, map-side partial aggregation, no UDFs. Matches-first-rule
+semantics proven against ``rollup.xml`` in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Retention:
+    age_s: int  # from this age (seconds before `now`) ...
+    precision_s: int  # ... aggregate into buckets of this width
+
+
+@dataclass(frozen=True)
+class RollupRule:
+    pattern: str  # regex; '' = match-all default
+    function: str  # avg | sum | min | max | last
+    retentions: tuple[Retention, ...] = ()
+
+
+#: Mirror of tests/clickhouse/rollup/rollup.xml
+DEFAULT_RULES = (
+    RollupRule(r"\.sum$", "sum"),
+    RollupRule(r"\.max$", "max"),
+    RollupRule(r"\.min$", "min"),
+    RollupRule("", "avg", (Retention(0, 60), Retention(2592000, 3600))),
+)
+
+
+def _first_match(path: Column, rules: tuple[RollupRule, ...], attr) -> Column:
+    """Chained when() implementing first-match rule selection."""
+    expr = None
+    default = None
+    for i, rule in enumerate(rules):
+        val = attr(i, rule)
+        if rule.pattern == "":
+            default = val
+            break
+        cond = path.rlike(rule.pattern)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    if default is None:
+        default = attr(len(rules) - 1, rules[-1])
+    return default if expr is None else expr.otherwise(default)
+
+
+def rule_function_col(path: Column, rules: tuple[RollupRule, ...] = DEFAULT_RULES) -> Column:
+    return _first_match(path, rules, lambda i, r: F.lit(r.function))
+
+
+def precision_col(
+    age: Column, rule_idx: Column, rules: tuple[RollupRule, ...] = DEFAULT_RULES
+) -> Column:
+    """Bucket width for a row given its age and matched rule index."""
+    out = F.lit(1)
+    for i, rule in enumerate(rules):
+        width = F.lit(1)
+        # retentions ordered by age ascending: the widest bucket whose
+        # age threshold the row passed wins
+        for ret in sorted(rule.retentions, key=lambda r: r.age_s):
+            width = F.when(age >= F.lit(ret.age_s), F.lit(ret.precision_s)).otherwise(width)
+        out = F.when(rule_idx == F.lit(i), width).otherwise(out)
+    return out
+
+
+def rollup(
+    points: DataFrame,
+    rules: tuple[RollupRule, ...] = DEFAULT_RULES,
+    precision_s: int | None = None,
+    now: int | None = None,
+    path_col: str = "path",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Downsample points per the rollup rules.
+
+    ``precision_s`` overrides age-based precision with a fixed bucket
+    (the common query shape: render a range at one step). Output:
+    ``(path, time, value)`` with ``time`` bucket-aligned.
+    """
+    path = F.col(path_col)
+
+    if precision_s is not None:
+        prec = F.lit(precision_s)
+    else:
+        now_col = F.lit(now).cast("long") if now is not None else F.unix_timestamp()
+        age = now_col - F.col(time_col)
+        idx = _first_match(path, rules, lambda i, r: F.lit(i))
+        prec = precision_col(age, idx, rules)
+
+    func = rule_function_col(path, rules)
+    bucket = (F.col(time_col) - (F.col(time_col) % prec)).alias("time")
+
+    aggregated = (
+        points.select(
+            path.alias("path"),
+            bucket,
+            F.col(time_col).alias("__t"),
+            F.col(value_col).alias("value"),
+            func.alias("__fn"),
+        )
+        .groupBy("path", "time", "__fn")
+        .agg(
+            F.avg("value").alias("__avg"),
+            F.sum("value").alias("__sum"),
+            F.min("value").alias("__min"),
+            F.max("value").alias("__max"),
+            F.max_by("value", F.col("__t")).alias("__last"),
+        )
+    )
+
+    value = (
+        F.when(F.col("__fn") == "sum", F.col("__sum"))
+        .when(F.col("__fn") == "min", F.col("__min"))
+        .when(F.col("__fn") == "max", F.col("__max"))
+        .when(F.col("__fn") == "last", F.col("__last"))
+        .otherwise(F.col("__avg"))
+    )
+    return aggregated.select("path", "time", value.alias("value"))

@@ -1,0 +1,66 @@
+"""Tag-index derivation (P12 + A1) — ``uploader/tagged.go:121-182``.
+
+For each distinct tagged ``(date, path)``: parse the canonical path
+back into unescaped ``k=v`` strings, prepend ``__name__=<name>``, and
+emit one row per tag with the full tags array attached.
+
+Scale notes: the unescape parse (pandas UDF) runs on the *deduplicated*
+``(date, path)`` set, not the raw points — series cardinality, not
+point volume. ``ignored_metrics`` (F7) keeps only the ``__name__`` row
+for listed metric names (``uploader/tagged.go:145-165``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import parse_tags_udf
+
+
+def build_tagged(
+    points: DataFrame,
+    ignored_metrics: list[str] | None = None,
+    path_col: str = "path",
+) -> DataFrame:
+    """points -> tagged rows ``(date, tag1, path, tags, version)``."""
+    base = (
+        points.filter(F.col(path_col).contains("?"))
+        .groupBy(F.col(path_col).alias("path"), F.col("date"))
+        .agg(F.max("version").alias("version"))
+    )
+
+    parsed = base.withColumn("__parsed", parse_tags_udf(F.col("path"))).select(
+        "path",
+        "date",
+        "version",
+        F.col("__parsed.name").alias("__name"),
+        F.col("__parsed.tags").alias("tags"),
+    )
+
+    ignore_all = ignored_metrics is not None and "*" in ignored_metrics
+    if ignored_metrics:
+        only_name = F.lit(ignore_all) | F.col("__name").isin(
+            [m for m in ignored_metrics if m != "*"]
+        )
+    else:
+        only_name = F.lit(False)
+
+    # tag1 candidates: the full tags array normally, just __name__ for
+    # ignored metrics (the Tags payload always stays complete)
+    tag1s = F.when(only_name, F.slice(F.col("tags"), 1, 1)).otherwise(
+        F.col("tags")
+    )
+
+    return (
+        parsed.select(
+            "date",
+            F.explode(tag1s).alias("tag1"),
+            "path",
+            "tags",
+            "version",
+        )
+        .groupBy("date", "tag1", "path")
+        .agg(F.max("version").alias("version"), F.first("tags").alias("tags"))
+        .select("date", "tag1", "path", "tags", "version")
+    )

@@ -1,0 +1,99 @@
+"""Batch ingest pipeline: points -> the four-table contract (K1-K6).
+
+The reference writes one chunk file and symlinks it into per-table
+uploader dirs (``writer/link.go:13-66``); each uploader derives its
+table shape from the same bytes. Here one DataFrame is the chunk and
+the derivations share it — in streaming this runs inside a single
+``foreachBatch`` so the micro-batch is the transactional unit
+(K3/K6 semantics for free).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.dedup import new_series_only
+from .operators.filters import drop_rule_predicate, ignored_patterns_predicate
+from .operators.index import build_index
+from .operators.tagged import build_tagged
+from .functions.paths import path_reverse
+
+
+@dataclass
+class IngestConfig:
+    """Mirror of the reference's receiver/uploader options we honor."""
+
+    drop_future_seconds: int | None = None
+    drop_past_seconds: int | None = None
+    drop_longer_than: int | None = None
+    ignored_patterns: list[str] = field(default_factory=list)  # F6
+    ignored_tagged_metrics: list[str] = field(default_factory=list)  # F7
+    disable_daily_index: bool = False
+    now: int | None = None
+
+
+def derive_tables(points: DataFrame, config: IngestConfig | None = None) -> dict[str, DataFrame]:
+    """One canonical points batch -> {points, points_reverse, index, tagged}."""
+    config = config or IngestConfig()
+
+    keep = drop_rule_predicate(
+        now=config.now,
+        drop_future_seconds=config.drop_future_seconds,
+        drop_past_seconds=config.drop_past_seconds,
+        drop_longer_than=config.drop_longer_than,
+    )
+    points = points.filter(keep)
+
+    # F6 blacklist applies to the points tables (uploader/points.go:56-58)
+    points_out = points.filter(ignored_patterns_predicate(config.ignored_patterns))
+
+    return {
+        "points": points_out,
+        "points_reverse": points_out.withColumn("path", path_reverse("path")),
+        "index": build_index(points, disable_daily=config.disable_daily_index),
+        "tagged": build_tagged(points, ignored_metrics=config.ignored_tagged_metrics),
+    }
+
+
+def write_tables(
+    tables: dict[str, DataFrame],
+    root: str,
+    mode: str = "append",
+    existing_index: DataFrame | None = None,
+    existing_tagged: DataFrame | None = None,
+) -> None:
+    """Persist the table set as month-partitioned parquet.
+
+    Layout (SURVEY §1.4): partition by ``month(date)`` mirroring
+    ClickHouse ``PARTITION BY toYYYYMM(Date)``; rows sorted within
+    partitions by ``(path, time)`` so parquet min/max stats provide
+    data skipping along the primary key, like the CH ORDER BY key.
+
+    ``existing_index/tagged`` enable the A2 exists-cache: only series
+    not already present are appended.
+    """
+    index_df, tagged_df = tables["index"], tables["tagged"]
+    if existing_index is not None:
+        index_df = new_series_only(index_df, existing_index, ["date", "level", "path"])
+    if existing_tagged is not None:
+        tagged_df = new_series_only(tagged_df, existing_tagged, ["date", "tag1", "path"])
+
+    for name, df in (
+        ("points", tables["points"]),
+        ("points_reverse", tables["points_reverse"]),
+    ):
+        (
+            df.withColumn("month", F.date_format("date", "yyyyMM"))
+            .sortWithinPartitions("path", "time")
+            .write.mode(mode)
+            .partitionBy("month")
+            .parquet(os.path.join(root, name))
+        )
+    for name, df in (("index", index_df), ("tagged", tagged_df)):
+        df.sortWithinPartitions("path").write.mode(mode).parquet(
+            os.path.join(root, name)
+        )

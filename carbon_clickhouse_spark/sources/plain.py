@@ -1,0 +1,105 @@
+"""Plain Graphite line protocol -> points DataFrame (S1/S2 + P1-P4).
+
+Parser parity with ``receiver/plain.go:53-96`` (PlainParseLine):
+
+- split on the FIRST two spaces: ``<name> <value> <timestamp>``
+- value: float; NaN or unparsable -> drop the line
+- timestamp: float -> truncate to int seconds; the literal ``-1``
+  means "receive time"; unparsable/NaN -> drop
+- trailing ``\\r\\n`` stripped; empty lines skipped
+- name: collapse double dots (P2), then Graphite tag canonicalize
+  (P3/P4); canonicalization errors drop the line
+
+Execution: everything except tag canonicalization is JVM-side column
+expressions in one whole-stage-codegen span. The pandas UDF runs only
+on lines that actually carry tags (``;`` present) or hit a template
+config — at 100 TB the overwhelmingly common untagged case never leaves
+the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dates import ts_to_date
+from ..functions.paths import normalize_double_dot
+from ..functions.tags import TagConfig
+from ..functions.udfs import graphite_canonicalize_udf, make_graphite_canonicalize_udf
+
+
+def parse_plain_lines(
+    lines: DataFrame,
+    line_col: str = "line",
+    now: Column | int | None = None,
+    tag_config: TagConfig | None = None,
+    zero_version: bool = True,
+) -> DataFrame:
+    """Parse raw protocol lines into the canonical points schema.
+
+    ``now`` is the receive time (defaults to current time); it fills
+    ``-1`` timestamps and the ``version`` column (0 when
+    ``zero_version``, mirroring the e2e configs' ``zero-timestamp``).
+    """
+    if now is None:
+        now_col = F.unix_timestamp()
+    elif isinstance(now, int):
+        now_col = F.lit(now).cast("long")
+    else:
+        now_col = now.cast("long")
+
+    # exact split on the first two spaces (the reference finds byte
+    # indexes, so a third space lands in the ts field and fails the
+    # float cast -> row dropped, same as Go)
+    line = F.regexp_replace(F.col(line_col), r"[\r\n]+$", "")
+
+    df = (
+        lines.withColumn("__line", line)
+        .withColumn("__i1", F.instr(F.col("__line"), " "))
+        .withColumn(
+            "__name_raw", F.expr("substring(__line, 1, __i1 - 1)")
+        )
+        .withColumn("__rest", F.expr("substring(__line, __i1 + 1)"))
+        .withColumn("__i2", F.instr(F.col("__rest"), " "))
+        .withColumn("__value_raw", F.expr("substring(__rest, 1, __i2 - 1)"))
+        .withColumn("__ts_raw", F.expr("substring(__rest, __i2 + 1)"))
+        .filter((F.col("__i1") > 1) & (F.col("__i2") > 1))
+        .withColumn("value", F.col("__value_raw").try_cast("double"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn("__tsd", F.col("__ts_raw").try_cast("double"))
+        .filter(
+            (F.col("__ts_raw") == "-1")
+            | (F.col("__tsd").isNotNull() & ~F.isnan("__tsd"))
+        )
+        .withColumn(
+            "time",
+            F.when(F.col("__ts_raw") == "-1", now_col).otherwise(
+                F.col("__tsd").cast("long")
+            ),
+        )
+        .withColumn("__name_norm", normalize_double_dot(F.col("__name_raw")))
+    )
+
+    canon = (
+        make_graphite_canonicalize_udf(tag_config)
+        if tag_config is not None and tag_config.enabled
+        else graphite_canonicalize_udf
+    )
+    needs_udf = F.col("__name_norm").contains(";") | F.lit(
+        tag_config is not None and tag_config.enabled
+    )
+    df = df.withColumn(
+        "path",
+        F.when(needs_udf, canon(F.col("__name_norm"))).otherwise(
+            F.col("__name_norm")
+        ),
+    ).filter(F.col("path").isNotNull() & (F.col("path") != ""))
+
+    version = F.lit(0).cast("long") if zero_version else now_col
+    return df.select(
+        "path",
+        "value",
+        "time",
+        ts_to_date("time").alias("date"),
+        version.alias("version"),
+    )

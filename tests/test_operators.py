@@ -1,0 +1,212 @@
+"""Operator unit tests: paths, index, tagged, dedup, rollup, filters."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from carbon_clickhouse_spark.functions.paths import (
+    ancestor_prefixes,
+    normalize_double_dot,
+    path_level,
+    path_reverse,
+)
+from carbon_clickhouse_spark.operators.dedup import (
+    new_series_only,
+    replacing_latest,
+    replacing_latest_window,
+)
+from carbon_clickhouse_spark.operators.filters import (
+    drop_rule_predicate,
+    ignored_patterns_predicate,
+)
+from carbon_clickhouse_spark.operators.index import build_index
+from carbon_clickhouse_spark.operators.rollup import (
+    DEFAULT_RULES,
+    Retention,
+    RollupRule,
+    rollup,
+)
+from carbon_clickhouse_spark.operators.tagged import build_tagged
+
+D = dt.date(2021, 7, 5)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        rows, "path string, value double, time long, date date, version long"
+    )
+
+
+def test_path_exprs(spark):
+    # vectors: receiver/plain_test.go:113-121 (double dot),
+    # helper/RowBinary/reverse_test.go (segment reverse)
+    df = spark.createDataFrame(
+        [("hello..world",), ("..hello..world..",), (".....",), ("hello.world",)],
+        ["p"],
+    )
+    got = df.select(normalize_double_dot(F.col("p")).alias("n")).collect()
+    assert [r.n for r in got] == ["hello.world", ".hello.world.", ".", "hello.world"]
+
+    df2 = spark.createDataFrame(
+        [("a1.b2.c3",), ("a1",), ("cpu.load?env=test",)], ["p"]
+    )
+    got2 = df2.select(
+        path_reverse("p").alias("r"), path_level("p").alias("l")
+    ).collect()
+    assert got2[0].r == "c3.b2.a1" and got2[0].l == 3
+    assert got2[1].r == "a1" and got2[1].l == 1
+    # tagged paths never reverse (helper/RowBinary/reader.go:125-127)
+    assert got2[2].r == "cpu.load?env=test"
+
+    got3 = df2.select(ancestor_prefixes("p").alias("a")).collect()
+    assert got3[0].a == ["a1.", "a1.b2."]
+    assert got3[1].a == []
+
+
+def test_build_index_golden(spark):
+    # golden from tests/plain/test.toml:109-120
+    pts = _points(spark, [("test.host1.cpu.loadavg", 10.2, 1625478240, D, 7)])
+    rows = {
+        (str(r.date), r.level, r.path): r.version
+        for r in build_index(pts).collect()
+    }
+    assert set(rows) == {
+        ("1970-02-12", 20001, "test."),
+        ("1970-02-12", 20002, "test.host1."),
+        ("1970-02-12", 20003, "test.host1.cpu."),
+        ("1970-02-12", 20004, "test.host1.cpu.loadavg"),
+        ("1970-02-12", 30004, "loadavg.cpu.host1.test"),
+        ("2021-07-05", 4, "test.host1.cpu.loadavg"),
+        ("2021-07-05", 10004, "loadavg.cpu.host1.test"),
+    }
+    assert all(v == 7 for v in rows.values())
+
+
+def test_build_index_no_daily_and_tagged_excluded(spark):
+    pts = _points(
+        spark,
+        [
+            ("a.b", 1.0, 1625478240, D, 1),
+            ("name?env=test", 1.0, 1625478240, D, 1),
+        ],
+    )
+    rows = {(r.level, r.path) for r in build_index(pts, disable_daily=True).collect()}
+    assert rows == {(20001, "a."), (20002, "a.b"), (30002, "b.a")}
+
+
+def test_build_tagged_golden(spark):
+    # golden from tests/plain/test.toml:136-141
+    pts = _points(
+        spark,
+        [
+            ("cpu.loadavg?env=test&host=host1", 2.1, 1625478240, D, 3),
+            ("test.host1.cpu.loadavg", 10.2, 1625478240, D, 3),  # untagged: skipped
+        ],
+    )
+    rows = build_tagged(pts).collect()
+    expected_tags = ["__name__=cpu.loadavg", "env=test", "host=host1"]
+    assert sorted((r.tag1, r.path) for r in rows) == [
+        ("__name__=cpu.loadavg", "cpu.loadavg?env=test&host=host1"),
+        ("env=test", "cpu.loadavg?env=test&host=host1"),
+        ("host=host1", "cpu.loadavg?env=test&host=host1"),
+    ]
+    assert all(sorted(r.tags) == expected_tags for r in rows)
+
+
+def test_build_tagged_ignored_metrics(spark):
+    # F7: uploader/tagged.go:145-165 — only __name__ row for ignored names
+    pts = _points(spark, [("cpu.loadavg?env=test&host=host1", 2.1, 1625478240, D, 3)])
+    rows = build_tagged(pts, ignored_metrics=["cpu.loadavg"]).collect()
+    assert [(r.tag1) for r in rows] == ["__name__=cpu.loadavg"]
+    assert sorted(rows[0].tags) == ["__name__=cpu.loadavg", "env=test", "host=host1"]
+
+
+def test_replacing_latest(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 5, 30)], "k string, v int, version long"
+    )
+    for impl in (replacing_latest, replacing_latest_window):
+        got = {(r.k, r.v, r.version) for r in impl(df, ["k"]).collect()}
+        assert got == {("a", 2, 20), ("b", 5, 30)}
+
+
+def test_new_series_only(spark):
+    inc = spark.createDataFrame([("a", 1), ("b", 2)], "path string, version int")
+    ex = spark.createDataFrame([("a",)], "path string")
+    got = new_series_only(inc, ex, ["path"]).collect()
+    assert [(r.path, r.version) for r in got] == [("b", 2)]
+
+
+def test_rollup_rules(spark):
+    # rules mirror tests/clickhouse/rollup/rollup.xml: .sum$ -> sum,
+    # .max$ -> max, .min$ -> min, default avg; first match wins
+    pts = _points(
+        spark,
+        [
+            ("m.sum", 1.0, 100, D, 0),
+            ("m.sum", 2.0, 110, D, 0),
+            ("m.max", 1.0, 100, D, 0),
+            ("m.max", 5.0, 110, D, 0),
+            ("m.avg", 1.0, 100, D, 0),
+            ("m.avg", 3.0, 110, D, 0),
+            ("m.avg", 100.0, 260, D, 0),
+        ],
+    )
+    got = {
+        (r.path, r.time): r.value
+        for r in rollup(pts, precision_s=60).collect()
+    }
+    assert got == {
+        ("m.sum", 60): 3.0,
+        ("m.max", 60): 5.0,
+        ("m.avg", 60): 2.0,
+        ("m.avg", 240): 100.0,
+    }
+
+
+def test_rollup_age_based_precision(spark):
+    rules = (
+        RollupRule("", "avg", (Retention(0, 60), Retention(1000, 600))),
+    )
+    now = 10000
+    pts = _points(
+        spark,
+        [
+            ("m", 1.0, 9500, D, 0),   # age 500 -> 60s buckets
+            ("m", 3.0, 9510, D, 0),
+            ("m", 5.0, 8000, D, 0),   # age 2000 -> 600s buckets
+            ("m", 7.0, 8100, D, 0),
+        ],
+    )
+    got = {(r.path, r.time): r.value for r in rollup(pts, rules, now=now).collect()}
+    assert got == {("m", 9480): 2.0, ("m", 7800): 6.0}
+
+
+def test_drop_rules(spark):
+    df = _points(
+        spark,
+        [
+            ("ok", 1.0, 1000, D, 0),
+            ("future", 1.0, 2000, D, 0),
+            ("past", 1.0, 10, D, 0),
+            ("toolongname", 1.0, 1000, D, 0),
+        ],
+    )
+    keep = drop_rule_predicate(
+        now=1000, drop_future_seconds=100, drop_past_seconds=500, drop_longer_than=8
+    )
+    assert {r.path for r in df.filter(keep).collect()} == {"ok"}
+
+
+def test_ignored_patterns(spark):
+    # uploader/filter_test.go semantics: glob *, tagged exempt
+    df = spark.createDataFrame(
+        [("a1.b2.x.c3",), ("a1.b2.x.d4",), ("other.path",), ("a1.b2?x=1",)],
+        ["path"],
+    )
+    keep = ignored_patterns_predicate(["a1.b2.*.c3"])
+    assert {r.path for r in df.filter(keep).collect()} == {
+        "a1.b2.x.d4",
+        "other.path",
+        "a1.b2?x=1",
+    }
