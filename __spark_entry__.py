@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the LLM-datapipe extensions) onto the driver's synthetic tables;
+``oracle_sql()`` carries the DuckDB-equivalent SQL for each. The
+graphite tables are derived deterministically from ``events``
+(FIXTURES.md §9 mapping): plain paths ``ev.u<user_id%20>.<event_type>``
+and tagged paths ``<event_type>?dc=dc<uid%3>&host=h<uid%10>``.
+
+Cross-engine determinism rules used throughout:
+- epoch seconds = floor(ms/1000) on both sides
+- float aggregates go through exact DECIMAL sums (or stay per-row),
+  then one identical double op chain + round
+- arrays serialize to comma-joined strings before hashing
+- ints surface as BIGINT on both sides
 """
 
 from __future__ import annotations
@@ -12,27 +20,736 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS) which Spark lacks; read
+    # nanos as long. Set here too (with UTC, which all date math
+    # assumes) in case the driver built its own session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sec(ev: DataFrame):
+    """events.ts (nanos-as-long OR timestamp) -> unix seconds; integer
+    arithmetic only (raw nanos exceed double precision)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        return F.expr("ts div 1000000000")
+    return F.col("ts").cast("long")
+
+
+def _fmt_date(col="date"):
+    """DATE column -> 'yyyy-MM-dd' string at query output (dates
+    surface as strings so value hashing is engine-independent)."""
+    return F.date_format(col, "yyyy-MM-dd").alias("date")
+
+
+# ---------------------------------------------------------------------------
+# events -> graphite points derivations (shared by the graphite queries)
+# ---------------------------------------------------------------------------
+
+def _plain_path():
+    return F.concat(
+        F.lit("ev.u"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit("."),
+        F.col("event_type"),
+    )
+
+
+def _tagged_line():
+    return F.concat(
+        F.col("event_type"),
+        F.lit(";host=h"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(";dc=dc"),
+        (F.col("user_id") % 3).cast("string"),
+    )
+
+
+def _events_points(spark, sf_dir, version_col=None) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    version = version_col if version_col is not None else F.lit(0).cast("long")
+    sec = _sec(ev)
+    return ev.select(
+        _plain_path().alias("path"),
+        F.col("value"),
+        sec.alias("time"),
+        F.to_date(F.timestamp_seconds(sec)).alias("date"),
+        version.alias("version"),
+    )
+
+
+def _events_tagged_points(spark, sf_dir) -> DataFrame:
+    """Tagged canonical points, produced through the real
+    canonicalization UDF (P3) from graphite-format input."""
+    from carbon_clickhouse_spark.functions.udfs import graphite_canonicalize_udf
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    return ev.select(
+        graphite_canonicalize_udf(_tagged_line()).alias("path"),
+        F.col("value"),
+        sec.alias("time"),
+        F.to_date(F.timestamp_seconds(sec)).alias("date"),
+        F.lit(0).cast("long").alias("version"),
+    )
+
+
+PTS_SQL = """
+  SELECT concat('ev.u', CAST(user_id % 20 AS VARCHAR), '.', event_type) AS path,
+         value,
+         epoch_ms(ts) // 1000 AS time,
+         strftime(ts, '%Y-%m-%d') AS date,
+         CAST(0 AS BIGINT) AS version
+  FROM events
+"""
+
+TPTS_SQL = """
+  SELECT concat(event_type, '?dc=dc', CAST(user_id % 3 AS VARCHAR),
+                '&host=h', CAST(user_id % 10 AS VARCHAR)) AS path,
+         value,
+         epoch_ms(ts) // 1000 AS time,
+         strftime(ts, '%Y-%m-%d') AS date,
+         CAST(0 AS BIGINT) AS version
+  FROM events
+"""
+
+TOKS_SQL = """
+  SELECT doc_id, source, lang, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+"""
+
+SHINGLES_SQL = (
+    "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE [array_to_string(toks, ' ')] END AS shs "
+    f"FROM ({TOKS_SQL})"
+)
+
+QVEC_SQL = """
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])) AS DOUBLE)"
+)
+
+
+def _dot_sql(a, b):
+    return _DOT.format(a=a, b=b)
+
+
+# ---------------------------------------------------------------------------
+# graphite-engine queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q_points_ingest(spark, sf_dir):
+    """S1/P1/P2/P3/P10: plain-protocol lines (plain + tagged) through
+    the real parser into canonical points."""
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    mk = lambda name: F.concat(  # noqa: E731
+        name,
+        F.lit(" "),
+        F.col("value").cast("string"),
+        F.lit(" "),
+        sec.cast("string"),
+    )
+    lines = ev.select(mk(_plain_path()).alias("line")).union(
+        ev.select(mk(_tagged_line()).alias("line"))
+    )
+    pts = parse_plain_lines(lines, now=0)
+    return pts.select("path", "value", "time", _fmt_date(), "version")
+
+
+def q_points_reverse(spark, sf_dir):
+    """P8: segment-reversed points table."""
+    from carbon_clickhouse_spark.functions.paths import path_reverse
+
+    return _events_points(spark, sf_dir).select(
+        path_reverse("path").alias("path"), "value", "time", _fmt_date(), "version"
+    )
+
+
+def q_index_table(spark, sf_dir):
+    """P9/P11/A1: the graphite_index derivation (tree + daily rows)."""
+    from carbon_clickhouse_spark.operators.index import build_index
+
+    idx = build_index(_events_points(spark, sf_dir))
+    return idx.select(
+        _fmt_date(), F.col("level").cast("long").alias("level"), "path", "version"
+    )
+
+
+def q_tagged_table(spark, sf_dir):
+    """P12/A1: graphite_tagged fanout (tags array as joined string)."""
+    from carbon_clickhouse_spark.operators.tagged import build_tagged
+
+    tg = build_tagged(_events_tagged_points(spark, sf_dir))
+    return tg.select(
+        _fmt_date(),
+        "tag1",
+        "path",
+        F.array_join("tags", ",").alias("tags_str"),
+        "version",
+    )
+
+
+def q_series_dedup(spark, sf_dir):
+    """A3: ReplacingMergeTree(Version) read view — last version wins
+    per (path, date); version = event_id (unique -> deterministic)."""
+    from carbon_clickhouse_spark.operators.dedup import replacing_latest
+
+    pts = _events_points(spark, sf_dir, version_col=F.col("event_id"))
+    out = replacing_latest(pts, ["path", "date"])
+    return out.select("path", "value", "time", _fmt_date(), "version")
+
+
+def q_rollup_hourly(spark, sf_dir):
+    """A4: GraphiteMergeTree rollup — first-match regex rules
+    (.click$ -> sum, .error$ -> max, .purchase$ -> min, default avg),
+    3600s buckets, exact-decimal aggregation."""
+    from carbon_clickhouse_spark.operators.rollup import RollupRule, rollup
+
+    rules = (
+        RollupRule(r"\.click$", "sum"),
+        RollupRule(r"\.error$", "max"),
+        RollupRule(r"\.purchase$", "min"),
+        RollupRule("", "avg"),
+    )
+    out = rollup(
+        _events_points(spark, sf_dir), rules, precision_s=3600, exact_decimal=True
+    )
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_drop_rules(spark, sf_dir):
+    """F1/F2/F3: drop-future + drop-past + drop-longer-than."""
+    from carbon_clickhouse_spark.operators.filters import drop_rule_predicate
+
+    now = 1704300000  # fixed "receive time" inside the events range
+    keep = drop_rule_predicate(
+        now=now, drop_future_seconds=3600, drop_past_seconds=86400, drop_longer_than=14
+    )
+    return _events_points(spark, sf_dir).filter(keep).select(
+        "path", "value", "time", _fmt_date(), "version"
+    )
+
+
+def q_find_metrics(spark, sf_dir):
+    """Query layer: Graphite glob resolution against the index."""
+    from carbon_clickhouse_spark.operators.index import build_index
+    from carbon_clickhouse_spark.query.finder import find_metrics
+
+    idx = build_index(_events_points(spark, sf_dir))
+    return find_metrics(idx, "ev.u1*.click")
+
+
+def q_find_tagged(spark, sf_dir):
+    """Query layer: tag=value lookup via the Tag1 table."""
+    from carbon_clickhouse_spark.operators.tagged import build_tagged
+    from carbon_clickhouse_spark.query.finder import find_tagged
+
+    tg = build_tagged(_events_tagged_points(spark, sf_dir))
+    return find_tagged(tg, "dc", "dc1")
+
+
+def q_read_series(spark, sf_dir):
+    """Query layer: resolved-path series read with fixed-step rollup."""
+    from carbon_clickhouse_spark.operators.rollup import RollupRule, rollup
+    from carbon_clickhouse_spark.query.finder import read_series
+
+    pts = _events_points(spark, sf_dir)
+    out = read_series(
+        pts,
+        ["ev.u1.click", "ev.u2.view", "ev.u3.error"],
+        1704067200,
+        1704672000,
+        precision_s=86400,
+        rules=(RollupRule("", "avg"),),
+        exact_decimal=True,
+    )
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# general OLAP breadth (free in Spark; proves the engine surface)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(20,8)")  # noqa: E731
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(24,8)")
+    out = (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(d("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(d("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(d("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """Join breadth: customer x orders x lineitem, top-10 revenue
+    orders (broadcast the dimension side; deterministic tie-break)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    # order by the ROUNDED revenue (the emitted value) so the top-10
+    # cutoff is identical in any engine
+    return (
+        joined.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "c_name",
+            F.round("revenue", 4).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-datapipe queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_duplicates(docs, min_group=1)
+    return out.select(
+        "fp", "keeper_id", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids_str")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_char",
+        "n_tokens",
+        "n_punct",
+        "n_digit",
+        "n_stopwords",
+        "mean_token_len",
+        "stopword_ratio",
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10)
+
+
+def q_simhash(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q_ann_topk(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.similarity import brute_force_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_cosine_pairs(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.similarity import cosine_dup_pairs
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(embs, threshold=0.4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        attach_fake_payload,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_image_features(attach_fake_payload(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: GraphiteMergeTree-style hourly rollup over the
+    events-derived points table at sf0.001."""
+    return q_rollup_hourly(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "points_ingest": q_points_ingest,
+        "points_reverse": q_points_reverse,
+        "index_table": q_index_table,
+        "tagged_table": q_tagged_table,
+        "series_dedup": q_series_dedup,
+        "rollup_hourly": q_rollup_hourly,
+        "drop_rules": q_drop_rules,
+        "find_metrics": q_find_metrics,
+        "find_tagged": q_find_tagged,
+        "read_series": q_read_series,
+        "tpch_q1": q_tpch_q1,
+        "top_revenue_orders": q_top_revenue_orders,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "['the','a','and','of','to','in','is']"
+    lang_sets = {
+        "de": "['der','die','das','und','ist','von','mit']",
+        "en": "['the','a','and','of','to','in','is']",
+        "es": "['el','la','de','que','y','en','los']",
+        "fr": "['le','la','les','de','et','est','dans']",
+    }
+    score = lambda s: (  # noqa: E731
+        f"len(list_filter(list_distinct(list_transform(toks, x -> lower(x))), "
+        f"x -> list_contains({s}, x)))"
+    )
+    lang_case = (
+        f"CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
+        f"WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        f"WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        f"WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        f"ELSE 'fr' END"
+    )
+
+    sig_cols = ", ".join(
+        f"min(md5(shingle || ':{i}')) AS sig_{i}" for i in range(8)
+    )
+    minhash_sig_sql = (
+        f"WITH sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})) "
+        f"SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id"
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bucket FROM sig"
+        for b in range(4)
+    )
+
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+    return {
+        "points_ingest": f"{PTS_SQL} UNION ALL {TPTS_SQL}",
+        "points_reverse": f"""
+            SELECT array_to_string(list_reverse(string_split(path, '.')), '.') AS path,
+                   value, time, date, version
+            FROM ({PTS_SQL})
+        """,
+        "index_table": f"""
+            WITH pts AS ({PTS_SQL}),
+            base AS (SELECT DISTINCT path, date FROM pts),
+            lv AS (SELECT path, date, len(string_split(path, '.')) AS level FROM base),
+            rows AS (
+              SELECT '1970-02-12' AS date, level + 20000 AS level, path FROM lv
+              UNION ALL
+              SELECT '1970-02-12', level + 30000,
+                     array_to_string(list_reverse(string_split(path, '.')), '.') FROM lv
+              UNION ALL
+              SELECT '1970-02-12', l + 20000,
+                     array_to_string(string_split(path, '.')[1:l], '.') || '.'
+              FROM (SELECT path, unnest(generate_series(1, level - 1)) AS l FROM lv)
+              UNION ALL
+              SELECT date, level, path FROM lv
+              UNION ALL
+              SELECT date, level + 10000,
+                     array_to_string(list_reverse(string_split(path, '.')), '.') FROM lv
+            )
+            SELECT DISTINCT date, CAST(level AS BIGINT) AS level, path,
+                   CAST(0 AS BIGINT) AS version
+            FROM rows
+        """,
+        "tagged_table": f"""
+            WITH pts AS ({TPTS_SQL}),
+            parsed AS (
+              SELECT path, date,
+                     '__name__=' || string_split(path, '?')[1] AS t_name,
+                     string_split(string_split(path, '?')[2], '&')[1] AS t_dc,
+                     string_split(string_split(path, '?')[2], '&')[2] AS t_host
+              FROM (SELECT DISTINCT path, date FROM pts)
+            )
+            SELECT date, t_name AS tag1, path,
+                   t_name || ',' || t_dc || ',' || t_host AS tags_str,
+                   CAST(0 AS BIGINT) AS version FROM parsed
+            UNION ALL
+            SELECT date, t_dc, path, t_name || ',' || t_dc || ',' || t_host,
+                   CAST(0 AS BIGINT) FROM parsed
+            UNION ALL
+            SELECT date, t_host, path, t_name || ',' || t_dc || ',' || t_host,
+                   CAST(0 AS BIGINT) FROM parsed
+        """,
+        "series_dedup": f"""
+            WITH pts AS (
+              SELECT concat('ev.u', CAST(user_id % 20 AS VARCHAR), '.', event_type) AS path,
+                     value, epoch_ms(ts) // 1000 AS time, strftime(ts, '%Y-%m-%d') AS date,
+                     event_id AS version
+              FROM events
+            )
+            SELECT path, arg_max(value, version) AS value,
+                   arg_max(time, version) AS time, date,
+                   max(version) AS version
+            FROM pts GROUP BY path, date
+        """,
+        "rollup_hourly": f"""
+            WITH pts AS ({PTS_SQL}),
+            agg AS (
+              SELECT path, time - time % 3600 AS time,
+                     CASE WHEN regexp_matches(path, '\\.click$') THEN 'sum'
+                          WHEN regexp_matches(path, '\\.error$') THEN 'max'
+                          WHEN regexp_matches(path, '\\.purchase$') THEN 'min'
+                          ELSE 'avg' END AS fn,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                     CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mn,
+                     CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mx,
+                     count(*) AS c
+              FROM pts GROUP BY 1, 2, 3
+            )
+            SELECT path, time,
+                   round(CASE fn WHEN 'sum' THEN s WHEN 'min' THEN mn
+                                 WHEN 'max' THEN mx ELSE s / c END, 4) AS value
+            FROM agg
+        """,
+        "drop_rules": f"""
+            SELECT * FROM ({PTS_SQL})
+            WHERE time <= 1704300000 + 3600
+              AND time >= 1704300000 - 86400
+              AND length(path) <= 14
+        """,
+        "find_metrics": f"""
+            SELECT DISTINCT path FROM ({PTS_SQL})
+            WHERE regexp_matches(path, '^ev\\.u1[^.]*\\.click\\.?$')
+        """,
+        "find_tagged": f"""
+            SELECT DISTINCT path FROM ({TPTS_SQL})
+            WHERE string_split(string_split(path, '?')[2], '&')[1] = 'dc=dc1'
+        """,
+        "read_series": f"""
+            WITH pts AS ({PTS_SQL})
+            SELECT path, time - time % 86400 AS time,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS value
+            FROM pts
+            WHERE time >= 1704067200 AND time < 1704672000
+              AND path IN ('ev.u1.click', 'ev.u2.view', 'ev.u3.error')
+            GROUP BY path, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, c_name,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_orderkey, o_orderdate, c_name
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "dedup_exact": f"""
+            WITH f AS (SELECT doc_id, md5({norm}) AS fp FROM documents)
+            SELECT fp, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_str
+            FROM f GROUP BY fp
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_char,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+                   CAST(len(list_filter(toks, x -> list_contains({stop_list}, lower(x)))) AS BIGINT) AS n_stopwords,
+                   CASE WHEN len(toks) > 0 THEN
+                     round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4)
+                   ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN len(toks) > 0 THEN
+                     round(CAST(len(list_filter(toks, x -> list_contains({stop_list}, lower(x)))) AS DOUBLE) / len(toks), 4)
+                   ELSE 0.0 END AS stopword_ratio
+            FROM ({TOKS_SQL})
+        """,
+        "token_counts": f"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
+            FROM ({TOKS_SQL}) GROUP BY source
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     {score(lang_sets['de'])} AS s_de,
+                     {score(lang_sets['en'])} AS s_en,
+                     {score(lang_sets['es'])} AS s_es,
+                     {score(lang_sets['fr'])} AS s_fr
+              FROM ({TOKS_SQL})
+            )
+            SELECT doc_id, {lang_case} AS lang_pred FROM scored
+        """,
+        "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "minhash_signatures": minhash_sig_sql,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})),
+            sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+            bands AS ({bands_union})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+            rare AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) BETWEEN 2 AND 10),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              WHERE x.shingle IN (SELECT shingle FROM rare)
+            ),
+            inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter i
+            JOIN cand USING (doc_a, doc_b)
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+        """,
+        # simhash: conv(hex, 2, 10) has no duckdb-1.0 equivalent -> rows-only check
+        "ann_topk": f"""
+            WITH v AS ({QVEC_SQL}),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round({_dot_sql('q.q', 'c.q')}
+                       / (sqrt({_dot_sql('q.q', 'q.q')}) * sqrt({_dot_sql('c.q', 'c.q')})), 6) AS cosine
+              FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "cosine_pairs": f"""
+            WITH v AS ({QVEC_SQL})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_dot_sql('a.q', 'b.q')}
+                     / (sqrt({_dot_sql('a.q', 'a.q')}) * sqrt({_dot_sql('b.q', 'b.q')})), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round({_dot_sql('a.q', 'b.q')}
+                    / (sqrt({_dot_sql('a.q', 'a.q')}) * sqrt({_dot_sql('b.q', 'b.q')})), 6) >= 0.4
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+                   CAST(64 + (octet_length(encode(text)) * 31) % 577 AS BIGINT) AS height,
+                   (octet_length(encode(text)) * 2654435761 % 25600) / 100.0 AS mean_byte
+            FROM documents
+        """,
+    }

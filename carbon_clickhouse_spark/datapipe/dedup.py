@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection,
+all as shuffles over compact keys — the shapes that survive 100 TB:
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle on a
+  16-byte key, never on the text itself)
+- MinHash/LSH: per-doc signature (narrow), band -> bucket shuffle,
+  pair join only inside buckets (candidate set ~linear, not O(n^2))
+- n-gram Jaccard: rare-shingle blocking bounds the candidate pairs
+- SimHash: 64-bit signature per doc; near-dups share bands of bits
+
+md5 is used as the hash family everywhere (seeded by suffixing) so
+results are engine-independent and oracle-checkable; lexicographic min
+over md5 hex is a valid uniform min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_group: int = 2
+) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalize)
+    documents: (fingerprint, keeper_id, n_docs, doc_ids).
+
+    ``min_group=1`` returns every group (the keeper assignment view);
+    the default 2 returns only actual duplicate groups.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= min_group)
+    )
+
+
+def shingles(text_col, k: int = 3):
+    """k-word shingles (distinct) from whitespace tokens."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows — distinct k-shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): min over shingles of
+    md5(shingle || ':' || seed) per seed — engine-portable MinHash.
+
+    Single pass: explode shingles once, compute all seeds inside one
+    partial-aggregating groupBy (shuffles only doc_id + N 32-char
+    minima, never the shingles). The per-column array_min(transform())
+    form re-evaluated the shingle array per signature — ~8x slower.
+    """
+    sh = exploded_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{s}")))).alias(f"sig_{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the MinHash
+    signature: docs sharing any band land in the same bucket.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. The bucket
+    join is an equi-join on the band hash — shuffle on a short key,
+    never a cross join.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    bands = []
+    for b in range(num_hashes // band_size):
+        parts = [F.col(f"sig_{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    buckets = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 10,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, with rare-shingle
+    blocking: only docs sharing a shingle that occurs in at most
+    ``max_shingle_df`` docs become candidates (bounds the join
+    fan-out; frequent shingles can't create O(n^2) pairs).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_"), F.collect_list("doc_id").alias("docs"))
+        .filter((F.col("df_") >= 2) & (F.col("df_") <= max_shingle_df))
+    )
+    cand = (
+        rare.select(F.explode("docs").alias("doc_a"), F.col("docs"))
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+        .join(cand, ["doc_a", "doc_b"])
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: per-token md5 -> first 15 hex chars as a
+    60-bit int; signature bit b set when the weighted majority of
+    token hashes have bit b set. Pure column expressions.
+    """
+    # one pass: explode tokens, hash once, 60 conditional sums inside a
+    # single partial-aggregating groupBy (the nested higher-order-
+    # function form interpreted lambdas per token x bit — ~10x slower)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.getbit("h", F.lit(b)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    # majority bits, MSB-first, reassembled via base-2 conv
+    bit_chars = [
+        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits - 1, -1, -1)
+    ]
+    sig = F.conv(F.concat(*bit_chars), 2, 10).cast("long")
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into ``bands``
+    chunks (pigeonhole: hamming <= max_hamming guarantees an equal
+    band when bands > max_hamming... choose bands accordingly), bucket
+    join, verify exact hamming distance."""
+    sigs = simhash(df, text_col, id_col, bits)
+    width = bits // bands
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

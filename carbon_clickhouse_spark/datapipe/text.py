@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in column expressions (JVM, codegen) so they
+scale to 100 TB of documents: tokenization via regex split, counts via
+array ops, fingerprints via built-in hashes. No Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny per-language stopword anchors for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans"],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+#: BPE-ish word/punct splitter: words, numbers, or single punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-like regex."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features: length, token stats,
+    punctuation/digit/stopword ratios. All exact-integer counts plus
+    ratios rounded to 4 decimals (cross-engine stable)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(LANG_STOPWORDS["en"]))
+    )
+    mean_tok_len = F.when(n_tok > 0, F.round(
+        (F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+         .cast("double") / n_tok), 4)).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        n_char.alias("n_char"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_digit.cast("long").alias("n_digit"),
+        n_stop.cast("long").alias("n_stopwords"),
+        mean_tok_len.alias("mean_token_len"),
+        F.when(n_tok > 0, F.round(n_stop.cast("double") / n_tok, 4))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-anchor language ID heuristic: score = distinct anchor
+    hits per language; highest score wins, ties broken by language
+    code, zero hits -> 'und'."""
+    t = F.col(text_col)
+    toks = F.transform(tokens(t), lambda x: F.lower(x))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    # fold to (best_score, best_lang); iterate langs sorted so ties
+    # resolve deterministically to the smallest code
+    best_score, best_lang = F.lit(-1), F.lit("und")
+    for lang in sorted(scores):
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    best_lang = F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
+    return df.select("*", best_lang.alias("lang_pred"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text. md5 (not xxhash) so external engines can reproduce it."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", window: int = 16
+) -> DataFrame:
+    """Rolling window-hash fingerprints (one md5 per `window` tokens)
+    for fuzzy containment checks — exploded (doc_id, pos, window_hash).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1, F.lit(window))
+    ).otherwise(F.array(F.lit(1)))
+    windows = F.transform(
+        starts, lambda s: F.md5(F.concat_ws(" ", F.slice(toks, s, window)))
+    )
+    return df.select(
+        "doc_id", F.posexplode(windows).alias("pos", "window_hash")
+    )

@@ -89,12 +89,18 @@ def rollup(
     path_col: str = "path",
     time_col: str = "time",
     value_col: str = "value",
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Downsample points per the rollup rules.
 
     ``precision_s`` overrides age-based precision with a fixed bucket
     (the common query shape: render a range at one step). Output:
     ``(path, time, value)`` with ``time`` bucket-aligned.
+
+    ``exact_decimal`` accumulates sums in DECIMAL(18,6) and derives
+    avg as exact-sum/count — order-independent and bit-identical
+    across engines/partitionings (used by oracle-checked queries;
+    the plain double path is marginally faster).
     """
     path = F.col(path_col)
 
@@ -109,29 +115,46 @@ def rollup(
     func = rule_function_col(path, rules)
     bucket = (F.col(time_col) - (F.col(time_col) % prec)).alias("time")
 
+    value_in = F.col(value_col)
+    if exact_decimal:
+        value_in = value_in.cast("decimal(18,6)")
+
     aggregated = (
         points.select(
             path.alias("path"),
             bucket,
             F.col(time_col).alias("__t"),
-            F.col(value_col).alias("value"),
+            value_in.alias("value"),
             func.alias("__fn"),
         )
         .groupBy("path", "time", "__fn")
         .agg(
-            F.avg("value").alias("__avg"),
             F.sum("value").alias("__sum"),
+            F.count("value").alias("__cnt"),
             F.min("value").alias("__min"),
             F.max("value").alias("__max"),
             F.max_by("value", F.col("__t")).alias("__last"),
         )
     )
 
+    if exact_decimal:
+        s = F.col("__sum").cast("double")
+        avg = s / F.col("__cnt")
+        mn, mx, last = (
+            F.col("__min").cast("double"),
+            F.col("__max").cast("double"),
+            F.col("__last").cast("double"),
+        )
+    else:
+        s = F.col("__sum")
+        avg = s / F.col("__cnt")
+        mn, mx, last = F.col("__min"), F.col("__max"), F.col("__last")
+
     value = (
-        F.when(F.col("__fn") == "sum", F.col("__sum"))
-        .when(F.col("__fn") == "min", F.col("__min"))
-        .when(F.col("__fn") == "max", F.col("__max"))
-        .when(F.col("__fn") == "last", F.col("__last"))
-        .otherwise(F.col("__avg"))
+        F.when(F.col("__fn") == "sum", s)
+        .when(F.col("__fn") == "min", mn)
+        .when(F.col("__fn") == "max", mx)
+        .when(F.col("__fn") == "last", last)
+        .otherwise(avg)
     )
     return aggregated.select("path", "time", value.alias("value"))

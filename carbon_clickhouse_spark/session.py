@@ -38,6 +38,9 @@ def get_spark(
         # metrics points are tiny rows; bigger scan partitions
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long (we floor to seconds ourselves)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

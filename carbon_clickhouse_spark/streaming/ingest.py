@@ -1,0 +1,141 @@
+"""Structured Streaming ingestion (SURVEY §2.5 K1-K6 + §3.1 stage map).
+
+The reference's disk pipeline — writeChan -> chunk file rotation ->
+symlink fan-out -> per-table uploader with retry (at-least-once) -> ack
+cleanup — collapses into one Structured Streaming graph:
+
+- micro-batch == chunk file (``trigger(processingTime=chunk_interval)``,
+  K1); checkpointing replaces the scan/retry/`_`-rename machinery (K4)
+- one ``foreachBatch`` writes all four tables from one batch (K3): a
+  single source of truth per micro-batch, each table commit atomic
+- the batch function returns only after every table is written — the
+  gRPC StoreSync durability handshake (K6) for free
+- drop rules run as filters inside the batch (F1-F4), with the dropped
+  rows appended to an audit table (F5's ring buffer, durable)
+- exists-cache (A2) is an anti-join against the stored index/tagged
+  tables, so re-delivered batches cannot re-insert series rows
+
+Sources: any streaming DataFrame of raw protocol lines works — file
+landing zone (``spark.readStream.text``), socket (demo only), or Kafka
+(``value`` casted to string). This mirrors S1/S2: Spark has no UDP/TCP
+server source, so production deployments land frames in Kafka/files,
+exactly how the reference's users front it with a load balancer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipeline import IngestConfig, derive_tables
+from ..operators.dedup import new_series_only
+from ..operators.filters import drop_rule_predicate
+from ..sources.plain import parse_plain_lines
+from ..functions.tags import TagConfig
+
+
+@dataclass
+class StreamConfig:
+    root: str
+    checkpoint: str | None = None
+    chunk_interval: str = "1 second"  # ref carbon/config.go:131-133
+    ingest: IngestConfig = field(default_factory=IngestConfig)
+    tag_config: TagConfig | None = None
+    audit_dropped: bool = True  # F5
+    exists_cache: bool = True  # A2
+
+
+def start_plain_ingest(
+    spark: SparkSession,
+    lines: DataFrame,
+    config: StreamConfig,
+    line_col: str = "value",
+) -> StreamingQuery:
+    """Start the ingest stream: raw lines -> four tables under
+    ``config.root``. Returns the StreamingQuery (caller owns stop)."""
+    checkpoint = config.checkpoint or os.path.join(config.root, "_checkpoint")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        points = parse_plain_lines(
+            batch, line_col=line_col, tag_config=config.tag_config, zero_version=False
+        )
+        ic = config.ingest
+        keep = drop_rule_predicate(
+            now=ic.now,
+            drop_future_seconds=ic.drop_future_seconds,
+            drop_past_seconds=ic.drop_past_seconds,
+            drop_longer_than=ic.drop_longer_than,
+        )
+        points = points.persist()
+        try:
+            if config.audit_dropped:
+                dropped = points.filter(~keep)
+                dropped.write.mode("append").parquet(
+                    os.path.join(config.root, "dropped")
+                )
+            tables = derive_tables(points, ic)
+
+            index_df, tagged_df = tables["index"], tables["tagged"]
+            if config.exists_cache:
+                index_df = _anti_existing(
+                    spark_b, index_df, config.root, "index", ["date", "level", "path"]
+                )
+                tagged_df = _anti_existing(
+                    spark_b, tagged_df, config.root, "tagged", ["date", "tag1", "path"]
+                )
+
+            for name, df in (
+                ("points", tables["points"]),
+                ("points_reverse", tables["points_reverse"]),
+            ):
+                (
+                    df.withColumn("month", F.date_format("date", "yyyyMM"))
+                    .sortWithinPartitions("path", "time")
+                    .write.mode("append")
+                    .partitionBy("month")
+                    .parquet(os.path.join(config.root, name))
+                )
+            index_df.write.mode("append").parquet(os.path.join(config.root, "index"))
+            tagged_df.write.mode("append").parquet(os.path.join(config.root, "tagged"))
+        finally:
+            points.unpersist()
+
+    return (
+        lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=config.chunk_interval)
+        .start()
+    )
+
+
+def _anti_existing(
+    spark: SparkSession, df: DataFrame, root: str, table: str, keys: list[str]
+) -> DataFrame:
+    path = os.path.join(root, table)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        return df  # first batch: table doesn't exist yet
+    return new_series_only(df, existing, keys)
+
+
+def file_landing_source(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """S1/S2-equivalent landing zone: each file is a chunk of protocol
+    lines (what a TCP/UDP front writes)."""
+    return spark.readStream.text(landing_dir)
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Demo source (matches the reference's plain TCP): one line per
+    record. Not for production (no replay)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )

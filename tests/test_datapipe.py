@@ -1,0 +1,166 @@
+"""Datapipe operator tests over the driver's synthetic documents/embeddings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbon_clickhouse_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from carbon_clickhouse_spark.datapipe.multimodal import (
+    attach_fake_payload,
+    extract_image_features,
+    sample_frames,
+)
+from carbon_clickhouse_spark.datapipe.similarity import (
+    brute_force_topk,
+    cosine_dup_pairs,
+    lsh_bucketed_pairs,
+)
+from carbon_clickhouse_spark.datapipe.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    rolling_fingerprints,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    got = exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert got[0].keeper_id == 1 and got[0].doc_ids == [1, 2]
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated words about spark query engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    sigs = minhash_signatures(df).collect()
+    s = {r.doc_id: [r[f"sig_{i}"] for i in range(8)] for r in sigs}
+    assert s[1] == s[2] != s[3]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "z y x w v u t s"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.4
+    assert (1, 3) not in got
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+            (3, "unrelated document discussing catalyst optimizer rules and codegen"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(df, max_hamming=14).collect()}
+    assert (1, 2) in pairs
+
+
+def test_text_features(docs):
+    feats = quality_features(docs).select(
+        "doc_id", "n_char", "n_tokens", "stopword_ratio"
+    )
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(r.n_tokens > 0 for r in rows)
+    langs = language_id(docs).select("lang_pred").distinct().collect()
+    assert {r.lang_pred for r in langs} <= {"en", "es", "de", "fr", "und"}
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame([(1, "A  b\tc"), (2, "a b c")], ["doc_id", "text"])
+    fps = df.select(fingerprint("text").alias("fp")).collect()
+    assert fps[0].fp == fps[1].fp
+    rf = rolling_fingerprints(df, window=2).collect()
+    assert all(r.window_hash is not None for r in rf)
+
+
+def test_brute_force_topk(embs):
+    qs = embs.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(embs, qs, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [1, 2, 3, 4, 5]
+        cos = [r.cosine for r in sorted(rows, key=lambda x: x.rank)]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.001 <= c <= 1.001 for c in cos)
+
+
+def test_cosine_pairs_and_lsh(embs):
+    small = embs.filter(F.col("vec_id") < 60)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(small, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(small, threshold=0.8).collect()
+    }
+    # LSH returns a subset of the exact pairs (no false positives
+    # post-verification), and self-pairs never appear
+    assert approx <= exact
+    assert all(a < b for a, b in exact)
+
+
+def test_multimodal_plumbing(docs):
+    media = attach_fake_payload(docs.limit(50))
+    feats = extract_image_features(media, fake=True).collect()
+    assert len(feats) == 50
+    assert all(r.width >= 64 and r.height >= 64 for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    frames = sample_frames(media).collect()
+    assert len(frames) >= 50
+    assert all(r.frame_bytes is not None for r in frames)
+
+
+def test_multimodal_real_decode_stubbed(docs):
+    media = attach_fake_payload(docs.limit(1))
+    with pytest.raises(Exception):
+        extract_image_features(media, fake=False).collect()

@@ -1,0 +1,82 @@
+"""Query-layer tests: glob find, tag find, series read."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from carbon_clickhouse_spark.operators.index import build_index
+from carbon_clickhouse_spark.operators.tagged import build_tagged
+from carbon_clickhouse_spark.query.finder import (
+    find_metrics,
+    find_tagged,
+    glob_to_regex,
+    read_series,
+)
+
+D = dt.date(2021, 7, 5)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        rows, "path string, value double, time long, date date, version long"
+    )
+
+
+def test_glob_to_regex():
+    assert glob_to_regex("a.*.c") == r"^a\.[^.]*\.c$"
+    assert glob_to_regex("a.{b,c}.d") == r"^a\.(b|c)\.d$"
+    assert glob_to_regex("host?") == "^host[^.]$"
+
+
+def test_find_metrics(spark):
+    pts = _points(
+        spark,
+        [
+            ("srv.host1.cpu", 1.0, 100, D, 0),
+            ("srv.host2.cpu", 1.0, 100, D, 0),
+            ("srv.host2.mem", 1.0, 100, D, 0),
+            ("other.host1.cpu", 1.0, 100, D, 0),
+        ],
+    )
+    idx = build_index(pts)
+    got = {r.path for r in find_metrics(idx, "srv.*.cpu").collect()}
+    assert got == {"srv.host1.cpu", "srv.host2.cpu"}
+    # directory find: trailing-dot rows
+    got2 = {r.path for r in find_metrics(idx, "srv.*").collect()}
+    assert got2 == {"srv.host1.", "srv.host2."}
+
+
+def test_find_tagged(spark):
+    pts = _points(
+        spark,
+        [
+            ("cpu?env=prod&host=h1", 1.0, 100, D, 0),
+            ("cpu?env=dev&host=h2", 1.0, 100, D, 0),
+            ("mem?env=prod&host=h1", 1.0, 100, D, 0),
+        ],
+    )
+    tg = build_tagged(pts)
+    got = {r.path for r in find_tagged(tg, "env", "prod").collect()}
+    assert got == {"cpu?env=prod&host=h1", "mem?env=prod&host=h1"}
+    got2 = {
+        r.path
+        for r in find_tagged(tg, "env", "prod", extra=[("__name__", "cpu")]).collect()
+    }
+    assert got2 == {"cpu?env=prod&host=h1"}
+
+
+def test_read_series(spark):
+    pts = _points(
+        spark,
+        [
+            ("a.cpu", 1.0, 100, D, 0),
+            ("a.cpu", 3.0, 110, D, 0),
+            ("a.cpu", 9.0, 500, D, 0),  # outside range
+            ("b.cpu", 7.0, 100, D, 0),  # not requested
+        ],
+    )
+    got = read_series(pts, ["a.cpu"], 0, 200, precision_s=60).collect()
+    assert [(r.path, r.time, r.value) for r in got] == [("a.cpu", 60, 2.0)]
+    paths_df = spark.createDataFrame([("a.cpu",)], ["path"])
+    got2 = read_series(pts, paths_df, 0, 200).orderBy("time").collect()
+    assert [(r.time, r.value) for r in got2] == [(100, 1.0), (110, 3.0)]

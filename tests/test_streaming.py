@@ -1,0 +1,81 @@
+"""Streaming ingest e2e: file landing zone -> four tables, with
+idempotent exists-cache and dropped-row audit."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbon_clickhouse_spark.pipeline import IngestConfig
+from carbon_clickhouse_spark.streaming.ingest import (
+    StreamConfig,
+    file_landing_source,
+    start_plain_ingest,
+)
+
+LINES1 = [
+    "test.host1.cpu.loadavg 10.2 1625478240",
+    "cpu.loadavg;env=test;host=host1 2.1 1625478240",
+    "way.too.far.future 1.0 9999999999",  # dropped by F1
+]
+LINES2 = [
+    "test.host1.cpu.loadavg 9.4 1625478300",  # same series: index dedup
+    "test.host2.cpu.loadavg 5.5 1625478300",  # new series
+]
+
+
+def _wait_batches(query, n, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        progress = query.lastProgress
+        if progress and progress["batchId"] >= n and progress["numInputRows"] == 0:
+            return
+        time.sleep(0.5)
+    raise TimeoutError("stream did not drain")
+
+
+def test_streaming_ingest(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+
+    cfg = StreamConfig(
+        root=root,
+        chunk_interval="1 second",
+        ingest=IngestConfig(now=1625478400, drop_future_seconds=3600),
+    )
+    (landing / "chunk1.txt").write_text("\n".join(LINES1) + "\n")
+    q = start_plain_ingest(spark, file_landing_source(spark, str(landing)), cfg)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not os.path.exists(f"{root}/index"):
+            time.sleep(0.5)
+        time.sleep(2)
+        (landing / "chunk2.txt").write_text("\n".join(LINES2) + "\n")
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                pts = spark.read.parquet(f"{root}/points")
+                if pts.count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    points = spark.read.parquet(f"{root}/points")
+    assert points.count() == 4  # 3 kept from batch1 is 2 + 2 from batch2
+    assert points.filter(F.col("path") == "way.too.far.future").count() == 0
+
+    dropped = spark.read.parquet(f"{root}/dropped")
+    assert dropped.filter(F.col("path") == "way.too.far.future").count() == 1
+
+    # exists-cache: re-seen series produce no duplicate index rows
+    index = spark.read.parquet(f"{root}/index")
+    full_paths = index.filter(F.col("path") == "test.host1.cpu.loadavg")
+    assert full_paths.count() == full_paths.select("date", "level").distinct().count()
+
+    tagged = spark.read.parquet(f"{root}/tagged")
+    assert tagged.filter(F.col("tag1") == "env=test").count() == 1
