@@ -168,8 +168,9 @@ def q_points_ingest(spark, sf_dir):
         F.lit(" "),
         sec.cast("string"),
     )
-    lines = ev.select(mk(_plain_path()).alias("line")).union(
-        ev.select(mk(_tagged_line()).alias("line"))
+    # one scan: both line flavors exploded from the same row
+    lines = ev.select(
+        F.explode(F.array(mk(_plain_path()), mk(_tagged_line()))).alias("line")
     )
     pts = parse_plain_lines(lines, now=0)
     return pts.select("path", "value", "time", _fmt_date(), "version")
@@ -283,6 +284,117 @@ def q_read_series(spark, sf_dir):
         exact_decimal=True,
     )
     return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_telegraf_ingest(spark, sf_dir):
+    """S6: Telegraf HTTP JSON bodies (synthesized per event) through
+    the real decoder — two fields per metric, bool + numeric."""
+    from carbon_clickhouse_spark.sources.telegraf import telegraf_json_to_points
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    body = F.concat(
+        F.lit('{"metrics":[{"name":"'),
+        F.col("event_type"),
+        F.lit('","timestamp":'),
+        sec.cast("string"),
+        F.lit(',"fields":{"value":'),
+        F.col("value").cast("string"),
+        F.lit(',"flag":true},"tags":{"host":"h'),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit('"}}]}'),
+    )
+    pts = telegraf_json_to_points(ev.select(body.alias("body")))
+    return pts.select("path", "value", "time", _fmt_date(), "version")
+
+
+def q_prometheus_ingest(spark, sf_dir):
+    """S5: Prometheus remote-write series (structured form) through
+    label canonicalization + sample explode; ms -> s."""
+    from carbon_clickhouse_spark.sources.prometheus import (
+        prometheus_series_to_points,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    series = ev.select(
+        F.array(
+            F.struct(
+                F.lit("__name__").alias("name"), F.col("event_type").alias("value")
+            ),
+            F.struct(
+                F.lit("instance").alias("name"),
+                F.concat(F.lit("host"), (F.col("user_id") % 10).cast("string")).alias(
+                    "value"
+                ),
+            ),
+        ).alias("labels"),
+        F.array(
+            F.struct(
+                F.col("value").alias("value"),
+                (sec * 1000 + 123).alias("timestamp_ms"),
+            )
+        ).alias("samples"),
+    )
+    pts = prometheus_series_to_points(series)
+    return pts.select("path", "value", "time", _fmt_date(), "version")
+
+
+def q_grpc_ingest(spark, sf_dir):
+    """S4: gRPC Payload (structured form) -> points; graphite-format
+    metric names canonicalized."""
+    from carbon_clickhouse_spark.sources.grpc_source import (
+        structured_payloads_to_points,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    metrics = ev.select(
+        _tagged_line().alias("metric"),
+        F.array(
+            F.struct(sec.alias("timestamp"), F.col("value").alias("value"))
+        ).alias("points"),
+    )
+    pts = structured_payloads_to_points(metrics)
+    return pts.select("path", "value", "time", _fmt_date(), "version")
+
+
+def q_template_tagging(spark, sf_dir):
+    """P4: InfluxDB-style convert_to_tagged templates applied during
+    plain-line parse."""
+    from carbon_clickhouse_spark.functions.tags import TagConfig
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    cfg = TagConfig(
+        enabled=True,
+        separator="_",
+        templates=["ev.* .host.measurement* src=events"],
+    ).configure()
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    lines = ev.select(
+        F.concat(
+            _plain_path(), F.lit(" "), F.col("value").cast("string"),
+            F.lit(" "), sec.cast("string"),
+        ).alias("line")
+    )
+    pts = parse_plain_lines(lines, now=0, tag_config=cfg)
+    return pts.select("path", "value", "time", _fmt_date(), "version")
+
+
+def q_ignored_patterns(spark, sf_dir):
+    """F6: glob blacklist — drop ev.u1*.click and every signup path;
+    tagged names exempt by definition."""
+    from carbon_clickhouse_spark.operators.filters import (
+        ignored_patterns_predicate,
+    )
+
+    keep = ignored_patterns_predicate(["ev.u1*.click", "*.*.signup"])
+    return (
+        _events_points(spark, sf_dir)
+        .filter(keep)
+        .select("path", "value", "time", _fmt_date(), "version")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +581,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_metrics": q_find_metrics,
         "find_tagged": q_find_tagged,
         "read_series": q_read_series,
+        "telegraf_ingest": q_telegraf_ingest,
+        "prometheus_ingest": q_prometheus_ingest,
+        "grpc_ingest": q_grpc_ingest,
+        "template_tagging": q_template_tagging,
+        "ignored_patterns": q_ignored_patterns,
         "tpch_q1": q_tpch_q1,
         "top_revenue_orders": q_top_revenue_orders,
         "dedup_exact": q_dedup_exact,
@@ -622,6 +739,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE time >= 1704067200 AND time < 1704672000
               AND path IN ('ev.u1.click', 'ev.u2.view', 'ev.u3.error')
             GROUP BY path, 2
+        """,
+        "telegraf_ingest": """
+            SELECT concat(event_type, '?host=h', CAST(user_id % 10 AS VARCHAR)) AS path,
+                   value, epoch_ms(ts) // 1000 AS time,
+                   strftime(ts, '%Y-%m-%d') AS date, CAST(0 AS BIGINT) AS version
+            FROM events
+            UNION ALL
+            SELECT concat(event_type, '_flag?host=h', CAST(user_id % 10 AS VARCHAR)),
+                   1.0, epoch_ms(ts) // 1000, strftime(ts, '%Y-%m-%d'), CAST(0 AS BIGINT)
+            FROM events
+        """,
+        "prometheus_ingest": """
+            SELECT concat(event_type, '?instance=host', CAST(user_id % 10 AS VARCHAR)) AS path,
+                   value, epoch_ms(ts) // 1000 AS time,
+                   strftime(ts, '%Y-%m-%d') AS date, CAST(0 AS BIGINT) AS version
+            FROM events
+        """,
+        "grpc_ingest": f"SELECT * FROM ({TPTS_SQL})",
+        "template_tagging": """
+            SELECT concat(event_type, '?host=u', CAST(user_id % 20 AS VARCHAR),
+                          '&src=events') AS path,
+                   value, epoch_ms(ts) // 1000 AS time,
+                   strftime(ts, '%Y-%m-%d') AS date, CAST(0 AS BIGINT) AS version
+            FROM events
+        """,
+        "ignored_patterns": f"""
+            SELECT * FROM ({PTS_SQL})
+            WHERE NOT regexp_matches(
+              path, '^(ev\\.u1[^.]*\\.click|[^.]*\\.[^.]*\\.signup)$')
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -96,23 +96,35 @@ def prometheus_canonicalize(labels: list[tuple[str, str]]) -> str | None:
     return _canonical_tagged(name, _sort_uniq(rest))
 
 
-def telegraf_encode_tags(tags: dict[str, str]) -> list[tuple[str, str]]:
-    """Telegraf tag map -> kv list; reserved key ``name`` -> ``_name``
-    (ref ``receiver/telegraf_http_json.go:63-66``)."""
-    out = []
-    for k, v in tags.items():
-        out.append(("_name" if k == "name" else k, v))
-    return sorted(out)
+def telegraf_encode_tags(tags: dict[str, str]) -> str:
+    """Telegraf tag map -> ``k=v&…`` string, query-escaped
+    (ref ``receiver/telegraf_http_json.go:36-74``). Two reference
+    quirks preserved exactly: keys sort BEFORE the reserved-key rename
+    (so ``_name`` appears at the original ``name`` sort position), and
+    single-tag maps skip the rename entirely."""
+    if not tags:
+        return ""
+    if len(tags) == 1:
+        k, v = next(iter(tags.items()))
+        return f"{escape_query(k)}={escape_query(v)}"
+    parts = []
+    for k in sorted(tags):
+        disp = "_name" if k == "name" else k
+        parts.append(f"{escape_query(disp)}={escape_query(tags[k])}")
+    return "&".join(parts)
 
 
 def telegraf_metric_path(
     name: str, field_name: str, tags: dict[str, str], concat: str = "_"
 ) -> str:
     """Build the canonical path for one Telegraf field
-    (ref ``receiver/telegraf_http_json.go:76-139``): the field name is
-    appended to the measurement with ``concat`` unless it is ``value``."""
-    full = name if field_name == "value" else name + concat + field_name
-    return _canonical_tagged(full, telegraf_encode_tags(tags))
+    (ref ``receiver/telegraf_http_json.go:106-121``): path-escaped
+    name, ``concat`` + path-escaped field unless field == ``value``,
+    then ``?`` + encoded tags (always present, even when empty)."""
+    path = escape_path(name)
+    if field_name != "value":
+        path += concat + escape_path(field_name)
+    return path + "?" + telegraf_encode_tags(tags)
 
 
 def parse_canonical_tags(path: str) -> tuple[str, list[str]] | None:

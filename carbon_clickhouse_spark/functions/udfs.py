@@ -76,6 +76,22 @@ def make_graphite_canonicalize_udf(config: TagConfig):
     return _udf
 
 
+@pandas_udf(T.StringType())
+def prometheus_canonicalize_udf(labels: pd.Series) -> pd.Series:
+    """array<struct<name,value>> label sets -> canonical path
+    (``helper/tags/prometheus.go:20-52``); None when __name__ missing."""
+    from .tags import prometheus_canonicalize
+
+    def conv(ls) -> str | None:
+        if ls is None:
+            return None
+        return prometheus_canonicalize(
+            [(l["name"], l["value"]) for l in ls]
+        )
+
+    return labels.map(conv)
+
+
 @pandas_udf(_TAGS_SCHEMA)
 def parse_tags_udf(path: pd.Series) -> pd.DataFrame:
     """Canonical tagged path -> (unescaped name, unescaped k=v tags

@@ -80,20 +80,22 @@ def parse_plain_lines(
         .withColumn("__name_norm", normalize_double_dot(F.col("__name_raw")))
     )
 
-    canon = (
-        make_graphite_canonicalize_udf(tag_config)
-        if tag_config is not None and tag_config.enabled
-        else graphite_canonicalize_udf
-    )
-    needs_udf = F.col("__name_norm").contains(";") | F.lit(
-        tag_config is not None and tag_config.enabled
-    )
-    df = df.withColumn(
-        "path",
-        F.when(needs_udf, canon(F.col("__name_norm"))).otherwise(
-            F.col("__name_norm")
-        ),
-    ).filter(F.col("path").isNotNull() & (F.col("path") != ""))
+    if tag_config is not None and tag_config.enabled:
+        # templates may tag ANY name -> every row goes through Python
+        canon = make_graphite_canonicalize_udf(tag_config)
+        df = df.withColumn("path", canon(F.col("__name_norm")))
+    else:
+        # split so the Python UDF runs ONLY on tagged lines: a when()
+        # would make the ArrowEvalPython node evaluate the UDF column
+        # for every row, putting the untagged hot path through Python
+        tagged = df.filter(F.col("__name_norm").contains(";")).withColumn(
+            "path", graphite_canonicalize_udf(F.col("__name_norm"))
+        )
+        plain = df.filter(~F.col("__name_norm").contains(";")).withColumn(
+            "path", F.col("__name_norm")
+        )
+        df = plain.unionByName(tagged)
+    df = df.filter(F.col("path").isNotNull() & (F.col("path") != ""))
 
     version = F.lit(0).cast("long") if zero_version else now_col
     return df.select(

@@ -1,0 +1,109 @@
+"""RowBinary chunk-file reader/writer (K7 + §1.1 record format).
+
+The reference's on-disk interchange format
+(``helper/RowBinary/write_buffer.go:170-176``): per point
+
+    uvarint(len(path)) + path | float64 LE value | uint32 LE time |
+    uint16 LE date(days) | uint32 LE version
+
+``read_rowbinary`` lets a migrating user ingest existing chunk files
+directly; it applies the reference's corruption check — a record whose
+date doesn't match days(time) terminates the scan of that file
+(``helper/RowBinary/reader.go:149-151``), which is exactly the
+``-recover`` salvage semantics (``carbon-clickhouse.go:52-95``).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+_POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("time", T.LongType()),
+        T.StructField("days", T.IntegerType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def decode_points(data: bytes, utc_check: bool = True) -> list[tuple]:
+    """Decode RowBinary graphite points; stops at the first corrupt
+    record (reader.go:104-199 semantics)."""
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        # uvarint length
+        ln = shift = 0
+        start = i
+        while True:
+            if i >= n:
+                return out
+            c = data[i]
+            ln |= (c & 0x7F) << shift
+            i += 1
+            if not c & 0x80:
+                break
+            shift += 7
+        if ln == 0 or ln > 16384 or i + ln + 18 > n:
+            return out
+        try:
+            path = data[i : i + ln].decode("utf-8")
+        except UnicodeDecodeError:
+            return out
+        i += ln
+        value, time_, days, version = struct.unpack("<dIHI", data[i : i + 18])
+        i += 18
+        if utc_check and days != time_ // 86400:
+            # date/time mismatch = corruption marker; salvage stops here
+            return out
+        out.append((path, value, time_, days, version))
+    return out
+
+
+def encode_points(points: list[tuple]) -> bytes:
+    """[(path, value, time, version)] -> RowBinary bytes (UTC dates)."""
+    buf = bytearray()
+    for path, value, time_, version in points:
+        raw = path.encode("utf-8")
+        ln = len(raw)
+        while True:
+            b = ln & 0x7F
+            ln >>= 7
+            buf.append(b | (0x80 if ln else 0))
+            if not ln:
+                break
+        buf.extend(raw)
+        buf.extend(struct.pack("<dIHI", value, time_, time_ // 86400, version))
+    return bytes(buf)
+
+
+def read_rowbinary(spark: SparkSession, path: str, utc_check: bool = True) -> DataFrame:
+    """Chunk file(s) -> canonical points DataFrame. One file per task
+    (chunk files are bounded by chunk-max-size, so this partitioning
+    matches the writer's natural unit)."""
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(decode_points(bytes(blob), utc_check))
+            yield pd.DataFrame(
+                rows, columns=["path", "value", "time", "days", "version"]
+            )
+
+    raw = blobs.mapInPandas(run, _POINT_SCHEMA)
+    return raw.select(
+        "path",
+        "value",
+        "time",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("days")).alias("date"),
+        F.col("version").alias("version"),
+    )

