@@ -4,10 +4,11 @@ For each distinct tagged ``(date, path)``: parse the canonical path
 back into unescaped ``k=v`` strings, prepend ``__name__=<name>``, and
 emit one row per tag with the full tags array attached.
 
-Scale notes: the unescape parse (pandas UDF) runs on the *deduplicated*
-``(date, path)`` set, not the raw points — series cardinality, not
-point volume. ``ignored_metrics`` (F7) keeps only the ``__name__`` row
-for listed metric names (``uploader/tagged.go:145-165``).
+Scale notes: the whole derivation is JVM column expressions (the
+unescape parse runs via ``try_url_decode``) over the *deduplicated*
+``(date, path)`` set — series cardinality, not point volume.
+``ignored_metrics`` (F7) keeps only the ``__name__`` row for listed
+metric names (``uploader/tagged.go:145-165``).
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import parse_tags_udf
+from ..functions.tags_jvm import parse_tags_col
 
 
 def build_tagged(
@@ -30,7 +31,7 @@ def build_tagged(
         .agg(F.max("version").alias("version"))
     )
 
-    parsed = base.withColumn("__parsed", parse_tags_udf(F.col("path"))).select(
+    parsed = base.withColumn("__parsed", parse_tags_col(F.col("path"))).select(
         "path",
         "date",
         "version",

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from ..functions.dates import ts_to_date
 from ..functions.paths import normalize_double_dot
 from ..functions.tags import TagConfig
-from ..functions.udfs import graphite_canonicalize_udf, make_graphite_canonicalize_udf
+from ..functions.tags_jvm import graphite_canonicalize_col
+from ..functions.udfs import make_graphite_canonicalize_udf
 
 
 def parse_plain_lines(
@@ -81,20 +82,15 @@ def parse_plain_lines(
     )
 
     if tag_config is not None and tag_config.enabled:
-        # templates may tag ANY name -> every row goes through Python
+        # templates may tag ANY name -> rows go through Python (P4)
         canon = make_graphite_canonicalize_udf(tag_config)
         df = df.withColumn("path", canon(F.col("__name_norm")))
     else:
-        # split so the Python UDF runs ONLY on tagged lines: a when()
-        # would make the ArrowEvalPython node evaluate the UDF column
-        # for every row, putting the untagged hot path through Python
-        tagged = df.filter(F.col("__name_norm").contains(";")).withColumn(
-            "path", graphite_canonicalize_udf(F.col("__name_norm"))
+        # P3 runs fully JVM-side (tags_jvm parity expressions): one
+        # scan, whole-stage codegen, zero Python in the hot path
+        df = df.withColumn(
+            "path", graphite_canonicalize_col(F.col("__name_norm"))
         )
-        plain = df.filter(~F.col("__name_norm").contains(";")).withColumn(
-            "path", F.col("__name_norm")
-        )
-        df = plain.unionByName(tagged)
     df = df.filter(F.col("path").isNotNull() & (F.col("path") != ""))
 
     version = F.lit(0).cast("long") if zero_version else now_col
