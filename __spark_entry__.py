@@ -401,6 +401,65 @@ def q_ignored_patterns(spark, sf_dir):
 # general OLAP breadth (free in Spark; proves the engine surface)
 # ---------------------------------------------------------------------------
 
+def q_sessionization(spark, sf_dir):
+    """Sessionization over the events stream: a new session starts
+    after a >30min gap; per user emit session count and events/session
+    (window lag + running sum — A5-class breadth)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    base = ev.select(
+        F.col("user_id"), sec.alias("time"), F.col("event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("time", "event_id")
+    with_gap = base.withColumn(
+        "new_session",
+        F.when(
+            (F.col("time") - F.lag("time").over(w)) > 1800, 1
+        ).otherwise(0),
+    )
+    sessions = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("time") - F.min("time")).alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_s").alias("max_session_s"),
+    )
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles of event values per type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """CUBE over (event_type, user bucket): count + exact decimal sum
+    (A5: query-time aggregation breadth the reference delegates to
+    ClickHouse)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return (
+        ev.select(F.col("event_type"), bucket, F.col("value"))
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(20,8)")  # noqa: E731
@@ -586,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grpc_ingest": q_grpc_ingest,
         "template_tagging": q_template_tagging,
         "ignored_patterns": q_ignored_patterns,
+        "sessionization": q_sessionization,
+        "value_quantiles": q_value_quantiles,
+        "grouping_sets": q_grouping_sets,
         "tpch_q1": q_tpch_q1,
         "top_revenue_orders": q_top_revenue_orders,
         "dedup_exact": q_dedup_exact,
@@ -768,6 +830,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({PTS_SQL})
             WHERE NOT regexp_matches(
               path, '^(ev\\.u1[^.]*\\.click|[^.]*\\.[^.]*\\.signup)$')
+        """,
+        "sessionization": """
+            WITH base AS (
+              SELECT user_id, epoch_ms(ts) // 1000 AS time, event_id FROM events
+            ),
+            g AS (
+              SELECT user_id, time, event_id,
+                     CASE WHEN time - lag(time) OVER
+                       (PARTITION BY user_id ORDER BY time, event_id) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM base
+            ),
+            s AS (
+              SELECT user_id, time,
+                     sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY time, event_id) AS session_id
+              FROM g
+            ),
+            ps AS (
+              SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                     max(time) - min(time) AS duration_s
+              FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   max(duration_s) AS max_session_s
+            FROM ps GROUP BY user_id
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "grouping_sets": """
+            SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, user_id % 10)
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
