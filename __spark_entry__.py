@@ -268,6 +268,16 @@ def q_find_tagged(spark, sf_dir):
     return find_tagged(tg, "dc", "dc1")
 
 
+def q_find_metrics_reverse(spark, sf_dir):
+    """Query layer: suffix glob via the REVERSE index rows (what
+    graphite_reverse exists for)."""
+    from carbon_clickhouse_spark.operators.index import build_index
+    from carbon_clickhouse_spark.query.finder import find_metrics_reverse
+
+    idx = build_index(_events_points(spark, sf_dir))
+    return find_metrics_reverse(idx, "*.*.click")
+
+
 def q_read_series(spark, sf_dir):
     """Query layer: resolved-path series read with fixed-step rollup."""
     from carbon_clickhouse_spark.operators.rollup import RollupRule, rollup
@@ -638,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hourly": q_rollup_hourly,
         "drop_rules": q_drop_rules,
         "find_metrics": q_find_metrics,
+        "find_metrics_reverse": q_find_metrics_reverse,
         "find_tagged": q_find_tagged,
         "read_series": q_read_series,
         "telegraf_ingest": q_telegraf_ingest,
@@ -788,6 +799,10 @@ def oracle_sql() -> dict[str, str]:
         "find_metrics": f"""
             SELECT DISTINCT path FROM ({PTS_SQL})
             WHERE regexp_matches(path, '^ev\\.u1[^.]*\\.click\\.?$')
+        """,
+        "find_metrics_reverse": f"""
+            SELECT DISTINCT path FROM ({PTS_SQL})
+            WHERE regexp_matches(path, '^[^.]*\\.[^.]*\\.click$')
         """,
         "find_tagged": f"""
             SELECT DISTINCT path FROM ({TPTS_SQL})

@@ -31,6 +31,24 @@ def new_series_only(incoming: DataFrame, existing: DataFrame, keys: list[str]) -
     return incoming.join(existing.select(*keys), on=keys, how="left_anti")
 
 
+def new_series_only_hashed(
+    incoming: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """A2 variant with P14's memory trick: the anti-join runs on
+    ``xxhash64(keys)`` (8 bytes) instead of the full key tuple — the
+    distributed analogue of the reference's cityhash64 exists-cache
+    keys (``uploader/hash.go:9-25``). Hash collisions can only SKIP a
+    new series (a benign false-positive 'already exists'), mirroring
+    the reference's accepted trade-off.
+    """
+    h = F.xxhash64(*keys)
+    return (
+        incoming.withColumn("__h", h)
+        .join(existing.select(h.alias("__h")).distinct(), "__h", "left_anti")
+        .drop("__h")
+    )
+
+
 def replacing_latest(df: DataFrame, keys: list[str], version_col: str = "version") -> DataFrame:
     """A3: ReplacingMergeTree(Version) view — last version wins.
 

@@ -81,6 +81,33 @@ def find_metrics(index: DataFrame, glob: str, tree: bool = True) -> DataFrame:
     return df.select("path").distinct()
 
 
+def find_metrics_reverse(index: DataFrame, glob: str, tree: bool = True) -> DataFrame:
+    """Resolve a suffix-heavy glob (``*.cpu.loadavg``) against the
+    REVERSE index rows (levels +10000/+30000): reverse the glob's
+    segments, scan the reversed paths — turning a full-scan suffix
+    match into a prefix scan, exactly why the reference maintains
+    ``graphite_reverse`` (``uploader/points.go:21-31``).
+
+    Returns the matching paths in their ORIGINAL (un-reversed) form.
+    """
+    from ..functions.paths import path_reverse
+    from ..schemas import REVERSE_LEVEL_OFFSET, REVERSE_TREE_LEVEL_OFFSET
+
+    segments = glob.split(".")
+    rev_glob = ".".join(reversed(segments))
+    level = len(segments)
+    offset = REVERSE_TREE_LEVEL_OFFSET if tree else REVERSE_LEVEL_OFFSET
+    prefix = glob_to_like_prefix(rev_glob)
+    regex = glob_to_regex(rev_glob)
+
+    df = index.filter(
+        (F.col("level") == level + offset) & F.col("path").rlike(regex)
+    )
+    if prefix:
+        df = df.filter(F.col("path").startswith(prefix))
+    return df.select(path_reverse("path").alias("path")).distinct()
+
+
 def find_tagged(
     tagged: DataFrame,
     tag: str,

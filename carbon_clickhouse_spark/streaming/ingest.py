@@ -38,6 +38,41 @@ from ..sources.plain import parse_plain_lines
 from ..functions.tags import TagConfig
 
 
+def parse_chunk_auto_interval(spec: str) -> list[tuple[int, float]]:
+    """Parse the reference's ``chunk-auto-interval`` backpressure spec
+    (K2, ``helper/config/chunk_interval.go:68-85``): ``"5:10s,20:60s"``
+    means >=5 unhandled chunks -> 10s rotation, >=20 -> 60s. Returns
+    [(threshold, seconds)] sorted ascending."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        thresh, dur = part.split(":")
+        d = dur.strip()
+        mult = 1.0
+        for suffix, m in (("ms", 0.001), ("s", 1.0), ("m", 60.0), ("h", 3600.0)):
+            if d.endswith(suffix):
+                d, mult = d[: -len(suffix)], m
+                break
+        out.append((int(thresh), float(d) * mult))
+    return sorted(out)
+
+
+def effective_chunk_interval(
+    base_seconds: float, backlog: int, auto: list[tuple[int, float]]
+) -> float:
+    """K2 governor: pick the largest configured interval whose backlog
+    threshold is met (``writer/writer.go:147-157`` semantics). Feed it
+    the streaming backlog (e.g. files pending in the landing dir) and
+    restart the trigger when it changes."""
+    interval = base_seconds
+    for thresh, seconds in auto:
+        if backlog >= thresh:
+            interval = seconds
+    return interval
+
+
 @dataclass
 class StreamConfig:
     root: str

@@ -80,3 +80,43 @@ def test_read_series(spark):
     paths_df = spark.createDataFrame([("a.cpu",)], ["path"])
     got2 = read_series(pts, paths_df, 0, 200).orderBy("time").collect()
     assert [(r.time, r.value) for r in got2] == [(100, 1.0), (110, 3.0)]
+
+
+def test_find_metrics_reverse(spark):
+    from carbon_clickhouse_spark.query.finder import find_metrics_reverse
+
+    pts = _points(
+        spark,
+        [
+            ("srv.host1.cpu.loadavg", 1.0, 100, D, 0),
+            ("srv.host2.cpu.loadavg", 1.0, 100, D, 0),
+            ("srv.host2.mem.used", 1.0, 100, D, 0),
+        ],
+    )
+    idx = build_index(pts)
+    got = {r.path for r in find_metrics_reverse(idx, "*.*.cpu.loadavg").collect()}
+    assert got == {"srv.host1.cpu.loadavg", "srv.host2.cpu.loadavg"}
+
+
+def test_new_series_only_hashed(spark):
+    from carbon_clickhouse_spark.operators.dedup import new_series_only_hashed
+
+    inc = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "path string, level int, v int"
+    )
+    ex = spark.createDataFrame([("a", 1)], "path string, level int")
+    got = new_series_only_hashed(inc, ex, ["path", "level"]).collect()
+    assert [(r.path, r.v) for r in got] == [("b", 20)]
+
+
+def test_chunk_auto_interval():
+    from carbon_clickhouse_spark.streaming.ingest import (
+        effective_chunk_interval,
+        parse_chunk_auto_interval,
+    )
+
+    auto = parse_chunk_auto_interval("5:10s,20:60s")
+    assert auto == [(5, 10.0), (20, 60.0)]
+    assert effective_chunk_interval(1.0, 0, auto) == 1.0
+    assert effective_chunk_interval(1.0, 7, auto) == 10.0
+    assert effective_chunk_interval(1.0, 25, auto) == 60.0
