@@ -87,14 +87,14 @@ def _events_points(spark, sf_dir, version_col=None) -> DataFrame:
 
 
 def _events_tagged_points(spark, sf_dir) -> DataFrame:
-    """Tagged canonical points, produced through the real
-    canonicalization UDF (P3) from graphite-format input."""
-    from carbon_clickhouse_spark.functions.udfs import graphite_canonicalize_udf
+    """Tagged canonical points, produced through the real JVM
+    canonicalization expressions (P3) from graphite-format input."""
+    from carbon_clickhouse_spark.functions.tags_jvm import graphite_canonicalize_col
 
     ev = _t(spark, sf_dir, "events")
     sec = _sec(ev)
     return ev.select(
-        graphite_canonicalize_udf(_tagged_line()).alias("path"),
+        graphite_canonicalize_col(_tagged_line()).alias("path"),
         F.col("value"),
         sec.alias("time"),
         F.to_date(F.timestamp_seconds(sec)).alias("date"),

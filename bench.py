@@ -58,6 +58,43 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # storage path: write the four-table contract once, then time the
+    # read queries a graphite-web-shaped client would issue
+    import shutil
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables, write_tables
+    from carbon_clickhouse_spark.query.finder import find_metrics, read_series
+
+    root = tempfile.mkdtemp(prefix="ccs_bench_")
+    try:
+        t0 = time.perf_counter()
+        pts = entry_mod._events_points(spark, sf_dir)
+        write_tables(derive_tables(pts, IngestConfig()), root, mode="overwrite")
+        timings["store_tables"] = round(time.perf_counter() - t0, 3)
+
+        stored_points = spark.read.parquet(f"{root}/points")
+        stored_index = spark.read.parquet(f"{root}/index")
+
+        t0 = time.perf_counter()
+        find_metrics(stored_index, "ev.u1*.*").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["stored_find_metrics"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        read_series(
+            stored_points,
+            ["ev.u1.click", "ev.u2.view", "ev.u3.error"],
+            1704067200,
+            1706745600,
+            precision_s=3600,
+        ).write.format("noop").mode("overwrite").save()
+        timings["stored_read_series"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

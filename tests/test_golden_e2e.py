@@ -194,3 +194,28 @@ def test_idempotent_reingest(tables, spark):
         idx.union(idx), ["date", "level", "path"]
     )
     assert doubled.count() == idx.count()
+
+
+def test_nodaily_index_golden(spark):
+    """tests/plain-nodaily scenario: disable-daily-index drops the
+    per-date rows, keeps tree rows (carbon-clickhouse.conf.tpl:15)."""
+    from carbon_clickhouse_spark.operators.index import build_index
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    lines = spark.createDataFrame([(l,) for l in INPUT_LINES], ["line"])
+    points = parse_plain_lines(lines, now=1625478400)
+    idx = build_index(points, disable_daily=True)
+    got = (
+        idx.filter(
+            F.col("path").like("test.%") | F.col("path").like("%.test")
+        )
+        .orderBy("date", "level", "path")
+        .collect()
+    )
+    assert [(str(r.date), r.level, r.path) for r in got] == [
+        ("1970-02-12", 20001, "test."),
+        ("1970-02-12", 20002, "test.host1."),
+        ("1970-02-12", 20003, "test.host1.cpu."),
+        ("1970-02-12", 20004, "test.host1.cpu.loadavg"),
+        ("1970-02-12", 30004, "loadavg.cpu.host1.test"),
+    ]
