@@ -156,6 +156,18 @@ def _anti_existing(
         existing = spark.read.parquet(path)
     except Exception:
         return df  # first batch: table doesn't exist yet
+    # prune the stored side to the batch's dates before the anti-join:
+    # a micro-batch covers one or two days, so the right side shrinks
+    # from the whole index history to a sliver (at 100 TB this is the
+    # difference between joining GBs and joining the world); the tree
+    # date rides along for the tree rows
+    if "date" in df.columns and "date" in existing.columns:
+        from ..functions.dates import TREE_DATE
+
+        batch_dates = [r["date"] for r in df.select("date").distinct().collect()]
+        if TREE_DATE not in batch_dates:
+            batch_dates.append(TREE_DATE)
+        existing = existing.filter(F.col("date").isin(batch_dates))
     return new_series_only(df, existing, keys)
 
 
