@@ -102,6 +102,29 @@ def _events_tagged_points(spark, sf_dir) -> DataFrame:
     )
 
 
+def _events_tagged_series(spark, sf_dir) -> DataFrame:
+    """Distinct tagged SERIES (path, date, version): the A1 dedup runs
+    on the raw graphite-format string (codegen-friendly key), and
+    canonicalization runs once per series — point volume never touches
+    the canonicalize expression."""
+    from carbon_clickhouse_spark.functions.tags_jvm import graphite_canonicalize_col
+
+    ev = _t(spark, sf_dir, "events")
+    sec = _sec(ev)
+    raw = ev.select(
+        _tagged_line().alias("raw"),
+        F.to_date(F.timestamp_seconds(sec)).alias("date"),
+    ).groupBy("raw", "date").agg(F.lit(0).cast("long").alias("version"))
+    series = raw.select(
+        graphite_canonicalize_col(F.col("raw")).alias("path"), "date", "version"
+    )
+    # lineage barrier: downstream tag-parsing references `path` many
+    # times; without the barrier projection collapse inlines the whole
+    # canonicalize expression per reference (interpreted, ~10x work).
+    # The checkpoint materializes the tiny series set once.
+    return series.localCheckpoint(eager=False)
+
+
 PTS_SQL = """
   SELECT concat('ev.u', CAST(user_id % 20 AS VARCHAR), '.', event_type) AS path,
          value,
@@ -172,7 +195,7 @@ def q_points_ingest(spark, sf_dir):
     lines = ev.select(
         F.explode(F.array(mk(_plain_path()), mk(_tagged_line()))).alias("line")
     )
-    pts = parse_plain_lines(lines, now=0)
+    pts = parse_plain_lines(lines, now=0, dedup_names=True)
     return pts.select("path", "value", "time", _fmt_date(), "version")
 
 
@@ -199,7 +222,7 @@ def q_tagged_table(spark, sf_dir):
     """P12/A1: graphite_tagged fanout (tags array as joined string)."""
     from carbon_clickhouse_spark.operators.tagged import build_tagged
 
-    tg = build_tagged(_events_tagged_points(spark, sf_dir))
+    tg = build_tagged(_events_tagged_series(spark, sf_dir), assume_tagged=True, pre_deduped=True)
     return tg.select(
         _fmt_date(),
         "tag1",
@@ -264,7 +287,7 @@ def q_find_tagged(spark, sf_dir):
     from carbon_clickhouse_spark.operators.tagged import build_tagged
     from carbon_clickhouse_spark.query.finder import find_tagged
 
-    tg = build_tagged(_events_tagged_points(spark, sf_dir))
+    tg = build_tagged(_events_tagged_series(spark, sf_dir), assume_tagged=True, pre_deduped=True)
     return find_tagged(tg, "dc", "dc1")
 
 

@@ -95,6 +95,11 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # the reference's KPI: ingest throughput. points_ingest parses
+    # 2 lines per event (plain + tagged), so points/s = 2n / t.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    pps = round(2 * n_events / timings["points_ingest"])
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -103,6 +108,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest_points_per_sec": pps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -21,8 +21,14 @@ DOT_RE = r"\."
 
 
 def normalize_double_dot(path: Column | str) -> Column:
-    """``a..b`` -> ``a.b`` (runs of dots collapse to one)."""
-    return F.regexp_replace(path, r"\.\.+", ".")
+    """``a..b`` -> ``a.b`` (runs of dots collapse to one).
+
+    Guarded by a cheap contains() so the regex engine only runs on the
+    rare dirty lines — the same fast-path as the reference's
+    ``HasDoubleDot`` pre-check (``receiver/plain.go:22-34``).
+    """
+    col = F.col(path) if isinstance(path, str) else path
+    return F.when(col.contains(".."), F.regexp_replace(col, r"\.\.+", ".")).otherwise(col)
 
 
 def is_tagged(path: Column | str) -> Column:

@@ -23,13 +23,27 @@ def build_tagged(
     points: DataFrame,
     ignored_metrics: list[str] | None = None,
     path_col: str = "path",
+    assume_tagged: bool = False,
+    pre_deduped: bool = False,
 ) -> DataFrame:
-    """points -> tagged rows ``(date, tag1, path, tags, version)``."""
-    base = (
-        points.filter(F.col(path_col).contains("?"))
-        .groupBy(F.col(path_col).alias("path"), F.col("date"))
-        .agg(F.max("version").alias("version"))
-    )
+    """points -> tagged rows ``(date, tag1, path, tags, version)``.
+
+    ``assume_tagged`` skips the F8 routing filter; ``pre_deduped``
+    skips the A1 series aggregate. Set both when feeding an already
+    tagged-only, (path, date)-unique series set whose ``path`` is a
+    derived expression — otherwise Catalyst pushes the routing
+    predicate below the aggregate (and merges adjacent aggregates),
+    re-evaluating the path derivation per POINT instead of per series.
+    Persisted/stored inputs don't need either flag.
+    """
+    base = points if assume_tagged else points.filter(F.col(path_col).contains("?"))
+    if not pre_deduped:
+        base = (
+            base.groupBy(F.col(path_col).alias("path"), F.col("date"))
+            .agg(F.max("version").alias("version"))
+        )
+    else:
+        base = base.select(F.col(path_col).alias("path"), "date", "version")
 
     parsed = base.withColumn("__parsed", parse_tags_col(F.col("path"))).select(
         "path",

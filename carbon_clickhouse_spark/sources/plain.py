@@ -35,12 +35,20 @@ def parse_plain_lines(
     now: Column | int | None = None,
     tag_config: TagConfig | None = None,
     zero_version: bool = True,
+    dedup_names: bool = False,
 ) -> DataFrame:
     """Parse raw protocol lines into the canonical points schema.
 
     ``now`` is the receive time (defaults to current time); it fills
     ``-1`` timestamps and the ``version`` column (0 when
     ``zero_version``, mirroring the e2e configs' ``zero-timestamp``).
+
+    ``dedup_names``: canonicalize DISTINCT metric names and join the
+    mapping back instead of evaluating the canonicalize expression per
+    line. Wins when names repeat heavily within the batch (bulk
+    backfills, replays); per-line stays the default because a live
+    micro-batch sees each series ~once and the join would only add a
+    shuffle.
     """
     if now is None:
         now_col = F.unix_timestamp()
@@ -51,8 +59,9 @@ def parse_plain_lines(
 
     # exact split on the first two spaces (the reference finds byte
     # indexes, so a third space lands in the ts field and fails the
-    # float cast -> row dropped, same as Go)
-    line = F.regexp_replace(F.col(line_col), r"[\r\n]+$", "")
+    # float cast -> row dropped, same as Go). rtrim beats a regex here
+    # — this runs once per ingested line.
+    line = F.rtrim(F.col(line_col), F.lit("\r\n"))
 
     df = (
         lines.withColumn("__line", line)
@@ -85,9 +94,14 @@ def parse_plain_lines(
         # templates may tag ANY name -> rows go through Python (P4)
         canon = make_graphite_canonicalize_udf(tag_config)
         df = df.withColumn("path", canon(F.col("__name_norm")))
+    elif dedup_names:
+        mapping = df.select("__name_norm").distinct().withColumn(
+            "path", graphite_canonicalize_col(F.col("__name_norm"))
+        )
+        df = df.join(mapping, "__name_norm", "left")
     else:
         # P3 runs fully JVM-side (tags_jvm parity expressions): one
-        # scan, whole-stage codegen, zero Python in the hot path
+        # scan, zero Python in the hot path
         df = df.withColumn(
             "path", graphite_canonicalize_col(F.col("__name_norm"))
         )
