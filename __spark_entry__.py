@@ -496,18 +496,23 @@ def q_grouping_sets(spark, sf_dir):
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(20,8)")  # noqa: E731
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(24,8)")
+    # the source columns are exact 2-decimal values: snap each factor
+    # to DECIMAL first so the products are exact decimal arithmetic —
+    # a double product cast to decimal can differ by 1 ulp per row
+    # across engines, which a 600k-row sum surfaces
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc_f = (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    tax_f = (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+    disc = (price * disc_f).cast("decimal(24,8)")
+    charge = (price * disc_f * tax_f).cast("decimal(24,8)")
     out = (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             (F.sum(d("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(d("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
             (F.sum(d("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
@@ -523,7 +528,10 @@ def q_top_revenue_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    ).cast("decimal(24,8)")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -914,8 +922,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+                   CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_charge,
                    CAST(sum(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS avg_qty,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS avg_price,
                    CAST(sum(CAST(l_discount AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS avg_disc,
@@ -926,7 +934,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_revenue_orders": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, c_name,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

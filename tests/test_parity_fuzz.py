@@ -64,18 +64,26 @@ class TestEscapeProperties:
 
 
 def test_jvm_python_parity_fuzz_batch(spark):
-    """One Spark job over a hypothesis-generated corpus."""
+    """One Spark job over a seeded random corpus (deterministic)."""
+    import random
+
     from pyspark.sql import functions as F
 
     from carbon_clickhouse_spark.functions.tags_jvm import graphite_canonicalize_col
 
+    rng = random.Random(42)
+
+    def rand_text(chars, lo, hi):
+        return "".join(rng.choice(chars) for _ in range(rng.randint(lo, hi)))
+
     corpus = []
-    # deterministic corpus from the strategy (fixed seeds)
-    gen = metric_line()
-    for seed in range(400):
-        corpus.append(gen.example())
-        if len(corpus) >= 200:
-            break
+    for _ in range(300):
+        parts = [rand_text(NAME_CHARS, 1, 30)]
+        for _ in range(rng.randint(0, 5)):
+            k = rand_text(KV_CHARS, 0, 10)
+            v = rand_text(KV_CHARS, 0, 10)
+            parts.append(f"{k}={v}" if rng.random() < 0.8 else k)
+        corpus.append(";".join(parts))
     corpus = list(dict.fromkeys(corpus))
     df = spark.createDataFrame([(s,) for s in corpus], ["s"])
     got = df.select("s", graphite_canonicalize_col(F.col("s")).alias("c")).collect()
