@@ -86,22 +86,6 @@ def _events_points(spark, sf_dir, version_col=None) -> DataFrame:
     )
 
 
-def _events_tagged_points(spark, sf_dir) -> DataFrame:
-    """Tagged canonical points, produced through the real JVM
-    canonicalization expressions (P3) from graphite-format input."""
-    from carbon_clickhouse_spark.functions.tags_jvm import graphite_canonicalize_col
-
-    ev = _t(spark, sf_dir, "events")
-    sec = _sec(ev)
-    return ev.select(
-        graphite_canonicalize_col(_tagged_line()).alias("path"),
-        F.col("value"),
-        sec.alias("time"),
-        F.to_date(F.timestamp_seconds(sec)).alias("date"),
-        F.lit(0).cast("long").alias("version"),
-    )
-
-
 def _events_tagged_series(spark, sf_dir) -> DataFrame:
     """Distinct tagged SERIES (path, date, version): the A1 dedup runs
     on the raw graphite-format string (codegen-friendly key), and
@@ -642,6 +626,15 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (scale path; rows-only check — approx by
+    design, recall asserted against brute force in tests)."""
+    from carbon_clickhouse_spark.datapipe.similarity import ivf_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
+
+
 def q_cosine_pairs(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.similarity import cosine_dup_pairs
 
@@ -702,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
         "multimodal_features": q_multimodal_features,
     }

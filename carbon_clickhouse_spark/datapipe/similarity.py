@@ -145,6 +145,112 @@ def cosine_dup_pairs(
     return v.mapInPandas(block, out_schema)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_limit: int = 100_000,
+) -> DataFrame:
+    """IVF approximate top-k cosine: a coarse k-means quantizer
+    partitions vectors into ``n_lists`` inverted lists; each query
+    scores only its ``n_probe`` nearest lists.
+
+    The scale path next to :func:`brute_force_topk`: candidate volume
+    drops by ~n_lists/n_probe, and the expensive scoring is an
+    equi-join on ``list_id`` (shuffle on a small int key). Centroids
+    are trained driver-side on a bounded sample with seeded numpy
+    (deterministic) — at 100 TB you train once on a sample and reuse.
+    Output schema matches brute_force_topk; recall < 1.0 by design.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # --- train the coarse quantizer on a bounded sample (driver) ----
+    sample = (
+        embeddings.select(vec_col).limit(sample_limit).toPandas()[vec_col]
+    )
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(42)
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    sc = embeddings.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+
+    def assign_lists(batches, probe: int):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cent = b_cent.value
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = mn @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :probe]
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_lists, out_vecs = [], [], []
+            for i in range(len(ids)):
+                for l in top[i]:
+                    out_ids.append(ids[i])
+                    out_lists.append(int(l))
+                    out_vecs.append(list(pdf[vec_col].iloc[i]))
+            yield pd.DataFrame({"id": out_ids, "list_id": out_lists, "v": out_vecs})
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        lambda it: assign_lists(it, 1), assign_schema
+    )
+    q = queries.select(id_col, vec_col).mapInPandas(
+        lambda it: assign_lists(it, n_probe), assign_schema
+    )
+
+    qq = q.select(
+        F.col("id").alias("query_id"), "list_id", quantize(F.col("v")).alias("qv")
+    )
+    cc = cand.select(
+        F.col("id").alias("neighbor_id"), "list_id", quantize(F.col("v")).alias("cv")
+    )
+    scored = (
+        qq.join(cc, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot_int(F.col("qv"), F.col("cv")).cast("double")
+                / (_norm_int(F.col("qv")) * _norm_int(F.col("cv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int, scale: int = 1) -> list[float]:
     """Deterministic pseudo-random hyperplane from a hash recurrence
     (no numpy RNG so results are reproducible everywhere)."""

@@ -164,3 +164,32 @@ def test_multimodal_real_decode_stubbed(docs):
     media = attach_fake_payload(docs.limit(1))
     with pytest.raises(Exception):
         extract_image_features(media, fake=False).collect()
+
+
+def test_ivf_topk_recall(embs):
+    from carbon_clickhouse_spark.datapipe.similarity import ivf_topk
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(embs, qs, k=10).collect()
+    approx = ivf_topk(embs, qs, k=10, n_lists=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing half the lists should recover well over half the true
+    # neighbors on this data
+    assert sum(recalls) / len(recalls) >= 0.5
+    # every approx rank list is internally consistent
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
