@@ -171,7 +171,9 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` docs become candidates (bounds the join
     fan-out; frequent shingles can't create O(n^2) pairs).
     """
-    sh = exploded_shingles(df, text_col, id_col, k)
+    # the shingle set feeds sizes, blocking, and the intersection join:
+    # checkpoint so the mapInPandas shingling runs once, not per branch
+    sh = exploded_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
