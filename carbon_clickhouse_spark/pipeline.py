@@ -97,3 +97,76 @@ def write_tables(
         df.sortWithinPartitions("path").write.mode(mode).parquet(
             os.path.join(root, name)
         )
+
+
+def ingest_and_store(
+    points: DataFrame,
+    root: str,
+    config: IngestConfig | None = None,
+    exists_cache: bool = False,
+) -> None:
+    """Bulk-load ingest order: write the points table ONCE, then
+    derive reverse/index/tagged from the freshly stored parquet.
+
+    Recomputing a long points lineage per derived table costs 4x the
+    upstream work (and caching 100 TB is not an option); re-reading the
+    just-written columnar points is a pruned scan of exactly the
+    columns each derivation needs. This is the batch analogue of the
+    reference's chunk file feeding every uploader
+    (``writer/link.go:13-66``).
+
+    Bulk loads into a fresh ``root`` (points appends; the derived
+    tables rebuild from the stored points). For incremental streaming
+    use ``streaming.ingest`` (which persists each micro-batch).
+    """
+    config = config or IngestConfig()
+    spark = points.sparkSession
+
+    keep = drop_rule_predicate(
+        now=config.now,
+        drop_future_seconds=config.drop_future_seconds,
+        drop_past_seconds=config.drop_past_seconds,
+        drop_longer_than=config.drop_longer_than,
+    )
+    kept = points.filter(keep).filter(
+        ignored_patterns_predicate(config.ignored_patterns)
+    )
+    (
+        kept.withColumn("month", F.date_format("date", "yyyyMM"))
+        .sortWithinPartitions("path", "time")
+        .write.mode("append")
+        .partitionBy("month")
+        .parquet(os.path.join(root, "points"))
+    )
+    # derived tables rebuild from the full stored points (bulk-load
+    # semantics; idempotent w.r.t. the replacing-dedup read views)
+
+    stored = spark.read.parquet(os.path.join(root, "points")).drop("month")
+    (
+        stored.withColumn("path", path_reverse("path"))
+        .withColumn("month", F.date_format("date", "yyyyMM"))
+        .sortWithinPartitions("path", "time")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "points_reverse"))
+    )
+
+    index_df = build_index(stored, disable_daily=config.disable_daily_index)
+    tagged_df = build_tagged(stored, ignored_metrics=config.ignored_tagged_metrics)
+    if exists_cache:
+        try:
+            existing = spark.read.parquet(os.path.join(root, "index"))
+            index_df = new_series_only(index_df, existing, ["date", "level", "path"])
+        except Exception:
+            pass
+        try:
+            existing_t = spark.read.parquet(os.path.join(root, "tagged"))
+            tagged_df = new_series_only(tagged_df, existing_t, ["date", "tag1", "path"])
+        except Exception:
+            pass
+    index_mode = "append" if exists_cache else "overwrite"
+    index_df.sortWithinPartitions("path").write.mode(index_mode).parquet(
+        os.path.join(root, "index")
+    )
+    tagged_df.sortWithinPartitions("path").write.mode(index_mode).parquet(
+        os.path.join(root, "tagged")
+    )

@@ -52,3 +52,30 @@ def test_compact_rollup(spark, tmp_path):
         (r.path, r.time): r.value for r in spark.read.parquet(path).collect()
     }
     assert got == {("m.avg", 960): 2.0, ("m.sum", 960): 6.0}
+
+
+def test_ingest_and_store_bulk(spark, tmp_path):
+    from carbon_clickhouse_spark.pipeline import IngestConfig, ingest_and_store
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("a.b.c 1.5 1625478240",),
+            ("x;env=p 2.5 1625478300",),
+        ],
+        ["line"],
+    )
+    points = parse_plain_lines(lines, now=1625478400)
+    root = str(tmp_path / "t")
+    ingest_and_store(points, root, IngestConfig(now=1625478400))
+    pts = spark.read.parquet(f"{root}/points")
+    assert pts.count() == 2
+    rev = {r.path for r in spark.read.parquet(f"{root}/points_reverse").collect()}
+    assert rev == {"c.b.a", "x?env=p"}
+    idx = spark.read.parquet(f"{root}/index")
+    # 'a.b.c' appears as the tree row (20003) and the daily row (3);
+    # the reversed form 'c.b.a' carries the +10000/+30000 levels
+    assert idx.filter(idx.path == "a.b.c").count() == 2
+    assert idx.filter(idx.path == "c.b.a").count() == 2
+    tg = spark.read.parquet(f"{root}/tagged")
+    assert {r.tag1 for r in tg.collect()} == {"__name__=x", "env=p"}
