@@ -642,6 +642,32 @@ def q_cosine_pairs(spark, sf_dir):
     return cosine_dup_pairs(embs, threshold=0.4)
 
 
+def q_quality_filter(spark, sf_dir):
+    """Pipeline composition: keep documents passing quality gates
+    (token count window + stopword floor) — the standard pre-training
+    corpus filter, built on quality_features."""
+    from carbon_clickhouse_spark.datapipe.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    return q.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 500)
+        & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id", "n_tokens", "stopword_ratio")
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Pipeline composition: corpus minus near-duplicates — every doc
+    except the higher-id member of each LSH candidate pair (keep-first
+    policy). The end-to-end shape of a dedup stage."""
+    from carbon_clickhouse_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    losers = minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source")
+
+
 def q_multimodal_features(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.multimodal import (
         attach_fake_payload,
@@ -697,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
+        "quality_filter": q_quality_filter,
+        "dedup_survivors": q_dedup_survivors,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1032,6 +1060,29 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE round({_dot_sql('a.q', 'b.q')}
                     / (sqrt({_dot_sql('a.q', 'a.q')}) * sqrt({_dot_sql('b.q', 'b.q')})), 6) >= 0.4
+        """,
+        "quality_filter": f"""
+            WITH q AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       round(CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], lower(x)))) AS DOUBLE) / len(toks), 4)
+                     ELSE 0.0 END AS stopword_ratio
+              FROM ({TOKS_SQL})
+            )
+            SELECT doc_id, n_tokens, stopword_ratio FROM q
+            WHERE n_tokens BETWEEN 20 AND 500 AND stopword_ratio >= 0.01
+        """,
+        "dedup_survivors": f"""
+            WITH sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})),
+            sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+            bands AS ({bands_union}),
+            losers AS (
+              SELECT DISTINCT b.doc_id
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "multimodal_features": """
             SELECT doc_id,

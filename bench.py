@@ -75,9 +75,11 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="ccs_bench_")
     try:
+        from carbon_clickhouse_spark.pipeline import ingest_and_store
+
         t0 = time.perf_counter()
         pts = entry_mod._events_points(spark, sf_dir)
-        write_tables(derive_tables(pts, IngestConfig()), root, mode="overwrite")
+        ingest_and_store(pts, root, IngestConfig())
         timings["store_tables"] = round(time.perf_counter() - t0, 3)
 
         stored_points = spark.read.parquet(f"{root}/points")
