@@ -202,6 +202,28 @@ def q_index_table(spark, sf_dir):
     )
 
 
+def q_tree_table(spark, sf_dir):
+    """Legacy graphite_tree shape (uploader/tree.go): paths+ancestors,
+    no reverse/daily rows."""
+    from carbon_clickhouse_spark.operators.index import build_tree
+
+    out = build_tree(_events_points(spark, sf_dir), tree_date="1970-02-12")
+    return out.select(
+        _fmt_date(), F.col("level").cast("long").alias("level"), "path", "version"
+    )
+
+
+def q_series_table(spark, sf_dir):
+    """Legacy graphite_series shape (uploader/series.go): one row per
+    (date, name), no ancestors."""
+    from carbon_clickhouse_spark.operators.index import build_series
+
+    out = build_series(_events_points(spark, sf_dir))
+    return out.select(
+        _fmt_date(), F.col("level").cast("long").alias("level"), "path", "version"
+    )
+
+
 def q_tagged_table(spark, sf_dir):
     """P12/A1: graphite_tagged fanout (tags array as joined string)."""
     from carbon_clickhouse_spark.operators.tagged import build_tagged
@@ -693,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_ingest": q_points_ingest,
         "points_reverse": q_points_reverse,
         "index_table": q_index_table,
+        "tree_table": q_tree_table,
+        "series_table": q_series_table,
         "tagged_table": q_tagged_table,
         "series_dedup": q_series_dedup,
         "rollup_hourly": q_rollup_hourly,
@@ -792,6 +816,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT date, CAST(level AS BIGINT) AS level, path,
                    CAST(0 AS BIGINT) AS version
             FROM rows
+        """,
+        "tree_table": f"""
+            WITH pts AS ({PTS_SQL}),
+            lv AS (SELECT DISTINCT path, len(string_split(path, '.')) AS level
+                   FROM pts),
+            rows AS (
+              SELECT level, path FROM lv
+              UNION ALL
+              SELECT l, array_to_string(string_split(path, '.')[1:l], '.') || '.'
+              FROM (SELECT path, unnest(generate_series(1, level - 1)) AS l FROM lv)
+            )
+            SELECT DISTINCT '1970-02-12' AS date, CAST(level AS BIGINT) AS level,
+                   path, CAST(0 AS BIGINT) AS version
+            FROM rows
+        """,
+        "series_table": f"""
+            SELECT DISTINCT date, CAST(len(string_split(path, '.')) AS BIGINT) AS level,
+                   path, CAST(0 AS BIGINT) AS version
+            FROM ({PTS_SQL})
         """,
         "tagged_table": f"""
             WITH pts AS ({TPTS_SQL}),

@@ -80,3 +80,61 @@ def build_index(
     return exploded.groupBy("date", "level", "path").agg(
         F.max("version").alias("version")
     )
+
+
+def build_tree(
+    points: DataFrame,
+    tree_date=None,
+    path_col: str = "path",
+) -> DataFrame:
+    """Legacy ``graphite_tree`` table (``uploader/tree.go:30-115``):
+    untagged full paths + trailing-dot ancestors at their levels, NO
+    reverse and NO daily rows. ``tree_date`` None omits the Date
+    column (the reference's dateless variant)."""
+    base = (
+        points.filter(~F.col(path_col).contains("?"))
+        .groupBy(F.col(path_col).alias("path"))
+        .agg(F.max("version").alias("version"))
+    )
+    level = path_level("path")
+    row = lambda lvl, p: F.struct(  # noqa: E731
+        lvl.cast("int").alias("level"), p.alias("path")
+    )
+    rows = F.concat(
+        F.array(row(level, F.col("path"))),
+        F.transform(ancestor_prefixes("path"), lambda p, i: row(i + 1, p)),
+    )
+    out = (
+        base.select(F.explode(rows).alias("r"), "version")
+        .select("r.level", "r.path", "version")
+        .groupBy("level", "path")
+        .agg(F.max("version").alias("version"))
+    )
+    if tree_date is not None:
+        out = out.select(
+            F.lit(tree_date).cast("date").alias("date"), "level", "path", "version"
+        )
+    return out
+
+
+def build_series(
+    points: DataFrame, reverse: bool = False, path_col: str = "path"
+) -> DataFrame:
+    """Legacy ``graphite_series`` table (``uploader/series.go:30-80``):
+    one row per (date, name) for untagged names — no ancestors;
+    ``reverse=True`` is the series-reverse uploader."""
+    path = F.col(path_col)
+    if reverse:
+        path = path_reverse(path_col)
+    return (
+        points.filter(~F.col(path_col).contains("?"))
+        .select(path.alias("path"), "date", "version")
+        .groupBy("date", "path")
+        .agg(F.max("version").alias("version"))
+        .select(
+            "date",
+            path_level("path").cast("int").alias("level"),
+            "path",
+            "version",
+        )
+    )

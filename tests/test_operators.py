@@ -210,3 +210,36 @@ def test_ignored_patterns(spark):
         "other.path",
         "a1.b2?x=1",
     }
+
+
+def test_build_tree_legacy(spark):
+    from carbon_clickhouse_spark.operators.index import build_tree
+
+    pts = _points(
+        spark,
+        [
+            ("a.b.c", 1.0, 100, D, 5),
+            ("name?env=x", 1.0, 100, D, 5),  # tagged skipped
+        ],
+    )
+    rows = {(r.level, r.path) for r in build_tree(pts).collect()}
+    assert rows == {(3, "a.b.c"), (2, "a.b."), (1, "a.")}
+    dated = build_tree(pts, tree_date="1970-02-12").collect()
+    assert all(str(r.date) == "1970-02-12" for r in dated)
+
+
+def test_build_series_legacy(spark):
+    from carbon_clickhouse_spark.operators.index import build_series
+
+    pts = _points(
+        spark,
+        [
+            ("a.b", 1.0, 100, D, 5),
+            ("a.b", 2.0, 160, D, 9),
+            ("name?env=x", 1.0, 100, D, 5),
+        ],
+    )
+    rows = [(str(r.date), r.level, r.path, r.version) for r in build_series(pts).collect()]
+    assert rows == [("2021-07-05", 2, "a.b", 9)]
+    rev = build_series(pts, reverse=True).collect()
+    assert [r.path for r in rev] == ["b.a"]
