@@ -261,7 +261,24 @@ def q_rollup_hourly(spark, sf_dir):
         RollupRule("", "avg"),
     )
     out = rollup(
-        _events_points(spark, sf_dir), rules, precision_s=3600, exact_decimal=True
+        _events_points(spark, sf_dir), rules, precision_s=3600, exact_decimal=True,
+        round_avg_to=4,
+    )
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_rollup_retention(spark, sf_dir):
+    """A4 age-based retention: points older than 7 days (vs fixed now
+    2024-02-01) roll to 1-day buckets, newer to 1-hour — the
+    GraphiteMergeTree retention ladder."""
+    from carbon_clickhouse_spark.operators.rollup import Retention, RollupRule, rollup
+
+    now = 1706745600  # 2024-02-01T00:00:00Z
+    rules = (
+        RollupRule("", "avg", (Retention(0, 3600), Retention(7 * 86400, 86400))),
+    )
+    out = rollup(
+        _events_points(spark, sf_dir), rules, now=now, exact_decimal=True, round_avg_to=4
     )
     return out.select("path", "time", F.round("value", 4).alias("value"))
 
@@ -321,6 +338,7 @@ def q_read_series(spark, sf_dir):
         precision_s=86400,
         rules=(RollupRule("", "avg"),),
         exact_decimal=True,
+        round_avg_to=4,
     )
     return out.select("path", "time", F.round("value", 4).alias("value"))
 
@@ -720,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tagged_table": q_tagged_table,
         "series_dedup": q_series_dedup,
         "rollup_hourly": q_rollup_hourly,
+        "rollup_retention": q_rollup_retention,
         "drop_rules": q_drop_rules,
         "find_metrics": q_find_metrics,
         "find_metrics_reverse": q_find_metrics_reverse,
@@ -886,6 +905,20 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN 'max' THEN mx ELSE s / c END, 4) AS value
             FROM agg
         """,
+        "rollup_retention": f"""
+            WITH pts AS ({PTS_SQL}),
+            b AS (
+              SELECT path,
+                     CASE WHEN 1706745600 - time >= 7 * 86400
+                          THEN time - time % 86400
+                          ELSE time - time % 3600 END AS time,
+                     CAST(value AS DECIMAL(18,6)) AS v
+              FROM pts
+            )
+            SELECT path, time,
+                   round(CAST((2 * CAST(sum(v) * 1000000 AS BIGINT) + 100 * count(*)) // (200 * count(*)) AS DOUBLE) / 10000.0, 4) AS value
+            FROM b GROUP BY path, time
+        """,
         "drop_rules": f"""
             SELECT * FROM ({PTS_SQL})
             WHERE time <= 1704300000 + 3600
@@ -907,8 +940,8 @@ def oracle_sql() -> dict[str, str]:
         "read_series": f"""
             WITH pts AS ({PTS_SQL})
             SELECT path, time - time % 86400 AS time,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS value
-            FROM pts
+                   round(CAST((2 * CAST(sum(v) * 1000000 AS BIGINT) + 100 * count(*)) // (200 * count(*)) AS DOUBLE) / 10000.0, 4) AS value
+            FROM (SELECT path, time, CAST(value AS DECIMAL(18,6)) AS v FROM pts) pts
             WHERE time >= 1704067200 AND time < 1704672000
               AND path IN ('ev.u1.click', 'ev.u2.view', 'ev.u3.error')
             GROUP BY path, 2

@@ -90,6 +90,7 @@ def rollup(
     time_col: str = "time",
     value_col: str = "value",
     exact_decimal: bool = False,
+    round_avg_to: int | None = None,
 ) -> DataFrame:
     """Downsample points per the rollup rules.
 
@@ -139,7 +140,21 @@ def rollup(
 
     if exact_decimal:
         s = F.col("__sum").cast("double")
-        avg = s / F.col("__cnt")
+        if round_avg_to is not None:
+            # exact half-up rounding of the rational sum/count at
+            # `round_avg_to` decimals, in pure integer arithmetic: a
+            # double round() can flip when the quotient lands exactly
+            # on the rounding grid (engines scale-then-round
+            # differently). s6 = sum at scale 6 as a long; for
+            # d <= 6: R = floor((2*s6 + 10^(6-d)*c) / (2*10^(6-d)*c)).
+            # Assumes non-negative values (metric semantics).
+            d = round_avg_to
+            s6 = (F.col("__sum") * F.lit(10**6)).cast("long")
+            denom = F.lit(10 ** (6 - d)) * F.col("__cnt")
+            r = F.floor((2 * s6 + denom) / (2 * denom))
+            avg = (r / F.lit(10**d)).cast("double")
+        else:
+            avg = s / F.col("__cnt")
         mn, mx, last = (
             F.col("__min").cast("double"),
             F.col("__max").cast("double"),

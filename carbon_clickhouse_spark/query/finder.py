@@ -19,7 +19,6 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import replacing_latest
 from ..schemas import TREE_LEVEL_OFFSET
 
 
@@ -136,6 +135,7 @@ def read_series(
     precision_s: int | None = None,
     rules=None,
     exact_decimal: bool = False,
+    round_avg_to: int | None = None,
 ) -> DataFrame:
     """Fetch (and optionally roll up) series points for resolved paths.
 
@@ -155,6 +155,10 @@ def read_series(
 
     if precision_s is not None:
         return rollup(
-            df, rules or DEFAULT_RULES, precision_s=precision_s, exact_decimal=exact_decimal
+            df,
+            rules or DEFAULT_RULES,
+            precision_s=precision_s,
+            exact_decimal=exact_decimal,
+            round_avg_to=round_avg_to,
         )
     return df.select("path", "time", "value")
