@@ -90,15 +90,35 @@ def start_plain_ingest(
     config: StreamConfig,
     line_col: str = "value",
 ) -> StreamingQuery:
-    """Start the ingest stream: raw lines -> four tables under
-    ``config.root``. Returns the StreamingQuery (caller owns stop)."""
+    """Start the plain-protocol ingest stream: raw lines -> four
+    tables under ``config.root``."""
+
+    def decode(batch: DataFrame) -> DataFrame:
+        return parse_plain_lines(
+            batch, line_col=line_col, tag_config=config.tag_config, zero_version=False
+        )
+
+    return start_ingest(spark, lines, config, decode)
+
+
+def start_ingest(
+    spark: SparkSession,
+    source: DataFrame,
+    config: StreamConfig,
+    decoder,
+) -> StreamingQuery:
+    """Protocol-agnostic ingest stream: ``decoder(batch_df) -> points
+    DataFrame`` plugs any wire decoder (plain lines, telegraf JSON
+    bodies, prometheus write-requests, pickle frames, gRPC payloads)
+    into the same transactional four-table foreachBatch pipeline —
+    mirroring how every reference receiver feeds the single writeChan
+    (``carbon/app.go:193``). Returns the StreamingQuery (caller owns
+    stop)."""
     checkpoint = config.checkpoint or os.path.join(config.root, "_checkpoint")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
-        points = parse_plain_lines(
-            batch, line_col=line_col, tag_config=config.tag_config, zero_version=False
-        )
+        points = decoder(batch)
         ic = config.ingest
         keep = drop_rule_predicate(
             now=ic.now,
@@ -141,7 +161,7 @@ def start_plain_ingest(
             points.unpersist()
 
     return (
-        lines.writeStream.foreachBatch(process_batch)
+        source.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=config.chunk_interval)
         .start()

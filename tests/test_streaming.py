@@ -79,3 +79,53 @@ def test_streaming_ingest(spark, tmp_path):
 
     tagged = spark.read.parquet(f"{root}/tagged")
     assert tagged.filter(F.col("tag1") == "env=test").count() == 1
+
+
+def test_streaming_telegraf_ingest(spark, tmp_path):
+    """Protocol-agnostic stream: telegraf JSON bodies through the same
+    foreachBatch pipeline."""
+    import json
+
+    from carbon_clickhouse_spark.sources.telegraf import telegraf_json_to_points
+    from carbon_clickhouse_spark.streaming.ingest import start_ingest
+
+    landing = tmp_path / "tg"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    body = json.dumps(
+        {
+            "metrics": [
+                {
+                    "name": "cpu",
+                    "timestamp": 1625478240,
+                    "fields": {"usage": 42.5},
+                    "tags": {"host": "h1"},
+                }
+            ]
+        }
+    )
+    (landing / "b1.json").write_text(body + "\n")
+
+    cfg = StreamConfig(root=root, ingest=IngestConfig(now=1625478400))
+    decoder = lambda batch: telegraf_json_to_points(batch, body_col="value")  # noqa: E731
+    q = start_ingest(spark, file_landing_source(spark, str(landing)), cfg, decoder)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                # tagged is the LAST table the batch writes — waiting on
+                # it guarantees the whole batch committed before stop()
+                if spark.read.parquet(f"{root}/tagged").count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    pts = spark.read.parquet(f"{root}/points").collect()
+    assert [(r.path, r.value, r.time) for r in pts] == [
+        ("cpu_usage?host=h1", 42.5, 1625478240)
+    ]
+    tagged = spark.read.parquet(f"{root}/tagged")
+    assert {r.tag1 for r in tagged.collect()} == {"__name__=cpu_usage", "host=h1"}
