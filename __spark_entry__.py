@@ -454,6 +454,57 @@ def q_ignored_patterns(spark, sf_dir):
     )
 
 
+def q_per_second(spark, sf_dir):
+    """Render layer: perSecond (counter -> rate) over a derived
+    cumulative-counter series."""
+    from pyspark.sql import Window
+
+    pts = _events_points(spark, sf_dir)
+    # synthesize a monotonic counter: per-(path,time) exact sums, then
+    # a running total ordered by time (deterministic: no ties)
+    per_ts = pts.groupBy("path", "time").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    w = Window.partitionBy("path").orderBy("time")
+    counter = per_ts.select(
+        "path", "time", F.sum("v").over(w).cast("double").alias("value")
+    )
+    # integer-exact half-up rounding of dv/dt at 4 decimals: the rate
+    # can land exactly on the rounding grid, where engines' double
+    # round() implementations disagree. dv has <= 2 decimals (sums of
+    # 2-decimal values), so dv*100 is an exact integer. (The plain
+    # double form is render.per_second; this query hardens it for
+    # cross-engine hashing.)
+    cnt2 = counter.select(
+        "path", "time",
+        (F.round(F.col("value") * 100).cast("long")).alias("v2"),
+    )
+    w2 = Window.partitionBy("path").orderBy("time")
+    d = cnt2.select(
+        "path", "time",
+        (F.col("v2") - F.lag("v2").over(w2)).alias("dv2"),
+        (F.col("time") - F.lag("time").over(w2)).alias("dt"),
+    )
+    r = F.floor((2 * F.col("dv2") * 100 + F.col("dt")) / (2 * F.col("dt")))
+    val = F.when(
+        (F.col("dv2") >= 0) & (F.col("dt") > 0), (r / 10000).cast("double")
+    )
+    return d.select("path", "time", val.alias("value"))
+
+
+def q_moving_average(spark, sf_dir):
+    """Render layer: trailing 5-point moving average."""
+    from carbon_clickhouse_spark.query.render import moving_average
+
+    pts = (
+        _events_points(spark, sf_dir)
+        .groupBy("path", "time")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value"))
+    )
+    out = moving_average(pts, points=5)
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # general OLAP breadth (free in Spark; proves the engine surface)
 # ---------------------------------------------------------------------------
@@ -744,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_metrics_reverse": q_find_metrics_reverse,
         "find_tagged": q_find_tagged,
         "read_series": q_read_series,
+        "per_second": q_per_second,
+        "moving_average": q_moving_average,
         "telegraf_ingest": q_telegraf_ingest,
         "prometheus_ingest": q_prometheus_ingest,
         "grpc_ingest": q_grpc_ingest,
@@ -945,6 +998,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE time >= 1704067200 AND time < 1704672000
               AND path IN ('ev.u1.click', 'ev.u2.view', 'ev.u3.error')
             GROUP BY path, 2
+        """,
+        "per_second": f"""
+            WITH pts AS ({PTS_SQL}),
+            per_ts AS (
+              SELECT path, time, sum(CAST(value AS DECIMAL(18,6))) AS v
+              FROM pts GROUP BY path, time
+            ),
+            c AS (
+              SELECT path, time,
+                     CAST(sum(v) OVER (PARTITION BY path ORDER BY time) AS DOUBLE) AS value
+              FROM per_ts
+            ),
+            d AS (
+              SELECT path, time,
+                     CAST(round(value * 100) AS BIGINT)
+                       - lag(CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY path ORDER BY time) AS dv2,
+                     time - lag(time) OVER (PARTITION BY path ORDER BY time) AS dt
+              FROM c
+            )
+            SELECT path, time,
+                   CASE WHEN dv2 >= 0 AND dt > 0
+                        THEN CAST((2 * dv2 * 100 + dt) // (2 * dt) AS DOUBLE) / 10000.0
+                   END AS value
+            FROM d
+        """,
+        "moving_average": f"""
+            WITH pts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            )
+            SELECT path, time,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                          OVER (PARTITION BY path ORDER BY time
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                         / count(value) OVER (PARTITION BY path ORDER BY time
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS value
+            FROM pts
         """,
         "telegraf_ingest": """
             SELECT concat(event_type, '?host=h', CAST(user_id % 10 AS VARCHAR)) AS path,
