@@ -505,6 +505,30 @@ def q_moving_average(spark, sf_dir):
     return out.select("path", "time", F.round("value", 4).alias("value"))
 
 
+def q_group_by_node(spark, sf_dir):
+    """Render layer: groupByNode(1, sum) — collapse all event types per
+    user bucket, summed per timestamp."""
+    from carbon_clickhouse_spark.query.render import group_by_node
+
+    pts = _events_points(spark, sf_dir).select("path", "time", "value")
+    out = group_by_node(pts, 1, "sum")
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_integral(spark, sf_dir):
+    """Render layer: running total per series (exact decimal cumsum;
+    per-(path,time) pre-aggregation keeps ordering deterministic)."""
+    from carbon_clickhouse_spark.query.render import integral
+
+    pts = (
+        _events_points(spark, sf_dir)
+        .groupBy("path", "time")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value"))
+    )
+    out = integral(pts)
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # general OLAP breadth (free in Spark; proves the engine surface)
 # ---------------------------------------------------------------------------
@@ -797,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_series": q_read_series,
         "per_second": q_per_second,
         "moving_average": q_moving_average,
+        "group_by_node": q_group_by_node,
+        "integral": q_integral,
         "telegraf_ingest": q_telegraf_ingest,
         "prometheus_ingest": q_prometheus_ingest,
         "grpc_ingest": q_grpc_ingest,
@@ -1037,6 +1063,21 @@ def oracle_sql() -> dict[str, str]:
                          / count(value) OVER (PARTITION BY path ORDER BY time
                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS value
             FROM pts
+        """,
+        "group_by_node": f"""
+            SELECT string_split(path, '.')[2] AS path, time,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS value
+            FROM ({PTS_SQL}) GROUP BY 1, 2
+        """,
+        "integral": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     sum(CAST(value AS DECIMAL(18,6))) AS v
+              FROM ({PTS_SQL}) GROUP BY path, time
+            )
+            SELECT path, time,
+                   round(CAST(sum(v) OVER (PARTITION BY path ORDER BY time) AS DOUBLE), 4) AS value
+            FROM per_ts
         """,
         "telegraf_ingest": """
             SELECT concat(event_type, '?host=h', CAST(user_id % 10 AS VARCHAR)) AS path,

@@ -74,6 +74,42 @@ def summarize(
     )
 
 
+def integral(series: DataFrame) -> DataFrame:
+    """Running total per series (Graphite ``integral``). Accumulates
+    in DECIMAL so the running values are exact."""
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    return series.select("path", "time", s.alias("value"))
+
+
+def group_by_node(
+    series: DataFrame, node: int, func: str = "sum", exact: bool = True
+) -> DataFrame:
+    """Graphite ``groupByNode(node, func)``: collapse series whose
+    paths share segment ``node`` — e.g. node=1 over
+    ``ev.u1.click`` groups by ``u1`` across event types.
+
+    Cross-series aggregation per timestamp; sums run in DECIMAL when
+    ``exact`` (engine-stable)."""
+    key = F.split(F.col("path"), r"\.").getItem(node).alias("path")
+    v = F.col("value").cast("decimal(18,6)") if exact else F.col("value")
+    grouped = series.select(key, "time", v.alias("v")).groupBy("path", "time")
+    if func == "sum":
+        out = grouped.agg(F.sum("v").alias("value"))
+    elif func == "min":
+        out = grouped.agg(F.min("v").alias("value"))
+    elif func == "max":
+        out = grouped.agg(F.max("v").alias("value"))
+    elif func == "avg":
+        out = grouped.agg(
+            (F.sum("v").cast("double") / F.count("v")).alias("value")
+        )
+        return out.select("path", "time", "value")
+    else:
+        raise ValueError(f"unsupported func {func}")
+    return out.select("path", "time", F.col("value").cast("double").alias("value"))
+
+
 def scale(series: DataFrame, factor: float) -> DataFrame:
     return series.select(
         "path", "time", (F.col("value") * F.lit(factor)).alias("value")

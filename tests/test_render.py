@@ -42,3 +42,21 @@ def test_summarize_scale_offset(spark):
     assert sc == {10: 2.0, 70: 6.0, 80: 10.0}
     of = {r.time: r.value for r in offset(s, -1.0).collect()}
     assert of == {10: 0.0, 70: 2.0, 80: 4.0}
+
+
+def test_integral_and_group_by_node(spark):
+    from carbon_clickhouse_spark.query.render import group_by_node, integral
+
+    s = _series(
+        spark,
+        [
+            ("a.u1.x", 10, 1.0),
+            ("a.u1.x", 20, 2.0),
+            ("a.u1.y", 10, 5.0),
+            ("a.u2.x", 10, 7.0),
+        ],
+    )
+    it = {(r.path, r.time): r.value for r in integral(s).collect()}
+    assert it[("a.u1.x", 20)] == 3.0
+    gb = {(r.path, r.time): r.value for r in group_by_node(s, 1, "sum").collect()}
+    assert gb == {("u1", 10): 6.0, ("u1", 20): 2.0, ("u2", 10): 7.0}
