@@ -108,6 +108,10 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pps = round(2 * n_events / timings["points_ingest"])
 
+    # sustained STREAMING ingest: land line files, run the
+    # foreachBatch four-table pipeline until drained
+    stream_pps = _stream_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -117,10 +121,73 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ingest_points_per_sec": pps,
+                "streaming_points_per_sec": stream_pps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def _stream_throughput(spark, sf_dir: str) -> int:
+    """End-to-end streaming rate: protocol lines -> parse -> drop
+    rules -> four tables, through the real foreachBatch pipeline."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from carbon_clickhouse_spark.pipeline import IngestConfig
+    from carbon_clickhouse_spark.streaming.ingest import (
+        StreamConfig,
+        file_landing_source,
+        start_plain_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="ccs_stream_")
+    landing = os.path.join(base, "landing")
+    root = os.path.join(base, "tables")
+    os.makedirs(landing)
+    try:
+        ev = entry_mod._t(spark, sf_dir, "events")
+        sec = entry_mod._sec(ev)
+        lines = ev.select(
+            F.concat(
+                entry_mod._plain_path(),
+                F.lit(" "),
+                F.col("value").cast("string"),
+                F.lit(" "),
+                sec.cast("string"),
+            ).alias("value")
+        )
+        n = lines.count()
+        # two chunk files (two micro-batches)
+        lines.coalesce(2).write.mode("overwrite").text(landing)
+
+        cfg = StreamConfig(
+            root=root,
+            chunk_interval="500 milliseconds",
+            ingest=IngestConfig(),
+            audit_dropped=False,
+            exists_cache=True,
+        )
+        t0 = time.perf_counter()
+        q = start_plain_ingest(spark, file_landing_source(spark, landing), cfg)
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(os.path.join(root, "points")).count() >= n:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.25)
+            elapsed = time.perf_counter() - t0
+        finally:
+            q.stop()
+        return round(n / elapsed)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
