@@ -324,6 +324,16 @@ def q_find_metrics_reverse(spark, sf_dir):
     return find_metrics_reverse(idx, "*.*.click")
 
 
+def q_find_tagged_multi(spark, sf_dir):
+    """Query layer: seriesByTag-style multi-term lookup — Tag1 scan on
+    the first term, Tags-array post-filter on the rest."""
+    from carbon_clickhouse_spark.operators.tagged import build_tagged
+    from carbon_clickhouse_spark.query.finder import find_tagged
+
+    tg = build_tagged(_events_tagged_series(spark, sf_dir), assume_tagged=True, pre_deduped=True)
+    return find_tagged(tg, "dc", "dc1", extra=[("host", "h4"), ("__name__", "click")])
+
+
 def q_read_series(spark, sf_dir):
     """Query layer: resolved-path series read with fixed-step rollup."""
     from carbon_clickhouse_spark.operators.rollup import RollupRule, rollup
@@ -818,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_metrics": q_find_metrics,
         "find_metrics_reverse": q_find_metrics_reverse,
         "find_tagged": q_find_tagged,
+        "find_tagged_multi": q_find_tagged_multi,
         "read_series": q_read_series,
         "per_second": q_per_second,
         "moving_average": q_moving_average,
@@ -1015,6 +1026,10 @@ def oracle_sql() -> dict[str, str]:
         "find_tagged": f"""
             SELECT DISTINCT path FROM ({TPTS_SQL})
             WHERE string_split(string_split(path, '?')[2], '&')[1] = 'dc=dc1'
+        """,
+        "find_tagged_multi": f"""
+            SELECT DISTINCT path FROM ({TPTS_SQL})
+            WHERE path = 'click?dc=dc1&host=h4'
         """,
         "read_series": f"""
             WITH pts AS ({PTS_SQL})

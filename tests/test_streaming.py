@@ -129,3 +129,70 @@ def test_streaming_telegraf_ingest(spark, tmp_path):
     ]
     tagged = spark.read.parquet(f"{root}/tagged")
     assert {r.tag1 for r in tagged.collect()} == {"__name__=cpu_usage", "host=h1"}
+
+
+def test_streaming_prometheus_binary_ingest(spark, tmp_path):
+    """Binary protocol through the stream: raw WriteRequest protobuf
+    files -> decode -> four tables."""
+    import struct
+
+    from carbon_clickhouse_spark.sources.prometheus import (
+        decode_write_requests,
+        prometheus_series_to_points,
+    )
+    from carbon_clickhouse_spark.streaming.ingest import start_ingest
+
+    def _label(name, value):
+        out = b""
+        for fno, sv in ((1, name), (2, value)):
+            raw = sv.encode()
+            out += bytes([fno << 3 | 2, len(raw)]) + raw
+        return bytes([1 << 3 | 2, len(out)]) + out
+
+    def _sample(value, ts_ms):
+        body = bytes([1 << 3 | 1]) + struct.pack("<d", value)
+        ts, v = b"", ts_ms
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            ts += bytes([b | (0x80 if v else 0)])
+            if not v:
+                break
+        body += bytes([2 << 3 | 0]) + ts
+        return bytes([2 << 3 | 2, len(body)]) + body
+
+    ts_msg = _label("__name__", "up") + _label("job", "node") + _sample(1.5, 1625478240000)
+    body = bytes([1 << 3 | 2, len(ts_msg)]) + ts_msg
+
+    landing = tmp_path / "prom"
+    landing.mkdir()
+    (landing / "req1.bin").write_bytes(body)
+    root = str(tmp_path / "tables")
+
+    source = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(str(landing))
+        .select("content")
+    )
+    decoder = lambda batch: prometheus_series_to_points(  # noqa: E731
+        decode_write_requests(batch, body_col="content")
+    )
+    cfg = StreamConfig(root=root, ingest=IngestConfig(now=1625478400))
+    q = start_ingest(spark, source, cfg, decoder)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(f"{root}/tagged").count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    pts = spark.read.parquet(f"{root}/points").collect()
+    assert [(r.path, r.value, r.time) for r in pts] == [("up?job=node", 1.5, 1625478240)]
