@@ -157,6 +157,113 @@ def _dot_sql(a, b):
     return _DOT.format(a=a, b=b)
 
 
+def _simhash_cte(bits: int = 60) -> str:
+    """doc_id -> 60-bit SimHash as a DuckDB CTE chain ending in
+    ``sig(doc_id, simhash)``. DuckDB 1.0 has no ``conv(hex, 16, 10)``;
+    the 15-hex-digit token hash is reassembled with strpos + BIGINT
+    shifts instead (exact: 60 bits < 63)."""
+    hex2int = (
+        "CAST(list_sum(list_transform(generate_series(1, 15), "
+        "i -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)"
+        " << CAST(4 * (15 - i) AS BIGINT))) AS BIGINT)"
+    )
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig_sum = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest(toks) AS tok FROM ({TOKS_SQL})), "
+        f"hashed AS (SELECT doc_id, {hex2int} AS h FROM tok), "
+        f"votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM votes)"
+    )
+
+
+def _ivf_oracle_sql(sf_dir: str | None = None) -> str | None:
+    """ann_ivf oracle: the seeded k-means quantizer is trained once via
+    the same code path as :func:`ivf_topk` (shared *model state*, like
+    a hyperparameter); list assignment, probe selection, and scoring
+    are then re-derived independently in DuckDB SQL over the embedded
+    centroid literals. Returns None when the oracle-side parquet is
+    unavailable (driver then falls back to a rows-only check)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    try:
+        import duckdb
+        import numpy as np
+
+        from carbon_clickhouse_spark.datapipe.similarity import train_ivf_centroids
+
+        rows = (
+            duckdb.connect()
+            .execute(
+                f"SELECT embedding FROM read_parquet('{path}') "
+                "ORDER BY vec_id LIMIT 100000"
+            )
+            .fetchall()
+        )
+        mat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+        cent = train_ivf_centroids(mat, n_lists=16, iters=5)
+    except Exception:
+        return None
+    cent_rows = ", ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for j, row in enumerate(cent)
+    )
+    dot_c = "list_sum(list_transform(generate_series(1, 64), i -> n.ev[i] * c.c[i]))"
+    return f"""
+        WITH cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(j, c)),
+        nn AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+                 greatest(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS nrm
+          FROM embeddings
+        ),
+        sims AS (
+          SELECT n.vec_id, c.j, {dot_c} / n.nrm AS s
+          FROM nn n CROSS JOIN cent c
+        ),
+        ranked_lists AS (
+          SELECT vec_id, j,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rn
+          FROM sims
+        ),
+        cand_assign AS (SELECT vec_id, j AS list_id FROM ranked_lists WHERE rn = 1),
+        q_assign AS (SELECT vec_id, j AS list_id FROM ranked_lists
+                     WHERE rn <= 4 AND vec_id < 5),
+        v AS ({QVEC_SQL}),
+        qq AS (SELECT a.vec_id AS query_id, a.list_id, v.q AS qv
+               FROM q_assign a JOIN v ON v.vec_id = a.vec_id),
+        cc AS (SELECT a.vec_id AS neighbor_id, a.list_id, v.q AS cv
+               FROM cand_assign a JOIN v ON v.vec_id = a.vec_id),
+        scored AS (
+          SELECT DISTINCT query_id, neighbor_id,
+                 round({_dot_sql('qv', 'cv')}
+                   / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})), 6) AS cosine
+          FROM qq JOIN cc USING (list_id)
+          WHERE neighbor_id <> query_id
+        ),
+        rk AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= 10
+    """
+
+
 # ---------------------------------------------------------------------------
 # graphite-engine queries (SURVEY §2)
 # ---------------------------------------------------------------------------
@@ -744,6 +851,18 @@ def q_simhash(spark, sf_dir):
     return simhash(docs)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole banding (4 bands of 15 bits
+    over the 60-bit signature guarantees recall for hamming <= 3, and
+    catches most <= 6), exact hamming verify inside buckets."""
+    from carbon_clickhouse_spark.datapipe.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.similarity import brute_force_topk
 
@@ -853,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
@@ -896,7 +1016,7 @@ def oracle_sql() -> dict[str, str]:
 
     norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-    return {
+    oracles = {
         "points_ingest": f"{PTS_SQL} UNION ALL {TPTS_SQL}",
         "points_reverse": f"""
             SELECT array_to_string(list_reverse(string_split(path, '.')), '.') AS path,
@@ -1259,7 +1379,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
         """,
-        # simhash: conv(hex, 2, 10) has no duckdb-1.0 equivalent -> rows-only check
+        "simhash": f"{_simhash_cte()} SELECT doc_id, simhash FROM sig",
+        "simhash_pairs": f"""
+            {_simhash_cte()},
+            banded AS (
+              SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS key
+              FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM banded a JOIN banded b USING (band, key)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
         "ann_topk": f"""
             WITH v AS ({QVEC_SQL}),
             scored AS (
@@ -1317,3 +1449,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    ivf = _ivf_oracle_sql()
+    if ivf:
+        oracles["ann_ivf"] = ivf
+    return oracles

@@ -145,6 +145,28 @@ def cosine_dup_pairs(
     return v.mapInPandas(block, out_schema)
 
 
+def train_ivf_centroids(mat, n_lists: int, iters: int = 5, seed: int = 42):
+    """Spherical k-means over L2-normalized rows — seeded, fully
+    deterministic. Shared by :func:`ivf_topk` and the DuckDB oracle
+    generator so both sides use the identical trained quantizer (the
+    oracle then re-derives list assignment + probing + scoring
+    independently in SQL).
+    """
+    import numpy as np
+
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -172,20 +194,17 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     # --- train the coarse quantizer on a bounded sample (driver) ----
+    # orderBy+limit (TakeOrderedAndProject) makes the sample identical
+    # regardless of file/partition enumeration order — the trained
+    # model must not depend on scan order.
     sample = (
-        embeddings.select(vec_col).limit(sample_limit).toPandas()[vec_col]
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .toPandas()[vec_col]
     )
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(42)
-    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    centroids = train_ivf_centroids(mat, n_lists, kmeans_iters)
     sc = embeddings.sparkSession.sparkContext
     b_cent = sc.broadcast(centroids)
 
@@ -197,7 +216,9 @@ def ivf_topk(
             m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = mn @ cent.T
-            top = np.argsort(-sims, axis=1)[:, :probe]
+            # stable sort: equal sims keep index order, i.e. the probe
+            # order is (sim DESC, list ASC) — reproducible in SQL
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
             ids = pdf[id_col].to_numpy()
             out_ids, out_lists, out_vecs = [], [], []
             for i in range(len(ids)):

@@ -24,8 +24,9 @@ def test_oracle_keys_subset():
     qs = set(entry.queries())
     oracle = set(entry.oracle_sql())
     assert oracle <= qs
-    # rows-only queries are the documented exceptions
-    assert qs - oracle == {"simhash", "ann_ivf"}
+    # every query carries an oracle; ann_ivf's is generated from the
+    # oracle-side parquet and disappears only if that file is missing
+    assert qs == oracle
 
 
 @pytest.mark.parametrize("name", ["points_ingest", "rollup_hourly", "tagged_table"])
