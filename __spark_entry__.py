@@ -183,6 +183,52 @@ def _simhash_cte(bits: int = 60) -> str:
     )
 
 
+def _lsh_oracle_sql(
+    num_planes: int = 4, num_tables: int = 8, threshold: float = 0.4
+) -> str:
+    """ann_lsh_pairs oracle: the deterministic hyperplanes (pure hash
+    recurrence, no RNG state) are embedded as literals; per-table sign
+    buckets, the bucket join, and the exact cosine verify are all
+    re-derived in DuckDB SQL."""
+    from carbon_clickhouse_spark.datapipe.similarity import _hyperplane
+
+    rows = ", ".join(
+        "("
+        + str(t)
+        + ", "
+        + str(p)
+        + ", ["
+        + ", ".join(repr(float(x)) for x in _hyperplane(64, t * num_planes + p))
+        + "]::DOUBLE[])"
+        for t in range(num_tables)
+        for p in range(num_planes)
+    )
+    return f"""
+        WITH v AS ({QVEC_SQL}),
+        pl AS (SELECT * FROM (VALUES {rows}) AS t(tbl, p, pl)),
+        proj AS (
+          SELECT v.vec_id, pl.tbl,
+                 CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(v.q[i] AS DOUBLE) * pl.pl[i])) > 0
+                      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
+          FROM v CROSS JOIN pl
+        ),
+        buckets AS (
+          SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id, tbl
+        ),
+        bv AS (SELECT b.vec_id, b.tbl, b.bucket, v.q FROM buckets b JOIN v USING (vec_id)),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({_dot_sql('a.q', 'b.q')}
+                   / (sqrt({_dot_sql('a.q', 'a.q')}) * sqrt({_dot_sql('b.q', 'b.q')})), 6) AS cosine
+          FROM bv a JOIN bv b USING (tbl, bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+    """
+
+
 def _ivf_oracle_sql(sf_dir: str | None = None) -> str | None:
     """ann_ivf oracle: the seeded k-means quantizer is trained once via
     the same code path as :func:`ivf_topk` (shared *model state*, like
@@ -879,6 +925,18 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_lsh_pairs(spark, sf_dir):
+    """Scale-path ANN dedup: multi-table random-hyperplane LSH, exact
+    cosine verify inside buckets. At this low threshold (0.4 = 66
+    degrees) recall needs short signatures and many tables — 4 planes
+    x 8 tables gives ~74% expected recall; production near-dup runs
+    (threshold ~0.95) use the derived log2(n/bucket) plane count."""
+    from carbon_clickhouse_spark.datapipe.similarity import lsh_bucketed_pairs
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(embs, threshold=0.4, num_planes=4, num_tables=8)
+
+
 def q_cosine_pairs(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.similarity import cosine_dup_pairs
 
@@ -975,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
         "cosine_pairs": q_cosine_pairs,
         "quality_filter": q_quality_filter,
         "dedup_survivors": q_dedup_survivors,
@@ -1408,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
         """,
+        "ann_lsh_pairs": _lsh_oracle_sql(),
         "cosine_pairs": f"""
             WITH v AS ({QVEC_SQL})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -171,37 +171,51 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` docs become candidates (bounds the join
     fan-out; frequent shingles can't create O(n^2) pairs).
     """
-    # the shingle set feeds sizes, blocking, and the intersection join:
-    # checkpoint so the mapInPandas shingling runs once, not per branch
+    # the shingle set feeds doc-sets and the blocking join: checkpoint
+    # so the mapInPandas shingling runs once, not per branch
     sh = exploded_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    # per-doc shingle set: bounded by document length, shuffles once on
+    # doc_id — carries both the size and the exact-intersection payload
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"),
+        F.count("*").cast("long").alias("n_sh"),
+    )
+    # blocking: document frequency via a COUNT-ONLY agg (no arrays for
+    # hot shingles), filter to rare, and shrink the exploded shingles
+    # to rare ones BEFORE any self-join — a shingle in 10^6 docs never
+    # reaches the pair generator, so fan-out per shingle is bounded by
+    # max_shingle_df^2 instead of df^2
     rare = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df_"), F.collect_list("doc_id").alias("docs"))
+        .agg(F.count("*").alias("df_"))
         .filter((F.col("df_") >= 2) & (F.col("df_") <= max_shingle_df))
+        .select("shingle")
     )
+    rsh = sh.join(rare, "shingle")
     cand = (
-        rare.select(F.explode("docs").alias("doc_a"), F.col("docs"))
-        .select("doc_a", F.explode("docs").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+        rsh.alias("x")
+        .join(rsh.alias("y"), "shingle")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
-        .join(cand, ["doc_a", "doc_b"])
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # exact Jaccard over the FULL shingle sets (blocking only limited
+    # which pairs are scored, never the score): intersect the two
+    # per-doc arrays — two bounded-array joins, no all-shingle self-join
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
+    )
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -84,30 +84,45 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize_scale: int = 1000,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup dedup).
 
-    Blocked brute force: the quantized matrix is broadcast to every
-    executor; each partition multiplies its block against the full
-    matrix with one exact int64 numpy matmul (vectorized, ~100x the
-    per-pair lambda form). Still O(n^2) work — that's inherent to
-    exact all-pairs; at cluster scale each task owns an n_block x n
-    tile. For candidate pruning first, use :func:`lsh_bucketed_pairs`.
+    Distributed block x block grid: vectors are hashed into
+    ``num_blocks`` blocks; every block-pair (i <= j) becomes one
+    ``applyInPandas`` group that multiplies its two tiles with an
+    exact int64 numpy matmul. Nothing is ever collected to the
+    driver — each vector is shuffled ``(num_blocks+1)/2`` times (its
+    row of the pair grid), each task owns an (n/B) x (n/B) tile, and
+    the pair set is independent of the blocking. Still O(n^2) compute
+    — inherent to exact all-pairs; size num_blocks ~ sqrt(n_rows /
+    rows_per_tile) so tiles fit executor memory, and use
+    :func:`lsh_bucketed_pairs` when candidate pruning is acceptable.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     v = embeddings.select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col), quantize_scale).alias("v")
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col), quantize_scale).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
     )
-    # broadcast the full quantized matrix (ids sorted for determinism)
-    pdf = v.toPandas().sort_values("id")
-    ids = np.asarray(pdf["id"], dtype=np.int64)
-    mat = np.asarray([np.asarray(x, dtype=np.int64) for x in pdf["v"]])
-    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-    sc = embeddings.sparkSession.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+    # block-pair grid (i <= j): tiny — broadcast against the vectors
+    spark = embeddings.sparkSession
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
+        "bi long, bj long",
+    )
+    left = grid.join(v, F.col("bi") == F.col("blk")).select(
+        "bi", "bj", "id", "v", F.lit(0).alias("side")
+    )
+    right = (
+        grid.filter(F.col("bi") != F.col("bj"))
+        .join(v, F.col("bj") == F.col("blk"))
+        .select("bi", "bj", "id", "v", F.lit(1).alias("side"))
+    )
+    tiles = left.unionByName(right)
 
     out_schema = T.StructType(
         [
@@ -117,32 +132,36 @@ def cosine_dup_pairs(
         ]
     )
 
-    def block(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf_block in batches:
-            if not len(pdf_block):
-                continue
-            blk_ids = pdf_block["id"].to_numpy(dtype=np.int64)
-            blk = np.asarray(
-                [np.asarray(x, dtype=np.int64) for x in pdf_block["v"]]
-            )
-            blk_norms = np.sqrt((blk * blk).sum(axis=1).astype(np.float64))
-            dots = blk @ all_mat.T  # exact int64
-            cos = np.round(
-                dots.astype(np.float64) / (blk_norms[:, None] * all_norms[None, :]), 6
-            )
-            # keep id_a < id_b (each pair emitted once, by its lower id)
-            mask = (cos >= threshold) & (blk_ids[:, None] < all_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": blk_ids[ai],
-                    "id_b": all_ids[bj],
-                    "cosine": cos[ai, bj],
-                }
-            )
+    def tile(key, pdf):
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1] if key[0] != key[1] else a
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a_ids = a["id"].to_numpy(dtype=np.int64)
+        b_ids = b["id"].to_numpy(dtype=np.int64)
+        am = np.asarray([np.asarray(x, dtype=np.int64) for x in a["v"]])
+        bm = np.asarray([np.asarray(x, dtype=np.int64) for x in b["v"]])
+        an = np.sqrt((am * am).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((bm * bm).sum(axis=1).astype(np.float64))
+        dots = am @ bm.T  # exact int64
+        cos = np.round(dots.astype(np.float64) / (an[:, None] * bn[None, :]), 6)
+        # emit each pair once, keyed by its lower id (covers the
+        # within-block diagonal tile and cross-block tiles alike)
+        mask = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        ai, bj = np.nonzero(mask)
+        lo, hi = a_ids[ai], b_ids[bj]
+        if key[0] != key[1]:
+            # cross tile sees both orientations; normalize to lo < hi
+            mask2 = (cos >= threshold) & (a_ids[:, None] > b_ids[None, :])
+            ai2, bj2 = np.nonzero(mask2)
+            lo = np.concatenate([lo, b_ids[bj2]])
+            hi = np.concatenate([hi, a_ids[ai2]])
+            cosv = np.concatenate([cos[ai, bj], cos[ai2, bj2]])
+        else:
+            cosv = cos[ai, bj]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cosv})
 
-    return v.mapInPandas(block, out_schema)
+    return tiles.groupBy("bi", "bj").applyInPandas(tile, out_schema)
 
 
 def train_ivf_centroids(mat, n_lists: int, iters: int = 5, seed: int = 42):
@@ -283,36 +302,103 @@ def _hyperplane(dim: int, plane_idx: int, scale: int = 1) -> list[float]:
     return out
 
 
+def derive_num_planes(
+    n_rows: int, target_bucket_size: int = 128, lo: int = 8, hi: int = 24
+) -> int:
+    """Planes ~ log2(n / target_bucket): 2^planes buckets keep the
+    expected bucket population (and thus the O(bucket^2) in-bucket
+    join) constant as data grows — the property that makes the LSH
+    path survive a 100x scale-up."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 2) / target_bucket_size))))
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
+    num_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_size: int = 128,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """ANN near-dup pairs: random-hyperplane sign bucket, then exact
-    cosine inside buckets only. The bucket key is an int — the join
-    shuffles ids+vectors once on a short key; at 1000 executors each
-    bucket is tiny.
+    """ANN near-dup pairs: ``num_tables`` independent random-hyperplane
+    sign buckets; candidate pairs collide in ANY table, then exact
+    cosine verifies inside buckets (no false positives — banding only
+    costs recall).
+
+    Scale shape: the join key is (table, bucket int); vectors shuffle
+    ``num_tables`` times, each bucket holds ~``target_bucket_size``
+    rows by construction (``num_planes`` defaults to
+    log2(n/target_bucket_size), counted with one cheap job unless
+    ``n_rows`` is passed). Recall/cost trade: for pair collision
+    probability q = (1 - angle/pi)^planes per table, overall recall is
+    1 - (1-q)^tables — more planes cut join cost exponentially, more
+    tables buy the recall back linearly in shuffle volume.
+
+    Signatures are computed in one Arrow-batched numpy matmul per
+    batch (the per-plane higher-order-lambda form runs interpreted,
+    ~num_planes*num_tables folds per row).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     v = embeddings.select(
         F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("v"),
     )
-    sig = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    bucketed = v.withColumn("bucket", sig)
+    if num_planes is None:
+        n = n_rows if n_rows is not None else v.count()
+        num_planes = derive_num_planes(n, target_bucket_size)
+
+    planes = np.asarray(
+        [
+            _hyperplane(dim, t * num_planes + p)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    ).T  # dim x (tables * planes)
+    weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.LongType())),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def sigs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(x, dtype=np.int64) for x in pdf["v"]])
+            bits = (m.astype(np.float64) @ planes > 0).astype(np.int64)
+            frames = []
+            for t in range(num_tables):
+                chunk = bits[:, t * num_planes : (t + 1) * num_planes]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(dtype=np.int64),
+                            "v": pdf["v"],
+                            "tbl": t,
+                            "bucket": chunk @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    bucketed = v.mapInPandas(sigs, sig_schema)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),

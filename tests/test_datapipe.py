@@ -149,6 +149,35 @@ def test_cosine_pairs_and_lsh(embs):
     assert all(a < b for a, b in exact)
 
 
+def test_lsh_plane_scaling(embs):
+    from carbon_clickhouse_spark.datapipe.similarity import derive_num_planes
+
+    # planes ~ log2(n / bucket): constant expected bucket size as n grows
+    assert derive_num_planes(100) == 8
+    assert derive_num_planes(1_000_000) == 13
+    assert derive_num_planes(10**9) == 23
+    small = embs.filter(F.col("vec_id") < 60)
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_dup_pairs(small, threshold=0.8).collect()
+    }
+    few = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(
+            small, threshold=0.8, num_planes=4, num_tables=6
+        ).collect()
+    }
+    many = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(
+            small, threshold=0.8, num_planes=16, num_tables=2
+        ).collect()
+    }
+    # never false positives at either setting; coarser buckets + more
+    # tables must not lose recall relative to fine buckets + few tables
+    assert few <= exact and many <= exact
+    assert len(few) >= len(many)
+
+
 def test_multimodal_plumbing(docs):
     media = attach_fake_payload(docs.limit(50))
     feats = extract_image_features(media, fake=True).collect()
