@@ -84,17 +84,54 @@ def encode_points(points: list[tuple]) -> bytes:
     return bytes(buf)
 
 
+def write_chunk(points: list[tuple], path: str, compress: str | None = None) -> str:
+    """[(path, value, time, version)] -> one chunk file on disk.
+
+    ``compress="lz4"`` emits an LZ4 frame and appends the ``.lz4``
+    extension if missing — matching the reference writer's file naming
+    (``writer/writer.go:201-205``) so the files interoperate with real
+    carbon-clickhouse uploaders. Returns the final path."""
+    data = encode_points(points)
+    if compress == "lz4":
+        from .lz4frame import compress_frame
+
+        data = compress_frame(data)
+        if not path.endswith(".lz4"):
+            path += ".lz4"
+    elif compress is not None:
+        raise ValueError(f"unknown compression {compress!r} (none|lz4)")
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
 def read_rowbinary(spark: SparkSession, path: str, utc_check: bool = True) -> DataFrame:
     """Chunk file(s) -> canonical points DataFrame. One file per task
     (chunk files are bounded by chunk-max-size, so this partitioning
-    matches the writer's natural unit)."""
-    blobs = spark.read.format("binaryFile").load(path).select("content")
+    matches the writer's natural unit).
+
+    ``.lz4`` chunks (the reference writer's compressed spool format,
+    ``writer/writer.go:228-240``) are decompressed transparently,
+    executor-side, keyed on the file extension exactly like the
+    reference keys on ``lz4.Extension``.
+    """
+    blobs = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .lz4frame import decompress_frame
+
         for pdf in batches:
             rows = []
-            for blob in pdf["content"]:
-                rows.extend(decode_points(bytes(blob), utc_check))
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if str(fname).endswith(".lz4"):
+                    try:
+                        data = decompress_frame(data)
+                    except ValueError:
+                        # corrupt compressed chunk: salvage nothing from
+                        # it, keep reading the others (recover semantics)
+                        continue
+                rows.extend(decode_points(data, utc_check))
             yield pd.DataFrame(
                 rows, columns=["path", "value", "time", "days", "version"]
             )

