@@ -191,6 +191,101 @@ def _anti_existing(
     return new_series_only(df, existing, keys)
 
 
+def landing_backlog(landing_dir: str, checkpoint: str) -> int:
+    """Unhandled-chunk count for the K2 governor: files present in the
+    landing zone that the file-stream source hasn't committed yet
+    (the reference's ``w.chunkBufferSize``/spool backlog equivalent).
+    Reads the source's checkpoint log — no Spark job."""
+    import glob
+    import json
+
+    present = {
+        os.path.abspath(p)
+        for p in glob.glob(os.path.join(landing_dir, "*"))
+        if os.path.isfile(p)
+    }
+    seen: set[str] = set()
+    for log_file in glob.glob(os.path.join(checkpoint, "sources", "*", "*")):
+        try:
+            with open(log_file) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue  # "v1" header
+                    for entry in _log_entries(json.loads(line)):
+                        seen.add(os.path.abspath(entry.replace("file:", "", 1)))
+        except (OSError, ValueError):
+            continue
+    return len(present - seen)
+
+
+def _log_entries(obj) -> list[str]:
+    if isinstance(obj, dict) and "path" in obj:
+        return [obj["path"]]
+    if isinstance(obj, list):
+        return [e["path"] for e in obj if isinstance(e, dict) and "path" in e]
+    return []
+
+
+class ChunkIntervalGovernor:
+    """K2 wired: monitor backlog, restart the (checkpointed) stream at
+    the mapped trigger interval when it changes —
+    ``writer/writer.go:147-157``'s automatic interval switch. Spark
+    cannot retune a live trigger, so the switch is a stop/start against
+    the same checkpoint (exactly-once preserved by the sink's batch-id
+    dedup + file-source log).
+
+    ``start_fn(interval_seconds) -> StreamingQuery`` owns stream
+    construction; ``backlog_fn() -> int`` probes the spool (use
+    :func:`landing_backlog` for a file landing zone). Call
+    :meth:`tick` from a scheduler/monitor thread, or :meth:`run` to
+    poll inline."""
+
+    def __init__(
+        self,
+        start_fn,
+        backlog_fn,
+        base_seconds: float = 1.0,
+        auto_interval: str | list[tuple[int, float]] = "",
+    ) -> None:
+        self.start_fn = start_fn
+        self.backlog_fn = backlog_fn
+        self.base_seconds = base_seconds
+        self.auto = (
+            parse_chunk_auto_interval(auto_interval)
+            if isinstance(auto_interval, str)
+            else sorted(auto_interval)
+        )
+        self.current_interval = base_seconds
+        self.query: StreamingQuery = start_fn(base_seconds)
+        self.switches: list[tuple[int, float]] = []  # (backlog, interval) audit
+
+    def tick(self) -> float:
+        """One governor step: probe backlog, restart on interval
+        change. Returns the interval now in force."""
+        backlog = self.backlog_fn()
+        eff = effective_chunk_interval(self.base_seconds, backlog, self.auto)
+        if eff != self.current_interval:
+            self.query.stop()
+            self.query.awaitTermination()
+            self.query = self.start_fn(eff)
+            self.current_interval = eff
+            self.switches.append((backlog, eff))
+        return self.current_interval
+
+    def run(self, poll_seconds: float = 5.0, max_ticks: int | None = None) -> None:
+        import time
+
+        ticks = 0
+        while self.query.isActive and (max_ticks is None or ticks < max_ticks):
+            self.tick()
+            ticks += 1
+            time.sleep(poll_seconds)
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
 def file_landing_source(spark: SparkSession, landing_dir: str) -> DataFrame:
     """S1/S2-equivalent landing zone: each file is a chunk of protocol
     lines (what a TCP/UDP front writes)."""

@@ -196,3 +196,66 @@ def test_streaming_prometheus_binary_ingest(spark, tmp_path):
 
     pts = spark.read.parquet(f"{root}/points").collect()
     assert [(r.path, r.value, r.time) for r in pts] == [("up?job=node", 1.5, 1625478240)]
+
+
+def test_chunk_interval_governor(spark, tmp_path):
+    """K2 wired: backlog above the auto-interval threshold restarts
+    the stream at the mapped (longer) chunk interval; draining the
+    backlog restores the base interval."""
+    from carbon_clickhouse_spark.streaming.ingest import (
+        ChunkIntervalGovernor,
+        landing_backlog,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+    started = []
+
+    def start_fn(interval_seconds):
+        started.append(interval_seconds)
+        cfg = StreamConfig(
+            root=root,
+            checkpoint=ckpt,
+            chunk_interval=f"{int(interval_seconds * 1000)} milliseconds",
+            ingest=IngestConfig(now=1625478400, drop_future_seconds=3600),
+        )
+        return start_plain_ingest(
+            spark, file_landing_source(spark, str(landing)), cfg
+        )
+
+    gov = ChunkIntervalGovernor(
+        start_fn,
+        lambda: landing_backlog(str(landing), ckpt),
+        base_seconds=1.0,
+        auto_interval="3:30s",
+    )
+    try:
+        # no backlog: base interval holds
+        gov.query.processAllAvailable()
+        assert gov.tick() == 1.0
+
+        # stop the stream and pile up 4 unprocessed chunks -> over the
+        # 3-chunk threshold -> governor restarts at 30s
+        gov.query.stop()
+        gov.query.awaitTermination()
+        for i in range(4):
+            (landing / f"burst{i}.txt").write_text(
+                f"burst.metric{i} {i}.0 1625478300\n"
+            )
+        assert landing_backlog(str(landing), ckpt) == 4
+        assert gov.tick() == 30.0
+        assert started[-1] == 30.0
+        assert gov.switches == [(4, 30.0)]
+
+        # drain the backlog -> governor returns to the base interval
+        gov.query.processAllAvailable()
+        assert landing_backlog(str(landing), ckpt) == 0
+        assert gov.tick() == 1.0
+        assert started[-1] == 1.0
+    finally:
+        gov.stop()
+
+    pts = spark.read.parquet(f"{root}/points")
+    assert pts.filter(F.col("path").startswith("burst.")).count() == 4
