@@ -19,6 +19,7 @@ import gzip as gzip_mod
 import urllib.parse
 import urllib.request
 from collections.abc import Callable
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
@@ -27,7 +28,75 @@ from ..sources.rowbinary import encode_points
 POINTS_COLUMNS = "(Path, Value, Time, Date, Timestamp)"
 
 
-def _default_transport(url: str, body: bytes, headers: dict[str, str]) -> tuple[int, dict]:
+@dataclass
+class TLSConfig:
+    """mTLS options for the uploader->ClickHouse hop, mirroring the
+    reference's ``[upload.*.tls]`` block (``tests/tls/
+    carbon-clickhouse.conf.tpl``: ``ca-cert``, ``server-name``,
+    ``insecure-skip-verify``, ``certificates = [{cert, key}]``)."""
+
+    ca_certs: list[str] = field(default_factory=list)
+    certificates: list[tuple[str, str]] = field(default_factory=list)  # (cert, key)
+    server_name: str | None = None
+    insecure_skip_verify: bool = False
+
+    def ssl_context(self):
+        import ssl
+
+        ctx = ssl.create_default_context()
+        for ca in self.ca_certs:
+            ctx.load_verify_locations(cafile=ca)
+        for cert, key in self.certificates:
+            ctx.load_cert_chain(certfile=cert, keyfile=key)
+        if self.insecure_skip_verify:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        return ctx
+
+
+class _SNIConnection:
+    """HTTPS connection whose SNI / verification name can differ from
+    the connect host — Go's ``TLSClientConfig.ServerName``."""
+
+    def __init__(self, host: str, port: int, ctx, server_hostname: str | None):
+        self.host, self.port, self.ctx = host, port, ctx
+        self.server_hostname = server_hostname or host
+
+    def post(self, path: str, body: bytes, headers: dict[str, str]):
+        import http.client
+        import socket
+
+        sock = socket.create_connection((self.host, self.port))
+        try:
+            ssock = self.ctx.wrap_socket(sock, server_hostname=self.server_hostname)
+        except Exception:
+            sock.close()
+            raise
+        conn = http.client.HTTPConnection(self.host, self.port)
+        conn.sock = ssock
+        try:
+            conn.request("POST", path, body=body, headers=headers)
+            resp = conn.getresponse()
+            resp.read()
+            return resp.status, dict(resp.getheaders())
+        finally:
+            conn.close()
+
+
+def _default_transport(
+    url: str,
+    body: bytes,
+    headers: dict[str, str],
+    tls: TLSConfig | None = None,
+) -> tuple[int, dict]:
+    u = urllib.parse.urlsplit(url)
+    path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+    if u.scheme == "https":
+        ctx = (tls or TLSConfig()).ssl_context()
+        conn = _SNIConnection(
+            u.hostname, u.port or 443, ctx, tls.server_name if tls else None
+        )
+        return conn.post(path, body, headers)
     req = urllib.request.Request(url, data=body, headers=headers, method="POST")
     with urllib.request.urlopen(req) as resp:  # noqa: S310
         return resp.status, dict(resp.headers)
@@ -63,11 +132,22 @@ def insert_points(
     gzip: bool = True,
     transport: Callable | None = None,
     zero_timestamp: bool = True,
+    tls: TLSConfig | None = None,
 ) -> None:
     """Upload a points DataFrame into ClickHouse, one POST per
-    partition (the partition is the reference's chunk file)."""
+    partition (the partition is the reference's chunk file).
+
+    ``tls`` enables the mTLS hop of the reference's TLS scenario
+    (client cert/key chain, CA pinning, server-name override); the
+    SSL context is built executor-side per partition — only the
+    picklable config ships with the task."""
     url = insert_query_url(base_url, table)
-    send = transport or _default_transport
+    if transport is not None:
+        send = transport
+    elif tls is not None:
+        send = lambda u, b, h: _default_transport(u, b, h, tls)  # noqa: E731
+    else:
+        send = _default_transport
 
     def upload(rows) -> None:
         body = encode_partition(rows, zero_timestamp)

@@ -102,3 +102,92 @@ def test_stateful_exists_cache(spark, tmp_path):
     finally:
         q.stop()
     assert got == {"2021-07-05:a.b", "2021-07-05:c.d", "2021-07-05:e.f"}
+
+
+def _make_certs(d):
+    """Self-signed CA + server (SAN localhost/127.0.0.1) + client."""
+    import subprocess
+
+    def run(*args):
+        subprocess.run(args, check=True, capture_output=True, cwd=d)
+
+    run("openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes", "-days", "1",
+        "-keyout", "ca.key", "-out", "ca.crt", "-subj", "/CN=test-ca")
+    for name, cn in (("server", "localhost"), ("client", "uploader")):
+        run("openssl", "req", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", f"{name}.key", "-out", f"{name}.csr", "-subj", f"/CN={cn}")
+        ext = os.path.join(d, f"{name}.ext")
+        with open(ext, "w") as fh:
+            fh.write("subjectAltName=DNS:localhost,IP:127.0.0.1\n")
+        run("openssl", "x509", "-req", "-in", f"{name}.csr", "-CA", "ca.crt",
+            "-CAkey", "ca.key", "-CAcreateserial", "-days", "1",
+            "-out", f"{name}.crt", "-extfile", ext)
+    return {n: os.path.join(d, n) for n in
+            ("ca.crt", "server.crt", "server.key", "client.crt", "client.key")}
+
+
+def test_insert_points_mtls(spark, tmp_path):
+    """K5 mTLS e2e (reference tests/tls/ scenario): a local TLS server
+    REQUIRING a client certificate accepts the upload only when
+    TLSConfig carries the CA + client chain."""
+    import http.server
+    import ssl
+    import threading
+
+    from carbon_clickhouse_spark.sinks.clickhouse import TLSConfig, insert_points
+
+    certs = _make_certs(str(tmp_path))
+    got = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got["body"] = gzip.decompress(body)
+            got["query"] = urllib.parse.urlsplit(self.path).query
+            got["peer"] = self.connection.getpeercert()["subject"]
+            self.send_response(200)
+            self.send_header("X-ClickHouse-Exception-Code", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certs["server.crt"], certs["server.key"])
+    ctx.load_verify_locations(cafile=certs["ca.crt"])
+    ctx.verify_mode = ssl.CERT_REQUIRED  # mTLS: client cert mandatory
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    port = srv.socket.getsockname()[1]
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+
+    tls = TLSConfig(
+        ca_certs=[certs["ca.crt"]],
+        certificates=[(certs["client.crt"], certs["client.key"])],
+        server_name="localhost",
+    )
+    df = spark.createDataFrame(
+        [("m.one", 1.5, 1625478240, 0)], "path string, value double, time long, version long"
+    ).coalesce(1)
+    insert_points(df, f"https://127.0.0.1:{port}", "graphite", tls=tls)
+    t.join(timeout=10)
+    srv.server_close()
+
+    decoded = decode_points(got["body"])
+    assert [(p[0], p[1], p[2]) for p in decoded] == [("m.one", 1.5, 1625478240)]
+    assert "INSERT%20INTO%20graphite" in got["query"]
+    assert ("commonName", "uploader") in [x for rdn in got["peer"] for x in rdn]
+
+    # without a client certificate the handshake must fail
+    srv2 = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    srv2.socket = ctx.wrap_socket(srv2.socket, server_side=True)
+    port2 = srv2.socket.getsockname()[1]
+    t2 = threading.Thread(target=srv2.handle_request, daemon=True)
+    t2.start()
+    with pytest.raises(Exception):
+        insert_points(
+            df, f"https://127.0.0.1:{port2}", "graphite",
+            tls=TLSConfig(ca_certs=[certs["ca.crt"]], server_name="localhost"),
+        )
+    srv2.server_close()
