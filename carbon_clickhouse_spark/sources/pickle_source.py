@@ -15,6 +15,7 @@ normalize + tag canonicalize applied after decode.
 
 from __future__ import annotations
 
+import io
 import math
 import pickle
 import struct
@@ -53,10 +54,39 @@ def split_frames(stream: bytes) -> list[bytes]:
     return frames
 
 
+class _PrimitiveUnpickler(pickle.Unpickler):
+    """Unpickler restricted to primitive containers.
+
+    The pickle receiver is attacker-facing by design; unrestricted
+    ``pickle.loads`` on wire frames is arbitrary code execution. The
+    reference avoids this with a hand-rolled opcode walker
+    (``receiver/pickle_parser.go:24-84``) that only understands
+    lists/tuples/str/bytes/numbers — the entire grammar the graphite
+    pickle protocol uses. We get the same guarantee by refusing the two
+    escape hatches an attacker needs: class lookup (GLOBAL /
+    STACK_GLOBAL, required by REDUCE/OBJ/NEWOBJ to reach a callable)
+    and persistent ids. Everything else the stdlib decodes is inert
+    data.
+    """
+
+    def find_class(self, module: str, name: str):  # noqa: ARG002
+        raise pickle.UnpicklingError("global lookup forbidden in wire frames")
+
+    def persistent_load(self, pid):  # noqa: ARG002
+        raise pickle.UnpicklingError("persistent ids forbidden in wire frames")
+
+
+def safe_loads(frame: bytes):
+    """Decode a wire frame allowing only primitive objects (no
+    globals, no reduce, no persistent ids) — parity with the
+    reference's opcode walker, same attack surface: none."""
+    return _PrimitiveUnpickler(io.BytesIO(frame)).load()
+
+
 def decode_frame(frame: bytes) -> list[tuple[str, float, int]]:
     """One pickle frame -> [(canonical_name, value, ts)]."""
     try:
-        items = pickle.loads(frame)  # noqa: S301 - protocol parity
+        items = safe_loads(frame)
     except Exception:
         return []
     out = []

@@ -179,6 +179,34 @@ def test_pickle_source(spark):
     assert {(r.path, r.value, r.time) for r in got} == set(decoded)
 
 
+def test_pickle_frame_rejects_code_execution():
+    """Attacker-facing frames must never reach callables: a pickle
+    whose REDUCE would call os.system decodes to [] (dropped), and
+    protocol-2+ frames with STACK_GLOBAL are equally dead."""
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned",))
+
+    for proto in (0, 2, pickle.HIGHEST_PROTOCOL):
+        assert decode_frame(pickle.dumps(Evil(), protocol=proto)) == []
+    # persistent-id escape hatch is closed too
+    import io as _io
+
+    class PidPickler(pickle.Pickler):
+        def persistent_id(self, obj):
+            return "boom" if obj == "x" else None
+
+    buf = _io.BytesIO()
+    PidPickler(buf).dump(["x"])
+    assert decode_frame(buf.getvalue()) == []
+    # and plain primitive frames still decode
+    ok = pickle.dumps([("m", (1670348700, 1.0))])
+    assert decode_frame(ok) == [("m", 1.0, 1670348700)]
+
+
 def test_grpc_source(spark):
     # build Payload{metrics:[Metric{metric:"a..b;env=x", points:[...]}]}
     name = b"a..b;env=x"
@@ -272,10 +300,11 @@ def test_lz4_frame_against_reference_cli(tmp_path):
     data = b"some.metric.path 3.14 1700000000\n" * 4000
     ours = tmp_path / "ours.lz4"
     ours.write_bytes(compress_frame(data))
-    cli = subprocess.run(
-        ["lz4", "-d", "-c", str(ours)], capture_output=True
-    )
-    if cli.returncode != 0:  # no lz4 binary in this environment
+    try:
+        cli = subprocess.run(["lz4", "-d", "-c", str(ours)], capture_output=True)
+    except FileNotFoundError:
+        cli = None
+    if cli is None or cli.returncode != 0:  # no lz4 binary in this environment
         assert decompress_frame(ours.read_bytes()) == data
         return
     assert cli.stdout == data
