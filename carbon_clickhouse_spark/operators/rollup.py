@@ -1,13 +1,17 @@
 """GraphiteMergeTree rollup semantics (A4) as a read-time aggregation.
 
 The reference delegates downsampling to ClickHouse's GraphiteMergeTree
-(``tests/clickhouse/rollup/rollup.xml``): per-path FIRST-MATCH regex
-pattern selects an aggregation function (default avg) and a retention
-table (age -> precision). We reproduce it as one declarative
-aggregation:
+(``tests/clickhouse/rollup/rollup.xml``). ClickHouse resolves the
+aggregation function and the retention table INDEPENDENTLY: the
+function comes from the first matching pattern that *has* a function,
+the retentions from the first matching pattern that *has* retentions —
+so a function-only pattern like ``\.sum$`` inherits its retentions
+from the next retention-bearing match (usually the default). We
+reproduce that as one declarative aggregation:
 
-1. assign each path its first matching rule (chained ``when`` over
-   ``rlike`` — evaluated once per row, inside codegen)
+1. assign each path its first function-bearing match and (separately)
+   its first retention-bearing match (chained ``when`` over ``rlike``
+   — evaluated once per row, inside codegen)
 2. pick the bucket width from the row's age at query time
 3. ``groupBy(path, floor(time/precision)*precision)`` computing the
    four candidate aggregates, then select per-row by rule function
@@ -33,45 +37,62 @@ class Retention:
 @dataclass(frozen=True)
 class RollupRule:
     pattern: str  # regex; '' = match-all default
-    function: str  # avg | sum | min | max | last
+    function: str | None = None  # avg | sum | min | max | last | None (retention-only)
     retentions: tuple[Retention, ...] = ()
 
 
-#: Mirror of tests/clickhouse/rollup/rollup.xml
+#: Literal mirror of tests/clickhouse/rollup/rollup.xml — every rule
+#: keeps raw precision (age 0 -> 1 s buckets); the xml's comment talks
+#: about 1-minute/1-hour retention but its values say precision 1.
 DEFAULT_RULES = (
-    RollupRule(r"\.sum$", "sum"),
-    RollupRule(r"\.max$", "max"),
-    RollupRule(r"\.min$", "min"),
-    RollupRule("", "avg", (Retention(0, 60), Retention(2592000, 3600))),
+    RollupRule(r"\.sum$", "sum", (Retention(0, 1),)),
+    RollupRule(r"\.max$", "max", (Retention(0, 1),)),
+    RollupRule(r"\.min$", "min", (Retention(0, 1),)),
+    RollupRule("", "avg", (Retention(0, 1),)),
 )
 
 
-def _first_match(path: Column, rules: tuple[RollupRule, ...], attr) -> Column:
-    """Chained when() implementing first-match rule selection."""
+def _first_match(path: Column, indexed_rules, attr, default: Column) -> Column:
+    """Chained when() implementing first-match selection over an
+    (index, rule) subset; a match-all '' pattern short-circuits as the
+    default."""
     expr = None
-    default = None
-    for i, rule in enumerate(rules):
+    for i, rule in indexed_rules:
         val = attr(i, rule)
         if rule.pattern == "":
             default = val
             break
         cond = path.rlike(rule.pattern)
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    if default is None:
-        default = attr(len(rules) - 1, rules[-1])
     return default if expr is None else expr.otherwise(default)
 
 
 def rule_function_col(path: Column, rules: tuple[RollupRule, ...] = DEFAULT_RULES) -> Column:
-    return _first_match(path, rules, lambda i, r: F.lit(r.function))
+    """Aggregation function per path: first match among the rules that
+    declare a function (GraphiteMergeTree resolves function and
+    retention from independent first matches)."""
+    with_fn = [(i, r) for i, r in enumerate(rules) if r.function]
+    return _first_match(path, with_fn, lambda i, r: F.lit(r.function), F.lit("avg"))
+
+
+def retention_rule_idx_col(
+    path: Column, rules: tuple[RollupRule, ...] = DEFAULT_RULES
+) -> Column:
+    """Index (into ``rules``) of the first matching rule that declares
+    retentions; -1 when none matches (keep raw precision)."""
+    with_ret = [(i, r) for i, r in enumerate(rules) if r.retentions]
+    return _first_match(path, with_ret, lambda i, r: F.lit(i), F.lit(-1))
 
 
 def precision_col(
     age: Column, rule_idx: Column, rules: tuple[RollupRule, ...] = DEFAULT_RULES
 ) -> Column:
-    """Bucket width for a row given its age and matched rule index."""
+    """Bucket width for a row given its age and matched retention-rule
+    index (-1 -> raw precision 1)."""
     out = F.lit(1)
     for i, rule in enumerate(rules):
+        if not rule.retentions:
+            continue
         width = F.lit(1)
         # retentions ordered by age ascending: the widest bucket whose
         # age threshold the row passed wins
@@ -110,7 +131,7 @@ def rollup(
     else:
         now_col = F.lit(now).cast("long") if now is not None else F.unix_timestamp()
         age = now_col - F.col(time_col)
-        idx = _first_match(path, rules, lambda i, r: F.lit(i))
+        idx = retention_rule_idx_col(path, rules)
         prec = precision_col(age, idx, rules)
 
     func = rule_function_col(path, rules)

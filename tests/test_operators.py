@@ -182,6 +182,57 @@ def test_rollup_age_based_precision(spark):
     assert got == {("m", 9480): 2.0, ("m", 7800): 6.0}
 
 
+def test_rollup_function_only_pattern_inherits_retention(spark):
+    """GraphiteMergeTree resolves function and retention from
+    INDEPENDENT first matches: a function-only ``\\.sum$`` pattern must
+    inherit the default rule's retentions, not fall back to raw
+    precision."""
+    rules = (
+        RollupRule(r"\.sum$", "sum"),  # function only — no retentions
+        RollupRule("", "avg", (Retention(0, 60),)),
+    )
+    pts = _points(
+        spark,
+        [
+            ("m.sum", 1.0, 100, D, 0),
+            ("m.sum", 2.0, 110, D, 0),
+            ("m.avg", 4.0, 100, D, 0),
+            ("m.avg", 6.0, 110, D, 0),
+        ],
+    )
+    got = {(r.path, r.time): r.value for r in rollup(pts, rules, now=200).collect()}
+    # .sum rows summed AND bucketed at the default rule's 60s precision
+    assert got == {("m.sum", 60): 3.0, ("m.avg", 60): 5.0}
+
+
+def test_rollup_retention_only_pattern_inherits_function(spark):
+    """Retention-only pattern: function comes from the next
+    function-bearing match (the default's avg)."""
+    rules = (
+        RollupRule(r"^hf\.", None, (Retention(0, 10),)),  # retention only
+        RollupRule("", "avg", (Retention(0, 60),)),
+    )
+    pts = _points(
+        spark,
+        [
+            ("hf.m", 2.0, 101, D, 0),
+            ("hf.m", 4.0, 109, D, 0),
+            ("other", 2.0, 101, D, 0),
+            ("other", 4.0, 119, D, 0),
+        ],
+    )
+    got = {(r.path, r.time): r.value for r in rollup(pts, rules, now=200).collect()}
+    assert got == {("hf.m", 100): 3.0, ("other", 60): 3.0}
+
+
+def test_rollup_default_rules_keep_raw_precision(spark):
+    """DEFAULT_RULES literally mirror rollup.xml: precision 1 at age 0
+    — no downsampling, function still per-pattern."""
+    pts = _points(spark, [("m.sum", 1.0, 100, D, 0), ("m.sum", 2.0, 160, D, 0)])
+    got = {(r.path, r.time): r.value for r in rollup(pts, DEFAULT_RULES, now=200).collect()}
+    assert got == {("m.sum", 100): 1.0, ("m.sum", 160): 2.0}
+
+
 def test_drop_rules(spark):
     df = _points(
         spark,
