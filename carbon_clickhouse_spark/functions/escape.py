@@ -14,6 +14,14 @@ These are pure-Python (bytes-level) reimplementations of that *behavior*:
   everything else percent-encoded.
 - ``unescape``: ``+`` -> space; ``%XX`` decoded only when followed by two
   hex digits, otherwise emitted literally (never raises).
+
+Go strings are byte sequences; a valid %-escape whose bytes are not
+valid UTF-8 (e.g. ``%FF``) stays raw in ``escape.Unescape``'s output
+and re-escapes losslessly. Python strings round-trip the same way via
+``surrogateescape``: unescape maps such bytes to lone surrogates and
+the escape functions map those surrogates back to the original bytes.
+(Lone surrogates cannot cross the Arrow boundary into Spark columns —
+the UDF wrappers in ``functions.udfs`` sanitize at that edge.)
 """
 
 from __future__ import annotations
@@ -41,7 +49,7 @@ _QUERY_TABLE = [
 
 def escape_path(s: str) -> str:
     """Escape a metric name as a URL path (ref ``escape.Path``)."""
-    raw = s.encode("utf-8")
+    raw = s.encode("utf-8", "surrogateescape")
     if all(b in _PATH_SAFE for b in raw):
         return s
     t = _PATH_TABLE
@@ -50,7 +58,7 @@ def escape_path(s: str) -> str:
 
 def escape_query(s: str) -> str:
     """Escape a tag key/value as a URL query component (ref ``escape.Query``)."""
-    raw = s.encode("utf-8")
+    raw = s.encode("utf-8", "surrogateescape")
     if all(b in _QUERY_SAFE for b in raw):
         return s
     t = _QUERY_TABLE
@@ -69,7 +77,7 @@ def unescape(s: str) -> str:
     """
     if "%" not in s and "+" not in s:
         return s
-    raw = s.encode("utf-8")
+    raw = s.encode("utf-8", "surrogateescape")
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -90,4 +98,4 @@ def unescape(s: str) -> str:
         else:
             out.append(c)
             i += 1
-    return out.decode("utf-8", errors="replace")
+    return out.decode("utf-8", errors="surrogateescape")

@@ -58,7 +58,13 @@ def graphite_canonicalize(s: str, config: "TagConfig | None" = None) -> str | No
         if tagged is None:
             return None
         if tagged == "":
-            return s  # no template matched -> leave as-is
+            # DELIBERATE DIVERGENCE from helper/tags/graphite.go:
+            # the reference assigns s = "" here, so an enabled config
+            # with no matching template erases the metric name and the
+            # point is written under an empty path (data loss). We keep
+            # the original untagged name instead. Pinned by
+            # test_template_no_match_keeps_name.
+            return s
         s = tagged
 
     pos = s.find(";")

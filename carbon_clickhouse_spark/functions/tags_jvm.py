@@ -68,13 +68,41 @@ def unescape_col(s: Column) -> Column:
 
 def parse_tags_col(path: Column) -> Column:
     """Canonical tagged path -> struct(name, tags) — JVM equivalent of
-    ``udfs.parse_tags_udf`` (ref ``uploader/tagged.go:60-119``).
+    ``udfs.parse_tags_udf`` (ref ``uploader/tagged.go:58-119``).
 
     tags = ['__name__=<unescaped name>'] + each unescaped 'k=v'.
+
+    The reference scans: a tag runs to the first ``&`` AFTER the first
+    ``=`` of the remainder, and parsing STOPS when no ``=`` remains —
+    so ``a&b=2`` is ONE tag ``a&b=2`` and a trailing ``&junk`` is
+    dropped. Reproduced as a linear fold: ``&``-segments without ``=``
+    merge into the next tag (re-joined with ``&``); a trailing run
+    without ``=`` stays pending and is discarded.
     """
     name = unescape_col(F.substring_index(path, "?", 1))
     args = F.substring(path, F.instr(path, "?") + 1, F.length(path))
-    pairs = F.filter(F.split(args, "&"), lambda x: F.instr(x, "=") >= 1)
+    pairs = F.aggregate(
+        F.split(args, "&"),
+        F.struct(
+            F.array().cast("array<string>").alias("tags"),
+            F.lit(None).cast("string").alias("pending"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                F.instr(F.concat_ws("&", acc["pending"], x), "=") >= 1,
+                F.concat(acc["tags"], F.array(F.concat_ws("&", acc["pending"], x))),
+            )
+            .otherwise(acc["tags"])
+            .alias("tags"),
+            F.when(
+                F.instr(F.concat_ws("&", acc["pending"], x), "=") >= 1,
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.concat_ws("&", acc["pending"], x))
+            .alias("pending"),
+        ),
+        lambda acc: acc["tags"],
+    )
     tags = F.concat(
         F.array(F.concat(F.lit("__name__="), name)),
         F.transform(pairs, unescape_col),

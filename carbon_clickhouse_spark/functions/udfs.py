@@ -25,6 +25,23 @@ _TAGS_SCHEMA = T.StructType(
 )
 
 
+def _arrow_safe(x: str | None) -> str | None:
+    """Strip lone surrogates before handing strings to Arrow.
+
+    ``escape.unescape`` uses surrogateescape so %-escaped non-UTF-8
+    bytes round-trip losslessly in pure Python (Go-string parity), but
+    Arrow/Spark strings must be valid UTF-8 — at this boundary such
+    bytes degrade to U+FFFD, exactly ClickHouse's behavior for invalid
+    UTF-8 in String functions."""
+    if x is None:
+        return None
+    try:
+        x.encode("utf-8")
+        return x
+    except UnicodeEncodeError:
+        return x.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+
+
 @pandas_udf(T.StringType())
 def escape_path_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: escape_path(x) if x is not None else None)
@@ -37,7 +54,7 @@ def escape_query_udf(s: pd.Series) -> pd.Series:
 
 @pandas_udf(T.StringType())
 def unescape_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: unescape(x) if x is not None else None)
+    return s.map(lambda x: _arrow_safe(unescape(x)) if x is not None else None)
 
 
 @pandas_udf(T.StringType())
@@ -103,7 +120,8 @@ def parse_tags_udf(path: pd.Series) -> pd.DataFrame:
         parsed = parse_canonical_tags(x)
         if parsed is None:
             return (x, None)
-        return parsed
+        name, tags = parsed
+        return (_arrow_safe(name), [_arrow_safe(t) for t in tags])
 
     out = path.map(conv)
     return pd.DataFrame(

@@ -79,6 +79,20 @@ def test_unescape_tolerant():
     assert unescape("plain") == "plain"
 
 
+def test_unescape_non_utf8_round_trip():
+    """%-escapes of bytes that are not valid UTF-8 (e.g. %FF) keep the
+    raw byte like Go strings do: escape(unescape(x)) == x via
+    surrogateescape."""
+    s = unescape("%FF")
+    assert escape_query(s) == "%FF"
+    assert escape_path(s) == "%FF"
+    mixed = unescape("a%FFb%20c")
+    assert escape_path(mixed) == "a%FFb%20c"
+    assert escape_query(mixed) == "a%FFb+c"
+    # invalid multi-byte continuation also survives
+    assert escape_query(unescape("%C3%28")) == "%C3%28"
+
+
 def test_parse_canonical_tags():
     name, tags = parse_canonical_tags("cpu.loadavg?env=test&host=host1")
     assert name == "cpu.loadavg"
@@ -145,3 +159,19 @@ def test_template_tagging():
     ]
     for inp, expected in vectors:
         assert graphite_canonicalize(inp, cfg) == expected, inp
+
+
+def test_template_no_match_keeps_name():
+    """Pins a deliberate divergence from helper/tags/graphite.go: when
+    template tagging is enabled and NO template matches, the reference
+    sets the name to '' (point written under an empty path); we keep
+    the original untagged name instead of losing the point."""
+    cfg = TagConfig(
+        enabled=True,
+        templates=["stats.* .host.measurement*"],  # filter never matches below
+    ).configure()
+    assert graphite_canonicalize("untemplated_name", cfg) == "untemplated_name"
+    # already-tagged names bypass templates entirely
+    assert (
+        graphite_canonicalize("m;env=prod", cfg) == "m?env=prod"
+    )

@@ -49,6 +49,33 @@ def test_canonicalize_parity_reference_vectors(spark):
         assert r.c == graphite_canonicalize(r.s), f"input {r.s!r}"
 
 
+def test_parse_tags_parity_corrupt_paths(spark):
+    """JVM parse_tags_col must agree with the Python scan parser
+    (uploader/tagged.go semantics) on corrupt tagged paths: a tag runs
+    to the first '&' after the first '=', parsing stops when no '='
+    remains."""
+    from carbon_clickhouse_spark.functions.tags import parse_canonical_tags
+    from carbon_clickhouse_spark.functions.tags_jvm import parse_tags_col
+
+    inputs = [
+        "m?a=1&b=2",        # clean
+        "m?a&b=2",          # '&' before '=': ONE tag 'a&b=2'
+        "m?a=1&b",          # trailing corrupt segment: dropped
+        "m?a=1&&b=2",       # empty segment merges: tag '&b=2'
+        "m?a=1&b&c=3",      # mid corrupt segment merges into next tag
+        "m?junk",           # no '=' at all: only __name__
+        "m?",               # empty args
+        "m?a=1&b&c&d",      # trailing corrupt run: all dropped
+        "esc%20ape?k%201=v%26al&x=1",  # escapes still unescaped per-tag
+    ]
+    df = spark.createDataFrame([(s,) for s in inputs], ["s"])
+    got = df.select("s", parse_tags_col(F.col("s")).alias("p")).collect()
+    for r in got:
+        name, tags = parse_canonical_tags(r.s)
+        assert r.p.name == name, f"name {r.s!r}"
+        assert list(r.p.tags) == tags, f"tags {r.s!r}: {list(r.p.tags)} != {tags}"
+
+
 def test_canonicalize_parity_fuzz(spark):
     import itertools
 
