@@ -10,11 +10,20 @@ schedule and the read views become no-ops over already-merged data.
 At 100 TB: compact per month-partition (the write partitioning), so
 each run touches one partition's files and rewrites them sorted by
 ``(path, time)`` — the same incremental unit ClickHouse merges.
+
+Overwrite strategy (object-store-safe): stage the merged data to a
+scratch location, then rewrite ONLY the touched month partitions with
+Spark's dynamic partition overwrite — the ``replaceWhere`` equivalent
+without Delta. No whole-table directory rename (impossible on S3/GCS)
+and the table root never disappears; the commit granularity is one
+month partition. For the non-partitioned index/tagged tables the final
+step is a plain committed overwrite of the table files — readers can
+see the swap mid-commit there; at scale, prefer month-partitioned
+layouts (or a transactional table format) for anything compacted while
+being read.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +45,11 @@ def compact_replacing(
     if months and "month" in df.columns:
         df = df.filter(F.col("month").isin(months))
     merged = replacing_latest(df, keys, version_col)
-    _atomic_overwrite(spark, merged, table_path)
+    # month-partitioned tables get partition-scoped overwrite, so a
+    # months=[...] incremental run leaves other months untouched
+    _atomic_overwrite(
+        spark, merged, table_path, month_partitioned="month" in merged.columns
+    )
 
 
 def compact_rollup(
@@ -48,38 +61,119 @@ def compact_rollup(
 ) -> None:
     """Downsample aged points per the rollup rules (A4 applied
     physically). Bucket value semantics follow the rules' functions;
-    version collapses to the max in each bucket."""
+    version collapses to 0 in each bucket.
+
+    Month-partitioned tables compact one partition at a time and the
+    rolled rows KEEP their partition's month (ClickHouse merges never
+    move rows between partitions) — re-deriving month from the bucketed
+    time would let a boundary bucket escape into a partition this run
+    did not select, merging into (and dynamic-overwriting) a month it
+    has no business touching."""
     df = spark.read.parquet(points_path)
-    if months and "month" in df.columns:
-        df = df.filter(F.col("month").isin(months))
+    if "month" not in df.columns:
+        rolled = _rolled_points(df, rules, now)
+        _atomic_overwrite(spark, rolled, points_path)
+        return
+    if months is None:
+        # bounded collect: one short string per month partition
+        months = sorted(r.month for r in df.select("month").distinct().collect())
+    for month in months:
+        part = df.filter(F.col("month") == month)
+        out = _rolled_points(part, rules, now).withColumn("month", F.lit(month))
+        _atomic_overwrite(spark, out, points_path, month_partitioned=True)
+
+
+def _rolled_points(df: DataFrame, rules, now: int | None) -> DataFrame:
     rolled = rollup(df, rules, now=now)
-    out = rolled.select(
+    return rolled.select(
         "path",
         "value",
         "time",
         F.to_date(F.timestamp_seconds("time")).alias("date"),
         F.lit(0).cast("long").alias("version"),
     )
-    _atomic_overwrite(spark, out, points_path, month_partitioned=True)
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works on
+    any supported filesystem (local, HDFS, object stores), unlike
+    shutil."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+class _conf_override:
+    """Temporarily set a Spark SQL conf, restoring on exit."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str) -> None:
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
 
 
 def _atomic_overwrite(
-    spark: SparkSession, df: DataFrame, path: str, month_partitioned: bool = False
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    month_partitioned: bool = False,
+    derive_month: bool = False,
 ) -> None:
-    """Write-to-temp + swap (parquet has no transactional overwrite of
-    a path being read; Delta would replace this with one MERGE)."""
-    tmp = path.rstrip("/") + "._compacting"
-    writer = df
-    if month_partitioned:
-        writer = df.withColumn("month", F.date_format("date", "yyyyMM"))
-        writer.sortWithinPartitions("path", "time").write.mode("overwrite").partitionBy(
-            "month"
-        ).parquet(tmp)
-    else:
-        writer.sortWithinPartitions(*[c for c in ("path",) if c in df.columns]).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-    import shutil
+    """Stage-then-overwrite without directory renames.
 
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    1. write the merged data to a staging dir (Spark forbids
+       overwriting a path that feeds the same job, and we must not
+       drop the live table before the merge is durable)
+    2. month-partitioned tables: dynamic partition overwrite replaces
+       ONLY the staged months — untouched history is never rewritten
+       or deleted (``replaceWhere`` semantics on plain parquet)
+    3. unpartitioned tables: committed whole-table overwrite (files
+       swap at job commit; no rmtree/rename of the root)
+
+    ``derive_month=True`` adds the month column from ``date`` (rollup
+    output drops it); otherwise the existing column partitions.
+    """
+    staging = path.rstrip("/") + "._compacting"
+    sort_cols = [c for c in ("path", "time") if c in df.columns]
+
+    def _sorted(w: DataFrame) -> DataFrame:
+        return w.sortWithinPartitions(*sort_cols) if sort_cols else w
+
+    try:
+        writer = df
+        if month_partitioned:
+            if derive_month:
+                writer = df.withColumn("month", F.date_format("date", "yyyyMM"))
+            (
+                _sorted(writer)
+                .write.mode("overwrite")
+                .partitionBy("month")
+                .parquet(staging)
+            )
+            staged = spark.read.parquet(staging)
+            with _conf_override(
+                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                (
+                    _sorted(staged)
+                    .write.mode("overwrite")
+                    .partitionBy("month")
+                    .parquet(path)
+                )
+        else:
+            _sorted(writer).write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    finally:
+        _hadoop_delete(spark, staging)

@@ -40,6 +40,47 @@ def drop_rule_predicate(
     return pred
 
 
+def drop_reason_flags(
+    now: Column | int | None = None,
+    drop_future_seconds: int | None = None,
+    drop_past_seconds: int | None = None,
+    drop_longer_than: int | None = None,
+    time_col: str = "time",
+    path_col: str = "path",
+) -> dict[str, Column]:
+    """Mutually-exclusive drop-reason predicates with the reference's
+    check order (future, then past, then name-too-long — a point
+    counts once: ``receiver/base.go:68-86`` + ``:112-119``). Keys are
+    the self-metrics counter names."""
+    if now is None:
+        now_col = F.unix_timestamp()
+    elif isinstance(now, int):
+        now_col = F.lit(now).cast("long")
+    else:
+        now_col = now.cast("long")
+    t = F.col(time_col)
+    future = (
+        t > now_col + F.lit(drop_future_seconds)
+        if drop_future_seconds is not None
+        else F.lit(False)
+    )
+    past = (
+        t < now_col - F.lit(drop_past_seconds)
+        if drop_past_seconds is not None
+        else F.lit(False)
+    )
+    toolong = (
+        F.length(path_col) > F.lit(drop_longer_than)
+        if drop_longer_than is not None
+        else F.lit(False)
+    )
+    return {
+        "futureDropped": future,
+        "pastDropped": ~future & past,
+        "tooLongDropped": ~future & ~past & toolong,
+    }
+
+
 def split_dropped(df: DataFrame, keep: Column) -> tuple[DataFrame, DataFrame]:
     """(kept, dropped) pair — the dropped side feeds the audit table
     (F5, ``receiver/base.go:88-127``'s ring buffer generalized to a

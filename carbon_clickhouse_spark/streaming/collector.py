@@ -1,16 +1,39 @@
 """Self-metrics collector (S7) — ``carbon/collector.go:44-318``.
 
-The reference emits its own counters (metricsReceived, errors,
-writtenBytes, ...) as graphite points every ``metric-interval`` into
-the same pipeline, under ``<prefix>.<hostname>.<stat>``. Spark's
-equivalent signal source is the StreamingQueryListener; this collector
-turns query-progress events into points rows appended to the points
-table (or any sink callback).
+The reference emits its own counters as graphite points every
+``metric-interval`` into the same pipeline, named
+``<metric-prefix>.<module>.<stat>`` (prefix default
+``carbon.agents.{host}``, modules ``tcp/udp/pickle/prometheus/
+telegraf_http_json/writer/upload.<table>``). Counters are
+send-and-reset per interval (``receiver/base.go:49-53``), gauges are
+point-in-time (``base.go:55-57``). Stat names mirrored:
+
+- receivers (``receiver/base.go:129-153``): ``metricsReceived``,
+  ``samplesReceived``, ``messagesReceived``, ``incompleteReceived``,
+  ``futureDropped``, ``pastDropped``, ``tooLongDropped``, ``errors``
+  (counters); ``active`` (gauge)
+- writer (``writer/writer.go:102-109``): ``writtenBytes``,
+  ``unhandled``, ``chunkInterval_s``
+- uploaders (``uploader/base.go:46-63``): ``uploaded``,
+  ``uploaded_metrics``, ``upload_time``, ``errors``, ``delay``,
+  ``unhandled``
+
+Spark's native signal source is the StreamingQueryListener: query
+progress feeds ``metricsReceived`` (plus spark-side rate gauges);
+pipeline components (ingest batch fn, governor, sinks) report the rest
+through :meth:`add`/:meth:`gauge` — the same shape as the reference's
+``statModule`` registry.
+
+Flushes are coalesced (every ``flush_every`` events or
+``flush_interval_s`` seconds, whichever first) and each flush writes
+ONE parquet file — a long-running stream must not shed a tiny file per
+progress event.
 """
 
 from __future__ import annotations
 
 import socket
+import threading
 import time
 
 from pyspark.sql import SparkSession
@@ -19,13 +42,24 @@ from pyspark.sql.streaming.listener import (
     StreamingQueryListener,
 )
 
+#: receiver counter fields the reference recognises (base.go:129-153)
+RECEIVER_COUNTERS = (
+    "samplesReceived",
+    "messagesReceived",
+    "metricsReceived",
+    "incompleteReceived",
+    "futureDropped",
+    "pastDropped",
+    "tooLongDropped",
+    "errors",
+)
+
 
 class SelfMetricsCollector(StreamingQueryListener):
-    """Emit ingest pipeline stats as graphite points.
+    """Emit pipeline self-metrics as graphite points.
 
-    graphite_prefix mirrors ``metric-prefix`` (default
-    ``carbon.agents.{host}``); stats mirror the reference's counter
-    names where a Spark equivalent exists.
+    ``module`` names the receiver flavor this stream fronts (the
+    reference registers one stat module per enabled receiver).
     """
 
     def __init__(
@@ -33,12 +67,34 @@ class SelfMetricsCollector(StreamingQueryListener):
         spark: SparkSession,
         points_path: str,
         prefix: str = "carbon.agents.{host}",
+        module: str = "tcp",
+        flush_every: int = 10,
+        flush_interval_s: float = 60.0,
     ) -> None:
         self.spark = spark
         self.points_path = points_path
         host = socket.gethostname().replace(".", "_")
         self.prefix = prefix.replace("{host}", host)
-        self._buffer: list[tuple[str, float, int]] = []
+        self.module = module
+        self.flush_every = flush_every
+        self.flush_interval_s = flush_interval_s
+        self._lock = threading.Lock()
+        self._counters: dict[tuple[str, str], float] = {}  # reset on flush
+        self._gauges: dict[tuple[str, str], float] = {}  # latest wins
+        self._events = 0
+        self._last_flush = time.monotonic()
+
+    # statModule-style reporting API ------------------------------------
+    def add(self, stat: str, value: float = 1.0, module: str | None = None) -> None:
+        """Bump a send-and-reset counter (``sendUint64Counter``)."""
+        key = (module or self.module, stat)
+        with self._lock:
+            self._counters[key] = self._counters.get(key, 0.0) + float(value)
+
+    def gauge(self, stat: str, value: float, module: str | None = None) -> None:
+        """Set a point-in-time gauge (``sendInt64Gauge``)."""
+        with self._lock:
+            self._gauges[(module or self.module, stat)] = float(value)
 
     # StreamingQueryListener interface -----------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -46,34 +102,52 @@ class SelfMetricsCollector(StreamingQueryListener):
 
     def onQueryProgress(self, event: QueryProgressEvent) -> None:  # noqa: N802
         p = event.progress
-        now = int(time.time())
-        stats = {
-            "metricsReceived": float(p.numInputRows),
-            "processedRowsPerSecond": float(p.processedRowsPerSecond or 0.0),
-            "inputRowsPerSecond": float(p.inputRowsPerSecond or 0.0),
-            "batchId": float(p.batchId),
-        }
-        self._buffer.extend(
-            (f"{self.prefix}.{name}", value, now) for name, value in stats.items()
-        )
-        self.flush()
+        self.add("metricsReceived", float(p.numInputRows))
+        self.gauge("processedRowsPerSecond", float(p.processedRowsPerSecond or 0.0))
+        self.gauge("inputRowsPerSecond", float(p.inputRowsPerSecond or 0.0))
+        self.gauge("batchId", float(p.batchId))
+        with self._lock:
+            self._events += 1
+        self.maybe_flush()
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         self.flush()
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
+        self.maybe_flush()
 
     # ---------------------------------------------------------------------
+    def maybe_flush(self) -> None:
+        with self._lock:
+            due = self._events >= self.flush_every or (
+                self._events > 0
+                and time.monotonic() - self._last_flush >= self.flush_interval_s
+            )
+        if due:
+            self.flush()
+
     def flush(self) -> None:
-        if not self._buffer:
-            return
-        rows, self._buffer = self._buffer, []
+        """Emit every counter (then reset it) and gauge as points, in
+        ONE parquet file."""
+        now = int(time.time())
+        with self._lock:
+            if not self._counters and not self._gauges:
+                return
+            stats = dict(self._counters)
+            stats.update(self._gauges)
+            self._counters.clear()
+            self._events = 0
+            self._last_flush = time.monotonic()
+        rows = [
+            (f"{self.prefix}.{module}.{stat}", value, now)
+            for (module, stat), value in sorted(stats.items())
+        ]
         from pyspark.sql import functions as F
 
         df = self.spark.createDataFrame(rows, "path string, value double, time long")
         (
-            df.select(
+            df.coalesce(1)
+            .select(
                 "path",
                 "value",
                 "time",

@@ -82,6 +82,7 @@ class StreamConfig:
     tag_config: TagConfig | None = None
     audit_dropped: bool = True  # F5
     exists_cache: bool = True  # A2
+    collector: object | None = None  # S7: SelfMetricsCollector (optional)
 
 
 def start_plain_ingest(
@@ -133,6 +134,27 @@ def start_ingest(
                 dropped.write.mode("append").parquet(
                     os.path.join(config.root, "dropped")
                 )
+            if config.collector is not None:
+                # per-reason drop counters (S7): one aggregation over
+                # the already-persisted batch, counter names straight
+                # from receiver/base.go's SendStat registry
+                from ..operators.filters import drop_reason_flags
+
+                flags = drop_reason_flags(
+                    now=ic.now,
+                    drop_future_seconds=ic.drop_future_seconds,
+                    drop_past_seconds=ic.drop_past_seconds,
+                    drop_longer_than=ic.drop_longer_than,
+                )
+                agg = points.select(
+                    *[
+                        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(k)
+                        for k, c in flags.items()
+                    ]
+                ).first()
+                for k in flags:
+                    if agg[k]:
+                        config.collector.add(k, float(agg[k]))
             tables = derive_tables(points, ic)
 
             index_df, tagged_df = tables["index"], tables["tagged"]
@@ -247,6 +269,7 @@ class ChunkIntervalGovernor:
         backlog_fn,
         base_seconds: float = 1.0,
         auto_interval: str | list[tuple[int, float]] = "",
+        collector=None,
     ) -> None:
         self.start_fn = start_fn
         self.backlog_fn = backlog_fn
@@ -256,6 +279,7 @@ class ChunkIntervalGovernor:
             if isinstance(auto_interval, str)
             else sorted(auto_interval)
         )
+        self.collector = collector  # S7: writer-module gauges
         self.current_interval = base_seconds
         self.query: StreamingQuery = start_fn(base_seconds)
         self.switches: list[tuple[int, float]] = []  # (backlog, interval) audit
@@ -265,6 +289,10 @@ class ChunkIntervalGovernor:
         change. Returns the interval now in force."""
         backlog = self.backlog_fn()
         eff = effective_chunk_interval(self.base_seconds, backlog, self.auto)
+        if self.collector is not None:
+            # writer/writer.go:102-109 stat names
+            self.collector.gauge("unhandled", float(backlog), module="writer")
+            self.collector.gauge("chunkInterval_s", eff, module="writer")
         if eff != self.current_interval:
             self.query.stop()
             self.query.awaitTermination()

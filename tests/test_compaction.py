@@ -54,6 +54,67 @@ def test_compact_rollup(spark, tmp_path):
     assert got == {("m.avg", 960): 2.0, ("m.sum", 960): 6.0}
 
 
+def test_compact_rollup_month_scoped_preserves_other_months(spark, tmp_path):
+    """Incremental (months=[...]) compaction rewrites ONLY the selected
+    month partitions — dynamic partition overwrite, never a whole-table
+    swap."""
+    import glob
+
+    path = str(tmp_path / "points")
+    d_jul, d_aug = dt.date(2021, 7, 5), dt.date(2021, 8, 5)
+    t_jul, t_aug = 1625478240, 1628156640
+    df = spark.createDataFrame(
+        [
+            ("m.avg", 1.0, t_jul, d_jul, 0),
+            ("m.avg", 3.0, t_jul + 10, d_jul, 0),
+            ("m.avg", 7.0, t_aug, d_aug, 0),
+            ("m.avg", 9.0, t_aug + 10, d_aug, 0),
+        ],
+        "path string, value double, time long, date date, version long",
+    )
+    df.withColumn("month", F.date_format("date", "yyyyMM")).write.partitionBy(
+        "month"
+    ).parquet(path)
+    aug_files_before = sorted(glob.glob(path + "/month=202108/*.parquet"))
+
+    rules = (RollupRule("", "avg", (Retention(0, 60),)),)
+    compact_rollup(spark, path, rules, now=t_aug + 100, months=["202107"])
+
+    # July rolled up to one 60s bucket; August rows byte-identical
+    got = {(r.path, r.time): r.value for r in spark.read.parquet(path).collect()}
+    jul_bucket = t_jul - t_jul % 60
+    assert got[("m.avg", jul_bucket)] == 2.0
+    assert got[("m.avg", t_aug)] == 7.0 and got[("m.avg", t_aug + 10)] == 9.0
+    assert sorted(glob.glob(path + "/month=202108/*.parquet")) == aug_files_before
+    # no staging debris
+    assert glob.glob(str(tmp_path) + "/*._compacting") == []
+
+
+def test_compact_replacing_month_scoped(spark, tmp_path):
+    """compact_replacing on a month-partitioned table with months=[...]
+    merges the selected month and leaves the rest alone."""
+    path = str(tmp_path / "tagged")
+    d_jul, d_aug = dt.date(2021, 7, 5), dt.date(2021, 8, 5)
+    df = spark.createDataFrame(
+        [
+            (d_jul, "env=p", "a?env=p", 1, "202107"),
+            (d_jul, "env=p", "a?env=p", 9, "202107"),  # newer version wins
+            (d_aug, "env=p", "a?env=p", 2, "202108"),
+            (d_aug, "env=p", "a?env=p", 5, "202108"),
+        ],
+        "date date, tag1 string, path string, version long, month string",
+    )
+    df.write.partitionBy("month").parquet(path)
+    compact_replacing(
+        spark, path, ["date", "tag1", "path"], months=["202107"]
+    )
+    got = spark.read.parquet(path)
+    jul = got.filter(F.col("month") == "202107").collect()
+    aug = got.filter(F.col("month") == "202108").collect()
+    assert [r.version for r in jul] == [9]
+    assert sorted(r.version for r in aug) == [2, 5]  # untouched
+
+
 def test_ingest_and_store_bulk(spark, tmp_path):
     from carbon_clickhouse_spark.pipeline import IngestConfig, ingest_and_store
     from carbon_clickhouse_spark.sources.plain import parse_plain_lines

@@ -81,6 +81,100 @@ def test_streaming_ingest(spark, tmp_path):
     assert tagged.filter(F.col("tag1") == "env=test").count() == 1
 
 
+def test_collector_buffered_flush_and_counter_names(spark, tmp_path):
+    """S7: counters are send-and-reset, gauges latest-wins, points are
+    named <prefix>.<module>.<stat>, and flushes coalesce — no parquet
+    write until flush_every progress events accumulate, one file per
+    flush."""
+    import glob
+
+    from carbon_clickhouse_spark.streaming.collector import SelfMetricsCollector
+
+    out = str(tmp_path / "selfstats")
+    col = SelfMetricsCollector(
+        spark, out, prefix="carbon.agents.testhost", module="tcp",
+        flush_every=1000, flush_interval_s=9999,
+    )
+    col.add("metricsReceived", 10.0)
+    col.add("metricsReceived", 5.0)
+    col.add("errors", 2.0)
+    col.add("uploaded", 7.0, module="upload.graphite_index")
+    col.gauge("active", 3.0)
+    col.gauge("active", 4.0)  # latest wins
+    col.gauge("chunkInterval_s", 1.0, module="writer")
+    assert not os.path.exists(out)  # buffered, not flushed per event
+    col.flush()
+    got = {
+        r.path: r.value for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "carbon.agents.testhost.tcp.metricsReceived": 15.0,
+        "carbon.agents.testhost.tcp.errors": 2.0,
+        "carbon.agents.testhost.upload.graphite_index.uploaded": 7.0,
+        "carbon.agents.testhost.tcp.active": 4.0,
+        "carbon.agents.testhost.writer.chunkInterval_s": 1.0,
+    }
+    files_after_first = len(glob.glob(out + "/month=*/*.parquet"))
+    assert files_after_first == 1  # coalesced: one file per flush
+    # send-and-reset: counters cleared, gauges persist
+    col.add("metricsReceived", 1.0)
+    col.flush()
+    got2 = spark.read.parquet(out)
+    assert (
+        got2.filter(F.col("path").endswith("metricsReceived"))
+        .agg(F.sum("value"))
+        .first()[0]
+        == 16.0
+    )
+
+
+def test_ingest_reports_drop_reason_counters(spark, tmp_path):
+    """Drop-reason counters (futureDropped/pastDropped/tooLongDropped)
+    flow from the streaming batch into the collector with the
+    reference's mutually-exclusive priority."""
+    from carbon_clickhouse_spark.streaming.collector import SelfMetricsCollector
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    col = SelfMetricsCollector(
+        spark, str(tmp_path / "selfstats"), module="tcp",
+        flush_every=1000, flush_interval_s=9999,
+    )
+    cfg = StreamConfig(
+        root=root,
+        chunk_interval="1 second",
+        ingest=IngestConfig(
+            now=1625478400,
+            drop_future_seconds=3600,
+            drop_past_seconds=86400,
+            drop_longer_than=40,
+        ),
+        collector=col,
+    )
+    (landing / "chunk1.txt").write_text(
+        "\n".join(
+            [
+                "ok.metric 1.0 1625478240",
+                "way.too.far.future 1.0 9999999999",
+                "ancient.metric 1.0 1000",
+                "this.metric.name.is.way.longer.than.forty.characters 1.0 1625478240",
+            ]
+        )
+        + "\n"
+    )
+    q = start_plain_ingest(spark, file_landing_source(spark, str(landing)), cfg)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and col._counters.get(("tcp", "futureDropped"), 0) < 1:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert col._counters[("tcp", "futureDropped")] == 1.0
+    assert col._counters[("tcp", "pastDropped")] == 1.0
+    assert col._counters[("tcp", "tooLongDropped")] == 1.0
+
+
 def test_streaming_telegraf_ingest(spark, tmp_path):
     """Protocol-agnostic stream: telegraf JSON bodies through the same
     foreachBatch pipeline."""
