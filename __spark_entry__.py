@@ -692,6 +692,80 @@ def q_integral(spark, sf_dir):
     return out.select("path", "time", F.round("value", 4).alias("value"))
 
 
+def _per_ts_points(spark, sf_dir):
+    """Per-(path, time) exact-decimal sums -> double: deterministic
+    single-row-per-timestamp series for the window-function queries."""
+    return (
+        _events_points(spark, sf_dir)
+        .groupBy("path", "time")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value")
+        )
+    )
+
+
+def q_keep_last_value(spark, sf_dir):
+    """Render layer: keepLastValue(limit=3) — forward-fill gaps of at
+    most 3 consecutive NULLs (gaps synthesized by removeAboveValue)."""
+    from carbon_clickhouse_spark.query.render import (
+        keep_last_value,
+        remove_above_value,
+    )
+
+    pts = _per_ts_points(spark, sf_dir)
+    out = keep_last_value(remove_above_value(pts, 50.0), limit=3)
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_series_log_abs(spark, sf_dir):
+    """Render layer: timeShift(+1h) -> absolute -> logarithm(10)
+    composition (the point-transform family)."""
+    from carbon_clickhouse_spark.query.render import (
+        absolute,
+        logarithm,
+        time_shift,
+    )
+
+    pts = _per_ts_points(spark, sf_dir)
+    out = logarithm(absolute(time_shift(pts, 3600)), 10.0)
+    return out.select("path", "time", F.round("value", 6).alias("value"))
+
+
+def q_as_percent(spark, sf_dir):
+    """Render layer: asPercent — share of the cross-series total at
+    each timestamp (exact-decimal total, double division)."""
+    from carbon_clickhouse_spark.query.render import as_percent
+
+    pts = _per_ts_points(spark, sf_dir)
+    out = as_percent(pts)
+    return out.select("path", "time", F.round("value", 6).alias("value"))
+
+
+def q_highest_max(spark, sf_dir):
+    """Render layer: highestMax(5) — full series of the 5 paths with
+    the largest max value; distributed top-k + broadcast semi-join."""
+    from carbon_clickhouse_spark.query.render import highest
+
+    pts = _events_points(spark, sf_dir).select("path", "time", "value")
+    return highest(pts, 5, "max")
+
+
+def q_stdev_window(spark, sf_dir):
+    """Render layer: stdev(5) — trailing population stddev; exact
+    integer moment sums, bit-identical sqrt on both engines."""
+    from carbon_clickhouse_spark.query.render import stdev
+
+    return stdev(_per_ts_points(spark, sf_dir), points=5)
+
+
+def q_linear_regression(spark, sf_dir):
+    """Render layer: linearRegression — per-series least squares over
+    rebased integer times; exact BIGINT moments, double divisions."""
+    from carbon_clickhouse_spark.query.render import linear_regression
+
+    return linear_regression(_per_ts_points(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # general OLAP breadth (free in Spark; proves the engine surface)
 # ---------------------------------------------------------------------------
@@ -1011,6 +1085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_average": q_moving_average,
         "group_by_node": q_group_by_node,
         "integral": q_integral,
+        "keep_last_value": q_keep_last_value,
+        "series_log_abs": q_series_log_abs,
+        "as_percent": q_as_percent,
+        "highest_max": q_highest_max,
+        "stdev_window": q_stdev_window,
+        "linear_regression": q_linear_regression,
         "telegraf_ingest": q_telegraf_ingest,
         "prometheus_ingest": q_prometheus_ingest,
         "grpc_ingest": q_grpc_ingest,
@@ -1272,6 +1352,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, time,
                    round(CAST(sum(v) OVER (PARTITION BY path ORDER BY time) AS DOUBLE), 4) AS value
             FROM per_ts
+        """,
+        "keep_last_value": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            g AS (
+              SELECT path, time,
+                     CASE WHEN value <= 50.0 THEN value END AS value
+              FROM per_ts
+            ),
+            w AS (
+              SELECT path, time, value,
+                     last_value(value IGNORE NULLS) OVER
+                       (PARTITION BY path ORDER BY time
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+                     count(value) OVER
+                       (PARTITION BY path ORDER BY time
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM g
+            ),
+            p AS (
+              SELECT path, time, value, carried,
+                     row_number() OVER (PARTITION BY path, run ORDER BY time) - 1 AS gap_pos
+              FROM w
+            )
+            SELECT path, time,
+                   round(CASE WHEN value IS NOT NULL THEN value
+                              WHEN gap_pos <= 3 THEN carried END, 4) AS value
+            FROM p
+        """,
+        "series_log_abs": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            )
+            SELECT path, time + 3600 AS time,
+                   round(CASE WHEN abs(value) > 0
+                              THEN ln(abs(value)) / ln(10.0) END, 6) AS value
+            FROM per_ts
+        """,
+        "as_percent": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            t AS (
+              SELECT path, time, value AS v,
+                     CAST(sum(CAST(value AS DECIMAL(18,6)))
+                            OVER (PARTITION BY time) AS DOUBLE) AS total
+              FROM per_ts
+            )
+            SELECT path, time,
+                   round(CASE WHEN total <> 0 THEN v * 100 / total END, 6) AS value
+            FROM t
+        """,
+        "highest_max": f"""
+            WITH pts AS ({PTS_SQL}),
+            stat AS (
+              SELECT path, max(CAST(value AS DECIMAL(18,6))) AS stat
+              FROM pts GROUP BY path
+            ),
+            top AS (SELECT path FROM stat ORDER BY stat DESC, path ASC LIMIT 5)
+            SELECT path, time, value FROM pts
+            WHERE path IN (SELECT path FROM top)
+        """,
+        "stdev_window": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            x AS (
+              SELECT path, time, value,
+                     CAST(round(value * 100) AS BIGINT) AS x
+              FROM per_ts
+            ),
+            m AS (
+              SELECT path, time,
+                     count(value) OVER win AS n,
+                     sum(x) OVER win AS sx,
+                     sum(x * x) OVER win AS sxx
+              FROM x
+              WINDOW win AS (PARTITION BY path ORDER BY time
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            )
+            SELECT path, time,
+                   sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        / CAST(n * n * 10000 AS DOUBLE)) AS value
+            FROM m
+        """,
+        "linear_regression": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            base AS (
+              SELECT path,
+                     time - min(time) OVER (PARTITION BY path) AS t,
+                     CAST(round(value * 100) AS BIGINT) AS y2
+              FROM per_ts
+            ),
+            agg AS (
+              SELECT path, count(*) AS n, sum(t) AS st, sum(t * t) AS stt,
+                     sum(y2) AS sy, sum(t * y2) AS sty
+              FROM base GROUP BY path
+            ),
+            fit AS (
+              SELECT path,
+                     CASE WHEN CAST((n * stt - st * st) * 100 AS DOUBLE) <> 0
+                          THEN CAST(n * sty - st * sy AS DOUBLE)
+                               / CAST((n * stt - st * st) * 100 AS DOUBLE)
+                     END AS slope,
+                     CAST(sy AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean_y,
+                     CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS mean_t
+              FROM agg
+            )
+            SELECT path, slope, mean_y - slope * mean_t AS intercept FROM fit
         """,
         "telegraf_ingest": """
             SELECT concat(event_type, '?host=h', CAST(user_id % 10 AS VARCHAR)) AS path,

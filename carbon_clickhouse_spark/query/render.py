@@ -120,3 +120,169 @@ def offset(series: DataFrame, amount: float) -> DataFrame:
     return series.select(
         "path", "time", (F.col("value") + F.lit(amount)).alias("value")
     )
+
+
+def time_shift(series: DataFrame, seconds: int) -> DataFrame:
+    """Graphite ``timeShift``: move every point by ``seconds`` (positive
+    = into the past, matching timeShift(series, "+1h") semantics)."""
+    return series.select(
+        "path", (F.col("time") + F.lit(seconds)).alias("time"), "value"
+    )
+
+
+def absolute(series: DataFrame) -> DataFrame:
+    return series.select("path", "time", F.abs("value").alias("value"))
+
+
+def logarithm(series: DataFrame, base: float = 10.0) -> DataFrame:
+    """Graphite ``logarithm``: log_base(value); non-positive -> NULL
+    (Graphite draws a gap)."""
+    v = F.when(F.col("value") > 0, F.log(float(base), "value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def invert(series: DataFrame) -> DataFrame:
+    """Graphite ``invert``: 1/value; zero -> NULL."""
+    v = F.when(F.col("value") != 0, F.lit(1.0) / F.col("value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def remove_above_value(series: DataFrame, n: float) -> DataFrame:
+    """Graphite ``removeAboveValue``: points above n -> NULL."""
+    v = F.when(F.col("value") <= n, F.col("value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def remove_below_value(series: DataFrame, n: float) -> DataFrame:
+    v = F.when(F.col("value") >= n, F.col("value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def clamp(series: DataFrame, lo: float, hi: float) -> DataFrame:
+    """minimum/maximum clamp (Graphite ``limit`` family analog)."""
+    v = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+    return series.select("path", "time", v.alias("value"))
+
+
+def keep_last_value(series: DataFrame, limit: int | None = None) -> DataFrame:
+    """Graphite ``keepLastValue``: forward-fill NULL gaps per series
+    with the last non-NULL value; with ``limit`` only gaps of at most
+    ``limit`` consecutive NULLs are filled.
+
+    Two windows, no UDFs: last-non-null carry via
+    ``last(ignorenulls)``, gap length via a run-id (count of non-nulls
+    so far) and a position-within-run counter.
+    """
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    carried = F.last("value", ignorenulls=True).over(w)
+    if limit is None:
+        return series.select("path", "time", carried.alias("value"))
+    # run_id = number of non-null points at or before this row; within a
+    # NULL run it is constant, so row_number within (path, run_id) - 1
+    # is the distance from the last real point.
+    run_id = F.count("value").over(w)
+    s = series.withColumn("_run", run_id)
+    wrun = Window.partitionBy("path", "_run").orderBy("time")
+    gap_pos = F.row_number().over(wrun) - 1
+    filled = F.when(
+        F.col("value").isNotNull(), F.col("value")
+    ).when(gap_pos <= limit, carried)
+    return s.select("path", "time", filled.alias("value"))
+
+
+def as_percent(series: DataFrame) -> DataFrame:
+    """Graphite ``asPercent(series)`` with the implicit total: each
+    point as a percentage of the sum across ALL series at that
+    timestamp. DECIMAL total (exact, engine-stable), then a pure
+    double op chain (decimal *division* scales differ across engines,
+    so the division happens in IEEE doubles on both sides)."""
+    tot = Window.partitionBy("time")
+    v = F.col("value").cast("decimal(18,6)")
+    total = F.sum(v).over(tot)
+    pct = F.when(
+        total != 0,
+        v.cast("double") * 100 / total.cast("double"),
+    )
+    return series.select("path", "time", pct.alias("value"))
+
+
+def highest(series: DataFrame, n: int, func: str = "max") -> DataFrame:
+    """Graphite ``highestMax / highestCurrent / highestAverage``: keep
+    the full series of the top ``n`` paths ranked by ``func`` over the
+    window. Ties break on path (deterministic). The per-path stat is a
+    partial-aggregating groupBy; the winner set is broadcast back —
+    never a global sort of the points.
+    """
+    v = F.col("value").cast("decimal(18,6)")
+    per_path = series.groupBy("path")
+    if func == "max":
+        stat = per_path.agg(F.max(v).alias("stat"))
+    elif func == "avg":
+        stat = per_path.agg(
+            (F.sum(v).cast("double") / F.count("value")).alias("stat")
+        )
+    elif func == "current":
+        stat = per_path.agg(
+            F.max_by(v, F.col("time")).alias("stat")
+        )
+    else:
+        raise ValueError(f"unsupported func {func}")
+    # distributed top-k (TakeOrderedAndProject), NOT a global
+    # single-partition window — survives millions of paths
+    top = stat.orderBy(F.desc("stat"), F.asc("path")).limit(n).select("path")
+    # winner set is <= n rows: broadcast semi-join, no shuffle of points
+    from pyspark.sql.functions import broadcast
+
+    return series.join(broadcast(top), "path", "left_semi")
+
+
+def stdev(series: DataFrame, points: int = 5) -> DataFrame:
+    """Graphite ``stdev(series, points)``: trailing population stddev
+    over the last ``points`` samples.
+
+    Integer-exact moment sums (values scaled to 2-decimal ints), one
+    double division, one sqrt — bit-identical across engines."""
+    frame = _w().rowsBetween(-(points - 1), 0)
+    x = F.round(F.col("value") * 100).cast("long")
+    n = F.count("value").over(frame)
+    sx = F.sum(x).over(frame)
+    sxx = F.sum(x * x).over(frame)
+    # var = (n*sxx - sx^2) / (n^2 * 10^4); exact integers until the cast
+    num = (n * sxx - sx * sx).cast("double")
+    den = (n * n * F.lit(10000)).cast("double")
+    return series.select(
+        "path", "time", F.sqrt(num / den).alias("value")
+    )
+
+
+def linear_regression(series: DataFrame) -> DataFrame:
+    """Graphite ``linearRegression``: per-series least-squares fit;
+    returns one row per path with slope (per second) and intercept at
+    the series' first timestamp.
+
+    Times are re-based to min(time) per path so every moment sum stays
+    integer-exact in BIGINT; the only floating ops are the final
+    divisions (identical structure on the oracle side).
+    """
+    w = Window.partitionBy("path")
+    t = (F.col("time") - F.min("time").over(w)).alias("t")
+    y = F.round(F.col("value") * 100).cast("long").alias("y2")
+    base = series.select("path", t, y)
+    agg = base.groupBy("path").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("t") * F.col("y2")).alias("sty"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    den = (
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")) * 100
+    ).cast("double")
+    slope = F.when(den != 0, num / den)
+    mean_y = F.col("sy").cast("double") / (F.col("n") * 100).cast("double")
+    mean_t = F.col("st").cast("double") / F.col("n").cast("double")
+    intercept = mean_y - slope * mean_t
+    return agg.select(
+        "path", slope.alias("slope"), intercept.alias("intercept")
+    )

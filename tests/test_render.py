@@ -60,3 +60,104 @@ def test_integral_and_group_by_node(spark):
     assert it[("a.u1.x", 20)] == 3.0
     gb = {(r.path, r.time): r.value for r in group_by_node(s, 1, "sum").collect()}
     assert gb == {("u1", 10): 6.0, ("u1", 20): 2.0, ("u2", 10): 7.0}
+
+
+def test_point_transforms(spark):
+    from carbon_clickhouse_spark.query.render import (
+        absolute,
+        clamp,
+        invert,
+        logarithm,
+        remove_above_value,
+        remove_below_value,
+        time_shift,
+    )
+
+    s = _series(spark, [("m", 10, -4.0), ("m", 20, 0.0), ("m", 30, 100.0)])
+    assert {r.time: r.value for r in absolute(s).collect()} == {
+        10: 4.0, 20: 0.0, 30: 100.0,
+    }
+    assert {r.time: r.value for r in time_shift(s, 3600).collect()} == {
+        3610: -4.0, 3620: 0.0, 3630: 100.0,
+    }
+    lg = {r.time: r.value for r in logarithm(s, 10.0).collect()}
+    assert lg[10] is None and lg[20] is None and abs(lg[30] - 2.0) < 1e-12
+    iv = {r.time: r.value for r in invert(s).collect()}
+    assert iv == {10: -0.25, 20: None, 30: 0.01}
+    ra = {r.time: r.value for r in remove_above_value(s, 50.0).collect()}
+    assert ra == {10: -4.0, 20: 0.0, 30: None}
+    rb = {r.time: r.value for r in remove_below_value(s, 0.0).collect()}
+    assert rb == {10: None, 20: 0.0, 30: 100.0}
+    cl = {r.time: r.value for r in clamp(s, -1.0, 50.0).collect()}
+    assert cl == {10: -1.0, 20: 0.0, 30: 50.0}
+
+
+def test_keep_last_value(spark):
+    from carbon_clickhouse_spark.query.render import keep_last_value
+
+    rows = [
+        ("m", 1, None),       # leading gap: stays NULL
+        ("m", 2, 5.0),
+        ("m", 3, None),       # gap pos 1
+        ("m", 4, None),       # gap pos 2
+        ("m", 5, None),       # gap pos 3 (beyond limit=2)
+        ("m", 6, 7.0),
+        ("m", 7, None),
+    ]
+    s = spark.createDataFrame(rows, "path string, time long, value double")
+    unlimited = {r.time: r.value for r in keep_last_value(s).collect()}
+    assert unlimited == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: 5.0, 6: 7.0, 7: 7.0}
+    limited = {r.time: r.value for r in keep_last_value(s, limit=2).collect()}
+    assert limited == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: None, 6: 7.0, 7: 7.0}
+
+
+def test_as_percent(spark):
+    from carbon_clickhouse_spark.query.render import as_percent
+
+    s = _series(
+        spark,
+        [("a", 10, 1.0), ("b", 10, 3.0), ("a", 20, 2.0), ("b", 20, 2.0)],
+    )
+    pct = {(r.path, r.time): r.value for r in as_percent(s).collect()}
+    assert pct == {
+        ("a", 10): 25.0, ("b", 10): 75.0, ("a", 20): 50.0, ("b", 20): 50.0,
+    }
+
+
+def test_highest(spark):
+    from carbon_clickhouse_spark.query.render import highest
+
+    rows = []
+    for p, vals in {"a": [1, 9], "b": [5, 5], "c": [2, 3], "d": [8, 0]}.items():
+        rows += [(p, 10 * (i + 1), float(v)) for i, v in enumerate(vals)]
+    s = _series(spark, rows)
+    top_max = {r.path for r in highest(s, 2, "max").collect()}
+    assert top_max == {"a", "d"}
+    top_avg = {r.path for r in highest(s, 2, "avg").collect()}
+    assert top_avg == {"a", "b"}          # avgs: a=5, b=5, c=2.5, d=4 (tie a<b)
+    top_cur = {r.path for r in highest(s, 2, "current").collect()}
+    assert top_cur == {"a", "b"}          # last values: a=9, b=5, c=3, d=0
+
+
+def test_stdev(spark):
+    from carbon_clickhouse_spark.query.render import stdev
+
+    s = _series(spark, [("m", 10, 2.0), ("m", 20, 4.0), ("m", 30, 4.0)])
+    sd = {r.time: r.value for r in stdev(s, points=3).collect()}
+    assert sd[10] == 0.0
+    assert sd[20] == 1.0                  # pop stddev of (2,4)
+    assert abs(sd[30] - (8.0 / 9.0) ** 0.5) < 1e-12
+
+
+def test_linear_regression(spark):
+    from carbon_clickhouse_spark.query.render import linear_regression
+
+    # y = 2x + 1 at t = 0,10,20 -> slope 2, intercept 1 (t rebased)
+    s = _series(spark, [("m", 100, 1.0), ("m", 110, 21.0), ("m", 120, 41.0)])
+    row = linear_regression(s).collect()[0]
+    assert abs(row.slope - 2.0) < 1e-12
+    assert abs(row.intercept - 1.0) < 1e-12
+    # constant series -> slope 0, intercept = the constant
+    c = _series(spark, [("c", 0, 5.0), ("c", 10, 5.0)])
+    r2 = linear_regression(c).collect()[0]
+    assert r2.slope == 0.0 and abs(r2.intercept - 5.0) < 1e-12
