@@ -1044,6 +1044,47 @@ def q_dedup_survivors(spark, sf_dir):
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source")
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: distinct-token ratio, top
+    token/bigram fractions, mean token length — one shuffle-free
+    Arrow pass."""
+    from carbon_clickhouse_spark.datapipe.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-label embedding norm distribution over exact quantized
+    integer dot products."""
+    from carbon_clickhouse_spark.datapipe.similarity import embedding_stats
+
+    out = embedding_stats(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        F.col("grp").alias("label"), "n_vecs", "avg_sq_norm", "min_norm", "max_norm"
+    )
+
+
+def q_knn_label_noise(spark, sf_dir):
+    """kNN majority-label vote vs own label — label-noise detection
+    over the embedding table (50 query vectors, k=10)."""
+    from carbon_clickhouse_spark.datapipe.similarity import knn_label_vote
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(embs, embs.filter(F.col("vec_id") < 50), k=10)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the LSH near-dup pairs: connected
+    components (alternating large/small-star) -> one cluster id per
+    doc, with the smallest doc_id as keeper."""
+    from carbon_clickhouse_spark.datapipe.cluster import dedup_clusters
+    from carbon_clickhouse_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_clusters(docs, minhash_lsh_pairs(docs))
+    return out.withColumn("is_keeper", F.col("is_keeper").cast("long"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.multimodal import (
         attach_fake_payload,
@@ -1117,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "quality_filter": q_quality_filter,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_clusters": q_dedup_clusters,
+        "repetition_signals": q_repetition_signals,
+        "embedding_stats": q_embedding_stats,
+        "knn_label_noise": q_knn_label_noise,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1701,6 +1746,131 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "repetition_signals": f"""
+            WITH t AS (SELECT doc_id, toks FROM ({TOKS_SQL})),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+            ts AS (
+              SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                     max(c) AS top_tok
+              FROM tc GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS b
+              FROM t WHERE len(toks) >= 2
+            ),
+            bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+            bs AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id),
+            ls AS (
+              SELECT doc_id,
+                     list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+                     len(toks) AS nt
+              FROM t
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(ts.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CASE WHEN coalesce(ts.n_tokens, 0) > 0
+                        THEN round(CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens, 4)
+                   END AS distinct_ratio,
+                   CASE WHEN coalesce(ts.n_tokens, 0) > 0
+                        THEN round(CAST(ts.top_tok AS DOUBLE) / ts.n_tokens, 4)
+                   END AS top_token_frac,
+                   CASE WHEN ls.nt >= 2
+                        THEN round(CAST(bs.top_bg AS DOUBLE) / (ls.nt - 1), 4)
+                   END AS top_bigram_frac,
+                   CASE WHEN coalesce(ts.n_tokens, 0) > 0
+                        THEN round(CAST(ls.sum_len AS DOUBLE) / ts.n_tokens, 4)
+                   END AS mean_token_len
+            FROM t
+            LEFT JOIN ts USING (doc_id)
+            LEFT JOIN bs USING (doc_id)
+            LEFT JOIN ls USING (doc_id)
+        """,
+        "embedding_stats": """
+            WITH v AS (
+              SELECT label,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ),
+            d AS (
+              SELECT label,
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                                                  i -> q[i] * q[i])) AS BIGINT) AS d
+              FROM v
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(d) AS DOUBLE)
+                     / CAST(count(*) * 1000000 AS DOUBLE) AS avg_sq_norm,
+                   sqrt(CAST(min(d) AS DOUBLE)) / 1000 AS min_norm,
+                   sqrt(CAST(max(d) AS DOUBLE)) / 1000 AS max_norm
+            FROM d GROUP BY label
+        """,
+        "knn_label_noise": f"""
+            WITH v AS ({QVEC_SQL}),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round({_dot_sql('q.q', 'c.q')}
+                       / (sqrt({_dot_sql('q.q', 'q.q')}) * sqrt({_dot_sql('c.q', 'c.q')})), 6) AS cosine
+              FROM v q JOIN v c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 50
+            ),
+            rk AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ),
+            nn AS (SELECT query_id, neighbor_id FROM rk WHERE rank <= 10),
+            votes AS (
+              SELECT nn.query_id, e.label AS nbr_label,
+                     CAST(count(*) AS BIGINT) AS n_votes
+              FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+              GROUP BY 1, 2
+            ),
+            pick AS (
+              SELECT query_id, nbr_label, n_votes,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY n_votes DESC, nbr_label ASC) AS rn
+              FROM votes
+            )
+            SELECT p.query_id, CAST(e.label AS BIGINT) AS own_label,
+                   CAST(p.nbr_label AS BIGINT) AS pred_label, p.n_votes,
+                   CAST(e.label = p.nbr_label AS BIGINT) AS is_match
+            FROM pick p JOIN embeddings e ON e.vec_id = p.query_id
+            WHERE p.rn = 1
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})),
+            sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+            bands AS ({bands_union}),
+            edges AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            ),
+            sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+            reach(node, r) AS (
+              SELECT u, u FROM sym
+              UNION
+              SELECT s.v, r.r FROM reach r JOIN sym s ON s.u = r.node
+            ),
+            labels AS (
+              SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            sizes AS (
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM labels GROUP BY cluster_id
+            )
+            SELECT l.doc_id, l.cluster_id, s.cluster_size,
+                   CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_keeper
+            FROM labels l JOIN sizes s USING (cluster_id)
         """,
         "multimodal_features": """
             SELECT doc_id,

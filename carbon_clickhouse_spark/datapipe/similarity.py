@@ -291,6 +291,80 @@ def ivf_topk(
     )
 
 
+def embedding_stats(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """Per-group embedding distribution stats:
+    (group, n_vecs, avg_sq_norm, min_norm, max_norm).
+
+    Norms run over quantized int64 dot products, so every aggregate is
+    an exact integer (order-independent — float sums would depend on
+    partitioning); the only doubles are the final identical division /
+    sqrt chains. One partial-aggregating groupBy on the group key.
+    """
+    s2 = quantize_scale * quantize_scale
+    d = _dot_int(quantize(F.col(vec_col), quantize_scale), quantize(F.col(vec_col), quantize_scale))
+    per_vec = embeddings.select(F.col(group_col).alias("grp"), d.alias("d"))
+    return per_vec.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum("d").cast("double")
+            / (F.count("*") * F.lit(s2)).cast("double")
+        ).alias("avg_sq_norm"),
+        (F.sqrt(F.min("d").cast("double")) / quantize_scale).alias("min_norm"),
+        (F.sqrt(F.max("d").cast("double")) / quantize_scale).alias("max_norm"),
+    )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label vote — the label-noise / auto-label primitive: each
+    query's predicted label is the majority label of its k nearest
+    neighbors (ties -> smallest label), compared against its own.
+
+    -> (query_id, own_label, pred_label, n_votes, is_match). Built on
+    :func:`brute_force_topk` (swap in :func:`ivf_topk` candidates at
+    scale); the vote is a groupBy on (query_id, label) + a k-row
+    window — negligible next to the scoring join.
+    """
+    nn = brute_force_topk(embeddings, queries, k, id_col, vec_col)
+    nbr_labels = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        nn.join(nbr_labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"), "n_votes")
+    )
+    own = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("own_label")
+    )
+    return pred.join(own, "query_id").select(
+        "query_id",
+        F.col("own_label").cast("long").alias("own_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        "n_votes",
+        (F.col("own_label") == F.col("pred_label")).cast("long").alias("is_match"),
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int, scale: int = 1) -> list[float]:
     """Deterministic pseudo-random hyperplane from a hash recurrence
     (no numpy RNG so results are reproducible everywhere)."""

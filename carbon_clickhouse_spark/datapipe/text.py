@@ -90,6 +90,86 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", best_lang.alias("lang_pred"))
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (doc_id, n_tokens, n_distinct, distinct_ratio, top_token_frac,
+    top_bigram_frac, mean_token_len).
+
+    High top-token / top-bigram fractions and low distinct ratios mark
+    boilerplate and degenerate repetition (Rae et al., Gopher, §A1.1
+    repetition filters; line-level signals don't apply — corpus text
+    is single-line).
+
+    Scale shape: the counting is per-document local, so it runs as ONE
+    Arrow-batched map pass with ZERO shuffles — strictly better than
+    explode + two groupBys, which would shuffle every token. Python
+    emits only exact integer counts; the ratio divisions + rounding
+    stay in codegen (Python's round() is banker's, which disagrees
+    with both engines' HALF_UP on grid midpoints).
+    """
+    import collections
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    counts_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("top_token_cnt", T.LongType()),
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("top_bigram_cnt", T.LongType()),
+            T.StructField("sum_token_len", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                tc = collections.Counter(toks)
+                bigrams = collections.Counter(
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(toks),
+                        len(tc),
+                        max(tc.values()) if tc else 0,
+                        max(len(toks) - 1, 0),
+                        max(bigrams.values()) if bigrams else 0,
+                        sum(len(t) for t in toks),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in counts_schema])
+
+    counts = df.select(id_col, text_col).mapInPandas(run, counts_schema)
+    n = F.col("n_tokens")
+    nb = F.col("n_bigrams")
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.when(n > 0, F.round(F.col("n_distinct").cast("double") / n, 4)).alias(
+            "distinct_ratio"
+        ),
+        F.when(n > 0, F.round(F.col("top_token_cnt").cast("double") / n, 4)).alias(
+            "top_token_frac"
+        ),
+        F.when(
+            nb > 0, F.round(F.col("top_bigram_cnt").cast("double") / nb, 4)
+        ).alias("top_bigram_frac"),
+        F.when(n > 0, F.round(F.col("sum_token_len").cast("double") / n, 4)).alias(
+            "mean_token_len"
+        ),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text. md5 (not xxhash) so external engines can reproduce it."""

@@ -222,3 +222,72 @@ def test_ivf_topk_recall(embs):
     for rows in by_q.values():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_repetition_signals(spark):
+    from carbon_clickhouse_spark.datapipe.text import repetition_signals
+
+    rows = [
+        (1, "a a a b"),            # top token 3/4, bigram "a a" 2/3
+        (2, "x"),                  # single token: no bigrams
+        (3, "one two three four"), # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 2
+    assert got[1].top_token_frac == 0.75
+    assert got[1].top_bigram_frac == round(2 / 3, 4)
+    assert got[1].mean_token_len == 1.0
+    assert got[2].n_tokens == 1 and got[2].top_bigram_frac is None
+    assert got[3].distinct_ratio == 1.0 and got[3].top_token_frac == 0.25
+
+
+def test_embedding_stats(spark):
+    from carbon_clickhouse_spark.datapipe.similarity import embedding_stats
+
+    rows = [
+        (1, [3.0, 4.0], 0),   # norm 5
+        (2, [6.0, 8.0], 0),   # norm 10
+        (3, [1.0, 0.0], 1),   # norm 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.grp: r for r in embedding_stats(df).collect()}
+    assert got[0].n_vecs == 2
+    assert abs(got[0].avg_sq_norm - 62.5) < 1e-9
+    assert abs(got[0].min_norm - 5.0) < 1e-9
+    assert abs(got[0].max_norm - 10.0) < 1e-9
+    assert got[1].n_vecs == 1 and abs(got[1].avg_sq_norm - 1.0) < 1e-9
+
+
+def test_knn_label_vote(embs):
+    from carbon_clickhouse_spark.datapipe.similarity import knn_label_vote
+
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = knn_label_vote(embs, qs, k=5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert 1 <= r.n_votes <= 5
+        assert r.is_match == (1 if r.own_label == r.pred_label else 0)
+    # the vote must equal a hand count over the brute-force neighbors
+    nn = brute_force_topk(embs, qs, k=5).collect()
+    labels = {r.vec_id: r.label for r in embs.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in nn:
+        by_q.setdefault(r.query_id, []).append(labels[r.neighbor_id])
+    for r in out:
+        votes = by_q[r.query_id]
+        best = max(set(votes), key=lambda l: (votes.count(l), -l))
+        assert r.pred_label == best
+        assert r.n_votes == votes.count(best)
+
+
+def test_connected_cluster_pipeline(docs):
+    """End-to-end: LSH pairs -> components -> every edge endpoint
+    shares its partner's cluster."""
+    from carbon_clickhouse_spark.datapipe.cluster import connected_components
+
+    edges = minhash_lsh_pairs(docs)
+    comp = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    for e in edges.collect():
+        assert comp[e.doc_a] == comp[e.doc_b]
+        assert comp[e.doc_a] <= min(e.doc_a, e.doc_b)
