@@ -110,6 +110,23 @@ def parse_tags_col(path: Column) -> Column:
     return F.struct(name.alias("name"), tags.alias("tags"))
 
 
+def graphite_invalid_col(s: Column) -> Column:
+    """True exactly when :func:`graphite_canonicalize_col` would
+    return NULL (tagged name failing validation).
+
+    Split out so callers can FILTER on this cheap predicate (split +
+    exists, no URL escaping) and keep the expensive canonicalize
+    expression referenced exactly once afterwards — a filter on the
+    canonicalize output inlines the whole (interpreted, lambda-bearing)
+    expression into every reference, tripling per-row work."""
+    has_tags = s.contains(";")
+    name = F.substring_index(s, ";", 1)
+    all_segs = F.split(s, ";")
+    segs = F.slice(all_segs, 2, F.size(all_segs))
+    seg_bad = F.exists(segs, lambda x: (x == "") | (F.instr(x, "=") < 2))
+    return has_tags & ((F.length(name) == 0) | seg_bad)
+
+
 def graphite_canonicalize_col(s: Column) -> Column:
     """``name;k=v;...`` -> canonical ``escaped?k=v&...`` | passthrough
     for untagged | NULL on parse errors (caller drops).

@@ -142,31 +142,58 @@ def ingest_and_store(
     # semantics; idempotent w.r.t. the replacing-dedup read views)
 
     stored = spark.read.parquet(os.path.join(root, "points")).drop("month")
-    (
-        stored.withColumn("path", path_reverse("path"))
-        .withColumn("month", F.date_format("date", "yyyyMM"))
-        .sortWithinPartitions("path", "time")
-        .write.mode("overwrite")
-        .parquet(os.path.join(root, "points_reverse"))
-    )
 
-    index_df = build_index(stored, disable_daily=config.disable_daily_index)
-    tagged_df = build_tagged(stored, ignored_metrics=config.ignored_tagged_metrics)
-    if exists_cache:
-        try:
-            existing = spark.read.parquet(os.path.join(root, "index"))
-            index_df = new_series_only(index_df, existing, ["date", "level", "path"])
-        except Exception:
-            pass
-        try:
-            existing_t = spark.read.parquet(os.path.join(root, "tagged"))
-            tagged_df = new_series_only(tagged_df, existing_t, ["date", "tag1", "path"])
-        except Exception:
-            pass
+    def _write_reverse():
+        (
+            stored.withColumn("path", path_reverse("path"))
+            .withColumn("month", F.date_format("date", "yyyyMM"))
+            .sortWithinPartitions("path", "time")
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(os.path.join(root, "points_reverse"))
+        )
+
     index_mode = "append" if exists_cache else "overwrite"
-    index_df.sortWithinPartitions("path").write.mode(index_mode).parquet(
-        os.path.join(root, "index")
-    )
-    tagged_df.sortWithinPartitions("path").write.mode(index_mode).parquet(
-        os.path.join(root, "tagged")
-    )
+
+    def _write_index():
+        index_df = build_index(stored, disable_daily=config.disable_daily_index)
+        if exists_cache:
+            try:
+                existing = spark.read.parquet(os.path.join(root, "index"))
+                index_df = new_series_only(
+                    index_df, existing, ["date", "level", "path"]
+                )
+            except Exception:
+                pass
+        index_df.sortWithinPartitions("path").write.mode(index_mode).parquet(
+            os.path.join(root, "index")
+        )
+
+    def _write_tagged():
+        tagged_df = build_tagged(
+            stored, ignored_metrics=config.ignored_tagged_metrics
+        )
+        if exists_cache:
+            try:
+                existing_t = spark.read.parquet(os.path.join(root, "tagged"))
+                tagged_df = new_series_only(
+                    tagged_df, existing_t, ["date", "tag1", "path"]
+                )
+            except Exception:
+                pass
+        tagged_df.sortWithinPartitions("path").write.mode(index_mode).parquet(
+            os.path.join(root, "tagged")
+        )
+
+    # the three derived tables scan the same stored points independently
+    # — submit them as concurrent jobs (Spark's scheduler interleaves
+    # their stages; on a cluster this keeps executors saturated instead
+    # of serializing three small jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(fn) for fn in (_write_reverse, _write_index, _write_tagged)
+        ]
+        for f in futures:
+            f.result()

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import ts_to_date
 from ..functions.paths import normalize_double_dot
 from ..functions.tags import TagConfig
-from ..functions.tags_jvm import graphite_canonicalize_col
+from ..functions.tags_jvm import graphite_canonicalize_col, graphite_invalid_col
 from ..functions.udfs import make_graphite_canonicalize_udf
 
 
@@ -94,18 +94,23 @@ def parse_plain_lines(
         # templates may tag ANY name -> rows go through Python (P4)
         canon = make_graphite_canonicalize_udf(tag_config)
         df = df.withColumn("path", canon(F.col("__name_norm")))
+        df = df.filter(F.col("path").isNotNull() & (F.col("path") != ""))
     elif dedup_names:
         mapping = df.select("__name_norm").distinct().withColumn(
             "path", graphite_canonicalize_col(F.col("__name_norm"))
         )
         df = df.join(mapping, "__name_norm", "left")
+        df = df.filter(F.col("path").isNotNull() & (F.col("path") != ""))
     else:
-        # P3 runs fully JVM-side (tags_jvm parity expressions): one
-        # scan, zero Python in the hot path
-        df = df.withColumn(
-            "path", graphite_canonicalize_col(F.col("__name_norm"))
-        )
-    df = df.filter(F.col("path").isNotNull() & (F.col("path") != ""))
+        # P3 runs fully JVM-side (tags_jvm parity expressions). Filter
+        # FIRST on the cheap validity predicate so the (interpreted,
+        # lambda-bearing) canonicalize expression is referenced exactly
+        # once — filtering on its output inlines it into every
+        # reference, tripling the per-line cost.
+        df = df.filter(
+            ~graphite_invalid_col(F.col("__name_norm"))
+            & (F.col("__name_norm") != "")
+        ).withColumn("path", graphite_canonicalize_col(F.col("__name_norm")))
 
     version = F.lit(0).cast("long") if zero_version else now_col
     return df.select(
