@@ -768,6 +768,52 @@ def q_linear_regression(spark, sf_dir):
     return linear_regression(_per_ts_points(spark, sf_dir))
 
 
+def q_series_combine(spark, sf_dir):
+    """Render layer: sumSeries / averageSeries / maxSeries / minSeries
+    cross-series collapse, one labeled output series each."""
+    from carbon_clickhouse_spark.query.render import combine_series
+
+    pts = _per_ts_points(spark, sf_dir)
+    out = None
+    for func in ("sum", "avg", "max", "min"):
+        c = combine_series(pts, func)
+        out = c if out is None else out.unionByName(c)
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_diff_divide(spark, sf_dir):
+    """Render layer: diffSeries + divideSeries between two concrete
+    series (missing subtrahend -> 0; zero/missing divisor -> NULL)."""
+    from carbon_clickhouse_spark.query.render import diff_series, divide_series
+
+    pts = _per_ts_points(spark, sf_dir)
+    a = pts.filter(F.col("path") == "ev.u1.click")
+    b = pts.filter(F.col("path") == "ev.u2.view")
+    out = diff_series(a, b).unionByName(divide_series(a, b))
+    return out.select("path", "time", F.round("value", 6).alias("value"))
+
+
+def q_changed_alias(spark, sf_dir):
+    """Render layer composition: grep -> changed -> aliasByNode."""
+    from carbon_clickhouse_spark.query.render import (
+        alias_by_node,
+        changed,
+        grep,
+    )
+
+    pts = _per_ts_points(spark, sf_dir)
+    return alias_by_node(changed(grep(pts, r"^ev\.u1\.")), 1, 2)
+
+
+def q_n_percentile(spark, sf_dir):
+    """Render layer: nPercentile(90) — per-series interpolated
+    percentile constant."""
+    from carbon_clickhouse_spark.query.render import n_percentile
+
+    out = n_percentile(_per_ts_points(spark, sf_dir), 90)
+    return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # general OLAP breadth (free in Spark; proves the engine surface)
 # ---------------------------------------------------------------------------
@@ -1134,6 +1180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highest_max": q_highest_max,
         "stdev_window": q_stdev_window,
         "linear_regression": q_linear_regression,
+        "series_combine": q_series_combine,
+        "diff_divide": q_diff_divide,
+        "changed_alias": q_changed_alias,
+        "n_percentile": q_n_percentile,
         "telegraf_ingest": q_telegraf_ingest,
         "prometheus_ingest": q_prometheus_ingest,
         "grpc_ingest": q_grpc_ingest,
@@ -1521,6 +1571,75 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             )
             SELECT path, slope, mean_y - slope * mean_t AS intercept FROM fit
+        """,
+        "series_combine": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            )
+            SELECT 'sumSeries' AS path, time,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS value
+            FROM per_ts GROUP BY time
+            UNION ALL
+            SELECT 'avgSeries', time,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(value), 4)
+            FROM per_ts GROUP BY time
+            UNION ALL
+            SELECT 'maxSeries', time,
+                   round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+            FROM per_ts GROUP BY time
+            UNION ALL
+            SELECT 'minSeries', time,
+                   round(CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+            FROM per_ts GROUP BY time
+        """,
+        "diff_divide": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            a AS (SELECT time, value AS va FROM per_ts WHERE path = 'ev.u1.click'),
+            b AS (SELECT time, value AS vb FROM per_ts WHERE path = 'ev.u2.view')
+            SELECT 'diffSeries' AS path, a.time,
+                   round(va - coalesce(vb, 0.0), 6) AS value
+            FROM a LEFT JOIN b USING (time)
+            UNION ALL
+            SELECT 'divideSeries', a.time,
+                   round(CASE WHEN vb IS NOT NULL AND vb <> 0
+                              THEN va / vb END, 6)
+            FROM a LEFT JOIN b USING (time)
+        """,
+        "changed_alias": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            f AS (SELECT * FROM per_ts WHERE regexp_matches(path, '^ev\\.u1\\.')),
+            c AS (
+              SELECT path, time,
+                     CASE WHEN lag(value) OVER (PARTITION BY path ORDER BY time)
+                               IS NOT NULL
+                           AND value <> lag(value) OVER (PARTITION BY path ORDER BY time)
+                          THEN 1.0 ELSE 0.0 END AS value
+              FROM f
+            )
+            SELECT string_split(path, '.')[2] || '.' || string_split(path, '.')[3] AS path,
+                   time, value
+            FROM c
+        """,
+        "n_percentile": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            )
+            SELECT path, time,
+                   round(quantile_cont(value, 0.9) OVER (PARTITION BY path), 4) AS value
+            FROM per_ts
         """,
         "telegraf_ingest": """
             SELECT concat(event_type, '?host=h', CAST(user_id % 10 AS VARCHAR)) AS path,

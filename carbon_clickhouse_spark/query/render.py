@@ -255,6 +255,94 @@ def stdev(series: DataFrame, points: int = 5) -> DataFrame:
     )
 
 
+def combine_series(series: DataFrame, func: str = "sum") -> DataFrame:
+    """Graphite ``sumSeries / averageSeries / maxSeries / minSeries``:
+    collapse ALL input series into one series per timestamp, labeled
+    ``<func>Series``. Exact-decimal sums; min/max are order-free."""
+    v = F.col("value").cast("decimal(18,6)")
+    g = series.groupBy("time")
+    if func == "sum":
+        out = g.agg(F.sum(v).cast("double").alias("value"))
+    elif func == "avg":
+        out = g.agg(
+            (F.sum(v).cast("double") / F.count("value")).alias("value")
+        )
+    elif func == "max":
+        out = g.agg(F.max(v).cast("double").alias("value"))
+    elif func == "min":
+        out = g.agg(F.min(v).cast("double").alias("value"))
+    else:
+        raise ValueError(f"unsupported func {func}")
+    return out.select(F.lit(f"{func}Series").alias("path"), "time", "value")
+
+
+def diff_series(minuend: DataFrame, subtrahend: DataFrame) -> DataFrame:
+    """Graphite ``diffSeries(a, b)``: a - b per timestamp; a missing
+    minuend point yields NULL, a missing subtrahend counts as 0
+    (Graphite's safeDiff over non-None terms)."""
+    a = minuend.select("time", F.col("value").alias("va"))
+    b = subtrahend.select("time", F.col("value").alias("vb"))
+    j = a.join(b, "time", "left")
+    return j.select(
+        F.lit("diffSeries").alias("path"),
+        "time",
+        (F.col("va") - F.coalesce(F.col("vb"), F.lit(0.0))).alias("value"),
+    )
+
+
+def divide_series(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
+    """Graphite ``divideSeries(a, b)``: a / b per timestamp; NULL when
+    the divisor is 0 or missing."""
+    a = dividend.select("time", F.col("value").alias("va"))
+    b = divisor.select("time", F.col("value").alias("vb"))
+    j = a.join(b, "time", "left")
+    v = F.when(
+        F.col("vb").isNotNull() & (F.col("vb") != 0), F.col("va") / F.col("vb")
+    )
+    return j.select(F.lit("divideSeries").alias("path"), "time", v.alias("value"))
+
+
+def changed(series: DataFrame) -> DataFrame:
+    """Graphite ``changed``: 1 where the value differs from the
+    previous point of the same series, else 0 (first point -> 0)."""
+    prev = F.lag("value").over(_w())
+    v = F.when(
+        prev.isNotNull() & (F.col("value") != prev), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return series.select("path", "time", v.alias("value"))
+
+
+def exclude(series: DataFrame, pattern: str) -> DataFrame:
+    """Graphite ``exclude``: drop series whose path matches the regex."""
+    return series.filter(~F.col("path").rlike(pattern))
+
+
+def grep(series: DataFrame, pattern: str) -> DataFrame:
+    """Graphite ``grep``: keep only series whose path matches."""
+    return series.filter(F.col("path").rlike(pattern))
+
+
+def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
+    """Graphite ``aliasByNode``: rename each series to the selected
+    dot-segments of its path (0-based)."""
+    segs = F.split(F.col("path"), r"\.")
+    new_path = F.concat_ws(".", *[segs.getItem(n) for n in nodes])
+    return series.select(
+        new_path.alias("path"), "time", "value"
+    )
+
+
+def n_percentile(series: DataFrame, n: float) -> DataFrame:
+    """Graphite ``nPercentile``: each series flattened to its n-th
+    percentile (interpolated) — one row per (path, time) carrying the
+    per-series constant."""
+    # aggregate-over-window: one shuffle on path, no broadcast (the
+    # per-path stat table can be huge — millions of series)
+    w = Window.partitionBy("path")
+    pv = F.expr(f"percentile(value, {n / 100.0})").over(w)
+    return series.select("path", "time", pv.alias("value"))
+
+
 def linear_regression(series: DataFrame) -> DataFrame:
     """Graphite ``linearRegression``: per-series least-squares fit;
     returns one row per path with slope (per second) and intercept at

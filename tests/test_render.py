@@ -161,3 +161,63 @@ def test_linear_regression(spark):
     c = _series(spark, [("c", 0, 5.0), ("c", 10, 5.0)])
     r2 = linear_regression(c).collect()[0]
     assert r2.slope == 0.0 and abs(r2.intercept - 5.0) < 1e-12
+
+
+def test_combine_series(spark):
+    from carbon_clickhouse_spark.query.render import combine_series
+
+    s = _series(
+        spark,
+        [("a", 10, 1.0), ("b", 10, 3.0), ("a", 20, 2.0), ("b", 20, 6.0)],
+    )
+    for func, exp in (
+        ("sum", {10: 4.0, 20: 8.0}),
+        ("avg", {10: 2.0, 20: 4.0}),
+        ("max", {10: 3.0, 20: 6.0}),
+        ("min", {10: 1.0, 20: 2.0}),
+    ):
+        rows = combine_series(s, func).collect()
+        assert {r.time: r.value for r in rows} == exp
+        assert all(r.path == f"{func}Series" for r in rows)
+
+
+def test_diff_divide_series(spark):
+    from carbon_clickhouse_spark.query.render import diff_series, divide_series
+
+    a = _series(spark, [("a", 10, 6.0), ("a", 20, 8.0), ("a", 30, 1.0)])
+    b = _series(spark, [("b", 10, 2.0), ("b", 20, 0.0)])
+    d = {r.time: r.value for r in diff_series(a, b).collect()}
+    assert d == {10: 4.0, 20: 8.0, 30: 1.0}      # missing subtrahend -> 0
+    q = {r.time: r.value for r in divide_series(a, b).collect()}
+    assert q == {10: 3.0, 20: None, 30: None}    # /0 and /missing -> NULL
+
+
+def test_changed_exclude_grep_alias(spark):
+    from carbon_clickhouse_spark.query.render import (
+        alias_by_node,
+        changed,
+        exclude,
+        grep,
+    )
+
+    s = _series(
+        spark,
+        [("x.y.z", 10, 1.0), ("x.y.z", 20, 1.0), ("x.y.z", 30, 2.0),
+         ("q.r.s", 10, 5.0)],
+    )
+    ch = {(r.path, r.time): r.value for r in changed(s).collect()}
+    assert ch[("x.y.z", 10)] == 0.0
+    assert ch[("x.y.z", 20)] == 0.0
+    assert ch[("x.y.z", 30)] == 1.0
+    assert {r.path for r in exclude(s, "^x\\.").collect()} == {"q.r.s"}
+    assert {r.path for r in grep(s, "^x\\.").collect()} == {"x.y.z"}
+    al = {r.path for r in alias_by_node(s, 1, 2).collect()}
+    assert al == {"y.z", "r.s"}
+
+
+def test_n_percentile(spark):
+    from carbon_clickhouse_spark.query.render import n_percentile
+
+    s = _series(spark, [("m", t, float(v)) for t, v in ((10, 1), (20, 2), (30, 3), (40, 4))])
+    out = {r.time: r.value for r in n_percentile(s, 50).collect()}
+    assert out == {10: 2.5, 20: 2.5, 30: 2.5, 40: 2.5}
