@@ -159,26 +159,48 @@ def start_ingest(
 
             index_df, tagged_df = tables["index"], tables["tagged"]
             if config.exists_cache:
+                # one dates probe off the persisted batch, shared by
+                # both anti-joins (was one collect per table)
+                batch_dates = [
+                    r["date"] for r in points.select("date").distinct().collect()
+                ]
                 index_df = _anti_existing(
-                    spark_b, index_df, config.root, "index", ["date", "level", "path"]
+                    spark_b, index_df, config.root, "index",
+                    ["date", "level", "path"], batch_dates,
                 )
                 tagged_df = _anti_existing(
-                    spark_b, tagged_df, config.root, "tagged", ["date", "tag1", "path"]
+                    spark_b, tagged_df, config.root, "tagged",
+                    ["date", "tag1", "path"], batch_dates,
                 )
 
-            for name, df in (
-                ("points", tables["points"]),
-                ("points_reverse", tables["points_reverse"]),
-            ):
+            def _write_points(name):
                 (
-                    df.withColumn("month", F.date_format("date", "yyyyMM"))
+                    tables[name]
+                    .withColumn("month", F.date_format("date", "yyyyMM"))
                     .sortWithinPartitions("path", "time")
                     .write.mode("append")
                     .partitionBy("month")
                     .parquet(os.path.join(config.root, name))
                 )
-            index_df.write.mode("append").parquet(os.path.join(config.root, "index"))
-            tagged_df.write.mode("append").parquet(os.path.join(config.root, "tagged"))
+
+            def _write_series(name, df):
+                df.write.mode("append").parquet(os.path.join(config.root, name))
+
+            # the four table writes share the persisted batch and are
+            # independent jobs — run them concurrently (the micro-batch
+            # still commits only after every write returns, so the K6
+            # sync-ack semantics are unchanged)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futures = [
+                    pool.submit(_write_points, "points"),
+                    pool.submit(_write_points, "points_reverse"),
+                    pool.submit(_write_series, "index", index_df),
+                    pool.submit(_write_series, "tagged", tagged_df),
+                ]
+                for f in futures:
+                    f.result()
         finally:
             points.unpersist()
 
@@ -191,7 +213,12 @@ def start_ingest(
 
 
 def _anti_existing(
-    spark: SparkSession, df: DataFrame, root: str, table: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    table: str,
+    keys: list[str],
+    batch_dates: list | None = None,
 ) -> DataFrame:
     path = os.path.join(root, table)
     try:
@@ -206,7 +233,11 @@ def _anti_existing(
     if "date" in df.columns and "date" in existing.columns:
         from ..functions.dates import TREE_DATE
 
-        batch_dates = [r["date"] for r in df.select("date").distinct().collect()]
+        if batch_dates is None:
+            batch_dates = [
+                r["date"] for r in df.select("date").distinct().collect()
+            ]
+        batch_dates = list(batch_dates)
         if TREE_DATE not in batch_dates:
             batch_dates.append(TREE_DATE)
         existing = existing.filter(F.col("date").isin(batch_dates))
