@@ -768,6 +768,31 @@ def q_linear_regression(spark, sf_dir):
     return linear_regression(_per_ts_points(spark, sf_dir))
 
 
+def q_ema(spark, sf_dir):
+    """Render layer: exponentialMovingAverage(10) — per-series EMA
+    recursion via applyInPandas (oracle: recursive CTE)."""
+    from carbon_clickhouse_spark.query.render import (
+        exponential_moving_average,
+    )
+
+    out = exponential_moving_average(_per_ts_points(spark, sf_dir), window=10)
+    # floor(x*1e6+0.5)/1e6 instead of round(): engines' round() of a
+    # double disagree within an ulp of the grid midpoint; this chain is
+    # the same IEEE ops on both sides
+    v6 = F.floor(F.col("value") * 1e6 + 0.5) / 1e6
+    return out.select("path", "time", v6.alias("value"))
+
+
+def q_holt_forecast(spark, sf_dir):
+    """Render layer: Holt linear one-step-ahead forecast (the
+    non-seasonal holtWintersForecast core)."""
+    from carbon_clickhouse_spark.query.render import holt_forecast
+
+    out = holt_forecast(_per_ts_points(spark, sf_dir))
+    f6 = F.floor(F.col("forecast") * 1e6 + 0.5) / 1e6
+    return out.select("path", "time", f6.alias("forecast"))
+
+
 def q_series_combine(spark, sf_dir):
     """Render layer: sumSeries / averageSeries / maxSeries / minSeries
     cross-series collapse, one labeled output series each."""
@@ -1180,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highest_max": q_highest_max,
         "stdev_window": q_stdev_window,
         "linear_regression": q_linear_regression,
+        "ema": q_ema,
+        "holt_forecast": q_holt_forecast,
         "series_combine": q_series_combine,
         "diff_divide": q_diff_divide,
         "changed_alias": q_changed_alias,
@@ -1571,6 +1598,63 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             )
             SELECT path, slope, mean_y - slope * mean_t AS intercept FROM fit
+        """,
+        # EMA/Holt constants: inject the exact Python-computed doubles
+        # (repr round-trips; DuckDB's string->double parse is correctly
+        # rounded) — decimal-literal arithmetic in SQL is off by an ulp
+        # from IEEE '1.0 - a', which compounds through the recursion
+        "ema": f"""
+            WITH RECURSIVE per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            base AS (
+              SELECT path, time, value,
+                     row_number() OVER (PARTITION BY path ORDER BY time) AS rn
+              FROM per_ts
+            ),
+            ema(path, rn, time, e) AS (
+              SELECT path, rn, time, value FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.path, b.rn, b.time,
+                     CAST('{2.0 / 11.0!r}' AS DOUBLE) * b.value
+                       + CAST('{1.0 - 2.0 / 11.0!r}' AS DOUBLE) * r.e
+              FROM ema r JOIN base b ON b.path = r.path AND b.rn = r.rn + 1
+            )
+            SELECT path, time,
+                   floor(e * 1000000.0 + 0.5) / 1000000.0 AS value
+            FROM ema
+        """,
+        "holt_forecast": f"""
+            WITH RECURSIVE per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
+            ),
+            base AS (
+              SELECT path, time, value,
+                     row_number() OVER (PARTITION BY path ORDER BY time) AS rn
+              FROM per_ts
+            ),
+            hw(path, rn, time, l, b, f) AS (
+              SELECT path, rn, time, value, CAST(0.0 AS DOUBLE),
+                     CAST(NULL AS DOUBLE)
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT x.path, x.rn, x.time,
+                     CAST('0.1' AS DOUBLE) * x.value
+                       + CAST('{1.0 - 0.1!r}' AS DOUBLE) * (r.l + r.b),
+                     CAST('0.0035' AS DOUBLE)
+                       * ((CAST('0.1' AS DOUBLE) * x.value
+                           + CAST('{1.0 - 0.1!r}' AS DOUBLE) * (r.l + r.b)) - r.l)
+                       + CAST('{1.0 - 0.0035!r}' AS DOUBLE) * r.b,
+                     r.l + r.b
+              FROM hw r JOIN base x ON x.path = r.path AND x.rn = r.rn + 1
+            )
+            SELECT path, time,
+                   floor(f * 1000000.0 + 0.5) / 1000000.0 AS forecast
+            FROM hw
         """,
         "series_combine": f"""
             WITH per_ts AS (

@@ -255,6 +255,100 @@ def stdev(series: DataFrame, points: int = 5) -> DataFrame:
     )
 
 
+def exponential_moving_average(series: DataFrame, window: int = 10) -> DataFrame:
+    """Graphite ``exponentialMovingAverage(series, window)``: EMA with
+    alpha = 2/(window+1), seeded with each series' first value.
+
+    The recursion e_t = a*x_t + (1-a)*e_{t-1} has no closed
+    window-function form that stays numerically stable, so this is the
+    textbook applyInPandas case: one group per series, sequential
+    float64 recursion inside the Arrow batch. Shuffles once on path;
+    each group is independent, so it scales with series count.
+    NULL inputs emit NULL and leave the state unchanged.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    alpha = 2.0 / (window + 1)
+    om = 1.0 - alpha
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("time", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def ema(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("time")
+        out = []
+        e = None
+        for v in pdf["value"]:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append(None)
+                continue
+            e = v if e is None else alpha * v + om * e
+            out.append(e)
+        return pd.DataFrame(
+            {"path": pdf["path"], "time": pdf["time"], "value": out}
+        )
+
+    return series.select("path", "time", "value").groupBy("path").applyInPandas(
+        ema, schema
+    )
+
+
+def holt_forecast(
+    series: DataFrame, alpha: float = 0.1, beta: float = 0.0035
+) -> DataFrame:
+    """Holt linear (double-exponential) one-step-ahead forecast — the
+    non-seasonal core of Graphite's ``holtWintersForecast`` (same
+    default alpha/beta as graphite-web's holt_winters_analysis).
+
+    Per series ordered by time: l_1 = x_1, b_1 = 0, forecast_1 = NULL;
+    then forecast_t = l_{t-1} + b_{t-1},
+    l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1}),
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
+    Sequential per-series recursion -> applyInPandas, like
+    :func:`exponential_moving_average`.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("time", T.LongType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("time")
+        out = []
+        level = trend = None
+        for v in pdf["value"]:
+            if level is None:
+                level, trend = v, 0.0
+                out.append(None)
+                continue
+            s = level + trend
+            out.append(s)
+            new_level = alpha * v + oma * s
+            trend = beta * (new_level - level) + omb * trend
+            level = new_level
+        return pd.DataFrame(
+            {"path": pdf["path"], "time": pdf["time"], "forecast": out}
+        )
+
+    return series.select("path", "time", "value").groupBy("path").applyInPandas(
+        holt, schema
+    )
+
+
 def combine_series(series: DataFrame, func: str = "sum") -> DataFrame:
     """Graphite ``sumSeries / averageSeries / maxSeries / minSeries``:
     collapse ALL input series into one series per timestamp, labeled

@@ -221,3 +221,33 @@ def test_n_percentile(spark):
     s = _series(spark, [("m", t, float(v)) for t, v in ((10, 1), (20, 2), (30, 3), (40, 4))])
     out = {r.time: r.value for r in n_percentile(s, 50).collect()}
     assert out == {10: 2.5, 20: 2.5, 30: 2.5, 40: 2.5}
+
+
+def test_exponential_moving_average(spark):
+    from carbon_clickhouse_spark.query.render import exponential_moving_average
+
+    s = _series(spark, [("m", 10, 0.0), ("m", 20, 11.0), ("m", 30, 11.0)])
+    out = {r.time: r.value for r in exponential_moving_average(s, 10).collect()}
+    a = 2.0 / 11.0
+    assert out[10] == 0.0
+    assert abs(out[20] - a * 11.0) < 1e-12
+    assert abs(out[30] - (a * 11.0 + (1 - a) * out[20])) < 1e-12
+    # constant series: EMA is the constant
+    c = _series(spark, [("c", t, 5.0) for t in (1, 2, 3)])
+    cv = {r.time: r.value for r in exponential_moving_average(c, 10).collect()}
+    assert cv == {1: 5.0, 2: 5.0, 3: 5.0}
+
+
+def test_holt_forecast(spark):
+    from carbon_clickhouse_spark.query.render import holt_forecast
+
+    # constant series: forecast equals the constant from point 2 on
+    c = _series(spark, [("c", t, 7.0) for t in (1, 2, 3, 4)])
+    out = {r.time: r.forecast for r in holt_forecast(c).collect()}
+    assert out[1] is None
+    assert out[2] == 7.0 and out[3] == 7.0 and out[4] == 7.0
+    # rising series: forecasts trail below the actual values but rise
+    r = _series(spark, [("r", t, float(10 * t)) for t in (1, 2, 3, 4, 5)])
+    f = {x.time: x.forecast for x in holt_forecast(r).collect()}
+    assert f[1] is None and f[2] == 10.0
+    assert f[3] > f[2] and f[4] > f[3] and f[5] > f[4]
