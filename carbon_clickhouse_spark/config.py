@@ -1,0 +1,228 @@
+"""Load a reference-format ``carbon-clickhouse.conf`` (TOML) into this
+engine's config objects — a user switching from go-graphite's
+carbon-clickhouse keeps their config file as-is.
+
+Section mapping (reference ``carbon/config.go:100-199``,
+``uploader/config.go:16-34``, ``helper/tags/graphite.go:192-198``):
+
+- ``[data]`` -> landing/chunk settings (:class:`EngineConfig`:
+  ``data_path``, ``chunk_interval_s``, ``chunk_auto_interval``,
+  ``compression``)
+- ``[tcp]/[udp]/[pickle]/[grpc]/[prometheus]/[telegraf_http_json]``
+  -> per-receiver drop rules (F1-F3); :meth:`EngineConfig.ingest`
+  builds the :class:`~.pipeline.IngestConfig` for a given receiver
+- ``[upload.*]`` -> :class:`UploadConfig` per table (type, table
+  name, url, zero-timestamp, ignored-patterns, tls, ...); the
+  points-type entry's ``ignored-patterns``, the tagged entry's
+  ``ignored-tagged-metrics`` and the index entry's
+  ``disable-daily-index`` fold into the IngestConfig
+- ``[convert_to_tagged]`` -> :class:`~.functions.tags.TagConfig`
+
+Durations are Go ``time.ParseDuration`` strings ("1m30s", "2h", "0s").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .functions.tags import TagConfig
+from .pipeline import IngestConfig
+from .sinks.clickhouse import TLSConfig
+
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0,
+    "m": 60.0, "h": 3600.0,
+}
+
+
+def parse_go_duration(s: str | None) -> float:
+    """Go ``time.ParseDuration`` subset: "1m30s" -> 90.0 (seconds).
+    Empty / "0" / None -> 0."""
+    if not s or s == "0":
+        return 0.0
+    total, matched = 0.0, 0
+    for m in _DUR_RE.finditer(s):
+        total += float(m.group(1)) * _DUR_UNITS[m.group(2)]
+        matched += m.end() - m.start()
+    if matched != len(s.replace("+", "").replace("-", "")):
+        raise ValueError(f"bad duration {s!r}")
+    return -total if s.startswith("-") else total
+
+
+@dataclass
+class UploadConfig:
+    """One ``[upload.<name>]`` entry (uploader/config.go:16-34)."""
+
+    name: str
+    type: str = "points"
+    table: str = ""
+    url: str = ""
+    timeout_s: float = 60.0
+    cache_ttl_s: float = 0.0
+    threads: int = 1
+    zero_timestamp: bool = False
+    compress_data: bool = False
+    tree_date: str = ""  # type=tree
+    hash: str = ""
+    ignored_patterns: list[str] = field(default_factory=list)
+    ignored_tagged_metrics: list[str] = field(default_factory=list)
+    disable_daily_index: bool = False
+    tls: TLSConfig | None = None
+
+
+@dataclass
+class ReceiverConfig:
+    """Shared per-receiver options (tcp/udp/pickle/grpc/prometheus/
+    telegraf sections)."""
+
+    name: str
+    enabled: bool = False
+    listen: str = ""
+    drop_future_s: float = 0.0
+    drop_past_s: float = 0.0
+    drop_longer_than: int = 0
+    concat: str = "_"  # telegraf only
+
+
+@dataclass
+class EngineConfig:
+    data_path: str = "/data/carbon-clickhouse/"
+    chunk_interval_s: float = 1.0
+    chunk_auto_interval: str = ""
+    chunk_max_size: int = 0
+    compression: str = "none"  # none | lz4 (helper/config/compression.go)
+    compression_level: int = 0
+    metric_prefix: str = "carbon.agents.{host}"
+    metric_interval_s: float = 60.0
+    receivers: dict[str, ReceiverConfig] = field(default_factory=dict)
+    uploads: dict[str, UploadConfig] = field(default_factory=dict)
+    tag_config: TagConfig | None = None
+
+    def upload_of_type(self, type_: str) -> UploadConfig | None:
+        for u in self.uploads.values():
+            if u.type == type_:
+                return u
+        return None
+
+    def ingest(self, receiver: str = "tcp", now: int | None = None) -> IngestConfig:
+        """IngestConfig for one receiver's drop rules plus the
+        table-level filter options from the upload entries."""
+        r = self.receivers.get(receiver) or ReceiverConfig(receiver)
+        points = self.upload_of_type("points")
+        tagged = self.upload_of_type("tagged")
+        index = self.upload_of_type("index")
+        return IngestConfig(
+            drop_future_seconds=int(r.drop_future_s) or None,
+            drop_past_seconds=int(r.drop_past_s) or None,
+            drop_longer_than=r.drop_longer_than or None,
+            ignored_patterns=list(points.ignored_patterns) if points else [],
+            ignored_tagged_metrics=(
+                list(tagged.ignored_tagged_metrics) if tagged else []
+            ),
+            disable_daily_index=bool(index and index.disable_daily_index),
+            now=now,
+        )
+
+    def stream(self, root: str | None = None, **kwargs):
+        """StreamConfig wired from [data] + the tcp receiver (override
+        the landing root for testing)."""
+        from .streaming.ingest import StreamConfig
+
+        ms = max(int(self.chunk_interval_s * 1000), 1)
+        return StreamConfig(
+            root=root or self.data_path,
+            chunk_interval=f"{ms} milliseconds",
+            ingest=self.ingest(),
+            tag_config=self.tag_config,
+            **kwargs,
+        )
+
+
+def _tls_from(section: dict) -> TLSConfig:
+    return TLSConfig(
+        ca_certs=list(section.get("ca-cert", [])),
+        certificates=[
+            (c["cert"], c["key"]) for c in section.get("certificates", [])
+        ],
+        server_name=section.get("server-name") or None,
+        insecure_skip_verify=bool(section.get("insecure-skip-verify", False)),
+    )
+
+
+_RECEIVER_SECTIONS = (
+    "tcp", "udp", "pickle", "grpc", "prometheus", "telegraf_http_json",
+)
+
+
+def load_config(source: str) -> EngineConfig:
+    """Parse a carbon-clickhouse TOML config (path or literal text)."""
+    import os
+    import tomllib
+
+    if os.path.exists(source):
+        with open(source, "rb") as fh:
+            raw = tomllib.load(fh)
+    else:
+        raw = tomllib.loads(source)
+
+    cfg = EngineConfig()
+
+    common = raw.get("common", {})
+    cfg.metric_prefix = common.get("metric-prefix", cfg.metric_prefix)
+    if "metric-interval" in common:
+        cfg.metric_interval_s = parse_go_duration(common["metric-interval"])
+
+    data = raw.get("data", {})
+    cfg.data_path = data.get("path", cfg.data_path)
+    if "chunk-interval" in data:
+        cfg.chunk_interval_s = parse_go_duration(data["chunk-interval"]) or 1.0
+    cfg.chunk_auto_interval = data.get("chunk-auto-interval", "")
+    cfg.chunk_max_size = int(data.get("chunk-max-size", 0))
+    cfg.compression = str(data.get("compression", "none")) or "none"
+    cfg.compression_level = int(data.get("compression-level", 0))
+
+    for name in _RECEIVER_SECTIONS:
+        sec = raw.get(name)
+        if sec is None:
+            continue
+        cfg.receivers[name] = ReceiverConfig(
+            name=name,
+            enabled=bool(sec.get("enabled", False)),
+            listen=sec.get("listen", ""),
+            drop_future_s=parse_go_duration(sec.get("drop-future")),
+            drop_past_s=parse_go_duration(sec.get("drop-past")),
+            drop_longer_than=int(sec.get("drop-longer-than", 0)),
+            concat=sec.get("concat", "_"),
+        )
+
+    for name, sec in raw.get("upload", {}).items():
+        cfg.uploads[name] = UploadConfig(
+            name=name,
+            type=sec.get("type", "points"),
+            table=sec.get("table", name) or name,
+            url=sec.get("url", ""),
+            timeout_s=parse_go_duration(sec.get("timeout")) or 60.0,
+            cache_ttl_s=parse_go_duration(sec.get("cache-ttl")),
+            threads=int(sec.get("threads", 1)),
+            zero_timestamp=bool(sec.get("zero-timestamp", False)),
+            compress_data=bool(sec.get("compress-data", False)),
+            tree_date=sec.get("date", ""),
+            hash=sec.get("hash", ""),
+            ignored_patterns=list(sec.get("ignored-patterns", [])),
+            ignored_tagged_metrics=list(sec.get("ignored-tagged-metrics", [])),
+            disable_daily_index=bool(sec.get("disable-daily-index", False)),
+            tls=_tls_from(sec["tls"]) if "tls" in sec else None,
+        )
+
+    tagged = raw.get("convert_to_tagged")
+    if tagged is not None:
+        cfg.tag_config = TagConfig(
+            enabled=bool(tagged.get("enabled", False)),
+            separator=tagged.get("separator", "_"),
+            tags=list(tagged.get("tags", [])),
+            templates=list(tagged.get("templates", [])),
+        ).configure()
+
+    return cfg

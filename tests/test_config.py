@@ -1,0 +1,145 @@
+"""Reference-format TOML config loader tests."""
+
+import pytest
+
+from carbon_clickhouse_spark.config import (
+    load_config,
+    parse_go_duration,
+)
+
+
+def test_parse_go_duration():
+    assert parse_go_duration("2m30s") == 150.0
+    assert parse_go_duration("1h") == 3600.0
+    assert parse_go_duration("100ms") == 0.1
+    assert parse_go_duration("5s") == 5.0
+    assert parse_go_duration("") == 0.0
+    assert parse_go_duration(None) == 0.0
+    assert parse_go_duration("0") == 0.0
+    with pytest.raises(ValueError):
+        parse_go_duration("5 parsecs")
+
+
+CONF = """
+[common]
+metric-prefix = "carbon.agents.{host}"
+metric-interval = "30s"
+
+[data]
+path = "/data/carbon-clickhouse/"
+chunk-interval = "5s"
+chunk-auto-interval = "5:10s,20:60s"
+compression = "lz4"
+
+[upload.graphite]
+type = "points"
+table = "graphite"
+url = "https://localhost:8443/"
+timeout = "2m30s"
+zero-timestamp = true
+ignored-patterns = ["a.*.b", "c.*"]
+[upload.graphite.tls]
+ca-cert = ["/certs/ca.crt"]
+server-name = "localhost"
+insecure-skip-verify = false
+[[upload.graphite.tls.certificates]]
+cert = "/certs/client.crt"
+key = "/certs/client.key"
+
+[upload.graphite_index]
+type = "index"
+table = "graphite_index"
+url = "http://localhost:8123/"
+cache-ttl = "1h"
+disable-daily-index = true
+
+[upload.graphite_tagged]
+type = "tagged"
+table = "graphite_tagged"
+url = "http://localhost:8123/"
+threads = 3
+ignored-tagged-metrics = ["noisy.metric"]
+
+[tcp]
+listen = ":2003"
+enabled = true
+drop-future = "1h"
+drop-past = "48h"
+drop-longer-than = 300
+
+[udp]
+enabled = false
+
+[convert_to_tagged]
+enabled = true
+separator = "_"
+tags = ["env=prod"]
+templates = ["*.cpu.* metric.measurement*"]
+"""
+
+
+def test_load_reference_config_shapes():
+    cfg = load_config(CONF)
+    assert cfg.chunk_interval_s == 5.0
+    assert cfg.chunk_auto_interval == "5:10s,20:60s"
+    assert cfg.compression == "lz4"
+    assert cfg.metric_interval_s == 30.0
+
+    tcp = cfg.receivers["tcp"]
+    assert tcp.enabled and tcp.drop_future_s == 3600.0
+    assert tcp.drop_longer_than == 300
+    assert not cfg.receivers["udp"].enabled
+
+    up = cfg.uploads["graphite"]
+    assert up.type == "points" and up.zero_timestamp
+    assert up.timeout_s == 150.0
+    assert up.ignored_patterns == ["a.*.b", "c.*"]
+    assert up.tls is not None
+    assert up.tls.ca_certs == ["/certs/ca.crt"]
+    assert up.tls.certificates == [("/certs/client.crt", "/certs/client.key")]
+    assert up.tls.server_name == "localhost"
+    assert cfg.uploads["graphite_index"].cache_ttl_s == 3600.0
+
+    ic = cfg.ingest("tcp")
+    assert ic.drop_future_seconds == 3600
+    assert ic.drop_past_seconds == 48 * 3600
+    assert ic.drop_longer_than == 300
+    assert ic.ignored_patterns == ["a.*.b", "c.*"]
+    assert ic.ignored_tagged_metrics == ["noisy.metric"]
+    assert ic.disable_daily_index is True
+
+    assert cfg.tag_config is not None and cfg.tag_config.enabled
+    assert cfg.tag_config.tag_map == {"env": "prod"}
+    assert len(cfg.tag_config.template_descs) == 1
+
+    sc = cfg.stream(root="/tmp/override")
+    assert sc.root == "/tmp/override"
+    assert sc.chunk_interval == "5000 milliseconds"
+    assert sc.tag_config is cfg.tag_config
+
+
+def test_load_reference_tls_template():
+    """The reference's own TLS e2e config parses after substituting
+    its template vars (tests/tls/carbon-clickhouse.conf.tpl)."""
+    import re
+
+    with open("/root/reference/tests/tls/carbon-clickhouse.conf.tpl") as fh:
+        text = fh.read()
+    text = re.sub(r"\{\{[^}]*\}\}", "/tmp/x", text)
+    cfg = load_config(text)
+    assert cfg.chunk_interval_s == 5.0
+    assert {u.type for u in cfg.uploads.values()} >= {
+        "points", "points-reverse", "index", "tagged",
+    }
+    g = cfg.uploads["graphite"]
+    assert g.zero_timestamp and g.tls is not None
+    assert cfg.uploads["graphite_index"].disable_daily_index is True
+    assert cfg.receivers["tcp"].enabled
+
+
+def test_ingest_defaults_when_sections_missing():
+    cfg = load_config("[common]\n")
+    ic = cfg.ingest("tcp")
+    assert ic.drop_future_seconds is None
+    assert ic.ignored_patterns == []
+    assert cfg.stream(root="/tmp/r").chunk_interval == "1000 milliseconds"
