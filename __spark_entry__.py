@@ -142,6 +142,13 @@ SHINGLES_SQL = (
     f"FROM ({TOKS_SQL})"
 )
 
+# PII regexes shared verbatim with datapipe.contamination (Java ∩ RE2)
+from carbon_clickhouse_spark.datapipe.contamination import (  # noqa: E402
+    EMAIL_RE as EMAIL_SQL_RE,
+    IPV4_RE as IPV4_SQL_RE,
+    PHONE_RE as PHONE_SQL_RE,
+)
+
 QVEC_SQL = """
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -1158,6 +1165,73 @@ def q_dedup_clusters(spark, sf_dir):
     return out.withColumn("is_keeper", F.col("is_keeper").cast("long"))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: 3-gram overlap of every non-src0
+    document against the src0 'eval suite'. Broadcast benchmark
+    n-gram set; corpus shuffles once on doc_id."""
+    from carbon_clickhouse_spark.datapipe.contamination import (
+        benchmark_ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = benchmark_ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+    return out.select("doc_id", "n_ngrams", "n_matched", "overlap")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit. The synthetic corpus has no PII, so a
+    deterministic doc_id-keyed injection (identical in the oracle)
+    plants emails/phones/IPs, and the scrubber must find exactly
+    those and strip them from text_clean."""
+    from carbon_clickhouse_spark.datapipe.contamination import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "text_clean"
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from carbon_clickhouse_spark.datapipe.contamination import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.multimodal import (
         attach_fake_payload,
@@ -1241,6 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "embedding_stats": q_embedding_stats,
         "knn_label_noise": q_knn_label_noise,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -2049,6 +2126,92 @@ def oracle_sql() -> dict[str, str]:
             FROM pick p JOIN embeddings e ON e.vec_id = p.query_id
             WHERE p.rn = 1
         """,
+        "contamination": (
+            "WITH sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ("
+            + SHINGLES_SQL
+            + """)),
+            bench AS (
+              SELECT DISTINCT sh.shingle FROM sh
+              JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+            ),
+            corpus AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN documents d USING (doc_id) WHERE d.source <> 'src0'
+            ),
+            agg AS (
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+              FROM corpus c LEFT JOIN bench b ON b.shingle = c.shingle
+              GROUP BY c.doc_id
+            )
+            SELECT doc_id, n_ngrams, n_matched,
+                   round(CAST(n_matched AS DOUBLE) / n_ngrams, 4) AS overlap
+            FROM agg
+        """
+        ),
+        "pii_scrub": (
+            """
+            WITH inj AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+                     AS text
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '"""
+            + EMAIL_SQL_RE
+            + """')) AS BIGINT) AS n_emails,
+                     regexp_replace(text, '"""
+            + EMAIL_SQL_RE
+            + """', '<EMAIL>', 'g') AS t1
+              FROM inj
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t1, '"""
+            + IPV4_SQL_RE
+            + """')) AS BIGINT) AS n_ips,
+                     regexp_replace(t1, '"""
+            + IPV4_SQL_RE
+            + """', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2, '"""
+            + PHONE_SQL_RE
+            + """')) AS BIGINT) AS n_phones,
+                   regexp_replace(t2, '"""
+            + PHONE_SQL_RE
+            + """', '<PHONE>', 'g') AS text_clean
+            FROM s2
+        """
+        ),
+        "tfidf_top_terms": (
+            "WITH t AS (SELECT doc_id, lower(unnest(toks)) AS term FROM ("
+            + TOKS_SQL
+            + """)),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     round(tf.tf * ln(n.n / dfq.df), 4) AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """
+        ),
         "dedup_clusters": f"""
             WITH RECURSIVE
             sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})),

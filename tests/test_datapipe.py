@@ -291,3 +291,65 @@ def test_connected_cluster_pipeline(docs):
     for e in edges.collect():
         assert comp[e.doc_a] == comp[e.doc_b]
         assert comp[e.doc_a] <= min(e.doc_a, e.doc_b)
+
+
+def test_benchmark_contamination(spark):
+    from carbon_clickhouse_spark.datapipe.contamination import (
+        benchmark_ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),  # 4 grams, 3 contaminated
+            (2, "completely novel text here now"),  # 3 grams, 0 contaminated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in benchmark_ngram_contamination(corpus, bench).collect()}
+    assert got[1].n_ngrams == 4 and got[1].n_matched == 3
+    assert got[1].overlap == 0.75
+    assert got[2].n_matched == 0 and got[2].overlap == 0.0
+
+
+def test_pii_scrub(spark):
+    from carbon_clickhouse_spark.datapipe.contamination import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@example.co.uk or x@y.io, call 415-555-0100, host 10.0.0.1"),
+        (2, "no pii at all"),
+        (3, "phone (212) 555-1234 and 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (2, 1, 1)
+    assert "<EMAIL>" in got[1].text_clean and "<IP>" in got[1].text_clean
+    assert "415" not in got[1].text_clean
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
+    assert got[2].text_clean == "no pii at all"
+    assert got[3].n_phones == 1 and got[3].n_ips == 1
+
+
+def test_tfidf_top_terms(spark):
+    from carbon_clickhouse_spark.datapipe.contamination import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # rank ordering is deterministic: score desc then term asc
+    for doc_id, rs in by_doc.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+    # 'apple' appears in 1 of 3 docs with tf=2 -> top term of doc 1
+    top1 = min(by_doc[1], key=lambda r: r.rank)
+    assert top1.term == "apple" and top1.tf == 2 and top1.df == 1
