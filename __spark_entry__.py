@@ -35,12 +35,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _sec(ev: DataFrame):
-    """events.ts (nanos-as-long OR timestamp) -> unix seconds; integer
-    arithmetic only (raw nanos exceed double precision)."""
-    from pyspark.sql.types import LongType
+    """events.ts (nanos-as-long OR timestamp OR timestamp_ntz) -> unix
+    seconds; integer arithmetic only (raw nanos exceed double precision).
+    TIMESTAMP_NTZ cannot cast straight to BIGINT; route it through
+    TIMESTAMP first (session TZ is UTC, so the reinterpretation is the
+    identity and matches DuckDB epoch_ms(ts)//1000)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(ev.schema["ts"].dataType, LongType):
+    dt = ev.schema["ts"].dataType
+    if isinstance(dt, LongType):
         return F.expr("ts div 1000000000")
+    if isinstance(dt, TimestampNTZType):
+        return F.col("ts").cast("timestamp").cast("long")
     return F.col("ts").cast("long")
 
 
