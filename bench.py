@@ -23,12 +23,12 @@ BENCH_QUERIES = [
     "index_table",
     "tagged_table",
     "series_dedup",
-    "rollup_hourly",
+    "rollup_all",
     "read_series",
     "tpch_q1",
     "top_revenue_orders",
     "dedup_exact",
-    "text_quality",
+    "text_features",
     "token_counts",
     "minhash_lsh_pairs",
     "simhash",

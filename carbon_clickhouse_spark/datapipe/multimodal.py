@@ -6,16 +6,20 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 vectorized batches (the only sane shape for CPU-bound media work on a
 cluster: one task per partition, no driver involvement, linear scale).
 
-The actual codec calls are STUBBED (this container ships no
-image/audio libraries): ``decode_image_batch`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder derives features from the payload bytes.
-The Spark-side plumbing — schemas, batch iteration, partitioning —
-is real and tested; swapping in PIL/ffmpeg is a one-function change.
+Formats decoded for REAL, pure-Python (no imaging/audio libraries
+needed): binary netpbm (P5 PGM / P6 PPM — full header + pixel-mean
+decode), BMP (BITMAPINFOHEADER dims + pixel-array mean), and WAV
+(RIFF chunk walk: channels / sample rate / bit depth / duration /
+mean absolute 16-bit sample). Formats that require a codec stack
+(JPEG, PNG pixel data, video) raise ``NotImplementedError`` unless
+``fake=True`` selects the deterministic byte-derived stand-in —
+swapping in PIL/ffmpeg is a one-function change in
+:func:`decode_image`.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,11 +52,28 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_abs_sample", T.DoubleType()),
+    ]
+)
+
+# cyclic 0..255 pixel pattern used by the synthetic-PPM fixture; its
+# mean has the closed form floor(n/256)*32640 + r*(r-1)/2 over n
+# (r = n % 256), which the SQL oracle reproduces exactly
+_PIX_CYCLE = bytes(range(256))
+
 
 def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Turn a text table into a media table (deterministic fake
-    payload = utf-8 bytes of the text) — test fixture for the binary
-    plumbing."""
+    """Turn a text table into a media table (payload = utf-8 bytes of
+    the text, no real container format) — fixture for the binary
+    plumbing and the ``fake=True`` decoder path."""
     return df.select(
         F.col("doc_id"),
         F.lit("image").alias("media_type"),
@@ -64,17 +85,137 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_batch(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
+def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build REAL binary P6 PPM images deterministically from a text
+    table: width 8, height 1 + (utf8len(text) % 64), pixel bytes the
+    cyclic 0..255 pattern. The payloads are valid netpbm files any
+    external viewer can open, and every feature the decoder extracts
+    has a closed form over the text length — so a SQL oracle can check
+    the REAL decode path end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for t in pdf[text_col]:
+                n_txt = len(t.encode("utf-8")) if t is not None else 0
+                h = 1 + (n_txt % 64)
+                n = 8 * h * 3
+                body = (_PIX_CYCLE * (n // 256 + 1))[:n]
+                p = b"P6\n8 %d\n255\n" % h + body
+                payloads.append(p)
+                metas.append({"format": "ppm", "n_bytes": len(p)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _parse_netpbm(payload: bytes) -> tuple[int, int, float] | None:
+    """Binary netpbm (P5 gray / P6 RGB): parse the whitespace+comment
+    header per the netpbm spec, return (width, height, mean of pixel
+    bytes). maxval > 255 (2-byte samples) handled as raw byte mean."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    idx, vals = 2, []
+    n = len(payload)
+    while len(vals) < 3 and idx < n:
+        while idx < n and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":
+            while idx < n and payload[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < n and not payload[idx : idx + 1].isspace():
+            idx += 1
+        if idx == start:
+            return None
+        try:
+            vals.append(int(payload[start:idx]))
+        except ValueError:
+            return None
+    if len(vals) < 3:
+        return None
+    idx += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = vals
+    channels = 3 if magic == b"P6" else 1
+    per_sample = 2 if maxval > 255 else 1
+    data = payload[idx : idx + width * height * channels * per_sample]
+    mean = sum(data) / len(data) if data else 0.0
+    return width, height, mean
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, float] | None:
+    """BMP: BITMAPINFOHEADER width/height (signed; negative height =
+    top-down) + mean over the pixel array at the declared offset."""
+    if payload[:2] != b"BM" or len(payload) < 26:
+        return None
+    pix_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    data = payload[pix_offset:]
+    mean = sum(data) / len(data) if data else 0.0
+    return width, abs(height), mean
+
+
+def _parse_wav(payload: bytes) -> dict | None:
+    """WAV: walk RIFF chunks; fmt -> channels/rate/bits, data ->
+    sample count + mean absolute 16-bit sample (PCM16 only)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    idx, n = 12, len(payload)
+    channels = rate = bits = None
+    n_samples = 0
+    mean_abs = 0.0
+    while idx + 8 <= n:
+        cid = payload[idx : idx + 4]
+        size = struct.unpack_from("<I", payload, idx + 4)[0]
+        body = payload[idx + 8 : idx + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = struct.unpack_from("<H", body, 2)[0]
+            rate = struct.unpack_from("<I", body, 4)[0]
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data" and channels and bits:
+            frame = channels * bits // 8
+            n_samples = len(body) // frame if frame else 0
+            if bits == 16 and len(body) >= 2:
+                m = len(body) - len(body) % 2
+                samples = struct.unpack(f"<{m // 2}h", body[:m])
+                mean_abs = sum(abs(s) for s in samples) / (m // 2)
+        idx += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None:
+        return None
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_s": n_samples / rate if rate else 0.0,
+        "mean_abs_sample": mean_abs,
+    }
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
     """Decode one image payload -> (width, height, mean_byte).
 
-    Real decode requires an imaging library not present in this
-    environment; the deterministic fake derives pseudo-dimensions from
-    the byte content so the distributed plumbing is fully exercisable.
-    """
+    netpbm (P5/P6) and BMP decode for real in pure Python. Other
+    formats need a codec library this container does not ship; they
+    raise unless ``fake=True`` selects the deterministic byte-derived
+    stand-in (pseudo-dimensions + hash-mean from payload length)."""
+    out = _parse_netpbm(payload) or _parse_bmp(payload)
+    if out is not None:
+        return out
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/libvips; run with fake=True or "
-            "swap in a real decoder here"
+            "only netpbm/BMP decode in pure Python; JPEG/PNG pixel "
+            "decode requires PIL/libvips — pass fake=True or swap in "
+            "a real decoder here"
         )
     n = len(payload)
     width = 64 + (n % 577)
@@ -83,17 +224,20 @@ def decode_image_batch(payload: bytes, fake: bool = False) -> tuple[int, int, fl
     return width, height, mean_byte
 
 
-def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+# back-compat alias (older call sites / tests)
+decode_image_batch = decode_image
+
+
+def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas image feature extraction over binary payloads.
 
     Arrow streams each partition through Python in batches; output is
     a narrow features table. Partitioning of the input is preserved —
-    repartition upstream by size if payloads are skewed.
-    """
+    repartition upstream by size if payloads are skewed."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_batch(p, fake=fake) for p in pdf["payload"]]
+            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -105,6 +249,26 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas WAV feature extraction (real RIFF parse): channel
+    count, sample rate, bit depth, sample count, duration, mean
+    absolute PCM16 sample. Non-WAV payloads raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w = _parse_wav(p)
+                if w is None:
+                    raise NotImplementedError(
+                        "extract_audio_features decodes WAV only"
+                    )
+                rows.append({"doc_id": doc_id, **w})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:

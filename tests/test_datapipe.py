@@ -189,10 +189,75 @@ def test_multimodal_plumbing(docs):
     assert all(r.frame_bytes is not None for r in frames)
 
 
-def test_multimodal_real_decode_stubbed(docs):
+def test_multimodal_real_decode_unknown_format_raises(docs):
+    # payload without a netpbm/BMP container still raises without fake
     media = attach_fake_payload(docs.limit(1))
     with pytest.raises(Exception):
         extract_image_features(media, fake=False).collect()
+
+
+def test_multimodal_real_ppm_decode(docs, spark):
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        attach_ppm_payload,
+        decode_image,
+    )
+
+    # hand-built P6 with comments in the header: 2x2 RGB, known mean
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    w, h, mean = decode_image(ppm)
+    assert (w, h) == (2, 2)
+    assert mean == sum(range(12)) / 12
+    # P5 grayscale
+    pgm = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    assert decode_image(pgm) == (3, 1, 20.0)
+    # distributed path over real generated PPMs
+    media = attach_ppm_payload(docs.limit(20))
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 20
+    assert all(r.width == 8 and 1 <= r.height <= 64 for r in feats)
+
+
+def test_multimodal_real_bmp_and_wav_decode(spark):
+    import struct
+
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_wav,
+        decode_image,
+        extract_audio_features,
+    )
+
+    # minimal 2x2 24-bit BMP: 54-byte header + 2 rows of 8 bytes
+    # (6 pixel bytes + 2 padding each)
+    rows = bytes([100] * 6 + [0, 0]) + bytes([200] * 6 + [0, 0])
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    w, h, mean = decode_image(header + rows)
+    assert (w, h) == (2, 2)
+    assert mean == sum(rows) / len(rows)
+
+    # minimal PCM16 mono WAV: 4 samples at 8000 Hz
+    samples = struct.pack("<4h", 100, -100, 200, -200)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    info = _parse_wav(wav)
+    assert info["n_channels"] == 1 and info["sample_rate"] == 8000
+    assert info["n_samples"] == 4 and info["bits_per_sample"] == 16
+    assert info["duration_s"] == 4 / 8000
+    assert info["mean_abs_sample"] == 150.0
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), ("wav", len(wav)))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<format:string,n_bytes:bigint>",
+    )
+    out = extract_audio_features(media).collect()
+    assert out[0].sample_rate == 8000 and out[0].n_samples == 4
 
 
 def test_ivf_topk_recall(embs):

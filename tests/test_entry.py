@@ -29,7 +29,7 @@ def test_oracle_keys_subset():
     assert qs == oracle
 
 
-@pytest.mark.parametrize("name", ["points_ingest", "rollup_hourly", "tagged_table"])
+@pytest.mark.parametrize("name", ["points_ingest", "rollup_all", "tagged_table"])
 def test_sampled_oracle_match(spark, name):
     """Spot-check the oracle machinery end-to-end at sf0.001 inside
     the test suite (full sweep: tools/check_oracle.py)."""

@@ -52,6 +52,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # model-state oracles (ann_ivf) must train on the same sf as Spark
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entry
     from carbon_clickhouse_spark.session import get_spark
 
