@@ -353,3 +353,83 @@ def test_chunk_interval_governor(spark, tmp_path):
 
     pts = spark.read.parquet(f"{root}/points")
     assert pts.filter(F.col("path").startswith("burst.")).count() == 4
+
+
+def test_tcp_receiver_end_to_end(spark, tmp_path):
+    """Live-socket S1 parity: netcat-style TCP send (split mid-line to
+    exercise partial-frame reassembly) -> receiver lands atomic chunk
+    files -> micro-batch pipeline -> points rows visible."""
+    from carbon_clickhouse_spark.streaming.receivers import (
+        PlainLineReceiver,
+        send_lines,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    rx = PlainLineReceiver(landing, flush_interval=0.1).start()
+    try:
+        lines = [
+            f"tcp.host{i % 3}.metric {i}.5 {1625400000 + i}" for i in range(200)
+        ]
+        # tiny chunks force lines to straddle recv() boundaries
+        send_lines("127.0.0.1", rx.port, lines, chunk=37)
+        deadline = time.time() + 10
+        while time.time() < deadline and not os.listdir(landing):
+            time.sleep(0.1)
+        assert os.listdir(landing), "receiver landed no chunk files"
+
+        cfg = StreamConfig(
+            root=root,
+            chunk_interval="500 milliseconds",
+            ingest=IngestConfig(now=1625478400),
+            audit_dropped=False,
+        )
+        q = start_plain_ingest(spark, file_landing_source(spark, landing), cfg)
+        try:
+            deadline = time.time() + 90
+            n = 0
+            while time.time() < deadline:
+                try:
+                    n = spark.read.parquet(f"{root}/points").count()
+                    if n >= 200:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert n == 200
+        pts = spark.read.parquet(f"{root}/points")
+        assert pts.filter(F.col("path") == "tcp.host1.metric").count() > 0
+    finally:
+        rx.stop()
+
+
+def test_udp_receiver_datagram_framing(tmp_path):
+    """UDP parity: complete lines in a datagram land; an unterminated
+    tail is dropped (reference receiver/udp.go semantics)."""
+    import socket as pysocket
+
+    from carbon_clickhouse_spark.streaming.receivers import PlainLineReceiver
+
+    landing = str(tmp_path / "udp_landing")
+    rx = PlainLineReceiver(landing, udp=True, flush_interval=0.1).start()
+    try:
+        s = pysocket.socket(pysocket.AF_INET, pysocket.SOCK_DGRAM)
+        s.sendto(
+            b"udp.a 1 1625400000\nudp.b 2 1625400001\nudp.partial 3",
+            ("127.0.0.1", rx.udp_port),
+        )
+        s.close()
+        deadline = time.time() + 10
+        while time.time() < deadline and not os.listdir(landing):
+            time.sleep(0.1)
+        rx.writer.flush()
+        body = b"".join(
+            open(os.path.join(landing, f), "rb").read()
+            for f in os.listdir(landing)
+        )
+        assert b"udp.a 1" in body and b"udp.b 2" in body
+        assert b"udp.partial" not in body
+    finally:
+        rx.stop()
