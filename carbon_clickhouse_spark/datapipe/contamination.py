@@ -106,16 +106,19 @@ def tfidf_top_terms(
     deterministic ordering (score desc, term asc).
 
     ``N`` (corpus size) comes from a count aggregate cross-joined in
-    (a 1-row broadcast, not a driver ``collect``).
+    (a 1-row broadcast, not a driver ``collect``). ``df`` is a window
+    count over the (doc, term) rows — the term partitioning the
+    df-aggregate-and-join-back formulation would shuffle anyway, minus
+    the extra aggregate, join, and recomputed scan of the tf branch.
     """
     terms = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).withColumn("term", F.lower(F.col("term")))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.select(F.count("*").cast("double").alias("__n"))
+    wt = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(wt).cast("long"))
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
