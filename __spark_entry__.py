@@ -1377,6 +1377,31 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """Training-corpus last mile: deterministic stratified sampling
+    (even-numbered sources 100%, odd 40%, keyed on an engine-portable
+    md5 bucket of doc_id) then concat-then-chunk sequence packing into
+    1024-token budgets per source shard. Per-doc output: sequence id +
+    position — the reproducible assignment a 100 TB corpus build
+    needs (no RNG, stable under repartitioning)."""
+    from carbon_clickhouse_spark.datapipe.pack import (
+        pack_contiguous,
+        stratified_sample,
+    )
+    from carbon_clickhouse_spark.datapipe.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = F.when(src_num % 2 == 0, F.lit(100)).otherwise(F.lit(40))
+    kept = stratified_sample(docs, rate)
+    toks = kept.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_contiguous(toks, budget=1024).select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1389,7 +1414,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 49 entries — the driver grades the first 50 declared, so every
+    # 50 entries — the driver grades the first 50 declared, so every
     # query sits inside the graded window. Order: graphite core, wire
     # ingest, LLM datapipe, OLAP breadth, render composites.
     return {
@@ -1430,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
         "multimodal_features": q_multimodal_features,
+        "corpus_prep": q_corpus_prep,
         "sessionization": q_sessionization,
         "value_quantiles": q_value_quantiles,
         "grouping_sets": q_grouping_sets,
@@ -2270,6 +2296,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.cluster_id, s.cluster_size,
                    CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_keeper
             FROM labels l JOIN sizes s USING (cluster_id)
+        """,
+        "corpus_prep": f"""
+            WITH t AS ({TOKS_SQL}),
+            k AS (
+              SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM t
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+                    < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                           THEN 100 ELSE 40 END
+            ),
+            p AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                                 - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+              FROM k
+            )
+            SELECT doc_id, source, n_tokens, seq_id,
+                   CAST(row_number() OVER (PARTITION BY source, seq_id
+                                           ORDER BY doc_id) AS BIGINT) AS seq_pos
+            FROM p
         """,
         # closed form of the REAL netpbm decode over the deterministic
         # P6 fixture: h = 1 + utf8len % 64, pixel bytes cycle 0..255,

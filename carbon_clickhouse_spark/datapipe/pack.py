@@ -1,0 +1,64 @@
+"""Training-corpus preparation: stratified sampling + sequence packing.
+
+The last mile of a pre-training data pipeline after dedup/quality
+filtering: downsample each source to a target rate, then pack the
+surviving documents into fixed token-budget training sequences. Both
+operators are deterministic (re-runs and different partitionings give
+identical assignments), which is what makes 100 TB corpus builds
+reproducible and resumable.
+
+- Sampling keys on an md5-derived bucket of the document id — a
+  content-independent hash both Spark and any SQL engine compute
+  identically, so the sample is portable across engines and stable
+  under re-partitioning (never ``rand()``, which is neither).
+- Packing is the concat-then-chunk assignment LM pipelines use:
+  within a shard (= source here), documents in id order fill
+  sequences of ``budget`` tokens; a document starts in the sequence
+  its running-total offset falls into. One window per shard — shards
+  are the parallel unit, so the plan scales with shard count and
+  never funnels the corpus through a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): first 4
+    hex digits of md5 of the value's string form, mod buckets.
+    (DuckDB equivalent: CAST('0x' || substr(md5(v),1,4) AS BIGINT) %
+    buckets.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame, rate_pct: Column, key: str = "doc_id"
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under the row's target
+    rate (a per-row Column, e.g. derived from source): deterministic
+    per-stratum downsampling with no shuffle and no RNG state."""
+    return df.filter(hash_bucket(key) < rate_pct)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    budget: int,
+    tok_col: str = "n_tokens",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a training-sequence id within its shard:
+    documents in ``order_col`` order fill ``budget``-token sequences;
+    ``seq_id = floor(exclusive_cumsum(tokens) / budget)``. Adds
+    ``seq_id`` and ``seq_pos`` (position within the sequence)."""
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    excl = F.sum(tok_col).over(w) - F.col(tok_col)
+    out = df.withColumn("seq_id", F.floor(excl / budget))
+    wseq = Window.partitionBy(shard_col, "seq_id").orderBy(order_col)
+    return out.withColumn("seq_pos", F.row_number().over(wseq).cast("long"))

@@ -418,3 +418,40 @@ def test_tfidf_top_terms(spark):
     # 'apple' appears in 1 of 3 docs with tf=2 -> top term of doc 1
     top1 = min(by_doc[1], key=lambda r: r.rank)
     assert top1.term == "apple" and top1.tf == 2 and top1.df == 1
+
+
+def test_stratified_sample_deterministic_and_rate(docs):
+    from carbon_clickhouse_spark.datapipe.pack import hash_bucket, stratified_sample
+
+    kept1 = {r.doc_id for r in stratified_sample(docs, F.lit(40)).select("doc_id").collect()}
+    kept2 = {r.doc_id for r in stratified_sample(docs, F.lit(40)).select("doc_id").collect()}
+    assert kept1 == kept2  # no RNG: identical across runs
+    n = docs.count()
+    assert 0.25 * n < len(kept1) < 0.55 * n  # ~40% of 500
+    # buckets cover [0, 100)
+    b = docs.select(hash_bucket("doc_id").alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).first()
+    assert b[0] >= 0 and b[1] < 100
+
+
+def test_pack_contiguous_assignment(docs):
+    from carbon_clickhouse_spark.datapipe.pack import pack_contiguous
+    from carbon_clickhouse_spark.datapipe.text import token_count
+
+    toks = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    out = pack_contiguous(toks, budget=512).collect()
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for rows in by_src.values():
+        cum = 0
+        seen_pos = {}
+        for r in rows:
+            assert r.seq_id == cum // 512  # exclusive-cumsum chunking
+            cum += r.n_tokens
+            seen_pos.setdefault(r.seq_id, 0)
+            seen_pos[r.seq_id] += 1
+            assert r.seq_pos == seen_pos[r.seq_id]  # dense 1..n per seq

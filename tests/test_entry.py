@@ -17,7 +17,7 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"path", "time", "value"}
+    assert set(df.columns) == {"rule_set", "path", "time", "value"}
 
 
 def test_oracle_keys_subset():
