@@ -863,74 +863,25 @@ def q_highest_max(spark, sf_dir):
 
 def q_render_recursive(spark, sf_dir):
     """Render layer, sequential-recursion family in ONE applyInPandas
-    pass: exponentialMovingAverage(10) (alpha = 2/11, seeded with the
-    first value) and the Holt linear one-step-ahead forecast (the
-    non-seasonal holtWintersForecast core; alpha=0.1, beta=0.0035,
-    graphite-web's holt_winters_analysis defaults). Both recursions
-    share one shuffle on path and one Arrow batch per series —
-    reference semantics as in query/render.py:258,303.
+    pass: exponentialMovingAverage(10) and the Holt linear one-step-
+    ahead forecast, both computed by the single shared kernel
+    (query/render.py:ema_holt) and exploded to labeled series.
 
     floor(x*1e6+0.5)/1e6 instead of round(): engines' round() of a
     double disagree within an ulp of the grid midpoint; this chain is
     the same IEEE ops on both sides."""
-    import math
+    from carbon_clickhouse_spark.query.render import ema_holt
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    alpha_e = 2.0 / 11.0
-    om_e = 1.0 - alpha_e
-    a, b = 0.1, 0.0035
-    oma, omb = 1.0 - a, 1.0 - b
-    schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("func", T.StringType()),
-            T.StructField("time", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-        ]
+    out = ema_holt(_per_ts_points(spark, sf_dir), window=10)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    mk = lambda func, v: F.struct(  # noqa: E731
+        F.lit(func).alias("func"), r6(v).alias("value")
     )
-
-    def rec(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("time")
-        emas, fcs = [], []
-        e = None
-        level = trend = None
-        for v in pdf["value"]:
-            null = v is None or (isinstance(v, float) and math.isnan(v))
-            if null:
-                emas.append(None)
-            else:
-                e = v if e is None else alpha_e * v + om_e * e
-                emas.append(e)
-            if level is None:
-                level, trend = v, 0.0
-                fcs.append(None)
-            else:
-                s = level + trend
-                fcs.append(s)
-                nl = a * v + oma * s
-                trend = b * (nl - level) + omb * trend
-                level = nl
-        return pd.concat(
-            [
-                pd.DataFrame(
-                    {"path": pdf["path"], "func": "ema",
-                     "time": pdf["time"], "value": emas}
-                ),
-                pd.DataFrame(
-                    {"path": pdf["path"], "func": "holt",
-                     "time": pdf["time"], "value": fcs}
-                ),
-            ]
-        )
-
-    per = _per_ts_points(spark, sf_dir)
-    out = per.select("path", "time", "value").groupBy("path").applyInPandas(
-        rec, schema
-    )
-    v6 = F.floor(F.col("value") * 1e6 + 0.5) / 1e6
-    return out.select("path", "func", "time", v6.alias("value"))
+    return out.select(
+        "path",
+        "time",
+        F.explode(F.array(mk("ema", F.col("ema")), mk("holt", F.col("forecast")))).alias("s"),
+    ).select("path", "s.func", "time", "s.value")
 
 
 def q_series_math(spark, sf_dir):

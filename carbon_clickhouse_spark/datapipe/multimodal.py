@@ -145,6 +145,8 @@ def _parse_netpbm(payload: bytes) -> tuple[int, int, float] | None:
         return None
     idx += 1  # exactly one whitespace byte after maxval
     width, height, maxval = vals
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        return None  # signed/zero header tokens: not a valid netpbm
     channels = 3 if magic == b"P6" else 1
     per_sample = 2 if maxval > 255 else 1
     data = payload[idx : idx + width * height * channels * per_sample]
@@ -153,26 +155,40 @@ def _parse_netpbm(payload: bytes) -> tuple[int, int, float] | None:
 
 
 def _parse_bmp(payload: bytes) -> tuple[int, int, float] | None:
-    """BMP: BITMAPINFOHEADER width/height (signed; negative height =
-    top-down) + mean over the pixel array at the declared offset."""
-    if payload[:2] != b"BM" or len(payload) < 26:
+    """BMP: BITMAPINFOHEADER-family width/height (signed; negative
+    height = top-down) + mean over the pixel array at the declared
+    offset. A bare 'BM' prefix is not enough to claim the format
+    (document text can start with it): the DIB header size must be a
+    known BITMAPINFO variant, the pixel offset must land inside the
+    payload past the headers, and dimensions must be sane — otherwise
+    fall through to the unknown-format path."""
+    if payload[:2] != b"BM" or len(payload) < 54:
         return None
     pix_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size not in (40, 52, 56, 64, 108, 124):
+        return None
+    if not 14 + dib_size <= pix_offset <= len(payload):
+        return None
     width, height = struct.unpack_from("<ii", payload, 18)
+    if width <= 0 or height == 0 or width > 1 << 20 or abs(height) > 1 << 20:
+        return None
     data = payload[pix_offset:]
     mean = sum(data) / len(data) if data else 0.0
     return width, abs(height), mean
 
 
 def _parse_wav(payload: bytes) -> dict | None:
-    """WAV: walk RIFF chunks; fmt -> channels/rate/bits, data ->
-    sample count + mean absolute 16-bit sample (PCM16 only)."""
+    """WAV: walk RIFF chunks (any fmt/data order); fmt -> channels/
+    rate/bits, data -> sample count + mean absolute sample. The mean
+    is computed for PCM16 only and reported as None for other bit
+    depths — a missing value, never a silently-wrong 0.0. A fmt chunk
+    declaring zero channels/rate is rejected as malformed."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     idx, n = 12, len(payload)
     channels = rate = bits = None
-    n_samples = 0
-    mean_abs = 0.0
+    data_body = None
     while idx + 8 <= n:
         cid = payload[idx : idx + 4]
         size = struct.unpack_from("<I", payload, idx + 4)[0]
@@ -181,22 +197,26 @@ def _parse_wav(payload: bytes) -> dict | None:
             channels = struct.unpack_from("<H", body, 2)[0]
             rate = struct.unpack_from("<I", body, 4)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-        elif cid == b"data" and channels and bits:
-            frame = channels * bits // 8
-            n_samples = len(body) // frame if frame else 0
-            if bits == 16 and len(body) >= 2:
-                m = len(body) - len(body) % 2
-                samples = struct.unpack(f"<{m // 2}h", body[:m])
-                mean_abs = sum(abs(s) for s in samples) / (m // 2)
+        elif cid == b"data":
+            data_body = body
         idx += 8 + size + (size & 1)  # chunks are word-aligned
-    if channels is None:
+    if not channels or not rate or not bits:
         return None
+    n_samples = 0
+    mean_abs: float | None = None
+    if data_body is not None:
+        frame = channels * bits // 8
+        n_samples = len(data_body) // frame if frame else 0
+        if bits == 16 and len(data_body) >= 2:
+            m = len(data_body) - len(data_body) % 2
+            samples = struct.unpack(f"<{m // 2}h", data_body[:m])
+            mean_abs = sum(abs(s) for s in samples) / (m // 2)
     return {
         "n_channels": channels,
         "sample_rate": rate,
         "bits_per_sample": bits,
         "n_samples": n_samples,
-        "duration_s": n_samples / rate if rate else 0.0,
+        "duration_s": n_samples / rate,
         "mean_abs_sample": mean_abs,
     }
 

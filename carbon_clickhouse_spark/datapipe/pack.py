@@ -56,8 +56,18 @@ def pack_contiguous(
     """Assign each document a training-sequence id within its shard:
     documents in ``order_col`` order fill ``budget``-token sequences;
     ``seq_id = floor(exclusive_cumsum(tokens) / budget)``. Adds
-    ``seq_id`` and ``seq_pos`` (position within the sequence)."""
-    w = Window.partitionBy(shard_col).orderBy(order_col)
+    ``seq_id`` and ``seq_pos`` (position within the sequence).
+
+    ``order_col`` must be unique within a shard (doc ids are) — the
+    determinism guarantee is meaningless under ties. The explicit ROWS
+    frame keeps the cumsum exclusive-correct even if a caller passes a
+    non-unique ordering (the default RANGE frame would sum whole tie
+    groups)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     excl = F.sum(tok_col).over(w) - F.col(tok_col)
     out = df.withColumn("seq_id", F.floor(excl / budget))
     wseq = Window.partitionBy(shard_col, "seq_id").orderBy(order_col)

@@ -255,97 +255,92 @@ def stdev(series: DataFrame, points: int = 5) -> DataFrame:
     )
 
 
-def exponential_moving_average(series: DataFrame, window: int = 10) -> DataFrame:
-    """Graphite ``exponentialMovingAverage(series, window)``: EMA with
-    alpha = 2/(window+1), seeded with each series' first value.
+def ema_holt(
+    series: DataFrame,
+    window: int = 10,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+) -> DataFrame:
+    """THE sequential-recursion kernel behind both
+    ``exponentialMovingAverage`` and the Holt linear forecast — one
+    applyInPandas pass per series computes both columns, and the two
+    public wrappers below project from it, so the update equations
+    live in exactly one place.
 
-    The recursion e_t = a*x_t + (1-a)*e_{t-1} has no closed
-    window-function form that stays numerically stable, so this is the
-    textbook applyInPandas case: one group per series, sequential
-    float64 recursion inside the Arrow batch. Shuffles once on path;
-    each group is independent, so it scales with series count.
-    NULL inputs emit NULL and leave the state unchanged.
-    """
+    EMA: alpha_e = 2/(window+1), seeded with the first value; NULL/NaN
+    inputs emit NULL and leave the state unchanged.
+    Holt (non-seasonal holtWintersForecast core; graphite-web's
+    holt_winters_analysis defaults): l_1 = x_1, b_1 = 0,
+    forecast_1 = NULL; then forecast_t = l_{t-1} + b_{t-1},
+    l_t = alpha*x_t + (1-alpha)*forecast_t,
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
+
+    No closed window-function form stays numerically stable, so this
+    is the textbook applyInPandas case: one shuffle on path, one
+    sequential float64 recursion per Arrow group — scales with series
+    count, length-independent state (three floats)."""
     import math
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    alpha = 2.0 / (window + 1)
-    om = 1.0 - alpha
+    alpha_e = 2.0 / (window + 1)
+    om_e = 1.0 - alpha_e
+    oma, omb = 1.0 - alpha, 1.0 - beta
     schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
             T.StructField("time", T.LongType()),
-            T.StructField("value", T.DoubleType()),
+            T.StructField("ema", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
         ]
     )
 
-    def ema(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def rec(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("time")
-        out = []
+        emas, fcs = [], []
         e = None
+        level = trend = None
         for v in pdf["value"]:
             if v is None or (isinstance(v, float) and math.isnan(v)):
-                out.append(None)
-                continue
-            e = v if e is None else alpha * v + om * e
-            out.append(e)
+                emas.append(None)
+            else:
+                e = v if e is None else alpha_e * v + om_e * e
+                emas.append(e)
+            if level is None:
+                level, trend = v, 0.0
+                fcs.append(None)
+            else:
+                s = level + trend
+                fcs.append(s)
+                new_level = alpha * v + oma * s
+                trend = beta * (new_level - level) + omb * trend
+                level = new_level
         return pd.DataFrame(
-            {"path": pdf["path"], "time": pdf["time"], "value": out}
+            {"path": pdf["path"], "time": pdf["time"], "ema": emas,
+             "forecast": fcs}
         )
 
     return series.select("path", "time", "value").groupBy("path").applyInPandas(
-        ema, schema
+        rec, schema
+    )
+
+
+def exponential_moving_average(series: DataFrame, window: int = 10) -> DataFrame:
+    """Graphite ``exponentialMovingAverage(series, window)`` —
+    projection of the shared :func:`ema_holt` kernel."""
+    return ema_holt(series, window=window).select(
+        "path", "time", F.col("ema").alias("value")
     )
 
 
 def holt_forecast(
     series: DataFrame, alpha: float = 0.1, beta: float = 0.0035
 ) -> DataFrame:
-    """Holt linear (double-exponential) one-step-ahead forecast — the
-    non-seasonal core of Graphite's ``holtWintersForecast`` (same
-    default alpha/beta as graphite-web's holt_winters_analysis).
-
-    Per series ordered by time: l_1 = x_1, b_1 = 0, forecast_1 = NULL;
-    then forecast_t = l_{t-1} + b_{t-1},
-    l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1}),
-    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
-    Sequential per-series recursion -> applyInPandas, like
-    :func:`exponential_moving_average`.
-    """
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    oma, omb = 1.0 - alpha, 1.0 - beta
-    schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("time", T.LongType()),
-            T.StructField("forecast", T.DoubleType()),
-        ]
-    )
-
-    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("time")
-        out = []
-        level = trend = None
-        for v in pdf["value"]:
-            if level is None:
-                level, trend = v, 0.0
-                out.append(None)
-                continue
-            s = level + trend
-            out.append(s)
-            new_level = alpha * v + oma * s
-            trend = beta * (new_level - level) + omb * trend
-            level = new_level
-        return pd.DataFrame(
-            {"path": pdf["path"], "time": pdf["time"], "forecast": out}
-        )
-
-    return series.select("path", "time", "value").groupBy("path").applyInPandas(
-        holt, schema
+    """Holt linear one-step-ahead forecast — projection of the shared
+    :func:`ema_holt` kernel."""
+    return ema_holt(series, alpha=alpha, beta=beta).select(
+        "path", "time", "forecast"
     )
 
 

@@ -130,8 +130,10 @@ class PlainLineReceiver:
             self.udp_port = self._udp.server_address[1]
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
+        self._started = False
 
     def start(self) -> "PlainLineReceiver":
+        self._started = True
         for srv in filter(None, (self._tcp, self._udp)):
             t = threading.Thread(target=srv.serve_forever, daemon=True)
             t.start()
@@ -149,7 +151,14 @@ class PlainLineReceiver:
     def stop(self) -> None:
         self._stop.set()
         for srv in filter(None, (self._tcp, self._udp)):
-            srv.shutdown()
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it on a never-started server would deadlock
+            if self._started:
+                srv.shutdown()
+            # block_on_close (default) makes server_close() JOIN all
+            # handler threads, so every line a handler buffered is in
+            # the writer before the final flush below — do not set
+            # block_on_close=False or received data could be dropped
             srv.server_close()
         self.writer.flush()
 

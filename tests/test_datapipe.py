@@ -196,6 +196,24 @@ def test_multimodal_real_decode_unknown_format_raises(docs):
         extract_image_features(media, fake=False).collect()
 
 
+def test_multimodal_decode_rejects_lookalike_magic():
+    from carbon_clickhouse_spark.datapipe.multimodal import decode_image
+
+    # document text starting with 'BM' or a netpbm-ish header must NOT
+    # be claimed by the real decoders (structural validation), and
+    # signed netpbm dimensions are rejected too
+    for payload in [
+        b"BMW is a car maker based in Munich, founded 1916." * 3,
+        b"P6\n-8 -1\n255\n" + bytes(24),
+        b"P5\n3 0\n255\n",
+    ]:
+        with pytest.raises(NotImplementedError):
+            decode_image(payload)
+        n = len(payload)
+        w, h, m = decode_image(payload, fake=True)
+        assert (w, h) == (64 + n % 577, 64 + (n * 31) % 577)
+
+
 def test_multimodal_real_ppm_decode(docs, spark):
     from carbon_clickhouse_spark.datapipe.multimodal import (
         attach_ppm_payload,

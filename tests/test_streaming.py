@@ -433,3 +433,10 @@ def test_udp_receiver_datagram_framing(tmp_path):
         assert b"udp.partial" not in body
     finally:
         rx.stop()
+
+
+def test_receiver_stop_without_start_does_not_hang(tmp_path):
+    from carbon_clickhouse_spark.streaming.receivers import PlainLineReceiver
+
+    rx = PlainLineReceiver(str(tmp_path / "x"))
+    rx.stop()  # must return immediately (shutdown() only after start())
