@@ -84,6 +84,7 @@ class PlainLineReceiver:
         host: str = "127.0.0.1",
         port: int = 0,
         udp: bool = False,
+        udp_port: int = 0,
         flush_lines: int = 50_000,
         flush_interval: float = 0.25,
     ):
@@ -125,7 +126,7 @@ class PlainLineReceiver:
         self._udp = None
         self.udp_port = None
         if udp:
-            self._udp = socketserver.ThreadingUDPServer((host, 0), UDPHandler)
+            self._udp = socketserver.ThreadingUDPServer((host, udp_port), UDPHandler)
             self._udp.daemon_threads = True
             self.udp_port = self._udp.server_address[1]
         self._threads: list[threading.Thread] = []
