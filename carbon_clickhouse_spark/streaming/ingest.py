@@ -160,10 +160,17 @@ def start_ingest(
             index_df, tagged_df = tables["index"], tables["tagged"]
             if config.exists_cache:
                 # one dates probe off the persisted batch, shared by
-                # both anti-joins (was one collect per table)
+                # both anti-joins (was one collect per table) — and
+                # skipped entirely on the first batch, when no stored
+                # table exists to anti-join against (the probe is a
+                # full pass over the batch)
+                have_stored = any(
+                    os.path.exists(os.path.join(config.root, t))
+                    for t in ("index", "tagged")
+                )
                 batch_dates = [
                     r["date"] for r in points.select("date").distinct().collect()
-                ]
+                ] if have_stored else None
                 index_df = _anti_existing(
                     spark_b, index_df, config.root, "index",
                     ["date", "level", "path"], batch_dates,
