@@ -244,10 +244,6 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
     return width, height, mean_byte
 
 
-# back-compat alias (older call sites / tests)
-decode_image_batch = decode_image
-
-
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas image feature extraction over binary payloads.
 

@@ -47,7 +47,7 @@ def asof_join(
     by_cols = [by] if isinstance(by, str) else list(by)
     out_col = out_col or f"asof_{right_value}"
 
-    keep = [c for c in left.columns]
+    keep = list(left.columns)
     l_tag = left.select(
         *keep,
         F.lit(1).alias("__is_left"),

@@ -112,9 +112,9 @@ class PlainLineReceiver:
         class UDPHandler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
                 data = self.request[0]
-                complete = data.split(b"\n")[:-1] if not data.endswith(
-                    b"\n"
-                ) else data.split(b"\n")
+                # drop the unterminated tail; when the datagram ends in
+                # a newline the dropped element is the empty remainder
+                complete = data.split(b"\n")[:-1]
                 writer.add([ln.rstrip(b"\r") for ln in complete if ln])
 
         class _TCPServer(socketserver.ThreadingTCPServer):
