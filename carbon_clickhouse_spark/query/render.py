@@ -236,6 +236,96 @@ def highest(series: DataFrame, n: int, func: str = "max") -> DataFrame:
     return series.join(broadcast(top), "path", "left_semi")
 
 
+def _per_series_stat(series: DataFrame, func: str) -> DataFrame:
+    """(path, stat) for the series-selection family. Partial-
+    aggregating groupBy — one narrow shuffle of per-path stats, never
+    a sort of the points."""
+    v = F.col("value").cast("decimal(18,6)")
+    per_path = series.groupBy("path")
+    if func == "max":
+        return per_path.agg(F.max(v).cast("double").alias("stat"))
+    if func == "min":
+        return per_path.agg(F.min(v).cast("double").alias("stat"))
+    if func == "avg":
+        return per_path.agg(
+            (F.sum(v).cast("double") / F.count("value")).alias("stat")
+        )
+    if func == "current":
+        return per_path.agg(
+            F.max_by(v, F.col("time")).cast("double").alias("stat")
+        )
+    raise ValueError(f"unsupported func {func}")
+
+
+def filter_series(
+    series: DataFrame, func: str, op: str, threshold: float
+) -> DataFrame:
+    """Graphite ``averageAbove/averageBelow/currentAbove/currentBelow/
+    maximumAbove/maximumBelow/minimumAbove/minimumBelow`` family: keep
+    the FULL series of every path whose ``func`` over the window
+    compares ``op`` ('>' / '<' / '>=' / '<=') against ``threshold``.
+
+    The qualifying path set is series-cardinality (tiny next to the
+    points) — broadcast semi-join back, same shape as :func:`highest`.
+    """
+    stat = _per_series_stat(series, func)
+    ops = {
+        ">": F.col("stat") > threshold,
+        ">=": F.col("stat") >= threshold,
+        "<": F.col("stat") < threshold,
+        "<=": F.col("stat") <= threshold,
+    }
+    if op not in ops:
+        raise ValueError(f"unsupported op {op}")
+    winners = stat.filter(ops[op]).select("path")
+    return series.join(F.broadcast(winners), "path", "left_semi")
+
+
+def average_above(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "avg", ">", n)
+
+
+def average_below(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "avg", "<", n)
+
+
+def current_above(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "current", ">", n)
+
+
+def current_below(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "current", "<", n)
+
+
+def maximum_above(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "max", ">", n)
+
+
+def minimum_below(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "min", "<", n)
+
+
+def alias_sub(series: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """Graphite ``aliasSub(series, search, replace)``: regex rename of
+    the series name (Java regex; graphite-web uses Python re — the
+    subset used for metric renames is identical)."""
+    return series.withColumn(
+        "path", F.regexp_replace("path", pattern, replacement)
+    )
+
+
+def offset_to_zero(series: DataFrame) -> DataFrame:
+    """Graphite ``offsetToZero``: subtract each series' minimum so the
+    series floor sits at zero. One window per path, no shuffle beyond
+    the path partitioning."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("path")
+    return series.withColumn(
+        "value", F.col("value") - F.min("value").over(wp)
+    )
+
+
 def stdev(series: DataFrame, points: int = 5) -> DataFrame:
     """Graphite ``stdev(series, points)``: trailing population stddev
     over the last ``points`` samples.

@@ -251,3 +251,41 @@ def test_holt_forecast(spark):
     f = {x.time: x.forecast for x in holt_forecast(r).collect()}
     assert f[1] is None and f[2] == 10.0
     assert f[3] > f[2] and f[4] > f[3] and f[5] > f[4]
+
+
+def test_series_selection_family(spark):
+    from carbon_clickhouse_spark.query.render import (
+        alias_sub,
+        average_above,
+        average_below,
+        current_above,
+        filter_series,
+        maximum_above,
+        minimum_below,
+        offset_to_zero,
+    )
+
+    rows = [
+        ("a", 10, 1.0), ("a", 20, 3.0),      # avg 2, max 3, min 1, cur 3
+        ("b", 10, 10.0), ("b", 20, 20.0),    # avg 15, max 20, min 10, cur 20
+        ("c", 10, -5.0), ("c", 20, 5.0),     # avg 0, max 5, min -5, cur 5
+    ]
+    s = spark.createDataFrame(rows, ["path", "time", "value"])
+
+    paths = lambda df: {r.path for r in df.select("path").distinct().collect()}
+    assert paths(average_above(s, 1.0)) == {"a", "b"}
+    assert paths(average_below(s, 1.0)) == {"c"}
+    assert paths(current_above(s, 4.0)) == {"b", "c"}
+    assert paths(maximum_above(s, 4.0)) == {"b", "c"}
+    assert paths(minimum_below(s, 0.0)) == {"c"}
+    # full series preserved, not just the stat rows
+    assert average_above(s, 1.0).count() == 4
+    # boundary ops
+    assert paths(filter_series(s, "avg", ">=", 15.0)) == {"b"}
+
+    renamed = paths(alias_sub(s, r"^([ab])$", r"host_$1"))
+    assert renamed == {"host_a", "host_b", "c"}
+
+    z = {(r.path, r.time): r.value for r in offset_to_zero(s).collect()}
+    assert z[("a", 10)] == 0.0 and z[("a", 20)] == 2.0
+    assert z[("c", 10)] == 0.0 and z[("c", 20)] == 10.0
