@@ -854,11 +854,46 @@ def q_render_rank(spark, sf_dir):
 
 def q_highest_max(spark, sf_dir):
     """Render layer: highestMax(5) — full series of the 5 paths with
-    the largest max value; distributed top-k + broadcast semi-join."""
+    the largest max value; distributed top-k + broadcast semi-join.
+    (Not in the graded 50 since round 4 — its top-k + semi-join shape
+    is covered by top_revenue_orders; the slot went to asof_align.
+    The operator stays unit-tested in tests/test_render.py.)"""
     from carbon_clickhouse_spark.query.render import highest
 
     pts = _events_points(spark, sf_dir).select("path", "time", "value")
     return highest(pts, 5, "max")
+
+
+def q_asof_align(spark, sf_dir):
+    """As-of join (operators/asof.py): align every non-view series
+    point with the most recent 10-minute peak of the SAME user's view
+    series at or before it — backward inclusive, 1800 s tolerance
+    (older matches -> NULL). This is the series-alignment primitive
+    behind divideSeries between different sampling grids. Union-tag +
+    one per-user window — one shuffle, no range join, no join at all.
+    Oracle: DuckDB native ASOF LEFT JOIN with the tolerance applied to
+    the matched right timestamp."""
+    from carbon_clickhouse_spark.operators.asof import asof_join
+
+    per = _per_ts_points(spark, sf_dir)
+    u = per.withColumn("usr", F.split("path", r"\.").getItem(1))
+    vdec = F.col("value").cast("decimal(18,6)")
+    left = u.filter(~F.col("path").endswith(".view")).select(
+        "path", "time", "value", "usr"
+    )
+    right = (
+        u.filter(F.col("path").endswith(".view"))
+        .groupBy(
+            "usr",
+            (F.floor(F.col("time") / 600) * 600).cast("long").alias("time"),
+        )
+        .agg(F.max(vdec).cast("double").alias("value"))
+    )
+    out = asof_join(
+        left, right, on="time", by="usr",
+        right_value="value", out_col="ref_value", tolerance=1800,
+    )
+    return out.select("path", "time", "value", "ref_value")
 
 
 def q_render_recursive(spark, sf_dir):
@@ -1309,23 +1344,31 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary media plumbing with a REAL decoder: deterministic P6 PPM
+    """Binary media plumbing with REAL decoders: deterministic P6 PPM
     payloads (valid netpbm files, width 8, height from text length,
-    cyclic 0..255 pixels) are decoded by the pure-Python netpbm parser
-    — header walk + pixel mean — via Arrow-batched mapInPandas. The
-    oracle reproduces every feature in closed form over the text
-    length, so the real decode path is hash-checked end-to-end."""
+    cyclic 0..255 pixels) through the pure-Python netpbm parser, AND
+    deterministic 8-bit grayscale PNGs (same pixel cycle, zlib IDAT)
+    through the full PNG chunk-walk + CRC + inflate + unfilter path —
+    both via Arrow-batched mapInPandas, unioned with a fmt
+    discriminator. The oracle reproduces every feature in closed form
+    over the text length, so both real decode paths are hash-checked
+    end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import (
+        attach_png_payload,
         attach_ppm_payload,
         extract_image_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    out = extract_image_features(attach_ppm_payload(docs))
-    return out.select(
-        "doc_id", "n_bytes", "width", "height",
+    ppm = extract_image_features(attach_ppm_payload(docs)).select(
+        "doc_id", F.lit("ppm").alias("fmt"), "width", "height",
         F.round("mean_byte", 4).alias("mean_byte"),
     )
+    png = extract_image_features(attach_png_payload(docs)).select(
+        "doc_id", F.lit("png").alias("fmt"), "width", "height",
+        F.round("mean_byte", 4).alias("mean_byte"),
+    )
+    return ppm.unionByName(png)
 
 
 def q_corpus_prep(spark, sf_dir):
@@ -1413,7 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_revenue_orders": q_top_revenue_orders,
         "group_by_node": q_group_by_node,
-        "highest_max": q_highest_max,
+        "asof_align": q_asof_align,
         "render_pointwise": q_render_pointwise,
         "render_window": q_render_window,
         "render_recursive": q_render_recursive,
@@ -1729,15 +1772,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 ELSE 0.0 END
             FROM s1 WHERE regexp_matches(path, '^ev\\.u1\\.')
         """,
-        "highest_max": f"""
-            WITH pts AS ({PTS_SQL}),
-            stat AS (
-              SELECT path, max(CAST(value AS DECIMAL(18,6))) AS stat
-              FROM pts GROUP BY path
+        # DuckDB native ASOF LEFT JOIN vs our union-tag window: the
+        # matched right timestamp drives the tolerance on both sides
+        "asof_align": f"""
+            WITH per_ts AS (
+              SELECT path, time,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+              FROM ({PTS_SQL}) GROUP BY path, time
             ),
-            top AS (SELECT path FROM stat ORDER BY stat DESC, path ASC LIMIT 5)
-            SELECT path, time, value FROM pts
-            WHERE path IN (SELECT path FROM top)
+            u AS (
+              SELECT path, time, value, string_split(path, '.')[2] AS usr
+              FROM per_ts
+            ),
+            l AS (SELECT * FROM u WHERE path NOT LIKE '%.view'),
+            r AS (
+              SELECT usr, (time // 600) * 600 AS time,
+                     CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rv
+              FROM u WHERE path LIKE '%.view'
+              GROUP BY usr, (time // 600) * 600
+            )
+            SELECT l.path, l.time, l.value,
+                   CASE WHEN l.time - r.time <= 1800 THEN r.rv END AS ref_value
+            FROM l ASOF LEFT JOIN r
+              ON l.usr = r.usr AND l.time >= r.time
         """,
         # EMA/Holt constants: inject the exact Python-computed doubles
         # (repr round-trips; DuckDB's string->double parse is correctly
@@ -2268,23 +2325,22 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY doc_id) AS BIGINT) AS seq_pos
             FROM p
         """,
-        # closed form of the REAL netpbm decode over the deterministic
-        # P6 fixture: h = 1 + utf8len % 64, pixel bytes cycle 0..255,
-        # so mean = (floor(n/256)*32640 + r*(r-1)/2) / n with n = 24h
+        # closed form of the REAL decodes over the deterministic
+        # fixtures: h = 1 + utf8len % 64, pixel bytes cycle 0..255, so
+        # mean = (floor(n/256)*32640 + r*(r-1)/2) / n with n = 24h for
+        # the P6 PPM and n = 8h for the grayscale PNG (inflate +
+        # unfilter reconstructs the same cycle)
         "multimodal_features": """
             WITH m AS (
               SELECT doc_id, 1 + octet_length(encode(text)) % 64 AS h
               FROM documents
             ),
             c AS (
-              SELECT doc_id, h, 24 * h AS n,
-                     octet_length(encode('P6' || chr(10) || '8 '
-                                  || CAST(h AS VARCHAR) || chr(10)
-                                  || '255' || chr(10))) AS hdr
-              FROM m
+              SELECT doc_id, h, fmt,
+                     CASE fmt WHEN 'ppm' THEN 24 * h ELSE 8 * h END AS n
+              FROM m, (VALUES ('ppm'), ('png')) AS f(fmt)
             )
-            SELECT doc_id,
-                   CAST(hdr + n AS BIGINT) AS n_bytes,
+            SELECT doc_id, fmt,
                    CAST(8 AS BIGINT) AS width,
                    CAST(h AS BIGINT) AS height,
                    round(CAST((n // 256) * 32640 + (n % 256) * ((n % 256) - 1) // 2 AS DOUBLE) / n, 4) AS mean_byte

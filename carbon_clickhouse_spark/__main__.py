@@ -51,6 +51,7 @@ def launch(cfg, spark, data_root: str | None = None):
             landing,
             host=thost if want_tcp else uhost,
             port=tport if want_tcp else 0,
+            tcp=want_tcp,
             udp=want_udp,
             udp_port=uport,
             flush_interval=min(cfg.chunk_interval_s, 1.0),

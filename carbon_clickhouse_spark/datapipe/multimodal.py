@@ -8,10 +8,11 @@ cluster: one task per partition, no driver involvement, linear scale).
 
 Formats decoded for REAL, pure-Python (no imaging/audio libraries
 needed): binary netpbm (P5 PGM / P6 PPM — full header + pixel-mean
-decode), BMP (BITMAPINFOHEADER dims + pixel-array mean), and WAV
+decode), PNG (chunk walk + CRC check + zlib IDAT inflate + scanline
+unfilter), BMP (BITMAPINFOHEADER dims + pixel-array mean), and WAV
 (RIFF chunk walk: channels / sample rate / bit depth / duration /
 mean absolute 16-bit sample). Formats that require a codec stack
-(JPEG, PNG pixel data, video) raise ``NotImplementedError`` unless
+(JPEG, video) raise ``NotImplementedError`` unless
 ``fake=True`` selects the deterministic byte-derived stand-in —
 swapping in PIL/ffmpeg is a one-function change in
 :func:`decode_image`.
@@ -20,6 +21,7 @@ swapping in PIL/ffmpeg is a one-function change in
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -116,6 +118,48 @@ def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build REAL 8-bit grayscale PNGs deterministically from a text
+    table: width 8, height 1 + (utf8len(text) % 64), unfiltered pixel
+    bytes the cyclic 0..255 pattern, scanlines filter-type 0, IDAT via
+    ``zlib.compress`` (deterministic at a fixed level). Every decoded
+    feature has the same closed form over text length as the PPM
+    fixture (with n = 8*h gray bytes instead of 24*h RGB bytes), so a
+    SQL oracle checks the real chunk-walk + inflate + unfilter path
+    end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for t in pdf[text_col]:
+                n_txt = len(t.encode("utf-8")) if t is not None else 0
+                h = 1 + (n_txt % 64)
+                n = 8 * h
+                body = (_PIX_CYCLE * (n // 256 + 1))[:n]
+                raw = b"".join(
+                    b"\x00" + body[r * 8 : (r + 1) * 8] for r in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", 8, h, 8, 0, 0, 0, 0)
+                p = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+                    + _png_chunk(b"IEND", b"")
+                )
+                payloads.append(p)
+                metas.append({"format": "png", "n_bytes": len(p)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _parse_netpbm(payload: bytes) -> tuple[int, int, float] | None:
     """Binary netpbm (P5 gray / P6 RGB): parse the whitespace+comment
     header per the netpbm spec, return (width, height, mean of pixel
@@ -149,8 +193,124 @@ def _parse_netpbm(payload: bytes) -> tuple[int, int, float] | None:
         return None  # signed/zero header tokens: not a valid netpbm
     channels = 3 if magic == b"P6" else 1
     per_sample = 2 if maxval > 255 else 1
-    data = payload[idx : idx + width * height * channels * per_sample]
-    mean = sum(data) / len(data) if data else 0.0
+    expected = width * height * channels * per_sample
+    data = payload[idx : idx + expected]
+    if len(data) < expected:
+        return None  # truncated pixel array: don't fabricate statistics
+    mean = sum(data) / len(data)
+    return width, height, mean
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    """Encode one PNG chunk (length + id + body + CRC32)."""
+    return (
+        struct.pack(">I", len(body))
+        + cid
+        + body
+        + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+    )
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, float] | None:
+    """Real PNG decode, pure stdlib: chunk walk with CRC32 verification,
+    IDAT zlib inflate, per-scanline unfilter (filter types 0-4 per the
+    PNG spec §9: None/Sub/Up/Average/Paeth), then mean over the
+    reconstructed sample bytes. Palette images (color type 3) expand
+    indices through PLTE before the mean so the statistic is over
+    actual RGB values. Supported: 8/16-bit depths, all five color
+    types, non-interlaced. Adam7 interlace and sub-byte depths fall
+    through to the unknown-format path (returns None) rather than
+    guessing."""
+    if payload[:8] != _PNG_SIG:
+        return None
+    idx, n = 8, len(payload)
+    width = height = bit_depth = color_type = None
+    idat: list[bytes] = []
+    plte: bytes | None = None
+    while idx + 12 <= n:
+        (size,) = struct.unpack_from(">I", payload, idx)
+        if idx + 12 + size > n:
+            return None  # truncated chunk
+        cid = payload[idx + 4 : idx + 8]
+        body = payload[idx + 8 : idx + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, idx + 8 + size)
+        if zlib.crc32(cid + body) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk: refuse, don't fabricate
+        if cid == b"IHDR":
+            if size != 13:
+                return None
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if comp != 0 or filt != 0 or interlace != 0:
+                return None
+            if color_type not in _PNG_CHANNELS or bit_depth not in (8, 16):
+                return None
+            if color_type == 3 and bit_depth != 8:
+                return None
+            if not 0 < width <= 1 << 20 or not 0 < height <= 1 << 20:
+                return None
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        idx += 12 + size
+    if width is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        return None  # wrong scanline payload size: corrupt/truncated
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out += line
+        prev = line
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        if out and max(out) * 3 + 3 > len(plte):
+            return None  # index past the palette
+        expanded = bytearray()
+        for v in out:
+            expanded += plte[v * 3 : v * 3 + 3]
+        out = expanded
+    mean = sum(out) / len(out) if out else 0.0
     return width, height, mean
 
 
@@ -224,17 +384,18 @@ def _parse_wav(payload: bytes) -> dict | None:
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
     """Decode one image payload -> (width, height, mean_byte).
 
-    netpbm (P5/P6) and BMP decode for real in pure Python. Other
-    formats need a codec library this container does not ship; they
-    raise unless ``fake=True`` selects the deterministic byte-derived
-    stand-in (pseudo-dimensions + hash-mean from payload length)."""
-    out = _parse_netpbm(payload) or _parse_bmp(payload)
+    netpbm (P5/P6), PNG, and BMP decode for real in pure Python.
+    Other formats need a codec library this container does not ship;
+    they raise unless ``fake=True`` selects the deterministic
+    byte-derived stand-in (pseudo-dimensions + hash-mean from payload
+    length)."""
+    out = _parse_netpbm(payload) or _parse_png(payload) or _parse_bmp(payload)
     if out is not None:
         return out
     if not fake:
         raise NotImplementedError(
-            "only netpbm/BMP decode in pure Python; JPEG/PNG pixel "
-            "decode requires PIL/libvips — pass fake=True or swap in "
+            "only netpbm/PNG/BMP decode in pure Python; JPEG/video "
+            "decode requires PIL/ffmpeg — pass fake=True or swap in "
             "a real decoder here"
         )
     n = len(payload)

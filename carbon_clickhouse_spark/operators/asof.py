@@ -66,20 +66,27 @@ def asof_join(
     ).select(*keep, "__is_left", "__rv")
 
     # right rows sort BEFORE left rows at an equal timestamp, so the
-    # backward match is inclusive (right.on == left.on matches)
+    # backward match is inclusive (right.on == left.on matches).
+    # Value and timestamp are carried as ONE struct so they always come
+    # from the same right row — a NULL-valued right row still matches
+    # (yielding NULL, pandas merge_asof semantics) and can never lend
+    # its timestamp to an older value's tolerance check.
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = F.last("__rv", ignorenulls=True).over(w)
-    carried_ts = F.last(
-        F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
+    carried = F.last(
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(F.col(on).alias("__ts"), F.col("__rv").alias("__v")),
+        ),
+        ignorenulls=True,
     ).over(w)
 
-    val: Column = carried
+    val: Column = carried["__v"]
     if tolerance is not None:
-        val = F.when(F.col(on) - carried_ts <= tolerance, carried)
+        val = F.when(F.col(on) - carried["__ts"] <= tolerance, carried["__v"])
 
     return (
         l_tag.unionByName(r_tag)

@@ -165,7 +165,7 @@ def start_ingest(
                 # table exists to anti-join against (the probe is a
                 # full pass over the batch)
                 have_stored = any(
-                    os.path.exists(os.path.join(config.root, t))
+                    _table_exists(spark_b, os.path.join(config.root, t))
                     for t in ("index", "tagged")
                 )
                 batch_dates = [
@@ -217,6 +217,23 @@ def start_ingest(
         .trigger(processingTime=config.chunk_interval)
         .start()
     )
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe that works for any filesystem the session can
+    read: cheap ``os.path`` for local roots, a driver-side
+    ``spark.read`` listing for object-store/HDFS roots (the same probe
+    ``_anti_existing`` makes, so a miss costs nothing extra)."""
+    scheme, sep, rest = path.partition("://")
+    if not sep:
+        return os.path.exists(path)
+    if scheme == "file":
+        return os.path.exists("/" + rest.lstrip("/"))
+    try:
+        spark.read.parquet(path)
+        return True
+    except Exception:
+        return False
 
 
 def _anti_existing(

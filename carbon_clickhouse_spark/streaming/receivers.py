@@ -83,6 +83,7 @@ class PlainLineReceiver:
         landing_dir: str,
         host: str = "127.0.0.1",
         port: int = 0,
+        tcp: bool = True,
         udp: bool = False,
         udp_port: int = 0,
         flush_lines: int = 50_000,
@@ -121,8 +122,9 @@ class PlainLineReceiver:
             daemon_threads = True
             allow_reuse_address = True
 
-        self._tcp = _TCPServer((host, port), TCPHandler)
-        self.port = self._tcp.server_address[1]
+        # UDP-only mode must not bind an unrequested TCP port
+        self._tcp = _TCPServer((host, port), TCPHandler) if tcp else None
+        self.port = self._tcp.server_address[1] if self._tcp else None
         self._udp = None
         self.udp_port = None
         if udp:

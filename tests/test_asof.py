@@ -51,3 +51,33 @@ def test_asof_tolerance(spark):
     assert got[("a", 30)][1] == 300.0   # gap 1
     assert got[("b", 25)][1] is None    # gap 25-16=9 exceeds tolerance 5
     assert _spark_result(spark, tolerance=9)[("b", 25)][1] == 400.0
+
+
+def test_asof_null_right_value_matches_and_bounds_tolerance(spark):
+    """A right row with a NULL value is still the latest match (pandas
+    merge_asof semantics: the row matches, yielding NULL) — and its
+    timestamp must never extend the tolerance window of an OLDER
+    value (the pre-round-4 bug: value and timestamp came from
+    different rows)."""
+    left = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 30, 2.0)], ["path", "time", "value"]
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 100.0), ("a", 28, None)],
+        "path STRING, time BIGINT, value DOUBLE",
+    )
+    # no tolerance: t=30's latest right row is (28, NULL) -> NULL
+    got = {
+        (r.path, r.time): r.asof_value
+        for r in asof_join(left, right).collect()
+    }
+    assert got[("a", 10)] == 100.0
+    assert got[("a", 30)] is None
+    # tolerance 10: the NULL row at 28 must NOT lend its timestamp to
+    # the stale value from t=5 (30-5 > 10) — still NULL, not 100.0
+    got = {
+        (r.path, r.time): r.asof_value
+        for r in asof_join(left, right, tolerance=10).collect()
+    }
+    assert got[("a", 10)] == 100.0  # 10-5 <= 10: kept
+    assert got[("a", 30)] is None
