@@ -29,39 +29,141 @@ def parse_listen(addr: str, default_port: int) -> tuple[str, int]:
 
 
 def launch(cfg, spark, data_root: str | None = None):
-    """Start receivers + the streaming pipeline for an EngineConfig.
-    Returns (receivers, streaming_query); caller owns shutdown."""
-    from .streaming.ingest import file_landing_source, start_plain_ingest
-    from .streaming.receivers import PlainLineReceiver
+    """Start live fronts + one streaming pipeline per enabled protocol
+    — parity with the reference's scheme dispatch
+    (receiver/receiver.go:94-200). All pipelines append to the SAME
+    four-table root (every reference receiver feeds the single
+    writeChan, carbon/app.go:193); each has its own landing subdir and
+    checkpoint. Returns (receivers, queries); caller owns shutdown."""
+    from .streaming.ingest import (
+        binary_landing_source,
+        file_landing_source,
+        start_grpc_ingest,
+        start_pickle_ingest,
+        start_plain_ingest,
+        start_prometheus_ingest,
+        start_telegraf_ingest,
+    )
+    from .streaming.receivers import (
+        GrpcCarbonReceiver,
+        HttpBodyReceiver,
+        PickleReceiver,
+        PlainLineReceiver,
+        snappy_validator,
+    )
 
     base = data_root or cfg.data_path
-    landing = os.path.join(base, "landing")
     tables = os.path.join(base, "tables")
-    os.makedirs(landing, exist_ok=True)
+    flush = min(cfg.chunk_interval_s, 1.0)
 
-    receivers = []
-    tcp = cfg.receivers.get("tcp")
-    udp = cfg.receivers.get("udp")
-    want_tcp = bool(tcp and tcp.enabled)
-    want_udp = bool(udp and udp.enabled)
-    if want_tcp or want_udp:
+    def landing(name: str) -> str:
+        d = os.path.join(base, "landing", name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def stream_cfg(name: str):
+        return cfg.stream(
+            root=tables,
+            receiver=name,
+            checkpoint=os.path.join(base, "checkpoints", name),
+        )
+
+    def enabled(name: str):
+        r = cfg.receivers.get(name)
+        return r if (r and r.enabled) else None
+
+    receivers, queries = [], []
+
+    tcp, udp = enabled("tcp"), enabled("udp")
+    if tcp or udp:
+        land = landing("plain")
         thost, tport = parse_listen(tcp.listen if tcp else "", 2003)
         uhost, uport = parse_listen(udp.listen if udp else "", 2003)
-        rx = PlainLineReceiver(
-            landing,
-            host=thost if want_tcp else uhost,
-            port=tport if want_tcp else 0,
-            tcp=want_tcp,
-            udp=want_udp,
-            udp_port=uport,
-            flush_interval=min(cfg.chunk_interval_s, 1.0),
-        ).start()
-        receivers.append(rx)
+        receivers.append(
+            PlainLineReceiver(
+                land,
+                host=thost if tcp else uhost,
+                port=tport if tcp else 0,
+                tcp=bool(tcp),
+                udp=bool(udp),
+                udp_port=uport,
+                flush_interval=flush,
+            ).start()
+        )
+        queries.append(
+            start_plain_ingest(
+                spark, file_landing_source(spark, land), stream_cfg("tcp")
+            )
+        )
 
-    query = start_plain_ingest(
-        spark, file_landing_source(spark, landing), cfg.stream(root=tables)
-    )
-    return receivers, query
+    pickle_rx = enabled("pickle")
+    if pickle_rx:
+        land = landing("pickle")
+        host, port = parse_listen(pickle_rx.listen, 2004)
+        receivers.append(
+            PickleReceiver(land, host=host, port=port, flush_interval=flush).start()
+        )
+        queries.append(
+            start_pickle_ingest(
+                spark, binary_landing_source(spark, land), stream_cfg("pickle")
+            )
+        )
+
+    prom = enabled("prometheus")
+    if prom:
+        land = landing("prometheus")
+        host, port = parse_listen(prom.listen, 2006)
+        receivers.append(
+            HttpBodyReceiver(
+                land, host=host, port=port,
+                validate=snappy_validator, flush_interval=flush,
+            ).start()
+        )
+        queries.append(
+            start_prometheus_ingest(
+                spark, binary_landing_source(spark, land), stream_cfg("prometheus")
+            )
+        )
+
+    tele = enabled("telegraf_http_json")
+    if tele:
+        land = landing("telegraf")
+        host, port = parse_listen(tele.listen, 2007)
+        receivers.append(
+            HttpBodyReceiver(
+                land, host=host, port=port, flush_interval=flush
+            ).start()
+        )
+        queries.append(
+            start_telegraf_ingest(
+                spark,
+                binary_landing_source(spark, land),
+                stream_cfg("telegraf_http_json"),
+                concat=tele.concat,
+            )
+        )
+
+    grpc_rx = enabled("grpc")
+    if grpc_rx:
+        land = landing("grpc")
+        host, port = parse_listen(grpc_rx.listen, 2005)
+        # grpcio is an optional extra; the decode pipeline runs either
+        # way (a bridge can drop framed payloads into the landing dir)
+        try:
+            receivers.append(
+                GrpcCarbonReceiver(
+                    land, host=host, port=port, flush_interval=flush
+                ).start()
+            )
+        except RuntimeError as e:
+            print(f"grpc front disabled: {e}", flush=True)
+        queries.append(
+            start_grpc_ingest(
+                spark, binary_landing_source(spark, land), stream_cfg("grpc")
+            )
+        )
+
+    return receivers, queries
 
 
 def main(argv=None) -> int:
@@ -83,18 +185,24 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
     spark = get_spark(app_name="carbon-clickhouse-spark", master=args.master)
-    receivers, query = launch(cfg, spark, data_root=args.data_root)
+    receivers, queries = launch(cfg, spark, data_root=args.data_root)
     for rx in receivers:
-        print(f"listening tcp={rx.port} udp={rx.udp_port}", flush=True)
+        udp = getattr(rx, "udp_port", None)
+        print(
+            f"listening {type(rx).__name__} port={rx.port}"
+            + (f" udp={udp}" if udp else ""),
+            flush=True,
+        )
     try:
-        while query.isActive:
+        while any(q.isActive for q in queries):
             time.sleep(1.0)
     except KeyboardInterrupt:
         pass
     finally:
         for rx in receivers:
             rx.stop()
-        query.stop()
+        for q in queries:
+            q.stop()
     return 0
 
 

@@ -125,16 +125,16 @@ class EngineConfig:
             now=now,
         )
 
-    def stream(self, root: str | None = None, **kwargs):
-        """StreamConfig wired from [data] + the tcp receiver (override
-        the landing root for testing)."""
+    def stream(self, root: str | None = None, receiver: str = "tcp", **kwargs):
+        """StreamConfig wired from [data] + one receiver's drop rules
+        (override the landing root for testing)."""
         from .streaming.ingest import StreamConfig
 
         ms = max(int(self.chunk_interval_s * 1000), 1)
         return StreamConfig(
             root=root or self.data_path,
             chunk_interval=f"{ms} milliseconds",
-            ingest=self.ingest(),
+            ingest=self.ingest(receiver),
             tag_config=self.tag_config,
             **kwargs,
         )

@@ -128,7 +128,7 @@ def decode_write_requests(bodies: DataFrame, body_col: str = "body") -> DataFram
     compressed (tried first when python-snappy is available)."""
 
     try:
-        import snappy  # optional
+        import snappy  # optional C implementation, preferred
 
         def _maybe_decompress(b: bytes) -> bytes:
             try:
@@ -137,9 +137,15 @@ def decode_write_requests(bodies: DataFrame, body_col: str = "body") -> DataFram
                 return b
 
     except ImportError:
+        from .snappy_block import SnappyError, decompress as _snappy
 
         def _maybe_decompress(b: bytes) -> bytes:
-            return b
+            # pure-Python snappy block decode; uncompressed bodies
+            # (tests, debug clients) pass through on decode failure
+            try:
+                return _snappy(b)
+            except SnappyError:
+                return b
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -25,6 +25,8 @@ exactly how the reference's users front it with a load balancer.
 from __future__ import annotations
 
 import os
+import threading
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +73,26 @@ def effective_chunk_interval(
         if backlog >= thresh:
             interval = seconds
     return interval
+
+
+# One writer at a time per TABLE DIRECTORY, process-wide: with several
+# protocol pipelines appending to the same four-table root (__main__
+# runs one StreamingQuery per enabled front, all feeding one root —
+# the reference's single writeChan, carbon/app.go:193), concurrent
+# append jobs to the SAME path race on the Hadoop committer's shared
+# `_temporary` staging dir — the first commit deletes the other job's
+# staged files, silently losing a batch. Different tables still write
+# in parallel; only same-table writes serialize. On a real cluster the
+# equivalent fix is a concurrency-safe committer (e.g. a manifest
+# committer / Delta's optimistic protocol); this lock is the
+# single-process guarantee.
+_TABLE_WRITE_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
+_TABLE_WRITE_LOCKS_GUARD = threading.Lock()
+
+
+def _table_lock(path: str) -> threading.Lock:
+    with _TABLE_WRITE_LOCKS_GUARD:
+        return _TABLE_WRITE_LOCKS[os.path.abspath(path)]
 
 
 @dataclass
@@ -131,9 +153,9 @@ def start_ingest(
         try:
             if config.audit_dropped:
                 dropped = points.filter(~keep)
-                dropped.write.mode("append").parquet(
-                    os.path.join(config.root, "dropped")
-                )
+                dropped_path = os.path.join(config.root, "dropped")
+                with _table_lock(dropped_path):
+                    dropped.write.mode("append").parquet(dropped_path)
             if config.collector is not None:
                 # per-reason drop counters (S7): one aggregation over
                 # the already-persisted batch, counter names straight
@@ -181,17 +203,21 @@ def start_ingest(
                 )
 
             def _write_points(name):
-                (
-                    tables[name]
-                    .withColumn("month", F.date_format("date", "yyyyMM"))
-                    .sortWithinPartitions("path", "time")
-                    .write.mode("append")
-                    .partitionBy("month")
-                    .parquet(os.path.join(config.root, name))
-                )
+                path = os.path.join(config.root, name)
+                with _table_lock(path):
+                    (
+                        tables[name]
+                        .withColumn("month", F.date_format("date", "yyyyMM"))
+                        .sortWithinPartitions("path", "time")
+                        .write.mode("append")
+                        .partitionBy("month")
+                        .parquet(path)
+                    )
 
             def _write_series(name, df):
-                df.write.mode("append").parquet(os.path.join(config.root, name))
+                path = os.path.join(config.root, name)
+                with _table_lock(path):
+                    df.write.mode("append").parquet(path)
 
             # the four table writes share the persisted batch and are
             # independent jobs — run them concurrently (the micro-batch
@@ -373,6 +399,98 @@ def file_landing_source(spark: SparkSession, landing_dir: str) -> DataFrame:
     """S1/S2-equivalent landing zone: each file is a chunk of protocol
     lines (what a TCP/UDP front writes)."""
     return spark.readStream.text(landing_dir)
+
+
+def binary_landing_source(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Landing zone for the binary fronts (pickle / prometheus /
+    telegraf / grpc): each ``.bin`` file is a chunk of length-framed
+    message bodies (``sources/framing.py``), streamed whole via the
+    ``binaryFile`` source."""
+    # binaryFile's schema is fixed but the streaming source requires
+    # it stated explicitly (no inference on an empty landing dir)
+    schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.bin")
+        .load(landing_dir)
+    )
+
+
+def start_pickle_ingest(
+    spark: SparkSession, files: DataFrame, config: StreamConfig
+) -> StreamingQuery:
+    """Binary landing chunks of carbon pickle frames -> four tables.
+    The landed chunk IS a valid pickle wire stream, so the decoder
+    runs ``framed=True`` over whole files — no per-message explode."""
+    import time as _time
+
+    from ..sources.pickle_source import pickle_frames_to_points
+
+    def decode(batch: DataFrame) -> DataFrame:
+        return pickle_frames_to_points(
+            batch, blob_col="content", framed=True, version=int(_time.time())
+        )
+
+    return start_ingest(spark, files, config, decode)
+
+
+def start_prometheus_ingest(
+    spark: SparkSession, files: DataFrame, config: StreamConfig
+) -> StreamingQuery:
+    """Binary landing chunks of remote-write bodies (snappy or raw
+    protobuf) -> four tables."""
+    import time as _time
+
+    from ..sources.framing import framed_bodies
+    from ..sources.prometheus import (
+        decode_write_requests,
+        prometheus_series_to_points,
+    )
+
+    def decode(batch: DataFrame) -> DataFrame:
+        series = decode_write_requests(framed_bodies(batch))
+        return prometheus_series_to_points(series, version=int(_time.time()))
+
+    return start_ingest(spark, files, config, decode)
+
+
+def start_telegraf_ingest(
+    spark: SparkSession, files: DataFrame, config: StreamConfig, concat: str = "_"
+) -> StreamingQuery:
+    """Binary landing chunks of Telegraf HTTP JSON bodies -> four
+    tables."""
+    import time as _time
+
+    from ..sources.framing import framed_bodies
+    from ..sources.telegraf import telegraf_json_to_points
+
+    def decode(batch: DataFrame) -> DataFrame:
+        return telegraf_json_to_points(
+            framed_bodies(batch), version=int(_time.time()), concat=concat
+        )
+
+    return start_ingest(spark, files, config, decode)
+
+
+def start_grpc_ingest(
+    spark: SparkSession, files: DataFrame, config: StreamConfig
+) -> StreamingQuery:
+    """Binary landing chunks of carbon.Payload protobufs -> four
+    tables (decoded by the hand-rolled proto walker)."""
+    import time as _time
+
+    from ..sources.framing import framed_bodies
+    from ..sources.grpc_source import grpc_payloads_to_points
+
+    def decode(batch: DataFrame) -> DataFrame:
+        return grpc_payloads_to_points(
+            framed_bodies(batch), blob_col="body", version=int(_time.time())
+        )
+
+    return start_ingest(spark, files, config, decode)
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:

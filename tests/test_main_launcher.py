@@ -50,7 +50,7 @@ table = "graphite_index"
     cfg_ingest = cfg.ingest()
     assert cfg_ingest.drop_future_seconds == 3600
 
-    receivers, query = launch(cfg, spark)
+    receivers, queries = launch(cfg, spark)
     try:
         rx = receivers[0]
         assert rx.port > 0 and rx.udp_port > 0  # both sockets bound
@@ -73,4 +73,85 @@ table = "graphite_index"
     finally:
         for rx in receivers:
             rx.stop()
-        query.stop()
+        for q in queries:
+            q.stop()
+
+
+def test_launch_all_protocols(spark, tmp_path):
+    """Scheme-dispatch parity (receiver/receiver.go:94-200): one TOML
+    enabling plain TCP + pickle + prometheus + telegraf brings up four
+    live fronts and four pipelines into one shared table root."""
+    import json
+    import pickle as pkl
+    import socket
+    import struct
+
+    from carbon_clickhouse_spark.sources.snappy_block import compress
+    from carbon_clickhouse_spark.streaming.receivers import send_lines
+    from tests.test_live_fronts import _label, _post, _sample
+
+    conf = tmp_path / "carbon-clickhouse.conf"
+    conf.write_text(
+        """
+[data]
+path = "%s"
+chunk-interval = "300ms"
+
+[tcp]
+listen = "127.0.0.1:0"
+enabled = true
+
+[pickle]
+listen = "127.0.0.1:0"
+enabled = true
+
+[prometheus]
+listen = "127.0.0.1:0"
+enabled = true
+
+[telegraf_http_json]
+listen = "127.0.0.1:0"
+enabled = true
+"""
+        % str(tmp_path / "data")
+    )
+    cfg = load_config(str(conf))
+    receivers, queries = launch(cfg, spark)
+    assert len(receivers) == 4 and len(queries) == 4
+    plain, pickle_rx, prom_rx, tele_rx = receivers
+    try:
+        send_lines("127.0.0.1", plain.port, ["plain.m 1.0 1625400000"])
+        frame = pkl.dumps([("pickled.m", (1625400001, 2.0))])
+        with socket.create_connection(("127.0.0.1", pickle_rx.port)) as s:
+            s.sendall(struct.pack(">I", len(frame)) + frame)
+        ts_msg = _label("__name__", "prom_m") + _sample(3.0, 1625400002000)
+        assert _post(prom_rx.port, compress(bytes([1 << 3 | 2, len(ts_msg)]) + ts_msg)) == 200
+        tele = {"metrics": [{"name": "tele", "timestamp": 1625400003,
+                             "fields": {"value": 4.0}, "tags": {}}]}
+        assert _post(tele_rx.port, json.dumps(tele).encode()) == 200
+
+        root = str(tmp_path / "data" / "tables")
+        deadline = time.time() + 90
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {
+                    (r.path, r.value, r.time)
+                    for r in spark.read.parquet(f"{root}/points").collect()
+                }
+                if len(got) >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert got == {
+            ("plain.m", 1.0, 1625400000),
+            ("pickled.m", 2.0, 1625400001),
+            ("prom_m?", 3.0, 1625400002),
+            ("tele?", 4.0, 1625400003),
+        }
+    finally:
+        for rx in receivers:
+            rx.stop()
+        for q in queries:
+            q.stop()
