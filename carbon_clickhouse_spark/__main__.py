@@ -166,19 +166,81 @@ def launch(cfg, spark, data_root: str | None = None):
     return receivers, queries
 
 
+def _load_chunk(path: str) -> bytes:
+    """Read a chunk file, transparently decompressing ``.lz4`` spool
+    files (writer/writer.go:228-240 naming)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if path.endswith(".lz4"):
+        from .sources.lz4frame import decompress_frame
+
+        data = decompress_frame(data)
+    return data
+
+
+def cat_chunk(path: str, out) -> int:
+    """``-cat`` parity (carbon-clickhouse.go:63-85): print a RowBinary
+    chunk in TabSeparated format — path, value, time, date, version —
+    stopping at the first corrupt record like the reference reader."""
+    import datetime
+
+    from .sources.rowbinary import decode_points
+
+    n = 0
+    for p, value, time_, days, version in decode_points(_load_chunk(path)):
+        date = datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+        out.write(f"{p}\t{value!r}\t{time_}\t{date.isoformat()}\t{version}\n")
+        n += 1
+    return n
+
+
+def recover_chunk(path: str, out) -> int:
+    """``-recover`` parity (carbon-clickhouse.go:87-95): copy all good
+    records from a (possibly truncated/corrupted) chunk to ``out`` as
+    binary RowBinary — the decode stops at the first corruption, so
+    everything before it is salvaged byte-exact."""
+    from .sources.rowbinary import decode_points, encode_points
+
+    good = decode_points(_load_chunk(path))
+    out.write(encode_points([(p, v, t, ver) for p, v, t, _d, ver in good]))
+    return len(good)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="carbon_clickhouse_spark",
         description="run the PySpark carbon-clickhouse engine from a "
         "reference TOML config",
     )
-    ap.add_argument("--config", required=True, help="carbon-clickhouse.conf path")
+    ap.add_argument("--config", default=None, help="carbon-clickhouse.conf path")
     ap.add_argument("--master", default=None, help="Spark master override")
     ap.add_argument(
         "--data-root", default=None,
         help="override [data] path (landing + tables live under it)",
     )
+    ap.add_argument(
+        "--cat", default=None, metavar="FILE",
+        help="print RowBinary chunk file in TabSeparated format and exit",
+    )
+    ap.add_argument(
+        "--recover", default=None, metavar="FILE",
+        help="read all good records from a corrupted chunk file, write "
+        "binary data to stdout, and exit",
+    )
     args = ap.parse_args(argv)
+
+    if args.cat:
+        import sys
+
+        cat_chunk(args.cat, sys.stdout)
+        return 0
+    if args.recover:
+        import sys
+
+        recover_chunk(args.recover, sys.stdout.buffer)
+        return 0
+    if not args.config:
+        ap.error("--config is required (unless --cat/--recover)")
 
     from .config import load_config
     from .session import get_spark

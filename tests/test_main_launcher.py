@@ -155,3 +155,47 @@ enabled = true
             rx.stop()
         for q in queries:
             q.stop()
+
+
+def test_cat_and_recover_flags(tmp_path, capsys):
+    """--cat dumps TSV from a good chunk; --recover salvages the good
+    prefix of a truncated one (carbon-clickhouse.go:52-95 parity)."""
+    import io
+
+    from carbon_clickhouse_spark.__main__ import main
+    from carbon_clickhouse_spark.sources.rowbinary import (
+        decode_points,
+        encode_points,
+        write_chunk,
+    )
+
+    pts = [("cat.a", 1.5, 1625400000, 7), ("cat.b", 2.0, 1625400060, 7)]
+    chunk = str(tmp_path / "good.bin")
+    write_chunk(pts, chunk)
+
+    assert main(["--cat", chunk]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out == [
+        "cat.a\t1.5\t1625400000\t2021-07-04\t7",
+        "cat.b\t2.0\t1625400060\t2021-07-04\t7",
+    ]
+
+    # corrupt chunk: good record + truncated tail
+    data = encode_points(pts)
+    bad = str(tmp_path / "bad.bin")
+    with open(bad, "wb") as f:
+        f.write(encode_points([pts[0]]) + data[: len(data) // 2 + 3])
+    from carbon_clickhouse_spark.__main__ import recover_chunk
+
+    buf = io.BytesIO()
+    n = recover_chunk(bad, buf)
+    assert n >= 1
+    salvaged = decode_points(buf.getvalue())
+    assert salvaged[0][:3] == ("cat.a", 1.5, 1625400000)
+    # salvage output is itself a clean decodable stream
+    assert len(salvaged) == n
+
+    # lz4-compressed chunk cats identically
+    lz4_chunk = write_chunk(pts, str(tmp_path / "good2.bin"), compress="lz4")
+    assert main(["--cat", lz4_chunk]) == 0
+    assert capsys.readouterr().out.strip().split("\n") == out

@@ -191,3 +191,114 @@ def test_insert_points_mtls(spark, tmp_path):
             tls=TLSConfig(ca_certs=[certs["ca.crt"]], server_name="localhost"),
         )
     srv2.server_close()
+
+
+def _reference_golden_points():
+    """Python replica of the reference uploader golden fixture
+    (uploader/write_test.go:37-77 generateMetrics): 2 hosts x 3
+    process counters, each as a plain path AND its canonical tagged
+    twin, time = version = now, values stepping 0.01. Both sides of
+    the pair share one value, exactly like the Go generator."""
+    now = 1559465760
+    hosts = ["dc1-8d967d8d5-hjxnn", "ad2-adf67d8d5-hjkdk1"]
+    names = ["blocked", "zombies", "stopped"]
+    points, v = [], 0.0
+    for host in hosts:
+        for name in names:
+            plain = f"telegraph.{host}.processes.{name}"
+            tagged = f"{name}?app=telegraph&host={host}&scope=processes"
+            points.append((plain, v, now, now))
+            points.append((tagged, v, now, now))
+            v += 0.01
+    return points
+
+
+def _golden_rowbinary(points):
+    """Independent encoder straight from the documented layout
+    (helper/RowBinary/write_buffer.go:169-175): uvarint(len)+name,
+    float64 LE, uint32 LE time, uint16 LE days, uint32 LE version.
+    Deliberately NOT encode_points — this is the cross-check."""
+    import struct as st
+
+    out = bytearray()
+    for path, value, ts, version in points:
+        raw = path.encode()
+        n = len(raw)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                break
+        out += raw
+        out += st.pack("<d", value)
+        out += st.pack("<I", ts)
+        out += st.pack("<H", ts // 86400)
+        out += st.pack("<I", version)
+    return bytes(out)
+
+
+def test_golden_rowbinary_bytes_plain_and_gzip(spark):
+    """The sink must emit byte-identical RowBinary to the reference's
+    uploader for its own golden fixture, plain and gzip."""
+    import gzip as gz
+    import http.server
+    import threading
+
+    from carbon_clickhouse_spark.functions.tags import graphite_canonicalize
+
+    points = _reference_golden_points()
+    expected = _golden_rowbinary(points)
+
+    # the tagged fixture paths must equal OUR canonicalizer's output
+    # for the graphite ';'-form input (helper/tags/graphite.go parity)
+    for host in ["dc1-8d967d8d5-hjxnn", "ad2-adf67d8d5-hjkdk1"]:
+        got = graphite_canonicalize(
+            f"blocked;scope=processes;host={host};app=telegraph"
+        )
+        assert got == f"blocked?app=telegraph&host={host}&scope=processes"
+
+    bodies = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            ln = int(self.headers.get("Content-Length", 0))
+            bodies.append(
+                (self.path, dict(self.headers), self.rfile.read(ln))
+            )
+            self.send_response(200)
+            self.send_header("X-ClickHouse-Exception-Code", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.socket.getsockname()[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [(p, v, ts, ver) for p, v, ts, ver in points],
+            "path STRING, value DOUBLE, time LONG, version LONG",
+        ).coalesce(1)
+        url = f"http://127.0.0.1:{port}"
+        insert_points(df, url, "graphite", gzip=False, zero_timestamp=False)
+        insert_points(df, url, "graphite", gzip=True, zero_timestamp=False)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert len(bodies) == 2
+    (path_plain, hdr_plain, body_plain), (_, hdr_gz, body_gz) = bodies
+    assert "INSERT%20INTO%20graphite" in path_plain
+    assert body_plain == expected  # byte-identical to the reference
+    assert hdr_gz.get("Content-Encoding") == "gzip"
+    assert gz.decompress(body_gz) == expected
+    # and the lz4 spool roundtrip of the same bytes survives
+    from carbon_clickhouse_spark.sources.lz4frame import (
+        compress_frame,
+        decompress_frame,
+    )
+
+    assert decompress_frame(compress_frame(expected)) == expected
