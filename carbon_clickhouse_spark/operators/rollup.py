@@ -1,4 +1,4 @@
-"""GraphiteMergeTree rollup semantics (A4) as a read-time aggregation.
+r"""GraphiteMergeTree rollup semantics (A4) as a read-time aggregation.
 
 The reference delegates downsampling to ClickHouse's GraphiteMergeTree
 (``tests/clickhouse/rollup/rollup.xml``). ClickHouse resolves the

@@ -67,15 +67,15 @@ def build_tagged(
         F.col("tags")
     )
 
-    return (
-        parsed.select(
-            "date",
-            F.explode(tag1s).alias("tag1"),
-            "path",
-            "tags",
-            "version",
-        )
-        .groupBy("date", "tag1", "path")
-        .agg(F.max("version").alias("version"), F.first("tags").alias("tags"))
-        .select("date", "tag1", "path", "tags", "version")
+    # (date, path) is unique here (A1 dedup above, or the pre_deduped
+    # caller contract), so exploding the DISTINCT tag1 candidates
+    # already yields unique (date, tag1, path) rows — array_distinct
+    # replaces what was a second full shuffle over the exploded
+    # (x #tags) set guarding only the duplicate-tag-in-path edge
+    return parsed.select(
+        "date",
+        F.explode(F.array_distinct(tag1s)).alias("tag1"),
+        "path",
+        "tags",
+        "version",
     )

@@ -105,6 +105,12 @@ class StreamConfig:
     audit_dropped: bool = True  # F5
     exists_cache: bool = True  # A2
     collector: object | None = None  # S7: SelfMetricsCollector (optional)
+    # Micro-batch parallelism follows the landing chunk-file count (one
+    # scan partition per small file). A front that rotates ONE big chunk
+    # per interval would run the whole batch on one core — set this to
+    # fan the parsed batch out across the executors before the four
+    # table writes. None = trust the source partitioning.
+    repartition: int | None = None
 
 
 def start_plain_ingest(
@@ -142,6 +148,8 @@ def start_ingest(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         points = decoder(batch)
+        if config.repartition:
+            points = points.repartition(config.repartition)
         ic = config.ingest
         keep = drop_rule_predicate(
             now=ic.now,
@@ -179,28 +187,32 @@ def start_ingest(
                         config.collector.add(k, float(agg[k]))
             tables = derive_tables(points, ic)
 
-            index_df, tagged_df = tables["index"], tables["tagged"]
-            if config.exists_cache:
-                # one dates probe off the persisted batch, shared by
-                # both anti-joins (was one collect per table) — and
-                # skipped entirely on the first batch, when no stored
-                # table exists to anti-join against (the probe is a
-                # full pass over the batch)
-                have_stored = any(
-                    _table_exists(spark_b, os.path.join(config.root, t))
-                    for t in ("index", "tagged")
-                )
-                batch_dates = [
-                    r["date"] for r in points.select("date").distinct().collect()
-                ] if have_stored else None
-                index_df = _anti_existing(
-                    spark_b, index_df, config.root, "index",
-                    ["date", "level", "path"], batch_dates,
-                )
-                tagged_df = _anti_existing(
-                    spark_b, tagged_df, config.root, "tagged",
-                    ["date", "tag1", "path"], batch_dates,
-                )
+            # one dates probe off the persisted batch, shared by both
+            # anti-joins (was one collect per table), computed LAZILY
+            # inside the first index/tagged writer to reach it — the
+            # points writes below start materializing the cached batch
+            # concurrently instead of idling behind the collect. None
+            # on the first batch (no stored table to anti-join
+            # against; the probe is a full pass over the batch).
+            dates_lock = threading.Lock()
+            dates_memo: list = []
+
+            def _batch_dates():
+                with dates_lock:
+                    if not dates_memo:
+                        have_stored = any(
+                            _table_exists(spark_b, os.path.join(config.root, t))
+                            for t in ("index", "tagged")
+                        )
+                        dates_memo.append(
+                            [
+                                r["date"]
+                                for r in points.select("date").distinct().collect()
+                            ]
+                            if have_stored
+                            else None
+                        )
+                    return dates_memo[0]
 
             def _write_points(name):
                 path = os.path.join(config.root, name)
@@ -214,7 +226,12 @@ def start_ingest(
                         .parquet(path)
                     )
 
-            def _write_series(name, df):
+            def _write_series(name, keys):
+                df = tables[name]
+                if config.exists_cache:
+                    df = _anti_existing(
+                        spark_b, df, config.root, name, keys, _batch_dates()
+                    )
                 path = os.path.join(config.root, name)
                 with _table_lock(path):
                     df.write.mode("append").parquet(path)
@@ -229,8 +246,8 @@ def start_ingest(
                 futures = [
                     pool.submit(_write_points, "points"),
                     pool.submit(_write_points, "points_reverse"),
-                    pool.submit(_write_series, "index", index_df),
-                    pool.submit(_write_series, "tagged", tagged_df),
+                    pool.submit(_write_series, "index", ["date", "level", "path"]),
+                    pool.submit(_write_series, "tagged", ["date", "tag1", "path"]),
                 ]
                 for f in futures:
                     f.result()
@@ -247,19 +264,13 @@ def start_ingest(
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe that works for any filesystem the session can
-    read: cheap ``os.path`` for local roots, a driver-side
-    ``spark.read`` listing for object-store/HDFS roots (the same probe
-    ``_anti_existing`` makes, so a miss costs nothing extra)."""
-    scheme, sep, rest = path.partition("://")
-    if not sep:
-        return os.path.exists(path)
-    if scheme == "file":
-        return os.path.exists("/" + rest.lstrip("/"))
-    try:
-        spark.read.parquet(path)
-        return True
-    except Exception:
-        return False
+    reach: one Hadoop ``FileSystem.exists`` RPC, no Spark job and no
+    log-spamming analysis exception (a ``spark.read.parquet`` probe on
+    a missing first-batch table dumps a WARN stack trace per miss)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def _anti_existing(
@@ -271,10 +282,9 @@ def _anti_existing(
     batch_dates: list | None = None,
 ) -> DataFrame:
     path = os.path.join(root, table)
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    if not _table_exists(spark, path):
         return df  # first batch: table doesn't exist yet
+    existing = spark.read.parquet(path)
     # prune the stored side to the batch's dates before the anti-join:
     # a micro-batch covers one or two days, so the right side shrinks
     # from the whole index history to a sliver (at 100 TB this is the
