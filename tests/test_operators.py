@@ -294,3 +294,48 @@ def test_build_series_legacy(spark):
     assert rows == [("2021-07-05", 2, "a.b", 9)]
     rev = build_series(pts, reverse=True).collect()
     assert [r.path for r in rev] == ["b.a"]
+
+
+def test_rollup_hot_key_skew(spark):
+    """A single hot path carrying 50% of all points must neither skew
+    the aggregate nor change results: rollup's groupBy key includes
+    the time bucket AND the plan keeps map-side partial aggregation,
+    so each task pre-collapses its slice of the hot series to one row
+    per bucket before the shuffle — reduce-side input per key is
+    bounded by the task count, not the point count (with AQE skew
+    handling on top for residual imbalance; see SCALING.md)."""
+    from pyspark.sql import functions as F
+
+    n_hot = 20_000
+    hot = spark.range(n_hot).select(
+        F.lit("hot.metric.sum").alias("path"),
+        (F.col("id") % 7 + 1.0).alias("value"),
+        (F.lit(1_000_000) + F.col("id") % 600).cast("long").alias("time"),
+        F.lit(D).alias("date"),
+        F.lit(0).alias("version"),
+    )
+    cold = spark.range(n_hot).select(
+        F.concat(F.lit("cold.m"), F.col("id") % 500, F.lit(".sum")).alias("path"),
+        F.lit(1.0).alias("value"),
+        (F.lit(1_000_000) + F.col("id") % 600).cast("long").alias("time"),
+        F.lit(D).alias("date"),
+        F.lit(0).alias("version"),
+    )
+    pts = hot.unionAll(cold).repartition(16)
+
+    out = rollup(pts, precision_s=600)
+
+    # partial + final aggregate pair in the physical plan: the
+    # map-side combine is what makes the hot key scale-safe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+
+    rows = {(r.path, r.time): r.value for r in out.collect()}
+    # hot series: one bucket, sum over all 20k points
+    hot_expect = float(sum((i % 7) + 1 for i in range(n_hot)))
+    assert rows[("hot.metric.sum", 999_600)] + rows[
+        ("hot.metric.sum", 1_000_200)
+    ] == hot_expect
+    # every cold series aggregated independently and correctly
+    assert rows[("cold.m0.sum", 999_600)] + rows[("cold.m0.sum", 1_000_200)] == 40.0
+    assert len(rows) == 2 + 2 * 500
