@@ -206,44 +206,51 @@ def _stream_throughput(spark, sf_dir: str) -> int:
             q.processAllAvailable()
             _assert_healthy(q)
 
-            # measured load: three full line waves staged OUTSIDE the
+            # measured load: full line waves staged OUTSIDE the
             # watched glob, renamed in atomically, then drained — no
             # chunk is visible before the clock starts, and the
             # backlog is deep enough that per-trigger fixed cost
             # (offset log, commit, trigger alignment) amortizes the
-            # way it does under continuous arrival
-            waves = 3
-            for i in range(waves):
-                lines.repartition(16).write.mode("overwrite").text(
-                    os.path.join(base, f"staged_{i}")
+            # way it does under continuous arrival. Best of two
+            # rounds, same as the query timings: a single round is at
+            # the mercy of transient host noise.
+            waves, rounds = 2, 2
+            best_pps = 0.0
+            for r in range(rounds):
+                for i in range(waves):
+                    lines.repartition(16).write.mode("overwrite").text(
+                        os.path.join(base, f"staged_{r}_{i}")
+                    )
+                seen_batches = {p["batchId"] for p in q.recentProgress}
+                for i in range(waves):
+                    os.rename(
+                        os.path.join(base, f"staged_{r}_{i}"),
+                        os.path.join(landing, f"wave_{r}_{i}"),
+                    )
+                q.processAllAvailable()
+                _assert_healthy(q)
+                # sustained rate = rows / time the engine spent in
+                # data-carrying triggers. Under continuous arrival
+                # batches run back-to-back (processing time >> trigger
+                # interval), so idle empty triggers — including the
+                # extra one processAllAvailable waits for to confirm
+                # the drain — are measurement artifacts, not engine
+                # time.
+                busy_ms = sum(
+                    p["durationMs"]["triggerExecution"]
+                    for p in q.recentProgress
+                    if p["batchId"] not in seen_batches and p["numInputRows"] > 0
                 )
-            warm_batches = {p["batchId"] for p in q.recentProgress}
-            for i in range(waves):
-                os.rename(
-                    os.path.join(base, f"staged_{i}"),
-                    os.path.join(landing, f"wave_{i}"),
-                )
-            q.processAllAvailable()
-            _assert_healthy(q)
-            # sustained rate = rows / time the engine spent in
-            # data-carrying triggers. Under continuous arrival batches
-            # run back-to-back (processing time >> trigger interval),
-            # so idle empty triggers — including the extra one
-            # processAllAvailable waits for to confirm the drain —
-            # are measurement artifacts, not engine time.
-            busy_ms = sum(
-                p["durationMs"]["triggerExecution"]
-                for p in q.recentProgress
-                if p["batchId"] not in warm_batches and p["numInputRows"] > 0
-            )
+                best_pps = max(best_pps, waves * n / (busy_ms / 1000.0))
         finally:
             q.stop()
         written = spark.read.parquet(os.path.join(root, "points")).count()
-        if written != waves * n + n_warm:
+        expect = rounds * waves * n + n_warm
+        if written != expect:
             raise RuntimeError(
-                f"streaming bench wrote {written} points, expected {waves * n + n_warm}"
+                f"streaming bench wrote {written} points, expected {expect}"
             )
-        return round(waves * n / (busy_ms / 1000.0))
+        return round(best_pps)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -41,7 +41,9 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long (we floor to seconds ourselves)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts driver AND all executor threads in one JVM —
+        # size the heap for N concurrent tasks, not a thin coordinator
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
