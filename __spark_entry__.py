@@ -1349,11 +1349,15 @@ def q_multimodal_features(spark, sf_dir):
     cyclic 0..255 pixels) through the pure-Python netpbm parser, AND
     deterministic 8-bit grayscale PNGs (same pixel cycle, zlib IDAT)
     through the full PNG chunk-walk + CRC + inflate + unfilter path —
-    both via Arrow-batched mapInPandas, unioned with a fmt
-    discriminator. The oracle reproduces every feature in closed form
-    over the text length, so both real decode paths are hash-checked
+    AND deterministic baseline JPEGs (constant 8x8 blocks, minimal
+    canonical Huffman tables) through the real T.81 entropy decoder
+    (DC-mean path, no IDCT needed for the mean) — all via
+    Arrow-batched mapInPandas, unioned with a fmt discriminator. The
+    oracle reproduces every feature in closed form over the text
+    length, so all three real decode paths are hash-checked
     end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import (
+        attach_jpeg_payload,
         attach_png_payload,
         attach_ppm_payload,
         extract_image_features,
@@ -1368,7 +1372,11 @@ def q_multimodal_features(spark, sf_dir):
         "doc_id", F.lit("png").alias("fmt"), "width", "height",
         F.round("mean_byte", 4).alias("mean_byte"),
     )
-    return ppm.unionByName(png)
+    jpg = extract_image_features(attach_jpeg_payload(docs)).select(
+        "doc_id", F.lit("jpeg").alias("fmt"), "width", "height",
+        F.round("mean_byte", 4).alias("mean_byte"),
+    )
+    return ppm.unionByName(png).unionByName(jpg)
 
 
 def q_corpus_prep(spark, sf_dir):
@@ -2332,19 +2340,33 @@ def oracle_sql() -> dict[str, str]:
         # unfilter reconstructs the same cycle)
         "multimodal_features": """
             WITH m AS (
-              SELECT doc_id, 1 + octet_length(encode(text)) % 64 AS h
+              SELECT doc_id, octet_length(encode(text)) AS nb,
+                     1 + octet_length(encode(text)) % 64 AS h
               FROM documents
             ),
             c AS (
               SELECT doc_id, h, fmt,
                      CASE fmt WHEN 'ppm' THEN 24 * h ELSE 8 * h END AS n
               FROM m, (VALUES ('ppm'), ('png')) AS f(fmt)
+            ),
+            pixel_cycle AS (
+              SELECT doc_id, fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(h AS BIGINT) AS height,
+                     round(CAST((n // 256) * 32640 + (n % 256) * ((n % 256) - 1) // 2 AS DOUBLE) / n, 4) AS mean_byte
+              FROM c
+            ),
+            jpeg AS (
+              -- block i of 1 + nb%16 is the constant (nb + 37*i) % 256
+              SELECT m.doc_id, 'jpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 * (1 + m.nb % 16) AS BIGINT) AS height,
+                     round(avg((m.nb + 37 * s.i) % 256), 4) AS mean_byte
+              FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
+                ON s.i < 1 + m.nb % 16
+              GROUP BY m.doc_id, m.nb
             )
-            SELECT doc_id, fmt,
-                   CAST(8 AS BIGINT) AS width,
-                   CAST(h AS BIGINT) AS height,
-                   round(CAST((n // 256) * 32640 + (n % 256) * ((n % 256) - 1) // 2 AS DOUBLE) / n, 4) AS mean_byte
-            FROM c
+            SELECT * FROM pixel_cycle UNION ALL SELECT * FROM jpeg
         """,
     }
     ivf = _ivf_oracle_sql()

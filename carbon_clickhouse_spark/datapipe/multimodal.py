@@ -9,10 +9,12 @@ cluster: one task per partition, no driver involvement, linear scale).
 Formats decoded for REAL, pure-Python (no imaging/audio libraries
 needed): binary netpbm (P5 PGM / P6 PPM — full header + pixel-mean
 decode), PNG (chunk walk + CRC check + zlib IDAT inflate + scanline
-unfilter), BMP (BITMAPINFOHEADER dims + pixel-array mean), and WAV
-(RIFF chunk walk: channels / sample rate / bit depth / duration /
-mean absolute 16-bit sample). Formats that require a codec stack
-(JPEG, video) raise ``NotImplementedError`` unless
+unfilter), BMP (BITMAPINFOHEADER dims + pixel-array mean), baseline
+JPEG (real T.81 entropy decode — Huffman + restart markers — with the
+image mean recovered exactly from DC coefficients, no IDCT needed),
+and WAV (RIFF chunk walk: channels / sample rate / bit depth /
+duration / mean absolute 16-bit sample). Formats that require a codec
+stack (progressive JPEG, video) raise ``NotImplementedError`` unless
 ``fake=True`` selects the deterministic byte-derived stand-in —
 swapping in PIL/ffmpeg is a one-function change in
 :func:`decode_image`.
@@ -338,6 +340,393 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, float] | None:
     return width, abs(height), mean
 
 
+# --- JPEG (ITU T.81 baseline): DC-mean decode -----------------------
+#
+# Full pixel decode needs the IDCT, but the image MEAN does not: every
+# AC basis function integrates to zero over its 8x8 block, so a
+# block's pixel mean is exactly DC*q0/8 + 128 — recoverable from the
+# entropy stream alone. The decoder below is a real baseline JPEG
+# entropy decoder (marker walk, DQT/DHT/SOF0/DRI/SOS parse, canonical
+# Huffman, byte unstuffing, restart markers, run-length AC skip); it
+# skips only the IDCT that the mean provably does not need.
+
+
+def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman table (T.81 C.2): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Inverse of :func:`_jpeg_huff_decode_table`: {symbol: (code, length)}."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_huff_decode_table(bits, vals).items()
+    }
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, marker detection
+    (stops and exposes RSTn / EOI instead of consuming them as data)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf, self.pos = buf, pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None or self.pos >= len(self.buf):
+            return False
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                return False
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt  # RSTn / EOI / next segment
+                return False
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def huff(self, table: dict) -> int | None:
+        length, code = 0, 0
+        for _ in range(16):
+            bit = self.read(1)
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        return None
+
+    def sync_marker(self) -> int | None:
+        """Byte-align and consume the pending marker (after padding)."""
+        self.bits = self.nbits = 0
+        while self.marker is None:
+            if self.pos + 1 >= len(self.buf):
+                return None
+            if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+                self.marker = self.buf[self.pos + 1]
+            else:
+                self.pos += 1
+        m, self.marker = self.marker, None
+        self.pos += 2
+        return m
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude code."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, float] | None:
+    """Baseline JPEG -> (width, height, mean) via DC coefficients.
+
+    Handles: grayscale and interleaved multi-component scans with
+    arbitrary sampling factors, 8/16-bit DQT, multiple DHT segments,
+    restart intervals. The reported mean is over the luma (first)
+    component's block grid — exact for the real pixel mean when
+    dimensions are block-aligned and samples don't clip (AC terms
+    integrate to zero per block); edge blocks weigh equally otherwise.
+    Progressive/arithmetic/12-bit JPEGs and corrupt streams return
+    None (fall through to the unknown-format path) rather than guess."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, tq)
+    width = height = None
+    restart_interval = 0
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return None  # EOI before any scan
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    if p + 128 > len(seg):
+                        return None
+                    qt[tq] = list(struct.unpack_from(">64H", seg, p))
+                    p += 128
+                else:
+                    if p + 64 > len(seg):
+                        return None
+                    qt[tq] = list(seg[p : p + 64])
+                    p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                if p + 17 + cnt > len(seg):
+                    return None
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                p += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline DCT
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
+                return None
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15,
+                 seg[8 + 3 * c])
+                for c in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive/lossless/arithmetic: unsupported
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                return None
+            ns = seg[0] if seg else 0
+            if len(seg) < 1 + 2 * ns:
+                return None
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            return _jpeg_scan_mean(
+                payload, i, comps, scan, huff, qt,
+                width, height, restart_interval,
+            )
+        # else: APPn/COM/unknown — skipped via seg_len
+    return None
+
+
+def _jpeg_scan_mean(
+    buf: bytes,
+    pos: int,
+    comps: list[tuple[int, int, int, int]],
+    scan: list[tuple[int, int, int]],
+    huff: dict,
+    qt: dict,
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> tuple[int, int, float] | None:
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_id = comps[0][0]
+    # (comp, dc_table, ac_table, blocks_per_mcu)
+    order = []
+    for cid, td, ta in scan:
+        comp = by_id.get(cid)
+        if comp is None or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        if comp[3] not in qt:
+            return None
+        order.append((comp, huff[(0, td)], huff[(1, ta)], comp[1] * comp[2]))
+    if len(scan) == 1:
+        comp = order[0][0]
+        if len(comps) == 1:
+            bw, bh = -(-width // 8), -(-height // 8)
+        else:  # non-interleaved scan of one component of many
+            bw = -(-(width * comp[1]) // (8 * hmax))
+            bh = -(-(height * comp[2]) // (8 * vmax))
+        mcus = bw * bh
+        order[0] = (comp, order[0][1], order[0][2], 1)
+    else:
+        mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+    reader = _JpegBitReader(buf, pos)
+    preds = {c[0]: 0 for c in comps}
+    dc_sum = 0  # luma DC (quantized) running sum
+    dc_blocks = 0
+    for m in range(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            marker = reader.sync_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            preds = {c[0]: 0 for c in comps}
+        for comp, dc_tab, ac_tab, nblocks in order:
+            for _ in range(nblocks):
+                s = reader.huff(dc_tab)
+                if s is None or s > 15:
+                    return None
+                mag = reader.read(s) if s else 0
+                if mag is None:
+                    return None
+                preds[comp[0]] += _jpeg_extend(mag, s)
+                if comp[0] == luma_id:
+                    dc_sum += preds[comp[0]]
+                    dc_blocks += 1
+                k = 1
+                while k < 64:  # AC: decode to advance, values unused
+                    rs = reader.huff(ac_tab)
+                    if rs is None:
+                        return None
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r + 1
+                    if reader.read(size) is None:
+                        return None
+    if not dc_blocks:
+        return None
+    q0 = qt[comps[0][3]][0]
+    # per-block constant term: DC*q0/8 + 128. One exact-integer
+    # numerator and a single float division, so the result is the
+    # correctly-rounded rational mean — bit-identical to any engine
+    # computing sum/count over the same per-block values
+    mean = (dc_sum * q0 + 1024 * dc_blocks) / (8.0 * dc_blocks)
+    mean = min(255.0, max(0.0, mean))
+    return width, height, mean
+
+
+# Fixture Huffman tables (canonical, minimal): 9 DC categories at
+# length 4, and {EOB, (0,1), ZRL} at length 2 for AC. Any conforming
+# decoder reads them from the DHT segment like every other JPEG.
+_JPEG_FIX_DC = ([0, 0, 0, 9] + [0] * 12, list(range(9)))
+_JPEG_FIX_AC = ([0, 3] + [0] * 14, [0x00, 0x01, 0xF0])
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def encode_jpeg_gray_blocks(
+    values: list[int], restart_interval: int = 0
+) -> bytes:
+    """Deterministic baseline JPEG encoder for fixtures: an 8px-wide
+    grayscale image of len(values) stacked 8x8 blocks, each block the
+    constant byte values[i]. Quant table all-8s makes the quantized DC
+    exactly v-128, so the decoded mean is exactly mean(values). Valid
+    per T.81 — any external viewer opens it."""
+    h = 8 * len(values)
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_FIX_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FIX_AC)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc << 4]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, dht(0, *_JPEG_FIX_DC))
+    out += seg(0xC4, dht(1, *_JPEG_FIX_AC))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _JpegBitWriter()
+    pred = 0
+    for i, v in enumerate(values):
+        if restart_interval and i and i % restart_interval == 0:
+            w.pad()
+            out += w.out
+            out += bytes([0xFF, 0xD0 + (i // restart_interval - 1) % 8])
+            w = _JpegBitWriter()
+            pred = 0
+        dcq = int(v) - 128
+        diff = dcq - pred
+        pred = dcq
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+        w.put(*ac_enc[0x00])  # EOB: constant block has no AC terms
+    w.pad()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build REAL baseline JPEGs deterministically from a text table:
+    width 8, height 8*(1 + utf8len(text) % 16), block i the constant
+    value (utf8len + 37*i) % 256 — so the decoded mean has a closed
+    form over the text length and a SQL oracle can check the real
+    entropy-decode path end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for t in pdf[text_col]:
+                n_txt = len(t.encode("utf-8")) if t is not None else 0
+                hb = 1 + (n_txt % 16)
+                vals = [(n_txt + 37 * i) % 256 for i in range(hb)]
+                p = encode_jpeg_gray_blocks(vals)
+                payloads.append(p)
+                metas.append({"format": "jpeg", "n_bytes": len(p)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _parse_wav(payload: bytes) -> dict | None:
     """WAV: walk RIFF chunks (any fmt/data order); fmt -> channels/
     rate/bits, data -> sample count + mean absolute sample. The mean
@@ -389,14 +778,19 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
     they raise unless ``fake=True`` selects the deterministic
     byte-derived stand-in (pseudo-dimensions + hash-mean from payload
     length)."""
-    out = _parse_netpbm(payload) or _parse_png(payload) or _parse_bmp(payload)
+    out = (
+        _parse_netpbm(payload)
+        or _parse_png(payload)
+        or _parse_bmp(payload)
+        or _parse_jpeg(payload)
+    )
     if out is not None:
         return out
     if not fake:
         raise NotImplementedError(
-            "only netpbm/PNG/BMP decode in pure Python; JPEG/video "
-            "decode requires PIL/ffmpeg — pass fake=True or swap in "
-            "a real decoder here"
+            "only netpbm/PNG/BMP/baseline-JPEG decode in pure Python; "
+            "progressive JPEG/video decode requires PIL/ffmpeg — pass "
+            "fake=True or swap in a real decoder here"
         )
     n = len(payload)
     width = 64 + (n % 577)

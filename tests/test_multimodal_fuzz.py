@@ -176,3 +176,116 @@ def test_png_noise_never_claimed(noise):
     assert out is None or (out[0] > 0 and out[1] > 0)
     out = _parse_png(_PNG_SIG + noise)
     assert out is None or (out[0] > 0 and out[1] > 0)
+
+
+# --- JPEG (baseline, DC-mean decode) --------------------------------
+
+from carbon_clickhouse_spark.datapipe.multimodal import (  # noqa: E402
+    _JPEG_FIX_AC,
+    _JPEG_FIX_DC,
+    _JpegBitWriter,
+    _jpeg_huff_encode_table,
+    _parse_jpeg,
+    encode_jpeg_gray_blocks,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=1, max_size=32),
+    ri=st.integers(0, 5),
+)
+def test_jpeg_roundtrip_exact_mean(vals, ri):
+    p = encode_jpeg_gray_blocks(vals, restart_interval=ri)
+    got = _parse_jpeg(p)
+    assert got is not None
+    w, h, mean = got
+    assert (w, h) == (8, 8 * len(vals))
+    assert mean == sum(vals) / len(vals)
+    # a truncated entropy stream must be rejected, not averaged short
+    assert _parse_jpeg(p[: len(p) - 3]) is None
+
+
+def _jpeg_with_ac(vals):
+    """Variant of the fixture encoder that also emits one AC
+    coefficient (run 0, size 1) plus a ZRL per block — the mean must
+    not move, because every AC basis function integrates to zero."""
+    base = encode_jpeg_gray_blocks(vals)
+    head, entropy_and_eoi = base.split(b"\xff\xda", 1)
+    sos_len = struct.unpack(">H", entropy_and_eoi[:2])[0]
+    sos = entropy_and_eoi[: sos_len]
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_FIX_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FIX_AC)
+    w = _JpegBitWriter()
+    pred = 0
+    for v in vals:
+        dcq = v - 128
+        diff = dcq - pred
+        pred = dcq
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+        w.put(*ac_enc[0x01])  # AC (run 0, size 1)
+        w.put(1, 1)           # coefficient +1
+        w.put(*ac_enc[0xF0])  # ZRL: 16 zero coefficients
+        w.put(*ac_enc[0x01])  # another AC further in
+        w.put(0, 1)           # coefficient -1
+        w.put(*ac_enc[0x00])  # EOB
+    w.pad()
+    return head + b"\xff\xda" + sos + bytes(w.out) + b"\xff\xd9"
+
+
+@settings(max_examples=50, deadline=None)
+@given(vals=st.lists(st.integers(0, 255), min_size=1, max_size=16))
+def test_jpeg_ac_coefficients_do_not_move_the_mean(vals):
+    assert _parse_jpeg(_jpeg_with_ac(vals)) == _parse_jpeg(
+        encode_jpeg_gray_blocks(vals)
+    )
+
+
+def test_jpeg_interleaved_three_component_scan():
+    """Hand-built YCbCr 1x1-sampling baseline JPEG: three constant
+    components per MCU; the reported mean is over the luma component
+    only."""
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_FIX_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FIX_AC)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    luma_vals, cb, cr = [10, 250], 99, 130
+    h = 8 * len(luma_vals)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_FIX_DC[0]) + bytes(_JPEG_FIX_DC[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_FIX_AC[0]) + bytes(_JPEG_FIX_AC[1]))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    w = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for i in range(len(luma_vals)):
+        for cid, v in ((1, luma_vals[i]), (2, cb), (3, cr)):
+            dcq = v - 128
+            diff = dcq - preds[cid]
+            preds[cid] = dcq
+            s = abs(diff).bit_length()
+            w.put(*dc_enc[s])
+            if s:
+                w.put(diff if diff >= 0 else diff - 1, s)
+            w.put(*ac_enc[0x00])
+    w.pad()
+    out += w.out + b"\xff\xd9"
+    got = _parse_jpeg(bytes(out))
+    assert got == (8, h, sum(luma_vals) / len(luma_vals))
+
+
+@settings(max_examples=300, deadline=None)
+@given(noise=st.binary(min_size=0, max_size=128))
+def test_jpeg_noise_never_claimed_or_crashes(noise):
+    assert _parse_jpeg(noise) is None
+    assert _parse_jpeg(b"\xff\xd8" + noise) in (None,)
