@@ -1357,10 +1357,12 @@ def q_multimodal_features(spark, sf_dir):
     length, so all three real decode paths are hash-checked
     end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import (
+        attach_avi_payload,
         attach_jpeg_payload,
         attach_png_payload,
         attach_ppm_payload,
         extract_image_features,
+        extract_video_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1376,7 +1378,11 @@ def q_multimodal_features(spark, sf_dir):
         "doc_id", F.lit("jpeg").alias("fmt"), "width", "height",
         F.round("mean_byte", 4).alias("mean_byte"),
     )
-    return ppm.unionByName(png).unionByName(jpg)
+    avi = extract_video_features(attach_avi_payload(docs)).select(
+        "doc_id", F.lit("avi").alias("fmt"), "width", "height",
+        F.round("mean_byte", 4).alias("mean_byte"),
+    )
+    return ppm.unionByName(png).unionByName(jpg).unionByName(avi)
 
 
 def q_corpus_prep(spark, sf_dir):
@@ -2365,8 +2371,22 @@ def oracle_sql() -> dict[str, str]:
               FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
                 ON s.i < 1 + m.nb % 16
               GROUP BY m.doc_id, m.nb
+            ),
+            avi AS (
+              -- MJPEG: frame f of 1 + nb%4, block i of 1 + nb%16 is
+              -- the constant (nb + 37*i + 11*f) % 256
+              SELECT m.doc_id, 'avi' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 * (1 + m.nb % 16) AS BIGINT) AS height,
+                     round(avg((m.nb + 37 * s.i + 11 * fr.f) % 256), 4) AS mean_byte
+              FROM m
+              JOIN (SELECT unnest(range(0, 16)) AS i) s ON s.i < 1 + m.nb % 16
+              JOIN (SELECT unnest(range(0, 4)) AS f) fr ON fr.f < 1 + m.nb % 4
+              GROUP BY m.doc_id, m.nb
             )
-            SELECT * FROM pixel_cycle UNION ALL SELECT * FROM jpeg
+            SELECT * FROM pixel_cycle
+            UNION ALL SELECT * FROM jpeg
+            UNION ALL SELECT * FROM avi
         """,
     }
     ivf = _ivf_oracle_sql()

@@ -441,7 +441,21 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _parse_jpeg(payload: bytes) -> tuple[int, int, float] | None:
-    """Baseline JPEG -> (width, height, mean) via DC coefficients.
+    """Baseline JPEG -> (width, height, mean), clamped to the sample
+    range like a real decoder clamps reconstructed pixels. See
+    :func:`_parse_jpeg_exact` for the decode itself."""
+    got = _parse_jpeg_exact(payload)
+    if got is None:
+        return None
+    width, height, (num, den) = got
+    return width, height, min(255.0, max(0.0, num / den))
+
+
+def _parse_jpeg_exact(
+    payload: bytes,
+) -> tuple[int, int, tuple[int, int]] | None:
+    """Baseline JPEG -> (width, height, (mean_num, mean_den)) via DC
+    coefficients, the mean an exact integer rational.
 
     Handles: grayscale and interleaved multi-component scans with
     arbitrary sampling factors, 8/16-bit DQT, multiple DHT segments,
@@ -612,13 +626,12 @@ def _jpeg_scan_mean(
     if not dc_blocks:
         return None
     q0 = qt[comps[0][3]][0]
-    # per-block constant term: DC*q0/8 + 128. One exact-integer
-    # numerator and a single float division, so the result is the
-    # correctly-rounded rational mean — bit-identical to any engine
-    # computing sum/count over the same per-block values
-    mean = (dc_sum * q0 + 1024 * dc_blocks) / (8.0 * dc_blocks)
-    mean = min(255.0, max(0.0, mean))
-    return width, height, mean
+    # per-block constant term: DC*q0/8 + 128, as an exact integer
+    # rational (numerator, denominator) so callers averaging across
+    # frames can defer to ONE float division — the correctly-rounded
+    # rational mean, bit-identical to any engine computing sum/count
+    # over the same per-block values
+    return width, height, (dc_sum * q0 + 1024 * dc_blocks, 8 * dc_blocks)
 
 
 # Fixture Huffman tables (canonical, minimal): 9 DC categories at
@@ -696,6 +709,233 @@ def encode_jpeg_gray_blocks(
     out += w.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- Video: MJPEG-in-AVI (RIFF container walk + per-frame JPEG) -----
+#
+# Motion-JPEG needs no inter-frame codec state: the AVI 'movi' list
+# is a sequence of independent JPEG frames, so the container walk plus
+# the baseline-JPEG decoder above gives REAL video frame decode in
+# pure Python. Other codecs (H.26x, VP9, AV1) need a codec stack and
+# fall through to the unknown-format path.
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) walking RIFF chunks;
+    stops (without yielding garbage) at truncation."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > end:
+            return
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _parse_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """AVI (RIFF) with an MJPG video stream -> (width, height,
+    [jpeg_frame_bytes, ...]). Dimensions come from the 'avih' main
+    header; frames are the '00dc'/'00db' chunks of the 'movi' list.
+    Returns None (fall through) unless the container declares a
+    video stream and carries at least one frame."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    width = height = None
+    has_vids = False
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int) -> None:
+        nonlocal width, height, has_vids
+        for fourcc, body, size in _riff_chunks(payload, pos, stop):
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the list subtype
+            elif fourcc == b"avih" and size >= 40:
+                width, height = struct.unpack_from("<II", payload, body + 32)
+            elif fourcc == b"strh" and size >= 8:
+                if payload[body : body + 4] == b"vids":
+                    has_vids = True
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(payload[body : body + size])
+
+    walk(12, end)
+    if not has_vids or width is None or not frames:
+        return None
+    return width, height, frames
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Deterministic AVI/MJPG writer for fixtures: hdrl (avih + one
+    vids/MJPG strl) + movi of '00dc' JPEG chunks + idx1. Valid RIFF —
+    standard players decode it."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, 0, 10_000, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame, offsets relative to the movi subtype
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_frames(
+    media: DataFrame,
+    every_n_frames: int = 1,
+    max_frames: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling: walk each AVI payload's movi list
+    and emit every Nth JPEG frame as (doc_id, frame_idx, frame_bytes)
+    — Arrow-batched mapInPandas, no driver involvement. Non-AVI
+    payloads yield no rows (filter upstream on meta.format to audit).
+    The frames compose with the image operators: run
+    :func:`extract_image_features` on the output for per-frame
+    decode."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                got = _parse_avi_mjpeg(bytes(payload)) if payload is not None else None
+                if got is None:
+                    continue
+                _, _, frames = got
+                taken = 0
+                for i in range(0, len(frames), every_n_frames):
+                    if taken >= max_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(frames[i])
+                    taken += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
+            )
+
+    return media.select("doc_id", payload_col).mapInPandas(run, schema)
+
+
+def extract_video_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-video features from REAL decode: container dims, frame
+    count, and the mean byte over all frames' (DC-exact) means.
+    Non-AVI / non-MJPEG payloads raise — same contract as
+    :func:`extract_image_features` for unknown images."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "n_frames", "mean_byte")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                got = _parse_avi_mjpeg(bytes(payload)) if payload is not None else None
+                if got is None:
+                    raise NotImplementedError(
+                        "only MJPEG-in-AVI video decodes in pure Python; "
+                        "H.26x/VP9/AV1 require ffmpeg"
+                    )
+                w, h, frames = got
+                # exact rational per frame, ONE float division at the
+                # end: the correctly-rounded mean over all frames,
+                # bit-identical to a SQL avg over the block values
+                from fractions import Fraction
+
+                acc = Fraction(0)
+                for f in frames:
+                    dec = _parse_jpeg_exact(f)
+                    if dec is None:
+                        raise NotImplementedError(
+                            "AVI frame is not a baseline JPEG"
+                        )
+                    num, den = dec[2]
+                    acc += Fraction(num, den)
+                mean = float(acc / len(frames))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["mean_byte"].append(min(255.0, max(0.0, mean)))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", payload_col).mapInPandas(run, schema)
+
+
+def attach_avi_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build REAL MJPEG AVIs deterministically from a text table:
+    1 + utf8len % 4 frames, each an 8x(8*(1 + utf8len % 16)) grayscale
+    JPEG whose block i in frame f is the constant
+    (utf8len + 37*i + 11*f) % 256 — every decoded feature has a closed
+    form over the text length for the SQL oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for t in pdf[text_col]:
+                n_txt = len(t.encode("utf-8")) if t is not None else 0
+                hb = 1 + (n_txt % 16)
+                nf = 1 + (n_txt % 4)
+                frames = [
+                    encode_jpeg_gray_blocks(
+                        [(n_txt + 37 * i + 11 * f) % 256 for i in range(hb)]
+                    )
+                    for f in range(nf)
+                ]
+                p = encode_avi_mjpeg(frames, 8, 8 * hb)
+                payloads.append(p)
+                metas.append({"format": "avi", "n_bytes": len(p)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

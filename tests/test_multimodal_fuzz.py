@@ -289,3 +289,76 @@ def test_jpeg_interleaved_three_component_scan():
 def test_jpeg_noise_never_claimed_or_crashes(noise):
     assert _parse_jpeg(noise) is None
     assert _parse_jpeg(b"\xff\xd8" + noise) in (None,)
+
+
+# --- Video: MJPEG-in-AVI --------------------------------------------
+
+from carbon_clickhouse_spark.datapipe.multimodal import (  # noqa: E402
+    _parse_avi_mjpeg,
+    encode_avi_mjpeg,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frame_vals=st.lists(
+        st.lists(st.integers(0, 255), min_size=1, max_size=4),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_avi_mjpeg_roundtrip(frame_vals):
+    hb = len(frame_vals[0])
+    frames = [
+        encode_jpeg_gray_blocks((vs * hb)[:hb]) for vs in frame_vals
+    ]
+    avi = encode_avi_mjpeg(frames, 8, 8 * hb)
+    got = _parse_avi_mjpeg(avi)
+    assert got is not None
+    w, h, out_frames = got
+    assert (w, h, len(out_frames)) == (8, 8 * hb, len(frames))
+    assert out_frames == frames  # container walk is byte-exact
+    # truncated container: no fabricated frames
+    assert _parse_avi_mjpeg(avi[:30]) is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(noise=st.binary(min_size=0, max_size=96))
+def test_avi_noise_never_claimed_or_crashes(noise):
+    assert _parse_avi_mjpeg(noise) is None
+    assert _parse_avi_mjpeg(b"RIFF" + noise) is None
+
+
+def test_avi_frames_operator_and_video_features(spark):
+    from pyspark.sql import functions as F
+
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        attach_avi_payload,
+        avi_frames,
+        extract_image_features,
+        extract_video_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcde")], "doc_id long, text string"
+    )
+    feats = {r.doc_id: r for r in extract_video_features(
+        attach_avi_payload(docs)
+    ).collect()}
+    # doc 1: nb=2 -> 3 frames, hb=3; doc 2: nb=5 -> 2 frames, hb=6
+    assert feats[1].n_frames == 3 and feats[1].height == 24
+    assert feats[2].n_frames == 2 and feats[2].height == 48
+    exp1 = sum((2 + 37 * i + 11 * f) % 256 for f in range(3) for i in range(3)) / 9
+    assert abs(feats[1].mean_byte - exp1) < 1e-9
+    # frame sampler composes with the image decoder
+    sampled = avi_frames(attach_avi_payload(docs), every_n_frames=2)
+    per_frame = extract_image_features(
+        sampled.select("doc_id", F.col("frame_bytes").alias("payload"))
+    ).collect()
+    # doc1 frames 0,2 ; doc2 frame 0
+    assert len(per_frame) == 3
+    means = sorted(round(r.mean_byte, 4) for r in per_frame)
+    e10 = sum((2 + 37 * i) % 256 for i in range(3)) / 3
+    e12 = sum((2 + 37 * i + 22) % 256 for i in range(3)) / 3
+    e20 = sum((5 + 37 * i) % 256 for i in range(6)) / 6
+    assert means == sorted(round(v, 4) for v in (e10, e12, e20))
