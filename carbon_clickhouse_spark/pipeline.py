@@ -99,6 +99,48 @@ def write_tables(
         )
 
 
+def write_tables_bucketed(
+    tables: dict[str, DataFrame],
+    buckets: int = 256,
+    name_prefix: str = "graphite",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Catalog-managed variant of :func:`write_tables`: the two points
+    tables are bucketed by ``path`` and sorted by ``(path, time)``, so
+    every downstream per-series stage — rollup's groupBy, render
+    window transforms, as-of alignment, series reads — is
+    co-partitioned AT READ TIME: zero Exchange, zero re-sort (verified
+    in ``tests/test_operators.py::test_bucketed_points_shuffle_free``).
+
+    This is the Spark analogue of ClickHouse's ORDER BY key locality
+    across queries, not just within files. At 100 TB the bucket count
+    sizes the parallelism floor: 4096 buckets x ~25 GB/bucket keeps
+    per-task state bounded while saturating a 1000-executor cluster.
+
+    Requires a persistent catalog (Hive metastore / Glue) for the
+    bucketing metadata to outlive the session; with Spark's default
+    in-memory catalog this demonstrates the plan shape in-session.
+    Returns {logical name: catalog table name}.
+    """
+    out: dict[str, str] = {}
+    for name in ("points", "points_reverse"):
+        tbl = f"{name_prefix}_{name}"
+        (
+            tables[name]
+            .withColumn("month", F.date_format("date", "yyyyMM"))
+            .write.mode(mode)
+            .bucketBy(buckets, "path")
+            .sortBy("path", "time")
+            .saveAsTable(tbl)
+        )
+        out[name] = tbl
+    for name in ("index", "tagged"):
+        tbl = f"{name_prefix}_{name}"
+        tables[name].write.mode(mode).saveAsTable(tbl)
+        out[name] = tbl
+    return out
+
+
 def ingest_and_store(
     points: DataFrame,
     root: str,

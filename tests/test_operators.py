@@ -339,3 +339,48 @@ def test_rollup_hot_key_skew(spark):
     # every cold series aggregated independently and correctly
     assert rows[("cold.m0.sum", 999_600)] + rows[("cold.m0.sum", 1_000_200)] == 40.0
     assert len(rows) == 2 + 2 * 500
+
+
+def test_bucketed_points_shuffle_free(spark):
+    """write_tables_bucketed: per-series stages over the bucketed
+    points table run with ZERO Exchange — the bucket layout satisfies
+    the clustering every (path, ...) groupBy/window asks for — and
+    results are identical to the plain-parquet path."""
+    from pyspark.sql import functions as F
+
+    from carbon_clickhouse_spark.pipeline import (
+        IngestConfig,
+        derive_tables,
+        write_tables_bucketed,
+    )
+
+    pts = _points(
+        spark,
+        [(f"m.{i % 20}.sum", float(i % 7), 1_000_000 + i, D, 0) for i in range(2000)],
+    )
+    names = write_tables_bucketed(
+        derive_tables(pts, IngestConfig()), buckets=4, name_prefix="t_bkt"
+    )
+    stored = spark.table(names["points"])
+
+    agg = rollup(stored, precision_s=600)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    from pyspark.sql.window import Window
+
+    win = stored.select(
+        "path",
+        "time",
+        F.sum("value").over(Window.partitionBy("path").orderBy("time")).alias("cum"),
+    )
+    planw = win._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in planw, planw
+
+    expect = {
+        (r.path, r.time): r.value for r in rollup(pts, precision_s=600).collect()
+    }
+    got = {(r.path, r.time): r.value for r in agg.collect()}
+    assert got == expect
+    for name in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
