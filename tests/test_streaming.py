@@ -440,3 +440,54 @@ def test_receiver_stop_without_start_does_not_hang(tmp_path):
 
     rx = PlainLineReceiver(str(tmp_path / "x"))
     rx.stop()  # must return immediately (shutdown() only after start())
+
+
+def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
+    """K4 continuity: stop the stream, land more chunks, restart
+    against the same checkpoint + root — every line lands exactly
+    once (committed offsets are not re-read; new files are), and a
+    third restart with nothing new writes nothing."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    cfg = StreamConfig(
+        root=root,
+        chunk_interval="500 milliseconds",
+        ingest=IngestConfig(now=1625478400, drop_future_seconds=3600),
+        audit_dropped=False,
+    )
+
+    def run_until_drained():
+        q = start_plain_ingest(
+            spark, file_landing_source(spark, str(landing)), cfg
+        )
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+
+    (landing / "a.txt").write_text(
+        "m.one 1 1625478240\nm.two 2 1625478240\n"
+    )
+    run_until_drained()
+    (landing / "b.txt").write_text(
+        "m.one 3 1625478300\nm.three 4 1625478300\n"
+    )
+    run_until_drained()
+
+    pts = spark.read.parquet(f"{root}/points")
+    rows = sorted((r.path, r.value, r.time) for r in pts.collect())
+    assert rows == [
+        ("m.one", 1.0, 1625478240),
+        ("m.one", 3.0, 1625478300),
+        ("m.three", 4.0, 1625478300),
+        ("m.two", 2.0, 1625478240),
+    ]
+    idx = spark.read.parquet(f"{root}/index")
+    assert idx.groupBy("date", "level", "path").count().filter(
+        "count > 1"
+    ).count() == 0
+
+    run_until_drained()  # nothing new: nothing written
+    assert spark.read.parquet(f"{root}/points").count() == 4
