@@ -58,15 +58,25 @@ class _SNIConnection:
     """HTTPS connection whose SNI / verification name can differ from
     the connect host — Go's ``TLSClientConfig.ServerName``."""
 
-    def __init__(self, host: str, port: int, ctx, server_hostname: str | None):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        ctx,
+        server_hostname: str | None,
+        timeout: float = 30.0,
+    ):
         self.host, self.port, self.ctx = host, port, ctx
         self.server_hostname = server_hostname or host
+        self.timeout = timeout
 
     def post(self, path: str, body: bytes, headers: dict[str, str]):
         import http.client
         import socket
 
-        sock = socket.create_connection((self.host, self.port))
+        sock = socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        )
         try:
             ssock = self.ctx.wrap_socket(sock, server_hostname=self.server_hostname)
         except Exception:
@@ -88,17 +98,22 @@ def _default_transport(
     body: bytes,
     headers: dict[str, str],
     tls: TLSConfig | None = None,
+    timeout: float = 30.0,
 ) -> tuple[int, dict]:
+    """One POST. Every socket op carries ``timeout`` — an upload that
+    can block forever would wedge the whole retry ladder (task ->
+    micro-batch) behind one dead connection."""
     u = urllib.parse.urlsplit(url)
     path = (u.path or "/") + (f"?{u.query}" if u.query else "")
     if u.scheme == "https":
         ctx = (tls or TLSConfig()).ssl_context()
         conn = _SNIConnection(
-            u.hostname, u.port or 443, ctx, tls.server_name if tls else None
+            u.hostname, u.port or 443, ctx,
+            tls.server_name if tls else None, timeout=timeout,
         )
         return conn.post(path, body, headers)
     req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-    with urllib.request.urlopen(req) as resp:  # noqa: S310
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
         return resp.status, dict(resp.headers)
 
 
@@ -133,6 +148,8 @@ def insert_points(
     transport: Callable | None = None,
     zero_timestamp: bool = True,
     tls: TLSConfig | None = None,
+    retries: int = 3,
+    retry_delay_s: float = 1.0,
 ) -> None:
     """Upload a points DataFrame into ClickHouse, one POST per
     partition (the partition is the reference's chunk file).
@@ -140,7 +157,14 @@ def insert_points(
     ``tls`` enables the mTLS hop of the reference's TLS scenario
     (client cert/key chain, CA pinning, server-name override); the
     SSL context is built executor-side per partition — only the
-    picklable config ships with the task."""
+    picklable config ships with the task.
+
+    Transient failures retry in-task with a linear delay — the
+    reference's uploader re-queues a failed chunk for the next 1 s
+    scan tick (``uploader/base.go:131``). Past ``retries`` the task
+    fails and the at-least-once ladder continues upstream: Spark
+    retries the task, then the micro-batch replays from its
+    checkpoint; ReplacingMergeTree absorbs the duplicates."""
     url = insert_query_url(base_url, table)
     if transport is not None:
         send = transport
@@ -157,11 +181,23 @@ def insert_points(
         if gzip:
             body = gzip_mod.compress(body, compresslevel=1)
             headers["Content-Encoding"] = "gzip"
-        status, resp_headers = send(url, body, headers)
-        exc = resp_headers.get("X-ClickHouse-Exception-Code")
-        if status != 200 or (exc and exc != "0"):
-            raise RuntimeError(
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(1 + retries):
+            if attempt:
+                _time.sleep(retry_delay_s)
+            try:
+                status, resp_headers = send(url, body, headers)
+            except Exception as e:  # connection-level: retryable
+                last = e
+                continue
+            exc = resp_headers.get("X-ClickHouse-Exception-Code")
+            if status == 200 and (not exc or exc == "0"):
+                return
+            last = RuntimeError(
                 f"clickhouse insert failed: status={status} exception={exc}"
             )
+        raise last
 
     df.select("path", "value", "time", "version").foreachPartition(upload)

@@ -189,6 +189,7 @@ def test_insert_points_mtls(spark, tmp_path):
         insert_points(
             df, f"https://127.0.0.1:{port2}", "graphite",
             tls=TLSConfig(ca_certs=[certs["ca.crt"]], server_name="localhost"),
+            retries=0,  # one-shot server: retrying would wait on a dead port
         )
     srv2.server_close()
 
@@ -302,3 +303,49 @@ def test_golden_rowbinary_bytes_plain_and_gzip(spark):
     )
 
     assert decompress_frame(compress_frame(expected)) == expected
+
+
+def test_insert_points_retries_transient_failures(spark):
+    """uploader/base.go parity: a failed upload is retried in-task;
+    transient failures (connection error, 5xx) succeed on a later
+    attempt; a persistent failure surfaces after the retry budget."""
+    from carbon_clickhouse_spark.sinks.clickhouse import insert_points
+
+    df = spark.createDataFrame(
+        [("m.a", 1.0, 100, 5)], "path string, value double, time long, version long"
+    )
+
+    # the transport runs in an executor worker — count attempts via a
+    # file the driver can read back, not a driver-side closure var
+    import tempfile
+
+    marker = tempfile.mktemp(prefix="ccs_retry_")
+
+    def flaky(url, body, headers):
+        import os
+
+        n = sum(1 for _ in open(marker)) if os.path.exists(marker) else 0
+        with open(marker, "a") as fh:
+            fh.write("x\n")
+        if n == 0:
+            raise ConnectionError("refused")
+        if n == 1:
+            return 503, {}
+        return 200, {}
+
+    insert_points(
+        df.coalesce(1), "http://ch:8123", "graphite",
+        transport=flaky, retries=3, retry_delay_s=0.0,
+    )
+    assert sum(1 for _ in open(marker)) == 3
+
+    def always_down(url, body, headers):
+        raise ConnectionError("refused")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="refused"):
+        insert_points(
+            df.coalesce(1), "http://ch:8123", "graphite",
+            transport=always_down, retries=2, retry_delay_s=0.0,
+        )
