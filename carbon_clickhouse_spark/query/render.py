@@ -553,3 +553,133 @@ def linear_regression(series: DataFrame) -> DataFrame:
     return agg.select(
         "path", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+def transform_null(series: DataFrame, default: float = 0.0) -> DataFrame:
+    """Graphite ``transformNull``: replace NULL values with a default."""
+    return series.select(
+        "path", "time", F.coalesce(F.col("value"), F.lit(default)).alias("value")
+    )
+
+
+def is_non_null(series: DataFrame) -> DataFrame:
+    """Graphite ``isNonNull``: 1 where the point has a value, else 0."""
+    v = F.when(F.col("value").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    return series.select("path", "time", v.alias("value"))
+
+
+def count_series(series: DataFrame) -> DataFrame:
+    """Graphite ``countSeries``: number of series present per
+    timestamp, as one output series."""
+    return (
+        series.groupBy("time")
+        .agg(F.count("path").cast("double").alias("value"))
+        .select(F.lit("countSeries").alias("path"), "time", "value")
+    )
+
+
+def range_of_series(series: DataFrame) -> DataFrame:
+    """Graphite ``rangeOfSeries``: max - min across series per
+    timestamp."""
+    return (
+        series.groupBy("time")
+        .agg((F.max("value") - F.min("value")).alias("value"))
+        .select(F.lit("rangeOfSeries").alias("path"), "time", "value")
+    )
+
+
+def multiply_series(series: DataFrame) -> DataFrame:
+    """Graphite ``multiplySeries``: product across series per
+    timestamp (native ``product`` aggregate — no log/exp detour, so
+    zeros and negatives are exact)."""
+    return (
+        series.groupBy("time")
+        .agg(F.product("value").alias("value"))
+        .select(F.lit("multiplySeries").alias("path"), "time", "value")
+    )
+
+
+def delay(series: DataFrame, steps: int = 1) -> DataFrame:
+    """Graphite ``delay``: shift each series' values ``steps`` points
+    later (leading points -> NULL). Negative steps lead."""
+    return series.select(
+        "path", "time", F.lag("value", steps).over(_w()).alias("value")
+    )
+
+
+def time_slice(series: DataFrame, start: int, end: int) -> DataFrame:
+    """Graphite ``timeSlice``: keep points with start <= time <= end."""
+    return series.filter((F.col("time") >= start) & (F.col("time") <= end))
+
+
+def moving(series: DataFrame, func: str = "median", points: int = 5) -> DataFrame:
+    """Graphite ``movingMedian / movingMin / movingMax / movingSum``:
+    trailing window of the last ``points`` values per series.
+    ``movingAverage`` has its own entry point (kept for parity)."""
+    w = _w().rowsBetween(-(points - 1), 0)
+    if func == "median":
+        v = F.expr("percentile(value, 0.5)").over(w)  # exact median
+    elif func == "min":
+        v = F.min("value").over(w)
+    elif func == "max":
+        v = F.max("value").over(w)
+    elif func == "sum":
+        v = F.sum("value").over(w)
+    else:
+        raise ValueError(f"unsupported func {func}")
+    return series.select("path", "time", v.alias("value"))
+
+
+def combine_with_wildcards(
+    series: DataFrame, func: str = "sum", *positions: int
+) -> DataFrame:
+    """Graphite ``sumSeriesWithWildcards / averageSeriesWithWildcards``:
+    aggregate series whose paths agree on every node EXCEPT the given
+    positions (the wildcarded nodes are removed from the output name).
+    Same single-shuffle shape as :func:`group_by_node`."""
+    parts = F.split(F.col("path"), r"\.")
+    kept = F.filter(parts, lambda _, i: ~i.isin(list(positions)))
+    key = F.array_join(kept, ".")
+    v = F.col("value").cast("decimal(18,6)")
+    g = series.select(key.alias("path"), "time", F.col("value"), v.alias("dv")).groupBy(
+        "path", "time"
+    )
+    if func == "sum":
+        out = g.agg(F.sum("dv").cast("double").alias("value"))
+    elif func == "avg":
+        out = g.agg((F.sum("dv").cast("double") / F.count("value")).alias("value"))
+    elif func == "max":
+        out = g.agg(F.max("value").alias("value"))
+    elif func == "min":
+        out = g.agg(F.min("value").alias("value"))
+    else:
+        raise ValueError(f"unsupported func {func}")
+    return out
+
+
+def integral_by_interval(series: DataFrame, interval_s: int) -> DataFrame:
+    """Graphite ``integralByInterval``: running sum per series that
+    resets at each interval boundary."""
+    bucket = F.col("time") - (F.col("time") % interval_s)
+    w = (
+        Window.partitionBy("path", bucket.alias("b"))
+        .orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return series.select(
+        "path", "time", F.sum("value").over(w).alias("value")
+    )
+
+
+def sort_by_name(series: DataFrame, descending: bool = False) -> DataFrame:
+    """Graphite ``sortByName``: order output by series name (then
+    time). Ordering is presentation-level; the rows are unchanged."""
+    p = F.col("path").desc() if descending else F.col("path").asc()
+    return series.orderBy(p, F.col("time"))
+
+
+def limit_series(series: DataFrame, n: int, func: str = "max") -> DataFrame:
+    """Graphite ``limit`` (by stat, covers sortByMaxima+limit): keep
+    the top-n series ranked by a per-series statistic — distributed
+    top-k + broadcast semi-join, same scale shape as ``highest``."""
+    return highest(series, n, func)

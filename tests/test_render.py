@@ -289,3 +289,102 @@ def test_series_selection_family(spark):
     z = {(r.path, r.time): r.value for r in offset_to_zero(s).collect()}
     assert z[("a", 10)] == 0.0 and z[("a", 20)] == 2.0
     assert z[("c", 10)] == 0.0 and z[("c", 20)] == 10.0
+
+
+def test_null_and_count_family(spark):
+    from carbon_clickhouse_spark.query.render import (
+        count_series,
+        is_non_null,
+        range_of_series,
+        transform_null,
+    )
+
+    s = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, None), ("b", 10, 5.0)],
+        "path string, time long, value double",
+    )
+    tn = {(r.path, r.time): r.value for r in transform_null(s, -1.0).collect()}
+    assert tn[("a", 20)] == -1.0 and tn[("a", 10)] == 1.0
+    nn = {(r.path, r.time): r.value for r in is_non_null(s).collect()}
+    assert nn == {("a", 10): 1.0, ("a", 20): 0.0, ("b", 10): 1.0}
+    cs = {r.time: r.value for r in count_series(s).collect()}
+    assert cs == {10: 2.0, 20: 1.0}
+    ro = {r.time: r.value for r in range_of_series(s).collect()}
+    assert ro[10] == 4.0
+
+
+def test_multiply_delay_slice(spark):
+    from carbon_clickhouse_spark.query.render import (
+        delay,
+        multiply_series,
+        time_slice,
+    )
+
+    s = _series(
+        spark,
+        [("a", 10, 2.0), ("a", 20, 3.0), ("b", 10, -4.0), ("b", 20, 0.0)],
+    )
+    mp = {r.time: r.value for r in multiply_series(s).collect()}
+    assert mp == {10: -8.0, 20: 0.0}
+    dl = {(r.path, r.time): r.value for r in delay(s, 1).collect()}
+    assert dl == {
+        ("a", 10): None, ("a", 20): 2.0, ("b", 10): None, ("b", 20): -4.0,
+    }
+    ts = time_slice(s, 15, 20).collect()
+    assert {r.time for r in ts} == {20}
+
+
+def test_moving_family(spark):
+    from carbon_clickhouse_spark.query.render import moving
+
+    s = _series(spark, [("m", t, v) for t, v in ((1, 5.0), (2, 1.0), (3, 3.0), (4, 9.0))])
+    med = {r.time: r.value for r in moving(s, "median", 3).collect()}
+    assert med == {1: 5.0, 2: 3.0, 3: 3.0, 4: 3.0}
+    mx = {r.time: r.value for r in moving(s, "max", 2).collect()}
+    assert mx == {1: 5.0, 2: 5.0, 3: 3.0, 4: 9.0}
+    sm = {r.time: r.value for r in moving(s, "sum", 2).collect()}
+    assert sm == {1: 5.0, 2: 6.0, 3: 4.0, 4: 12.0}
+
+
+def test_combine_with_wildcards(spark):
+    from carbon_clickhouse_spark.query.render import combine_with_wildcards
+
+    s = _series(
+        spark,
+        [
+            ("dc1.hostA.cpu", 10, 1.0),
+            ("dc1.hostB.cpu", 10, 2.0),
+            ("dc2.hostA.cpu", 10, 10.0),
+        ],
+    )
+    out = {
+        (r.path, r.time): r.value
+        for r in combine_with_wildcards(s, "sum", 1).collect()
+    }
+    assert out == {("dc1.cpu", 10): 3.0, ("dc2.cpu", 10): 10.0}
+    avg = {
+        r.path: r.value for r in combine_with_wildcards(s, "avg", 0, 1).collect()
+    }
+    assert avg == {"cpu": 13.0 / 3}
+
+
+def test_integral_by_interval_and_limit(spark):
+    from carbon_clickhouse_spark.query.render import (
+        integral_by_interval,
+        limit_series,
+        sort_by_name,
+    )
+
+    s = _series(
+        spark,
+        [("m", 10, 1.0), ("m", 20, 2.0), ("m", 30, 3.0), ("m", 40, 4.0)],
+    )
+    ii = {r.time: r.value for r in integral_by_interval(s, 20).collect()}
+    # buckets [0,20): t=10; [20,40): t=20,30; [40,60): t=40
+    assert ii == {10: 1.0, 20: 2.0, 30: 5.0, 40: 4.0}
+
+    two = _series(spark, [("hi", 1, 100.0), ("lo", 1, 1.0), ("mid", 1, 50.0)])
+    kept = {r.path for r in limit_series(two, 2, "max").collect()}
+    assert kept == {"hi", "mid"}
+    ordered = [r.path for r in sort_by_name(two).collect()]
+    assert ordered == ["hi", "lo", "mid"]
