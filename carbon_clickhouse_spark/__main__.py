@@ -227,6 +227,24 @@ def main(argv=None) -> int:
         help="read all good records from a corrupted chunk file, write "
         "binary data to stdout, and exit",
     )
+    ap.add_argument(
+        "--compact", default=None, metavar="ROOT",
+        help="run one compaction cycle over a four-table root "
+        "(ReplacingMergeTree dedup on index/tagged, GraphiteMergeTree "
+        "rollup on the points tables) and exit — the cron-able stand-in "
+        "for ClickHouse's background merges",
+    )
+    ap.add_argument(
+        "--months", default=None,
+        help="with --compact: comma-separated yyyyMM month partitions "
+        "to touch (default: every partition)",
+    )
+    ap.add_argument(
+        "--rollup-conf", default=None, metavar="XML",
+        help="with --compact: ClickHouse graphite_rollup XML (the "
+        "reference's rollup.xml drops in directly; default: raw "
+        "1-second precision rules)",
+    )
     args = ap.parse_args(argv)
 
     if args.cat:
@@ -239,8 +257,36 @@ def main(argv=None) -> int:
 
         recover_chunk(args.recover, sys.stdout.buffer)
         return 0
+    if args.compact:
+        import os
+
+        from .operators.compaction import compact_replacing, compact_rollup
+        from .operators.rollup import DEFAULT_RULES, rules_from_xml
+        from .session import get_spark
+
+        spark = get_spark(
+            app_name="carbon-clickhouse-spark-compact", master=args.master
+        )
+        months = args.months.split(",") if args.months else None
+        rules = (
+            rules_from_xml(args.rollup_conf) if args.rollup_conf else DEFAULT_RULES
+        )
+        for table, keys in (
+            ("index", ["date", "level", "path"]),
+            ("tagged", ["date", "tag1", "path"]),
+        ):
+            path = os.path.join(args.compact, table)
+            if os.path.exists(path):
+                compact_replacing(spark, path, keys)
+                print(f"compacted {table} (replacing dedup)", flush=True)
+        for table in ("points", "points_reverse"):
+            path = os.path.join(args.compact, table)
+            if os.path.exists(path):
+                compact_rollup(spark, path, rules=rules, months=months)
+                print(f"compacted {table} (rollup)", flush=True)
+        return 0
     if not args.config:
-        ap.error("--config is required (unless --cat/--recover)")
+        ap.error("--config is required (unless --cat/--recover/--compact)")
 
     from .config import load_config
     from .session import get_spark

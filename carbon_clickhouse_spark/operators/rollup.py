@@ -194,3 +194,53 @@ def rollup(
         .otherwise(avg)
     )
     return aggregated.select("path", "time", value.alias("value"))
+
+
+def rules_from_xml(path_or_text: str) -> tuple[RollupRule, ...]:
+    """Parse a ClickHouse ``graphite_rollup`` XML config (the exact
+    file the reference points its tables at, e.g.
+    ``tests/clickhouse/rollup/rollup.xml``) into RollupRules.
+
+    ``<pattern>`` entries keep document order; ``<default>`` becomes
+    the trailing match-all rule. Patterns may carry only a function or
+    only retentions — first-match resolution per side is already the
+    engine's semantics (GraphiteMergeTree resolves them
+    independently). Accepts a filesystem path or raw XML text, and
+    either a bare ``<graphite_rollup>`` root or the ``<yandex>`` /
+    ``<clickhouse>`` server-config wrapper."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    if os.path.exists(path_or_text):
+        root = ET.parse(path_or_text).getroot()
+    else:
+        root = ET.fromstring(path_or_text)
+    section = root if root.tag == "graphite_rollup" else root.find(
+        ".//graphite_rollup"
+    )
+    if section is None:
+        raise ValueError("no <graphite_rollup> section found")
+
+    def retentions(el) -> tuple[Retention, ...]:
+        out = []
+        for r in el.findall("retention"):
+            out.append(
+                Retention(int(r.findtext("age")), int(r.findtext("precision")))
+            )
+        return tuple(sorted(out, key=lambda r: r.age_s))
+
+    rules = []
+    for p in section.findall("pattern"):
+        rules.append(
+            RollupRule(
+                p.findtext("regexp") or "",
+                p.findtext("function"),
+                retentions(p),
+            )
+        )
+    default = section.find("default")
+    if default is not None:
+        rules.append(
+            RollupRule("", default.findtext("function"), retentions(default))
+        )
+    return tuple(rules)

@@ -199,3 +199,49 @@ def test_cat_and_recover_flags(tmp_path, capsys):
     lz4_chunk = write_chunk(pts, str(tmp_path / "good2.bin"), compress="lz4")
     assert main(["--cat", lz4_chunk]) == 0
     assert capsys.readouterr().out.strip().split("\n") == out
+
+
+def test_compact_flag(spark, tmp_path, capsys):
+    """--compact runs one merge cycle over a four-table root: index
+    dedupes to max version per key, points collapse per rollup bucket."""
+    import datetime as dt
+
+    from carbon_clickhouse_spark.__main__ import main
+
+    root = str(tmp_path / "tables")
+    d = dt.date(2021, 7, 5)
+    idx = spark.createDataFrame(
+        [(d, 4, "m.a", 10), (d, 4, "m.a", 20), (d, 4, "m.b", 5)],
+        "date date, level int, path string, version long",
+    )
+    idx.write.parquet(f"{root}/index")
+    pts = spark.createDataFrame(
+        [
+            ("m.a.avg", 1.0, 1_625_478_240, d, 7),
+            ("m.a.avg", 3.0, 1_625_478_241, d, 7),
+        ],
+        "path string, value double, time long, date date, version long",
+    ).withColumn("month", F.date_format("date", "yyyyMM"))
+    pts.write.partitionBy("month").parquet(f"{root}/points")
+    rollup_xml = tmp_path / "rollup.xml"
+    rollup_xml.write_text(
+        "<yandex><graphite_rollup><default><function>avg</function>"
+        "<retention><age>0</age><precision>60</precision></retention>"
+        "</default></graphite_rollup></yandex>"
+    )
+
+    assert main(["--compact", root, "--rollup-conf", str(rollup_xml)]) == 0
+    out = capsys.readouterr().out
+    assert "compacted index" in out and "compacted points" in out
+
+    got_idx = sorted(
+        (r.path, r.version)
+        for r in spark.read.parquet(f"{root}/index").collect()
+    )
+    assert got_idx == [("m.a", 20), ("m.b", 5)]
+    got_pts = [
+        (r.path, r.value)
+        for r in spark.read.parquet(f"{root}/points").collect()
+    ]
+    # 60s buckets -> the two points merge into one avg row
+    assert got_pts == [("m.a.avg", 2.0)]

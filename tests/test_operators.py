@@ -384,3 +384,32 @@ def test_bucketed_points_shuffle_free(spark):
     assert got == expect
     for name in names.values():
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_rules_from_xml():
+    """ClickHouse graphite_rollup XML (the reference's rollup.xml
+    format) parses into RollupRules: document order, trailing default,
+    retention-only and function-only patterns, wrapper tolerated."""
+    from carbon_clickhouse_spark.operators.rollup import rules_from_xml
+
+    got = rules_from_xml("/root/reference/tests/clickhouse/rollup/rollup.xml")
+    assert [(r.pattern, r.function) for r in got] == [
+        (r"\.sum$", "sum"), (r"\.min$", "min"), (r"\.max$", "max"), ("", "avg"),
+    ]
+    assert all(r.retentions == (Retention(0, 1),) for r in got)
+
+    xml = (
+        "<graphite_rollup>"
+        "<pattern><regexp>^m\\.</regexp>"
+        "<retention><age>0</age><precision>60</precision></retention>"
+        "<retention><age>2592000</age><precision>3600</precision></retention>"
+        "</pattern>"
+        "<pattern><regexp>\\.count$</regexp><function>sum</function></pattern>"
+        "<default><function>avg</function>"
+        "<retention><age>0</age><precision>60</precision></retention></default>"
+        "</graphite_rollup>"
+    )
+    r = rules_from_xml(xml)
+    assert r[0].function is None and len(r[0].retentions) == 2
+    assert r[1].function == "sum" and r[1].retentions == ()
+    assert r[2].pattern == "" and r[2].function == "avg"
