@@ -143,6 +143,25 @@ def launch(cfg, spark, data_root: str | None = None):
             )
         )
 
+    otlp = enabled("otlp")
+    if otlp:
+        # beyond the reference: OTLP metrics over HTTP, same landing
+        # front as prometheus, shared canonicalization downstream
+        from .streaming.ingest import start_otlp_ingest
+
+        land = landing("otlp")
+        host, port = parse_listen(otlp.listen, 4318)
+        receivers.append(
+            HttpBodyReceiver(
+                land, host=host, port=port, flush_interval=flush
+            ).start()
+        )
+        queries.append(
+            start_otlp_ingest(
+                spark, binary_landing_source(spark, land), stream_cfg("otlp")
+            )
+        )
+
     grpc_rx = enabled("grpc")
     if grpc_rx:
         land = landing("grpc")

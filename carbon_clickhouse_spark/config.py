@@ -153,6 +153,7 @@ def _tls_from(section: dict) -> TLSConfig:
 
 _RECEIVER_SECTIONS = (
     "tcp", "udp", "pickle", "grpc", "prometheus", "telegraf_http_json",
+    "otlp",  # beyond the reference: OpenTelemetry metrics over HTTP
 )
 
 

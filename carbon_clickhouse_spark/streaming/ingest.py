@@ -512,3 +512,20 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
         .option("port", port)
         .load()
     )
+
+
+def start_otlp_ingest(
+    spark: SparkSession, files: DataFrame, config: StreamConfig
+) -> StreamingQuery:
+    """Binary landing chunks of OTLP ExportMetricsServiceRequest
+    bodies -> four tables, through the SAME canonicalization path as
+    Prometheus remote-write (``sources/otlp.py``)."""
+    import time as _time
+
+    from ..sources.framing import framed_bodies
+    from ..sources.otlp import otlp_to_points
+
+    def decode(batch: DataFrame) -> DataFrame:
+        return otlp_to_points(framed_bodies(batch), version=int(_time.time()))
+
+    return start_ingest(spark, files, config, decode)

@@ -254,3 +254,27 @@ def test_snappy_validator():
     assert snappy_validator(compress(b"\x0a\x02hi")) is None
     assert snappy_validator(b"\x0a\x02hi") is None  # raw protobuf ok
     assert snappy_validator(b"\xff\xfe nope") is not None
+
+
+def test_otlp_live_e2e(spark, tmp_path):
+    """Beyond-the-reference front: a real OTLP HTTP POST lands a
+    chunk, the micro-batch decodes it through the shared Prometheus
+    canonicalization into points."""
+    from carbon_clickhouse_spark.streaming.ingest import start_otlp_ingest
+    from tests.test_sources import _otlp_fixture
+
+    land = str(tmp_path / "landing")
+    rx = HttpBodyReceiver(land, flush_interval=0.1).start()
+    cfg = _stream_cfg(tmp_path)
+    query = start_otlp_ingest(spark, binary_landing_source(spark, land), cfg)
+    try:
+        assert _post(rx.port, _otlp_fixture()) == 200
+        rows = _wait_rows(spark, f"{cfg.root}/points", 10)
+        got = {(r.path, r.value, r.time) for r in rows}
+        assert ("cpu_load?env=prod&host=h1", 4.2, 1625478240) in got
+        assert ("lat_bucket?host=h1&le=%2BInf", 6.0, 1625478240) in got or (
+            "lat_bucket?host=h1&le=+Inf", 6.0, 1625478240) in got
+        assert ("rt?host=h1&quantile=0.5", 1.25, 1625478240) in got
+    finally:
+        rx.stop()
+        query.stop()

@@ -310,3 +310,133 @@ def test_lz4_frame_against_reference_cli(tmp_path):
     assert cli.stdout == data
     theirs = subprocess.run(["lz4", "-c"], input=data, capture_output=True)
     assert decompress_frame(theirs.stdout) == data
+
+
+# --- OTLP metrics -----------------------------------------------------
+
+
+def _pb_key(field, wt):
+    return bytes([(field << 3) | wt])
+
+
+def _pb_varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _pb_len(field, payload):
+    return _pb_key(field, 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_fixed64(field, v, signed=False):
+    import struct
+
+    return _pb_key(field, 1) + struct.pack("<q" if signed else "<Q", v)
+
+
+def _pb_double(field, v):
+    import struct
+
+    return _pb_key(field, 1) + struct.pack("<d", v)
+
+
+def _kv(key, *, s=None, i=None, b=None, d=None):
+    import struct as st
+
+    if s is not None:
+        any_v = _pb_len(1, s.encode())
+    elif b is not None:
+        any_v = _pb_key(2, 0) + _pb_varint(1 if b else 0)
+    elif i is not None:
+        any_v = _pb_key(3, 0) + _pb_varint(i)
+    else:
+        any_v = _pb_key(4, 1) + st.pack("<d", d)
+    return _pb_len(1, key.encode()) + _pb_len(2, any_v)
+
+
+def _otlp_fixture():
+    """ExportMetricsServiceRequest: resource{host=h1} with one gauge
+    double point (env=prod), one sum int point, one histogram (bounds
+    [1, 2.5]), one summary (q 0.5)."""
+    t_nano = 1_625_478_240_000 * 1_000_000
+    gauge_dp = (
+        _pb_len(7, _kv("env", s="prod"))
+        + _pb_fixed64(3, t_nano)
+        + _pb_double(4, 4.2)
+    )
+    gauge = _pb_len(5, _pb_len(1, gauge_dp))
+    sum_dp = _pb_fixed64(3, t_nano) + _pb_fixed64(6, -3, signed=True)
+    sum_m = _pb_len(7, _pb_len(1, sum_dp) + _pb_key(2, 0) + _pb_varint(2))
+    import struct as st
+
+    hist_dp = (
+        _pb_fixed64(3, t_nano)
+        + _pb_fixed64(4, 6)
+        + _pb_double(5, 7.5)
+        + _pb_len(6, st.pack("<QQQ", 1, 2, 3))       # bucket_counts
+        + _pb_len(7, st.pack("<dd", 1.0, 2.5))        # explicit_bounds
+    )
+    hist = _pb_len(9, _pb_len(1, hist_dp))
+    summ_dp = (
+        _pb_fixed64(3, t_nano)
+        + _pb_fixed64(4, 10)
+        + _pb_double(5, 99.0)
+        + _pb_len(6, _pb_double(1, 0.5) + _pb_double(2, 1.25))
+    )
+    summ = _pb_len(11, _pb_len(1, summ_dp))
+
+    def metric(name, body):
+        return _pb_len(2, _pb_len(1, name.encode()) + body)
+
+    scope = (
+        metric("cpu_load", gauge)
+        + metric("reqs", sum_m)
+        + metric("lat", hist)
+        + metric("rt", summ)
+    )
+    # ResourceMetrics.resource -> Resource.attributes -> KeyValue
+    resource = _pb_len(1, _pb_len(1, _kv("host", s="h1")))
+    rm = resource + _pb_len(2, scope)
+    return _pb_len(1, rm)
+
+
+def test_otlp_decode_and_points(spark):
+    from carbon_clickhouse_spark.sources.otlp import (
+        otlp_to_points,
+        parse_export_metrics,
+    )
+
+    series = parse_export_metrics(_otlp_fixture())
+    by_name = {}
+    for labels, samples in series:
+        by_name.setdefault(dict(labels)["__name__"], []).append(
+            (dict(labels), samples)
+        )
+    # gauge: resource + point attrs merged
+    lab, samp = by_name["cpu_load"][0]
+    assert lab == {"__name__": "cpu_load", "env": "prod", "host": "h1"}
+    assert samp == [(4.2, 1_625_478_240_000)]
+    # sum int point
+    assert by_name["reqs"][0][1] == [(-3.0, 1_625_478_240_000)]
+    # histogram: cumulative buckets + +Inf + count/sum
+    les = {
+        d[0]["le"]: d[1][0][0] for d in by_name["lat_bucket"]
+    }
+    assert les == {"1": 1.0, "2.5": 3.0, "+Inf": 6.0}
+    assert by_name["lat_count"][0][1][0][0] == 6.0
+    assert by_name["lat_sum"][0][1][0][0] == 7.5
+    # summary quantile series
+    assert by_name["rt"][0][0]["quantile"] == "0.5"
+    assert by_name["rt"][0][1] == [(1.25, 1_625_478_240_000)]
+
+    # through the shared Prometheus canonicalization into points
+    df = spark.createDataFrame([(_otlp_fixture(),)], "body binary")
+    pts = {r.path: (r.value, r.time) for r in otlp_to_points(df, version=9).collect()}
+    assert pts["cpu_load?env=prod&host=h1"] == (4.2, 1_625_478_240)
+    assert pts["lat_bucket?host=h1&le=2.5"] == (3.0, 1_625_478_240)
+    assert pts["rt?host=h1&quantile=0.5"] == (1.25, 1_625_478_240)
