@@ -81,9 +81,14 @@ def parse_plain_lines(
         .withColumn(
             "time",
             F.when(F.col("__ts_raw") == "-1", now_col).otherwise(
-                F.col("__tsd").cast("long")
+                # try_cast: a finite-but-huge ts (1e20) would otherwise
+                # throw CAST_OVERFLOW under ANSI mode and kill the whole
+                # ingest job for one malformed line — drop the row,
+                # like every other malformed field
+                F.col("__tsd").try_cast("long")
             ),
         )
+        .filter(F.col("time").isNotNull())
         .withColumn("__name_norm", normalize_double_dot(F.col("__name_raw")))
     )
 

@@ -89,3 +89,70 @@ def test_jvm_python_parity_fuzz_batch(spark):
     got = df.select("s", graphite_canonicalize_col(F.col("s")).alias("c")).collect()
     for r in got:
         assert r.c == graphite_canonicalize(r.s), f"input {r.s!r}"
+
+
+def test_pipeline_never_crashes_on_arbitrary_lines(spark):
+    """Robustness: a seeded corpus of adversarial protocol lines --
+    control chars, unicode, binary-ish junk, huge tokens, NaN/inf,
+    negative/overflow timestamps, deep tag nests -- goes through
+    parse -> derive_tables end-to-end without raising, and every
+    surviving row satisfies the points invariants."""
+    import math
+    import random
+
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    rng = random.Random(7)
+    pools = [
+        "abc.def-ghi_",
+        "=;?&%+#/\\\t ",
+        " \u00e9\u0438\u4e16",
+        "0123456789.eE+-",
+    ]
+
+    def rand_token(lo=0, hi=40):
+        pool = rng.choice(pools)
+        return "".join(rng.choice(pool) for _ in range(rng.randint(lo, hi)))
+
+    corpus = []
+    for _ in range(500):
+        shape = rng.random()
+        if shape < 0.2:
+            corpus.append(rand_token(0, 120))  # fieldless junk
+        elif shape < 0.4:
+            corpus.append(f"{rand_token(1)} {rand_token(0, 10)}")
+        else:
+            val = rng.choice(
+                ["1.5", "NaN", "inf", "-inf", "1e308", "1e999", rand_token(0, 6), "-0"]
+            )
+            ts = rng.choice(
+                ["1625478240", "-1", "0", "99999999999999999999", rand_token(0, 5)]
+            )
+            corpus.append(f"{rand_token(1)} {val} {ts}")
+    corpus += [
+        "a" * 100_000 + " 1 1625478240",              # drop_longer_than fodder
+        "m;" + ";".join(f"k{i}=v{i}" for i in range(200)) + " 1 1625478240",
+        " leading.space 1 1625478240",
+        "trailing.space 1 1625478240 ",
+        "tab\tseparated 1 1625478240",
+    ]
+
+    df = spark.createDataFrame([(l,) for l in corpus], ["value"])
+    pts = parse_plain_lines(
+        df, line_col="value", now=1625478400
+    )
+    tables = derive_tables(
+        pts, IngestConfig(now=1625478400, drop_longer_than=4096)
+    )
+    rows = tables["points"].collect()
+    for r in rows:
+        assert r.path and len(r.path) <= 4096
+        assert ";" not in r.path  # tagged paths normalized to '?'
+        # reference parity: only NaN is dropped; +/-inf values pass
+        # (receiver/plain.go:73-74 checks IsNaN only)
+        assert r.value is not None and not math.isnan(r.value)
+        assert r.time is not None  # huge/inf ts dropped, 0 passes (ref)
+    # derived tables evaluate without raising too
+    assert tables["index"].count() >= 0
+    assert tables["tagged"].count() >= 0
