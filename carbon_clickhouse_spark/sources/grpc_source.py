@@ -93,6 +93,8 @@ def grpc_payloads_to_points(
                     if not canonical:
                         continue
                     for ts, val in points:
+                        if not 0 <= ts < (1 << 63):
+                            continue  # varint past int64: drop, don't abort the batch
                         if math.isnan(val):
                             continue
                         rows.append((canonical, val, int(ts)))

@@ -97,6 +97,8 @@ def decode_frame(frame: bytes) -> list[tuple[str, float, int]]:
                 name = name.decode("utf-8")
             value = float(value)
             ts = int(float(ts))
+            if not -(1 << 63) <= ts < (1 << 63):
+                continue  # int64 overflow would abort the Arrow batch
         except (TypeError, ValueError, UnicodeDecodeError):
             continue
         if math.isnan(value):

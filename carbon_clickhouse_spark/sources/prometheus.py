@@ -118,6 +118,8 @@ def parse_write_request(body: bytes) -> list[tuple[list, list]]:
                         val = struct.unpack("<d", p3)[0]
                     elif f3 == 2:
                         ts = p3 if isinstance(p3, int) else 0
+                if not 0 <= ts < (1 << 63):
+                    continue  # varint past int64: drop, don't abort the batch
                 samples.append((val, ts))
         out.append((labels, samples))
     return out

@@ -61,6 +61,14 @@ def telegraf_json_to_points(
                     ts = m.get("timestamp")
                     if name is None or ts is None:
                         continue
+                    try:
+                        ts = int(ts)
+                    except (ValueError, OverflowError):
+                        continue
+                    if not -(1 << 63) <= ts < (1 << 63):
+                        # would overflow the Arrow int64 column and
+                        # kill the whole batch for one bad metric
+                        continue
                     tags = m.get("tags") or {}
                     tags_key = tuple(sorted(tags.items()))
                     for field, raw in (m.get("fields") or {}).items():
@@ -81,7 +89,7 @@ def telegraf_json_to_points(
                             )
                         paths.append(path)
                         values.append(v)
-                        times.append(int(ts))
+                        times.append(ts)
             yield pd.DataFrame({"path": paths, "value": values, "time": times})
 
     raw = bodies.mapInPandas(run, _RAW_SCHEMA)

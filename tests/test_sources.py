@@ -440,3 +440,47 @@ def test_otlp_decode_and_points(spark):
     assert pts["cpu_load?env=prod&host=h1"] == (4.2, 1_625_478_240)
     assert pts["lat_bucket?host=h1&le=2.5"] == (3.0, 1_625_478_240)
     assert pts["rt?host=h1&quantile=0.5"] == (1.25, 1_625_478_240)
+
+
+def test_decoders_drop_int64_overflow_timestamps(spark):
+    """One malformed timestamp (past int64) must drop its row, not
+    abort the whole Arrow batch: telegraf JSON, pickle frame, and
+    gRPC varint walker each keep the surviving rows."""
+    import json as _json
+    import pickle as _pickle
+    import struct as _st
+
+    from carbon_clickhouse_spark.sources.grpc_source import (
+        grpc_payloads_to_points,
+    )
+    from carbon_clickhouse_spark.sources.pickle_source import (
+        pickle_frames_to_points,
+    )
+    from carbon_clickhouse_spark.sources.telegraf import telegraf_json_to_points
+
+    bodies = [
+        _json.dumps({"metrics": [
+            {"name": "m", "timestamp": 10**40, "fields": {"v": 1.0}, "tags": {}},
+            {"name": "ok", "timestamp": 1500000000, "fields": {"v": 2.0}, "tags": {}},
+        ]}).encode(),
+    ]
+    df = spark.createDataFrame([(b,) for b in bodies], "body binary")
+    rows = telegraf_json_to_points(df, version=1).collect()
+    assert [(r.path, r.time) for r in rows] == [("ok_v?", 1500000000)]
+
+    frame = _pickle.dumps(
+        [("p.a", (10**40, 1.0)), ("p.b", (100, 2.0))], protocol=2
+    )
+    blob = _st.pack(">I", len(frame)) + frame
+    df2 = spark.createDataFrame([(blob,)], "content binary")
+    rows = pickle_frames_to_points(
+        df2, blob_col="content", framed=True, version=1
+    ).collect()
+    assert [(r.path, r.time) for r in rows] == [("p.b", 100)]
+
+    pt_bad = _pb_key(1, 0) + _pb_varint(2**66) + _pb_double(2, 1.0)
+    pt_ok = _pb_key(1, 0) + _pb_varint(1500000000) + _pb_double(2, 2.0)
+    metric = _pb_len(1, _pb_len(1, b"g.m") + _pb_len(2, pt_bad) + _pb_len(2, pt_ok))
+    df3 = spark.createDataFrame([(metric,)], "body binary")
+    rows = grpc_payloads_to_points(df3, blob_col="body", version=1).collect()
+    assert [(r.path, r.time) for r in rows] == [("g.m", 1500000000)]
