@@ -194,3 +194,111 @@ def rolling_fingerprints(
     return df.select(
         "doc_id", F.posexplode(windows).alias("pos", "window_hash")
     )
+
+
+def split_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, para_idx, paragraph): blank-line-separated paragraphs,
+    whitespace-normalized for hashing stability. Pure column
+    expressions (posexplode over a split), no Python."""
+    paras = F.split(F.col(text_col), r"\n\s*\n")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(paras).alias("para_idx", "paragraph"),
+        )
+        .withColumn("paragraph", F.trim(F.regexp_replace("paragraph", r"\s+", " ")))
+        .filter(F.col("paragraph") != "")
+    )
+
+
+def duplicate_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_count: int = 2
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4/RefinedWeb paragraph
+    pass at document-set scale): (para_hash, n_docs, n_occurrences,
+    survivor_doc, survivor_idx) for every paragraph appearing
+    ``min_count``+ times. One groupBy on the md5 — scale-safe, the
+    shuffle key is 32 bytes regardless of paragraph length; the
+    survivor (first occurrence in (doc_id, para_idx) order) is what a
+    keep-first rewrite retains."""
+    paras = split_paragraphs(df, text_col, id_col)
+    h = F.md5(F.col("paragraph"))
+    return (
+        paras.select("doc_id", "para_idx", h.alias("para_hash"))
+        .groupBy("para_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct("doc_id", "para_idx")).alias("__first"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(
+            "para_hash",
+            "n_docs",
+            "n_occurrences",
+            F.col("__first.doc_id").alias("survivor_doc"),
+            F.col("__first.para_idx").alias("survivor_idx"),
+        )
+    )
+
+
+def remove_duplicate_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first paragraph dedup applied: every non-survivor copy of
+    a corpus-duplicated paragraph is dropped, documents are
+    reassembled in paragraph order. Two shuffles total (hash groupBy +
+    doc reassembly); the join back is on the 32-byte hash."""
+    paras = split_paragraphs(df, text_col, id_col).withColumn(
+        "para_hash", F.md5(F.col("paragraph"))
+    )
+    firsts = (
+        paras.groupBy("para_hash")
+        .agg(F.min(F.struct("doc_id", "para_idx")).alias("__first"))
+        .select(
+            "para_hash",
+            F.col("__first.doc_id").alias("__fd"),
+            F.col("__first.para_idx").alias("__fi"),
+        )
+    )
+    kept = paras.join(firsts, "para_hash").filter(
+        (F.col("doc_id") == F.col("__fd")) & (F.col("para_idx") == F.col("__fi"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "paragraph"))),
+                    lambda s: s["paragraph"],
+                ),
+                "\n\n",
+            ).alias(text_col)
+        )
+    )
+
+
+def extract_domain(url: Column | str) -> Column:
+    """Registrable host of a URL column (lowercased, port stripped) —
+    the key for domain-level quality filters and blocklists."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.parse_url(c, F.lit("HOST"))
+    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+
+
+def filter_blocked_domains(
+    df: DataFrame, blocked: list[str], url_col: str = "url",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's domain (or any parent domain) is on the
+    blocklist. The blocklist rides as a literal/broadcast — no
+    shuffle of the data side."""
+    dom = extract_domain(url_col)
+    blocked_norm = [b.lower().lstrip(".") for b in blocked]
+    cond = dom.isin(blocked_norm)
+    if include_subdomains:
+        for b in blocked_norm:
+            cond = cond | dom.endswith("." + b)
+    return df.filter(~cond)

@@ -473,3 +473,59 @@ def test_pack_contiguous_assignment(docs):
             seen_pos.setdefault(r.seq_id, 0)
             seen_pos[r.seq_id] += 1
             assert r.seq_pos == seen_pos[r.seq_id]  # dense 1..n per seq
+
+
+def test_paragraph_dedup_family(spark):
+    from carbon_clickhouse_spark.datapipe.text import (
+        duplicate_paragraphs,
+        remove_duplicate_paragraphs,
+        split_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Common boilerplate.\n\nUnique one."),
+            (2, "Common   boilerplate.\n\nAnother unique.\n\nCommon boilerplate."),
+            (3, "Totally distinct."),
+        ],
+        "doc_id long, text string",
+    )
+    paras = split_paragraphs(docs).collect()
+    # whitespace-normalized: doc 2's double-space copy hashes equal
+    assert ("Common boilerplate." in {r.paragraph for r in paras})
+    dups = duplicate_paragraphs(docs).collect()
+    assert len(dups) == 1
+    d = dups[0]
+    assert (d.n_docs, d.n_occurrences, d.survivor_doc, d.survivor_idx) == (2, 3, 1, 0)
+
+    rewritten = {r.doc_id: r.text for r in remove_duplicate_paragraphs(docs).collect()}
+    assert rewritten[1] == "Common boilerplate.\n\nUnique one."
+    assert rewritten[2] == "Another unique."
+    assert rewritten[3] == "Totally distinct."
+
+
+def test_domain_filtering(spark):
+    from carbon_clickhouse_spark.datapipe.text import (
+        extract_domain,
+        filter_blocked_domains,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.COM:8080/page"),
+            (2, "http://sub.spam.example.org/x?y=1"),
+            (3, "https://ok.net/a"),
+            (4, "https://spam.example.org/direct"),
+        ],
+        "doc_id long, url string",
+    )
+    doms = {r.doc_id: r.d for r in df.select("doc_id", extract_domain("url").alias("d")).collect()}
+    assert doms == {
+        1: "example.com", 2: "sub.spam.example.org",
+        3: "ok.net", 4: "spam.example.org",
+    }
+    kept = {r.doc_id for r in filter_blocked_domains(df, ["spam.example.org"]).collect()}
+    assert kept == {1, 3}
+    kept2 = {r.doc_id for r in filter_blocked_domains(df, ["spam.example.org"], include_subdomains=False).collect()}
+    assert kept2 == {1, 2, 3}
