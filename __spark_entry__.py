@@ -1356,33 +1356,16 @@ def q_multimodal_features(spark, sf_dir):
     oracle reproduces every feature in closed form over the text
     length, so all three real decode paths are hash-checked
     end-to-end."""
-    from carbon_clickhouse_spark.datapipe.multimodal import (
-        attach_avi_payload,
-        attach_jpeg_payload,
-        attach_png_payload,
-        attach_ppm_payload,
-        extract_image_features,
-        extract_video_features,
-    )
+    from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
     docs = _t(spark, sf_dir, "documents")
-    ppm = extract_image_features(attach_ppm_payload(docs)).select(
-        "doc_id", F.lit("ppm").alias("fmt"), "width", "height",
+    # fused build+decode: one scan, one Arrow stage for all four
+    # formats (the attach_*/extract_* operators remain the composition
+    # surface and are exercised in tests/test_multimodal_fuzz.py)
+    return fixture_features(docs).select(
+        "doc_id", "fmt", "width", "height",
         F.round("mean_byte", 4).alias("mean_byte"),
     )
-    png = extract_image_features(attach_png_payload(docs)).select(
-        "doc_id", F.lit("png").alias("fmt"), "width", "height",
-        F.round("mean_byte", 4).alias("mean_byte"),
-    )
-    jpg = extract_image_features(attach_jpeg_payload(docs)).select(
-        "doc_id", F.lit("jpeg").alias("fmt"), "width", "height",
-        F.round("mean_byte", 4).alias("mean_byte"),
-    )
-    avi = extract_video_features(attach_avi_payload(docs)).select(
-        "doc_id", F.lit("avi").alias("fmt"), "width", "height",
-        F.round("mean_byte", 4).alias("mean_byte"),
-    )
-    return ppm.unionByName(png).unionByName(jpg).unionByName(avi)
 
 
 def q_corpus_prep(spark, sf_dir):

@@ -1102,3 +1102,98 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
             )
         ).alias("frame_idx", "frame_bytes"),
     )
+
+
+def fixture_features(
+    df: DataFrame,
+    formats: tuple = ("ppm", "png", "jpeg", "avi"),
+    text_col: str = "text",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Fused fixture-build + REAL decode for every format in ONE
+    Arrow pass over ONE scan: per document, construct each format's
+    deterministic payload (same closed forms as the attach_* builders)
+    and immediately run it through the real decoder —
+    (doc_id, fmt, width, height, mean_byte). The separate
+    attach_*/extract_* operators remain the composition surface; this
+    is the single-stage path the oracle-checked query and the bench
+    use (4 scans + 8 Python stages -> 1 + 1).
+
+    CPU-bound media work scales with cores, not input bytes: a small
+    documents file arrives as ONE scan partition, so fan out to
+    ``parallelism`` partitions (default: the cluster's
+    defaultParallelism) before the Arrow stage — the shuffle moves
+    only (doc_id, text), the cheap side of the decode."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
+
+    def build(fmt: str, n_txt: int) -> bytes:
+        h = 1 + (n_txt % 64)
+        if fmt == "ppm":
+            n = 8 * h * 3
+            body = (_PIX_CYCLE * (n // 256 + 1))[:n]
+            return b"P6\n8 %d\n255\n" % h + body
+        if fmt == "png":
+            n = 8 * h
+            body = (_PIX_CYCLE * (n // 256 + 1))[:n]
+            raw = b"".join(b"\x00" + body[r * 8 : (r + 1) * 8] for r in range(h))
+            ihdr = struct.pack(">IIBBBBB", 8, h, 8, 0, 0, 0, 0)
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+                + _png_chunk(b"IEND", b"")
+            )
+        hb = 1 + (n_txt % 16)
+        if fmt == "jpeg":
+            return encode_jpeg_gray_blocks(
+                [(n_txt + 37 * i) % 256 for i in range(hb)]
+            )
+        nf = 1 + (n_txt % 4)
+        frames = [
+            encode_jpeg_gray_blocks(
+                [(n_txt + 37 * i + 11 * f) % 256 for i in range(hb)]
+            )
+            for f in range(nf)
+        ]
+        return encode_avi_mjpeg(frames, 8, 8 * hb)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fractions import Fraction
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "fmt", "width", "height", "mean_byte")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                n_txt = len(t.encode("utf-8")) if t is not None else 0
+                for fmt in formats:
+                    payload = build(fmt, n_txt)
+                    if fmt == "avi":
+                        got = _parse_avi_mjpeg(payload)
+                        assert got is not None
+                        w, h, frames = got
+                        acc = Fraction(0)
+                        for fr in frames:
+                            num, den = _parse_jpeg_exact(fr)[2]
+                            acc += Fraction(num, den)
+                        mean = float(acc / len(frames))
+                    else:
+                        w, h, mean = decode_image(payload)
+                    rows["doc_id"].append(doc_id)
+                    rows["fmt"].append(fmt)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_byte"].append(mean)
+            yield pd.DataFrame(rows)
+
+    src = df.select("doc_id", text_col)
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+    return src.mapInPandas(run, schema)
