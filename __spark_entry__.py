@@ -34,6 +34,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Scan fan-out for CPU-bound stages (string parse, Arrow/Python
+    passes): the testdata tables are single-row-group parquet files the
+    scan cannot split, so without this the whole stage runs on ONE core
+    of local[32]. Applied ONLY where per-row compute dwarfs the
+    one-time shuffle (aggregation-bound queries keep the plain scan —
+    a pre-shuffle there costs more than it buys). At production scale
+    files carry many row groups and the guard makes this a no-op."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _sec(ev: DataFrame):
     """events.ts (nanos-as-long OR timestamp OR timestamp_ntz) -> unix
     seconds; integer arithmetic only (raw nanos exceed double precision).
@@ -332,7 +346,7 @@ def q_points_ingest(spark, sf_dir):
     the real parser into canonical points."""
     from carbon_clickhouse_spark.sources.plain import parse_plain_lines
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _fan(_t(spark, sf_dir, "events"))
     sec = _sec(ev)
     mk = lambda name: F.concat(  # noqa: E731
         name,
@@ -1116,7 +1130,7 @@ def q_text_features(spark, sf_dir):
         quality_features,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     out = language_id(quality_features(docs))
     passes = (
         (F.col("n_tokens") >= 20)
@@ -1141,7 +1155,7 @@ def q_text_features(spark, sf_dir):
 def q_token_counts(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.text import bpe_token_count, token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count("text")).cast("long").alias("total_tokens"),
@@ -1152,14 +1166,14 @@ def q_token_counts(spark, sf_dir):
 def q_minhash_signatures(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.dedup import minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return minhash_signatures(docs)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs)
 
 
@@ -1173,7 +1187,7 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     from carbon_clickhouse_spark.datapipe.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return simhash(docs)
 
 
@@ -1183,7 +1197,7 @@ def q_simhash_pairs(spark, sf_dir):
     catches most <= 6), exact hamming verify inside buckets."""
     from carbon_clickhouse_spark.datapipe.dedup import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return simhash_pairs(docs).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
@@ -1241,7 +1255,7 @@ def q_repetition_signals(spark, sf_dir):
     Arrow pass."""
     from carbon_clickhouse_spark.datapipe.text import repetition_signals
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    return repetition_signals(_fan(_t(spark, sf_dir, "documents")))
 
 
 def q_embedding_stats(spark, sf_dir):
