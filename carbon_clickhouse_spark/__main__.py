@@ -185,6 +185,22 @@ def launch(cfg, spark, data_root: str | None = None):
     return receivers, queries
 
 
+def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
+    """Start the graphite-web query facade over a four-table root:
+    /metrics/find resolves globs on the stored index, /render
+    evaluates target expressions (query/api.py vocabulary) on the
+    stored points. Returns the started RenderApi (caller owns stop)."""
+    import os as _os
+
+    from .query.api import GraphiteStore, RenderApi
+
+    index = spark.read.parquet(_os.path.join(root, "index"))
+    points = spark.read.parquet(_os.path.join(root, "points"))
+    if "month" in points.columns:
+        points = points.drop("month")
+    return RenderApi(GraphiteStore(index, points), host=host, port=port).start()
+
+
 def _load_chunk(path: str) -> bytes:
     """Read a chunk file, transparently decompressing ``.lz4`` spool
     files (writer/writer.go:228-240 naming)."""
@@ -264,6 +280,15 @@ def main(argv=None) -> int:
         "reference's rollup.xml drops in directly; default: raw "
         "1-second precision rules)",
     )
+    ap.add_argument(
+        "--serve", default=None, metavar="ROOT",
+        help="serve the graphite-web query API (/metrics/find, "
+        "/render) over a four-table root and block",
+    )
+    ap.add_argument(
+        "--api-listen", default="127.0.0.1:8080",
+        help="with --serve: HOST:PORT for the query API",
+    )
     args = ap.parse_args(argv)
 
     if args.cat:
@@ -275,6 +300,23 @@ def main(argv=None) -> int:
         import sys
 
         recover_chunk(args.recover, sys.stdout.buffer)
+        return 0
+    if args.serve:
+        from .session import get_spark
+
+        spark = get_spark(
+            app_name="carbon-clickhouse-spark-api", master=args.master
+        )
+        host, port = parse_listen(args.api_listen, 8080)
+        api = serve_api(args.serve, spark, host=host, port=port)
+        print(f"query api listening on {api.port}", flush=True)
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            api.stop()
         return 0
     if args.compact:
         import os

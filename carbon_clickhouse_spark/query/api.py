@@ -1,0 +1,345 @@
+"""Graphite-web-compatible query facade: /metrics/find + /render.
+
+The reference is ingest-only — queries are served by its companion
+stack (graphite-clickhouse + graphite-web/carbonapi speaking the
+Graphite HTTP API). For a user switching to this engine, this module
+is that last mile: the SAME URLs and JSON shapes graphite-web emits,
+evaluated against the four-table parquet contract with the render
+library (``query/render.py``) as the function vocabulary.
+
+- ``parse_target`` parses the Graphite target expression grammar
+  (``func(arg, ...)`` nesting, quoted strings, numbers, path globs —
+  the grammar carbonapi documents publicly).
+- ``GraphiteStore`` resolves globs via the index and reads series
+  via ``finder.read_series``.
+- ``RenderApi`` is a threaded HTTP front (same lifecycle shape as
+  ``streaming/receivers.py``): ``/metrics/find?query=`` and
+  ``/render?target=&from=&until=&format=json``.
+
+Driver-side evaluation keeps Spark's plans lazy end-to-end; only the
+final ``collect`` for the JSON response materializes (a render
+response is one metric's window — bounded by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time as _time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import render
+from .finder import find_metrics, read_series
+
+
+# --- target expression parser ---------------------------------------
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+def parse_target(s: str):
+    """Parse one Graphite target expression -> nested Call / str
+    (path glob) / float / int. Raises ValueError on malformed input."""
+    expr, rest = _parse_expr(s.strip(), 0)
+    if s[rest:].strip():
+        raise ValueError(f"trailing input at {rest}: {s[rest:]!r}")
+    return expr
+
+
+def _parse_expr(s: str, i: int):
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i >= n:
+        raise ValueError("empty expression")
+    if s[i] in "'\"":
+        quote = s[i]
+        j = s.index(quote, i + 1)
+        return s[i + 1 : j], j + 1
+    m = re.match(r"-?\d+\.\d+(?:[eE][-+]?\d+)?|-?\d+(?:[eE][-+]?\d+)?", s[i:])
+    if m and (i + m.end() >= n or s[i + m.end()] in ",) "):
+        text = m.group(0)
+        val = float(text) if any(c in text for c in ".eE") else int(text)
+        return val, i + m.end()
+    m = re.match(r"[A-Za-z_][A-Za-z0-9_]*\s*\(", s[i:])
+    if m:
+        name = s[i : i + m.end() - 1].strip()
+        j = i + m.end()
+        args = []
+        while True:
+            while j < n and s[j].isspace():
+                j += 1
+            if j < n and s[j] == ")":
+                return Call(name, args), j + 1
+            arg, j = _parse_expr(s, j)
+            args.append(arg)
+            while j < n and s[j].isspace():
+                j += 1
+            if j >= n:
+                raise ValueError("unterminated call")
+            if s[j] == ",":
+                j += 1
+            elif s[j] == ")":
+                return Call(name, args), j + 1
+            else:
+                raise ValueError(f"unexpected {s[j]!r} at {j}")
+    # bare path glob: everything up to an unnested , or )
+    j = i
+    while j < n and s[j] not in ",)":
+        j += 1
+    path = s[i:j].strip()
+    if not path:
+        raise ValueError(f"expected expression at {i}")
+    return path, j
+
+
+# --- function registry ----------------------------------------------
+
+# graphite name -> (callable(series_df, *args)); multi-series
+# combiners that take TWO series exprs are dispatched explicitly in
+# _evaluate. Names follow graphite-web's public vocabulary.
+_FUNCS = {
+    "scale": render.scale,
+    "offset": render.offset,
+    "absolute": render.absolute,
+    "invert": render.invert,
+    "logarithm": render.logarithm,
+    "derivative": render.derivative,
+    "nonNegativeDerivative": render.non_negative_derivative,
+    "perSecond": render.per_second,
+    "integral": render.integral,
+    "integralByInterval": render.integral_by_interval,
+    "movingAverage": render.moving_average,
+    "movingMedian": lambda df, p=5: render.moving(df, "median", int(p)),
+    "movingMin": lambda df, p=5: render.moving(df, "min", int(p)),
+    "movingMax": lambda df, p=5: render.moving(df, "max", int(p)),
+    "movingSum": lambda df, p=5: render.moving(df, "sum", int(p)),
+    "stdev": render.stdev,
+    "timeShift": lambda df, s: render.time_shift(df, _seconds(s)),
+    "timeSlice": lambda df, a, b: render.time_slice(df, int(a), int(b)),
+    "delay": render.delay,
+    "keepLastValue": render.keep_last_value,
+    "transformNull": render.transform_null,
+    "isNonNull": render.is_non_null,
+    "removeAboveValue": render.remove_above_value,
+    "removeBelowValue": render.remove_below_value,
+    "clamp": render.clamp,
+    "offsetToZero": render.offset_to_zero,
+    "changed": render.changed,
+    "summarize": lambda df, iv, fn="sum": render.summarize(
+        df, _seconds(iv), fn
+    ),
+    "sumSeries": lambda df: render.combine_series(df, "sum"),
+    "averageSeries": lambda df: render.combine_series(df, "avg"),
+    "maxSeries": lambda df: render.combine_series(df, "max"),
+    "minSeries": lambda df: render.combine_series(df, "min"),
+    "multiplySeries": render.multiply_series,
+    "countSeries": render.count_series,
+    "rangeOfSeries": render.range_of_series,
+    "sumSeriesWithWildcards": lambda df, *pos: render.combine_with_wildcards(
+        df, "sum", *[int(p) for p in pos]
+    ),
+    "averageSeriesWithWildcards": lambda df, *pos: render.combine_with_wildcards(
+        df, "avg", *[int(p) for p in pos]
+    ),
+    "groupByNode": lambda df, node, fn="avg": render.group_by_node(
+        df, int(node), fn
+    ),
+    "highestMax": lambda df, n=1: render.highest(df, int(n), "max"),
+    "highestCurrent": lambda df, n=1: render.highest(df, int(n), "current"),
+    "highestAverage": lambda df, n=1: render.highest(df, int(n), "avg"),
+    "limit": lambda df, n: render.limit_series(df, int(n)),
+    "averageAbove": render.average_above,
+    "averageBelow": render.average_below,
+    "currentAbove": render.current_above,
+    "currentBelow": render.current_below,
+    "maximumAbove": render.maximum_above,
+    "minimumBelow": render.minimum_below,
+    "exclude": render.exclude,
+    "grep": render.grep,
+    "aliasByNode": lambda df, *nodes: render.alias_by_node(
+        df, *[int(x) for x in nodes]
+    ),
+    "aliasSub": render.alias_sub,
+    "alias": lambda df, name: df.select(
+        F.lit(name).alias("path"), "time", "value"
+    ),
+    "nPercentile": render.n_percentile,
+    "sortByName": render.sort_by_name,
+    "exponentialMovingAverage": render.exponential_moving_average,
+}
+
+_UNIT_S = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
+
+
+def _seconds(v) -> int:
+    """'1h'/'30min'/'10s'/number -> seconds (graphite interval syntax)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    m = re.fullmatch(r"(-?\d+)([a-z]+)?", v.strip())
+    if not m:
+        raise ValueError(f"bad interval {v!r}")
+    n, unit = int(m.group(1)), m.group(2) or "s"
+    if unit not in _UNIT_S:
+        raise ValueError(f"bad interval unit {unit!r}")
+    return n * _UNIT_S[unit]
+
+
+class GraphiteStore:
+    """Glob -> series resolution over the four-table contract."""
+
+    def __init__(self, index: DataFrame, points: DataFrame, rules=None):
+        self.index = index
+        self.points = points
+        self.rules = rules
+
+    def find(self, glob: str) -> list[tuple[str, bool]]:
+        """[(path, is_leaf)] — trailing-dot index rows are branches."""
+        rows = find_metrics(self.index, glob).collect()
+        out = []
+        for r in rows:
+            p = r["path"]
+            if p.endswith("."):
+                out.append((p[:-1], False))
+            else:
+                out.append((p, True))
+        return sorted(set(out))
+
+    def series(self, glob: str, t0: int, t1: int) -> DataFrame:
+        paths = [p for p, leaf in self.find(glob) if leaf]
+        return read_series(
+            self.points, paths, t0, t1, rules=self.rules
+        ).select("path", "time", "value")
+
+
+def evaluate_target(expr, store: GraphiteStore, t0: int, t1: int) -> DataFrame:
+    """Nested Call/glob -> DataFrame(path, time, value)."""
+    if isinstance(expr, str):
+        return store.series(expr, t0, t1)
+    if not isinstance(expr, Call):
+        raise ValueError(f"not a series expression: {expr!r}")
+    # two-series combiners dispatch on BOTH args
+    if expr.name in ("diffSeries", "divideSeries", "asPercent"):
+        a = evaluate_target(expr.args[0], store, t0, t1)
+        if len(expr.args) == 1 and expr.name == "asPercent":
+            return render.as_percent(a)
+        b = evaluate_target(expr.args[1], store, t0, t1)
+        if expr.name == "diffSeries":
+            return render.diff_series(a, b)
+        if expr.name == "divideSeries":
+            return render.divide_series(a, b)
+        total = b.groupBy("time").agg(F.sum("value").alias("value"))
+        return render.divide_series(a, total.select(F.lit("total").alias("path"), "time", "value")).select(
+            "path", "time", (F.col("value") * 100).alias("value")
+        )
+    fn = _FUNCS.get(expr.name)
+    if fn is None:
+        raise ValueError(f"unsupported function {expr.name!r}")
+    df = evaluate_target(expr.args[0], store, t0, t1)
+    return fn(df, *expr.args[1:])
+
+
+def _parse_time(v: str | None, default: int, now: int) -> int:
+    if not v:
+        return default
+    v = v.strip()
+    if re.fullmatch(r"-\d+[a-z]+", v):
+        return now + _seconds(v)
+    if v == "now":
+        return now
+    return int(v)
+
+
+class RenderApi:
+    """Threaded HTTP front serving the two graphite-web endpoints."""
+
+    def __init__(self, store: GraphiteStore, host: str = "127.0.0.1", port: int = 0):
+        self.store = store
+        self.host, self.port = host, port
+        self._httpd = None
+        self._thread = None
+
+    def start(self) -> "RenderApi":
+        import http.server
+        import urllib.parse
+
+        store = self.store
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+            def _json(self, obj, status=200):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                u = urllib.parse.urlsplit(self.path)
+                q = urllib.parse.parse_qs(u.query)
+                try:
+                    if u.path in ("/metrics/find", "/metrics/find/"):
+                        glob = q.get("query", ["*"])[0]
+                        out = [
+                            {
+                                "text": p.rsplit(".", 1)[-1],
+                                "id": p,
+                                "leaf": int(leaf),
+                                "expandable": int(not leaf),
+                                "allowChildren": int(not leaf),
+                            }
+                            for p, leaf in store.find(glob)
+                        ]
+                        self._json(out)
+                    elif u.path in ("/render", "/render/"):
+                        now = int(_time.time())
+                        t1 = _parse_time(q.get("until", [None])[0], now, now)
+                        t0 = _parse_time(
+                            q.get("from", [None])[0], t1 - 86400, now
+                        )
+                        series = []
+                        for target in q.get("target", []):
+                            df = evaluate_target(
+                                parse_target(target), store, t0, t1
+                            )
+                            rows = df.orderBy("path", "time").collect()
+                            by_path: dict[str, list] = {}
+                            for r in rows:
+                                by_path.setdefault(r["path"], []).append(
+                                    [r["value"], r["time"]]
+                                )
+                            for path, pts in by_path.items():
+                                series.append(
+                                    {"target": path, "datapoints": pts}
+                                )
+                        self._json(series)
+                    else:
+                        self._json({"error": "not found"}, status=404)
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, status=400)
+
+        class Server(http.server.ThreadingHTTPServer):
+            daemon_threads = True
+
+        self._httpd = Server((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()

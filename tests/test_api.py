@@ -1,0 +1,166 @@
+"""Graphite-web-compatible query facade tests: target-expression
+parser, store resolution, and the live /metrics/find + /render HTTP
+endpoints over a real four-table root."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from carbon_clickhouse_spark.query.api import (
+    Call,
+    GraphiteStore,
+    RenderApi,
+    evaluate_target,
+    parse_target,
+    _seconds,
+)
+
+
+def test_parse_target_grammar():
+    assert parse_target("my.metric.*") == "my.metric.*"
+    c = parse_target("scale(derivative(a.b.c), 10)")
+    assert c == Call("scale", [Call("derivative", ["a.b.c"]), 10])
+    c = parse_target("summarize(a.*, '1h', 'avg')")
+    assert c == Call("summarize", ["a.*", "1h", "avg"])
+    c = parse_target("aliasByNode(sumSeriesWithWildcards(dc.*.cpu, 1), 0)")
+    assert c == Call(
+        "aliasByNode", [Call("sumSeriesWithWildcards", ["dc.*.cpu", 1]), 0]
+    )
+    assert parse_target("scale(a, -0.5)") == Call("scale", ["a", -0.5])
+    with pytest.raises(ValueError):
+        parse_target("f(a,")
+    with pytest.raises(ValueError):
+        parse_target("")
+
+
+def test_seconds_intervals():
+    assert _seconds("1h") == 3600
+    assert _seconds("30min") == 1800
+    assert _seconds("-2d") == -172800
+    assert _seconds(90) == 90
+    with pytest.raises(ValueError):
+        _seconds("1fortnight")
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    import datetime as dt
+
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    base = 1_625_478_000
+    lines = []
+    for host in ("h1", "h2"):
+        for i in range(4):
+            lines.append(f"dc.{host}.cpu {i + (2 if host == 'h2' else 0)} {base + 60 * i}")
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    pts = parse_plain_lines(df, now=base)
+    t = derive_tables(pts, IngestConfig(now=base + 3600))
+    return GraphiteStore(t["index"].cache(), t["points"].cache())
+
+
+def test_store_find_and_series(store):
+    assert store.find("dc.*") == [("dc.h1", False), ("dc.h2", False)]
+    assert store.find("dc.*.cpu") == [("dc.h1.cpu", True), ("dc.h2.cpu", True)]
+    s = store.series("dc.*.cpu", 1_625_478_000, 1_625_479_000)
+    assert s.count() == 8
+
+
+def test_evaluate_nested(store):
+    t0, t1 = 1_625_478_000, 1_625_479_000
+    out = evaluate_target(
+        parse_target("sumSeries(dc.*.cpu)"), store, t0, t1
+    ).collect()
+    got = {r.time: r.value for r in out}
+    # h1: 0..3, h2: 2..5 -> sums 2, 4, 6, 8
+    assert got == {
+        1_625_478_000: 2.0, 1_625_478_060: 4.0,
+        1_625_478_120: 6.0, 1_625_478_180: 8.0,
+    }
+    top = evaluate_target(
+        parse_target("highestMax(dc.*.cpu, 1)"), store, t0, t1
+    ).collect()
+    assert {r.path for r in top} == {"dc.h2.cpu"}
+    scaled = evaluate_target(
+        parse_target("scale(derivative(dc.h1.cpu), 10)"), store, t0, t1
+    ).collect()
+    assert sorted(r.value for r in scaled if r.value is not None) == [10.0] * 3
+
+
+def test_http_endpoints(store):
+    api = RenderApi(store).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}{path}"
+            ) as resp:
+                return resp.status, json.loads(resp.read())
+
+        status, found = get("/metrics/find?query=dc.*.cpu")
+        assert status == 200
+        assert [(f["id"], f["leaf"]) for f in found] == [
+            ("dc.h1.cpu", 1), ("dc.h2.cpu", 1),
+        ]
+
+        status, series = get(
+            "/render?target=sumSeries(dc.*.cpu)"
+            "&from=1625478000&until=1625479000&format=json"
+        )
+        assert status == 200
+        assert len(series) == 1 and series[0]["target"] == "sumSeries"
+        assert [v for v, _ in series[0]["datapoints"]] == [2.0, 4.0, 6.0, 8.0]
+
+        # two targets in one request
+        status, series = get(
+            "/render?target=dc.h1.cpu&target=dc.h2.cpu"
+            "&from=1625478000&until=1625479000"
+        )
+        assert {s["target"] for s in series} == {"dc.h1.cpu", "dc.h2.cpu"}
+
+        # malformed target -> 400 with an error body, server survives
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}/render?target=bogusFn(a"
+            )
+        assert ei.value.code == 400
+        status, _ = get("/metrics/find?query=dc.*")
+        assert status == 200
+    finally:
+        api.stop()
+
+
+def test_serve_api_over_stored_root(spark, tmp_path):
+    """__main__.serve_api: the query facade over a freshly stored
+    four-table root answers find + render like graphite-web expects."""
+    import datetime as dt
+
+    from carbon_clickhouse_spark.__main__ import serve_api
+    from carbon_clickhouse_spark.pipeline import (
+        IngestConfig,
+        derive_tables,
+        write_tables,
+    )
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    base = 1_625_478_000
+    lines = [f"svc.a.req {i} {base + 60 * i}" for i in range(3)]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    root = str(tmp_path / "tables")
+    write_tables(
+        derive_tables(parse_plain_lines(df, now=base), IngestConfig()), root
+    )
+
+    api = serve_api(root, spark)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/render?target=svc.a.req"
+            f"&from={base - 1}&until={base + 600}"
+        ) as resp:
+            series = json.loads(resp.read())
+        assert series[0]["target"] == "svc.a.req"
+        assert [v for v, _ in series[0]["datapoints"]] == [0.0, 1.0, 2.0]
+    finally:
+        api.stop()
