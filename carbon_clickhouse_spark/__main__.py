@@ -198,7 +198,13 @@ def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
     points = spark.read.parquet(_os.path.join(root, "points"))
     if "month" in points.columns:
         points = points.drop("month")
-    return RenderApi(GraphiteStore(index, points), host=host, port=port).start()
+    tagged = None
+    tagged_path = _os.path.join(root, "tagged")
+    if _os.path.exists(tagged_path):
+        tagged = spark.read.parquet(tagged_path)
+    return RenderApi(
+        GraphiteStore(index, points, tagged=tagged), host=host, port=port
+    ).start()
 
 
 def _load_chunk(path: str) -> bytes:

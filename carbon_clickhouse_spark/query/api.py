@@ -195,10 +195,17 @@ def _seconds(v) -> int:
 class GraphiteStore:
     """Glob -> series resolution over the four-table contract."""
 
-    def __init__(self, index: DataFrame, points: DataFrame, rules=None):
+    def __init__(
+        self,
+        index: DataFrame,
+        points: DataFrame,
+        rules=None,
+        tagged: DataFrame | None = None,
+    ):
         self.index = index
         self.points = points
         self.rules = rules
+        self.tagged = tagged
 
     def find(self, glob: str) -> list[tuple[str, bool]]:
         """[(path, is_leaf)] — trailing-dot index rows are branches."""
@@ -218,6 +225,57 @@ class GraphiteStore:
             self.points, paths, t0, t1, rules=self.rules
         ).select("path", "time", "value")
 
+    def series_by_tag(self, terms: list[str], t0: int, t1: int) -> DataFrame:
+        """graphite-web ``seriesByTag('k=v', ...)``: resolve via the
+        Tag1 fanout table (first term is the indexed scan, the rest
+        post-filter the Tags array), then read the points."""
+        if self.tagged is None:
+            raise ValueError("store has no tagged table")
+        parsed = []
+        for t in terms:
+            if "=" not in t:
+                raise ValueError(f"bad seriesByTag term {t!r}")
+            k, v = t.split("=", 1)
+            parsed.append((k.strip(), v.strip()))
+        from .finder import find_tagged
+
+        k0, v0 = parsed[0]
+        paths_df = find_tagged(self.tagged, k0, v0, extra=parsed[1:])
+        paths = [r["path"] for r in paths_df.collect()]
+        return read_series(
+            self.points, paths, t0, t1, rules=self.rules
+        ).select("path", "time", "value")
+
+    def tag_names(self, prefix: str = "") -> list[str]:
+        """Distinct tag keys (autocomplete)."""
+        if self.tagged is None:
+            return []
+        keys = self.tagged.select(
+            F.split_part(F.col("tag1"), F.lit("="), F.lit(1)).alias("k")
+        ).distinct()
+        if prefix:
+            keys = keys.filter(F.col("k").startswith(prefix))
+        return sorted(r["k"] for r in keys.collect())
+
+    def tag_values(self, tag: str, prefix: str = "") -> list[str]:
+        """Distinct values of one tag key (autocomplete). The tag1
+        scan prefix-matches the CH ORDER BY key, same as
+        graphite-clickhouse."""
+        if self.tagged is None:
+            return []
+        vals = (
+            self.tagged.filter(F.col("tag1").startswith(tag + "="))
+            .select(
+                F.substring(
+                    F.col("tag1"), len(tag) + 2, 10_000
+                ).alias("v")
+            )
+            .distinct()
+        )
+        if prefix:
+            vals = vals.filter(F.col("v").startswith(prefix))
+        return sorted(r["v"] for r in vals.collect())
+
 
 def evaluate_target(expr, store: GraphiteStore, t0: int, t1: int) -> DataFrame:
     """Nested Call/glob -> DataFrame(path, time, value)."""
@@ -225,6 +283,8 @@ def evaluate_target(expr, store: GraphiteStore, t0: int, t1: int) -> DataFrame:
         return store.series(expr, t0, t1)
     if not isinstance(expr, Call):
         raise ValueError(f"not a series expression: {expr!r}")
+    if expr.name == "seriesByTag":
+        return store.series_by_tag([str(a) for a in expr.args], t0, t1)
     # two-series combiners dispatch on BOTH args
     if expr.name in ("diffSeries", "divideSeries", "asPercent"):
         a = evaluate_target(expr.args[0], store, t0, t1)
@@ -301,6 +361,17 @@ class RenderApi:
                             for p, leaf in store.find(glob)
                         ]
                         self._json(out)
+                    elif u.path == "/tags/autoComplete/tags":
+                        self._json(
+                            store.tag_names(q.get("tagPrefix", [""])[0])
+                        )
+                    elif u.path == "/tags/autoComplete/values":
+                        self._json(
+                            store.tag_values(
+                                q.get("tag", [""])[0],
+                                q.get("valuePrefix", [""])[0],
+                            )
+                        )
                     elif u.path in ("/render", "/render/"):
                         now = int(_time.time())
                         t1 = _parse_time(q.get("until", [None])[0], now, now)

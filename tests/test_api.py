@@ -164,3 +164,51 @@ def test_serve_api_over_stored_root(spark, tmp_path):
         assert [v for v, _ in series[0]["datapoints"]] == [0.0, 1.0, 2.0]
     finally:
         api.stop()
+
+
+@pytest.fixture(scope="module")
+def tagged_store(spark):
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    base = 1_625_478_000
+    lines = [
+        f"cpu.load;host=h{i};env={'prod' if i % 2 else 'dev'} {i} {base + 60 * i}"
+        for i in range(4)
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    pts = parse_plain_lines(df, now=base)
+    t = derive_tables(pts, IngestConfig(now=base + 3600))
+    from carbon_clickhouse_spark.query.api import GraphiteStore
+
+    return GraphiteStore(
+        t["index"].cache(), t["points"].cache(), tagged=t["tagged"].cache()
+    )
+
+
+def test_series_by_tag_and_autocomplete(tagged_store):
+    t0, t1 = 1_625_477_000, 1_625_479_000
+    out = evaluate_target(
+        parse_target("seriesByTag('env=prod', '__name__=cpu.load')"),
+        tagged_store, t0, t1,
+    ).collect()
+    assert sorted({r.path for r in out}) == [
+        "cpu.load?env=prod&host=h1",
+        "cpu.load?env=prod&host=h3",
+    ]
+    assert tagged_store.tag_names() == ["__name__", "env", "host"]
+    assert tagged_store.tag_values("env") == ["dev", "prod"]
+    assert tagged_store.tag_values("host", prefix="h1") == ["h1"]
+
+    api = RenderApi(tagged_store).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/tags/autoComplete/values?tag=env"
+        ) as resp:
+            assert json.loads(resp.read()) == ["dev", "prod"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/tags/autoComplete/tags?tagPrefix=ho"
+        ) as resp:
+            assert json.loads(resp.read()) == ["host"]
+    finally:
+        api.stop()
