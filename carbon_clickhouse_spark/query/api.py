@@ -226,22 +226,49 @@ class GraphiteStore:
         ).select("path", "time", "value")
 
     def series_by_tag(self, terms: list[str], t0: int, t1: int) -> DataFrame:
-        """graphite-web ``seriesByTag('k=v', ...)``: resolve via the
-        Tag1 fanout table (first term is the indexed scan, the rest
-        post-filter the Tags array), then read the points."""
+        """graphite-web ``seriesByTag('k=v', ...)`` with the full term
+        grammar (``=``, ``!=``, ``=~``, ``!=~``). The first equality
+        term drives the indexed tag1 scan (the CH ORDER BY key);
+        every other term post-filters the Tags array — the same
+        split graphite-clickhouse makes."""
         if self.tagged is None:
             raise ValueError("store has no tagged table")
-        parsed = []
+        parsed = []  # (key, op, value)
         for t in terms:
-            if "=" not in t:
+            m = re.fullmatch(r"\s*([^!=~]+?)\s*(!=~|=~|!=|=)\s*(.*)", t)
+            if not m:
                 raise ValueError(f"bad seriesByTag term {t!r}")
-            k, v = t.split("=", 1)
-            parsed.append((k.strip(), v.strip()))
-        from .finder import find_tagged
-
-        k0, v0 = parsed[0]
-        paths_df = find_tagged(self.tagged, k0, v0, extra=parsed[1:])
-        paths = [r["path"] for r in paths_df.collect()]
+            parsed.append((m.group(1), m.group(2), m.group(3)))
+        eq_idx = next((i for i, p in enumerate(parsed) if p[1] == "="), None)
+        if eq_idx is not None:
+            k0, _, v0 = parsed.pop(eq_idx)
+            df = self.tagged.filter(F.col("tag1") == f"{k0}={v0}")
+        else:
+            df = self.tagged
+        for k, op, v in parsed:
+            val = F.array_join(
+                F.filter(
+                    F.transform(
+                        F.col("tags"),
+                        lambda tg: F.when(
+                            tg.startswith(k + "="),
+                            F.substring(tg, len(k) + 2, 1 << 20),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                "",
+            )
+            if op == "=":
+                cond = val == v
+            elif op == "!=":
+                cond = val != v
+            elif op == "=~":
+                cond = val.rlike(v)
+            else:  # !=~
+                cond = ~val.rlike(v)
+            df = df.filter(cond)
+        paths = [r["path"] for r in df.select("path").distinct().collect()]
         return read_series(
             self.points, paths, t0, t1, rules=self.rules
         ).select("path", "time", "value")

@@ -196,6 +196,19 @@ def test_series_by_tag_and_autocomplete(tagged_store):
         "cpu.load?env=prod&host=h1",
         "cpu.load?env=prod&host=h3",
     ]
+    # full term grammar: != / =~ / !=~ post-filter the Tags array
+    neg = evaluate_target(
+        parse_target("seriesByTag('env=prod', 'host!=h1')"),
+        tagged_store, t0, t1,
+    ).collect()
+    assert {r.path for r in neg} == {"cpu.load?env=prod&host=h3"}
+    rex = evaluate_target(
+        parse_target("seriesByTag('host=~h[12]')"), tagged_store, t0, t1
+    ).collect()
+    assert sorted({r.path for r in rex}) == [
+        "cpu.load?env=dev&host=h2",
+        "cpu.load?env=prod&host=h1",
+    ]
     assert tagged_store.tag_names() == ["__name__", "env", "host"]
     assert tagged_store.tag_values("env") == ["dev", "prod"]
     assert tagged_store.tag_values("host", prefix="h1") == ["h1"]
