@@ -746,11 +746,13 @@ def _parse_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]] | None:
     has_vids = False
     frames: list[bytes] = []
 
-    def walk(pos: int, stop: int) -> None:
+    def walk(pos: int, stop: int, depth: int = 0) -> None:
         nonlocal width, height, has_vids
+        if depth > 16:
+            return  # crafted deep LIST nesting must not blow the stack
         for fourcc, body, size in _riff_chunks(payload, pos, stop):
             if fourcc == b"LIST":
-                walk(body + 4, body + size)  # skip the list subtype
+                walk(body + 4, body + size, depth + 1)  # skip the subtype
             elif fourcc == b"avih" and size >= 40:
                 width, height = struct.unpack_from("<II", payload, body + 32)
             elif fourcc == b"strh" and size >= 8:

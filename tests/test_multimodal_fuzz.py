@@ -362,3 +362,13 @@ def test_avi_frames_operator_and_video_features(spark):
     e12 = sum((2 + 37 * i + 22) % 256 for i in range(3)) / 3
     e20 = sum((5 + 37 * i) % 256 for i in range(6)) / 6
     assert means == sorted(round(v, 4) for v in (e10, e12, e20))
+
+
+def test_avi_deep_list_nesting_bounded():
+    """Crafted deeply-nested LIST chains must return None (depth cap),
+    never a RecursionError that would abort the Arrow batch."""
+    inner = b"JUNK"
+    for _ in range(5000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert _parse_avi_mjpeg(payload) is None
