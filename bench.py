@@ -214,7 +214,7 @@ def _stream_throughput(spark, sf_dir: str) -> int:
             # way it does under continuous arrival. Best of two
             # rounds, same as the query timings: a single round is at
             # the mercy of transient host noise.
-            waves, rounds = 2, 2
+            waves, rounds = 2, 3
             best_pps = 0.0
             for r in range(rounds):
                 for i in range(waves):
