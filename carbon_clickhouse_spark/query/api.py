@@ -231,6 +231,14 @@ class GraphiteStore:
         term drives the indexed tag1 scan (the CH ORDER BY key);
         every other term post-filters the Tags array — the same
         split graphite-clickhouse makes."""
+        paths = self.find_series(terms)
+        return read_series(
+            self.points, paths, t0, t1, rules=self.rules
+        ).select("path", "time", "value")
+
+    def find_series(self, terms: list[str]) -> list[str]:
+        """Resolve seriesByTag terms to the matching canonical paths
+        (the /tags/findSeries endpoint)."""
         if self.tagged is None:
             raise ValueError("store has no tagged table")
         parsed = []  # (key, op, value)
@@ -268,10 +276,9 @@ class GraphiteStore:
             else:  # !=~
                 cond = ~val.rlike(v)
             df = df.filter(cond)
-        paths = [r["path"] for r in df.select("path").distinct().collect()]
-        return read_series(
-            self.points, paths, t0, t1, rules=self.rules
-        ).select("path", "time", "value")
+        return sorted(
+            r["path"] for r in df.select("path").distinct().collect()
+        )
 
     def tag_names(self, prefix: str = "") -> list[str]:
         """Distinct tag keys (autocomplete)."""
@@ -388,6 +395,8 @@ class RenderApi:
                             for p, leaf in store.find(glob)
                         ]
                         self._json(out)
+                    elif u.path == "/tags/findSeries":
+                        self._json(store.find_series(q.get("expr", [])))
                     elif u.path == "/tags/autoComplete/tags":
                         self._json(
                             store.tag_names(q.get("tagPrefix", [""])[0])

@@ -225,3 +225,19 @@ def test_series_by_tag_and_autocomplete(tagged_store):
             assert json.loads(resp.read()) == ["host"]
     finally:
         api.stop()
+
+
+def test_find_series_endpoint(tagged_store):
+    assert tagged_store.find_series(["env=prod"]) == [
+        "cpu.load?env=prod&host=h1",
+        "cpu.load?env=prod&host=h3",
+    ]
+    api = RenderApi(tagged_store).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/tags/findSeries"
+            "?expr=env=prod&expr=host!=h3"
+        ) as resp:
+            assert json.loads(resp.read()) == ["cpu.load?env=prod&host=h1"]
+    finally:
+        api.stop()
