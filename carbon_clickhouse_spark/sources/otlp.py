@@ -45,7 +45,9 @@ def _any_value(payload: bytes) -> str:
             return str(p)
         if f == 4 and wt == 1:  # double_value
             v = struct.unpack("<d", p)[0]
-            return repr(v) if v != int(v) or math.isinf(v) else str(int(v))
+            if math.isinf(v) or math.isnan(v):
+                return repr(v)  # int(v) would raise on inf/nan
+            return repr(v) if v != int(v) else str(int(v))
     return ""
 
 
@@ -141,6 +143,8 @@ def _summary_point(payload: bytes):
 
 
 def _fmt_bound(b: float) -> str:
+    if math.isinf(b) or math.isnan(b):
+        return repr(b)  # adversarial inf/nan bound: int(b) would raise
     return repr(b) if b != int(b) else str(int(b))
 
 
