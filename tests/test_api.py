@@ -241,3 +241,85 @@ def test_find_series_endpoint(tagged_store):
             assert json.loads(resp.read()) == ["cpu.load?env=prod&host=h1"]
     finally:
         api.stop()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=st.text(max_size=80))
+def test_parse_target_fuzz_never_hangs_or_leaks(s):
+    """The /render target parser faces the network: arbitrary input
+    either parses or raises ValueError — no hangs, no other
+    exception types (IndexError/RecursionError would 500)."""
+    try:
+        parse_target(s)
+    except ValueError:
+        pass
+
+
+def test_full_stack_tcp_to_render(spark, tmp_path):
+    """Capstone switch-over e2e: a carbon client sends plain lines to
+    the LIVE TCP front; the micro-batch pipeline lands the four
+    tables; the graphite-web API answers /render for the series —
+    the reference's whole deployment (carbon-clickhouse + ClickHouse +
+    graphite-web) in one engine."""
+    import socket
+    import time as t_mod
+
+    from carbon_clickhouse_spark.__main__ import serve_api
+    from carbon_clickhouse_spark.pipeline import IngestConfig
+    from carbon_clickhouse_spark.streaming.ingest import (
+        StreamConfig,
+        file_landing_source,
+        start_plain_ingest,
+    )
+    from carbon_clickhouse_spark.streaming.receivers import PlainLineReceiver
+
+    land = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    rx = PlainLineReceiver(land, flush_interval=0.1).start()
+    q = start_plain_ingest(
+        spark,
+        file_landing_source(spark, land),
+        StreamConfig(
+            root=root,
+            chunk_interval="500 milliseconds",
+            ingest=IngestConfig(now=1_625_478_400, drop_future_seconds=3600),
+            audit_dropped=False,
+        ),
+    )
+    api = None
+    try:
+        with socket.create_connection(("127.0.0.1", rx.port)) as sock:
+            sock.sendall(
+                b"e2e.tcp.metric 1.5 1625478240\n"
+                b"e2e.tcp.metric 2.5 1625478300\n"
+            )
+        deadline = t_mod.time() + 60
+        while t_mod.time() < deadline:
+            q.processAllAvailable()
+            import os as os_mod
+
+            if os_mod.path.exists(f"{root}/points"):
+                try:
+                    if spark.read.parquet(f"{root}/points").count() >= 2:
+                        break
+                except Exception:
+                    pass
+            t_mod.sleep(0.25)
+        assert q.exception() is None
+
+        api = serve_api(root, spark)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/render?target=e2e.tcp.metric"
+            "&from=1625478000&until=1625479000"
+        ) as resp:
+            series = json.loads(resp.read())
+        assert series[0]["target"] == "e2e.tcp.metric"
+        assert [v for v, _ in series[0]["datapoints"]] == [1.5, 2.5]
+    finally:
+        rx.stop()
+        q.stop()
+        if api is not None:
+            api.stop()
