@@ -72,3 +72,50 @@ def pack_contiguous(
     out = df.withColumn("seq_id", F.floor(excl / budget))
     wseq = Window.partitionBy(shard_col, "seq_id").orderBy(order_col)
     return out.withColumn("seq_pos", F.row_number().over(wseq).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking for long-context training:
+    (doc_id, chunk_idx, chunk, n_tokens) with ``overlap`` tokens
+    shared between consecutive chunks.
+
+    Pure column expressions — split once, then slice the token array
+    per window (posexplode over a sequence of window starts): zero
+    UDFs, zero shuffles, scales with cores. Windows advance by
+    ``max_tokens - overlap``; the final window is the remainder (never
+    empty, never duplicated)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... while start + overlap < n
+    # (a start whose window would only repeat the previous overlap is
+    # dropped; single short doc -> one chunk)
+    n_windows = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_windows - 1), lambda i: i * step
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+        toks.alias("__toks"),
+    )
+    window = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk"),
+        F.least(F.lit(max_tokens), F.col("__n") - F.col("__start")).alias(
+            "n_tokens"
+        ),
+    )

@@ -529,3 +529,35 @@ def test_domain_filtering(spark):
     assert kept == {1, 3}
     kept2 = {r.doc_id for r in filter_blocked_domains(df, ["spam.example.org"], include_subdomains=False).collect()}
     assert kept2 == {1, 2, 3}
+
+
+def test_chunk_documents(spark):
+    from carbon_clickhouse_spark.datapipe.pack import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+            (2, "one two"),                                # short: 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.n_tokens))
+    # doc 1: starts 0,3,6 -> three windows of 4 with 1-token overlap
+    # cover all 10 tokens; no trailing window that would only repeat
+    # the previous overlap
+    chunks = [c for _, c, _ in sorted(by_doc[1])]
+    assert chunks == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert [n for _, _, n in sorted(by_doc[1])] == [4, 4, 4]
+    # consecutive chunks share exactly the overlap token
+    assert chunks[0].split()[-1] == chunks[1].split()[0]
+    assert by_doc[2] == [(0, "one two", 2)]
+    # zero-UDF: the plan has no Python stages
+    plan = chunk_documents(docs, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "EvalPython" not in plan
