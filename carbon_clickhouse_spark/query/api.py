@@ -415,10 +415,26 @@ class RenderApi:
                             q.get("from", [None])[0], t1 - 86400, now
                         )
                         series = []
+                        mdp = q.get("maxDataPoints", [None])[0]
                         for target in q.get("target", []):
                             df = evaluate_target(
                                 parse_target(target), store, t0, t1
                             )
+                            if mdp:
+                                # Grafana sends maxDataPoints on every
+                                # request: consolidate to fit, like
+                                # graphite-web's consolidateBy(avg)
+                                step = max(
+                                    1, (t1 - t0) // max(1, int(mdp))
+                                )
+                                if step > 1:
+                                    bucket = (
+                                        F.col("time")
+                                        - (F.col("time") % step)
+                                    ).alias("time")
+                                    df = df.groupBy("path", bucket).agg(
+                                        F.avg("value").alias("value")
+                                    )
                             rows = df.orderBy("path", "time").collect()
                             by_path: dict[str, list] = {}
                             for r in rows:

@@ -323,3 +323,18 @@ def test_full_stack_tcp_to_render(spark, tmp_path):
         q.stop()
         if api is not None:
             api.stop()
+
+
+def test_render_max_data_points(store):
+    api = RenderApi(store).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/render?target=dc.h1.cpu"
+            "&from=1625478000&until=1625478240&maxDataPoints=2"
+        ) as resp:
+            series = json.loads(resp.read())
+        # 4 minutely points consolidated into 2 buckets of avg
+        assert len(series[0]["datapoints"]) == 2
+        assert [v for v, _ in series[0]["datapoints"]] == [0.5, 2.5]
+    finally:
+        api.stop()
