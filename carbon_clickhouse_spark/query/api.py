@@ -378,9 +378,22 @@ class RenderApi:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_POST(self):  # noqa: N802
+                # graphite-web/Grafana POST form-encoded render args
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                u = urllib.parse.urlsplit(self.path)
+                q = urllib.parse.parse_qs(u.query)
+                for k, vs in urllib.parse.parse_qs(body).items():
+                    q.setdefault(k, []).extend(vs)
+                self._handle(u, q)
+
             def do_GET(self):  # noqa: N802
                 u = urllib.parse.urlsplit(self.path)
                 q = urllib.parse.parse_qs(u.query)
+                self._handle(u, q)
+
+            def _handle(self, u, q):
                 try:
                     if u.path in ("/metrics/find", "/metrics/find/"):
                         glob = q.get("query", ["*"])[0]
@@ -395,6 +408,15 @@ class RenderApi:
                             for p, leaf in store.find(glob)
                         ]
                         self._json(out)
+                    elif u.path in ("/metrics/expand", "/metrics/expand/"):
+                        results = sorted(
+                            {
+                                p
+                                for g in q.get("query", [])
+                                for p, _leaf in store.find(g)
+                            }
+                        )
+                        self._json({"results": results})
                     elif u.path == "/tags/findSeries":
                         self._json(store.find_series(q.get("expr", [])))
                     elif u.path == "/tags/autoComplete/tags":

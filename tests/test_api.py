@@ -338,3 +338,24 @@ def test_render_max_data_points(store):
         assert [v for v, _ in series[0]["datapoints"]] == [0.5, 2.5]
     finally:
         api.stop()
+
+
+def test_post_render_and_expand(store):
+    api = RenderApi(store).start()
+    try:
+        body = (
+            "target=sumSeries(dc.*.cpu)&from=1625478000&until=1625479000"
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{api.port}/render", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            series = json.loads(resp.read())
+        assert [v for v, _ in series[0]["datapoints"]] == [2.0, 4.0, 6.0, 8.0]
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/metrics/expand?query=dc.*"
+        ) as resp:
+            assert json.loads(resp.read()) == {"results": ["dc.h1", "dc.h2"]}
+    finally:
+        api.stop()
