@@ -51,13 +51,14 @@ def main() -> None:
     # warm the JVM/session (scan metadata, codegen) outside the clock
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
-    # best of 2 runs: the first pays one-time plan compilation + stage
-    # warmup, the second is the steady-state throughput that scales
+    # best of 3 runs: the first pays one-time plan compilation + stage
+    # warmup, the rest sample steady-state throughput — and the host
+    # shows multi-second noise spikes, so two steady samples beat one
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
