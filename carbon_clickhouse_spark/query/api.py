@@ -168,6 +168,7 @@ _FUNCS = {
         df, *[int(x) for x in nodes]
     ),
     "aliasSub": render.alias_sub,
+    "aliasByTags": lambda df, *tags: render.alias_by_tags(df, *tags),
     "alias": lambda df, name: df.select(
         F.lit(name).alias("path"), "time", "value"
     ),

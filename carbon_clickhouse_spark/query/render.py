@@ -683,3 +683,23 @@ def limit_series(series: DataFrame, n: int, func: str = "max") -> DataFrame:
     the top-n series ranked by a per-series statistic — distributed
     top-k + broadcast semi-join, same scale shape as ``highest``."""
     return highest(series, n, func)
+
+
+def alias_by_tags(series: DataFrame, *tags: str) -> DataFrame:
+    """Graphite ``aliasByTags``: rename each series to its tag values
+    (joined by '.'), reading tags from the canonical
+    ``name?k=v&...`` path. ``__name__`` selects the bare metric name.
+    Pure column expressions."""
+    import re
+
+    name = F.split_part(F.col("path"), F.lit("?"), F.lit(1))
+    qs = F.substring_index(F.col("path"), "?", -1)
+
+    def tag_value(t: str):
+        if t == "__name__":
+            return name
+        return F.regexp_extract(qs, rf"(?:^|&){re.escape(t)}=([^&]*)", 1)
+
+    parts = [tag_value(t) for t in tags]
+    label = F.concat_ws(".", *parts)
+    return series.select(label.alias("path"), "time", "value")

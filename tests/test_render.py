@@ -388,3 +388,19 @@ def test_integral_by_interval_and_limit(spark):
     assert kept == {"hi", "mid"}
     ordered = [r.path for r in sort_by_name(two).collect()]
     assert ordered == ["hi", "lo", "mid"]
+
+
+def test_alias_by_tags(spark):
+    from carbon_clickhouse_spark.query.render import alias_by_tags
+
+    s = _series(
+        spark,
+        [
+            ("cpu.load?env=prod&host=h1", 10, 1.0),
+            ("cpu.load?env=dev&host=h2", 10, 2.0),
+        ],
+    )
+    out = {r.path: r.value for r in alias_by_tags(s, "host", "env").collect()}
+    assert out == {"h1.prod": 1.0, "h2.dev": 2.0}
+    named = {r.path for r in alias_by_tags(s, "__name__", "host").collect()}
+    assert named == {"cpu.load.h1", "cpu.load.h2"}
