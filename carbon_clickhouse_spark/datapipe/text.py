@@ -250,7 +250,12 @@ def remove_duplicate_paragraphs(
     """Keep-first paragraph dedup applied: every non-survivor copy of
     a corpus-duplicated paragraph is dropped, documents are
     reassembled in paragraph order. Two shuffles total (hash groupBy +
-    doc reassembly); the join back is on the 32-byte hash."""
+    doc reassembly); the join back is on the 32-byte hash.
+
+    Every input doc_id stays in the output: a document whose every
+    paragraph was a non-survivor duplicate (or was empty to begin
+    with) comes back with ``text = ''`` rather than vanishing — the
+    corpus row set is preserved for downstream joins."""
     paras = split_paragraphs(df, text_col, id_col).withColumn(
         "para_hash", F.md5(F.col("paragraph"))
     )
@@ -266,7 +271,7 @@ def remove_duplicate_paragraphs(
     kept = paras.join(firsts, "para_hash").filter(
         (F.col("doc_id") == F.col("__fd")) & (F.col("para_idx") == F.col("__fi"))
     )
-    return (
+    rebuilt = (
         kept.groupBy("doc_id")
         .agg(
             F.array_join(
@@ -277,6 +282,10 @@ def remove_duplicate_paragraphs(
                 "\n\n",
             ).alias(text_col)
         )
+    )
+    all_ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
 
 

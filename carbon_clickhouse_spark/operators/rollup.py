@@ -119,7 +119,7 @@ def rollup(
     (the common query shape: render a range at one step). Output:
     ``(path, time, value)`` with ``time`` bucket-aligned.
 
-    ``exact_decimal`` accumulates sums in DECIMAL(18,6) and derives
+    ``exact_decimal`` accumulates sums in DECIMAL(32,6) and derives
     avg as exact-sum/count — order-independent and bit-identical
     across engines/partitionings (used by oracle-checked queries;
     the plain double path is marginally faster).
@@ -139,7 +139,7 @@ def rollup(
 
     value_in = F.col(value_col)
     if exact_decimal:
-        value_in = value_in.cast("decimal(18,6)")
+        value_in = value_in.cast("decimal(32,6)")
 
     aggregated = (
         points.select(

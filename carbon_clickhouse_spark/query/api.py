@@ -115,12 +115,14 @@ _FUNCS = {
     "nonNegativeDerivative": render.non_negative_derivative,
     "perSecond": render.per_second,
     "integral": render.integral,
-    "integralByInterval": render.integral_by_interval,
-    "movingAverage": render.moving_average,
-    "movingMedian": lambda df, p=5: render.moving(df, "median", int(p)),
-    "movingMin": lambda df, p=5: render.moving(df, "min", int(p)),
-    "movingMax": lambda df, p=5: render.moving(df, "max", int(p)),
-    "movingSum": lambda df, p=5: render.moving(df, "sum", int(p)),
+    "integralByInterval": lambda df, iv: render.integral_by_interval(
+        df, _seconds(iv)
+    ),
+    "movingAverage": lambda df, p=5: render.moving_average(df, **_movwin(p)),
+    "movingMedian": lambda df, p=5: render.moving(df, "median", **_movwin(p)),
+    "movingMin": lambda df, p=5: render.moving(df, "min", **_movwin(p)),
+    "movingMax": lambda df, p=5: render.moving(df, "max", **_movwin(p)),
+    "movingSum": lambda df, p=5: render.moving(df, "sum", **_movwin(p)),
     "stdev": render.stdev,
     "timeShift": lambda df, s: render.time_shift(df, _seconds(s)),
     "timeSlice": lambda df, a, b: render.time_slice(df, int(a), int(b)),
@@ -193,6 +195,14 @@ def _seconds(v) -> int:
     return n * _UNIT_S[unit]
 
 
+def _movwin(p) -> dict:
+    """Graphite moving* windowSize: a number = last-N-points frame, a
+    quoted interval string ('5min') = trailing time window."""
+    if isinstance(p, str) and not p.lstrip("-").isdigit():
+        return {"window_s": _seconds(p)}
+    return {"points": int(p)}
+
+
 class GraphiteStore:
     """Glob -> series resolution over the four-table contract."""
 
@@ -222,8 +232,10 @@ class GraphiteStore:
 
     def series(self, glob: str, t0: int, t1: int) -> DataFrame:
         paths = [p for p, leaf in self.find(glob) if leaf]
+        # graphite-web's 'until' is INCLUSIVE; read_series filters
+        # time < until, so widen by one second at the facade edge
         return read_series(
-            self.points, paths, t0, t1, rules=self.rules
+            self.points, paths, t0, t1 + 1, rules=self.rules
         ).select("path", "time", "value")
 
     def series_by_tag(self, terms: list[str], t0: int, t1: int) -> DataFrame:
@@ -234,7 +246,7 @@ class GraphiteStore:
         split graphite-clickhouse makes."""
         paths = self.find_series(terms)
         return read_series(
-            self.points, paths, t0, t1, rules=self.rules
+            self.points, paths, t0, t1 + 1, rules=self.rules
         ).select("path", "time", "value")
 
     def find_series(self, terms: list[str]) -> list[str]:

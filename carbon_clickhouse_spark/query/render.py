@@ -48,14 +48,21 @@ def per_second(series: DataFrame) -> DataFrame:
     return series.select("path", "time", rate.alias("value"))
 
 
-def moving_average(series: DataFrame, points: int = 5) -> DataFrame:
-    """Trailing moving average over the last ``points`` samples.
+def moving_average(
+    series: DataFrame, points: int = 5, window_s: int | None = None
+) -> DataFrame:
+    """Trailing moving average over the last ``points`` samples, or —
+    when ``window_s`` is given (Graphite's quoted-interval form,
+    ``movingAverage(s, '5min')``) — over the trailing time window.
 
     Sums in DECIMAL over the frame (exact, engine-independent) and
     divides by the frame row count.
     """
-    frame = _w().rowsBetween(-(points - 1), 0)
-    s = F.sum(F.col("value").cast("decimal(18,6)")).over(frame).cast("double")
+    if window_s is not None:
+        frame = _w().rangeBetween(-(window_s - 1), 0)
+    else:
+        frame = _w().rowsBetween(-(points - 1), 0)
+    s = F.sum(F.col("value").cast("decimal(32,6)")).over(frame).cast("double")
     n = F.count("value").over(frame)
     return series.select("path", "time", (s / n).alias("value"))
 
@@ -78,7 +85,7 @@ def integral(series: DataFrame) -> DataFrame:
     """Running total per series (Graphite ``integral``). Accumulates
     in DECIMAL so the running values are exact."""
     w = _w().rowsBetween(Window.unboundedPreceding, 0)
-    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    s = F.sum(F.col("value").cast("decimal(32,6)")).over(w).cast("double")
     return series.select("path", "time", s.alias("value"))
 
 
@@ -92,7 +99,7 @@ def group_by_node(
     Cross-series aggregation per timestamp; sums run in DECIMAL when
     ``exact`` (engine-stable)."""
     key = F.split(F.col("path"), r"\.").getItem(node).alias("path")
-    v = F.col("value").cast("decimal(18,6)") if exact else F.col("value")
+    v = F.col("value").cast("decimal(32,6)") if exact else F.col("value")
     grouped = series.select(key, "time", v.alias("v")).groupBy("path", "time")
     if func == "sum":
         out = grouped.agg(F.sum("v").alias("value"))
@@ -197,7 +204,7 @@ def as_percent(series: DataFrame) -> DataFrame:
     double op chain (decimal *division* scales differ across engines,
     so the division happens in IEEE doubles on both sides)."""
     tot = Window.partitionBy("time")
-    v = F.col("value").cast("decimal(18,6)")
+    v = F.col("value").cast("decimal(32,6)")
     total = F.sum(v).over(tot)
     pct = F.when(
         total != 0,
@@ -213,7 +220,7 @@ def highest(series: DataFrame, n: int, func: str = "max") -> DataFrame:
     partial-aggregating groupBy; the winner set is broadcast back —
     never a global sort of the points.
     """
-    v = F.col("value").cast("decimal(18,6)")
+    v = F.col("value").cast("decimal(32,6)")
     per_path = series.groupBy("path")
     if func == "max":
         stat = per_path.agg(F.max(v).alias("stat"))
@@ -240,7 +247,7 @@ def _per_series_stat(series: DataFrame, func: str) -> DataFrame:
     """(path, stat) for the series-selection family. Partial-
     aggregating groupBy — one narrow shuffle of per-path stats, never
     a sort of the points."""
-    v = F.col("value").cast("decimal(18,6)")
+    v = F.col("value").cast("decimal(32,6)")
     per_path = series.groupBy("path")
     if func == "max":
         return per_path.agg(F.max(v).cast("double").alias("stat"))
@@ -438,7 +445,7 @@ def combine_series(series: DataFrame, func: str = "sum") -> DataFrame:
     """Graphite ``sumSeries / averageSeries / maxSeries / minSeries``:
     collapse ALL input series into one series per timestamp, labeled
     ``<func>Series``. Exact-decimal sums; min/max are order-free."""
-    v = F.col("value").cast("decimal(18,6)")
+    v = F.col("value").cast("decimal(32,6)")
     g = series.groupBy("time")
     if func == "sum":
         out = g.agg(F.sum(v).cast("double").alias("value"))
@@ -612,11 +619,21 @@ def time_slice(series: DataFrame, start: int, end: int) -> DataFrame:
     return series.filter((F.col("time") >= start) & (F.col("time") <= end))
 
 
-def moving(series: DataFrame, func: str = "median", points: int = 5) -> DataFrame:
+def moving(
+    series: DataFrame,
+    func: str = "median",
+    points: int = 5,
+    window_s: int | None = None,
+) -> DataFrame:
     """Graphite ``movingMedian / movingMin / movingMax / movingSum``:
-    trailing window of the last ``points`` values per series.
-    ``movingAverage`` has its own entry point (kept for parity)."""
-    w = _w().rowsBetween(-(points - 1), 0)
+    trailing window of the last ``points`` values per series, or of
+    the trailing ``window_s`` seconds for the quoted-interval form
+    (``movingMedian(s, '5min')``). ``movingAverage`` has its own
+    entry point (kept for parity)."""
+    if window_s is not None:
+        w = _w().rangeBetween(-(window_s - 1), 0)
+    else:
+        w = _w().rowsBetween(-(points - 1), 0)
     if func == "median":
         v = F.expr("percentile(value, 0.5)").over(w)  # exact median
     elif func == "min":
@@ -640,7 +657,7 @@ def combine_with_wildcards(
     parts = F.split(F.col("path"), r"\.")
     kept = F.filter(parts, lambda _, i: ~i.isin(list(positions)))
     key = F.array_join(kept, ".")
-    v = F.col("value").cast("decimal(18,6)")
+    v = F.col("value").cast("decimal(32,6)")
     g = series.select(key.alias("path"), "time", F.col("value"), v.alias("dv")).groupBy(
         "path", "time"
     )

@@ -38,7 +38,7 @@ def _any_value(payload: bytes) -> str:
     """AnyValue -> label string (string/bool/int/double arms)."""
     for f, wt, p in _fields(payload):
         if f == 1:  # string_value
-            return p.decode("utf-8")
+            return p.decode("utf-8", errors="replace")
         if f == 2:  # bool_value
             return "true" if p else "false"
         if f == 3:  # int_value (varint)
@@ -56,7 +56,7 @@ def _attributes(payload: bytes) -> list[tuple[str, str]]:
     key, val = "", ""
     for f, _, p in _fields(payload):
         if f == 1:
-            key = p.decode("utf-8")
+            key = p.decode("utf-8", errors="replace")
         elif f == 2:
             val = _any_value(p)
     return [(key, val)]
@@ -65,16 +65,18 @@ def _attributes(payload: bytes) -> list[tuple[str, str]]:
 def _packed_fixed64(payload) -> list[int]:
     if isinstance(payload, int):  # unpacked single varint form
         return [payload]
+    # a truncated body may end mid-element; decode whole 8-byte chunks
+    # only instead of letting struct.error abort the micro-batch
     return [
         struct.unpack_from("<Q", payload, i)[0]
-        for i in range(0, len(payload), 8)
+        for i in range(0, len(payload) - 7, 8)
     ]
 
 
 def _packed_double(payload: bytes) -> list[float]:
     return [
         struct.unpack_from("<d", payload, i)[0]
-        for i in range(0, len(payload), 8)
+        for i in range(0, len(payload) - 7, 8)
     ]
 
 
@@ -182,7 +184,7 @@ def parse_export_metrics(body: bytes) -> list[tuple[list, list]]:
                 name = ""
                 for f3, wt3, p3 in _fields(metric):
                     if f3 == 1 and wt3 == 2:
-                        name = p3.decode("utf-8")
+                        name = p3.decode("utf-8", errors="replace")
                 for f3, wt3, p3 in _fields(metric):
                     if f3 in (5, 7) and wt3 == 2:  # Gauge / Sum
                         for f4, _, dp in _fields(p3):
@@ -240,7 +242,15 @@ def decode_otlp_requests(bodies: DataFrame, body_col: str = "body") -> DataFrame
         for pdf in batches:
             rows = []
             for body in pdf[body_col]:
-                for labels, samples in parse_export_metrics(bytes(body)):
+                # drop rows, not batches: a malformed body already
+                # landed on disk would otherwise crash-loop the
+                # streaming query through Spark's replay — one
+                # adversarial POST must never wedge the front
+                try:
+                    series = parse_export_metrics(bytes(body))
+                except Exception:
+                    continue
+                for labels, samples in series:
                     rows.append(
                         {
                             "labels": [

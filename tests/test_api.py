@@ -90,6 +90,56 @@ def test_evaluate_nested(store):
     assert sorted(r.value for r in scaled if r.value is not None) == [10.0] * 3
 
 
+def test_interval_string_args(store):
+    """Graphite's quoted-interval forms must evaluate, not 400:
+    integralByInterval(s, '1h'), movingAverage(s, '5min'),
+    movingMedian(s, '2min')."""
+    t0, t1 = 1_625_478_000, 1_625_479_000
+    out = evaluate_target(
+        parse_target("integralByInterval(dc.h1.cpu, '1h')"), store, t0, t1
+    ).collect()
+    got = {r.time: r.value for r in out}
+    # values 0,1,2,3 at 60s spacing, one 1h bucket -> running sum
+    assert got == {
+        1_625_478_000: 0.0, 1_625_478_060: 1.0,
+        1_625_478_120: 3.0, 1_625_478_180: 6.0,
+    }
+    # time-window moving average: '2min' covers current + previous
+    # point (60s spacing) -> averages (0), (0,1), (1,2), (2,3)
+    out = evaluate_target(
+        parse_target("movingAverage(dc.h1.cpu, '2min')"), store, t0, t1
+    ).collect()
+    assert {r.time: r.value for r in out} == {
+        1_625_478_000: 0.0, 1_625_478_060: 0.5,
+        1_625_478_120: 1.5, 1_625_478_180: 2.5,
+    }
+    # integer form still means last-N-points
+    out = evaluate_target(
+        parse_target("movingSum(dc.h1.cpu, 2)"), store, t0, t1
+    ).collect()
+    assert {r.time: r.value for r in out} == {
+        1_625_478_000: 0.0, 1_625_478_060: 1.0,
+        1_625_478_120: 3.0, 1_625_478_180: 5.0,
+    }
+    out = evaluate_target(
+        parse_target("movingMedian(dc.h1.cpu, '2min')"), store, t0, t1
+    ).collect()
+    assert {r.time: r.value for r in out} == {
+        1_625_478_000: 0.0, 1_625_478_060: 0.5,
+        1_625_478_120: 1.5, 1_625_478_180: 2.5,
+    }
+
+
+def test_until_inclusive(store):
+    """graphite-web treats 'until' as inclusive: a window ending
+    exactly on the last datapoint's timestamp must include it."""
+    s = store.series("dc.h1.cpu", 1_625_478_000, 1_625_478_180)
+    times = sorted(r.time for r in s.collect())
+    assert times == [
+        1_625_478_000, 1_625_478_060, 1_625_478_120, 1_625_478_180,
+    ]
+
+
 def test_http_endpoints(store):
     api = RenderApi(store).start()
     try:

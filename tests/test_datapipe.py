@@ -504,6 +504,30 @@ def test_paragraph_dedup_family(spark):
     assert rewritten[3] == "Totally distinct."
 
 
+def test_paragraph_dedup_preserves_row_set(spark):
+    """A doc made ENTIRELY of non-survivor duplicates (and an empty
+    doc) must come back with text='' — not vanish from the corpus."""
+    from carbon_clickhouse_spark.datapipe.text import (
+        remove_duplicate_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup one.\n\ndup two."),
+            (2, "dup one.\n\ndup two."),  # all paragraphs lose keep-first
+            (3, ""),  # empty input doc
+            (4, "   \n\n  "),  # whitespace-only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_duplicate_paragraphs(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == "dup one.\n\ndup two."
+    assert out[2] == ""
+    assert out[3] == ""
+    assert out[4] == ""
+
+
 def test_domain_filtering(spark):
     from carbon_clickhouse_spark.datapipe.text import (
         extract_domain,

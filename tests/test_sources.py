@@ -442,6 +442,50 @@ def test_otlp_decode_and_points(spark):
     assert pts["rt?host=h1&quantile=0.5"] == (1.25, 1_625_478_240)
 
 
+def test_otlp_malformed_bodies_drop_not_crash(spark):
+    """Adversarial OTLP bodies (truncated packed arrays, non-UTF8
+    strings, bogus wire types, random garbage) must drop the BODY,
+    never abort the Arrow batch — a landed bad body would otherwise
+    crash-loop the streaming query through Spark's replay."""
+    import struct as st
+
+    from carbon_clickhouse_spark.sources.otlp import (
+        otlp_to_points,
+        parse_export_metrics,
+    )
+
+    # truncated packed fixed64 (11 bytes: not a multiple of 8) inside a
+    # histogram — decodes the whole chunks, skips the tail
+    hist_dp = (
+        _pb_fixed64(3, 1_625_478_240_000 * 1_000_000)
+        + _pb_fixed64(4, 6)
+        + _pb_len(6, st.pack("<Q", 5) + b"\x01\x02\x03")
+        + _pb_len(7, st.pack("<d", 1.0)[:5])  # truncated packed double
+    )
+    trunc = _pb_len(
+        1,
+        _pb_len(2, _pb_len(2, _pb_len(1, b"m") + _pb_len(9, _pb_len(1, hist_dp)))),
+    )
+    series = parse_export_metrics(trunc)
+    names = [dict(l)["__name__"] for l, _ in series]
+    assert "m_count" in names  # survivors still emitted
+
+    # non-UTF8 metric name / label key: replaced, not raised
+    bad_utf8 = _pb_len(
+        1,
+        _pb_len(2, _pb_len(2, _pb_len(1, b"\xff\xfe") + _pb_len(5, _pb_len(
+            1, _pb_fixed64(3, 0) + _pb_double(4, 1.0))))),
+    )
+    assert parse_export_metrics(bad_utf8)
+
+    garbage = [b"\x03\x04not a proto", b"\xff" * 40, b""]
+    rows = [(trunc,), (bad_utf8,)] + [(g,) for g in garbage]
+    df = spark.createDataFrame(rows, "body binary")
+    # must complete without raising; the parseable bodies survive
+    out = otlp_to_points(df).collect()
+    assert len(out) >= 1
+
+
 def test_decoders_drop_int64_overflow_timestamps(spark):
     """One malformed timestamp (past int64) must drop its row, not
     abort the whole Arrow batch: telegraf JSON, pickle frame, and
