@@ -202,8 +202,14 @@ def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
     tagged_path = _os.path.join(root, "tagged")
     if _os.path.exists(tagged_path):
         tagged = spark.read.parquet(tagged_path)
+    dropped = None
+    dropped_path = _os.path.join(root, "dropped")
+    if _os.path.exists(dropped_path):
+        dropped = spark.read.parquet(dropped_path)
     return RenderApi(
-        GraphiteStore(index, points, tagged=tagged), host=host, port=port
+        GraphiteStore(index, points, tagged=tagged, dropped=dropped),
+        host=host,
+        port=port,
     ).start()
 
 
@@ -361,6 +367,28 @@ def main(argv=None) -> int:
     cfg = load_config(args.config)
     spark = get_spark(app_name="carbon-clickhouse-spark", master=args.master)
     receivers, queries = launch(cfg, spark, data_root=args.data_root)
+
+    # SIGHUP = cache reset, like the reference (carbon/app.go:366-377:
+    # HUP -> uploader Reset()). Bumps the shared epoch file consumed by
+    # any stateful exists-cache (streaming/exists_cache.py); the
+    # durable anti-join variant is storage-backed and self-heals, so
+    # this only needs to clear the in-stream state.
+    import signal
+
+    from .streaming.exists_cache import ExistsCacheControl
+
+    base = args.data_root or cfg.data_path
+    cache_ctl = ExistsCacheControl(os.path.join(base, "exists_cache.epoch"))
+
+    def _on_hup(signum, frame):
+        epoch = cache_ctl.reset()
+        print(f"HUP received: exists-cache reset (epoch {epoch})", flush=True)
+
+    try:
+        signal.signal(signal.SIGHUP, _on_hup)
+    except (ValueError, AttributeError, OSError):
+        pass  # non-main thread or platform without SIGHUP
+
     for rx in receivers:
         udp = getattr(rx, "udp_port", None)
         print(

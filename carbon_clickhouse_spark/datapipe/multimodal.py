@@ -451,6 +451,46 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, float] | None:
     return width, height, min(255.0, max(0.0, num / den))
 
 
+def _parse_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from ANY JPEG's frame header — including
+    progressive (SOF2) and the other non-baseline SOFn the full
+    decoder rejects. A plain marker walk to the first SOF segment; no
+    entropy decode, so it cannot produce a mean — callers surface
+    dimensions with a NULL mean for these (the boundary named in
+    round-4 review: a progressive scan should at least yield dims)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return None
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        # every SOFn frame header shares the precision/height/width
+        # layout; 0xC4=DHT, 0xC8=JPG, 0xCC=DAC are not frame headers
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if len(seg) < 5:
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            if width > 0 and height > 0:
+                return width, height
+            return None
+        if marker == 0xDA:
+            return None  # scan before any SOF: malformed
+    return None
+
+
 def _parse_jpeg_exact(
     payload: bytes,
 ) -> tuple[int, int, tuple[int, int]] | None:
@@ -1012,14 +1052,17 @@ def _parse_wav(payload: bytes) -> dict | None:
     }
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
+def decode_image(
+    payload: bytes, fake: bool = False
+) -> tuple[int, int, float | None]:
     """Decode one image payload -> (width, height, mean_byte).
 
-    netpbm (P5/P6), PNG, and BMP decode for real in pure Python.
-    Other formats need a codec library this container does not ship;
-    they raise unless ``fake=True`` selects the deterministic
-    byte-derived stand-in (pseudo-dimensions + hash-mean from payload
-    length)."""
+    netpbm (P5/P6), PNG, BMP, and baseline JPEG decode for real in
+    pure Python. A non-baseline JPEG (progressive etc.) returns real
+    dimensions with ``mean_byte=None``. Other formats need a codec
+    library this container does not ship; they raise unless
+    ``fake=True`` selects the deterministic byte-derived stand-in
+    (pseudo-dimensions + hash-mean from payload length)."""
     out = (
         _parse_netpbm(payload)
         or _parse_png(payload)
@@ -1028,6 +1071,12 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
     )
     if out is not None:
         return out
+    # non-baseline JPEG (progressive/lossless/arithmetic): the frame
+    # header still yields real dimensions — return them with a NULL
+    # mean instead of raising (entropy decode needs a codec library)
+    dims = _parse_jpeg_dims(payload)
+    if dims is not None:
+        return dims[0], dims[1], None
     if not fake:
         raise NotImplementedError(
             "only netpbm/PNG/BMP/baseline-JPEG decode in pure Python; "

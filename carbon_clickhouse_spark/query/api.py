@@ -195,6 +195,18 @@ def _seconds(v) -> int:
     return n * _UNIT_S[unit]
 
 
+def _go_float(v: float) -> str:
+    """Format a float the way Go's ``%#v`` prints float64 (the
+    reference's dropped-line value field): integral values without a
+    decimal point, others via repr (matches Go's shortest-round-trip
+    form for the exponent ranges that matter here)."""
+    import math
+
+    if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
 def _movwin(p) -> dict:
     """Graphite moving* windowSize: a number = last-N-points frame, a
     quoted interval string ('5min') = trailing time window."""
@@ -212,11 +224,37 @@ class GraphiteStore:
         points: DataFrame,
         rules=None,
         tagged: DataFrame | None = None,
+        dropped: DataFrame | None = None,
     ):
         self.index = index
         self.points = points
         self.rules = rules
         self.tagged = tagged
+        self.dropped = dropped
+
+    def dropped_lines(self, protocol: str, limit: int = 1000) -> list[str]:
+        """Last-``limit`` audited drops for one protocol front, in the
+        reference's DroppedHandler line shape (``receiver/base.go:88-
+        110``): ``rcv:<now>\\tname:<path>\\ttimestamp:<t>\\tvalue:<v>``,
+        sorted — its ring buffer (droppedListSize=1000) generalized to
+        the durable audit table. A table written before the protocol
+        column existed serves every front."""
+        if self.dropped is None:
+            return []
+        df = self.dropped
+        if "protocol" in df.columns:
+            df = df.filter(F.col("protocol") == protocol)
+        rows = (
+            df.select("path", "value", "time", "version")
+            .orderBy(F.col("version").desc(), F.col("time").desc())
+            .limit(limit)
+            .collect()
+        )
+        return sorted(
+            f"rcv:{r['version']}\tname:{r['path']}"
+            f"\ttimestamp:{r['time']}\tvalue:{_go_float(r['value'])}"
+            for r in rows
+        )
 
     def find(self, glob: str) -> list[tuple[str, bool]]:
         """[(path, is_leaf)] — trailing-dot index rows are branches."""
@@ -408,7 +446,23 @@ class RenderApi:
 
             def _handle(self, u, q):
                 try:
-                    if u.path in ("/metrics/find", "/metrics/find/"):
+                    m = re.fullmatch(
+                        r"/debug/receive/([A-Za-z0-9_+-]+)/dropped/?", u.path
+                    )
+                    if m:
+                        # reference introspection: text/plain, one
+                        # sorted line per recent drop
+                        body = (
+                            "\n".join(store.dropped_lines(m.group(1)))
+                        ).encode()
+                        if body:
+                            body += b"\n"
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    elif u.path in ("/metrics/find", "/metrics/find/"):
                         glob = q.get("query", ["*"])[0]
                         out = [
                             {

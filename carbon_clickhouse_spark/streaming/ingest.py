@@ -103,6 +103,10 @@ class StreamConfig:
     ingest: IngestConfig = field(default_factory=IngestConfig)
     tag_config: TagConfig | None = None
     audit_dropped: bool = True  # F5
+    # protocol label stamped onto audited drops, so the
+    # /debug/receive/<protocol>/dropped/ introspection endpoint can
+    # slice the shared audit table per front (carbon/app.go:265-353)
+    protocol: str = "tcp"
     exists_cache: bool = True  # A2
     collector: object | None = None  # S7: SelfMetricsCollector (optional)
     # Micro-batch parallelism follows the landing chunk-file count (one
@@ -160,7 +164,9 @@ def start_ingest(
         points = points.persist()
         try:
             if config.audit_dropped:
-                dropped = points.filter(~keep)
+                dropped = points.filter(~keep).withColumn(
+                    "protocol", F.lit(config.protocol)
+                )
                 dropped_path = os.path.join(config.root, "dropped")
                 with _table_lock(dropped_path):
                     dropped.write.mode("append").parquet(dropped_path)

@@ -5,6 +5,7 @@ endpoints over a real four-table root."""
 import json
 import urllib.error
 import urllib.request
+from datetime import date as dt_date
 
 import pytest
 
@@ -373,6 +374,47 @@ def test_full_stack_tcp_to_render(spark, tmp_path):
         q.stop()
         if api is not None:
             api.stop()
+
+
+def test_debug_dropped_endpoint(spark, store):
+    """/debug/receive/<proto>/dropped/ parity (carbon/app.go:265-353,
+    receiver/base.go:88-110): text/plain, sorted rcv/name/timestamp/
+    value lines from the audit table, sliced per protocol front."""
+    dropped = spark.createDataFrame(
+        [
+            ("way.too.future", 1.5, 9_999_999_999, dt_date(2021, 7, 5), 1_625_478_400, "tcp"),
+            ("ancient.metric", 2.0, 100, dt_date(1970, 1, 1), 1_625_478_401, "tcp"),
+            ("udp.drop", -0.25, 50, dt_date(1970, 1, 1), 1_625_478_402, "udp"),
+        ],
+        "path string, value double, time long, date date, version long, protocol string",
+    )
+    s = GraphiteStore(store.index, store.points, dropped=dropped)
+    assert s.dropped_lines("tcp") == [
+        "rcv:1625478400\tname:way.too.future\ttimestamp:9999999999\tvalue:1.5",
+        "rcv:1625478401\tname:ancient.metric\ttimestamp:100\tvalue:2",
+    ]
+    assert s.dropped_lines("udp") == [
+        "rcv:1625478402\tname:udp.drop\ttimestamp:50\tvalue:-0.25",
+    ]
+    assert s.dropped_lines("pickle") == []
+    # store without an audit table -> empty, not an error
+    assert store.dropped_lines("tcp") == []
+
+    api = RenderApi(s).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/debug/receive/tcp/dropped/"
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "text/plain"
+            body = resp.read().decode()
+        assert body.splitlines() == s.dropped_lines("tcp")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/debug/receive/grpc/dropped/"
+        ) as resp:
+            assert resp.read() == b""
+    finally:
+        api.stop()
 
 
 def test_render_max_data_points(store):

@@ -287,8 +287,33 @@ def test_jpeg_interleaved_three_component_scan():
 @settings(max_examples=300, deadline=None)
 @given(noise=st.binary(min_size=0, max_size=128))
 def test_jpeg_noise_never_claimed_or_crashes(noise):
+    from carbon_clickhouse_spark.datapipe.multimodal import _parse_jpeg_dims
+
     assert _parse_jpeg(noise) is None
     assert _parse_jpeg(b"\xff\xd8" + noise) in (None,)
+    # the dims-only walk must also never crash; a claim must carry
+    # positive dimensions
+    got = _parse_jpeg_dims(b"\xff\xd8" + noise)
+    assert got is None or (got[0] > 0 and got[1] > 0)
+
+
+def test_progressive_jpeg_yields_dims_null_mean():
+    """A progressive JPEG (SOF2) can't entropy-decode in pure Python,
+    but decode_image must surface its REAL dimensions with a None
+    mean instead of raising (round-4 boundary shrink)."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_dims,
+        decode_image,
+    )
+
+    base = encode_jpeg_gray_blocks([10, 20, 30])
+    sof_at = base.index(b"\xff\xc0")
+    prog = base[:sof_at] + b"\xff\xc2" + base[sof_at + 2 :]
+    assert _parse_jpeg(prog) is None  # full decoder still refuses
+    assert _parse_jpeg_dims(prog) == (8, 24)
+    assert decode_image(prog) == (8, 24, None)
+    # baseline path is unchanged
+    assert decode_image(base) == (8, 24, 20.0)
 
 
 # --- Video: MJPEG-in-AVI --------------------------------------------

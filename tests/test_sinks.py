@@ -104,6 +104,66 @@ def test_stateful_exists_cache(spark, tmp_path):
     assert got == {"2021-07-05:a.b", "2021-07-05:c.d", "2021-07-05:e.f"}
 
 
+def test_stateful_exists_cache_reset(spark, tmp_path):
+    """ExistsCacheControl.reset() (carbon/app.go:366-377's HUP Reset):
+    after a reset, already-seen keys are emitted again on the next
+    batch — series rows re-insert like the reference's cache clear."""
+    from pyspark.sql import functions as F
+
+    from carbon_clickhouse_spark.streaming import exists_cache as ec
+
+    src = tmp_path / "in"
+    src.mkdir()
+    epoch_file = str(tmp_path / "epoch")
+    ctl = ec.ExistsCacheControl(epoch_file)
+    (src / "b1.txt").write_text("k1\nk2\n")
+
+    stream = spark.readStream.text(str(src)).select(F.col("value").alias("key"))
+    out = ec.new_keys_stream(stream, ttl_seconds=3600, epoch_file=epoch_file)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reset_keys")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_count(n):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from reset_keys").collect()[0].c >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"never reached {n} rows")
+
+    try:
+        wait_count(2)
+        # repeat without reset: nothing new emitted. (No
+        # processAllAvailable here: ProcessingTimeTimeout keeps
+        # scheduling timeout batches, so it never returns on this
+        # query.) Wait until the b2 file is committed, then check.
+        (src / "b2.txt").write_text("k1\n")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp["batchId"] >= 2:
+                break
+            time.sleep(0.5)
+        assert spark.sql("select count(*) c from reset_keys").collect()[0].c == 2
+
+        assert ctl.reset() == 1
+        time.sleep(1.2)  # let executor-side epoch caches (TTL 1s) expire
+        (src / "b3.txt").write_text("k1\nk3\n")
+        wait_count(4)  # k1 re-emitted after reset + new k3
+        rows = spark.sql("select key from reset_keys").collect()
+    finally:
+        q.stop()
+    keys = [r.key for r in rows]
+    assert keys.count("k1") == 2  # once before reset, once after
+    assert "k3" in keys
+
+
 def _make_certs(d):
     """Self-signed CA + server (SAN localhost/127.0.0.1) + client."""
     import subprocess
