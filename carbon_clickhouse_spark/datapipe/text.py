@@ -7,7 +7,7 @@ array ops, fingerprints via built-in hashes. No Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: tiny per-language stopword anchors for the n-gram/stopword heuristic
 LANG_STOPWORDS = {
@@ -249,43 +249,45 @@ def remove_duplicate_paragraphs(
 ) -> DataFrame:
     """Keep-first paragraph dedup applied: every non-survivor copy of
     a corpus-duplicated paragraph is dropped, documents are
-    reassembled in paragraph order. Two shuffles total (hash groupBy +
-    doc reassembly); the join back is on the 32-byte hash.
+    reassembled in paragraph order. Exactly two shuffles and zero
+    joins: a row_number window keyed on the 32-byte md5 picks the
+    survivor copy (strictly cheaper than the groupBy-min + join-back
+    formulation — full paragraph text crosses the wire once, not
+    twice), then one groupBy(doc_id) reassembles.
 
-    Every input doc_id stays in the output: a document whose every
-    paragraph was a non-survivor duplicate (or was empty to begin
-    with) comes back with ``text = ''`` rather than vanishing — the
-    corpus row set is preserved for downstream joins."""
-    paras = split_paragraphs(df, text_col, id_col).withColumn(
-        "para_hash", F.md5(F.col("paragraph"))
-    )
-    firsts = (
-        paras.groupBy("para_hash")
-        .agg(F.min(F.struct("doc_id", "para_idx")).alias("__first"))
-        .select(
-            "para_hash",
-            F.col("__first.doc_id").alias("__fd"),
-            F.col("__first.para_idx").alias("__fi"),
+    Every input doc_id stays in the output: posexplode of a split
+    always yields >= 1 row per document, and the conditional
+    collect_list ignores non-survivor/empty paragraphs, so a document
+    whose every paragraph was a non-survivor duplicate (or was empty
+    to begin with) comes back with ``text = ''`` rather than
+    vanishing — the corpus row set is preserved for downstream
+    joins."""
+    split = F.split(F.col(text_col), r"\n\s*\n")
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(split).alias("para_idx", "paragraph"),
         )
+        .withColumn(
+            "paragraph", F.trim(F.regexp_replace("paragraph", r"\s+", " "))
+        )
+        .withColumn("para_hash", F.md5(F.col("paragraph")))
     )
-    kept = paras.join(firsts, "para_hash").filter(
-        (F.col("doc_id") == F.col("__fd")) & (F.col("para_idx") == F.col("__fi"))
-    )
-    rebuilt = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("para_idx", "paragraph"))),
-                    lambda s: s["paragraph"],
+    w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    ranked = paras.withColumn("__rk", F.row_number().over(w))
+    keep = (F.col("__rk") == 1) & (F.col("paragraph") != "")
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("para_idx", "paragraph"))
+                    )
                 ),
-                "\n\n",
-            ).alias(text_col)
-        )
-    )
-    all_ids = df.select(F.col(id_col).alias("doc_id")).distinct()
-    return all_ids.join(rebuilt, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+                lambda s: s["paragraph"],
+            ),
+            "\n\n",
+        ).alias(text_col)
     )
 
 
