@@ -177,7 +177,49 @@ _FUNCS = {
     "nPercentile": render.n_percentile,
     "sortByName": render.sort_by_name,
     "exponentialMovingAverage": render.exponential_moving_average,
+    "squareRoot": render.square_root,
+    "pow": render.pow_values,
+    "exp": render.exp_values,
+    "sigmoid": render.sigmoid,
+    "round": lambda df, p=0: render.round_values(df, int(p)),
+    "minMax": render.min_max,
+    "scaleToSeconds": lambda df, s: render.scale_to_seconds(df, int(s)),
+    "hitcount": lambda df, iv: render.hitcount(df, _seconds(iv)),
+    "lowestAverage": lambda df, n=1: render.lowest(df, int(n), "avg"),
+    "lowestCurrent": lambda df, n=1: render.lowest(df, int(n), "current"),
+    "lowestMax": lambda df, n=1: render.lowest(df, int(n), "max"),
+    "maximumBelow": render.maximum_below,
+    "minimumAbove": render.minimum_above,
+    "sortByTotal": lambda df: render.sort_by_stat(df, "total", True),
+    "sortByMaxima": lambda df: render.sort_by_stat(df, "max", True),
+    "sortByMinima": lambda df: render.sort_by_stat(df, "min", False),
+    "removeAbovePercentile": render.remove_above_percentile,
+    "removeBelowPercentile": render.remove_below_percentile,
+    "percentileOfSeries": render.percentile_of_series,
+    "stddevSeries": render.stddev_series,
+    "substr": lambda df, a=0, b=0: render.substr_path(df, int(a), int(b)),
+    "aliasByMetric": render.alias_by_metric,
+    "unique": render.unique,
+    "interpolate": lambda df, limit=None: render.interpolate(
+        df, None if limit is None else int(limit)
+    ),
+    "aggregate": render.aggregate_series,
+    "groupByNodes": lambda df, fn, *nodes: render.group_by_nodes(
+        df, fn, *[int(n) for n in nodes]
+    ),
+    "groupByTags": lambda df, fn, *tags: render.group_by_tags(df, fn, *tags),
+    "holtWintersForecast": lambda df: render.holt_forecast(df).select(
+        "path", "time", F.col("forecast").alias("value")
+    ),
 }
+
+# presentation-only functions graphite-web accepts that do not change
+# the data: accepted as identity so dashboards round-trip unchanged
+for _name in (
+    "color", "lineWidth", "dashed", "secondYAxis", "stacked",
+    "legendValue", "drawAsInfinite", "areaBetween",
+):
+    _FUNCS.setdefault(_name, lambda df, *a: df)
 
 _UNIT_S = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
 
@@ -362,20 +404,63 @@ class GraphiteStore:
         return sorted(r["v"] for r in vals.collect())
 
 
-def evaluate_target(expr, store: GraphiteStore, t0: int, t1: int) -> DataFrame:
-    """Nested Call/glob -> DataFrame(path, time, value)."""
+def evaluate_target(
+    expr, store: GraphiteStore, t0: int, t1: int, ctx: dict | None = None
+) -> DataFrame:
+    """Nested Call/glob -> DataFrame(path, time, value). ``ctx``
+    accumulates request-level hints (consolidateBy) the /render
+    handler applies after evaluation."""
     if isinstance(expr, str):
         return store.series(expr, t0, t1)
     if not isinstance(expr, Call):
         raise ValueError(f"not a series expression: {expr!r}")
     if expr.name == "seriesByTag":
         return store.series_by_tag([str(a) for a in expr.args], t0, t1)
+    if expr.name == "consolidateBy":
+        # data passes through; the hint drives maxDataPoints
+        if ctx is not None and len(expr.args) > 1:
+            ctx["consolidate"] = str(expr.args[1])
+        return evaluate_target(expr.args[0], store, t0, t1, ctx)
+    if expr.name in ("constantLine", "threshold"):
+        # generator: a flat series over the request window (graphite
+        # emits start/mid/end points)
+        value = float(expr.args[0])
+        label = (
+            str(expr.args[1])
+            if expr.name == "threshold" and len(expr.args) > 1
+            else str(expr.args[0])
+        )
+        spark = store.points.sparkSession
+        return spark.createDataFrame(
+            [(label, t, value) for t in (t0, (t0 + t1) // 2, t1)],
+            "path string, time long, value double",
+        )
+    if expr.name in ("time", "timeFunction"):
+        # generator: value == timestamp on the given step grid
+        label = str(expr.args[0]) if expr.args else "time"
+        step = int(expr.args[1]) if len(expr.args) > 1 else 60
+        spark = store.points.sparkSession
+        return spark.range(t0, t1 + 1, step).select(
+            F.lit(label).alias("path"),
+            F.col("id").alias("time"),
+            F.col("id").cast("double").alias("value"),
+        )
+    if expr.name == "smartSummarize":
+        inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        iv = _seconds(expr.args[1])
+        fn = str(expr.args[2]) if len(expr.args) > 2 else "sum"
+        return render.smart_summarize(inner, iv, fn, origin=t0)
+    if expr.name == "fallbackSeries":
+        a = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        if a.take(1):
+            return a
+        return evaluate_target(expr.args[1], store, t0, t1, ctx)
     # two-series combiners dispatch on BOTH args
     if expr.name in ("diffSeries", "divideSeries", "asPercent"):
-        a = evaluate_target(expr.args[0], store, t0, t1)
+        a = evaluate_target(expr.args[0], store, t0, t1, ctx)
         if len(expr.args) == 1 and expr.name == "asPercent":
             return render.as_percent(a)
-        b = evaluate_target(expr.args[1], store, t0, t1)
+        b = evaluate_target(expr.args[1], store, t0, t1, ctx)
         if expr.name == "diffSeries":
             return render.diff_series(a, b)
         if expr.name == "divideSeries":
@@ -387,7 +472,7 @@ def evaluate_target(expr, store: GraphiteStore, t0: int, t1: int) -> DataFrame:
     fn = _FUNCS.get(expr.name)
     if fn is None:
         raise ValueError(f"unsupported function {expr.name!r}")
-    df = evaluate_target(expr.args[0], store, t0, t1)
+    df = evaluate_target(expr.args[0], store, t0, t1, ctx)
     return fn(df, *expr.args[1:])
 
 
@@ -506,23 +591,45 @@ class RenderApi:
                         series = []
                         mdp = q.get("maxDataPoints", [None])[0]
                         for target in q.get("target", []):
+                            ctx: dict = {}
                             df = evaluate_target(
-                                parse_target(target), store, t0, t1
+                                parse_target(target), store, t0, t1, ctx
                             )
                             if mdp:
                                 # Grafana sends maxDataPoints on every
-                                # request: consolidate to fit, like
-                                # graphite-web's consolidateBy(avg)
+                                # request: consolidate to fit, honoring
+                                # consolidateBy (default avg, like
+                                # graphite-web)
                                 step = max(
                                     1, (t1 - t0) // max(1, int(mdp))
                                 )
                                 if step > 1:
-                                    bucket = (
-                                        F.col("time")
-                                        - (F.col("time") % step)
-                                    ).alias("time")
-                                    df = df.groupBy("path", bucket).agg(
-                                        F.avg("value").alias("value")
+                                    cons = {
+                                        "sum": F.sum,
+                                        "min": F.min,
+                                        "max": F.max,
+                                        "first": lambda c: F.min_by(
+                                            c, F.col("__t")
+                                        ),
+                                        "last": lambda c: F.max_by(
+                                            c, F.col("__t")
+                                        ),
+                                    }.get(
+                                        ctx.get("consolidate", "average"),
+                                        F.avg,
+                                    )
+                                    df = (
+                                        df.select(
+                                            "path",
+                                            F.col("time").alias("__t"),
+                                            (
+                                                F.col("time")
+                                                - (F.col("time") % step)
+                                            ).alias("time"),
+                                            "value",
+                                        )
+                                        .groupBy("path", "time")
+                                        .agg(cons("value").alias("value"))
                                     )
                             rows = df.orderBy("path", "time").collect()
                             by_path: dict[str, list] = {}

@@ -261,6 +261,8 @@ def _per_series_stat(series: DataFrame, func: str) -> DataFrame:
         return per_path.agg(
             F.max_by(v, F.col("time")).cast("double").alias("stat")
         )
+    if func in ("sum", "total"):
+        return per_path.agg(F.sum(v).cast("double").alias("stat"))
     raise ValueError(f"unsupported func {func}")
 
 
@@ -700,6 +702,331 @@ def limit_series(series: DataFrame, n: int, func: str = "max") -> DataFrame:
     the top-n series ranked by a per-series statistic — distributed
     top-k + broadcast semi-join, same scale shape as ``highest``."""
     return highest(series, n, func)
+
+
+def square_root(series: DataFrame) -> DataFrame:
+    """Graphite ``squareRoot``: sqrt(value); negative -> NULL (gap)."""
+    v = F.when(F.col("value") >= 0, F.sqrt("value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def pow_values(series: DataFrame, factor: float) -> DataFrame:
+    """Graphite ``pow(series, factor)``: value ** factor. Non-integer
+    exponents of negative values -> NULL (IEEE NaN mapped to a gap,
+    what graphite-web draws)."""
+    p = F.pow("value", F.lit(float(factor)))
+    return series.select(
+        "path", "time", F.when(~F.isnan(p), p).alias("value")
+    )
+
+
+def exp_values(series: DataFrame) -> DataFrame:
+    """Graphite ``exp``: e ** value."""
+    return series.select("path", "time", F.exp("value").alias("value"))
+
+
+def sigmoid(series: DataFrame) -> DataFrame:
+    """Graphite ``sigmoid``: 1 / (1 + exp(-value))."""
+    v = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value")))
+    return series.select("path", "time", v.alias("value"))
+
+
+def round_values(series: DataFrame, precision: int = 0) -> DataFrame:
+    """Graphite ``round(series, precision)``: half-up rounding to
+    ``precision`` decimal places (negative = tens, hundreds...)."""
+    return series.select(
+        "path", "time", F.round("value", int(precision)).alias("value")
+    )
+
+
+def min_max(series: DataFrame) -> DataFrame:
+    """Graphite ``minMax``: normalize each series to [0, 1] by its own
+    min/max over the window; a flat series maps to 0 (graphite's
+    safeDiv on a zero range). One per-path window, no extra shuffle."""
+    wp = Window.partitionBy("path")
+    lo = F.min("value").over(wp)
+    rng = F.max("value").over(wp) - lo
+    v = F.when(rng != 0, (F.col("value") - lo) / rng).otherwise(
+        F.when(F.col("value").isNotNull(), F.lit(0.0))
+    )
+    return series.select("path", "time", v.alias("value"))
+
+
+def _step(series_cols=None):
+    """Per-point sampling step: time since the previous point of the
+    same series; the first point borrows the step that follows it
+    (graphite-web reads a fixed series.step from whisper metadata —
+    parquet series carry no step, so it is derived per point)."""
+    back = F.col("time") - F.lag("time").over(_w())
+    fwd = F.lead("time").over(_w()) - F.col("time")
+    return F.coalesce(back, fwd)
+
+
+def scale_to_seconds(series: DataFrame, seconds: int) -> DataFrame:
+    """Graphite ``scaleToSeconds(series, N)``: value * N / step —
+    re-expresses a per-interval count as a per-N-seconds rate."""
+    v = F.col("value") * F.lit(int(seconds)) / _step()
+    return series.select("path", "time", v.alias("value"))
+
+
+def hitcount(series: DataFrame, interval_s: int) -> DataFrame:
+    """Graphite ``hitcount(series, interval)``: sum of value * step
+    per interval bucket — turns a rate back into a count of events per
+    bucket (graphite-web's docs call this the function that is
+    'unaffected by consolidation')."""
+    contrib = F.col("value") * _step()
+    bucket = (F.col("time") - (F.col("time") % F.lit(interval_s))).alias("time")
+    return (
+        series.select("path", bucket, contrib.alias("c"))
+        .groupBy("path", "time")
+        .agg(F.sum("c").alias("value"))
+    )
+
+
+def smart_summarize(
+    series: DataFrame, interval_s: int, func: str = "sum", origin: int = 0
+) -> DataFrame:
+    """Graphite ``smartSummarize``: like :func:`summarize` but buckets
+    are aligned to the request's ``from`` time (``origin``) instead of
+    the epoch grid."""
+    shifted = series.select(
+        "path", (F.col("time") - F.lit(origin)).alias("time"), "value"
+    )
+    out = summarize(shifted, interval_s, func)
+    return out.select(
+        "path", (F.col("time") + F.lit(origin)).alias("time"), "value"
+    )
+
+
+def lowest(series: DataFrame, n: int, func: str = "avg") -> DataFrame:
+    """Graphite ``lowestAverage / lowestCurrent / lowestMax``: keep the
+    full series of the bottom ``n`` paths ranked by ``func``. Same
+    distributed top-k + broadcast semi-join shape as :func:`highest`;
+    ``min`` ranks by the per-series minimum (lowestMin analog)."""
+    stat = _per_series_stat(series, func)
+    top = stat.orderBy(F.asc("stat"), F.asc("path")).limit(n).select("path")
+    return series.join(F.broadcast(top), "path", "left_semi")
+
+
+def maximum_below(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "max", "<", n)
+
+
+def minimum_above(series: DataFrame, n: float) -> DataFrame:
+    return filter_series(series, "min", ">", n)
+
+
+def sort_by_stat(
+    series: DataFrame, func: str = "total", descending: bool = True
+) -> DataFrame:
+    """Graphite ``sortByTotal / sortByMaxima / sortByMinima``:
+    presentation ordering of whole series by a per-series statistic.
+    The stat table is series-cardinality — broadcast back, then one
+    output sort."""
+    stat = _per_series_stat(series, func)
+    joined = series.join(F.broadcast(stat), "path")
+    key = F.col("stat").desc() if descending else F.col("stat").asc()
+    return joined.orderBy(key, F.col("path"), F.col("time")).select(
+        "path", "time", "value"
+    )
+
+
+def remove_above_percentile(series: DataFrame, n: float) -> DataFrame:
+    """Graphite ``removeAbovePercentile``: per-series interpolated
+    n-th percentile; points above it -> NULL."""
+    w = Window.partitionBy("path")
+    pv = F.expr(f"percentile(value, {float(n) / 100.0})").over(w)
+    v = F.when(F.col("value") <= pv, F.col("value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def remove_below_percentile(series: DataFrame, n: float) -> DataFrame:
+    w = Window.partitionBy("path")
+    pv = F.expr(f"percentile(value, {float(n) / 100.0})").over(w)
+    v = F.when(F.col("value") >= pv, F.col("value"))
+    return series.select("path", "time", v.alias("value"))
+
+
+def percentile_of_series(series: DataFrame, n: float) -> DataFrame:
+    """Graphite ``percentileOfSeries``: the n-th percentile ACROSS
+    series per timestamp, as one output series."""
+    return (
+        series.groupBy("time")
+        .agg(
+            F.expr(f"percentile(value, {float(n) / 100.0})").alias("value")
+        )
+        .select(F.lit("percentileOfSeries").alias("path"), "time", "value")
+    )
+
+
+def stddev_series(series: DataFrame) -> DataFrame:
+    """Graphite ``stddevSeries``: population stddev across series per
+    timestamp."""
+    return (
+        series.groupBy("time")
+        .agg(F.stddev_pop("value").alias("value"))
+        .select(F.lit("stddevSeries").alias("path"), "time", "value")
+    )
+
+
+def substr_path(series: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:
+    """Graphite ``substr(series, start, stop)``: rename each series to
+    the dot-segment slice [start, stop) of its path (stop=0 = to the
+    end), graphite's 0-based node addressing."""
+    start, stop = int(start), int(stop)
+    segs = F.split(F.col("path"), r"\.")
+    n = F.size(segs)
+    lo = (n + F.lit(start)) if start < 0 else F.lit(start)
+    if stop == 0:
+        hi = n
+    elif stop < 0:
+        hi = n + F.lit(stop)
+    else:
+        hi = F.lit(stop)
+    sliced = F.slice(segs, lo + 1, F.greatest(hi - lo, F.lit(0)))
+    return series.select(
+        F.array_join(sliced, ".").alias("path"), "time", "value"
+    )
+
+
+def alias_by_metric(series: DataFrame) -> DataFrame:
+    """Graphite ``aliasByMetric``: rename to the last dot-segment."""
+    seg = F.element_at(F.split(F.col("path"), r"\."), -1)
+    return series.select(seg.alias("path"), "time", "value")
+
+
+def unique(series: DataFrame) -> DataFrame:
+    """Graphite ``unique``: drop duplicate series — here duplicate
+    (path, time) rows after target unions; first value wins (rows are
+    deterministic per series, so any-win is stable)."""
+    return series.dropDuplicates(["path", "time"])
+
+
+def interpolate(series: DataFrame, limit: int | None = None) -> DataFrame:
+    """Graphite ``interpolate(series[, limit])``: linearly fill NULL
+    gaps between two known points; gaps longer than ``limit`` points
+    stay NULL, and leading/trailing NULLs are never filled.
+
+    Window-only (no UDF): carry the previous known (value, time) with
+    ``last(ignorenulls)`` over the preceding frame, the next known
+    pair with ``first(ignorenulls)`` over the following frame, then
+    one arithmetic fill per row."""
+    w_prev = _w().rowsBetween(Window.unboundedPreceding, -1)
+    w_next = _w().rowsBetween(1, Window.unboundedFollowing)
+    known_t = F.when(F.col("value").isNotNull(), F.col("time"))
+    pv = F.last("value", ignorenulls=True).over(w_prev)
+    pt = F.last(known_t, ignorenulls=True).over(w_prev)
+    nv = F.first("value", ignorenulls=True).over(w_next)
+    nt = F.first(known_t, ignorenulls=True).over(w_next)
+    fill = pv + (nv - pv) * (F.col("time") - pt) / (nt - pt)
+    if limit is not None:
+        # gap length = rows strictly between the bracketing known
+        # points; same run-id trick as keep_last_value
+        wrun = _w().rowsBetween(Window.unboundedPreceding, 0)
+        run_id = F.count("value").over(wrun)
+        s = series.withColumn("_run", run_id)
+        gap_len = F.count("*").over(
+            Window.partitionBy("path", "_run")
+        ) - 1
+        v = F.when(F.col("value").isNotNull(), F.col("value")).when(
+            pv.isNotNull() & nv.isNotNull() & (gap_len <= limit), fill
+        )
+        return s.select("path", "time", v.alias("value"))
+    v = F.when(F.col("value").isNotNull(), F.col("value")).when(
+        pv.isNotNull() & nv.isNotNull(), fill
+    )
+    return series.select("path", "time", v.alias("value"))
+
+
+#: graphite aggregate() vocabulary -> combine implementation
+_AGG_FUNCS = ("sum", "avg", "max", "min", "median", "count", "range",
+              "stddev", "multiply", "last")
+
+
+def aggregate_series(series: DataFrame, func: str = "sum") -> DataFrame:
+    """Graphite ``aggregate(seriesList, 'func')`` — the modern generic
+    form of the *Series combiners. Extends :func:`combine_series` with
+    median / count / range / stddev / multiply / last (elementwise
+    across series per timestamp; 'last' = the value of the
+    lexically-last series present, deterministic)."""
+    name = {"average": "avg", "total": "sum", "rangeOf": "range",
+            "prod": "multiply"}.get(func, func)
+    if name in ("sum", "avg", "max", "min"):
+        out = combine_series(series, name)
+        return out.select(
+            F.lit(f"{func}Series").alias("path"), "time", "value"
+        )
+    g = series.groupBy("time")
+    if name == "median":
+        out = g.agg(F.expr("percentile(value, 0.5)").alias("value"))
+    elif name == "count":
+        out = g.agg(F.count("value").cast("double").alias("value"))
+    elif name == "range":
+        out = g.agg((F.max("value") - F.min("value")).alias("value"))
+    elif name == "stddev":
+        out = g.agg(F.stddev_pop("value").alias("value"))
+    elif name == "multiply":
+        out = g.agg(F.product("value").alias("value"))
+    elif name == "last":
+        out = g.agg(F.max_by("value", "path").alias("value"))
+    else:
+        raise ValueError(f"unsupported aggregate func {func!r}")
+    return out.select(F.lit(f"{func}Series").alias("path"), "time", "value")
+
+
+def group_by_nodes(
+    series: DataFrame, func: str = "avg", *nodes: int
+) -> DataFrame:
+    """Graphite ``groupByNodes(seriesList, func, *nodes)``: aggregate
+    series sharing the selected dot-segments (multi-node
+    generalization of :func:`group_by_node`); same single-shuffle
+    partial-aggregating groupBy."""
+    segs = F.split(F.col("path"), r"\.")
+    key = F.concat_ws(".", *[segs.getItem(int(n)) for n in nodes])
+    return _group_agg(series, key, func)
+
+
+def group_by_tags(series: DataFrame, func: str = "avg", *tags: str) -> DataFrame:
+    """Graphite ``groupByTags(seriesList, func, *tags)``: aggregate
+    series sharing the selected tag values, read from the canonical
+    ``name?k=v&...`` path (``name`` selects the bare metric name)."""
+    import re as _re
+
+    name = F.split_part(F.col("path"), F.lit("?"), F.lit(1))
+    qs = F.substring_index(F.col("path"), "?", -1)
+    parts = [
+        name if t in ("name", "__name__")
+        else F.regexp_extract(qs, rf"(?:^|&){_re.escape(t)}=([^&]*)", 1)
+        for t in tags
+    ]
+    return _group_agg(series, F.concat_ws(".", *parts), func)
+
+
+def _group_agg(series: DataFrame, key, func: str) -> DataFrame:
+    """Shared keyed cross-series aggregation for the groupBy* family:
+    exact-decimal sums, double min/max, elementwise per timestamp."""
+    name = {"average": "avg", "total": "sum"}.get(func, func)
+    v = F.col("value").cast("decimal(32,6)")
+    g = series.select(key.alias("path"), "time", F.col("value"), v.alias("dv")).groupBy(
+        "path", "time"
+    )
+    if name == "sum":
+        out = g.agg(F.sum("dv").cast("double").alias("value"))
+    elif name == "avg":
+        out = g.agg(
+            (F.sum("dv").cast("double") / F.count("value")).alias("value")
+        )
+    elif name == "max":
+        out = g.agg(F.max("value").alias("value"))
+    elif name == "min":
+        out = g.agg(F.min("value").alias("value"))
+    elif name == "median":
+        out = g.agg(F.expr("percentile(value, 0.5)").alias("value"))
+    elif name == "count":
+        out = g.agg(F.count("value").cast("double").alias("value"))
+    else:
+        raise ValueError(f"unsupported func {func!r}")
+    return out.select("path", "time", "value")
 
 
 def alias_by_tags(series: DataFrame, *tags: str) -> DataFrame:

@@ -1,0 +1,252 @@
+"""Round-5 render-function additions: the math transforms, percentile
+filters, sorting/selection, grouping, interpolation, and generator
+family graphite-web exposes beyond the round-4 vocabulary
+(graphite-web render/functions.py is the public behavioral spec)."""
+
+import math
+
+import pytest
+
+from carbon_clickhouse_spark.query import render
+from carbon_clickhouse_spark.query.api import (
+    GraphiteStore,
+    evaluate_target,
+    parse_target,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "path string, time long, value double")
+
+
+def test_math_transforms(spark):
+    s = _series(spark, [("m", 1, 4.0), ("m", 2, -9.0), ("m", 3, 0.25)])
+    sq = {r.time: r.value for r in render.square_root(s).collect()}
+    assert sq == {1: 2.0, 2: None, 3: 0.5}
+    pw = {r.time: r.value for r in render.pow_values(s, 2).collect()}
+    assert pw == {1: 16.0, 2: 81.0, 3: 0.0625}
+    # non-integer exponent of a negative -> NULL gap, not NaN
+    pw5 = {r.time: r.value for r in render.pow_values(s, 0.5).collect()}
+    assert pw5[2] is None
+    ex = {r.time: r.value for r in render.exp_values(s).collect()}
+    assert ex[1] == pytest.approx(math.exp(4.0))
+    sg = {r.time: r.value for r in render.sigmoid(s).collect()}
+    assert sg[1] == pytest.approx(1 / (1 + math.exp(-4.0)))
+    rd = {
+        r.time: r.value
+        for r in render.round_values(
+            _series(spark, [("m", 1, 1.2345), ("m", 2, 1.5)]), 2
+        ).collect()
+    }
+    assert rd == {1: 1.23, 2: 1.5}
+
+
+def test_min_max(spark):
+    s = _series(
+        spark, [("m", 1, 10.0), ("m", 2, 20.0), ("m", 3, 15.0)]
+    )
+    mm = {r.time: r.value for r in render.min_max(s).collect()}
+    assert mm == {1: 0.0, 2: 1.0, 3: 0.5}
+    flat = _series(spark, [("f", 1, 7.0), ("f", 2, 7.0)])
+    assert {r.value for r in render.min_max(flat).collect()} == {0.0}
+
+
+def test_scale_to_seconds_and_hitcount(spark):
+    # 10s step; values are per-interval counts
+    s = _series(
+        spark, [("m", 0, 5.0), ("m", 10, 10.0), ("m", 20, 20.0)]
+    )
+    r = {r.time: r.value for r in render.scale_to_seconds(s, 1).collect()}
+    # value * 1 / 10 — first point borrows the following step
+    assert r == {0: 0.5, 10: 1.0, 20: 2.0}
+    hc = {r.time: r.value for r in render.hitcount(s, 60).collect()}
+    # all three points in bucket 0: (5 + 10 + 20) * 10
+    assert hc == {0: 350.0}
+
+
+def test_smart_summarize_alignment(spark):
+    s = _series(spark, [("m", 70, 1.0), ("m", 100, 2.0), ("m", 130, 4.0)])
+    plain = {r.time: r.value for r in render.summarize(s, 60, "sum").collect()}
+    assert plain == {60: 3.0, 120: 4.0}
+    smart = {
+        r.time: r.value
+        for r in render.smart_summarize(s, 60, "sum", origin=70).collect()
+    }
+    # buckets [70, 130) and [130, 190)
+    assert smart == {70: 3.0, 130: 4.0}
+
+
+def test_lowest_and_filters(spark):
+    s = _series(
+        spark,
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 10.0), ("b", 2, 20.0),
+         ("c", 1, 5.0), ("c", 2, 5.0)],
+    )
+    low = {r.path for r in render.lowest(s, 1, "avg").collect()}
+    assert low == {"a"}
+    lc = {r.path for r in render.lowest(s, 2, "current").collect()}
+    assert lc == {"a", "c"}
+    mb = {r.path for r in render.maximum_below(s, 6.0).collect()}
+    assert mb == {"a", "c"}
+    ma = {r.path for r in render.minimum_above(s, 2.0).collect()}
+    assert ma == {"b", "c"}
+
+
+def test_sort_by_stat(spark):
+    s = _series(
+        spark, [("a", 1, 1.0), ("b", 1, 10.0), ("c", 1, 5.0)]
+    )
+    order = [r.path for r in render.sort_by_stat(s, "total", True).collect()]
+    assert order == ["b", "c", "a"]
+    order = [r.path for r in render.sort_by_stat(s, "min", False).collect()]
+    assert order == ["a", "c", "b"]
+
+
+def test_percentile_family(spark):
+    s = _series(
+        spark,
+        [("m", t, float(v)) for t, v in zip(range(1, 6), (1, 2, 3, 4, 100))],
+    )
+    above = {r.time: r.value for r in
+             render.remove_above_percentile(s, 80).collect()}
+    assert above[5] is None and above[1] == 1.0
+    below = {r.time: r.value for r in
+             render.remove_below_percentile(s, 40).collect()}
+    assert below[1] is None and below[5] == 100.0
+    two = _series(spark, [("a", 1, 1.0), ("b", 1, 3.0), ("c", 1, 5.0)])
+    med = render.percentile_of_series(two, 50).collect()
+    assert med[0].value == 3.0 and med[0].path == "percentileOfSeries"
+    sd = render.stddev_series(two).collect()
+    assert sd[0].value == pytest.approx(math.sqrt(8 / 3))
+
+
+def test_substr_and_alias_by_metric(spark):
+    s = _series(spark, [("a.b.c.d", 1, 1.0)])
+    assert render.substr_path(s, 1, 3).collect()[0].path == "b.c"
+    assert render.substr_path(s, 2).collect()[0].path == "c.d"
+    assert render.substr_path(s, -1).collect()[0].path == "d"
+    assert render.substr_path(s, 0, -2).collect()[0].path == "a.b"
+    assert render.alias_by_metric(s).collect()[0].path == "d"
+
+
+def test_interpolate(spark):
+    s = _series(
+        spark,
+        [("m", 1, None), ("m", 2, 10.0), ("m", 3, None), ("m", 4, None),
+         ("m", 5, 40.0), ("m", 6, None)],
+    )
+    out = {r.time: r.value for r in render.interpolate(s).collect()}
+    # leading/trailing stay NULL; interior gap filled linearly
+    assert out == {1: None, 2: 10.0, 3: 20.0, 4: 30.0, 5: 40.0, 6: None}
+    lim = {r.time: r.value for r in render.interpolate(s, 1).collect()}
+    assert lim[3] is None and lim[4] is None  # gap of 2 > limit 1
+
+
+def test_aggregate_series(spark):
+    s = _series(
+        spark,
+        [("a", 1, 1.0), ("b", 1, 2.0), ("c", 1, 4.0),
+         ("a", 2, 2.0), ("b", 2, 2.0)],
+    )
+    med = {r.time: r.value for r in
+           render.aggregate_series(s, "median").collect()}
+    assert med == {1: 2.0, 2: 2.0}
+    cnt = {r.time: r.value for r in
+           render.aggregate_series(s, "count").collect()}
+    assert cnt == {1: 3.0, 2: 2.0}
+    rng = {r.time: r.value for r in
+           render.aggregate_series(s, "range").collect()}
+    assert rng == {1: 3.0, 2: 0.0}
+    mul = {r.time: r.value for r in
+           render.aggregate_series(s, "multiply").collect()}
+    assert mul == {1: 8.0, 2: 4.0}
+    last = {r.time: r.value for r in
+            render.aggregate_series(s, "last").collect()}
+    assert last == {1: 4.0, 2: 2.0}  # lexically-last series present
+    tot = render.aggregate_series(s, "total").collect()
+    assert {r.path for r in tot} == {"totalSeries"}
+    assert {r.time: r.value for r in tot} == {1: 7.0, 2: 4.0}
+
+
+def test_group_by_nodes_and_tags(spark):
+    s = _series(
+        spark,
+        [("dc1.h1.cpu", 1, 1.0), ("dc1.h2.cpu", 1, 3.0),
+         ("dc2.h1.cpu", 1, 10.0)],
+    )
+    out = {r.path: r.value for r in
+           render.group_by_nodes(s, "sum", 0, 2).collect()}
+    assert out == {"dc1.cpu": 4.0, "dc2.cpu": 10.0}
+    t = _series(
+        spark,
+        [("cpu?dc=east&host=h1", 1, 1.0), ("cpu?dc=east&host=h2", 1, 3.0),
+         ("cpu?dc=west&host=h1", 1, 10.0)],
+    )
+    out = {r.path: r.value for r in
+           render.group_by_tags(t, "avg", "name", "dc").collect()}
+    assert out == {"cpu.east": 2.0, "cpu.west": 10.0}
+
+
+def _store(spark):
+    # tree-level index rows (level = depth + TREE_LEVEL_OFFSET)
+    idx = spark.createDataFrame(
+        [("ev.a", 20002), ("ev.b", 20002)], "path string, level int"
+    )
+    pts = _series(
+        spark,
+        [("ev.a", 100, 1.0), ("ev.a", 160, 3.0),
+         ("ev.b", 100, 10.0), ("ev.b", 160, 30.0)],
+    )
+    return GraphiteStore(idx, pts)
+
+
+def test_facade_generators_and_dispatch(spark):
+    store = _store(spark)
+    cl = evaluate_target(parse_target("constantLine(5)"), store, 0, 100)
+    rows = cl.collect()
+    assert [r.value for r in rows] == [5.0, 5.0, 5.0]
+    assert [r.time for r in rows] == [0, 50, 100]
+    th = evaluate_target(
+        parse_target("threshold(9, 'limit')"), store, 0, 100
+    ).collect()
+    assert th[0].path == "limit" and th[0].value == 9.0
+    tf = evaluate_target(parse_target("time('t', 30)"), store, 0, 90).collect()
+    assert [r.value for r in tf] == [0.0, 30.0, 60.0, 90.0]
+    # consolidateBy records the hint and passes data through
+    ctx: dict = {}
+    out = evaluate_target(
+        parse_target("consolidateBy(ev.a, 'max')"), store, 0, 200, ctx
+    )
+    assert ctx["consolidate"] == "max"
+    assert out.count() == 2
+    # smartSummarize aligns buckets to from (100), not the epoch grid
+    sm = evaluate_target(
+        parse_target("smartSummarize(ev.a, '1min', 'sum')"), store, 100, 200
+    ).collect()
+    assert {r.time: r.value for r in sm} == {100: 1.0, 160: 3.0}
+    # fallbackSeries: empty primary -> secondary
+    fb = evaluate_target(
+        parse_target("fallbackSeries(ev.nothing, ev.b)"), store, 0, 200
+    )
+    assert {r.path for r in fb.collect()} == {"ev.b"}
+    # presentation no-ops pass through unchanged
+    noop = evaluate_target(
+        parse_target("lineWidth(color(ev.a, 'blue'), 2)"), store, 0, 200
+    )
+    assert noop.count() == 2
+
+
+def test_facade_new_function_registry(spark):
+    store = _store(spark)
+    for target, expect in [
+        ("squareRoot(ev.a)", {1.0, math.sqrt(3.0)}),
+        ("aggregate(ev.*, 'median')", {5.5, 16.5}),
+        ("aliasByMetric(ev.a)", None),
+        ("sortByTotal(ev.*)", None),
+        ("hitcount(ev.a, '1min')", None),
+        ("groupByNodes(ev.*, 'sum', 0)", {11.0, 33.0}),
+    ]:
+        df = evaluate_target(parse_target(target), store, 0, 200)
+        vals = {r.value for r in df.collect()}
+        if expect is not None:
+            assert vals == expect, target
