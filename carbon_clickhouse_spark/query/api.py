@@ -221,6 +221,36 @@ for _name in (
 ):
     _FUNCS.setdefault(_name, lambda df, *a: df)
 
+#: functions evaluated by special dispatch rather than the registry
+_DISPATCH_FORMS = (
+    "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
+    "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
+    "divideSeries", "asPercent",
+)
+
+
+def function_index() -> dict:
+    """graphite-web ``/functions`` JSON: name -> descriptor. Grafana
+    reads ``name`` and ``params`` to build its query editor; the
+    param metadata here is the generic seriesList signature (the
+    facade parses arbitrary args at evaluation time), which is the
+    subset Grafana requires to enable a function."""
+    out = {}
+    for name in sorted(set(_FUNCS) | set(_DISPATCH_FORMS)):
+        out[name] = {
+            "name": name,
+            "function": f"{name}(seriesList)",
+            "description": "",
+            "module": "graphite.render.functions",
+            "group": "Transform",
+            "params": [
+                {"name": "seriesList", "type": "seriesList",
+                 "required": True}
+            ],
+        }
+    return out
+
+
 _UNIT_S = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
 
 
@@ -297,6 +327,25 @@ class GraphiteStore:
             f"\ttimestamp:{r['time']}\tvalue:{_go_float(r['value'])}"
             for r in rows
         )
+
+    def all_metrics(self) -> list[str]:
+        """graphite-web ``/metrics/index.json``: every leaf metric
+        name, sorted. Served from the tree-level index rows (leaf =
+        no trailing dot), the same date-independent scan find()
+        uses."""
+        from ..schemas import TREE_LEVEL_OFFSET
+
+        rows = (
+            self.index.filter(
+                (F.col("level") > TREE_LEVEL_OFFSET)
+                & (F.col("level") < TREE_LEVEL_OFFSET + 10000)
+                & ~F.col("path").endswith(".")
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["path"] for r in rows)
 
     def find(self, glob: str) -> list[tuple[str, bool]]:
         """[(path, is_leaf)] — trailing-dot index rows are branches."""
@@ -547,6 +596,24 @@ class RenderApi:
                         self.send_header("Content-Length", str(len(body)))
                         self.end_headers()
                         self.wfile.write(body)
+                    elif u.path in ("/version", "/version/"):
+                        # Grafana probes this to pick its query editor
+                        # feature set; report a graphite-web 1.1 line
+                        body = b"1.1.10"
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header(
+                            "Content-Length", str(len(body))
+                        )
+                        self.end_headers()
+                        self.wfile.write(body)
+                    elif u.path in ("/functions", "/functions/"):
+                        # Grafana populates its function editor from
+                        # this: name -> descriptor (the subset of
+                        # graphite-web's schema Grafana reads)
+                        self._json(function_index())
+                    elif u.path == "/metrics/index.json":
+                        self._json(store.all_metrics())
                     elif u.path in ("/metrics/find", "/metrics/find/"):
                         glob = q.get("query", ["*"])[0]
                         out = [

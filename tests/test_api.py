@@ -451,3 +451,25 @@ def test_post_render_and_expand(store):
             assert json.loads(resp.read()) == {"results": ["dc.h1", "dc.h2"]}
     finally:
         api.stop()
+
+
+def test_grafana_discovery_endpoints(store):
+    """Grafana's graphite datasource probes /version, /functions, and
+    /metrics/index.json on setup; all three must answer."""
+    api = RenderApi(store).start()
+    try:
+        base = f"http://127.0.0.1:{api.port}"
+        with urllib.request.urlopen(base + "/version") as r:
+            assert r.status == 200
+            assert r.read() == b"1.1.10"
+        with urllib.request.urlopen(base + "/functions") as r:
+            funcs = json.loads(r.read())
+        assert "sumSeries" in funcs and "seriesByTag" in funcs
+        assert "aggregate" in funcs and "consolidateBy" in funcs
+        assert funcs["scale"]["name"] == "scale"
+        assert funcs["scale"]["params"][0]["type"] == "seriesList"
+        with urllib.request.urlopen(base + "/metrics/index.json") as r:
+            idx = json.loads(r.read())
+        assert idx == ["dc.h1.cpu", "dc.h2.cpu"]
+    finally:
+        api.stop()
