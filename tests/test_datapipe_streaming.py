@@ -1,0 +1,147 @@
+"""Streaming corpus ingest (datapipe/streaming.py): quality/language
+filtering, audited rejects, cross-batch content dedup, and the
+bounded-state watermark dedup recipe."""
+
+import json
+import os
+
+from carbon_clickhouse_spark.datapipe.streaming import (
+    CorpusStreamConfig,
+    dedup_within_watermark,
+    document_stream,
+    start_corpus_ingest,
+)
+
+GOOD = (
+    "the cat sat on the mat and then the dog sat on the mat as well "
+    "and it is a fine day in the garden of the house"
+)
+GOOD2 = (
+    "a quick brown fox jumps over the lazy dog and the day is long "
+    "in the field of the farm and the sun is warm"
+)
+
+
+def _write_docs(landing, name, docs):
+    tmp = os.path.join(landing, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    os.rename(tmp, os.path.join(landing, name))
+
+
+def test_corpus_ingest_filters_and_dedup(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "corpus_root")
+    os.makedirs(landing)
+    _write_docs(
+        landing,
+        "wave1.json",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s1"},
+            # exact duplicate content, higher doc_id -> deduped away
+            {"doc_id": 2, "text": GOOD, "lang": "en", "source": "s1"},
+            # too short -> rejected with reason
+            {"doc_id": 3, "text": "tiny", "lang": "en", "source": "s1"},
+        ],
+    )
+    cfg = CorpusStreamConfig(
+        root=root, min_tokens=10, min_stopword_ratio=0.05
+    )
+    docs = document_stream(spark, landing)
+    q = start_corpus_ingest(spark, docs, cfg)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        corpus = spark.read.parquet(os.path.join(root, "corpus"))
+        assert [r.doc_id for r in corpus.collect()] == [1]
+        row = corpus.first()
+        assert row.lang_pred == "en" and row.n_tokens > 10
+        rej = spark.read.parquet(os.path.join(root, "rejected"))
+        assert {(r.doc_id, r.reason) for r in rej.collect()} == {
+            (3, "too_few_tokens")
+        }
+
+        # wave 2: duplicate of stored content + one new doc
+        _write_docs(
+            landing,
+            "wave2.json",
+            [
+                {"doc_id": 4, "text": GOOD, "lang": "en", "source": "s2"},
+                {"doc_id": 5, "text": GOOD2, "lang": "en", "source": "s2"},
+            ],
+        )
+        q.processAllAvailable()
+        assert q.exception() is None
+        corpus = spark.read.parquet(os.path.join(root, "corpus"))
+        assert sorted(r.doc_id for r in corpus.collect()) == [1, 5]
+        hashes = spark.read.parquet(os.path.join(root, "hashes"))
+        assert hashes.count() == 2  # one key per distinct kept content
+    finally:
+        q.stop()
+
+
+def test_corpus_language_filter(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "root")
+    os.makedirs(landing)
+    _write_docs(
+        landing,
+        "w.json",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s"},
+            {"doc_id": 2,
+             "text": "el la de que y en los " * 4,
+             "lang": "es", "source": "s"},
+        ],
+    )
+    cfg = CorpusStreamConfig(root=root, languages=("en",))
+    q = start_corpus_ingest(spark, document_stream(spark, landing), cfg)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        corpus = spark.read.parquet(os.path.join(root, "corpus"))
+        assert [r.doc_id for r in corpus.collect()] == [1]
+        rej = spark.read.parquet(os.path.join(root, "rejected"))
+        assert {(r.doc_id, r.reason) for r in rej.collect()} == {
+            (2, "language")
+        }
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _write_docs(
+        landing,
+        "w.json",
+        [
+            {"doc_id": 1, "text": GOOD, "ts": "2024-01-01T00:00:00Z"},
+            {"doc_id": 2, "text": GOOD, "ts": "2024-01-01T00:01:00Z"},
+            {"doc_id": 3, "text": GOOD2, "ts": "2024-01-01T00:02:00Z"},
+        ],
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .json(landing)
+    )
+    out = dedup_within_watermark(docs, delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmdedup")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        got = sorted(
+            r.doc_id for r in spark.sql("SELECT * FROM wmdedup").collect()
+        )
+        assert got == [1, 3]
+    finally:
+        q.stop()
