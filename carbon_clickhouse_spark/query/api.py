@@ -525,6 +525,74 @@ def evaluate_target(
     return fn(df, *expr.args[1:])
 
 
+def _grid(pts: list) -> tuple[int, int, int, list]:
+    """Regularize [value, time] pairs to (start, stop, step, values):
+    step = the smallest positive gap (parquet series carry no
+    whisper-style step metadata), stop exclusive = last + step, gaps
+    filled with None — the shape graphite-web's raw/pickle formats
+    assume."""
+    times = [t for _, t in pts]
+    diffs = sorted(
+        {b - a for a, b in zip(times, times[1:]) if b - a > 0}
+    )
+    step = diffs[0] if diffs else 60
+    start, last = times[0], times[-1]
+    have = {t: v for v, t in pts}
+    values = [have.get(t) for t in range(start, last + step, step)]
+    return start, last + step, step, values
+
+
+def render_format(series: list, fmt: str) -> tuple[bytes, str]:
+    """Non-JSON /render output formats graphite-web serves: ``csv``
+    (one line per point, UTC timestamps), ``raw``
+    (``name,start,stop,step|v1,v2,...``), ``pickle`` (the list of
+    {name,start,end,step,values} dicts its remote-fetch path reads).
+    """
+    if fmt == "csv":
+        import datetime as _dt
+
+        lines = []
+        for s in series:
+            for v, t in s["datapoints"]:
+                ts = _dt.datetime.fromtimestamp(
+                    t, _dt.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S")
+                val = "" if v is None else _go_float(float(v))
+                lines.append(f"{s['target']},{ts},{val}")
+        return ("\n".join(lines) + "\n").encode(), "text/csv"
+    if fmt == "raw":
+        lines = []
+        for s in series:
+            if not s["datapoints"]:
+                continue
+            start, stop, step, values = _grid(s["datapoints"])
+            vals = ",".join(
+                "None" if v is None else _go_float(float(v))
+                for v in values
+            )
+            lines.append(f"{s['target']},{start},{stop},{step}|{vals}")
+        return ("\n".join(lines) + "\n").encode(), "text/plain"
+    if fmt == "pickle":
+        import pickle
+
+        out = []
+        for s in series:
+            if not s["datapoints"]:
+                continue
+            start, stop, step, values = _grid(s["datapoints"])
+            out.append(
+                {
+                    "name": s["target"],
+                    "start": start,
+                    "end": stop,
+                    "step": step,
+                    "values": values,
+                }
+            )
+        return pickle.dumps(out, protocol=2), "application/pickle"
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
 def _parse_time(v: str | None, default: int, now: int) -> int:
     if not v:
         return default
@@ -708,7 +776,18 @@ class RenderApi:
                                 series.append(
                                     {"target": path, "datapoints": pts}
                                 )
-                        self._json(series)
+                        fmt = q.get("format", ["json"])[0]
+                        if fmt == "json":
+                            self._json(series)
+                        else:
+                            body, ctype = render_format(series, fmt)
+                            self.send_response(200)
+                            self.send_header("Content-Type", ctype)
+                            self.send_header(
+                                "Content-Length", str(len(body))
+                            )
+                            self.end_headers()
+                            self.wfile.write(body)
                     else:
                         self._json({"error": "not found"}, status=404)
                 except Exception as e:  # noqa: BLE001

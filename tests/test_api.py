@@ -473,3 +473,35 @@ def test_grafana_discovery_endpoints(store):
         assert idx == ["dc.h1.cpu", "dc.h2.cpu"]
     finally:
         api.stop()
+
+
+def test_render_output_formats(store):
+    """graphite-web's csv / raw / pickle render formats."""
+    import pickle as _pickle
+
+    api = RenderApi(store).start()
+    try:
+        base = f"http://127.0.0.1:{api.port}"
+        qs = "?target=dc.h1.cpu&from=1625478000&until=1625478180"
+        with urllib.request.urlopen(base + "/render" + qs + "&format=csv") as r:
+            assert r.headers["Content-Type"] == "text/csv"
+            lines = r.read().decode().strip().split("\n")
+        assert lines[0] == "dc.h1.cpu,2021-07-05 09:40:00,0"
+        assert len(lines) == 4
+
+        with urllib.request.urlopen(base + "/render" + qs + "&format=raw") as r:
+            raw = r.read().decode().strip()
+        head, vals = raw.split("|")
+        assert head == "dc.h1.cpu,1625478000,1625478240,60"
+        assert vals == "0,1,2,3"
+
+        with urllib.request.urlopen(
+            base + "/render" + qs + "&format=pickle"
+        ) as r:
+            data = _pickle.loads(r.read())
+        assert data == [{
+            "name": "dc.h1.cpu", "start": 1625478000, "end": 1625478240,
+            "step": 60, "values": [0.0, 1.0, 2.0, 3.0],
+        }]
+    finally:
+        api.stop()
