@@ -186,6 +186,78 @@ def train_ivf_centroids(mat, n_lists: int, iters: int = 5, seed: int = 42):
     return centroids
 
 
+def _train_quantizer(
+    embeddings: DataFrame,
+    n_lists: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    sample_limit: int,
+):
+    """Coarse spherical-k-means quantizer trained driver-side on a
+    bounded sample. orderBy+limit (TakeOrderedAndProject) makes the
+    sample identical regardless of file/partition enumeration order —
+    the trained model must not depend on scan order."""
+    import numpy as np
+
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .toPandas()[vec_col]
+    )
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    return train_ivf_centroids(mat, n_lists, iters)
+
+
+def _assign_lists(
+    df: DataFrame, centroids, probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, list_id, v) rows for each vector's ``probe`` nearest
+    centroid lists — the Arrow-batched assignment stage shared by
+    :func:`ivf_topk` and :func:`semantic_dedup`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_cent = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cent = b_cent.value
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            sims = mn @ cent.T
+            # stable sort: equal sims keep index order, i.e. the probe
+            # order is (sim DESC, list ASC) — reproducible in SQL
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_lists, out_vecs = [], [], []
+            for i in range(len(ids)):
+                for l in top[i]:
+                    out_ids.append(ids[i])
+                    out_lists.append(int(l))
+                    out_vecs.append(list(pdf[vec_col].iloc[i]))
+            yield pd.DataFrame(
+                {"id": out_ids, "list_id": out_lists, "v": out_vecs}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -208,58 +280,12 @@ def ivf_topk(
     (deterministic) — at 100 TB you train once on a sample and reuse.
     Output schema matches brute_force_topk; recall < 1.0 by design.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     # --- train the coarse quantizer on a bounded sample (driver) ----
-    # orderBy+limit (TakeOrderedAndProject) makes the sample identical
-    # regardless of file/partition enumeration order — the trained
-    # model must not depend on scan order.
-    sample = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_limit)
-        .toPandas()[vec_col]
+    centroids = _train_quantizer(
+        embeddings, n_lists, kmeans_iters, id_col, vec_col, sample_limit
     )
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
-    centroids = train_ivf_centroids(mat, n_lists, kmeans_iters)
-    sc = embeddings.sparkSession.sparkContext
-    b_cent = sc.broadcast(centroids)
-
-    def assign_lists(batches, probe: int):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cent = b_cent.value
-            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = mn @ cent.T
-            # stable sort: equal sims keep index order, i.e. the probe
-            # order is (sim DESC, list ASC) — reproducible in SQL
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
-            ids = pdf[id_col].to_numpy()
-            out_ids, out_lists, out_vecs = [], [], []
-            for i in range(len(ids)):
-                for l in top[i]:
-                    out_ids.append(ids[i])
-                    out_lists.append(int(l))
-                    out_vecs.append(list(pdf[vec_col].iloc[i]))
-            yield pd.DataFrame({"id": out_ids, "list_id": out_lists, "v": out_vecs})
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("list_id", T.IntegerType()),
-            T.StructField("v", T.ArrayType(T.FloatType())),
-        ]
-    )
-    cand = embeddings.select(id_col, vec_col).mapInPandas(
-        lambda it: assign_lists(it, 1), assign_schema
-    )
-    q = queries.select(id_col, vec_col).mapInPandas(
-        lambda it: assign_lists(it, n_probe), assign_schema
-    )
+    cand = _assign_lists(embeddings, centroids, 1, id_col, vec_col)
+    q = _assign_lists(queries, centroids, n_probe, id_col, vec_col)
 
     qq = q.select(
         F.col("id").alias("query_id"), "list_id", quantize(F.col("v")).alias("qv")
@@ -486,3 +512,79 @@ def lsh_bucketed_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_limit: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the coarse spherical
+    k-means quantizer, then within each cluster keep ONE
+    representative of every near-duplicate group (cosine >=
+    ``threshold``) — the published recipe for pruning semantically
+    redundant web data before training.
+
+    -> (id, cluster_id, keep, dup_of): ``keep=false`` rows name the
+    surviving representative in ``dup_of``. Determinism: ids are
+    processed ascending per cluster; a vector is dropped iff an
+    already-kept LOWER id is within threshold (greedy keep-first, the
+    same survivor rule as the exact-dedup family).
+
+    Scale: the O(c^2) comparison is per-cluster (SemDeDup's own cost
+    bound — clusters are sized by n_clusters, tune it so c fits an
+    Arrow batch); the cluster assignment is one Arrow pass over the
+    data against broadcast centroids, and the groupBy shuffles each
+    vector exactly once on its int cluster key.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    centroids = _train_quantizer(
+        embeddings, n_clusters, kmeans_iters, id_col, vec_col, sample_limit
+    )
+    assigned = _assign_lists(embeddings, centroids, 1, id_col, vec_col)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+            T.StructField("dup_of", T.LongType()),
+        ]
+    )
+
+    def prune(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id")
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = pdf["id"].to_numpy()
+        kept_idx: list[int] = []
+        keep_flags, dup_of = [], []
+        for i in range(len(ids)):
+            if kept_idx:
+                sims = m[kept_idx] @ m[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    keep_flags.append(False)
+                    dup_of.append(int(ids[kept_idx[j]]))
+                    continue
+            kept_idx.append(i)
+            keep_flags.append(True)
+            dup_of.append(None)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster_id": key[0],
+                "keep": keep_flags,
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+            }
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(prune, schema)

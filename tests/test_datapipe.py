@@ -585,3 +585,37 @@ def test_chunk_documents(spark):
     # zero-UDF: the plan has no Python stages
     plan = chunk_documents(docs, 4, 1)._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup greedy keep-first: within a cluster, near-identical
+    vectors collapse to the lowest id; distinct vectors survive."""
+    import math
+
+    from carbon_clickhouse_spark.datapipe.similarity import semantic_dedup
+
+    def unit(angle):
+        return [float(math.cos(angle)), float(math.sin(angle)), 0.0, 0.0]
+
+    rows = [
+        (1, unit(0.00)),          # group A representative
+        (2, unit(0.01)),          # ~A (cos > 0.9999)
+        (3, unit(0.02)),          # ~A
+        (10, unit(1.50)),         # group B representative
+        (11, unit(1.51)),         # ~B
+        (20, unit(3.00)),         # lone vector
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(
+        emb, n_clusters=3, threshold=0.999, sample_limit=100
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert len(by_id) == 6
+    assert by_id[1].keep and by_id[10].keep and by_id[20].keep
+    assert not by_id[2].keep and by_id[2].dup_of == 1
+    assert not by_id[3].keep and by_id[3].dup_of == 1
+    assert not by_id[11].keep and by_id[11].dup_of == 10
+    # survivors of the same near-dup group share a cluster
+    assert by_id[2].cluster_id == by_id[1].cluster_id
