@@ -8,9 +8,11 @@ with the same shape: file-source ``readStream`` -> stateless
 feature/filter stages (quality, language, token counts — pure column
 expressions, no Python) -> one transactional ``foreachBatch`` append
 with cross-batch CONTENT dedup. The dedup side-table holds only
-16-byte md5 keys, so the anti-join shuffles hashes, never text —
-the exists-cache idea (``streaming/exists_cache.py``) applied to
-content instead of series names.
+16-byte md5 keys; the anti-join runs key-vs-key and the surviving
+key set (bounded by the micro-batch) broadcasts back onto the text
+rows, so document text never crosses the wire — the exists-cache
+idea (``streaming/exists_cache.py``) applied to content instead of
+series names.
 
 Scale: every stage is stateless column work except the hash
 anti-join, whose stored side is pruned to the key column; at 100 TB
@@ -150,10 +152,22 @@ def start_corpus_ingest(
                     .drop("__rk")
                 )
                 if _exists(spark_b, hashes_path):
+                    # anti-join 16-byte keys only, then broadcast the
+                    # surviving key set (bounded by the micro-batch)
+                    # back onto the text rows — document text never
+                    # crosses the wire, the exists-cache shape of
+                    # streaming/ingest.py applied to content
                     stored = spark_b.read.parquet(hashes_path).select(
                         "content_hash"
                     )
-                    kept = kept.join(stored, "content_hash", "left_anti")
+                    fresh = (
+                        kept.select("content_hash")
+                        .distinct()
+                        .join(stored, "content_hash", "left_anti")
+                    )
+                    kept = kept.join(
+                        F.broadcast(fresh), "content_hash", "left_semi"
+                    )
             kept = kept.persist()
             try:
                 with _lock(corpus_path):
