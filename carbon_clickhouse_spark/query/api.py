@@ -211,6 +211,9 @@ _FUNCS = {
     "holtWintersForecast": lambda df: render.holt_forecast(df).select(
         "path", "time", F.col("forecast").alias("value")
     ),
+    "linearRegression": render.linear_regression_series,
+    "averageOutsidePercentile": render.average_outside_percentile,
+    "removeBetweenPercentile": render.remove_between_percentile,
 }
 
 # presentation-only functions graphite-web accepts that do not change
@@ -225,7 +228,7 @@ for _name in (
 _DISPATCH_FORMS = (
     "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
-    "divideSeries", "asPercent",
+    "divideSeries", "asPercent", "timeStack",
 )
 
 
@@ -504,6 +507,36 @@ def evaluate_target(
         if a.take(1):
             return a
         return evaluate_target(expr.args[1], store, t0, t1, ctx)
+    if expr.name == "timeStack":
+        # overlay N window-shifted copies of the inner expression
+        # (graphite's day-over-day comparison); each copy evaluates
+        # over its own shifted window and is labeled like graphite:
+        # timeShift(<name>, <interval>, <i>)
+        inner = expr.args[0]
+        raw_iv = expr.args[1] if len(expr.args) > 1 else "1d"
+        iv = abs(_seconds(raw_iv))
+        s_i = int(expr.args[2]) if len(expr.args) > 2 else 0
+        e_i = int(expr.args[3]) if len(expr.args) > 3 else 7
+        if e_i <= s_i:
+            raise ValueError("timeStack: end <= start")
+        frames = []
+        for i in range(s_i, e_i):
+            df_i = evaluate_target(inner, store, t0 - i * iv, t1 - i * iv, ctx)
+            frames.append(
+                df_i.select(
+                    F.concat(
+                        F.lit("timeShift("),
+                        F.col("path"),
+                        F.lit(f",{raw_iv},{i})"),
+                    ).alias("path"),
+                    (F.col("time") + F.lit(i * iv)).alias("time"),
+                    "value",
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     # two-series combiners dispatch on BOTH args
     if expr.name in ("diffSeries", "divideSeries", "asPercent"):
         a = evaluate_target(expr.args[0], store, t0, t1, ctx)

@@ -704,6 +704,70 @@ def limit_series(series: DataFrame, n: int, func: str = "max") -> DataFrame:
     return highest(series, n, func)
 
 
+def linear_regression_series(series: DataFrame) -> DataFrame:
+    """Graphite ``linearRegression`` as drawn: the per-series
+    least-squares fitted line evaluated at every timestamp (the
+    render-layer view of :func:`linear_regression`, which returns the
+    slope/intercept table). Double moments over one per-path window —
+    render output, not an oracle surface."""
+    wp = Window.partitionBy("path")
+    t = (F.col("time") - F.min("time").over(wp)).cast("double")
+    y = F.col("value")
+    n = F.count(y).over(wp).cast("double")
+    st = F.sum(t).over(wp)
+    stt = F.sum(t * t).over(wp)
+    sy = F.sum(y).over(wp)
+    sty = F.sum(t * y).over(wp)
+    den = n * stt - st * st
+    slope = F.when(den != 0, (n * sty - st * sy) / den).otherwise(F.lit(0.0))
+    intercept = (sy - slope * st) / n
+    return series.select(
+        "path", "time", (slope * t + intercept).alias("value")
+    )
+
+
+def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
+    """Graphite ``averageOutsidePercentile``: keep the full series of
+    paths whose average lies OUTSIDE the [100-n, n] percentile band of
+    all series averages (n is symmetrized above 50 like
+    graphite-web). The stats table is series-cardinality — the band is
+    two scalars, crossJoin-broadcast back."""
+    n = max(float(n), 100.0 - float(n))
+    stat = _per_series_stat(series, "avg")
+    band = stat.agg(
+        F.expr(f"percentile(stat, {(100.0 - n) / 100.0})").alias("lo"),
+        F.expr(f"percentile(stat, {n / 100.0})").alias("hi"),
+    )
+    winners = (
+        stat.crossJoin(F.broadcast(band))
+        .filter((F.col("stat") < F.col("lo")) | (F.col("stat") > F.col("hi")))
+        .select("path")
+    )
+    return series.join(F.broadcast(winners), "path", "left_semi")
+
+
+def remove_between_percentile(series: DataFrame, n: float) -> DataFrame:
+    """Graphite ``removeBetweenPercentile``: keep series that have at
+    least one point outside the per-timestamp [100-n, n] percentile
+    band across series. Band per timestamp via a time-partitioned
+    window; the qualifying path set semi-joins back."""
+    n = max(float(n), 100.0 - float(n))
+    wt = Window.partitionBy("time")
+    lo = F.expr(f"percentile(value, {(100.0 - n) / 100.0})").over(wt)
+    hi = F.expr(f"percentile(value, {n / 100.0})").over(wt)
+    outside = series.select(
+        "path",
+        ((F.col("value") < lo) | (F.col("value") > hi)).alias("out"),
+    )
+    winners = (
+        outside.groupBy("path")
+        .agg(F.max("out").alias("any_out"))
+        .filter(F.col("any_out"))
+        .select("path")
+    )
+    return series.join(F.broadcast(winners), "path", "left_semi")
+
+
 def square_root(series: DataFrame) -> DataFrame:
     """Graphite ``squareRoot``: sqrt(value); negative -> NULL (gap)."""
     v = F.when(F.col("value") >= 0, F.sqrt("value"))

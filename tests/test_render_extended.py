@@ -250,3 +250,39 @@ def test_facade_new_function_registry(spark):
         vals = {r.value for r in df.collect()}
         if expect is not None:
             assert vals == expect, target
+
+
+def test_linear_regression_series(spark):
+    s = _series(spark, [("m", t, 2.0 * t + 1.0) for t in (10, 20, 30)])
+    out = {r.time: r.value for r in
+           render.linear_regression_series(s).collect()}
+    assert out[10] == pytest.approx(21.0)
+    assert out[30] == pytest.approx(61.0)
+
+
+def test_percentile_band_selection(spark):
+    rows = []
+    for i, base in enumerate((1.0, 2.0, 3.0, 4.0, 100.0)):
+        rows += [(f"s{i}", t, base) for t in (1, 2)]
+    s = _series(spark, rows)
+    out = {r.path for r in
+           render.average_outside_percentile(s, 75).collect()}
+    assert out == {"s0", "s4"}  # below 25th, above 75th avg band
+    rb = {r.path for r in
+          render.remove_between_percentile(s, 75).collect()}
+    assert rb == {"s0", "s4"}
+
+
+def test_time_stack(spark):
+    store = _store(spark)
+    out = evaluate_target(
+        parse_target("timeStack(ev.a, '1min', 0, 2)"), store, 160, 220
+    ).collect()
+    got = {(r.path, r.time, r.value) for r in out}
+    # i=0: window [160,220] -> point 160 (3.0); i=1: window [100,160]
+    # -> points 100 (1.0) and 160 (3.0), shifted forward 60s
+    assert got == {
+        ("timeShift(ev.a,1min,0)", 160, 3.0),
+        ("timeShift(ev.a,1min,1)", 160, 1.0),
+        ("timeShift(ev.a,1min,1)", 220, 3.0),
+    }
