@@ -214,6 +214,11 @@ _FUNCS = {
     "linearRegression": render.linear_regression_series,
     "averageOutsidePercentile": render.average_outside_percentile,
     "removeBetweenPercentile": render.remove_between_percentile,
+    "cactiStyle": render.cacti_style,
+    "aggregateLine": lambda df, fn="avg": render.aggregate_line(df, fn),
+    "aggregateWithWildcards": lambda df, fn, *pos: (
+        render.combine_with_wildcards(df, fn, *[int(p) for p in pos])
+    ),
 }
 
 # presentation-only functions graphite-web accepts that do not change
@@ -228,7 +233,7 @@ for _name in (
 _DISPATCH_FORMS = (
     "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
-    "divideSeries", "asPercent", "timeStack",
+    "divideSeries", "asPercent", "timeStack", "weightedAverage",
 )
 
 
@@ -507,6 +512,12 @@ def evaluate_target(
         if a.take(1):
             return a
         return evaluate_target(expr.args[1], store, t0, t1, ctx)
+    if expr.name == "weightedAverage":
+        a = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        b = evaluate_target(expr.args[1], store, t0, t1, ctx)
+        return render.weighted_average(
+            a, b, *[int(n) for n in expr.args[2:]]
+        )
     if expr.name == "timeStack":
         # overlay N window-shifted copies of the inner expression
         # (graphite's day-over-day comparison); each copy evaluates

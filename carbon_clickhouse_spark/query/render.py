@@ -768,6 +768,83 @@ def remove_between_percentile(series: DataFrame, n: float) -> DataFrame:
     return series.join(F.broadcast(winners), "path", "left_semi")
 
 
+def cacti_style(series: DataFrame, units: str = "") -> DataFrame:
+    """Graphite ``cactiStyle``: append " Current:<c> Max:<m> Min:<n>"
+    to each series name (the Cacti legend convention). Stats via one
+    per-path window; numbers formatted like graphite-web's %.2f."""
+    wp = Window.partitionBy("path")
+    cur = F.max_by("value", "time").over(wp)
+    mx = F.max("value").over(wp)
+    mn = F.min("value").over(wp)
+    u = f" {units}" if units else ""
+    fmt = lambda c: F.coalesce(  # noqa: E731
+        F.format_number(c, 2), F.lit("nan")
+    )
+    label = F.concat(
+        F.col("path"),
+        F.lit(" Current:"), fmt(cur), F.lit(u),
+        F.lit(" Max:"), fmt(mx), F.lit(u),
+        F.lit(" Min:"), fmt(mn), F.lit(u),
+    )
+    return series.select(label.alias("path"), "time", "value")
+
+
+def aggregate_line(series: DataFrame, func: str = "avg") -> DataFrame:
+    """Graphite ``aggregateLine``: a flat line per series at its
+    ``func`` over the window, named ``aggregateLine(<path>, <func>)``.
+    One per-path window stat carried onto every timestamp."""
+    wp = Window.partitionBy("path")
+    v = F.col("value").cast("decimal(32,6)")
+    if func in ("avg", "average"):
+        stat = (F.sum(v).over(wp).cast("double") / F.count("value").over(wp))
+    elif func == "max":
+        stat = F.max("value").over(wp)
+    elif func == "min":
+        stat = F.min("value").over(wp)
+    elif func in ("sum", "total"):
+        stat = F.sum(v).over(wp).cast("double")
+    elif func == "last":
+        stat = F.max_by("value", "time").over(wp)
+    else:
+        raise ValueError(f"unsupported func {func!r}")
+    label = F.concat(
+        F.lit("aggregateLine("), F.col("path"), F.lit(f", {func})")
+    )
+    return series.select(label.alias("path"), "time", stat.alias("value"))
+
+
+def weighted_average(
+    avg_series: DataFrame, weight_series: DataFrame, *nodes: int
+) -> DataFrame:
+    """Graphite ``weightedAverage(seriesListAvg, seriesListWeight,
+    *nodes)``: pair each average series with the weight series
+    sharing the selected path nodes, then emit ONE series —
+    sum over pairs of (avg * weight) / sum(weight) per timestamp
+    (NULL when the weight sum is 0), named ``weightedAverage`` like
+    graphite-web. Duplicate series on one key collapse to the
+    lexically-largest path (graphite keys a dict per node-key; this
+    makes the overwrite deterministic)."""
+    segs = F.split(F.col("path"), r"\.")
+    key = F.concat_ws(".", *[segs.getItem(int(n)) for n in nodes])
+
+    def keyed(df, out):
+        return (
+            df.select(key.alias("k"), "time", "value", "path")
+            .groupBy("k", "time")
+            .agg(F.max_by("value", "path").alias(out))
+        )
+
+    j = keyed(avg_series, "va").join(keyed(weight_series, "vw"), ["k", "time"])
+    out = j.groupBy("time").agg(
+        F.sum(F.col("va") * F.col("vw")).alias("num"),
+        F.sum("vw").alias("den"),
+    )
+    v = F.when(F.col("den") != 0, F.col("num") / F.col("den"))
+    return out.select(
+        F.lit("weightedAverage").alias("path"), "time", v.alias("value")
+    )
+
+
 def square_root(series: DataFrame) -> DataFrame:
     """Graphite ``squareRoot``: sqrt(value); negative -> NULL (gap)."""
     v = F.when(F.col("value") >= 0, F.sqrt("value"))

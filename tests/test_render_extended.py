@@ -286,3 +286,27 @@ def test_time_stack(spark):
         ("timeShift(ev.a,1min,1)", 160, 1.0),
         ("timeShift(ev.a,1min,1)", 220, 3.0),
     }
+
+
+def test_cacti_style_and_aggregate_line(spark):
+    s = _series(spark, [("m", 1, 1.0), ("m", 2, 3.0)])
+    lab = render.cacti_style(s).collect()[0].path
+    assert lab == "m Current:3.00 Max:3.00 Min:1.00"
+    al = render.aggregate_line(s, "avg").collect()
+    assert {r.path for r in al} == {"aggregateLine(m, avg)"}
+    assert {r.value for r in al} == {2.0}
+
+
+def test_weighted_average(spark):
+    avg = _series(
+        spark,
+        [("h1.cpu.avg", 1, 10.0), ("h2.cpu.avg", 1, 20.0)],
+    )
+    wt = _series(
+        spark,
+        [("h1.cpu.weight", 1, 1.0), ("h2.cpu.weight", 1, 3.0)],
+    )
+    out = render.weighted_average(avg, wt, 0).collect()
+    # one combined series: sum(avg*w) / sum(w) over the host pairs
+    assert len(out) == 1 and out[0].path == "weightedAverage"
+    assert out[0].value == pytest.approx((10 * 1 + 20 * 3) / 4)
