@@ -119,3 +119,29 @@ def chunk_documents(
             "n_tokens"
         ),
     )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    root: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic sharded corpus layout for training readers:
+    shard = xxhash64(doc_id) % n_shards, one parquet file per shard
+    directory (``shard=<k>/``), rows sorted by doc_id within the
+    shard. Re-running over the same corpus reproduces byte-identical
+    shard membership — no RNG, no dependence on partition
+    enumeration order. Size n_shards so one shard ~ one reader task's
+    appetite (at 100 TB: thousands of shards, each still one task)."""
+    out = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(root)
+    )

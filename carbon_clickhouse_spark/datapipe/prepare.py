@@ -1,0 +1,130 @@
+"""End-to-end corpus preparation: the composed pipeline a user runs.
+
+Each stage exists as a tested primitive (``text.py``, ``dedup.py``,
+``contamination.py``, ``pack.py``); this module chains them in the
+published pretraining-data order — quality/language gates, exact
+dedup, MinHash near-dedup, benchmark decontamination, PII scrub —
+and keeps an audit trail of every dropped doc_id with the stage that
+dropped it (the F5 dropped-sample discipline applied to documents).
+
+Scale shape: one Arrow-free feature pass, then each dedup stage
+shuffles only 16-byte fingerprints / short band keys; the corpus
+text itself is shuffled at most once (the exact-dedup window). The
+audit table holds (doc_id, stage) longs+shorts — negligible next to
+the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .contamination import benchmark_ngram_contamination, pii_scrub
+from .dedup import fingerprint, minhash_lsh_pairs
+from .text import language_id, quality_features
+
+
+@dataclass
+class CorpusPrepConfig:
+    min_tokens: int | None = 20
+    min_stopword_ratio: float | None = None
+    languages: tuple[str, ...] = field(default_factory=tuple)
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    minhash_hashes: int = 8
+    minhash_band: int = 2
+    shingle_k: int = 3
+    #: eval/benchmark set for decontamination (None = skip)
+    benchmark: DataFrame | None = None
+    max_contamination: float = 0.1
+    contamination_n: int = 3
+    scrub_pii: bool = True
+
+
+def prepare_corpus(
+    docs: DataFrame, cfg: CorpusPrepConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full preparation chain over ``docs`` (doc_id, text,
+    ...). Returns ``(kept, audit)``: ``kept`` carries the original
+    columns plus quality/language features and scrub counts; ``audit``
+    is one ``(doc_id, stage)`` row per dropped document, stages in
+    {'quality', 'language', 'exact_dup', 'near_dup',
+    'contaminated'}."""
+    cfg = cfg or CorpusPrepConfig()
+    spark = docs.sparkSession
+    audits: list[DataFrame] = []
+
+    def note(df: DataFrame, stage: str) -> None:
+        audits.append(
+            df.select("doc_id", F.lit(stage).alias("stage"))
+        )
+
+    cur = language_id(quality_features(docs))
+
+    # --- quality / language gates (stateless column predicates) -----
+    qual_bad = F.lit(False)
+    if cfg.min_tokens is not None:
+        qual_bad = qual_bad | (F.col("n_tokens") < cfg.min_tokens)
+    if cfg.min_stopword_ratio is not None:
+        qual_bad = qual_bad | (
+            F.col("stopword_ratio") < cfg.min_stopword_ratio
+        )
+    note(cur.filter(qual_bad), "quality")
+    cur = cur.filter(~qual_bad)
+    if cfg.languages:
+        lang_bad = ~F.col("lang_pred").isin(list(cfg.languages))
+        note(cur.filter(lang_bad), "language")
+        cur = cur.filter(~lang_bad)
+
+    # --- exact dedup: keep-first per normalized fingerprint ---------
+    if cfg.exact_dedup:
+        w = Window.partitionBy("__fp").orderBy("doc_id")
+        cur = cur.withColumn("__fp", fingerprint("text")).withColumn(
+            "__rk", F.row_number().over(w)
+        )
+        note(cur.filter(F.col("__rk") > 1), "exact_dup")
+        cur = cur.filter(F.col("__rk") == 1).drop("__fp", "__rk")
+
+    # --- near dedup: MinHash LSH candidate pairs, drop the higher id
+    # of every pair (the repo-wide keep-first survivor rule) ---------
+    if cfg.near_dedup:
+        pairs = minhash_lsh_pairs(
+            cur,
+            num_hashes=cfg.minhash_hashes,
+            band_size=cfg.minhash_band,
+            k=cfg.shingle_k,
+        )
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        note(cur.join(losers, "doc_id", "left_semi"), "near_dup")
+        cur = cur.join(losers, "doc_id", "left_anti")
+
+    # --- decontamination against the benchmark set ------------------
+    if cfg.benchmark is not None:
+        overlap = benchmark_ngram_contamination(
+            cur, cfg.benchmark, n=cfg.contamination_n
+        ).select(
+            "doc_id", (F.col("overlap") > cfg.max_contamination).alias("__bad")
+        )
+        cur = cur.join(overlap, "doc_id", "left")
+        note(cur.filter(F.col("__bad")), "contaminated")
+        cur = cur.filter(~F.coalesce(F.col("__bad"), F.lit(False))).drop(
+            "__bad"
+        )
+
+    # --- PII scrub: the prepared corpus ships the redacted text as
+    # ``text`` (counts kept for the audit-minded) --------------------
+    if cfg.scrub_pii:
+        cur = (
+            pii_scrub(cur)
+            .withColumn("text", F.col("text_clean"))
+            .drop("text_clean")
+        )
+
+    if audits:
+        audit = audits[0]
+        for a in audits[1:]:
+            audit = audit.unionByName(a)
+    else:
+        audit = spark.createDataFrame([], "doc_id long, stage string")
+    return cur, audit
