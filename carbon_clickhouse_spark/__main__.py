@@ -301,6 +301,31 @@ def main(argv=None) -> int:
         "--api-listen", default="127.0.0.1:8080",
         help="with --serve: HOST:PORT for the query API",
     )
+    ap.add_argument(
+        "--prepare-corpus", nargs=2, default=None,
+        metavar=("IN_PARQUET", "OUT_ROOT"),
+        help="run the LLM-datapipe preparation chain (quality/language "
+        "gates, exact + MinHash dedup, optional decontamination, PII "
+        "scrub) over a documents parquet; writes OUT_ROOT/corpus "
+        "shards + OUT_ROOT/audit and exits",
+    )
+    ap.add_argument(
+        "--min-tokens", type=int, default=20,
+        help="with --prepare-corpus: drop docs shorter than this",
+    )
+    ap.add_argument(
+        "--languages", default=None,
+        help="with --prepare-corpus: comma-separated lang_pred "
+        "allowlist (default: keep all)",
+    )
+    ap.add_argument(
+        "--benchmark", default=None, metavar="PARQUET",
+        help="with --prepare-corpus: eval set to decontaminate against",
+    )
+    ap.add_argument(
+        "--shards", type=int, default=64,
+        help="with --prepare-corpus: output shard count",
+    )
     args = ap.parse_args(argv)
 
     if args.cat:
@@ -329,6 +354,41 @@ def main(argv=None) -> int:
             pass
         finally:
             api.stop()
+        return 0
+    if args.prepare_corpus:
+        import os
+
+        from .datapipe.pack import write_corpus_shards
+        from .datapipe.prepare import CorpusPrepConfig, prepare_corpus
+        from .session import get_spark
+
+        spark = get_spark(
+            app_name="carbon-clickhouse-spark-prepare", master=args.master
+        )
+        in_path, out_root = args.prepare_corpus
+        docs = spark.read.parquet(in_path)
+        cfg = CorpusPrepConfig(
+            min_tokens=args.min_tokens,
+            languages=tuple(
+                args.languages.split(",")
+            ) if args.languages else (),
+            benchmark=(
+                spark.read.parquet(args.benchmark)
+                if args.benchmark
+                else None
+            ),
+        )
+        kept, audit = prepare_corpus(docs, cfg)
+        kept = kept.persist()
+        write_corpus_shards(
+            kept, os.path.join(out_root, "corpus"), n_shards=args.shards
+        )
+        audit.write.mode("overwrite").parquet(
+            os.path.join(out_root, "audit")
+        )
+        n_kept = kept.count()
+        kept.unpersist()
+        print(f"prepared corpus: {n_kept} docs kept", flush=True)
         return 0
     if args.compact:
         import os

@@ -245,3 +245,36 @@ def test_compact_flag(spark, tmp_path, capsys):
     ]
     # 60s buckets -> the two points merge into one avg row
     assert got_pts == [("m.a.avg", 2.0)]
+
+
+def test_prepare_corpus_cli(tmp_path):
+    """--prepare-corpus runs the datapipe chain over a documents
+    parquet and writes corpus shards + the audit table."""
+    import duckdb
+
+    from carbon_clickhouse_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, 'the cat sat on the mat and the dog sat on the rug while "
+        "the bird sang in the tree and the sun rose over the hill'), "
+        "(2, 'tiny')"
+        ") t(doc_id, text)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "out")
+    rc = main([
+        "--prepare-corpus", src, out,
+        "--min-tokens", "5", "--shards", "2",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    kept = con.execute(
+        f"SELECT doc_id FROM read_parquet('{out}/corpus/*/*.parquet')"
+    ).fetchall()
+    assert [r[0] for r in kept] == [1]
+    audit = con.execute(
+        f"SELECT doc_id, stage FROM read_parquet('{out}/audit/*.parquet')"
+    ).fetchall()
+    assert (2, "quality") in audit
