@@ -638,6 +638,12 @@ def render_format(series: list, fmt: str) -> tuple[bytes, str]:
 
 
 def _parse_time(v: str | None, default: int, now: int) -> int:
+    """graphite-web from/until forms: epoch seconds, ``now``,
+    relative ``-1h``, ``today``/``yesterday`` (UTC midnight — the
+    session TZ is pinned UTC), and the absolute ``HH:MM_YYYYMMDD`` /
+    ``YYYYMMDD`` shapes its at-style parser accepts."""
+    import datetime as _dt
+
     if not v:
         return default
     v = v.strip()
@@ -645,6 +651,26 @@ def _parse_time(v: str | None, default: int, now: int) -> int:
         return now + _seconds(v)
     if v == "now":
         return now
+    utc = _dt.timezone.utc
+    if v in ("today", "yesterday"):
+        d = _dt.datetime.fromtimestamp(now, utc).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        if v == "yesterday":
+            d -= _dt.timedelta(days=1)
+        return int(d.timestamp())
+    m = re.fullmatch(r"(\d{1,2}):(\d{2})_(\d{8})", v)
+    if m:
+        d = _dt.datetime.strptime(m.group(3), "%Y%m%d").replace(
+            hour=int(m.group(1)), minute=int(m.group(2)), tzinfo=utc
+        )
+        return int(d.timestamp())
+    if re.fullmatch(r"(19|20)\d{6}", v):
+        # 8 digits starting 19/20 = a YYYYMMDD date, not epoch seconds
+        # (epoch values in that range are years 2590+ — not a real
+        # ambiguity for monitoring data)
+        d = _dt.datetime.strptime(v, "%Y%m%d").replace(tzinfo=utc)
+        return int(d.timestamp())
     return int(v)
 
 

@@ -505,3 +505,17 @@ def test_render_output_formats(store):
         }]
     finally:
         api.stop()
+
+
+def test_parse_time_forms():
+    from carbon_clickhouse_spark.query.api import _parse_time
+
+    now = 1704153600  # 2024-01-02 00:00:00 UTC
+    assert _parse_time(None, 7, now) == 7
+    assert _parse_time("now", 0, now) == now
+    assert _parse_time("-1h", 0, now) == now - 3600
+    assert _parse_time("today", 0, now) == 1704153600
+    assert _parse_time("yesterday", 0, now) == 1704067200
+    assert _parse_time("12:30_20240101", 0, now) == 1704112200
+    assert _parse_time("20240101", 0, now) == 1704067200
+    assert _parse_time("1704067200", 0, now) == 1704067200
