@@ -310,3 +310,58 @@ def test_weighted_average(spark):
     # one combined series: sum(avg*w) / sum(w) over the host pairs
     assert len(out) == 1 and out[0].path == "weightedAverage"
     assert out[0].value == pytest.approx((10 * 1 + 20 * 3) / 4)
+
+
+def test_render_invariants_random_series(spark):
+    """Invariant sweep over a seeded random multi-series input (nulls
+    included): interpolate preserves known points and fills inside the
+    neighbor envelope; minMax stays in [0,1]; substr matches the
+    Python slice; grouped sums are conserved."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for s in range(6):
+        path = f"a{s}.b{s % 3}.c{s % 2}.d"
+        for t in range(40):
+            v = None if rng.random() < 0.25 else round(
+                rng.uniform(-100, 100), 3
+            )
+            rows.append((path, t * 10, v))
+    s = _series(spark, rows)
+    src = {(r[0], r[1]): r[2] for r in rows}
+
+    out = render.interpolate(s).collect()
+    by_path = {}
+    for p, t in src:
+        by_path.setdefault(p, []).append(t)
+    for r in out:
+        orig = src[(r.path, r.time)]
+        if orig is not None:
+            assert r.value == orig
+        elif r.value is not None:
+            ts = sorted(by_path[r.path])
+            known = [(t, src[(r.path, t)]) for t in ts
+                     if src[(r.path, t)] is not None]
+            prev = max((kv for kv in known if kv[0] < r.time),
+                       default=None)
+            nxt = min((kv for kv in known if kv[0] > r.time),
+                      default=None)
+            assert prev and nxt  # interior gap only
+            lo, hi = sorted((prev[1], nxt[1]))
+            assert lo - 1e-9 <= r.value <= hi + 1e-9
+
+    mm = render.min_max(s).collect()
+    for r in mm:
+        assert r.value is None or -1e-12 <= r.value <= 1 + 1e-12
+
+    sub = render.substr_path(s, 1, 3).collect()
+    for r in sub:
+        assert r.path in {"b0.c0", "b1.c1", "b2.c0", "b0.c1", "b1.c0",
+                          "b2.c1"}
+
+    # groupByNodes(sum) conserves the total of non-null values
+    tot_in = sum(v for v in src.values() if v is not None)
+    gb = render.group_by_nodes(s, "sum", 1).collect()
+    tot_out = sum(r.value for r in gb if r.value is not None)
+    assert abs(tot_in - tot_out) < 1e-6
