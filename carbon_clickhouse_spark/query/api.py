@@ -367,8 +367,27 @@ class GraphiteStore:
                 out.append((p, True))
         return sorted(set(out))
 
+    @staticmethod
+    def _suffix_heavy(glob: str) -> bool:
+        """graphite-clickhouse's reverse heuristic: wildcard in the
+        first node, literal last node -> the REVERSE index turns the
+        suffix match into a prefix scan."""
+        wild = set("*?[{")
+        segs = glob.split(".")
+        return any(c in wild for c in segs[0]) and not any(
+            c in wild for c in segs[-1]
+        )
+
     def series(self, glob: str, t0: int, t1: int) -> DataFrame:
-        paths = [p for p, leaf in self.find(glob) if leaf]
+        if self._suffix_heavy(glob):
+            from .finder import find_metrics_reverse
+
+            paths = sorted(
+                r["path"]
+                for r in find_metrics_reverse(self.index, glob).collect()
+            )
+        else:
+            paths = [p for p, leaf in self.find(glob) if leaf]
         # graphite-web's 'until' is INCLUSIVE; read_series filters
         # time < until, so widen by one second at the facade edge
         return read_series(

@@ -519,3 +519,24 @@ def test_parse_time_forms():
     assert _parse_time("12:30_20240101", 0, now) == 1704112200
     assert _parse_time("20240101", 0, now) == 1704067200
     assert _parse_time("1704067200", 0, now) == 1704067200
+
+
+def test_series_suffix_glob_uses_reverse_index(spark):
+    """A leading-wildcard glob resolves through the reverse index
+    (prefix scan on reversed paths) and returns the same series."""
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    base = 1_625_478_000
+    lines = [f"dc.h{h}.cpu.user {h} {base}" for h in (1, 2)] + [
+        f"dc.h1.mem.used 5 {base}"
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    t = derive_tables(parse_plain_lines(df, now=base), IngestConfig(now=base))
+    store = GraphiteStore(t["index"].cache(), t["points"].cache())
+    assert store._suffix_heavy("*.*.cpu.user")
+    assert not store._suffix_heavy("dc.*.cpu.*")
+    s = store.series("*.*.cpu.user", base - 1, base + 1)
+    assert sorted({r.path for r in s.collect()}) == [
+        "dc.h1.cpu.user", "dc.h2.cpu.user",
+    ]
