@@ -127,6 +127,31 @@ def find_tagged(
     return df.select("path").distinct()
 
 
+def _months_between(time_from: int, time_until: int) -> list[str] | None:
+    """yyyyMM partition values covering [time_from, time_until) in
+    UTC, padded one month each side for points whose metric timestamp
+    and write date straddle a boundary (version-date skew). None for
+    degenerate or absurdly wide windows (no pruning)."""
+    import datetime as _dt
+
+    if time_until <= time_from:
+        return []
+    utc = _dt.timezone.utc
+    lo = _dt.datetime.fromtimestamp(time_from, utc)
+    hi = _dt.datetime.fromtimestamp(max(time_from, time_until - 1), utc)
+    y, m = lo.year, lo.month - 1  # one month of slack on each side
+    if m == 0:
+        y, m = y - 1, 12
+    months = []
+    while (y, m) <= (hi.year, hi.month) and len(months) <= 1201:
+        months.append(f"{y}{m:02d}")
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    months.append(f"{y}{m:02d}")  # trailing slack month
+    return None if len(months) > 1200 else months
+
+
 def read_series(
     points: DataFrame,
     paths: DataFrame | list[str],
@@ -148,6 +173,15 @@ def read_series(
     df = points.filter(
         (F.col("time") >= time_from) & (F.col("time") < time_until)
     )
+    if "month" in points.columns:
+        # the stored layout partitions by month(date); Spark cannot
+        # derive partition pruning from the epoch-time predicate, so
+        # enumerate the window's yyyyMM values explicitly — at 100 TB
+        # this is the difference between scanning one month's files
+        # and listing every partition
+        months = _months_between(time_from, time_until)
+        if months is not None:
+            df = df.filter(F.col("month").isin(months))
     if isinstance(paths, list):
         df = df.filter(F.col("path").isin(paths))
     else:

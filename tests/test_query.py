@@ -120,3 +120,32 @@ def test_chunk_auto_interval():
     assert effective_chunk_interval(1.0, 0, auto) == 1.0
     assert effective_chunk_interval(1.0, 7, auto) == 10.0
     assert effective_chunk_interval(1.0, 25, auto) == 60.0
+
+
+def test_read_series_month_partition_pruning(spark, tmp_path):
+    """A stored month-partitioned root is pruned to the window's
+    yyyyMM values (plus one slack month each side): the physical plan
+    carries a month partition filter and results are unchanged."""
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables, write_tables
+    from carbon_clickhouse_spark.query.finder import _months_between, read_series
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    # two points five months apart
+    t_jan, t_jun = 1_704_100_000, 1_717_300_000  # 2024-01, 2024-06
+    lines = [f"m.a 1 {t_jan}", f"m.a 2 {t_jun}"]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    root = str(tmp_path / "tables")
+    write_tables(
+        derive_tables(parse_plain_lines(df, now=t_jan), IngestConfig()), root
+    )
+    pts = spark.read.parquet(root + "/points")
+    out = read_series(pts, ["m.a"], t_jan - 10, t_jan + 10)
+    assert [r.value for r in out.collect()] == [1.0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "month" in plan  # partition filter reached the scan
+    ms = _months_between(t_jan - 10, t_jan + 10)
+    assert "202401" in ms and "202312" in ms and "202402" in ms
+    assert "202406" not in ms
+    # full window still sees both points
+    both = read_series(pts, ["m.a"], t_jan - 10, t_jun + 10)
+    assert sorted(r.value for r in both.collect()) == [1.0, 2.0]
