@@ -195,9 +195,10 @@ def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
     from .query.api import GraphiteStore, RenderApi
 
     index = spark.read.parquet(_os.path.join(root, "index"))
+    # keep the month partition column: read_series prunes partitions
+    # with it (it projects (path, time, value) at the end, so the
+    # extra column never reaches responses)
     points = spark.read.parquet(_os.path.join(root, "points"))
-    if "month" in points.columns:
-        points = points.drop("month")
     tagged = None
     tagged_path = _os.path.join(root, "tagged")
     if _os.path.exists(tagged_path):
@@ -378,16 +379,22 @@ def main(argv=None) -> int:
                 else None
             ),
         )
-        kept, audit = prepare_corpus(docs, cfg)
+        pool: list = []
+        kept, audit = prepare_corpus(docs, cfg, persisted_pool=pool)
         kept = kept.persist()
-        write_corpus_shards(
-            kept, os.path.join(out_root, "corpus"), n_shards=args.shards
-        )
-        audit.write.mode("overwrite").parquet(
-            os.path.join(out_root, "audit")
-        )
-        n_kept = kept.count()
-        kept.unpersist()
+        try:
+            write_corpus_shards(
+                kept, os.path.join(out_root, "corpus"),
+                n_shards=args.shards,
+            )
+            audit.write.mode("overwrite").parquet(
+                os.path.join(out_root, "audit")
+            )
+            n_kept = kept.count()
+        finally:
+            kept.unpersist()
+            for df in pool:
+                df.unpersist()
         print(f"prepared corpus: {n_kept} docs kept", flush=True)
         return 0
     if args.compact:

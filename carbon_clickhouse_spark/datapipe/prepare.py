@@ -43,24 +43,43 @@ class CorpusPrepConfig:
 
 
 def prepare_corpus(
-    docs: DataFrame, cfg: CorpusPrepConfig | None = None
+    docs: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    persisted_pool: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full preparation chain over ``docs`` (doc_id, text,
     ...). Returns ``(kept, audit)``: ``kept`` carries the original
     columns plus quality/language features and scrub counts; ``audit``
     is one ``(doc_id, stage)`` row per dropped document, stages in
     {'quality', 'language', 'exact_dup', 'near_dup',
-    'contaminated'}."""
+    'contaminated'}.
+
+    ``kept`` and ``audit`` fork from shared intermediates; writing
+    both without caching re-executes the expensive stages (feature
+    regexes, the fingerprint window, the LSH join) once per output.
+    Pass a list as ``persisted_pool`` to persist each fork point
+    (MEMORY_AND_DISK) — the caller unpersists the pooled frames after
+    both writes."""
     cfg = cfg or CorpusPrepConfig()
     spark = docs.sparkSession
     audits: list[DataFrame] = []
+
+    def hold(df: DataFrame) -> DataFrame:
+        """Persist a frame both output branches will re-read."""
+        if persisted_pool is None:
+            return df
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_pool.append(df)
+        return df
 
     def note(df: DataFrame, stage: str) -> None:
         audits.append(
             df.select("doc_id", F.lit(stage).alias("stage"))
         )
 
-    cur = language_id(quality_features(docs))
+    cur = hold(language_id(quality_features(docs)))
 
     # --- quality / language gates (stateless column predicates) -----
     qual_bad = F.lit(False)
@@ -80,8 +99,10 @@ def prepare_corpus(
     # --- exact dedup: keep-first per normalized fingerprint ---------
     if cfg.exact_dedup:
         w = Window.partitionBy("__fp").orderBy("doc_id")
-        cur = cur.withColumn("__fp", fingerprint("text")).withColumn(
-            "__rk", F.row_number().over(w)
+        cur = hold(
+            cur.withColumn("__fp", fingerprint("text")).withColumn(
+                "__rk", F.row_number().over(w)
+            )
         )
         note(cur.filter(F.col("__rk") > 1), "exact_dup")
         cur = cur.filter(F.col("__rk") == 1).drop("__fp", "__rk")
@@ -95,16 +116,21 @@ def prepare_corpus(
             band_size=cfg.minhash_band,
             k=cfg.shingle_k,
         )
-        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        losers = hold(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        )
         note(cur.join(losers, "doc_id", "left_semi"), "near_dup")
         cur = cur.join(losers, "doc_id", "left_anti")
 
     # --- decontamination against the benchmark set ------------------
     if cfg.benchmark is not None:
-        overlap = benchmark_ngram_contamination(
-            cur, cfg.benchmark, n=cfg.contamination_n
-        ).select(
-            "doc_id", (F.col("overlap") > cfg.max_contamination).alias("__bad")
+        overlap = hold(
+            benchmark_ngram_contamination(
+                cur, cfg.benchmark, n=cfg.contamination_n
+            ).select(
+                "doc_id",
+                (F.col("overlap") > cfg.max_contamination).alias("__bad"),
+            )
         )
         cur = cur.join(overlap, "doc_id", "left")
         note(cur.filter(F.col("__bad")), "contaminated")

@@ -120,9 +120,15 @@ def start_corpus_ingest(
     """Start the corpus ingest stream: streaming documents ->
     ``<root>/corpus`` (kept rows + features), ``<root>/hashes``
     (16-byte dedup keys), ``<root>/rejected`` (audited drops with
-    reasons). Restart-safe: the checkpoint replays an uncommitted
-    batch and the hash anti-join makes the replayed append idempotent
-    for dedup'd content (the K4 idempotency argument, content-keyed).
+    reasons).
+
+    Restart semantics: the corpus append runs BEFORE the hashes
+    append, so a crash between the two and the checkpoint replay can
+    duplicate a batch's rows in the corpus files — never lose them
+    (hashes-first would silently drop the batch on replay). Duplicates
+    are resolved at read time by :func:`read_corpus`, the same
+    ReplacingMergeTree read-view discipline the metrics tables use
+    (``operators/dedup.py``).
     """
     checkpoint = cfg.checkpoint or os.path.join(cfg.root, "_checkpoint")
     corpus_path = os.path.join(cfg.root, "corpus")
@@ -187,6 +193,22 @@ def start_corpus_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=cfg.trigger)
         .start()
+    )
+
+
+def read_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """The corpus read view: physical duplicates from a replayed
+    micro-batch (see :func:`start_corpus_ingest`) collapse to one row
+    per content hash, lowest doc_id winning — deterministic, the
+    replacing-dedup discipline applied to documents."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(os.path.join(root, "corpus"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
     )
 
 

@@ -184,7 +184,6 @@ _FUNCS = {
     "round": lambda df, p=0: render.round_values(df, int(p)),
     "minMax": render.min_max,
     "scaleToSeconds": lambda df, s: render.scale_to_seconds(df, int(s)),
-    "hitcount": lambda df, iv: render.hitcount(df, _seconds(iv)),
     "lowestAverage": lambda df, n=1: render.lowest(df, int(n), "avg"),
     "lowestCurrent": lambda df, n=1: render.lowest(df, int(n), "current"),
     "lowestMax": lambda df, n=1: render.lowest(df, int(n), "max"),
@@ -234,6 +233,7 @@ _DISPATCH_FORMS = (
     "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
     "divideSeries", "asPercent", "timeStack", "weightedAverage",
+    "hitcount",
 )
 
 
@@ -520,6 +520,17 @@ def evaluate_target(
             F.lit(label).alias("path"),
             F.col("id").alias("time"),
             F.col("id").cast("double").alias("value"),
+        )
+    if expr.name == "hitcount":
+        # bucket boundaries anchor at the window end like graphite-web
+        # (alignToFrom=true anchors at from instead)
+        inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        iv = _seconds(expr.args[1]) if len(expr.args) > 1 else 60
+        align_from = len(expr.args) > 2 and str(
+            expr.args[2]
+        ).lower() in ("true", "1")
+        return render.hitcount(
+            inner, iv, anchor=(t0 if align_from else t1)
         )
     if expr.name == "smartSummarize":
         inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
@@ -855,13 +866,22 @@ class RenderApi:
                                         .groupBy("path", "time")
                                         .agg(cons("value").alias("value"))
                                     )
-                            rows = df.orderBy("path", "time").collect()
+                            # keep the frame's own row order so the
+                            # sortBy* family orders the series list;
+                            # unordered frames fall back to name order
+                            ordered = "sortBy" in target
+                            rows = (
+                                df.collect()
+                                if ordered
+                                else df.orderBy("path", "time").collect()
+                            )
                             by_path: dict[str, list] = {}
                             for r in rows:
                                 by_path.setdefault(r["path"], []).append(
                                     [r["value"], r["time"]]
                                 )
                             for path, pts in by_path.items():
+                                pts.sort(key=lambda p: p[1])
                                 series.append(
                                     {"target": path, "datapoints": pts}
                                 )

@@ -728,8 +728,9 @@ def linear_regression_series(series: DataFrame) -> DataFrame:
 
 def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
     """Graphite ``averageOutsidePercentile``: keep the full series of
-    paths whose average lies OUTSIDE the [100-n, n] percentile band of
-    all series averages (n is symmetrized above 50 like
+    paths whose average lies OUTSIDE the open (100-n, n) percentile
+    band of all series averages — boundary averages are KEPT, matching
+    graphite-web's ``not lo < avg < hi`` (n symmetrized above 50 like
     graphite-web). The stats table is series-cardinality — the band is
     two scalars, crossJoin-broadcast back."""
     n = max(float(n), 100.0 - float(n))
@@ -740,7 +741,9 @@ def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
     )
     winners = (
         stat.crossJoin(F.broadcast(band))
-        .filter((F.col("stat") < F.col("lo")) | (F.col("stat") > F.col("hi")))
+        .filter(
+            (F.col("stat") <= F.col("lo")) | (F.col("stat") >= F.col("hi"))
+        )
         .select("path")
     )
     return series.join(F.broadcast(winners), "path", "left_semi")
@@ -748,16 +751,18 @@ def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
 
 def remove_between_percentile(series: DataFrame, n: float) -> DataFrame:
     """Graphite ``removeBetweenPercentile``: keep series that have at
-    least one point outside the per-timestamp [100-n, n] percentile
-    band across series. Band per timestamp via a time-partitioned
-    window; the qualifying path set semi-joins back."""
+    least one point outside the OPEN per-timestamp (100-n, n)
+    percentile band across series (boundary values count as outside,
+    graphite's ``not lo < v < hi``). Band per timestamp via a
+    time-partitioned window; the qualifying path set semi-joins
+    back."""
     n = max(float(n), 100.0 - float(n))
     wt = Window.partitionBy("time")
     lo = F.expr(f"percentile(value, {(100.0 - n) / 100.0})").over(wt)
     hi = F.expr(f"percentile(value, {n / 100.0})").over(wt)
     outside = series.select(
         "path",
-        ((F.col("value") < lo) | (F.col("value") > hi)).alias("out"),
+        ((F.col("value") <= lo) | (F.col("value") >= hi)).alias("out"),
     )
     winners = (
         outside.groupBy("path")
@@ -778,7 +783,7 @@ def cacti_style(series: DataFrame, units: str = "") -> DataFrame:
     mn = F.min("value").over(wp)
     u = f" {units}" if units else ""
     fmt = lambda c: F.coalesce(  # noqa: E731
-        F.format_number(c, 2), F.lit("nan")
+        F.format_string("%.2f", c), F.lit("nan")
     )
     label = F.concat(
         F.col("path"),
@@ -893,7 +898,7 @@ def min_max(series: DataFrame) -> DataFrame:
     return series.select("path", "time", v.alias("value"))
 
 
-def _step(series_cols=None):
+def _step():
     """Per-point sampling step: time since the previous point of the
     same series; the first point borrows the step that follows it
     (graphite-web reads a fixed series.step from whisper metadata —
@@ -910,15 +915,24 @@ def scale_to_seconds(series: DataFrame, seconds: int) -> DataFrame:
     return series.select("path", "time", v.alias("value"))
 
 
-def hitcount(series: DataFrame, interval_s: int) -> DataFrame:
+def hitcount(
+    series: DataFrame, interval_s: int, anchor: int | None = None
+) -> DataFrame:
     """Graphite ``hitcount(series, interval)``: sum of value * step
     per interval bucket — turns a rate back into a count of events per
     bucket (graphite-web's docs call this the function that is
-    'unaffected by consolidation')."""
+    'unaffected by consolidation'). graphite-web anchors bucket
+    boundaries at the request window's END (or at ``from`` with
+    alignToFrom) — pass that time as ``anchor``; None = epoch grid."""
+    if anchor is None:
+        bucket = F.col("time") - (F.col("time") % F.lit(interval_s))
+    else:
+        bucket = F.col("time") - F.pmod(
+            F.col("time") - F.lit(int(anchor)), F.lit(interval_s)
+        )
     contrib = F.col("value") * _step()
-    bucket = (F.col("time") - (F.col("time") % F.lit(interval_s))).alias("time")
     return (
-        series.select("path", bucket, contrib.alias("c"))
+        series.select("path", bucket.alias("time"), contrib.alias("c"))
         .groupBy("path", "time")
         .agg(F.sum("c").alias("value"))
     )

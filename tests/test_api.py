@@ -540,3 +540,21 @@ def test_series_suffix_glob_uses_reverse_index(spark):
     assert sorted({r.path for r in s.collect()}) == [
         "dc.h1.cpu.user", "dc.h2.cpu.user",
     ]
+
+
+def test_render_sort_by_total_orders_series(store):
+    """sortBy* must order the series list in the /render response
+    (the handler keeps the frame's row order for sorted targets)."""
+    api = RenderApi(store).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/render?target=sortByTotal(dc.*.cpu)"
+            "&from=1625478000&until=1625479000"
+        ) as resp:
+            series = json.loads(resp.read())
+        assert [s["target"] for s in series] == ["dc.h2.cpu", "dc.h1.cpu"]
+        # per-series datapoints stay time-ordered
+        times = [t for _, t in series[0]["datapoints"]]
+        assert times == sorted(times)
+    finally:
+        api.stop()

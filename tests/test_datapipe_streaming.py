@@ -145,3 +145,25 @@ def test_dedup_within_watermark(spark, tmp_path):
         assert got == [1, 3]
     finally:
         q.stop()
+
+
+def test_read_corpus_replay_dedup(spark, tmp_path):
+    """read_corpus collapses the physical duplicates a crash-replayed
+    micro-batch can leave in the corpus files (lowest doc_id wins)."""
+    import pyspark.sql.functions as F
+
+    from carbon_clickhouse_spark.datapipe.streaming import read_corpus
+
+    root = str(tmp_path / "root")
+    rows = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).withColumn("content_hash", F.md5("text"))
+    rows.write.mode("append").parquet(root + "/corpus")
+    # simulate a replayed batch: same content re-appended, plus a
+    # same-content row under a different doc_id
+    replay = spark.createDataFrame(
+        [(1, "alpha"), (7, "beta")], "doc_id long, text string"
+    ).withColumn("content_hash", F.md5("text"))
+    replay.write.mode("append").parquet(root + "/corpus")
+    out = {r.doc_id for r in read_corpus(spark, root).collect()}
+    assert out == {1, 2}

@@ -265,12 +265,14 @@ def test_percentile_band_selection(spark):
     for i, base in enumerate((1.0, 2.0, 3.0, 4.0, 100.0)):
         rows += [(f"s{i}", t, base) for t in (1, 2)]
     s = _series(spark, rows)
+    # graphite keeps boundary averages: band over (1,2,3,4,100) is
+    # (p25, p75) = (2, 4) OPEN, so 2 and 4 survive alongside 1 and 100
     out = {r.path for r in
            render.average_outside_percentile(s, 75).collect()}
-    assert out == {"s0", "s4"}  # below 25th, above 75th avg band
+    assert out == {"s0", "s1", "s3", "s4"}
     rb = {r.path for r in
           render.remove_between_percentile(s, 75).collect()}
-    assert rb == {"s0", "s4"}
+    assert rb == {"s0", "s1", "s3", "s4"}
 
 
 def test_time_stack(spark):
@@ -292,6 +294,11 @@ def test_cacti_style_and_aggregate_line(spark):
     s = _series(spark, [("m", 1, 1.0), ("m", 2, 3.0)])
     lab = render.cacti_style(s).collect()[0].path
     assert lab == "m Current:3.00 Max:3.00 Min:1.00"
+    # graphite uses %.2f — no thousands separators
+    big = _series(spark, [("m", 1, 1234.5)])
+    assert render.cacti_style(big).collect()[0].path == (
+        "m Current:1234.50 Max:1234.50 Min:1234.50"
+    )
     al = render.aggregate_line(s, "avg").collect()
     assert {r.path for r in al} == {"aggregateLine(m, avg)"}
     assert {r.value for r in al} == {2.0}
@@ -365,3 +372,16 @@ def test_render_invariants_random_series(spark):
     gb = render.group_by_nodes(s, "sum", 1).collect()
     tot_out = sum(r.value for r in gb if r.value is not None)
     assert abs(tot_in - tot_out) < 1e-6
+
+
+def test_hitcount_end_aligned_via_facade(spark):
+    """Through the facade, hitcount buckets anchor at the request end
+    like graphite-web (not the epoch grid)."""
+    store = _store(spark)
+    out = evaluate_target(
+        parse_target("hitcount(ev.a, '1min')"), store, 70, 190
+    ).collect()
+    got = {r.time: r.value for r in out}
+    # ev.a: (100, 1.0), (160, 3.0), step 60; buckets end at 190:
+    # [70,130) holds 100 -> 60, [130,190) holds 160 -> 180
+    assert got == {70: 60.0, 130: 180.0}
