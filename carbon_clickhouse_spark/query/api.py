@@ -207,9 +207,6 @@ _FUNCS = {
         df, fn, *[int(n) for n in nodes]
     ),
     "groupByTags": lambda df, fn, *tags: render.group_by_tags(df, fn, *tags),
-    "holtWintersForecast": lambda df: render.holt_forecast(df).select(
-        "path", "time", F.col("forecast").alias("value")
-    ),
     "linearRegression": render.linear_regression_series,
     "averageOutsidePercentile": render.average_outside_percentile,
     "removeBetweenPercentile": render.remove_between_percentile,
@@ -233,7 +230,8 @@ _DISPATCH_FORMS = (
     "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
     "divideSeries", "asPercent", "timeStack", "weightedAverage",
-    "hitcount",
+    "hitcount", "holtWintersForecast", "holtWintersConfidenceBands",
+    "holtWintersAberration",
 )
 
 
@@ -542,6 +540,23 @@ def evaluate_target(
         if a.take(1):
             return a
         return evaluate_target(expr.args[1], store, t0, t1, ctx)
+    if expr.name in (
+        "holtWintersForecast",
+        "holtWintersConfidenceBands",
+        "holtWintersAberration",
+    ):
+        # graphite bootstraps the seasonal model on extra history
+        # before the window (default 7d), then trims to the request
+        boot = _seconds(expr.args[2]) if len(expr.args) > 2 else 604800
+        inner = evaluate_target(expr.args[0], store, t0 - boot, t1, ctx)
+        delta = float(expr.args[1]) if len(expr.args) > 1 else 3.0
+        if expr.name == "holtWintersForecast":
+            out = render.holt_winters_forecast(inner)
+        elif expr.name == "holtWintersConfidenceBands":
+            out = render.holt_winters_confidence_bands(inner, delta)
+        else:
+            out = render.holt_winters_aberration(inner, delta)
+        return out.filter(F.col("time") >= t0)
     if expr.name == "weightedAverage":
         a = evaluate_target(expr.args[0], store, t0, t1, ctx)
         b = evaluate_target(expr.args[1], store, t0, t1, ctx)

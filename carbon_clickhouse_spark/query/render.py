@@ -443,6 +443,158 @@ def holt_forecast(
     )
 
 
+def holt_winters(
+    series: DataFrame,
+    season_s: int = 86400,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float = 0.1,
+) -> DataFrame:
+    """Seasonal (additive) Holt-Winters per series — graphite-web's
+    ``holtWintersAnalysis`` recurrences (render/functions.py, public):
+    level/trend smoothing plus a seasonal term one season back, and a
+    seasonally-indexed absolute deviation:
+
+        intercept_t = a*(y_t - s_{t-L}) + (1-a)*(intercept + slope)
+        slope_t     = b*(intercept_t - intercept) + (1-b)*slope
+        seasonal_t  = g*(y_t - intercept_t) + (1-g)*s_{t-L}
+        forecast_t  = intercept + slope + s_{t+1-L}   (one step ahead)
+        deviation_t = g*|y_t - forecast_t| + (1-g)*d_{t-L}
+
+    Season length L in points = season_s / step, with the step
+    inferred per series (parquet series carry no whisper metadata).
+    -> (path, time, value, forecast, deviation). Same applyInPandas
+    shape as :func:`ema_holt`: one shuffle on path, O(L) state."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("time", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+            T.StructField("deviation", T.DoubleType()),
+        ]
+    )
+
+    def analyze(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("time")
+        times = pdf["time"].to_list()
+        diffs = sorted({b - a for a, b in zip(times, times[1:]) if b > a})
+        step = diffs[0] if diffs else 60
+        L = max(1, int(round(season_s / step)))
+        seasonals: list = []
+        deviations: list = []
+        intercept = slope = None
+        next_pred = None
+        fcs, devs = [], []
+        for i, y in enumerate(pdf["value"]):
+            bad = y is None or (isinstance(y, float) and math.isnan(y))
+            last_seasonal = seasonals[i - L] if i - L >= 0 else 0.0
+            next_last_seasonal = (
+                seasonals[i + 1 - L] if i + 1 - L >= 0 else 0.0
+            )
+            last_dev = deviations[i - L] if i - L >= 0 else 0.0
+            if bad:
+                seasonals.append(0.0)
+                deviations.append(0.0)
+                fcs.append(next_pred)
+                devs.append(None)
+                next_pred = None
+                continue
+            if intercept is None:
+                prediction = y
+                li, ls = y, 0.0
+            else:
+                prediction = next_pred if next_pred is not None else y
+                li, ls = intercept, slope
+            intercept = alpha * (y - last_seasonal) + (1 - alpha) * (
+                li + ls
+            )
+            slope = beta * (intercept - li) + (1 - beta) * ls
+            seasonal = gamma * (y - intercept) + (1 - gamma) * last_seasonal
+            next_pred = intercept + slope + next_last_seasonal
+            deviation = gamma * abs(y - prediction) + (1 - gamma) * last_dev
+            seasonals.append(seasonal)
+            deviations.append(deviation)
+            fcs.append(prediction)
+            devs.append(deviation)
+        return pd.DataFrame(
+            {
+                "path": pdf["path"],
+                "time": pdf["time"],
+                "value": pdf["value"],
+                "forecast": fcs,
+                "deviation": devs,
+            }
+        )
+
+    return (
+        series.select("path", "time", "value")
+        .groupBy("path")
+        .applyInPandas(lambda p: analyze(p), schema)
+    )
+
+
+def holt_winters_forecast(series: DataFrame, season_s: int = 86400) -> DataFrame:
+    """Graphite ``holtWintersForecast``: the one-step-ahead seasonal
+    forecast series."""
+    return holt_winters(series, season_s).select(
+        F.concat(F.lit("holtWintersForecast("), "path", F.lit(")")).alias(
+            "path"
+        ),
+        "time",
+        F.col("forecast").alias("value"),
+    )
+
+
+def holt_winters_confidence_bands(
+    series: DataFrame, delta: float = 3.0, season_s: int = 86400
+) -> DataFrame:
+    """Graphite ``holtWintersConfidenceBands``: forecast +/- delta *
+    deviation, two labeled series per input series."""
+    hw = holt_winters(series, season_s)
+    up = F.col("forecast") + F.lit(float(delta)) * F.col("deviation")
+    lo = F.col("forecast") - F.lit(float(delta)) * F.col("deviation")
+    mk = lambda tag, v: F.struct(  # noqa: E731
+        F.concat(F.lit(f"holtWintersConfidence{tag}("), F.col("path"),
+                 F.lit(")")).alias("path"),
+        v.alias("value"),
+    )
+    return (
+        hw.select(
+            "time",
+            F.explode(F.array(mk("Upper", up), mk("Lower", lo))).alias("s"),
+        )
+        .select(F.col("s.path").alias("path"), "time", "s.value")
+    )
+
+
+def holt_winters_aberration(
+    series: DataFrame, delta: float = 3.0, season_s: int = 86400
+) -> DataFrame:
+    """Graphite ``holtWintersAberration``: how far each actual value
+    strays outside the confidence band (0 inside it)."""
+    hw = holt_winters(series, season_s)
+    up = F.col("forecast") + F.lit(float(delta)) * F.col("deviation")
+    lo = F.col("forecast") - F.lit(float(delta)) * F.col("deviation")
+    ab = (
+        F.when(F.col("value") > up, F.col("value") - up)
+        .when(F.col("value") < lo, F.col("value") - lo)
+        .otherwise(F.lit(0.0))
+    )
+    return hw.select(
+        F.concat(F.lit("holtWintersAberration("), "path", F.lit(")")).alias(
+            "path"
+        ),
+        "time",
+        ab.alias("value"),
+    )
+
+
 def combine_series(series: DataFrame, func: str = "sum") -> DataFrame:
     """Graphite ``sumSeries / averageSeries / maxSeries / minSeries``:
     collapse ALL input series into one series per timestamp, labeled

@@ -385,3 +385,56 @@ def test_hitcount_end_aligned_via_facade(spark):
     # ev.a: (100, 1.0), (160, 3.0), step 60; buckets end at 190:
     # [70,130) holds 100 -> 60, [130,190) holds 160 -> 180
     assert got == {70: 60.0, 130: 180.0}
+
+
+def test_holt_winters_family(spark):
+    """Seasonal Holt-Winters: on a perfectly periodic signal the
+    forecast converges to the signal, the confidence band brackets
+    it, and aberration is 0 inside the band."""
+    import math
+
+    rows = []
+    for i in range(480):  # 8 "days" of 60 points at 10s season
+        v = 10.0 + 5.0 * math.sin(2 * math.pi * (i % 60) / 60)
+        rows.append(("m", i * 10, round(v, 4)))
+    s = _series(spark, rows)
+    hw = render.holt_winters(s, season_s=600).collect()
+    by_t = {r.time: r for r in hw}
+    # the seasonal term converges at (1-gamma) per season — slow at
+    # graphite's defaults: season 8's error must sit well below
+    # season 2's and below the signal amplitude
+    def mean_err(lo, hi):
+        xs = [abs(r.forecast - r.value) for r in hw if lo <= r.time < hi]
+        return sum(xs) / len(xs)
+
+    assert mean_err(4200, 4800) < 0.85 * mean_err(600, 1200) < 5.0
+    assert all(r.deviation >= 0 for r in hw if r.time >= 1800)
+    late = [r for r in hw if r.time >= 1800]
+
+    bands = render.holt_winters_confidence_bands(s, 3.0, 600).collect()
+    up = {r.time: r.value for r in bands
+          if r.path.startswith("holtWintersConfidenceUpper")}
+    lo = {r.time: r.value for r in bands
+          if r.path.startswith("holtWintersConfidenceLower")}
+    ts = range(1800, 4800, 10)
+    cover = sum(
+        1 for t in ts if lo[t] - 1e-6 <= by_t[t].value <= up[t] + 1e-6
+    )
+    assert cover >= 0.8 * len(ts)  # band may clip extremes while converging
+
+    ab = render.holt_winters_aberration(s, 3.0, 600).collect()
+    late_ab = [r.value for r in ab if r.time >= 1800]
+    # periodic signal stays inside the 3-deviation band mostly
+    inside = sum(1 for v in late_ab if v == 0.0)
+    assert inside >= len(late_ab) * 0.8
+
+
+def test_holt_winters_bootstrap_trim(spark):
+    """The facade bootstraps on pre-window history and trims the
+    response to the requested window."""
+    store = _store(spark)
+    out = evaluate_target(
+        parse_target("holtWintersForecast(ev.a)"), store, 160, 220
+    ).collect()
+    assert {r.time for r in out} <= {160, 220}
+    assert all(r.path == "holtWintersForecast(ev.a)" for r in out)
