@@ -211,6 +211,11 @@ _FUNCS = {
     "averageOutsidePercentile": render.average_outside_percentile,
     "removeBetweenPercentile": render.remove_between_percentile,
     "cactiStyle": render.cacti_style,
+    "movingWindow": lambda df, p=5, fn="avg": (
+        render.moving_average(df, **_movwin(p))
+        if fn in ("avg", "average")
+        else render.moving(df, fn, **_movwin(p))
+    ),
     "aggregateLine": lambda df, fn="avg": render.aggregate_line(df, fn),
     "aggregateWithWildcards": lambda df, fn, *pos: (
         render.combine_with_wildcards(df, fn, *[int(p) for p in pos])
@@ -231,7 +236,7 @@ _DISPATCH_FORMS = (
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
     "divideSeries", "asPercent", "timeStack", "weightedAverage",
     "hitcount", "holtWintersForecast", "holtWintersConfidenceBands",
-    "holtWintersAberration",
+    "holtWintersAberration", "divideSeriesLists", "applyByNode",
 )
 
 
@@ -563,6 +568,40 @@ def evaluate_target(
         return render.weighted_average(
             a, b, *[int(n) for n in expr.args[2:]]
         )
+    if expr.name == "divideSeriesLists":
+        # pairwise division: series paired by sorted path order
+        # (graphite pairs the two lists positionally)
+        a = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        b = evaluate_target(expr.args[1], store, t0, t1, ctx)
+        return render.divide_series_lists(a, b)
+    if expr.name == "applyByNode":
+        # evaluate a target template once per distinct node prefix:
+        # applyByNode(dc.*.cpu, 1, 'sumSeries(%.cpu)') — '%' expands
+        # to the node-0..node path prefix of each group
+        glob = expr.args[0]
+        if not isinstance(glob, str):
+            raise ValueError("applyByNode needs a path glob first arg")
+        node = int(expr.args[1])
+        template = str(expr.args[2])
+        prefixes = sorted(
+            {
+                ".".join(p.split(".")[: node + 1])
+                for p, leaf in store.find(glob)
+            }
+        )
+        frames = [
+            evaluate_target(
+                parse_target(template.replace("%", pre)),
+                store, t0, t1, ctx,
+            )
+            for pre in prefixes
+        ]
+        if not frames:
+            raise ValueError(f"applyByNode: no series match {glob!r}")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     if expr.name == "timeStack":
         # overlay N window-shifted copies of the inner expression
         # (graphite's day-over-day comparison); each copy evaluates

@@ -642,6 +642,43 @@ def divide_series(dividend: DataFrame, divisor: DataFrame) -> DataFrame:
     return j.select(F.lit("divideSeries").alias("path"), "time", v.alias("value"))
 
 
+def divide_series_lists(
+    dividends: DataFrame, divisors: DataFrame
+) -> DataFrame:
+    """Graphite ``divideSeriesLists``: divide the i-th dividend series
+    by the i-th divisor series, pairing by sorted path order (graphite
+    pairs positionally and errors on length mismatch; sorted order is
+    the deterministic analog). The pairing table is series-cardinality
+    (the single-partition ranking window is over distinct paths only,
+    never points) and broadcasts onto the dividend rows."""
+    w = Window.orderBy("path")
+    pa = (
+        dividends.select("path").distinct()
+        .select(F.col("path").alias("pa"), F.row_number().over(w).alias("pos"))
+    )
+    pb = (
+        divisors.select("path").distinct()
+        .select(F.col("path").alias("pb"), F.row_number().over(w).alias("pos"))
+    )
+    pairs = pa.join(pb, "pos").select("pa", "pb")
+    a = dividends.join(
+        F.broadcast(pairs), dividends["path"] == pairs["pa"]
+    ).select("pa", "pb", "time", F.col("value").alias("va"))
+    b = divisors.select(
+        F.col("path").alias("pb"), "time", F.col("value").alias("vb")
+    )
+    j = a.join(b, ["pb", "time"], "left")
+    v = F.when(
+        F.col("vb").isNotNull() & (F.col("vb") != 0),
+        F.col("va") / F.col("vb"),
+    )
+    label = F.concat(
+        F.lit("divideSeries("), F.col("pa"), F.lit(","), F.col("pb"),
+        F.lit(")"),
+    )
+    return j.select(label.alias("path"), "time", v.alias("value"))
+
+
 def changed(series: DataFrame) -> DataFrame:
     """Graphite ``changed``: 1 where the value differs from the
     previous point of the same series, else 0 (first point -> 0)."""

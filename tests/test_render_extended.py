@@ -438,3 +438,22 @@ def test_holt_winters_bootstrap_trim(spark):
     ).collect()
     assert {r.time for r in out} <= {160, 220}
     assert all(r.path == "holtWintersForecast(ev.a)" for r in out)
+
+
+def test_divide_series_lists_and_apply_by_node(spark):
+    store = _store(spark)
+    out = evaluate_target(
+        parse_target("divideSeriesLists(ev.a, ev.b)"), store, 0, 200
+    ).collect()
+    got = {r.time: r.value for r in out}
+    assert got == {100: 0.1, 160: 0.1}
+    assert out[0].path == "divideSeries(ev.a,ev.b)"
+
+    ab = evaluate_target(
+        parse_target("applyByNode(ev.*, 1, 'sumSeries(%)')"),
+        store, 0, 200,
+    ).collect()
+    # one sumSeries evaluation per node-1 prefix (ev.a, ev.b)
+    assert len(ab) == 4
+    vals = sorted(r.value for r in ab)
+    assert vals == [1.0, 3.0, 10.0, 30.0]
