@@ -718,6 +718,49 @@ def render_format(series: list, fmt: str) -> tuple[bytes, str]:
                 }
             )
         return pickle.dumps(out, protocol=2), "application/pickle"
+    if fmt in ("protobuf", "carbonapi_v2_pb"):
+        # go-graphite carbonapi v2 wire format (public .proto):
+        # MultiFetchResponse{ repeated FetchResponse metrics = 1 }
+        # FetchResponse{ name=1, startTime=2, stopTime=3, stepTime=4,
+        #                repeated double values=5 (packed),
+        #                repeated bool isAbsent=6 (packed) }
+        import struct
+
+        def uvarint(n: int) -> bytes:
+            out = b""
+            while True:
+                b7 = n & 0x7F
+                n >>= 7
+                out += bytes([b7 | (0x80 if n else 0)])
+                if not n:
+                    return out
+
+        def ld(field: int, payload: bytes) -> bytes:
+            return uvarint((field << 3) | 2) + uvarint(len(payload)) + payload
+
+        def vi(field: int, val: int) -> bytes:
+            return uvarint(field << 3) + uvarint(val)
+
+        body = b""
+        for s in series:
+            if not s["datapoints"]:
+                continue
+            start, stop, step, values = _grid(s["datapoints"])
+            vals = struct.pack(
+                f"<{len(values)}d",
+                *[0.0 if v is None else float(v) for v in values],
+            )
+            absent = bytes(1 if v is None else 0 for v in values)
+            fr = (
+                ld(1, s["target"].encode("utf-8"))
+                + vi(2, start)
+                + vi(3, stop)
+                + vi(4, step)
+                + ld(5, vals)
+                + ld(6, absent)
+            )
+            body += ld(1, fr)
+        return body, "application/protobuf"
     raise ValueError(f"unsupported format {fmt!r}")
 
 

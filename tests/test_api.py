@@ -558,3 +558,36 @@ def test_render_sort_by_total_orders_series(store):
         assert times == sorted(times)
     finally:
         api.stop()
+
+
+def test_render_protobuf_format(store):
+    """format=protobuf emits the carbonapi v2 MultiFetchResponse wire
+    shape; verified by decoding with the generic protobuf field
+    walker the OTLP source uses."""
+    import struct
+
+    from carbon_clickhouse_spark.sources.otlp import _fields
+
+    api = RenderApi(store).start()
+    try:
+        url = (
+            f"http://127.0.0.1:{api.port}/render?target=dc.h1.cpu"
+            "&from=1625478000&until=1625478180&format=protobuf"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.headers["Content-Type"] == "application/protobuf"
+            body = r.read()
+        metrics = [p for f, wt, p in _fields(body) if f == 1 and wt == 2]
+        assert len(metrics) == 1
+        got = {}
+        for f, wt, p in _fields(metrics[0]):
+            got.setdefault(f, []).append((wt, p))
+        assert got[1][0][1].decode() == "dc.h1.cpu"
+        assert got[2][0][1] == 1625478000  # startTime
+        assert got[3][0][1] == 1625478240  # stopTime (exclusive)
+        assert got[4][0][1] == 60          # stepTime
+        vals = struct.unpack("<4d", got[5][0][1])
+        assert vals == (0.0, 1.0, 2.0, 3.0)
+        assert got[6][0][1] == b"\x00\x00\x00\x00"  # none absent
+    finally:
+        api.stop()
