@@ -119,6 +119,65 @@ def _histogram_point(payload: bytes):
     return attrs, t_ms, count, total, bucket_counts, bounds
 
 
+def _packed_uvarint(payload) -> list[int]:
+    """Packed repeated uint64 (varint) — ExponentialHistogram bucket
+    counts use this, unlike classic histograms' fixed64."""
+    if isinstance(payload, int):  # unpacked single varint form
+        return [payload]
+    out, i, n = [], 0, len(payload)
+    val = shift = 0
+    while i < n:
+        b = payload[i]
+        val |= (b & 0x7F) << shift
+        shift += 7
+        i += 1
+        if not b & 0x80:
+            out.append(val)
+            val = shift = 0
+    return out
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _exp_buckets(payload: bytes) -> tuple[int, list[int]]:
+    """ExponentialHistogramDataPoint.Buckets -> (offset, counts)."""
+    offset, counts = 0, []
+    for f, wt, p in _fields(payload):
+        if f == 1 and wt == 0:  # sint32 offset (zigzag)
+            offset = _zigzag(p)
+        elif f == 2:
+            counts += _packed_uvarint(p)
+    return offset, counts
+
+
+def _exp_histogram_point(payload: bytes):
+    """ExponentialHistogramDataPoint -> (attrs, t_ms, count, sum,
+    scale, zero_count, (pos_offset, pos_counts))."""
+    attrs: list[tuple[str, str]] = []
+    t_ms = count = zero_count = 0
+    total: float | None = None
+    scale = 0
+    pos = (0, [])
+    for f, wt, p in _fields(payload):
+        if f == 1 and wt == 2:
+            attrs += _attributes(p)
+        elif f == 3 and wt == 1:
+            t_ms = struct.unpack("<Q", p)[0] // 1_000_000
+        elif f == 4 and wt == 1:
+            count = struct.unpack("<Q", p)[0]
+        elif f == 5 and wt == 1:
+            total = struct.unpack("<d", p)[0]
+        elif f == 6 and wt == 0:
+            scale = _zigzag(p)
+        elif f == 7 and wt == 1:
+            zero_count = struct.unpack("<Q", p)[0]
+        elif f == 8 and wt == 2:
+            pos = _exp_buckets(p)
+    return attrs, t_ms, count, total, scale, zero_count, pos
+
+
 def _summary_point(payload: bytes):
     attrs: list[tuple[str, str]] = []
     t_ms = count = 0
@@ -210,6 +269,39 @@ def parse_export_metrics(body: bytes) -> list[tuple[list, list]]:
                                     f"{name}_bucket", res_attrs, attrs,
                                     [("le", le)], float(cum), t_ms,
                                 )
+                            emit(f"{name}_count", res_attrs, attrs, [],
+                                 float(count), t_ms)
+                            if total is not None:
+                                emit(f"{name}_sum", res_attrs, attrs, [],
+                                     total, t_ms)
+                    elif f3 == 10 and wt3 == 2:  # ExponentialHistogram
+                        # downgrade to classic cumulative le buckets:
+                        # base = 2^(2^-scale); positive bucket i (with
+                        # offset o) has upper bound base^(o+i+1); the
+                        # zero bucket seeds the cumulative count, and
+                        # negative buckets land only in count/+Inf
+                        # (graphite consumers have no negative-bound
+                        # le convention)
+                        for f4, _, dp in _fields(p3):
+                            if f4 != 1:
+                                continue
+                            (attrs, t_ms, count, total, scale,
+                             zero_count, (off, counts)) = (
+                                _exp_histogram_point(dp)
+                            )
+                            base = 2.0 ** (2.0 ** -scale)
+                            cum = zero_count
+                            for i, bc in enumerate(counts):
+                                cum += bc
+                                le = _fmt_bound(base ** (off + i + 1))
+                                emit(
+                                    f"{name}_bucket", res_attrs, attrs,
+                                    [("le", le)], float(cum), t_ms,
+                                )
+                            emit(
+                                f"{name}_bucket", res_attrs, attrs,
+                                [("le", "+Inf")], float(count), t_ms,
+                            )
                             emit(f"{name}_count", res_attrs, attrs, [],
                                  float(count), t_ms)
                             if total is not None:

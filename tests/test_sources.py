@@ -528,3 +528,40 @@ def test_decoders_drop_int64_overflow_timestamps(spark):
     df3 = spark.createDataFrame([(metric,)], "body binary")
     rows = grpc_payloads_to_points(df3, blob_col="body", version=1).collect()
     assert [(r.path, r.time) for r in rows] == [("g.m", 1500000000)]
+
+
+def test_otlp_exponential_histogram():
+    """ExponentialHistogram (field 10) downgrades to cumulative le
+    buckets: base = 2^(2^-scale), upper bound base^(offset+i+1), zero
+    bucket seeds the cumulative count."""
+    from carbon_clickhouse_spark.sources.otlp import parse_export_metrics
+
+    t_nano = 1_625_478_240_000 * 1_000_000
+    # scale=0 -> base=2; positive offset=1, counts [3, 4]:
+    # bounds 2^2=4 and 2^3=8; zero_count=2; count=9; sum=25.0
+    pos = _pb_len(
+        8,
+        _pb_key(1, 0) + _pb_varint(1 << 1)  # sint32 offset=1 (zigzag)
+        + _pb_len(2, _pb_varint(3) + _pb_varint(4)),
+    )
+    dp = (
+        _pb_fixed64(3, t_nano)
+        + _pb_fixed64(4, 9)
+        + _pb_double(5, 25.0)
+        + _pb_key(6, 0) + _pb_varint(0)  # scale=0 zigzag(0)=0
+        + _pb_fixed64(7, 2)              # zero_count
+        + pos
+    )
+    exp = _pb_len(10, _pb_len(1, dp))
+    metric = _pb_len(2, _pb_len(1, b"resp_size") + exp)
+    body = _pb_len(1, _pb_len(2, metric))
+    series = parse_export_metrics(body)
+    by_name = {}
+    for labels, samples in series:
+        d = dict(labels)
+        by_name[(d["__name__"], d.get("le"))] = samples[0][0]
+    assert by_name[("resp_size_bucket", "4")] == 5.0    # 2 zero + 3
+    assert by_name[("resp_size_bucket", "8")] == 9.0    # + 4
+    assert by_name[("resp_size_bucket", "+Inf")] == 9.0
+    assert by_name[("resp_size_count", None)] == 9.0
+    assert by_name[("resp_size_sum", None)] == 25.0
