@@ -235,7 +235,7 @@ _DISPATCH_FORMS = (
     "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
     "divideSeries", "asPercent", "timeStack", "weightedAverage",
-    "hitcount", "holtWintersForecast", "holtWintersConfidenceBands",
+    "hitcount", "identity", "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "divideSeriesLists", "applyByNode",
 )
 
@@ -514,7 +514,7 @@ def evaluate_target(
             [(label, t, value) for t in (t0, (t0 + t1) // 2, t1)],
             "path string, time long, value double",
         )
-    if expr.name in ("time", "timeFunction"):
+    if expr.name in ("time", "timeFunction", "identity"):
         # generator: value == timestamp on the given step grid
         label = str(expr.args[0]) if expr.args else "time"
         step = int(expr.args[1]) if len(expr.args) > 1 else 60
@@ -764,6 +764,11 @@ def render_format(series: list, fmt: str) -> tuple[bytes, str]:
     raise ValueError(f"unsupported format {fmt!r}")
 
 
+def now_ts() -> int:
+    """Wall-clock seconds (separated for test monkeypatching)."""
+    return int(_time.time())
+
+
 def _parse_time(v: str | None, default: int, now: int) -> int:
     """graphite-web from/until forms: epoch seconds, ``now``,
     relative ``-1h``, ``today``/``yesterday`` (UTC midnight — the
@@ -881,6 +886,36 @@ class RenderApi:
                         self._json(store.all_metrics())
                     elif u.path in ("/metrics/find", "/metrics/find/"):
                         glob = q.get("query", ["*"])[0]
+                        nodes = store.find(glob)
+                        if q.get("format", ["treejson"])[0] == "pickle":
+                            # graphite-web remote-finder protocol:
+                            # pickled [{'metric_path', 'isLeaf',
+                            # 'intervals'}] (intervals as (start, end)
+                            # epoch pairs; the store has no per-series
+                            # retention metadata, so all-time)
+                            import pickle as _p
+
+                            body = _p.dumps(
+                                [
+                                    {
+                                        "metric_path": p,
+                                        "isLeaf": leaf,
+                                        "intervals": [(0, now_ts())],
+                                    }
+                                    for p, leaf in nodes
+                                ],
+                                protocol=2,
+                            )
+                            self.send_response(200)
+                            self.send_header(
+                                "Content-Type", "application/pickle"
+                            )
+                            self.send_header(
+                                "Content-Length", str(len(body))
+                            )
+                            self.end_headers()
+                            self.wfile.write(body)
+                            return
                         out = [
                             {
                                 "text": p.rsplit(".", 1)[-1],
@@ -889,7 +924,7 @@ class RenderApi:
                                 "expandable": int(not leaf),
                                 "allowChildren": int(not leaf),
                             }
-                            for p, leaf in store.find(glob)
+                            for p, leaf in nodes
                         ]
                         self._json(out)
                     elif u.path in ("/metrics/expand", "/metrics/expand/"):

@@ -591,3 +591,24 @@ def test_render_protobuf_format(store):
         assert got[6][0][1] == b"\x00\x00\x00\x00"  # none absent
     finally:
         api.stop()
+
+
+def test_find_pickle_format(store):
+    """format=pickle on /metrics/find returns the remote-finder node
+    dicts graphite-web federates over."""
+    import pickle as _pickle
+
+    api = RenderApi(store).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/metrics/find"
+            "?query=dc.*.cpu&format=pickle"
+        ) as r:
+            assert r.headers["Content-Type"] == "application/pickle"
+            nodes = _pickle.loads(r.read())
+        assert [(n["metric_path"], n["isLeaf"]) for n in nodes] == [
+            ("dc.h1.cpu", True), ("dc.h2.cpu", True),
+        ]
+        assert all(isinstance(n["intervals"], list) for n in nodes)
+    finally:
+        api.stop()
