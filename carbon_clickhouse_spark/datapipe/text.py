@@ -291,6 +291,67 @@ def remove_duplicate_paragraphs(
     )
 
 
+def clean_text(text: Column | str) -> Column:
+    """Standard corpus text hygiene as pure column ops: zero-width
+    characters and BOMs vanish, unicode spaces (NBSP, en/em/thin,
+    ideographic...) become ASCII space, C0/C1 control characters
+    (except tab and newline) are stripped, and runs of spaces/tabs
+    collapse. Compose with :func:`nfc_normalize` when codepoint
+    composition also matters."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(
+        c, "[\u200b\u200c\u200d\u2060\ufeff]", ""
+    )
+    c = F.regexp_replace(
+        c,
+        "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]",
+        " ",
+    )
+    c = F.regexp_replace(
+        c, "[\x00-\x08\x0b-\x1f\x7f\x85]", ""
+    )
+    c = F.regexp_replace(c, "[ \t]{2,}", " ")
+    return c
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC normalization of a text column — one Arrow
+    mapInPandas pass (composition tables aren't expressible as JVM
+    regexes); all other columns pass through."""
+    import unicodedata
+
+    def fix(batches):
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: unicodedata.normalize("NFC", s)
+                if isinstance(s, str)
+                else s
+            )
+            yield pdf
+
+    return df.mapInPandas(fix, df.schema)
+
+
+def train_valid_split(
+    df: DataFrame, valid_pct: float = 1.0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic holdout assignment: adds ``split`` =
+    'valid' for ~valid_pct% of rows keyed on an md5 bucket of the id
+    (RNG-free, stable under repartitioning and re-runs — the property
+    a reproducible 100 TB corpus build needs), else 'train'."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10000
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(valid_pct * 100), F.lit("valid")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def extract_domain(url: Column | str) -> Column:
     """Registrable host of a URL column (lowercased, port stripped) —
     the key for domain-level quality filters and blocklists."""

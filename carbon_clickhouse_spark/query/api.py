@@ -202,7 +202,10 @@ _FUNCS = {
     "interpolate": lambda df, limit=None: render.interpolate(
         df, None if limit is None else int(limit)
     ),
-    "aggregate": render.aggregate_series,
+    # newer graphite-web accepts an xFilesFactor third arg; the
+    # parquet store has no gap-filled buckets for it to act on, so it
+    # is accepted and ignored rather than 400ing dashboards
+    "aggregate": lambda df, fn="sum", *_xff: render.aggregate_series(df, fn),
     "groupByNodes": lambda df, fn, *nodes: render.group_by_nodes(
         df, fn, *[int(n) for n in nodes]
     ),

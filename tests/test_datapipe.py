@@ -695,3 +695,37 @@ def test_write_corpus_shards(spark, tmp_path):
     }
     assert first == again
     del SF
+
+
+def test_clean_text_and_nfc(spark):
+    from carbon_clickhouse_spark.datapipe.text import (
+        clean_text,
+        nfc_normalize,
+    )
+
+    raw = "a\u200bb \u00a0 c\x07d  e\tf\ncaf\u0065\u0301"
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    out = df.select(clean_text("text").alias("t")).first().t
+    # zero-width gone, NBSP -> space then run-collapsed, BEL stripped,
+    # double space collapsed, single tab/newline preserved
+    assert out == "ab cd e\tf\ncafe\u0301"
+    nfc = nfc_normalize(df).first().text
+    assert "caf\u00e9" in nfc  # e + combining acute composed
+
+
+def test_train_valid_split(spark):
+    from carbon_clickhouse_spark.datapipe.text import train_valid_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = train_valid_split(docs, valid_pct=10.0)
+    frac = out.filter("split = 'valid'").count() / 2000
+    assert 0.06 < frac < 0.14
+    # deterministic: identical assignment on re-run / repartition
+    again = {
+        (r.doc_id, r.split)
+        for r in train_valid_split(docs.repartition(7), 10.0).collect()
+    }
+    first = {(r.doc_id, r.split) for r in out.collect()}
+    assert first == again
