@@ -1521,7 +1521,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries — the driver grades the first 50 declared, so every
     # query sits inside the graded window. Order: graphite core, wire
-    # ingest, LLM datapipe, OLAP breadth, render composites.
+    # ingest, LLM datapipe, OLAP breadth, render composites, then the
+    # round-5 datapipe slots (paragraph dedup, domain filter,
+    # chunking) that replaced three redundant render composites.
     return {
         "points_ingest": q_points_ingest,
         "points_reverse": q_points_reverse,
