@@ -238,7 +238,8 @@ _DISPATCH_FORMS = (
     "seriesByTag", "consolidateBy", "constantLine", "threshold", "time",
     "timeFunction", "smartSummarize", "fallbackSeries", "diffSeries",
     "divideSeries", "asPercent", "timeStack", "weightedAverage",
-    "hitcount", "identity", "holtWintersForecast", "holtWintersConfidenceBands",
+    "hitcount", "identity", "mapSeries", "reduceSeries",
+    "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "divideSeriesLists", "applyByNode",
 )
 
@@ -571,6 +572,59 @@ def evaluate_target(
         return render.weighted_average(
             a, b, *[int(n) for n in expr.args[2:]]
         )
+    if expr.name == "reduceSeries":
+        # reduceSeries(mapSeries(expr, *mapNodes), 'fn', reduceNode,
+        # 'm1', 'm2'): within each mapNodes group, pair the series
+        # whose reduceNode segment equals m1 with the m2 series and
+        # apply fn per timestamp. Output named as the path with the
+        # reduceNode segment dropped (graphite's reduced-key name).
+        inner_call = expr.args[0]
+        if not (
+            isinstance(inner_call, Call) and inner_call.name == "mapSeries"
+        ):
+            raise ValueError("reduceSeries expects mapSeries(...) input")
+        df = evaluate_target(inner_call.args[0], store, t0, t1, ctx)
+        map_nodes = [int(n) for n in inner_call.args[1:]]
+        fn = str(expr.args[1])
+        reduce_node = int(expr.args[2])
+        m1, m2 = str(expr.args[3]), str(expr.args[4])
+        segs = F.split(F.col("path"), r"\.")
+        key = F.concat_ws(".", *[segs.getItem(n) for n in map_nodes])
+        seg_r = segs.getItem(reduce_node)
+        reduced_name = F.array_join(
+            F.filter(segs, lambda _, i: i != reduce_node), "."
+        )
+        base = df.select(
+            key.alias("k"), seg_r.alias("r"),
+            reduced_name.alias("rp"), "time", "value",
+        )
+        a = base.filter(F.col("r") == m1).select(
+            "k", "rp", "time", F.col("value").alias("va")
+        )
+        b = base.filter(F.col("r") == m2).select(
+            "k", "time", F.col("value").alias("vb")
+        )
+        j = a.join(b, ["k", "time"], "left")
+        if fn == "diffSeries":
+            v = F.col("va") - F.coalesce(F.col("vb"), F.lit(0.0))
+        elif fn == "divideSeries":
+            v = F.when(
+                F.col("vb").isNotNull() & (F.col("vb") != 0),
+                F.col("va") / F.col("vb"),
+            )
+        elif fn == "asPercent":
+            v = F.when(
+                F.col("vb").isNotNull() & (F.col("vb") != 0),
+                F.col("va") * 100 / F.col("vb"),
+            )
+        else:
+            raise ValueError(f"unsupported reduce function {fn!r}")
+        return j.select(
+            F.col("rp").alias("path"), "time", v.alias("value")
+        )
+    if expr.name == "mapSeries":
+        # bare mapSeries without a reduce = identity on the data
+        return evaluate_target(expr.args[0], store, t0, t1, ctx)
     if expr.name == "divideSeriesLists":
         # pairwise division: series paired by sorted path order
         # (graphite pairs the two lists positionally)

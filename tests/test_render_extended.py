@@ -457,3 +457,27 @@ def test_divide_series_lists_and_apply_by_node(spark):
     assert len(ab) == 4
     vals = sorted(r.value for r in ab)
     assert vals == [1.0, 3.0, 10.0, 30.0]
+
+
+def test_map_reduce_series(spark):
+    """reduceSeries over mapSeries groups: the disk-ratio idiom."""
+    idx = spark.createDataFrame(
+        [("disk.h1.used", 20003), ("disk.h1.total", 20003),
+         ("disk.h2.used", 20003), ("disk.h2.total", 20003)],
+        "path string, level int",
+    )
+    pts = _series(
+        spark,
+        [("disk.h1.used", 100, 30.0), ("disk.h1.total", 100, 100.0),
+         ("disk.h2.used", 100, 10.0), ("disk.h2.total", 100, 40.0)],
+    )
+    store = GraphiteStore(idx, pts)
+    out = evaluate_target(
+        parse_target(
+            "reduceSeries(mapSeries(disk.*.*, 1), "
+            "'asPercent', 2, 'used', 'total')"
+        ),
+        store, 0, 200,
+    ).collect()
+    got = {r.path: r.value for r in out}
+    assert got == {"disk.h1": 30.0, "disk.h2": 25.0}
