@@ -1489,6 +1489,23 @@ def q_domain_filter(spark, sf_dir):
     )
 
 
+def q_substr_dup_spans(spark, sf_dir):
+    """Exact substring-level dedup detection (Lee et al. ACL 2022
+    semantics via Schleimer et al. 2003 winnowing): every corpus
+    region whose winnowing fingerprint (k=20-char grams, window w=8)
+    occurs >= 2 times anywhere, merged into maximal (doc_id,
+    span_start, span_end) char spans. Any duplicated substring of
+    >= k+w-1 = 27 chars is guaranteed caught. Per-char hashing and
+    window minima are zero-shuffle per-row array expressions; only
+    sparse (doc_id, pos, md5) fingerprints reach the two inherent
+    shuffles (hash count + per-doc island merge) — text never
+    crosses the wire."""
+    from carbon_clickhouse_spark.datapipe.substr import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=20, w=8)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking for long-context training
     (datapipe/pack.py:chunk_documents): 32-token windows advancing by
@@ -1523,7 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query sits inside the graded window. Order: graphite core, wire
     # ingest, LLM datapipe, OLAP breadth, render composites, then the
     # round-5 datapipe slots (paragraph dedup, domain filter,
-    # chunking) that replaced three redundant render composites.
+    # chunking, substring-dedup spans) that replaced four redundant
+    # render composites (the render layer keeps render_recursive as
+    # its graded representative; the rest stay unit-tested).
     return {
         "points_ingest": q_points_ingest,
         "points_reverse": q_points_reverse,
@@ -1570,7 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "group_by_node": q_group_by_node,
         "asof_align": q_asof_align,
-        "render_pointwise": q_render_pointwise,
+        "substr_dup_spans": q_substr_dup_spans,
         "render_recursive": q_render_recursive,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
@@ -1753,51 +1772,41 @@ def oracle_sql() -> dict[str, str]:
               AND path IN ('ev.u1.click', 'ev.u2.view', 'ev.u3.error')
             GROUP BY path, 2
         """,
-        "render_pointwise": f"""
-            WITH per_ts AS (
-              SELECT path, time,
-                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
-              FROM ({PTS_SQL}) GROUP BY path, time
-            ),
-            w1 AS (
-              SELECT path, time, value,
-                     CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS cum,
-                     row_number() OVER wo AS rn,
-                     CASE WHEN value <= 50.0 THEN value END AS g
-              FROM per_ts
-              WINDOW wo AS (PARTITION BY path ORDER BY time),
-                     win AS (PARTITION BY path ORDER BY time
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            ),
-            w2 AS (
-              SELECT path, time, value, cum, rn, g,
-                     CAST(round(cum * 100) AS BIGINT)
-                       - lag(CAST(round(cum * 100) AS BIGINT)) OVER wo AS dv2,
-                     time - lag(time) OVER wo AS dt,
-                     last_value(g IGNORE NULLS) OVER win AS carried,
-                     max(CASE WHEN g IS NOT NULL THEN rn END) OVER win AS nn_rn
-              FROM w1
-              WINDOW wo AS (PARTITION BY path ORDER BY time),
-                     win AS (PARTITION BY path ORDER BY time
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        "substr_dup_spans": """
+            WITH pos AS (
+              SELECT doc_id, i AS p, md5(substr(text, i+1, 20)) AS h,
+                     length(text) - 20 AS pmax
+              FROM documents,
+                   unnest(range(0, greatest(length(text) - 19, 0))) AS t(i)
+            ), win AS (
+              SELECT doc_id, p, pmax,
+                     min({'h': h, 'np': -p}) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+              FROM pos
+            ), winners AS (
+              SELECT DISTINCT doc_id, -m.np AS fp_pos, m.h AS h
+              FROM win WHERE p <= pmax - 7
+            ), dup AS (
+              SELECT h FROM winners GROUP BY h HAVING count(*) >= 2
+            ), marked AS (
+              SELECT doc_id, fp_pos FROM winners
+              WHERE h IN (SELECT h FROM dup)
+            ), island AS (
+              SELECT doc_id, fp_pos,
+                     CASE WHEN fp_pos > coalesce(max(fp_pos + 20) OVER (
+                       PARTITION BY doc_id ORDER BY fp_pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS brk
+              FROM marked
+            ), grp AS (
+              SELECT doc_id, fp_pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY fp_pos) AS g
+              FROM island
             )
-            SELECT path, 'integral' AS func, time, round(cum, 4) AS value FROM w2
-            UNION ALL
-            SELECT path, 'perSecond', time,
-                   CASE WHEN dv2 >= 0 AND dt > 0
-                        THEN CAST((2 * dv2 * 100 + dt) // (2 * dt) AS DOUBLE) / 10000.0
-                   END
-            FROM w2
-            UNION ALL
-            SELECT path, 'keepLastValue', time,
-                   round(CASE WHEN g IS NOT NULL THEN g
-                              WHEN rn - nn_rn <= 3 THEN carried END, 4)
-            FROM w2
-            UNION ALL
-            SELECT path, 'logAbsShift', time + 3600,
-                   round(CASE WHEN abs(value) > 0
-                              THEN ln(abs(value)) / ln(10.0) END, 6)
-            FROM w2
+            SELECT doc_id, min(fp_pos) AS span_start,
+                   max(fp_pos) + 20 AS span_end
+            FROM grp GROUP BY doc_id, g
         """,
         "group_by_node": f"""
             SELECT string_split(path, '.')[2] AS path, time,

@@ -729,3 +729,120 @@ def test_train_valid_split(spark):
     }
     first = {(r.doc_id, r.split) for r in out.collect()}
     assert first == again
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (winnowing)
+# ---------------------------------------------------------------------------
+
+def test_winnow_fingerprints_basic(spark):
+    from carbon_clickhouse_spark.datapipe.substr import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (2, "xy"),          # shorter than k: no fingerprints
+            (3, "abcdefg"),     # >= k but < k+w-1: no full window
+            (4, "abcdefgh"),    # exactly k+w-1: exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc and 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    n = len("abcdefghijklmnopqrstuvwxyz0123456789")
+    for r in by_doc[1]:
+        assert 0 <= r.fp_pos <= n - 5
+        assert len(r.h) == 32
+    # winnowing density: selected positions are sparse but non-empty
+    assert 1 <= len(by_doc[1]) < n - 5 + 1
+
+
+def test_winnowing_guarantee_property(spark):
+    """Any shared substring of length >= k+w-1 across two docs must
+    yield at least one shared fingerprint hash (Schleimer et al. 2003
+    correctness property), regardless of its alignment in each doc."""
+    from carbon_clickhouse_spark.datapipe.substr import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "THE-QUOTED-COMMON-PASSAGE-IS-THIS"  # len 33 >= k+w-1 = 8
+    rows = []
+    for i, (pre, post) in enumerate(
+        [("", ""), ("left pad ", " right"), ("x" * 7, ""), ("", "y" * 11)]
+    ):
+        rows.append((i, pre + shared + post))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    per_doc = {}
+    for r in fps:
+        per_doc.setdefault(r.doc_id, set()).add(r.h)
+    common = set.intersection(*per_doc.values())
+    assert common, "winnowing guarantee violated: no shared fingerprint"
+
+
+def test_duplicate_spans_detects_and_merges(spark):
+    from carbon_clickhouse_spark.datapipe.substr import duplicate_spans
+
+    boiler = "All rights reserved worldwide under the license terms."
+    df = spark.createDataFrame(
+        [
+            (1, "Unique intro one. " + boiler + " Unique tail one."),
+            (2, "Other beginning here. " + boiler + " Other ending."),
+            (3, "Totally unrelated content with nothing repeated at all here."),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, k=10, w=4).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 3 not in by_doc
+    # both copies of the boilerplate are covered by exactly one merged
+    # span each, inside the duplicated region (winnowing trims edges by
+    # < k+w chars on either side)
+    for doc_id, prefix in ((1, "Unique intro one. "), (2, "Other beginning here. ")):
+        assert len(by_doc[doc_id]) == 1
+        s, e = by_doc[doc_id][0]
+        # the merged span lies fully inside the duplicated passage:
+        # k-grams straddling the distinct prefix/suffix hash uniquely
+        assert len(prefix) <= s < e <= len(prefix) + len(boiler)
+    # spans are disjoint and sorted per doc
+    for sp in by_doc.values():
+        sp.sort()
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert e1 < s2
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from carbon_clickhouse_spark.datapipe.substr import remove_duplicate_spans
+
+    boiler = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ-abcdefghijklmnop"
+    df = spark.createDataFrame(
+        [
+            (1, "first copy: " + boiler),
+            (2, "second copy: " + boiler + " trailing"),
+            (3, "no duplicates in this row at all, plain text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_duplicate_spans(df, k=10, w=4).collect()}
+    assert set(out) == {1, 2, 3}
+    # keep-first: doc 1 keeps its copy verbatim, doc 2 loses (most of) it
+    assert out[1] == "first copy: " + boiler
+    assert out[3] == "no duplicates in this row at all, plain text only"
+    assert len(out[2]) < len("second copy: " + boiler + " trailing")
+    assert boiler not in out[2]
+
+
+def test_winnow_fingerprints_plan_zero_shuffle(spark):
+    """The per-char hashing + window-min stage must stay a per-row
+    array expression: no Exchange, no Python stage before explode."""
+    from carbon_clickhouse_spark.datapipe.substr import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "x" * 60)], "doc_id long, text string")
+    plan = winnow_fingerprints(df, k=8, w=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
