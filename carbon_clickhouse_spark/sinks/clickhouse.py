@@ -15,7 +15,9 @@ contract is identical to the reference's.
 
 from __future__ import annotations
 
+import datetime as _dt
 import gzip as gzip_mod
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Callable
@@ -26,6 +28,8 @@ from pyspark.sql import DataFrame
 from ..sources.rowbinary import encode_points
 
 POINTS_COLUMNS = "(Path, Value, Time, Date, Timestamp)"
+INDEX_COLUMNS = "(Date, Level, Path, Version)"
+TAGGED_COLUMNS = "(Date, Tag1, Path, Tags, Version)"
 
 
 @dataclass
@@ -113,8 +117,15 @@ def _default_transport(
         )
         return conn.post(path, body, headers)
     req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        return resp.status, dict(resp.headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return resp.status, dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        # a 4xx/5xx from ClickHouse carries the exception-code header
+        # the caller inspects (uploader/base.go:274-276) — surface it
+        # as a response, not a connection failure
+        with e:
+            return e.code, dict(e.headers)
 
 
 def insert_query_url(base_url: str, table: str, columns: str = POINTS_COLUMNS) -> str:
@@ -175,29 +186,163 @@ def insert_points(
 
     def upload(rows) -> None:
         body = encode_partition(rows, zero_timestamp)
-        if not body:
-            return
-        headers = {"Content-Type": "application/octet-stream"}
-        if gzip:
-            body = gzip_mod.compress(body, compresslevel=1)
-            headers["Content-Encoding"] = "gzip"
-        import time as _time
-
-        last: Exception | None = None
-        for attempt in range(1 + retries):
-            if attempt:
-                _time.sleep(retry_delay_s)
-            try:
-                status, resp_headers = send(url, body, headers)
-            except Exception as e:  # connection-level: retryable
-                last = e
-                continue
-            exc = resp_headers.get("X-ClickHouse-Exception-Code")
-            if status == 200 and (not exc or exc == "0"):
-                return
-            last = RuntimeError(
-                f"clickhouse insert failed: status={status} exception={exc}"
-            )
-        raise last
+        _post_with_retries(send, url, body, gzip, retries, retry_delay_s)
 
     df.select("path", "value", "time", "version").foreachPartition(upload)
+
+
+def _post_with_retries(
+    send: Callable,
+    url: str,
+    body: bytes,
+    gzip: bool,
+    retries: int,
+    retry_delay_s: float,
+) -> None:
+    """One partition's POST through the retry ladder (see
+    ``insert_points`` for the at-least-once contract)."""
+    if not body:
+        return
+    headers = {"Content-Type": "application/octet-stream"}
+    if gzip:
+        body = gzip_mod.compress(body, compresslevel=1)
+        headers["Content-Encoding"] = "gzip"
+    import time as _time
+
+    last: Exception | None = None
+    for attempt in range(1 + retries):
+        if attempt:
+            _time.sleep(retry_delay_s)
+        try:
+            status, resp_headers = send(url, body, headers)
+        except Exception as e:  # connection-level: retryable
+            last = e
+            continue
+        exc = resp_headers.get("X-ClickHouse-Exception-Code")
+        if status == 200 and (not exc or exc == "0"):
+            return
+        last = RuntimeError(
+            f"clickhouse insert failed: status={status} exception={exc}"
+        )
+    raise last
+
+
+def _pick_send(transport, tls):
+    if transport is not None:
+        return transport
+    if tls is not None:
+        return lambda u, b, h: _default_transport(u, b, h, tls)
+    return _default_transport
+
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def insert_index(
+    df: DataFrame,
+    base_url: str,
+    table: str = "graphite_index",
+    gzip: bool = True,
+    transport: Callable | None = None,
+    tls: TLSConfig | None = None,
+    retries: int = 3,
+    retry_delay_s: float = 1.0,
+) -> None:
+    """Upload an index-table DataFrame (``date, level, path,
+    version``) — the reference's ``index`` uploader hop
+    (``uploader/index.go:91-100`` row layout; level offsets for
+    reverse/tree variants are already in ``level``)."""
+    from ..sources.rowbinary import encode_index_rows
+
+    url = insert_query_url(base_url, table, INDEX_COLUMNS)
+    send = _pick_send(transport, tls)
+
+    def upload(rows) -> None:
+        body = encode_index_rows(
+            [
+                ((r["date"] - _EPOCH).days, int(r["level"]), r["path"], int(r["version"]))
+                for r in rows
+            ]
+        )
+        _post_with_retries(send, url, body, gzip, retries, retry_delay_s)
+
+    df.select("date", "level", "path", "version").foreachPartition(upload)
+
+
+def insert_tagged(
+    df: DataFrame,
+    base_url: str,
+    table: str = "graphite_tagged",
+    gzip: bool = True,
+    transport: Callable | None = None,
+    tls: TLSConfig | None = None,
+    retries: int = 3,
+    retry_delay_s: float = 1.0,
+) -> None:
+    """Upload a tagged-table DataFrame (``date, tag1, path, tags,
+    version``) — the reference's ``tagged`` uploader hop
+    (``uploader/tagged.go:172-179`` row layout)."""
+    from ..sources.rowbinary import encode_tagged_rows
+
+    url = insert_query_url(base_url, table, TAGGED_COLUMNS)
+    send = _pick_send(transport, tls)
+
+    def upload(rows) -> None:
+        body = encode_tagged_rows(
+            [
+                (
+                    (r["date"] - _EPOCH).days,
+                    r["tag1"],
+                    r["path"],
+                    list(r["tags"]),
+                    int(r["version"]),
+                )
+                for r in rows
+            ]
+        )
+        _post_with_retries(send, url, body, gzip, retries, retry_delay_s)
+
+    df.select("date", "tag1", "path", "tags", "version").foreachPartition(upload)
+
+
+def upload_tables(
+    tables: dict[str, DataFrame],
+    base_url: str,
+    gzip: bool = True,
+    transport: Callable | None = None,
+    tls: TLSConfig | None = None,
+    retries: int = 3,
+    retry_delay_s: float = 1.0,
+    zero_timestamp: bool = True,
+    table_names: dict[str, str] | None = None,
+) -> None:
+    """K3 fan-out into a real ClickHouse: push the four-table
+    contract produced by ``pipeline.derive_tables`` through the HTTP
+    sink — points -> ``graphite``, points_reverse ->
+    ``graphite_reverse``, index -> ``graphite_index``, tagged ->
+    ``graphite_tagged`` (rename via ``table_names``). The reference
+    runs one uploader per table off the same chunk file
+    (``uploader/uploader.go:47-64``); here each table is one
+    DataFrame upload off the same micro-batch."""
+    names = {
+        "points": "graphite",
+        "points_reverse": "graphite_reverse",
+        "index": "graphite_index",
+        "tagged": "graphite_tagged",
+        **(table_names or {}),
+    }
+    kw = dict(
+        gzip=gzip, transport=transport, tls=tls,
+        retries=retries, retry_delay_s=retry_delay_s,
+    )
+    for key, df in tables.items():
+        if key not in names:
+            continue
+        if key in ("points", "points_reverse"):
+            insert_points(
+                df, base_url, names[key], zero_timestamp=zero_timestamp, **kw
+            )
+        elif key == "index":
+            insert_index(df, base_url, names[key], **kw)
+        elif key == "tagged":
+            insert_tagged(df, base_url, names[key], **kw)

@@ -144,3 +144,53 @@ def read_rowbinary(spark: SparkSession, path: str, utc_check: bool = True) -> Da
         F.date_add(F.lit("1970-01-01").cast("date"), F.col("days")).alias("date"),
         F.col("version").alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# index / tagged table row encodings (uploader/index.go, uploader/tagged.go)
+# ---------------------------------------------------------------------------
+
+def _put_uvarint(buf: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        buf.append(b | (0x80 if n else 0))
+        if not n:
+            return
+
+
+def _put_string(buf: bytearray, s: str) -> None:
+    raw = s.encode("utf-8")
+    _put_uvarint(buf, len(raw))
+    buf.extend(raw)
+
+
+def encode_index_rows(rows: list[tuple]) -> bytes:
+    """``[(days, level, path, version)]`` -> RowBinary for the
+    ``graphite_index`` shape: uint16 Date, uint32 Level, String Path,
+    uint32 Version — ``uploader/index.go:91-100`` (the level offsets
+    for reverse/tree variants are already baked into ``level`` by the
+    P11 operator, as in the reference)."""
+    buf = bytearray()
+    for days, level, path, version in rows:
+        buf.extend(struct.pack("<HI", days, level))
+        _put_string(buf, path)
+        buf.extend(struct.pack("<I", version))
+    return bytes(buf)
+
+
+def encode_tagged_rows(rows: list[tuple]) -> bytes:
+    """``[(days, tag1, path, tags, version)]`` -> RowBinary for the
+    ``graphite_tagged`` shape: uint16 Date, String Tag1, String Path,
+    Array(String) Tags (uvarint count + strings), uint32 Version —
+    ``uploader/tagged.go:172-179``."""
+    buf = bytearray()
+    for days, tag1, path, tags, version in rows:
+        buf.extend(struct.pack("<H", days))
+        _put_string(buf, tag1)
+        _put_string(buf, path)
+        _put_uvarint(buf, len(tags))
+        for t in tags:
+            _put_string(buf, t)
+        buf.extend(struct.pack("<I", version))
+    return bytes(buf)
