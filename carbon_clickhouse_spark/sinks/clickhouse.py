@@ -305,6 +305,25 @@ def insert_tagged(
     df.select("date", "tag1", "path", "tags", "version").foreachPartition(upload)
 
 
+@dataclass
+class CHTarget:
+    """Where/how the streaming pipeline mirrors each micro-batch into
+    ClickHouse (``StreamConfig.clickhouse``). ``transport`` is
+    injectable for tests and must be picklable (it runs executor-side
+    in ``foreachPartition``); ``tables`` renames the default
+    ``graphite*`` targets (``[upload.*].table`` in the reference
+    config, ``uploader/config.go:17-21``)."""
+
+    base_url: str
+    gzip: bool = True
+    transport: Callable | None = None
+    tls: TLSConfig | None = None
+    retries: int = 3
+    retry_delay_s: float = 1.0
+    zero_timestamp: bool = True
+    tables: dict[str, str] | None = None
+
+
 def upload_tables(
     tables: dict[str, DataFrame],
     base_url: str,

@@ -115,6 +115,13 @@ class StreamConfig:
     # fan the parsed batch out across the executors before the four
     # table writes. None = trust the source partitioning.
     repartition: int | None = None
+    # K5 in the stream: mirror every micro-batch's four tables into a
+    # real ClickHouse over HTTP (sinks/clickhouse.CHTarget). The
+    # upload shares the exists-cache-deduped series rows with the
+    # parquet write, and the micro-batch commits only after ClickHouse
+    # acked — the reference's sync-ack guarantee (K6) extended to the
+    # serving store. None = parquet tables only.
+    clickhouse: object | None = None
 
 
 def start_plain_ingest(
@@ -220,6 +227,21 @@ def start_ingest(
                         )
                     return dates_memo[0]
 
+            ch = config.clickhouse
+            ch_names = {
+                "points": "graphite",
+                "points_reverse": "graphite_reverse",
+                "index": "graphite_index",
+                "tagged": "graphite_tagged",
+                **(ch.tables or {} if ch is not None else {}),
+            }
+
+            def _ch_kwargs():
+                return dict(
+                    gzip=ch.gzip, transport=ch.transport, tls=ch.tls,
+                    retries=ch.retries, retry_delay_s=ch.retry_delay_s,
+                )
+
             def _write_points(name):
                 path = os.path.join(config.root, name)
                 with _table_lock(path):
@@ -231,6 +253,13 @@ def start_ingest(
                         .partitionBy("month")
                         .parquet(path)
                     )
+                if ch is not None:
+                    from ..sinks.clickhouse import insert_points
+
+                    insert_points(
+                        tables[name], ch.base_url, ch_names[name],
+                        zero_timestamp=ch.zero_timestamp, **_ch_kwargs(),
+                    )
 
             def _write_series(name, keys):
                 df = tables[name]
@@ -238,9 +267,28 @@ def start_ingest(
                     df = _anti_existing(
                         spark_b, df, config.root, name, keys, _batch_dates()
                     )
-                path = os.path.join(config.root, name)
-                with _table_lock(path):
-                    df.write.mode("append").parquet(path)
+                if ch is not None:
+                    # pin the deduped rows BEFORE the parquet append:
+                    # re-evaluating the anti-join after the write would
+                    # see the just-appended rows in the stored table
+                    # and upload an empty batch to ClickHouse
+                    df = df.persist()
+                try:
+                    path = os.path.join(config.root, name)
+                    with _table_lock(path):
+                        df.write.mode("append").parquet(path)
+                    if ch is not None:
+                        # same deduped rows as the parquet write: the
+                        # A2 exists-cache throttles the CH upload
+                        # exactly like the reference's cached uploader
+                        # (uploader/cached.go:63-112)
+                        from ..sinks.clickhouse import insert_index, insert_tagged
+
+                        fn = insert_index if name == "index" else insert_tagged
+                        fn(df, ch.base_url, ch_names[name], **_ch_kwargs())
+                finally:
+                    if ch is not None:
+                        df.unpersist()
 
             # the four table writes share the persisted batch and are
             # independent jobs — run them concurrently (the micro-batch

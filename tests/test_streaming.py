@@ -491,3 +491,60 @@ def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
 
     run_until_drained()  # nothing new: nothing written
     assert spark.read.parquet(f"{root}/points").count() == 4
+
+
+def test_streaming_mirrors_to_clickhouse(spark, tmp_path):
+    """K5 in the stream: every micro-batch lands in parquet AND in the
+    (simulated) ClickHouse endpoint over real HTTP; the exists-cache
+    throttles the index/tagged uploads across batches exactly like the
+    reference's cached uploader (uploader/cached.go:63-112)."""
+    from carbon_clickhouse_spark.sinks.chsim import ClickHouseSim
+    from carbon_clickhouse_spark.sinks.clickhouse import CHTarget
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    sim = ClickHouseSim()
+    url = sim.start()
+    cfg = StreamConfig(
+        root=root,
+        chunk_interval="500 milliseconds",
+        ingest=IngestConfig(now=1625478400),
+        audit_dropped=False,
+        exists_cache=True,
+        clickhouse=CHTarget(base_url=url, retries=2, retry_delay_s=0.1),
+    )
+    (landing / "wave1.txt").write_text(
+        "test.host1.cpu.loadavg 10.2 1625478240\n"
+        "cpu.loadavg;env=test;host=host1 2.1 1625478240\n"
+    )
+    q = start_plain_ingest(spark, file_landing_source(spark, str(landing)), cfg)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        idx_after_1 = len(sim.rows("graphite_index"))
+        tag_after_1 = len(sim.rows("graphite_tagged"))
+        assert len(sim.rows("graphite")) == 2
+        assert len(sim.rows("graphite_reverse")) == 2
+        assert idx_after_1 > 0 and tag_after_1 > 0
+        # same series again, new value: points upload grows, series
+        # tables must NOT (A2 throttles the CH hop too)
+        (landing / "wave2.txt").write_text(
+            "test.host1.cpu.loadavg 9.4 1625478300\n"
+            "cpu.loadavg;env=test;host=host1 1.3 1625478360\n"
+        )
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+        sim.stop()
+    assert len(sim.rows("graphite")) == 4
+    assert len(sim.rows("graphite_index")) == idx_after_1
+    assert len(sim.rows("graphite_tagged")) == tag_after_1
+    # parquet and CH saw the same point rows
+    pq = {
+        (r.path, r.value, r.time)
+        for r in spark.read.parquet(f"{root}/points").collect()
+    }
+    ch = {(p, v, t) for p, v, t, d, ver in sim.rows("graphite")}
+    assert pq == ch
