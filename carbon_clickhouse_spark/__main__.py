@@ -28,7 +28,7 @@ def parse_listen(addr: str, default_port: int) -> tuple[str, int]:
     return host or "0.0.0.0", int(port) if port else default_port
 
 
-def launch(cfg, spark, data_root: str | None = None):
+def launch(cfg, spark, data_root: str | None = None, upload: bool = False):
     """Start live fronts + one streaming pipeline per enabled protocol
     — parity with the reference's scheme dispatch
     (receiver/receiver.go:94-200). All pipelines append to the SAME
@@ -65,6 +65,7 @@ def launch(cfg, spark, data_root: str | None = None):
         return cfg.stream(
             root=tables,
             receiver=name,
+            upload=upload,
             checkpoint=os.path.join(base, "checkpoints", name),
         )
 
@@ -327,6 +328,13 @@ def main(argv=None) -> int:
         "--shards", type=int, default=64,
         help="with --prepare-corpus: output shard count",
     )
+    ap.add_argument(
+        "--upload-to-clickhouse", action="store_true",
+        help="mirror every micro-batch into the ClickHouse named by "
+        "the config's [upload.*] URLs (parquet tables stay the "
+        "primary store; opt-in so an unreachable CH can't wedge "
+        "ingest)",
+    )
     args = ap.parse_args(argv)
 
     if args.cat:
@@ -433,7 +441,10 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config)
     spark = get_spark(app_name="carbon-clickhouse-spark", master=args.master)
-    receivers, queries = launch(cfg, spark, data_root=args.data_root)
+    receivers, queries = launch(
+        cfg, spark, data_root=args.data_root,
+        upload=args.upload_to_clickhouse,
+    )
 
     # SIGHUP = cache reset, like the reference (carbon/app.go:366-377:
     # HUP -> uploader Reset()). Bumps the shared epoch file consumed by

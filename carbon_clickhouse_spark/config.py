@@ -125,9 +125,54 @@ class EngineConfig:
             now=now,
         )
 
-    def stream(self, root: str | None = None, receiver: str = "tcp", **kwargs):
+    def clickhouse_target(self):
+        """CHTarget assembled from the ``[upload.*]`` entries — the
+        exact endpoints a reference config names (URL/table/compress/
+        zero-timestamp/TLS per ``uploader/config.go:16-34``). None if
+        no upload entry carries a URL. Per-type table names map onto
+        the streaming fan-out's points/points_reverse/index/tagged
+        keys; the points entry's transport options win (the reference
+        allows per-uploader URLs, the Spark sink posts every table to
+        one endpoint — same database in practice)."""
+        from .sinks.clickhouse import CHTarget
+
+        points = self.upload_of_type("points")
+        anchor = points or next(
+            (u for u in self.uploads.values() if u.url), None
+        )
+        if anchor is None or not anchor.url:
+            return None
+        names = {}
+        for key, type_ in (
+            ("points", "points"),
+            ("points_reverse", "points-reverse"),
+            ("index", "index"),
+            ("tagged", "tagged"),
+        ):
+            u = self.upload_of_type(type_)
+            if u is not None and u.table:
+                names[key] = u.table
+        return CHTarget(
+            base_url=anchor.url.rstrip("/"),
+            gzip=anchor.compress_data,
+            tls=anchor.tls,
+            zero_timestamp=anchor.zero_timestamp,
+            tables=names or None,
+        )
+
+    def stream(
+        self,
+        root: str | None = None,
+        receiver: str = "tcp",
+        upload: bool = False,
+        **kwargs,
+    ):
         """StreamConfig wired from [data] + one receiver's drop rules
-        (override the landing root for testing)."""
+        (override the landing root for testing). ``upload=True``
+        additionally mirrors every micro-batch into the ClickHouse
+        named by the config's ``[upload.*]`` URLs (opt-in: a config
+        whose CH isn't actually reachable must not wedge ingest by
+        default)."""
         from .streaming.ingest import StreamConfig
 
         ms = max(int(self.chunk_interval_s * 1000), 1)
@@ -136,6 +181,7 @@ class EngineConfig:
             chunk_interval=f"{ms} milliseconds",
             ingest=self.ingest(receiver),
             tag_config=self.tag_config,
+            clickhouse=self.clickhouse_target() if upload else None,
             **kwargs,
         )
 

@@ -278,3 +278,70 @@ def test_prepare_corpus_cli(tmp_path):
         f"SELECT doc_id, stage FROM read_parquet('{out}/audit/*.parquet')"
     ).fetchall()
     assert (2, "quality") in audit
+
+
+def test_launch_uploads_to_clickhouse(spark, tmp_path):
+    """--upload-to-clickhouse: live TCP lines land in parquet AND in
+    the ClickHouse endpoint the config's [upload.*] URLs name (here
+    the strict CH simulator), through the real gzip HTTP hop."""
+    from carbon_clickhouse_spark.sinks.chsim import ClickHouseSim
+    from carbon_clickhouse_spark.streaming.receivers import send_lines
+
+    sim = ClickHouseSim(kinds={"custom_points": "points"})
+    url = sim.start()
+    conf = tmp_path / "carbon-clickhouse.conf"
+    conf.write_text(
+        """
+[data]
+path = "%s"
+chunk-interval = "500ms"
+
+[tcp]
+listen = "127.0.0.1:0"
+enabled = true
+
+[upload.graphite]
+type = "points"
+table = "custom_points"
+url = "%s/"
+compress-data = true
+zero-timestamp = true
+
+[upload.graphite_index]
+type = "index"
+table = "graphite_index"
+url = "%s/"
+"""
+        % (str(tmp_path / "data"), url, url)
+    )
+    cfg = load_config(str(conf))
+    target = cfg.clickhouse_target()
+    assert target is not None and target.gzip and target.zero_timestamp
+    assert target.tables == {
+        "points": "custom_points", "index": "graphite_index"
+    }
+
+    receivers, queries = launch(cfg, spark, upload=True)
+    try:
+        rx = receivers[0]
+        send_lines(
+            "127.0.0.1", rx.port,
+            [f"up.host{i % 2}.metric {i} {1625400000 + i}" for i in range(20)],
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and len(sim.rows("custom_points")) < 20:
+            time.sleep(0.5)
+        for q in queries:
+            assert q.exception() is None
+    finally:
+        for rx in receivers:
+            rx.stop()
+        for q in queries:
+            q.stop()
+        sim.stop()
+    pts = sim.rows("custom_points")
+    assert len(pts) == 20
+    assert all(ver == 0 for _, _, _, _, ver in pts)  # zero-timestamp
+    assert len(sim.rows("graphite_index")) > 0
+    # renamed points table was honored; default name unused
+    assert not sim.rows("graphite")
