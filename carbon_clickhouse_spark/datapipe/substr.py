@@ -44,27 +44,39 @@ def winnow_fingerprints(
     w: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit: str = "char",
 ) -> DataFrame:
     """Selected winnowing fingerprints: one row per chosen k-gram,
-    ``(doc_id, fp_pos, h)`` with ``h = md5`` of the k chars starting
-    at 0-based ``fp_pos``. Documents shorter than ``k + w - 1``
+    ``(doc_id, fp_pos, h)`` with ``h = md5`` of the k units starting
+    at 0-based ``fp_pos``. Documents shorter than ``k + w - 1`` units
     produce no fingerprints (no full window exists).
 
-    Tie-break inside a window is the rightmost minimal hash — the
-    canonical winnowing rule — implemented as ``min`` over
-    ``struct(h, -pos)`` so struct ordering does both comparisons.
+    ``unit="char"`` grams over characters; ``unit="token"`` grams
+    over whitespace tokens (Lee et al.'s granularity — positions and
+    downstream spans are then token offsets). Tie-break inside a
+    window is the rightmost minimal hash — the canonical winnowing
+    rule — implemented as ``min`` over ``struct(h, -pos)`` so struct
+    ordering does both comparisons.
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    if unit not in ("char", "token"):
+        raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
     text = F.col(text_col)
-    n = F.length(text)
-    pmax = n - F.lit(k)  # last 0-based k-gram start
+    if unit == "token":
+        toks = F.split(F.trim(text), r"\s+")
+        n = F.size(toks)
+        pmax = n - F.lit(k)
+        gram = lambda i: F.md5(  # noqa: E731
+            F.array_join(F.slice(toks, i + 1, F.lit(k)), " ")
+        )
+    else:
+        n = F.length(text)
+        pmax = n - F.lit(k)  # last 0-based k-gram start
+        gram = lambda i: F.md5(text.substr(i + 1, F.lit(k)))  # noqa: E731
     grams = F.transform(
         F.sequence(F.lit(0), pmax),
-        lambda i: F.struct(
-            F.md5(text.substr(i + 1, F.lit(k))).alias("h"),
-            (-i).alias("np"),
-        ),
+        lambda i: F.struct(gram(i).alias("h"), (-i).alias("np")),
     )
     winners = F.array_distinct(
         F.transform(
@@ -117,17 +129,21 @@ def duplicate_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit: str = "char",
 ) -> DataFrame:
     """Regions of text whose winnowing fingerprint occurs at least
     ``min_count`` times corpus-wide (within- and cross-document):
-    ``(doc_id, span_start, span_end)``, 0-based half-open char
-    offsets, overlapping covers merged per document.
+    ``(doc_id, span_start, span_end)``, 0-based half-open offsets in
+    ``unit``\\ s (chars or tokens), overlapping covers merged per
+    document.
 
-    Any substring of length ``>= w + k - 1`` duplicated anywhere in
-    the corpus is guaranteed to surface at least one span (the
-    winnowing guarantee); shorter repeats are caught best-effort.
+    Any substring of length ``>= w + k - 1`` units duplicated
+    anywhere in the corpus is guaranteed to surface at least one span
+    (the winnowing guarantee); shorter repeats are caught best-effort.
     """
-    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, unit=unit
+    )
     dup_h = (
         fps.groupBy("h")
         .agg(F.count("*").alias("cnt"))
@@ -144,6 +160,7 @@ def remove_duplicate_spans(
     w: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unit: str = "char",
 ) -> DataFrame:
     """Keep-first substring dedup, applied: for every duplicated
     fingerprint the first occurrence (min ``(doc_id, fp_pos)``)
@@ -154,9 +171,14 @@ def remove_duplicate_spans(
 
     The cut is a single ``aggregate`` over the doc's sorted disjoint
     spans (concat the keep-gaps, then the tail) — no UDF, text is
-    touched only in this final per-row expression.
+    touched only in this final per-row expression. With
+    ``unit="token"`` the cut drops whole tokens and rejoins the
+    survivors with single spaces (surrounding whitespace is not
+    preserved — the tokenization already normalized it).
     """
-    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, unit=unit
+    )
     by_h = Window.partitionBy("h")
     first = F.min(F.struct("doc_id", "fp_pos")).over(by_h)
     cnt = F.count("*").over(by_h)
@@ -179,20 +201,43 @@ def remove_duplicate_spans(
         ).alias("spans")
     ).withColumnRenamed("doc_id", "__span_doc_id")
     text = F.col(text_col)
-    cut = F.aggregate(
-        F.col("spans"),
-        F.struct(F.lit(0).alias("last"), F.lit("").alias("acc")),
-        lambda acc, s: F.struct(
-            s["span_end"].alias("last"),
-            F.concat(
+    if unit == "token":
+        toks = F.split(F.trim(text), r"\s+")
+        kept = F.aggregate(
+            F.col("spans"),
+            F.struct(
+                F.lit(0).alias("last"),
+                F.array().cast("array<string>").alias("acc"),
+            ),
+            lambda acc, s: F.struct(
+                s["span_end"].alias("last"),
+                F.concat(
+                    acc["acc"],
+                    F.slice(toks, acc["last"] + 1, s["span_start"] - acc["last"]),
+                ).alias("acc"),
+            ),
+            lambda acc: F.concat(
                 acc["acc"],
-                text.substr(acc["last"] + 1, s["span_start"] - acc["last"]),
-            ).alias("acc"),
-        ),
-        lambda acc: F.concat(
-            acc["acc"], text.substr(acc["last"] + 1, F.length(text) - acc["last"])
-        ),
-    )
+                F.slice(toks, acc["last"] + 1, F.size(toks) - acc["last"]),
+            ),
+        )
+        cut = F.array_join(kept, " ")
+    else:
+        cut = F.aggregate(
+            F.col("spans"),
+            F.struct(F.lit(0).alias("last"), F.lit("").alias("acc")),
+            lambda acc, s: F.struct(
+                s["span_end"].alias("last"),
+                F.concat(
+                    acc["acc"],
+                    text.substr(acc["last"] + 1, s["span_start"] - acc["last"]),
+                ).alias("acc"),
+            ),
+            lambda acc: F.concat(
+                acc["acc"],
+                text.substr(acc["last"] + 1, F.length(text) - acc["last"]),
+            ),
+        )
     joined = df.join(
         per_doc, F.col(id_col) == F.col("__span_doc_id"), "left"
     )

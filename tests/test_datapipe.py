@@ -846,3 +846,53 @@ def test_winnow_fingerprints_plan_zero_shuffle(spark):
     plan = winnow_fingerprints(df, k=8, w=4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_token_unit_winnowing(spark):
+    from carbon_clickhouse_spark.datapipe.substr import (
+        duplicate_spans,
+        remove_duplicate_spans,
+        winnow_fingerprints,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler),
+            (2, boiler + " gamma delta epsilon"),
+            (3, "totally different words everywhere nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 4, 3  # guarantee: >= 6 shared tokens surface
+    fps = winnow_fingerprints(df, k=k, w=w, unit="token").collect()
+    per_doc = {}
+    for r in fps:
+        per_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert per_doc[1] & per_doc[2], "shared token passage must fingerprint"
+    spans = duplicate_spans(df, k=k, w=w, unit="token").collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 3 not in by_doc
+    # doc 1's span sits after its 2 unique lead tokens; offsets are
+    # token indices, bounded by the doc's token count
+    n1 = len(("alpha beta " + boiler).split())
+    (s, e), = by_doc[1]
+    assert 2 <= s < e <= n1
+    out = {r.doc_id: r.text for r in
+           remove_duplicate_spans(df, k=k, w=w, unit="token").collect()}
+    assert set(out) == {1, 2, 3}
+    # keep-first: doc 1 (smaller doc_id) keeps the passage, doc 2 cut
+    assert boiler in out[1]
+    assert boiler not in out[2]
+    assert out[2].startswith(out[2].split()[0])  # rejoined tokens
+    assert "gamma delta epsilon" in out[2]  # unique tail survives
+
+
+def test_winnow_bad_unit_raises(spark):
+    from carbon_clickhouse_spark.datapipe.substr import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unit"):
+        winnow_fingerprints(df, unit="byte")
