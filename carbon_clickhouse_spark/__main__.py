@@ -329,6 +329,11 @@ def main(argv=None) -> int:
         help="with --prepare-corpus: output shard count",
     )
     ap.add_argument(
+        "--substring-dedup", action="store_true",
+        help="with --prepare-corpus: also cut corpus-repeated "
+        "substrings (ExactSubstr pass) after doc-level dedup",
+    )
+    ap.add_argument(
         "--upload-to-clickhouse", action="store_true",
         help="mirror every micro-batch into the ClickHouse named by "
         "the config's [upload.*] URLs (parquet tables stay the "
@@ -386,6 +391,7 @@ def main(argv=None) -> int:
                 if args.benchmark
                 else None
             ),
+            substring_dedup=args.substring_dedup,
         )
         pool: list = []
         kept, audit = prepare_corpus(docs, cfg, persisted_pool=pool)

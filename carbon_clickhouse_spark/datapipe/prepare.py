@@ -40,6 +40,15 @@ class CorpusPrepConfig:
     max_contamination: float = 0.1
     contamination_n: int = 3
     scrub_pii: bool = True
+    #: cut corpus-repeated substrings (Lee et al. ExactSubstr pass)
+    #: AFTER doc-level dedup — rewrites text in place. The default
+    #: substr_w=1 marks every duplicated k-gram, so the cut covers
+    #: duplicated runs exactly; raise w to trade cut completeness for
+    #: a ~(w+1)/2x sparser fingerprint shuffle (see substr.py).
+    substring_dedup: bool = False
+    substr_k: int = 10
+    substr_w: int = 1
+    substr_unit: str = "token"
 
 
 def prepare_corpus(
@@ -52,7 +61,9 @@ def prepare_corpus(
     columns plus quality/language features and scrub counts; ``audit``
     is one ``(doc_id, stage)`` row per dropped document, stages in
     {'quality', 'language', 'exact_dup', 'near_dup',
-    'contaminated'}.
+    'contaminated'} — plus 'substr_cut' rows marking documents whose
+    text was REWRITTEN (not dropped) by the optional substring-dedup
+    pass.
 
     ``kept`` and ``audit`` fork from shared intermediates; writing
     both without caching re-executes the expensive stages (feature
@@ -136,6 +147,26 @@ def prepare_corpus(
         note(cur.filter(F.col("__bad")), "contaminated")
         cur = cur.filter(~F.coalesce(F.col("__bad"), F.lit(False))).drop(
             "__bad"
+        )
+
+    # --- substring-level dedup: cut corpus-repeated passages that
+    # survived doc-level dedup (boilerplate, licenses) — rewrites
+    # text rather than dropping rows; modified docs audited as
+    # 'substr_cut' (a rewrite marker, not a drop) --------------------
+    if cfg.substring_dedup:
+        from .substr import remove_duplicate_spans
+
+        before = cur.select("doc_id", F.col("text").alias("__pre"))
+        cur = hold(
+            remove_duplicate_spans(
+                cur, k=cfg.substr_k, w=cfg.substr_w, unit=cfg.substr_unit
+            )
+        )
+        note(
+            cur.join(before, "doc_id").filter(
+                F.col("text") != F.col("__pre")
+            ),
+            "substr_cut",
         )
 
     # --- PII scrub: the prepared corpus ships the redacted text as

@@ -165,9 +165,9 @@ def remove_duplicate_spans(
     """Keep-first substring dedup, applied: for every duplicated
     fingerprint the first occurrence (min ``(doc_id, fp_pos)``)
     survives; every other covered region is cut from its document.
-    Returns every input row as ``(doc_id, text)`` — documents with
-    nothing to cut come back verbatim, fully-duplicated documents
-    come back shortened (possibly to '').
+    Returns every input row with its original columns, ``text_col``
+    rewritten — documents with nothing to cut come back verbatim,
+    fully-duplicated documents come back shortened (possibly to '').
 
     The cut is a single ``aggregate`` over the doc's sorted disjoint
     spans (concat the keep-gaps, then the tail) — no UDF, text is
@@ -175,6 +175,17 @@ def remove_duplicate_spans(
     ``unit="token"`` the cut drops whole tokens and rejoins the
     survivors with single spaces (surrounding whitespace is not
     preserved — the tokenization already normalized it).
+
+    Completeness: every cut region is genuinely duplicated (a
+    fingerprint match is a k-gram content match), but with ``w > 1``
+    the cut covers only the winnowing-selected portions of a
+    duplicated run — remnants up to ``~(w-1) + k - 1`` units survive
+    at its edges. ``w = 1`` selects EVERY k-gram, so merged spans
+    cover each duplicated run of ``>= k`` units exactly — Lee et
+    al.'s ExactSubstr cut — at the cost of ~``(w+1)/2``× more
+    fingerprint rows in the shuffle. Detection-only callers
+    (``duplicate_spans``) usually want ``w > 1``; removal quality
+    wants ``w = 1``.
     """
     fps = winnow_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col, unit=unit
@@ -241,7 +252,10 @@ def remove_duplicate_spans(
     joined = df.join(
         per_doc, F.col(id_col) == F.col("__span_doc_id"), "left"
     )
+    new_text = F.when(F.col("spans").isNull(), text).otherwise(cut)
     return joined.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.col("spans").isNull(), text).otherwise(cut).alias("text"),
+        *[
+            new_text.alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
     )

@@ -896,3 +896,37 @@ def test_winnow_bad_unit_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unit"):
         winnow_fingerprints(df, unit="byte")
+
+
+def test_prepare_corpus_substring_stage(spark):
+    from carbon_clickhouse_spark.datapipe.prepare import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    boiler = " ".join(f"legal{i} boilerplate{i}" for i in range(8))
+    # no within-document repeats: the pass cuts those too (Lee et al.
+    # min_count counts every occurrence), which would mark extra docs
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(10)) + " " + boiler),
+            (2, " ".join(f"beta{i}" for i in range(10)) + " " + boiler),
+            (3, " ".join(f"plain{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CorpusPrepConfig(
+        min_tokens=5, exact_dedup=True, near_dedup=False,
+        scrub_pii=False, substring_dedup=True,
+        substr_k=4, substr_w=1, substr_unit="token",
+    )
+    kept, audit = prepare_corpus(docs, cfg)
+    texts = {r.doc_id: r.text for r in kept.select("doc_id", "text").collect()}
+    assert set(texts) == {1, 2, 3}
+    # keep-first: doc 1 keeps the boilerplate, doc 2 loses it
+    assert "legal0 boilerplate0" in texts[1]
+    assert "legal0 boilerplate0" not in texts[2]
+    assert "beta0" in texts[2]
+    stages = {(r.doc_id, r.stage) for r in audit.collect()}
+    assert (2, "substr_cut") in stages
+    assert (1, "substr_cut") not in stages
