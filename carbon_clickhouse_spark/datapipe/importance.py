@@ -1,0 +1,208 @@
+"""Data selection via hashed n-gram importance resampling (DSIR).
+
+Xie et al., "Data Selection for Language Models via Importance
+Resampling" (NeurIPS 2023, arXiv:2302.03169): estimate target and
+source (raw-corpus) distributions over HASHED n-gram buckets, score
+each raw document with the log importance ratio
+``sum_b count_b(doc) * log(p_target(b) / p_source(b))``, and sample
+the training set with probability proportional to the ratio —
+selecting raw-web documents that look like the high-quality target
+(e.g. Wikipedia + books) without training a classifier.
+
+Scale shape:
+
+- n-gram bucketing is per-row column expressions (``transform`` over
+  ``sequence`` + ``xxhash64 % B``): zero UDFs, text never shuffles —
+  only ``(doc_id, bucket)`` int pairs leave the row.
+- the two corpus distributions are one hash aggregation each over
+  int buckets (map-side partial agg); the log-ratio table is at most
+  ``num_buckets`` rows — broadcast-joined to score documents.
+- resampling is the Efraimidis–Spirakis weighted reservoir
+  (exponential race), RNG-FREE: the uniform draw is a bit-mix of
+  ``doc_id``, so the same inputs select the same sample on any
+  cluster, any partitioning, any rerun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ngram_buckets(
+    df: DataFrame,
+    n: int = 2,
+    num_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per n-gram occurrence: ``(doc_id, bucket)``.
+    Tokens are lowercased words; n-grams are joined with a space and
+    hashed into ``num_buckets`` via ``xxhash64`` (DSIR's hashing
+    trick: fixed-size distributions regardless of vocabulary)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    last = F.size(toks) - F.lit(n)
+    grams = F.when(
+        last >= 0,
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.pmod(
+                F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(n)), " ")),
+                F.lit(num_buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("bucket")
+    )
+
+
+def bucket_distribution(
+    df: DataFrame,
+    n: int = 2,
+    num_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level smoothed bucket distribution ``(bucket, logp)``.
+    Add-one smoothing over every bucket (present or not) so the
+    log-ratio is defined everywhere; only OBSERVED buckets get a row
+    — consumers fold the constant unseen-bucket mass themselves."""
+    counts = (
+        ngram_buckets(df, n, num_buckets, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(
+        (F.sum("cnt") + F.lit(num_buckets)).alias("denom")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.log((F.col("cnt") + 1) / F.col("denom")).alias("logp"),
+        F.log(F.lit(1.0) / F.col("denom")).alias("logp_unseen"),
+    )
+
+
+def importance_log_ratios(
+    target: DataFrame,
+    source: DataFrame,
+    n: int = 2,
+    num_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket ``log p_target(b) - log p_source(b)`` for every
+    bucket observed in either corpus: ``(bucket, log_ratio)``. At
+    most ``num_buckets`` rows — broadcastable by construction."""
+    t = bucket_distribution(target, n, num_buckets, text_col, id_col)
+    s = bucket_distribution(source, n, num_buckets, text_col, id_col)
+    t = t.select("bucket", F.col("logp").alias("t_logp"),
+                 F.col("logp_unseen").alias("t_un"))
+    s = s.select("bucket", F.col("logp").alias("s_logp"),
+                 F.col("logp_unseen").alias("s_un"))
+    j = t.drop("t_un").join(s.drop("s_un"), "bucket", "full_outer")
+    # a bucket missing from one side uses that side's smoothed
+    # unseen mass — a per-corpus scalar, broadcast onto every row
+    t_const = t.agg(F.first("t_un").alias("t_un"))
+    s_const = s.agg(F.first("s_un").alias("s_un"))
+    return (
+        j.crossJoin(F.broadcast(t_const))
+        .crossJoin(F.broadcast(s_const))
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("t_logp"), F.col("t_un"))
+                - F.coalesce(F.col("s_logp"), F.col("s_un"))
+            ).alias(
+                "log_ratio",
+                # hash-space stamp in the SCHEMA (no job to read it):
+                # scoring must bucket with the same (n, num_buckets)
+                # or every lookup silently misses — consumers read
+                # this instead of trusting their own defaults
+                metadata={"n": n, "num_buckets": num_buckets},
+            ),
+        )
+    )
+
+
+def _ratio_params(log_ratios: DataFrame) -> tuple[int, int]:
+    """Read the (n, num_buckets) stamp off a ratio table's schema;
+    raises on a frame built outside ``importance_log_ratios``."""
+    for f in log_ratios.schema.fields:
+        if f.name == "log_ratio" and "num_buckets" in (f.metadata or {}):
+            return int(f.metadata["n"]), int(f.metadata["num_buckets"])
+    raise ValueError(
+        "log_ratios must come from importance_log_ratios "
+        "(missing the hash-space stamp on the log_ratio column)"
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR score: ``(doc_id, log_weight)`` =
+    sum of its n-gram buckets' log-ratios (occurrence-weighted).
+    Documents with no n-grams score 0. One explode + broadcast join
+    + one groupBy on doc_id; text stays in place.
+
+    The n-gram order and bucket count are read off the ratio table's
+    schema stamp — they cannot drift from how the ratios were built."""
+    n, num_buckets = _ratio_params(log_ratios)
+    occ = ngram_buckets(docs, n, num_buckets, text_col, id_col)
+    scored = occ.join(F.broadcast(log_ratios), "bucket", "left")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(F.coalesce(F.col("log_ratio"), F.lit(0.0))).alias("log_weight")
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    log_ratios: DataFrame,
+    n_select: int,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select ``n_select`` documents with probability ~ importance
+    weight, WITHOUT replacement, deterministically: the
+    Efraimidis–Spirakis exponential race — key = ln(u) / w with
+    u = uniform(0,1), take the n largest keys — where u derives from
+    ``xxhash64(doc_id)`` so the sample is reproducible bit-for-bit.
+    ``temperature`` flattens (<1) or sharpens (>1) the weights, per
+    DSIR's practical smoothing. Returns the selected rows with
+    ``log_weight`` attached.
+
+    The top-n is a ``sort + limit`` — Spark executes it as per-
+    partition TakeOrdered + a single merge of n-row heads, not a full
+    shuffle sort."""
+    w = importance_weights(docs, log_ratios, text_col, id_col)
+    # u in (0,1): 53 mantissa-safe bits of the id hash
+    u = (
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 53)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 53))
+    # ln(key) = ln(u) / w, w = exp(temperature * log_weight); in log
+    # space: ln(u) * exp(-temperature * log_weight) — finite for any
+    # weight, monotone in the true key
+    race = F.log(u) * F.exp(-F.lit(temperature) * F.col("log_weight"))
+    ranked = w.withColumn("__race", race)
+    chosen = (
+        ranked.orderBy(F.col("__race").desc())
+        .limit(n_select)
+        .select(
+            F.col("doc_id").alias("__sel_id"),
+            "log_weight",
+        )
+    )
+    return docs.join(
+        F.broadcast(chosen), F.col(id_col) == F.col("__sel_id"), "inner"
+    ).drop("__sel_id")

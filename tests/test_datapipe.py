@@ -930,3 +930,95 @@ def test_prepare_corpus_substring_stage(spark):
     stages = {(r.doc_id, r.stage) for r in audit.collect()}
     assert (2, "substr_cut") in stages
     assert (1, "substr_cut") not in stages
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def _dsir_corpora(spark):
+    target = spark.createDataFrame(
+        [(i, "the theory of quantum physics explains particle behavior")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    source_rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            source_rows.append(
+                (i, "quantum physics theory and particle experiments today")
+            )
+        else:
+            source_rows.append(
+                (i, f"buy cheap pills{i} now discount offer{i} click here win")
+            )
+    source = spark.createDataFrame(source_rows, "doc_id long, text string")
+    return target, source
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from carbon_clickhouse_spark.datapipe.importance import (
+        importance_log_ratios,
+        importance_weights,
+    )
+
+    target, source = _dsir_corpora(spark)
+    ratios = importance_log_ratios(target, source, n=2, num_buckets=1 << 12)
+    w = {
+        r.doc_id: r.log_weight
+        for r in importance_weights(source, ratios).collect()
+    }
+    assert set(w) == set(range(40))
+    sci = [w[i] for i in range(40) if i % 4 == 0]
+    spam = [w[i] for i in range(40) if i % 4 != 0]
+    assert min(sci) > max(spam)
+
+
+def test_dsir_resample_deterministic_and_biased(spark):
+    from carbon_clickhouse_spark.datapipe.importance import (
+        importance_log_ratios,
+        importance_resample,
+    )
+
+    target, source = _dsir_corpora(spark)
+    ratios = importance_log_ratios(target, source, n=2, num_buckets=1 << 12)
+    sel = importance_resample(source, ratios, n_select=10)
+    ids = {r.doc_id for r in sel.collect()}
+    assert len(ids) == 10
+    # the 10 science docs dominate the selection
+    assert sum(1 for i in ids if i % 4 == 0) >= 8
+    # bit-for-bit deterministic under repartitioning
+    again = {
+        r.doc_id
+        for r in importance_resample(
+            source.repartition(7), ratios, n_select=10
+        ).collect()
+    }
+    assert ids == again
+
+
+def test_dsir_empty_and_short_docs(spark):
+    from carbon_clickhouse_spark.datapipe.importance import (
+        importance_log_ratios,
+        importance_weights,
+        ngram_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "single"), (3, "two words")],
+        "doc_id long, text string",
+    )
+    # bigrams: doc 1 and 2 have none, doc 3 has one
+    occ = ngram_buckets(docs, n=2).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in occ} == {3: 1}
+    target, source = _dsir_corpora(spark)
+    ratios = importance_log_ratios(target, source)
+    w = {r.doc_id: r.log_weight
+         for r in importance_weights(docs, ratios).collect()}
+    # a ratio frame without the schema stamp is rejected, not
+    # silently mis-bucketed
+    import pyspark.sql.functions as SF
+    with pytest.raises(ValueError, match="stamp"):
+        importance_weights(docs, ratios.select("bucket",
+            (SF.col("log_ratio") * 1.0).alias("log_ratio")))
+    assert w[1] == 0.0 and w[2] == 0.0
