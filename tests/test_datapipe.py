@@ -1022,3 +1022,73 @@ def test_dsir_empty_and_short_docs(spark):
         importance_weights(docs, ratios.select("bucket",
             (SF.col("log_ratio") * 1.0).alias("log_ratio")))
     assert w[1] == 0.0 and w[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear quality classifier
+# ---------------------------------------------------------------------------
+
+def test_quality_classifier_separates(spark):
+    from carbon_clickhouse_spark.datapipe.classifier import (
+        filter_by_quality,
+        score_documents,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "carefully researched encyclopedia article with citations "
+             f"and references volume{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, f"click here buy now cheap deal{i} winner prize{i} claim fast")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    model = train_quality_classifier(
+        pos, neg, n=1, num_buckets=1 << 10, iters=15, lr=4.0
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "encyclopedia article with careful citations and references"),
+            (101, "cheap prize winner click now claim the deal fast"),
+            (102, ""),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.quality_score
+         for r in score_documents(test, model).collect()}
+    assert set(s) == {100, 101, 102}
+    assert s[100] > 0.5 > s[101]
+    assert 0.0 < s[102] < 1.0  # featureless doc gets sigmoid(bias)
+    kept = filter_by_quality(test, model, threshold=0.5).collect()
+    assert {r.doc_id for r in kept} == {100}
+    assert all(hasattr(r, "quality_score") for r in kept)
+
+
+def test_quality_classifier_deterministic(spark):
+    from carbon_clickhouse_spark.datapipe.classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, f"zeta eta theta iota{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    m1 = train_quality_classifier(pos, neg, n=1, num_buckets=256, iters=5)
+    m2 = train_quality_classifier(
+        pos.repartition(5), neg.repartition(3), n=1, num_buckets=256, iters=5
+    )
+    assert abs(m1.bias - m2.bias) < 1e-12
+    w1 = {r.bucket: r.weight for r in m1.weights.collect()}
+    w2 = {r.bucket: r.weight for r in m2.weights.collect()}
+    assert set(w1) == set(w2)
+    assert all(abs(w1[b] - w2[b]) < 1e-9 for b in w1)
+    s1 = {r.doc_id: r.quality_score for r in score_documents(pos, m1).collect()}
+    s2 = {r.doc_id: r.quality_score for r in score_documents(pos, m2).collect()}
+    assert all(abs(s1[d] - s2[d]) < 1e-9 for d in s1)
