@@ -223,15 +223,44 @@ _FUNCS = {
     "aggregateWithWildcards": lambda df, fn, *pos: (
         render.combine_with_wildcards(df, fn, *[int(p) for p in pos])
     ),
+    "add": render.offset,
+    "group": lambda df: df,
+    "powSeries": render.pow_series,
+    "filterSeries": lambda df, fn, op, th: render.filter_series(
+        df, str(fn), str(op), float(th)
+    ),
+    "removeEmptySeries": lambda df, xff=0.0: render.remove_empty_series(
+        df, float(xff)
+    ),
+    "sortBy": lambda df, fn="average", rev=False: render.sort_by(
+        df, str(fn), str(rev).lower() in ("true", "1")
+    ),
+    "highest": lambda df, n=1, fn="average": render.highest(
+        df, int(n), {"average": "avg"}.get(str(fn), str(fn))
+    ),
+    "lowest": lambda df, n=1, fn="average": render.lowest(
+        df, int(n), {"average": "avg"}.get(str(fn), str(fn))
+    ),
+    "legendValue": lambda df, *vts: render.legend_value(
+        df, *[str(v) for v in vts]
+    ),
 }
 
 # presentation-only functions graphite-web accepts that do not change
 # the data: accepted as identity so dashboards round-trip unchanged
 for _name in (
-    "color", "lineWidth", "dashed", "secondYAxis", "stacked",
-    "legendValue", "drawAsInfinite", "areaBetween",
+    "color", "lineWidth", "dashed", "secondYAxis", "stacked", "alpha",
+    "drawAsInfinite", "areaBetween",
 ):
     _FUNCS.setdefault(_name, lambda df, *a: df)
+
+#: combiners whose graphite signature is (*seriesLists): every arg is
+#: a series expression; the evaluator unions them before applying
+_VARIADIC_SERIES = frozenset((
+    "sumSeries", "averageSeries", "maxSeries", "minSeries",
+    "multiplySeries", "countSeries", "rangeOfSeries", "stddevSeries",
+    "group", "unique", "powSeries",
+))
 
 #: functions evaluated by special dispatch rather than the registry
 _DISPATCH_FORMS = (
@@ -240,7 +269,12 @@ _DISPATCH_FORMS = (
     "divideSeries", "asPercent", "timeStack", "weightedAverage",
     "hitcount", "identity", "mapSeries", "reduceSeries",
     "holtWintersForecast", "holtWintersConfidenceBands",
-    "holtWintersAberration", "divideSeriesLists", "applyByNode",
+    "holtWintersAberration", "holtWintersConfidenceArea",
+    "divideSeriesLists", "applyByNode", "aggregateSeriesLists",
+    "sumSeriesLists", "diffSeriesLists", "multiplySeriesLists",
+    "cumulative", "setXFilesFactor", "xFilesFactor", "sinFunction",
+    "randomWalkFunction", "randomWalk", "verticalLine",
+    "useSeriesAbove", "aliasQuery",
 )
 
 
@@ -504,6 +538,18 @@ def evaluate_target(
         if ctx is not None and len(expr.args) > 1:
             ctx["consolidate"] = str(expr.args[1])
         return evaluate_target(expr.args[0], store, t0, t1, ctx)
+    if expr.name == "cumulative":
+        # graphite: alias for consolidateBy(series, 'sum')
+        if ctx is not None:
+            ctx["consolidate"] = "sum"
+        return evaluate_target(expr.args[0], store, t0, t1, ctx)
+    if expr.name in ("setXFilesFactor", "xFilesFactor"):
+        # the parquet store has no gap-filled buckets for the factor
+        # to act on at evaluation time; record the hint and pass data
+        # through so dashboards round-trip
+        if ctx is not None and len(expr.args) > 1:
+            ctx["xFilesFactor"] = float(expr.args[1])
+        return evaluate_target(expr.args[0], store, t0, t1, ctx)
     if expr.name in ("constantLine", "threshold"):
         # generator: a flat series over the request window (graphite
         # emits start/mid/end points)
@@ -552,6 +598,7 @@ def evaluate_target(
     if expr.name in (
         "holtWintersForecast",
         "holtWintersConfidenceBands",
+        "holtWintersConfidenceArea",
         "holtWintersAberration",
     ):
         # graphite bootstraps the seasonal model on extra history
@@ -561,7 +608,12 @@ def evaluate_target(
         delta = float(expr.args[1]) if len(expr.args) > 1 else 3.0
         if expr.name == "holtWintersForecast":
             out = render.holt_winters_forecast(inner)
-        elif expr.name == "holtWintersConfidenceBands":
+        elif expr.name in (
+            "holtWintersConfidenceBands",
+            # the Area form differs only in fill rendering — the data
+            # series are the same upper/lower bands
+            "holtWintersConfidenceArea",
+        ):
             out = render.holt_winters_confidence_bands(inner, delta)
         else:
             out = render.holt_winters_aberration(inner, delta)
@@ -631,6 +683,131 @@ def evaluate_target(
         a = evaluate_target(expr.args[0], store, t0, t1, ctx)
         b = evaluate_target(expr.args[1], store, t0, t1, ctx)
         return render.divide_series_lists(a, b)
+    if expr.name in (
+        "aggregateSeriesLists", "sumSeriesLists", "diffSeriesLists",
+        "multiplySeriesLists",
+    ):
+        a = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        b = evaluate_target(expr.args[1], store, t0, t1, ctx)
+        alias_fn = {
+            "sumSeriesLists": ("sum", "sumSeries"),
+            "diffSeriesLists": ("diff", "diffSeries"),
+            "multiplySeriesLists": ("multiply", "multiplySeries"),
+        }
+        if expr.name in alias_fn:
+            func, label = alias_fn[expr.name]
+        else:
+            func = str(expr.args[2]) if len(expr.args) > 2 else "sum"
+            label = f"{func}Series"
+        return render.aggregate_series_lists(a, b, func, label)
+    if expr.name == "sinFunction":
+        # generator: amplitude * sin(t) on the step grid
+        label = str(expr.args[0]) if expr.args else "sin"
+        amp = float(expr.args[1]) if len(expr.args) > 1 else 1.0
+        step = int(expr.args[2]) if len(expr.args) > 2 else 60
+        spark = store.points.sparkSession
+        return spark.range(t0, t1 + 1, step).select(
+            F.lit(label).alias("path"),
+            F.col("id").alias("time"),
+            (F.lit(amp) * F.sin(F.col("id").cast("double"))).alias("value"),
+        )
+    if expr.name in ("randomWalkFunction", "randomWalk"):
+        # generator: graphite emits random(-0.5, 0.5) cumulative steps;
+        # here the step stream is a DETERMINISTIC hash of (name, t) —
+        # same shape, reproducible across runs (no RNG in the plan)
+        label = str(expr.args[0]) if expr.args else "randomWalk"
+        step = int(expr.args[1]) if len(expr.args) > 1 else 60
+        spark = store.points.sparkSession
+        delta = (
+            F.pmod(
+                F.xxhash64(F.lit(label), F.col("id")), F.lit(10_000)
+            ).cast("double")
+            / 10_000.0
+            - 0.5
+        )
+        from pyspark.sql import Window as _W
+
+        walk = F.sum(delta).over(
+            _W.orderBy("id").rowsBetween(_W.unboundedPreceding, 0)
+        )
+        return spark.range(t0, t1 + 1, step).select(
+            F.lit(label).alias("path"),
+            F.col("id").alias("time"),
+            walk.alias("value"),
+        )
+    if expr.name == "verticalLine":
+        # marker at one timestamp: graphite draws a vertical line and
+        # returns a 2-point series [1.0, 1.0] at [ts, ts]
+        now = int(_time.time())
+        ts = _parse_time(str(expr.args[0]), t1, now)
+        label = str(expr.args[1]) if len(expr.args) > 1 else str(expr.args[0])
+        if not (t0 <= ts <= t1):
+            raise ValueError("verticalLine timestamp outside render window")
+        spark = store.points.sparkSession
+        return spark.createDataFrame(
+            [(label, ts, 1.0), (label, ts, 1.0)],
+            "path string, time long, value double",
+        )
+    if expr.name == "useSeriesAbove":
+        # substitute metric names for series whose max exceeds the
+        # threshold: max > value -> fetch sub(search, replace, path).
+        # The winner set is series-cardinality (bounded driver edge,
+        # same as every facade name resolution).
+        inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        value = float(expr.args[1])
+        search, replace = str(expr.args[2]), str(expr.args[3])
+        stats = (
+            inner.groupBy("path")
+            .agg(F.max("value").alias("mx"))
+            .filter(F.col("mx") > value)
+            .select("path")
+            .collect()
+        )
+        new_paths = sorted(
+            re.sub(search, replace, r["path"]) for r in stats
+        )
+        if not new_paths:
+            spark = store.points.sparkSession
+            return spark.createDataFrame(
+                [], "path string, time long, value double"
+            )
+        frames = [store.series(p, t0, t1) for p in new_paths]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+    if expr.name == "aliasQuery":
+        # rename each series via a second query: sub(search, replace,
+        # path) evaluates as a target; its LAST value formats newName.
+        # Series-cardinality driver loop — bounded like applyByNode.
+        inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        search, replace = str(expr.args[1]), str(expr.args[2])
+        new_name = str(expr.args[3])
+        paths = sorted(
+            r["path"] for r in inner.select("path").distinct().collect()
+        )
+        frames = []
+        for p in paths:
+            q = re.sub(search, replace, p)
+            qdf = evaluate_target(parse_target(q), store, t0, t1, ctx)
+            last = (
+                qdf.filter(F.col("value").isNotNull())
+                .orderBy(F.col("time").desc())
+                .limit(1)
+                .collect()
+            )
+            if not last:
+                raise ValueError(f"aliasQuery: no values for query {q!r}")
+            label = new_name % last[0]["value"]
+            frames.append(
+                inner.filter(F.col("path") == p).select(
+                    F.lit(label).alias("path"), "time", "value"
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     if expr.name == "applyByNode":
         # evaluate a target template once per distinct node prefix:
         # applyByNode(dc.*.cpu, 1, 'sumSeries(%.cpu)') — '%' expands
@@ -706,6 +883,16 @@ def evaluate_target(
     fn = _FUNCS.get(expr.name)
     if fn is None:
         raise ValueError(f"unsupported function {expr.name!r}")
+    if expr.name in _VARIADIC_SERIES and len(expr.args) > 1:
+        # graphite signature (*seriesLists): every arg is a series
+        # expression — union them, then apply the combiner once
+        frames = [
+            evaluate_target(a, store, t0, t1, ctx) for a in expr.args
+        ]
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        return fn(df)
     df = evaluate_target(expr.args[0], store, t0, t1, ctx)
     return fn(df, *expr.args[1:])
 

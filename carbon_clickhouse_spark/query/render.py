@@ -283,6 +283,8 @@ def filter_series(
         ">=": F.col("stat") >= threshold,
         "<": F.col("stat") < threshold,
         "<=": F.col("stat") <= threshold,
+        "=": F.col("stat") == threshold,
+        "!=": F.col("stat") != threshold,
     }
     if op not in ops:
         raise ValueError(f"unsupported op {op}")
@@ -1391,3 +1393,151 @@ def alias_by_tags(series: DataFrame, *tags: str) -> DataFrame:
     parts = [tag_value(t) for t in tags]
     label = F.concat_ws(".", *parts)
     return series.select(label.alias("path"), "time", "value")
+
+
+def pow_series(series: DataFrame) -> DataFrame:
+    """Graphite ``powSeries(*seriesLists)``: per timestamp, left-fold
+    exponentiation over the values in sorted-path order (graphite
+    folds in list order; sorted order is the deterministic analog,
+    mirroring :func:`divide_series_lists`). One groupBy(time) — the
+    fold runs over the per-timestamp struct array, never a window."""
+    vals = F.array_sort(
+        F.collect_list(F.struct(F.col("path"), F.col("value")))
+    )
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1)["value"].cast("double"),
+        lambda acc, s: F.pow(acc, s["value"]),
+    )
+    return (
+        series.groupBy("time")
+        .agg(folded.alias("value"))
+        .select(F.lit("powSeries").alias("path"), "time", "value")
+    )
+
+
+def remove_empty_series(
+    series: DataFrame, xfiles_factor: float = 0.0
+) -> DataFrame:
+    """Graphite ``removeEmptySeries(seriesList[, xFilesFactor])``:
+    drop series whose fraction of non-null points does not exceed the
+    factor (factor 0 = drop only all-null series). The qualifying set
+    is series-cardinality — broadcast semi-join, same shape as
+    :func:`filter_series`."""
+    xff = float(xfiles_factor)
+    stat = series.groupBy("path").agg(
+        (F.count("value") / F.count(F.lit(1))).alias("frac")
+    )
+    cond = (F.col("frac") > xff) if xff > 0 else (F.col("frac") > 0)
+    winners = stat.filter(cond).select("path")
+    return series.join(F.broadcast(winners), "path", "left_semi")
+
+
+_LEGEND_STATS = {
+    "avg": "avg", "average": "avg", "total": "sum", "sum": "sum",
+    "min": "min", "max": "max", "last": "current", "current": "current",
+}
+
+
+def legend_value(series: DataFrame, *value_types: str) -> DataFrame:
+    """Graphite ``legendValue(seriesList, *valueTypes)``: append
+    ``(type: value)`` per requested statistic to each series name —
+    the legend annotation graphite-web draws. Unknown types annotate
+    as ``(type: None)``, matching graphite's safe_* fallbacks. Stats
+    join back broadcast (series-cardinality)."""
+    out = series
+    for vt in value_types:
+        key = _LEGEND_STATS.get(str(vt))
+        if key is None:
+            out = out.select(
+                F.concat(
+                    F.col("path"), F.lit(f" ({vt}: None)")
+                ).alias("path"),
+                "time", "value",
+            )
+            continue
+        stat = _per_series_stat(out, key)
+        out = (
+            out.join(F.broadcast(stat), "path")
+            .select(
+                F.concat(
+                    F.col("path"),
+                    F.lit(f" ({vt}: "),
+                    F.col("stat").cast("string"),
+                    F.lit(")"),
+                ).alias("path"),
+                "time", "value",
+            )
+        )
+    return out
+
+
+_SORT_FUNCS = {
+    "average": "avg", "avg": "avg", "total": "sum", "sum": "sum",
+    "min": "min", "max": "max", "current": "current", "last": "current",
+    "maximum": "max", "minimum": "min",
+}
+
+
+def sort_by(
+    series: DataFrame, func: str = "average", reverse: bool = False
+) -> DataFrame:
+    """Graphite ``sortBy(seriesList, func='average', reverse=False)``:
+    generic per-series-statistic ordering (ascending unless
+    ``reverse``). Delegates to :func:`sort_by_stat`."""
+    key = _SORT_FUNCS.get(str(func))
+    if key is None:
+        raise ValueError(f"unsupported sortBy func {func!r}")
+    return sort_by_stat(series, key, descending=bool(reverse))
+
+
+def aggregate_series_lists(
+    a: DataFrame, b: DataFrame, func: str = "sum", label: str | None = None
+) -> DataFrame:
+    """Graphite ``aggregateSeriesLists(l1, l2, func)`` and its
+    ``sumSeriesLists``/``diffSeriesLists``/``multiplySeriesLists``
+    aliases: combine the i-th series of each list pointwise, pairing
+    by sorted path order (graphite pairs positionally and errors on
+    length mismatch). Same series-cardinality pairing + broadcast
+    shape as :func:`divide_series_lists`."""
+    name = {"average": "avg", "total": "sum"}.get(func, func)
+    w = Window.orderBy("path")
+    pa = (
+        a.select("path").distinct()
+        .select(F.col("path").alias("pa"), F.row_number().over(w).alias("pos"))
+    )
+    pb = (
+        b.select("path").distinct()
+        .select(F.col("path").alias("pb"), F.row_number().over(w).alias("pos"))
+    )
+    pairs = pa.join(pb, "pos").select("pa", "pb")
+    left = a.join(F.broadcast(pairs), a["path"] == pairs["pa"]).select(
+        "pa", "pb", "time", F.col("value").alias("va")
+    )
+    right = b.select(
+        F.col("path").alias("pb"), "time", F.col("value").alias("vb")
+    )
+    j = left.join(right, ["pb", "time"], "left")
+    va, vb = F.col("va"), F.col("vb")
+    if name == "sum":
+        v = va + F.coalesce(vb, F.lit(0.0))
+    elif name == "diff":
+        v = va - F.coalesce(vb, F.lit(0.0))
+    elif name == "multiply":
+        v = va * vb
+    elif name == "avg":
+        v = (va + vb) / 2
+    elif name == "max":
+        v = F.greatest(va, vb)
+    elif name == "min":
+        v = F.least(va, vb)
+    elif name == "pow":
+        v = F.pow(va, vb)
+    else:
+        raise ValueError(f"unsupported func {func!r}")
+    fn_label = label or f"{func}Series"
+    out_path = F.concat(
+        F.lit(f"{fn_label}("), F.col("pa"), F.lit(","), F.col("pb"),
+        F.lit(")"),
+    )
+    return j.select(out_path.alias("path"), "time", v.alias("value"))

@@ -481,3 +481,156 @@ def test_map_reduce_series(spark):
     ).collect()
     got = {r.path: r.value for r in out}
     assert got == {"disk.h1": 30.0, "disk.h2": 25.0}
+
+
+def test_variadic_series_args(spark):
+    # graphite's (*seriesLists) signature: args union before combining
+    store = _store(spark)
+    s = evaluate_target(
+        parse_target("sumSeries(ev.a, ev.b)"), store, 0, 200
+    )
+    assert {r.time: r.value for r in s.collect()} == {100: 11.0, 160: 33.0}
+    g = evaluate_target(parse_target("group(ev.a, ev.b)"), store, 0, 200)
+    assert g.count() == 4
+    u = evaluate_target(parse_target("unique(ev.a, ev.a)"), store, 0, 200)
+    assert u.count() == 2
+
+
+def test_pow_series(spark):
+    store = _store(spark)
+    out = evaluate_target(parse_target("powSeries(ev.a, ev.b)"), store, 0, 200)
+    got = {r.time: r.value for r in out.collect()}
+    # fold in sorted-path order: ev.a ** ev.b
+    assert got == {100: 1.0**10.0, 160: 3.0**30.0}
+
+
+def test_filter_series_and_remove_empty(spark):
+    store = _store(spark)
+    kept = evaluate_target(
+        parse_target("filterSeries(ev.*, 'max', '>', 5)"), store, 0, 200
+    )
+    assert {r.path for r in kept.collect()} == {"ev.b"}
+    eq = evaluate_target(
+        parse_target("filterSeries(ev.*, 'current', '=', 30)"), store, 0, 200
+    )
+    assert {r.path for r in eq.collect()} == {"ev.b"}
+    s = _series(spark, [("m.a", 1, 1.0), ("m.b", 1, None), ("m.b", 2, None)])
+    left = render.remove_empty_series(s)
+    assert {r.path for r in left.collect()} == {"m.a"}
+    # factor 0.6: m.c has 1/2 non-null -> dropped
+    s2 = _series(
+        spark, [("m.a", 1, 1.0), ("m.c", 1, 1.0), ("m.c", 2, None)]
+    )
+    strict = render.remove_empty_series(s2, 0.6)
+    assert {r.path for r in strict.collect()} == {"m.a"}
+
+
+def test_sort_by_and_generic_selectors(spark):
+    store = _store(spark)
+    first = evaluate_target(
+        parse_target("sortBy(ev.*, 'max', true)"), store, 0, 200
+    ).collect()[0]
+    assert first.path == "ev.b"
+    hi = evaluate_target(parse_target("highest(ev.*, 1, 'max')"), store, 0, 200)
+    assert {r.path for r in hi.collect()} == {"ev.b"}
+    lo = evaluate_target(
+        parse_target("lowest(ev.*, 1, 'average')"), store, 0, 200
+    )
+    assert {r.path for r in lo.collect()} == {"ev.a"}
+
+
+def test_legend_value(spark):
+    store = _store(spark)
+    out = evaluate_target(
+        parse_target("legendValue(ev.a, 'max')"), store, 0, 200
+    )
+    assert {r.path for r in out.collect()} == {"ev.a (max: 3.0)"}
+    unk = evaluate_target(
+        parse_target("legendValue(ev.a, 'bogus')"), store, 0, 200
+    )
+    assert {r.path for r in unk.collect()} == {"ev.a (bogus: None)"}
+
+
+def test_aggregate_series_lists(spark):
+    store = _store(spark)
+    d = evaluate_target(
+        parse_target("diffSeriesLists(ev.a, ev.b)"), store, 0, 200
+    )
+    rows = d.collect()
+    assert {r.path for r in rows} == {"diffSeries(ev.a,ev.b)"}
+    assert {r.time: r.value for r in rows} == {100: -9.0, 160: -27.0}
+    s = evaluate_target(
+        parse_target("sumSeriesLists(ev.a, ev.b)"), store, 0, 200
+    )
+    assert {r.time: r.value for r in s.collect()} == {100: 11.0, 160: 33.0}
+    m = evaluate_target(
+        parse_target("aggregateSeriesLists(ev.a, ev.b, 'max')"), store, 0, 200
+    )
+    assert {r.time: r.value for r in m.collect()} == {100: 10.0, 160: 30.0}
+
+
+def test_generator_functions(spark):
+    store = _store(spark)
+    sf = evaluate_target(
+        parse_target("sinFunction('s', 2, 30)"), store, 0, 90
+    ).collect()
+    assert [r.time for r in sf] == [0, 30, 60, 90]
+    assert sf[1].value == pytest.approx(2 * math.sin(30.0))
+    # random walk: deterministic across evaluations, bounded steps
+    w1 = evaluate_target(
+        parse_target("randomWalkFunction('w', 30)"), store, 0, 300
+    ).collect()
+    w2 = evaluate_target(
+        parse_target("randomWalkFunction('w', 30)"), store, 0, 300
+    ).collect()
+    assert [r.value for r in w1] == [r.value for r in w2]
+    assert all(abs(r.value) <= 0.5 * len(w1) for r in w1)
+    vl = evaluate_target(
+        parse_target("verticalLine('50', 'event')"), store, 0, 100
+    ).collect()
+    assert [(r.path, r.time, r.value) for r in vl] == [
+        ("event", 50, 1.0), ("event", 50, 1.0)
+    ]
+    with pytest.raises(ValueError):
+        evaluate_target(parse_target("verticalLine('500')"), store, 0, 100)
+
+
+def test_use_series_above_and_alias_query(spark):
+    store = _store(spark)
+    # ev.a max is 3 > 0.5 -> substitute a$ -> b, fetch ev.b
+    out = evaluate_target(
+        parse_target("useSeriesAbove(ev.a, 0.5, 'a$', 'b')"), store, 0, 200
+    )
+    assert {r.path for r in out.collect()} == {"ev.b"}
+    none = evaluate_target(
+        parse_target("useSeriesAbove(ev.a, 99, 'a$', 'b')"), store, 0, 200
+    )
+    assert none.count() == 0
+    aq = evaluate_target(
+        parse_target("aliasQuery(ev.a, 'a$', 'b', 'last %d')"), store, 0, 200
+    )
+    assert {r.path for r in aq.collect()} == {"last 30"}
+
+
+def test_consolidation_hints(spark):
+    store = _store(spark)
+    ctx: dict = {}
+    out = evaluate_target(
+        parse_target("cumulative(ev.a)"), store, 0, 200, ctx
+    )
+    assert ctx["consolidate"] == "sum" and out.count() == 2
+    ctx2: dict = {}
+    out2 = evaluate_target(
+        parse_target("setXFilesFactor(ev.a, 0.5)"), store, 0, 200, ctx2
+    )
+    assert ctx2["xFilesFactor"] == 0.5 and out2.count() == 2
+
+
+def test_holt_winters_confidence_area_dispatch(spark):
+    store = _store(spark)
+    area = evaluate_target(
+        parse_target("holtWintersConfidenceArea(ev.a, 3, '100s')"),
+        store, 0, 200,
+    )
+    names = {r.path.split("(")[0] for r in area.collect()}
+    assert names == {"holtWintersConfidenceUpper", "holtWintersConfidenceLower"}
