@@ -374,3 +374,113 @@ def filter_blocked_domains(
         for b in blocked_norm:
             cond = cond | dom.endswith("." + b)
     return df.filter(~cond)
+
+
+#: Gopher quality-rule defaults (Rae et al. 2021, Table A1 — public
+#: paper): documents outside these bounds are flagged low-quality
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher's published document-quality rules as one column-only
+    pass: adds per-rule booleans, a ``gopher_reasons`` array naming
+    each failed rule, and ``gopher_pass``. Zero shuffles, zero UDFs —
+    every signal is a regexp/array expression over the text column,
+    so the filter runs at scan speed and pushes into the same stage
+    as the parquet read at 100 TB."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    # Gopher counts '#' and '...' occurrences against the word count
+    n_symbols = F.size(
+        F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)
+    )
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).rlike(r"^(•|‣|◦|-|\*)\s"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}"))).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda x: F.lower(x)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    checks = {
+        "word_count": (n_tok >= min_words) & (n_tok <= max_words),
+        "mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio": F.when(
+            n_tok > 0, n_symbols.cast("double") / n_tok
+        ).otherwise(F.lit(1.0))
+        <= max_symbol_word_ratio,
+        "bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words": alpha_frac >= min_alpha_word_frac,
+        "stopwords": stop_hits >= min_stop_hits,
+    }
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name))
+                for name, cond in checks.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = df
+    for name, cond in checks.items():
+        out = out.withColumn(f"gopher_{name}", cond)
+    return out.withColumn("gopher_reasons", reasons).withColumn(
+        "gopher_pass", F.size(reasons) == 0
+    )
+
+
+def filter_gopher(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Keep only documents passing every Gopher rule (the columns the
+    scoring pass added are dropped — this is the pipeline-stage
+    form)."""
+    scored = gopher_rules(df, text_col, **thresholds)
+    return scored.filter(F.col("gopher_pass")).select(*df.columns)
