@@ -792,13 +792,54 @@ def q_render_window(spark, sf_dir):
 
 
 def q_group_by_node(spark, sf_dir):
-    """Render layer: groupByNode(1, sum) — collapse all event types per
+    """(Not in the graded 50 since round 5 — the render layer keeps
+    render_recursive as its graded representative and _group_agg is
+    pinned by test_render_extended; the slot went to lm_perplexity.)
+
+    Render layer: groupByNode(1, sum) — collapse all event types per
     user bucket, summed per timestamp."""
     from carbon_clickhouse_spark.query.render import group_by_node
 
     pts = _events_points(spark, sf_dir).select("path", "time", "value")
     out = group_by_node(pts, 1, "sum")
     return out.select("path", "time", F.round("value", 4).alias("value"))
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM-perplexity data selection (datapipe/lm.py):
+    train an interpolated add-k bigram model on a deterministic half
+    of the corpus (md5(doc_id) first hex digit < '8'), score EVERY
+    document, and emit per-doc token count + log-perplexity.
+
+    Cross-engine determinism: the per-token logp is one double op
+    chain with identical shape on both engines (p_uni straight from
+    counts, never exp(ln)); the per-doc mean goes through an exact
+    DECIMAL(28,12) sum so partition order cannot move the result,
+    then ONE double division + round(4). Scoring is three broadcast
+    joins — the corpus never shuffles by token."""
+    from carbon_clickhouse_spark.datapipe.lm import (
+        bigram_logprobs,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
+    lm = train_bigram_lm(
+        ref, vocab_size=2000, max_bigrams=20000, add_k=0.1, lam=0.75
+    )
+    logs = bigram_logprobs(docs, lm)
+    return logs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            -(
+                F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("log_ppl"),
+    )
 
 
 def _per_ts_points(spark, sf_dir):
@@ -1587,7 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "tpch_q1": q_tpch_q1,
         "top_revenue_orders": q_top_revenue_orders,
-        "group_by_node": q_group_by_node,
+        "lm_perplexity": q_lm_perplexity,
         "asof_align": q_asof_align,
         "substr_dup_spans": q_substr_dup_spans,
         "render_recursive": q_render_recursive,
@@ -1808,10 +1849,57 @@ def oracle_sql() -> dict[str, str]:
                    max(fp_pos) + 20 AS span_end
             FROM grp GROUP BY doc_id, g
         """,
-        "group_by_node": f"""
-            SELECT string_split(path, '.')[2] AS path, time,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS value
-            FROM ({PTS_SQL}) GROUP BY 1, 2
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            ref AS (SELECT * FROM toks WHERE md5(CAST(doc_id AS VARCHAR))[1:1] < '8'),
+            uni AS (
+              SELECT word, count(*) AS u_count
+              FROM (SELECT unnest(w) AS word FROM ref)
+              GROUP BY word
+              ORDER BY u_count DESC, word ASC LIMIT 2000
+            ),
+            tot AS (SELECT sum(len(w)) AS total FROM ref),
+            voc AS (SELECT count(*) + 1 AS vocab FROM uni),
+            ref_pairs AS (
+              SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev,
+                     w[i] AS word
+              FROM (SELECT w, unnest(generate_series(1, len(w))) AS i FROM ref)
+            ),
+            bi AS (
+              SELECT prev, word, count(*) AS b_count
+              FROM ref_pairs GROUP BY prev, word
+              ORDER BY b_count DESC, prev ASC, word ASC LIMIT 20000
+            ),
+            pairs AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev,
+                     w[i] AS word
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                    FROM toks WHERE len(w) > 0)
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(0.75 * (CASE WHEN b.b_count IS NOT NULL
+                                      AND cu.u_count IS NOT NULL
+                                THEN CAST(b.b_count AS DOUBLE) / cu.u_count
+                                ELSE 0.0 END)
+                        + 0.25 * ((coalesce(u.u_count, 0) + 0.1)
+                                  / (tot.total + 0.1 * voc.vocab))) AS logp
+              FROM pairs p
+              LEFT JOIN uni u ON p.word = u.word
+              LEFT JOIN bi b ON p.prev = b.prev AND p.word = b.word
+              LEFT JOIN uni cu ON p.prev = cu.word
+              CROSS JOIN tot CROSS JOIN voc
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+                           / count(*)), 4) AS log_ppl
+            FROM scored GROUP BY doc_id
         """,
         # DuckDB native ASOF LEFT JOIN vs our union-tag window: the
         # matched right timestamp drives the tolerance on both sides

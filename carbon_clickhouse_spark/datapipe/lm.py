@@ -124,23 +124,24 @@ def train_bigram_lm(
     )
 
 
-def score_perplexity(
+def bigram_logprobs(
     docs: DataFrame,
     lm: BigramLM,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document perplexity under the model:
+    """(doc_id, prev, word, logp) — one row per scored token:
 
     ``p(w | prev) = lam * c(prev, w) / c(prev)  +  (1 - lam) * p_uni(w)``
 
-    with ``p_uni`` the add-k unigram and OOV handled by the same
-    formula at count 0 — every term is non-zero, so log never sees 0.
-    ``perplexity = exp(-mean log p)`` over the document's tokens.
+    with ``p_uni = (c(w) + k) / (total + k * V)`` computed straight
+    from counts (never ``exp(u_logp)`` — the round-trip would cost a
+    double-rounding ulp) and OOV handled by the same formula at count
+    0, so every term is non-zero and log never sees 0.
 
-    Plan shape: explode -> two BROADCAST joins (model tables are
-    bounded by training) -> one groupBy(doc_id). The corpus rows are
-    never shuffled by token.
+    Plan shape: explode -> three BROADCAST joins (the model tables
+    are bounded by training). The corpus rows are never shuffled by
+    token.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("w"))
     n = F.size("w")
@@ -158,7 +159,7 @@ def score_perplexity(
         "doc_id", F.col("g.prev").alias("prev"), F.col("g.word").alias("word")
     )
 
-    uni = F.broadcast(lm.unigrams.select("word", "u_count", "u_logp"))
+    uni = F.broadcast(lm.unigrams.select("word", "u_count"))
     bi = F.broadcast(lm.bigrams)
     # context counts: c(prev) from the unigram table (BOS context =
     # one start per training doc is not tracked; BOS backs off to the
@@ -174,21 +175,32 @@ def score_perplexity(
         .join(bi, ["prev", "word"], "left")
         .join(ctx, "prev", "left")
     )
-    p_uni = F.coalesce(
-        F.exp(F.col("u_logp")),
-        # OOV: add-k at count 0
-        F.lit(lm.add_k) / F.lit(lm.total + lm.add_k * lm.vocab),
-    )
+    p_uni = (
+        F.coalesce(F.col("u_count"), F.lit(0)) + F.lit(lm.add_k)
+    ) / F.lit(lm.total + lm.add_k * lm.vocab)
     p_bi = F.when(
         F.col("b_count").isNotNull() & F.col("c_prev").isNotNull(),
         F.col("b_count") / F.col("c_prev"),
     ).otherwise(F.lit(0.0))
     logp = F.log(F.lit(lm.lam) * p_bi + F.lit(1.0 - lm.lam) * p_uni)
+    return scored.select("doc_id", "prev", "word", logp.alias("logp"))
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document ``perplexity = exp(-mean log p)`` over the
+    document's tokens (see :func:`bigram_logprobs` for the model
+    arithmetic and the broadcast plan shape)."""
     return (
-        scored.groupBy("doc_id")
+        bigram_logprobs(docs, lm, text_col, id_col)
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.exp(-F.avg(logp)).alias("perplexity"),
+            F.exp(-F.avg("logp")).alias("perplexity"),
         )
     )
 
