@@ -334,6 +334,21 @@ def main(argv=None) -> int:
         "substrings (ExactSubstr pass) after doc-level dedup",
     )
     ap.add_argument(
+        "--gopher", action="store_true",
+        help="with --prepare-corpus: apply the Gopher document-"
+        "quality rules as an additional gate",
+    )
+    ap.add_argument(
+        "--lm-reference", default=None, metavar="PARQUET",
+        help="with --prepare-corpus: reference corpus for CCNet-style "
+        "LM-perplexity banding; docs outside --lm-keep-bands drop",
+    )
+    ap.add_argument(
+        "--lm-keep-bands", default="head,middle",
+        help="with --lm-reference: comma-separated perplexity bands "
+        "to keep (head = lowest perplexity)",
+    )
+    ap.add_argument(
         "--upload-to-clickhouse", action="store_true",
         help="mirror every micro-batch into the ClickHouse named by "
         "the config's [upload.*] URLs (parquet tables stay the "
@@ -392,6 +407,13 @@ def main(argv=None) -> int:
                 else None
             ),
             substring_dedup=args.substring_dedup,
+            gopher=args.gopher,
+            lm_reference=(
+                spark.read.parquet(args.lm_reference)
+                if args.lm_reference
+                else None
+            ),
+            lm_keep_bands=tuple(args.lm_keep_bands.split(",")),
         )
         pool: list = []
         kept, audit = prepare_corpus(docs, cfg, persisted_pool=pool)

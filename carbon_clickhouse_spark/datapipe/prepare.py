@@ -30,6 +30,16 @@ class CorpusPrepConfig:
     min_tokens: int | None = 20
     min_stopword_ratio: float | None = None
     languages: tuple[str, ...] = field(default_factory=tuple)
+    #: apply the Gopher document-quality rules (text.gopher_rules)
+    #: as an additional gate; thresholds override the paper defaults
+    gopher: bool = False
+    gopher_thresholds: dict = field(default_factory=dict)
+    #: reference corpus for CCNet-style LM-perplexity banding
+    #: (None = skip); documents in bands NOT listed are dropped
+    lm_reference: DataFrame | None = None
+    lm_keep_bands: tuple[str, ...] = ("head", "middle")
+    lm_vocab_size: int = 50_000
+    lm_max_bigrams: int = 1_000_000
     exact_dedup: bool = True
     near_dedup: bool = True
     minhash_hashes: int = 8
@@ -60,10 +70,10 @@ def prepare_corpus(
     ...). Returns ``(kept, audit)``: ``kept`` carries the original
     columns plus quality/language features and scrub counts; ``audit``
     is one ``(doc_id, stage)`` row per dropped document, stages in
-    {'quality', 'language', 'exact_dup', 'near_dup',
-    'contaminated'} — plus 'substr_cut' rows marking documents whose
-    text was REWRITTEN (not dropped) by the optional substring-dedup
-    pass.
+    {'quality', 'language', 'gopher', 'exact_dup', 'near_dup',
+    'contaminated', 'perplexity'} — plus 'substr_cut' rows marking
+    documents whose text was REWRITTEN (not dropped) by the optional
+    substring-dedup pass.
 
     ``kept`` and ``audit`` fork from shared intermediates; writing
     both without caching re-executes the expensive stages (feature
@@ -107,6 +117,14 @@ def prepare_corpus(
         note(cur.filter(lang_bad), "language")
         cur = cur.filter(~lang_bad)
 
+    # --- Gopher rules: another stateless column gate -----------------
+    if cfg.gopher:
+        from .text import gopher_rules
+
+        scored = gopher_rules(cur, **cfg.gopher_thresholds)
+        note(scored.filter(~F.col("gopher_pass")), "gopher")
+        cur = scored.filter(F.col("gopher_pass")).select(*cur.columns)
+
     # --- exact dedup: keep-first per normalized fingerprint ---------
     if cfg.exact_dedup:
         w = Window.partitionBy("__fp").orderBy("doc_id")
@@ -148,6 +166,30 @@ def prepare_corpus(
         cur = cur.filter(~F.coalesce(F.col("__bad"), F.lit(False))).drop(
             "__bad"
         )
+
+    # --- CCNet-style LM-perplexity banding: runs AFTER dedup /
+    # decontamination so the expensive per-token scoring joins see
+    # the smallest surviving corpus; docs outside lm_keep_bands drop
+    if cfg.lm_reference is not None:
+        from .lm import perplexity_buckets, score_perplexity, train_bigram_lm
+
+        lm = train_bigram_lm(
+            cfg.lm_reference,
+            vocab_size=cfg.lm_vocab_size,
+            max_bigrams=cfg.lm_max_bigrams,
+        )
+        bands = hold(
+            perplexity_buckets(score_perplexity(cur, lm)).select(
+                "doc_id", "band"
+            )
+        )
+        cur = cur.join(bands, "doc_id", "left")
+        keep = F.col("band").isin(list(cfg.lm_keep_bands))
+        # docs with zero tokens have no band row: keep them — the
+        # token gate is the quality stage's job, not the LM's
+        keep = keep | F.col("band").isNull()
+        note(cur.filter(~keep), "perplexity")
+        cur = cur.filter(keep).drop("band")
 
     # --- substring-level dedup: cut corpus-repeated passages that
     # survived doc-level dedup (boilerplate, licenses) — rewrites

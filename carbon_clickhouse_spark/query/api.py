@@ -244,6 +244,10 @@ _FUNCS = {
     "legendValue": lambda df, *vts: render.legend_value(
         df, *[str(v) for v in vts]
     ),
+    "mostDeviant": lambda df, n=1: render.most_deviant(df, int(n)),
+    "multiplySeriesWithWildcards": lambda df, *pos: (
+        render.combine_with_wildcards(df, "multiply", *[int(p) for p in pos])
+    ),
 }
 
 # presentation-only functions graphite-web accepts that do not change

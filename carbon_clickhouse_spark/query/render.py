@@ -862,6 +862,11 @@ def combine_with_wildcards(
         out = g.agg(F.max("value").alias("value"))
     elif func == "min":
         out = g.agg(F.min("value").alias("value"))
+    elif func == "multiply":
+        # exact product via native aggregate on doubles (graphite
+        # multiplies pointwise; decimal products overflow fast, so
+        # this family stays IEEE like multiply_series)
+        out = g.agg(F.product("value").alias("value"))
     else:
         raise ValueError(f"unsupported func {func}")
     return out
@@ -1541,3 +1546,17 @@ def aggregate_series_lists(
         F.lit(")"),
     )
     return j.select(out_path.alias("path"), "time", v.alias("value"))
+
+
+def most_deviant(series: DataFrame, n: int) -> DataFrame:
+    """Graphite ``mostDeviant(seriesList, n)``: keep the full series
+    of the ``n`` paths with the highest population variance. Same
+    distributed top-k + broadcast semi-join shape as :func:`highest`
+    — the variance table is series-cardinality."""
+    stat = series.groupBy("path").agg(
+        F.coalesce(F.var_pop("value"), F.lit(0.0)).alias("stat")
+    )
+    top = stat.orderBy(F.desc("stat"), F.asc("path")).limit(int(n)).select(
+        "path"
+    )
+    return series.join(F.broadcast(top), "path", "left_semi")

@@ -1092,3 +1092,40 @@ def test_quality_classifier_deterministic(spark):
     s1 = {r.doc_id: r.quality_score for r in score_documents(pos, m1).collect()}
     s2 = {r.doc_id: r.quality_score for r in score_documents(pos, m2).collect()}
     assert all(abs(s1[d] - s2[d]) < 1e-9 for d in s1)
+
+
+def test_prepare_corpus_gopher_and_lm_stages(spark):
+    """Round-5 additions to the composed chain: the Gopher rule gate
+    and CCNet-style perplexity banding, each with its audit stage."""
+    from carbon_clickhouse_spark.datapipe.prepare import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    fluent = ("the cat sat on the mat and the dog ran to the tree "
+              "while the bird sang of the hill and the sun") * 2
+    gibberish = "zq wv pk xj qn " * 12
+    bullets = "\n".join(f"- item {i} of the list" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, gibberish), (3, bullets)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(fluent,)], "text string")
+    cfg = CorpusPrepConfig(
+        min_tokens=5,
+        gopher=True,
+        gopher_thresholds={"min_words": 10, "min_stop_hits": 1},
+        lm_reference=ref,
+        lm_keep_bands=("head",),
+        exact_dedup=False,
+        near_dedup=False,
+        scrub_pii=False,
+    )
+    kept, audit = prepare_corpus(docs, cfg)
+    stages = {(r.doc_id, r.stage) for r in audit.collect()}
+    # bullets doc fails the Gopher bullet-line rule; gibberish has no
+    # stopwords -> also gopher; fluent survives everything (its
+    # perplexity is the corpus minimum -> 'head' band)
+    assert (3, "gopher") in stages
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == {1}

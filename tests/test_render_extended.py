@@ -634,3 +634,22 @@ def test_holt_winters_confidence_area_dispatch(spark):
     )
     names = {r.path.split("(")[0] for r in area.collect()}
     assert names == {"holtWintersConfidenceUpper", "holtWintersConfidenceLower"}
+
+
+def test_most_deviant_and_multiply_wildcards(spark):
+    s = _series(
+        spark,
+        [("a.x", 1, 1.0), ("a.x", 2, 1.0),      # variance 0
+         ("a.y", 1, 0.0), ("a.y", 2, 10.0),     # variance 25
+         ("a.z", 1, 5.0), ("a.z", 2, 6.0)],     # variance 0.25
+    )
+    top = render.most_deviant(s, 1)
+    assert {r.path for r in top.collect()} == {"a.y"}
+    m = render.combine_with_wildcards(s, "multiply", 1)
+    got = {r.time: r.value for r in m.collect()}
+    assert got == {1: 0.0, 2: 60.0}
+    store = _store(spark)
+    via = evaluate_target(
+        parse_target("multiplySeriesWithWildcards(ev.*, 1)"), store, 0, 200
+    )
+    assert {r.time: r.value for r in via.collect()} == {100: 10.0, 160: 90.0}
