@@ -588,3 +588,206 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("list_id").applyInPandas(prune, schema)
+
+
+# --------------------------------------------------------------------
+# Product quantization (PQ): the storage-side companion to the IVF
+# routing above. Jegou et al. 2011 ("Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 33(1)) — the layout Faiss calls IVF-PQ
+# and every billion-vector deployment uses: vectors are stored as m
+# uint8 codes (d*4 bytes -> m bytes, 32x at d=64/m=8), and queries
+# score candidates with an ADC lookup table instead of touching the
+# original floats.
+# --------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+):
+    """Train per-subspace k-means codebooks on a bounded,
+    scan-order-independent sample (same discipline as
+    :func:`_train_quantizer`). Vectors are L2-normalized first so the
+    ADC inner product ranks like cosine. -> numpy (m, n_codes, d//m),
+    driver-side and small (m * n_codes * d/m floats = d * n_codes —
+    256 KiB at d=256): at 100 TB this broadcasts, never shuffles.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .toPandas()[vec_col]
+    )
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, min(n_codes, len(mat)), dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=books.shape[1], replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, codes array<int>): each vector's nearest codeword per
+    subspace (squared-L2, the PQ encode rule). One Arrow pass against
+    the broadcast codebooks; the output row is m small ints — this is
+    the frame you persist as the 100 TB index (parquet dictionary
+    encoding shrinks it further)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_books = df.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            books = b_books.value
+            m, _, dsub = books.shape
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2; argmin drops ||x||^2
+                d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    sub @ books[j].T
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks=None,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation:
+    queries stay exact floats; candidates are scored from their codes
+    through a per-query lookup table, entirely JVM-side.
+
+    -> (query_id, neighbor_id, score, rank) — ``score`` is the ADC
+    inner product against L2-normalized training space (ranks like
+    cosine; not the exact cosine value).
+
+    Scale shape: the corpus side never ships floats — it is the m-byte
+    ``encoded`` frame (pass it in to amortize across queries). The
+    query side collapses to a (m x n_codes) float table per query,
+    broadcast to every executor, and scoring is
+    zip_with(codes, luts, element_at) + aggregate inside codegen: no
+    Python, no shuffle of the corpus, one narrow scan. This is the
+    brute-force-over-codes path; compose with the IVF ``list_id``
+    routing for the full IVF-PQ when candidates must shrink too.
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, m=m, id_col=id_col, vec_col=vec_col
+        )
+    books = np.asarray(codebooks)
+    m = books.shape[0]
+    dsub = books.shape[2]
+    if encoded is None:
+        encoded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+
+    # per-query ADC lookup tables, built driver-side from the (small)
+    # query set: luts[j][c] = <q_j, codebook[j][c]>
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).toPandas()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qrows[vec_col]])
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    lut_rows = []
+    for qi in range(len(qmat)):
+        luts = [
+            [
+                float(round(qmat[qi, j * dsub : (j + 1) * dsub] @ books[j][c], 9))
+                for c in range(books.shape[1])
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((int(qrows[id_col].iloc[qi]), luts))
+    spark = embeddings.sparkSession
+    luts_df = spark.createDataFrame(
+        lut_rows, "query_id long, luts array<array<double>>"
+    )
+
+    scored = (
+        encoded.withColumnRenamed("id", "neighbor_id")
+        .crossJoin(F.broadcast(luts_df))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "luts",
+                        lambda c, lut: F.element_at(lut, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

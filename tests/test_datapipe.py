@@ -1129,3 +1129,68 @@ def test_prepare_corpus_gopher_and_lm_stages(spark):
     assert (3, "gopher") in stages
     kept_ids = {r.doc_id for r in kept.collect()}
     assert kept_ids == {1}
+
+
+def test_pq_encode_shape_and_determinism(embs):
+    from carbon_clickhouse_spark.datapipe.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(embs, m=8, n_codes=32, iters=4)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # d=64 -> dsub=8
+    enc1 = {r.id: tuple(r.codes) for r in pq_encode(embs, books).collect()}
+    enc2 = {r.id: tuple(r.codes) for r in pq_encode(embs, books).collect()}
+    assert enc1 == enc2
+    assert len(enc1) == embs.count()
+    for codes in enc1.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 32 for c in codes)
+
+
+def test_pq_topk_recall(embs):
+    from carbon_clickhouse_spark.datapipe.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(embs, qs, k=10).collect()
+    approx = pq_topk(embs, qs, k=10, m=16).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.neighbor_id != r.query_id
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 256-way codebooks over 500 vectors quantize nearly losslessly;
+    # demand strong recall, not perfection (PQ is approximate)
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_pq_topk_jvm_scoring_plan(embs):
+    """The ADC scan must stay JVM-side: no Python eval in the scoring
+    stage (the one Arrow stage is the corpus encode)."""
+    from carbon_clickhouse_spark.datapipe.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    qs = embs.filter(F.col("vec_id") < 2)
+    books = train_pq_codebooks(embs, m=8, n_codes=32, iters=2)
+    enc = pq_encode(embs, books)
+    enc.persist()
+    try:
+        enc.count()
+        plan = pq_topk(
+            embs, qs, codebooks=books, k=5, encoded=enc
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    finally:
+        enc.unpersist()
