@@ -145,3 +145,33 @@ def write_corpus_shards(
         .partitionBy("shard")
         .parquet(root)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Global pseudo-random training order, reproducibly: every row
+    gets ``order_key = xxhash64(seed, key)``; its shard is
+    ``order_key mod n_shards``; rows are hash-repartitioned on the
+    shard and sorted by (shard, order_key, key) within it. Reading
+    shards in shard order yields one fixed permutation of the corpus
+    — the same permutation on any cluster size, any input file
+    layout, any re-run (contrast ``rand()`` or ``df.orderBy(rand)``,
+    which are neither).
+
+    Scale: one shuffle, keyed by a small int — no global sort, no
+    range-boundary sampling (repartitionByRange samples rows to pick
+    boundaries, which silently changes shard contents between runs).
+    A new epoch is a new ``seed``. Write with
+    ``.write.partitionBy("shard")`` to get per-shard files a data
+    loader streams in order."""
+    k = F.xxhash64(F.lit(seed).cast("long"), F.col(key))
+    out = df.withColumn("order_key", k).withColumn(
+        "shard", F.pmod(F.col("order_key"), F.lit(n_shards)).cast("int")
+    )
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "order_key", key
+    )

@@ -1194,3 +1194,40 @@ def test_pq_topk_jvm_scoring_plan(embs):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     finally:
         enc.unpersist()
+
+
+def test_deterministic_shuffle(docs):
+    from carbon_clickhouse_spark.datapipe.pack import deterministic_shuffle
+
+    out = deterministic_shuffle(docs, key="doc_id", seed=7, n_shards=8)
+    rows1 = [
+        (r.shard, r.order_key, r.doc_id)
+        for r in out.select("shard", "order_key", "doc_id").collect()
+    ]
+    # permutation: every doc exactly once
+    assert sorted(r[2] for r in rows1) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    # layout-independent: a different input partitioning gives the
+    # identical global order
+    out2 = deterministic_shuffle(
+        docs.repartition(13), key="doc_id", seed=7, n_shards=8
+    )
+    rows2 = [
+        (r.shard, r.order_key, r.doc_id)
+        for r in out2.select("shard", "order_key", "doc_id").collect()
+    ]
+    assert sorted(rows1) == sorted(rows2)
+    # a new seed is a new permutation
+    out3 = deterministic_shuffle(docs, key="doc_id", seed=8, n_shards=8)
+    order3 = [r.doc_id for r in out3.select("doc_id").collect()]
+    order1_sorted_read = [
+        r.doc_id
+        for r in out.orderBy("shard", "order_key", "doc_id")
+        .select("doc_id")
+        .collect()
+    ]
+    assert order3 != order1_sorted_read
+    # shards cover the full range and are int-typed
+    shards = {r.shard for r in out.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
