@@ -791,3 +791,121 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_limit: int = 100_000,
+) -> DataFrame:
+    """Full IVF-PQ (the Faiss billion-scale layout): the coarse
+    quantizer routes each query to its ``n_probe`` nearest inverted
+    lists, and candidates inside those lists are scored from their
+    m-byte PQ codes via the query's ADC table — floats never touch
+    the scan side at query time.
+
+    -> (query_id, neighbor_id, score, rank), same contract as
+    :func:`pq_topk`.
+
+    Scale shape: candidate volume drops ~n_lists/n_probe (IVF) AND
+    each candidate row is list_id + m small ints (PQ) — the join is
+    an equi-join on the int list key with the tiny query/LUT side
+    broadcast, and ADC scoring stays in codegen. This is the plan a
+    1000-executor top-k over 10^10 vectors wants: one narrow scan of
+    the code table, no shuffle of the corpus, no Python in the hot
+    path.
+    """
+    import numpy as np
+
+    centroids = _train_quantizer(
+        embeddings, n_lists, kmeans_iters, id_col, vec_col, sample_limit
+    )
+    books = train_pq_codebooks(
+        embeddings,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_limit=sample_limit,
+    )
+    m = books.shape[0]
+    dsub = books.shape[2]
+
+    # corpus: one list per vector, codes instead of floats
+    assigned = _assign_lists(embeddings, centroids, 1, id_col, vec_col)
+    coded = pq_encode(assigned, books, id_col="id", vec_col="v").join(
+        assigned.select("id", "list_id"), "id"
+    )
+
+    # queries: n_probe lists each + a driver-built ADC table
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).toPandas()
+    qmat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in qrows[vec_col]]
+    )
+    qmat = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+    )
+    probes = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[
+        :, :n_probe
+    ]
+    lut_rows = []
+    for qi in range(len(qmat)):
+        luts = [
+            [
+                float(
+                    round(qmat[qi, j * dsub : (j + 1) * dsub] @ books[j][c], 9)
+                )
+                for c in range(books.shape[1])
+            ]
+            for j in range(m)
+        ]
+        qid = int(qrows[id_col].iloc[qi])
+        for l in probes[qi]:
+            lut_rows.append((qid, int(l), luts))
+    spark = embeddings.sparkSession
+    luts_df = spark.createDataFrame(
+        lut_rows, "query_id long, list_id int, luts array<array<double>>"
+    )
+
+    scored = (
+        coded.join(F.broadcast(luts_df), "list_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "luts",
+                        lambda c, lut: F.element_at(lut, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

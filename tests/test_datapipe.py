@@ -1231,3 +1231,27 @@ def test_deterministic_shuffle(docs):
     # shards cover the full range and are int-typed
     shards = {r.shard for r in out.select("shard").distinct().collect()}
     assert shards <= set(range(8)) and len(shards) > 1
+
+
+def test_ivfpq_topk_recall(embs):
+    from carbon_clickhouse_spark.datapipe.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(embs, qs, k=10).collect()
+    approx = ivfpq_topk(
+        embs, qs, k=10, n_lists=8, n_probe=4, m=16
+    ).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        aps.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.neighbor_id != r.query_id
+    assert set(aps) == set(es)
+    recalls = [len(aps[q] & es[q]) / len(es[q]) for q in es]
+    # two stacked approximations (IVF routing + PQ codes): still most
+    # of the true neighborhood on this data
+    assert sum(recalls) / len(recalls) >= 0.5
