@@ -974,21 +974,6 @@ def render_format(series: list, fmt: str) -> tuple[bytes, str]:
         #                repeated bool isAbsent=6 (packed) }
         import struct
 
-        def uvarint(n: int) -> bytes:
-            out = b""
-            while True:
-                b7 = n & 0x7F
-                n >>= 7
-                out += bytes([b7 | (0x80 if n else 0)])
-                if not n:
-                    return out
-
-        def ld(field: int, payload: bytes) -> bytes:
-            return uvarint((field << 3) | 2) + uvarint(len(payload)) + payload
-
-        def vi(field: int, val: int) -> bytes:
-            return uvarint(field << 3) + uvarint(val)
-
         body = b""
         for s in series:
             if not s["datapoints"]:
@@ -1000,16 +985,77 @@ def render_format(series: list, fmt: str) -> tuple[bytes, str]:
             )
             absent = bytes(1 if v is None else 0 for v in values)
             fr = (
-                ld(1, s["target"].encode("utf-8"))
-                + vi(2, start)
-                + vi(3, stop)
-                + vi(4, step)
-                + ld(5, vals)
-                + ld(6, absent)
+                _pb_ld(1, s["target"].encode("utf-8"))
+                + _pb_vi(2, start)
+                + _pb_vi(3, stop)
+                + _pb_vi(4, step)
+                + _pb_ld(5, vals)
+                + _pb_ld(6, absent)
             )
-            body += ld(1, fr)
+            body += _pb_ld(1, fr)
         return body, "application/protobuf"
+    if fmt == "carbonapi_v3_pb":
+        # go-graphite carbonapi v3 wire format (public
+        # protocol/carbonapi_v3_pb/carbonapi_v3_pb.proto):
+        # FetchResponse{ name=1, pathExpression=2,
+        #   consolidationFunc=3, startTime=4, stopTime=5, stepTime=6,
+        #   xFilesFactor=7 (float), highPrecisionTimestamps=8,
+        #   repeated double values=9 (packed; absent = NaN),
+        #   requestStartTime=10, requestStopTime=11,
+        #   repeated string appliedFunctions=12 }
+        # wrapped in MultiFetchResponse{ repeated metrics = 1 }
+        import math
+        import struct
+
+        body = b""
+        for s in series:
+            if not s["datapoints"]:
+                continue
+            start, stop, step, values = _grid(s["datapoints"])
+            vals = struct.pack(
+                f"<{len(values)}d",
+                *[math.nan if v is None else float(v) for v in values],
+            )
+            name = s["target"].encode("utf-8")
+            fr = (
+                _pb_ld(1, name)
+                + _pb_ld(2, s.get("pathExpression", s["target"]).encode("utf-8"))
+                + _pb_ld(3, s.get("consolidationFunc", "average").encode())
+                + _pb_vi(4, start)
+                + _pb_vi(5, stop)
+                + _pb_vi(6, step)
+                + _pb_f32(7, float(s.get("xFilesFactor", 0.0)))
+                + _pb_ld(9, vals)
+                + _pb_vi(10, s.get("requestStartTime", start))
+                + _pb_vi(11, s.get("requestStopTime", stop))
+            )
+            body += _pb_ld(1, fr)
+        return body, "application/x-carbonapi-v3-pb"
     raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _pb_uvarint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _pb_ld(field: int, payload: bytes) -> bytes:
+    return _pb_uvarint((field << 3) | 2) + _pb_uvarint(len(payload)) + payload
+
+
+def _pb_vi(field: int, val: int) -> bytes:
+    return _pb_uvarint(field << 3) + _pb_uvarint(val)
+
+
+def _pb_f32(field: int, val: float) -> bytes:
+    import struct
+
+    return _pb_uvarint((field << 3) | 5) + struct.pack("<f", val)
 
 
 def now_ts() -> int:

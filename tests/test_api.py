@@ -612,3 +612,62 @@ def test_find_pickle_format(store):
         assert all(isinstance(n["intervals"], list) for n in nodes)
     finally:
         api.stop()
+
+
+def test_render_carbonapi_v3_pb_format(store):
+    """format=carbonapi_v3_pb emits the v3 MultiFetchResponse wire
+    shape (values packed with NaN gaps, path/consolidation metadata);
+    decoded with the generic protobuf field walker."""
+    import math
+    import struct
+
+    from carbon_clickhouse_spark.sources.otlp import _fields
+
+    api = RenderApi(store).start()
+    try:
+        url = (
+            f"http://127.0.0.1:{api.port}/render?target=dc.h1.cpu"
+            "&from=1625478000&until=1625478180&format=carbonapi_v3_pb"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert (
+                r.headers["Content-Type"] == "application/x-carbonapi-v3-pb"
+            )
+            body = r.read()
+        metrics = [p for f, wt, p in _fields(body) if f == 1 and wt == 2]
+        assert len(metrics) == 1
+        got = {}
+        for f, wt, p in _fields(metrics[0]):
+            got.setdefault(f, []).append((wt, p))
+        assert got[1][0][1].decode() == "dc.h1.cpu"          # name
+        assert got[2][0][1].decode() == "dc.h1.cpu"          # pathExpression
+        assert got[3][0][1].decode() == "average"            # consolidationFunc
+        assert got[4][0][1] == 1625478000                    # startTime
+        assert got[5][0][1] == 1625478240                    # stopTime (excl)
+        assert got[6][0][1] == 60                            # stepTime
+        vals = struct.unpack("<4d", got[9][0][1])
+        assert vals == (0.0, 1.0, 2.0, 3.0)
+        assert not any(math.isnan(v) for v in vals)
+        assert got[10][0][1] == 1625478000 and got[11][0][1] == 1625478240
+    finally:
+        api.stop()
+
+
+def test_render_format_v3_nan_gaps():
+    """A gap in the grid encodes as NaN in v3 (v2 uses isAbsent)."""
+    import math
+    import struct
+
+    from carbon_clickhouse_spark.query.api import render_format
+    from carbon_clickhouse_spark.sources.otlp import _fields
+
+    series = [
+        {"target": "a", "datapoints": [[1.0, 60], [2.0, 120], [4.0, 240]]}
+    ]  # step=60, t=180 missing
+    body, ctype = render_format(series, "carbonapi_v3_pb")
+    assert ctype == "application/x-carbonapi-v3-pb"
+    (metric,) = [p for f, wt, p in _fields(body) if f == 1]
+    got = {f: p for f, wt, p in _fields(metric)}
+    vals = struct.unpack("<4d", got[9])
+    assert vals[0] == 1.0 and vals[1] == 2.0
+    assert math.isnan(vals[2]) and vals[3] == 4.0
