@@ -54,7 +54,7 @@ def main() -> None:
     # best of 3 runs: the first pays one-time plan compilation + stage
     # warmup, the rest sample steady-state throughput — and the host
     # shows multi-second noise spikes, so two steady samples beat one
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

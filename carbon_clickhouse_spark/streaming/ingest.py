@@ -122,6 +122,12 @@ class StreamConfig:
     # acked — the reference's sync-ack guarantee (K6) extended to the
     # serving store. None = parquet tables only.
     clickhouse: object | None = None
+    # ClickHouse-style background merges (A3/A4 applied continuously):
+    # a streaming.merger.BackgroundMerger observed once per committed
+    # micro-batch; every N batches it compacts the four tables in a
+    # daemon thread behind the same table locks. None = merges stay
+    # explicit (--compact / read-time views).
+    merger: object | None = None
 
 
 def start_plain_ingest(
@@ -305,6 +311,11 @@ def start_ingest(
                 ]
                 for f in futures:
                     f.result()
+            if config.merger is not None:
+                # after every table write landed: the probe result is
+                # shared with the anti-joins (memoized), so this adds
+                # no extra job when the exists-cache already ran it
+                config.merger.observe(spark_b, _batch_dates())
         finally:
             points.unpersist()
 
