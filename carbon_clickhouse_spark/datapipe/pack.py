@@ -121,6 +121,91 @@ def chunk_documents(
     )
 
 
+def pack_token_ids(
+    df: DataFrame,
+    seq_len: int,
+    eos_id: int,
+    ids_col: str = "bpe_ids",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    keep_partial: bool = False,
+) -> DataFrame:
+    """GPT-style concat-and-cut packing: within each shard, document
+    token streams (each terminated by ``eos_id``) concatenate in
+    ``order_col`` order and are cut into EXACT ``seq_len`` sequences
+    -> ``(shard, seq_id, token_ids array<int> of size seq_len)``.
+    The trailing partial sequence is dropped unless ``keep_partial``.
+
+    Plan shape (the 100 TB part): one window cumsum per shard gives
+    each document its global token offset; each document then emits
+    only the fragments of the sequences it overlaps (array slices —
+    no token-level explode, fragment rows carry at most the doc's own
+    ids); one groupBy on (shard, seq_id) reassembles fragments with
+    an order-stable array_sort. Two shuffles total, both keyed small;
+    tokens cross the wire once, as arrays. Deterministic under any
+    partitioning because the only orderings are ``order_col`` (unique
+    per shard by contract) and the in-sequence fragment offset."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    L = F.lit(seq_len)
+    stream = F.concat(
+        F.col(ids_col).cast("array<int>"),
+        F.array(F.lit(eos_id).cast("int")),
+    )
+    n = F.size(stream)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(n).over(w) - n).alias("__start")
+    doc = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(order_col).alias("__ord"),
+        stream.alias("__ids"),
+        n.alias("__n"),
+        start,
+    )
+    first_seq = F.floor(F.col("__start") / L)
+    last_seq = F.floor((F.col("__start") + F.col("__n") - 1) / L)
+    frag = doc.select(
+        "shard",
+        F.col("__start"),
+        F.col("__ids"),
+        F.col("__n"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # fragment of this doc's stream landing in sequence seq_id:
+    # stream positions [lo, hi) with lo/hi clamped to the sequence
+    lo = F.greatest(F.col("seq_id") * L, F.col("__start"))
+    hi = F.least((F.col("seq_id") + 1) * L, F.col("__start") + F.col("__n"))
+    frag = frag.select(
+        "shard",
+        "seq_id",
+        (lo % L).alias("__pos"),  # offset inside the sequence
+        F.slice(
+            F.col("__ids"), (lo - F.col("__start") + 1).cast("int"),
+            (hi - lo).cast("int"),
+        ).alias("__frag"),
+    )
+    out = (
+        frag.groupBy("shard", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__frag"))
+                    ),
+                    lambda s: s["__frag"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    if not keep_partial:
+        out = out.filter(F.size("token_ids") == seq_len)
+    return out
+
+
 def write_corpus_shards(
     df: DataFrame,
     root: str,
