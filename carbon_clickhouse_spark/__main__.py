@@ -339,6 +339,16 @@ def main(argv=None) -> int:
         "quality rules as an additional gate",
     )
     ap.add_argument(
+        "--tokenize", type=int, default=None, metavar="SEQ_LEN",
+        help="with --prepare-corpus: train a BPE tokenizer on the "
+        "kept docs, encode, and pack into exact SEQ_LEN training "
+        "sequences (writes OUT_ROOT/sequences + OUT_ROOT/tokenizer)",
+    )
+    ap.add_argument(
+        "--vocab-size", type=int, default=8192,
+        help="with --tokenize: total BPE symbols to learn",
+    )
+    ap.add_argument(
         "--lm-reference", default=None, metavar="PARQUET",
         help="with --prepare-corpus: reference corpus for CCNet-style "
         "LM-perplexity banding; docs outside --lm-keep-bands drop",
@@ -426,6 +436,13 @@ def main(argv=None) -> int:
             audit.write.mode("overwrite").parquet(
                 os.path.join(out_root, "audit")
             )
+            if args.tokenize:
+                from .datapipe.bpe import tokenize_corpus
+
+                tokenize_corpus(
+                    kept, out_root,
+                    seq_len=args.tokenize, vocab_size=args.vocab_size,
+                )
             n_kept = kept.count()
         finally:
             kept.unpersist()

@@ -255,6 +255,74 @@ def bpe_encode(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def tokenize_corpus(
+    docs: DataFrame,
+    out_root: str,
+    seq_len: int = 2048,
+    vocab_size: int = 8192,
+    shard_col: str = "source",
+    max_words: int = 1_000_000,
+) -> BpeModel:
+    """The terminal pipeline stage: train a tokenizer on the prepared
+    corpus, encode it, pack into exact ``seq_len`` training sequences,
+    and write the artifacts —
+
+    - ``<out_root>/sequences``: (shard, seq_id, token_ids) parquet,
+      partitioned by shard
+    - ``<out_root>/tokenizer/merges``: the (rank, left, right) merge
+      table, and ``<out_root>/tokenizer/vocab``: (symbol, id) — the
+      pair fully reconstructs the tokenizer via ``load_model``
+
+    The eos/document-separator id is ``len(model.vocab)`` — one past
+    the learned symbols. Docs without ``shard_col`` pack as one
+    shard."""
+    import os
+
+    from .pack import pack_token_ids
+
+    spark = docs.sparkSession
+    model = train_bpe(docs, vocab_size=vocab_size, max_words=max_words)
+    if shard_col not in docs.columns:
+        docs = docs.withColumn(shard_col, F.lit("all"))
+    enc = bpe_encode(docs, model)
+    packed = pack_token_ids(
+        enc, seq_len, eos_id=len(model.vocab), shard_col=shard_col
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out_root, "sequences")
+    )
+    merges_table(spark, model).write.mode("overwrite").parquet(
+        os.path.join(out_root, "tokenizer", "merges")
+    )
+    spark.createDataFrame(
+        list(model.vocab.items()), "symbol string, id int"
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_root, "tokenizer", "vocab")
+    )
+    return model
+
+
+def load_model(spark: SparkSession, out_root: str) -> BpeModel:
+    """Reload a tokenizer written by ``tokenize_corpus``."""
+    import os
+
+    merges = [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(
+            os.path.join(out_root, "tokenizer", "merges")
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    vocab = {
+        r["symbol"]: r["id"]
+        for r in spark.read.parquet(
+            os.path.join(out_root, "tokenizer", "vocab")
+        ).collect()
+    }
+    return BpeModel(merges=merges, vocab=vocab)
+
+
 def merges_table(spark: SparkSession, model: BpeModel) -> DataFrame:
     """The learned merges as a DataFrame ``(rank, left, right)`` —
     the persistable artifact a 100 TB encode job broadcasts."""

@@ -280,6 +280,69 @@ def test_prepare_corpus_cli(tmp_path):
     assert (2, "quality") in audit
 
 
+def test_prepare_corpus_cli_tokenize(tmp_path):
+    """--prepare-corpus --tokenize: kept docs are BPE-trained,
+    encoded, and packed into exact-length sequences with the
+    tokenizer artifacts alongside."""
+    import duckdb
+
+    from carbon_clickhouse_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    con = duckdb.connect()
+    animals = ["cat", "dog", "bird", "fox", "hen", "owl"]
+    vals = ", ".join(
+        f"({i}, 'the {a} number {i} sat on the {a} mat and the {a} "
+        f"{'sang ' * (i + 2)}in the {a} tree while the sun rose over "
+        f"hill {i} and the {a} slept')"
+        for i, a in enumerate(animals)
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {vals}) t(doc_id, text)) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "out")
+    rc = main([
+        "--prepare-corpus", src, out,
+        "--min-tokens", "5", "--shards", "2",
+        "--tokenize", "16", "--vocab-size", "120",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    seqs = con.execute(
+        f"SELECT token_ids FROM read_parquet('{out}/sequences/*/*.parquet')"
+    ).fetchall()
+    assert seqs and all(len(r[0]) == 16 for r in seqs)
+    merges = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/tokenizer/merges/*.parquet')"
+    ).fetchone()[0]
+    vocab = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/tokenizer/vocab/*.parquet')"
+    ).fetchone()[0]
+    assert merges > 0 and vocab <= 120
+    # eos id (= vocab size) appears in the packed stream
+    n_eos = con.execute(
+        f"SELECT count(*) FROM (SELECT unnest(token_ids) AS t FROM "
+        f"read_parquet('{out}/sequences/*/*.parquet')) WHERE t = {vocab}"
+    ).fetchone()[0]
+    assert n_eos >= 1
+
+
+def test_tokenizer_round_trips_through_load(spark, tmp_path):
+    from carbon_clickhouse_spark.datapipe import bpe
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "low lower newest widest") for i in range(4)],
+        "doc_id string, text string",
+    )
+    model = bpe.tokenize_corpus(
+        docs, str(tmp_path / "tok"), seq_len=8, vocab_size=40
+    )
+    loaded = bpe.load_model(spark, str(tmp_path / "tok"))
+    assert loaded.merges == model.merges
+    assert loaded.vocab == model.vocab
+
+
 def test_launch_uploads_to_clickhouse(spark, tmp_path):
     """--upload-to-clickhouse: live TCP lines land in parquet AND in
     the ClickHouse endpoint the config's [upload.*] URLs name (here
