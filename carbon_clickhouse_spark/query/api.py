@@ -181,6 +181,7 @@ _FUNCS = {
     "pow": render.pow_values,
     "exp": render.exp_values,
     "sigmoid": render.sigmoid,
+    "logit": render.logit,
     "round": lambda df, p=0: render.round_values(df, int(p)),
     "minMax": render.min_max,
     "scaleToSeconds": lambda df, s: render.scale_to_seconds(df, int(s)),

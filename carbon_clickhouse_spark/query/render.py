@@ -1073,6 +1073,16 @@ def sigmoid(series: DataFrame) -> DataFrame:
     return series.select("path", "time", v.alias("value"))
 
 
+def logit(series: DataFrame) -> DataFrame:
+    """Graphite ``logit``: log(value / (1 - value)) — sigmoid's
+    inverse. Values outside (0, 1) have no finite logit; graphite
+    yields null there (log of a non-positive ratio), matched here
+    with an explicit domain guard instead of ANSI-throwing ``log``."""
+    ok = (F.col("value") > 0) & (F.col("value") < 1)
+    v = F.when(ok, F.log(F.col("value") / (F.lit(1.0) - F.col("value"))))
+    return series.select("path", "time", v.alias("value"))
+
+
 def round_values(series: DataFrame, precision: int = 0) -> DataFrame:
     """Graphite ``round(series, precision)``: half-up rounding to
     ``precision`` decimal places (negative = tens, hundreds...)."""

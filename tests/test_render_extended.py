@@ -32,6 +32,17 @@ def test_math_transforms(spark):
     assert ex[1] == pytest.approx(math.exp(4.0))
     sg = {r.time: r.value for r in render.sigmoid(s).collect()}
     assert sg[1] == pytest.approx(1 / (1 + math.exp(-4.0)))
+    lg = {
+        r.time: r.value
+        for r in render.logit(
+            _series(spark, [("m", 1, 0.25), ("m", 2, 1.0), ("m", 3, -0.5)])
+        ).collect()
+    }
+    assert lg[1] == pytest.approx(math.log(0.25 / 0.75))
+    assert lg[2] is None and lg[3] is None  # outside (0,1): null gap
+    # logit inverts sigmoid
+    back = render.logit(render.sigmoid(s))
+    assert {r.time: r.value for r in back.collect()}[1] == pytest.approx(4.0)
     rd = {
         r.time: r.value
         for r in render.round_values(
