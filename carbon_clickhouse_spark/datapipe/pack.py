@@ -148,10 +148,12 @@ def pack_token_ids(
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     L = F.lit(seq_len)
-    stream = F.concat(
-        F.col(ids_col).cast("array<int>"),
-        F.array(F.lit(eos_id).cast("int")),
+    # null ids (e.g. an un-encodable doc) pack as the bare separator
+    # rather than nulling the whole shard's offset cumsum
+    ids = F.coalesce(
+        F.col(ids_col).cast("array<int>"), F.array().cast("array<int>")
     )
+    stream = F.concat(ids, F.array(F.lit(eos_id).cast("int")))
     n = F.size(stream)
     w = (
         Window.partitionBy(shard_col)

@@ -81,6 +81,16 @@ def test_layout_independent(spark):
     assert a == b and len(a) == (40 * 4) // 7
 
 
+def test_null_ids_pack_as_bare_separator(spark):
+    df = spark.createDataFrame(
+        [("a", "s", [1, 2, 3]), ("b", "s", None), ("c", "s", [4, 5])],
+        "doc_id string, source string, bpe_ids array<int>",
+    )
+    got = _pandas(pack_token_ids(df, seq_len=4, eos_id=0))
+    # stream: 1 2 3 0 | 0 4 5 0  (null doc contributes just its eos)
+    assert got == {("s", 0): [1, 2, 3, 0], ("s", 1): [0, 4, 5, 0]}
+
+
 def test_rejects_bad_seq_len(spark):
     df = spark.createDataFrame(
         [("a", "s", [1])], "doc_id string, source string, bpe_ids array<int>"
