@@ -208,8 +208,13 @@ def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
     dropped_path = _os.path.join(root, "dropped")
     if _os.path.exists(dropped_path):
         dropped = spark.read.parquet(dropped_path)
+    from .query.events import EventsStore
+
+    events = EventsStore(spark, _os.path.join(root, "events"))
     return RenderApi(
-        GraphiteStore(index, points, tagged=tagged, dropped=dropped),
+        GraphiteStore(
+            index, points, tagged=tagged, dropped=dropped, events=events
+        ),
         host=host,
         port=port,
     ).start()

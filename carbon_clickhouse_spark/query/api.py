@@ -279,7 +279,7 @@ _DISPATCH_FORMS = (
     "sumSeriesLists", "diffSeriesLists", "multiplySeriesLists",
     "cumulative", "setXFilesFactor", "xFilesFactor", "sinFunction",
     "randomWalkFunction", "randomWalk", "verticalLine",
-    "useSeriesAbove", "aliasQuery",
+    "useSeriesAbove", "aliasQuery", "events",
 )
 
 
@@ -351,12 +351,16 @@ class GraphiteStore:
         rules=None,
         tagged: DataFrame | None = None,
         dropped: DataFrame | None = None,
+        events: object | None = None,
     ):
         self.index = index
         self.points = points
         self.rules = rules
         self.tagged = tagged
         self.dropped = dropped
+        #: query.events.EventsStore (optional): /events/ endpoints +
+        #: the events(*tags) render form
+        self.events = events
 
     def dropped_lines(self, protocol: str, limit: int = 1000) -> list[str]:
         """Last-``limit`` audited drops for one protocol front, in the
@@ -538,6 +542,16 @@ def evaluate_target(
         raise ValueError(f"not a series expression: {expr!r}")
     if expr.name == "seriesByTag":
         return store.series_by_tag([str(a) for a in expr.args], t0, t1)
+    if expr.name == "events":
+        from .events import events_series
+
+        return events_series(
+            store.events.df() if store.events is not None else None,
+            [str(a) for a in expr.args],
+            t0,
+            t1,
+            spark=store.points.sparkSession,
+        )
     if expr.name == "consolidateBy":
         # data passes through; the hint drives maxDataPoints
         if ctx is not None and len(expr.args) > 1:
@@ -1129,10 +1143,27 @@ class RenderApi:
                 self.wfile.write(body)
 
             def do_POST(self):  # noqa: N802
-                # graphite-web/Grafana POST form-encoded render args
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n).decode("utf-8", "replace")
                 u = urllib.parse.urlsplit(self.path)
+                if u.path in ("/events", "/events/"):
+                    # graphite-web event submission: JSON body
+                    # {what, tags, when?, data?}
+                    if store.events is None:
+                        self._json({"error": "no events store"}, 501)
+                        return
+                    try:
+                        ev = json.loads(body or "{}")
+                        added = store.events.add(
+                            ev["what"], tags=ev.get("tags"),
+                            when=ev.get("when"), data=ev.get("data", ""),
+                        )
+                    except (KeyError, ValueError, TypeError) as e:
+                        self._json({"error": str(e)}, 400)
+                        return
+                    self._json(added)
+                    return
+                # graphite-web/Grafana POST form-encoded render args
                 q = urllib.parse.parse_qs(u.query)
                 for k, vs in urllib.parse.parse_qs(body).items():
                     q.setdefault(k, []).extend(vs)
@@ -1172,6 +1203,15 @@ class RenderApi:
                         )
                         self.end_headers()
                         self.wfile.write(body)
+                    elif u.path in ("/events/get_data", "/events/get_data/"):
+                        if store.events is None:
+                            self._json([])
+                            return
+                        t0 = int(q.get("from", ["0"])[0])
+                        t1 = int(q.get("until", [str(now_ts())])[0])
+                        # graphite: tags space-separated in one param
+                        tags = " ".join(q.get("tags", [])).split()
+                        self._json(store.events.get(t0, t1, tags))
                     elif u.path in ("/functions", "/functions/"):
                         # Grafana populates its function editor from
                         # this: name -> descriptor (the subset of
