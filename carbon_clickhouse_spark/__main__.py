@@ -89,6 +89,8 @@ def launch(cfg, spark, data_root: str | None = None, upload: bool = False):
                 udp=bool(udp),
                 udp_port=uport,
                 flush_interval=flush,
+                read_timeout=tcp.read_timeout_s if tcp else 0.0,
+                log_incomplete=bool(udp and udp.log_incomplete),
             ).start()
         )
         queries.append(
@@ -400,8 +402,6 @@ def main(argv=None) -> int:
             api.stop()
         return 0
     if args.prepare_corpus:
-        import os
-
         from .datapipe.pack import write_corpus_shards
         from .datapipe.prepare import CorpusPrepConfig, prepare_corpus
         from .session import get_spark
@@ -456,8 +456,6 @@ def main(argv=None) -> int:
         print(f"prepared corpus: {n_kept} docs kept", flush=True)
         return 0
     if args.compact:
-        import os
-
         from .operators.compaction import compact_replacing, compact_rollup
         from .operators.rollup import DEFAULT_RULES, rules_from_xml
         from .session import get_spark
@@ -490,7 +488,13 @@ def main(argv=None) -> int:
     from .session import get_spark
 
     cfg = load_config(args.config)
-    spark = get_spark(app_name="carbon-clickhouse-spark", master=args.master)
+    for d in cfg.divergences():
+        print(f"config: {d}", flush=True)
+    master = args.master
+    if master is None and cfg.max_cpu > 0:
+        # reference [common] max-cpu = GOMAXPROCS -> local core count
+        master = f"local[{cfg.max_cpu}]"
+    spark = get_spark(app_name="carbon-clickhouse-spark", master=master)
     receivers, queries = launch(
         cfg, spark, data_root=args.data_root,
         upload=args.upload_to_clickhouse,

@@ -84,6 +84,8 @@ class ReceiverConfig:
     drop_past_s: float = 0.0
     drop_longer_than: int = 0
     concat: str = "_"  # telegraf only
+    log_incomplete: bool = False  # udp only (carbon/config.go:37)
+    read_timeout_s: float = 0.0  # tcp only (carbon/config.go:49)
 
 
 @dataclass
@@ -96,9 +98,37 @@ class EngineConfig:
     compression_level: int = 0
     metric_prefix: str = "carbon.agents.{host}"
     metric_interval_s: float = 60.0
+    metric_endpoint: str = ""  # "" = local (self-metrics into tables)
+    max_cpu: int = 0  # 0 = engine default ($SPARK_GRAFT_CPUS)
+    utc_date: bool = True
+    pprof_enabled: bool = False
     receivers: dict[str, ReceiverConfig] = field(default_factory=dict)
     uploads: dict[str, UploadConfig] = field(default_factory=dict)
     tag_config: TagConfig | None = None
+
+    def divergences(self) -> list[str]:
+        """Reference options this config sets that the engine
+        acknowledges but intentionally handles differently — printed
+        at --config startup so an operator migrating a file is told,
+        not silently ignored (carbon/config.go fields)."""
+        out = []
+        if not self.utc_date:
+            out.append(
+                "data.utc-date=false: engine dates are always UTC "
+                "(deterministic cross-engine comparison); local-TZ "
+                "daily indexes are not supported"
+            )
+        if self.metric_endpoint:
+            out.append(
+                "common.metric-endpoint: self-metrics are written to "
+                "the engine's own tables (S7 collector), not remoted"
+            )
+        if self.pprof_enabled:
+            out.append(
+                "pprof.enabled: use the Spark UI / JFR instead of Go "
+                "pprof"
+            )
+        return out
 
     def upload_of_type(self, type_: str) -> UploadConfig | None:
         for u in self.uploads.values():
@@ -220,6 +250,9 @@ def load_config(source: str) -> EngineConfig:
     cfg.metric_prefix = common.get("metric-prefix", cfg.metric_prefix)
     if "metric-interval" in common:
         cfg.metric_interval_s = parse_go_duration(common["metric-interval"])
+    cfg.metric_endpoint = common.get("metric-endpoint", "")
+    cfg.max_cpu = int(common.get("max-cpu", 0))
+    cfg.pprof_enabled = bool(raw.get("pprof", {}).get("enabled", False))
 
     data = raw.get("data", {})
     cfg.data_path = data.get("path", cfg.data_path)
@@ -229,6 +262,9 @@ def load_config(source: str) -> EngineConfig:
     cfg.chunk_max_size = int(data.get("chunk-max-size", 0))
     cfg.compression = str(data.get("compression", "none")) or "none"
     cfg.compression_level = int(data.get("compression-level", 0))
+    # reference default is false (local-TZ dates); the engine is
+    # always-UTC — divergences() surfaces an explicit false
+    cfg.utc_date = bool(data.get("utc-date", True))
 
     for name in _RECEIVER_SECTIONS:
         sec = raw.get(name)
@@ -242,6 +278,8 @@ def load_config(source: str) -> EngineConfig:
             drop_past_s=parse_go_duration(sec.get("drop-past")),
             drop_longer_than=int(sec.get("drop-longer-than", 0)),
             concat=sec.get("concat", "_"),
+            log_incomplete=bool(sec.get("log-incomplete", False)),
+            read_timeout_s=parse_go_duration(sec.get("read-timeout")),
         )
 
     for name, sec in raw.get("upload", {}).items():

@@ -139,18 +139,30 @@ class PlainLineReceiver(_Ticker):
         udp_port: int = 0,
         flush_lines: int = 50_000,
         flush_interval: float = 0.25,
+        read_timeout: float = 0.0,
+        log_incomplete: bool = False,
     ):
         self.writer = _ChunkWriter(landing_dir, flush_lines, flush_interval)
         self.host = host
+        #: count of UDP datagrams whose tail line never completed —
+        #: the reference's [udp] log-incomplete observability
+        #: (carbon/config.go:37, receiver/udp.go)
+        self.incomplete_datagrams = 0
         writer = self.writer
+        rx = self
 
         class TCPHandler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
+                # reference [tcp] read-timeout (carbon/config.go:49):
+                # an idle connection is closed instead of pinning a
+                # handler thread forever
+                if read_timeout > 0:
+                    self.request.settimeout(read_timeout)
                 buf = b""
                 while True:
                     try:
                         data = self.request.recv(65536)
-                    except OSError:
+                    except OSError:  # includes socket.timeout
                         break
                     if not data:
                         break
@@ -166,7 +178,15 @@ class PlainLineReceiver(_Ticker):
                 data = self.request[0]
                 # drop the unterminated tail; when the datagram ends in
                 # a newline the dropped element is the empty remainder
-                complete = data.split(b"\n")[:-1]
+                parts = data.split(b"\n")
+                complete, tail = parts[:-1], parts[-1]
+                if tail and log_incomplete:
+                    rx.incomplete_datagrams += 1
+                    print(
+                        f"udp: incomplete datagram tail dropped "
+                        f"({len(tail)} bytes)",
+                        flush=True,
+                    )
                 writer.add([ln.rstrip(b"\r") for ln in complete if ln])
 
         class _TCPServer(socketserver.ThreadingTCPServer):

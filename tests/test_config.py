@@ -143,3 +143,40 @@ def test_ingest_defaults_when_sections_missing():
     assert ic.drop_future_seconds is None
     assert ic.ignored_patterns == []
     assert cfg.stream(root="/tmp/r").chunk_interval == "1000 milliseconds"
+
+
+def test_common_and_data_extras():
+    cfg = load_config(
+        """
+[common]
+max-cpu = 4
+metric-endpoint = "tcp://remote:2003"
+
+[data]
+path = "/tmp/x"
+utc-date = false
+
+[pprof]
+enabled = true
+
+[tcp]
+listen = ":2003"
+enabled = true
+read-timeout = "2m0s"
+
+[udp]
+listen = ":2003"
+enabled = true
+log-incomplete = true
+"""
+    )
+    assert cfg.max_cpu == 4
+    assert cfg.metric_endpoint == "tcp://remote:2003"
+    assert cfg.utc_date is False
+    assert cfg.pprof_enabled is True
+    assert cfg.receivers["tcp"].read_timeout_s == 120.0
+    assert cfg.receivers["udp"].log_incomplete is True
+    # every acknowledged-but-inert option is surfaced, not silent
+    d = "\n".join(cfg.divergences())
+    assert "utc-date" in d and "metric-endpoint" in d and "pprof" in d
+    assert load_config("[common]\n").divergences() == []

@@ -408,3 +408,24 @@ url = "%s/"
     assert len(sim.rows("graphite_index")) > 0
     # renamed points table was honored; default name unused
     assert not sim.rows("graphite")
+
+
+def test_main_has_no_shadowing_stdlib_imports():
+    """Regression: a branch-local ``import os`` inside main() makes
+    ``os`` function-local and crashes every OTHER branch that uses it
+    (UnboundLocalError at the --config runner's epoch-file join) —
+    the module-level import must be the only one."""
+    import ast
+    import inspect
+
+    import carbon_clickhouse_spark.__main__ as m
+
+    tree = ast.parse(inspect.getsource(m.main))
+    shadowed = [
+        a.name
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Import)
+        for a in node.names
+        if a.name in ("os", "time", "argparse", "json")
+    ]
+    assert shadowed == [], f"main() locally imports {shadowed}"

@@ -548,3 +548,68 @@ def test_streaming_mirrors_to_clickhouse(spark, tmp_path):
     }
     ch = {(p, v, t) for p, v, t, d, ver in sim.rows("graphite")}
     assert pq == ch
+
+
+def test_tcp_read_timeout_closes_idle_connection(tmp_path):
+    """[tcp] read-timeout parity: an idle connection is closed by the
+    server instead of pinning a handler thread forever; lines sent
+    before the idle period still land."""
+    import socket
+
+    from carbon_clickhouse_spark.streaming.receivers import PlainLineReceiver
+
+    landing = str(tmp_path / "landing")
+    rx = PlainLineReceiver(
+        landing, flush_interval=0.05, read_timeout=0.5
+    ).start()
+    try:
+        s = socket.create_connection(("127.0.0.1", rx.port))
+        s.sendall(b"a.b 1 100\n")
+        # idle past the timeout: server closes its end
+        deadline = time.time() + 10
+        s.settimeout(10)
+        closed = False
+        while time.time() < deadline:
+            try:
+                if s.recv(1) == b"":
+                    closed = True
+                    break
+            except OSError:
+                closed = True
+                break
+        assert closed, "server kept the idle connection open"
+        s.close()
+        deadline = time.time() + 5
+        while time.time() < deadline and not os.listdir(landing):
+            time.sleep(0.05)
+        data = b"".join(
+            open(os.path.join(landing, f), "rb").read()
+            for f in os.listdir(landing)
+        )
+        assert b"a.b 1 100" in data
+    finally:
+        rx.stop()
+
+
+def test_udp_log_incomplete_counts_tails(tmp_path):
+    """[udp] log-incomplete parity: datagrams with an unterminated
+    tail are counted (and logged); terminated ones are not."""
+    import socket
+
+    from carbon_clickhouse_spark.streaming.receivers import PlainLineReceiver
+
+    landing = str(tmp_path / "landing")
+    rx = PlainLineReceiver(
+        landing, tcp=False, udp=True, flush_interval=0.05,
+        log_incomplete=True,
+    ).start()
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(b"full.line 1 100\n", ("127.0.0.1", rx.udp_port))
+        s.sendto(b"ok.line 2 200\ncut.off 3 3", ("127.0.0.1", rx.udp_port))
+        deadline = time.time() + 10
+        while time.time() < deadline and rx.incomplete_datagrams < 1:
+            time.sleep(0.05)
+        assert rx.incomplete_datagrams == 1
+    finally:
+        rx.stop()
