@@ -224,6 +224,9 @@ def _tls_from(section: dict) -> TLSConfig:
         ],
         server_name=section.get("server-name") or None,
         insecure_skip_verify=bool(section.get("insecure-skip-verify", False)),
+        min_version=section.get("min-version") or None,
+        max_version=section.get("max-version") or None,
+        cipher_suites=list(section.get("cipher-suites", [])),
     )
 
 

@@ -43,6 +43,10 @@ class TLSConfig:
     certificates: list[tuple[str, str]] = field(default_factory=list)  # (cert, key)
     server_name: str | None = None
     insecure_skip_verify: bool = False
+    # helper/config/tls.go:34-38 — "TLS10".."TLS13" strings
+    min_version: str | None = None
+    max_version: str | None = None
+    cipher_suites: list[str] = field(default_factory=list)
 
     def ssl_context(self):
         import ssl
@@ -52,6 +56,21 @@ class TLSConfig:
             ctx.load_verify_locations(cafile=ca)
         for cert, key in self.certificates:
             ctx.load_cert_chain(certfile=cert, keyfile=key)
+        versions = {
+            "TLS10": ssl.TLSVersion.TLSv1,
+            "TLS11": ssl.TLSVersion.TLSv1_1,
+            "TLS12": ssl.TLSVersion.TLSv1_2,
+            "TLS13": ssl.TLSVersion.TLSv1_3,
+        }
+        if self.min_version:
+            ctx.minimum_version = versions[self.min_version.upper()]
+        if self.max_version:
+            ctx.maximum_version = versions[self.max_version.upper()]
+        if self.cipher_suites:
+            # Go names are OpenSSL-compatible enough for set_ciphers's
+            # colon list; an unknown name raises (fail-loud, like the
+            # reference's ParseClientTLSConfig error path)
+            ctx.set_ciphers(":".join(self.cipher_suites))
         if self.insecure_skip_verify:
             ctx.check_hostname = False
             ctx.verify_mode = ssl.CERT_NONE

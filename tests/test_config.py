@@ -180,3 +180,27 @@ log-incomplete = true
     d = "\n".join(cfg.divergences())
     assert "utc-date" in d and "metric-endpoint" in d and "pprof" in d
     assert load_config("[common]\n").divergences() == []
+
+
+def test_tls_version_and_cipher_options():
+    cfg = load_config(
+        """
+[upload.graphite]
+type = "points"
+url = "https://ch:8443/"
+
+[upload.graphite.tls]
+ca-cert = []
+min-version = "TLS12"
+max-version = "TLS13"
+insecure-skip-verify = true
+"""
+    )
+    tls = cfg.uploads["graphite"].tls
+    assert tls.min_version == "TLS12" and tls.max_version == "TLS13"
+    import ssl
+
+    ctx = tls.ssl_context()
+    assert ctx.minimum_version == ssl.TLSVersion.TLSv1_2
+    assert ctx.maximum_version == ssl.TLSVersion.TLSv1_3
+    assert ctx.verify_mode == ssl.CERT_NONE
