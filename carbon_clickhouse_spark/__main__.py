@@ -61,12 +61,30 @@ def launch(cfg, spark, data_root: str | None = None, upload: bool = False):
         os.makedirs(d, exist_ok=True)
         return d
 
+    # [common] metric-endpoint: with a remote tcp://|udp:// endpoint
+    # the S7 collector ships self-metrics there as graphite lines
+    # (collector.go:119-139); unset keeps the opt-in local collector
+    # behavior (callers wire their own via StreamConfig.collector)
+    collector = None
+    if cfg.metric_endpoint.startswith(("tcp://", "udp://")):
+        from .streaming.collector import SelfMetricsCollector
+
+        collector = SelfMetricsCollector(
+            spark,
+            os.path.join(tables, "points"),
+            prefix=cfg.metric_prefix,
+            flush_interval_s=cfg.metric_interval_s or 60.0,
+            endpoint=cfg.metric_endpoint,
+        )
+        spark.streams.addListener(collector)
+
     def stream_cfg(name: str):
         return cfg.stream(
             root=tables,
             receiver=name,
             upload=upload,
             checkpoint=os.path.join(base, "checkpoints", name),
+            collector=collector,
         )
 
     def enabled(name: str):

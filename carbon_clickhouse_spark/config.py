@@ -118,11 +118,15 @@ class EngineConfig:
                 "(deterministic cross-engine comparison); local-TZ "
                 "daily indexes are not supported"
             )
-        if self.metric_endpoint:
-            out.append(
-                "common.metric-endpoint: self-metrics are written to "
-                "the engine's own tables (S7 collector), not remoted"
-            )
+        if self.metric_endpoint and not self.metric_endpoint.startswith(
+            ("tcp://", "udp://")
+        ):
+            if self.metric_endpoint != "local":
+                out.append(
+                    f"common.metric-endpoint={self.metric_endpoint!r}: "
+                    "not tcp:// or udp:// — self-metrics stay local "
+                    "(the reference's parse-error fallback)"
+                )
         if self.pprof_enabled:
             out.append(
                 "pprof.enabled: use the Spark UI / JFR instead of Go "

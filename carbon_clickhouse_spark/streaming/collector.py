@@ -70,6 +70,7 @@ class SelfMetricsCollector(StreamingQueryListener):
         module: str = "tcp",
         flush_every: int = 10,
         flush_interval_s: float = 60.0,
+        endpoint: str = "",
     ) -> None:
         self.spark = spark
         self.points_path = points_path
@@ -78,6 +79,24 @@ class SelfMetricsCollector(StreamingQueryListener):
         self.module = module
         self.flush_every = flush_every
         self.flush_interval_s = flush_interval_s
+        # [common] metric-endpoint (carbon/collector.go:110-139):
+        # "" / "local" -> own tables; tcp://h:p or udp://h:p -> plain
+        # graphite lines to that address. Anything else degrades to
+        # local, like the reference's parse-error fallback; a remote
+        # SEND failure also degrades to local (data never drops).
+        self.endpoint = ""
+        if endpoint and endpoint != "local":
+            from urllib.parse import urlsplit
+
+            u = urlsplit(endpoint)
+            if u.scheme in ("tcp", "udp") and u.hostname and u.port:
+                self.endpoint = endpoint
+            else:
+                print(
+                    f"metric-endpoint parse error, using local: "
+                    f"{endpoint!r}",
+                    flush=True,
+                )
         self._lock = threading.Lock()
         self._counters: dict[tuple[str, str], float] = {}  # reset on flush
         self._gauges: dict[tuple[str, str], float] = {}  # latest wins
@@ -142,6 +161,8 @@ class SelfMetricsCollector(StreamingQueryListener):
             (f"{self.prefix}.{module}.{stat}", value, now)
             for (module, stat), value in sorted(stats.items())
         ]
+        if self.endpoint and self._send_remote(rows):
+            return
         from pyspark.sql import functions as F
 
         df = self.spark.createDataFrame(rows, "path string, value double, time long")
@@ -159,3 +180,33 @@ class SelfMetricsCollector(StreamingQueryListener):
             .partitionBy("month")
             .parquet(self.points_path)
         )
+
+    def _send_remote(self, rows: list[tuple[str, float, int]]) -> bool:
+        """Ship one flush as plain graphite lines to the tcp:// or
+        udp:// endpoint (collector.go:220-286). False on any socket
+        error -> caller falls back to the local table write."""
+        from urllib.parse import urlsplit
+
+        u = urlsplit(self.endpoint)
+        payload = "".join(
+            f"{path} {value} {ts}\n" for path, value, ts in rows
+        ).encode()
+        try:
+            if u.scheme == "tcp":
+                with socket.create_connection(
+                    (u.hostname, u.port), timeout=10
+                ) as s:
+                    s.sendall(payload)
+            else:
+                s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                try:
+                    s.sendto(payload, (u.hostname, u.port))
+                finally:
+                    s.close()
+            return True
+        except OSError as e:
+            print(
+                f"metric-endpoint send failed ({e}); writing locally",
+                flush=True,
+            )
+            return False

@@ -176,9 +176,13 @@ log-incomplete = true
     assert cfg.pprof_enabled is True
     assert cfg.receivers["tcp"].read_timeout_s == 120.0
     assert cfg.receivers["udp"].log_incomplete is True
-    # every acknowledged-but-inert option is surfaced, not silent
+    # every acknowledged-but-inert option is surfaced, not silent;
+    # a tcp:// metric-endpoint is HONORED, so it is not a divergence
     d = "\n".join(cfg.divergences())
-    assert "utc-date" in d and "metric-endpoint" in d and "pprof" in d
+    assert "utc-date" in d and "pprof" in d
+    assert "metric-endpoint" not in d
+    bogus = load_config('[common]\nmetric-endpoint = "http://x"\n')
+    assert any("metric-endpoint" in s for s in bogus.divergences())
     assert load_config("[common]\n").divergences() == []
 
 

@@ -613,3 +613,67 @@ def test_udp_log_incomplete_counts_tails(tmp_path):
         assert rx.incomplete_datagrams == 1
     finally:
         rx.stop()
+
+
+def test_collector_remote_endpoint(spark, tmp_path):
+    """[common] metric-endpoint parity: a tcp:// endpoint receives the
+    flush as plain graphite lines (no local parquet); a dead endpoint
+    degrades to the local table write instead of dropping the flush."""
+    import socket
+    import threading
+
+    from carbon_clickhouse_spark.streaming.collector import SelfMetricsCollector
+
+    got = []
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def accept_one():
+        conn, _ = srv.accept()
+        buf = b""
+        while True:
+            d = conn.recv(65536)
+            if not d:
+                break
+            buf += d
+        got.append(buf)
+        conn.close()
+
+    t = threading.Thread(target=accept_one, daemon=True)
+    t.start()
+
+    out = str(tmp_path / "selfstats")
+    col = SelfMetricsCollector(
+        spark, out, prefix="carbon.agents.h", module="tcp",
+        flush_every=1000, flush_interval_s=9999,
+        endpoint=f"tcp://127.0.0.1:{port}",
+    )
+    col.add("metricsReceived", 3.0)
+    col.flush()
+    t.join(10)
+    srv.close()
+    lines = got[0].decode().strip().split("\n")
+    assert len(lines) == 1
+    path, value, ts = lines[0].split(" ")
+    assert path == "carbon.agents.h.tcp.metricsReceived" and value == "3.0"
+    assert not os.path.exists(out)  # remote delivery: nothing local
+
+    # dead endpoint: flush falls back to the local parquet table
+    col2 = SelfMetricsCollector(
+        spark, out, prefix="carbon.agents.h", module="tcp",
+        flush_every=1000, flush_interval_s=9999,
+        endpoint=f"tcp://127.0.0.1:{port}",  # closed above
+    )
+    col2.add("errors", 1.0)
+    col2.flush()
+    vals = {r.path: r.value for r in spark.read.parquet(out).collect()}
+    assert vals == {"carbon.agents.h.tcp.errors": 1.0}
+
+
+def test_collector_bad_endpoint_degrades_to_local(spark, tmp_path):
+    from carbon_clickhouse_spark.streaming.collector import SelfMetricsCollector
+
+    col = SelfMetricsCollector(
+        spark, str(tmp_path / "s"), endpoint="http://not-graphite"
+    )
+    assert col.endpoint == ""  # parse fallback, like the reference
