@@ -488,6 +488,9 @@ def main(argv=None) -> int:
         for table, keys in (
             ("index", ["date", "level", "path"]),
             ("tagged", ["date", "tag1", "path"]),
+            ("tree", ["level", "path"]),
+            ("series", ["date", "level", "path"]),
+            ("series_reverse", ["date", "level", "path"]),
         ):
             path = os.path.join(args.compact, table)
             if os.path.exists(path):

@@ -147,7 +147,14 @@ class EngineConfig:
         points = self.upload_of_type("points")
         tagged = self.upload_of_type("tagged")
         index = self.upload_of_type("index")
+        legacy = tuple(
+            t for t in ("tree", "series", "series-reverse")
+            if self.upload_of_type(t) is not None
+        )
+        tree = self.upload_of_type("tree")
         return IngestConfig(
+            legacy_tables=legacy,
+            tree_date=(tree.tree_date or None) if tree else None,
             drop_future_seconds=int(r.drop_future_s) or None,
             drop_past_seconds=int(r.drop_past_s) or None,
             drop_longer_than=r.drop_longer_than or None,

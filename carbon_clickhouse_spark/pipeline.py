@@ -34,6 +34,12 @@ class IngestConfig:
     ignored_tagged_metrics: list[str] = field(default_factory=list)  # F7
     disable_daily_index: bool = False
     now: int | None = None
+    # legacy uploader types (uploader/uploader.go:48-60): any of
+    # "tree", "series", "series-reverse" — a config still naming the
+    # pre-index tables gets them derived and written alongside the
+    # modern four
+    legacy_tables: tuple[str, ...] = ()
+    tree_date: str | None = None  # type=tree [upload.*] date option
 
 
 def derive_tables(points: DataFrame, config: IngestConfig | None = None) -> dict[str, DataFrame]:
@@ -51,12 +57,22 @@ def derive_tables(points: DataFrame, config: IngestConfig | None = None) -> dict
     # F6 blacklist applies to the points tables (uploader/points.go:56-58)
     points_out = points.filter(ignored_patterns_predicate(config.ignored_patterns))
 
-    return {
+    tables = {
         "points": points_out,
         "points_reverse": points_out.withColumn("path", path_reverse("path")),
         "index": build_index(points, disable_daily=config.disable_daily_index),
         "tagged": build_tagged(points, ignored_metrics=config.ignored_tagged_metrics),
     }
+    if config.legacy_tables:
+        from .operators.index import build_series, build_tree
+
+        if "tree" in config.legacy_tables:
+            tables["tree"] = build_tree(points, tree_date=config.tree_date)
+        if "series" in config.legacy_tables:
+            tables["series"] = build_series(points)
+        if "series-reverse" in config.legacy_tables:
+            tables["series_reverse"] = build_series(points, reverse=True)
+    return tables
 
 
 def write_tables(
@@ -97,6 +113,12 @@ def write_tables(
         df.sortWithinPartitions("path").write.mode(mode).parquet(
             os.path.join(root, name)
         )
+    # legacy tree/series tables (index-shaped: series rows, no points)
+    for name in ("tree", "series", "series_reverse"):
+        if name in tables:
+            tables[name].sortWithinPartitions("path").write.mode(mode).parquet(
+                os.path.join(root, name)
+            )
 
 
 def write_tables_bucketed(

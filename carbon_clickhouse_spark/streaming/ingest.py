@@ -273,7 +273,11 @@ def start_ingest(
                     df = _anti_existing(
                         spark_b, df, config.root, name, keys, _batch_dates()
                     )
-                if ch is not None:
+                # legacy tree/series tables mirror to CH only when the
+                # config names a table for them (ch_names carries just
+                # the four modern types by default)
+                mirror = ch is not None and name in ch_names
+                if mirror:
                     # pin the deduped rows BEFORE the parquet append:
                     # re-evaluating the anti-join after the write would
                     # see the just-appended rows in the stored table
@@ -283,7 +287,7 @@ def start_ingest(
                     path = os.path.join(config.root, name)
                     with _table_lock(path):
                         df.write.mode("append").parquet(path)
-                    if ch is not None:
+                    if mirror:
                         # same deduped rows as the parquet write: the
                         # A2 exists-cache throttles the CH upload
                         # exactly like the reference's cached uploader
@@ -293,7 +297,7 @@ def start_ingest(
                         fn = insert_index if name == "index" else insert_tagged
                         fn(df, ch.base_url, ch_names[name], **_ch_kwargs())
                 finally:
-                    if ch is not None:
+                    if mirror:
                         df.unpersist()
 
             # the four table writes share the persisted batch and are
@@ -302,12 +306,22 @@ def start_ingest(
             # sync-ack semantics are unchanged)
             from concurrent.futures import ThreadPoolExecutor
 
+            series_keys = {
+                "index": ["date", "level", "path"],
+                "tagged": ["date", "tag1", "path"],
+                # legacy uploader types (uploader/uploader.go:48-60)
+                "tree": ["level", "path"],
+                "series": ["date", "level", "path"],
+                "series_reverse": ["date", "level", "path"],
+            }
             with ThreadPoolExecutor(max_workers=4) as pool:
                 futures = [
                     pool.submit(_write_points, "points"),
                     pool.submit(_write_points, "points_reverse"),
-                    pool.submit(_write_series, "index", ["date", "level", "path"]),
-                    pool.submit(_write_series, "tagged", ["date", "tag1", "path"]),
+                ] + [
+                    pool.submit(_write_series, name, series_keys[name])
+                    for name in tables
+                    if name in series_keys
                 ]
                 for f in futures:
                     f.result()

@@ -107,6 +107,9 @@ class BackgroundMerger:
         for table, keys in (
             ("index", ["date", "level", "path"]),
             ("tagged", ["date", "tag1", "path"]),
+            ("tree", ["level", "path"]),
+            ("series", ["date", "level", "path"]),
+            ("series_reverse", ["date", "level", "path"]),
         ):
             path = os.path.join(self.root, table)
             if os.path.exists(path):

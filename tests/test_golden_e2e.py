@@ -219,3 +219,58 @@ def test_nodaily_index_golden(spark):
         ("1970-02-12", 20004, "test.host1.cpu.loadavg"),
         ("1970-02-12", 30004, "loadavg.cpu.host1.test"),
     ]
+
+
+def test_legacy_tree_series_tables(spark, tmp_path):
+    """A config naming the legacy uploader types (tree / series /
+    series-reverse, uploader/uploader.go:48-60) gets those tables
+    derived and written alongside the modern four."""
+    from carbon_clickhouse_spark.config import load_config
+    from carbon_clickhouse_spark.pipeline import derive_tables, write_tables
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+    cfg = load_config(
+        """
+[upload.graphite_tree]
+type = "tree"
+table = "graphite_tree"
+date = "2021-07-05"
+
+[upload.graphite_series]
+type = "series"
+table = "graphite_series"
+
+[upload.graphite_series_reverse]
+type = "series-reverse"
+table = "graphite_series_reverse"
+"""
+    )
+    ic = cfg.ingest("tcp", now=1625478400)
+    assert set(ic.legacy_tables) == {"tree", "series", "series-reverse"}
+    assert ic.tree_date == "2021-07-05"
+
+    lines = spark.createDataFrame(
+        [("a.b.c 1 1625400000",), ("a.b.d 2 1625400060",)], "line string"
+    )
+    tables = derive_tables(parse_plain_lines(lines), ic)
+    assert {"tree", "series", "series_reverse"} <= set(tables)
+    root = str(tmp_path / "t")
+    write_tables(tables, root)
+
+    tree = {
+        (r.level, r.path)
+        for r in spark.read.parquet(f"{root}/tree").collect()
+    }
+    # full paths + trailing-dot ancestors, no reverse, no daily rows
+    assert tree == {
+        (3, "a.b.c"), (3, "a.b.d"), (1, "a."), (2, "a.b."),
+    }
+    series = {
+        r.path for r in spark.read.parquet(f"{root}/series").collect()
+    }
+    assert series == {"a.b.c", "a.b.d"}  # no ancestors
+    rev = {
+        r.path
+        for r in spark.read.parquet(f"{root}/series_reverse").collect()
+    }
+    assert rev == {"c.b.a", "d.b.a"}

@@ -677,3 +677,41 @@ def test_collector_bad_endpoint_degrades_to_local(spark, tmp_path):
         spark, str(tmp_path / "s"), endpoint="http://not-graphite"
     )
     assert col.endpoint == ""  # parse fallback, like the reference
+
+
+def test_streaming_writes_legacy_tables(spark, tmp_path):
+    """StreamConfig whose IngestConfig names legacy uploader types
+    writes tree/series tables per micro-batch, exists-cache deduped
+    across batches like index/tagged."""
+    from carbon_clickhouse_spark.pipeline import IngestConfig
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    cfg = StreamConfig(
+        root=root,
+        chunk_interval="500 milliseconds",
+        ingest=IngestConfig(
+            now=1625478400, legacy_tables=("tree", "series")
+        ),
+        audit_dropped=False,
+    )
+    (landing / "w1.txt").write_text("leg.a 1 1625400000\n")
+    q = start_plain_ingest(spark, file_landing_source(spark, str(landing)), cfg)
+    try:
+        q.processAllAvailable()
+        # same series again + one new: cross-batch dedup must hold
+        (landing / "w2.txt").write_text("leg.a 2 1625400060\nleg.b 3 1625400060\n")
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    tree = spark.read.parquet(f"{root}/tree").select("level", "path")
+    assert tree.count() == tree.distinct().count()
+    paths = {r.path for r in tree.collect()}
+    assert paths == {"leg.a", "leg.b", "leg."}
+    series = spark.read.parquet(f"{root}/series")
+    keys = series.select("date", "path")
+    assert keys.count() == keys.distinct().count()
+    assert {r.path for r in series.collect()} == {"leg.a", "leg.b"}
