@@ -79,29 +79,48 @@ def main() -> None:
     try:
         from carbon_clickhouse_spark.pipeline import ingest_and_store
 
-        t0 = time.perf_counter()
-        pts = entry_mod._events_points(spark, sf_dir)
-        ingest_and_store(pts, root, IngestConfig())
-        timings["store_tables"] = round(time.perf_counter() - t0, 3)
+        # best-of-N like the query section: the first write pays the
+        # four-table plan compilation, steady state is what a
+        # continuously-writing deployment sees
+        best = None
+        for i in range(max(2, repeats - 1)):
+            sub = os.path.join(root, f"w{i}")
+            t0 = time.perf_counter()
+            pts = entry_mod._events_points(spark, sf_dir)
+            ingest_and_store(pts, sub, IngestConfig())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            if i < max(2, repeats - 1) - 1:
+                shutil.rmtree(sub, ignore_errors=True)
+        timings["store_tables"] = round(best, 3)
+        last = os.path.join(root, f"w{max(2, repeats - 1) - 1}")
 
-        stored_points = spark.read.parquet(f"{root}/points")
-        stored_index = spark.read.parquet(f"{root}/index")
+        stored_points = spark.read.parquet(f"{last}/points")
+        stored_index = spark.read.parquet(f"{last}/index")
 
-        t0 = time.perf_counter()
-        find_metrics(stored_index, "ev.u1*.*").write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["stored_find_metrics"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            find_metrics(stored_index, "ev.u1*.*").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["stored_find_metrics"] = round(best, 3)
 
-        t0 = time.perf_counter()
-        read_series(
-            stored_points,
-            ["ev.u1.click", "ev.u2.view", "ev.u3.error"],
-            1704067200,
-            1706745600,
-            precision_s=3600,
-        ).write.format("noop").mode("overwrite").save()
-        timings["stored_read_series"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            read_series(
+                stored_points,
+                ["ev.u1.click", "ev.u2.view", "ev.u3.error"],
+                1704067200,
+                1706745600,
+                precision_s=3600,
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["stored_read_series"] = round(best, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
