@@ -293,6 +293,23 @@ def main(argv=None) -> int:
         help="override [data] path (landing + tables live under it)",
     )
     ap.add_argument(
+        "--version", action="store_true",
+        help="print version and exit",
+    )
+    ap.add_argument(
+        "--check-config", default=None, metavar="CONF",
+        help="check config and exit (0 = parses; divergences printed)",
+    )
+    ap.add_argument(
+        "--config-print-default", action="store_true",
+        help="print default config and exit",
+    )
+    ap.add_argument(
+        "--exact-config", action="store_true",
+        help="with --config/--check-config: unknown keys are an error "
+        "instead of being ignored",
+    )
+    ap.add_argument(
         "--cat", default=None, metavar="FILE",
         help="print RowBinary chunk file in TabSeparated format and exit",
     )
@@ -392,6 +409,28 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.version:
+        from . import __version__
+
+        print(f"carbon_clickhouse_spark {__version__}")
+        return 0
+    if args.config_print_default:
+        from .config import DEFAULT_CONFIG
+
+        print(DEFAULT_CONFIG, end="")
+        return 0
+    if args.check_config:
+        from .config import load_config as _lc
+
+        try:
+            cfg_chk = _lc(args.check_config, exact=args.exact_config)
+        except Exception as e:  # noqa: BLE001
+            print(f"config error: {e}", flush=True)
+            return 1
+        for d in cfg_chk.divergences():
+            print(f"config: {d}", flush=True)
+        print("config OK", flush=True)
+        return 0
     if args.cat:
         import sys
 
@@ -508,7 +547,7 @@ def main(argv=None) -> int:
     from .config import load_config
     from .session import get_spark
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, exact=args.exact_config)
     for d in cfg.divergences():
         print(f"config: {d}", flush=True)
     master = args.master

@@ -246,9 +246,127 @@ _RECEIVER_SECTIONS = (
     "otlp",  # beyond the reference: OpenTelemetry metrics over HTTP
 )
 
+#: recognized keys per section, for --exact-config (the reference's
+#: strict mode: every config param must exist in the target struct)
+_KNOWN_KEYS = {
+    "common": {"metric-prefix", "metric-interval", "metric-endpoint",
+               "max-cpu", "enabled"},
+    "data": {"path", "chunk-interval", "chunk-auto-interval",
+             "chunk-max-size", "compression", "compression-level",
+             "utc-date"},
+    "pprof": {"listen", "enabled"},
+    "logging": None,  # zap config list: accepted wholesale
+    "convert_to_tagged": {"enabled", "separator", "tags", "templates"},
+    "__receiver__": {"listen", "enabled", "drop-future", "drop-past",
+                     "drop-longer-than", "concat", "log-incomplete",
+                     "read-timeout"},
+    "__upload__": {"type", "table", "url", "timeout", "cache-ttl",
+                   "threads", "zero-timestamp", "compress-data", "date",
+                   "hash", "ignored-patterns", "ignored-tagged-metrics",
+                   "disable-daily-index", "tls"},
+    "__tls__": {"ca-cert", "certificates", "server-name",
+                "insecure-skip-verify", "min-version", "max-version",
+                "cipher-suites", "client-auth", "curves"},
+}
 
-def load_config(source: str) -> EngineConfig:
-    """Parse a carbon-clickhouse TOML config (path or literal text)."""
+
+def unknown_keys(raw: dict) -> list[str]:
+    """Dotted paths of config entries the engine does not recognize —
+    the reference's ``--exact-config`` strictness."""
+    bad: list[str] = []
+    for section, body in raw.items():
+        if section in _RECEIVER_SECTIONS:
+            known = _KNOWN_KEYS["__receiver__"]
+        elif section == "upload":
+            for name, sec in body.items():
+                for k in sec:
+                    if k not in _KNOWN_KEYS["__upload__"]:
+                        bad.append(f"upload.{name}.{k}")
+                for k in sec.get("tls", {}):
+                    if (
+                        k not in _KNOWN_KEYS["__tls__"]
+                        and not isinstance(sec["tls"][k], list)
+                    ):
+                        bad.append(f"upload.{name}.tls.{k}")
+            continue
+        elif section in _KNOWN_KEYS:
+            known = _KNOWN_KEYS[section]
+        else:
+            bad.append(section)
+            continue
+        if known is None:
+            continue
+        for k in body:
+            if k not in known:
+                bad.append(f"{section}.{k}")
+    return bad
+
+
+#: the reference's shipped defaults (README "Configuration"), in the
+#: engine's accepted vocabulary — what --config-print-default emits
+DEFAULT_CONFIG = """\
+[common]
+metric-prefix = "carbon.agents.{host}"
+metric-endpoint = "local"
+metric-interval = "1m0s"
+max-cpu = 0
+
+[data]
+path = "/data/carbon-clickhouse/"
+chunk-interval = "1s"
+chunk-auto-interval = ""
+compression = "none"
+compression-level = 0
+
+[upload.graphite]
+type = "points"
+table = "graphite"
+url = "http://localhost:8123/"
+timeout = "1m0s"
+zero-timestamp = false
+
+[upload.graphite_index]
+type = "index"
+table = "graphite_index"
+url = "http://localhost:8123/"
+cache-ttl = "12h0m0s"
+
+[tcp]
+listen = ":2003"
+enabled = true
+drop-future = "0s"
+drop-past = "0s"
+
+[udp]
+listen = ":2003"
+enabled = true
+
+[pickle]
+listen = ":2004"
+enabled = true
+
+[grpc]
+listen = ":2005"
+enabled = false
+
+[prometheus]
+listen = ":2006"
+enabled = false
+
+[telegraf_http_json]
+listen = ":2007"
+enabled = false
+
+[pprof]
+listen = "localhost:7007"
+enabled = false
+"""
+
+
+def load_config(source: str, exact: bool = False) -> EngineConfig:
+    """Parse a carbon-clickhouse TOML config (path or literal text).
+    ``exact`` mirrors the reference's ``--exact-config``: unknown
+    keys raise instead of being ignored."""
     import os
     import tomllib
 
@@ -257,6 +375,13 @@ def load_config(source: str) -> EngineConfig:
             raw = tomllib.load(fh)
     else:
         raw = tomllib.loads(source)
+
+    if exact:
+        bad = unknown_keys(raw)
+        if bad:
+            raise ValueError(
+                "unknown config keys: " + ", ".join(sorted(bad))
+            )
 
     cfg = EngineConfig()
 

@@ -429,3 +429,33 @@ def test_main_has_no_shadowing_stdlib_imports():
         if a.name in ("os", "time", "argparse", "json")
     ]
     assert shadowed == [], f"main() locally imports {shadowed}"
+
+
+def test_reference_cli_flags(tmp_path, capsys):
+    """--version / --config-print-default / --check-config /
+    --exact-config parity (carbon-clickhouse.go:47-55)."""
+    from carbon_clickhouse_spark import __version__
+    from carbon_clickhouse_spark.__main__ import main
+    from carbon_clickhouse_spark.config import load_config
+
+    assert main(["--version"]) == 0
+    assert __version__ in capsys.readouterr().out
+
+    assert main(["--config-print-default"]) == 0
+    default = capsys.readouterr().out
+    # the default config is itself valid, exactly
+    cfg = load_config(default, exact=True)
+    assert cfg.receivers["tcp"].enabled and cfg.chunk_interval_s == 1.0
+
+    good = tmp_path / "good.conf"
+    good.write_text(default)
+    assert main(["--check-config", str(good), "--exact-config"]) == 0
+    assert "config OK" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.conf"
+    bad.write_text("[data]\npath = '/tmp/x'\nchnk-interval = '1s'\n")
+    # lax check passes (unknown key ignored), exact check fails loudly
+    assert main(["--check-config", str(bad)]) == 0
+    capsys.readouterr()
+    assert main(["--check-config", str(bad), "--exact-config"]) == 1
+    assert "chnk-interval" in capsys.readouterr().out
