@@ -381,6 +381,17 @@ def main(argv=None) -> int:
         "quality rules as an additional gate",
     )
     ap.add_argument(
+        "--mix", default=None, metavar="SRC=W,SRC=W",
+        help="with --prepare-corpus: weighted multi-source mixture "
+        "over the kept docs (datapipe/mix.py), e.g. web=0.6,books=0.4; "
+        "sources not listed drop",
+    )
+    ap.add_argument(
+        "--mix-total-tokens", type=int, default=None,
+        help="with --mix: explicit token budget (enables upsampling); "
+        "default sizes to the binding source",
+    )
+    ap.add_argument(
         "--tokenize", type=int, default=None, metavar="SEQ_LEN",
         help="with --prepare-corpus: train a BPE tokenizer on the "
         "kept docs, encode, and pack into exact SEQ_LEN training "
@@ -489,6 +500,22 @@ def main(argv=None) -> int:
         )
         pool: list = []
         kept, audit = prepare_corpus(docs, cfg, persisted_pool=pool)
+        if args.mix:
+            from pyspark.sql import functions as F
+
+            from .datapipe.mix import mix_sources
+
+            weights = {}
+            for part in args.mix.split(","):
+                s, _, w = part.partition("=")
+                weights[s.strip()] = float(w)
+            kept = mix_sources(
+                kept, weights, total_tokens=args.mix_total_tokens
+            )
+            # repeats need unique ids for sharding/packing order
+            kept = kept.withColumn(
+                "doc_id", F.concat_ws("#", "doc_id", "epoch")
+            )
         kept = kept.persist()
         try:
             write_corpus_shards(

@@ -459,3 +459,54 @@ def test_reference_cli_flags(tmp_path, capsys):
     capsys.readouterr()
     assert main(["--check-config", str(bad), "--exact-config"]) == 1
     assert "chnk-interval" in capsys.readouterr().out
+
+
+def test_prepare_corpus_cli_mix(tmp_path):
+    """--prepare-corpus --mix: the kept docs are mixture-sampled per
+    the weight vector before sharding/tokenizing; upsampled repeats
+    get epoch-suffixed unique ids."""
+    import duckdb
+
+    from carbon_clickhouse_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    con = duckdb.connect()
+    import itertools
+
+    # distinct texts so dedup keeps all of them
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    combos = itertools.combinations(letters, 3)
+    def text(i):
+        return " ".join("".join(next(combos)) * 2 for _ in range(22))
+    vals = ", ".join(
+        f"({i}, '{s}', '{text(i)}')"
+        for i, s in enumerate(["web"] * 8 + ["books"] * 2)
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {vals}) t(doc_id, source, text)) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "out")
+    rc = main([
+        "--prepare-corpus", src, out,
+        "--min-tokens", "5", "--shards", "2",
+        "--mix", "web=0.5,books=0.5", "--mix-total-tokens", "400",
+        "--tokenize", "32", "--vocab-size", "100",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    rows = con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{out}/corpus/*/*.parquet')"
+    ).fetchall()
+    by_src = {}
+    for doc_id, s in rows:
+        by_src.setdefault(s, []).append(doc_id)
+        assert "#" in doc_id  # epoch-suffixed
+    # books (2 docs, ~44 toks each) upsampled toward the 200-token
+    # half share: repeats present
+    assert len(by_src["books"]) > 2
+    assert len(set(r[0] for r in rows)) == len(rows)  # ids unique
+    seqs = con.execute(
+        f"SELECT token_ids FROM read_parquet('{out}/sequences/*/*.parquet')"
+    ).fetchall()
+    assert seqs and all(len(r[0]) == 32 for r in seqs)
