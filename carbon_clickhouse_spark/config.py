@@ -283,10 +283,7 @@ def unknown_keys(raw: dict) -> list[str]:
                     if k not in _KNOWN_KEYS["__upload__"]:
                         bad.append(f"upload.{name}.{k}")
                 for k in sec.get("tls", {}):
-                    if (
-                        k not in _KNOWN_KEYS["__tls__"]
-                        and not isinstance(sec["tls"][k], list)
-                    ):
+                    if k not in _KNOWN_KEYS["__tls__"]:
                         bad.append(f"upload.{name}.tls.{k}")
             continue
         elif section in _KNOWN_KEYS:

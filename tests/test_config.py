@@ -208,3 +208,19 @@ insecure-skip-verify = true
     assert ctx.minimum_version == ssl.TLSVersion.TLSv1_2
     assert ctx.maximum_version == ssl.TLSVersion.TLSv1_3
     assert ctx.verify_mode == ssl.CERT_NONE
+
+
+def test_exact_config_flags_unknown_tls_key():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tls.min-versionn"):
+        load_config(
+            """
+[upload.g]
+type = "points"
+
+[upload.g.tls]
+min-versionn = "TLS12"
+""",
+            exact=True,
+        )
