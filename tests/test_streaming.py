@@ -715,3 +715,53 @@ def test_streaming_writes_legacy_tables(spark, tmp_path):
     keys = series.select("date", "path")
     assert keys.count() == keys.distinct().count()
     assert {r.path for r in series.collect()} == {"leg.a", "leg.b"}
+
+
+def test_continuous_rollup_watermarked(spark, tmp_path):
+    """Watermarked event-time rollup: buckets finalize (append mode)
+    once the watermark passes; a too-late point is excluded from the
+    live aggregate; values match the batch rollup semantics."""
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+    from carbon_clickhouse_spark.streaming.analytics import continuous_rollup
+    from carbon_clickhouse_spark.streaming.ingest import file_landing_source
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "agg")
+    lines = file_landing_source(spark, str(landing))
+    pts = parse_plain_lines(lines, line_col="value")
+    agg = continuous_rollup(pts, precision_s=60, late_allowance="2 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # bucket 1625400000: two values; then an advancing wave pushes
+        # the watermark far past it so it finalizes
+        (landing / "w1.txt").write_text(
+            "cr.a 10 1625400000\ncr.a 30 1625400030\n"
+        )
+        q.processAllAvailable()
+        (landing / "w2.txt").write_text("cr.a 5 1625401000\n")
+        q.processAllAvailable()
+        # a point older than the watermark: dropped from the live agg
+        (landing / "w3.txt").write_text("cr.a 999 1625400010\n")
+        q.processAllAvailable()
+        # one more advance so any state that may finalize does
+        (landing / "w4.txt").write_text("cr.a 7 1625402000\n")
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    rows = {
+        r["time"]: r for r in spark.read.parquet(out).collect()
+    }
+    b = rows[1625400000]
+    assert b["avg"] == pytest.approx(20.0)  # late 999 excluded
+    assert b["sum"] == 40.0 and b["max"] == 30.0 and b["min"] == 10.0
+    assert b["cnt"] == 2
