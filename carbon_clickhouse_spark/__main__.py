@@ -28,7 +28,13 @@ def parse_listen(addr: str, default_port: int) -> tuple[str, int]:
     return host or "0.0.0.0", int(port) if port else default_port
 
 
-def launch(cfg, spark, data_root: str | None = None, upload: bool = False):
+def launch(
+    cfg,
+    spark,
+    data_root: str | None = None,
+    upload: bool = False,
+    collector=None,
+):
     """Start live fronts + one streaming pipeline per enabled protocol
     — parity with the reference's scheme dispatch
     (receiver/receiver.go:94-200). All pipelines append to the SAME
@@ -61,21 +67,7 @@ def launch(cfg, spark, data_root: str | None = None, upload: bool = False):
         os.makedirs(d, exist_ok=True)
         return d
 
-    # [common] metric-endpoint: with a remote tcp://|udp:// endpoint
-    # the S7 collector ships self-metrics there as graphite lines
-    # (collector.go:119-139); unset keeps the opt-in local collector
-    # behavior (callers wire their own via StreamConfig.collector)
-    collector = None
-    if cfg.metric_endpoint.startswith(("tcp://", "udp://")):
-        from .streaming.collector import SelfMetricsCollector
-
-        collector = SelfMetricsCollector(
-            spark,
-            os.path.join(tables, "points"),
-            prefix=cfg.metric_prefix,
-            flush_interval_s=cfg.metric_interval_s or 60.0,
-            endpoint=cfg.metric_endpoint,
-        )
+    if collector is not None:
         spark.streams.addListener(collector)
 
     def stream_cfg(name: str):
@@ -582,9 +574,30 @@ def main(argv=None) -> int:
         # reference [common] max-cpu = GOMAXPROCS -> local core count
         master = f"local[{cfg.max_cpu}]"
     spark = get_spark(app_name="carbon-clickhouse-spark", master=master)
+
+    # [common] metric-endpoint: with a remote tcp://|udp:// endpoint
+    # the S7 collector ships self-metrics there as graphite lines
+    # (collector.go:119-139); unset keeps the opt-in local collector
+    # behavior (callers wire their own via StreamConfig.collector).
+    # The wall-clock ticker mirrors the reference's collector loop —
+    # buffered counters flush every metric-interval even when every
+    # stream is idle.
+    collector = None
+    if cfg.metric_endpoint.startswith(("tcp://", "udp://")):
+        from .streaming.collector import SelfMetricsCollector
+
+        collector = SelfMetricsCollector(
+            spark,
+            os.path.join(args.data_root or cfg.data_path, "tables", "points"),
+            prefix=cfg.metric_prefix,
+            flush_interval_s=cfg.metric_interval_s or 60.0,
+            endpoint=cfg.metric_endpoint,
+        ).start_ticker()
+
     receivers, queries = launch(
         cfg, spark, data_root=args.data_root,
         upload=args.upload_to_clickhouse,
+        collector=collector,
     )
 
     # SIGHUP = cache reset, like the reference (carbon/app.go:366-377:
@@ -615,6 +628,16 @@ def main(argv=None) -> int:
             + (f" udp={udp}" if udp else ""),
             flush=True,
         )
+    # graceful SIGTERM (systemd/docker stop): drain into the same
+    # shutdown path as Ctrl-C so streams stop cleanly and the S7
+    # collector's final flush is emitted, not killed mid-buffer
+    def _on_term(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # non-main thread
     try:
         while any(q.isActive for q in queries):
             time.sleep(1.0)
@@ -625,6 +648,8 @@ def main(argv=None) -> int:
             rx.stop()
         for q in queries:
             q.stop()
+        if collector is not None:
+            collector.close()
     return 0
 
 

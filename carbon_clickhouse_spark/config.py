@@ -223,6 +223,11 @@ class EngineConfig:
             ingest=self.ingest(receiver),
             tag_config=self.tag_config,
             clickhouse=self.clickhouse_target() if upload else None,
+            # label the pipeline with ITS protocol: the dropped-audit
+            # rows, /debug/receive/<protocol>/dropped slicing, S7
+            # stat-module attribution, and the unique ccs-<protocol>
+            # query name all key on it
+            protocol=receiver,
             **kwargs,
         )
 

@@ -102,6 +102,49 @@ class SelfMetricsCollector(StreamingQueryListener):
         self._gauges: dict[tuple[str, str], float] = {}  # latest wins
         self._events = 0
         self._last_flush = time.monotonic()
+        self._ticker: threading.Timer | None = None
+        self._closed = False
+        # one writer at a time: a ticker tick racing close() (or a
+        # listener-driven flush) must not run two Spark writes into
+        # the same table concurrently
+        self._flush_lock = threading.Lock()
+
+    def start_ticker(self) -> "SelfMetricsCollector":
+        """Flush on a wall-clock cadence like the reference's
+        collector loop (collector.go:141-155) — purely event-driven
+        flushing strands the last counters of a stream that goes
+        quiet (no further progress events ever push the clock)."""
+        with self._lock:
+            if self._closed or self._ticker is not None:
+                return self
+            self._ticker = threading.Timer(self.flush_interval_s, self._tick)
+            self._ticker.daemon = True
+            self._ticker.start()
+        return self
+
+    def _tick(self) -> None:
+        try:
+            with self._lock:
+                pending = bool(self._counters)
+            if pending:
+                self.flush()
+        finally:
+            with self._lock:
+                if not self._closed:
+                    self._ticker = threading.Timer(
+                        self.flush_interval_s, self._tick
+                    )
+                    self._ticker.daemon = True
+                    self._ticker.start()
+
+    def close(self) -> None:
+        """Stop the ticker and emit anything buffered."""
+        with self._lock:
+            self._closed = True
+            if self._ticker is not None:
+                self._ticker.cancel()
+                self._ticker = None
+        self.flush()
 
     # statModule-style reporting API ------------------------------------
     def add(self, stat: str, value: float = 1.0, module: str | None = None) -> None:
@@ -121,10 +164,26 @@ class SelfMetricsCollector(StreamingQueryListener):
 
     def onQueryProgress(self, event: QueryProgressEvent) -> None:  # noqa: N802
         p = event.progress
-        self.add("metricsReceived", float(p.numInputRows))
-        self.gauge("processedRowsPerSecond", float(p.processedRowsPerSecond or 0.0))
-        self.gauge("inputRowsPerSecond", float(p.inputRowsPerSecond or 0.0))
-        self.gauge("batchId", float(p.batchId))
+        # per-receiver attribution: ingest streams are named
+        # "ccs-<protocol>" (streaming/ingest.py) — one listener serves
+        # every front, counters land in the right stat module like the
+        # reference's per-receiver registry (receiver/base.go:129)
+        module = None
+        name = getattr(p, "name", None)
+        if name and name.startswith("ccs-"):
+            module = name[4:]
+        self.add("metricsReceived", float(p.numInputRows), module=module)
+        self.gauge(
+            "processedRowsPerSecond",
+            float(p.processedRowsPerSecond or 0.0),
+            module=module,
+        )
+        self.gauge(
+            "inputRowsPerSecond",
+            float(p.inputRowsPerSecond or 0.0),
+            module=module,
+        )
+        self.gauge("batchId", float(p.batchId), module=module)
         with self._lock:
             self._events += 1
         self.maybe_flush()
@@ -147,7 +206,11 @@ class SelfMetricsCollector(StreamingQueryListener):
 
     def flush(self) -> None:
         """Emit every counter (then reset it) and gauge as points, in
-        ONE parquet file."""
+        ONE parquet file. Serialized: concurrent callers queue."""
+        with self._flush_lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         now = int(time.time())
         with self._lock:
             if not self._counters and not self._gauges:

@@ -335,6 +335,10 @@ def start_ingest(
 
     return (
         source.writeStream.foreachBatch(process_batch)
+        # named per protocol front so the S7 collector attributes
+        # progress to the right stat module (the reference registers
+        # one statModule per receiver, receiver/base.go:129)
+        .queryName(f"ccs-{config.protocol}")
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=config.chunk_interval)
         .start()

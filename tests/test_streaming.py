@@ -765,3 +765,55 @@ def test_continuous_rollup_watermarked(spark, tmp_path):
     assert b["avg"] == pytest.approx(20.0)  # late 999 excluded
     assert b["sum"] == 40.0 and b["max"] == 30.0 and b["min"] == 10.0
     assert b["cnt"] == 2
+
+
+def test_collector_attributes_by_query_name(spark, tmp_path):
+    """Progress from a stream named ccs-<protocol> lands in that
+    protocol's stat module; unnamed streams fall back to the default."""
+    from types import SimpleNamespace
+
+    from carbon_clickhouse_spark.streaming.collector import SelfMetricsCollector
+
+    col = SelfMetricsCollector(
+        spark, str(tmp_path / "s"), prefix="p", module="tcp",
+        flush_every=10**9, flush_interval_s=10**9,
+    )
+    def ev(name, rows):
+        return SimpleNamespace(progress=SimpleNamespace(
+            name=name, numInputRows=rows, processedRowsPerSecond=1.0,
+            inputRowsPerSecond=1.0, batchId=0))
+    col.onQueryProgress(ev("ccs-prometheus", 5))
+    col.onQueryProgress(ev("ccs-tcp", 7))
+    col.onQueryProgress(ev(None, 3))  # unnamed -> default module
+    assert col._counters[("prometheus", "metricsReceived")] == 5.0
+    assert col._counters[("tcp", "metricsReceived")] == 10.0  # 7 + 3
+
+
+def test_collector_ticker_flushes_quiet_buffer(spark, tmp_path):
+    """A counter buffered after the last progress event still flushes
+    on the wall-clock ticker (reference collector-loop behavior), and
+    close() emits the remainder then stops the ticker."""
+    from carbon_clickhouse_spark.streaming.collector import SelfMetricsCollector
+
+    out = str(tmp_path / "s")
+    col = SelfMetricsCollector(
+        spark, out, prefix="p", module="tcp",
+        flush_every=10**9, flush_interval_s=0.3,
+    ).start_ticker()
+    try:
+        col.add("metricsReceived", 5.0)
+        import glob
+
+        deadline = time.time() + 20
+        while time.time() < deadline and not glob.glob(
+            out + "/month=*/*.parquet"
+        ):
+            time.sleep(0.1)
+        vals = {r.path: r.value for r in spark.read.parquet(out).collect()}
+        assert vals == {"p.tcp.metricsReceived": 5.0}
+    finally:
+        col.close()
+    col.add("errors", 1.0)
+    time.sleep(1.0)  # ticker stopped: nothing flushes on its own
+    vals = {r.path: r.value for r in spark.read.parquet(out).collect()}
+    assert "p.tcp.errors" not in vals
