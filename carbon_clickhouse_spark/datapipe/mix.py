@@ -66,11 +66,18 @@ def mixture_plan(
     if wsum <= 0:
         raise ValueError("at least one source needs a positive weight")
     if total_tokens is None:
-        total_tokens = min(
+        binding = [
             int(available[s] * wsum / w[s])
             for s in available
-            if w[s] > 0
-        )
+            if w[s] > 0 and available[s] > 0
+        ]
+        if not binding:
+            raise ValueError(
+                "no weighted source has any tokens to sample"
+            )
+        # a weighted-but-empty source can't bind the total (it would
+        # zero the whole mixture); it simply contributes nothing
+        total_tokens = min(binding)
     return {
         s: (w[s] / wsum * total_tokens / available[s])
         if w[s] > 0 and available[s] > 0

@@ -103,3 +103,12 @@ def test_mix_zero_weight_drops_source(corpus):
 def test_mix_rejects_empty_weights(corpus):
     with pytest.raises(ValueError):
         mix_sources(corpus, {"nope": 1.0})
+
+
+def test_empty_weighted_source_does_not_zero_the_mixture():
+    from carbon_clickhouse_spark.datapipe.mix import mixture_plan
+
+    plan = mixture_plan({"a": 1000, "b": 0}, {"a": 0.5, "b": 0.5})
+    assert plan == {"a": 1.0, "b": 0.0}
+    with pytest.raises(ValueError):
+        mixture_plan({"b": 0}, {"b": 1.0})
