@@ -2104,7 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": f"""
             SELECT source, count(*) AS n_docs,
                    CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
-                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))) AS BIGINT) AS total_bpe_tokens
             FROM ({TOKS_SQL}) GROUP BY source
         """,
         "minhash_signatures": minhash_sig_sql,

@@ -103,9 +103,15 @@ def launch(
                 log_incomplete=bool(udp and udp.log_incomplete),
             ).start()
         )
+        # the pipeline is shared, but its audit/debug/self-metric label
+        # should name an ENABLED receiver: a UDP-only front must not
+        # report its drops under "tcp" (reference keeps tcp and udp
+        # stat modules distinct, carbon/app.go receiver wiring)
         queries.append(
             start_plain_ingest(
-                spark, file_landing_source(spark, land), stream_cfg("tcp")
+                spark,
+                file_landing_source(spark, land),
+                stream_cfg("tcp" if tcp else "udp"),
             )
         )
 
@@ -575,15 +581,19 @@ def main(argv=None) -> int:
         master = f"local[{cfg.max_cpu}]"
     spark = get_spark(app_name="carbon-clickhouse-spark", master=master)
 
-    # [common] metric-endpoint: with a remote tcp://|udp:// endpoint
-    # the S7 collector ships self-metrics there as graphite lines
-    # (collector.go:119-139); unset keeps the opt-in local collector
-    # behavior (callers wire their own via StreamConfig.collector).
-    # The wall-clock ticker mirrors the reference's collector loop —
-    # buffered counters flush every metric-interval even when every
-    # stream is idle.
+    # [common] metric-endpoint: the reference ALWAYS runs its
+    # collector — "local" (the default) writes carbon.agents.* into
+    # its own tables, tcp://|udp:// ships graphite lines there with a
+    # local fallback (collector.go:110-139). Wire the collector in
+    # both modes so a drop-in default config keeps its self-metrics;
+    # metric-interval = 0 is the explicit opt-out. The wall-clock
+    # ticker mirrors the reference's collector loop — buffered
+    # counters flush every metric-interval even when every stream is
+    # idle.
     collector = None
-    if cfg.metric_endpoint.startswith(("tcp://", "udp://")):
+    if cfg.metric_interval_s > 0 or cfg.metric_endpoint.startswith(
+        ("tcp://", "udp://")
+    ):
         from .streaming.collector import SelfMetricsCollector
 
         collector = SelfMetricsCollector(

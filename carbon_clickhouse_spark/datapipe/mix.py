@@ -61,6 +61,13 @@ def mixture_plan(
     one whose weight share exhausts first. Rates above 1 mean
     repeats: 2.5 = two full copies + a 50% slice.
     """
+    unknown = set(weights) - set(available)
+    if unknown:
+        raise ValueError(
+            "mixture weights name sources absent from the data: "
+            + ", ".join(sorted(unknown))
+            + f" (available: {', '.join(sorted(available)) or 'none'})"
+        )
     w = {s: weights.get(s, 0.0) for s in available}
     wsum = sum(w.values())
     if wsum <= 0:

@@ -18,8 +18,13 @@ LANG_STOPWORDS = {
 }
 
 TOKEN_SPLIT_RE = r"\s+"
-#: BPE-ish word/punct splitter: words, numbers, or single punctuation
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: BPE-ish word/punct splitter: words, numbers, or single punctuation.
+#: Whitespace is an EXPLICIT ASCII class, not ``\s``: Java's ``\s`` is
+#: ASCII-only while Python re's is Unicode-aware, so the shorthand made
+#: JVM-side training and Python-side ``bpe_encode`` split NBSP-bearing
+#: text differently. The explicit class is identical in Java, RE2
+#: (DuckDB oracle), and Python.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def tokens(text: Column | str) -> Column:

@@ -125,7 +125,9 @@ class SelfMetricsCollector(StreamingQueryListener):
     def _tick(self) -> None:
         try:
             with self._lock:
-                pending = bool(self._counters)
+                # gauges count too: a gauge() with no accompanying
+                # counter must not sit stranded until close()
+                pending = bool(self._counters or self._gauges)
             if pending:
                 self.flush()
         finally:
