@@ -17,9 +17,104 @@ over md5 hex is a valid uniform min-hash.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import fingerprint, tokens
+
+logger = logging.getLogger(__name__)
+
+
+def _banded_candidate_pairs(
+    buckets: DataFrame,
+    max_bucket_size: int | None = None,
+    sig_col: str | None = None,
+    label: str = "lsh",
+) -> DataFrame:
+    """Distinct candidate pairs from a banded bucket table
+    ``(doc_id, band, bucket[, sig])`` — the shared pair generator for
+    MinHash-LSH and SimHash banding, with the skew guard both need at
+    corpus scale.
+
+    ``max_bucket_size=None`` (the exact default) self-joins every
+    bucket: O(|bucket|^2) pairs per bucket, correct but explosive when
+    a boilerplate/empty-document signature puts 10^5+ docs in ONE
+    bucket (the classic 100 TB near-dedup failure). With a cap set,
+    bucket sizes are pre-counted and over-cap buckets take the
+    degenerate-bucket shortcut: every member is mutually a candidate,
+    so star edges to the bucket's min doc_id (O(|bucket|) rows)
+    preserve exactly the connectivity that downstream
+    :func:`..cluster.connected_components` / survivor anti-joins
+    consume — and every non-hub member still appears as ``doc_b``,
+    keeping loser-side anti-join semantics. Capped-bucket counts are
+    logged, never silently truncated.
+
+    When ``sig_col`` is given the output carries ``sig_a``/``sig_b``
+    so the caller can verify (e.g. exact hamming distance).
+    """
+    key = ["band", "bucket"]
+    sig = [sig_col] if sig_col else []
+
+    def _sel(side: str, suffix: str):
+        cols = [F.col(f"{side}.doc_id").alias(f"doc_{suffix}")]
+        if sig_col:
+            cols.append(F.col(f"{side}.{sig_col}").alias(f"sig_{suffix}"))
+        return cols
+
+    if max_bucket_size is None:
+        a, b = buckets.alias("a"), buckets.alias("b")
+        return (
+            a.join(b, key)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(*_sel("a", "a"), *_sel("b", "b"))
+            .distinct()
+        )
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2")
+    # compute the banding once: sizes feeds both the count job and the
+    # routing join
+    buckets = buckets.localCheckpoint(eager=False)
+    sizes = (
+        buckets.groupBy(*key)
+        .agg(
+            F.count("*").alias("_bsz"),
+            # struct min = min by doc_id (unique per bucket), dragging
+            # the hub's signature along for the verify step
+            F.min(F.struct("doc_id", *sig)).alias("_hub"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_over = sizes.filter(F.col("_bsz") > max_bucket_size).count()
+    if n_over:
+        logger.warning(
+            "%s: %d bucket(s) over max_bucket_size=%d routed through the "
+            "degenerate-bucket star shortcut (star-to-min-id edges, not "
+            "all pairs)",
+            label,
+            n_over,
+            max_bucket_size,
+        )
+    bk = buckets.join(sizes, key)
+    small = bk.filter(F.col("_bsz") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (
+        a.join(b, key)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(*_sel("a", "a"), *_sel("b", "b"))
+    )
+    big = bk.filter(
+        (F.col("_bsz") > max_bucket_size)
+        & (F.col("doc_id") != F.col("_hub.doc_id"))
+    )
+    star_cols = [F.col("_hub.doc_id").alias("doc_a")]
+    if sig_col:
+        star_cols.append(F.col(f"_hub.{sig_col}").alias("sig_a"))
+    star_cols.append(F.col("doc_id").alias("doc_b"))
+    if sig_col:
+        star_cols.append(F.col(sig_col).alias("sig_b"))
+    pairs_big = big.select(*star_cols)
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def exact_duplicates(
@@ -125,13 +220,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over the MinHash
     signature: docs sharing any band land in the same bucket.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b. The bucket
     join is an equi-join on the band hash — shuffle on a short key,
-    never a cross join.
+    never a cross join. ``max_bucket_size`` routes over-cap buckets
+    through the star shortcut (see :func:`_banded_candidate_pairs`) —
+    set it on real corpora, where one boilerplate bucket can
+    otherwise emit O(|bucket|^2) pairs.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     bands = []
@@ -146,15 +245,8 @@ def minhash_lsh_pairs(
     buckets = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    return _banded_candidate_pairs(
+        buckets, max_bucket_size, label="minhash_lsh_pairs"
     )
 
 
@@ -270,11 +362,17 @@ def simhash_pairs(
     max_hamming: int = 6,
     bits: int = 60,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into ``bands``
     chunks (pigeonhole: hamming <= max_hamming guarantees an equal
     band when bands > max_hamming... choose bands accordingly), bucket
-    join, verify exact hamming distance."""
+    join, verify exact hamming distance.
+
+    ``max_bucket_size`` caps the per-bucket fan-out exactly like
+    :func:`minhash_lsh_pairs` (near-identical corpora collapse into
+    one band key per band); star edges are still hamming-verified
+    against the hub, so the output contract holds."""
     sigs = simhash(df, text_col, id_col, bits)
     width = bits // bands
     banded = sigs.select(
@@ -291,18 +389,14 @@ def simhash_pairs(
                 for i in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
+    ).select(
+        "doc_id", "simhash", "bb.band", F.col("bb.key").alias("bucket")
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = _banded_candidate_pairs(
+        banded, max_bucket_size, sig_col="simhash", label="simhash_pairs"
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -45,6 +45,11 @@ class CorpusPrepConfig:
     minhash_hashes: int = 8
     minhash_band: int = 2
     shingle_k: int = 3
+    #: skew guard for the LSH bucket self-join: buckets larger than
+    #: this take star-to-keeper edges instead of all pairs (survivor
+    #: semantics preserved, fan-out bounded). The pipeline default is
+    #: ON — real corpora have boilerplate buckets.
+    max_bucket_size: int | None = 10_000
     #: eval/benchmark set for decontamination (None = skip)
     benchmark: DataFrame | None = None
     max_contamination: float = 0.1
@@ -144,6 +149,7 @@ def prepare_corpus(
             num_hashes=cfg.minhash_hashes,
             band_size=cfg.minhash_band,
             k=cfg.shingle_k,
+            max_bucket_size=cfg.max_bucket_size,
         )
         losers = hold(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct()
