@@ -227,11 +227,21 @@ def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
     if _os.path.exists(dropped_path):
         dropped = spark.read.parquet(dropped_path)
     from .query.events import EventsStore
+    from .streaming.exists_cache import ExistsCacheControl
 
     events = EventsStore(spark, _os.path.join(root, "events"))
+    # the launcher keeps the SIGHUP epoch file one level above the
+    # tables root (<data>/exists_cache.epoch beside <data>/tables) —
+    # wire the same handle so /debug/upload/<t>/cache/ reflects resets
+    cache_ctl = ExistsCacheControl(
+        _os.path.normpath(
+            _os.path.join(root, _os.pardir, "exists_cache.epoch")
+        )
+    )
     return RenderApi(
         GraphiteStore(
-            index, points, tagged=tagged, dropped=dropped, events=events
+            index, points, tagged=tagged, dropped=dropped, events=events,
+            cache_ctl=cache_ctl,
         ),
         host=host,
         port=port,

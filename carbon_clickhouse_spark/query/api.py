@@ -352,6 +352,7 @@ class GraphiteStore:
         tagged: DataFrame | None = None,
         dropped: DataFrame | None = None,
         events: object | None = None,
+        cache_ctl=None,
     ):
         self.index = index
         self.points = points
@@ -361,6 +362,69 @@ class GraphiteStore:
         #: query.events.EventsStore (optional): /events/ endpoints +
         #: the events(*tags) render form
         self.events = events
+        #: streaming.exists_cache.ExistsCacheControl (optional): its
+        #: reset_version() scopes the /debug/upload cache dump
+        self.cache_ctl = cache_ctl
+
+    def cache_dump(self, table: str, limit: int = 100_000) -> list[str] | None:
+        """The reference's ``/debug/upload/<table>/cache/`` dump
+        (``carbon/app.go:234-240``, ``uploader.DebugCacheDumper``,
+        ``cached.go:15-17``): the exists-cache contents as sorted
+        ``<days>:<path> <version>`` lines — the same ``days:name`` key
+        shape the uploaders cache on (``uploader/series.go:57``,
+        ``uploader/index.go:177-182``).
+
+        This engine's durable exists-cache IS the stored table plus
+        the last reset time: a series is "cached" iff an index/tagged
+        row exists with version newer than the last SIGHUP reset
+        (``ExistsCacheControl.reset``), so the dump filters on
+        ``version > reset_version()``. Returns None for a table
+        without a cache (points — the reference only caches the
+        series-shaped uploaders).
+        """
+        from ..schemas import REVERSE_LEVEL_OFFSET, TREE_LEVEL_OFFSET
+
+        name = table.removeprefix("graphite_")
+        if name in ("index", "tree", "series"):
+            df = self.index
+            if df is None:
+                return []
+            # full-name rows only (the cache key is the series name):
+            # daily rows carry the real date; nodaily stores fall back
+            # to tree-level full names (prefix rows end with '.')
+            daily = df.filter(F.col("level") < REVERSE_LEVEL_OFFSET)
+            tree = df.filter(
+                (F.col("level") > TREE_LEVEL_OFFSET)
+                & (F.col("level") < TREE_LEVEL_OFFSET + 10000)
+                & ~F.col("path").endswith(".")
+            )
+            df = daily if daily.take(1) else tree
+        elif name == "tagged":
+            df = self.tagged
+            if df is None:
+                return []
+        else:
+            return None
+        reset_v = self.cache_ctl.reset_version() if self.cache_ctl else 0
+        if reset_v:
+            # rows versioned at/before the reset are evicted; a store
+            # never reset shows everything (version may be 0 in
+            # batch-derived tables)
+            df = df.filter(F.col("version") > reset_v)
+        rows = (
+            df
+            .groupBy("date", "path")
+            .agg(F.min("version").alias("version"))
+            .select(
+                F.datediff(F.col("date"), F.lit("1970-01-01")).alias("days"),
+                "path",
+                "version",
+            )
+            .orderBy("path", "days")
+            .limit(limit)
+            .collect()
+        )
+        return [f"{r['days']}:{r['path']} {r['version']}" for r in rows]
 
     def dropped_lines(self, protocol: str, limit: int = 1000) -> list[str]:
         """Last-``limit`` audited drops for one protocol front, in the
@@ -1176,6 +1240,27 @@ class RenderApi:
 
             def _handle(self, u, q):
                 try:
+                    mc = re.fullmatch(
+                        r"/debug/upload/([A-Za-z0-9_+-]+)/cache/?", u.path
+                    )
+                    if mc:
+                        # reference: carbon/app.go:234-240 registers a
+                        # CacheDump handler per cached uploader
+                        lines = store.cache_dump(mc.group(1))
+                        if lines is None:
+                            self._json(
+                                {"error": "no cache for table"}, 404
+                            )
+                            return
+                        body = ("\n".join(lines)).encode()
+                        if body:
+                            body += b"\n"
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     m = re.fullmatch(
                         r"/debug/receive/([A-Za-z0-9_+-]+)/dropped/?", u.path
                     )

@@ -89,8 +89,26 @@ class ExistsCacheControl:
         with open(tmp, "w") as fh:
             fh.write(str(new))
         os.replace(tmp, self.epoch_file)  # atomic swap for readers
+        # record the reset wall-clock: the /debug/upload/<t>/cache/
+        # dump (query/api.py GraphiteStore.cache_dump) shows only rows
+        # versioned AFTER the last reset — the durable-table view of
+        # "the cache was cleared" (uploader Reset(), cached.go:58-61)
+        tmp_ts = f"{self.epoch_file}.ts.tmp.{os.getpid()}"
+        with open(tmp_ts, "w") as fh:
+            fh.write(str(int(time.time())))
+        os.replace(tmp_ts, f"{self.epoch_file}.ts")
         _EPOCH_CACHE.pop(self.epoch_file, None)
         return new
+
+    def reset_version(self) -> int:
+        """Unix time of the last reset (0 = never): table rows with
+        ``version <= reset_version()`` count as evicted from the
+        logical exists-cache."""
+        try:
+            with open(f"{self.epoch_file}.ts") as fh:
+                return int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
 
 
 def new_keys_stream(

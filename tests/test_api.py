@@ -671,3 +671,67 @@ def test_render_format_v3_nan_gaps():
     vals = struct.unpack("<4d", got[9])
     assert vals[0] == 1.0 and vals[1] == 2.0
     assert math.isnan(vals[2]) and vals[3] == 4.0
+
+
+def test_cache_dump_endpoint(spark, tmp_path):
+    """Reference /debug/upload/<table>/cache/ (carbon/app.go:234-240):
+    ingest -> dump shows the series as days:path version lines ->
+    SIGHUP-style reset -> dump empty."""
+    import time as _time
+
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+    from carbon_clickhouse_spark.streaming.exists_cache import (
+        ExistsCacheControl,
+    )
+
+    now = int(_time.time())
+    base = now - 300
+    lines = [f"svc.a.req {i} {base + 60 * i}" for i in range(3)]
+    lines.append(f"svc.b.req?env=prod 1 {base}")
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    t = derive_tables(
+        parse_plain_lines(df, now=base, zero_version=False),
+        IngestConfig(now=now),
+    )
+    ctl = ExistsCacheControl(str(tmp_path / "exists_cache.epoch"))
+    store = GraphiteStore(
+        t["index"].cache(), t["points"], tagged=t["tagged"].cache(),
+        cache_ctl=ctl,
+    )
+    api = RenderApi(store).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}{path}"
+            ) as resp:
+                return resp.status, resp.read().decode()
+
+        days = (dt_date.fromtimestamp(base) - dt_date(1970, 1, 1)).days
+        status, body = get("/debug/upload/graphite_index/cache/")
+        assert status == 200
+        assert f"{days}:svc.a.req {base}" in body.splitlines()
+        assert "svc.b.req" not in body  # tagged series aren't indexed
+
+        status, body = get("/debug/upload/tagged/cache/")
+        assert status == 200
+        assert any(
+            l.startswith(f"{days}:svc.b.req?env=prod ")
+            for l in body.splitlines()
+        )
+
+        # no cache for the points uploader -> 404 like an unregistered
+        # reference handler
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get("/debug/upload/graphite/cache/")
+        assert ei.value.code == 404
+
+        # SIGHUP reset: every key becomes unseen; versions written
+        # before the reset no longer count as cached
+        ctl.reset()
+        status, body = get("/debug/upload/graphite_index/cache/")
+        assert status == 200 and body == ""
+        status, body = get("/debug/upload/tagged/cache/")
+        assert status == 200 and body == ""
+    finally:
+        api.stop()
