@@ -34,6 +34,22 @@ from pyspark.sql import DataFrame, functions as F
 from . import render
 from .finder import find_metrics, read_series
 
+#: ceiling for render functions that expand per-series driver work
+#: (aliasQuery / useSeriesAbove / applyByNode): a glob matching 50k
+#: series must not launch 50k sub-evaluations. graphite-web errors on
+#: oversized selectors too. Override via the env var or assign the
+#: module attribute.
+MAX_DRIVER_SERIES = int(__import__("os").environ.get("CCS_RENDER_MAX_SERIES", "500"))
+
+
+def _guard_series(n: int, fn: str) -> None:
+    if n > MAX_DRIVER_SERIES:
+        raise ValueError(
+            f"{fn}: selector expands to {n} series, over the "
+            f"max-series ceiling {MAX_DRIVER_SERIES} "
+            "(CCS_RENDER_MAX_SERIES); narrow the glob"
+        )
+
 
 # --- target expression parser ---------------------------------------
 
@@ -493,7 +509,13 @@ class GraphiteStore:
         )
 
     def series(self, glob: str, t0: int, t1: int) -> DataFrame:
-        if self._suffix_heavy(glob):
+        if not any(c in glob for c in "*?[{"):
+            # literal path: no index resolution needed — read_series
+            # matches stored series exactly (a missing or branch-only
+            # name simply reads no points). Saves one driver find()
+            # job per literal render target.
+            paths = [glob]
+        elif self._suffix_heavy(glob):
             from .finder import find_metrics_reverse
 
             paths = sorted(
@@ -849,6 +871,7 @@ def evaluate_target(
         new_paths = sorted(
             re.sub(search, replace, r["path"]) for r in stats
         )
+        _guard_series(len(new_paths), "useSeriesAbove")
         if not new_paths:
             spark = store.points.sparkSession
             return spark.createDataFrame(
@@ -862,35 +885,47 @@ def evaluate_target(
     if expr.name == "aliasQuery":
         # rename each series via a second query: sub(search, replace,
         # path) evaluates as a target; its LAST value formats newName.
-        # Series-cardinality driver loop — bounded like applyByNode.
+        # The per-path sub-targets are BUILT in a loop (lazy — no
+        # jobs), then their last values resolve in ONE union +
+        # max_by(value, time) GROUP BY job, not one limit(1).collect()
+        # job per series; the relabel is a single map projection.
         inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
         search, replace = str(expr.args[1]), str(expr.args[2])
         new_name = str(expr.args[3])
         paths = sorted(
             r["path"] for r in inner.select("path").distinct().collect()
         )
-        frames = []
+        _guard_series(len(paths), "aliasQuery")
+        qframes = []
         for p in paths:
             q = re.sub(search, replace, p)
             qdf = evaluate_target(parse_target(q), store, t0, t1, ctx)
-            last = (
-                qdf.filter(F.col("value").isNotNull())
-                .orderBy(F.col("time").desc())
-                .limit(1)
-                .collect()
-            )
-            if not last:
-                raise ValueError(f"aliasQuery: no values for query {q!r}")
-            label = new_name % last[0]["value"]
-            frames.append(
-                inner.filter(F.col("path") == p).select(
-                    F.lit(label).alias("path"), "time", "value"
+            qframes.append(
+                qdf.filter(F.col("value").isNotNull()).select(
+                    F.lit(p).alias("src"), "time", "value"
                 )
             )
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+        allq = qframes[0]
+        for f in qframes[1:]:
+            allq = allq.unionByName(f)
+        last = {
+            r["src"]: r["lv"]
+            for r in allq.groupBy("src")
+            .agg(F.max_by("value", "time").alias("lv"))
+            .collect()
+        }
+        labels = {}
+        for p in paths:
+            if p not in last:
+                q = re.sub(search, replace, p)
+                raise ValueError(f"aliasQuery: no values for query {q!r}")
+            labels[p] = new_name % last[p]
+        mapping = F.create_map(
+            *[F.lit(x) for kv in labels.items() for x in kv]
+        )
+        return inner.select(
+            mapping[F.col("path")].alias("path"), "time", "value"
+        )
     if expr.name == "applyByNode":
         # evaluate a target template once per distinct node prefix:
         # applyByNode(dc.*.cpu, 1, 'sumSeries(%.cpu)') — '%' expands
@@ -906,6 +941,7 @@ def evaluate_target(
                 for p, leaf in store.find(glob)
             }
         )
+        _guard_series(len(prefixes), "applyByNode")
         frames = [
             evaluate_target(
                 parse_target(template.replace("%", pre)),

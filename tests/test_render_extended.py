@@ -664,3 +664,59 @@ def test_most_deviant_and_multiply_wildcards(spark):
         parse_target("multiplySeriesWithWildcards(ev.*, 1)"), store, 0, 200
     )
     assert {r.time: r.value for r in via.collect()} == {100: 10.0, 160: 90.0}
+
+
+def test_alias_query_single_job_and_series_ceiling(spark):
+    """aliasQuery resolves every sub-query's last value in ONE
+    max_by-GROUP BY job (plus the path-listing job), not one
+    limit(1).collect() per series; and the driver-loop functions error
+    past MAX_DRIVER_SERIES instead of launching unbounded jobs."""
+    from carbon_clickhouse_spark.query import api as api_mod
+
+    n = 8
+    rows, idx = [], []
+    for i in range(n):
+        rows += [(f"ev.m{i}", 100, float(i)), (f"ev.m{i}", 160, float(i + 1))]
+        rows += [(f"qq.m{i}", 100, float(10 * i)), (f"qq.m{i}", 160, float(10 * i + 5))]
+        idx += [(f"ev.m{i}", 20002), (f"qq.m{i}", 20002)]
+    store = GraphiteStore(
+        spark.createDataFrame(idx, "path string, level int"),
+        _series(spark, rows),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("aliasq-count", "job-count assert")
+    try:
+        out = evaluate_target(
+            parse_target("aliasQuery(ev.*, '^ev', 'qq', 'q %d')"),
+            store, 0, 200,
+        )
+        labels = {r.path for r in out.collect()}
+    finally:
+        sc.setJobGroup("", "")
+    assert labels == {f"q {10 * i + 5}" for i in range(n)}
+    jobs = sc.statusTracker().getJobIdsForGroup("aliasq-count")
+    # paths-listing + one last-value aggregation + the final collect
+    # (AQE splits a collect into a few jobs): constant in n — the old
+    # per-series loop ran >= n+2 jobs, so n=8 would exceed this bound
+    assert len(jobs) <= 8, jobs
+
+    old = api_mod.MAX_DRIVER_SERIES
+    api_mod.MAX_DRIVER_SERIES = 3
+    try:
+        with pytest.raises(ValueError, match="max-series ceiling"):
+            evaluate_target(
+                parse_target("aliasQuery(ev.*, '^ev', 'qq', 'q %d')"),
+                store, 0, 200,
+            )
+        with pytest.raises(ValueError, match="max-series ceiling"):
+            evaluate_target(
+                parse_target("useSeriesAbove(ev.*, -1, '^ev', 'qq')"),
+                store, 0, 200,
+            )
+        with pytest.raises(ValueError, match="max-series ceiling"):
+            evaluate_target(
+                parse_target("applyByNode(ev.*, 1, 'sumSeries(%)')"),
+                store, 0, 200,
+            )
+    finally:
+        api_mod.MAX_DRIVER_SERIES = old
