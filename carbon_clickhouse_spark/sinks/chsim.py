@@ -141,7 +141,13 @@ class ClickHouseSim:
             self._fail_code = code
 
     # -- lifecycle ----------------------------------------------------
-    def start(self) -> str:
+    def start(self, ssl_context=None) -> str:
+        """Plain HTTP by default; pass a server-side ``ssl.SSLContext``
+        to serve the reference's TLS scenario (``tests/tls/``) — each
+        request then records the negotiated ``tls_version`` /
+        ``tls_cipher`` and the verified client cert subject
+        (``tls_peer``), so mTLS and version/cipher constraints are
+        assertable from the outside."""
         sim = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -160,8 +166,14 @@ class ClickHouseSim:
                     self.wfile.write(err.encode())
 
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        scheme = "http"
+        if ssl_context is not None:
+            self._srv.socket = ssl_context.wrap_socket(
+                self._srv.socket, server_side=True
+            )
+            scheme = "https"
         threading.Thread(target=self._srv.serve_forever, daemon=True).start()
-        return f"http://127.0.0.1:{self._srv.socket.getsockname()[1]}"
+        return f"{scheme}://127.0.0.1:{self._srv.socket.getsockname()[1]}"
 
     def stop(self) -> None:
         if self._srv is not None:
@@ -179,9 +191,14 @@ class ClickHouseSim:
             inject = self._fail_budget > 0
             if inject:
                 self._fail_budget -= 1
-        self.requests.append(
-            {"query": query, "headers": dict(h.headers), "n_bytes": len(body)}
-        )
+        req = {"query": query, "headers": dict(h.headers), "n_bytes": len(body)}
+        conn = h.connection
+        if hasattr(conn, "version"):  # TLS-wrapped socket
+            req["tls_version"] = conn.version()
+            req["tls_cipher"] = (conn.cipher() or (None,))[0]
+            peer = conn.getpeercert()
+            req["tls_peer"] = peer.get("subject") if peer else None
+        self.requests.append(req)
         if inject:
             return 500, self._fail_code, "injected failure"
         m = _INSERT_RE.match(query.strip())
