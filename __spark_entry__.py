@@ -1418,11 +1418,13 @@ def q_multimodal_features(spark, sf_dir):
     through the full PNG chunk-walk + CRC + inflate + unfilter path —
     AND deterministic baseline JPEGs (constant 8x8 blocks, minimal
     canonical Huffman tables) through the real T.81 entropy decoder
-    (DC-mean path, no IDCT needed for the mean) — all via
-    Arrow-batched mapInPandas, unioned with a fmt discriminator. The
-    oracle reproduces every feature in closed form over the text
-    length, so all three real decode paths are hash-checked
-    end-to-end."""
+    (DC-mean path, no IDCT needed for the mean) — AND deterministic
+    PROGRESSIVE JPEGs (SOF2, DC first scan at Al=1 + DC refinement +
+    skipped AC band scan) through the T.81 Annex G
+    successive-approximation decoder — all via Arrow-batched
+    mapInPandas, unioned with a fmt discriminator. The oracle
+    reproduces every feature in closed form over the text length, so
+    every real decode path is hash-checked end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -2543,6 +2545,17 @@ def oracle_sql() -> dict[str, str]:
                 ON s.i < 1 + m.nb % 16
               GROUP BY m.doc_id, m.nb
             ),
+            pjpeg AS (
+              -- progressive (SOF2, DC first scan + refinement): block
+              -- i of 1 + nb%16 is the constant (nb + 53*i) % 256
+              SELECT m.doc_id, 'pjpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 * (1 + m.nb % 16) AS BIGINT) AS height,
+                     round(avg((m.nb + 53 * s.i) % 256), 4) AS mean_byte
+              FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
+                ON s.i < 1 + m.nb % 16
+              GROUP BY m.doc_id, m.nb
+            ),
             avi AS (
               -- MJPEG: frame f of 1 + nb%4, block i of 1 + nb%16 is
               -- the constant (nb + 37*i + 11*f) % 256
@@ -2557,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM pixel_cycle
             UNION ALL SELECT * FROM jpeg
+            UNION ALL SELECT * FROM pjpeg
             UNION ALL SELECT * FROM avi
         """,
     }

@@ -441,10 +441,13 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _parse_jpeg(payload: bytes) -> tuple[int, int, float] | None:
-    """Baseline JPEG -> (width, height, mean), clamped to the sample
-    range like a real decoder clamps reconstructed pixels. See
-    :func:`_parse_jpeg_exact` for the decode itself."""
+    """Baseline OR progressive JPEG -> (width, height, mean), clamped
+    to the sample range like a real decoder clamps reconstructed
+    pixels. See :func:`_parse_jpeg_exact` (baseline) and
+    :func:`_parse_jpeg_progressive_exact` (SOF2 DC-band decode)."""
     got = _parse_jpeg_exact(payload)
+    if got is None:
+        got = _parse_jpeg_progressive_exact(payload)
     if got is None:
         return None
     width, height, (num, den) = got
@@ -672,6 +675,308 @@ def _jpeg_scan_mean(
     # rational mean, bit-identical to any engine computing sum/count
     # over the same per-block values
     return width, height, (dc_sum * q0 + 1024 * dc_blocks, 8 * dc_blocks)
+
+
+def _skip_entropy(buf: bytes, pos: int) -> int | None:
+    """Index of the next REAL marker (not a stuffed 0xFF00, not a
+    restart RSTn) at or after ``pos`` — how a decoder skips a scan's
+    entropy-coded segment it does not need."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF:
+            nxt = buf[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return None
+
+
+def _parse_jpeg_progressive_exact(
+    payload: bytes,
+) -> tuple[int, int, tuple[int, int]] | None:
+    """Progressive (SOF2) JPEG -> (width, height, (mean_num,
+    mean_den)) by entropy-decoding the DC band scans only — the
+    spectral-selection/successive-approximation structure of T.81
+    Annex G, which is exactly enough for the block-DC mean the
+    baseline path computes (:func:`_jpeg_scan_mean`); AC-band scans
+    (Ss > 0) are skipped over their entropy data.
+
+    DC semantics (T.81 G.1.2): the first DC scan (Ah=0) codes
+    ``DC >> Al`` with baseline DC huffman/DIFF coding; each refinement
+    scan (Ah=Al+1) appends one raw bit per block, OR-ed in at
+    ``1 << Al`` on the full-scale two's-complement value — the
+    libjpeg ``decode_mcu_DC_refine`` rule. Values are kept at full
+    scale throughout, so the final mean needs no shifting.
+    """
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] | None = None
+    width = height = None
+    restart_interval = 0
+    dc: dict[int, dict[tuple[int, int], int]] = {}  # cid -> (by,bx) -> full-scale DC
+    dc_al: dict[int, int] = {}  # cid -> Al of the current approximation
+    saw_dc_scan = False
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xDB:  # DQT (same layout as baseline)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    if p + 128 > len(seg):
+                        return None
+                    qt[tq] = list(struct.unpack_from(">64H", seg, p))
+                    p += 128
+                else:
+                    if p + 64 > len(seg):
+                        return None
+                    qt[tq] = list(seg[p : p + 64])
+                    p += 64
+        elif marker == 0xC4:  # DHT — may arrive between scans
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                if p + 17 + cnt > len(seg):
+                    return None
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xC2:  # SOF2: progressive DCT frame header
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
+                return None
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15,
+                 seg[8 + 3 * c])
+                for c in range(nc)
+            ]
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # not a progressive frame: baseline path owns it
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                return None
+            ns = seg[0] if seg else 0
+            if len(seg) < 4 + 2 * ns:
+                return None
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
+            if ss == 0:
+                if se != 0:
+                    # progressive DC and AC bands cannot share a scan
+                    # (T.81 G.1.1.1.1) — a baseline-coded scan
+                    # relabeled SOF2 lands here; refuse, don't guess
+                    return None
+                nxt = _decode_dc_scan(
+                    payload, i, comps, scan, huff,
+                    width, height, restart_interval, ah, al, dc, dc_al,
+                )
+                if nxt is None:
+                    return None
+                saw_dc_scan = True
+            else:
+                nxt = _skip_entropy(payload, i)
+                if nxt is None:
+                    break  # truncated after the last scan we needed
+            i = nxt
+    if not saw_dc_scan or comps is None or comps[0][3] not in qt:
+        return None
+    comp0 = comps[0]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        bw, bh = -(-width // 8), -(-height // 8)
+    else:
+        bw = -(-(width * comp0[1]) // (8 * hmax))
+        bh = -(-(height * comp0[2]) // (8 * vmax))
+    vals = dc.get(comp0[0], {})
+    total = blocks = 0
+    for (by, bx), v in vals.items():
+        if by < bh and bx < bw:  # padding blocks don't weigh in
+            total += v
+            blocks += 1
+    if not blocks:
+        return None
+    q0 = qt[comp0[3]][0]
+    return width, height, (total * q0 + 1024 * blocks, 8 * blocks)
+
+
+def _decode_dc_scan(
+    buf: bytes,
+    pos: int,
+    comps: list[tuple[int, int, int, int]],
+    scan: list[tuple[int, int, int]],
+    huff: dict,
+    width: int,
+    height: int,
+    restart_interval: int,
+    ah: int,
+    al: int,
+    dc: dict[int, dict[tuple[int, int], int]],
+    dc_al: dict[int, int],
+) -> int | None:
+    """Decode one progressive DC scan (first pass or refinement) into
+    the per-component full-scale DC grids; returns the buffer index of
+    the marker ending the scan, or None on a malformed stream."""
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    order = []
+    for cid, td, _ta in scan:
+        comp = by_id.get(cid)
+        if comp is None:
+            return None
+        if ah == 0:
+            if (0, td) not in huff:
+                return None
+            if cid in dc_al:
+                return None  # duplicate first scan for this component
+        else:
+            # refinement must continue the existing approximation
+            if dc_al.get(cid) != ah:
+                return None
+        dc.setdefault(cid, {})
+        dc_al[cid] = al
+        order.append((comp, huff.get((0, td))))
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcux = -(-width // (8 * hmax))
+        mcus = mcux * (-(-height // (8 * vmax)))
+    else:
+        comp = order[0][0]
+        if len(comps) == 1:
+            bw = -(-width // 8)
+            mcus = bw * (-(-height // 8))
+        else:
+            bw = -(-(width * comp[1]) // (8 * hmax))
+            mcus = bw * (-(-(height * comp[2]) // (8 * vmax)))
+    reader = _JpegBitReader(buf, pos)
+    preds = {c[0][0]: 0 for c in order}
+
+    def step(cid: int, tab, by: int, bx: int) -> bool:
+        grid = dc[cid]
+        if ah == 0:
+            s = reader.huff(tab)
+            if s is None or s > 15:
+                return False
+            mag = reader.read(s) if s else 0
+            if mag is None:
+                return False
+            preds[cid] += _jpeg_extend(mag, s)
+            grid[(by, bx)] = preds[cid] << al
+        else:
+            bit = reader.read(1)
+            if bit is None:
+                return False
+            if bit:
+                grid[(by, bx)] = grid.get((by, bx), 0) | (1 << al)
+        return True
+
+    for m in range(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            marker = reader.sync_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            preds = {c[0][0]: 0 for c in order}
+        if interleaved:
+            mx, my = m % mcux, m // mcux
+            for comp, tab in order:
+                cid, ch, cv = comp[0], comp[1], comp[2]
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        if not step(cid, tab, my * cv + byi, mx * ch + bxi):
+                            return None
+        else:
+            comp, tab = order[0]
+            if not step(comp[0], tab, m // bw, m % bw):
+                return None
+    return _skip_entropy(buf, reader.pos)
+
+
+def encode_jpeg_gray_blocks_progressive(values: list[int]) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) fixture encoder: the same
+    8px-wide stacked-constant-block grayscale image as
+    :func:`encode_jpeg_gray_blocks`, but coded as three progressive
+    scans — a first DC scan at Al=1, a DC refinement scan (Ah=1,
+    Al=0), and an AC band scan (Ss=1..63, all-EOB since constant
+    blocks have no AC energy) so the skip path over AC entropy data is
+    exercised. Valid per T.81 Annex G; decoded mean is exactly
+    mean(values)."""
+    h = 8 * len(values)
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_FIX_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FIX_AC)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0 << 4]) + bytes(_JPEG_FIX_DC[0]) + bytes(_JPEG_FIX_DC[1]))
+    out += seg(0xC4, bytes([1 << 4]) + bytes(_JPEG_FIX_AC[0]) + bytes(_JPEG_FIX_AC[1]))
+    # scan 1: DC first pass, Ss=Se=0, Ah=0, Al=1 — codes DC >> 1
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    w = _JpegBitWriter()
+    pred = 0
+    for v in values:
+        high = (int(v) - 128) >> 1  # arithmetic shift (T.81 G.1.2.1)
+        diff = high - pred
+        pred = high
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+    w.pad()
+    out += w.out
+    # scan 2: DC refinement, Ah=1, Al=0 — one raw bit per block
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    w = _JpegBitWriter()
+    for v in values:
+        w.put((int(v) - 128) & 1, 1)
+    w.pad()
+    out += w.out
+    # scan 3: AC band Ss=1..63, Ah=0, Al=0 — every block EOB(run=1)
+    out += seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x00]))
+    w = _JpegBitWriter()
+    for _ in values:
+        w.put(*ac_enc[0x00])
+    w.pad()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # Fixture Huffman tables (canonical, minimal): 9 DC categories at
@@ -1057,9 +1362,10 @@ def decode_image(
 ) -> tuple[int, int, float | None]:
     """Decode one image payload -> (width, height, mean_byte).
 
-    netpbm (P5/P6), PNG, BMP, and baseline JPEG decode for real in
-    pure Python. A non-baseline JPEG (progressive etc.) returns real
-    dimensions with ``mean_byte=None``. Other formats need a codec
+    netpbm (P5/P6), PNG, BMP, baseline JPEG, and progressive JPEG
+    (SOF2 DC-band entropy decode) decode for real in pure Python. A
+    lossless/arithmetic JPEG returns real dimensions with
+    ``mean_byte=None``. Other formats need a codec
     library this container does not ship; they raise unless
     ``fake=True`` selects the deterministic byte-derived stand-in
     (pseudo-dimensions + hash-mean from payload length)."""
@@ -1071,17 +1377,19 @@ def decode_image(
     )
     if out is not None:
         return out
-    # non-baseline JPEG (progressive/lossless/arithmetic): the frame
-    # header still yields real dimensions — return them with a NULL
-    # mean instead of raising (entropy decode needs a codec library)
+    # non-baseline, non-progressive JPEG (lossless/arithmetic/12-bit):
+    # the frame header still yields real dimensions — return them with
+    # a NULL mean instead of raising (entropy decode needs a codec
+    # library; baseline AND progressive now decode for real above)
     dims = _parse_jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], None
     if not fake:
         raise NotImplementedError(
-            "only netpbm/PNG/BMP/baseline-JPEG decode in pure Python; "
-            "progressive JPEG/video decode requires PIL/ffmpeg — pass "
-            "fake=True or swap in a real decoder here"
+            "only netpbm/PNG/BMP/JPEG (baseline + progressive) decode "
+            "in pure Python; lossless/arithmetic JPEG and video codecs "
+            "require PIL/ffmpeg — pass fake=True or swap in a real "
+            "decoder here"
         )
     n = len(payload)
     width = 64 + (n % 577)
@@ -1157,7 +1465,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
 
 def fixture_features(
     df: DataFrame,
-    formats: tuple = ("ppm", "png", "jpeg", "avi"),
+    formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "avi"),
     text_col: str = "text",
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -1206,6 +1514,10 @@ def fixture_features(
         if fmt == "jpeg":
             return encode_jpeg_gray_blocks(
                 [(n_txt + 37 * i) % 256 for i in range(hb)]
+            )
+        if fmt == "pjpeg":  # progressive: SOF2 DC scans + refinement
+            return encode_jpeg_gray_blocks_progressive(
+                [(n_txt + 53 * i) % 256 for i in range(hb)]
             )
         nf = 1 + (n_txt % 4)
         frames = [

@@ -1255,3 +1255,36 @@ def test_ivfpq_topk_recall(embs):
     # two stacked approximations (IVF routing + PQ codes): still most
     # of the true neighborhood on this data
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_progressive_jpeg_dc_decode():
+    """SOF2 successive-approximation DC decode (T.81 Annex G): first
+    DC scan at Al=1 + refinement + skipped AC scan reconstruct the
+    exact block mean, including odd/negative-DC values where the
+    arithmetic-shift + OR-refinement sign rule matters."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        decode_image,
+        encode_jpeg_gray_blocks,
+        encode_jpeg_gray_blocks_progressive,
+    )
+
+    for vals in ([0, 255, 128, 1, 254], [127], [129, 127, 130, 126]):
+        p = encode_jpeg_gray_blocks_progressive(vals)
+        w, h, mean = decode_image(p)
+        assert (w, h) == (8, 8 * len(vals))
+        assert mean == pytest.approx(sum(vals) / len(vals), abs=1e-9)
+        # progressive and baseline encodings of the same image decode
+        # to the identical mean
+        bw, bh, bmean = decode_image(encode_jpeg_gray_blocks(vals))
+        assert (bw, bh, bmean) == (w, h, mean)
+
+    # truncated progressive stream: None from the parser, so
+    # decode_image falls to the dims-only path (SOF2 header intact)
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_progressive_exact,
+    )
+
+    p = encode_jpeg_gray_blocks_progressive([10, 200, 30])
+    assert _parse_jpeg_progressive_exact(p[:40]) is None
+    w, h, mean = decode_image(p[: len(p) - len(p) // 3])
+    assert (w, h) == (8, 24) and mean is None

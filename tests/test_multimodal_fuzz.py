@@ -298,9 +298,12 @@ def test_jpeg_noise_never_claimed_or_crashes(noise):
 
 
 def test_progressive_jpeg_yields_dims_null_mean():
-    """A progressive JPEG (SOF2) can't entropy-decode in pure Python,
-    but decode_image must surface its REAL dimensions with a None
-    mean instead of raising (round-4 boundary shrink)."""
+    """A MALFORMED progressive JPEG — baseline entropy data relabeled
+    SOF2, whose Ss=0/Se=63 scan is illegal in progressive mode (T.81
+    G.1.1.1.1) — must refuse to decode and surface its REAL dimensions
+    with a None mean instead of raising or guessing. (Well-formed
+    SOF2 files now decode for real: test_datapipe.py::
+    test_progressive_jpeg_dc_decode.)"""
     from carbon_clickhouse_spark.datapipe.multimodal import (
         _parse_jpeg_dims,
         decode_image,
