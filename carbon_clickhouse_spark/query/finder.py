@@ -161,12 +161,19 @@ def read_series(
     rules=None,
     exact_decimal: bool = False,
     round_avg_to: int | None = None,
+    hot_rollup: DataFrame | None = None,
 ) -> DataFrame:
     """Fetch (and optionally roll up) series points for resolved paths.
 
     ``paths`` as a DataFrame joins broadcast (a resolved metric list is
     always small next to the points table); as a list it becomes an
     ``isin`` filter that pushes down to the scan.
+
+    ``hot_rollup`` (with ``precision_s`` set) serves finalized buckets
+    from the continuous streaming rollup table
+    (``streaming.analytics.continuous_rollup``) and aggregates only
+    raw points newer than its horizon — history reads touch
+    pre-aggregated rows instead of re-scanning raw points.
     """
     from ..operators.rollup import DEFAULT_RULES, rollup
 
@@ -187,6 +194,20 @@ def read_series(
     else:
         df = df.join(F.broadcast(paths.select("path").distinct()), "path")
 
+    if precision_s is not None and hot_rollup is not None:
+        from ..streaming.analytics import serve_rollup
+
+        fin = hot_rollup
+        if isinstance(paths, list):
+            fin = fin.filter(F.col("path").isin(paths))
+        else:
+            fin = fin.join(
+                F.broadcast(paths.select("path").distinct()), "path"
+            )
+        return serve_rollup(
+            fin, df, time_from, time_until,
+            rules=rules or DEFAULT_RULES, precision_s=precision_s,
+        )
     if precision_s is not None:
         return rollup(
             df,

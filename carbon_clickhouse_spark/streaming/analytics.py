@@ -56,6 +56,7 @@ def continuous_rollup(
             F.max("value").alias("max"),
             F.min("value").alias("min"),
             F.count(F.lit(1)).alias("cnt"),
+            F.max_by("value", F.col("__ts")).alias("last"),
         )
         .select(
             "path",
@@ -65,5 +66,69 @@ def continuous_rollup(
             "max",
             "min",
             "cnt",
+            "last",
         )
     )
+
+
+def rollup_horizon(finalized: DataFrame, precision_s: int = 60) -> int | None:
+    """First bucket start NOT yet finalized: append mode emits a
+    window only once the watermark passes its end, and emission is
+    monotone in window end — so every bucket strictly below
+    ``max(time) + precision`` is present if its series had points.
+    None when nothing has finalized yet."""
+    row = finalized.agg(F.max("time").alias("m")).collect()[0]
+    return None if row["m"] is None else int(row["m"]) + int(precision_s)
+
+
+def serve_rollup(
+    finalized: DataFrame,
+    raw_points: DataFrame,
+    time_from: int,
+    time_until: int,
+    rules=None,
+    precision_s: int = 60,
+    paths: list[str] | None = None,
+) -> DataFrame:
+    """Merged history+hot read over the continuous-rollup tier — the
+    serving path the reference deployment gets from GraphiteMergeTree
+    merged parts + fresh parts in one SELECT.
+
+    Buckets below the finalized horizon are answered from the
+    ``finalized`` table (a column pick per the first-match rollup
+    rule: zero recomputation, the 100 TB win — history reads touch
+    pre-aggregated rows, not raw points); buckets at/after the
+    horizon aggregate the durable raw points table on the fly with
+    the SAME batch :func:`..operators.rollup.rollup` semantics, so the
+    merged result equals a full batch rollup over identical data.
+    Output: ``(path, time, value)``, ``time`` bucket-aligned.
+    """
+    from ..operators.rollup import DEFAULT_RULES, rollup, rule_function_col
+
+    rules = rules or DEFAULT_RULES
+    horizon = rollup_horizon(finalized, precision_s)
+    if horizon is None:
+        horizon = time_from  # nothing finalized: serve all from raw
+    horizon = min(max(horizon, time_from), time_until)
+
+    hist = finalized.filter(
+        (F.col("time") >= time_from) & (F.col("time") < horizon)
+    )
+    hot = raw_points.filter(
+        (F.col("time") >= horizon) & (F.col("time") < time_until)
+    )
+    if paths is not None:
+        hist = hist.filter(F.col("path").isin(paths))
+        hot = hot.filter(F.col("path").isin(paths))
+
+    fn = rule_function_col(F.col("path"), rules)
+    value = (
+        F.when(fn == F.lit("sum"), F.col("sum"))
+        .when(fn == F.lit("min"), F.col("min"))
+        .when(fn == F.lit("max"), F.col("max"))
+        .when(fn == F.lit("last"), F.col("last"))
+        .otherwise(F.col("avg"))
+    )
+    hist = hist.select("path", "time", value.alias("value"))
+    hot = rollup(hot, rules, precision_s=precision_s)
+    return hist.unionByName(hot)

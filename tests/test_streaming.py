@@ -817,3 +817,97 @@ def test_collector_ticker_flushes_quiet_buffer(spark, tmp_path):
     time.sleep(1.0)  # ticker stopped: nothing flushes on its own
     vals = {r.path: r.value for r in spark.read.parquet(out).collect()}
     assert "p.tcp.errors" not in vals
+
+
+def test_rollup_serving_path_merges_history_and_hot(spark, tmp_path):
+    """The continuous-rollup serving tier: a query over a LIVE stream
+    (read_series with hot_rollup=) answers finalized buckets from the
+    streaming rollup table and fresh buckets from raw points — and the
+    merged result equals the batch rollup() oracle over the same data."""
+    from carbon_clickhouse_spark.operators.rollup import rollup
+    from carbon_clickhouse_spark.query.finder import read_series
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+    from carbon_clickhouse_spark.streaming.analytics import (
+        continuous_rollup,
+        rollup_horizon,
+    )
+    from carbon_clickhouse_spark.streaming.ingest import (
+        StreamConfig,
+        file_landing_source,
+        start_plain_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    agg_out = str(tmp_path / "rollup_hot")
+
+    # two consumers of one landing dir: K1 durable tables + the
+    # continuous rollup
+    q_ingest = start_plain_ingest(
+        spark,
+        file_landing_source(spark, str(landing)),
+        StreamConfig(root=root, chunk_interval="500 milliseconds"),
+    )
+    pts_stream = parse_plain_lines(
+        file_landing_source(spark, str(landing)), line_col="value"
+    )
+    q_agg = (
+        continuous_rollup(pts_stream, precision_s=60, late_allowance="2 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", agg_out)
+        .option("checkpointLocation", str(tmp_path / "ckpt-agg"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    base = 1625400000
+    try:
+        # history: two old buckets for two series
+        (landing / "w1.txt").write_text(
+            f"hot.a 10 {base}\nhot.a 30 {base + 30}\n"
+            f"hot.b 1 {base}\nhot.b 3 {base + 90}\n"
+        )
+        q_ingest.processAllAvailable()
+        q_agg.processAllAvailable()
+        # advance the watermark far past them, leaving FRESH points
+        # the rollup has not finalized (their bucket is the max)
+        (landing / "w2.txt").write_text(
+            f"hot.a 7 {base + 1000}\nhot.b 9 {base + 1010}\n"
+        )
+        q_ingest.processAllAvailable()
+        q_agg.processAllAvailable()
+        assert q_ingest.exception() is None and q_agg.exception() is None
+    finally:
+        q_ingest.stop()
+        q_agg.stop()
+
+    finalized = spark.read.parquet(agg_out)
+    points = spark.read.parquet(f"{root}/points")
+    horizon = rollup_horizon(finalized, 60)
+    assert horizon is not None
+    t0, t1 = base - 60, base + 1200
+
+    merged = read_series(
+        points, ["hot.a", "hot.b"], t0, t1,
+        precision_s=60, hot_rollup=finalized,
+    )
+    got = {(r.path, r.time): r.value for r in merged.collect()}
+
+    oracle = rollup(
+        points.filter(
+            (F.col("time") >= t0) & (F.col("time") < t1)
+        ),
+        precision_s=60,
+    )
+    want = {(r.path, r.time): r.value for r in oracle.collect()}
+    assert got == want
+    # the merged view genuinely used BOTH tiers: at least one bucket
+    # below the horizon (history) and one at/after it (hot)
+    assert any(t < horizon for _, t in got)
+    assert any(t >= horizon for _, t in got)
+    # and the history buckets really exist in the finalized table
+    fin_keys = {
+        (r.path, r.time) for r in finalized.select("path", "time").collect()
+    }
+    assert {(p, t) for (p, t) in got if t < horizon} <= fin_keys
