@@ -14,6 +14,25 @@ micro-batches and runs ONE merge cycle in a daemon thread:
   the next firing that touches them or to the explicit CLI cycle.
 - index / tagged: ``compact_replacing`` (max-version row per key).
 
+Month-selection policy (skew): the set of months rewritten per cycle
+is exactly the union of months observed in the batches since the
+last firing — a month receiving 100x the traffic is rewritten at its
+own size, and an idle month costs NOTHING (its partition directory
+is never listed, staged, or rewritten; its files stay
+byte-identical). A merge cycle with no observed months (``dates``
+never probed) falls back to all partitions, the explicit-CLI shape.
+
+Reader contract during a hot-month rewrite: in-process readers that
+take the same per-table lock (``ingest._table_lock``) see the
+partition at exactly its pre- or post-merge state. Lock-free readers
+of UNTOUCHED months are always complete and consistent; a lock-free
+reader racing the rewritten partition itself may hit a transient,
+retryable FILE_NOT_EXIST (plain parquet's dynamic partition
+overwrite is not snapshot-isolated — at multi-writer cluster scale,
+put a transactional table format under this layer), but never stale
+or mixed data. All three claims are pinned by
+``tests/test_background_merger.py::test_multi_month_skew_merge_isolation``.
+
 Concurrency contract: the merge thread takes the same per-table
 commit locks as the micro-batch writers (``ingest._table_lock``), so
 an insert never interleaves with a partition rewrite — appends stall

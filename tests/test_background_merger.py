@@ -134,3 +134,92 @@ def test_async_merge_thread_joins_on_close(spark, tmp_path):
     m.close()
     assert m.cycles == 2
     assert started[1] == ["202109"]
+
+
+def test_multi_month_skew_merge_isolation(spark, tmp_path):
+    """Month-selection policy under skew: one month receives 100x the
+    points of another. The merger rewrites ONLY the months the firing
+    batches touched — the idle month's files stay byte-identical — and
+    concurrent readers during the hot-month rewrite always see a
+    complete table (the idle month intact, the hot month at either its
+    pre- or post-merge state, never partial)."""
+    import datetime
+    import threading
+
+    from carbon_clickhouse_spark.operators.rollup import Retention, RollupRule
+
+    root = str(tmp_path / "tables")
+    pts_path = f"{root}/points"
+    hot_n, idle_n = 20_000, 200
+    jul, jun = 1_625_400_000, 1_622_592_000  # 2021-07 / 2021-06
+
+    def rows(base, n, month):
+        return [
+            (f"skew.p{i % 50}", float(i % 97), base + 3 * i,
+             datetime.date.fromtimestamp(base), 0, month)
+            for i in range(n)
+        ]
+
+    spark.createDataFrame(
+        rows(jul, hot_n, "202107") + rows(jun, idle_n, "202106"),
+        "path string, value double, time long, date date, version long, month string",
+    ).write.partitionBy("month").parquet(pts_path)
+
+    idle_dir = f"{pts_path}/month=202106"
+    before = {
+        f: (os.path.getsize(f"{idle_dir}/{f}"), os.path.getmtime(f"{idle_dir}/{f}"))
+        for f in os.listdir(idle_dir)
+    }
+
+    rules = (RollupRule("", "avg", (Retention(0, 3600),)),)
+    merger = BackgroundMerger(
+        root, every_batches=1, rules=rules, now=jul + 10 * 86400,
+    )
+
+    stop = threading.Event()
+    idle_counts, hot_counts, errors = [], [], []
+
+    def reader():
+        from carbon_clickhouse_spark.streaming.ingest import _table_lock
+
+        while not stop.is_set():
+            try:
+                # idle month: LOCK-FREE — untouched partitions must
+                # stay readable and complete throughout the merge
+                idle_counts.append(spark.read.parquet(idle_dir).count())
+                # hot month: under the table lock, the documented
+                # consistent-read contract while a partition swaps
+                # (lock-free readers racing the rewrite may see a
+                # transient retryable FILE_NOT_EXIST, never stale data)
+                with _table_lock(pts_path):
+                    hot_counts.append(
+                        spark.read.parquet(pts_path)
+                        .filter(F.col("month") == "202107")
+                        .count()
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    # fire: the batch touched ONLY July (the hot month)
+    merger.observe(spark, [datetime.date(2021, 7, 5)])
+    merger.close(timeout=300)
+    stop.set()
+    t.join(timeout=30)
+
+    assert merger.cycles == 1
+    assert not errors, errors[:3]
+    # hot month physically rolled up: 50 paths x 1h buckets << 20k rows
+    post = spark.read.parquet(pts_path).filter(F.col("month") == "202107").count()
+    assert post < hot_n / 10
+    # isolation: every concurrent read saw the idle month complete and
+    # the hot month at exactly pre- or post-merge state
+    assert idle_counts and set(idle_counts) == {idle_n}
+    assert set(hot_counts) <= {hot_n, post}, sorted(set(hot_counts))
+    # idle month untouched: same files, same bytes, same mtimes
+    after = {
+        f: (os.path.getsize(f"{idle_dir}/{f}"), os.path.getmtime(f"{idle_dir}/{f}"))
+        for f in os.listdir(idle_dir)
+    }
+    assert after == before
