@@ -132,6 +132,21 @@ class EngineConfig:
                 "pprof.enabled: use the Spark UI / JFR instead of Go "
                 "pprof"
             )
+        for name, u in self.uploads.items():
+            if u.tls is None:
+                continue
+            if u.tls.client_auth:
+                out.append(
+                    f"upload.{name}.tls.client-auth: accepted but "
+                    "inert on the client hop — the reference's own "
+                    "ParseClientTLSConfig never reads it either"
+                )
+            if len(u.tls.curves) > 1:
+                out.append(
+                    f"upload.{name}.tls.curves: only the first curve "
+                    f"({u.tls.curves[0]}) is pinned — CPython ssl "
+                    "exposes one tmp-ECDH group, not a preference list"
+                )
         return out
 
     def upload_of_type(self, type_: str) -> UploadConfig | None:
@@ -243,6 +258,8 @@ def _tls_from(section: dict) -> TLSConfig:
         min_version=section.get("min-version") or None,
         max_version=section.get("max-version") or None,
         cipher_suites=list(section.get("cipher-suites", [])),
+        curves=list(section.get("curves", [])),
+        client_auth=section.get("client-auth") or None,
     )
 
 

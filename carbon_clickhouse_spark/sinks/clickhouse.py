@@ -47,11 +47,38 @@ class TLSConfig:
     min_version: str | None = None
     max_version: str | None = None
     cipher_suites: list[str] = field(default_factory=list)
+    # helper/config/tls.go:21-26 curve names; every name is validated
+    # (fail-loud like ParseCurves), the FIRST becomes the pinned ECDH
+    # group — CPython's ssl exposes a single tmp-ECDH curve, not Go's
+    # full CurvePreferences list, so preference order degrades to its
+    # head. client-auth is parsed-but-unused by the reference's own
+    # client path (ParseClientTLSConfig) and stays config-acknowledged
+    # only.
+    curves: list[str] = field(default_factory=list)
+    # accepted for config parity; inert on the client hop exactly like
+    # the reference (ParseClientTLSConfig never reads it). Surfaced by
+    # EngineConfig.divergences so nothing is silently ignored.
+    client_auth: str | None = None
+
+    #: helper/config/tls.go supportedCurveIDs -> OpenSSL group names
+    _CURVES = {
+        "CurveP256": "prime256v1",
+        "CurveP384": "secp384r1",
+        "CurveP521": "secp521r1",
+        "X25519": "X25519",
+    }
 
     def ssl_context(self):
         import ssl
 
         ctx = ssl.create_default_context()
+        if self.curves:
+            unknown = [c for c in self.curves if c not in self._CURVES]
+            if unknown:
+                raise ValueError(
+                    f"invalid curve name specified: {unknown[0]}"
+                )
+            ctx.set_ecdh_curve(self._CURVES[self.curves[0]])
         for ca in self.ca_certs:
             ctx.load_verify_locations(cafile=ca)
         for cert, key in self.certificates:

@@ -285,3 +285,63 @@ def test_tls_min_version_enforced(spark, tmp_path):
         assert len(sim.rows("graphite")) == 1
     finally:
         sim.stop()
+
+
+def test_tls_curves_pinned_and_validated(spark, tmp_path):
+    """[upload.*.tls] curves: valid reference names pin the ECDH group
+    and the handshake still completes; an unknown name fails loudly
+    (helper/config/tls.go ParseCurves); client-auth + multi-curve
+    lists surface in divergences() instead of being silently eaten."""
+    from carbon_clickhouse_spark.config import load_config
+    from carbon_clickhouse_spark.sinks.clickhouse import (
+        TLSConfig,
+        insert_points,
+    )
+
+    certs = _make_certs(str(tmp_path))
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(certs["server.crt"], certs["server.key"])
+    sim = ClickHouseSim()
+    url = sim.start(ssl_context=srv_ctx)
+    df = spark.createDataFrame(
+        [("m.c", 2.0, 1625478240, 0)],
+        "path string, value double, time long, version long",
+    ).coalesce(1)
+    try:
+        tls = TLSConfig(
+            ca_certs=[certs["ca.crt"]], server_name="localhost",
+            curves=["CurveP256"],
+        )
+        insert_points(df, url, "graphite", tls=tls, retries=0, retry_delay_s=0.0)
+        assert len(sim.rows("graphite")) == 1
+        with pytest.raises(ValueError, match="invalid curve name"):
+            TLSConfig(curves=["NoSuchCurve"]).ssl_context()
+    finally:
+        sim.stop()
+
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        f"""
+[data]
+path = "{tmp_path / 'data'}"
+
+[upload.graphite]
+type = "points"
+table = "graphite"
+url = "https://127.0.0.1:1/"
+[upload.graphite.tls]
+ca-cert = [ "{certs['ca.crt']}" ]
+client-auth = "RequireAndVerifyClientCert"
+curves = [ "X25519", "CurveP384" ]
+
+[tcp]
+listen = "127.0.0.1:0"
+enabled = true
+"""
+    )
+    cfg = load_config(str(conf), exact=True)
+    tls = cfg.clickhouse_target().tls
+    assert tls.client_auth == "RequireAndVerifyClientCert"
+    assert tls.curves == ["X25519", "CurveP384"]
+    notes = "\n".join(cfg.divergences())
+    assert "client-auth" in notes and "curves" in notes
