@@ -1437,6 +1437,40 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scoring (datapipe/importance.py, Xie 2023):
+    target = a deterministic quarter of the corpus (md5(doc_id) first
+    hex < '4'), source = the rest; per-bucket log p_target/p_source
+    over md5-hashed bigram buckets (portable hash family, 4096
+    buckets), each document scored by the occurrence-weighted sum of
+    its buckets' log-ratios.
+
+    Cross-engine determinism: buckets are md5's first 60 bits mod B
+    (engine-reproducible), per-doc sums accumulate in DECIMAL(28,12)
+    so partition order cannot move the result, ONE double round(4) at
+    the end. The ratio table is broadcast; text never shuffles."""
+    from carbon_clickhouse_spark.datapipe.importance import (
+        importance_log_ratios,
+        importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_target = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    )
+    ratios = importance_log_ratios(
+        docs.filter(is_target),
+        docs.filter(~is_target),
+        n=2,
+        num_buckets=4096,
+        portable=True,
+    )
+    w = importance_weights(docs, ratios, exact_decimal=True)
+    return w.select(
+        "doc_id", F.round("log_weight", 4).alias("log_weight")
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """Training-corpus last mile: deterministic stratified sampling
     (even-numbered sources 100%, odd 40%, keyed on an engine-portable
@@ -1637,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
         "chunk_docs": q_chunk_documents,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -1673,6 +1708,51 @@ def oracle_sql() -> dict[str, str]:
     )
 
     norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+    # md5's first 15 hex digits as a 60-bit BIGINT, in pure integer
+    # arithmetic (16^14 fits int64; power() would lose precision past
+    # 2^53) — the engine-portable hash family the DSIR portable mode
+    # and the simhash oracle share
+    md5_60 = "(" + " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (15 - j)})"
+        for j in range(1, 16)
+    ) + ")"
+
+    dsir_sql = f"""
+        WITH toks AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR))[1:1] < '4' AS is_t,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, is_t,
+                 unnest(list_transform(range(len(t) - 1),
+                        i -> t[i+1] || ' ' || t[i+2])) AS g
+          FROM toks WHERE len(t) >= 2
+        ),
+        occh AS (SELECT doc_id, is_t, md5(g) AS h FROM grams),
+        occ AS (SELECT doc_id, is_t, {md5_60} % 4096 AS bucket FROM occh),
+        tc AS (SELECT bucket, count(*) AS c FROM occ WHERE is_t GROUP BY bucket),
+        sc AS (SELECT bucket, count(*) AS c FROM occ WHERE NOT is_t GROUP BY bucket),
+        td AS (SELECT COALESCE(sum(c), 0) + 4096 AS d FROM tc),
+        sd AS (SELECT COALESCE(sum(c), 0) + 4096 AS d FROM sc),
+        ratios AS (
+          SELECT COALESCE(tc.bucket, sc.bucket) AS bucket,
+                 ln((COALESCE(tc.c, 0) + 1) / CAST(td.d AS DOUBLE))
+                 - ln((COALESCE(sc.c, 0) + 1) / CAST(sd.d AS DOUBLE)) AS log_ratio
+          FROM tc FULL JOIN sc ON tc.bucket = sc.bucket, td, sd
+        ),
+        w AS (
+          SELECT o.doc_id,
+                 sum(CAST(r.log_ratio AS DECIMAL(28,12))) AS lw
+          FROM occ o JOIN ratios r USING (bucket) GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+               round(CAST(COALESCE(w.lw, 0) AS DOUBLE), 4) AS log_weight
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN w USING (doc_id)
+    """
 
     oracles = {
         "points_ingest": f"{PTS_SQL} UNION ALL {TPTS_SQL}",
@@ -2574,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM avi
         """,
     }
+    oracles["dsir_scores"] = dsir_sql
     ivf = _ivf_oracle_sql()
     if ivf:
         oracles["ann_ivf"] = ivf

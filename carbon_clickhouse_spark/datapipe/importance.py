@@ -34,27 +34,42 @@ def ngram_buckets(
     num_buckets: int = 1 << 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """One row per n-gram occurrence: ``(doc_id, bucket)``.
     Tokens are lowercased words; n-grams are joined with a space and
-    hashed into ``num_buckets`` via ``xxhash64`` (DSIR's hashing
-    trick: fixed-size distributions regardless of vocabulary)."""
+    hashed into ``num_buckets`` (DSIR's hashing trick: fixed-size
+    distributions regardless of vocabulary).
+
+    ``portable=False`` (default) hashes with ``xxhash64`` — the fast
+    JVM path. ``portable=True`` hashes with md5's first 60 bits (the
+    same engine-independent family the MinHash/SimHash operators use),
+    so an external engine can reproduce the buckets exactly — the
+    oracle-checked mode."""
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     last = F.size(toks) - F.lit(n)
+
+    def bucket_of(i):
+        gram = F.array_join(F.slice(toks, i + 1, F.lit(n)), " ")
+        if portable:
+            h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        else:
+            h = F.xxhash64(gram)
+        return F.pmod(h, F.lit(num_buckets))
+
     grams = F.when(
         last >= 0,
-        F.transform(
-            F.sequence(F.lit(0), last),
-            lambda i: F.pmod(
-                F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(n)), " ")),
-                F.lit(num_buckets),
-            ),
-        ),
+        F.transform(F.sequence(F.lit(0), last), bucket_of),
     ).otherwise(F.array().cast("array<bigint>"))
+    # explode_outer when the caller needs every doc represented (a
+    # NULL-bucket row for gram-less docs): scoring then needs no
+    # second scan + backfill join over the doc list
+    ex = F.explode_outer if keep_empty else F.explode
     return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("bucket")
+        F.col(id_col).alias("doc_id"), ex(grams).alias("bucket")
     )
 
 
@@ -64,13 +79,14 @@ def bucket_distribution(
     num_buckets: int = 1 << 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Corpus-level smoothed bucket distribution ``(bucket, logp)``.
     Add-one smoothing over every bucket (present or not) so the
     log-ratio is defined everywhere; only OBSERVED buckets get a row
     — consumers fold the constant unseen-bucket mass themselves."""
     counts = (
-        ngram_buckets(df, n, num_buckets, text_col, id_col)
+        ngram_buckets(df, n, num_buckets, text_col, id_col, portable)
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -91,12 +107,13 @@ def importance_log_ratios(
     num_buckets: int = 1 << 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-bucket ``log p_target(b) - log p_source(b)`` for every
     bucket observed in either corpus: ``(bucket, log_ratio)``. At
     most ``num_buckets`` rows — broadcastable by construction."""
-    t = bucket_distribution(target, n, num_buckets, text_col, id_col)
-    s = bucket_distribution(source, n, num_buckets, text_col, id_col)
+    t = bucket_distribution(target, n, num_buckets, text_col, id_col, portable)
+    s = bucket_distribution(source, n, num_buckets, text_col, id_col, portable)
     t = t.select("bucket", F.col("logp").alias("t_logp"),
                  F.col("logp_unseen").alias("t_un"))
     s = s.select("bucket", F.col("logp").alias("s_logp"),
@@ -120,18 +137,23 @@ def importance_log_ratios(
                 # scoring must bucket with the same (n, num_buckets)
                 # or every lookup silently misses — consumers read
                 # this instead of trusting their own defaults
-                metadata={"n": n, "num_buckets": num_buckets},
+                metadata={"n": n, "num_buckets": num_buckets, "portable": portable},
             ),
         )
     )
 
 
-def _ratio_params(log_ratios: DataFrame) -> tuple[int, int]:
-    """Read the (n, num_buckets) stamp off a ratio table's schema;
-    raises on a frame built outside ``importance_log_ratios``."""
+def _ratio_params(log_ratios: DataFrame) -> tuple[int, int, bool]:
+    """Read the (n, num_buckets, portable) stamp off a ratio table's
+    schema; raises on a frame built outside
+    ``importance_log_ratios``."""
     for f in log_ratios.schema.fields:
         if f.name == "log_ratio" and "num_buckets" in (f.metadata or {}):
-            return int(f.metadata["n"]), int(f.metadata["num_buckets"])
+            return (
+                int(f.metadata["n"]),
+                int(f.metadata["num_buckets"]),
+                bool(f.metadata.get("portable", False)),
+            )
     raise ValueError(
         "log_ratios must come from importance_log_ratios "
         "(missing the hash-space stamp on the log_ratio column)"
@@ -143,24 +165,36 @@ def importance_weights(
     log_ratios: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Per-document DSIR score: ``(doc_id, log_weight)`` =
     sum of its n-gram buckets' log-ratios (occurrence-weighted).
     Documents with no n-grams score 0. One explode + broadcast join
     + one groupBy on doc_id; text stays in place.
 
-    The n-gram order and bucket count are read off the ratio table's
-    schema stamp — they cannot drift from how the ratios were built."""
-    n, num_buckets = _ratio_params(log_ratios)
-    occ = ngram_buckets(docs, n, num_buckets, text_col, id_col)
-    scored = occ.join(F.broadcast(log_ratios), "bucket", "left")
-    per_doc = scored.groupBy("doc_id").agg(
-        F.sum(F.coalesce(F.col("log_ratio"), F.lit(0.0))).alias("log_weight")
+    The n-gram order, bucket count, and hash family are read off the
+    ratio table's schema stamp — they cannot drift from how the
+    ratios were built.
+
+    ``exact_decimal`` accumulates the per-bucket log-ratios in
+    DECIMAL(28,12) — partition-order-independent and bit-identical
+    across engines (the oracle-checked mode; the plain double sum is
+    marginally faster)."""
+    n, num_buckets, portable = _ratio_params(log_ratios)
+    # keep_empty: a gram-less doc keeps a NULL-bucket row, so ONE
+    # aggregation covers every doc — no second doc-list scan and no
+    # backfill join
+    occ = ngram_buckets(
+        docs, n, num_buckets, text_col, id_col, portable, keep_empty=True
     )
-    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
-    return ids.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    term = F.coalesce(F.col("log_ratio"), F.lit(0.0))
+    if exact_decimal:
+        term = term.cast("decimal(28,12)")
+    scored = occ.join(F.broadcast(log_ratios), "bucket", "left")
+    return scored.groupBy("doc_id").agg(
+        F.coalesce(F.sum(term).cast("double"), F.lit(0.0)).alias(
+            "log_weight"
+        )
     )
 
 
