@@ -199,6 +199,16 @@ _FUNCS = {
     "sigmoid": render.sigmoid,
     "logit": render.logit,
     "round": lambda df, p=0: render.round_values(df, int(p)),
+    # graphite-web registers python-side `roundFunction` under both
+    # names; targets written with the internal name must evaluate
+    "roundFunction": lambda df, p=0: render.round_values(df, int(p)),
+    # periodic-gap compression: this engine stores sparse rows (a gap
+    # IS the absence of a row) and the response regularizer re-derives
+    # start/stop/step from the data, so dropping null rows is exactly
+    # graphite-web's recalculated-step behavior
+    "compressPeriodicGaps": lambda df: df.filter(
+        F.col("value").isNotNull()
+    ),
     "minMax": render.min_max,
     "scaleToSeconds": lambda df, s: render.scale_to_seconds(df, int(s)),
     "lowestAverage": lambda df, n=1: render.lowest(df, int(n), "avg"),

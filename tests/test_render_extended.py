@@ -720,3 +720,22 @@ def test_alias_query_single_job_and_series_ceiling(spark):
             )
     finally:
         api_mod.MAX_DRIVER_SERIES = old
+
+
+def test_round_function_alias_and_compress_periodic_gaps(spark):
+    """graphite-web's internal-name alias roundFunction and
+    compressPeriodicGaps (gap rows dropped; the response regularizer
+    re-derives step from the surviving points)."""
+    store = _store(spark)
+    out = evaluate_target(
+        parse_target("roundFunction(scale(ev.a, 1.04), 1)"), store, 0, 200
+    ).collect()
+    assert sorted(r.value for r in out) == [1.0, 3.1]
+    # a series with a periodic hole: transformNull puts explicit nulls
+    # in, compressPeriodicGaps must take them back out
+    gap = evaluate_target(
+        parse_target("compressPeriodicGaps(transformNull(ev.a, 7))"),
+        store, 0, 200,
+    ).collect()
+    assert all(r.value is not None for r in gap)
+    assert {r.time for r in gap} == {100, 160}
