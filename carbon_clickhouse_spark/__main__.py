@@ -34,6 +34,7 @@ def launch(
     data_root: str | None = None,
     upload: bool = False,
     collector=None,
+    continuous_rollup: int = 0,
 ):
     """Start live fronts + one streaming pipeline per enabled protocol
     — parity with the reference's scheme dispatch
@@ -114,6 +115,32 @@ def launch(
                 stream_cfg("tcp" if tcp else "udp"),
             )
         )
+        if continuous_rollup > 0:
+            # hot-tier rollup (--continuous-rollup SECONDS): a second
+            # consumer of the same landing dir writes finalized
+            # buckets to <tables>/rollup_hot; serve it with
+            # read_series(hot_rollup=) / streaming.analytics.serve_rollup
+            from .sources.plain import parse_plain_lines
+            from .streaming.analytics import continuous_rollup as _crollup
+
+            pts = parse_plain_lines(
+                file_landing_source(spark, land), line_col="value"
+            )
+            queries.append(
+                _crollup(pts, precision_s=continuous_rollup)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", os.path.join(tables, "rollup_hot"))
+                .option(
+                    "checkpointLocation",
+                    os.path.join(base, "checkpoints", "rollup_hot"),
+                )
+                .queryName("ccs-rollup-hot")
+                .trigger(
+                    processingTime=f"{max(int(cfg.chunk_interval_s * 1000), 1)} milliseconds"
+                )
+                .start()
+            )
 
     pickle_rx = enabled("pickle")
     if pickle_rx:
@@ -303,6 +330,12 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--version", action="store_true",
         help="print version and exit",
+    )
+    ap.add_argument(
+        "--continuous-rollup", type=int, default=0, metavar="SECONDS",
+        help="also run the watermarked streaming rollup at this bucket "
+        "width into <tables>/rollup_hot (0 = off); serve with "
+        "read_series(hot_rollup=)",
     )
     ap.add_argument(
         "--check-config", default=None, metavar="CONF",
@@ -617,6 +650,7 @@ def main(argv=None) -> int:
     receivers, queries = launch(
         cfg, spark, data_root=args.data_root,
         upload=args.upload_to_clickhouse,
+        continuous_rollup=args.continuous_rollup,
         collector=collector,
     )
 

@@ -510,3 +510,60 @@ def test_prepare_corpus_cli_mix(tmp_path):
         f"SELECT token_ids FROM read_parquet('{out}/sequences/*/*.parquet')"
     ).fetchall()
     assert seqs and all(len(r[0]) == 32 for r in seqs)
+
+
+def test_launch_with_continuous_rollup(spark, tmp_path):
+    """launch(continuous_rollup=60) runs the hot-tier rollup as a
+    second consumer of the plain landing dir: live TCP lines land in
+    both the points table and <tables>/rollup_hot finalized buckets."""
+    from carbon_clickhouse_spark.streaming.receivers import send_lines
+
+    conf = tmp_path / "carbon-clickhouse.conf"
+    conf.write_text(
+        """
+[data]
+path = "%s"
+chunk-interval = "500ms"
+
+[tcp]
+listen = "127.0.0.1:0"
+enabled = true
+"""
+        % str(tmp_path / "data")
+    )
+    cfg = load_config(str(conf))
+    receivers, queries = launch(cfg, spark, continuous_rollup=60)
+    assert len(queries) == 2  # ingest + rollup_hot
+    base = 1625400000
+    try:
+        rx = receivers[0]
+        send_lines(
+            "127.0.0.1", rx.port,
+            [f"cr6.a {v} {base + t}" for v, t in ((10, 0), (30, 30))]
+            # watermark pusher so the first bucket finalizes
+            + [f"cr6.a 5 {base + 3600}"],
+        )
+        root = str(tmp_path / "data" / "tables")
+        deadline = time.time() + 90
+        rows = {}
+        while time.time() < deadline:
+            try:
+                rows = {
+                    r["time"]: r
+                    for r in spark.read.parquet(f"{root}/rollup_hot").collect()
+                }
+                if base in rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        for q in queries:
+            assert q.exception() is None
+    finally:
+        for rx in receivers:
+            rx.stop()
+        for q in queries:
+            q.stop()
+    b = rows[base]
+    assert b["avg"] == 20.0 and b["cnt"] == 2 and b["last"] == 30.0
+    assert spark.read.parquet(f"{root}/points").count() == 3
