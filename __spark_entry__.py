@@ -1137,11 +1137,19 @@ def q_top_revenue_orders(spark, sf_dir):
         F.col("l_extendedprice").cast("decimal(14,2)")
         * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
     ).cast("decimal(24,8)")
+    # partial-agg pushdown below the join: revenue depends only on
+    # lineitem columns and the agg key IS the join key, so collapsing
+    # ~4 line rows per order BEFORE the fact-fact join shrinks its
+    # probe side and removes the post-join aggregation entirely; the
+    # groupBy's hash partitioning on l_orderkey is reused by the join
+    # (no extra exchange). Catalyst does not do this rewrite itself.
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_rev.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "c_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "o_orderdate", "c_name", "revenue")
     )
     # order by the ROUNDED revenue (the emitted value) so the top-10
     # cutoff is identical in any engine
