@@ -261,3 +261,66 @@ def ingest_and_store(
         ]
         for f in futures:
             f.result()
+
+
+def register_clickhouse_views(spark, root: str, suffix: str = "") -> list[str]:
+    """Temp views over a stored four-table root with the reference's
+    ClickHouse table and column names, so the SQL a carbon-clickhouse
+    deployment runs against ClickHouse (e.g. the e2e verify queries,
+    ``tests/plain/test.toml:109-189``) works in ``spark.sql`` nearly
+    verbatim:
+
+    - ``graphite`` / ``graphite_reverse``: (Path, Value, Time, Date,
+      Timestamp) — Timestamp is the version column, exactly what the
+      RowBinary uploader writes (``sinks/clickhouse.POINTS_COLUMNS``)
+    - ``graphite_index``: (Date, Level, Path, Version)
+    - ``graphite_tagged``: (Date, Tag1, Path, Tags, Version)
+    - ``graphite_tree`` / ``graphite_series`` (+``_reverse``) when the
+      legacy tables exist in the root
+
+    Returns the view names registered. ``suffix`` disambiguates
+    concurrent roots in one session. Views are lazy: queries prune
+    columns/partitions through them like direct reads.
+    """
+    specs = {
+        "graphite": (
+            "points",
+            "path AS Path, value AS Value, time AS Time, "
+            "date AS Date, version AS Timestamp",
+        ),
+        "graphite_reverse": (
+            "points_reverse",
+            "path AS Path, value AS Value, time AS Time, "
+            "date AS Date, version AS Timestamp",
+        ),
+        "graphite_index": (
+            "index",
+            "date AS Date, level AS Level, path AS Path, "
+            "version AS Version",
+        ),
+        "graphite_tagged": (
+            "tagged",
+            "date AS Date, tag1 AS Tag1, path AS Path, tags AS Tags, "
+            "version AS Version",
+        ),
+        "graphite_tree": ("tree", "level AS Level, path AS Path"),
+        "graphite_series": (
+            "series",
+            "date AS Date, level AS Level, path AS Path, "
+            "version AS Version",
+        ),
+        "graphite_series_reverse": (
+            "series_reverse",
+            "date AS Date, level AS Level, path AS Path, "
+            "version AS Version",
+        ),
+    }
+    registered = []
+    for view, (table, cols) in specs.items():
+        path = os.path.join(root, table)
+        if not os.path.exists(path):
+            continue
+        name = view + suffix
+        spark.read.parquet(path).selectExpr(*cols.split(", ")).createOrReplaceTempView(name)
+        registered.append(name)
+    return registered

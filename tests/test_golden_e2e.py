@@ -274,3 +274,58 @@ table = "graphite_series_reverse"
         for r in spark.read.parquet(f"{root}/series_reverse").collect()
     }
     assert rev == {"c.b.a", "d.b.a"}
+
+
+def test_clickhouse_views_run_reference_sql(spark, tmp_path, tables):
+    """register_clickhouse_views: the reference's own e2e verify SQL
+    (tests/plain/test.toml) runs in spark.sql nearly verbatim over the
+    stored root (arraySort -> array_sort is the only edit)."""
+    from carbon_clickhouse_spark.pipeline import (
+        register_clickhouse_views,
+        write_tables,
+    )
+
+    root = str(tmp_path / "chv")
+    write_tables(tables, root)
+    views = register_clickhouse_views(spark, root)
+    assert {"graphite", "graphite_reverse", "graphite_index",
+            "graphite_tagged"} <= set(views)
+
+    # test.toml:109-120
+    idx = spark.sql(
+        "SELECT Date, Level, Path FROM graphite_index "
+        "WHERE Path LIKE 'test.%' OR Path LIKE '%.test' "
+        "GROUP BY Date, Level, Path, Version ORDER BY Date, Level, Path"
+    ).collect()
+    assert [(str(r.Date), r.Level, r.Path) for r in idx] == [
+        ("1970-02-12", 20001, "test."),
+        ("1970-02-12", 20002, "test.host1."),
+        ("1970-02-12", 20003, "test.host1.cpu."),
+        ("1970-02-12", 20004, "test.host1.cpu.loadavg"),
+        ("1970-02-12", 30004, "loadavg.cpu.host1.test"),
+        ("2021-07-05", 4, "test.host1.cpu.loadavg"),
+        ("2021-07-05", 10004, "loadavg.cpu.host1.test"),
+    ]
+    # test.toml:122-126 (zero_version=True in this fixture -> Timestamp 0)
+    pts = spark.sql(
+        "SELECT Path, Value, Time, Date, Timestamp FROM graphite "
+        "WHERE Path LIKE 'test.%' ORDER BY Time, Path"
+    ).collect()
+    assert [(r.Path, r.Value, r.Time, str(r.Date), r.Timestamp) for r in pts] == [
+        ("test.host1.cpu.loadavg", 10.2, 1625478240, "2021-07-05", 0),
+        ("test.host1.cpu.loadavg", 9.4, 1625478300, "2021-07-05", 0),
+    ]
+    # test.toml:136-141 (arraySort -> array_sort)
+    tags = spark.sql(
+        "SELECT Date, Tag1, Path, array_sort(Tags) as Tags "
+        "FROM graphite_tagged WHERE Path LIKE 'cpu.loadavg%' "
+        "ORDER BY Date, Tag1, Path"
+    ).collect()
+    assert [(str(r.Date), r.Tag1, r.Path, list(r.Tags)) for r in tags] == [
+        ("2021-07-05", "__name__=cpu.loadavg", "cpu.loadavg?env=test&host=host1",
+         ["__name__=cpu.loadavg", "env=test", "host=host1"]),
+        ("2021-07-05", "env=test", "cpu.loadavg?env=test&host=host1",
+         ["__name__=cpu.loadavg", "env=test", "host=host1"]),
+        ("2021-07-05", "host=host1", "cpu.loadavg?env=test&host=host1",
+         ["__name__=cpu.loadavg", "env=test", "host=host1"]),
+    ]
