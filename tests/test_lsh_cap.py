@@ -114,3 +114,49 @@ def test_cap_validation(spark):
     df = _mixed_corpus(spark, n_groups=1, group=2, singles=0)
     with pytest.raises(ValueError):
         minhash_lsh_pairs(df, max_bucket_size=1).collect()
+
+
+def test_star_invariant_random_corpora(spark):
+    """Property check over randomized duplicate structures: for ANY
+    corpus and the tightest cap, star routing preserves the loser set
+    ("has a smaller member in some shared bucket") and connected
+    components exactly."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        rows, i = [], 0
+        for g in range(rng.randint(2, 5)):
+            text = " ".join(
+                f"w{rng.randrange(6)}" for _ in range(rng.randint(6, 14))
+            )
+            for _ in range(rng.randint(1, 5)):
+                # half the members get a tiny mutation: partial bucket
+                # overlap, multi-bucket components
+                t = text + (f" tail{i}" if rng.random() < 0.5 else "")
+                rows.append((i, t))
+                i += 1
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = minhash_lsh_pairs(df)
+        capped = minhash_lsh_pairs(df, max_bucket_size=2)
+
+        def losers(p):
+            return {
+                r.doc_id
+                for r in p.select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+                .collect()
+            }
+
+        assert losers(exact) == losers(capped), f"trial {trial}"
+
+        def comps(p):
+            out = dedup_clusters(df, p)
+            return {
+                frozenset(g)
+                for g in out.groupBy("cluster_id")
+                .agg(F.collect_set("doc_id").alias("m"))
+                .toPandas()["m"]
+            }
+
+        assert comps(exact) == comps(capped), f"trial {trial}"
