@@ -133,6 +133,13 @@ class EngineConfig:
                 "pprof"
             )
         for name, u in self.uploads.items():
+            if u.hash:
+                out.append(
+                    f"upload.{name}.hash={u.hash!r}: exists-cache keys "
+                    "hash with xxhash64 here (same memory effect as "
+                    "city64, different function; the /debug cache dump "
+                    "shows full paths either way)"
+                )
             if u.tls is None:
                 continue
             if u.tls.client_auth:
@@ -245,6 +252,16 @@ class EngineConfig:
             protocol=receiver,
             **kwargs,
         )
+
+
+def _known_hash(value: str, upload_name: str) -> str:
+    """uploader/hash.go: the hash option has exactly two values."""
+    if value not in ("", "city64"):
+        raise ValueError(
+            f"upload.{upload_name}.hash={value!r}: unknown hash "
+            "function (known: city64)"
+        )
+    return value
 
 
 def _tls_from(section: dict) -> TLSConfig:
@@ -452,7 +469,9 @@ def load_config(source: str, exact: bool = False) -> EngineConfig:
             zero_timestamp=bool(sec.get("zero-timestamp", False)),
             compress_data=bool(sec.get("compress-data", False)),
             tree_date=sec.get("date", ""),
-            hash=sec.get("hash", ""),
+            # uploader/hash.go knownHash: only "" and "city64" exist;
+            # anything else is a config error in the reference too
+            hash=_known_hash(sec.get("hash", ""), name),
             ignored_patterns=list(sec.get("ignored-patterns", [])),
             ignored_tagged_metrics=list(sec.get("ignored-tagged-metrics", [])),
             disable_daily_index=bool(sec.get("disable-daily-index", False)),

@@ -224,3 +224,41 @@ min-versionn = "TLS12"
 """,
             exact=True,
         )
+
+
+def test_upload_hash_validated_and_divergence_reported(tmp_path):
+    """uploader/hash.go knownHash parity: hash='city64' is accepted
+    with a divergence note (xxhash64 stands in); any other value is a
+    config error like the reference's unknown-hash lookup."""
+    import pytest
+
+    from carbon_clickhouse_spark.config import load_config
+
+    conf = tmp_path / "h.conf"
+    conf.write_text(
+        """
+[data]
+path = "/tmp/x"
+
+[upload.graphite_index]
+type = "index"
+table = "graphite_index"
+hash = "city64"
+"""
+    )
+    cfg = load_config(str(conf))
+    assert any("hash='city64'" in d for d in cfg.divergences())
+
+    conf.write_text(
+        """
+[data]
+path = "/tmp/x"
+
+[upload.graphite_index]
+type = "index"
+table = "graphite_index"
+hash = "murmur"
+"""
+    )
+    with pytest.raises(ValueError, match="unknown hash"):
+        load_config(str(conf))
