@@ -254,6 +254,20 @@ class EngineConfig:
         )
 
 
+def parse_size(v) -> int:
+    """Reference Size option (helper/config/size.go): plain int or a
+    string with a k/m/g suffix (1024 multiples), negatives rejected."""
+    if isinstance(v, int):
+        n = v
+    else:
+        t = str(v).strip().lower()
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(t[-1:] or "", 1)
+        n = int(t[:-1] if mult > 1 else t) * mult
+    if n < 0:
+        raise ValueError("size must be greater than 0")
+    return n
+
+
 def _known_hash(value: str, upload_name: str) -> str:
     """uploader/hash.go: the hash option has exactly two values."""
     if value not in ("", "city64"):
@@ -434,7 +448,7 @@ def load_config(source: str, exact: bool = False) -> EngineConfig:
     if "chunk-interval" in data:
         cfg.chunk_interval_s = parse_go_duration(data["chunk-interval"]) or 1.0
     cfg.chunk_auto_interval = data.get("chunk-auto-interval", "")
-    cfg.chunk_max_size = int(data.get("chunk-max-size", 0))
+    cfg.chunk_max_size = parse_size(data.get("chunk-max-size", 0))
     cfg.compression = str(data.get("compression", "none")) or "none"
     cfg.compression_level = int(data.get("compression-level", 0))
     # reference default is false (local-TZ dates); the engine is

@@ -262,3 +262,16 @@ hash = "murmur"
     )
     with pytest.raises(ValueError, match="unknown hash"):
         load_config(str(conf))
+
+
+def test_chunk_max_size_suffixes(tmp_path):
+    """helper/config/size.go: '128k'/'1m'/'2g' size strings parse
+    like the reference (1024 multiples); plain ints still work."""
+    from carbon_clickhouse_spark.config import load_config, parse_size
+
+    conf = tmp_path / "s.conf"
+    conf.write_text('[data]\npath = "/tmp/x"\nchunk-max-size = "128k"\n')
+    assert load_config(str(conf)).chunk_max_size == 131072
+    conf.write_text('[data]\npath = "/tmp/x"\nchunk-max-size = 512\n')
+    assert load_config(str(conf)).chunk_max_size == 512
+    assert parse_size("1g") == 1 << 30
