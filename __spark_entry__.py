@@ -1445,6 +1445,21 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_ccnet_bands(spark, sf_dir):
+    """CCNet head/middle/tail banding (Wenzek 2020, datapipe/lm.py:
+    perplexity_buckets): corpus-tercile cutoffs on the lm_perplexity
+    scores, head = lowest (best) perplexity band. Cutoffs are two
+    exact percentile scalars computed distributed from the SAME
+    rounded doubles both engines hold, then a pure column CASE — no
+    join, no extra shuffle beyond the scoring itself."""
+    from carbon_clickhouse_spark.datapipe.lm import perplexity_buckets
+
+    base = q_lm_perplexity(spark, sf_dir)
+    return perplexity_buckets(base, ppl_col="log_ppl").select(
+        "doc_id", "log_ppl", "band"
+    )
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR importance scoring (datapipe/importance.py, Xie 2023):
     target = a deterministic quarter of the corpus (md5(doc_id) first
@@ -1680,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         "chunk_docs": q_chunk_documents,
         "dsir_scores": q_dsir_scores,
+        "ccnet_bands": q_ccnet_bands,
     }
 
 
@@ -2662,6 +2678,67 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM avi
         """,
     }
+    oracles["ccnet_bands"] = r"""
+            WITH lm AS (
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            ref AS (SELECT * FROM toks WHERE md5(CAST(doc_id AS VARCHAR))[1:1] < '8'),
+            uni AS (
+              SELECT word, count(*) AS u_count
+              FROM (SELECT unnest(w) AS word FROM ref)
+              GROUP BY word
+              ORDER BY u_count DESC, word ASC LIMIT 2000
+            ),
+            tot AS (SELECT sum(len(w)) AS total FROM ref),
+            voc AS (SELECT count(*) + 1 AS vocab FROM uni),
+            ref_pairs AS (
+              SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev,
+                     w[i] AS word
+              FROM (SELECT w, unnest(generate_series(1, len(w))) AS i FROM ref)
+            ),
+            bi AS (
+              SELECT prev, word, count(*) AS b_count
+              FROM ref_pairs GROUP BY prev, word
+              ORDER BY b_count DESC, prev ASC, word ASC LIMIT 20000
+            ),
+            pairs AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev,
+                     w[i] AS word
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                    FROM toks WHERE len(w) > 0)
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     ln(0.75 * (CASE WHEN b.b_count IS NOT NULL
+                                      AND cu.u_count IS NOT NULL
+                                THEN CAST(b.b_count AS DOUBLE) / cu.u_count
+                                ELSE 0.0 END)
+                        + 0.25 * ((coalesce(u.u_count, 0) + 0.1)
+                                  / (tot.total + 0.1 * voc.vocab))) AS logp
+              FROM pairs p
+              LEFT JOIN uni u ON p.word = u.word
+              LEFT JOIN bi b ON p.prev = b.prev AND p.word = b.word
+              LEFT JOIN uni cu ON p.prev = cu.word
+              CROSS JOIN tot CROSS JOIN voc
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+                           / count(*)), 4) AS log_ppl
+            FROM scored GROUP BY doc_id
+        ),
+            cut AS (SELECT quantile_cont(log_ppl, 1.0/3) AS lo,
+                           quantile_cont(log_ppl, 2.0/3) AS hi FROM lm)
+            SELECT doc_id, log_ppl,
+                   CASE WHEN log_ppl <= cut.lo THEN 'head'
+                        WHEN log_ppl <= cut.hi THEN 'middle'
+                        ELSE 'tail' END AS band
+            FROM lm CROSS JOIN cut
+        """
     oracles["dsir_scores"] = dsir_sql
     ivf = _ivf_oracle_sql()
     if ivf:
