@@ -278,3 +278,64 @@ def test_otlp_live_e2e(spark, tmp_path):
     finally:
         rx.stop()
         query.stop()
+
+
+def test_loadgen_against_live_front(spark, tmp_path):
+    """tools/loadgen.py (the reference's loadtest.go analogue) drives
+    a live PlainLineReceiver; every generated line lands as a parsed
+    point with the loadtest series shape."""
+    import json
+    import subprocess
+    import sys
+
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+    from carbon_clickhouse_spark.streaming.ingest import (
+        StreamConfig,
+        file_landing_source,
+        start_plain_ingest,
+    )
+    from carbon_clickhouse_spark.streaming.receivers import PlainLineReceiver
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    rx = PlainLineReceiver(landing, flush_interval=0.2).start()
+    q = start_plain_ingest(
+        spark,
+        file_landing_source(spark, landing),
+        StreamConfig(root=root, chunk_interval="500 milliseconds",
+                     audit_dropped=False),
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "tools/loadgen.py", "--port", str(rx.port),
+             "--hosts", "3", "--plugins", "2", "--values", "4",
+             "--seconds", "2", "--rate", "200"],
+            capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr
+        rep = json.loads(out.stdout)
+        assert rep["sent"] > 0 and rep["series"] == 24
+        import time as _t
+        deadline = _t.time() + 60
+        n = 0
+        while _t.time() < deadline:
+            try:
+                pts = spark.read.parquet(f"{root}/points")
+                n = pts.count()
+                if n >= rep["series"]:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.5)
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        rx.stop()
+        q.stop()
+    from pyspark.sql import functions as F
+
+    pts = spark.read.parquet(f"{root}/points")
+    assert pts.filter(
+        F.col("path").rlike(r"^loadtest\.host\d+\.plugin\d+\.stuff\d+\.value$")
+    ).count() == pts.count()
+    assert pts.select("path").distinct().count() == 24
