@@ -183,6 +183,7 @@ def start_ingest(
                 dropped_path = os.path.join(config.root, "dropped")
                 with _table_lock(dropped_path):
                     dropped.write.mode("append").parquet(dropped_path)
+            kept_rows: int | None = None
             if config.collector is not None:
                 # per-reason drop counters (S7): one aggregation over
                 # the already-persisted batch, counter names straight
@@ -196,14 +197,18 @@ def start_ingest(
                     drop_longer_than=ic.drop_longer_than,
                 )
                 agg = points.select(
+                    F.count(F.lit(1)).alias("__total"),
                     *[
                         F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(k)
                         for k, c in flags.items()
-                    ]
+                    ],
                 ).first()
                 for k in flags:
                     if agg[k]:
                         config.collector.add(k, float(agg[k]))
+                kept_rows = int(agg["__total"]) - sum(
+                    int(agg[k]) for k in flags
+                )
             tables = derive_tables(points, ic)
 
             # one dates probe off the persisted batch, shared by both
@@ -248,6 +253,34 @@ def start_ingest(
                     retries=ch.retries, retry_delay_s=ch.retry_delay_s,
                 )
 
+            def _timed_upload(table_name, n_rows, fn):
+                """Run one CH upload hop with the reference's
+                per-uploader stat vocabulary (uploader/base.go:46-63):
+                uploaded / uploaded_metrics / upload_time(ms) /
+                errors, module = the destination table name."""
+                col = config.collector
+                if col is None:
+                    fn()
+                    return
+                import time as _time
+
+                t0 = _time.monotonic()
+                try:
+                    fn()
+                except Exception:
+                    col.add("errors", 1.0, module=table_name)
+                    raise
+                col.add("uploaded", 1.0, module=table_name)
+                if n_rows is not None:
+                    col.add(
+                        "uploaded_metrics", float(n_rows), module=table_name
+                    )
+                col.add(
+                    "upload_time",
+                    (_time.monotonic() - t0) * 1000.0,
+                    module=table_name,
+                )
+
             def _write_points(name):
                 path = os.path.join(config.root, name)
                 with _table_lock(path):
@@ -262,9 +295,14 @@ def start_ingest(
                 if ch is not None:
                     from ..sinks.clickhouse import insert_points
 
-                    insert_points(
-                        tables[name], ch.base_url, ch_names[name],
-                        zero_timestamp=ch.zero_timestamp, **_ch_kwargs(),
+                    _timed_upload(
+                        ch_names[name],
+                        kept_rows,
+                        lambda: insert_points(
+                            tables[name], ch.base_url, ch_names[name],
+                            zero_timestamp=ch.zero_timestamp,
+                            **_ch_kwargs(),
+                        ),
                     )
 
             def _write_series(name, keys):
@@ -295,7 +333,19 @@ def start_ingest(
                         from ..sinks.clickhouse import insert_index, insert_tagged
 
                         fn = insert_index if name == "index" else insert_tagged
-                        fn(df, ch.base_url, ch_names[name], **_ch_kwargs())
+                        n = (
+                            df.count()
+                            if config.collector is not None
+                            else None  # cheap: df is persisted above
+                        )
+                        _timed_upload(
+                            ch_names[name],
+                            n,
+                            lambda: fn(
+                                df, ch.base_url, ch_names[name],
+                                **_ch_kwargs(),
+                            ),
+                        )
                 finally:
                     if mirror:
                         df.unpersist()

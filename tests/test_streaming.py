@@ -911,3 +911,56 @@ def test_rollup_serving_path_merges_history_and_hot(spark, tmp_path):
         (r.path, r.time) for r in finalized.select("path", "time").collect()
     }
     assert {(p, t) for (p, t) in got if t < horizon} <= fin_keys
+
+
+def test_uploader_stats_emitted_per_table(spark, tmp_path):
+    """S7 uploader stat parity (uploader/base.go:46-63): when the
+    stream mirrors into ClickHouse, the collector gets uploaded /
+    uploaded_metrics / upload_time counters per destination table."""
+    from carbon_clickhouse_spark.sinks.chsim import ClickHouseSim
+    from carbon_clickhouse_spark.sinks.clickhouse import CHTarget
+    from carbon_clickhouse_spark.sources.plain import parse_plain_lines  # noqa: F401
+    from carbon_clickhouse_spark.streaming.collector import (
+        SelfMetricsCollector,
+    )
+    from carbon_clickhouse_spark.streaming.ingest import (
+        StreamConfig,
+        file_landing_source,
+        start_plain_ingest,
+    )
+
+    sim = ClickHouseSim()
+    url = sim.start()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    col = SelfMetricsCollector(
+        spark, str(tmp_path / "selfmetrics"), prefix="p",
+        flush_every=10**9, flush_interval_s=10**9,
+    )
+    cfg = StreamConfig(
+        root=str(tmp_path / "tables"),
+        chunk_interval="500 milliseconds",
+        audit_dropped=False,
+        clickhouse=CHTarget(base_url=url, retries=0, retry_delay_s=0.0),
+        collector=col,
+    )
+    (landing / "w1.txt").write_text(
+        "up.a 1 1625400000\nup.b 2 1625400000\n"
+    )
+    q = start_plain_ingest(
+        spark, file_landing_source(spark, str(landing)), cfg
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+        sim.stop()
+    c = col._counters
+    assert c[("graphite", "uploaded")] >= 1.0
+    assert c[("graphite", "uploaded_metrics")] == 2.0
+    assert c[("graphite", "upload_time")] > 0.0
+    assert c[("graphite_index", "uploaded")] >= 1.0
+    assert c[("graphite_index", "uploaded_metrics")] > 0.0
+    assert ("graphite", "errors") not in c
+    assert len(sim.rows("graphite")) == 2
