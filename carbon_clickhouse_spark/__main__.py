@@ -71,12 +71,18 @@ def launch(
     if collector is not None:
         spark.streams.addListener(collector)
 
-    def stream_cfg(name: str):
+    def stream_cfg(name: str, checkpoint_name: str | None = None):
+        # checkpoint_name decouples durable stream identity from the
+        # protocol label: the shared plain pipeline always checkpoints
+        # under "tcp" so relabeling a UDP-only front does not orphan
+        # the old checkpoint and replay the whole landing dir
         return cfg.stream(
             root=tables,
             receiver=name,
             upload=upload,
-            checkpoint=os.path.join(base, "checkpoints", name),
+            checkpoint=os.path.join(
+                base, "checkpoints", checkpoint_name or name
+            ),
             collector=collector,
         )
 
@@ -112,35 +118,9 @@ def launch(
             start_plain_ingest(
                 spark,
                 file_landing_source(spark, land),
-                stream_cfg("tcp" if tcp else "udp"),
+                stream_cfg("tcp" if tcp else "udp", checkpoint_name="tcp"),
             )
         )
-        if continuous_rollup > 0:
-            # hot-tier rollup (--continuous-rollup SECONDS): a second
-            # consumer of the same landing dir writes finalized
-            # buckets to <tables>/rollup_hot; serve it with
-            # read_series(hot_rollup=) / streaming.analytics.serve_rollup
-            from .sources.plain import parse_plain_lines
-            from .streaming.analytics import continuous_rollup as _crollup
-
-            pts = parse_plain_lines(
-                file_landing_source(spark, land), line_col="value"
-            )
-            queries.append(
-                _crollup(pts, precision_s=continuous_rollup)
-                .writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", os.path.join(tables, "rollup_hot"))
-                .option(
-                    "checkpointLocation",
-                    os.path.join(base, "checkpoints", "rollup_hot"),
-                )
-                .queryName("ccs-rollup-hot")
-                .trigger(
-                    processingTime=f"{max(int(cfg.chunk_interval_s * 1000), 1)} milliseconds"
-                )
-                .start()
-            )
 
     pickle_rx = enabled("pickle")
     if pickle_rx:
@@ -226,6 +206,47 @@ def launch(
             start_grpc_ingest(
                 spark, binary_landing_source(spark, land), stream_cfg("grpc")
             )
+        )
+
+    if continuous_rollup > 0:
+        # hot-tier rollup (--continuous-rollup SECONDS): a file stream
+        # over the DURABLE points table, so every protocol front feeds
+        # it and the buckets aggregate exactly what ingest stored
+        # (same parse, tag canonicalization, and drop rules — a
+        # landing-dir consumer would diverge on all three). Finalized
+        # buckets land in <tables>/rollup_hot; serve with
+        # read_series(hot_rollup=) / streaming.analytics.serve_rollup.
+        from pyspark.sql import types as T
+
+        from .streaming.analytics import continuous_rollup as _crollup
+
+        points_path = os.path.join(tables, "points")
+        os.makedirs(points_path, exist_ok=True)
+        pts_schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("time", T.LongType()),
+                T.StructField("date", T.DateType()),
+                T.StructField("version", T.LongType()),
+                T.StructField("month", T.StringType()),
+            ]
+        )
+        pts = spark.readStream.schema(pts_schema).parquet(points_path)
+        queries.append(
+            _crollup(pts, precision_s=continuous_rollup)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(tables, "rollup_hot"))
+            .option(
+                "checkpointLocation",
+                os.path.join(base, "checkpoints", "rollup_hot"),
+            )
+            .queryName("ccs-rollup-hot")
+            .trigger(
+                processingTime=f"{max(int(cfg.chunk_interval_s * 1000), 1)} milliseconds"
+            )
+            .start()
         )
 
     return receivers, queries

@@ -372,7 +372,17 @@ def simhash_pairs(
     ``max_bucket_size`` caps the per-bucket fan-out exactly like
     :func:`minhash_lsh_pairs` (near-identical corpora collapse into
     one band key per band); star edges are still hamming-verified
-    against the hub, so the output contract holds."""
+    against the hub, so every emitted pair honors ``max_hamming``.
+    NOTE the capped mode is a recall trade-off specific to SimHash's
+    verify step: in an over-cap bucket, a member pair within
+    ``max_hamming`` of each other but both beyond it from the hub is
+    not emitted (the uncapped path emits it). Candidate
+    CONNECTIVITY is preserved like the MinHash case only when the
+    downstream consumer treats unverified star edges as candidates;
+    with the hamming filter it is an approximation — size the cap
+    well above expected duplicate-group cardinality, or use
+    :func:`minhash_lsh_pairs` (verification-free candidates) when
+    exact capped semantics matter."""
     sigs = simhash(df, text_col, id_col, bits)
     width = bits // bands
     banded = sigs.select(

@@ -63,10 +63,19 @@ def mixture_plan(
     """
     unknown = set(weights) - set(available)
     if unknown:
-        raise ValueError(
-            "mixture weights name sources absent from the data: "
-            + ", ".join(sorted(unknown))
-            + f" (available: {', '.join(sorted(available)) or 'none'})"
+        # loud, not fatal: a typo'd --mix key and a configured source
+        # that yielded zero rows this run (fully filtered upstream)
+        # are indistinguishable here — the tolerant semantics for the
+        # latter must survive (an empty source contributes nothing),
+        # so the former gets a warning an operator can act on
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mixture weights name sources absent from the data "
+            "(typo, or a source filtered to zero rows?): %s "
+            "(available: %s) — they contribute nothing",
+            ", ".join(sorted(unknown)),
+            ", ".join(sorted(available)) or "none",
         )
     w = {s: weights.get(s, 0.0) for s in available}
     wsum = sum(w.values())

@@ -968,8 +968,10 @@ def encode_jpeg_gray_blocks_progressive(values: list[int]) -> bytes:
         w.put((int(v) - 128) & 1, 1)
     w.pad()
     out += w.out
-    # scan 3: AC band Ss=1..63, Ah=0, Al=0 — every block EOB(run=1)
-    out += seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0x00]))
+    # scan 3: AC band Ss=1..63, Ah=0, Al=0 — every block EOB(run=1).
+    # TdTa = 0x00: the DHT above defines AC table ID 0 (class 1, id 0);
+    # a conforming external decoder resolves Ta against the table ID
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
     w = _JpegBitWriter()
     for _ in values:
         w.put(*ac_enc[0x00])

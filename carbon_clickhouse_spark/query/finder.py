@@ -207,6 +207,7 @@ def read_series(
         return serve_rollup(
             fin, df, time_from, time_until,
             rules=rules or DEFAULT_RULES, precision_s=precision_s,
+            exact_decimal=exact_decimal, round_avg_to=round_avg_to,
         )
     if precision_s is not None:
         return rollup(

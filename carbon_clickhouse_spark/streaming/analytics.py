@@ -89,6 +89,8 @@ def serve_rollup(
     rules=None,
     precision_s: int = 60,
     paths: list[str] | None = None,
+    exact_decimal: bool = False,
+    round_avg_to: int | None = None,
 ) -> DataFrame:
     """Merged history+hot read over the continuous-rollup tier — the
     serving path the reference deployment gets from GraphiteMergeTree
@@ -99,20 +101,36 @@ def serve_rollup(
     rule: zero recomputation, the 100 TB win — history reads touch
     pre-aggregated rows, not raw points); buckets at/after the
     horizon aggregate the durable raw points table on the fly with
-    the SAME batch :func:`..operators.rollup.rollup` semantics, so the
-    merged result equals a full batch rollup over identical data.
-    Output: ``(path, time, value)``, ``time`` bucket-aligned.
+    the SAME batch :func:`..operators.rollup.rollup` semantics, so for
+    a bucket-aligned ``time_from`` the merged result equals a full
+    batch rollup over identical data. An unaligned ``time_from``
+    serves the leading bucket WHOLE from history (finalized buckets
+    are indivisible — a batch rollup over points clipped mid-bucket
+    would emit a partial leading bucket instead). Output:
+    ``(path, time, value)``, ``time`` bucket-aligned.
+
+    Caveats inherited from the hot view: a point arriving later than
+    the stream's ``late_allowance`` reaches the durable store but not
+    its already-finalized bucket, so history reads through this path
+    exclude it until a batch re-rollup/compaction refreshes the tier
+    — by design (see module docstring), but a consistency difference
+    vs reading raw points.
     """
     from ..operators.rollup import DEFAULT_RULES, rollup, rule_function_col
 
     rules = rules or DEFAULT_RULES
+    # the whole read runs on the bucket grid: align time_from down so
+    # the leading bucket's points (finalized into an indivisible
+    # bucket) can't vanish from both tiers, and split hist/hot at a
+    # grid point so the tiers never overlap
+    from_aligned = time_from - (time_from % precision_s)
     horizon = rollup_horizon(finalized, precision_s)
     if horizon is None:
-        horizon = time_from  # nothing finalized: serve all from raw
-    horizon = min(max(horizon, time_from), time_until)
+        horizon = from_aligned  # nothing finalized: serve all from raw
+    horizon = min(max(horizon, from_aligned), time_until)
 
     hist = finalized.filter(
-        (F.col("time") >= time_from) & (F.col("time") < horizon)
+        (F.col("time") >= from_aligned) & (F.col("time") < horizon)
     )
     hot = raw_points.filter(
         (F.col("time") >= horizon) & (F.col("time") < time_until)
@@ -130,5 +148,11 @@ def serve_rollup(
         .otherwise(F.col("avg"))
     )
     hist = hist.select("path", "time", value.alias("value"))
-    hot = rollup(hot, rules, precision_s=precision_s)
+    # exact_decimal/round_avg_to apply to the freshly-aggregated hot
+    # tier; hist values are STORED (computed once by the stream), so
+    # they are already partition-order independent by construction
+    hot = rollup(
+        hot, rules, precision_s=precision_s,
+        exact_decimal=exact_decimal, round_avg_to=round_avg_to,
+    )
     return hist.unionByName(hot)

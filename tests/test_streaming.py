@@ -964,3 +964,45 @@ def test_uploader_stats_emitted_per_table(spark, tmp_path):
     assert c[("graphite_index", "uploaded_metrics")] > 0.0
     assert ("graphite", "errors") not in c
     assert len(sim.rows("graphite")) == 2
+
+
+def test_serve_rollup_unaligned_window_edges(spark):
+    """An unaligned time_from serves the leading bucket WHOLE from
+    history (finalized buckets are indivisible) — its points neither
+    vanish nor double-count across the tier split; with nothing
+    finalized, the raw tier applies the same whole-bucket alignment."""
+    from carbon_clickhouse_spark.streaming.analytics import serve_rollup
+
+    base = 1_625_400_000
+    fin = spark.createDataFrame(
+        [("e.a", base, 20.0, 40.0, 30.0, 10.0, 2, 30.0),
+         ("e.a", base + 60, 5.0, 5.0, 5.0, 5.0, 1, 5.0)],
+        "path string, time long, avg double, sum double, max double, "
+        "min double, cnt long, last double",
+    )
+    raw = spark.createDataFrame(
+        [("e.a", 10.0, base), ("e.a", 30.0, base + 30),
+         ("e.a", 5.0, base + 70), ("e.a", 7.0, base + 600)],
+        "path string, value double, time long",
+    )
+    # time_from mid-bucket (base+30): leading bucket served whole
+    got = {
+        (r.path, r.time): r.value
+        for r in serve_rollup(fin, raw, base + 30, base + 1200).collect()
+    }
+    assert got == {
+        ("e.a", base): 20.0,       # whole leading bucket from history
+        ("e.a", base + 60): 5.0,   # finalized
+        ("e.a", base + 600): 7.0,  # hot tier past the horizon
+    }
+    # nothing finalized: all raw, same whole-bucket alignment
+    empty = fin.limit(0)
+    got2 = {
+        (r.path, r.time): r.value
+        for r in serve_rollup(empty, raw, base + 30, base + 1200).collect()
+    }
+    assert got2 == {
+        ("e.a", base): 20.0,
+        ("e.a", base + 60): 5.0,
+        ("e.a", base + 600): 7.0,
+    }
