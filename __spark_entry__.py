@@ -1445,6 +1445,23 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_source_mixture(spark, sf_dir):
+    """Multi-source mixture sampling (datapipe/mix.py): auto-sized to
+    the largest total needing no upsampling, document selection by
+    engine-portable md5 bucket slices (zero joins, zero RNG). Weights
+    0.5/0.25/0.25 sum to an exactly-representable 1.0 so the oracle's
+    plan arithmetic reproduces Python's float-for-float."""
+    from carbon_clickhouse_spark.datapipe.mix import mix_sources
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    out = mix_sources(
+        docs, {"src1": 0.5, "src3": 0.25, "src5": 0.25}
+    )
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
 def q_ccnet_bands(spark, sf_dir):
     """CCNet head/middle/tail banding (Wenzek 2020, datapipe/lm.py:
     perplexity_buckets): corpus-tercile cutoffs on the lm_perplexity
@@ -1696,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_documents,
         "dsir_scores": q_dsir_scores,
         "ccnet_bands": q_ccnet_bands,
+        "source_mixture": q_source_mixture,
     }
 
 
@@ -2739,6 +2757,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS band
             FROM lm CROSS JOIN cut
         """
+    oracles["source_mixture"] = r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens
+          FROM documents
+        ),
+        w AS (SELECT * FROM (VALUES ('src1', 0.5), ('src3', 0.25), ('src5', 0.25)) AS t(source, wt)),
+        avail AS (
+          SELECT d.source, CAST(sum(d.n_tokens) AS BIGINT) AS a, any_value(w.wt) AS wt
+          FROM d JOIN w USING (source) GROUP BY d.source
+        ),
+        tot AS (
+          SELECT min(CAST(floor(a * 1.0 / wt) AS BIGINT)) AS total FROM avail
+        ),
+        r AS (
+          SELECT source, wt / 1.0 * tot.total / a AS rate FROM avail, tot
+        )
+        SELECT d.doc_id, d.source, CAST(0 AS INT) AS epoch
+        FROM d JOIN r USING (source)
+        WHERE floor(r.rate) >= 1
+           OR (r.rate - floor(r.rate) > 1e-9 AND
+               (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(31) || '0' || chr(31) || '0'), 1, 4)) AS BIGINT) % 10000)
+               < round((r.rate - floor(r.rate)) * 10000))
+    """
     oracles["dsir_scores"] = dsir_sql
     ivf = _ivf_oracle_sql()
     if ivf:
