@@ -629,6 +629,17 @@ def main(argv=None) -> int:
             if os.path.exists(path):
                 compact_rollup(spark, path, rules=rules, months=months)
                 print(f"compacted {table} (rollup)", flush=True)
+        if os.path.exists(os.path.join(args.compact, "rollup_hot")):
+            # refresh the continuous-rollup serving tier from the
+            # durable points: folds late arrivals (past the stream's
+            # watermark) into their buckets
+            from .streaming.analytics import rebuild_rollup_tier
+
+            n = rebuild_rollup_tier(
+                spark, args.compact,
+                precision_s=args.continuous_rollup or 60,
+            )
+            print(f"rebuilt rollup_hot ({n} buckets)", flush=True)
         return 0
     if not args.config:
         ap.error("--config is required (unless --cat/--recover/--compact)")

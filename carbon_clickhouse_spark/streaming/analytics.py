@@ -71,6 +71,62 @@ def continuous_rollup(
     )
 
 
+def rebuild_rollup_tier(
+    spark,
+    root: str,
+    precision_s: int = 60,
+    up_to: int | None = None,
+) -> int:
+    """Batch refresh of ``<root>/rollup_hot`` from the durable points
+    table — the maintenance pass that folds LATE arrivals (points past
+    the stream's ``late_allowance``, which reached the store but not
+    their already-finalized bucket) back into the serving tier.
+
+    Recomputes every bucket strictly below ``up_to`` (default: the
+    tier's current horizon, so the refresh never races buckets the
+    stream may still emit) with the exact aggregate set the stream
+    writes, and atomically overwrites the tier. Returns the number of
+    bucket rows written. Run it from the same cron/cycle as
+    ``--compact`` — after a refresh, ``serve_rollup`` history equals a
+    batch rollup over the store, late points included.
+    """
+    import os
+
+    from ..operators.compaction import _atomic_overwrite
+
+    pts_path = os.path.join(root, "points")
+    tier_path = os.path.join(root, "rollup_hot")
+    pts = spark.read.parquet(pts_path)
+    if up_to is None:
+        try:
+            up_to = rollup_horizon(
+                spark.read.parquet(tier_path), precision_s
+            )
+        except Exception:  # noqa: BLE001 — no tier yet: build it all
+            up_to = None
+    if up_to is None:
+        row = pts.agg(F.max("time").alias("m")).collect()[0]
+        if row["m"] is None:
+            return 0
+        up_to = (int(row["m"]) // precision_s) * precision_s + precision_s
+    bucket = (F.col("time") - (F.col("time") % precision_s)).alias("time")
+    rebuilt = (
+        pts.filter(F.col("time") < up_to)
+        .select("path", bucket, F.col("time").alias("__t"), "value")
+        .groupBy("path", "time")
+        .agg(
+            F.avg("value").alias("avg"),
+            F.sum("value").alias("sum"),
+            F.max("value").alias("max"),
+            F.min("value").alias("min"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max_by("value", F.col("__t")).alias("last"),
+        )
+    )
+    _atomic_overwrite(spark, rebuilt, tier_path)
+    return spark.read.parquet(tier_path).count()
+
+
 def rollup_horizon(finalized: DataFrame, precision_s: int = 60) -> int | None:
     """First bucket start NOT yet finalized: append mode emits a
     window only once the watermark passes its end, and emission is

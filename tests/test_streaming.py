@@ -1006,3 +1006,55 @@ def test_serve_rollup_unaligned_window_edges(spark):
         ("e.a", base + 60): 5.0,
         ("e.a", base + 600): 7.0,
     }
+
+
+def test_rebuild_rollup_tier_folds_late_points(spark, tmp_path):
+    """A point later than the stream's late_allowance reaches the
+    durable store but not its finalized bucket; rebuild_rollup_tier
+    folds it in, after which serve_rollup equals the batch rollup."""
+    from carbon_clickhouse_spark.operators.rollup import rollup
+    from carbon_clickhouse_spark.streaming.analytics import (
+        rebuild_rollup_tier,
+        serve_rollup,
+    )
+
+    base = 1_625_400_000
+    root = str(tmp_path / "tables")
+    # durable store INCLUDES the late point (999) ...
+    spark.createDataFrame(
+        [("lt.a", 10.0, base), ("lt.a", 30.0, base + 30),
+         ("lt.a", 999.0, base + 10),  # late arrival
+         ("lt.a", 7.0, base + 3600)],
+        "path string, value double, time long",
+    ).write.parquet(f"{root}/points")
+    # ... but the streamed tier finalized bucket `base` without it
+    spark.createDataFrame(
+        [("lt.a", base, 20.0, 40.0, 30.0, 10.0, 2, 30.0)],
+        "path string, time long, avg double, sum double, max double, "
+        "min double, cnt long, last double",
+    ).write.parquet(f"{root}/rollup_hot")
+
+    pts = spark.read.parquet(f"{root}/points")
+    fin = spark.read.parquet(f"{root}/rollup_hot")
+    stale = {
+        (r.path, r.time): r.value
+        for r in serve_rollup(fin, pts, base, base + 4000).collect()
+    }
+    assert stale[("lt.a", base)] == 20.0  # late point invisible
+
+    n = rebuild_rollup_tier(spark, root, precision_s=60)
+    assert n >= 1
+    fin2 = spark.read.parquet(f"{root}/rollup_hot")
+    fresh = {
+        (r.path, r.time): r.value
+        for r in serve_rollup(fin2, pts, base, base + 4000).collect()
+    }
+    want = {
+        (r.path, r.time): r.value
+        for r in rollup(
+            pts.filter((F.col("time") >= base) & (F.col("time") < base + 4000)),
+            precision_s=60,
+        ).collect()
+    }
+    assert fresh == want
+    assert fresh[("lt.a", base)] == pytest.approx((10 + 30 + 999) / 3)
