@@ -1462,6 +1462,35 @@ def q_source_mixture(spark, sf_dir):
     return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance RESAMPLING (datapipe/importance.py): top-100
+    Efraimidis-Spirakis exponential race over the dsir_scores weights
+    — key = ln(u) * exp(-T*log_weight) with u minted from md5's first
+    60 bits of doc_id (portable mode), so the exact selected set is
+    engine-reproducible; doc_id tiebreak pins race-key collisions.
+    TakeOrdered top-n, no full sort, no RNG."""
+    from carbon_clickhouse_spark.datapipe.importance import (
+        importance_log_ratios,
+        importance_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_target = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    )
+    ratios = importance_log_ratios(
+        docs.filter(is_target),
+        docs.filter(~is_target),
+        n=2,
+        num_buckets=4096,
+        portable=True,
+    )
+    out = importance_resample(docs, ratios, 100, exact_decimal=True)
+    return out.select(
+        "doc_id", F.round("log_weight", 4).alias("log_weight")
+    )
+
+
 def q_ccnet_bands(spark, sf_dir):
     """CCNet head/middle/tail banding (Wenzek 2020, datapipe/lm.py:
     perplexity_buckets): corpus-tercile cutoffs on the lm_perplexity
@@ -1712,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         "chunk_docs": q_chunk_documents,
         "dsir_scores": q_dsir_scores,
+        "dsir_resample": q_dsir_resample,
         "ccnet_bands": q_ccnet_bands,
         "source_mixture": q_source_mixture,
     }
@@ -1791,9 +1821,31 @@ def oracle_sql() -> dict[str, str]:
           FROM occ o JOIN ratios r USING (bucket) GROUP BY o.doc_id
         )
         SELECT d.doc_id,
-               round(CAST(COALESCE(w.lw, 0) AS DOUBLE), 4) AS log_weight
+               CAST(COALESCE(w.lw, 0) AS DOUBLE) AS lw
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN w USING (doc_id)
+    """
+
+    # one core, two graded views: the scores table and the
+    # Efraimidis-Spirakis resample over the same unrounded weights
+    dsir_scores_sql = (
+        f"SELECT doc_id, round(lw, 4) AS log_weight FROM ({dsir_sql})"
+    )
+    md5_60_id = md5_60.replace("substr(h,", "substr(hh,")
+    dsir_resample_sql = f"""
+        WITH core AS ({dsir_sql}),
+        hs AS (
+          SELECT doc_id, lw, md5(CAST(doc_id AS VARCHAR)) AS hh FROM core
+        ),
+        race AS (
+          SELECT doc_id, lw,
+                 ln((({md5_60_id} % 9007199254740992) + 0.5)
+                    / 9007199254740992.0)
+                 * exp(-(1.0) * lw) AS rk
+          FROM hs
+        )
+        SELECT doc_id, round(lw, 4) AS log_weight
+        FROM race ORDER BY rk DESC, doc_id ASC LIMIT 100
     """
 
     oracles = {
@@ -2781,7 +2833,8 @@ def oracle_sql() -> dict[str, str]:
                (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(31) || '0' || chr(31) || '0'), 1, 4)) AS BIGINT) % 10000)
                < round((r.rate - floor(r.rate)) * 10000))
     """
-    oracles["dsir_scores"] = dsir_sql
+    oracles["dsir_scores"] = dsir_scores_sql
+    oracles["dsir_resample"] = dsir_resample_sql
     ivf = _ivf_oracle_sql()
     if ivf:
         oracles["ann_ivf"] = ivf

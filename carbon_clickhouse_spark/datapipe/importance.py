@@ -205,24 +205,35 @@ def importance_resample(
     temperature: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Select ``n_select`` documents with probability ~ importance
     weight, WITHOUT replacement, deterministically: the
     Efraimidis–Spirakis exponential race — key = ln(u) / w with
     u = uniform(0,1), take the n largest keys — where u derives from
-    ``xxhash64(doc_id)`` so the sample is reproducible bit-for-bit.
-    ``temperature`` flattens (<1) or sharpens (>1) the weights, per
-    DSIR's practical smoothing. Returns the selected rows with
-    ``log_weight`` attached.
+    a hash of ``doc_id`` so the sample is reproducible bit-for-bit
+    (``xxhash64``, or md5's first 60 bits when the ratio table was
+    built ``portable`` — then an external engine reproduces the exact
+    sample). ``temperature`` flattens (<1) or sharpens (>1) the
+    weights, per DSIR's practical smoothing. Returns the selected
+    rows with ``log_weight`` attached.
 
     The top-n is a ``sort + limit`` — Spark executes it as per-
     partition TakeOrdered + a single merge of n-row heads, not a full
     shuffle sort."""
-    w = importance_weights(docs, log_ratios, text_col, id_col)
+    _n, _b, portable = _ratio_params(log_ratios)
+    w = importance_weights(
+        docs, log_ratios, text_col, id_col, exact_decimal=exact_decimal
+    )
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col("doc_id"))
     # u in (0,1): 53 mantissa-safe bits of the id hash
     u = (
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 53)).cast("double")
-        + F.lit(0.5)
+        F.pmod(h, F.lit(1 << 53)).cast("double") + F.lit(0.5)
     ) / F.lit(float(1 << 53))
     # ln(key) = ln(u) / w, w = exp(temperature * log_weight); in log
     # space: ln(u) * exp(-temperature * log_weight) — finite for any
@@ -230,7 +241,10 @@ def importance_resample(
     race = F.log(u) * F.exp(-F.lit(temperature) * F.col("log_weight"))
     ranked = w.withColumn("__race", race)
     chosen = (
-        ranked.orderBy(F.col("__race").desc())
+        # doc_id tiebreak: a race-key collision (astronomically rare
+        # but possible) must not make the selected set depend on
+        # partition order
+        ranked.orderBy(F.col("__race").desc(), F.col("doc_id").asc())
         .limit(n_select)
         .select(
             F.col("doc_id").alias("__sel_id"),
