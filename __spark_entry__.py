@@ -1491,6 +1491,31 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_train_order(spark, sf_dir):
+    """Deterministic training order (datapipe/pack.py:
+    deterministic_shuffle, portable mode): every doc gets an
+    md5-derived order key, a shard = key mod 16, and its position
+    within the shard — one fixed permutation of the corpus on any
+    cluster size, layout, or re-run, verified position-for-position
+    against the oracle."""
+    from pyspark.sql import Window
+
+    from carbon_clickhouse_spark.datapipe.pack import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(
+        docs, seed=7, n_shards=16, portable=True
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return out.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
 def q_ccnet_bands(spark, sf_dir):
     """CCNet head/middle/tail banding (Wenzek 2020, datapipe/lm.py:
     perplexity_buckets): corpus-tercile cutoffs on the lm_perplexity
@@ -1742,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_documents,
         "dsir_scores": q_dsir_scores,
         "dsir_resample": q_dsir_resample,
+        "train_order": q_train_order,
         "ccnet_bands": q_ccnet_bands,
         "source_mixture": q_source_mixture,
     }
@@ -2832,6 +2858,24 @@ def oracle_sql() -> dict[str, str]:
            OR (r.rate - floor(r.rate) > 1e-9 AND
                (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(31) || '0' || chr(31) || '0'), 1, 4)) AS BIGINT) % 10000)
                < round((r.rate - floor(r.rate)) * 10000))
+    """
+    oracles["train_order"] = r"""
+        WITH h AS (
+          SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS hh
+          FROM (SELECT DISTINCT doc_id FROM documents)
+        ),
+        k AS (
+          SELECT doc_id, ((CAST(strpos('0123456789abcdef', substr(hh, 1, 1)) - 1 AS BIGINT) * 72057594037927936) + (CAST(strpos('0123456789abcdef', substr(hh, 2, 1)) - 1 AS BIGINT) * 4503599627370496) + (CAST(strpos('0123456789abcdef', substr(hh, 3, 1)) - 1 AS BIGINT) * 281474976710656) + (CAST(strpos('0123456789abcdef', substr(hh, 4, 1)) - 1 AS BIGINT) * 17592186044416) + (CAST(strpos('0123456789abcdef', substr(hh, 5, 1)) - 1 AS BIGINT) * 1099511627776) + (CAST(strpos('0123456789abcdef', substr(hh, 6, 1)) - 1 AS BIGINT) * 68719476736) + (CAST(strpos('0123456789abcdef', substr(hh, 7, 1)) - 1 AS BIGINT) * 4294967296) + (CAST(strpos('0123456789abcdef', substr(hh, 8, 1)) - 1 AS BIGINT) * 268435456) + (CAST(strpos('0123456789abcdef', substr(hh, 9, 1)) - 1 AS BIGINT) * 16777216) + (CAST(strpos('0123456789abcdef', substr(hh, 10, 1)) - 1 AS BIGINT) * 1048576) + (CAST(strpos('0123456789abcdef', substr(hh, 11, 1)) - 1 AS BIGINT) * 65536) + (CAST(strpos('0123456789abcdef', substr(hh, 12, 1)) - 1 AS BIGINT) * 4096) + (CAST(strpos('0123456789abcdef', substr(hh, 13, 1)) - 1 AS BIGINT) * 256) + (CAST(strpos('0123456789abcdef', substr(hh, 14, 1)) - 1 AS BIGINT) * 16) + (CAST(strpos('0123456789abcdef', substr(hh, 15, 1)) - 1 AS BIGINT) * 1)) AS order_key FROM h
+        ),
+        sh AS (
+          SELECT doc_id, order_key,
+                 CAST(order_key % 16 AS INT) AS shard
+          FROM k
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY order_key, doc_id) AS INT) AS pos
+        FROM sh
     """
     oracles["dsir_scores"] = dsir_scores_sql
     oracles["dsir_resample"] = dsir_resample_sql

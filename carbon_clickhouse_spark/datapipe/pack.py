@@ -239,6 +239,7 @@ def deterministic_shuffle(
     key: str = "doc_id",
     seed: int = 0,
     n_shards: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Global pseudo-random training order, reproducibly: every row
     gets ``order_key = xxhash64(seed, key)``; its shard is
@@ -254,8 +255,21 @@ def deterministic_shuffle(
     boundaries, which silently changes shard contents between runs).
     A new epoch is a new ``seed``. Write with
     ``.write.partitionBy("shard")`` to get per-shard files a data
-    loader streams in order."""
-    k = F.xxhash64(F.lit(seed).cast("long"), F.col(key))
+    loader streams in order.
+
+    ``portable=True`` derives the order key from md5's first 60 bits
+    (the engine-portable family) instead of ``xxhash64`` — an
+    external engine reproduces the exact permutation (oracle mode)."""
+    if portable:
+        k = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        k = F.xxhash64(F.lit(seed).cast("long"), F.col(key))
     out = df.withColumn("order_key", k).withColumn(
         "shard", F.pmod(F.col("order_key"), F.lit(n_shards)).cast("int")
     )
