@@ -2857,7 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE floor(r.rate) >= 1
            OR (r.rate - floor(r.rate) > 1e-9 AND
                (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(31) || '0' || chr(31) || '0'), 1, 4)) AS BIGINT) % 10000)
-               < round((r.rate - floor(r.rate)) * 10000))
+               < floor((r.rate - floor(r.rate)) * 10000 + 0.5))
     """
     oracles["train_order"] = r"""
         WITH h AS (

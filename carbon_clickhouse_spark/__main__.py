@@ -233,11 +233,30 @@ def launch(
             ]
         )
         pts = spark.readStream.schema(pts_schema).parquet(points_path)
+        tier_path = os.path.join(tables, "rollup_hot")
+        os.makedirs(tier_path, exist_ok=True)
+        # precision sidecar: rebuild_rollup_tier / --compact re-derive
+        # the bucket width from the tier itself instead of trusting a
+        # repeated flag ("_"-prefixed files are invisible to parquet
+        # readers)
+        with open(os.path.join(tier_path, "_precision"), "w") as fh:
+            fh.write(str(int(continuous_rollup)))
+
+        from .streaming.ingest import _table_lock
+
+        def _append_tier(batch, _bid):
+            # foreachBatch plain append, NOT a streaming file sink: a
+            # file sink's _spark_metadata log would make any batch
+            # maintenance rewrite (rebuild_rollup_tier) invisible to
+            # batch readers; the per-table lock keeps appends from
+            # interleaving with that rewrite
+            with _table_lock(tier_path):
+                batch.write.mode("append").parquet(tier_path)
+
         queries.append(
             _crollup(pts, precision_s=continuous_rollup)
             .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", os.path.join(tables, "rollup_hot"))
+            .foreachBatch(_append_tier)
             .option(
                 "checkpointLocation",
                 os.path.join(base, "checkpoints", "rollup_hot"),
@@ -624,22 +643,24 @@ def main(argv=None) -> int:
             if os.path.exists(path):
                 compact_replacing(spark, path, keys)
                 print(f"compacted {table} (replacing dedup)", flush=True)
+        if os.path.exists(os.path.join(args.compact, "rollup_hot")):
+            # refresh the continuous-rollup serving tier from the
+            # durable points BEFORE those points are physically
+            # rolled up below (the tier must aggregate raw points);
+            # precision comes from the tier's _precision sidecar
+            # unless the flag overrides it
+            from .streaming.analytics import rebuild_rollup_tier
+
+            n = rebuild_rollup_tier(
+                spark, args.compact,
+                precision_s=args.continuous_rollup or None,
+            )
+            print(f"rebuilt rollup_hot ({n} buckets)", flush=True)
         for table in ("points", "points_reverse"):
             path = os.path.join(args.compact, table)
             if os.path.exists(path):
                 compact_rollup(spark, path, rules=rules, months=months)
                 print(f"compacted {table} (rollup)", flush=True)
-        if os.path.exists(os.path.join(args.compact, "rollup_hot")):
-            # refresh the continuous-rollup serving tier from the
-            # durable points: folds late arrivals (past the stream's
-            # watermark) into their buckets
-            from .streaming.analytics import rebuild_rollup_tier
-
-            n = rebuild_rollup_tier(
-                spark, args.compact,
-                precision_s=args.continuous_rollup or 60,
-            )
-            print(f"rebuilt rollup_hot ({n} buckets)", flush=True)
         return 0
     if not args.config:
         ap.error("--config is required (unless --cat/--recover/--compact)")

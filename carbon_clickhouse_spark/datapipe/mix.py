@@ -144,9 +144,14 @@ def mix_sources(
         for e in range(full):
             legs.append(src.withColumn("epoch", F.lit(e)))
         if frac > 1e-9:
+            # half-UP cutoff (floor(x+0.5)), not Python's banker's
+            # round: engine-reproducible — SQL round() on positives is
+            # half-up, so an external engine keeps the same buckets
+            # even when frac*_BUCKETS lands exactly on .5
             legs.append(
-                src.filter(bucket(full) < int(round(frac * _BUCKETS)))
-                .withColumn("epoch", F.lit(full))
+                src.filter(
+                    bucket(full) < int(math.floor(frac * _BUCKETS + 0.5))
+                ).withColumn("epoch", F.lit(full))
             )
     if not legs:
         raise ValueError("mixture is empty: no source had a positive rate")

@@ -71,10 +71,23 @@ def continuous_rollup(
     )
 
 
+def tier_precision(root: str) -> int | None:
+    """Bucket width recorded by the launcher beside the tier
+    (``rollup_hot/_precision`` — "_"-prefixed, invisible to parquet
+    readers). None when the sidecar is absent."""
+    import os
+
+    try:
+        with open(os.path.join(root, "rollup_hot", "_precision")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 def rebuild_rollup_tier(
     spark,
     root: str,
-    precision_s: int = 60,
+    precision_s: int | None = None,
     up_to: int | None = None,
 ) -> int:
     """Batch refresh of ``<root>/rollup_hot`` from the durable points
@@ -82,28 +95,43 @@ def rebuild_rollup_tier(
     the stream's ``late_allowance``, which reached the store but not
     their already-finalized bucket) back into the serving tier.
 
+    ``precision_s`` defaults to the tier's recorded ``_precision``
+    sidecar — a refresh can't silently re-bucket a 300 s tier at 60 s
+    because the operator forgot a flag (explicit argument wins).
+
     Recomputes every bucket strictly below ``up_to`` (default: the
-    tier's current horizon, so the refresh never races buckets the
-    stream may still emit) with the exact aggregate set the stream
-    writes, and atomically overwrites the tier. Returns the number of
-    bucket rows written. Run it from the same cron/cycle as
-    ``--compact`` — after a refresh, ``serve_rollup`` history equals a
-    batch rollup over the store, late points included.
+    tier's horizon at call time) with the exact aggregate set the
+    stream writes. The commit runs under the same per-table lock the
+    streaming ``foreachBatch`` appender takes, and any bucket the
+    stream finalized at/after ``up_to`` in the meantime is carried
+    over verbatim — the refresh never deletes a bucket it did not
+    recompute. Returns the number of recomputed bucket rows. Run it
+    BEFORE any physical rollup compaction of the points table in the
+    same cycle (``--compact`` does) so the tier aggregates raw points,
+    not already-collapsed ones; after a refresh, ``serve_rollup``
+    history equals a batch rollup over the store, late points
+    included.
     """
     import os
 
     from ..operators.compaction import _atomic_overwrite
+    from .ingest import _table_lock
 
+    if precision_s is None:
+        precision_s = tier_precision(root) or 60
     pts_path = os.path.join(root, "points")
     tier_path = os.path.join(root, "rollup_hot")
+
+    def _tier():
+        try:
+            return spark.read.parquet(tier_path)
+        except Exception:  # noqa: BLE001 — no tier yet
+            return None
+
     pts = spark.read.parquet(pts_path)
     if up_to is None:
-        try:
-            up_to = rollup_horizon(
-                spark.read.parquet(tier_path), precision_s
-            )
-        except Exception:  # noqa: BLE001 — no tier yet: build it all
-            up_to = None
+        t = _tier()
+        up_to = rollup_horizon(t, precision_s) if t is not None else None
     if up_to is None:
         row = pts.agg(F.max("time").alias("m")).collect()[0]
         if row["m"] is None:
@@ -122,9 +150,28 @@ def rebuild_rollup_tier(
             F.count(F.lit(1)).alias("cnt"),
             F.max_by("value", F.col("__t")).alias("last"),
         )
+        .persist()
     )
-    _atomic_overwrite(spark, rebuilt, tier_path)
-    return spark.read.parquet(tier_path).count()
+    try:
+        n = rebuilt.count()  # materialize once; the write reuses it
+        with _table_lock(tier_path):
+            out = rebuilt
+            t = _tier()
+            if t is not None:
+                # buckets the stream finalized past our snapshot are
+                # preserved verbatim (appends hold the same lock, so
+                # nothing lands mid-overwrite)
+                out = rebuilt.unionByName(
+                    t.filter(F.col("time") >= up_to).select(*rebuilt.columns)
+                )
+            _atomic_overwrite(spark, out, tier_path)
+            # the overwrite clears the directory: restore the
+            # precision sidecar for the next maintenance cycle
+            with open(os.path.join(tier_path, "_precision"), "w") as fh:
+                fh.write(str(int(precision_s)))
+    finally:
+        rebuilt.unpersist()
+    return n
 
 
 def rollup_horizon(finalized: DataFrame, precision_s: int = 60) -> int | None:

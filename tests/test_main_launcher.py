@@ -567,3 +567,10 @@ enabled = true
     b = rows[base]
     assert b["avg"] == 20.0 and b["cnt"] == 2 and b["last"] == 30.0
     assert spark.read.parquet(f"{root}/points").count() == 3
+    # the tier is a PLAIN parquet dir (foreachBatch append), not a
+    # streaming file sink: a _spark_metadata log would make the batch
+    # rebuild (rebuild_rollup_tier) invisible to batch readers
+    assert not os.path.exists(f"{root}/rollup_hot/_spark_metadata")
+    # precision sidecar recorded for maintenance cycles
+    from carbon_clickhouse_spark.streaming.analytics import tier_precision
+    assert tier_precision(root) == 60

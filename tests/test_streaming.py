@@ -1058,3 +1058,41 @@ def test_rebuild_rollup_tier_folds_late_points(spark, tmp_path):
     }
     assert fresh == want
     assert fresh[("lt.a", base)] == pytest.approx((10 + 30 + 999) / 3)
+
+
+def test_rebuild_preserves_newer_buckets_and_sidecar(spark, tmp_path):
+    """rebuild_rollup_tier never deletes a bucket it did not
+    recompute: buckets at/after up_to (finalized by the stream while
+    the rebuild ran) carry over verbatim; the precision sidecar
+    drives the bucket width and survives the overwrite."""
+    import os
+
+    from carbon_clickhouse_spark.streaming.analytics import (
+        rebuild_rollup_tier,
+        tier_precision,
+    )
+
+    base = 1_625_400_000
+    root = str(tmp_path / "tables")
+    spark.createDataFrame(
+        [("nb.a", 10.0, base), ("nb.a", 30.0, base + 100)],
+        "path string, value double, time long",
+    ).write.parquet(f"{root}/points")
+    spark.createDataFrame(
+        [("nb.a", base, 99.0, 99.0, 99.0, 99.0, 1, 99.0),
+         # a bucket past up_to, as if the stream finalized it mid-rebuild
+         ("nb.a", base + 300, 7.0, 7.0, 7.0, 7.0, 1, 7.0)],
+        "path string, time long, avg double, sum double, max double, "
+        "min double, cnt long, last double",
+    ).write.parquet(f"{root}/rollup_hot")
+    os.makedirs(f"{root}/rollup_hot", exist_ok=True)
+    with open(f"{root}/rollup_hot/_precision", "w") as fh:
+        fh.write("300")
+
+    # precision_s=None -> sidecar's 300s buckets
+    n = rebuild_rollup_tier(spark, root, up_to=base + 300)
+    assert n == 1  # one 300s bucket recomputed (both points in it)
+    rows = {r.time: r for r in spark.read.parquet(f"{root}/rollup_hot").collect()}
+    assert rows[base].cnt == 2 and rows[base].avg == 20.0  # recomputed
+    assert rows[base + 300].avg == 7.0  # carried over, not deleted
+    assert tier_precision(root) == 300  # sidecar restored
