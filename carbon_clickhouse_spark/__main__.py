@@ -305,10 +305,26 @@ def serve_api(root: str, spark, host: str = "127.0.0.1", port: int = 0):
             _os.path.join(root, _os.pardir, "exists_cache.epoch")
         )
     )
+    # continuous-rollup serving tier (when --continuous-rollup wrote
+    # one): maxDataPoints consolidation of plain-path targets then
+    # reads pre-aggregated buckets instead of re-averaging raw points
+    rollup_hot = None
+    rollup_precision = None
+    hot_path = _os.path.join(root, "rollup_hot")
+    if _os.path.isdir(hot_path):
+        from .streaming.analytics import tier_precision
+
+        rollup_precision = tier_precision(root)
+        if rollup_precision:
+            try:
+                rollup_hot = spark.read.parquet(hot_path)
+            except Exception:  # noqa: BLE001 — empty tier dir
+                rollup_hot = None
     return RenderApi(
         GraphiteStore(
             index, points, tagged=tagged, dropped=dropped, events=events,
             cache_ctl=cache_ctl,
+            rollup_hot=rollup_hot, rollup_precision=rollup_precision,
         ),
         host=host,
         port=port,

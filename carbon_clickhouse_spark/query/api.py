@@ -379,6 +379,8 @@ class GraphiteStore:
         dropped: DataFrame | None = None,
         events: object | None = None,
         cache_ctl=None,
+        rollup_hot: DataFrame | None = None,
+        rollup_precision: int | None = None,
     ):
         self.index = index
         self.points = points
@@ -391,6 +393,36 @@ class GraphiteStore:
         #: streaming.exists_cache.ExistsCacheControl (optional): its
         #: reset_version() scopes the /debug/upload cache dump
         self.cache_ctl = cache_ctl
+        #: continuous-rollup serving tier (optional): maxDataPoints
+        #: consolidation of plain-path targets reads pre-aggregated
+        #: buckets from it instead of re-averaging raw points
+        self.rollup_hot = rollup_hot
+        self.rollup_precision = rollup_precision
+
+    def series_consolidated(
+        self, glob: str, t0: int, t1: int, step: int
+    ) -> DataFrame | None:
+        """Average-consolidated series at ``step`` from the hot-rollup
+        tier (history = pre-aggregated buckets, only post-horizon raw
+        points re-aggregate). None when the tier can't serve this
+        request (no tier, or ``step`` off the tier's grid) — caller
+        falls back to raw fetch + post-consolidation."""
+        if (
+            self.rollup_hot is None
+            or not self.rollup_precision
+            or step % self.rollup_precision
+        ):
+            return None
+        from ..streaming.analytics import serve_rollup_avg
+
+        if not any(c in glob for c in "*?[{"):
+            paths = [glob]
+        else:
+            paths = [p for p, leaf in self.find(glob) if leaf]
+        return serve_rollup_avg(
+            self.rollup_hot, self.points, t0, t1 + 1, step,
+            precision_s=self.rollup_precision, paths=paths,
+        )
 
     def cache_dump(self, table: str, limit: int = 100_000) -> list[str] | None:
         """The reference's ``/debug/upload/<table>/cache/`` dump
@@ -1425,45 +1457,65 @@ class RenderApi:
                         mdp = q.get("maxDataPoints", [None])[0]
                         for target in q.get("target", []):
                             ctx: dict = {}
-                            df = evaluate_target(
-                                parse_target(target), store, t0, t1, ctx
-                            )
-                            if mdp:
-                                # Grafana sends maxDataPoints on every
-                                # request: consolidate to fit, honoring
-                                # consolidateBy (default avg, like
-                                # graphite-web)
+                            parsed = parse_target(target)
+                            df = None
+                            if mdp and isinstance(parsed, str):
+                                # plain-path target + maxDataPoints:
+                                # serve from the pre-aggregated hot
+                                # rollup tier when its grid fits (a
+                                # bare path carries no consolidateBy
+                                # hint, so avg semantics match)
                                 step = max(
                                     1, (t1 - t0) // max(1, int(mdp))
                                 )
                                 if step > 1:
-                                    cons = {
-                                        "sum": F.sum,
-                                        "min": F.min,
-                                        "max": F.max,
-                                        "first": lambda c: F.min_by(
-                                            c, F.col("__t")
-                                        ),
-                                        "last": lambda c: F.max_by(
-                                            c, F.col("__t")
-                                        ),
-                                    }.get(
-                                        ctx.get("consolidate", "average"),
-                                        F.avg,
+                                    df = store.series_consolidated(
+                                        parsed, t0, t1, step
                                     )
-                                    df = (
-                                        df.select(
-                                            "path",
-                                            F.col("time").alias("__t"),
-                                            (
-                                                F.col("time")
-                                                - (F.col("time") % step)
-                                            ).alias("time"),
-                                            "value",
+                            if df is not None:
+                                pass  # tier already consolidated
+                            else:
+                                df = evaluate_target(
+                                    parsed, store, t0, t1, ctx
+                                )
+                                if mdp:
+                                    # Grafana sends maxDataPoints on
+                                    # every request: consolidate to
+                                    # fit, honoring consolidateBy
+                                    # (default avg, like graphite-web)
+                                    step = max(
+                                        1, (t1 - t0) // max(1, int(mdp))
+                                    )
+                                    if step > 1:
+                                        cons = {
+                                            "sum": F.sum,
+                                            "min": F.min,
+                                            "max": F.max,
+                                            "first": lambda c: F.min_by(
+                                                c, F.col("__t")
+                                            ),
+                                            "last": lambda c: F.max_by(
+                                                c, F.col("__t")
+                                            ),
+                                        }.get(
+                                            ctx.get(
+                                                "consolidate", "average"
+                                            ),
+                                            F.avg,
                                         )
-                                        .groupBy("path", "time")
-                                        .agg(cons("value").alias("value"))
-                                    )
+                                        df = (
+                                            df.select(
+                                                "path",
+                                                F.col("time").alias("__t"),
+                                                (
+                                                    F.col("time")
+                                                    - (F.col("time") % step)
+                                                ).alias("time"),
+                                                "value",
+                                            )
+                                            .groupBy("path", "time")
+                                            .agg(cons("value").alias("value"))
+                                        )
                             # keep the frame's own row order so the
                             # sortBy* family orders the series list;
                             # unordered frames fall back to name order

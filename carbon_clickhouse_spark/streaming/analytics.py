@@ -71,6 +71,58 @@ def continuous_rollup(
     )
 
 
+def serve_rollup_avg(
+    finalized: DataFrame,
+    raw_points: DataFrame,
+    time_from: int,
+    time_until: int,
+    step: int,
+    precision_s: int = 60,
+    paths: list[str] | None = None,
+) -> DataFrame:
+    """Average-consolidated merged read at a coarser ``step`` (a
+    multiple of the tier precision) — the serving shape behind the
+    render facade's ``maxDataPoints``: history buckets re-aggregate
+    EXACTLY (sum-of-sums / sum-of-cnts equals the average of the
+    underlying raw points), only raw points past the horizon are
+    touched. Output: ``(path, time, value)`` on the ``step`` grid.
+    """
+    if step % precision_s:
+        raise ValueError(
+            f"step {step} must be a multiple of tier precision {precision_s}"
+        )
+    from_aligned = time_from - (time_from % step)
+    horizon = rollup_horizon(finalized, precision_s)
+    if horizon is None:
+        horizon = from_aligned
+    # split on the STEP grid: a coarse bucket must come whole from one
+    # tier (raw covers the tail fine buckets the tier also has — fine,
+    # the values agree)
+    horizon = min(max(horizon - (horizon % step), from_aligned), time_until)
+
+    hist = finalized.filter(
+        (F.col("time") >= from_aligned) & (F.col("time") < horizon)
+    )
+    hot = raw_points.filter(
+        (F.col("time") >= horizon) & (F.col("time") < time_until)
+    )
+    if paths is not None:
+        hist = hist.filter(F.col("path").isin(paths))
+        hot = hot.filter(F.col("path").isin(paths))
+    coarse = (F.col("time") - (F.col("time") % step)).alias("time")
+    hist = (
+        hist.select("path", coarse, "sum", "cnt")
+        .groupBy("path", "time")
+        .agg((F.sum("sum") / F.sum("cnt")).alias("value"))
+    )
+    hot = (
+        hot.select("path", coarse, "value")
+        .groupBy("path", "time")
+        .agg(F.avg("value").alias("value"))
+    )
+    return hist.unionByName(hot)
+
+
 def tier_precision(root: str) -> int | None:
     """Bucket width recorded by the launcher beside the tier
     (``rollup_hot/_precision`` — "_"-prefixed, invisible to parquet

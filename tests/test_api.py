@@ -735,3 +735,60 @@ def test_cache_dump_endpoint(spark, tmp_path):
         assert status == 200 and body == ""
     finally:
         api.stop()
+
+
+def test_maxdatapoints_serves_from_hot_rollup_tier(spark, tmp_path):
+    """A plain-path /render with maxDataPoints reads history from the
+    pre-aggregated rollup tier: a bucket whose tier row deliberately
+    differs from the raw points proves the consolidated response came
+    from the tier, while post-horizon buckets aggregate raw points;
+    function targets and raw (no-mdp) requests keep raw semantics."""
+    base = 1_625_400_000
+    idx = spark.createDataFrame(
+        [("hr.a", 20002)], "path string, level int"
+    )
+    pts = spark.createDataFrame(
+        [("hr.a", base, 10.0), ("hr.a", base + 30, 30.0),
+         ("hr.a", base + 600, 7.0)],
+        "path string, time long, value double",
+    ).select("path", "time", "value")
+    # tier: bucket `base` stored with sum=100/cnt=2 (differs from the
+    # raw 10+30 on purpose); horizon = base+120
+    fin = spark.createDataFrame(
+        [("hr.a", base, 50.0, 100.0, 60.0, 40.0, 2, 60.0)],
+        "path string, time long, avg double, sum double, max double, "
+        "min double, cnt long, last double",
+    )
+    store = GraphiteStore(
+        idx, pts, rollup_hot=fin, rollup_precision=60
+    )
+    api = RenderApi(store).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}{path}"
+            ) as resp:
+                return json.loads(resp.read())
+
+        t0, t1 = base, base + 1200
+        # (t1-t0)//20 = 60s step = the tier grid
+        s = get(
+            f"/render?target=hr.a&from={t0}&until={t1}"
+            "&maxDataPoints=20&format=json"
+        )
+        got = {t: v for v, t in s[0]["datapoints"]}
+        assert got[base] == 50.0        # tier value, not raw avg 20.0
+        assert got[base + 600] == 7.0   # hot tier from raw points
+        # no maxDataPoints -> raw points, tier untouched
+        s2 = get(f"/render?target=hr.a&from={t0}&until={t1}&format=json")
+        got2 = {t: v for v, t in s2[0]["datapoints"]}
+        assert got2[base] == 10.0 and got2[base + 30] == 30.0
+        # a function target falls back to raw + post-consolidation
+        s3 = get(
+            f"/render?target=scale(hr.a,1)&from={t0}&until={t1}"
+            "&maxDataPoints=20&format=json"
+        )
+        got3 = {t: v for v, t in s3[0]["datapoints"]}
+        assert got3[base] == 20.0  # raw avg of 10,30
+    finally:
+        api.stop()
