@@ -1462,6 +1462,20 @@ def q_source_mixture(spark, sf_dir):
     return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
 
 
+def q_cluster_curation(spark, sf_dir):
+    """DCLM-style cluster curation (datapipe/curation.py): assign
+    every embedding to its max-inner-product centroid (seed = the 8
+    smallest-id vectors, both sides half-up int-quantized so the dot
+    products are exact on any engine; ties break to the lowest
+    centroid id) and rebalance clusters to the smallest one with
+    deterministic md5-bucket keep flags. One scan + broadcast k x d
+    matmul, one k-row aggregate, zero joins."""
+    from carbon_clickhouse_spark.datapipe.curation import cluster_curation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_curation(emb, k=8)
+
+
 def q_dsir_resample(spark, sf_dir):
     """DSIR importance RESAMPLING (datapipe/importance.py): top-100
     Efraimidis-Spirakis exponential race over the dsir_scores weights
@@ -1770,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "ccnet_bands": q_ccnet_bands,
         "source_mixture": q_source_mixture,
+        "cluster_curation": q_cluster_curation,
     }
 
 
@@ -2876,6 +2891,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY shard
                     ORDER BY order_key, doc_id) AS INT) AS pos
         FROM sh
+    """
+    oracles["cluster_curation"] = f"""
+        WITH q AS ({QVEC_SQL}),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                 q AS c
+          FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 8)
+        ),
+        dots AS (
+          SELECT q.vec_id, cent.cid, {_dot_sql('q.q', 'cent.c')} AS dot
+          FROM q CROSS JOIN cent
+        ),
+        assigned AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, cid) AS rn
+            FROM dots
+          ) WHERE rn = 1
+        ),
+        sizes AS (SELECT cluster, count(*) AS n FROM assigned GROUP BY cluster),
+        tgt AS (SELECT min(n) AS t FROM sizes),
+        rates AS (
+          SELECT cluster,
+                 least(10000, CAST(floor(CAST(t AS DOUBLE) / n * 10000 + 0.5) AS BIGINT)) AS rb
+          FROM sizes, tgt
+        )
+        SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+               CAST(CASE WHEN (CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000) < r.rb
+                    THEN 1 ELSE 0 END AS INT) AS kept
+        FROM assigned a JOIN rates r USING (cluster)
     """
     oracles["dsir_scores"] = dsir_scores_sql
     oracles["dsir_resample"] = dsir_resample_sql

@@ -1,0 +1,153 @@
+"""Cluster-balanced curation (datapipe/curation.py): exact integer
+assignment, half-up quantization parity, deterministic balanced
+sampling."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from carbon_clickhouse_spark.datapipe.curation import (
+    _BUCKETS,
+    assign_clusters,
+    balance_rates,
+    cluster_balanced_keep,
+    cluster_curation,
+    seed_centroids,
+)
+
+
+def _emb_df(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], schema
+    )
+
+
+def test_assignment_known_clusters(spark):
+    # two orthogonal directions; ids 0/1 seed the centroids
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # near centroid 0
+        (3, [0.1, 0.9, 0.0, 0.0]),   # near centroid 1
+        (4, [-1.0, 2.0, 0.0, 0.0]),  # strongly centroid 1
+    ]
+    df = _emb_df(spark, rows)
+    cent = seed_centroids(df, 2)
+    assert cent == [[1000, 0, 0, 0], [0, 1000, 0, 0]]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(
+            df, [[c / 1000 for c in v] for v in cent]
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 1}
+
+
+def test_argmax_tie_breaks_to_lowest_centroid(spark):
+    # equidistant from both centroids -> cluster 0 (oracle: ORDER BY
+    # dot DESC, cid)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.5, 0.5]),
+    ]
+    df = _emb_df(spark, rows)
+    cent = seed_centroids(df, 2)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(
+            df, [[c / 1000 for c in v] for v in cent]
+        ).collect()
+    }
+    assert got[2] == 0
+
+
+def test_halfup_quantization_parity(spark):
+    """float32 0.0625 * 1000 = 62.5 exactly: Spark/DuckDB round
+    half-up to 63; np.rint would give 62.  The numpy twin must match
+    the Spark expression."""
+    from carbon_clickhouse_spark.datapipe.curation import _quantize_np
+    from carbon_clickhouse_spark.datapipe.similarity import quantize
+
+    import numpy as np
+
+    vals = [0.0625, -0.0625, 0.0635, 0.1875, -0.1875, 0.2, -0.3]
+    df = _emb_df(spark, [(0, vals)])
+    spark_q = df.select(quantize(F.col("embedding")).alias("q")).collect()[0]["q"]
+    np_q = _quantize_np(np.asarray(vals, dtype=np.float32), 1000).tolist()
+    assert list(spark_q) == np_q
+    assert np_q[0] == 63 and np_q[1] == -63  # the tie cases
+
+
+def test_balance_rates_floor_and_cap():
+    rates = balance_rates({0: 100, 1: 300, 2: 50})
+    assert rates[2] == _BUCKETS          # smallest cluster keeps all
+    assert rates[0] == 5000              # 50/100
+    assert rates[1] == 1667              # floor(50/300*10000+0.5)
+    assert balance_rates({0: 10}, target=100)[0] == _BUCKETS  # capped
+    assert balance_rates({}) == {}
+
+
+def test_cluster_balanced_keep_semantics(spark):
+    # cluster 1 is 4x over-represented: expect ~25% kept, cluster 0 all
+    rows = [(i, [1.0, 0.0]) for i in range(40)] + [
+        (100 + i, [0.0, 1.0]) for i in range(10)
+    ]
+    df = _emb_df(spark, [(i, v) for i, v in rows])
+    cent = [[0.0, 1.0], [1.0, 0.0]]  # cluster 0 = y-axis (small side)
+    assigned = assign_clusters(df, cent)
+    out = cluster_balanced_keep(assigned).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["kept"])
+    assert all(k == 1 for k in by_cluster[0])  # smallest: all kept
+    kept_big = sum(by_cluster[1])
+    assert 0 < kept_big < len(by_cluster[1])   # genuinely downsampled
+    # deterministic under layout changes
+    out2 = cluster_balanced_keep(
+        assign_clusters(df.repartition(7), cent)
+    ).collect()
+    assert sorted((r["vec_id"], r["cluster"], r["kept"]) for r in out) == sorted(
+        (r["vec_id"], r["cluster"], r["kept"]) for r in out2
+    )
+
+
+def test_float_centroid_path(spark):
+    """scale=None accepts float centroids (e.g. train_ivf_centroids
+    output) and assigns well-separated data identically."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+    ]
+    df = _emb_df(spark, rows)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(
+            df, [[1.0, 0.0], [0.0, 1.0]], scale=None
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_cluster_curation_end_to_end(spark):
+    rows = [(i, [1.0, float(i % 3) / 10]) for i in range(30)]
+    df = _emb_df(spark, rows)
+    out = cluster_curation(df, k=3)
+    assert out.columns == ["vec_id", "cluster", "kept"]
+    got = out.collect()
+    assert len(got) == 30
+    assert all(r["kept"] in (0, 1) for r in got)
+
+
+def test_seed_centroids_validation(spark):
+    df = _emb_df(spark, [(0, [1.0])])
+    with pytest.raises(ValueError):
+        seed_centroids(df, 0)
+    with pytest.raises(ValueError):
+        seed_centroids(df.filter("vec_id < 0"), 2)
