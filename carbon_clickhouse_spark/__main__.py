@@ -509,6 +509,17 @@ def main(argv=None) -> int:
         "to keep (head = lowest perplexity)",
     )
     ap.add_argument(
+        "--cluster-balance", default=None, metavar="EMB_PARQUET",
+        help="with --prepare-corpus: embeddings parquet (doc_id or "
+        "vec_id + embedding array<float>); clusters are rebalanced to "
+        "the smallest one and losing docs dropped (DCLM-style cluster "
+        "curation; docs without an embedding pass through)",
+    )
+    ap.add_argument(
+        "--cluster-k", type=int, default=64,
+        help="with --cluster-balance: number of centroid clusters",
+    )
+    ap.add_argument(
         "--upload-to-clickhouse", action="store_true",
         help="mirror every micro-batch into the ClickHouse named by "
         "the config's [upload.*] URLs (parquet tables stay the "
@@ -597,6 +608,14 @@ def main(argv=None) -> int:
         )
         pool: list = []
         kept, audit = prepare_corpus(docs, cfg, persisted_pool=pool)
+        if args.cluster_balance:
+            from .datapipe.curation import apply_cluster_balance
+
+            emb = spark.read.parquet(args.cluster_balance)
+            emb_id = "doc_id" if "doc_id" in emb.columns else "vec_id"
+            kept = apply_cluster_balance(
+                kept, emb, k=args.cluster_k, id_col=emb_id
+            )
         if args.mix:
             from pyspark.sql import functions as F
 

@@ -192,6 +192,36 @@ def cluster_balanced_keep(
     )
 
 
+def apply_cluster_balance(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    scale: int = 1000,
+    target: int | None = None,
+) -> DataFrame:
+    """Filter ``docs`` to the cluster-balanced keep set: embeddings
+    are clustered and rebalanced via :func:`cluster_curation`, and
+    docs whose embedding LOST the balance draw are anti-joined away.
+    Docs with no embedding row pass through unchanged (curation only
+    acts where an embedding exists), so a partial embedding table
+    degrades gracefully instead of deleting the un-embedded corpus.
+
+    One anti-join on the doc id — inherent, since the embedding table
+    is a separate input; the loser side is the downsampled minority.
+    """
+    flags = cluster_curation(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col,
+        scale=scale, target=target,
+    )
+    losers = flags.filter(F.col("kept") == 0).select(
+        F.col(id_col).alias(doc_id_col)
+    )
+    return docs.join(losers, doc_id_col, "left_anti")
+
+
 def cluster_curation(
     embeddings: DataFrame,
     k: int = 8,

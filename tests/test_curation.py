@@ -145,6 +145,86 @@ def test_cluster_curation_end_to_end(spark):
     assert all(r["kept"] in (0, 1) for r in got)
 
 
+def test_apply_cluster_balance(spark):
+    """Docs losing the balance draw are dropped; docs without an
+    embedding pass through untouched."""
+    from carbon_clickhouse_spark.datapipe.curation import (
+        apply_cluster_balance,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(25)], "doc_id long, text string"
+    )
+    # seeds: id 0 -> x-axis, id 1 -> y-axis; the x cluster {0, 2..20}
+    # is 5x over-represented vs the y cluster {1, 21..23}; id 24 has
+    # NO embedding
+    x_side = {0} | set(range(2, 21))
+    y_side = {1, 21, 22, 23}
+    emb = _emb_df(
+        spark,
+        [(i, [1.0, 0.0] if i in x_side else [0.0, 1.0]) for i in range(24)],
+    ).withColumnRenamed("vec_id", "doc_id")
+    out = apply_cluster_balance(docs, emb, k=2, id_col="doc_id")
+    got = {r["doc_id"] for r in out.collect()}
+    assert 24 in got                       # un-embedded passes
+    assert y_side <= got                   # smallest cluster kept whole
+    assert len(got & x_side) < len(x_side)  # big cluster downsampled
+    # deterministic
+    got2 = {r["doc_id"] for r in apply_cluster_balance(
+        docs.repartition(5), emb, k=2, id_col="doc_id"
+    ).collect()}
+    assert got == got2
+
+
+def test_cluster_balance_cli(tmp_path, spark):
+    """--prepare-corpus --cluster-balance drops over-represented
+    cluster members by embedding, keeps un-embedded docs."""
+    import duckdb
+
+    from carbon_clickhouse_spark.__main__ import main
+
+    con = duckdb.connect()
+    src = str(tmp_path / "docs.parquet")
+    # distinct word sets per doc: the prep chain's near-dedup must not
+    # collapse the corpus before the balance stage sees it
+    vals = ", ".join(
+        f"({i}, 'alpha{i} beta{i} gamma{i} delta{i} epsilon{i}')"
+        for i in range(12)
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {vals}) t(doc_id, text)) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    embp = str(tmp_path / "emb.parquet")
+    # seeds: doc 0 -> x-axis, doc 1 -> y-axis; x cluster {0, 2..8}
+    # (8 docs) vs y cluster {1, 9} (2 docs)
+    evals = ", ".join(
+        f"({i}, CAST([{'0.0, 1.0' if i in (1, 9) else '1.0, 0.0'}] AS FLOAT[]))"
+        for i in range(10)  # docs 10, 11 have no embedding
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {evals}) t(doc_id, embedding)) "
+        f"TO '{embp}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "out")
+    rc = main([
+        "--prepare-corpus", src, out,
+        "--min-tokens", "2", "--shards", "1",
+        "--cluster-balance", embp, "--cluster-k", "2",
+        "--master", "local[2]",
+    ])
+    assert rc == 0
+    kept = {
+        r[0] for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{out}/corpus/*/*.parquet')"
+        ).fetchall()
+    }
+    assert {10, 11} <= kept                 # un-embedded pass through
+    x_side = {0, 2, 3, 4, 5, 6, 7, 8}
+    assert len(kept & x_side) < len(x_side)  # big side shrank
+    assert {1, 9} <= kept                    # small side kept whole
+
+
 def test_seed_centroids_validation(spark):
     df = _emb_df(spark, [(0, [1.0])])
     with pytest.raises(ValueError):
