@@ -520,6 +520,12 @@ def main(argv=None) -> int:
         help="with --cluster-balance: number of centroid clusters",
     )
     ap.add_argument(
+        "--cluster-refine", type=int, default=0,
+        help="with --cluster-balance: full-data Lloyd refinement "
+        "iterations over the centroid seeds (deterministic; one scan "
+        "per iteration)",
+    )
+    ap.add_argument(
         "--upload-to-clickhouse", action="store_true",
         help="mirror every micro-batch into the ClickHouse named by "
         "the config's [upload.*] URLs (parquet tables stay the "
@@ -614,7 +620,8 @@ def main(argv=None) -> int:
             emb = spark.read.parquet(args.cluster_balance)
             emb_id = "doc_id" if "doc_id" in emb.columns else "vec_id"
             kept = apply_cluster_balance(
-                kept, emb, k=args.cluster_k, id_col=emb_id
+                kept, emb, k=args.cluster_k, id_col=emb_id,
+                refine_iters=args.cluster_refine,
             )
         if args.mix:
             from pyspark.sql import functions as F

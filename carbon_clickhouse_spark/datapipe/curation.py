@@ -192,6 +192,93 @@ def cluster_balanced_keep(
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement of ``centroids``, bit-for-bit
+    deterministic under ANY data layout: each iteration is one scan
+    that assigns quantized int64 vectors to the broadcast centroid
+    matrix AND emits per-batch integer partial sums, followed by a
+    tiny shuffle of k x d int rows.  Integer sums are
+    order-independent (unlike float partial sums, which drift with
+    partitioning), so the returned float centroids are identical on
+    any cluster — the same trick :mod:`.classifier` uses for
+    deterministic training.
+
+    Empty clusters keep their previous centroid.  Contrast
+    :func:`.similarity.train_ivf_centroids`, which trains driver-side
+    on a bounded sample (the Faiss-style default): this pass sees
+    EVERY row, at one scan per iteration — use it to polish sampled
+    seeds when full-data centroids matter.
+    """
+    spark = embeddings.sparkSession
+    d = len(centroids[0])
+    cent = [list(map(float, c)) for c in centroids]
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.LongType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    src = embeddings.select(vec_col)
+    for _ in range(iters):
+        b_cent = spark.sparkContext.broadcast(cent)
+
+        def run(batches: Iterator) -> Iterator:
+            import numpy as np
+            import pandas as pd
+
+            C = _quantize_np(
+                np.asarray(b_cent.value, dtype=np.float64), scale
+            )
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _quantize_np(
+                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64),
+                    scale,
+                )
+                a = np.argmax(M @ C.T, axis=1)
+                out = {"cluster": [], "psum": [], "n": []}
+                for c in np.unique(a):
+                    out["cluster"].append(int(c))
+                    out["psum"].append(M[a == c].sum(axis=0).tolist())
+                    out["n"].append(int((a == c).sum()))
+                yield pd.DataFrame(out)
+
+        rows = (
+            src.mapInPandas(run, schema)
+            .select("cluster", "n", F.posexplode("psum").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("v").alias("s"),
+                # n repeats across the d positions of one partial row;
+                # count it once at pos 0
+                F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("cnt"),
+            )
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["cluster"], [0] * d)[r["pos"]] = r["s"]
+            if r["cnt"] is not None:
+                counts[r["cluster"]] = r["cnt"]
+        cent = [
+            [s / (counts[c] * scale) for s in sums[c]]
+            if counts.get(c)
+            else cent[c]
+            for c in range(len(cent))
+        ]
+    return cent
+
+
 def apply_cluster_balance(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -201,6 +288,7 @@ def apply_cluster_balance(
     doc_id_col: str = "doc_id",
     scale: int = 1000,
     target: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Filter ``docs`` to the cluster-balanced keep set: embeddings
     are clustered and rebalanced via :func:`cluster_curation`, and
@@ -214,7 +302,7 @@ def apply_cluster_balance(
     """
     flags = cluster_curation(
         embeddings, k=k, id_col=id_col, vec_col=vec_col,
-        scale=scale, target=target,
+        scale=scale, target=target, refine_iters=refine_iters,
     )
     losers = flags.filter(F.col("kept") == 0).select(
         F.col(id_col).alias(doc_id_col)
@@ -229,14 +317,25 @@ def cluster_curation(
     vec_col: str = "embedding",
     scale: int = 1000,
     target: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """End-to-end graded form: seed centroids → exact integer
     assignment → balanced keep flags.  Returns
-    ``(id, cluster int, kept int)`` for every input row."""
+    ``(id, cluster int, kept int)`` for every input row.
+
+    ``refine_iters > 0`` polishes the seeds with that many
+    full-data Lloyd iterations (:func:`kmeans_refine`) before
+    assigning — still deterministic on any layout, but no longer
+    expressible as the plain-SQL oracle the default (0) keeps."""
     cent = seed_centroids(embeddings, k, id_col, vec_col, scale)
+    cent_f = [[c / scale for c in v] for v in cent]
+    if refine_iters:
+        cent_f = kmeans_refine(
+            embeddings, cent_f, iters=refine_iters,
+            id_col=id_col, vec_col=vec_col, scale=scale,
+        )
     assigned = assign_clusters(
-        embeddings, [[c / scale for c in v] for v in cent],
-        id_col, vec_col, scale,
+        embeddings, cent_f, id_col, vec_col, scale,
     )
     return cluster_balanced_keep(
         assigned, target=target, id_col=id_col

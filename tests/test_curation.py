@@ -225,6 +225,64 @@ def test_cluster_balance_cli(tmp_path, spark):
     assert {1, 9} <= kept                    # small side kept whole
 
 
+def test_kmeans_refine_moves_centroids_to_means(spark):
+    """One Lloyd iteration over two well-separated blobs lands each
+    centroid on its blob's exact mean."""
+    from carbon_clickhouse_spark.datapipe.curation import kmeans_refine
+
+    blob_a = [(i, [10.0 + (i % 3), 0.0]) for i in range(6)]       # mean x=11
+    blob_b = [(100 + i, [0.0, 20.0 + (i % 3)]) for i in range(6)]  # mean y=21
+    df = _emb_df(spark, blob_a + blob_b)
+    cent = kmeans_refine(df, [[9.0, 0.0], [0.0, 19.0]], iters=1)
+    assert cent[0] == pytest.approx([11.0, 0.0])
+    assert cent[1] == pytest.approx([0.0, 21.0])
+
+
+def test_kmeans_refine_bitwise_deterministic(spark):
+    """Integer partial sums make the refined centroids bit-for-bit
+    identical under any partitioning."""
+    from carbon_clickhouse_spark.datapipe.curation import kmeans_refine
+
+    rows = [
+        (i, [((i * 37) % 100) / 100.0, ((i * 53) % 100) / 100.0])
+        for i in range(200)
+    ]
+    df = _emb_df(spark, rows)
+    init = [[0.1, 0.1], [0.9, 0.9], [0.1, 0.9]]
+    c1 = kmeans_refine(df, init, iters=3)
+    c2 = kmeans_refine(df.repartition(13), init, iters=3)
+    assert c1 == c2  # exact float equality, not approx
+
+
+def test_kmeans_refine_empty_cluster_keeps_centroid(spark):
+    from carbon_clickhouse_spark.datapipe.curation import kmeans_refine
+
+    df = _emb_df(spark, [(i, [1.0, 0.0]) for i in range(5)])
+    # centroid 1 is far from everything and wins no points
+    cent = kmeans_refine(df, [[1.0, 0.0], [-50.0, -50.0]], iters=2)
+    assert cent[0] == pytest.approx([1.0, 0.0])
+    assert cent[1] == [-50.0, -50.0]  # preserved verbatim
+
+
+def test_cluster_curation_with_refinement(spark):
+    """refine_iters composes: output schema/rows unchanged, clusters
+    still deterministic under repartition."""
+    rows = [(i, [float(i % 4), float((i * 7) % 5)]) for i in range(40)]
+    df = _emb_df(spark, rows)
+    out1 = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in cluster_curation(df, k=4, refine_iters=2).collect()
+    )
+    out2 = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in cluster_curation(
+            df.repartition(9), k=4, refine_iters=2
+        ).collect()
+    )
+    assert out1 == out2
+    assert len(out1) == 40
+
+
 def test_seed_centroids_validation(spark):
     df = _emb_df(spark, [(0, [1.0])])
     with pytest.raises(ValueError):
