@@ -1462,6 +1462,24 @@ def q_source_mixture(spark, sf_dir):
     return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-corpus incremental near-dedup (datapipe/dedup.py):
+    odd-id documents are the NEW crawl, even-id the EXISTING corpus;
+    a new doc is flagged dup iff any of its MinHash-LSH band buckets
+    is occupied by a reference doc. No pair is materialized — the
+    reference reduces to distinct (band, bucket) keys and the check
+    is one semi-join on short keys (inherently skew-safe)."""
+    from carbon_clickhouse_spark.datapipe.dedup import (
+        dedup_against_reference,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return dedup_against_reference(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_cluster_curation(spark, sf_dir):
     """DCLM-style cluster curation (datapipe/curation.py): assign
     every embedding to its max-inner-product centroid (seed = the 8
@@ -1785,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bands": q_ccnet_bands,
         "source_mixture": q_source_mixture,
         "cluster_curation": q_cluster_curation,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2891,6 +2910,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY shard
                     ORDER BY order_key, doc_id) AS INT) AS pos
         FROM sh
+    """
+    oracles["incremental_dedup"] = f"""
+        WITH sh AS (SELECT doc_id, unnest(shs) AS shingle FROM ({SHINGLES_SQL})),
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS ({bands_union}),
+        refk AS (
+          SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 2 = 0
+        ),
+        dups AS (
+          SELECT DISTINCT b.doc_id
+          FROM bands b JOIN refk USING (band, bucket)
+          WHERE b.doc_id % 2 = 1
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN dups ON d.doc_id = dups.doc_id
     """
     oracles["cluster_curation"] = f"""
         WITH q AS ({QVEC_SQL}),

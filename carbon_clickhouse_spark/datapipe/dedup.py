@@ -236,6 +236,25 @@ def minhash_lsh_pairs(
     set it on real corpora, where one boilerplate bucket can
     otherwise emit O(|bucket|^2) pairs.
     """
+    buckets = minhash_buckets(
+        df, text_col, id_col, num_hashes, band_size, k
+    )
+    return _banded_candidate_pairs(
+        buckets, max_bucket_size, label="minhash_lsh_pairs"
+    )
+
+
+def minhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """The banded LSH bucket table ``(doc_id, band, bucket)`` —
+    shared by the self-join pair generator and the cross-corpus
+    semi-join dedup."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     bands = []
     for b in range(num_hashes // band_size):
@@ -246,11 +265,54 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws("|", *parts)).alias("bucket"),
             )
         )
-    buckets = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    return _banded_candidate_pairs(
-        buckets, max_bucket_size, label="minhash_lsh_pairs"
+
+
+def dedup_against_reference(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup of a NEW corpus against an EXISTING
+    reference corpus (crawl N+1 vs crawl N): a new doc is a duplicate
+    candidate iff any of its LSH band buckets is occupied by any
+    reference doc.  Returns every new doc id with a ``dup`` int flag;
+    compose ``.filter(F.col("dup") == 0)`` + join for the survivors.
+
+    Scale shape: because ANY occupied bucket marks the whole bucket's
+    new members, no pair is ever materialized — the reference side
+    reduces to its DISTINCT (band, bucket) keys and the check is one
+    left-semi join on short keys.  Unlike the self-join path this is
+    inherently skew-safe (a boilerplate bucket costs its member count,
+    not its square), so it needs no ``max_bucket_size`` guard.
+    """
+    new_b = minhash_buckets(
+        new_docs, text_col, id_col, num_hashes, band_size, k
+    )
+    ref_keys = minhash_buckets(
+        ref_docs, text_col, id_col, num_hashes, band_size, k
+    ).select("band", "bucket").distinct()
+    dup_ids = (
+        new_b.join(ref_keys, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(dup_ids, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("dup", F.lit(0)).cast("int").alias("dup")
+        )
     )
 
 

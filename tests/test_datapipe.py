@@ -69,6 +69,45 @@ def test_minhash_identical_docs_always_pair(spark):
     assert s[1] == s[2] != s[3]
 
 
+def test_dedup_against_reference(spark):
+    """Cross-corpus incremental dedup: new docs sharing any LSH band
+    bucket with the reference are flagged; novel docs survive; flags
+    are deterministic under repartition."""
+    from carbon_clickhouse_spark.datapipe.dedup import (
+        dedup_against_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated words about spark query engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of ref 1
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # novel content
+            (11, "metrics rollup retention precision windows aggregate functions"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["dup"] for r in dedup_against_reference(new, ref).collect()}
+    assert got == {10: 1, 11: 0}
+    got2 = {
+        r["doc_id"]: r["dup"]
+        for r in dedup_against_reference(new.repartition(5), ref.repartition(3)).collect()
+    }
+    assert got2 == got
+    # empty reference: nothing flagged
+    got3 = {
+        r["doc_id"]: r["dup"]
+        for r in dedup_against_reference(new, ref.filter("doc_id < 0")).collect()
+    }
+    assert got3 == {10: 0, 11: 0}
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [
