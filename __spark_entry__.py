@@ -1727,6 +1727,110 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style corpus-wide LINE dedup: a whitespace-trimmed
+    line recurring in >= 2 DIFFERENT documents is dropped everywhere
+    except its (doc_id, line_idx)-first copy; docs reassemble in line
+    order (fully-boilerplate docs return text=''). Testdata texts are
+    single-line, so lines are synthesized deterministically — 6-token
+    pieces joined by '\\n'; the small shared vocabulary makes
+    cross-doc line collisions real. Shape: one Exchange on the line
+    hash feeds three window passes (distinct-doc count via
+    dense_rank max — no countDistinct join-back), one groupBy(doc_id)
+    reassembles — two shuffles, zero joins at any corpus size."""
+    from carbon_clickhouse_spark.datapipe.text import (
+        remove_duplicate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_ln = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(6)).cast("int")
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_ln - 1),
+        lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+    )
+    multi = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return remove_duplicate_lines(multi, min_docs=2).select("doc_id", "text")
+
+
+def q_window_funnel(spark, sf_dir):
+    """ClickHouse ``windowFunnel`` over the events table: per user,
+    the deepest signup -> view -> purchase chain completing within 7
+    days (deterministic ordering: (time, event_id) ties resolve by
+    event id). Pure window-function DP — one Exchange on user_id
+    shared by every step pass, codegen throughout, no join and no
+    per-user state (operators/events_analytics.py)."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        window_funnel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return window_funnel(
+        base,
+        ["signup", "view", "purchase"],
+        window=7 * 86400,
+        tiebreak_col="event_id",
+    )
+
+
+def q_retention(spark, sf_dir):
+    """ClickHouse ``retention`` rolled up by cohort: anchor each user
+    on the UTC day of their first signup; count cohort members active
+    exactly 0/1/3/7/14 days later. Day derivation is integer epoch
+    arithmetic (no tz), the anchor->activity equi-join shuffles on
+    user_id (both sides large at corpus scale), final groupBy is a
+    tiny (cohort, offset) key with partial aggregation."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        retention_cohorts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_from_unix_date(
+        F.floor(_sec(ev) / F.lit(86400)).cast("int")
+    )
+    base = ev.select("user_id", day.alias("date"), "event_type")
+    return retention_cohorts(
+        base, "signup", offsets=(0, 1, 3, 7, 14)
+    ).select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "day_offset",
+        "n_active",
+    )
+
+
+def q_sequence_match(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1)(?t<=2d)(?2)(?t<=7d)(?3)')``:
+    per user, does a signup -> click (within 2 days) -> purchase
+    (within 7 days of the click) chain exist, other events freely
+    interleaved? Latest-completion running-max DP — one Exchange on
+    user_id shared by every step pass, codegen throughout
+    (operators/sequence_match.py; dead partial chains can't mask
+    viable later ones, exhaustive-search-verified in tests)."""
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_match,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return sequence_match(
+        base,
+        [
+            "event_type = 'signup'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+        max_gaps=[2 * 86400, 7 * 86400],
+        tiebreak_col="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1739,13 +1843,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 50 entries — the driver grades the first 50 declared, so every
-    # query sits inside the graded window. Order: graphite core, wire
-    # ingest, LLM datapipe, OLAP breadth, render composites, then the
-    # round-5 datapipe slots (paragraph dedup, domain filter,
-    # chunking, substring-dedup spans) that replaced four redundant
-    # render composites (the render layer keeps render_recursive as
-    # its graded representative; the rest stay unit-tested).
+    # 60 entries. Order: graphite core, wire ingest, LLM datapipe,
+    # OLAP breadth, render composites (render_recursive as the graded
+    # representative; the rest stay unit-tested), then the round-5/6
+    # additions (DSIR, train order, CCNet bands, mixtures, cluster
+    # curation, incremental dedup, line dedup, event funnels).
     return {
         "points_ingest": q_points_ingest,
         "points_reverse": q_points_reverse,
@@ -1804,6 +1906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "cluster_curation": q_cluster_curation,
         "incremental_dedup": q_incremental_dedup,
+        "line_dedup": q_line_dedup,
+        "window_funnel": q_window_funnel,
+        "retention": q_retention,
+        "sequence_match": q_sequence_match,
     }
 
 
@@ -2961,6 +3067,148 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["dsir_scores"] = dsir_scores_sql
     oracles["dsir_resample"] = dsir_resample_sql
+    # same 6-token line synthesis; keep = exempt (blank) OR seen in
+    # < 2 distinct docs OR global (doc_id, line_idx)-first occurrence
+    oracles["line_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        lns AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(CAST(greatest(1, ceil(len(t) / 6.0)) AS BIGINT)),
+                   i -> {'idx': i,
+                         'line': array_to_string(t[i*6+1 : i*6+6], ' ')}
+                 )) AS s
+          FROM toks
+        ),
+        flat AS (
+          SELECT doc_id, CAST(s['idx'] AS INT) AS line_idx,
+                 s['line'] AS line
+          FROM lns
+        ),
+        st AS (
+          SELECT doc_id, line_idx, line, trim(line) AS tl,
+                 length(trim(line)) >= 1 AS elig
+          FROM flat
+        ),
+        nd AS (
+          SELECT tl, count(DISTINCT doc_id) AS n_docs
+          FROM st WHERE elig GROUP BY tl
+        ),
+        rk AS (
+          SELECT st.*, nd.n_docs,
+                 row_number() OVER (PARTITION BY st.tl
+                                    ORDER BY doc_id, line_idx) AS rn
+          FROM st LEFT JOIN nd USING (tl)
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY line_idx)
+                   FILTER (WHERE NOT elig OR n_docs < 2 OR rn = 1) AS text
+          FROM rk GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN rebuilt r USING (doc_id)
+    """
+    # the windowFunnel running-max DP, step by step: m_k = best chain
+    # start reaching step k on a strictly earlier row; 7-day window
+    oracles["window_funnel"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type, event_id
+          FROM events
+        ),
+        x1 AS (
+          SELECT *, CASE WHEN event_type = 'signup' THEN t END AS s1
+          FROM e
+        ),
+        x2 AS (
+          SELECT *, max(s1) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+          FROM x1
+        ),
+        x3 AS (
+          SELECT *, CASE WHEN event_type = 'view' AND t - m1 <= 604800
+                         THEN m1 END AS s2
+          FROM x2
+        ),
+        x4 AS (
+          SELECT *, max(s2) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+          FROM x3
+        ),
+        x5 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND t - m2 <= 604800
+                         THEN m2 END AS s3
+          FROM x4
+        )
+        SELECT user_id,
+               CAST(max(CASE WHEN s3 IS NOT NULL THEN 3
+                             WHEN s2 IS NOT NULL THEN 2
+                             WHEN s1 IS NOT NULL THEN 1
+                             ELSE 0 END) AS INT) AS funnel_level
+        FROM x5 GROUP BY user_id
+    """
+    # latest-COMPLETION running-max DP (per-gap bounds, so each step
+    # tracks its own end time, unlike window_funnel's chain start)
+    oracles["sequence_match"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type, event_id
+          FROM events
+        ),
+        x1 AS (
+          SELECT *, CASE WHEN event_type = 'signup' THEN t END AS c1
+          FROM e
+        ),
+        x2 AS (
+          SELECT *, max(c1) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+          FROM x1
+        ),
+        x3 AS (
+          SELECT *, CASE WHEN event_type = 'click' AND t - m1 <= 172800
+                         THEN t END AS c2
+          FROM x2
+        ),
+        x4 AS (
+          SELECT *, max(c2) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+          FROM x3
+        ),
+        x5 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND t - m2 <= 604800
+                         THEN t END AS c3
+          FROM x4
+        )
+        SELECT user_id,
+               CAST(max(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                 AS matched
+        FROM x5 GROUP BY user_id
+    """
+    oracles["retention"] = """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(epoch_ms(ts) // 1000 // 86400 AS INT) AS d,
+                 event_type
+          FROM events
+        ),
+        a AS (
+          SELECT user_id, min(d) AS cd FROM e
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        act AS (SELECT DISTINCT user_id, d FROM e),
+        j AS (
+          SELECT a.user_id, a.cd, act.d - a.cd AS off
+          FROM a JOIN act USING (user_id)
+        )
+        SELECT CAST(DATE '1970-01-01' + cd AS VARCHAR) AS cohort,
+               CAST(off AS INT) AS day_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM j WHERE off IN (0, 1, 3, 7, 14)
+        GROUP BY cd, off
+    """
     ivf = _ivf_oracle_sql()
     if ivf:
         oracles["ann_ivf"] = ivf

@@ -296,6 +296,90 @@ def remove_duplicate_paragraphs(
     )
 
 
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup with keep-first rewrite (the
+    RefinedWeb line-dedup pass): a line whose whitespace-trimmed form
+    appears in ``min_docs``+ distinct documents is dropped everywhere
+    except its first occurrence (lexicographic ``(doc_id, line_idx)``),
+    and documents are reassembled in line order. Lines shorter than
+    ``min_chars`` after trimming (blank lines by default) are exempt —
+    they are document structure, not boilerplate.
+
+    Distinct from :func:`remove_duplicate_paragraphs` in granularity
+    (single ``\\n`` lines vs blank-line paragraphs) and in having a
+    cross-document threshold: a line must recur in ``min_docs``
+    DIFFERENT documents to be boilerplate; intra-document repeats
+    alone don't trigger removal.
+
+    Scale shape — exactly two shuffles, zero joins: one Exchange on
+    the 32-byte line hash feeds three window functions over the same
+    partitioning+sort (dense_rank-over-doc_id's max is the distinct
+    document count, so no countDistinct groupBy + join-back is
+    needed; line text crosses the wire once), then one groupBy(doc_id)
+    reassembles. Per-hash fan-in is bounded by the occurrence count
+    of a single unique line — the same skew class as the groupBy
+    formulation, without its second text shuffle.
+
+    Every input doc_id survives: a split yields >= 1 row per document
+    and the conditional collect_list tolerates empty results, so a
+    fully-boilerplate document returns with ``text = ''``.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("__tl", F.trim(F.col("line")))
+    # exempt rows get a per-row UNIQUE partition key, not NULL: window
+    # partitionBy groups all NULLs together, which would funnel every
+    # blank line in the corpus into one task. Singleton partitions
+    # shuffle but never skew, and trivially rank as non-duplicates.
+    elig = F.length("__tl") >= min_chars
+    h = F.when(elig, F.md5(F.col("__tl"))).otherwise(
+        F.concat_ws(":", F.lit("u"), F.col("doc_id"), F.col("line_idx"))
+    )
+    lines = lines.withColumn("__elig", elig).withColumn("__h", h)
+    part = Window.partitionBy("__h")
+    by_doc = part.orderBy("doc_id")
+    by_pos = part.orderBy("doc_id", "line_idx")
+    ranked = (
+        lines.withColumn("__dr", F.dense_rank().over(by_doc))
+        .withColumn(
+            "__nd",
+            F.max("__dr").over(
+                part.orderBy("doc_id").rangeBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(by_pos))
+    )
+    keep = (
+        ~F.col("__elig")
+        | (F.col("__nd") < min_docs)
+        | (F.col("__rn") == 1)
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+
+
 def clean_text(text: Column | str) -> Column:
     """Standard corpus text hygiene as pure column ops: zero-width
     characters and BOMs vanish, unicode spaces (NBSP, en/em/thin,

@@ -1,0 +1,185 @@
+"""ClickHouse ``sequenceMatch`` / ``sequenceCount`` re-expressed as
+Spark plans.
+
+The reference engine leaves event-sequence analytics to ClickHouse's
+parametric aggregates (public semantics: ClickHouse docs,
+parametric-functions — ``sequenceMatch('(?1)(?t<=3600)(?2)')``).
+This module covers the common pattern subset — an ordered chain of
+conditions, each gap optionally bounded by a max time delta, other
+events freely interleaved — which is every ``(?1)(?t<=N)(?2)...``
+pattern without ``(?t>N)`` lower bounds.
+
+``sequence_match`` is pure window functions (codegen, one Exchange on
+the user key): for per-gap upper bounds, the LATEST completion time of
+step k is always an optimal chain prefix (a later completion can only
+relax the next gap), so exists-a-chain reduces to a running-max DP —
+the same argument as :mod:`.events_analytics.window_funnel`, tracking
+step-completion time instead of chain start.
+
+``sequence_count`` (non-overlapping match count) is inherently
+sequential per user — after a chain completes, matching restarts after
+its last event, a data-dependent reset no fixed stack of window
+functions expresses — so it runs as one Arrow ``applyInPandas`` pass
+per user group: state is O(len(conditions)) per user, groups are
+hash-partitioned, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _conds(conditions: Sequence[Column | str]) -> list[Column]:
+    if len(conditions) < 1:
+        raise ValueError("conditions must contain at least one expression")
+    return [F.expr(c) if isinstance(c, str) else c for c in conditions]
+
+
+def _gaps(
+    max_gaps: Sequence[int | float | None] | None, n: int
+) -> list[int | float | None]:
+    gaps = list(max_gaps) if max_gaps is not None else [None] * (n - 1)
+    if len(gaps) != n - 1:
+        raise ValueError(
+            f"max_gaps must have len(conditions)-1 = {n - 1} entries, "
+            f"got {len(gaps)}"
+        )
+    return gaps
+
+
+def sequence_match(
+    events: DataFrame,
+    conditions: Sequence[Column | str],
+    max_gaps: Sequence[int | float | None] | None = None,
+    time_col: str = "time",
+    user_col: str = "user_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user flag: does SOME subsequence of the user's events, in
+    strictly increasing ``(time_col, tiebreak_col)`` row order, satisfy
+    ``conditions[0] .. conditions[n-1]`` with each consecutive gap
+    ``t_{k+1} - t_k <= max_gaps[k]`` (``None`` = unbounded)?
+
+    ClickHouse ``sequenceMatch('(?1)(?t<=g1)(?2)...')`` semantics for
+    the upper-bounded-gap pattern subset. Conditions are arbitrary
+    boolean expressions over the event row (strings parse via
+    ``F.expr``), so a row may satisfy several steps — chains still use
+    one ROW per step (strictly increasing row order), matching
+    ClickHouse.
+
+    Returns ``(user_col, matched int)`` — one row per user with any
+    event. One Exchange on ``user_col``; all step passes share its
+    sort, every expression stays in whole-stage codegen.
+    """
+    conds = _conds(conditions)
+    gaps = _gaps(max_gaps, len(conds))
+    order = [F.col(time_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    prev = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col(time_col)
+    # __c{k}: completion time of step k AT this row (latest-completion
+    # DP); __m{k}: best completion available to step k+1 — the running
+    # max over strictly preceding rows.
+    df = events.withColumn("__c1", F.when(conds[0], t))
+    for k in range(2, len(conds) + 1):
+        df = df.withColumn(f"__m{k - 1}", F.max(f"__c{k - 1}").over(prev))
+        gate = conds[k - 1] & F.col(f"__m{k - 1}").isNotNull()
+        g = gaps[k - 2]
+        if g is not None:
+            gate = gate & (t - F.col(f"__m{k - 1}") <= g)
+        df = df.withColumn(f"__c{k}", F.when(gate, t))
+    return df.groupBy(user_col).agg(
+        F.max(
+            F.when(F.col(f"__c{len(conds)}").isNotNull(), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("matched")
+    )
+
+
+def sequence_count(
+    events: DataFrame,
+    conditions: Sequence[Column | str],
+    max_gaps: Sequence[int | float | None] | None = None,
+    time_col: str = "time",
+    user_col: str = "user_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user count of NON-OVERLAPPING matches of the chain
+    (ClickHouse ``sequenceCount`` semantics: find a match, continue
+    searching strictly after its last event).
+
+    The count is maximized by earliest-END matching: scan forward
+    running the same latest-completion DP as :func:`sequence_match`
+    (``best[k]`` = latest completion time of a chain prefix through
+    step k, considering all unconsumed events so far); the FIRST event
+    where step n completes is the earliest possible match end, so
+    count it, discard all DP state (events at or before the match end
+    are consumed), and continue. Tracking the full DP — not one
+    committed chain cursor — is what keeps a dead partial chain (gap
+    expired) from blocking a later viable chain that started mid-scan.
+
+    Runs as one Arrow ``applyInPandas`` pass over the ``user_col``
+    groups — the on-completion reset makes the recurrence
+    data-dependent, which no fixed window-function stack expresses.
+    State is O(n_steps) per user; condition columns are pre-evaluated
+    JVM-side so Python sees only booleans and times. Returns
+    ``(user_col, n_matches long)``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    conds = _conds(conditions)
+    gaps = _gaps(max_gaps, len(conds))
+    n = len(conds)
+    order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+    pre = events.select(
+        F.col(user_col).alias("__u"),
+        *[F.col(c) for c in order_cols],
+        *[c.cast("boolean").alias(f"__p{i}") for i, c in enumerate(conds)],
+    )
+    u_type = pre.schema["__u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField(user_col, u_type),
+            T.StructField("n_matches", T.LongType()),
+        ]
+    )
+
+    def count_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        times = pdf[time_col].to_numpy()
+        flags = [
+            pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)
+        ]
+        best: list = [None] * (n + 1)  # best[k]: latest end of step-k prefix
+        matches = 0
+        for j in range(len(pdf)):
+            t = times[j]
+            # descending k: step k may only chain to a completion on a
+            # strictly earlier ROW, so this row's own updates to
+            # best[k-1] must not feed best[k]
+            for k in range(n, 0, -1):
+                if not flags[k - 1][j]:
+                    continue
+                if k > 1:
+                    p = best[k - 1]
+                    g = gaps[k - 2]
+                    if p is None or (g is not None and t - p > g):
+                        continue
+                best[k] = t  # times nondecreasing: t is the new latest
+            if best[n] is not None:
+                matches += 1
+                best = [None] * (n + 1)
+        return pd.DataFrame(
+            {user_col: [pdf["__u"].iloc[0]], "n_matches": [matches]}
+        )
+
+    return pre.groupBy("__u").applyInPandas(count_group, schema)

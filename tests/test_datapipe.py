@@ -567,6 +567,80 @@ def test_paragraph_dedup_preserves_row_set(spark):
     assert out[4] == ""
 
 
+def test_line_dedup_cross_doc_threshold(spark):
+    """remove_duplicate_lines: a line is boilerplate only when it
+    recurs in min_docs DIFFERENT documents; intra-doc repeats alone
+    survive, and removal keeps the (doc_id, line_idx)-first copy."""
+    from carbon_clickhouse_spark.datapipe.text import (
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique a\nshared line\nunique b"),
+            (2, "shared line\nunique c\nshared line"),
+            # intra-doc repeat only: both copies stay
+            (3, "solo repeat\nsolo repeat\nunique d"),
+            # whitespace-trimmed forms match: "  shared line  " == hit
+            (4, "  shared line  \nunique e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_duplicate_lines(docs).collect()}
+    assert out[1] == "unique a\nshared line\nunique b"  # keep-first
+    assert out[2] == "unique c"  # both copies lose
+    assert out[3] == "solo repeat\nsolo repeat\nunique d"
+    assert out[4] == "unique e"
+
+
+def test_line_dedup_blank_lines_and_row_set(spark):
+    """Blank/short lines are structure, not boilerplate — exempt even
+    when every doc has them; fully-boilerplate docs come back with
+    text='' (the corpus row set is preserved)."""
+    from carbon_clickhouse_spark.datapipe.text import (
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup\n\ntail one"),
+            (2, "dup\n\ntail two"),
+            (3, "dup"),  # single boilerplate line, loses keep-first
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_duplicate_lines(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == "dup\n\ntail one"
+    assert out[2] == "\ntail two"  # blank line kept, dup removed
+    assert out[3] == ""
+    assert out[4] == ""  # empty line is exempt, but '' reassembles to ''
+
+
+def test_line_dedup_min_docs_and_min_chars(spark):
+    from carbon_clickhouse_spark.datapipe.text import (
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab\ncommon"), (2, "ab\ncommon"), (3, "ab\ncommon")],
+        "doc_id long, text string",
+    )
+    # min_docs=4: nothing recurs widely enough
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_lines(docs, min_docs=4).collect()
+    }
+    assert out == {1: "ab\ncommon", 2: "ab\ncommon", 3: "ab\ncommon"}
+    # min_chars=3 exempts the 2-char line from dedup entirely
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_lines(docs, min_chars=3).collect()
+    }
+    assert out == {1: "ab\ncommon", 2: "ab", 3: "ab"}
+
+
 def test_domain_filtering(spark):
     from carbon_clickhouse_spark.datapipe.text import (
         extract_domain,

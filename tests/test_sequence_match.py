@@ -1,0 +1,195 @@
+"""sequenceMatch / sequenceCount (operators/sequence_match.py),
+validated against exhaustive chain search — the definition — on
+randomized fixtures, so both the running-max DP and the earliest-end
+counting loop are proven equivalent rather than spot-checked."""
+
+import random
+
+import pytest
+
+from carbon_clickhouse_spark.operators.sequence_match import (
+    sequence_count,
+    sequence_match,
+)
+
+
+def chain_exists(rows, types, gaps, lo, hi):
+    """Exhaustive: indices lo <= i1 < ... < ik <= hi with rows[i]
+    matching types and each gap within bound."""
+    n = len(types)
+
+    def ext(level, last_t, idx):
+        if level == n:
+            return True
+        for j in range(idx, hi + 1):
+            t, _, ty = rows[j]
+            if ty != types[level]:
+                continue
+            if level > 0:
+                g = gaps[level - 1]
+                if g is not None and t - last_t > g:
+                    continue
+            if ext(level + 1, t, j + 1):
+                return True
+        return False
+
+    return ext(0, 0, lo)
+
+
+def brute_match(rows, types, gaps):
+    rows = sorted(rows)
+    return 1 if rows and chain_exists(rows, types, gaps, 0, len(rows) - 1) else 0
+
+
+def brute_count(rows, types, gaps):
+    """Earliest-end greedy over exhaustive existence checks: find the
+    minimal end index of a chain within the remaining suffix, count,
+    continue strictly after it."""
+    rows = sorted(rows)
+    pos, count = 0, 0
+    while pos < len(rows):
+        end = None
+        for e in range(pos, len(rows)):
+            if rows[e][2] == types[-1] and chain_exists(
+                rows, types, gaps, pos, e
+            ):
+                # chain must END at e: last step on row e
+                if chain_ends_at(rows, types, gaps, pos, e):
+                    end = e
+                    break
+        if end is None:
+            break
+        count += 1
+        pos = end + 1
+    return count
+
+
+def chain_ends_at(rows, types, gaps, lo, e):
+    n = len(types)
+    if rows[e][2] != types[-1]:
+        return False
+    if n == 1:
+        return True
+
+    def ext(level, last_t, idx):
+        # build first n-1 steps before e, then check gap to e
+        if level == n - 1:
+            g = gaps[n - 2]
+            return g is None or rows[e][0] - last_t <= g
+        for j in range(idx, e):
+            t, _, ty = rows[j]
+            if ty != types[level]:
+                continue
+            if level > 0:
+                g = gaps[level - 1]
+                if g is not None and t - last_t > g:
+                    continue
+            if ext(level + 1, t, j + 1):
+                return True
+        return False
+
+    return ext(0, 0, lo)
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(
+        data, "user_id long, time long, event_type string, event_id long"
+    )
+
+
+def _match(spark, data, types, gaps):
+    conds = [f"event_type = '{t}'" for t in types]
+    out = sequence_match(
+        _mk(spark, data), conds, gaps, tiebreak_col="event_id"
+    ).collect()
+    return {r.user_id: r.matched for r in out}
+
+
+def _count(spark, data, types, gaps):
+    conds = [f"event_type = '{t}'" for t in types]
+    out = sequence_count(
+        _mk(spark, data), conds, gaps, tiebreak_col="event_id"
+    ).collect()
+    return {r.user_id: r.n_matches for r in out}
+
+
+def test_match_gap_bounds(spark):
+    data = [
+        # a->b gap 5 ok, b->c gap 100 exceeds 50
+        (1, 0, "a", 1), (1, 5, "b", 2), (1, 105, "c", 3),
+        # full chain within bounds
+        (2, 0, "a", 4), (2, 5, "b", 5), (2, 50, "c", 6),
+    ]
+    assert _match(spark, data, ["a", "b", "c"], [10, 50]) == {1: 0, 2: 1}
+
+
+def test_match_unbounded_gap(spark):
+    data = [(1, 0, "a", 1), (1, 10_000, "b", 2)]
+    assert _match(spark, data, ["a", "b"], [None]) == {1: 1}
+    assert _match(spark, data, ["a", "b"], [100]) == {1: 0}
+
+
+def test_match_dead_chain_does_not_block(spark):
+    # a@0 dies (b needs gap<=2); a@3 -> b@4 succeeds
+    data = [(1, 0, "a", 1), (1, 3, "a", 2), (1, 4, "b", 3)]
+    assert _match(spark, data, ["a", "b"], [2]) == {1: 1}
+
+
+def test_count_nonoverlap_and_dead_chains(spark):
+    data = [
+        # two disjoint a->b chains
+        (1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "a", 3), (1, 3, "b", 4),
+        # dead first start must not block the viable second chain
+        (2, 0, "a", 5), (2, 3, "a", 6), (2, 4, "b", 7),
+        # one b consumed by one chain only
+        (3, 0, "a", 8), (3, 1, "a", 9), (3, 2, "b", 10),
+    ]
+    got = _count(spark, data, ["a", "b"], [2])
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_count_single_condition(spark):
+    data = [(1, 0, "a", 1), (1, 1, "x", 2), (1, 2, "a", 3)]
+    assert _count(spark, data, ["a"], None) == {1: 2}
+
+
+def test_match_and_count_match_exhaustive_search(spark):
+    rng = random.Random(11)
+    types = ["s0", "s1", "s2"]
+    gaps = [15, 30]
+    data, want_m, want_c = [], {}, {}
+    eid = 0
+    for user in range(35):
+        n = rng.randint(0, 11)
+        rows = []
+        for _ in range(n):
+            eid += 1
+            t = rng.randint(0, 90)
+            ty = rng.choice(["s0", "s1", "s2", "x"])
+            rows.append((t, eid, ty))
+            data.append((user, t, ty, eid))
+        if rows:
+            want_m[user] = brute_match(rows, types, gaps)
+            want_c[user] = brute_count(rows, types, gaps)
+    assert _match(spark, data, types, gaps) == want_m
+    assert _count(spark, data, types, gaps) == want_c
+
+
+def test_match_single_shuffle_no_python(spark):
+    df = _mk(spark, [(1, 0, "a", 1)])
+    plan = (
+        sequence_match(df, ["event_type = 'a'", "event_type = 'b'"], [60])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_validation(spark):
+    df = _mk(spark, [(1, 0, "a", 1)])
+    with pytest.raises(ValueError):
+        sequence_match(df, [], None)
+    with pytest.raises(ValueError):
+        sequence_match(df, ["event_type = 'a'"], [1, 2])
