@@ -1831,6 +1831,36 @@ def q_sequence_match(spark, sf_dir):
     )
 
 
+def q_sequence_count(spark, sf_dir):
+    """ClickHouse ``sequenceCount``: per user, the number of
+    NON-OVERLAPPING signup -> click(<=2d) -> purchase(<=7d) chains
+    (earliest-end matching; operators/sequence_match.py). One Arrow
+    ``applyInPandas`` pass over hash-partitioned user groups with
+    O(n_steps) state — the on-completion reset is data-dependent, so
+    this is the documented Pandas-UDF boundary, with conditions
+    pre-evaluated JVM-side. The DuckDB oracle replays the identical
+    fold as a recursive CTE, so even the sequential semantics are
+    value-hash checked."""
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_count,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return sequence_count(
+        base,
+        [
+            "event_type = 'signup'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+        max_gaps=[2 * 86400, 7 * 86400],
+        tiebreak_col="event_id",
+    )
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Exact integer covariance numerators of the quantized embedding
     matrix (datapipe/pca.py:covariance_table): one row per coordinate
@@ -1875,7 +1905,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 63 entries. Order: graphite core, wire ingest, LLM datapipe,
+    # 64 entries. Order: graphite core, wire ingest, LLM datapipe,
     # OLAP breadth, render composites (render_recursive as the graded
     # representative; the rest stay unit-tested), then the round-5/6
     # additions (DSIR, train order, CCNet bands, mixtures, cluster
@@ -1942,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "retention": q_retention,
         "sequence_match": q_sequence_match,
+        "sequence_count": q_sequence_count,
         "embedding_covariance": q_embedding_covariance,
         "embedding_outliers": q_embedding_outliers,
     }
@@ -3258,6 +3289,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
                  AS matched
         FROM x5 GROUP BY user_id
+    """
+    # the sequential earliest-end fold replayed as a recursive CTE:
+    # one step per event row (rn), per-user state = (b1, b2, b3,
+    # matches); descending-step updates read only the PREVIOUS row's
+    # state (w.*), and a completed chain resets everything — exactly
+    # the Python fold in operators/sequence_match.py:sequence_count
+    oracles["sequence_count"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts) // 1000,
+                                             event_id) AS rn
+          FROM events
+        ),
+        mx AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY user_id),
+        walk AS (
+          SELECT user_id, 0 AS rn,
+                 CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+                 CAST(NULL AS BIGINT) AS b3, CAST(0 AS BIGINT) AS matches
+          FROM mx
+          UNION ALL
+          SELECT w.user_id, e.rn,
+                 CASE WHEN nb3 IS NOT NULL THEN NULL ELSE nb1 END,
+                 CASE WHEN nb3 IS NOT NULL THEN NULL ELSE nb2 END,
+                 CAST(NULL AS BIGINT),
+                 w.matches + CASE WHEN nb3 IS NOT NULL THEN 1 ELSE 0 END
+          FROM walk w
+          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1,
+          LATERAL (
+            SELECT
+              CASE WHEN e.event_type = 'purchase' AND w.b2 IS NOT NULL
+                        AND e.t - w.b2 <= 604800 THEN e.t END AS nb3,
+              CASE WHEN e.event_type = 'click' AND w.b1 IS NOT NULL
+                        AND e.t - w.b1 <= 172800 THEN e.t ELSE w.b2
+                   END AS nb2,
+              CASE WHEN e.event_type = 'signup' THEN e.t ELSE w.b1
+                   END AS nb1
+          ) s
+        )
+        SELECT w.user_id, w.matches AS n_matches
+        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
     """
     oracles["retention"] = """
         WITH e AS (
