@@ -55,6 +55,42 @@ def _fold(levels, events, steps, window):
     return levels
 
 
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Streaming sessionization with Spark's NATIVE session windows —
+    no custom state code at all: ``session_window`` merges events
+    closer than ``gap`` into one growing window per user, the
+    watermark finalizes a session once no event can extend it, and
+    append mode emits each session exactly once as
+    ``(user_col, session_start, session_end, n_events)``.
+
+    Session end is last-event-time + gap (the Spark/Flink convention;
+    the batch ``sessionization`` query reports max-min duration
+    instead — both are standard, documented here so the two aren't
+    diffed naively). State per user is one open session row, expired
+    by the watermark — the native operator IS the scale design.
+    """
+    return (
+        events.withWatermark(time_col, watermark_delay)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(time_col), gap),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_window_funnel(
     events: DataFrame,
     steps: Sequence[str],

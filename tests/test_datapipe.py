@@ -641,6 +641,59 @@ def test_line_dedup_min_docs_and_min_chars(spark):
     assert out == {1: "ab\ncommon", 2: "ab", 3: "ab"}
 
 
+def test_line_dedup_randomized_vs_reference(spark):
+    """Randomized corpora against a pure-Python reference of the
+    documented semantics (cross-doc threshold, keep-first by
+    (doc_id, line_idx), space-trim equality, short-line exemption) —
+    one Spark job per corpus, collision-heavy line pool."""
+    import random
+
+    from carbon_clickhouse_spark.datapipe.text import (
+        remove_duplicate_lines,
+    )
+
+    def reference(docs, min_docs=2, min_chars=1):
+        occ = {}
+        lines = {i: t.split("\n") for i, t in docs.items()}
+        for i in sorted(lines):
+            for idx, ln in enumerate(lines[i]):
+                tl = ln.strip(" ")
+                if len(tl) >= min_chars:
+                    occ.setdefault(tl, []).append((i, idx))
+        out = {}
+        for i, lns in lines.items():
+            kept = []
+            for idx, ln in enumerate(lns):
+                tl = ln.strip(" ")
+                if len(tl) < min_chars:
+                    kept.append(ln)
+                    continue
+                lst = occ[tl]
+                if (
+                    len({d for d, _ in lst}) < min_docs
+                    or min(lst) == (i, idx)
+                ):
+                    kept.append(ln)
+            out[i] = "\n".join(kept)
+        return out
+
+    rng = random.Random(13)
+    pool = ["alpha beta", "gamma", "delta eps", "zeta", "  alpha beta  ",
+            "", " ", "eta theta iota"]
+    for trial in range(5):
+        docs = {}
+        for i in range(rng.randint(2, 12)):
+            n = rng.randint(1, 8)
+            docs[i] = "\n".join(rng.choice(pool) for _ in range(n))
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.text for r in remove_duplicate_lines(df).collect()
+        }
+        assert got == reference(docs), f"trial {trial}: {docs}"
+
+
 def test_domain_filtering(spark):
     from carbon_clickhouse_spark.datapipe.text import (
         extract_domain,

@@ -126,6 +126,57 @@ def test_streaming_funnel_out_of_order_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_sessions_native_windows(spark, tmp_path):
+    from carbon_clickhouse_spark.streaming.funnel import (
+        streaming_sessions,
+    )
+
+    landing = str(tmp_path / "ev")
+    os.makedirs(landing)
+    # user 1: two bursts 100..160 and 2000..2030 (gap 60s splits
+    # them); user 2: one event
+    _write(
+        landing,
+        "b1.json",
+        [
+            (1, 100, "a"), (1, 130, "b"), (1, 160, "a"),
+            (1, 2000, "a"), (1, 2030, "b"),
+            (2, 500, "a"),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sessions(
+        stream, gap="60 seconds", watermark_delay="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_t1")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past everything to finalize
+        _write(landing, "b2.json", [(99, 100_000, "zz")])
+        q.processAllAvailable()
+        _write(landing, "b3.json", [(99, 100_100, "zz")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, unix_timestamp(session_start) AS s, "
+            "unix_timestamp(session_end) AS e, n_events FROM sess_t1 "
+            "WHERE user_id IN (1, 2) ORDER BY user_id, s"
+        ).collect()
+        got = [(r.user_id, r.s, r.e, r.n_events) for r in rows]
+        # session end = last event + gap (native convention)
+        assert got == [
+            (1, 100, 220, 3),
+            (1, 2000, 2090, 2),
+            (2, 500, 560, 1),
+        ]
+    finally:
+        q.stop()
+
+
 def test_streaming_funnel_parity_with_batch(spark, tmp_path):
     rng = random.Random(7)
     users = range(12)
