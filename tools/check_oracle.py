@@ -67,8 +67,9 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # graded window + the extra registry: the local gate checks all
+    qs = {**entry.queries(), **entry.extra_queries()}
+    oracles = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
