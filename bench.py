@@ -46,7 +46,8 @@ def main() -> None:
     from carbon_clickhouse_spark.session import get_spark
 
     spark = get_spark(app_name="ccs-bench")
-    qs = entry.queries()
+    # headline set spans both the graded window and the extra registry
+    qs = {**entry.queries(), **entry.extra_queries()}
 
     # warm the JVM/session (scan metadata, codegen) outside the clock
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
