@@ -332,9 +332,11 @@ def remove_duplicate_lines(
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
-            "line_idx", "line"
-        ),
+        # NULL text must not drop the document (posexplode of NULL
+        # emits no row): treat it as the empty document
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("line_idx", "line"),
     ).withColumn("__tl", F.trim(F.col("line")))
     # exempt rows get a per-row UNIQUE partition key, not NULL: window
     # partitionBy groups all NULLs together, which would funnel every
