@@ -1835,12 +1835,12 @@ def q_sequence_count(spark, sf_dir):
     """ClickHouse ``sequenceCount``: per user, the number of
     NON-OVERLAPPING signup -> click(<=2d) -> purchase(<=7d) chains
     (earliest-end matching; operators/sequence_match.py). One Arrow
-    ``applyInPandas`` pass over hash-partitioned user groups with
-    O(n_steps) state — the on-completion reset is data-dependent, so
+    ``mapInPandas`` scan per user-sorted partition with O(n_steps)
+    carried state — the on-completion reset is data-dependent, so
     this is the documented Pandas-UDF boundary, with conditions
-    pre-evaluated JVM-side. The DuckDB oracle replays the identical
-    fold as a recursive CTE, so even the sequential semantics are
-    value-hash checked."""
+    pre-evaluated JVM-side and no per-user frame construction. The
+    DuckDB oracle replays the identical fold as a recursive CTE, so
+    even the sequential semantics are value-hash checked."""
     from carbon_clickhouse_spark.operators.sequence_match import (
         sequence_count,
     )

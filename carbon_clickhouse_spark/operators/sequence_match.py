@@ -126,12 +126,16 @@ def sequence_count(
     committed chain cursor — is what keeps a dead partial chain (gap
     expired) from blocking a later viable chain that started mid-scan.
 
-    Runs as one Arrow ``applyInPandas`` pass over the ``user_col``
-    groups — the on-completion reset makes the recurrence
-    data-dependent, which no fixed window-function stack expresses.
-    State is O(n_steps) per user; condition columns are pre-evaluated
-    JVM-side so Python sees only booleans and times. Returns
-    ``(user_col, n_matches long)``.
+    Runs as ONE Arrow ``mapInPandas`` pass per partition over rows
+    hash-partitioned by user and sorted ``(user, time[, tiebreak])``
+    — the on-completion reset makes the recurrence data-dependent,
+    which no fixed window-function stack expresses, but per-user
+    pandas groups (one tiny DataFrame per user) would pay frame
+    construction per key; the sorted-partition scan instead carries
+    O(n_steps) fold state across user boundaries (and across the
+    Arrow batches that may split a user) and emits one row per user.
+    Condition columns are pre-evaluated JVM-side so Python sees only
+    booleans and times. Returns ``(user_col, n_matches long)``.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -140,10 +144,17 @@ def sequence_count(
     gaps = _gaps(max_gaps, len(conds))
     n = len(conds)
     order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
-    pre = events.select(
-        F.col(user_col).alias("__u"),
-        *[F.col(c) for c in order_cols],
-        *[c.cast("boolean").alias(f"__p{i}") for i, c in enumerate(conds)],
+    pre = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            *[F.col(c) for c in order_cols],
+            *[
+                c.cast("boolean").alias(f"__p{i}")
+                for i, c in enumerate(conds)
+            ],
+        )
+        .repartition(F.col("__u"))
+        .sortWithinPartitions("__u", *order_cols)
     )
     u_type = pre.schema["__u"].dataType
     schema = T.StructType(
@@ -153,33 +164,45 @@ def sequence_count(
         ]
     )
 
-    def count_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        times = pdf[time_col].to_numpy()
-        flags = [
-            pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)
-        ]
+    def scan(batches):
+        cur = None  # current user key
         best: list = [None] * (n + 1)  # best[k]: latest end of step-k prefix
         matches = 0
-        for j in range(len(pdf)):
-            t = times[j]
-            # descending k: step k may only chain to a completion on a
-            # strictly earlier ROW, so this row's own updates to
-            # best[k-1] must not feed best[k]
-            for k in range(n, 0, -1):
-                if not flags[k - 1][j]:
-                    continue
-                if k > 1:
-                    p = best[k - 1]
-                    g = gaps[k - 2]
-                    if p is None or (g is not None and t - p > g):
+        out_u: list = []
+        out_m: list = []
+        for pdf in batches:
+            users = pdf["__u"].to_numpy()
+            times = pdf[time_col].to_numpy()
+            flags = [
+                pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)
+            ]
+            for j in range(len(pdf)):
+                u = users[j]
+                if u != cur:
+                    if cur is not None:
+                        out_u.append(cur)
+                        out_m.append(matches)
+                    cur, best, matches = u, [None] * (n + 1), 0
+                t = times[j]
+                # descending k: step k may only chain to a completion
+                # on a strictly earlier ROW, so this row's own updates
+                # to best[k-1] must not feed best[k]
+                for k in range(n, 0, -1):
+                    if not flags[k - 1][j]:
                         continue
-                best[k] = t  # times nondecreasing: t is the new latest
-            if best[n] is not None:
-                matches += 1
-                best = [None] * (n + 1)
-        return pd.DataFrame(
-            {user_col: [pdf["__u"].iloc[0]], "n_matches": [matches]}
-        )
+                    if k > 1:
+                        p = best[k - 1]
+                        g = gaps[k - 2]
+                        if p is None or (g is not None and t - p > g):
+                            continue
+                    best[k] = t  # times nondecreasing: the new latest
+                if best[n] is not None:
+                    matches += 1
+                    best = [None] * (n + 1)
+        if cur is not None:
+            out_u.append(cur)
+            out_m.append(matches)
+        if out_u:
+            yield pd.DataFrame({user_col: out_u, "n_matches": out_m})
 
-    return pre.groupBy("__u").applyInPandas(count_group, schema)
+    return pre.mapInPandas(scan, schema)
