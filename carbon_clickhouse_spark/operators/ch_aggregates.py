@@ -1,0 +1,236 @@
+"""ClickHouse aggregate-function parity: ``topK``, ``sumMap``,
+``histogram`` — the aggregates a graphite/CH analyst reaches for
+beyond plain sum/avg (public semantics: ClickHouse docs, aggregate
+functions reference).
+
+Spark-first shapes:
+
+- :func:`top_k` (exact): two partial-aggregating shuffles — a
+  (group, value) count then a per-group window — never a global
+  sort. Exact mode is the oracle-checkable default; its cost is the
+  distinct (group, value) cardinality, which is the honest price of
+  exactness.
+- :func:`top_k_sketch` (SpaceSaving, Metwally et al. 2005): when the
+  distinct cardinality itself is the problem (10^9 URLs per group),
+  each partition keeps a k*oversample-slot summary in one Arrow pass
+  and only the tiny summaries shuffle. Merged counts are upper
+  bounds (the SpaceSaving guarantee: any value with true frequency
+  > n/slots survives; reported count >= true count). Result set can
+  vary with partitioning for near-tied tails — documented, and the
+  guarantee itself is what the tests assert.
+- :func:`sum_map`: key/value array columns explode via ``zip_with``
+  into (group, key) partial sums — the map never materializes per
+  row, and exact DECIMAL sums keep it engine-portable.
+- :func:`histogram_fixed`: explicit-bound fixed-width bins as one
+  pure-column expression + one groupBy; identical IEEE double math
+  on any engine, so even the bucket edges hash-match an oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def top_k(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT per-group top-k values by frequency (ClickHouse
+    ``topK(k)(col)`` without its sketch error): returns
+    ``(*group_cols, value, cnt, rnk)`` with rnk 1..k, ties broken by
+    value ascending so results are total-order deterministic."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counted = df.groupBy(*group_cols, F.col(value_col).alias("value")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+def top_k_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 10,
+    oversample: int = 4,
+) -> DataFrame:
+    """Approximate heavy hitters via per-partition SpaceSaving
+    summaries (Metwally et al. 2005, the algorithm behind ClickHouse
+    ``topK``): each partition keeps ``k * oversample`` slots per
+    group in one Arrow pass; only the summaries (<= slots rows per
+    group per partition) shuffle to a final merge.
+
+    Merge follows the mergeable-summaries construction (Agarwal et
+    al. 2012): a value absent from a partition's summary may have
+    occurred up to that summary's MINIMUM slot count there, so the
+    merged upper bound adds each absent summary's min — emitted as
+    one min-row per (group, partition) and folded back with a
+    broadcast join. Guarantees asserted in tests:
+    ``cnt_lower <= true count <= cnt_upper`` for every returned
+    value, and any value with true frequency > n_group / slots is
+    present. Near-tied tail members may differ with partitioning —
+    use :func:`top_k` when exactness matters and the (group, value)
+    cardinality is affordable.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    slots = k * oversample
+    gcols = list(group_cols)
+    src = df.select(*gcols, F.col(value_col).cast("string").alias("__v"))
+    fields = [src.schema[c] for c in gcols]
+    part_schema = T.StructType(
+        fields
+        + [
+            T.StructField("__v", T.StringType()),  # NULL = min-row
+            T.StructField("__adj", T.LongType()),  # count - partition min
+            T.StructField("__low", T.LongType()),  # count - overestimate
+        ]
+    )
+
+    def summarize(batches):
+        state: dict = {}  # group key -> {value: (count, err)}
+        for pdf in batches:
+            groups = [pdf[c].to_numpy() for c in gcols]
+            vals = pdf["__v"].to_numpy()
+            for j in range(len(pdf)):
+                gk = tuple(g[j] for g in groups)
+                s = state.setdefault(gk, {})
+                v = vals[j]
+                if v in s:
+                    c, e = s[v]
+                    s[v] = (c + 1, e)
+                elif len(s) < slots:
+                    s[v] = (1, 0)
+                else:
+                    # evict the minimum: new value inherits its count
+                    # as the overestimation bound
+                    mv = min(s, key=lambda x: s[x][0])
+                    mc, _ = s.pop(mv)
+                    s[v] = (mc + 1, mc)
+        rows = {c: [] for c in gcols}
+        out_v, out_adj, out_low = [], [], []
+        for gk, s in state.items():
+            m = min(c for c, _ in s.values()) if len(s) == slots else 0
+            for v, (c, e) in s.items():
+                for name, gv in zip(gcols, gk):
+                    rows[name].append(gv)
+                out_v.append(v)
+                out_adj.append(c - m)
+                out_low.append(c - e)
+            # the min-row: an absent value may have occurred up to m
+            # times in this partition
+            for name, gv in zip(gcols, gk):
+                rows[name].append(gv)
+            out_v.append(None)
+            out_adj.append(m)
+            out_low.append(0)
+        yield pd.DataFrame(
+            {**rows, "__v": out_v, "__adj": out_adj, "__low": out_low}
+        )
+
+    parts = src.mapInPandas(summarize, part_schema).localCheckpoint(
+        eager=False
+    )
+    mins = parts.filter(F.col("__v").isNull()).groupBy(*gcols).agg(
+        F.sum("__adj").alias("__m_total")
+    )
+    merged = (
+        parts.filter(F.col("__v").isNotNull())
+        .groupBy(*gcols, "__v")
+        .agg(
+            F.sum("__adj").alias("__adj"),
+            F.sum("__low").alias("cnt_lower"),
+        )
+        .join(F.broadcast(mins), gcols)
+        .withColumn("cnt_upper", F.col("__adj") + F.col("__m_total"))
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("cnt_upper").desc(), F.col("__v").asc()
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            *gcols,
+            F.col("__v").alias("value"),
+            "cnt_lower",
+            "cnt_upper",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def sum_map(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    keys_col: str,
+    values_col: str,
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """ClickHouse ``sumMap(keys, values)``: per group, sum values per
+    key across rows of parallel key/value arrays. Returns exploded
+    rows ``(*group_cols, key, total)`` — the canonical relational
+    form (collect to a map at the response edge if needed).
+
+    One explode + one partial-aggregating groupBy; sums run in
+    DECIMAL so results are exact and partition-order-independent
+    (double sums would not hash-match across engines)."""
+    pair = F.explode(
+        F.zip_with(
+            F.col(keys_col),
+            F.col(values_col),
+            lambda k, v: F.struct(k.alias("key"), v.alias("val")),
+        )
+    ).alias("kv")
+    return (
+        df.select(*group_cols, pair)
+        .select(
+            *group_cols,
+            F.col("kv.key").alias("key"),
+            F.col("kv.val").cast(sum_type).alias("val"),
+        )
+        .groupBy(*group_cols, "key")
+        .agg(F.sum("val").alias("total"))
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram with EXPLICIT bounds (the deterministic
+    sibling of ClickHouse's adaptive ``histogram(bins)``, whose bin
+    edges depend on data order): bucket = floor((v - lo) * bins /
+    (hi - lo)), clamped to [0, bins-1]; values outside [lo, hi)
+    clamp into the edge buckets. Pure column expression + one
+    groupBy; IEEE double math, so an oracle reproduces it exactly."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * bins / F.lit(float(hi - lo)))
+    bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    lo_edge = F.lit(float(lo)) + F.col("bucket") * F.lit((hi - lo) / bins)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("bucket_lo", F.round(lo_edge, 6))
+    )

@@ -1,0 +1,123 @@
+"""ClickHouse aggregate parity (operators/ch_aggregates.py): exact
+topK, mergeable SpaceSaving sketch bounds, sumMap, fixed histogram."""
+
+import random
+from collections import Counter
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbon_clickhouse_spark.operators.ch_aggregates import (
+    histogram_fixed,
+    sum_map,
+    top_k,
+    top_k_sketch,
+)
+
+
+def test_top_k_exact_with_ties(spark):
+    rows = [("g1", v) for v in ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"]]
+    rows += [("g2", "x")]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = [
+        (r.grp, r.value, r.cnt, r.rnk)
+        for r in top_k(df, ["grp"], "v", k=2)
+        .orderBy("grp", "rnk")
+        .collect()
+    ]
+    # tie b/c at 3 resolves by value asc -> b
+    assert got == [
+        ("g1", "a", 5, 1),
+        ("g1", "b", 3, 2),
+        ("g2", "x", 1, 1),
+    ]
+
+
+def test_top_k_validation(spark):
+    df = spark.createDataFrame([("g", "a")], "grp string, v string")
+    with pytest.raises(ValueError):
+        top_k(df, ["grp"], "v", k=0)
+    with pytest.raises(ValueError):
+        top_k_sketch(df, ["grp"], "v", k=0)
+    with pytest.raises(ValueError):
+        histogram_fixed(df, "v", 1.0, 1.0, 4)
+
+
+def test_top_k_sketch_bounds_and_heavy_hitters(spark):
+    rng = random.Random(5)
+    # skewed distribution: a few heavy values + a long tail
+    vals = (
+        ["hot1"] * 400 + ["hot2"] * 300 + ["hot3"] * 200
+        + [f"tail{i}" for i in range(300) for _ in (0, 1)]
+    )
+    rng.shuffle(vals)
+    true = Counter(vals)
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v string"
+    ).repartition(8)
+    out = top_k_sketch(df, ["grp"], "v", k=3, oversample=8).collect()
+    got = {r.value: (r.cnt_lower, r.cnt_upper) for r in out}
+    # the three heavy hitters dominate n/slots = 1500/24 -> guaranteed
+    assert set(got) == {"hot1", "hot2", "hot3"}
+    for v, (lo, hi) in got.items():
+        assert lo <= true[v] <= hi, (v, lo, true[v], hi)
+
+
+def test_top_k_sketch_single_partition_is_exact(spark):
+    vals = ["a"] * 4 + ["b"] * 2 + ["c"]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v string"
+    ).coalesce(1)
+    out = top_k_sketch(df, ["grp"], "v", k=2, oversample=4).collect()
+    got = [(r.value, r.cnt_lower, r.cnt_upper, r.rnk) for r in out]
+    # summary never overflows (3 distinct < 8 slots): bounds are exact
+    assert sorted(got) == [("a", 4, 4, 1), ("b", 2, 2, 2)]
+
+
+def test_sum_map_exact_decimals(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", ["k1", "k2"], [1.25, 2.50]),
+            ("d1", ["k2", "k3"], [0.25, 10.00]),
+            ("d2", ["k1"], [7.75]),
+        ],
+        "day string, ks array<string>, vs array<double>",
+    )
+    out = {
+        (r.day, r.key): r.total
+        for r in sum_map(df, ["day"], "ks", "vs").collect()
+    }
+    assert out[("d1", "k1")] == Decimal("1.250000")
+    assert out[("d1", "k2")] == Decimal("2.750000")
+    assert out[("d1", "k3")] == Decimal("10.000000")
+    assert out[("d2", "k1")] == Decimal("7.750000")
+
+
+def test_histogram_fixed_clamps_and_groups(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 24.9), ("a", 25.0), ("a", 199.9),
+         ("a", 250.0), ("b", 100.0)],
+        "grp string, v double",
+    )
+    out = {
+        (r.grp, r.bucket): (r.cnt, r.bucket_lo)
+        for r in histogram_fixed(df, "v", 0.0, 200.0, 8, ["grp"]).collect()
+    }
+    # -5 clamps into bucket 0; 250 clamps into bucket 7
+    assert out[("a", 0)] == (3, 0.0)   # -5.0, 0.0, 24.9
+    assert out[("a", 1)] == (1, 25.0)
+    assert out[("a", 7)] == (2, 175.0)  # 199.9 and clamped 250
+    assert out[("b", 4)] == (1, 100.0)
+
+
+def test_top_k_plan_two_shuffles(spark):
+    df = spark.createDataFrame([("g", "a")], "grp string, v string")
+    plan = (
+        top_k(df, ["grp"], "v", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
