@@ -208,6 +208,42 @@ def sum_map(
     )
 
 
+def uniq_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "uniq_state",
+) -> DataFrame:
+    """ClickHouse ``uniqState`` analogue: one mergeable
+    Apache-DataSketches HLL state per group (Spark-native
+    ``hll_sketch_agg`` — JVM-side, partial-aggregating, ~2^lg_k bytes
+    per group regardless of cardinality). Store these per
+    day/partition and fold with :func:`uniq_merge` instead of
+    re-scanning history — the AggregatingMergeTree pattern."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col).cast("string"), lg_k).alias(
+            sketch_col
+        )
+    )
+
+
+def uniq_merge(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    sketch_col: str = "uniq_state",
+    out_col: str = "uniq",
+) -> DataFrame:
+    """ClickHouse ``uniqMerge``: fold stored HLL states across a
+    coarser grouping and estimate — states shuffle (bytes, not
+    values), never the underlying data."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), True)
+        ).alias(out_col)
+    )
+
+
 def histogram_fixed(
     df: DataFrame,
     value_col: str,
