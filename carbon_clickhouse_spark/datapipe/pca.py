@@ -105,26 +105,36 @@ def covariance_table(
     # (i, j) via two literal lookup arrays (one element_at each).
     i_lookup = [i for i in range(d) for _ in range(i, d)]
     j_lookup = [j for i in range(d) for j in range(i, d)]
-    tri = parts.select(
-        F.col("n"),
-        F.col("s"),
-        F.posexplode("s2").alias("t", "v"),
-    ).select(
-        "n",
-        "s",
-        "v",
-        F.element_at(F.lit(i_lookup), F.col("t") + 1).alias("i"),
-        F.element_at(F.lit(j_lookup), F.col("t") + 1).alias("j"),
+    tri = (
+        parts.select(
+            F.col("n"),
+            F.col("s"),
+            F.posexplode("s2").alias("t", "v"),
+        )
+        .select(
+            "n",
+            "v",
+            F.element_at(F.lit(i_lookup), F.col("t") + 1).alias("i"),
+            F.element_at(F.lit(j_lookup), F.col("t") + 1).alias("j"),
+            F.col("s"),
+        )
+        # project si/sj BEFORE the groupBy shuffle: carrying the full
+        # d-element s array on every triangle row would shuffle
+        # ~d^3/2 longs per partial instead of d^2
+        .select(
+            "n",
+            "v",
+            "i",
+            "j",
+            F.element_at("s", F.col("i") + 1).alias("si"),
+            F.element_at("s", F.col("j") + 1).alias("sj"),
+        )
     )
     agg = tri.groupBy("i", "j").agg(
         F.sum(F.col("n")).cast("long").alias("n"),
         F.sum(F.col("v").cast(_DEC)).alias("s2"),
-        F.sum(
-            F.element_at("s", F.col("i") + 1).cast(_DEC)
-        ).alias("si"),
-        F.sum(
-            F.element_at("s", F.col("j") + 1).cast(_DEC)
-        ).alias("sj"),
+        F.sum(F.col("si").cast(_DEC)).alias("si"),
+        F.sum(F.col("sj").cast(_DEC)).alias("sj"),
     )
     return agg.select(
         "i",

@@ -352,14 +352,7 @@ def remove_duplicate_lines(
     by_pos = part.orderBy("doc_id", "line_idx")
     ranked = (
         lines.withColumn("__dr", F.dense_rank().over(by_doc))
-        .withColumn(
-            "__nd",
-            F.max("__dr").over(
-                part.orderBy("doc_id").rangeBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
+        .withColumn("__nd", F.max("__dr").over(part))
         .withColumn("__rn", F.row_number().over(by_pos))
     )
     keep = (

@@ -45,8 +45,13 @@ def top_k(
     value ascending so results are total-order deterministic."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    counted = df.groupBy(*group_cols, F.col(value_col).alias("value")).agg(
-        F.count("*").cast("long").alias("cnt")
+    # NULL values are skipped, matching ClickHouse aggregate-function
+    # semantics (and keeping parity with top_k_sketch, whose merge
+    # protocol reserves NULL for its min-row sentinel)
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).alias("value"))
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("cnt").desc(), F.col("value").asc()
@@ -90,7 +95,12 @@ def top_k_sketch(
         raise ValueError("k and oversample must be >= 1")
     slots = k * oversample
     gcols = list(group_cols)
-    src = df.select(*gcols, F.col(value_col).cast("string").alias("__v"))
+    # NULLs are skipped (CH semantics) — and must be: the merge
+    # protocol uses NULL __v as the min-row sentinel, so a NULL data
+    # value would corrupt __m_total and vanish from the result
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).cast("string").alias("__v")
+    )
     fields = [src.schema[c] for c in gcols]
     part_schema = T.StructType(
         fields
@@ -188,7 +198,19 @@ def sum_map(
 
     One explode + one partial-aggregating groupBy; sums run in
     DECIMAL so results are exact and partition-order-independent
-    (double sums would not hash-match across engines)."""
+    (double sums would not hash-match across engines). Rows whose
+    key/value arrays differ in length raise (ClickHouse sumMap errors
+    on unequal sizes; silent zip-padding would fabricate NULL keys or
+    swallow values)."""
+    df = df.filter(
+        # assert_true raises on a mismatched row and returns NULL
+        # otherwise; the isNull() keeps the check referenced so the
+        # optimizer cannot prune it
+        F.assert_true(
+            F.size(F.col(keys_col)) == F.size(F.col(values_col)),
+            F.lit("sum_map: keys/values arrays differ in length"),
+        ).isNull()
+    )
     pair = F.explode(
         F.zip_with(
             F.col(keys_col),
@@ -261,6 +283,9 @@ def histogram_fixed(
     if bins < 1 or not hi > lo:
         raise ValueError("need bins >= 1 and hi > lo")
     v = F.col(value_col).cast("double")
+    # NULL/NaN rows are excluded (greatest/least skip NULL arguments,
+    # which would otherwise silently funnel them into bucket 0)
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     raw = F.floor((v - F.lit(float(lo))) * bins / F.lit(float(hi - lo)))
     bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
     lo_edge = F.lit(float(lo)) + F.col("bucket") * F.lit((hi - lo) / bins)

@@ -37,8 +37,14 @@ from pyspark.sql import types as T
 def _fold(levels, events, steps, window):
     """Fold time-ordered ``(t, type)`` events into the chain-start DP
     state ``levels`` (best chain START reaching step k, or None).
-    Descending step order keeps one event from serving two steps."""
+    Descending step order keeps one event from serving two steps.
+
+    Returns ``(levels, reached)`` where ``reached[k-1]`` is the event
+    time at which step k was completed for the FIRST time during THIS
+    fold (None if it was already complete or still isn't) — the
+    timestamp a milestone row should carry."""
     n = len(steps)
+    reached = [None] * n
     for t, ty in events:
         for k in range(n, 1, -1):
             prev = levels[k - 2]
@@ -47,12 +53,16 @@ def _fold(levels, events, steps, window):
                 and prev is not None
                 and t - prev <= window
             ):
+                if levels[k - 1] is None:
+                    reached[k - 1] = t
                 if levels[k - 1] is None or prev > levels[k - 1]:
                     levels[k - 1] = prev
         if ty == steps[0]:
+            if levels[0] is None:
+                reached[0] = t
             if levels[0] is None or t > levels[0]:
                 levels[0] = t
-    return levels
+    return levels, reached
 
 
 def streaming_sessions(
@@ -169,7 +179,7 @@ def streaming_window_funnel(
                 for t, ty in zip(buf_t or [], buf_ty or [])
                 if int(t) <= wm
             )
-            levels = _fold(levels, frozen, steps, window)
+            levels, reached = _fold(levels, frozen, steps, window)
             level = 0
             for k in range(n, 0, -1):
                 if levels[k - 1] is not None:
@@ -181,9 +191,7 @@ def streaming_window_funnel(
                     {
                         user_col: [key[0]],
                         "funnel_level": [int(level)],
-                        "reached_at": [
-                            int(frozen[-1][0]) if frozen else 0
-                        ],
+                        "reached_at": [int(reached[level - 1] or 0)],
                     }
                 )
             return
@@ -195,24 +203,33 @@ def streaming_window_funnel(
             if len(levels) != n:
                 levels = [None] * n
             buf = list(zip([int(t) for t in buf_t or []], buf_ty or []))
-            last_wm = int(last_wm or 0)
+            # None = nothing folded yet (a 0 default would drop
+            # legitimate events at or before the 1970 epoch)
+            last_wm = None if last_wm is None else int(last_wm)
         else:
-            levels, emitted, buf, last_wm = [None] * n, 0, [], 0
+            levels, emitted, buf, last_wm = [None] * n, 0, [], None
         for pdf in pdfs:
             buf.extend(
                 (int(v), str(ty))
                 for v, ty in zip(pdf["__t"], pdf["__ty"])
                 # null event times (unparseable timestamps) are
                 # droppable malformed input, not a stream crash
-                if not pd.isna(v) and int(v) > last_wm
+                if not pd.isna(v)
+                and (last_wm is None or int(v) > last_wm)
             )
-        wm = max(state.getCurrentWatermarkMs() // 1000, last_wm)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms // 1000
+        if last_wm is not None and last_wm > wm:
+            wm = last_wm
+        # Spark reports 0 before any watermark exists: fold nothing
+        # then, or pre-epoch (t <= 0) events would fold prematurely
+        no_wm = last_wm is None and wm_ms == 0
         buf.sort()
         cut = 0
-        while cut < len(buf) and buf[cut][0] <= wm:
+        while not no_wm and cut < len(buf) and buf[cut][0] <= wm:
             cut += 1
         frozen, buf = buf[:cut], buf[cut:]
-        levels = _fold(levels, frozen, steps, window)
+        levels, reached = _fold(levels, frozen, steps, window)
         level = 0
         for k in range(n, 0, -1):
             if levels[k - 1] is not None:
@@ -224,7 +241,9 @@ def streaming_window_funnel(
                 int(max(level, emitted)),
                 [t for t, _ in buf],
                 [ty for _, ty in buf],
-                int(wm),
+                # a 0 watermark means "none yet" (Spark's initial
+                # value): keep None so pre-epoch events aren't dropped
+                None if no_wm else int(wm),
             )
         )
         if state_ttl_seconds:
@@ -234,7 +253,9 @@ def streaming_window_funnel(
                 {
                     user_col: [key[0]],
                     "funnel_level": [int(level)],
-                    "reached_at": [int(frozen[-1][0]) if frozen else 0],
+                    # the event that completed the new deepest step —
+                    # not the last frozen event, which may be unrelated
+                    "reached_at": [int(reached[level - 1] or 0)],
                 }
             )
 

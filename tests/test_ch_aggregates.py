@@ -111,6 +111,36 @@ def test_histogram_fixed_clamps_and_groups(spark):
     assert out[("b", 4)] == (1, 100.0)
 
 
+def test_null_handling_matches_clickhouse_skip_semantics(spark):
+    """NULL values are skipped by topK (exact AND sketch — whose merge
+    protocol reserves NULL for min-rows) and by histogram (greatest/
+    least would otherwise funnel NULL/NaN into bucket 0)."""
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", None), ("g", "b"), ("g", "a")],
+        "grp string, v string",
+    )
+    exact = [(r.value, r.cnt) for r in top_k(df, ["grp"], "v", 3).collect()]
+    assert sorted(exact) == [("a", 2), ("b", 1)]
+    sk = top_k_sketch(df, ["grp"], "v", k=3, oversample=2).collect()
+    got = {r.value: (r.cnt_lower, r.cnt_upper) for r in sk}
+    assert got == {"a": (2, 2), "b": (1, 1)}
+
+    hdf = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (3.0,)], "v double"
+    )
+    out = {r.bucket: r.cnt for r in histogram_fixed(hdf, "v", 0, 4, 4).collect()}
+    assert out == {1: 1, 3: 1}  # NULL and NaN rows excluded
+
+
+def test_sum_map_rejects_length_mismatch(spark):
+    df = spark.createDataFrame(
+        [("d", ["a", "b"], [1.0])],
+        "day string, ks array<string>, vs array<double>",
+    )
+    with pytest.raises(Exception, match="differ in length"):
+        sum_map(df, ["day"], "ks", "vs").collect()
+
+
 def test_uniq_sketch_estimate_and_merge(spark):
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         uniq_merge,

@@ -53,9 +53,10 @@ def _start(spark, landing, qname, steps, window, delay):
 def test_fold_matches_batch_dp():
     # pure-function check of the shared DP
     ev = [(100, "a"), (150, "b"), (300, "a"), (360, "b"), (400, "c")]
-    levels = _fold([None, None, None], ev, ["a", "b", "c"], 120)
+    levels, reached = _fold([None, None, None], ev, ["a", "b", "c"], 120)
     # chain a@300 b@360 c@400 fits in 120; a@100 b@150 c@? misses
     assert levels[2] is not None
+    assert reached[2] == 400  # the completing event's time
 
 
 def test_streaming_funnel_milestones_and_watermark(spark, tmp_path):
@@ -122,6 +123,29 @@ def test_streaming_funnel_out_of_order_within_watermark(spark, tmp_path):
             for r in spark.sql("SELECT * FROM funnel_t2").collect()
         }
         assert got == {3: 3}
+    finally:
+        q.stop()
+
+
+def test_streaming_funnel_reached_at_is_completing_event(spark, tmp_path):
+    """reached_at must be the event that completed the new deepest
+    step — not the last frozen event, which may be unrelated."""
+    landing = str(tmp_path / "ev")
+    os.makedirs(landing)
+    _write(
+        landing,
+        "b1.json",
+        [(5, 100, "a"), (5, 200, "b"), (5, 250, "c"), (5, 900, "x")],
+    )
+    q = _start(spark, landing, "funnel_t4", ["a", "b", "c"], 3600, "30 seconds")
+    try:
+        q.processAllAvailable()
+        _write(landing, "b2.json", [(5, 10_000, "zz")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_t4").collect()
+        assert [(r.user_id, r.funnel_level, r.reached_at) for r in rows] == [
+            (5, 3, 250)
+        ]
     finally:
         q.stop()
 
