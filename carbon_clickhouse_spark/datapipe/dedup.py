@@ -390,42 +390,75 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per-token md5 -> first 15 hex chars as a
     60-bit int; signature bit b set when the weighted majority of
-    token hashes have bit b set. Pure column expressions.
+    token hashes have bit b set (every occurrence votes).
+
+    One Arrow ``mapInPandas`` pass, ZERO shuffle: the fingerprint is
+    per-document, so nothing needs to cross the wire at any corpus
+    size. The previous expression form (explode + 60 conditional sums
+    in one groupBy) was correct but paid one Exchange of 60-bit rows
+    AND ~1 s of Catalyst optimization for its 120-expression plan on
+    every fresh construction; this form is bit-identical
+    (parity-measured on sf0.1) and ~3x faster end-to-end. numpy does
+    the bit unpacking/voting; token hashing chunks at 64k tokens so a
+    pathological document can't balloon the vote matrix.
     """
-    # one pass: explode tokens, hash once, 60 conditional sums inside a
-    # single partial-aggregating groupBy (the nested higher-order-
-    # function form interpreted lambdas per token x bit — ~10x slower).
-    # explode(split) + WHERE stays in codegen; F.filter() would not.
-    tok = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-        )
-    )
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.getbit("h", F.lit(b)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(bits)
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
         ]
     )
-    # majority bits reassembled arithmetically: sum of 2^b for
-    # positive votes. Bit-identical to the base-2-string conv() form
-    # (parity-measured) but ~2x faster end-to-end — the string
-    # concat + radix conversion dominated the query's runtime.
-    import functools
+    ws = re.compile(r"\s+")
+    shifts = np.arange(bits, dtype=np.uint64)
+    # first 15 hex chars of the md5 = top 60 bits of the first 8
+    # bytes (always 60, independent of ``bits``, matching the JVM
+    # conv(substring(md5,1,15),16,10) form; votes use its low bits).
+    # Plain-int shift: numpy would refuse >> on ints >= 2^63.
+    drop = 4
+    chunk = 65536
+    md5 = hashlib.md5
+    one = np.uint64(1)
 
-    terms = [
-        F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for b in range(bits)
-    ]
-    sig = functools.reduce(lambda a, b: a + b, terms)
-    return votes.select("doc_id", sig.alias("simhash"))
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").strip()) if t]
+                if not toks:
+                    continue
+                votes = np.zeros(bits, dtype=np.int64)
+                for lo in range(0, len(toks), chunk):
+                    part = toks[lo : lo + chunk]
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(
+                                md5(t.encode("utf-8")).digest()[:8], "big"
+                            )
+                            >> drop
+                            for t in part
+                        ),
+                        dtype=np.uint64,
+                        count=len(part),
+                    )
+                    b = (hs[:, None] >> shifts) & one
+                    votes += 2 * b.sum(axis=0, dtype=np.int64) - len(part)
+                sig = int(
+                    ((votes > 0).astype(np.uint64) << shifts).sum(
+                        dtype=np.uint64
+                    )
+                )
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def simhash_pairs(
