@@ -201,6 +201,69 @@ def test_streaming_sessions_native_windows(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_funnel_ttl_flushes_before_eviction(spark, tmp_path):
+    """A TTL-evicted idle user still gets a final milestone for
+    whatever the watermark had frozen when the timeout fired —
+    completed progress of quiet users isn't silently lost. Uses a
+    real trigger interval: processing-time timeouts keep scheduling
+    batches, so processAllAvailable (which waits for quiescence)
+    cannot drive this path.
+
+    Timing-dependent by nature: the timeout may fire when the
+    watermark has frozen only a@100 (level 1) or both events
+    (level 2) — both are correct TTL-eviction outcomes; what must
+    hold is that SOME milestone for the idle user appears, carrying
+    the completing event's time, with the stream healthy."""
+    import time as _time
+
+    from carbon_clickhouse_spark.streaming.funnel import (
+        streaming_window_funnel,
+    )
+
+    landing = str(tmp_path / "ev")
+    os.makedirs(landing)
+    _write(landing, "b1.json", [(7, 100, "a"), (7, 150, "b")])
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_window_funnel(
+        stream,
+        ["a", "b"],
+        3600,
+        watermark_delay="10 seconds",
+        state_ttl_seconds=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_ttl")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        _time.sleep(6)
+        # keep OTHER users' rows flowing so batches fire and the
+        # watermark advances; user 7 stays idle until its TTL expires
+        deadline = _time.time() + 90
+        got = []
+        i = 0
+        while _time.time() < deadline:
+            _write(landing, f"k{i}.json", [(8, 10_000 + i, "x")])
+            i += 1
+            _time.sleep(3)
+            assert q.exception() is None, q.exception()
+            got = [
+                (r.funnel_level, r.reached_at)
+                for r in spark.sql(
+                    "SELECT * FROM funnel_ttl WHERE user_id = 7"
+                ).collect()
+            ]
+            if got:
+                break
+        assert got, "TTL expiry never emitted the idle user's milestone"
+        assert got[0] in [(1, 100), (2, 150)], got
+    finally:
+        q.stop()
+
+
 def test_streaming_funnel_parity_with_batch(spark, tmp_path):
     rng = random.Random(7)
     users = range(12)
