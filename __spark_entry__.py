@@ -1943,6 +1943,25 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """ClickHouse ``quantileDD`` / ``quantileState``+``quantileMerge``
+    parity (operators/quantile_sketch.py): mergeable log-spaced bucket
+    counts with a 2^-7 relative-error guarantee. Bucket indices are
+    pure integer arithmetic on half-up-quantized values (the float
+    log2 is only a shift-corrected hint), so the state — and the
+    estimates, reconstructed with IEEE-exact +,*,/ on shift-built
+    powers of two — hash-match the oracle exactly. One partial-agg
+    groupBy builds the state; estimation walks cumulative counts over
+    the tiny state table."""
+    from carbon_clickhouse_spark.operators.quantile_sketch import (
+        quantile_dd,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_dd(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    return out.select("event_type", "q", F.round("est", 6).alias("est"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2058,6 +2077,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types": q_top_event_types,
         "sum_map_daily": q_sum_map_daily,
         "value_histogram": q_value_histogram,
+        # graded rep: value_quantiles (exact); this is the mergeable
+        # quantileState/quantileDD sketch over the same column
+        "quantile_sketch": q_quantile_sketch,
     }
 
 
@@ -3303,6 +3325,66 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, count(*) AS cnt,
                round(0.0 + bucket * 25.0, 6) AS bucket_lo
         FROM b GROUP BY event_type, bucket
+    """
+    # the identical integer bucket arithmetic (shift-corrected log2
+    # hint, 7 sub-bucket bits, scale 10^6) — see
+    # operators/quantile_sketch.py for why every step is engine-exact
+    oracles["quantile_sketch"] = r"""
+        WITH src AS (
+          SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS qv
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        ), kx AS (
+          SELECT event_type, qv,
+            CASE WHEN qv = 0 THEN 0
+                 ELSE CAST(floor(log2(CAST(abs(qv) AS DOUBLE))) AS INT)
+            END AS k0
+          FROM src
+        ), kc AS (
+          SELECT event_type, qv,
+            CASE WHEN qv = 0 THEN 0
+                 WHEN (1::BIGINT << (k0+1)) <= abs(qv) THEN k0+1
+                 WHEN (1::BIGINT << k0) > abs(qv) THEN k0-1
+                 ELSE k0 END AS k
+          FROM kx
+        ), bk AS (
+          SELECT event_type,
+            CASE WHEN qv = 0 THEN 0
+                 ELSE CAST(sign(qv) AS BIGINT) * (CAST(k AS BIGINT)*128
+                      + ((abs(qv) - (1::BIGINT << k)) << 7)
+                        // (1::BIGINT << k) + 1)
+            END AS bucket
+          FROM kc
+        ), cnts AS (
+          SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM bk GROUP BY 1, 2
+        ), cum AS (
+          SELECT event_type, bucket, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+              AS total,
+            CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM cnts
+        ), qq AS (
+          SELECT cum.*, q FROM cum
+          CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                        CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q)
+        ), picked AS (
+          SELECT event_type, q, bucket, cnt FROM qq
+          WHERE cum >= greatest(1,
+                  CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT))
+            AND cum - cnt < greatest(1,
+                  CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT))
+        )
+        SELECT event_type, q,
+          round(CASE WHEN bucket = 0 THEN 0.0
+               ELSE CAST(sign(bucket) AS DOUBLE)
+                    * CAST((1::BIGINT
+                        << CAST((abs(bucket)-1)//128 AS INT)) AS DOUBLE)
+                    * (1.0 + (CAST((abs(bucket)-1)%128 AS DOUBLE) + 0.5)
+                       / 128.0)
+                    / 1000000.0
+          END, 6) AS est
+        FROM picked
     """
     oracles["dsir_scores"] = dsir_scores_sql
     oracles["dsir_resample"] = dsir_resample_sql
