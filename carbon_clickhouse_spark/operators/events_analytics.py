@@ -23,6 +23,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+#: ClickHouse windowFunnel modes (parametric-functions reference)
+FUNNEL_MODES = frozenset(
+    {"strict_increase", "strict_order", "strict_deduplication",
+     "strict_once"}
+)
+
+
 def window_funnel(
     events: DataFrame,
     steps: Sequence[str],
@@ -31,6 +38,7 @@ def window_funnel(
     type_col: str = "event_type",
     user_col: str = "user_id",
     tiebreak_col: str | None = None,
+    modes: Sequence[str] = (),
 ) -> DataFrame:
     """Per-user maximum funnel depth: the largest ``k`` such that some
     events of types ``steps[0..k-1]`` occur in strictly increasing row
@@ -40,20 +48,56 @@ def window_funnel(
     Returns ``(user_col, funnel_level int)`` with one row per user
     that has ANY event (level 0 = none of ``steps[0]`` seen).
 
-    Semantics match ClickHouse ``windowFunnel(window)(t, cond1, ...)``
-    in its default mode, with deterministic ordering: events are
-    ordered by ``(time_col, tiebreak_col)`` and a step may only chain
-    to an event on an earlier row, so equal-timestamp chains resolve
-    by the tiebreak rather than engine-dependent input order.
+    Semantics match ClickHouse ``windowFunnel(window[, mode])(t,
+    cond1, ...)`` with deterministic ordering: events are ordered by
+    ``(time_col, tiebreak_col)`` and a step may only chain to an event
+    on an earlier row, so equal-timestamp chains resolve by the
+    tiebreak rather than engine-dependent input order. All four
+    documented modes are supported, combinable:
 
-    Scale shape: one Exchange on ``user_col``; all ``len(steps)``
-    window passes share that partitioning and sort, so Catalyst plans
-    a single shuffle + sort with chained Window operators, each in
-    codegen. Cost is O(events) rows shuffled once — no join, no
-    explode, no per-user collect.
+    - ``strict_increase``: a step chains only to a previous step whose
+      event time is STRICTLY smaller.
+    - ``strict_order``: once the funnel has started, an event matching
+      no step — or a step whose predecessor is unmatched — stops the
+      search at the depth reached.
+    - ``strict_deduplication``: an event re-matching an
+      already-matched step (other than step 1, whose re-match restarts
+      the chain) stops the search. The level reported is the deepest
+      step reached at interruption — the documented intent; the CH
+      C++ quirk of reporting the *previous entry's* condition index
+      instead is deliberately not replicated.
+    - ``strict_once``: one event never advances two steps of the SAME
+      chain (relevant when the step list repeats a type); chains
+      through distinct events still form.
+
+    Scale shape (default / ``strict_increase``): one Exchange on
+    ``user_col``; all ``len(steps)`` window passes share that
+    partitioning and sort, so Catalyst plans a single shuffle + sort
+    with chained Window operators, each in codegen. Cost is O(events)
+    rows shuffled once — no join, no explode, no per-user collect.
+    The interrupt modes (``strict_order`` / ``strict_deduplication``
+    / ``strict_once``) are inherently sequential (processing stops at
+    a data-dependent event), so they run as the same
+    sorted-partition Arrow scan as
+    :func:`.sequence_match.sequence_count`: one Exchange on the user
+    key, O(n_steps) fold state carried across batch boundaries,
+    booleans pre-evaluated JVM-side.
     """
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
+    mset = {str(m) for m in modes}
+    bad = mset - FUNNEL_MODES
+    if bad:
+        raise ValueError(
+            f"unknown windowFunnel mode(s) {sorted(bad)}; "
+            f"supported: {sorted(FUNNEL_MODES)}"
+        )
+    if mset & {"strict_order", "strict_deduplication", "strict_once"}:
+        return _funnel_sequential(
+            events, steps, window, time_col, type_col, user_col,
+            tiebreak_col, mset,
+        )
+    strict_increase = "strict_increase" in mset
     order = [F.col(time_col)]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))
@@ -69,18 +113,28 @@ def window_funnel(
     # __s{k}: the best (latest) chain start among chains that reach
     # step k AT this event; __m{k}: running max of __s{k} over strictly
     # preceding rows, i.e. the best start available to the next step.
+    # For strict_increase, __e{k} is the running max of step-k EVENT
+    # times: both maxes are non-decreasing write sequences, so the
+    # pair (max start, max event time) is exactly the latest write —
+    # the single slot the CH sequential fold keeps.
     df = df.withColumn(
         "__s1", F.when(F.col(type_col) == steps[0], t)
     )
     for k in range(2, len(steps) + 1):
         df = df.withColumn(f"__m{k - 1}", F.max(f"__s{k - 1}").over(prev))
+        chain = (F.col(type_col) == steps[k - 1]) & (
+            t - F.col(f"__m{k - 1}") <= window
+        )
+        if strict_increase:
+            df = df.withColumn(
+                f"__e{k - 1}",
+                F.max(
+                    F.when(F.col(f"__s{k - 1}").isNotNull(), t)
+                ).over(prev),
+            )
+            chain = chain & (t > F.col(f"__e{k - 1}"))
         df = df.withColumn(
-            f"__s{k}",
-            F.when(
-                (F.col(type_col) == steps[k - 1])
-                & (t - F.col(f"__m{k - 1}") <= window),
-                F.col(f"__m{k - 1}"),
-            ),
+            f"__s{k}", F.when(chain, F.col(f"__m{k - 1}"))
         )
     level = F.lit(0)
     for k in range(1, len(steps) + 1):
@@ -90,6 +144,125 @@ def window_funnel(
         .groupBy(user_col)
         .agg(F.max("__lvl").cast("int").alias("funnel_level"))
     )
+
+
+def _funnel_sequential(
+    events: DataFrame,
+    steps: Sequence[str],
+    window: int,
+    time_col: str,
+    type_col: str,
+    user_col: str,
+    tiebreak_col: str | None,
+    mset: set,
+) -> DataFrame:
+    """The CH single-slot fold for the interrupt modes, as a
+    sorted-partition Arrow scan (shape notes in
+    :func:`window_funnel`). Each event expands to one entry per
+    matching step index, ascending — the CH entry expansion for a
+    step list that repeats a type."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = len(steps)
+    steps = [str(s) for s in steps]
+    s_inc = "strict_increase" in mset
+    s_ord = "strict_order" in mset
+    s_dedup = "strict_deduplication" in mset
+    s_once = "strict_once" in mset
+    order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+    pre = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            *[F.col(c) for c in order_cols],
+            F.col(type_col).cast("string").alias("__ty"),
+        )
+        .repartition(F.col("__u"))
+        .sortWithinPartitions("__u", *order_cols)
+    )
+    u_type = pre.schema["__u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField(user_col, u_type),
+            T.StructField("funnel_level", T.IntegerType()),
+        ]
+    )
+    step_idx: dict = {}
+    for i, s in enumerate(steps):
+        step_idx.setdefault(s, []).append(i)
+
+    def scan(batches):
+        cur = None
+        slots: list = [None] * n  # slot[i] = (chain start, event time)
+        started = stopped = False
+        out_u: list = []
+        out_l: list = []
+
+        def flush():
+            lvl = 0
+            for i in range(n, 0, -1):
+                if slots[i - 1] is not None:
+                    lvl = i
+                    break
+            out_u.append(cur)
+            out_l.append(lvl)
+
+        for pdf in batches:
+            users = pdf["__u"].to_numpy()
+            times = pdf[time_col].to_numpy()
+            types = pdf["__ty"].to_numpy()
+            for j in range(len(pdf)):
+                u = users[j]
+                if u != cur:
+                    if cur is not None:
+                        flush()
+                    cur = u
+                    slots = [None] * n
+                    started = stopped = False
+                if stopped:
+                    continue
+                t = times[j]
+                cis = step_idx.get(types[j])
+                if cis is None:
+                    if s_ord and started:
+                        stopped = True
+                    continue
+                # strict_once: descending step order means a slot this
+                # event writes is never the predecessor of a slot this
+                # same event fills — one event can't appear twice in
+                # one chain, while chains through DISTINCT events
+                # still form (CH strict_once semantics)
+                for ci in (reversed(cis) if s_once else cis):
+                    if ci == 0:
+                        slots[0] = (t, t)
+                        started = True
+                        continue
+                    if s_dedup and slots[ci] is not None:
+                        stopped = True
+                        break
+                    if s_ord and started and slots[ci - 1] is None:
+                        stopped = True
+                        break
+                    p = slots[ci - 1]
+                    if p is None:
+                        continue
+                    start, tev = p
+                    if t - start > window:
+                        continue
+                    if s_inc and not tev < t:
+                        continue
+                    slots[ci] = (start, t)
+        if cur is not None:
+            flush()
+        if out_u:
+            yield pd.DataFrame(
+                {
+                    user_col: out_u,
+                    "funnel_level": pd.array(out_l, dtype="int32"),
+                }
+            )
+
+    return pre.mapInPandas(scan, schema)
 
 
 def retention_cohorts(
