@@ -56,25 +56,28 @@ DEFAULT_M = 7
 _K0 = "__qs_k0"
 
 
-def quantile_sketch(
+def bucketize(
     df: DataFrame,
-    group_cols: Sequence[str],
     value_col: str,
     scale: int = DEFAULT_SCALE,
     m: int = DEFAULT_M,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Build the mergeable state: one ``(group..., bucket, cnt,
-    qs_scale, qs_m)`` row per occupied bucket per group.
+    """Append the signed bucket ordinal for ``value_col`` while
+    preserving every other column (and the streaming watermark, which
+    projections keep) — rows with NULL/NaN values are dropped
+    (ClickHouse aggregate-function semantics). The building block
+    shared by the batch state builder and the streaming windowed
+    sketch.
 
-    NULL and NaN values are skipped (ClickHouse aggregate-function
-    semantics). Values with ``|round(v*scale)| >= 2^(62-m)`` raise
-    (an overflowing shift would otherwise mis-bucket silently).
+    Values with ``|round(v*scale)| >= 2^(62-m)`` raise (an
+    overflowing shift would otherwise mis-bucket silently).
     """
     if m < 1 or m > 16:
         raise ValueError("m must be in [1, 16]")
     if scale < 1:
         raise ValueError("scale must be >= 1")
-    gcols = list(group_cols)
+    keep = [c for c in df.columns if c != value_col]
     v = F.col(value_col).cast("double")
     cap = 1 << (62 - m)
     # cap-check on the DOUBLE before the long cast so the failure is
@@ -82,7 +85,7 @@ def quantile_sketch(
     qvd = F.round(v * F.lit(int(scale)))
     src = (
         df.filter(v.isNotNull() & ~F.isnan(v))
-        .select(*gcols, qvd.alias("__qvd"))
+        .select(*keep, qvd.alias("__qvd"))
         .filter(
             F.assert_true(
                 F.abs(F.col("__qvd")) < F.lit(float(cap)),
@@ -92,7 +95,7 @@ def quantile_sketch(
                 ),
             ).isNull()
         )
-        .select(*gcols, F.col("__qvd").cast("long").alias("__qv"))
+        .select(*keep, F.col("__qvd").cast("long").alias("__qv"))
     )
     a = F.abs(F.col("__qv"))
     with_k0 = src.withColumn(
@@ -112,8 +115,28 @@ def quantile_sketch(
         F.signum(F.col("__qv")).cast("long")
         * (F.col("__k").cast("long") * F.lit(1 << m) + sb + F.lit(1))
     )
+    return with_k.select(*keep, bucket.alias(bucket_col))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    scale: int = DEFAULT_SCALE,
+    m: int = DEFAULT_M,
+) -> DataFrame:
+    """Build the mergeable state: one ``(group..., bucket, cnt,
+    qs_scale, qs_m)`` row per occupied bucket per group.
+
+    NULL and NaN values are skipped (ClickHouse aggregate-function
+    semantics). Values with ``|round(v*scale)| >= 2^(62-m)`` raise
+    (an overflowing shift would otherwise mis-bucket silently).
+    """
+    gcols = list(group_cols)
     return (
-        with_k.select(*gcols, bucket.alias("bucket"))
+        bucketize(
+            df.select(*gcols, value_col), value_col, scale, m
+        )
         .groupBy(*gcols, "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
         .withColumn("qs_scale", F.lit(int(scale)).cast("long"))
