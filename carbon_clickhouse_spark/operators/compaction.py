@@ -149,7 +149,15 @@ def _atomic_overwrite(
     sort_cols = [c for c in ("path", "time") if c in df.columns]
 
     def _sorted(w: DataFrame) -> DataFrame:
-        return w.sortWithinPartitions(*sort_cols) if sort_cols else w
+        # month leads when the write is month-partitioned: the file
+        # writer requires ordering by the partition column and would
+        # otherwise add its own (unstable) sort on top of ours
+        cols = (
+            ["month"] + sort_cols
+            if month_partitioned and sort_cols
+            else sort_cols
+        )
+        return w.sortWithinPartitions(*cols) if cols else w
 
     try:
         writer = df

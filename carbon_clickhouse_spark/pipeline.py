@@ -104,7 +104,7 @@ def write_tables(
     ):
         (
             df.withColumn("month", F.date_format("date", "yyyyMM"))
-            .sortWithinPartitions("path", "time")
+            .sortWithinPartitions("month", "path", "time")
             .write.mode(mode)
             .partitionBy("month")
             .parquet(os.path.join(root, name))
@@ -197,7 +197,7 @@ def ingest_and_store(
     )
     (
         kept.withColumn("month", F.date_format("date", "yyyyMM"))
-        .sortWithinPartitions("path", "time")
+        .sortWithinPartitions("month", "path", "time")
         .write.mode("append")
         .partitionBy("month")
         .parquet(os.path.join(root, "points"))
@@ -211,7 +211,7 @@ def ingest_and_store(
         (
             stored.withColumn("path", path_reverse("path"))
             .withColumn("month", F.date_format("date", "yyyyMM"))
-            .sortWithinPartitions("path", "time")
+            .sortWithinPartitions("month", "path", "time")
             .write.mode("overwrite")
             .partitionBy("month")
             .parquet(os.path.join(root, "points_reverse"))

@@ -287,7 +287,7 @@ def start_ingest(
                     (
                         tables[name]
                         .withColumn("month", F.date_format("date", "yyyyMM"))
-                        .sortWithinPartitions("path", "time")
+                        .sortWithinPartitions("month", "path", "time")
                         .write.mode("append")
                         .partitionBy("month")
                         .parquet(path)
