@@ -38,20 +38,30 @@ def top_k(
     group_cols: Sequence[str],
     value_col: str,
     k: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT per-group top-k values by frequency (ClickHouse
     ``topK(k)(col)`` without its sketch error): returns
     ``(*group_cols, value, cnt, rnk)`` with rnk 1..k, ties broken by
-    value ascending so results are total-order deterministic."""
+    value ascending so results are total-order deterministic.
+
+    ``weight_col`` gives ``topKWeighted(k)(col, weight)``: rows rank
+    by summed integer weight instead of row count (CH weights are
+    UInt64; a long column keeps the sums exact and hashable)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     # NULL values are skipped, matching ClickHouse aggregate-function
     # semantics (and keeping parity with top_k_sketch, whose merge
     # protocol reserves NULL for its min-row sentinel)
+    cnt_agg = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col
+        else F.count("*")
+    )
     counted = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*group_cols, F.col(value_col).alias("value"))
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(cnt_agg.cast("long").alias("cnt"))
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("cnt").desc(), F.col("value").asc()
@@ -69,6 +79,7 @@ def top_k_sketch(
     value_col: str,
     k: int = 10,
     oversample: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Approximate heavy hitters via per-partition SpaceSaving
     summaries (Metwally et al. 2005, the algorithm behind ClickHouse
@@ -87,6 +98,12 @@ def top_k_sketch(
     present. Near-tied tail members may differ with partitioning —
     use :func:`top_k` when exactness matters and the (group, value)
     cardinality is affordable.
+
+    ``weight_col`` gives the ``topKWeighted`` sketch: SpaceSaving
+    folds the row's integer weight instead of 1 (the published
+    generalization — eviction/overestimation bounds carry unchanged,
+    in summed-weight units). Negative weights raise (CH weights are
+    UInt64).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -98,8 +115,13 @@ def top_k_sketch(
     # NULLs are skipped (CH semantics) — and must be: the merge
     # protocol uses NULL __v as the min-row sentinel, so a NULL data
     # value would corrupt __m_total and vanish from the result
+    wcols = (
+        [F.col(weight_col).cast("long").alias("__w")]
+        if weight_col
+        else []
+    )
     src = df.filter(F.col(value_col).isNotNull()).select(
-        *gcols, F.col(value_col).cast("string").alias("__v")
+        *gcols, F.col(value_col).cast("string").alias("__v"), *wcols
     )
     fields = [src.schema[c] for c in gcols]
     part_schema = T.StructType(
@@ -116,21 +138,34 @@ def top_k_sketch(
         for pdf in batches:
             groups = [pdf[c].to_numpy() for c in gcols]
             vals = pdf["__v"].to_numpy()
+            ws = pdf["__w"].to_numpy() if weight_col else None
             for j in range(len(pdf)):
                 gk = tuple(g[j] for g in groups)
                 s = state.setdefault(gk, {})
                 v = vals[j]
+                if ws is None:
+                    w = 1
+                else:
+                    if pd.isna(ws[j]):
+                        continue  # NULL weight: no contribution,
+                        # matching the exact path's sum-skips-NULL
+                    w = int(ws[j])
+                    if w < 0:
+                        raise ValueError(
+                            "top_k_sketch: negative weight "
+                            f"{w} for value {v!r}"
+                        )
                 if v in s:
                     c, e = s[v]
-                    s[v] = (c + 1, e)
+                    s[v] = (c + w, e)
                 elif len(s) < slots:
-                    s[v] = (1, 0)
+                    s[v] = (w, 0)
                 else:
                     # evict the minimum: new value inherits its count
                     # as the overestimation bound
                     mv = min(s, key=lambda x: s[x][0])
                     mc, _ = s.pop(mv)
-                    s[v] = (mc + 1, mc)
+                    s[v] = (mc + w, mc)
         rows = {c: [] for c in gcols}
         out_v, out_adj, out_low = [], [], []
         for gk, s in state.items():

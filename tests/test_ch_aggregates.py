@@ -181,3 +181,68 @@ def test_top_k_plan_two_shuffles(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_top_k_weighted_exact(spark):
+    # topKWeighted: rank by summed weight, not row count
+    rows = [
+        ("g", "a", 1), ("g", "a", 1), ("g", "a", 1),   # a: 3 rows, w=3
+        ("g", "b", 10),                                 # b: 1 row, w=10
+        ("g", "c", 5), ("g", "c", None),                # c: w=5 (NULL skipped)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string, w long")
+    got = [
+        (r["value"], r["cnt"], r["rnk"])
+        for r in top_k(df, ["g"], "v", k=3, weight_col="w")
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == [("b", 10, 1), ("c", 5, 2), ("a", 3, 3)]
+
+
+def test_top_k_sketch_weighted_bounds(spark):
+    import random
+
+    rng = random.Random(23)
+    # heavy value by weight (few rows, huge weights) + wide tail
+    rows = [("g", "HH", 50) for _ in range(20)]        # w total 1000
+    rows += [("g", f"t{rng.randrange(60)}", rng.randrange(1, 4))
+             for _ in range(400)]
+    df = spark.createDataFrame(
+        rows, "g string, v string, w long"
+    ).repartition(8)
+    out = top_k_sketch(
+        df, ["g"], "v", k=3, oversample=3, weight_col="w"
+    ).collect()
+    true = {}
+    for _, v, w in rows:
+        true[v] = true.get(v, 0) + w
+    by_rank = {r["rnk"]: r for r in out}
+    assert by_rank[1]["value"] == "HH"
+    for r in out:
+        t = true.get(r["value"], 0)
+        assert r["cnt_lower"] <= t <= r["cnt_upper"], r
+
+
+def test_top_k_sketch_weighted_single_partition_exact(spark):
+    rows = [("g", "a", 2), ("g", "a", 3), ("g", "b", 4)]
+    df = spark.createDataFrame(
+        rows, "g string, v string, w long"
+    ).coalesce(1)
+    got = {
+        r["value"]: (r["cnt_lower"], r["cnt_upper"])
+        for r in top_k_sketch(
+            df, ["g"], "v", k=5, weight_col="w"
+        ).collect()
+    }
+    assert got == {"a": (5, 5), "b": (4, 4)}
+
+
+def test_top_k_sketch_negative_weight_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", "a", -1)], "g string, v string, w long"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        top_k_sketch(df, ["g"], "v", k=1, weight_col="w").collect()
