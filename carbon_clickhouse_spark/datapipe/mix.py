@@ -49,6 +49,33 @@ def source_token_counts(
     return {r[source_col]: int(r["t"] or 0) for r in rows}
 
 
+def temperature_weights(
+    available: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature/alpha-sampling weights from raw source sizes: the
+    standard multilingual rebalancing (exponentiate-and-renormalize,
+    ``p_i ~ n_i^alpha``, as popularized by multilingual BERT and
+    XLM-R, Conneau et al. 2020 §3). ``alpha=1`` reproduces natural
+    proportions; ``alpha -> 0`` approaches uniform, upweighting
+    low-resource sources. Feed the result straight to
+    :func:`mixture_plan` / :func:`mix_sources` — with ``alpha < 1``
+    the plan upsamples small sources (rates > 1, epoch repeats) and
+    downsamples large ones, which is exactly the intended effect.
+
+    Pure driver-side arithmetic over the bounded per-source count
+    dict; deterministic by construction."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    pos = {s: n for s, n in available.items() if n > 0}
+    if not pos:
+        raise ValueError("no source has any tokens")
+    raw = {s: float(n) ** alpha for s, n in pos.items()}
+    z = sum(raw.values())
+    out = {s: raw[s] / z for s in sorted(pos)}
+    out.update({s: 0.0 for s in available if s not in pos})
+    return out
+
+
 def mixture_plan(
     available: dict[str, int],
     weights: dict[str, float],

@@ -112,3 +112,43 @@ def test_empty_weighted_source_does_not_zero_the_mixture():
     assert plan == {"a": 1.0, "b": 0.0}
     with pytest.raises(ValueError):
         mixture_plan({"b": 0}, {"b": 1.0})
+
+
+def test_temperature_weights_rebalance():
+    import math
+
+    import pytest
+
+    from carbon_clickhouse_spark.datapipe.mix import (
+        mixture_plan,
+        temperature_weights,
+    )
+
+    avail = {"web": 1_000_000, "books": 10_000, "code": 0}
+    # alpha=1: natural proportions
+    w1 = temperature_weights(avail, alpha=1.0)
+    assert w1["web"] == pytest.approx(1_000_000 / 1_010_000)
+    assert w1["code"] == 0.0
+    # alpha=0: uniform over non-empty sources
+    w0 = temperature_weights(avail, alpha=0.0)
+    assert w0["web"] == pytest.approx(0.5) and w0["books"] == pytest.approx(0.5)
+    # alpha=0.3 sits between, and the exponent is exact
+    w = temperature_weights(avail, alpha=0.3)
+    z = 1_000_000**0.3 + 10_000**0.3
+    assert w["books"] == pytest.approx(10_000**0.3 / z)
+    assert w0["books"] > w["books"] > w1["books"]
+    # composing with mixture_plan: auto-sizing makes the small source
+    # the binding one (rate -> 1, no upsampling by design) ...
+    rates = mixture_plan(avail, w)
+    assert rates["books"] == pytest.approx(1.0, abs=1e-3)
+    assert rates["web"] < 0.1
+    # ... and an explicit token budget upsamples it via epoch repeats
+    rates2 = mixture_plan(avail, w, total_tokens=60_000)
+    assert rates2["books"] > 1.0 > rates2["web"]
+    # book tokens wanted / web tokens wanted matches the weight ratio
+    got = (rates2["books"] * 10_000) / (rates2["web"] * 1_000_000)
+    assert got == pytest.approx(w["books"] / w["web"])
+    with pytest.raises(ValueError):
+        temperature_weights(avail, alpha=1.5)
+    with pytest.raises(ValueError):
+        temperature_weights({"empty": 0})
