@@ -246,3 +246,32 @@ def test_top_k_sketch_negative_weight_raises(spark):
     )
     with pytest.raises(Exception, match="negative weight"):
         top_k_sketch(df, ["g"], "v", k=1, weight_col="w").collect()
+
+
+def test_map_aggregate_family(spark):
+    import pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        map_aggregate,
+    )
+
+    rows = [
+        ("g", ["a", "b"], [1.0, 10.0]),
+        ("g", ["a", "c"], [3.0, 7.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ks array<string>, vs array<double>"
+    )
+
+    def run(how):
+        return {
+            r["key"]: float(r["total"])
+            for r in map_aggregate(df, ["g"], "ks", "vs", how).collect()
+        }
+
+    assert run("sum") == {"a": 4.0, "b": 10.0, "c": 7.0}
+    assert run("min") == {"a": 1.0, "b": 10.0, "c": 7.0}
+    assert run("max") == {"a": 3.0, "b": 10.0, "c": 7.0}
+    assert run("avg") == {"a": 2.0, "b": 10.0, "c": 7.0}
+    with pytest.raises(ValueError, match="how="):
+        map_aggregate(df, ["g"], "ks", "vs", "median")
