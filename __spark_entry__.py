@@ -1943,6 +1943,29 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_sequence_next_node(spark, sf_dir):
+    """ClickHouse ``sequenceNextNode(forward, first_match)``
+    (operators/sequence_match.py): per user, the event type right
+    after the first consecutive view->click run — one groupBy
+    building the per-user sorted event array, then pure array
+    expressions (anchor = array_position, run = indexed compares);
+    event_id tiebreaks equal timestamps so the scan order is
+    deterministic on any engine."""
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_next_node,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_next_node(
+        ev,
+        steps=["view", "click"],
+        direction="forward",
+        base="first_match",
+        time_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
 def q_quantile_sketch(spark, sf_dir):
     """ClickHouse ``quantileDD`` / ``quantileState``+``quantileMerge``
     parity (operators/quantile_sketch.py): mergeable log-spaced bucket
@@ -2080,6 +2103,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: value_quantiles (exact); this is the mergeable
         # quantileState/quantileDD sketch over the same column
         "quantile_sketch": q_quantile_sketch,
+        # graded reps: sequence_match / window_funnel (same family)
+        "sequence_next_node": q_sequence_next_node,
     }
 
 
@@ -3325,6 +3350,27 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, count(*) AS cnt,
                round(0.0 + bucket * 25.0, 6) AS bucket_lo
         FROM b GROUP BY event_type, bucket
+    """
+    # same per-user sorted list + anchor/run arithmetic in DuckDB's
+    # list vocabulary; event_id tiebreak keeps both sorts identical
+    oracles["sequence_next_node"] = r"""
+        WITH arr AS (
+          SELECT user_id,
+                 list_sort(list(struct_pack(
+                   t := ts, i := event_id, ty := event_type))) AS a
+          FROM events GROUP BY user_id
+        ), ty AS (
+          SELECT user_id, list_transform(a, x -> x.ty) AS tys
+          FROM arr
+        ), anc AS (
+          SELECT user_id, tys, list_position(tys, 'view') AS p
+          FROM ty
+        )
+        SELECT user_id,
+          CASE WHEN p IS NOT NULL
+                AND tys[p] = 'view' AND tys[p+1] = 'click'
+               THEN tys[p+2] END AS next_event
+        FROM anc
     """
     # the identical integer bucket arithmetic (shift-corrected log2
     # hint, 7 sub-bucket bits, scale 10^6) — see

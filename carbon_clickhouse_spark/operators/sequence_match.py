@@ -206,3 +206,87 @@ def sequence_count(
             yield pd.DataFrame({user_col: out_u, "n_matches": out_m})
 
     return pre.mapInPandas(scan, schema)
+
+
+def sequence_next_node(
+    events: DataFrame,
+    steps: Sequence[str],
+    direction: str = "forward",
+    base: str = "head",
+    time_col: str = "time",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode(direction, base)(ts, event,
+    base_cond, ev1...evN)`` (public semantics: CH parametric-functions
+    reference, the experimental funnel family): per user, anchor at
+    ``base`` on the timeline, check that the CONSECUTIVE run of
+    events from the anchor in ``direction`` matches ``steps`` in
+    order, and return the event-type one past the run — the "where do
+    users go next" aggregate. Returns ``(user_col, next_event
+    string)``, NULL when the run doesn't match or nothing lies past
+    it.
+
+    ``base`` picks the anchor on the TIMELINE — ``head`` (first
+    event), ``tail`` (last), ``first_match``/``last_match``
+    (first/last event matching ``steps[0]``); ``direction`` orients
+    the run and the "next" independently (CH's canonical pairs are
+    forward+head / backward+tail / forward+first_match /
+    backward+last_match, but every combination is defined).
+
+    Spark shape: one groupBy(user) building the per-user sorted event
+    array (bounded by that user's activity — same envelope as any
+    per-user analytic), then PURE array expressions: anchor search is
+    one ``array_position``, the run check an element-wise indexed
+    compare. No UDF, no second shuffle, and the whole thing is
+    expressible in an oracle's list functions.
+    """
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward' or 'backward'")
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(
+            "base must be head / tail / first_match / last_match"
+        )
+    steps = [str(s) for s in steps]
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    n = len(steps)
+    step = 1 if direction == "forward" else -1
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    ev = F.struct(
+        *[o.alias(f"_o{i}") for i, o in enumerate(order)],
+        F.col(type_col).cast("string").alias("ty"),
+    )
+    # one ascending timeline array per user; sort_array orders by
+    # struct fields left-to-right, so time (then tiebreak) decides
+    grouped = events.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(ev)).alias("__a")
+    )
+    types = F.transform(F.col("__a"), lambda e: e["ty"])
+    size = F.size(types)
+    if base == "head":
+        anchor = F.lit(1)
+    elif base == "tail":
+        anchor = size
+    elif base == "first_match":
+        anchor = F.array_position(types, steps[0])  # 0 = absent
+    else:  # last_match: position of the final occurrence
+        anchor = (
+            size - F.array_position(F.reverse(types), steps[0]) + 1
+        )
+
+    def at(idx):
+        # guard idx >= 1: Spark's negative element_at wraps from the
+        # END of the array, which would silently alias indices
+        return F.when(
+            idx >= 1, F.try_element_at(types, idx.cast("int"))
+        )
+
+    ok = anchor > 0
+    for i, s_i in enumerate(steps):
+        ok = ok & (at(anchor + F.lit(i * step)) == F.lit(s_i))
+    nxt = F.when(ok, at(anchor + F.lit(n * step)))
+    return grouped.select(user_col, nxt.alias("next_event"))

@@ -193,3 +193,66 @@ def test_validation(spark):
         sequence_match(df, [], None)
     with pytest.raises(ValueError):
         sequence_match(df, ["event_type = 'a'"], [1, 2])
+
+
+def test_sequence_next_node_all_modes(spark):
+    import pytest
+
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_next_node,
+    )
+
+    rows = [
+        # user 1: A B C D  -> head [A,B] => C; first_match [B] => C
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"), (1, 40, "D"),
+        # user 2: X A B    -> head [A,B] => NULL (starts with X);
+        #                     first_match [A,B] => NULL? A@20,B@30 -> next absent
+        (2, 10, "X"), (2, 20, "A"), (2, 30, "B"),
+        # user 3: B A      -> backward head [A,B] reads A@20,B@10 => NULL after? next absent
+        (3, 10, "B"), (3, 20, "A"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, time long, event_type string")
+
+    def run(**kw):
+        return {
+            r["user_id"]: r["next_event"]
+            for r in sequence_next_node(df, **kw).collect()
+        }
+
+    got = run(steps=["A", "B"], direction="forward", base="head")
+    assert got == {1: "C", 2: None, 3: None}
+    got = run(steps=["B"], direction="forward", base="first_match")
+    assert got == {1: "C", 2: None, 3: "A"}
+    # backward tail: anchor at the LAST event, run scans back in
+    # time, "next" is the event just before the run
+    got = run(steps=["D", "C"], direction="backward", base="tail")
+    assert got == {1: "B", 2: None, 3: None}
+    # cross combo — forward last_match: anchor the LAST A on the
+    # timeline, run forward
+    got = run(steps=["A"], direction="forward", base="last_match")
+    assert got == {1: "B", 2: "B", 3: None}
+    # backward last_match: "what preceded the final A"
+    got = run(steps=["A"], direction="backward", base="last_match")
+    assert got == {1: None, 2: "X", 3: "B"}
+    with pytest.raises(ValueError):
+        sequence_next_node(df, steps=["A"], direction="sideways")
+    with pytest.raises(ValueError):
+        sequence_next_node(df, steps=["A"], base="middle")
+    with pytest.raises(ValueError):
+        sequence_next_node(df, steps=[])
+
+
+def test_sequence_next_node_tiebreak_determinism(spark):
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_next_node,
+    )
+
+    # two events at t=10: tiebreak column decides scan order
+    rows = [(1, 10, 1, "A"), (1, 10, 2, "B"), (1, 20, 3, "C")]
+    df = spark.createDataFrame(
+        rows, "user_id long, time long, seq long, event_type string"
+    )
+    got = sequence_next_node(
+        df, steps=["A", "B"], tiebreak_col="seq"
+    ).collect()
+    assert got[0]["next_event"] == "C"
