@@ -1943,6 +1943,44 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_retention_flags(spark, sf_dir):
+    """ClickHouse ``retention(cond1..condN)`` raw per-user flags
+    (operators/events_analytics.py): r1 = signup seen, r2/r3 = signup
+    AND view/purchase — one partial-aggregating groupBy, no join."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        retention_flags,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_flags(
+        ev,
+        [
+            "event_type = 'signup'",
+            "event_type = 'view'",
+            "event_type = 'purchase'",
+        ],
+    )
+
+
+def q_delta_sum(spark, sf_dir):
+    """ClickHouse ``deltaSumTimestamp`` (operators/
+    events_analytics.py): per event type, the sum of positive
+    consecutive deltas of `value` in (ts, event_id) order — the
+    counter-rate primitive; one Exchange shared by the lag window and
+    the final aggregation. round(6) for hash-stable doubles."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        delta_sum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = delta_sum(
+        ev, ["event_type"], "value", "ts", tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_type", F.round("delta_sum", 6).alias("delta_sum")
+    )
+
+
 def q_sequence_next_node(spark, sf_dir):
     """ClickHouse ``sequenceNextNode(forward, first_match)``
     (operators/sequence_match.py): per user, the event type right
@@ -2105,6 +2143,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         # graded reps: sequence_match / window_funnel (same family)
         "sequence_next_node": q_sequence_next_node,
+        # graded rep: retention (cohort flavor of the same aggregate)
+        "retention_flags": q_retention_flags,
+        # graded reps: rollup_all / read_series (window-over-series)
+        "delta_sum": q_delta_sum,
     }
 
 
@@ -3350,6 +3392,34 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, count(*) AS cnt,
                round(0.0 + bucket * 25.0, 6) AS bucket_lo
         FROM b GROUP BY event_type, bucket
+    """
+    oracles["retention_flags"] = """
+        SELECT user_id,
+          CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS INT) AS r1,
+          CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS INT) AS r2,
+          CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS INT) AS r3
+        FROM events GROUP BY user_id
+    """
+    # IEEE doubles all the way: lag + subtraction + sum of positive
+    # deltas are identically rounded on both engines
+    oracles["delta_sum"] = """
+        WITH d AS (
+          SELECT event_type,
+                 CAST(value AS DOUBLE)
+                 - lag(CAST(value AS DOUBLE)) OVER (
+                     PARTITION BY event_type
+                     ORDER BY ts, event_id) AS dv
+          FROM events
+        )
+        SELECT event_type,
+               round(sum(CASE WHEN dv IS NOT NULL AND dv > 0
+                              THEN dv ELSE 0.0 END), 6) AS delta_sum
+        FROM d GROUP BY event_type
     """
     # same per-user sorted list + anchor/run arithmetic in DuckDB's
     # list vocabulary; event_id tiebreak keeps both sorts identical

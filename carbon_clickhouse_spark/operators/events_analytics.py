@@ -303,3 +303,87 @@ def retention_cohorts(
         .groupBy(F.col("__cohort").alias("cohort"), F.col("__off").cast("int").alias("day_offset"))
         .agg(F.countDistinct(user_col).alias("n_active"))
     )
+
+
+def retention_flags(
+    events: DataFrame,
+    conditions,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention(cond1, ..., condN)`` in its raw form
+    (public semantics: CH parametric-functions reference): per user,
+    ``r1 = cond1 held on some event`` and ``ri = cond1 AND condi``
+    (every later flag is gated on the first — the anchor condition).
+    Returns ``(user_col, r1 int, ..., rN int)`` — the columnar
+    equivalent of CH's UInt8 array, ready for the standard
+    ``sum(ri)/sum(r1)`` ratio rollup. :func:`retention_cohorts` is the
+    cohort-date flavor; this is the condition-set flavor.
+
+    One partial-aggregating groupBy over pre-evaluated boolean
+    columns: conditions are Spark expressions (strings or Columns),
+    so "active on day X" or "event_type = 'purchase'" both work.
+    Scale shape: single Exchange on the user key, max() combiners
+    map-side, no join.
+    """
+    from .sequence_match import _conds
+
+    conds = _conds(conditions)
+    flags = [
+        F.max(F.when(c, 1).otherwise(0)).alias(f"__c{i}")
+        for i, c in enumerate(conds)
+    ]
+    agg = events.groupBy(user_col).agg(*flags)
+    out = [F.col("__c0").cast("int").alias("r1")]
+    for i in range(1, len(conds)):
+        out.append(
+            (F.col("__c0") * F.col(f"__c{i}")).cast("int").alias(f"r{i + 1}")
+        )
+    return agg.select(user_col, *out)
+
+
+def delta_sum(
+    events: DataFrame,
+    group_cols,
+    value_col: str = "value",
+    time_col: str = "time",
+    tiebreak_col: str | None = None,
+    timestamped: bool = False,
+) -> DataFrame:
+    """ClickHouse ``deltaSum(value)`` / ``deltaSumTimestamp(value,
+    ts)`` (public semantics: CH aggregate-functions reference): per
+    group, the sum of POSITIVE differences between consecutive values
+    in time order — the standard monotonic-counter rate primitive
+    (counter resets contribute nothing instead of huge negatives).
+    Returns ``(*group_cols, delta_sum double)``.
+
+    ``timestamped=True`` is the ``deltaSumTimestamp`` contract: order
+    by the timestamp column (exactly what this implementation always
+    does — the flag exists to document that CH's plain ``deltaSum``
+    depends on storage order, which a distributed scan cannot honor;
+    the time-ordered form is the deterministic one, so it is the only
+    form offered and the parameter is accepted for API parity).
+
+    Scale shape: one Exchange on the group key; the lag window and
+    conditional sum share the partitioning/sort and stay in codegen.
+    """
+    del timestamped  # both CH spellings map to the time-ordered form
+    gcols = list(group_cols)
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    v = F.col("__v")
+    d = v - F.lag(v).over(w)
+    return (
+        events.select(
+            *gcols, *order, F.col(value_col).cast("double").alias("__v")
+        )
+        .withColumn(
+            "__d",
+            F.when(
+                d.isNotNull() & (d > 0), d
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy(*gcols)
+        .agg(F.sum("__d").alias("delta_sum"))
+    )

@@ -188,3 +188,62 @@ def test_retention_offset_zero_counts_anchor_day(spark):
     assert [(str(r.cohort), r.day_offset, r.n_active) for r in out] == [
         ("2024-03-05", 0, 1)
     ]
+
+
+def test_retention_flags_anchor_gating(spark):
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        retention_flags,
+    )
+
+    rows = [
+        (1, "signup"), (1, "view"),          # anchor + later cond
+        (2, "view"),                          # later cond, NO anchor
+        (3, "signup"),                        # anchor only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["user_id"]: (r["r1"], r["r2"])
+        for r in retention_flags(
+            df, ["event_type = 'signup'", "event_type = 'view'"]
+        ).collect()
+    }
+    # r2 is GATED on r1 (CH: r_i = cond1 AND cond_i)
+    assert got == {1: (1, 1), 2: (0, 0), 3: (1, 0)}
+
+
+def test_delta_sum_counter_semantics(spark):
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        delta_sum,
+    )
+
+    rows = [
+        # counter climbs 10->15->3 (reset) ->9: deltas +5, (reset
+        # ignored), +6 => 11
+        ("s", 1, 10.0), ("s", 2, 15.0), ("s", 3, 3.0), ("s", 4, 9.0),
+        # single point: no delta
+        ("t", 1, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, time long, value double")
+    got = {
+        r["g"]: r["delta_sum"]
+        for r in delta_sum(df, ["g"], "value", "time").collect()
+    }
+    assert got == {"s": 11.0, "t": 0.0}
+
+
+def test_delta_sum_single_exchange_plan(spark):
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        delta_sum,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 1.0)], "g string, time long, value double"
+    )
+    plan = (
+        delta_sum(df, ["g"], "value", "time")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # one for window, partial agg
+    assert "Python" not in plan
