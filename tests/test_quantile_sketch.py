@@ -123,3 +123,88 @@ def test_plan_shape_no_python(spark):
         .toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def _py_bucket(value: float, scale: int, m: int) -> int | None:
+    """Independent pure-Python reference of the bucket rule (half-up
+    round, exact integer shifts)."""
+    import math
+
+    if value is None or math.isnan(value):
+        return None
+    # Spark/DuckDB round() on doubles: half away from zero
+    x = value * scale
+    q = int(math.floor(x + 0.5)) if x >= 0 else -int(
+        math.floor(-x + 0.5)
+    )
+    if q == 0:
+        return 0
+    a = abs(q)
+    k = a.bit_length() - 1  # exact floor(log2)
+    sb = ((a - (1 << k)) << m) // (1 << k)
+    o = k * (1 << m) + sb + 1
+    return o if q > 0 else -o
+
+
+def test_bucket_boundary_parity_three_engines(spark):
+    """Spark, DuckDB, and an independent Python fold agree on the
+    bucket of every crafted boundary value: exact powers of two (the
+    values where an uncorrected float log2 flips), one ULP either
+    side, half-up rounding edges, negatives, and tiny magnitudes."""
+    import math
+
+    import duckdb
+
+    scale, m = 1_000_000, 7
+    vals = [0.0, 1e-6, -1e-6, 0.5e-6, 1.5e-6]
+    for k in range(0, 40, 3):
+        p = (1 << k) / scale
+        for v in (p, math.nextafter(p, 0), math.nextafter(p, math.inf)):
+            vals += [v, -v]
+    # half-up edges: q = x.5 exactly representable
+    vals += [2.5e-6, -2.5e-6, 3.5e-6, 1000000.5 / scale]
+    df = spark.createDataFrame(
+        [(f"v{i}", v) for i, v in enumerate(vals)], "g string, v double"
+    )
+    from carbon_clickhouse_spark.operators.quantile_sketch import (
+        bucketize,
+    )
+
+    got = {
+        r["g"]: r["bucket"]
+        for r in bucketize(df, "v", scale, m).collect()
+    }
+    want = {
+        f"v{i}": _py_bucket(v, scale, m) for i, v in enumerate(vals)
+    }
+    assert got == want
+    # DuckDB replays the oracle arithmetic on the same values
+    rows = [(f"v{i}", v) for i, v in enumerate(vals)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            """
+            WITH src AS (
+              SELECT g, CAST(round(v * 1000000) AS BIGINT) AS qv FROM t
+            ), kx AS (
+              SELECT g, qv, CASE WHEN qv = 0 THEN 0 ELSE
+                CAST(floor(log2(CAST(abs(qv) AS DOUBLE))) AS INT) END AS k0
+              FROM src
+            ), kc AS (
+              SELECT g, qv, CASE WHEN qv = 0 THEN 0
+                WHEN (1::BIGINT << (k0+1)) <= abs(qv) THEN k0+1
+                WHEN (1::BIGINT << k0) > abs(qv) THEN k0-1
+                ELSE k0 END AS k
+              FROM kx
+            )
+            SELECT g, CASE WHEN qv = 0 THEN 0
+              ELSE CAST(sign(qv) AS BIGINT) * (CAST(k AS BIGINT)*128
+                   + ((abs(qv) - (1::BIGINT << k)) << 7)
+                     // (1::BIGINT << k) + 1) END
+            FROM kc
+            """
+        ).fetchall()
+    )
+    assert duck == want
