@@ -2041,7 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curated to one strong representative per operator family:
     # graphite core (16) + render/asof (2), OLAP (2), text (5),
     # dedup (8), similarity/embeddings (5), pipeline (8),
-    # multimodal (1), event analytics (3). Seventeen further queries —
+    # multimodal (1), event analytics (3). Twenty-one further queries —
     # each redundant with a graded family member — live in
     # extra_queries()/extra_oracle_sql() below and stay oracle-checked
     # every run by tests/test_extra_oracles.py and tools/check_oracle.
