@@ -82,19 +82,21 @@ def main() -> None:
 
         # best-of-N like the query section: the first write pays the
         # four-table plan compilation, steady state is what a
-        # continuously-writing deployment sees
+        # continuously-writing deployment sees (three timed writes:
+        # with only two, one slow-I/O run landed as the reported
+        # number — measured 3.8 s vs a 1.4-1.8 s steady state)
         best = None
-        for i in range(max(2, repeats - 1)):
+        for i in range(max(3, repeats)):
             sub = os.path.join(root, f"w{i}")
             t0 = time.perf_counter()
             pts = entry_mod._events_points(spark, sf_dir)
             ingest_and_store(pts, sub, IngestConfig())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            if i < max(2, repeats - 1) - 1:
+            if i < max(3, repeats) - 1:
                 shutil.rmtree(sub, ignore_errors=True)
         timings["store_tables"] = round(best, 3)
-        last = os.path.join(root, f"w{max(2, repeats - 1) - 1}")
+        last = os.path.join(root, f"w{max(3, repeats) - 1}")
 
         stored_points = spark.read.parquet(f"{last}/points")
         stored_index = spark.read.parquet(f"{last}/index")
