@@ -1943,6 +1943,19 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_uniq_up_to(spark, sf_dir):
+    """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
+    event type, the exact distinct user count saturated at N+1 — the
+    'more than N distinct?' gadget, exact by contract (a sketch may
+    not decide an alerting threshold)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        uniq_up_to,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return uniq_up_to(ev, ["event_type"], "user_id", n=100)
+
+
 def q_retention_flags(spark, sf_dir):
     """ClickHouse ``retention(cond1..condN)`` raw per-user flags
     (operators/events_analytics.py): r1 = signup seen, r2/r3 = signup
@@ -2041,7 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curated to one strong representative per operator family:
     # graphite core (16) + render/asof (2), OLAP (2), text (5),
     # dedup (8), similarity/embeddings (5), pipeline (8),
-    # multimodal (1), event analytics (3). Twenty-one further queries —
+    # multimodal (1), event analytics (3). Twenty-two further queries —
     # each redundant with a graded family member — live in
     # extra_queries()/extra_oracle_sql() below and stay oracle-checked
     # every run by tests/test_extra_oracles.py and tools/check_oracle.
@@ -2145,6 +2158,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_next_node": q_sequence_next_node,
         # graded rep: retention (cohort flavor of the same aggregate)
         "retention_flags": q_retention_flags,
+        # graded reps: grouping_sets / top_event_types (agg family)
+        "uniq_up_to": q_uniq_up_to,
         # graded reps: rollup_all / read_series (window-over-series)
         "delta_sum": q_delta_sum,
     }
@@ -3392,6 +3407,11 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, count(*) AS cnt,
                round(0.0 + bucket * 25.0, 6) AS bucket_lo
         FROM b GROUP BY event_type, bucket
+    """
+    oracles["uniq_up_to"] = """
+        SELECT event_type,
+               least(count(DISTINCT user_id), 101)::BIGINT AS uniq_up_to
+        FROM events GROUP BY event_type
     """
     oracles["retention_flags"] = """
         SELECT user_id,

@@ -363,3 +363,32 @@ def histogram_fixed(
         .agg(F.count("*").cast("long").alias("cnt"))
         .withColumn("bucket_lo", F.round(lo_edge, 6))
     )
+
+
+def uniq_up_to(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n: int = 5,
+    out_col: str = "uniq_up_to",
+) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)(col)``: exact distinct count per
+    group when it is <= N, else N+1 — the cheap "are there more than
+    N distinct values?" gadget (public semantics: CH
+    aggregate-functions reference). NULL values are skipped.
+
+    Spark shape: a distinct count saturated with ``least`` — Spark's
+    distinct aggregate rewrites to a two-phase (expand + partial agg)
+    plan, so the per-group state is the distinct set only up to the
+    shuffle, same honest cost as exact ``top_k``. When the distinct
+    cardinality itself is the problem, use :func:`uniq_sketch`; this
+    exists for the exact-threshold semantics (alerting on "more than
+    N distinct errors" must not fire on sketch error).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return df.groupBy(*group_cols).agg(
+        F.least(
+            F.count_distinct(F.col(value_col)), F.lit(n + 1).cast("long")
+        ).alias(out_col)
+    )

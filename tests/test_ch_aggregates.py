@@ -275,3 +275,23 @@ def test_map_aggregate_family(spark):
     assert run("avg") == {"a": 2.0, "b": 10.0, "c": 7.0}
     with pytest.raises(ValueError, match="how="):
         map_aggregate(df, ["g"], "ks", "vs", "median")
+
+
+def test_uniq_up_to_saturates(spark):
+    import pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        uniq_up_to,
+    )
+
+    rows = [("a", i % 3) for i in range(20)] + [
+        ("b", i) for i in range(10)
+    ] + [("c", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        r["g"]: r["uniq_up_to"]
+        for r in uniq_up_to(df, ["g"], "v", n=5).collect()
+    }
+    assert got == {"a": 3, "b": 6, "c": 0}  # b saturates at n+1
+    with pytest.raises(ValueError):
+        uniq_up_to(df, ["g"], "v", n=0)
