@@ -256,3 +256,68 @@ def test_sequence_next_node_tiebreak_determinism(spark):
         df, steps=["A", "B"], tiebreak_col="seq"
     ).collect()
     assert got[0]["next_event"] == "C"
+
+
+def test_sequence_next_node_randomized_all_combos(spark):
+    """Every (direction, base) combination equals an independently
+    written fold of the timeline-anchored semantics on randomized
+    multi-user fixtures."""
+    import random
+
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_next_node,
+    )
+
+    def naive(arr, steps, direction, base):
+        tys = [ty for _, ty in arr]
+        n, size = len(steps), len(tys)
+        step = 1 if direction == "forward" else -1
+        if base == "head":
+            a = 1
+        elif base == "tail":
+            a = size
+        elif base == "first_match":
+            a = tys.index(steps[0]) + 1 if steps[0] in tys else 0
+        else:
+            a = (
+                size - tys[::-1].index(steps[0])
+                if steps[0] in tys
+                else 0
+            )
+        if a <= 0:
+            return None
+        for i, s in enumerate(steps):
+            j = a + i * step
+            if j < 1 or j > size or tys[j - 1] != s:
+                return None
+        j = a + n * step
+        return tys[j - 1] if 1 <= j <= size else None
+
+    rng = random.Random(77)
+    per_user = {}
+    for u in range(60):
+        evs, seen = [], set()
+        for _ in range(rng.randrange(1, 10)):
+            t = rng.randrange(0, 40)
+            while t in seen:
+                t += 40
+            seen.add(t)
+            evs.append((t, rng.choice("abcx")))
+        per_user[u] = sorted(evs)
+    rows = [(u, t, ty) for u, e in per_user.items() for t, ty in e]
+    df = spark.createDataFrame(
+        rows, "user_id long, time long, event_type string"
+    )
+    for direction in ("forward", "backward"):
+        for base in ("head", "tail", "first_match", "last_match"):
+            got = {
+                r["user_id"]: r["next_event"]
+                for r in sequence_next_node(
+                    df, ["a", "b"], direction, base
+                ).collect()
+            }
+            want = {
+                u: naive(e, ["a", "b"], direction, base)
+                for u, e in per_user.items()
+            }
+            assert got == want, (direction, base)
