@@ -1943,6 +1943,29 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_window_funnel_strict(spark, sf_dir):
+    """windowFunnel in ``strict_increase`` mode (the one strict mode
+    that stays a pure window DP — operators/events_analytics.py): one
+    extra running max of step event times per step, same single
+    Exchange; a step may only chain to a previous step with a
+    STRICTLY smaller timestamp."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        window_funnel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return window_funnel(
+        base,
+        ["signup", "view", "purchase"],
+        window=7 * 86400,
+        tiebreak_col="event_id",
+        modes=("strict_increase",),
+    )
+
+
 def q_uniq_up_to(spark, sf_dir):
     """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
     event type, the exact distinct user count saturated at N+1 — the
@@ -2054,7 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curated to one strong representative per operator family:
     # graphite core (16) + render/asof (2), OLAP (2), text (5),
     # dedup (8), similarity/embeddings (5), pipeline (8),
-    # multimodal (1), event analytics (3). Twenty-two further queries —
+    # multimodal (1), event analytics (3). Twenty-three further queries —
     # each redundant with a graded family member — live in
     # extra_queries()/extra_oracle_sql() below and stay oracle-checked
     # every run by tests/test_extra_oracles.py and tools/check_oracle.
@@ -2160,6 +2183,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_flags": q_retention_flags,
         # graded reps: grouping_sets / top_event_types (agg family)
         "uniq_up_to": q_uniq_up_to,
+        # graded rep: window_funnel (default mode); this adds oracle
+        # coverage for the strict_increase window-DP variant
+        "window_funnel_strict": q_window_funnel_strict,
         # graded reps: rollup_all / read_series (window-over-series)
         "delta_sum": q_delta_sum,
     }
@@ -3598,6 +3624,53 @@ def _all_oracle_sql() -> dict[str, str]:
         ),
         x5 AS (
           SELECT *, CASE WHEN event_type = 'purchase' AND t - m2 <= 604800
+                         THEN m2 END AS s3
+          FROM x4
+        )
+        SELECT user_id,
+               CAST(max(CASE WHEN s3 IS NOT NULL THEN 3
+                             WHEN s2 IS NOT NULL THEN 2
+                             WHEN s1 IS NOT NULL THEN 1
+                             ELSE 0 END) AS INT) AS funnel_level
+        FROM x5 GROUP BY user_id
+    """
+    # the same DP plus one running max of step event times per step;
+    # "t > e{k}" is the strict_increase gate (the (max start, max
+    # event time) pair IS the CH single slot — both non-decreasing)
+    oracles["window_funnel_strict"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type, event_id
+          FROM events
+        ),
+        x1 AS (
+          SELECT *, CASE WHEN event_type = 'signup' THEN t END AS s1
+          FROM e
+        ),
+        x2 AS (
+          SELECT *,
+            max(s1) OVER w AS m1,
+            max(CASE WHEN s1 IS NOT NULL THEN t END) OVER w AS e1
+          FROM x1
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        x3 AS (
+          SELECT *, CASE WHEN event_type = 'view' AND t - m1 <= 604800
+                          AND t > e1
+                         THEN m1 END AS s2
+          FROM x2
+        ),
+        x4 AS (
+          SELECT *,
+            max(s2) OVER w AS m2,
+            max(CASE WHEN s2 IS NOT NULL THEN t END) OVER w AS e2
+          FROM x3
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        x5 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND t - m2 <= 604800
+                          AND t > e2
                          THEN m2 END AS s3
           FROM x4
         )
