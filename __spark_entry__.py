@@ -1990,6 +1990,29 @@ def q_window_funnel_strict_order(spark, sf_dir):
     )
 
 
+def q_window_funnel_strict_dedup(spark, sf_dir):
+    """windowFunnel in ``strict_deduplication`` mode: an event
+    re-matching an already-matched step (beyond step 1) stops the
+    search at the depth reached. Same sequential Arrow path as
+    strict_order; oracle = the recursive-CTE fold with the dedup
+    interrupt."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        window_funnel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return window_funnel(
+        base,
+        ["signup", "view", "purchase"],
+        window=7 * 86400,
+        tiebreak_col="event_id",
+        modes=("strict_deduplication",),
+    )
+
+
 def q_uniq_up_to(spark, sf_dir):
     """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
     event type, the exact distinct user count saturated at N+1 — the
@@ -2101,7 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curated to one strong representative per operator family:
     # graphite core (16) + render/asof (2), OLAP (2), text (5),
     # dedup (8), similarity/embeddings (5), pipeline (8),
-    # multimodal (1), event analytics (3). Twenty-four further queries —
+    # multimodal (1), event analytics (3). Twenty-five further queries —
     # each redundant with a graded family member — live in
     # extra_queries()/extra_oracle_sql() below and stay oracle-checked
     # every run by tests/test_extra_oracles.py and tools/check_oracle.
@@ -2212,6 +2235,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict_order sequential-interrupt path
         "window_funnel_strict": q_window_funnel_strict,
         "window_funnel_strict_order": q_window_funnel_strict_order,
+        "window_funnel_strict_dedup": q_window_funnel_strict_dedup,
         # graded reps: rollup_all / read_series (window-over-series)
         "delta_sum": q_delta_sum,
     }
@@ -3752,6 +3776,55 @@ def _all_oracle_sql() -> dict[str, str]:
                    AND w.s1 IS NULL THEN TRUE
               WHEN e.event_type = 'purchase' AND w.started
                    AND w.s2 IS NULL THEN TRUE
+              ELSE FALSE END AS nstop
+          ) x
+        )
+        SELECT w.user_id,
+               CAST(CASE WHEN w.s3 IS NOT NULL THEN 3
+                         WHEN w.s2 IS NOT NULL THEN 2
+                         WHEN w.s1 IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS funnel_level
+        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
+    """
+    # same recursive fold with the dedup interrupt: a view/purchase
+    # whose own slot is already set stops the walk (signup re-matches
+    # just restart the chain — CH exempts step 1)
+    oracles["window_funnel_strict_dedup"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts) // 1000,
+                                             event_id) AS rn
+          FROM events
+        ),
+        mx AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY user_id),
+        walk AS (
+          SELECT user_id, 0 AS rn,
+                 CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+                 CAST(NULL AS BIGINT) AS s3, FALSE AS stopped
+          FROM mx
+          UNION ALL
+          SELECT w.user_id, e.rn,
+                 CASE WHEN w.stopped OR x.nstop THEN w.s1
+                      WHEN e.event_type = 'signup' THEN e.t
+                      ELSE w.s1 END,
+                 CASE WHEN w.stopped OR x.nstop THEN w.s2
+                      WHEN e.event_type = 'view' AND w.s1 IS NOT NULL
+                           AND e.t - w.s1 <= 604800 THEN w.s1
+                      ELSE w.s2 END,
+                 CASE WHEN w.stopped OR x.nstop THEN w.s3
+                      WHEN e.event_type = 'purchase' AND w.s2 IS NOT NULL
+                           AND e.t - w.s2 <= 604800 THEN w.s2
+                      ELSE w.s3 END,
+                 w.stopped OR x.nstop
+          FROM walk w
+          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1,
+          LATERAL (
+            SELECT CASE
+              WHEN w.stopped THEN FALSE
+              WHEN e.event_type = 'view' AND w.s2 IS NOT NULL THEN TRUE
+              WHEN e.event_type = 'purchase' AND w.s3 IS NOT NULL
+                   THEN TRUE
               ELSE FALSE END AS nstop
           ) x
         )
