@@ -241,8 +241,11 @@ def map_aggregate(
     cast once and IEEE-divided by the count — both steps are
     identically rounded on any engine, whereas a decimal division
     would pre-round at Spark's result scale and miss the oracle in
-    the last digit. Rows whose key/value arrays differ in length
-    raise (ClickHouse *Map errors on unequal sizes; silent
+    the last digit. ``min``/``max`` keep DOUBLE, not ``sum_type``:
+    extrema are order-independent without decimal, and a
+    decimal(28,6) cast would quantize them (values differing below
+    1e-6 would collapse). Rows whose key/value arrays differ in
+    length raise (ClickHouse *Map errors on unequal sizes; silent
     zip-padding would fabricate NULL keys or swallow values)."""
     aggs = {
         "sum": lambda c: F.sum(c),
@@ -276,7 +279,12 @@ def map_aggregate(
         .select(
             *group_cols,
             F.col("kv.key").alias("key"),
-            F.col("kv.val").cast(sum_type).alias("val"),
+            # decimal exactness is only needed where values are
+            # SUMMED; min/max must not be quantized to sum_type's
+            # 6-decimal scale
+            F.col("kv.val")
+            .cast(sum_type if how in ("sum", "avg") else "double")
+            .alias("val"),
         )
         .groupBy(*group_cols, "key")
         .agg(aggs[how](F.col("val")).alias("total"))

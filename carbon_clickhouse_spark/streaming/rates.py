@@ -10,8 +10,10 @@ when an earlier point arrives — so, exactly like
 watermark freezes them, then the frozen prefix folds in exact time
 order onto the running (last point, accumulated increase) state.
 Spark's watermark contract guarantees no later batch delivers a point
-at or below a watermark already folded through, so folded state is
-never wrong, only as current as the watermark.
+STRICTLY OLDER than the watermark, so the fold freezes only
+``t < watermark`` (a point at exactly ``t == watermark`` may still
+arrive and stays buffered) — folded state is never wrong, only as
+current as the watermark.
 
 Scale shape: state per series is ONE (t, v) pair + one double + a
 buffer bounded by (watermark delay x that series' point rate); points
@@ -44,9 +46,10 @@ def streaming_delta_sum(
 
     Counter resets (a drop in value) contribute nothing, matching the
     batch operator. ``state_ttl_seconds`` evicts idle series
-    (processing-time timeout); eviction forgets the last sample, so a
-    series that later resumes restarts its fold — the cold-key cache
-    trade-off, stated rather than silent.
+    (processing-time timeout); eviction first folds-and-emits any
+    still-buffered points (nothing is silently dropped), then forgets
+    the series, so one that later resumes restarts its fold — the
+    cold-key cache trade-off, stated rather than silent.
     """
     try:
         from pyspark.sql.streaming.state import (
@@ -89,10 +92,31 @@ def streaming_delta_sum(
         state: "GroupState",
     ) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:
-            # the last emitted snapshot already covers every folded
-            # point; the pending buffer below the watermark was
-            # emitted too — drop the state
+            # fold-and-emit any still-buffered points before
+            # forgetting the series — eviction must not silently
+            # drop data the watermark hadn't frozen yet
+            last_t, last_v, acc, n, ver, buf_t, buf_v, _ = state.get
+            last_v = None if last_v is None else float(last_v)
+            acc, n = float(acc or 0.0), int(n or 0)
+            folded = 0
+            for t, v in sorted(
+                zip([int(t) for t in buf_t or []], list(buf_v or []))
+            ):
+                if last_v is not None and v > last_v:
+                    acc += v - last_v
+                last_t, last_v = t, v
+                folded += 1
             state.remove()
+            if folded:
+                yield pd.DataFrame(
+                    {
+                        series_col: [key[0]],
+                        "delta_sum": [acc],
+                        "last_time": [int(last_t)],
+                        "n_points": [n + folded],
+                        "ver": [int(ver or 0) + 1],
+                    }
+                )
             return
         if state.exists:
             last_t, last_v, acc, n, ver, buf_t, buf_v, last_wm = state.get
@@ -112,8 +136,11 @@ def streaming_delta_sum(
                 # droppable malformed input, not a stream crash
                 if pd.isna(t) or pd.isna(v):
                     continue
-                if last_wm is not None and int(t) <= last_wm:
+                if last_wm is not None and int(t) < last_wm:
                     continue  # late beyond the already-folded line
+                    # (fold freezes strictly below last_wm, so a
+                    # point at exactly t == last_wm is NOT folded
+                    # yet and must be accepted)
                 buf.append((int(t), float(v)))
         wm_ms = state.getCurrentWatermarkMs()
         wm = wm_ms // 1000
@@ -123,8 +150,11 @@ def streaming_delta_sum(
         # then (pre-epoch points would fold prematurely otherwise)
         no_wm = last_wm is None and wm_ms == 0
         buf.sort()
+        # freeze STRICTLY below the watermark: Spark only guarantees
+        # rows older than the watermark stop arriving, so a point at
+        # exactly t == wm may still show up in a later batch
         cut = 0
-        while not no_wm and cut < len(buf) and buf[cut][0] <= wm:
+        while not no_wm and cut < len(buf) and buf[cut][0] < wm:
             cut += 1
         frozen, buf = buf[:cut], buf[cut:]
         folded = 0

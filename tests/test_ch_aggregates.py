@@ -276,6 +276,17 @@ def test_map_aggregate_family(spark):
     with pytest.raises(ValueError, match="how="):
         map_aggregate(df, ["g"], "ks", "vs", "median")
 
+    # min/max must not be quantized to decimal(28,6): values that
+    # differ only below 1e-6 keep distinct extrema
+    tiny = spark.createDataFrame(
+        [("g", ["a"], [1.0000000002]), ("g", ["a"], [1.0000000001])],
+        "g string, ks array<string>, vs array<double>",
+    )
+    lo = map_aggregate(tiny, ["g"], "ks", "vs", "min").collect()[0]
+    hi = map_aggregate(tiny, ["g"], "ks", "vs", "max").collect()[0]
+    assert float(lo["total"]) == 1.0000000001
+    assert float(hi["total"]) == 1.0000000002
+
 
 def test_uniq_up_to_saturates(spark):
     import pytest

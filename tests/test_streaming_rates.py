@@ -88,6 +88,56 @@ def test_out_of_order_parity_with_batch(spark, tmp_path):
     assert got["ctr"]["n_points"] == 5
 
 
+def test_ttl_eviction_folds_buffered_points(spark, tmp_path):
+    """TTL eviction must fold-and-emit still-buffered points rather
+    than silently dropping them: an idle series whose points never
+    got frozen by a watermark (batch 1 ran with watermark 0) still
+    produces its deltaSum when the timeout fires. Uses a real
+    trigger interval: processing-time timeouts need batches to keep
+    scheduling, so processAllAvailable alone cannot drive this."""
+    import time as _time
+
+    landing = str(tmp_path / "rt_ttl")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    # batch 1: watermark is 0 -> nothing folds, both points buffer
+    _write(landing, "b1.json", [("ctr", base + 10, 1.0), ("ctr", base + 20, 5.0)])
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_delta_sum(
+        stream, watermark_delay="10 seconds", state_ttl_seconds=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rt_ttl")
+        .outputMode("update")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        _time.sleep(6)
+        # keep another series flowing so batches fire; "ctr" stays
+        # idle until its TTL expires
+        deadline = _time.time() + 90
+        got = []
+        i = 0
+        while _time.time() < deadline:
+            _write(landing, f"k{i}.json", [("x", base + 10_000 + i, 1.0)])
+            i += 1
+            _time.sleep(3)
+            assert q.exception() is None, q.exception()
+            got = spark.sql(
+                "SELECT * FROM rt_ttl WHERE path = 'ctr'"
+            ).collect()
+            if got:
+                break
+        assert got, "TTL expiry never emitted the buffered fold"
+        assert got[0]["delta_sum"] == 4.0
+        assert got[0]["last_time"] == base + 20
+        assert got[0]["n_points"] == 2
+    finally:
+        q.stop()
+
+
 def test_nothing_folds_before_watermark_exists(spark, tmp_path):
     landing = str(tmp_path / "rt2")
     os.makedirs(landing)
