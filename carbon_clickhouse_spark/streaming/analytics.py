@@ -127,10 +127,14 @@ def tier_precision(root: str) -> int | None:
     """Bucket width recorded by the launcher beside the tier
     (``rollup_hot/_precision`` — "_"-prefixed, invisible to parquet
     readers). None when the sidecar is absent."""
+    return _tier_sidecar_int(root, "_precision")
+
+
+def _tier_sidecar_int(root: str, name: str) -> int | None:
     import os
 
     try:
-        with open(os.path.join(root, "rollup_hot", "_precision")) as fh:
+        with open(os.path.join(root, "rollup_hot", name)) as fh:
             return int(fh.read().strip())
     except (FileNotFoundError, ValueError):
         return None
@@ -141,6 +145,7 @@ def rebuild_rollup_tier(
     root: str,
     precision_s: int | None = None,
     up_to: int | None = None,
+    months: list[str] | None = None,
 ) -> int:
     """Batch refresh of ``<root>/rollup_hot`` from the durable points
     table — the maintenance pass that folds LATE arrivals (points past
@@ -151,7 +156,26 @@ def rebuild_rollup_tier(
     sidecar — a refresh can't silently re-bucket a 300 s tier at 60 s
     because the operator forgot a flag (explicit argument wins).
 
-    Recomputes every bucket strictly below ``up_to`` (default: the
+    **Incremental by month**: the points table is month-partitioned
+    and every point carries an arrival-time ``version`` stamp, so a
+    refresh only recomputes the months that received points since the
+    previous refresh (``version >= `` the ``_refreshed_ver`` sidecar —
+    inclusive, so a point whose files land just after a refresh's scan
+    but carry the same arrival-second stamp is re-selected next cycle
+    rather than silently missed; the cost is that a quiet cycle
+    re-verifies the month(s) holding the boundary-version points —
+    bounded by one chunk's month spread, and re-rebuilding a month is
+    idempotent). All other months' tier rows are carried over
+    verbatim; the points scan is partition-pruned to the selected
+    months. A bucket never straddles a month boundary when
+    ``precision_s`` divides 86400 (UTC months start on day
+    boundaries); otherwise — or on the first refresh, or when the
+    points table lacks the month/version columns — the refresh falls
+    back to the full rebuild. ``months`` pins the selection explicitly
+    (e.g. the months a compaction cycle touched); an explicit list is
+    a targeted repair and does not advance the version watermark.
+
+    Recomputed buckets are strictly below ``up_to`` (default: the
     tier's horizon at call time) with the exact aggregate set the
     stream writes. The commit runs under the same per-table lock the
     streaming ``foreachBatch`` appender takes, and any bucket the
@@ -181,6 +205,36 @@ def rebuild_rollup_tier(
             return None
 
     pts = spark.read.parquet(pts_path)
+    explicit_months = months is not None
+    trackable = (
+        "month" in pts.columns
+        and "version" in pts.columns
+        and 86400 % int(precision_s) == 0
+    )
+    refreshed_ver = _tier_sidecar_int(root, "_refreshed_ver")
+    new_ver: int | None = None
+    if not explicit_months and trackable and refreshed_ver is not None:
+        # one bounded job over the fresh slice: the month list (a few
+        # short strings) and the next version watermark
+        row = (
+            pts.filter(F.col("version") >= refreshed_ver)
+            .agg(
+                F.collect_set("month").alias("ms"),
+                F.max("version").alias("mv"),
+            )
+            .collect()[0]
+        )
+        if not row["ms"]:
+            return 0  # nothing arrived since the last refresh
+        # keep the NATIVE-typed values (partition inference may read
+        # month= as int) so the isin below partition-prunes exactly
+        months, new_ver = sorted(row["ms"]), int(row["mv"])
+    elif not explicit_months:
+        months = None  # full rebuild (first refresh / untrackable)
+        if trackable:
+            row = pts.agg(F.max("version").alias("mv")).collect()[0]
+            new_ver = None if row["mv"] is None else int(row["mv"])
+
     if up_to is None:
         t = _tier()
         up_to = rollup_horizon(t, precision_s) if t is not None else None
@@ -189,9 +243,69 @@ def rebuild_rollup_tier(
         if row["m"] is None:
             return 0
         up_to = (int(row["m"]) // precision_s) * precision_s + precision_s
+    rebuilt = _tier_rebuild_frame(pts, precision_s, up_to, months).persist()
+    try:
+        n = rebuilt.count()  # materialize once; the write reuses it
+        with _table_lock(tier_path):
+            out = rebuilt
+            t = _tier()
+            if t is not None:
+                # carried over verbatim: buckets the stream finalized
+                # past our snapshot (appends hold the same lock, so
+                # nothing lands mid-overwrite), and — on an
+                # incremental run — every bucket of an untouched month
+                keep = F.col("time") >= up_to
+                if months is not None:
+                    # string-typed list here: date_format yields
+                    # strings even when the partition column read
+                    # back as int
+                    tier_month = F.date_format(
+                        F.timestamp_seconds(F.col("time")), "yyyyMM"
+                    )
+                    keep = keep | ~tier_month.isin(
+                        [str(m) for m in months]
+                    )
+                out = rebuilt.unionByName(
+                    t.filter(keep).select(*rebuilt.columns)
+                )
+            _atomic_overwrite(spark, out, tier_path)
+            # the overwrite clears the directory: restore the
+            # precision sidecar (and advance the version watermark)
+            # for the next maintenance cycle
+            with open(os.path.join(tier_path, "_precision"), "w") as fh:
+                fh.write(str(int(precision_s)))
+            if new_ver is not None:
+                with open(
+                    os.path.join(tier_path, "_refreshed_ver"), "w"
+                ) as fh:
+                    fh.write(str(new_ver))
+            elif explicit_months and refreshed_ver is not None:
+                # targeted repair: keep the existing watermark
+                with open(
+                    os.path.join(tier_path, "_refreshed_ver"), "w"
+                ) as fh:
+                    fh.write(str(refreshed_ver))
+    finally:
+        rebuilt.unpersist()
+    return n
+
+
+def _tier_rebuild_frame(
+    pts: DataFrame,
+    precision_s: int,
+    up_to: int,
+    months: list | None,
+) -> DataFrame:
+    """The tier recompute aggregation: per-(path, bucket) stream
+    aggregate set over the points below ``up_to``, scan pruned to the
+    selected month partitions (``months=None`` = all)."""
+    src = pts
+    if months is not None:
+        # partition-pruned: only the touched months' files are read
+        src = pts.filter(F.col("month").isin(months))
     bucket = (F.col("time") - (F.col("time") % precision_s)).alias("time")
-    rebuilt = (
-        pts.filter(F.col("time") < up_to)
+    return (
+        src.filter(F.col("time") < up_to)
         .select("path", bucket, F.col("time").alias("__t"), "value")
         .groupBy("path", "time")
         .agg(
@@ -202,28 +316,7 @@ def rebuild_rollup_tier(
             F.count(F.lit(1)).alias("cnt"),
             F.max_by("value", F.col("__t")).alias("last"),
         )
-        .persist()
     )
-    try:
-        n = rebuilt.count()  # materialize once; the write reuses it
-        with _table_lock(tier_path):
-            out = rebuilt
-            t = _tier()
-            if t is not None:
-                # buckets the stream finalized past our snapshot are
-                # preserved verbatim (appends hold the same lock, so
-                # nothing lands mid-overwrite)
-                out = rebuilt.unionByName(
-                    t.filter(F.col("time") >= up_to).select(*rebuilt.columns)
-                )
-            _atomic_overwrite(spark, out, tier_path)
-            # the overwrite clears the directory: restore the
-            # precision sidecar for the next maintenance cycle
-            with open(os.path.join(tier_path, "_precision"), "w") as fh:
-                fh.write(str(int(precision_s)))
-    finally:
-        rebuilt.unpersist()
-    return n
 
 
 def rollup_horizon(finalized: DataFrame, precision_s: int = 60) -> int | None:

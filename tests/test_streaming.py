@@ -1096,3 +1096,111 @@ def test_rebuild_preserves_newer_buckets_and_sidecar(spark, tmp_path):
     assert rows[base].cnt == 2 and rows[base].avg == 20.0  # recomputed
     assert rows[base + 300].avg == 7.0  # carried over, not deleted
     assert tier_precision(root) == 300  # sidecar restored
+
+
+def test_rebuild_rollup_tier_incremental_by_month(spark, tmp_path):
+    """With a month-partitioned, version-stamped points table the
+    refresh is incremental: only months that received points since
+    the previous refresh recompute; idle months' tier rows carry over
+    verbatim; the points scan is partition-pruned; the version
+    watermark advances so a quiet cycle is a no-op."""
+    from carbon_clickhouse_spark.streaming.analytics import (
+        _tier_rebuild_frame,
+        _tier_sidecar_int,
+        rebuild_rollup_tier,
+    )
+
+    root = str(tmp_path / "tables")
+    # three months of points (UTC): Jun/Jul/Aug 2021, version = arrival
+    jun, jul, aug = 1_622_505_600, 1_625_097_600, 1_627_776_000
+    rows = [
+        ("m.a", 10.0, jun + 30, 1000), ("m.a", 20.0, jun + 90, 1000),
+        ("m.a", 4.0, jul + 10, 1001), ("m.b", 8.0, jul + 10, 1001),
+        ("m.a", 6.0, aug + 50, 1002),
+    ]
+
+    def _write(rs, mode):
+        (
+            spark.createDataFrame(
+                rs, "path string, value double, time long, version long"
+            )
+            .withColumn(
+                "month",
+                F.date_format(F.timestamp_seconds("time"), "yyyyMM"),
+            )
+            .write.mode(mode)
+            .partitionBy("month")
+            .parquet(f"{root}/points")
+        )
+
+    _write(rows, "overwrite")
+    horizon = aug + 3600  # everything below finalizes
+
+    # first refresh: full rebuild, seeds the version watermark
+    n1 = rebuild_rollup_tier(spark, root, precision_s=60, up_to=horizon)
+    assert n1 == 5  # 2 Jun buckets + 2 Jul (a,b same bucket) + 1 Aug
+    assert _tier_sidecar_int(root, "_refreshed_ver") == 1002
+    before = {
+        (r.path, r.time): r
+        for r in spark.read.parquet(f"{root}/rollup_hot").collect()
+    }
+
+    # quiet cycle: the inclusive version filter re-verifies only the
+    # month holding the boundary-version point (August, 1 bucket) —
+    # never the whole corpus — and the tier values are unchanged
+    assert rebuild_rollup_tier(spark, root, up_to=horizon) == 1
+    quiet = {
+        (r.path, r.time): r
+        for r in spark.read.parquet(f"{root}/rollup_hot").collect()
+    }
+    assert {k: tuple(v) for k, v in quiet.items()} == {
+        k: tuple(v) for k, v in before.items()
+    }
+
+    # a LATE point lands in June only (version advances)
+    _write([("m.a", 99.0, jun + 31, 2000)], "append")
+    n2 = rebuild_rollup_tier(spark, root, up_to=horizon)
+    # June (2 buckets) + the boundary-version month August (1) — July
+    # stays carried over, NOT all 5 recomputed
+    assert n2 == 3
+    assert _tier_sidecar_int(root, "_refreshed_ver") == 2000
+    after = {
+        (r.path, r.time): r
+        for r in spark.read.parquet(f"{root}/rollup_hot").collect()
+    }
+    assert set(after) == set(before)
+    # the touched June bucket folded the late point
+    assert after[("m.a", jun)].cnt == 2
+    assert after[("m.a", jun)].avg == pytest.approx((10.0 + 99.0) / 2)
+    assert after[("m.a", jun)].last == 99.0
+    # idle months verbatim: every field identical
+    for key in set(before) - {("m.a", jun)}:
+        assert tuple(after[key]) == tuple(before[key]), key
+
+    # the recompute scan is partition-pruned to the touched month
+    pts = spark.read.parquet(f"{root}/points")
+    plan = (
+        _tier_rebuild_frame(pts, 60, horizon, [202106])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "month" in pf, pf
+
+    # explicit months= is a targeted repair: watermark must NOT move
+    _write([("m.b", 1.0, jul + 11, 3000)], "append")
+    n3 = rebuild_rollup_tier(spark, root, up_to=horizon, months=[202108])
+    assert n3 == 1  # only the August bucket
+    assert _tier_sidecar_int(root, "_refreshed_ver") == 2000
+    # ... so the next auto refresh still catches July's new point
+    n4 = rebuild_rollup_tier(spark, root, up_to=horizon)
+    # July (2 path-buckets) + boundary-version June (2); August's 1
+    # carried over, not all 5 recomputed
+    assert n4 == 4
+    final = {
+        (r.path, r.time): r
+        for r in spark.read.parquet(f"{root}/rollup_hot").collect()
+    }
+    assert final[("m.b", jul)].cnt == 2
