@@ -2013,6 +2013,37 @@ def q_window_funnel_strict_dedup(spark, sf_dir):
     )
 
 
+def q_window_funnel_strict_once(spark, sf_dir):
+    """windowFunnel in ``strict_once`` mode, which only bites when the
+    step list REPEATS a type — steps (view, purchase, purchase):
+    without the mode a single purchase event advances both purchase
+    steps of one chain (it chains to the slot it just wrote); with it,
+    one event never appears twice in the same chain, so level 3 needs
+    two distinct purchases inside the 1-hour window — on this corpus
+    the mode changes ~35 of 150 users, so the oracle genuinely
+    discriminates. Same sequential Arrow path; oracle = the
+    recursive-CTE single-slot fold where every slot update reads the
+    PREVIOUS row's state — exactly the descending-entry evaluation
+    order strict_once prescribes (carbon-clickhouse has no query
+    layer; semantics from the ClickHouse parametric-functions
+    reference)."""
+    from carbon_clickhouse_spark.operators.events_analytics import (
+        window_funnel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return window_funnel(
+        base,
+        ["view", "purchase", "purchase"],
+        window=3600,
+        tiebreak_col="event_id",
+        modes=("strict_once",),
+    )
+
+
 def q_uniq_up_to(spark, sf_dir):
     """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
     event type, the exact distinct user count saturated at N+1 — the
@@ -2236,6 +2267,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel_strict": q_window_funnel_strict,
         "window_funnel_strict_order": q_window_funnel_strict_order,
         "window_funnel_strict_dedup": q_window_funnel_strict_dedup,
+        "window_funnel_strict_once": q_window_funnel_strict_once,
         # graded reps: rollup_all / read_series (window-over-series)
         "delta_sum": q_delta_sum,
     }
@@ -3870,6 +3902,47 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(max(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
                  AS matched
         FROM x5 GROUP BY user_id
+    """
+    # strict_once with the repeated-type step list (view, purchase,
+    # purchase): the recursive fold where EVERY slot update reads the
+    # previous row's state (w.s*) — that is literally the
+    # descending-entry evaluation order the mode prescribes, so one
+    # purchase event can extend a chain into its second-purchase slot
+    # OR seed the first purchase slot, never both; no interrupt flag
+    # (strict_once never stops the walk)
+    oracles["window_funnel_strict_once"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts) // 1000,
+                                             event_id) AS rn
+          FROM events
+        ),
+        mx AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY user_id),
+        walk AS (
+          SELECT user_id, 0 AS rn,
+                 CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+                 CAST(NULL AS BIGINT) AS s3
+          FROM mx
+          UNION ALL
+          SELECT w.user_id, e.rn,
+                 CASE WHEN e.event_type = 'view' THEN e.t
+                      ELSE w.s1 END,
+                 CASE WHEN e.event_type = 'purchase' AND w.s1 IS NOT NULL
+                           AND e.t - w.s1 <= 3600 THEN w.s1
+                      ELSE w.s2 END,
+                 CASE WHEN e.event_type = 'purchase' AND w.s2 IS NOT NULL
+                           AND e.t - w.s2 <= 3600 THEN w.s2
+                      ELSE w.s3 END
+          FROM walk w
+          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        )
+        SELECT w.user_id,
+               CAST(CASE WHEN w.s3 IS NOT NULL THEN 3
+                         WHEN w.s2 IS NOT NULL THEN 2
+                         WHEN w.s1 IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS funnel_level
+        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
     """
     # the sequential earliest-end fold replayed as a recursive CTE:
     # one step per event row (rn), per-user state = (b1, b2, b3,

@@ -81,7 +81,10 @@ def window_funnel(
     sorted-partition Arrow scan as
     :func:`.sequence_match.sequence_count`: one Exchange on the user
     key, O(n_steps) fold state carried across batch boundaries,
-    booleans pre-evaluated JVM-side.
+    booleans pre-evaluated JVM-side. A step list that REPEATS a type
+    also takes the sequential path in every mode (see the dispatch
+    comment below — CH's ascending entry expansion is not expressible
+    in the strictly-preceding-rows DP).
     """
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
@@ -92,7 +95,20 @@ def window_funnel(
             f"unknown windowFunnel mode(s) {sorted(bad)}; "
             f"supported: {sorted(FUNNEL_MODES)}"
         )
-    if mset & {"strict_order", "strict_deduplication", "strict_once"}:
+    needs_seq = bool(
+        mset & {"strict_order", "strict_deduplication", "strict_once"}
+    )
+    if not needs_seq and len(set(steps)) < len(steps):
+        # a repeated-type step list breaks the window DP either way:
+        # CH's ascending entry expansion lets ONE event advance
+        # several repeated steps of the same chain (default mode),
+        # and even under strict_increase — where the self-chain fails
+        # its own tev < t test — a step-1 re-match overwrites the
+        # chain start BEFORE the same event's later entries read it.
+        # The DP reads only strictly-preceding rows, so it can
+        # express neither; run the sequential fold instead.
+        needs_seq = True
+    if needs_seq:
         return _funnel_sequential(
             events, steps, window, time_col, type_col, user_col,
             tiebreak_col, mset,

@@ -97,13 +97,16 @@ def test_funnel_equal_timestamps_resolve_by_tiebreak(spark):
 
 
 def test_funnel_repeated_step_types(spark):
-    # steps may repeat a type: a a within window
+    # steps may repeat a type: in CH's default ascending fold one
+    # event advances BOTH 'a' steps of the same chain (self-chain),
+    # so even the single-event user reaches level 2; strict_once is
+    # the mode that turns this off (test_funnel_modes covers it)
     assert _run(
         spark,
         [(1, 0, "a", 1), (1, 10, "a", 2), (2, 0, "a", 3)],
         ["a", "a"],
         50,
-    ) == {1: 2, 2: 1}
+    ) == {1: 2, 2: 2}
 
 
 def test_funnel_matches_exhaustive_search(spark):

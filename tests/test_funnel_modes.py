@@ -115,6 +115,34 @@ def test_modes_match_naive_randomized(spark, modes):
         _run(spark, _random_users(seed), STEPS, 20, modes)
 
 
+@pytest.mark.parametrize(
+    "modes",
+    [
+        (),
+        ("strict_increase",),
+        ("strict_once",),
+        ("strict_order",),
+        ("strict_deduplication",),
+    ],
+)
+def test_repeated_steps_match_naive_randomized(spark, modes):
+    # repeated-type step lists across EVERY mode incl. default: the
+    # default used to take the window-DP path, which cannot express
+    # CH's one-event-advances-two-repeated-steps self-chain
+    for steps in (["a", "a"], ["a", "b", "a"], ["b", "a", "a"]):
+        _run(spark, _random_users(5), steps, 20, modes)
+
+
+def test_default_mode_repeated_steps_self_chain(spark):
+    # one 'a' event fills both slots of steps [a, a] in CH's default
+    # ascending fold -> level 2 from a single event
+    df = spark.createDataFrame(
+        [(1, 10, "a")], "user_id long, time long, event_type string"
+    )
+    got = window_funnel(df, ["a", "a"], 100).collect()
+    assert got[0]["funnel_level"] == 2
+
+
 def test_repeated_step_list_and_strict_once(spark):
     # steps [a, a]: one 'a' event fills BOTH slots in the sequential
     # default fold; strict_once limits it to one
