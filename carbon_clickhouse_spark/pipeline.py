@@ -263,7 +263,9 @@ def ingest_and_store(
             f.result()
 
 
-def register_clickhouse_views(spark, root: str, suffix: str = "") -> list[str]:
+def register_clickhouse_views(
+    spark, root: str, suffix: str = "", names: dict[str, str] | None = None
+) -> list[str]:
     """Temp views over a stored four-table root with the reference's
     ClickHouse table and column names, so the SQL a carbon-clickhouse
     deployment runs against ClickHouse (e.g. the e2e verify queries,
@@ -279,8 +281,13 @@ def register_clickhouse_views(spark, root: str, suffix: str = "") -> list[str]:
       legacy tables exist in the root
 
     Returns the view names registered. ``suffix`` disambiguates
-    concurrent roots in one session. Views are lazy: queries prune
-    columns/partitions through them like direct reads.
+    concurrent roots in one session. ``names`` overrides individual
+    view names (default name -> deployment name): the reference's
+    table names are chosen per deployment in carbon-clickhouse.conf
+    (e.g. the e2e configs call the tagged table ``graphite_tags``),
+    so the views must be nameable to match the SQL a deployment
+    actually runs. Views are lazy: queries prune columns/partitions
+    through them like direct reads.
     """
     specs = {
         "graphite": (
@@ -320,7 +327,7 @@ def register_clickhouse_views(spark, root: str, suffix: str = "") -> list[str]:
         path = os.path.join(root, table)
         if not os.path.exists(path):
             continue
-        name = view + suffix
+        name = (names or {}).get(view, view) + suffix
         spark.read.parquet(path).selectExpr(*cols.split(", ")).createOrReplaceTempView(name)
         registered.append(name)
     return registered
