@@ -400,13 +400,15 @@ class GraphiteStore:
         self.rollup_precision = rollup_precision
 
     def series_consolidated(
-        self, glob: str, t0: int, t1: int, step: int
+        self, glob: str | list[str], t0: int, t1: int, step: int
     ) -> DataFrame | None:
         """Average-consolidated series at ``step`` from the hot-rollup
         tier (history = pre-aggregated buckets, only post-horizon raw
         points re-aggregate). None when the tier can't serve this
         request (no tier, or ``step`` off the tier's grid) — caller
-        falls back to raw fetch + post-consolidation."""
+        falls back to raw fetch + post-consolidation. ``glob`` may be
+        an already-resolved path list (the seriesByTag route: tagged
+        canonical names are ordinary tier paths)."""
         if (
             self.rollup_hot is None
             or not self.rollup_precision
@@ -415,7 +417,9 @@ class GraphiteStore:
             return None
         from ..streaming.analytics import serve_rollup_avg
 
-        if not any(c in glob for c in "*?[{"):
+        if isinstance(glob, list):
+            paths = glob
+        elif not any(c in glob for c in "*?[{"):
             paths = [glob]
         else:
             paths = [p for p, leaf in self.find(glob) if leaf]
@@ -1459,18 +1463,34 @@ class RenderApi:
                             ctx: dict = {}
                             parsed = parse_target(target)
                             df = None
-                            if mdp and isinstance(parsed, str):
-                                # plain-path target + maxDataPoints:
-                                # serve from the pre-aggregated hot
-                                # rollup tier when its grid fits (a
-                                # bare path carries no consolidateBy
-                                # hint, so avg semantics match)
+                            if mdp and (
+                                isinstance(parsed, str)
+                                or (
+                                    isinstance(parsed, Call)
+                                    and parsed.name == "seriesByTag"
+                                    and store.tagged is not None
+                                )
+                            ):
+                                # plain-path or bare seriesByTag
+                                # target + maxDataPoints: serve from
+                                # the pre-aggregated hot rollup tier
+                                # when its grid fits (neither carries
+                                # a consolidateBy hint, so avg
+                                # semantics match; tagged canonical
+                                # names are ordinary tier paths)
                                 step = max(
                                     1, (t1 - t0) // max(1, int(mdp))
                                 )
                                 if step > 1:
+                                    sel = (
+                                        parsed
+                                        if isinstance(parsed, str)
+                                        else store.find_series(
+                                            [str(a) for a in parsed.args]
+                                        )
+                                    )
                                     df = store.series_consolidated(
-                                        parsed, t0, t1, step
+                                        sel, t0, t1, step
                                     )
                             if df is not None:
                                 pass  # tier already consolidated

@@ -792,3 +792,76 @@ def test_maxdatapoints_serves_from_hot_rollup_tier(spark, tmp_path):
         assert got3[base] == 20.0  # raw avg of 10,30
     finally:
         api.stop()
+
+
+def test_seriesbytag_serves_from_hot_rollup_tier(spark, tmp_path):
+    """A seriesByTag /render with maxDataPoints answers history from
+    the pre-aggregated tier end-to-end: tagged canonical names are
+    ordinary tier paths. The tier bucket deliberately differs from the
+    raw points (tier value in the response proves no raw re-average),
+    and the plan assert shows the raw-points scan is pushdown-clipped
+    to time >= horizon — history never touches raw points."""
+    base = 1_625_400_000
+    path = "cpu.load?env=prod&host=h1"
+    root = str(tmp_path / "sbt")
+    spark.createDataFrame(
+        [(path, base, 10.0), (path, base + 30, 30.0),
+         (path, base + 600, 7.0)],
+        "path string, time long, value double",
+    ).write.parquet(f"{root}/points")
+    spark.createDataFrame(
+        [("2021-07-04", "env=prod", path,
+          ["__name__=cpu.load", "env=prod", "host=h1"], 1),
+         ("2021-07-04", "host=h1", path,
+          ["__name__=cpu.load", "env=prod", "host=h1"], 1),
+         ("2021-07-04", "__name__=cpu.load", path,
+          ["__name__=cpu.load", "env=prod", "host=h1"], 1)],
+        "date string, tag1 string, path string, tags array<string>, "
+        "version long",
+    ).write.parquet(f"{root}/tagged")
+    # tier bucket `base` stored with sum=100/cnt=2 (raw avg would be
+    # 20); horizon = base + 60
+    spark.createDataFrame(
+        [(path, base, 50.0, 100.0, 60.0, 40.0, 2, 60.0)],
+        "path string, time long, avg double, sum double, max double, "
+        "min double, cnt long, last double",
+    ).write.parquet(f"{root}/rollup_hot")
+
+    idx = spark.createDataFrame([("cpu.load", 2)], "path string, level int")
+    store = GraphiteStore(
+        idx,
+        spark.read.parquet(f"{root}/points"),
+        tagged=spark.read.parquet(f"{root}/tagged"),
+        rollup_hot=spark.read.parquet(f"{root}/rollup_hot"),
+        rollup_precision=60,
+    )
+    api = RenderApi(store).start()
+    try:
+        def get(p):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}{p}"
+            ) as resp:
+                return json.loads(resp.read())
+
+        t0, t1 = base, base + 1200
+        target = urllib.parse.quote("seriesByTag('env=prod')")
+        s = get(
+            f"/render?target={target}&from={t0}&until={t1}"
+            "&maxDataPoints=20&format=json"
+        )
+        got = {t: v for v, t in s[0]["datapoints"]}
+        assert got[base] == 50.0        # tier value, not raw avg 20.0
+        assert got[base + 600] == 7.0   # post-horizon: raw points
+        # no maxDataPoints -> raw read path, tier untouched
+        s2 = get(f"/render?target={target}&from={t0}&until={t1}&format=json")
+        got2 = {t: v for v, t in s2[0]["datapoints"]}
+        assert got2[base] == 10.0 and got2[base + 30] == 30.0
+
+        # plan assert: the raw-points side of the merged read is
+        # pushdown-clipped at the horizon — below it only the tier's
+        # parquet is scanned
+        df = store.series_consolidated([path], t0, t1, 60)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert f"GreaterThanOrEqual(time,{base + 60})" in plan, plan
+    finally:
+        api.stop()
