@@ -2044,6 +2044,52 @@ def q_window_funnel_strict_once(spark, sf_dir):
     )
 
 
+def q_ch_agg_breadth(spark, sf_dir):
+    """ClickHouse aggregate breadth in one gate: ``argMin``/``argMax``
+    (deterministic ties — smallest/largest arg), ``avgWeighted``
+    (exact decimal numerator, one IEEE division),
+    ``quantileExactWeighted(0.5)`` (merge equal values, prefix-scan
+    weights, first value whose cumulative exceeds (sumW-1)*q), and
+    ``groupUniqArray`` (sorted for determinism), all per event type
+    with weight (event_id % 7) + 1. Tiny per-type results join
+    broadcast; each piece is one partial-agg pass
+    (operators/ch_aggregates.py)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        arg_extrema,
+        avg_weighted,
+        group_uniq_array,
+        quantile_exact_weighted,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        ((F.col("event_id") % 7) + 1).alias("w"),
+        "user_id",
+    )
+    ext = arg_extrema(base, ["event_type"], "value", "user_id").select(
+        "event_type",
+        F.col("arg_min").alias("arg_min_user"),
+        F.col("arg_max").alias("arg_max_user"),
+    )
+    avw = avg_weighted(base, ["event_type"], "value", "w")
+    med = quantile_exact_weighted(
+        base, ["event_type"], "value", "w", 0.5, out_col="wmedian"
+    )
+    uniq = group_uniq_array(
+        base.withColumn("ub", F.col("user_id") % 10),
+        ["event_type"],
+        "ub",
+        out_col="user_buckets",
+    )
+    return (
+        ext.join(avw, "event_type")
+        .join(med, "event_type")
+        .join(uniq, "event_type")
+    )
+
+
 def q_uniq_up_to(spark, sf_dir):
     """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
     event type, the exact distinct user count saturated at N+1 — the
@@ -2261,6 +2307,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_flags": q_retention_flags,
         # graded reps: grouping_sets / top_event_types (agg family)
         "uniq_up_to": q_uniq_up_to,
+        # graded reps: tpch_q1 / top_event_types; adds argMin/argMax,
+        # avgWeighted, quantileExactWeighted, groupUniqArray parity
+        "ch_agg_breadth": q_ch_agg_breadth,
         # graded rep: window_funnel (default mode); these add oracle
         # coverage for the strict_increase window-DP variant and the
         # strict_order sequential-interrupt path
@@ -3520,6 +3569,62 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type,
                least(count(DISTINCT user_id), 101)::BIGINT AS uniq_up_to
         FROM events GROUP BY event_type
+    """
+    # argMin/argMax with total-order ties, avgWeighted via the exact
+    # decimal numerator + one IEEE division, quantileExactWeighted as
+    # the merge-equal-values prefix scan (first value whose cumulative
+    # weight exceeds (sumW-1)*q), groupUniqArray sorted
+    oracles["ch_agg_breadth"] = """
+        WITH b AS (
+          SELECT event_type, value, (event_id % 7) + 1 AS w, user_id
+          FROM events
+        ),
+        ext AS (
+          SELECT event_type,
+                 min(user_id) FILTER (WHERE value = mnv) AS arg_min_user,
+                 max(user_id) FILTER (WHERE value = mxv) AS arg_max_user
+          FROM (
+            SELECT *, min(value) OVER (PARTITION BY event_type) AS mnv,
+                      max(value) OVER (PARTITION BY event_type) AS mxv
+            FROM b
+          )
+          GROUP BY event_type
+        ),
+        avw AS (
+          SELECT event_type,
+                 CAST(sum(CAST(value AS DECIMAL(28,6)) * w) AS DOUBLE)
+                   / CAST(sum(w) AS DOUBLE) AS avg_weighted
+          FROM b GROUP BY event_type
+        ),
+        gv AS (
+          SELECT event_type, value, sum(w)::BIGINT AS wt
+          FROM b GROUP BY event_type, value
+        ),
+        cum AS (
+          SELECT event_type, value,
+                 sum(wt) OVER (PARTITION BY event_type
+                               ORDER BY value) AS cw,
+                 sum(wt) OVER (PARTITION BY event_type) AS tw
+          FROM gv
+        ),
+        med AS (
+          SELECT event_type, min(value) AS wmedian
+          FROM cum
+          WHERE CAST(cw AS DOUBLE) > (CAST(tw AS DOUBLE) - 1) * 0.5
+          GROUP BY event_type
+        ),
+        uq AS (
+          SELECT event_type,
+                 list(DISTINCT user_id % 10 ORDER BY user_id % 10)
+                   AS user_buckets
+          FROM b GROUP BY event_type
+        )
+        SELECT ext.event_type, arg_min_user, arg_max_user,
+               avg_weighted, wmedian, user_buckets
+        FROM ext
+        JOIN avw ON avw.event_type = ext.event_type
+        JOIN med ON med.event_type = ext.event_type
+        JOIN uq ON uq.event_type = ext.event_type
     """
     oracles["retention_flags"] = """
         SELECT user_id,

@@ -249,9 +249,23 @@ def launch(
             # file sink's _spark_metadata log would make any batch
             # maintenance rewrite (rebuild_rollup_tier) invisible to
             # batch readers; the per-table lock keeps appends from
-            # interleaving with that rewrite
+            # interleaving with that rewrite. Month-partitioned like
+            # the points table, so the incremental tier refresh can
+            # dynamic-overwrite ONLY the months late points touched.
+            from pyspark.sql import functions as F
+
             with _table_lock(tier_path):
-                batch.write.mode("append").parquet(tier_path)
+                (
+                    batch.withColumn(
+                        "month",
+                        F.date_format(
+                            F.timestamp_seconds(F.col("time")), "yyyyMM"
+                        ),
+                    )
+                    .write.mode("append")
+                    .partitionBy("month")
+                    .parquet(tier_path)
+                )
 
         queries.append(
             _crollup(pts, precision_s=continuous_rollup)

@@ -400,3 +400,111 @@ def uniq_up_to(
             F.count_distinct(F.col(value_col)), F.lit(n + 1).cast("long")
         ).alias(out_col)
     )
+
+
+def arg_extrema(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    arg_col: str,
+) -> DataFrame:
+    """ClickHouse ``argMin(arg, val)`` / ``argMax(arg, val)`` with
+    DETERMINISTIC tie-breaking: among rows sharing the group-min
+    value the smallest ``arg`` wins (for argMax, the largest) — CH
+    returns "the first encountered", which depends on read order and
+    cannot be oracle-checked; a total order can. Returns
+    ``(*group_cols, arg_min, arg_max)``.
+
+    One partial-aggregating groupBy: min/max over a two-field struct
+    — value leads, arg breaks ties — stays in JVM codegen, no window,
+    no second pass."""
+    v, a = F.col(value_col), F.col(arg_col)
+    pair = F.struct(v.alias("v"), a.alias("a"))
+    return df.groupBy(*group_cols).agg(
+        F.min(pair)["a"].alias("arg_min"),
+        F.max(pair)["a"].alias("arg_max"),
+    )
+
+
+def avg_weighted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """ClickHouse ``avgWeighted(x, w)``: sum(x*w)/sum(w) per group.
+    The numerator accumulates in DECIMAL (value cast once, then
+    multiplied by the weight) so it is partition-order independent
+    and engine-exact; the final division is one IEEE double op —
+    the same exact-sum-then-divide shape as :func:`map_aggregate`'s
+    avg. Returns ``(*group_cols, avg_weighted double)``."""
+    num = F.sum(
+        F.col(value_col).cast(sum_type) * F.col(weight_col)
+    ).cast("double")
+    den = F.sum(F.col(weight_col)).cast("double")
+    return df.groupBy(*group_cols).agg(
+        (num / den).alias("avg_weighted")
+    )
+
+
+def quantile_exact_weighted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(q)(x, w)``: equal values
+    merge their (integer) weights, values sort ascending, and the
+    result is the first value whose cumulative weight EXCEEDS
+    ``(sum(w) - 1) * q`` — the hash-map + prefix-scan algorithm from
+    the CH aggregate-functions reference, exactly. Returns
+    ``(*group_cols, out_col)``.
+
+    Shape: one (group, value) partial-agg shuffle merges duplicate
+    values, then a single window pass (cumulative + total weight over
+    the same partitioning) and a min — no per-group collect, no
+    second shuffle (the window reuses the groupBy's hash
+    partitioning on the leading key)."""
+    gv = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    win = Window.partitionBy(*group_cols).orderBy(value_col)
+    tot = Window.partitionBy(*group_cols)
+    gv = gv.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum("__w").over(win).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tw"),
+    )
+    hit = gv.filter(
+        F.col("__cw").cast("double")
+        > (F.col("__tw").cast("double") - 1.0) * F.lit(float(q))
+    )
+    return hit.groupBy(*group_cols).agg(
+        F.min(value_col).alias(out_col)
+    )
+
+
+def group_uniq_array(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    max_size: int | None = None,
+    out_col: str = "uniq_values",
+) -> DataFrame:
+    """ClickHouse ``groupUniqArray([max_size])(x)`` with a
+    deterministic twist: the distinct set is returned SORTED (CH's
+    set order is arbitrary; a sorted array hash-matches an oracle).
+    ``max_size`` keeps the smallest N after sorting — a defined
+    truncation, where CH's is arbitrary-subset. Returns
+    ``(*group_cols, out_col array)``.
+
+    collect_set is a partial-aggregating JVM aggregate (the set
+    merges map-side); the sort is per-result-row, not a shuffle."""
+    arr = F.sort_array(F.collect_set(F.col(value_col)))
+    if max_size is not None:
+        arr = F.slice(arr, 1, int(max_size))
+    return df.groupBy(*group_cols).agg(arr.alias(out_col))

@@ -130,6 +130,7 @@ def _atomic_overwrite(
     path: str,
     month_partitioned: bool = False,
     derive_month: bool = False,
+    dynamic: bool = True,
 ) -> None:
     """Stage-then-overwrite without directory renames.
 
@@ -138,7 +139,9 @@ def _atomic_overwrite(
        drop the live table before the merge is durable)
     2. month-partitioned tables: dynamic partition overwrite replaces
        ONLY the staged months — untouched history is never rewritten
-       or deleted (``replaceWhere`` semantics on plain parquet)
+       or deleted (``replaceWhere`` semantics on plain parquet);
+       ``dynamic=False`` keeps the partitioned LAYOUT but replaces the
+       whole table (a full rebuild / layout migration)
     3. unpartitioned tables: committed whole-table overwrite (files
        swap at job commit; no rmtree/rename of the root)
 
@@ -172,7 +175,9 @@ def _atomic_overwrite(
             )
             staged = spark.read.parquet(staging)
             with _conf_override(
-                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                spark,
+                "spark.sql.sources.partitionOverwriteMode",
+                "dynamic" if dynamic else "static",
             ):
                 (
                     _sorted(staged)

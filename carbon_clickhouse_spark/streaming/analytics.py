@@ -100,7 +100,8 @@ def serve_rollup_avg(
     # the values agree)
     horizon = min(max(horizon - (horizon % step), from_aligned), time_until)
 
-    hist = finalized.filter(
+    hist = _month_pruned(finalized, from_aligned, horizon)
+    hist = hist.filter(
         (F.col("time") >= from_aligned) & (F.col("time") < horizon)
     )
     hot = raw_points.filter(
@@ -167,7 +168,12 @@ def rebuild_rollup_tier(
     bounded by one chunk's month spread, and re-rebuilding a month is
     idempotent). All other months' tier rows are carried over
     verbatim; the points scan is partition-pruned to the selected
-    months. A bucket never straddles a month boundary when
+    months. The tier itself is month-partitioned (the launcher's
+    appender writes it that way): an incremental refresh
+    dynamic-overwrites ONLY the touched months' partitions, leaving
+    untouched months byte-identical on disk; a legacy unpartitioned
+    tier migrates to the partitioned layout on its next full rewrite.
+    A bucket never straddles a month boundary when
     ``precision_s`` divides 86400 (UTC months start on day
     boundaries); otherwise — or on the first refresh, or when the
     points table lacks the month/version columns — the refresh falls
@@ -244,31 +250,55 @@ def rebuild_rollup_tier(
             return 0
         up_to = (int(row["m"]) // precision_s) * precision_s + precision_s
     rebuilt = _tier_rebuild_frame(pts, precision_s, up_to, months).persist()
+    tier_cols = rebuilt.columns
+    month_of = F.date_format(F.timestamp_seconds(F.col("time")), "yyyyMM")
     try:
         n = rebuilt.count()  # materialize once; the write reuses it
         with _table_lock(tier_path):
-            out = rebuilt
             t = _tier()
-            if t is not None:
-                # carried over verbatim: buckets the stream finalized
-                # past our snapshot (appends hold the same lock, so
-                # nothing lands mid-overwrite), and — on an
-                # incremental run — every bucket of an untouched month
-                keep = F.col("time") >= up_to
-                if months is not None:
-                    # string-typed list here: date_format yields
-                    # strings even when the partition column read
-                    # back as int
-                    tier_month = F.date_format(
-                        F.timestamp_seconds(F.col("time")), "yyyyMM"
-                    )
-                    keep = keep | ~tier_month.isin(
-                        [str(m) for m in months]
-                    )
-                out = rebuilt.unionByName(
-                    t.filter(keep).select(*rebuilt.columns)
+            if t is not None and months is not None and "month" in t.columns:
+                # incremental refresh of a month-partitioned tier:
+                # dynamic partition overwrite replaces ONLY the
+                # touched months' partitions — untouched months stay
+                # byte-identical ON DISK, not merely value-identical.
+                # Carried over within the touched months: buckets the
+                # stream finalized past our snapshot (appends hold the
+                # same lock, so nothing lands mid-overwrite).
+                carry = t.filter(
+                    (F.col("time") >= up_to) & F.col("month").isin(months)
+                ).select(*tier_cols)
+                out = rebuilt.unionByName(carry).withColumn(
+                    "month", month_of
                 )
-            _atomic_overwrite(spark, out, tier_path)
+                _atomic_overwrite(
+                    spark, out, tier_path, month_partitioned=True
+                )
+            else:
+                # full rebuild (or a legacy unpartitioned tier being
+                # migrated): carried over verbatim as rows — buckets
+                # past up_to and, on an incremental run, every bucket
+                # of an untouched month — then the WHOLE tier is
+                # rewritten in the month-partitioned layout
+                out = rebuilt
+                if t is not None:
+                    keep = F.col("time") >= up_to
+                    if months is not None:
+                        # string-typed list: date_format yields
+                        # strings even when the partition column read
+                        # back as int
+                        keep = keep | ~month_of.isin(
+                            [str(m) for m in months]
+                        )
+                    out = rebuilt.unionByName(
+                        t.filter(keep).select(*tier_cols)
+                    )
+                _atomic_overwrite(
+                    spark,
+                    out.withColumn("month", month_of),
+                    tier_path,
+                    month_partitioned=True,
+                    dynamic=False,
+                )
             # the overwrite clears the directory: restore the
             # precision sidecar (and advance the version watermark)
             # for the next maintenance cycle
@@ -288,6 +318,22 @@ def rebuild_rollup_tier(
     finally:
         rebuilt.unpersist()
     return n
+
+
+def _month_pruned(tier: DataFrame, t0: int, t1: int) -> DataFrame:
+    """Partition-prune a month-partitioned tier read to the request
+    window (no-op for legacy unpartitioned tiers). Spark can't derive
+    the month partitions from an epoch-time predicate, so enumerate
+    them — same move as query/finder.read_series on the points table.
+    """
+    if "month" not in tier.columns or t1 <= t0:
+        return tier
+    from ..query.finder import _months_between
+
+    months = _months_between(t0, t1)
+    if months is None:
+        return tier
+    return tier.filter(F.col("month").isin(months))
 
 
 def _tier_rebuild_frame(
@@ -377,7 +423,8 @@ def serve_rollup(
         horizon = from_aligned  # nothing finalized: serve all from raw
     horizon = min(max(horizon, from_aligned), time_until)
 
-    hist = finalized.filter(
+    hist = _month_pruned(finalized, from_aligned, horizon)
+    hist = hist.filter(
         (F.col("time") >= from_aligned) & (F.col("time") < horizon)
     )
     hot = raw_points.filter(

@@ -306,3 +306,78 @@ def test_uniq_up_to_saturates(spark):
     assert got == {"a": 3, "b": 6, "c": 0}  # b saturates at n+1
     with pytest.raises(ValueError):
         uniq_up_to(df, ["g"], "v", n=0)
+
+
+def test_arg_extrema_deterministic_ties(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import arg_extrema
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 30), ("g", 1.0, 10), ("g", 5.0, 7), ("g", 5.0, 9)],
+        "g string, v double, a long",
+    )
+    r = arg_extrema(df, ["g"], "v", "a").collect()[0]
+    # ties on the min value: smallest arg; on the max: largest arg
+    assert r["arg_min"] == 10 and r["arg_max"] == 9
+
+
+def test_avg_weighted_exact(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import avg_weighted
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 10.0, 3)], "g string, v double, w long"
+    )
+    r = avg_weighted(df, ["g"], "v", "w").collect()[0]
+    assert r["avg_weighted"] == (1.0 + 30.0) / 4
+
+
+def test_quantile_exact_weighted_matches_ch_fold(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        quantile_exact_weighted,
+    )
+
+    # CH reference fold: merge equal values, sort, threshold
+    # (sumW-1)*q, first value whose cumulative EXCEEDS it
+    def ref(pairs, q):
+        agg = {}
+        for v, w in pairs:
+            agg[v] = agg.get(v, 0) + w
+        tw = sum(agg.values())
+        thr = (tw - 1) * q
+        cw = 0
+        for v in sorted(agg):
+            cw += agg[v]
+            if cw > thr:
+                return v
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("g%d" % (i % 3), float(rng.randrange(0, 20)), rng.randrange(1, 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = {
+            r["g"]: r["quantile"]
+            for r in quantile_exact_weighted(df, ["g"], "v", "w", q).collect()
+        }
+        want = {
+            g: ref([(v, w) for gg, v, w in rows if gg == g], q)
+            for g in ("g0", "g1", "g2")
+        }
+        assert got == want, (q, got, want)
+
+
+def test_group_uniq_array_sorted_and_capped(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_uniq_array,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 3), ("g", 1), ("g", 3), ("g", 2)], "g string, v long"
+    )
+    r = group_uniq_array(df, ["g"], "v").collect()[0]
+    assert list(r["uniq_values"]) == [1, 2, 3]
+    r2 = group_uniq_array(df, ["g"], "v", max_size=2).collect()[0]
+    assert list(r2["uniq_values"]) == [1, 2]

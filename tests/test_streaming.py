@@ -1204,3 +1204,76 @@ def test_rebuild_rollup_tier_incremental_by_month(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/rollup_hot").collect()
     }
     assert final[("m.b", jul)].cnt == 2
+
+
+def test_incremental_rebuild_leaves_idle_month_files_untouched(spark, tmp_path):
+    """With the tier month-partitioned, an incremental refresh
+    dynamic-overwrites only the touched months' partitions: a truly
+    idle month's parquet FILES are byte-identical afterwards (same
+    names and contents), while the late-point month and the
+    boundary-version month are rewritten with correct values."""
+    import glob
+    import hashlib
+
+    from carbon_clickhouse_spark.streaming.analytics import (
+        rebuild_rollup_tier,
+    )
+
+    root = str(tmp_path / "tables")
+    # June gets the late point; July stays idle (version below the
+    # watermark); August holds the boundary version (re-verified)
+    jun, jul, aug = 1_622_505_600, 1_625_097_600, 1_627_776_000
+    rows = [
+        ("pm.a", 10.0, jun + 30, 1000),
+        ("pm.a", 4.0, jul + 10, 1001),
+        ("pm.a", 8.0, aug + 20, 1002),
+    ]
+
+    def _write(rs, mode):
+        (
+            spark.createDataFrame(
+                rs, "path string, value double, time long, version long"
+            )
+            .withColumn(
+                "month",
+                F.date_format(F.timestamp_seconds("time"), "yyyyMM"),
+            )
+            .write.mode(mode)
+            .partitionBy("month")
+            .parquet(f"{root}/points")
+        )
+
+    _write(rows, "overwrite")
+    horizon = aug + 3600
+
+    # first refresh: full rebuild writes the PARTITIONED tier layout
+    assert rebuild_rollup_tier(spark, root, precision_s=60, up_to=horizon) == 3
+    months_on_disk = {
+        os.path.basename(d)
+        for d in glob.glob(f"{root}/rollup_hot/month=*")
+    }
+    assert months_on_disk == {"month=202106", "month=202107", "month=202108"}
+
+    def _snap(month):
+        return {
+            os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{root}/rollup_hot/month={month}/*.parquet")
+        }
+
+    jul_before = _snap("202107")
+    assert jul_before  # the idle month has real files to compare
+
+    # late June point -> June rewritten; August re-verified (boundary
+    # version); July's partition untouched ON DISK
+    _write([("pm.a", 99.0, jun + 31, 2000)], "append")
+    n = rebuild_rollup_tier(spark, root, up_to=horizon)
+    assert n == 2  # June's 1 bucket + boundary-month August's 1
+    assert _snap("202107") == jul_before  # byte-identical files
+    tier = {
+        (r.path, r.time): r
+        for r in spark.read.parquet(f"{root}/rollup_hot").collect()
+    }
+    assert tier[("pm.a", jun)].cnt == 2
+    assert tier[("pm.a", jun)].avg == pytest.approx((10.0 + 99.0) / 2)
+    assert tier[("pm.a", jul)].avg == 4.0
+    assert tier[("pm.a", aug)].avg == 8.0
