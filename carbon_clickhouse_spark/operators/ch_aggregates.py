@@ -508,3 +508,186 @@ def group_uniq_array(
     if max_size is not None:
         arr = F.slice(arr, 1, int(max_size))
     return df.groupBy(*group_cols).agg(arr.alias(out_col))
+
+
+def _merge_centroids(v, w, bins):
+    """Greedy closest-pair centroid merge (the streaming parallel
+    decision tree compaction, Ben-Haim & Tom-Tov 2010 — the algorithm
+    behind ClickHouse ``histogram(N)``): while more than ``bins``
+    centroids remain, merge the adjacent pair with the smallest gap
+    (leftmost on ties — deterministic) into its weighted mean.
+    ``v`` sorted ascending, ``w`` positive; returns (v, w) lists."""
+    v, w = list(v), list(w)
+    while len(v) > bins:
+        best, best_gap = 0, None
+        for i in range(len(v) - 1):
+            gap = v[i + 1] - v[i]
+            if best_gap is None or gap < best_gap:
+                best, best_gap = i, gap
+        wm = w[best] + w[best + 1]
+        v[best] = (v[best] * w[best] + v[best + 1] * w[best + 1]) / wm
+        w[best] = wm
+        del v[best + 1], w[best + 1]
+    return v, w
+
+
+def histogram_adaptive(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    group_cols: Sequence[str] = (),
+    exact: bool = True,
+    oversample: int = 4,
+) -> DataFrame:
+    """ClickHouse ``histogram(N)(x)``: ADAPTIVE bins via greedy
+    centroid merging, unlike :func:`histogram_fixed`'s explicit
+    bounds. Returns ``(*group_cols, bin int, lower, upper, height)``
+    — CH's (lower, upper, height) triples: bin edges are midpoints
+    between neighboring centroids, the outer edges are the group's
+    true min/max, height is the centroid's accumulated weight.
+
+    ``exact=True`` (default): values first collapse to an exact
+    (group, value, count) aggregate — one JVM partial-agg shuffle,
+    like :func:`top_k`'s exact mode — then ONE deterministic greedy
+    merge per group runs over the distinct values (Arrow, leftmost
+    tie-break), so the result is bit-identical under any partitioning.
+    Cost is the distinct cardinality (the honest price of
+    determinism); CH itself merges per-block and is order-dependent.
+
+    ``exact=False``: the mergeable-summaries shape — each partition
+    compacts its values to ``bins * oversample`` centroids in one
+    Arrow pass, only summaries shuffle, and the per-group final merge
+    compacts to ``bins``. Output then depends on partitioning for
+    near-tied gaps (exactly as CH's depends on block order); the
+    invariants the tests assert — total height equals the row count,
+    edges equal min/max, at most N bins — hold regardless.
+
+    NULL/NaN values are skipped (CH aggregate semantics).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if bins < 1 or oversample < 1:
+        raise ValueError("bins and oversample must be >= 1")
+    gcols = list(group_cols)
+    src = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(*gcols, F.col(value_col).cast("double").alias("__v"))
+    gfields = [src.schema[c] for c in gcols]
+    out_schema = T.StructType(
+        gfields
+        + [
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("lower", T.DoubleType()),
+            T.StructField("upper", T.DoubleType()),
+            T.StructField("height", T.DoubleType()),
+        ]
+    )
+
+    def finalize(rows_v, rows_w, lo, hi):
+        v, w = _merge_centroids(rows_v, rows_w, bins)
+        out = []
+        for i in range(len(v)):
+            lower = lo if i == 0 else (v[i - 1] + v[i]) / 2.0
+            upper = hi if i == len(v) - 1 else (v[i] + v[i + 1]) / 2.0
+            out.append((i, lower, upper, float(w[i])))
+        return out
+
+    if exact:
+        counted = src.groupBy(*gcols, "__v").agg(
+            F.count(F.lit(1)).cast("double").alias("__w")
+        )
+
+        def merge_group(key, pdf):
+            pdf = pdf.sort_values("__v")
+            v = pdf["__v"].to_list()
+            w = pdf["__w"].to_list()
+            rows = finalize(v, w, v[0], v[-1])
+            return pd.DataFrame(
+                {
+                    **{c: [k] * len(rows) for c, k in zip(gcols, key)},
+                    "bin": [r[0] for r in rows],
+                    "lower": [r[1] for r in rows],
+                    "upper": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                }
+            )
+
+        grouped = counted.groupBy(*gcols) if gcols else counted.groupBy(F.lit(1).alias("__g"))
+        if not gcols:
+            def merge_all(key, pdf):  # noqa: ANN001
+                return merge_group((), pdf)
+            return grouped.applyInPandas(merge_all, out_schema)
+        return grouped.applyInPandas(merge_group, out_schema)
+
+    # sketch path: bounded per-partition summaries, then final merge
+    part_schema = T.StructType(
+        gfields
+        + [
+            T.StructField("__v", T.DoubleType()),
+            T.StructField("__w", T.DoubleType()),
+            T.StructField("__lo", T.DoubleType()),
+            T.StructField("__hi", T.DoubleType()),
+        ]
+    )
+    cap = bins * oversample
+
+    def summarize(batches):
+        state: dict = {}  # group -> (values dict v->w, lo, hi)
+        for pdf in batches:
+            groups = [pdf[c].to_numpy() for c in gcols]
+            vals = pdf["__v"].to_numpy()
+            for j in range(len(pdf)):
+                gk = tuple(g[j] for g in groups)
+                vs, lo, hi = state.get(gk, ({}, None, None))
+                x = float(vals[j])
+                vs[x] = vs.get(x, 0.0) + 1.0
+                lo = x if lo is None or x < lo else lo
+                hi = x if hi is None or x > hi else hi
+                if len(vs) > 2 * cap:
+                    sv = sorted(vs)
+                    mv, mw = _merge_centroids(
+                        sv, [vs[s] for s in sv], cap
+                    )
+                    vs = dict(zip(mv, mw))
+                state[gk] = (vs, lo, hi)
+        for gk, (vs, lo, hi) in state.items():
+            sv = sorted(vs)
+            mv, mw = _merge_centroids(sv, [vs[s] for s in sv], cap)
+            yield pd.DataFrame(
+                {
+                    **{c: [k] * len(mv) for c, k in zip(gcols, gk)},
+                    "__v": mv,
+                    "__w": mw,
+                    "__lo": [lo] * len(mv),
+                    "__hi": [hi] * len(mv),
+                }
+            )
+
+    parts = src.mapInPandas(summarize, part_schema)
+
+    def merge_final(key, pdf):
+        pdf = pdf.sort_values("__v")
+        rows = finalize(
+            pdf["__v"].to_list(),
+            pdf["__w"].to_list(),
+            float(pdf["__lo"].min()),
+            float(pdf["__hi"].max()),
+        )
+        return pd.DataFrame(
+            {
+                **{c: [k] * len(rows) for c, k in zip(gcols, key)},
+                "bin": [r[0] for r in rows],
+                "lower": [r[1] for r in rows],
+                "upper": [r[2] for r in rows],
+                "height": [r[3] for r in rows],
+            }
+        )
+
+    if not gcols:
+        def merge_final_all(key, pdf):  # noqa: ANN001
+            return merge_final((), pdf)
+        return parts.groupBy(F.lit(1).alias("__g")).applyInPandas(
+            merge_final_all, out_schema
+        )
+    return parts.groupBy(*gcols).applyInPandas(merge_final, out_schema)

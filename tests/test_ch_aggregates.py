@@ -381,3 +381,96 @@ def test_group_uniq_array_sorted_and_capped(spark):
     assert list(r["uniq_values"]) == [1, 2, 3]
     r2 = group_uniq_array(df, ["g"], "v", max_size=2).collect()[0]
     assert list(r2["uniq_values"]) == [1, 2]
+
+
+def test_histogram_adaptive_exact_known_merge(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    # values 0,1,10,11,30 -> bins=3 merges (0,1) then (10,11):
+    # centroids 0.5(w2), 10.5(w2), 30(w1)
+    df = spark.createDataFrame(
+        [(float(x),) for x in (0, 1, 10, 11, 30)], "v double"
+    )
+    rows = sorted(
+        (r.bin, r.lower, r.upper, r.height)
+        for r in histogram_adaptive(df, "v", 3).collect()
+    )
+    assert rows == [
+        (0, 0.0, 5.5, 2.0),
+        (1, 5.5, 20.25, 2.0),
+        (2, 20.25, 30.0, 1.0),
+    ]
+
+
+def test_histogram_adaptive_exact_partition_independent(spark):
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        ("g%d" % (i % 2), rng.gauss(50 * (i % 2), 10.0)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = sorted(
+        map(tuple, histogram_adaptive(df.repartition(1), "v", 8, ["g"]).collect())
+    )
+    b = sorted(
+        map(tuple, histogram_adaptive(df.repartition(13), "v", 8, ["g"]).collect())
+    )
+    assert a == b  # exact mode: bit-identical under any partitioning
+    # invariants: per group, heights sum to the row count, edges are
+    # the true min/max, bins contiguous
+    per_g = {}
+    for g, b_, lo, hi, h in a:
+        per_g.setdefault(g, []).append((b_, lo, hi, h))
+    for g, bs in per_g.items():
+        vals = [v for gg, v in rows if gg == g]
+        bs.sort()
+        assert sum(h for _, _, _, h in bs) == len(vals)
+        assert bs[0][1] == min(vals) and bs[-1][2] == max(vals)
+        for (b1, _, u1, _), (b2, l2, _, _) in zip(bs, bs[1:]):
+            assert b2 == b1 + 1 and l2 == u1
+
+
+def test_histogram_adaptive_sketch_invariants(spark):
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    rng = random.Random(9)
+    vals = [rng.gauss(0, 1) for _ in range(2000)] + [
+        rng.gauss(100, 5) for _ in range(2000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(8)
+    rows = sorted(
+        (r.bin, r.lower, r.upper, r.height)
+        for r in histogram_adaptive(df, "v", 6, exact=False).collect()
+    )
+    assert len(rows) <= 6
+    assert sum(h for _, _, _, h in rows) == pytest.approx(len(vals))
+    assert rows[0][1] == pytest.approx(min(vals))
+    assert rows[-1][2] == pytest.approx(max(vals))
+    # the two well-separated modes never merge into one bin: some bin
+    # boundary falls in the empty middle
+    assert any(20 < u < 80 for _, _, u, _ in rows[:-1])
+
+
+def test_histogram_adaptive_skips_null_nan_and_validates(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (2.0,)], "v double"
+    )
+    rows = histogram_adaptive(df, "v", 4).collect()
+    assert sum(r.height for r in rows) == 2.0
+    with pytest.raises(ValueError):
+        histogram_adaptive(df, "v", 0)
