@@ -370,8 +370,19 @@ def rollup_horizon(finalized: DataFrame, precision_s: int = 60) -> int | None:
     window only once the watermark passes its end, and emission is
     monotone in window end — so every bucket strictly below
     ``max(time) + precision`` is present if its series had points.
-    None when nothing has finalized yet."""
-    row = finalized.agg(F.max("time").alias("m")).collect()[0]
+    None when nothing has finalized yet.
+
+    On a month-partitioned tier the max bucket time lives in the max
+    month partition (bucket time determines the month), so the scan
+    prunes to that single partition — the partition value itself comes
+    from directory names, not data pages."""
+    t = finalized
+    if "month" in t.columns:
+        m = t.agg(F.max("month").alias("m")).collect()[0]["m"]
+        if m is None:
+            return None
+        t = t.filter(F.col("month") == m)
+    row = t.agg(F.max("time").alias("m")).collect()[0]
     return None if row["m"] is None else int(row["m"]) + int(precision_s)
 
 

@@ -1277,3 +1277,21 @@ def test_incremental_rebuild_leaves_idle_month_files_untouched(spark, tmp_path):
     assert tier[("pm.a", jun)].avg == pytest.approx((10.0 + 99.0) / 2)
     assert tier[("pm.a", jul)].avg == 4.0
     assert tier[("pm.a", aug)].avg == 8.0
+
+
+def test_rollup_horizon_partitioned_equals_unpartitioned(spark, tmp_path):
+    from carbon_clickhouse_spark.streaming.analytics import rollup_horizon
+
+    jun, aug = 1_622_505_600, 1_627_776_000
+    rows = [("h.a", jun, 1.0, 1.0, 1.0, 1.0, 1, 1.0),
+            ("h.a", aug + 120, 2.0, 2.0, 2.0, 2.0, 1, 2.0)]
+    schema = ("path string, time long, avg double, sum double, "
+              "max double, min double, cnt long, last double")
+    flat = spark.createDataFrame(rows, schema)
+    flat.write.parquet(f"{tmp_path}/t1")
+    (flat.withColumn("month",
+                     F.date_format(F.timestamp_seconds("time"), "yyyyMM"))
+     .write.partitionBy("month").parquet(f"{tmp_path}/t2"))
+    h1 = rollup_horizon(spark.read.parquet(f"{tmp_path}/t1"), 60)
+    h2 = rollup_horizon(spark.read.parquet(f"{tmp_path}/t2"), 60)
+    assert h1 == h2 == aug + 180
