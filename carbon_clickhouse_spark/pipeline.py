@@ -264,7 +264,11 @@ def ingest_and_store(
 
 
 def register_clickhouse_views(
-    spark, root: str, suffix: str = "", names: dict[str, str] | None = None
+    spark,
+    root: str,
+    suffix: str = "",
+    names: dict[str, str] | None = None,
+    zero_timestamp_points: bool = False,
 ) -> list[str]:
     """Temp views over a stored four-table root with the reference's
     ClickHouse table and column names, so the SQL a carbon-clickhouse
@@ -286,19 +290,28 @@ def register_clickhouse_views(
     table names are chosen per deployment in carbon-clickhouse.conf
     (e.g. the e2e configs call the tagged table ``graphite_tags``),
     so the views must be nameable to match the SQL a deployment
-    actually runs. Views are lazy: queries prune columns/partitions
-    through them like direct reads.
+    actually runs. ``zero_timestamp_points`` renders the points
+    views' Timestamp as 0, matching what a ``zero-timestamp = true``
+    uploader actually writes to ClickHouse (the parquet store keeps
+    the real arrival version; zeroing is an upload-time transform,
+    ``sinks/clickhouse.encode_partition``). Views are lazy: queries
+    prune columns/partitions through them like direct reads.
     """
+    ts = (
+        "CAST(0 AS BIGINT) AS Timestamp"
+        if zero_timestamp_points
+        else "version AS Timestamp"
+    )
     specs = {
         "graphite": (
             "points",
             "path AS Path, value AS Value, time AS Time, "
-            "date AS Date, version AS Timestamp",
+            f"date AS Date, {ts}",
         ),
         "graphite_reverse": (
             "points_reverse",
             "path AS Path, value AS Value, time AS Time, "
-            "date AS Date, version AS Timestamp",
+            f"date AS Date, {ts}",
         ),
         "graphite_index": (
             "index",

@@ -106,3 +106,78 @@ def test_reference_verify_block(spark, roots, scen, i, verify):
     rows = spark.sql(q).collect()
     got = [" ".join(_fmt(v) for v in r) for r in rows]
     assert got == list(verify["output"]), (scen, verify["query"])
+
+
+def test_plain_suite_full_stack_over_live_tcp(spark, tmp_path):
+    """The reference harness's exact loop for tests/plain, full stack:
+    input lines sent over a REAL TCP socket -> receiver lands chunks
+    -> micro-batch four-table pipeline -> every verify block diffed
+    against its golden lines through the CH-dialect views
+    (e2etesting.go:208-259 with Spark standing in for ClickHouse).
+    The deployment config's zero-timestamp = true is honored at the
+    view (what the uploader writes to the graphite tables)."""
+    import time
+
+    from carbon_clickhouse_spark.pipeline import (
+        IngestConfig,
+        register_clickhouse_views,
+    )
+    from carbon_clickhouse_spark.streaming.ingest import (
+        StreamConfig,
+        file_landing_source,
+        start_plain_ingest,
+    )
+    from carbon_clickhouse_spark.streaming.receivers import (
+        PlainLineReceiver,
+        send_lines,
+    )
+
+    t = _load("plain")
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    rx = PlainLineReceiver(landing, flush_interval=0.1).start()
+    try:
+        send_lines("127.0.0.1", rx.port, list(t["input"]), chunk=61)
+        deadline = time.time() + 10
+        while time.time() < deadline and not os.listdir(landing):
+            time.sleep(0.1)
+        assert os.listdir(landing), "receiver landed no chunk files"
+        q = start_plain_ingest(
+            spark,
+            file_landing_source(spark, landing),
+            StreamConfig(
+                root=root,
+                chunk_interval="500 milliseconds",
+                ingest=IngestConfig(now=1625478400),
+                audit_dropped=False,
+            ),
+        )
+        try:
+            n_in = len(t["input"])
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(f"{root}/points").count() >= n_in:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            assert q.exception() is None, q.exception()
+        finally:
+            q.stop()
+    finally:
+        rx.stop()
+
+    register_clickhouse_views(
+        spark,
+        root,
+        suffix="_livetcp",
+        names={"graphite_tagged": "graphite_tags"},
+        zero_timestamp_points=True,  # tests/plain conf.tpl:29,36
+    )
+    for verify in t["verify"]:
+        q_sql = verify["query"].replace("arraySort", "array_sort")
+        q_sql = re.sub(r"\bFROM (graphite\w*)", r"FROM \1_livetcp", q_sql)
+        rows = spark.sql(q_sql).collect()
+        got = [" ".join(_fmt(v) for v in r) for r in rows]
+        assert got == list(verify["output"]), verify["query"]
