@@ -1803,6 +1803,38 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_sequence_match_bounds(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1)(?t>3600)(?2)(?t<=86400)(?3)')``
+    — a LOWER-bounded gap ("a view more than an hour after signup")
+    followed by an upper-bounded one. Lower bounds break the
+    latest-completion window DP (min gaps prefer EARLY completions),
+    so this runs the candidate-list sorted-partition fold
+    (operators/sequence_match.py:_sequence_match_general,
+    brute-force-verified in tests). The oracle replays the
+    per-direction optimal-representative argument in window SQL: for
+    the strict min gap the EARLIEST preceding signup decides, for the
+    max gap the LATEST completed view does."""
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_match,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _sec(ev).alias("time"), "event_type", "event_id"
+    )
+    return sequence_match(
+        base,
+        [
+            "event_type = 'signup'",
+            "event_type = 'view'",
+            "event_type = 'purchase'",
+        ],
+        min_gaps=[3600, None],
+        max_gaps=[None, 86400],
+        tiebreak_col="event_id",
+    )
+
+
 def q_sequence_match(spark, sf_dir):
     """ClickHouse ``sequenceMatch('(?1)(?t<=2d)(?2)(?t<=7d)(?3)')``:
     per user, does a signup -> click (within 2 days) -> purchase
@@ -2303,6 +2335,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         # graded reps: sequence_match / window_funnel (same family)
         "sequence_next_node": q_sequence_next_node,
+        # graded rep: sequence_count; adds the (?t>N) lower-bound form
+        "sequence_match_bounds": q_sequence_match_bounds,
         # graded rep: retention (cohort flavor of the same aggregate)
         "retention_flags": q_retention_flags,
         # graded reps: grouping_sets / top_event_types (agg family)
@@ -3564,6 +3598,42 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, count(*) AS cnt,
                round(0.0 + bucket * 25.0, 6) AS bucket_lo
         FROM b GROUP BY event_type, bucket
+    """
+    # (?t>3600) then (?t<=86400): per-direction optimal representative
+    # — for a strict min gap the EARLIEST preceding step-1 time
+    # decides feasibility; for a max gap the LATEST completed step-2
+    # does. Both are plain running min/max windows.
+    oracles["sequence_match_bounds"] = """
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) // 1000 AS t, event_type, event_id
+          FROM events
+        ),
+        x1 AS (
+          SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS fs
+          FROM e
+        ),
+        x2 AS (
+          SELECT *, CASE WHEN event_type = 'view' AND fs IS NOT NULL
+                          AND t - fs > 3600 THEN t END AS c2
+          FROM x1
+        ),
+        x3 AS (
+          SELECT *, max(c2)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS m2
+          FROM x2
+        ),
+        x4 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND m2 IS NOT NULL
+                          AND t - m2 <= 86400 THEN 1 ELSE 0 END AS c3
+          FROM x3
+        )
+        SELECT user_id, CAST(max(c3) AS INT) AS matched
+        FROM x4 GROUP BY user_id
     """
     oracles["uniq_up_to"] = """
         SELECT event_type,

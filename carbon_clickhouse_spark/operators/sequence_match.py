@@ -56,25 +56,42 @@ def sequence_match(
     time_col: str = "time",
     user_col: str = "user_id",
     tiebreak_col: str | None = None,
+    min_gaps: Sequence[int | float | None] | None = None,
 ) -> DataFrame:
     """Per-user flag: does SOME subsequence of the user's events, in
     strictly increasing ``(time_col, tiebreak_col)`` row order, satisfy
     ``conditions[0] .. conditions[n-1]`` with each consecutive gap
-    ``t_{k+1} - t_k <= max_gaps[k]`` (``None`` = unbounded)?
+    ``t_{k+1} - t_k <= max_gaps[k]`` (``None`` = unbounded) and
+    ``t_{k+1} - t_k > min_gaps[k]`` (strict, ``None`` = none)?
 
-    ClickHouse ``sequenceMatch('(?1)(?t<=g1)(?2)...')`` semantics for
-    the upper-bounded-gap pattern subset. Conditions are arbitrary
-    boolean expressions over the event row (strings parse via
-    ``F.expr``), so a row may satisfy several steps — chains still use
-    one ROW per step (strictly increasing row order), matching
-    ClickHouse.
+    ClickHouse ``sequenceMatch('(?1)(?t<=g1)(?2)...')`` semantics;
+    ``min_gaps`` covers the ``(?t>N)`` lower-bound form. Conditions
+    are arbitrary boolean expressions over the event row (strings
+    parse via ``F.expr``), so a row may satisfy several steps —
+    chains still use one ROW per step (strictly increasing row
+    order), matching ClickHouse.
 
     Returns ``(user_col, matched int)`` — one row per user with any
-    event. One Exchange on ``user_col``; all step passes share its
-    sort, every expression stays in whole-stage codegen.
+    event. With only upper bounds this is one Exchange on
+    ``user_col``, all step passes sharing its sort in whole-stage
+    codegen (latest-completion running-max DP). A lower-bounded gap
+    breaks that DP — min gaps prefer EARLY completions, max gaps
+    prefer LATE, and with both no single representative completion is
+    universally optimal — so those patterns run the candidate-list
+    fold of :func:`_sequence_match_general` (same one-Exchange
+    sorted-partition Arrow shape as :func:`sequence_count`).
     """
     conds = _conds(conditions)
     gaps = _gaps(max_gaps, len(conds))
+    lo = (
+        _gaps(min_gaps, len(conds))
+        if min_gaps is not None
+        else [None] * (len(conds) - 1)
+    )
+    if any(g is not None for g in lo):
+        return _sequence_match_general(
+            events, conds, lo, gaps, time_col, user_col, tiebreak_col
+        )
     order = [F.col(time_col)]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))
@@ -102,6 +119,120 @@ def sequence_match(
         .cast("int")
         .alias("matched")
     )
+
+
+def _sequence_match_general(
+    events: DataFrame,
+    conds: list[Column],
+    lo_gaps: list,
+    hi_gaps: list,
+    time_col: str,
+    user_col: str,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    """Exists-a-chain with per-gap [lo, hi] bounds (lo strict, hi
+    inclusive): per user the fold keeps, for every step, the SORTED
+    DISTINCT completion times still able to serve a future event —
+    with mixed bounds no single completion is universally optimal, so
+    the candidate set is the state (ClickHouse's backtracking matcher
+    explores the same space). Two prunes bound it: a candidate whose
+    outgoing max gap has expired (``p + hi < t``; times are
+    nondecreasing, so no future event can use it) is dropped, and a
+    step's feasibility check is O(1) — candidates surviving the prune
+    all satisfy the upper bound, and the strict lower bound holds iff
+    the EARLIEST candidate is old enough. With an unbounded outgoing
+    gap the step's list can grow with the user's distinct completion
+    times — the honest worst case, same as CH's event buffer.
+
+    One Exchange (hash by user) + sorted-partition Arrow scan; state
+    carries across Arrow batch boundaries. Descending step order per
+    row keeps a row from chaining to itself (a step only chains to a
+    strictly earlier ROW). Returns ``(user_col, matched int)``."""
+    import collections
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = len(conds)
+    order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+    pre = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            *[F.col(c) for c in order_cols],
+            *[
+                c.cast("boolean").alias(f"__p{i}")
+                for i, c in enumerate(conds)
+            ],
+        )
+        .repartition(F.col("__u"))
+        .sortWithinPartitions("__u", *order_cols)
+    )
+    u_type = pre.schema["__u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField(user_col, u_type),
+            T.StructField("matched", T.IntegerType()),
+        ]
+    )
+
+    def scan(batches):
+        cur = None
+        cand: list = [collections.deque() for _ in range(n)]
+        matched = False
+        out_u: list = []
+        out_m: list = []
+        for pdf in batches:
+            users = pdf["__u"].to_numpy()
+            times = pdf[time_col].to_numpy()
+            flags = [
+                pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)
+            ]
+            for j in range(len(pdf)):
+                u = users[j]
+                if u != cur:
+                    if cur is not None:
+                        out_u.append(cur)
+                        out_m.append(1 if matched else 0)
+                    cur = u
+                    cand = [collections.deque() for _ in range(n)]
+                    matched = False
+                if matched:
+                    continue  # exists-question: user already decided
+                t = times[j]
+                for k in range(n - 1, -1, -1):
+                    if not flags[k][j]:
+                        continue
+                    if k > 0:
+                        lo, hi = lo_gaps[k - 1], hi_gaps[k - 1]
+                        prev = cand[k - 1]
+                        if hi is not None:
+                            # expired for every future event too
+                            while prev and prev[0] + hi < t:
+                                prev.popleft()
+                        if not prev:
+                            continue
+                        # survivors satisfy the upper bound; the
+                        # strict lower bound holds iff the earliest
+                        # is old enough
+                        if lo is not None and not prev[0] < t - lo:
+                            continue
+                    if k == n - 1:
+                        matched = True
+                        break
+                    if not cand[k] or cand[k][-1] != t:
+                        cand[k].append(t)
+        if cur is not None:
+            out_u.append(cur)
+            out_m.append(1 if matched else 0)
+        if out_u:
+            yield pd.DataFrame(
+                {
+                    user_col: out_u,
+                    "matched": pd.array(out_m, dtype="int32"),
+                }
+            )
+
+    return pre.mapInPandas(scan, schema)
 
 
 def sequence_count(

@@ -321,3 +321,131 @@ def test_sequence_next_node_randomized_all_combos(spark):
                 for u, e in per_user.items()
             }
             assert got == want, (direction, base)
+
+
+def _brute_exists(evs, types, lo_gaps, hi_gaps):
+    """Independent reference: try every strictly-increasing row-index
+    chain (events pre-sorted by (t, tiebreak))."""
+    import itertools
+
+    n = len(types)
+    idx_by_step = [
+        [i for i, (t, ty) in enumerate(evs) if ty == types[k]]
+        for k in range(n)
+    ]
+
+    def ok(chain):
+        for a, b in zip(chain, chain[1:]):
+            if not b > a:
+                return False
+        for k in range(1, n):
+            gap = evs[chain[k]][0] - evs[chain[k - 1]][0]
+            lo, hi = lo_gaps[k - 1], hi_gaps[k - 1]
+            if lo is not None and not gap > lo:
+                return False
+            if hi is not None and not gap <= hi:
+                return False
+        return True
+
+    return int(any(ok(c) for c in itertools.product(*idx_by_step)))
+
+
+def test_sequence_match_min_gap_strictness(spark):
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_match,
+    )
+
+    # gap exactly == lo is NOT a match ((?t>N) is strict); lo+1 is
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 160, "b"),     # gap 60 == lo -> no
+         (2, 100, "a"), (2, 161, "b")],    # gap 61 > lo -> yes
+        "user_id long, time long, event_type string",
+    )
+    got = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            df,
+            ["event_type = 'a'", "event_type = 'b'"],
+            min_gaps=[60],
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1}
+
+
+def test_sequence_match_mixed_bounds_vs_bruteforce(spark):
+    import random
+
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_match,
+    )
+
+    rng = random.Random(41)
+    per_user = {}
+    for u in range(60):
+        evs = sorted(
+            (rng.randrange(0, 300), rng.choice("abx"))
+            for _ in range(rng.randrange(1, 25))
+        )
+        per_user[u] = evs
+    rows = [(u, t, ty) for u, evs in per_user.items() for t, ty in evs]
+    df = spark.createDataFrame(
+        rows, "user_id long, time long, event_type string"
+    )
+    cases = [
+        ([30, None], [None, 80]),   # min then max
+        ([None, 10], [100, None]),  # max then min
+        ([5, 5], [50, 50]),         # both bounds on both gaps
+    ]
+    for lo, hi in cases:
+        got = {
+            r["user_id"]: r["matched"]
+            for r in sequence_match(
+                df,
+                ["event_type = 'a'", "event_type = 'b'",
+                 "event_type = 'a'"],
+                max_gaps=hi,
+                min_gaps=lo,
+            ).collect()
+        }
+        want = {
+            u: _brute_exists(evs, ["a", "b", "a"], lo, hi)
+            for u, evs in per_user.items()
+        }
+        assert got == want, (lo, hi)
+
+
+def test_sequence_match_general_parity_with_window_dp(spark):
+    """With no lower bounds the candidate-list fold must agree with
+    the window-DP path on random data (two independent formulations
+    of the same semantics)."""
+    import random
+
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        _conds,
+        _sequence_match_general,
+        sequence_match,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for u in range(40):
+        t = 0
+        for _ in range(rng.randrange(1, 20)):
+            t += rng.randrange(1, 40)
+            rows.append((u, t, rng.choice("abcx")))
+    df = spark.createDataFrame(
+        rows, "user_id long, time long, event_type string"
+    )
+    conds = ["event_type = 'a'", "event_type = 'b'", "event_type = 'c'"]
+    dp = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(df, conds, max_gaps=[60, None]).collect()
+    }
+    gen = {
+        r["user_id"]: r["matched"]
+        for r in _sequence_match_general(
+            df, _conds(conds), [None, None], [60, None],
+            "time", "user_id", None,
+        ).collect()
+    }
+    assert dp == gen
