@@ -129,6 +129,7 @@ def _sequence_match_general(
     time_col: str,
     user_col: str,
     tiebreak_col: str | None,
+    count: bool = False,
 ) -> DataFrame:
     """Exists-a-chain with per-gap [lo, hi] bounds (lo strict, hi
     inclusive): per user the fold keeps, for every step, the SORTED
@@ -147,7 +148,14 @@ def _sequence_match_general(
     One Exchange (hash by user) + sorted-partition Arrow scan; state
     carries across Arrow batch boundaries. Descending step order per
     row keeps a row from chaining to itself (a step only chains to a
-    strictly earlier ROW). Returns ``(user_col, matched int)``."""
+    strictly earlier ROW). Returns ``(user_col, matched int)`` — or,
+    with ``count=True``, ``(user_col, n_matches long)``:
+    non-overlapping earliest-end matching (count a match the first
+    row the final step completes, consume everything at or before it
+    by resetting the candidate state, continue). Earliest-end stays
+    optimal with interval gap bounds by the usual exchange argument —
+    replacing any match of an optimal solution with the
+    earliest-ending one can only leave more rows for the rest."""
     import collections
 
     import pandas as pd
@@ -168,17 +176,20 @@ def _sequence_match_general(
         .sortWithinPartitions("__u", *order_cols)
     )
     u_type = pre.schema["__u"].dataType
+    out_name = "n_matches" if count else "matched"
     schema = T.StructType(
         [
             T.StructField(user_col, u_type),
-            T.StructField("matched", T.IntegerType()),
+            T.StructField(
+                out_name, T.LongType() if count else T.IntegerType()
+            ),
         ]
     )
 
     def scan(batches):
         cur = None
         cand: list = [collections.deque() for _ in range(n)]
-        matched = False
+        matches = 0
         out_u: list = []
         out_m: list = []
         for pdf in batches:
@@ -192,11 +203,11 @@ def _sequence_match_general(
                 if u != cur:
                     if cur is not None:
                         out_u.append(cur)
-                        out_m.append(1 if matched else 0)
+                        out_m.append(matches)
                     cur = u
                     cand = [collections.deque() for _ in range(n)]
-                    matched = False
-                if matched:
+                    matches = 0
+                if matches and not count:
                     continue  # exists-question: user already decided
                 t = times[j]
                 for k in range(n - 1, -1, -1):
@@ -217,18 +228,30 @@ def _sequence_match_general(
                         if lo is not None and not prev[0] < t - lo:
                             continue
                     if k == n - 1:
-                        matched = True
+                        matches += 1
+                        if count:
+                            # consume: everything at or before this
+                            # match end is spent (non-overlapping)
+                            cand = [
+                                collections.deque() for _ in range(n)
+                            ]
                         break
                     if not cand[k] or cand[k][-1] != t:
                         cand[k].append(t)
         if cur is not None:
             out_u.append(cur)
-            out_m.append(1 if matched else 0)
+            out_m.append(matches)
         if out_u:
             yield pd.DataFrame(
                 {
                     user_col: out_u,
-                    "matched": pd.array(out_m, dtype="int32"),
+                    out_name: pd.array(
+                        [
+                            m if count else (1 if m else 0)
+                            for m in out_m
+                        ],
+                        dtype="int64" if count else "int32",
+                    ),
                 }
             )
 
@@ -242,6 +265,7 @@ def sequence_count(
     time_col: str = "time",
     user_col: str = "user_id",
     tiebreak_col: str | None = None,
+    min_gaps: Sequence[int | float | None] | None = None,
 ) -> DataFrame:
     """Per-user count of NON-OVERLAPPING matches of the chain
     (ClickHouse ``sequenceCount`` semantics: find a match, continue
@@ -273,6 +297,16 @@ def sequence_count(
 
     conds = _conds(conditions)
     gaps = _gaps(max_gaps, len(conds))
+    if min_gaps is not None and any(
+        g is not None for g in _gaps(min_gaps, len(conds))
+    ):
+        # lower-bounded gaps need the candidate-list fold (see
+        # sequence_match); earliest-end consumption stays greedy-
+        # optimal there too
+        return _sequence_match_general(
+            events, conds, _gaps(min_gaps, len(conds)), gaps,
+            time_col, user_col, tiebreak_col, count=True,
+        )
     n = len(conds)
     order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
     pre = (

@@ -449,3 +449,76 @@ def test_sequence_match_general_parity_with_window_dp(spark):
         ).collect()
     }
     assert dp == gen
+
+
+def _brute_count(evs, types, lo_gaps, hi_gaps):
+    """Greedy earliest-end reference for non-overlapping counting:
+    repeatedly brute-force the chain with the smallest last index over
+    the remaining suffix."""
+    import itertools
+
+    n = len(types)
+    start = 0
+    count = 0
+    while True:
+        idx_by_step = [
+            [i for i in range(start, len(evs)) if evs[i][1] == types[k]]
+            for k in range(n)
+        ]
+        best_end = None
+        for c in itertools.product(*idx_by_step):
+            if not all(b > a for a, b in zip(c, c[1:])):
+                continue
+            ok = True
+            for k in range(1, n):
+                gap = evs[c[k]][0] - evs[c[k - 1]][0]
+                lo, hi = lo_gaps[k - 1], hi_gaps[k - 1]
+                if lo is not None and not gap > lo:
+                    ok = False
+                    break
+                if hi is not None and not gap <= hi:
+                    ok = False
+                    break
+            if ok and (best_end is None or c[-1] < best_end):
+                best_end = c[-1]
+        if best_end is None:
+            return count
+        count += 1
+        start = best_end + 1
+
+
+def test_sequence_count_min_gaps_vs_bruteforce(spark):
+    import random
+
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_count,
+    )
+
+    rng = random.Random(73)
+    per_user = {}
+    for u in range(40):
+        evs = sorted(
+            (rng.randrange(0, 200), rng.choice("abx"))
+            for _ in range(rng.randrange(1, 22))
+        )
+        per_user[u] = evs
+    rows = [(u, t, ty) for u, evs in per_user.items() for t, ty in evs]
+    df = spark.createDataFrame(
+        rows, "user_id long, time long, event_type string"
+    )
+    for lo, hi in ([10, None], [None, 15]), ([5], [40]):
+        types = ["a", "b"] if len(lo) == 1 else ["a", "b", "a"]
+        got = {
+            r["user_id"]: r["n_matches"]
+            for r in sequence_count(
+                df,
+                [f"event_type = '{t}'" for t in types],
+                max_gaps=hi,
+                min_gaps=lo,
+            ).collect()
+        }
+        want = {
+            u: _brute_count(evs, types, lo, hi)
+            for u, evs in per_user.items()
+        }
+        assert got == want, (lo, hi)
