@@ -510,7 +510,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--vocab-size", type=int, default=8192,
-        help="with --tokenize: total BPE symbols to learn",
+        help="with --tokenize: total tokenizer symbols to learn",
+    )
+    ap.add_argument(
+        "--tokenizer", choices=("bpe", "unigram"), default="bpe",
+        help="with --tokenize: the subword algorithm — bpe "
+        "(Sennrich 2016 merges) or unigram (Kudo 2018 EM + prune, "
+        "the SentencePiece unigram model)",
     )
     ap.add_argument(
         "--lm-reference", default=None, metavar="PARQUET",
@@ -663,9 +669,14 @@ def main(argv=None) -> int:
                 os.path.join(out_root, "audit")
             )
             if args.tokenize:
-                from .datapipe.bpe import tokenize_corpus
+                if args.tokenizer == "unigram":
+                    from .datapipe.unigram import (
+                        tokenize_corpus_unigram as _tok,
+                    )
+                else:
+                    from .datapipe.bpe import tokenize_corpus as _tok
 
-                tokenize_corpus(
+                _tok(
                     kept, out_root,
                     seq_len=args.tokenize, vocab_size=args.vocab_size,
                 )

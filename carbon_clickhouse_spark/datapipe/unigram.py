@@ -162,12 +162,6 @@ def _e_step(
 
     spark = words.sparkSession
     b_logp = spark.sparkContext.broadcast(logp)
-    out_schema = T.StructType(
-        [
-            T.StructField("piece", T.StringType()),
-            T.StructField("c", T.DoubleType()),
-        ]
-    )
 
     def run(batches: Iterator["pd.DataFrame"]):
         lp = b_logp.value
@@ -328,12 +322,11 @@ def train_unigram(
         # alternative segmentation by the remaining pieces
         losses = []
         for p in multi:
-            lp_self = logp[p]
-            others = dict(logp)
-            del others[p]
-            alt = _viterbi(p, others)
-            alt_lp = sum(others.get(x, -1e9) for x in alt)
-            losses.append((lp_self - alt_lp, p))
+            alt = _viterbi(p, logp, exclude=p)
+            alt_lp = (
+                sum(logp.get(x, -1e9) for x in alt) if alt else -1e9
+            )
+            losses.append((logp[p] - alt_lp, p))
         # keep the pieces whose own prob most exceeds their
         # alternative (large margin = load-bearing); drop the rest
         losses.sort(key=lambda t: (-t[0], t[1]))
@@ -353,17 +346,17 @@ def train_unigram(
     counts, ll = _e_step(words, logp)
     lls.append(ll)
     tot = sum(counts.values()) or 1.0
-    logp = {
-        p: math.log(counts[p] / tot)
-        for p in logp
-        if counts.get(p) or len(p) == 1
-    }
-    # re-floor chars that got zero expectation (still needed for
-    # unseen-word segmentability)
     floor = math.log(0.5 / tot)
-    for p in list(logp):
-        if len(p) == 1 and not counts.get(p):
-            logp[p] = floor
+    final: dict[str, float] = {}
+    for p in logp:
+        c = counts.get(p)
+        if c:
+            final[p] = math.log(c / tot)
+        elif len(p) == 1:
+            # zero-expectation characters stay, floored — still
+            # needed for unseen-word segmentability
+            final[p] = floor
+    logp = final
     words.unpersist()
     return UnigramModel(
         log_probs=logp,
@@ -416,3 +409,85 @@ def unigram_encode(
             yield pdf
 
     return docs.mapInPandas(run, schema)
+
+
+def pieces_to_ids(
+    df: DataFrame,
+    vocab: dict[str, int],
+    pieces_col: str = "pieces",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Map the pieces array to int ids via a literal map (bounded by
+    the vocabulary — thousands of entries, a plan literal, no join or
+    Python)."""
+    keys = sorted(vocab)
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(int(vocab[k])) for k in keys]),
+    )
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(pieces_col), lambda p: F.element_at(m, p)),
+    )
+
+
+def tokenize_corpus_unigram(
+    docs: DataFrame,
+    out_root: str,
+    seq_len: int = 2048,
+    vocab_size: int = 8_192,
+    shard_col: str = "source",
+    max_words: int = 1_000_000,
+) -> UnigramModel:
+    """Unigram twin of :func:`.bpe.tokenize_corpus`: train the
+    unigram model on the prepared corpus, Viterbi-encode, pack into
+    exact ``seq_len`` sequences, and write the artifacts —
+
+    - ``<out_root>/sequences``: (shard, seq_id, token_ids) parquet,
+      partitioned by shard
+    - ``<out_root>/tokenizer/unigram_vocab``: (piece, id, logp) — ids
+      assigned by sorted piece (deterministic), fully reconstructing
+      the tokenizer
+
+    The eos/document-separator id is ``len(pieces)`` — one past the
+    learned vocabulary."""
+    import os
+
+    from .pack import pack_token_ids
+
+    spark = docs.sparkSession
+    model = train_unigram(
+        docs, vocab_size=vocab_size, max_words=max_words
+    )
+    vocab = {p: i for i, p in enumerate(sorted(model.log_probs))}
+    if shard_col not in docs.columns:
+        docs = docs.withColumn(shard_col, F.lit("all"))
+    enc = pieces_to_ids(unigram_encode(docs, model), vocab)
+    packed = pack_token_ids(
+        enc, seq_len, eos_id=len(vocab), ids_col="token_ids",
+        shard_col=shard_col,
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out_root, "sequences")
+    )
+    spark.createDataFrame(
+        [(p, vocab[p], model.log_probs[p]) for p in sorted(vocab)],
+        "piece string, id int, logp double",
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_root, "tokenizer", "unigram_vocab")
+    )
+    return model
+
+
+def load_unigram(spark: SparkSession, out_root: str) -> UnigramModel:
+    """Reload a tokenizer written by :func:`tokenize_corpus_unigram`."""
+    import os
+
+    rows = spark.read.parquet(
+        os.path.join(out_root, "tokenizer", "unigram_vocab")
+    ).collect()
+    return UnigramModel(
+        log_probs={r["piece"]: r["logp"] for r in rows},
+        vocab_size=len(rows),
+        n_words_table=0,
+    )
