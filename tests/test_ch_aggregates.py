@@ -474,3 +474,36 @@ def test_histogram_adaptive_skips_null_nan_and_validates(spark):
     assert sum(r.height for r in rows) == 2.0
     with pytest.raises(ValueError):
         histogram_adaptive(df, "v", 0)
+
+
+def test_histogram_merge_heap_equals_naive_scan(spark):
+    """The O(D log D) heap merge must be pick-for-pick identical to
+    the reference O(D^2) scan — exact ties included (integer grid
+    values make equal gaps common)."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        _merge_centroids,
+    )
+
+    def naive(v, w, bins):
+        v, w = list(v), list(w)
+        while len(v) > bins:
+            best, bg = 0, None
+            for i in range(len(v) - 1):
+                g = v[i + 1] - v[i]
+                if bg is None or g < bg:
+                    best, bg = i, g
+            wm = w[best] + w[best + 1]
+            v[best] = (v[best] * w[best] + v[best + 1] * w[best + 1]) / wm
+            w[best] = wm
+            del v[best + 1], w[best + 1]
+        return v, w
+
+    rng = random.Random(2)
+    for trial in range(150):
+        n = rng.randrange(1, 60)
+        v = [float(x) for x in sorted(rng.sample(range(1000), n))]
+        w = [float(rng.randrange(1, 5)) for _ in v]
+        bins = rng.randrange(1, n + 1)
+        assert _merge_centroids(v, w, bins) == naive(v, w, bins), trial
