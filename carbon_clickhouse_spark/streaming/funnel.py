@@ -8,9 +8,11 @@ retroactively insert an event before state it already folded — so
 this operator buffers each user's events in the state store until the
 query watermark passes them, then folds the now-frozen prefix in
 exact time order. Spark's watermark contract guarantees no later
-batch delivers an event at or below a watermark already used for
-folding (later rows are dropped at the source by ``withWatermark``),
-so folded state is never wrong, only as current as the watermark.
+batch delivers an event STRICTLY OLDER than the watermark (later rows
+are dropped at the source by ``withWatermark``), so the fold freezes
+only ``t < watermark`` — an event at exactly ``t == watermark`` may
+still arrive and stays buffered — and folded state is never wrong,
+only as current as the watermark.
 
 Scale shape: state per user is O(n_steps) folded chain starts plus a
 buffer bounded by (watermark delay x that user's event rate) — the
@@ -145,8 +147,8 @@ def streaming_window_funnel(
         ]
     )
     # (folded chain starts, emitted level, pending event times+types,
-    # watermark already folded through — arrivals at or below it are
-    # late-beyond-watermark and dropped here even if the engine
+    # watermark already folded through — arrivals strictly below it
+    # are late-beyond-the-fold and dropped here even if the engine
     # delivered them, so folding order can never be violated)
     state_schema = T.StructType(
         [
@@ -177,7 +179,7 @@ def streaming_window_funnel(
             frozen = sorted(
                 (int(t), str(ty))
                 for t, ty in zip(buf_t or [], buf_ty or [])
-                if int(t) <= wm
+                if int(t) < wm
             )
             levels, reached = _fold(levels, frozen, steps, window)
             level = 0
@@ -214,8 +216,12 @@ def streaming_window_funnel(
                 for v, ty in zip(pdf["__t"], pdf["__ty"])
                 # null event times (unparseable timestamps) are
                 # droppable malformed input, not a stream crash
+                # accept t == last_wm: the fold freezes strictly
+                # below the watermark, so that event is NOT folded
+                # yet — and Spark only guarantees rows strictly older
+                # than the watermark stop arriving
                 if not pd.isna(v)
-                and (last_wm is None or int(v) > last_wm)
+                and (last_wm is None or int(v) >= last_wm)
             )
         wm_ms = state.getCurrentWatermarkMs()
         wm = wm_ms // 1000
@@ -226,7 +232,7 @@ def streaming_window_funnel(
         no_wm = last_wm is None and wm_ms == 0
         buf.sort()
         cut = 0
-        while not no_wm and cut < len(buf) and buf[cut][0] <= wm:
+        while not no_wm and cut < len(buf) and buf[cut][0] < wm:
             cut += 1
         frozen, buf = buf[:cut], buf[cut:]
         levels, reached = _fold(levels, frozen, steps, window)
