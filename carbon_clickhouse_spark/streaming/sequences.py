@@ -1,0 +1,246 @@
+"""Streaming ``sequenceCount``: the ClickHouse non-overlapping
+sequence-match counter (operators/sequence_match.py) over a LIVE
+event stream, with watermark-correct out-of-order handling.
+
+Same construction as :mod:`.funnel` and :mod:`.rates`: counting a
+match consumes events, and a consumed prefix cannot be un-consumed
+when an earlier event arrives late — so events buffer in the state
+store until the query watermark freezes them (strictly below the
+watermark; an event at exactly ``t == watermark`` may still arrive),
+then the frozen prefix folds in exact time order through the same
+candidate-list earliest-end matcher the batch operator runs.
+
+Scale shape: state per user is the per-step candidate lists (bounded
+by each step's outgoing max gap — unbounded only when a gap has no
+upper bound, the batch operator's documented worst case too) plus the
+out-of-order buffer bounded by (watermark delay x event rate); events
+shuffle once on the user key. Output is an update-mode running count
+``(user, n_matches, ver)`` emitted whenever a batch completes new
+matches for the user.
+
+Parity with the batch operator (same steps/gaps on identical replayed
+data) is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _fold_count(cand, matches, events, types, lo_gaps, hi_gaps):
+    """Fold time-ordered ``(t, type)`` events through the candidate-
+    list earliest-end matcher (the count mode of
+    ``operators.sequence_match._sequence_match_general``): ``cand`` is
+    one sorted candidate-time list per step; a completed final step
+    increments ``matches`` and consumes all state. Returns
+    ``(cand, matches)``."""
+    n = len(types)
+    step_idx: dict = {}
+    for i, s in enumerate(types):
+        step_idx.setdefault(s, []).append(i)
+    for t, ty in events:
+        kis = step_idx.get(ty)
+        if kis is None:
+            continue
+        for k in sorted(kis, reverse=True):
+            if k > 0:
+                lo = lo_gaps[k - 1] if lo_gaps else None
+                hi = hi_gaps[k - 1] if hi_gaps else None
+                prev = cand[k - 1]
+                if hi is not None:
+                    while prev and prev[0] + hi < t:
+                        prev.pop(0)
+                if not prev:
+                    continue
+                if lo is not None and not prev[0] < t - lo:
+                    continue
+            if k == n - 1:
+                matches += 1
+                cand = [[] for _ in range(n)]
+                break
+            if not cand[k] or cand[k][-1] != t:
+                cand[k].append(t)
+    return cand, matches
+
+
+def streaming_sequence_count(
+    events: DataFrame,
+    types: Sequence[str],
+    max_gaps: Sequence[int | float | None] | None = None,
+    min_gaps: Sequence[int | float | None] | None = None,
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    watermark_delay: str = "30 seconds",
+    state_ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user running count of NON-OVERLAPPING matches of the typed
+    step chain over a STREAMING events frame (``time_col`` =
+    event-time TIMESTAMP). Gap bounds as in the batch operator:
+    ``max_gaps[k]`` inclusive upper, ``min_gaps[k]`` strict lower
+    (the ``(?t>N)`` form). Returns an update-mode stream
+    ``(user_col, n_matches long, ver long)``.
+
+    ``state_ttl_seconds`` evicts idle users (processing-time
+    timeout); eviction folds ALL still-buffered events (frozen or
+    not) and emits the final count before forgetting the user, so no
+    observed event is silently dropped — a returning user then
+    restarts at 0, the stated cold-key trade-off shared with the
+    other stateful operators."""
+    try:
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+    except ImportError:  # pragma: no cover - pyspark always ships it
+        from pyspark.sql.streaming import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    n = len(types)
+    if n < 1:
+        raise ValueError("types must name at least one step")
+    types = [str(s) for s in types]
+
+    def _bounds(g):
+        if g is None:
+            return [None] * (n - 1)
+        g = list(g)
+        if len(g) != n - 1:
+            raise ValueError(
+                f"gap bounds need len(types)-1 = {n - 1} entries"
+            )
+        return g
+
+    lo_gaps, hi_gaps = _bounds(min_gaps), _bounds(max_gaps)
+    u_type = events.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, u_type),
+            T.StructField("n_matches", T.LongType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField(
+                "cand", T.ArrayType(T.ArrayType(T.LongType()))
+            ),
+            T.StructField("matches", T.LongType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("buf_t", T.ArrayType(T.LongType())),
+            T.StructField("buf_ty", T.ArrayType(T.StringType())),
+            T.StructField("last_wm", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: Any,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            # fold EVERYTHING still buffered (frozen or not) before
+            # forgetting the user — eviction must not silently drop
+            # observed events
+            cand_raw, matches, ver, buf_t, buf_ty, _ = state.get
+            cand = [list(c or []) for c in (cand_raw or [])]
+            if len(cand) != n:
+                cand = [[] for _ in range(n)]
+            buf = sorted(
+                (int(t), str(ty))
+                for t, ty in zip(buf_t or [], buf_ty or [])
+            )
+            before = int(matches or 0)
+            _, total = _fold_count(
+                cand, before, buf, types, lo_gaps, hi_gaps
+            )
+            state.remove()
+            if total > before:
+                yield pd.DataFrame(
+                    {
+                        user_col: [key[0]],
+                        "n_matches": [total],
+                        "ver": [int(ver or 0) + 1],
+                    }
+                )
+            return
+        if state.exists:
+            cand_raw, matches, ver, buf_t, buf_ty, last_wm = state.get
+            cand = [list(c or []) for c in (cand_raw or [])]
+            if len(cand) != n:
+                cand = [[] for _ in range(n)]
+            matches, ver = int(matches or 0), int(ver or 0)
+            buf = list(
+                zip([int(t) for t in buf_t or []], buf_ty or [])
+            )
+            last_wm = None if last_wm is None else int(last_wm)
+        else:
+            cand, matches, ver = [[] for _ in range(n)], 0, 0
+            buf, last_wm = [], None
+        for pdf in pdfs:
+            buf.extend(
+                (int(t), str(ty))
+                for t, ty in zip(pdf["__t"], pdf["__ty"])
+                # accept t == last_wm: the fold freezes strictly below
+                if not pd.isna(t)
+                and (last_wm is None or int(t) >= last_wm)
+            )
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms // 1000
+        if last_wm is not None and last_wm > wm:
+            wm = last_wm
+        no_wm = last_wm is None and wm_ms == 0
+        buf.sort()
+        cut = 0
+        while not no_wm and cut < len(buf) and buf[cut][0] < wm:
+            cut += 1
+        frozen, buf = buf[:cut], buf[cut:]
+        before = matches
+        cand, matches = _fold_count(
+            cand, matches, frozen, types, lo_gaps, hi_gaps
+        )
+        if matches > before:
+            ver += 1
+        state.update(
+            (
+                [list(c) for c in cand],
+                matches,
+                ver,
+                [t for t, _ in buf],
+                [ty for _, ty in buf],
+                None if no_wm else int(wm),
+            )
+        )
+        if state_ttl_seconds:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
+        if matches > before:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "n_matches": [matches],
+                    "ver": [ver],
+                }
+            )
+
+    keyed = events.select(
+        F.col(user_col),
+        F.col(time_col).alias("__event_ts"),
+        F.unix_timestamp(F.col(time_col)).alias("__t"),
+        F.col(type_col).cast("string").alias("__ty"),
+    ).withWatermark("__event_ts", watermark_delay)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

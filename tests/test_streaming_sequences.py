@@ -1,0 +1,166 @@
+"""Streaming sequenceCount (streaming/sequences.py): watermark-gated
+candidate folding, out-of-order reconstruction, gap bounds, and parity
+with the batch operator on replayed data."""
+
+import json
+import os
+import random
+import time
+
+from carbon_clickhouse_spark.operators.sequence_match import (
+    sequence_count,
+)
+from carbon_clickhouse_spark.streaming.sequences import (
+    _fold_count,
+    streaming_sequence_count,
+)
+
+SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _write(landing, name, events):
+    from datetime import datetime, timezone
+
+    tmp = os.path.join(landing, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for user, sec, ty in events:
+            ts = datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            f.write(
+                json.dumps({"user_id": user, "ts": ts, "event_type": ty})
+                + "\n"
+            )
+    os.rename(tmp, os.path.join(landing, name))
+
+
+def _latest(spark, qname):
+    best = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        cur = best.get(r["user_id"])
+        if cur is None or r["ver"] > cur["ver"]:
+            best[r["user_id"]] = r
+    return best
+
+
+def _batch_counts(spark, events, types, lo, hi):
+    df = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in events],
+        "user_id long, time long, event_type string",
+    )
+    return {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(
+            df,
+            [f"event_type = '{t}'" for t in types],
+            max_gaps=hi,
+            min_gaps=lo,
+        ).collect()
+    }
+
+
+def test_fold_count_pure_function():
+    # two non-overlapping a->b matches; the middle b is consumed
+    cand, m = _fold_count(
+        [[], []], 0,
+        [(10, "a"), (20, "b"), (30, "a"), (45, "b")],
+        ["a", "b"], [None], [20],
+    )
+    assert m == 2
+    # min gap: a@10 -> b@20 blocked (gap 10 not > 15), a@10 -> b@40 ok
+    _, m2 = _fold_count(
+        [[], []], 0, [(10, "a"), (20, "b"), (40, "b")],
+        ["a", "b"], [15], [None],
+    )
+    assert m2 == 1
+
+
+def test_out_of_order_parity_with_batch(spark, tmp_path):
+    landing = str(tmp_path / "sq1")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    rng = random.Random(19)
+    events = []
+    for u in range(8):
+        t = base
+        for _ in range(rng.randrange(3, 14)):
+            t += rng.randrange(5, 40)
+            events.append((u, t, rng.choice("abx")))
+    rng.shuffle(events)
+    cut = len(events) // 2
+    b1, b2 = events[:cut], events[cut:]
+
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_count(
+        stream, ["a", "b"], max_gaps=[60], min_gaps=[10],
+        watermark_delay="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq1")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write(landing, "b1.json", b1)
+        q.processAllAvailable()
+        _write(landing, "b2.json", b2)
+        q.processAllAvailable()
+        # watermark pushers: freeze everything
+        _write(landing, "b3.json", [(0, base + 100_000, "x")])
+        q.processAllAvailable()
+        _write(landing, "b4.json", [(0, base + 200_000, "x")])
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    got = {u: r["n_matches"] for u, r in _latest(spark, "sq1").items()}
+    want = _batch_counts(spark, events, ["a", "b"], [10], [60])
+    want = {u: c for u, c in want.items() if c > 0}
+    assert got == want, (got, want)
+
+
+def test_ttl_eviction_folds_buffered_events(spark, tmp_path):
+    """TTL eviction folds the whole buffer (no watermark ever froze
+    it) and emits the final count instead of dropping it."""
+    landing = str(tmp_path / "sq_ttl")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    _write(
+        landing,
+        "b1.json",
+        [(7, base + 10, "a"), (7, base + 20, "b")],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_count(
+        stream, ["a", "b"], max_gaps=[60],
+        watermark_delay="10 seconds", state_ttl_seconds=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq_ttl")
+        .outputMode("update")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        time.sleep(6)
+        deadline = time.time() + 90
+        got = []
+        i = 0
+        while time.time() < deadline:
+            _write(
+                landing, f"k{i}.json", [(8, base + 10_000 + i, "x")]
+            )
+            i += 1
+            time.sleep(3)
+            assert q.exception() is None, q.exception()
+            got = spark.sql(
+                "SELECT * FROM sq_ttl WHERE user_id = 7"
+            ).collect()
+            if got:
+                break
+        assert got, "TTL expiry never emitted the buffered count"
+        assert got[0]["n_matches"] == 1
+    finally:
+        q.stop()
