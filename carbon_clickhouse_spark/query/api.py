@@ -1082,8 +1082,10 @@ def _grid(pts: list) -> tuple[int, int, int, list]:
 def render_format(series: list, fmt: str) -> tuple[bytes, str]:
     """Non-JSON /render output formats graphite-web serves: ``csv``
     (one line per point, UTC timestamps), ``raw``
-    (``name,start,stop,step|v1,v2,...``), ``pickle`` (the list of
-    {name,start,end,step,values} dicts its remote-fetch path reads).
+    (``name,start,stop,step|v1,v2,...``), ``pickle`` and ``msgpack``
+    (the list of {name,start,end,step,values} dicts its remote-fetch
+    path reads), plus the go-graphite carbonapi v2/v3 protobuf wire
+    formats.
     """
     if fmt == "csv":
         import datetime as _dt
@@ -1192,7 +1194,102 @@ def render_format(series: list, fmt: str) -> tuple[bytes, str]:
             )
             body += _pb_ld(1, fr)
         return body, "application/x-carbonapi-v3-pb"
+    if fmt == "msgpack":
+        # graphite-web's msgpack render body: the same list of
+        # {name, pathExpression, start, end, step, values} dicts the
+        # pickle format carries, MessagePack-encoded (format spec is
+        # public; encoder below is dependency-free)
+        out = []
+        for s in series:
+            if not s["datapoints"]:
+                continue
+            start, stop, step, values = _grid(s["datapoints"])
+            out.append(
+                {
+                    "name": s["target"],
+                    "pathExpression": s.get(
+                        "pathExpression", s["target"]
+                    ),
+                    "start": start,
+                    "end": stop,
+                    "step": step,
+                    "values": [
+                        None if v is None else float(v) for v in values
+                    ],
+                }
+            )
+        return _msgpack_pack(out), "application/x-msgpack"
     raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _msgpack_pack(obj) -> bytes:
+    """Minimal MessagePack encoder (spec: msgpack.org) for the value
+    shapes the render payload uses — None/bool/int/float/str/list/
+    dict. No third-party dependency."""
+    import struct
+
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return bytes([obj])
+        if -32 <= obj < 0:
+            return struct.pack("b", obj)
+        if obj >= 0:
+            for fmt_c, code, lim in (
+                ("B", 0xCC, 1 << 8),
+                (">H", 0xCD, 1 << 16),
+                (">I", 0xCE, 1 << 32),
+                (">Q", 0xCF, 1 << 64),
+            ):
+                if obj < lim:
+                    return bytes([code]) + struct.pack(fmt_c, obj)
+        for fmt_c, code, lo in (
+            ("b", 0xD0, -(1 << 7)),
+            (">h", 0xD1, -(1 << 15)),
+            (">i", 0xD2, -(1 << 31)),
+            (">q", 0xD3, -(1 << 63)),
+        ):
+            if obj >= lo:
+                return bytes([code]) + struct.pack(fmt_c, obj)
+        raise OverflowError(f"int out of msgpack range: {obj}")
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, str):
+        b = obj.encode("utf-8")
+        n = len(b)
+        if n < 32:
+            return bytes([0xA0 | n]) + b
+        if n < (1 << 8):
+            return b"\xd9" + bytes([n]) + b
+        if n < (1 << 16):
+            return b"\xda" + struct.pack(">H", n) + b
+        return b"\xdb" + struct.pack(">I", n) + b
+    if isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n < 16:
+            head = bytes([0x90 | n])
+        elif n < (1 << 16):
+            head = b"\xdc" + struct.pack(">H", n)
+        else:
+            head = b"\xdd" + struct.pack(">I", n)
+        return head + b"".join(_msgpack_pack(x) for x in obj)
+    if isinstance(obj, dict):
+        n = len(obj)
+        if n < 16:
+            head = bytes([0x80 | n])
+        elif n < (1 << 16):
+            head = b"\xde" + struct.pack(">H", n)
+        else:
+            head = b"\xdf" + struct.pack(">I", n)
+        return head + b"".join(
+            _msgpack_pack(k) + _msgpack_pack(v) for k, v in obj.items()
+        )
+    raise TypeError(f"msgpack: unsupported type {type(obj).__name__}")
 
 
 def _pb_uvarint(n: int) -> bytes:

@@ -593,6 +593,93 @@ def test_render_protobuf_format(store):
         api.stop()
 
 
+def test_render_msgpack_format(store):
+    """format=msgpack carries the same dict list as pickle, verified
+    by an independent mini MessagePack decoder (spec: msgpack.org)."""
+    import struct
+
+    def unpack(b, i=0):
+        c = b[i]
+        i += 1
+        if c <= 0x7F:
+            return c, i
+        if c >= 0xE0:
+            return c - 256, i
+        if 0xA0 <= c <= 0xBF:
+            n = c & 0x1F
+            return b[i : i + n].decode(), i + n
+        if 0x90 <= c <= 0x9F:
+            out = []
+            for _ in range(c & 0x0F):
+                v, i = unpack(b, i)
+                out.append(v)
+            return out, i
+        if 0x80 <= c <= 0x8F:
+            d = {}
+            for _ in range(c & 0x0F):
+                k, i = unpack(b, i)
+                v, i = unpack(b, i)
+                d[k] = v
+            return d, i
+        if c == 0xC0:
+            return None, i
+        if c == 0xCB:
+            return struct.unpack(">d", b[i : i + 8])[0], i + 8
+        if c == 0xCD:
+            return struct.unpack(">H", b[i : i + 2])[0], i + 2
+        if c == 0xCE:
+            return struct.unpack(">I", b[i : i + 4])[0], i + 4
+        if c == 0xDC:
+            n = struct.unpack(">H", b[i : i + 2])[0]
+            i += 2
+            out = []
+            for _ in range(n):
+                v, i = unpack(b, i)
+                out.append(v)
+            return out, i
+        raise AssertionError(f"unexpected msgpack byte {c:#x}")
+
+    api = RenderApi(store).start()
+    try:
+        url = (
+            f"http://127.0.0.1:{api.port}/render?target=dc.h1.cpu"
+            "&from=1625478000&until=1625478180&format=msgpack"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.headers["Content-Type"] == "application/x-msgpack"
+            body = r.read()
+        data, end = unpack(body)
+        assert end == len(body)
+        assert data == [{
+            "name": "dc.h1.cpu", "pathExpression": "dc.h1.cpu",
+            "start": 1625478000, "end": 1625478240, "step": 60,
+            "values": [0.0, 1.0, 2.0, 3.0],
+        }]
+    finally:
+        api.stop()
+
+
+def test_msgpack_encoder_edge_values():
+    from carbon_clickhouse_spark.query.api import _msgpack_pack
+
+    # spot-check encodings against the spec's examples
+    assert _msgpack_pack(None) == b"\xc0"
+    assert _msgpack_pack(127) == b"\x7f"
+    assert _msgpack_pack(-1) == b"\xff"
+    assert _msgpack_pack(128) == b"\xcc\x80"
+    assert _msgpack_pack(65536) == b"\xce\x00\x01\x00\x00"
+    assert _msgpack_pack(-129) == b"\xd1\xff\x7f"
+    import struct
+
+    assert _msgpack_pack(1.5) == b"\xcb" + struct.pack(">d", 1.5)
+    assert _msgpack_pack("abc") == b"\xa3abc"
+    assert _msgpack_pack([1, "a"]) == b"\x92\x01\xa1a"
+    assert _msgpack_pack({"k": 1}) == b"\x81\xa1k\x01"
+    long_list = list(range(20))
+    enc = _msgpack_pack(long_list)
+    assert enc[:3] == b"\xdc\x00\x14"
+
+
 def test_find_pickle_format(store):
     """format=pickle on /metrics/find returns the remote-finder node
     dicts graphite-web federates over."""
