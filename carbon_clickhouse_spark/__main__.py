@@ -416,6 +416,12 @@ def main(argv=None) -> int:
         help="print default config and exit",
     )
     ap.add_argument(
+        "--print-clickhouse-ddl", default=None, metavar="CONF",
+        help="print the CREATE TABLE statements for the config's "
+        "[upload.*] tables (the DDL the reference README has "
+        "operators write by hand) and exit",
+    )
+    ap.add_argument(
         "--exact-config", action="store_true",
         help="with --config/--check-config: unknown keys are an error "
         "instead of being ignored",
@@ -563,6 +569,17 @@ def main(argv=None) -> int:
         from .config import DEFAULT_CONFIG
 
         print(DEFAULT_CONFIG, end="")
+        return 0
+    if args.print_clickhouse_ddl:
+        from .config import clickhouse_ddl
+        from .config import load_config as _lc
+
+        try:
+            cfg_ddl = _lc(args.print_clickhouse_ddl)
+        except Exception as e:  # noqa: BLE001
+            print(f"config error: {e}", flush=True)
+            return 1
+        print(clickhouse_ddl(cfg_ddl), end="")
         return 0
     if args.check_config:
         from .config import load_config as _lc

@@ -502,3 +502,66 @@ def load_config(source: str, exact: bool = False) -> EngineConfig:
         ).configure()
 
     return cfg
+
+
+#: DDL templates per uploader type — the README's table contract
+#: (reference README.md "ClickHouse configuration", column shapes are
+#: fixed by the RowBinary wire format the uploaders send)
+_DDL = {
+    "points": (
+        "CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  Path String,\n  Value Float64,\n  Time UInt32,\n"
+        "  Date Date,\n  Timestamp UInt32\n"
+        ") ENGINE = GraphiteMergeTree('{rollup}')\n"
+        "PARTITION BY toYYYYMM(Date)\nORDER BY (Path, Time);"
+    ),
+    "index": (
+        "CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  Date Date,\n  Level UInt32,\n  Path String,\n"
+        "  Version UInt32\n"
+        ") ENGINE = ReplacingMergeTree(Version)\n"
+        "PARTITION BY toYYYYMM(Date)\nORDER BY (Level, Path, Date);"
+    ),
+    "tagged": (
+        "CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  Date Date,\n  Tag1 String,\n  Path String,\n"
+        "  Tags Array(String),\n  Version UInt32\n"
+        ") ENGINE = ReplacingMergeTree(Version)\n"
+        "PARTITION BY toYYYYMM(Date)\nORDER BY (Tag1, Path, Date);"
+    ),
+    # legacy uploader types (uploader/uploader.go:48-60): the
+    # graphite-web 0.9 tree/series tables
+    "tree": (
+        "CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  Date Date,\n  Level UInt32,\n  Path String,\n"
+        "  Version UInt32\n"
+        ") ENGINE = ReplacingMergeTree(Version)\n"
+        "PARTITION BY toYYYYMM(Date)\nORDER BY (Level, Path, Date);"
+    ),
+    "series": (
+        "CREATE TABLE IF NOT EXISTS {table} (\n"
+        "  Date Date,\n  Level UInt32,\n  Path String,\n"
+        "  Version UInt32\n"
+        ") ENGINE = ReplacingMergeTree(Version)\n"
+        "PARTITION BY toYYYYMM(Date)\nORDER BY (Level, Path, Date);"
+    ),
+}
+_DDL["points-reverse"] = _DDL["points"]
+_DDL["series-reverse"] = _DDL["series"]
+
+
+def clickhouse_ddl(cfg, rollup_section: str = "graphite_rollup") -> str:
+    """CREATE TABLE statements for every ``[upload.*]`` entry of
+    ``cfg`` — the DDL the reference README tells operators to run by
+    hand, generated from the config instead (table names and types
+    from the deployment's own uploaders; points tables bind the
+    ``rollup_section`` GraphiteMergeTree config)."""
+    out = []
+    for name, u in sorted(cfg.uploads.items()):
+        tpl = _DDL.get(u.type)
+        if tpl is None:
+            continue  # e.g. a custom/unknown uploader type
+        table = u.table or name
+        out.append(f"-- [upload.{name}] type={u.type}")
+        out.append(tpl.format(table=table, rollup=rollup_section))
+    return "\n".join(out) + ("\n" if out else "")

@@ -275,3 +275,59 @@ def test_chunk_max_size_suffixes(tmp_path):
     conf.write_text('[data]\npath = "/tmp/x"\nchunk-max-size = 512\n')
     assert load_config(str(conf)).chunk_max_size == 512
     assert parse_size("1g") == 1 << 30
+
+
+def test_clickhouse_ddl_matches_readme_contract():
+    """clickhouse_ddl emits exactly the table shapes the reference
+    README has operators create by hand (README.md 'ClickHouse
+    configuration'), with the deployment's own table names."""
+    from carbon_clickhouse_spark.config import clickhouse_ddl, load_config
+
+    cfg = load_config(
+        """
+[upload.graphite]
+type = "points"
+table = "graphite"
+
+[upload.graphite_reverse]
+type = "points-reverse"
+table = "graphite_reverse"
+
+[upload.graphite_index]
+type = "index"
+table = "graphite_index"
+
+[upload.graphite_tags]
+type = "tagged"
+table = "my_tags"
+"""
+    )
+    ddl = clickhouse_ddl(cfg)
+    # the README's graphite table, verbatim modulo IF NOT EXISTS
+    assert (
+        "CREATE TABLE IF NOT EXISTS graphite (\n"
+        "  Path String,\n  Value Float64,\n  Time UInt32,\n"
+        "  Date Date,\n  Timestamp UInt32\n"
+        ") ENGINE = GraphiteMergeTree('graphite_rollup')\n"
+        "PARTITION BY toYYYYMM(Date)\nORDER BY (Path, Time);"
+    ) in ddl
+    assert "CREATE TABLE IF NOT EXISTS graphite_reverse (" in ddl
+    assert "ORDER BY (Level, Path, Date);" in ddl
+    # the configured (non-default) tagged table name is honored
+    assert "CREATE TABLE IF NOT EXISTS my_tags (" in ddl
+    assert "ORDER BY (Tag1, Path, Date);" in ddl
+    assert ddl.count("CREATE TABLE") == 4
+
+
+def test_clickhouse_ddl_skips_unknown_types():
+    from carbon_clickhouse_spark.config import clickhouse_ddl, load_config
+
+    cfg = load_config(
+        """
+[upload.weird]
+type = "points"
+table = "t1"
+"""
+    )
+    cfg.uploads["weird"].type = "something-new"
+    assert clickhouse_ddl(cfg) == ""
