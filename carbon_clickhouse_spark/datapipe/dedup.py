@@ -516,3 +516,34 @@ def simhash_pairs(
         "doc_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def lsh_params(
+    num_hashes: int, threshold: float
+) -> tuple[int, int, float]:
+    """Pick the banding for a target Jaccard threshold: among the
+    divisor splits ``num_hashes = bands * band_size``, choose the one
+    whose S-curve inflection ``(1/bands)^(1/band_size)`` (Leskovec/
+    Rajaraman/Ullman, Mining of Massive Datasets §3.4.3) lands
+    closest to ``threshold`` — at that similarity a pair's collision
+    probability ``1 - (1 - s^band_size)^bands`` crosses ~1/2, so
+    pairs above the threshold are mostly kept and pairs below mostly
+    dropped. Returns ``(bands, band_size, inflection)`` — feed
+    ``band_size`` (and ``num_hashes``) to :func:`minhash_lsh_pairs`.
+    Deterministic ties resolve toward more bands (higher recall)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    best = None
+    for band_size in range(1, num_hashes + 1):
+        if num_hashes % band_size:
+            continue
+        bands = num_hashes // band_size
+        inflection = (1.0 / bands) ** (1.0 / band_size)
+        err = abs(inflection - threshold)
+        # ties -> more bands (smaller band_size): recall over cost
+        key = (err, band_size)
+        if best is None or key < best[0]:
+            best = (key, (bands, band_size, inflection))
+    return best[1]

@@ -306,6 +306,27 @@ def sum_map(
     )
 
 
+def sum_map_filtered(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    keys_col: str,
+    values_col: str,
+    keys: Sequence,
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """ClickHouse ``sumMapFiltered(keys)(k, v)``: :func:`sum_map`
+    restricted to an explicit key list. One codegen ``isin`` filter
+    between the explode and the partial aggregation — non-matching
+    pairs never reach the shuffle, which at a skewed key universe is
+    the entire point of the CH variant."""
+    out = map_aggregate(
+        df, group_cols, keys_col, values_col, "sum", sum_type
+    )
+    # map_aggregate ends in groupBy(...).agg(); Catalyst pushes this
+    # filter below the aggregation to the exploded pair stream
+    return out.filter(F.col("key").isin(list(keys)))
+
+
 def uniq_sketch(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -507,3 +507,33 @@ def test_histogram_merge_heap_equals_naive_scan(spark):
         w = [float(rng.randrange(1, 5)) for _ in v]
         bins = rng.randrange(1, n + 1)
         assert _merge_centroids(v, w, bins) == naive(v, w, bins), trial
+
+
+def test_sum_map_filtered(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        sum_map_filtered,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", ["a", "b"], [1.0, 10.0]),
+            ("d1", ["a", "c"], [3.0, 7.0]),
+        ],
+        "day string, ks array<string>, vs array<double>",
+    )
+    got = {
+        (r.day, r.key): float(r.total)
+        for r in sum_map_filtered(df, ["day"], "ks", "vs", ["a", "c"]).collect()
+    }
+    assert got == {("d1", "a"): 4.0, ("d1", "c"): 7.0}
+    # the key filter is pushed below the aggregation: non-matching
+    # pairs never shuffle
+    plan = (
+        sum_map_filtered(df, ["day"], "ks", "vs", ["a"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    agg_pos = plan.index("Aggregate")
+    filt_pos = plan.rindex("Filter")
+    assert filt_pos > agg_pos, plan  # below the aggregate in the tree

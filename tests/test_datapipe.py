@@ -1454,3 +1454,28 @@ def test_progressive_jpeg_dc_decode():
     assert _parse_jpeg_progressive_exact(p[:40]) is None
     w, h, mean = decode_image(p[: len(p) - len(p) // 3])
     assert (w, h) == (8, 24) and mean is None
+
+
+def test_lsh_params_calibration():
+    from carbon_clickhouse_spark.datapipe.dedup import lsh_params
+
+    import pytest as _pytest
+
+    # MMDS worked example: 16 hashes targeting ~0.5 -> 4 bands of 4
+    # (inflection (1/4)^(1/4) ~ 0.707) vs 8x2 ((1/8)^(1/2) ~ 0.354):
+    # 0.5 sits between; 8 bands of 2 is closer (|0.354-0.5| < |0.707-0.5|)
+    bands, band_size, infl = lsh_params(16, 0.5)
+    assert (bands, band_size) == (8, 2)
+    assert infl == _pytest.approx((1 / 8) ** 0.5)
+    # high threshold -> few wide bands
+    bands, band_size, _ = lsh_params(16, 0.9)
+    assert (bands, band_size) == (2, 8)
+    # the collision probability at the returned inflection sits near
+    # the S-curve midpoint for a spread of configurations
+    for n, t in ((8, 0.3), (12, 0.6), (64, 0.8)):
+        b, r, s = lsh_params(n, t)
+        assert b * r == n
+        prob = 1 - (1 - s ** r) ** b
+        assert 0.3 < prob < 0.75  # near the curve's midpoint
+    with _pytest.raises(ValueError):
+        lsh_params(8, 1.5)
