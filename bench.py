@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "sequence_count",
     "top_event_types",
     "quantile_sketch",
+    # round-7: the adaptive-histogram centroid merge (Arrow per-group)
+    # and the multi-aggregate join plan
+    "histogram_adaptive",
+    "ch_agg_breadth",
 ]
 
 
@@ -62,15 +66,16 @@ def _host_provenance() -> dict:
     return prov
 
 
-def _last_recorded_batch_subtotal(names, sf) -> float | None:
-    """Sum of the per-query legs (restricted to ``names``) from the
-    most recent BENCH_r*.json beside this script at the SAME scale
-    factor, if any — cross-SF comparison would be meaningless."""
+def _last_recorded_batch_legs(names, sf) -> dict[str, float] | None:
+    """Per-query legs (restricted to ``names``) from the most recent
+    BENCH_r*.json beside this script at the SAME scale factor, if any
+    — cross-SF comparison would be meaningless, and drift must
+    compare like-for-like legs (a brand-new leg has no prior)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, float] | None = None
+    best: tuple[int, dict] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
@@ -82,12 +87,12 @@ def _last_recorded_batch_subtotal(names, sf) -> float | None:
             if str(parsed.get("sf")) != str(sf):
                 continue
             qs = parsed.get("queries") or {}
-            sub = sum(qs[n] for n in names if n in qs)
+            legs = {n: float(qs[n]) for n in names if n in qs}
         except (OSError, ValueError, TypeError, AttributeError):
             continue
         n = int(m.group(1))
-        if sub and (best is None or n > best[0]):
-            best = (n, sub)
+        if legs and (best is None or n > best[0]):
+            best = (n, legs)
     return None if best is None else best[1]
 
 
@@ -132,13 +137,15 @@ def main() -> None:
     # recording a host-noise spike as a regression
     drift_rerun = False
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    last_sub = _last_recorded_batch_subtotal(list(timings), sf_val)
-    if last_sub and sum(timings.values()) > 1.15 * last_sub:
-        drift_rerun = True
-        second = _time_batch_queries(spark, sf_dir, qs, repeats)
-        timings = {
-            n: min(timings[n], second[n]) for n in timings
-        }
+    last_legs = _last_recorded_batch_legs(list(timings), sf_val)
+    if last_legs:
+        cur = sum(timings[n] for n in last_legs)  # like-for-like legs
+        if cur > 1.15 * sum(last_legs.values()):
+            drift_rerun = True
+            second = _time_batch_queries(spark, sf_dir, qs, repeats)
+            timings = {
+                n: min(timings[n], second[n]) for n in timings
+            }
 
     # storage path: write the four-table contract once, then time the
     # read queries a graphite-web-shaped client would issue
