@@ -743,8 +743,12 @@ def main(argv=None) -> int:
         for table in ("points", "points_reverse"):
             path = os.path.join(args.compact, table)
             if os.path.exists(path):
-                compact_rollup(spark, path, rules=rules, months=months)
-                print(f"compacted {table} (rollup)", flush=True)
+                done = compact_rollup(spark, path, rules=rules, months=months)
+                print(
+                    f"compacted {table} (rollup, "
+                    f"{len(done)} month partition(s))",
+                    flush=True,
+                )
         return 0
     if not args.config:
         ap.error("--config is required (unless --cat/--recover/--compact)")

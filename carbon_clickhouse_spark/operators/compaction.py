@@ -25,6 +25,8 @@ being read.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,10 +60,22 @@ def compact_rollup(
     rules=DEFAULT_RULES,
     now: int | None = None,
     months: list[str] | None = None,
-) -> None:
+) -> list[str]:
     """Downsample aged points per the rollup rules (A4 applied
     physically). Bucket value semantics follow the rules' functions;
-    version collapses to 0 in each bucket.
+    version collapses to 0 in each bucket. Returns the months
+    compacted.
+
+    ``months=None`` selects INCREMENTALLY on a month-partitioned
+    table: only months that received files since the previous run
+    (appends / late points, by filesystem mtime) or whose data newly
+    crossed a retention age boundary in the meantime
+    (:func:`months_needing_rollup`) — every other partition's rollup
+    output is provably identical to last cycle's, so rewriting it
+    would be the O(corpus)-per-cycle maintenance job this engine
+    refuses elsewhere too (see ``rebuild_rollup_tier``). The first
+    run (no ``_rolled_at`` sidecar) compacts everything. Pass an
+    explicit list to pin the selection.
 
     Month-partitioned tables compact one partition at a time and the
     rolled rows KEEP their partition's month (ClickHouse merges never
@@ -69,18 +83,141 @@ def compact_rollup(
     time would let a boundary bucket escape into a partition this run
     did not select, merging into (and dynamic-overwriting) a month it
     has no business touching."""
+    import json as _json
+    import time as _time
+
     df = spark.read.parquet(points_path)
     if "month" not in df.columns:
         rolled = _rolled_points(df, rules, now)
         _atomic_overwrite(spark, rolled, points_path)
-        return
+        return []
     if months is None:
-        # bounded collect: one short string per month partition
-        months = sorted(r.month for r in df.select("month").distinct().collect())
+        months = months_needing_rollup(
+            spark, points_path, rules, now=now
+        )
     for month in months:
         part = df.filter(F.col("month") == month)
         out = _rolled_points(part, rules, now).withColumn("month", F.lit(month))
         _atomic_overwrite(spark, out, points_path, month_partitioned=True)
+    # sidecar: per-month max file mtime AFTER this run's rewrite (so
+    # the rewrite's own files don't re-select the month forever), the
+    # run timestamp (for age-boundary sweeps), and the rules
+    # fingerprint (a rules change invalidates every month's output).
+    # Like the partition overwrite itself, this assumes the compact
+    # cycle owns the table while it runs (the CLI/merger contract) —
+    # an append racing the overwrite could be clobbered regardless.
+    prev = _read_rollup_sidecar(points_path)
+    mtimes = dict(prev.get("mtimes") or {}) if prev else {}
+    for month, ms in _month_mtimes(spark, points_path).items():
+        if month in months or month not in mtimes:
+            mtimes[month] = ms
+    with open(os.path.join(points_path, "_rolled_at"), "w") as fh:
+        _json.dump(
+            {
+                # the age REFERENCE this run rolled against — the
+                # boundary-sweep check compares the next run's
+                # reference to it, so both must be on the same clock
+                "ts": int(now if now is not None else _time.time()),
+                "fp": _rules_fingerprint(rules),
+                "mtimes": mtimes,
+            },
+            fh,
+        )
+    return list(months)
+
+
+def _rules_fingerprint(rules) -> str:
+    import hashlib
+
+    return hashlib.md5(repr(tuple(rules)).encode()).hexdigest()[:16]
+
+
+def _read_rollup_sidecar(points_path: str) -> dict | None:
+    import json as _json
+
+    try:
+        with open(os.path.join(points_path, "_rolled_at")) as fh:
+            d = _json.load(fh)
+        return d if isinstance(d, dict) and "ts" in d else None
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _month_mtimes(spark: SparkSession, points_path: str) -> dict[str, int]:
+    """{month: max file modification time (ms)} via the Hadoop FS API
+    — storage-portable (mtimes exist on HDFS and object stores)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(points_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("month=")):
+            continue
+        out[name.split("=", 1)[1]] = max(
+            (f.getModificationTime() for f in fs.listStatus(st.getPath())),
+            default=0,
+        )
+    return out
+
+
+def months_needing_rollup(
+    spark: SparkSession,
+    points_path: str,
+    rules=DEFAULT_RULES,
+    now: int | None = None,
+) -> list[str]:
+    """Months whose physical rollup output can differ from the last
+    ``compact_rollup`` run: (a) partitions with files written since
+    then (mtime > the ``_rolled_at`` sidecar — appends and late
+    points), (b) partitions whose timestamp range intersects a
+    retention-age boundary sweep ``(last_run - age, now - age]`` for
+    any rule age > 0 (points newly old enough for a coarser bucket).
+    All months when the sidecar is absent, unreadable, or written by
+    a DIFFERENT rule set (fingerprint mismatch — a rules change can
+    alter every month's output). The listing runs through the Hadoop
+    FileSystem API (modification times exist on HDFS and object
+    stores alike), so the selection is storage-portable like the
+    overwrite itself."""
+    import calendar
+    import time as _time
+
+    side = _read_rollup_sidecar(points_path)
+    cur = _month_mtimes(spark, points_path)
+    all_months = sorted(cur)
+    if side is None or side.get("fp") != _rules_fingerprint(rules):
+        return all_months
+    last_run = int(side["ts"])
+    recorded = side.get("mtimes") or {}
+    now = int(now if now is not None else _time.time())
+    ages = sorted(
+        {
+            ret.age_s
+            for rule in rules
+            for ret in rule.retentions
+            if ret.age_s > 0
+        }
+    )
+    out = []
+    for month in all_months:
+        if month not in recorded or cur[month] > int(recorded[month]):
+            out.append(month)  # new files since the recorded rewrite
+            continue
+        y, m = int(month[:4]), int(month[4:6])
+        m_start = calendar.timegm((y, m, 1, 0, 0, 0))
+        m_end = calendar.timegm(
+            (y + (m == 12), m % 12 + 1, 1, 0, 0, 0)
+        )
+        for a in ages:
+            # timestamps newly crossing `a` since the last run:
+            # t in (lo, hi] — empty when the clock hasn't advanced
+            lo, hi = last_run - a, now - a
+            if hi <= lo:
+                continue
+            if lo < m_end and m_start <= hi:
+                out.append(month)
+                break
+    return out
 
 
 def _rolled_points(df: DataFrame, rules, now: int | None) -> DataFrame:

@@ -140,3 +140,118 @@ def test_ingest_and_store_bulk(spark, tmp_path):
     assert idx.filter(idx.path == "c.b.a").count() == 2
     tg = spark.read.parquet(f"{root}/tagged")
     assert {r.tag1 for r in tg.collect()} == {"__name__=x", "env=p"}
+
+
+def test_compact_rollup_incremental_month_selection(spark, tmp_path):
+    """Auto month selection: the first run compacts everything and
+    records per-month post-rewrite mtimes; an immediately repeated
+    run (same `now`, no new files) compacts NOTHING; a file appended
+    to one month re-selects exactly that month; a rules change
+    re-selects everything."""
+    import time as _time
+
+    from carbon_clickhouse_spark.operators.compaction import (
+        compact_rollup,
+        months_needing_rollup,
+    )
+    from carbon_clickhouse_spark.operators.rollup import (
+        Retention,
+        RollupRule,
+    )
+
+    rules = (
+        RollupRule("", "avg", (Retention(0, 1), Retention(3600, 60))),
+    )
+    jun, jul = 1_622_505_600, 1_625_097_600
+    path = str(tmp_path / "points")
+
+    def _write(rows, mode):
+        (
+            spark.createDataFrame(
+                rows, "path string, value double, time long, version long"
+            )
+            .withColumn("date", F.to_date(F.timestamp_seconds("time")))
+            .withColumn(
+                "month", F.date_format(F.timestamp_seconds("time"), "yyyyMM")
+            )
+            .write.mode(mode)
+            .partitionBy("month")
+            .parquet(path)
+        )
+
+    _write(
+        [("c.a", 1.0, jun + 30, 1), ("c.a", 2.0, jul + 30, 1)],
+        "overwrite",
+    )
+    now = int(_time.time())
+    done1 = compact_rollup(spark, path, rules=rules, now=now)
+    assert sorted(done1) == ["202106", "202107"]  # first run: all
+    # quiet cycle, clock unmoved: nothing qualifies
+    assert months_needing_rollup(spark, path, rules, now=now) == []
+    done2 = compact_rollup(spark, path, rules=rules, now=now)
+    assert done2 == []
+
+    # a late point lands in June only
+    _time.sleep(1.1)  # parquet mtimes are second-granular on some FS
+    _write([("c.a", 9.0, jun + 31, 2)], "append")
+    sel = months_needing_rollup(spark, path, rules, now=now)
+    assert sel == ["202106"]
+    done3 = compact_rollup(spark, path, rules=rules, now=now)
+    assert done3 == ["202106"]
+    assert compact_rollup(spark, path, rules=rules, now=now) == []
+    # the June data actually compacted (both points in one 60s bucket)
+    got = spark.read.parquet(path).filter(F.col("month") == "202106")
+    assert got.count() == 1 and got.collect()[0]["value"] == 5.0
+
+    # different rules -> full re-selection
+    rules2 = (
+        RollupRule("", "max", (Retention(0, 1), Retention(3600, 60))),
+    )
+    assert months_needing_rollup(spark, path, rules2, now=now) == [
+        "202106", "202107",
+    ]
+
+
+def test_compact_rollup_age_boundary_sweep(spark, tmp_path):
+    """A month with NO new files still re-selects when a retention
+    age boundary swept across its timestamps since the last run."""
+    import time as _time
+
+    from carbon_clickhouse_spark.operators.compaction import (
+        compact_rollup,
+        months_needing_rollup,
+    )
+    from carbon_clickhouse_spark.operators.rollup import (
+        Retention,
+        RollupRule,
+    )
+
+    jun = 1_622_505_600  # 2021-06
+    age = 3600
+    rules = (
+        RollupRule("", "avg", (Retention(0, 1), Retention(age, 60))),
+    )
+    path = str(tmp_path / "points")
+    (
+        spark.createDataFrame(
+            [("s.a", 1.0, jun + 100, 1)],
+            "path string, value double, time long, version long",
+        )
+        .withColumn("date", F.to_date(F.timestamp_seconds("time")))
+        .withColumn(
+            "month", F.date_format(F.timestamp_seconds("time"), "yyyyMM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(path)
+    )
+    # first run "before" the point ages past the boundary
+    t1 = jun + 100 + age - 50
+    assert compact_rollup(spark, path, rules=rules, now=t1) == ["202106"]
+    # clock moves past the point's age boundary: (t1-age, t2-age]
+    # covers jun+100 -> the month re-selects with no new files
+    t2 = jun + 100 + age + 50
+    assert months_needing_rollup(spark, path, rules, now=t2) == ["202106"]
+    assert compact_rollup(spark, path, rules=rules, now=t2) == ["202106"]
+    # and then goes quiet again
+    assert months_needing_rollup(spark, path, rules, now=t2) == []
