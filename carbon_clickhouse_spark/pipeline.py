@@ -98,21 +98,32 @@ def write_tables(
     if existing_tagged is not None:
         tagged_df = new_series_only(tagged_df, existing_tagged, ["date", "tag1", "path"])
 
-    for name, df in (
-        ("points", tables["points"]),
-        ("points_reverse", tables["points_reverse"]),
-    ):
+    def _write_month_partitioned(name, df, *sort_cols):
+        # a PARTITIONED write of an EMPTY frame leaves a directory
+        # holding only _SUCCESS, which spark.read.parquet cannot infer
+        # a schema from — an empty table simply does not materialize
+        # (readers already treat a missing table dir as empty)
+        if not df.head(1):
+            return
         (
             df.withColumn("month", F.date_format("date", "yyyyMM"))
-            .sortWithinPartitions("month", "path", "time")
+            .sortWithinPartitions("month", *sort_cols)
             .write.mode(mode)
             .partitionBy("month")
             .parquet(os.path.join(root, name))
         )
+
+    for name, df in (
+        ("points", tables["points"]),
+        ("points_reverse", tables["points_reverse"]),
+    ):
+        _write_month_partitioned(name, df, "path", "time")
+    # month(date) partitioning like the points tables — the
+    # reference's index/tagged DDL is PARTITION BY toYYYYMM(Date)
+    # too, and the A2 anti-join's date prune becomes structural
+    # partition pruning (tree rows all land in month(TREE_DATE))
     for name, df in (("index", index_df), ("tagged", tagged_df)):
-        df.sortWithinPartitions("path").write.mode(mode).parquet(
-            os.path.join(root, name)
-        )
+        _write_month_partitioned(name, df, "path")
     # legacy tree/series tables (index-shaped: series rows, no points)
     for name in ("tree", "series", "series_reverse"):
         if name in tables:

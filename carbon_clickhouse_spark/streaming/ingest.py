@@ -315,16 +315,38 @@ def start_ingest(
                 # config names a table for them (ch_names carries just
                 # the four modern types by default)
                 mirror = ch is not None and name in ch_names
-                if mirror:
-                    # pin the deduped rows BEFORE the parquet append:
-                    # re-evaluating the anti-join after the write would
-                    # see the just-appended rows in the stored table
-                    # and upload an empty batch to ClickHouse
-                    df = df.persist()
+                # pin the deduped rows: reused by the emptiness probe,
+                # the parquet append, and (for mirrors) the CH upload
+                # — and re-evaluating the anti-join after the write
+                # would see the just-appended rows and go empty
+                df = df.persist()
                 try:
                     path = os.path.join(config.root, name)
+                    # a PARTITIONED append of an empty frame writes a
+                    # directory holding only _SUCCESS — unreadable
+                    # (UNABLE_TO_INFER_SCHEMA) — so an all-deduped
+                    # batch writes nothing at all
+                    has_rows = bool(df.head(1))
                     with _table_lock(path):
-                        df.write.mode("append").parquet(path)
+                        if has_rows and "date" in df.columns:
+                            # month(date) partitioning, matching the
+                            # batch writer and the reference's
+                            # PARTITION BY toYYYYMM(Date) DDL — the A2
+                            # anti-join's date prune then partition-
+                            # prunes structurally (legacy `tree` has
+                            # no date and stays flat)
+                            (
+                                df.withColumn(
+                                    "month",
+                                    F.date_format("date", "yyyyMM"),
+                                )
+                                .sortWithinPartitions("month", "path")
+                                .write.mode("append")
+                                .partitionBy("month")
+                                .parquet(path)
+                            )
+                        elif has_rows:
+                            df.write.mode("append").parquet(path)
                     if mirror:
                         # same deduped rows as the parquet write: the
                         # A2 exists-cache throttles the CH upload
@@ -347,8 +369,7 @@ def start_ingest(
                             ),
                         )
                 finally:
-                    if mirror:
-                        df.unpersist()
+                    df.unpersist()
 
             # the four table writes share the persisted batch and are
             # independent jobs — run them concurrently (the micro-batch
@@ -433,6 +454,13 @@ def _anti_existing(
         batch_dates = list(batch_dates)
         if TREE_DATE not in batch_dates:
             batch_dates.append(TREE_DATE)
+        if "month" in existing.columns:
+            # month-partitioned stored table: the date prune becomes
+            # STRUCTURAL partition pruning before the row filter
+            months = sorted(
+                {d.strftime("%Y%m") for d in batch_dates if d}
+            )
+            existing = existing.filter(F.col("month").isin(months))
         existing = existing.filter(F.col("date").isin(batch_dates))
     return new_series_only(df, existing, keys)
 
