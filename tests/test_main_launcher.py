@@ -68,8 +68,24 @@ table = "graphite_index"
                 pass
             time.sleep(0.5)
         assert n == 100
-        idx = spark.read.parquet(f"{root}/index")
-        assert idx.filter(F.col("path") == "conf.host1.metric").count() > 0
+        # the four table writes run concurrently inside the batch:
+        # points can commit while the index append is still in
+        # flight (a mid-write dir isn't readable), so poll it too
+        deadline = time.time() + 60
+        n_idx = 0
+        while time.time() < deadline:
+            try:
+                n_idx = (
+                    spark.read.parquet(f"{root}/index")
+                    .filter(F.col("path") == "conf.host1.metric")
+                    .count()
+                )
+                if n_idx > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert n_idx > 0
     finally:
         for rx in receivers:
             rx.stop()
