@@ -725,8 +725,12 @@ def main(argv=None) -> int:
         ):
             path = os.path.join(args.compact, table)
             if os.path.exists(path):
-                compact_replacing(spark, path, keys)
-                print(f"compacted {table} (replacing dedup)", flush=True)
+                done = compact_replacing(spark, path, keys)
+                print(
+                    f"compacted {table} (replacing dedup, "
+                    f"{len(done)} month partition(s))",
+                    flush=True,
+                )
         if os.path.exists(os.path.join(args.compact, "rollup_hot")):
             # refresh the continuous-rollup serving tier from the
             # durable points BEFORE those points are physically

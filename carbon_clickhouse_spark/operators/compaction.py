@@ -40,18 +40,56 @@ def compact_replacing(
     keys: list[str],
     months: list[str] | None = None,
     version_col: str = "version",
-) -> None:
+) -> list[str]:
     """Rewrite an index/tagged table keeping only the max-version row
-    per key (A3 applied physically)."""
+    per key (A3 applied physically). Returns the months compacted.
+
+    ``months=None`` on a month-partitioned table selects
+    INCREMENTALLY: only months with files written since their
+    recorded post-rewrite mtime (the ``_replaced_at`` sidecar) —
+    replacing-dedup output only changes when new rows land, so an
+    untouched month's rewrite would be a no-op. Dedup keys include
+    ``date``, and a key's rows always share their month(date)
+    partition, so per-month dedup equals global dedup. First run (no
+    sidecar) compacts everything; explicit ``months`` pins the
+    selection (and skips the sidecar update like the rollup twin)."""
+    import json as _json
+    import time as _time
+
     df = spark.read.parquet(table_path)
-    if months and "month" in df.columns:
-        df = df.filter(F.col("month").isin(months))
-    merged = replacing_latest(df, keys, version_col)
-    # month-partitioned tables get partition-scoped overwrite, so a
-    # months=[...] incremental run leaves other months untouched
-    _atomic_overwrite(
-        spark, merged, table_path, month_partitioned="month" in merged.columns
-    )
+    if "month" not in df.columns:
+        merged = replacing_latest(df, keys, version_col)
+        _atomic_overwrite(spark, merged, table_path)
+        return []
+    explicit = months is not None
+    if months is None:
+        side = _read_sidecar(table_path, "_replaced_at")
+        cur = _month_mtimes(spark, table_path)
+        if side is None:
+            months = sorted(cur)
+        else:
+            recorded = side.get("mtimes") or {}
+            months = sorted(
+                m
+                for m, ms in cur.items()
+                if m not in recorded or ms > int(recorded[m])
+            )
+    if months:
+        part = df.filter(F.col("month").isin(list(months)))
+        merged = replacing_latest(part, keys, version_col)
+        # partition-scoped overwrite: untouched months never rewrite
+        _atomic_overwrite(
+            spark, merged, table_path, month_partitioned=True
+        )
+    if not explicit:
+        side = _read_sidecar(table_path, "_replaced_at")
+        mtimes = dict((side or {}).get("mtimes") or {})
+        for month, ms in _month_mtimes(spark, table_path).items():
+            if month in months or month not in mtimes:
+                mtimes[month] = ms
+        with open(os.path.join(table_path, "_replaced_at"), "w") as fh:
+            _json.dump({"ts": int(_time.time()), "mtimes": mtimes}, fh)
+    return list(months)
 
 
 def compact_rollup(
@@ -133,10 +171,14 @@ def _rules_fingerprint(rules) -> str:
 
 
 def _read_rollup_sidecar(points_path: str) -> dict | None:
+    return _read_sidecar(points_path, "_rolled_at")
+
+
+def _read_sidecar(table_path: str, name: str) -> dict | None:
     import json as _json
 
     try:
-        with open(os.path.join(points_path, "_rolled_at")) as fh:
+        with open(os.path.join(table_path, name)) as fh:
             d = _json.load(fh)
         return d if isinstance(d, dict) and "ts" in d else None
     except (FileNotFoundError, ValueError):

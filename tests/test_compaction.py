@@ -255,3 +255,64 @@ def test_compact_rollup_age_boundary_sweep(spark, tmp_path):
     assert compact_rollup(spark, path, rules=rules, now=t2) == ["202106"]
     # and then goes quiet again
     assert months_needing_rollup(spark, path, rules, now=t2) == []
+
+
+def test_compact_replacing_incremental_month_selection(spark, tmp_path):
+    """Replacing compaction auto-selects months with new files since
+    their recorded post-rewrite mtime: first run = all, quiet cycle =
+    none, an appended duplicate re-selects exactly its month, and the
+    idle month's files stay byte-identical on disk."""
+    import glob
+    import hashlib
+    import time as _time
+
+    from carbon_clickhouse_spark.operators.compaction import (
+        compact_replacing,
+    )
+
+    path = str(tmp_path / "index")
+    jun, jul = "2021-06-05", "2021-07-05"
+
+    def _write(rows, mode):
+        (
+            spark.createDataFrame(
+                rows, "date string, level int, path string, version long"
+            )
+            .select(
+                F.col("date").cast("date").alias("date"),
+                "level", "path", "version",
+            )
+            .withColumn("month", F.date_format("date", "yyyyMM"))
+            .write.mode(mode)
+            .partitionBy("month")
+            .parquet(path)
+        )
+
+    _write(
+        [(jun, 1, "a.b", 1), (jun, 1, "a.b", 2), (jul, 1, "a.c", 1)],
+        "overwrite",
+    )
+    keys = ["date", "level", "path"]
+    done1 = compact_replacing(spark, path, keys)
+    assert sorted(done1) == ["202106", "202107"]
+    assert spark.read.parquet(path).count() == 2  # jun deduped to v2
+    assert compact_replacing(spark, path, keys) == []  # quiet cycle
+
+    def _snap(month):
+        return {
+            f.rsplit("/", 1)[-1]: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{path}/month={month}/*.parquet")
+        }
+
+    jul_before = _snap("202107")
+    _time.sleep(1.1)  # second-granular mtimes on some filesystems
+    _write([(jun, 1, "a.b", 3)], "append")
+    done2 = compact_replacing(spark, path, keys)
+    assert done2 == ["202106"]
+    assert _snap("202107") == jul_before  # idle month byte-identical
+    got = {
+        (str(r["date"]), r["path"]): r["version"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(jun, "a.b"): 3, (jul, "a.c"): 1}
+    assert compact_replacing(spark, path, keys) == []
