@@ -2076,6 +2076,34 @@ def q_window_funnel_strict_once(spark, sf_dir):
     )
 
 
+def q_moving_window_arrays(spark, sf_dir):
+    """ClickHouse ``groupArrayMovingSum(5)`` + ``groupArrayMovingAvg
+    (5)`` over each event type's value series in (time, event_id)
+    order (operators/ch_aggregates.group_array_moving): exact decimal
+    accumulation cast to double per element, MovingAvg dividing by
+    the window size k even at the head — the documented CH quirk.
+    One window pass + one collect_list reassembly per call, sharing
+    the group-key Exchange; the per-type array results join
+    broadcast."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_moving,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", _sec(ev).alias("t"), "event_id", "value"
+    )
+    ms = group_array_moving(
+        base, ["event_type"], "value", ["t", "event_id"], k=5,
+        out_col="moving_sum",
+    )
+    ma = group_array_moving(
+        base, ["event_type"], "value", ["t", "event_id"], k=5,
+        how="avg", out_col="moving_avg",
+    )
+    return ms.join(ma, "event_type")
+
+
 def q_histogram_adaptive(spark, sf_dir):
     """ClickHouse's ADAPTIVE ``histogram(8)(value)`` per event type
     (operators/ch_aggregates.histogram_adaptive, exact mode): greedy
@@ -2366,6 +2394,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
+        # graded reps: tpch_q1 / sum_map_daily (exact-decimal family);
+        # adds groupArrayMovingSum/Avg parity
+        "moving_window_arrays": q_moving_window_arrays,
         # graded rep: window_funnel (default mode); these add oracle
         # coverage for the strict_increase window-DP variant and the
         # strict_order sequential-interrupt path
@@ -3661,6 +3692,26 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type,
                least(count(DISTINCT user_id), 101)::BIGINT AS uniq_up_to
         FROM events GROUP BY event_type
+    """
+    # one shared window computes the exact-decimal moving sum; the
+    # avg list divides by the window size k (the CH MovingAvg quirk)
+    oracles["moving_window_arrays"] = """
+        WITH e AS (
+          SELECT event_type, epoch_ms(ts) // 1000 AS t, event_id, value
+          FROM events
+        ),
+        w AS (
+          SELECT event_type, t, event_id,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+              PARTITION BY event_type ORDER BY t, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS ms
+          FROM e
+        )
+        SELECT event_type,
+               list(ms ORDER BY t, event_id) AS moving_sum,
+               list(ms / 5.0 ORDER BY t, event_id) AS moving_avg
+        FROM w GROUP BY event_type
     """
     # the greedy centroid merge replayed as a recursive CTE over LIST
     # columns: one merge per recursion step — leftmost minimal gap

@@ -749,3 +749,63 @@ def histogram_adaptive(
             merge_final_all, out_schema
         )
     return parts.groupBy(*gcols).applyInPandas(merge_final, out_schema)
+
+
+def group_array_moving(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    k: int | None = None,
+    how: str = "sum",
+    out_col: str = "moving",
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum([k])(x)`` /
+    ``groupArrayMovingAvg([k])(x)``: per group, the ORDERED array of
+    moving-window aggregates — element i covers rows
+    ``max(0, i-k+1) .. i`` in ``order_cols`` order (the whole prefix
+    when ``k`` is None). CH's MovingAvg divides by the WINDOW SIZE
+    ``k`` even for the leading elements (its documented quirk), and by
+    the full element count when unbounded — replicated exactly.
+
+    Accumulation runs in DECIMAL (exact, order-independent), each
+    element cast to double once at the end — the same engine-portable
+    shape as :func:`map_aggregate`. ``order_cols`` must be a total
+    order within each group (add a tiebreak) or the array layout is
+    engine-dependent.
+
+    Plan: one window pass over the (group, order) sort + one groupBy
+    whose ``collect_list`` reassembles under ``array_sort`` of
+    (order, value) structs — both share the same hash partitioning on
+    the group key, so Catalyst plans a single Exchange."""
+    if how not in ("sum", "avg"):
+        raise ValueError("how must be 'sum' or 'avg'")
+    if k is not None and k < 1:
+        raise ValueError("k must be >= 1 (or None for unbounded)")
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(*[F.col(c) for c in ocols])
+        .rowsBetween(
+            Window.unboundedPreceding if k is None else -(k - 1), 0
+        )
+    )
+    mv = F.sum(F.col(value_col).cast(sum_type)).over(w).cast("double")
+    if how == "avg":
+        den = (
+            F.count(F.lit(1)).over(w).cast("double")
+            if k is None
+            else F.lit(float(k))
+        )
+        mv = mv / den
+    step = df.select(*gcols, *ocols, mv.alias("__mv"))
+    pair = F.struct(
+        *[F.col(c) for c in ocols], F.col("__mv").alias("__mv")
+    )
+    return step.groupBy(*gcols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(pair)), lambda x: x["__mv"]
+        ).alias(out_col)
+    )

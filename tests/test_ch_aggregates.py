@@ -537,3 +537,30 @@ def test_sum_map_filtered(spark):
     agg_pos = plan.index("Aggregate")
     filt_pos = plan.rindex("Filter")
     assert filt_pos > agg_pos, plan  # below the aggregate in the tree
+
+
+def test_group_array_moving_sum_and_avg(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_moving,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 3.0), ("g", 4, 4.0)],
+        "g string, ord long, v double",
+    )
+    ms = group_array_moving(df, ["g"], "v", ["ord"], k=2).collect()[0]
+    assert list(ms["moving"]) == [1.0, 3.0, 5.0, 7.0]
+    # CH MovingAvg quirk: divide by the window size k even at the head
+    ma = group_array_moving(df, ["g"], "v", ["ord"], k=2, how="avg").collect()[0]
+    assert list(ma["moving"]) == [0.5, 1.5, 2.5, 3.5]
+    # unbounded: prefix sums / true prefix averages
+    mu = group_array_moving(df, ["g"], "v", ["ord"]).collect()[0]
+    assert list(mu["moving"]) == [1.0, 3.0, 6.0, 10.0]
+    mua = group_array_moving(df, ["g"], "v", ["ord"], how="avg").collect()[0]
+    assert list(mua["moving"]) == [1.0, 1.5, 2.0, 2.5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_array_moving(df, ["g"], "v", ["ord"], k=0)
+    with _pytest.raises(ValueError):
+        group_array_moving(df, ["g"], "v", ["ord"], how="median")
