@@ -2076,6 +2076,31 @@ def q_window_funnel_strict_once(spark, sf_dir):
     )
 
 
+def q_interval_metrics(spark, sf_dir):
+    """ClickHouse ``intervalLengthSum`` + ``maxIntersections`` per
+    event type over intervals derived from the events table
+    (start = event time, end = start + value*60 — deterministic,
+    heavily overlapping). Both are the classic sweep as pure window
+    algebra (operators/ch_aggregates.py): union length via
+    running-max-of-ends, peak depth via the +1/-1 running sum with
+    ends sorting before starts (half-open, the CH convention). One
+    Exchange each; tiny per-type results join broadcast."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        interval_length_sum,
+        max_intersections,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        _sec(ev).cast("double").alias("s"),
+        (_sec(ev) + F.col("value") * 60).cast("double").alias("e"),
+    )
+    a = interval_length_sum(base, ["event_type"], "s", "e")
+    b = max_intersections(base, ["event_type"], "s", "e")
+    return a.join(b, "event_type")
+
+
 def q_moving_window_arrays(spark, sf_dir):
     """ClickHouse ``groupArrayMovingSum(5)`` + ``groupArrayMovingAvg
     (5)`` over each event type's value series in (time, event_id)
@@ -2397,6 +2422,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded reps: tpch_q1 / sum_map_daily (exact-decimal family);
         # adds groupArrayMovingSum/Avg parity
         "moving_window_arrays": q_moving_window_arrays,
+        # graded reps: sessionization / read_series (time-range math);
+        # adds intervalLengthSum + maxIntersections parity
+        "interval_metrics": q_interval_metrics,
         # graded rep: window_funnel (default mode); these add oracle
         # coverage for the strict_increase window-DP variant and the
         # strict_order sequential-interrupt path
@@ -3692,6 +3720,50 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_type,
                least(count(DISTINCT user_id), 101)::BIGINT AS uniq_up_to
         FROM events GROUP BY event_type
+    """
+    # the same sweep in window SQL: union length = sum of
+    # max(0, end - max(start, running-max of earlier ends)); peak
+    # depth = max running sum of +1/-1 boundary events with ends
+    # ordered before starts at equal instants (half-open)
+    oracles["interval_metrics"] = """
+        WITH iv AS (
+          SELECT event_type,
+                 CAST(epoch_ms(ts) // 1000 AS DOUBLE) AS s,
+                 CAST(epoch_ms(ts) // 1000 + value * 60 AS DOUBLE) AS e
+          FROM events
+        ),
+        contrib AS (
+          SELECT event_type,
+            greatest(0.0, e - greatest(s, coalesce(
+              max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), s))) AS c
+          FROM iv
+        ),
+        ils AS (
+          SELECT event_type,
+                 CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE)
+                   AS interval_length_sum
+          FROM contrib GROUP BY event_type
+        ),
+        ev AS (
+          SELECT event_type, s AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT event_type, e AS t, -1 AS d FROM iv
+        ),
+        depth AS (
+          SELECT event_type,
+            sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS dep
+          FROM ev
+        ),
+        mi AS (
+          SELECT event_type, CAST(max(dep) AS INT) AS max_intersections
+          FROM depth GROUP BY event_type
+        )
+        SELECT ils.event_type, interval_length_sum, max_intersections
+        FROM ils JOIN mi ON mi.event_type = ils.event_type
     """
     # one shared window computes the exact-decimal moving sum; the
     # avg list divides by the window size k (the CH MovingAvg quirk)

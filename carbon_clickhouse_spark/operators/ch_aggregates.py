@@ -809,3 +809,89 @@ def group_array_moving(
             F.array_sort(F.collect_list(pair)), lambda x: x["__mv"]
         ).alias(out_col)
     )
+
+
+def interval_length_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    out_col: str = "interval_length_sum",
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum(start, end)``: per group, the
+    total length of the UNION of the [start, end] intervals —
+    overlaps counted once. The classic sweep as pure window algebra:
+    in (start, end) order, a row's new contribution is
+    ``max(0, end - max(start, max_prev_end))`` where
+    ``max_prev_end`` is the running max of earlier rows' ends; summed
+    per group. One Exchange on the group key; the final groupBy
+    reuses its partitioning. Zero-or-negative-length intervals
+    contribute nothing."""
+    gcols = list(group_cols)
+    prev = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(start_col), F.col(end_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = F.max(F.col(end_col)).over(prev)
+    contrib = F.greatest(
+        F.lit(0).cast("double"),
+        (
+            F.col(end_col)
+            - F.greatest(F.col(start_col), F.coalesce(pmax, F.col(start_col)))
+        ).cast("double"),
+    )
+    return (
+        df.select(*gcols, contrib.alias("__c"))
+        .groupBy(*gcols)
+        .agg(
+            # per-row contributions are deterministic; the cross-row
+            # sum must be too — quantize to decimal (exact,
+            # partition-order independent), one cast back at the end
+            F.sum(F.col("__c").cast("decimal(28,6)"))
+            .cast("double")
+            .alias(out_col)
+        )
+    )
+
+
+def max_intersections(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    out_col: str = "max_intersections",
+) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)``: per group, the
+    maximum number of simultaneously-overlapping [start, end)
+    intervals. Sweep-line as windows: explode each interval into a
+    (+1 at start, -1 at end) event, order by (time, delta) — ends
+    sort before starts at the same instant, the half-open convention
+    CH uses — and take the max running sum. One explode (2 rows per
+    interval) + one Exchange."""
+    gcols = list(group_cols)
+    ev = df.select(
+        *gcols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).cast("double").alias("t"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.col(end_col).cast("double").alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e"),
+    ).select(*gcols, F.col("e.t").alias("__t"), F.col("e.d").alias("__d"))
+    run = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__t"), F.col("__d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(*gcols, F.sum("__d").over(run).alias("__depth"))
+        .groupBy(*gcols)
+        .agg(F.max("__depth").cast("int").alias(out_col))
+    )

@@ -564,3 +564,48 @@ def test_group_array_moving_sum_and_avg(spark):
         group_array_moving(df, ["g"], "v", ["ord"], k=0)
     with _pytest.raises(ValueError):
         group_array_moving(df, ["g"], "v", ["ord"], how="median")
+
+
+def test_interval_length_sum_and_max_intersections(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        interval_length_sum,
+        max_intersections,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g", 0.0, 10.0),    # |----------|
+            ("g", 5.0, 15.0),    #      |----------|   union 0..15
+            ("g", 20.0, 25.0),   #                       |-----|
+            ("g", 22.0, 22.0),   # zero-length: nothing
+            ("h", 1.0, 2.0),
+        ],
+        "g string, s double, e double",
+    )
+    got = {
+        r["g"]: r["interval_length_sum"]
+        for r in interval_length_sum(df, ["g"], "s", "e").collect()
+    }
+    assert got == {"g": 20.0, "h": 1.0}
+    mi = {
+        r["g"]: r["max_intersections"]
+        for r in max_intersections(df, ["g"], "s", "e").collect()
+    }
+    # [0,10) and [5,15) overlap; the zero-length [22,22) never opens
+    # (its -1 sorts before its +1 at the same instant)
+    assert mi == {"g": 2, "h": 1}
+
+
+def test_max_intersections_half_open_touching(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        max_intersections,
+    )
+
+    # [0,5) and [5,10): touching endpoints do NOT overlap (the end's
+    # -1 sorts before the start's +1 at t=5)
+    df = spark.createDataFrame(
+        [("g", 0.0, 5.0), ("g", 5.0, 10.0)], "g string, s double, e double"
+    )
+    assert max_intersections(df, ["g"], "s", "e").collect()[0][
+        "max_intersections"
+    ] == 1
