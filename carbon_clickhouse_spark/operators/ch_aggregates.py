@@ -438,12 +438,20 @@ def arg_extrema(
 
     One partial-aggregating groupBy: min/max over a two-field struct
     — value leads, arg breaks ties — stays in JVM codegen, no window,
-    no second pass."""
+    no second pass. NULL values are SKIPPED like the CH aggregate
+    (struct field ordering is nulls-first, so an unfiltered NULL
+    value would win every arg_min); NaN needs no special case — both
+    engines order NaN above every number, so it loses min and wins
+    max identically."""
     v, a = F.col(value_col), F.col(arg_col)
     pair = F.struct(v.alias("v"), a.alias("a"))
-    return df.groupBy(*group_cols).agg(
-        F.min(pair)["a"].alias("arg_min"),
-        F.max(pair)["a"].alias("arg_max"),
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.min(pair)["a"].alias("arg_min"),
+            F.max(pair)["a"].alias("arg_max"),
+        )
     )
 
 
@@ -794,8 +802,16 @@ def group_array_moving(
     )
     mv = F.sum(F.col(value_col).cast(sum_type)).over(w).cast("double")
     if how == "avg":
+        # CH MovingAvg's divisor is the window size k for EVERY
+        # element (leading ones included — its documented quirk), and
+        # with no k the TOTAL group row count N (docs example:
+        # [1,2,4,7] -> prefix_sum/4), NOT the prefix length. The
+        # whole-partition count window shares the group-key
+        # partitioning, so no extra Exchange.
         den = (
-            F.count(F.lit(1)).over(w).cast("double")
+            F.count(F.lit(1))
+            .over(Window.partitionBy(*gcols))
+            .cast("double")
             if k is None
             else F.lit(float(k))
         )

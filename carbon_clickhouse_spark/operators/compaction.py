@@ -129,6 +129,7 @@ def compact_rollup(
         rolled = _rolled_points(df, rules, now)
         _atomic_overwrite(spark, rolled, points_path)
         return []
+    explicit = months is not None
     if months is None:
         months = months_needing_rollup(
             spark, points_path, rules, now=now
@@ -144,23 +145,31 @@ def compact_rollup(
     # Like the partition overwrite itself, this assumes the compact
     # cycle owns the table while it runs (the CLI/merger contract) —
     # an append racing the overwrite could be clobbered regardless.
-    prev = _read_rollup_sidecar(points_path)
-    mtimes = dict(prev.get("mtimes") or {}) if prev else {}
-    for month, ms in _month_mtimes(spark, points_path).items():
-        if month in months or month not in mtimes:
-            mtimes[month] = ms
-    with open(os.path.join(points_path, "_rolled_at"), "w") as fh:
-        _json.dump(
-            {
-                # the age REFERENCE this run rolled against — the
-                # boundary-sweep check compares the next run's
-                # reference to it, so both must be on the same clock
-                "ts": int(now if now is not None else _time.time()),
-                "fp": _rules_fingerprint(rules),
-                "mtimes": mtimes,
-            },
-            fh,
-        )
+    # EXPLICIT months skip the update entirely (like the replacing
+    # twin): a partial run must not advance the global age-boundary
+    # watermark `ts`/`fp`, or an UNSELECTED month whose points crossed
+    # a retention boundary in the meantime falls out of the
+    # (last_ts - age, now - age] sweep forever — and a partial run's
+    # rewritten mtimes would otherwise mask a concurrent full
+    # selection anyway.
+    if not explicit:
+        prev = _read_rollup_sidecar(points_path)
+        mtimes = dict(prev.get("mtimes") or {}) if prev else {}
+        for month, ms in _month_mtimes(spark, points_path).items():
+            if month in months or month not in mtimes:
+                mtimes[month] = ms
+        with open(os.path.join(points_path, "_rolled_at"), "w") as fh:
+            _json.dump(
+                {
+                    # the age REFERENCE this run rolled against — the
+                    # boundary-sweep check compares the next run's
+                    # reference to it, so both must be on the same clock
+                    "ts": int(now if now is not None else _time.time()),
+                    "fp": _rules_fingerprint(rules),
+                    "mtimes": mtimes,
+                },
+                fh,
+            )
     return list(months)
 
 

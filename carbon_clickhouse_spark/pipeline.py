@@ -99,18 +99,45 @@ def write_tables(
         tagged_df = new_series_only(tagged_df, existing_tagged, ["date", "tag1", "path"])
 
     def _write_month_partitioned(name, df, *sort_cols):
+        from .operators.layout import prepare_partitioned_append, table_layout
+
+        path = os.path.join(root, name)
+        spark = df.sparkSession
         # a PARTITIONED write of an EMPTY frame leaves a directory
         # holding only _SUCCESS, which spark.read.parquet cannot infer
         # a schema from — an empty table simply does not materialize
-        # (readers already treat a missing table dir as empty)
+        # (readers already treat a missing table dir as empty). With
+        # mode='overwrite' that must still TRUNCATE an existing table
+        # (a kept previous state would turn the truncation into a lie)
         if not df.head(1):
+            if mode == "overwrite" and table_layout(spark, path) != "missing":
+                fs = spark._jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                fs.delete(spark._jvm.org.apache.hadoop.fs.Path(path), True)
             return
+        # appending onto a pre-partitioning (flat) legacy table would
+        # make the directory mixed and HIDE the flat rows from every
+        # reader — migrate once (or, for date-less legacy shapes,
+        # match the stored flat layout). `pin=df` because the frame's
+        # plan may read the very files being migrated (A2 anti-join)
+        if mode == "append":
+            ok, pinned = prepare_partitioned_append(
+                spark, path, sort_cols, pin=df
+            )
+            if pinned is not None:
+                df = pinned
+            if not ok:
+                df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(
+                    path
+                )
+                return
         (
             df.withColumn("month", F.date_format("date", "yyyyMM"))
             .sortWithinPartitions("month", *sort_cols)
             .write.mode(mode)
             .partitionBy("month")
-            .parquet(os.path.join(root, name))
+            .parquet(path)
         )
 
     for name, df in (

@@ -35,6 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline import IngestConfig, derive_tables
 from ..operators.dedup import new_series_only
+from ..operators.layout import prepare_partitioned_append
 from ..operators.filters import drop_rule_predicate
 from ..sources.plain import parse_plain_lines
 from ..functions.tags import TagConfig
@@ -284,14 +285,27 @@ def start_ingest(
             def _write_points(name):
                 path = os.path.join(config.root, name)
                 with _table_lock(path):
-                    (
-                        tables[name]
-                        .withColumn("month", F.date_format("date", "yyyyMM"))
-                        .sortWithinPartitions("month", "path", "time")
-                        .write.mode("append")
-                        .partitionBy("month")
-                        .parquet(path)
-                    )
+                    # same legacy-layout guard as the series tables:
+                    # a hand-built / pre-partitioning flat points dir
+                    # must be migrated before the first month= append
+                    # or its rows go dark (memoized one-RPC probe; no
+                    # pin needed — the points frame derives from the
+                    # batch, never from the stored table)
+                    if not prepare_partitioned_append(
+                        spark_b, path, ("path", "time")
+                    )[0]:
+                        tables[name].sortWithinPartitions(
+                            "path", "time"
+                        ).write.mode("append").parquet(path)
+                    else:
+                        (
+                            tables[name]
+                            .withColumn("month", F.date_format("date", "yyyyMM"))
+                            .sortWithinPartitions("month", "path", "time")
+                            .write.mode("append")
+                            .partitionBy("month")
+                            .parquet(path)
+                        )
                 if ch is not None:
                     from ..sinks.clickhouse import insert_points
 
@@ -328,7 +342,25 @@ def start_ingest(
                     # batch writes nothing at all
                     has_rows = bool(df.head(1))
                     with _table_lock(path):
+                        # probe the stored layout first: a partitioned
+                        # append onto a legacy FLAT table would make
+                        # the directory mixed, and Spark then silently
+                        # drops the flat rows from every read —
+                        # migrate the legacy files into month=
+                        # partitions once (memoized after that).
+                        # `pin=df`: the anti-join above lazily reads
+                        # the very files the migration rewrites
+                        partitioned_ok = False
                         if has_rows and "date" in df.columns:
+                            partitioned_ok, pinned = (
+                                prepare_partitioned_append(
+                                    spark_b, path, ("path",), pin=df
+                                )
+                            )
+                            if pinned is not None:
+                                df.unpersist()
+                                df = pinned
+                        if partitioned_ok:
                             # month(date) partitioning, matching the
                             # batch writer and the reference's
                             # PARTITION BY toYYYYMM(Date) DDL — the A2

@@ -320,6 +320,25 @@ def test_arg_extrema_deterministic_ties(spark):
     assert r["arg_min"] == 10 and r["arg_max"] == 9
 
 
+def test_arg_extrema_skips_null_values(spark):
+    """CH argMin/argMax ignore NULL values — an unfiltered NULL would
+    win every arg_min through nulls-first struct ordering (ADVICE r7)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import arg_extrema
+
+    df = spark.createDataFrame(
+        [("g", None, 1), ("g", 2.0, 2), ("g", 3.0, 3)],
+        "g string, v double, a long",
+    )
+    r = arg_extrema(df, ["g"], "v", "a").collect()[0]
+    assert r["arg_min"] == 2 and r["arg_max"] == 3
+    # a group whose values are ALL NULL disappears, like CH's
+    # aggregate over zero non-NULL rows inside GROUP BY
+    all_null = spark.createDataFrame(
+        [("g", None, 1)], "g string, v double, a long"
+    )
+    assert arg_extrema(all_null, ["g"], "v", "a").count() == 0
+
+
 def test_avg_weighted_exact(spark):
     from carbon_clickhouse_spark.operators.ch_aggregates import avg_weighted
 
@@ -556,8 +575,11 @@ def test_group_array_moving_sum_and_avg(spark):
     # unbounded: prefix sums / true prefix averages
     mu = group_array_moving(df, ["g"], "v", ["ord"]).collect()[0]
     assert list(mu["moving"]) == [1.0, 3.0, 6.0, 10.0]
+    # unbounded MovingAvg divides every element by the TOTAL count N
+    # (CH docs example: ints [1,2,4,7] -> [0,0,1,3] = prefix/4), not
+    # the prefix length
     mua = group_array_moving(df, ["g"], "v", ["ord"], how="avg").collect()[0]
-    assert list(mua["moving"]) == [1.0, 1.5, 2.0, 2.5]
+    assert list(mua["moving"]) == [0.25, 0.75, 1.5, 2.5]
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

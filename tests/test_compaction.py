@@ -316,3 +316,57 @@ def test_compact_replacing_incremental_month_selection(spark, tmp_path):
     }
     assert got == {(jun, "a.b"): 3, (jul, "a.c"): 1}
     assert compact_replacing(spark, path, keys) == []
+
+
+def test_compact_rollup_explicit_months_skip_sidecar(spark, tmp_path):
+    """An EXPLICIT partial compact_rollup must not advance the global
+    age-boundary watermark: a month left out of the explicit run whose
+    points crossed a retention boundary since the last FULL run still
+    re-selects afterwards (ADVICE r7: the unconditional sidecar write
+    made such a month un-rolled forever)."""
+    from carbon_clickhouse_spark.operators.compaction import (
+        months_needing_rollup,
+    )
+    from carbon_clickhouse_spark.operators.rollup import (
+        Retention,
+        RollupRule,
+    )
+
+    jun = 1_622_505_600  # 2021-06
+    jul = 1_625_097_600  # 2021-07
+    age = 3600
+    rules = (
+        RollupRule("", "avg", (Retention(0, 1), Retention(age, 60))),
+    )
+    path = str(tmp_path / "points")
+    (
+        spark.createDataFrame(
+            [("s.a", 1.0, jun + 100, 1), ("s.b", 2.0, jul + 100, 1)],
+            "path string, value double, time long, version long",
+        )
+        .withColumn("date", F.to_date(F.timestamp_seconds("time")))
+        .withColumn(
+            "month", F.date_format(F.timestamp_seconds("time"), "yyyyMM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(path)
+    )
+    # full run BEFORE the jun point ages past the boundary
+    t0 = jun + 100 + age - 50
+    assert compact_rollup(spark, path, rules=rules, now=t0) == [
+        "202106",
+        "202107",
+    ]
+    # explicit partial run on jul only, AFTER jun's point crossed the
+    # boundary — must leave the sidecar watermark at t0
+    t1 = jun + 100 + age + 50
+    assert compact_rollup(
+        spark, path, rules=rules, now=t1, months=["202107"]
+    ) == ["202107"]
+    # the next incremental selection still sweeps from t0 and finds jun
+    t2 = t1 + 10
+    assert "202106" in months_needing_rollup(spark, path, rules, now=t2)
+    assert "202106" in compact_rollup(spark, path, rules=rules, now=t2)
+    # and only then goes quiet
+    assert months_needing_rollup(spark, path, rules, now=t2) == []
