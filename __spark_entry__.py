@@ -1597,6 +1597,52 @@ def q_dsir_scores(spark, sf_dir):
     )
 
 
+# fixed piece table for the unigram_viterbi oracle: hand-set log-probs
+# (the ENCODE path is what the oracle pins — training bit-determinism
+# is unit-gated in tests/test_unigram.py), full ASCII letter/digit
+# coverage so every BPE_TOKEN_RE token segments; punctuation tokens
+# are single unseen chars and take the floor score, replayed in SQL
+_UNIGRAM_ORACLE_VOCAB: dict[str, float] = {
+    "the": -2.0, "ing": -2.8, "and": -2.9, "ion": -3.0, "ent": -3.1,
+    "ati": -3.15, "in": -3.2, "an": -3.3, "of": -3.33, "er": -3.4,
+    "to": -3.42, "on": -3.45, "es": -3.5, "th": -3.5, "is": -3.52,
+    "re": -3.55, "ed": -3.6, "he": -3.6, "it": -3.62, "at": -3.65,
+    "st": -3.66, "en": -3.7, "al": -3.72, "ar": -3.73, "or": -3.75,
+}
+_UNIGRAM_ORACLE_VOCAB.update(
+    {c: -4.5 for c in "abcdefghijklmnopqrstuvwxyz"}
+)
+_UNIGRAM_ORACLE_VOCAB.update(
+    {c: -5.0 for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"}
+)
+_UNIGRAM_ORACLE_VOCAB.update({c: -4.8 for c in "0123456789"})
+
+
+def q_unigram_viterbi(spark, sf_dir):
+    """The unigram tokenizer's ENCODE path
+    (datapipe/unigram.unigram_encode): Viterbi-segment every
+    document's BPE_TOKEN_RE pre-tokens under a FIXED broadcast piece
+    table — mapInPandas, text never shuffles. The oracle replays the
+    exact DP in DuckDB: one recursive CTE steps the lattice position
+    by position carrying the best/backpointer LISTs (leftmost-max =
+    the Python loop's strict-> first-found tie rule, ascending j =
+    longest-piece-wins), a second walks the backpointers into pieces,
+    unseen single chars take the min(logp)-10 floor — IEEE-identical
+    single additions, so the match is hash-exact."""
+    from carbon_clickhouse_spark.datapipe.unigram import (
+        UnigramModel,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = UnigramModel(
+        log_probs=dict(_UNIGRAM_ORACLE_VOCAB),
+        vocab_size=len(_UNIGRAM_ORACLE_VOCAB),
+        n_words_table=0,
+    )
+    return unigram_encode(docs, model).select("doc_id", "pieces")
+
+
 def q_corpus_prep(spark, sf_dir):
     """Training-corpus last mile: deterministic stratified sampling
     (even-numbered sources 100%, odd 40%, keyed on an engine-portable
@@ -2148,6 +2194,36 @@ def q_histogram_adaptive(spark, sf_dir):
     )
 
 
+def q_histogram_adaptive_sketch(spark, sf_dir):
+    """The SKETCH mode of ``histogram(N)`` — the actual 100 TB path —
+    made deterministic: partial summaries per value-derived bucket
+    (``pmod(floor(v*4096), 4)``) instead of per physical partition,
+    compacted to ``bins*oversample`` centroids each, then the final
+    greedy merge to ``bins`` (operators/ch_aggregates.py
+    histogram_adaptive, exact=False, buckets=4). The bucket key makes
+    the two-level merge tree a pure function of the data, so the
+    oracle replays BOTH levels as DuckDB recursive CTEs (the same
+    leftmost-minimal-gap weighted-mean loop as the exact-mode oracle,
+    once per bucket, then once over the flattened bucket centroids) —
+    hash-exact. The single-task distinct-cardinality cost of exact
+    mode splits across buckets: the audit mode is also the parallel
+    one."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_adaptive(
+        ev.select("event_type", "value"),
+        "value",
+        6,
+        ["event_type"],
+        exact=False,
+        oversample=2,
+        buckets=4,
+    )
+
+
 def q_ch_agg_breadth(spark, sf_dir):
     """ClickHouse aggregate breadth in one gate: ``argMin``/``argMax``
     (deterministic ties — smallest/largest arg), ``avgWeighted``
@@ -2387,6 +2463,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": q_sequence_match,
         # graded rep: corpus_prep grades the packing machinery
         "chunk_docs": q_chunk_documents,
+        # graded rep: corpus_prep (tokenize stage); pins the unigram
+        # tokenizer's Viterbi encode against a SQL lattice replay
+        "unigram_viterbi": q_unigram_viterbi,
         # graded rep: dsir_resample shares the same DSIR core weights
         "dsir_scores": q_dsir_scores,
         # graded reps: minhash_lsh_pairs (banding) + ann_ivf (routing)
@@ -2419,6 +2498,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
+        # graded rep: histogram_adaptive (exact mode); this pins the
+        # SKETCH mode (the 100 TB path) via deterministic value
+        # buckets, both merge levels replayed in SQL
+        "histogram_adaptive_sketch": q_histogram_adaptive_sketch,
         # graded reps: tpch_q1 / sum_map_daily (exact-decimal family);
         # adds groupArrayMovingSum/Avg parity
         "moving_window_arrays": q_moving_window_arrays,
@@ -3828,6 +3911,158 @@ def _all_oracle_sql() -> dict[str, str]:
                ELSE (v[k]+v[k+1])/2 END AS upper,
           w[k] AS height
         FROM fin, UNNEST(range(1, len(v)+1)) AS u(k)
+    """
+    # the deterministic SKETCH replay: level 1 runs the same merge
+    # loop per (event_type, value-bucket) down to bins*oversample=12
+    # centroids, level 2 flattens the bucket centroids (sorted by
+    # (v, w), matching merge_final's tie order) and merges to 6.
+    # pmod(floor(v*4096), 4) is IEEE-identical in both engines
+    oracles["histogram_adaptive_sketch"] = """
+        WITH RECURSIVE gv AS (
+          SELECT event_type,
+            ((CAST(floor(value*4096) AS BIGINT) % 4) + 4) % 4 AS b,
+            value AS v, count(*)::DOUBLE AS w
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+          GROUP BY event_type, b, value
+        ),
+        seed1 AS (
+          SELECT event_type, b,
+                 list(v ORDER BY v) AS v,
+                 list(w ORDER BY v) AS w,
+                 min(v) AS lo, max(v) AS hi
+          FROM gv GROUP BY event_type, b
+        ),
+        m1 AS (
+          SELECT event_type, b, v, w, lo, hi FROM seed1
+          UNION ALL
+          SELECT event_type, b,
+            v[1:i-1] || [ (v[i]*w[i]+v[i+1]*w[i+1])/(w[i]+w[i+1]) ]
+              || v[i+2:],
+            w[1:i-1] || [ w[i]+w[i+1] ] || w[i+2:], lo, hi
+          FROM (
+            SELECT event_type, b, v, w, lo, hi,
+              list_position(gaps, list_aggregate(gaps, 'min')) AS i
+            FROM (
+              SELECT *, list_transform(
+                range(1, len(v)), k -> v[k+1]-v[k]) AS gaps
+              FROM m1
+            )
+            WHERE len(v) > 12
+          )
+        ),
+        f1 AS (SELECT * FROM m1 WHERE len(v) <= 12),
+        lvl2 AS (
+          SELECT event_type, UNNEST(v) AS v, UNNEST(w) AS w, lo, hi
+          FROM f1
+        ),
+        seed2 AS (
+          SELECT event_type,
+                 list(v ORDER BY v, w) AS v,
+                 list(w ORDER BY v, w) AS w,
+                 min(lo) AS lo, max(hi) AS hi
+          FROM lvl2 GROUP BY event_type
+        ),
+        m2 AS (
+          SELECT event_type, v, w, lo, hi FROM seed2
+          UNION ALL
+          SELECT event_type,
+            v[1:i-1] || [ (v[i]*w[i]+v[i+1]*w[i+1])/(w[i]+w[i+1]) ]
+              || v[i+2:],
+            w[1:i-1] || [ w[i]+w[i+1] ] || w[i+2:], lo, hi
+          FROM (
+            SELECT event_type, v, w, lo, hi,
+              list_position(gaps, list_aggregate(gaps, 'min')) AS i
+            FROM (
+              SELECT *, list_transform(
+                range(1, len(v)), k -> v[k+1]-v[k]) AS gaps
+              FROM m2
+            )
+            WHERE len(v) > 6
+          )
+        ),
+        fin AS (SELECT * FROM m2 WHERE len(v) <= 6)
+        SELECT event_type, CAST(k - 1 AS INT) AS bin,
+          CASE WHEN k = 1 THEN lo ELSE (v[k-1]+v[k])/2 END AS lower,
+          CASE WHEN k = CAST(len(v) AS BIGINT) THEN hi
+               ELSE (v[k]+v[k+1])/2 END AS upper,
+          w[k] AS height
+        FROM fin, UNNEST(range(1, len(v)+1)) AS u(k)
+    """
+    # the unigram ENCODE replay: dp steps the Viterbi lattice one
+    # position per recursion carrying best/backpointer LISTs —
+    # leftmost list_position-of-max = the Python strict-> first-found
+    # tie rule with ascending j (longest piece wins); walk rebuilds
+    # the pieces from the backpointers; unseen single chars take the
+    # min(logp)-10 floor. Single IEEE additions on both sides.
+    _uv = ", ".join(
+        f"('{p}', CAST({lp!r} AS DOUBLE))"
+        for p, lp in sorted(_UNIGRAM_ORACLE_VOCAB.items())
+    )
+    _ufloor = min(_UNIGRAM_ORACLE_VOCAB.values()) - 10.0
+    oracles["unigram_viterbi"] = f"""
+        WITH RECURSIVE vocab(piece, lp) AS (VALUES {_uv}),
+        vm AS (SELECT MAP(list(piece), list(lp)) AS m FROM vocab),
+        tok AS (
+          SELECT doc_id, regexp_extract_all(
+            text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'
+          ) AS ws
+          FROM documents
+        ),
+        wpos AS (
+          SELECT doc_id, unnest(ws) AS word,
+                 unnest(range(len(ws))) AS pos
+          FROM tok
+        ),
+        dwords AS (SELECT DISTINCT word FROM wpos),
+        dp AS (
+          SELECT word, 0 AS i,
+                 CAST([0.0] AS DOUBLE[]) AS best,
+                 CAST([0] AS BIGINT[]) AS back
+          FROM dwords
+          UNION ALL
+          SELECT word, i + 1,
+                 best || [list_aggregate(cands, 'max')],
+                 back || [greatest(0, i + 1 - 16)
+                          + list_position(
+                              cands, list_aggregate(cands, 'max')) - 1]
+          FROM (
+            SELECT word, i, best, back,
+              list_transform(
+                range(greatest(0, i + 1 - 16), i + 1),
+                j -> best[j + 1] + coalesce(
+                       m[substr(word, CAST(j + 1 AS INT),
+                                CAST(i + 1 - j AS INT))][1],
+                       CASE WHEN i + 1 - j = 1
+                            THEN {_ufloor!r} END)
+              ) AS cands
+            FROM dp, vm
+            WHERE i < length(word)
+          )
+        ),
+        seg AS (SELECT word, back FROM dp WHERE i = length(word)),
+        walk AS (
+          SELECT word, CAST(length(word) AS BIGINT) AS i, back,
+                 CAST([] AS VARCHAR[]) AS pieces
+          FROM seg
+          UNION ALL
+          SELECT word, back[CAST(i AS INT) + 1] AS i, back,
+                 [substr(word,
+                         CAST(back[CAST(i AS INT) + 1] AS INT) + 1,
+                         CAST(i - back[CAST(i AS INT) + 1] AS INT))]
+                   || pieces
+          FROM walk WHERE i > 0
+        ),
+        wp AS (SELECT word, pieces FROM walk WHERE i = 0),
+        agg AS (
+          SELECT w.doc_id,
+                 flatten(list(p.pieces ORDER BY w.pos)) AS pieces
+          FROM wpos w JOIN wp p USING (word)
+          GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.pieces, CAST([] AS VARCHAR[])) AS pieces
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)
     """
     # argMin/argMax with total-order ties, avgWeighted via the exact
     # decimal numerator + one IEEE division, quantileExactWeighted as

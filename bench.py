@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     # and the multi-aggregate join plan
     "histogram_adaptive",
     "ch_agg_breadth",
+    # round-8: the deterministic bucketed sketch (the 100 TB
+    # histogram path) and the strict-below streaming siblings' batch
+    # rep are already covered; this leg watches the two-level merge
+    "histogram_adaptive_sketch",
 ]
 
 

@@ -604,6 +604,7 @@ def histogram_adaptive(
     group_cols: Sequence[str] = (),
     exact: bool = True,
     oversample: int = 4,
+    buckets: int | None = None,
 ) -> DataFrame:
     """ClickHouse ``histogram(N)(x)``: ADAPTIVE bins via greedy
     centroid merging, unlike :func:`histogram_fixed`'s explicit
@@ -627,6 +628,19 @@ def histogram_adaptive(
     near-tied gaps (exactly as CH's depends on block order); the
     invariants the tests assert — total height equals the row count,
     edges equal min/max, at most N bins — hold regardless.
+
+    ``exact=False, buckets=P``: the DETERMINISTIC sketch — partial
+    summaries are computed per VALUE-DERIVED bucket
+    (``pmod(floor(v*4096), P)``) instead of per physical partition,
+    so the two-level merge tree (bucket compaction to
+    ``bins*oversample``, then the final merge to ``bins``) is a pure
+    function of the data under ANY partitioning and replays exactly
+    in another engine. Each bucket collapses to its exact distinct
+    values first (one JVM partial-agg shuffle on (group, bucket,
+    value)), so the single-task distinct-cardinality cost of
+    ``exact=True`` splits ~P ways — the audit/oracle mode that is
+    also the parallel one. Requires ``|v|*4096 < 2^62`` (the floor
+    stays in long range; metric-scale values by construction).
 
     NULL/NaN values are skipped (CH aggregate semantics).
     """
@@ -698,6 +712,43 @@ def histogram_adaptive(
     )
     cap = bins * oversample
 
+    if buckets is not None:
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        # deterministic two-level merge: exact distinct counts per
+        # (group, value-bucket, value) in the JVM, one compaction per
+        # bucket, then the shared final merge per group
+        bucketed = (
+            src.withColumn(
+                "__b",
+                F.pmod(F.floor(F.col("__v") * 4096), F.lit(buckets)),
+            )
+            .groupBy(*gcols, "__b", "__v")
+            .agg(F.count(F.lit(1)).cast("double").alias("__w"))
+        )
+
+        def compact_bucket(key, pdf):
+            pdf = pdf.sort_values("__v")
+            v = pdf["__v"].to_list()
+            w = pdf["__w"].to_list()
+            mv, mw = _merge_centroids(v, w, cap)
+            gk = key[: len(gcols)]
+            return pd.DataFrame(
+                {
+                    **{c: [k] * len(mv) for c, k in zip(gcols, gk)},
+                    "__v": mv,
+                    "__w": mw,
+                    "__lo": [v[0]] * len(mv),
+                    "__hi": [v[-1]] * len(mv),
+                }
+            )
+
+        parts = bucketed.groupBy(*gcols, "__b").applyInPandas(
+            compact_bucket, part_schema
+        )
+    else:
+        parts = None  # set below by the partition-local summarize
+
     def summarize(batches):
         state: dict = {}  # group -> (values dict v->w, lo, hi)
         for pdf in batches:
@@ -730,10 +781,14 @@ def histogram_adaptive(
                 }
             )
 
-    parts = src.mapInPandas(summarize, part_schema)
+    if parts is None:
+        parts = src.mapInPandas(summarize, part_schema)
 
     def merge_final(key, pdf):
-        pdf = pdf.sort_values("__v")
+        # (v, w) sort: bucket centroids arrive in arbitrary row order,
+        # and exactly-tied v from different buckets must line up the
+        # same way every run (and in the oracle's ORDER BY v, w)
+        pdf = pdf.sort_values(["__v", "__w"])
         rows = finalize(
             pdf["__v"].to_list(),
             pdf["__w"].to_list(),

@@ -1,6 +1,6 @@
-"""Streaming ``sequenceCount``: the ClickHouse non-overlapping
-sequence-match counter (operators/sequence_match.py) over a LIVE
-event stream, with watermark-correct out-of-order handling.
+"""Streaming ``sequenceCount`` and ``sequenceMatch``: the ClickHouse
+sequence matchers (operators/sequence_match.py) over a LIVE event
+stream, with watermark-correct out-of-order handling.
 
 Same construction as :mod:`.funnel` and :mod:`.rates`: counting a
 match consumes events, and a consumed prefix cannot be un-consumed
@@ -225,6 +225,198 @@ def streaming_sequence_count(
                     "ver": [ver],
                 }
             )
+
+    keyed = events.select(
+        F.col(user_col),
+        F.col(time_col).alias("__event_ts"),
+        F.unix_timestamp(F.col(time_col)).alias("__t"),
+        F.col(type_col).cast("string").alias("__ty"),
+    ).withWatermark("__event_ts", watermark_delay)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_sequence_match(
+    events: DataFrame,
+    types: Sequence[str],
+    max_gaps: Sequence[int | float | None] | None = None,
+    min_gaps: Sequence[int | float | None] | None = None,
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    watermark_delay: str = "30 seconds",
+    state_ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user ``sequenceMatch`` (the EXISTS question: did the typed
+    step chain ever complete?) over a STREAMING events frame — the
+    pattern-match sibling of :func:`streaming_sequence_count`, sharing
+    its watermark-buffered candidate fold; semantics mirror the batch
+    ``operators.sequence_match.sequence_match`` (``(?1)(?t<=N)(?2)``
+    chains plus ``(?t>N)`` strict lower bounds; a user's answer equals
+    ``sequence_count > 0``, the identity the replay-parity test pins).
+
+    Returns an update-mode stream ``(user_col, matched int, ver
+    long)``: exactly ONE row per user, emitted the first batch whose
+    frozen prefix completes the chain (the answer is monotone — once
+    1, always 1). After that the user's state collapses to a single
+    terminal flag: no buffering, no candidate lists, O(1) per matched
+    user until TTL eviction (``state_ttl_seconds``, processing-time).
+    Eviction of an UNMATCHED user folds everything still buffered
+    first — frozen or not — and emits if that completes the chain, so
+    no observed event is silently dropped; a returning user restarts
+    unmatched, the cold-key trade-off shared with the other stateful
+    operators.
+
+    Scale shape: one shuffle on the user key; per-user state is the
+    candidate lists (bounded by each step's outgoing max gap) plus the
+    out-of-order buffer bounded by (watermark delay x event rate), and
+    drops to one boolean the moment the user matches — on a stream
+    where most users eventually match, state is asymptotically one
+    flag per user."""
+    try:
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+    except ImportError:  # pragma: no cover - pyspark always ships it
+        from pyspark.sql.streaming import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    n = len(types)
+    if n < 1:
+        raise ValueError("types must name at least one step")
+    types = [str(s) for s in types]
+
+    def _bounds(g):
+        if g is None:
+            return [None] * (n - 1)
+        g = list(g)
+        if len(g) != n - 1:
+            raise ValueError(
+                f"gap bounds need len(types)-1 = {n - 1} entries"
+            )
+        return g
+
+    lo_gaps, hi_gaps = _bounds(min_gaps), _bounds(max_gaps)
+    u_type = events.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, u_type),
+            T.StructField("matched", T.IntegerType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    # same layout as the count operator: `matches` doubles as the
+    # terminal matched flag (0/1), so the state-store schema stays
+    # shared-shape across the sequence family
+    state_schema = T.StructType(
+        [
+            T.StructField(
+                "cand", T.ArrayType(T.ArrayType(T.LongType()))
+            ),
+            T.StructField("matched", T.LongType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("buf_t", T.ArrayType(T.LongType())),
+            T.StructField("buf_ty", T.ArrayType(T.StringType())),
+            T.StructField("last_wm", T.LongType()),
+        ]
+    )
+
+    def _emit(key, ver):
+        return pd.DataFrame(
+            {user_col: [key[0]], "matched": [1], "ver": [ver]}
+        )
+
+    def fn(
+        key: Any,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            cand_raw, matched, ver, buf_t, buf_ty, _ = state.get
+            state.remove()
+            if int(matched or 0):
+                return  # already emitted when it first matched
+            # fold EVERYTHING still buffered before forgetting
+            cand = [list(c or []) for c in (cand_raw or [])]
+            if len(cand) != n:
+                cand = [[] for _ in range(n)]
+            buf = sorted(
+                (int(t), str(ty))
+                for t, ty in zip(buf_t or [], buf_ty or [])
+            )
+            _, total = _fold_count(cand, 0, buf, types, lo_gaps, hi_gaps)
+            if total:
+                yield _emit(key, int(ver or 0) + 1)
+            return
+        if state.exists:
+            cand_raw, matched, ver, buf_t, buf_ty, last_wm = state.get
+            if int(matched or 0):
+                # terminal: keep the flag, ignore further events
+                state.update(([[]] * n, 1, int(ver or 0), [], [], last_wm))
+                if state_ttl_seconds:
+                    state.setTimeoutDuration(state_ttl_seconds * 1000)
+                return
+            cand = [list(c or []) for c in (cand_raw or [])]
+            if len(cand) != n:
+                cand = [[] for _ in range(n)]
+            ver = int(ver or 0)
+            buf = list(
+                zip([int(t) for t in buf_t or []], buf_ty or [])
+            )
+            last_wm = None if last_wm is None else int(last_wm)
+        else:
+            cand, ver, buf, last_wm = [[] for _ in range(n)], 0, [], None
+        for pdf in pdfs:
+            buf.extend(
+                (int(t), str(ty))
+                for t, ty in zip(pdf["__t"], pdf["__ty"])
+                # accept t == last_wm: the fold freezes strictly below
+                if not pd.isna(t)
+                and (last_wm is None or int(t) >= last_wm)
+            )
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms // 1000
+        if last_wm is not None and last_wm > wm:
+            wm = last_wm
+        no_wm = last_wm is None and wm_ms == 0
+        buf.sort()
+        cut = 0
+        while not no_wm and cut < len(buf) and buf[cut][0] < wm:
+            cut += 1
+        frozen, buf = buf[:cut], buf[cut:]
+        cand, got = _fold_count(cand, 0, frozen, types, lo_gaps, hi_gaps)
+        if got:
+            # terminal flag: drop buffers and candidates for good
+            ver += 1
+            state.update(([[]] * n, 1, ver, [], [], None if no_wm else int(wm)))
+            if state_ttl_seconds:
+                state.setTimeoutDuration(state_ttl_seconds * 1000)
+            yield _emit(key, ver)
+            return
+        state.update(
+            (
+                [list(c) for c in cand],
+                0,
+                ver,
+                [t for t, _ in buf],
+                [ty for _, ty in buf],
+                None if no_wm else int(wm),
+            )
+        )
+        if state_ttl_seconds:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
 
     keyed = events.select(
         F.col(user_col),

@@ -631,3 +631,51 @@ def test_max_intersections_half_open_touching(spark):
     assert max_intersections(df, ["g"], "s", "e").collect()[0][
         "max_intersections"
     ] == 1
+
+
+def test_histogram_adaptive_bucketed_sketch_deterministic(spark):
+    """exact=False with buckets=P: the two-level merge is a pure
+    function of the data — identical output under any physical
+    partitioning (the property the histogram_adaptive_sketch oracle
+    relies on), with the sketch invariants intact."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), rng.uniform(-50, 50)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = (
+        histogram_adaptive(df, "v", 6, ["g"], exact=False, oversample=2, buckets=4)
+        .orderBy("g", "bin")
+        .collect()
+    )
+    b = (
+        histogram_adaptive(
+            df.repartition(17), "v", 6, ["g"], exact=False, oversample=2, buckets=4
+        )
+        .orderBy("g", "bin")
+        .collect()
+    )
+    assert a == b
+    # invariants: total height = row count per group, <= bins bins,
+    # outer edges are the true min/max
+    from collections import Counter, defaultdict
+
+    heights = defaultdict(float)
+    for r in a:
+        heights[r["g"]] += r["height"]
+    want = Counter(g for g, _ in rows)
+    for g, tot in heights.items():
+        assert abs(tot - want[g]) < 1e-6
+    per_g = Counter(r["g"] for r in a)
+    assert all(c <= 6 for c in per_g.values())
+    lo = {g: min(v for gg, v in rows if gg == g) for g in want}
+    hi = {g: max(v for gg, v in rows if gg == g) for g in want}
+    for r in a:
+        if r["bin"] == 0:
+            assert r["lower"] == lo[r["g"]]
+        if r["bin"] == per_g[r["g"]] - 1:
+            assert r["upper"] == hi[r["g"]]

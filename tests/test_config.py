@@ -331,3 +331,56 @@ table = "t1"
     )
     cfg.uploads["weird"].type = "something-new"
     assert clickhouse_ddl(cfg) == ""
+
+
+def test_clickhouse_ddl_golden_vs_reference_init_sql():
+    """Statement-for-statement golden diff against the reference's own
+    e2e ClickHouse schema (tests/clickhouse/rollup/init.sql — identical
+    in the rollup_tls flavor): generating DDL for a config naming the
+    same four default.* tables must reproduce every CREATE TABLE
+    modulo whitespace. Pins the generator so it cannot drift from the
+    documented contract."""
+    import os
+    import re
+
+    from carbon_clickhouse_spark.config import clickhouse_ddl, load_config
+
+    ref = "/root/reference/tests/clickhouse/rollup/init.sql"
+    if not os.path.exists(ref):  # pragma: no cover - sandbox layout
+        import pytest
+
+        pytest.skip("reference init.sql not available")
+
+    def statements(sql):
+        # strip comments, split on ';', normalize all whitespace
+        sql = re.sub(r"--[^\n]*", "", sql)
+        return sorted(
+            re.sub(r"\s+", " ", s).strip()
+            for s in sql.split(";")
+            if s.strip()
+        )
+
+    with open(ref) as fh:
+        want = statements(fh.read())
+
+    cfg = load_config(
+        """
+[upload.graphite]
+type = "points"
+table = "default.graphite"
+
+[upload.graphite_reverse]
+type = "points-reverse"
+table = "default.graphite_reverse"
+
+[upload.graphite_index]
+type = "index"
+table = "default.graphite_index"
+
+[upload.graphite_tags]
+type = "tagged"
+table = "default.graphite_tags"
+"""
+    )
+    got = statements(clickhouse_ddl(cfg))
+    assert got == want

@@ -164,3 +164,186 @@ def test_ttl_eviction_folds_buffered_events(spark, tmp_path):
         assert got[0]["n_matches"] == 1
     finally:
         q.stop()
+
+
+def _batch_matched(spark, events, types, lo, hi):
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_match,
+    )
+
+    df = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in events],
+        "user_id long, time long, event_type string",
+    )
+    return {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            df,
+            [f"event_type = '{t}'" for t in types],
+            max_gaps=hi,
+            min_gaps=lo,
+        ).collect()
+    }
+
+
+def test_streaming_sequence_match_parity_with_batch(spark, tmp_path):
+    """Replay parity: the streaming matcher's per-user answer equals
+    the batch sequence_match on the same shuffled events — and each
+    matched user is emitted EXACTLY once (the answer is monotone)."""
+    from carbon_clickhouse_spark.streaming.sequences import (
+        streaming_sequence_match,
+    )
+
+    landing = str(tmp_path / "sm1")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    rng = random.Random(23)
+    events = []
+    for u in range(10):
+        t = base
+        for _ in range(rng.randrange(2, 12)):
+            t += rng.randrange(5, 40)
+            events.append((u, t, rng.choice("abx")))
+    rng.shuffle(events)
+    cut = len(events) // 2
+    b1, b2 = events[:cut], events[cut:]
+
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_match(
+        stream, ["a", "b"], max_gaps=[60], min_gaps=[10],
+        watermark_delay="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sm1")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write(landing, "b1.json", b1)
+        q.processAllAvailable()
+        _write(landing, "b2.json", b2)
+        q.processAllAvailable()
+        # freeze rounds carry EVERY user's key: a key only re-folds
+        # when it receives data, so each user gets a non-step event
+        # while the watermark advances past all real timestamps
+        _write(
+            landing,
+            "b3.json",
+            [(u, base + 100_000, "x") for u in range(10)],
+        )
+        q.processAllAvailable()
+        _write(
+            landing,
+            "b4.json",
+            [(u, base + 200_000, "x") for u in range(10)],
+        )
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sm1 WHERE user_id < 90").collect()
+    got = {r["user_id"]: r["matched"] for r in rows}
+    # exactly one emission per matched user, all with matched=1, ver=1
+    assert len(rows) == len(got)
+    assert all(r["matched"] == 1 and r["ver"] == 1 for r in rows)
+    want = _batch_matched(spark, events, ["a", "b"], [10], [60])
+    want = {u: m for u, m in want.items() if m}
+    assert got == want, (got, want)
+
+
+def test_streaming_sequence_match_watermark_boundary(spark, tmp_path):
+    """Strict-below freeze convention: an event arriving at exactly
+    ``t == watermark`` is still accepted and completes the chain."""
+    from carbon_clickhouse_spark.streaming.sequences import (
+        streaming_sequence_match,
+    )
+
+    landing = str(tmp_path / "sm_wm")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_match(
+        stream, ["a", "b"], watermark_delay="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sm_wm")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        # batch 1: the chain head, plus a max-ts event that pushes the
+        # watermark to exactly base+90
+        _write(
+            landing,
+            "b1.json",
+            [(1, base + 85, "a"), (2, base + 100, "x")],
+        )
+        q.processAllAvailable()
+        # batch 2: the completing event lands AT the watermark
+        # (t == base+90 == wm) — strictly-below freezing must accept it
+        _write(landing, "b2.json", [(1, base + 90, "b")])
+        q.processAllAvailable()
+        # freeze pushers carry user 1's key: a stateful key only
+        # re-folds when it receives data (or times out), so the
+        # advancing watermark must arrive WITH a user-1 row
+        _write(landing, "b3.json", [(1, base + 100_000, "x")])
+        q.processAllAvailable()
+        _write(landing, "b4.json", [(1, base + 200_000, "x")])
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sm_wm WHERE user_id = 1").collect()
+    assert len(rows) == 1 and rows[0]["matched"] == 1, rows
+
+
+def test_streaming_sequence_match_ttl_folds_buffer(spark, tmp_path):
+    """TTL eviction of an unmatched user folds the still-buffered
+    events and emits if they complete the chain."""
+    from carbon_clickhouse_spark.streaming.sequences import (
+        streaming_sequence_match,
+    )
+
+    landing = str(tmp_path / "sm_ttl")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    _write(
+        landing,
+        "b1.json",
+        [(7, base + 10, "a"), (7, base + 20, "b")],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_match(
+        stream, ["a", "b"], max_gaps=[60],
+        watermark_delay="10 seconds", state_ttl_seconds=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sm_ttl")
+        .outputMode("update")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        time.sleep(6)
+        deadline = time.time() + 90
+        got = []
+        i = 0
+        while time.time() < deadline:
+            _write(
+                landing, f"k{i}.json", [(8, base + 10_000 + i, "x")]
+            )
+            i += 1
+            time.sleep(3)
+            assert q.exception() is None, q.exception()
+            got = spark.sql(
+                "SELECT * FROM sm_ttl WHERE user_id = 7"
+            ).collect()
+            if got:
+                break
+        assert got, "TTL expiry never emitted the buffered match"
+        assert got[0]["matched"] == 1
+    finally:
+        q.stop()
