@@ -2224,6 +2224,56 @@ def q_histogram_adaptive_sketch(spark, sf_dir):
     )
 
 
+def q_stat_moments(spark, sf_dir):
+    """ClickHouse ``skewPop`` / ``kurtPop`` / ``covarPop`` / ``corr``
+    per event type (operators/ch_aggregates.stat_moments): values
+    quantize half-up to round(v*1000) int64, the five raw power sums
+    accumulate EXACTLY in DECIMAL(38,0) (one partial-agg shuffle,
+    partition-order independent), and only the final moment algebra
+    runs in IEEE doubles — the oracle replays the identical integer
+    sums in HUGEINT and the identical expression tree, hash-exact.
+    The second variable is the integral ``event_id % 100`` (exact
+    as-is); skew/kurt/corr are affine-invariant so quantization only
+    touches the grid error, unlike CH's own block-order-dependent
+    double accumulators which cannot be hash-checked at all."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        stat_moments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value", (F.col("event_id") % 100).alias("y")
+    )
+    return stat_moments(base, ["event_type"], "value", y_col="y")
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
+    event type (operators/ch_aggregates.largest_triangle_three_buckets
+    — Steinarsson 2013): shape-preserving series downsampling, first/
+    last kept, each of the 18 middle buckets contributing its largest-
+    triangle point against the previous pick and the next bucket's
+    average. Selection metric uses integer-exact sums (x = epoch
+    seconds, y quantized half-up to round(v*1000)) and a fixed IEEE
+    area expression with leftmost ties, so the oracle replays the
+    pick loop as a DuckDB recursive CTE bit-for-bit; output rows
+    carry the untouched original values. One Arrow task per series —
+    the same bounded per-group shape as CH's array-returning
+    aggregate."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", _sec(ev).alias("t"), "event_id", "value"
+    )
+    return largest_triangle_three_buckets(
+        base, ["event_type"], "t", "value", 20,
+        order_cols=["t", "event_id"],
+    )
+
+
 def q_ch_agg_breadth(spark, sf_dir):
     """ClickHouse aggregate breadth in one gate: ``argMin``/``argMax``
     (deterministic ties — smallest/largest arg), ``avgWeighted``
@@ -2495,6 +2545,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded reps: tpch_q1 / top_event_types; adds argMin/argMax,
         # avgWeighted, quantileExactWeighted, groupUniqArray parity
         "ch_agg_breadth": q_ch_agg_breadth,
+        # graded reps: tpch_q1 / ch_agg_breadth; adds skewPop/kurtPop/
+        # covarPop/corr via exact integer power sums
+        "stat_moments": q_stat_moments,
+        # graded reps: read_series / histogram_adaptive (per-series
+        # folds); adds largestTriangleThreeBuckets downsampling with
+        # the pick loop replayed in SQL
+        "lttb_downsample": q_lttb_downsample,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -3987,6 +4044,132 @@ def _all_oracle_sql() -> dict[str, str]:
                ELSE (v[k]+v[k+1])/2 END AS upper,
           w[k] AS height
         FROM fin, UNNEST(range(1, len(v)+1)) AS u(k)
+    """
+    # skew/kurt/covar/corr: identical integer power sums (HUGEINT =
+    # Spark's DECIMAL(38,0)) then the identical IEEE expression tree
+    oracles["stat_moments"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS q,
+                 CAST(event_id % 100 AS HUGEINT) AS y
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(q) AS DOUBLE) AS s1,
+                 CAST(sum(q*q) AS DOUBLE) AS s2,
+                 CAST(sum(q*q*q) AS DOUBLE) AS s3,
+                 CAST(sum((q*q)*(q*q)) AS DOUBLE) AS s4,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(y*y) AS DOUBLE) AS sy2,
+                 CAST(sum(q*y) AS DOUBLE) AS sxy
+          FROM b GROUP BY event_type
+        ),
+        m AS (
+          SELECT event_type, n, s2, s3, s4, sy2, sxy,
+                 s1/n AS mean, sy/n AS meany
+          FROM s
+        ),
+        c AS (
+          SELECT event_type, n, s3, s4, mean, meany, sxy, sy2, s2,
+                 s2/n - mean*mean AS m2,
+                 sy2/n - meany*meany AS m2y
+          FROM m
+        )
+        SELECT event_type,
+          (s3/n - 3.0*mean*(s2/n) + 2.0*(mean*mean*mean))
+            / (m2 * sqrt(m2)) AS skew_pop,
+          (s4/n - 4.0*mean*(s3/n) + 6.0*(mean*mean)*(s2/n)
+             - 3.0*((mean*mean)*(mean*mean)))
+            / (m2 * m2) AS kurt_pop,
+          sxy/n - mean*meany AS covar_pop,
+          (sxy/n - mean*meany) / sqrt(m2 * m2y) AS corr_pop
+        FROM c
+    """
+    # the LTTB pick loop replayed: one recursion step per middle
+    # bucket (b = 18), carrying 1-based selected indices; integer
+    # floor-division bucket bounds, exact-int bucket sums over one
+    # IEEE division, the identical area expression, leftmost-max ties
+    oracles["lttb_downsample"] = """
+        WITH RECURSIVE base AS (
+          SELECT event_type, epoch_ms(ts) // 1000 AS t, event_id,
+                 value AS y,
+                 CAST(round(value * 1000) AS BIGINT) AS q
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        ser AS (
+          SELECT event_type,
+                 list(t ORDER BY t, event_id) AS xs,
+                 list(y ORDER BY t, event_id) AS ys,
+                 list(q ORDER BY t, event_id) AS qs,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY event_type
+        ),
+        small AS (SELECT event_type, xs, ys, n FROM ser WHERE n <= 20),
+        big AS (SELECT * FROM ser WHERE n > 20),
+        step AS (
+          SELECT event_type, xs, ys, qs, n,
+                 CAST(0 AS BIGINT) AS k,
+                 CAST([1] AS BIGINT[]) AS sel
+          FROM big
+          UNION ALL
+          SELECT event_type, xs, ys, qs, n, k + 1,
+            sel || [lo + list_position(
+              list_transform(range(lo, hi + 1), i ->
+                abs((px - ax) * (CAST(qs[i] AS DOUBLE) - py)
+                    - (px - CAST(xs[i] AS DOUBLE)) * (ay - py))),
+              list_aggregate(
+                list_transform(range(lo, hi + 1), i ->
+                  abs((px - ax) * (CAST(qs[i] AS DOUBLE) - py)
+                      - (px - CAST(xs[i] AS DOUBLE)) * (ay - py))),
+                'max')) - 1]
+          FROM (
+            SELECT event_type, xs, ys, qs, n, k, sel,
+              2 + (k * (n - 2)) // 18 AS lo,
+              1 + ((k + 1) * (n - 2)) // 18 AS hi,
+              CAST(xs[CAST(sel[len(sel)] AS INT)] AS DOUBLE) AS px,
+              CAST(qs[CAST(sel[len(sel)] AS INT)] AS DOUBLE) AS py,
+              CASE WHEN k < 17 THEN
+                CAST(list_aggregate(
+                  xs[CAST(2 + ((k + 1) * (n - 2)) // 18 AS INT)
+                     : CAST(1 + ((k + 2) * (n - 2)) // 18 AS INT)],
+                  'sum') AS DOUBLE)
+                / (((k + 2) * (n - 2)) // 18
+                   - ((k + 1) * (n - 2)) // 18)
+              ELSE CAST(xs[CAST(n AS INT)] AS DOUBLE) END AS ax,
+              CASE WHEN k < 17 THEN
+                CAST(list_aggregate(
+                  qs[CAST(2 + ((k + 1) * (n - 2)) // 18 AS INT)
+                     : CAST(1 + ((k + 2) * (n - 2)) // 18 AS INT)],
+                  'sum') AS DOUBLE)
+                / (((k + 2) * (n - 2)) // 18
+                   - ((k + 1) * (n - 2)) // 18)
+              ELSE CAST(qs[CAST(n AS INT)] AS DOUBLE) END AS ay
+            FROM step WHERE k < 18
+          )
+        ),
+        fin AS (
+          SELECT event_type, xs, ys,
+                 sel || [n] AS sel
+          FROM step WHERE k = 18
+        ),
+        out_big AS (
+          SELECT event_type, CAST(j AS INT) AS rnk,
+                 xs[CAST(sel[CAST(j AS INT)] AS INT)] AS x,
+                 ys[CAST(sel[CAST(j AS INT)] AS INT)] AS y
+          FROM fin, UNNEST(range(1, len(sel) + 1)) AS u(j)
+        ),
+        out_small AS (
+          SELECT event_type, CAST(j AS INT) AS rnk,
+                 xs[CAST(j AS INT)] AS x, ys[CAST(j AS INT)] AS y
+          FROM small, UNNEST(range(1, n + 1)) AS u(j)
+        )
+        SELECT event_type, rnk, x, y FROM out_big
+        UNION ALL
+        SELECT event_type, rnk, x, y FROM out_small
     """
     # the unigram ENCODE replay: dp steps the Viterbi lattice one
     # position per recursion carrying best/backpointer LISTs —

@@ -46,9 +46,11 @@ BENCH_QUERIES = [
     "histogram_adaptive",
     "ch_agg_breadth",
     # round-8: the deterministic bucketed sketch (the 100 TB
-    # histogram path) and the strict-below streaming siblings' batch
-    # rep are already covered; this leg watches the two-level merge
+    # histogram path), the moment aggregates' decimal power sums, and
+    # the LTTB per-series pick fold
     "histogram_adaptive_sketch",
+    "stat_moments",
+    "lttb_downsample",
 ]
 
 

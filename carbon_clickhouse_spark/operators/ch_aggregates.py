@@ -966,3 +966,213 @@ def max_intersections(
         .groupBy(*gcols)
         .agg(F.max("__depth").cast("int").alias(out_col))
     )
+
+
+def stat_moments(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    y_col: str | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``skewPop(x)`` / ``kurtPop(x)`` — and, given
+    ``y_col``, ``covarPop(x, y)`` / ``corr(x, y)`` — per group, with
+    ENGINE-EXACT accumulation: the value quantizes half-up to
+    ``round(x*scale)`` int64 (the :mod:`..datapipe.similarity`
+    convention every PCA/ANN oracle uses), raw power sums accumulate
+    in DECIMAL(38,0) (exact, partition-order independent, one JVM
+    partial-agg shuffle), and only the FINAL moment algebra runs in
+    IEEE doubles — a fixed expression tree another engine replays
+    bit-for-bit. Skewness, kurtosis, and correlation are invariant
+    under the affine quantization up to the grid error; covariance
+    scales by ``scale * y_scale`` — callers wanting CH's raw-double
+    covariance divide once (documented trade: CH's own double
+    accumulators are block-order dependent and cannot be
+    hash-checked).
+
+    ``y_col`` must be integral (exact as-is); kurtPop is the
+    NON-excess ratio m4/m2^2, matching CH. Groups with zero variance
+    return NULL skew/kurt (0/0), like CH's nan — filtered by neither.
+
+    At 100 TB: one partial-aggregating groupBy, five decimal sums per
+    row; nothing else moves."""
+    gcols = list(group_cols)
+    q = (
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(q).alias("__s1"),
+        F.sum(q * q).alias("__s2"),
+        F.sum(q * q * q).alias("__s3"),
+        F.sum((q * q) * (q * q)).alias("__s4"),
+    ]
+    if y_col is not None:
+        y = F.col(y_col).cast("decimal(38,0)")
+        aggs += [
+            F.sum(y).alias("__sy"),
+            F.sum(y * y).alias("__sy2"),
+            F.sum(q * y).alias("__sxy"),
+        ]
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    got = base.groupBy(*gcols).agg(*aggs)
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * (
+        mean * mean * mean
+    )
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * (mean * mean) * (s2 / n)
+        - F.lit(3.0) * ((mean * mean) * (mean * mean))
+    )
+    out = [
+        (m3 / (m2 * F.sqrt(m2))).alias("skew_pop"),
+        (m4 / (m2 * m2)).alias("kurt_pop"),
+    ]
+    if y_col is not None:
+        sy = F.col("__sy").cast("double")
+        sy2 = F.col("__sy2").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        meany = sy / n
+        m2y = sy2 / n - meany * meany
+        cov = sxy / n - mean * meany
+        out += [
+            cov.alias("covar_pop"),
+            (cov / F.sqrt(m2 * m2y)).alias("corr_pop"),
+        ]
+    return got.select(*gcols, *out)
+
+
+def largest_triangle_three_buckets(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    n_out: int,
+    order_cols: Sequence[str] | None = None,
+    y_scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(n)(x, y)``
+    (Steinarsson 2013, the downsampling algorithm behind it): per
+    group, pick ``n_out`` points that preserve the series' visual
+    shape — first and last always kept, the middle split into
+    ``n_out - 2`` equal buckets, each bucket contributing the point
+    with the LARGEST TRIANGLE area against the previously selected
+    point and the next bucket's average. Returns
+    ``(*group_cols, rnk int, x, y)`` — the selected original rows in
+    order.
+
+    Engine-exact determinism (CH's own output depends on its float
+    bucket math and read order): bucket boundaries use integer floor
+    division ``1 + k*(N-2) // (n_out-2)``, the selection metric
+    quantizes x to int64 as-is (x must be integral — epoch seconds)
+    and y half-up to ``round(y*y_scale)`` int64, bucket averages are
+    exact-int sums over one IEEE division, the area is a fixed
+    double expression tree, and ties take the leftmost point — so an
+    oracle replays the pick bit-for-bit and the OUTPUT rows carry the
+    untouched original y.
+
+    Sequentially dependent per group (each pick feeds the next
+    triangle), so the fold is one Arrow task per group over the
+    collected series — the same bounded-state shape as CH's own
+    array-returning aggregate; groups hash-partition, nothing
+    collects to the driver. ``n_out >= N`` returns every point;
+    ``n_out == 2`` just the endpoints; ``n_out < 2`` raises."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if n_out < 2:
+        raise ValueError("n_out must be >= 2")
+    gcols = list(group_cols)
+    ocols = list(order_cols) if order_cols else [x_col]
+    src = df.filter(
+        F.col(y_col).isNotNull() & ~F.isnan(F.col(y_col))
+    ).select(
+        *gcols,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.round(F.col(y_col).cast("double") * y_scale)
+        .cast("long")
+        .alias("__q"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(ocols)],
+    )
+    gfields = [src.schema[c] for c in gcols]
+    out_schema = T.StructType(
+        gfields
+        + [
+            T.StructField("rnk", T.IntegerType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    okeys = [f"__o{i}" for i in range(len(ocols))]
+
+    def pick(xs, qs, nb):
+        n = len(xs)
+        if nb >= n:
+            return list(range(n))
+        if nb == 2:
+            return [0, n - 1]
+        sel = [0]
+        m = n - 2
+        b = nb - 2
+        for k in range(b):
+            lo = 1 + (k * m) // b
+            hi = 1 + ((k + 1) * m) // b
+            # next anchor: bucket k+1's average (nonempty: m >= b
+            # here, so consecutive floor boundaries always differ);
+            # the last middle bucket anchors on the final point
+            if k < b - 1:
+                nlo, nhi = hi, 1 + ((k + 2) * m) // b
+            else:
+                nlo, nhi = n - 1, n
+            cnt = nhi - nlo
+            ax = float(sum(xs[nlo:nhi])) / cnt
+            ay = float(sum(qs[nlo:nhi])) / cnt
+            p = sel[-1]
+            px, py = float(xs[p]), float(qs[p])
+            best_i, best_a = lo, -1.0
+            for i in range(lo, hi):
+                a = abs(
+                    (px - ax) * (float(qs[i]) - py)
+                    - (px - float(xs[i])) * (ay - py)
+                )
+                if a > best_a:
+                    best_i, best_a = i, a
+            sel.append(best_i)
+        sel.append(n - 1)
+        return sel
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(okeys, kind="mergesort")
+        xs = pdf["__x"].to_list()
+        qs = pdf["__q"].to_list()
+        ys = pdf["__y"].to_list()
+        sel = pick(xs, qs, n_out)
+        return pd.DataFrame(
+            {
+                **{c: [k] * len(sel) for c, k in zip(gcols, key)},
+                "rnk": list(range(1, len(sel) + 1)),
+                "x": [xs[i] for i in sel],
+                "y": [ys[i] for i in sel],
+            }
+        )
+
+    if not gcols:
+        def run_all(key, pdf):  # noqa: ANN001
+            return run((), pdf)
+        return src.groupBy(F.lit(1).alias("__g")).applyInPandas(
+            run_all, out_schema
+        )
+    return src.groupBy(*gcols).applyInPandas(run, out_schema)

@@ -679,3 +679,107 @@ def test_histogram_adaptive_bucketed_sketch_deterministic(spark):
             assert r["lower"] == lo[r["g"]]
         if r["bin"] == per_g[r["g"]] - 1:
             assert r["upper"] == hi[r["g"]]
+
+
+def test_stat_moments_matches_reference_fold(spark):
+    """skewPop/kurtPop/covarPop/corr against a direct Python fold over
+    the same quantized integers and the same final expression tree."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        stat_moments,
+    )
+
+    vals = [1.25, 2.5, 2.5, 7.75, 10.0, 3.5]
+    ys = [3, 1, 4, 1, 5, 9]
+    df = spark.createDataFrame(
+        [("g", v, y) for v, y in zip(vals, ys)],
+        "g string, v double, y long",
+    )
+    r = stat_moments(df, ["g"], "v", y_col="y").collect()[0]
+
+    q = [round(v * 1000) for v in vals]
+    n = float(len(q))
+    s1, s2 = float(sum(q)), float(sum(x * x for x in q))
+    s3 = float(sum(x**3 for x in q))
+    s4 = float(sum(x**4 for x in q))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * (mean * mean * mean)
+    m4 = (
+        s4 / n
+        - 4.0 * mean * (s3 / n)
+        + 6.0 * (mean * mean) * (s2 / n)
+        - 3.0 * ((mean * mean) * (mean * mean))
+    )
+    assert r["skew_pop"] == m3 / (m2 * math.sqrt(m2))
+    assert r["kurt_pop"] == m4 / (m2 * m2)
+    sy, sy2 = float(sum(ys)), float(sum(y * y for y in ys))
+    sxy = float(sum(x * y for x, y in zip(q, ys)))
+    meany = sy / n
+    m2y = sy2 / n - meany * meany
+    cov = sxy / n - mean * meany
+    assert r["covar_pop"] == cov
+    assert r["corr_pop"] == cov / math.sqrt(m2 * m2y)
+    # NULL/NaN skipped like every CH aggregate here
+    withnull = spark.createDataFrame(
+        [("g", None, 1), ("g", float("nan"), 2)]
+        + [("g", v, y) for v, y in zip(vals, ys)],
+        "g string, v double, y long",
+    )
+    r2 = stat_moments(withnull, ["g"], "v", y_col="y").collect()[0]
+    assert r2["skew_pop"] == r["skew_pop"]
+
+
+def test_lttb_endpoints_and_known_pick(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets as lttb,
+    )
+
+    # 7 points, downsample to 3: one middle bucket (indices 1..5),
+    # anchor = last point; the spike at t=3 wins the triangle
+    pts = [(0, 0.0), (1, 1.0), (2, 1.0), (3, 50.0), (4, 1.0),
+           (5, 1.0), (6, 0.0)]
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in pts], "g string, t long, v double"
+    )
+    got = [
+        (r["rnk"], r["x"], r["y"])
+        for r in lttb(df, ["g"], "t", "v", 3).orderBy("rnk").collect()
+    ]
+    assert got == [(1, 0, 0.0), (2, 3, 50.0), (3, 6, 0.0)]
+
+    # n_out >= N returns every point; n_out=2 just the endpoints
+    assert lttb(df, ["g"], "t", "v", 99).count() == 7
+    two = [
+        (r["x"], r["y"])
+        for r in lttb(df, ["g"], "t", "v", 2).orderBy("rnk").collect()
+    ]
+    assert two == [(0, 0.0), (6, 0.0)]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lttb(df, ["g"], "t", "v", 1)
+
+
+def test_lttb_partition_independent(spark):
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets as lttb,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        ("g%d" % (i % 2), i, rng.uniform(-5, 5)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    a = lttb(df, ["g"], "t", "v", 12).orderBy("g", "rnk").collect()
+    b = (
+        lttb(df.repartition(13), ["g"], "t", "v", 12)
+        .orderBy("g", "rnk")
+        .collect()
+    )
+    assert a == b
+    assert all(r["rnk"] <= 12 for r in a)
