@@ -436,3 +436,189 @@ def streaming_sequence_match(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def streaming_sequence_next_node(
+    events: DataFrame,
+    steps: Sequence[str],
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    watermark_delay: str = "30 seconds",
+    state_ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming ``sequenceNextNode('forward', 'head')`` — "where do
+    users go next": per user, once the FIRST ``len(steps)+1`` events
+    (in event-time order) are frozen below the watermark, check the
+    consecutive head run against ``steps`` and emit the event one past
+    it (operators/sequence_match.sequence_next_node is the batch
+    twin; CH parametric-functions reference for the semantics).
+
+    head+forward is the one base/direction pair with streaming
+    meaning: the answer depends only on the stream's PREFIX, so it
+    determines monotonically — a mismatch anywhere in the head run
+    decides NULL immediately, a full run decides on the (n+1)-th
+    frozen event, and either way the user's state collapses to a
+    terminal flag (tail/last_match anchor on the END of the stream
+    and stay batch-only). Returns an update-mode
+    ``(user_col, next_event string, ver long)`` — exactly one row per
+    DETERMINED user; ``next_event`` NULL when the head run mismatched
+    (the batch operator's NULL). An undetermined user (matched run,
+    no next event frozen yet) emits nothing until more data — or
+    until ``state_ttl_seconds`` evicts them, which folds the
+    still-buffered tail and emits the batch-equivalent answer for the
+    events actually observed.
+
+    State per undetermined user: the (watermark delay x rate)
+    out-of-order buffer, a consumed-count, and an ok flag — the
+    frozen prefix itself is never retained. One shuffle on the user
+    key."""
+    try:
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+    except ImportError:  # pragma: no cover - pyspark always ships it
+        from pyspark.sql.streaming import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    n = len(steps)
+    if n < 1:
+        raise ValueError("steps must name at least one event type")
+    steps = [str(s) for s in steps]
+    u_type = events.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, u_type),
+            T.StructField("next_event", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seen", T.LongType()),   # frozen events consumed
+            T.StructField("done", T.LongType()),   # 0/1 terminal
+            T.StructField("ver", T.LongType()),
+            T.StructField("buf_t", T.ArrayType(T.LongType())),
+            T.StructField("buf_ty", T.ArrayType(T.StringType())),
+            T.StructField("last_wm", T.LongType()),
+        ]
+    )
+
+    def _consume(seen, frozen):
+        """Fold frozen (t, ty) events in order through the head-run
+        check. Returns (seen', decided, next_event)."""
+        for _, ty in frozen:
+            if seen < n:
+                if ty != steps[seen]:
+                    return seen, True, None  # head run broken: NULL
+                seen += 1
+            else:
+                return seen, True, ty  # the one-past-the-run event
+        return seen, False, None
+
+    def fn(
+        key: Any,
+        pdfs: Iterator["pd.DataFrame"],
+        state: "GroupState",
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            seen, done, ver, buf_t, buf_ty, _ = state.get
+            state.remove()
+            if int(done or 0):
+                return
+            buf = sorted(
+                (int(t), str(ty))
+                for t, ty in zip(buf_t or [], buf_ty or [])
+            )
+            _, decided, nxt = _consume(int(seen or 0), buf)
+            # stream over for this user: an unmatched run or a matched
+            # run with nothing past it is the batch NULL either way
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "next_event": [nxt],
+                    "ver": [int(ver or 0) + 1],
+                }
+            )
+            return
+        if state.exists:
+            seen, done, ver, buf_t, buf_ty, last_wm = state.get
+            if int(done or 0):
+                state.update((seen, 1, ver, [], [], last_wm))
+                if state_ttl_seconds:
+                    state.setTimeoutDuration(state_ttl_seconds * 1000)
+                return
+            seen, ver = int(seen or 0), int(ver or 0)
+            buf = list(
+                zip([int(t) for t in buf_t or []], buf_ty or [])
+            )
+            last_wm = None if last_wm is None else int(last_wm)
+        else:
+            seen, ver, buf, last_wm = 0, 0, [], None
+        for pdf in pdfs:
+            buf.extend(
+                (int(t), str(ty))
+                for t, ty in zip(pdf["__t"], pdf["__ty"])
+                # accept t == last_wm: the fold freezes strictly below
+                if not pd.isna(t)
+                and (last_wm is None or int(t) >= last_wm)
+            )
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms // 1000
+        if last_wm is not None and last_wm > wm:
+            wm = last_wm
+        no_wm = last_wm is None and wm_ms == 0
+        buf.sort()
+        cut = 0
+        while not no_wm and cut < len(buf) and buf[cut][0] < wm:
+            cut += 1
+        frozen, buf = buf[:cut], buf[cut:]
+        seen, decided, nxt = _consume(seen, frozen)
+        if decided:
+            ver += 1
+            state.update(
+                (seen, 1, ver, [], [], None if no_wm else int(wm))
+            )
+            if state_ttl_seconds:
+                state.setTimeoutDuration(state_ttl_seconds * 1000)
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "next_event": [nxt],
+                    "ver": [ver],
+                }
+            )
+            return
+        state.update(
+            (
+                seen,
+                0,
+                ver,
+                [t for t, _ in buf],
+                [ty for _, ty in buf],
+                None if no_wm else int(wm),
+            )
+        )
+        if state_ttl_seconds:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
+
+    keyed = events.select(
+        F.col(user_col),
+        F.col(time_col).alias("__event_ts"),
+        F.unix_timestamp(F.col(time_col)).alias("__t"),
+        F.col(type_col).cast("string").alias("__ty"),
+    ).withWatermark("__event_ts", watermark_delay)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -347,3 +347,129 @@ def test_streaming_sequence_match_ttl_folds_buffer(spark, tmp_path):
         assert got[0]["matched"] == 1
     finally:
         q.stop()
+
+
+def test_streaming_sequence_next_node_parity_with_batch(spark, tmp_path):
+    """head+forward parity: the streaming answer per determined user
+    equals the batch sequence_next_node on the same events (pusher
+    events included in both — they are part of the stream)."""
+    from carbon_clickhouse_spark.operators.sequence_match import (
+        sequence_next_node,
+    )
+    from carbon_clickhouse_spark.streaming.sequences import (
+        streaming_sequence_next_node,
+    )
+
+    landing = str(tmp_path / "snn1")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    rng = random.Random(31)
+    events = []
+    for u in range(10):
+        t = base
+        for _ in range(rng.randrange(1, 8)):
+            t += rng.randrange(5, 40)
+            events.append((u, t, rng.choice("abcx")))
+    # four freeze pusher rounds per user: these are REAL stream events
+    # (a user's next node may well be one of them). Four rounds, each
+    # carrying EVERY user's key, because (a) a key only re-folds when
+    # it receives data and (b) the watermark lags one batch — round k
+    # freezes round k-2's events
+    pushers = [
+        [(u, base + 100_000 * (r + 1), "z") for u in range(10)]
+        for r in range(4)
+    ]
+    all_events = events + [e for rnd in pushers for e in rnd]
+    rng.shuffle(events)
+    cut = len(events) // 2
+
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_next_node(
+        stream, ["a", "b"], watermark_delay="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("snn1")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write(landing, "b1.json", events[:cut])
+        q.processAllAvailable()
+        _write(landing, "b2.json", events[cut:])
+        q.processAllAvailable()
+        for r, rnd in enumerate(pushers):
+            _write(landing, f"p{r}.json", rnd)
+            q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM snn1 WHERE user_id < 90").collect()
+    got = {r["user_id"]: r["next_event"] for r in rows}
+    assert len(rows) == len(got)  # one emission per determined user
+
+    bdf = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in all_events],
+        "user_id long, time long, event_type string",
+    )
+    want = {
+        r["user_id"]: r["next_event"]
+        for r in sequence_next_node(
+            bdf, ["a", "b"], direction="forward", base="head"
+        ).collect()
+    }
+    # every user got >= 3 frozen events (2 pushers), so every user is
+    # determined and must agree with the batch answer incl. NULLs
+    for u in range(10):
+        assert got.get(u, "MISSING") == want[u], (u, got.get(u), want[u])
+
+
+def test_streaming_sequence_next_node_ttl_determines_tail(spark, tmp_path):
+    """A user whose head run matched but whose next event never came:
+    TTL eviction emits the batch-equivalent NULL instead of staying
+    silent forever."""
+    from carbon_clickhouse_spark.streaming.sequences import (
+        streaming_sequence_next_node,
+    )
+
+    landing = str(tmp_path / "snn_ttl")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    _write(
+        landing,
+        "b1.json",
+        [(7, base + 10, "a"), (7, base + 20, "b")],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_next_node(
+        stream, ["a", "b"],
+        watermark_delay="10 seconds", state_ttl_seconds=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("snn_ttl")
+        .outputMode("update")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        time.sleep(6)
+        deadline = time.time() + 90
+        got = []
+        i = 0
+        while time.time() < deadline:
+            _write(
+                landing, f"k{i}.json", [(8, base + 10_000 + i, "x")]
+            )
+            i += 1
+            time.sleep(3)
+            assert q.exception() is None, q.exception()
+            got = spark.sql(
+                "SELECT * FROM snn_ttl WHERE user_id = 7"
+            ).collect()
+            if got:
+                break
+        assert got, "TTL expiry never determined the user"
+        assert got[0]["next_event"] is None  # matched run, no next
+    finally:
+        q.stop()
