@@ -2280,13 +2280,16 @@ def q_ch_agg_breadth(spark, sf_dir):
     (exact decimal numerator, one IEEE division),
     ``quantileExactWeighted(0.5)`` (merge equal values, prefix-scan
     weights, first value whose cumulative exceeds (sumW-1)*q), and
-    ``groupUniqArray`` (sorted for determinism), all per event type
+    ``groupUniqArray`` (sorted for determinism), and
+    ``boundingRatio`` (slope between the leftmost and rightmost
+    (t, value) points, deterministic tie picks), all per event type
     with weight (event_id % 7) + 1. Tiny per-type results join
     broadcast; each piece is one partial-agg pass
     (operators/ch_aggregates.py)."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         arg_extrema,
         avg_weighted,
+        bounding_ratio,
         group_uniq_array,
         quantile_exact_weighted,
     )
@@ -2297,6 +2300,7 @@ def q_ch_agg_breadth(spark, sf_dir):
         "value",
         ((F.col("event_id") % 7) + 1).alias("w"),
         "user_id",
+        _sec(ev).alias("t"),
     )
     ext = arg_extrema(base, ["event_type"], "value", "user_id").select(
         "event_type",
@@ -2313,10 +2317,12 @@ def q_ch_agg_breadth(spark, sf_dir):
         "ub",
         out_col="user_buckets",
     )
+    br = bounding_ratio(base, ["event_type"], "t", "value")
     return (
         ext.join(avw, "event_type")
         .join(med, "event_type")
         .join(uniq, "event_type")
+        .join(br, "event_type")
     )
 
 
@@ -4253,7 +4259,8 @@ def _all_oracle_sql() -> dict[str, str]:
     # weight exceeds (sumW-1)*q), groupUniqArray sorted
     oracles["ch_agg_breadth"] = """
         WITH b AS (
-          SELECT event_type, value, (event_id % 7) + 1 AS w, user_id
+          SELECT event_type, value, (event_id % 7) + 1 AS w, user_id,
+                 epoch_ms(ts) // 1000 AS t
           FROM events
         ),
         ext AS (
@@ -4295,13 +4302,26 @@ def _all_oracle_sql() -> dict[str, str]:
                  list(DISTINCT user_id % 10 ORDER BY user_id % 10)
                    AS user_buckets
           FROM b GROUP BY event_type
+        ),
+        br AS (
+          -- boundingRatio: slope between the leftmost and rightmost
+          -- (t, value) points; tie picks mirror the struct min/max
+          -- (smallest value at the left end, largest at the right)
+          SELECT event_type,
+                 (max(struct_pack(x := t, y := value)).y
+                  - min(struct_pack(x := t, y := value)).y)
+                 / CAST(max(struct_pack(x := t, y := value)).x
+                        - min(struct_pack(x := t, y := value)).x
+                        AS DOUBLE) AS bounding_ratio
+          FROM b GROUP BY event_type
         )
         SELECT ext.event_type, arg_min_user, arg_max_user,
-               avg_weighted, wmedian, user_buckets
+               avg_weighted, wmedian, user_buckets, bounding_ratio
         FROM ext
         JOIN avw ON avw.event_type = ext.event_type
         JOIN med ON med.event_type = ext.event_type
         JOIN uq ON uq.event_type = ext.event_type
+        JOIN br ON br.event_type = ext.event_type
     """
     oracles["retention_flags"] = """
         SELECT user_id,

@@ -1176,3 +1176,35 @@ def largest_triangle_three_buckets(
             run_all, out_schema
         )
     return src.groupBy(*gcols).applyInPandas(run, out_schema)
+
+
+def bounding_ratio(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "bounding_ratio",
+) -> DataFrame:
+    """ClickHouse ``boundingRatio(x, y)``: the slope between the
+    leftmost and rightmost points of the group —
+    ``(y_at_max_x - y_at_min_x) / (max_x - min_x)``. One struct
+    min/max partial aggregation (JVM codegen, one shuffle), one IEEE
+    division; ties on x resolve DETERMINISTICALLY to the smallest y
+    at the left end and the largest at the right (CH's pick is
+    read-order dependent and cannot be hash-checked). NULL x or y
+    rows are skipped; a single-point group divides 0/0 into NaN, like
+    CH."""
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    pair = F.struct(x.alias("x"), y.alias("y"))
+    got = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*gcols)
+        .agg(F.min(pair).alias("__f"), F.max(pair).alias("__l"))
+    )
+    ratio = (
+        F.col("__l")["y"].cast("double") - F.col("__f")["y"].cast("double")
+    ) / (
+        F.col("__l")["x"].cast("double") - F.col("__f")["x"].cast("double")
+    )
+    return got.select(*gcols, ratio.alias(out_col))

@@ -783,3 +783,30 @@ def test_lttb_partition_independent(spark):
     )
     assert a == b
     assert all(r["rnk"] <= 12 for r in a)
+
+
+def test_bounding_ratio_slope_and_ties(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        bounding_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0, 10.0), ("g", 5, 2.0), ("g", 10, 30.0)],
+        "g string, x long, y double",
+    )
+    r = bounding_ratio(df, ["g"], "x", "y").collect()[0]
+    assert r["bounding_ratio"] == (30.0 - 10.0) / 10.0
+    # ties on x: smallest y wins the left end, largest the right
+    ties = spark.createDataFrame(
+        [("g", 0, 5.0), ("g", 0, 1.0), ("g", 10, 2.0), ("g", 10, 8.0)],
+        "g string, x long, y double",
+    )
+    r2 = bounding_ratio(ties, ["g"], "x", "y").collect()[0]
+    assert r2["bounding_ratio"] == (8.0 - 1.0) / 10.0
+    # NULLs skipped
+    withnull = spark.createDataFrame(
+        [("g", None, 9.0), ("g", 0, 1.0), ("g", 4, 9.0)],
+        "g string, x long, y double",
+    )
+    r3 = bounding_ratio(withnull, ["g"], "x", "y").collect()[0]
+    assert r3["bounding_ratio"] == 2.0
