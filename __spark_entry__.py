@@ -2247,6 +2247,27 @@ def q_stat_moments(spark, sf_dir):
     return stat_moments(base, ["event_type"], "value", y_col="y")
 
 
+def q_two_sample_tests(spark, sf_dir):
+    """ClickHouse ``studentTTest`` / ``welchTTest`` /
+    ``mannWhitneyUTest`` statistics per event type
+    (operators/ch_aggregates.two_sample_tests): sample split = user_id
+    parity. Exact per-sample power sums in DECIMAL(38,0), half-unit
+    integer midrank sums for U, fixed IEEE expression trees for
+    t/dof/z — the oracle replays the HUGEINT sums and the identical
+    trees, hash-exact. p-values are intentionally not emitted: erf /
+    incomplete-beta differ between engines in the last ulp (measured),
+    so a p-value could never pass this gate honestly."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        two_sample_tests,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value", (F.col("user_id") % 2).alias("s")
+    )
+    return two_sample_tests(base, ["event_type"], "value", "s")
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2558,6 +2579,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # folds); adds largestTriangleThreeBuckets downsampling with
         # the pick loop replayed in SQL
         "lttb_downsample": q_lttb_downsample,
+        # graded reps: tpch_q1 / ch_agg_breadth; adds studentTTest/
+        # welchTTest/mannWhitneyUTest statistics (exact sums, midrank
+        # half-units; p-values deliberately not hash-gateable)
+        "two_sample_tests": q_two_sample_tests,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4093,6 +4118,81 @@ def _all_oracle_sql() -> dict[str, str]:
           sxy/n - mean*meany AS covar_pop,
           (sxy/n - mean*meany) / sqrt(m2 * m2y) AS corr_pop
         FROM c
+    """
+    # two-sample tests: identical exact integer sums (HUGEINT =
+    # DECIMAL(38,0)), identical IEEE trees for t / dof / U / z;
+    # midranks accumulate in half-rank integer units
+    oracles["two_sample_tests"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS q,
+                 CAST(user_id % 2 AS INT) AS i
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        mom AS (
+          SELECT event_type,
+            CAST(count(*) FILTER (WHERE i = 0) AS DOUBLE) AS n0,
+            CAST(count(*) FILTER (WHERE i = 1) AS DOUBLE) AS n1,
+            CAST(sum(q) FILTER (WHERE i = 0) AS DOUBLE) AS s0,
+            CAST(sum(q) FILTER (WHERE i = 1) AS DOUBLE) AS s1,
+            CAST(sum(q*q) FILTER (WHERE i = 0) AS DOUBLE) AS ss0,
+            CAST(sum(q*q) FILTER (WHERE i = 1) AS DOUBLE) AS ss1
+          FROM b GROUP BY event_type
+        ),
+        tt AS (
+          SELECT event_type, n0, n1,
+                 s0/n0 AS m0, s1/n1 AS m1,
+                 (ss0/n0 - (s0/n0)*(s0/n0)) * (n0/(n0 - 1.0)) AS v0,
+                 (ss1/n1 - (s1/n1)*(s1/n1)) * (n1/(n1 - 1.0)) AS v1
+          FROM mom
+        ),
+        tfin AS (
+          SELECT event_type,
+            (m0 - m1) / (sqrt(((n0 - 1.0)*v0 + (n1 - 1.0)*v1)
+                              / (n0 + n1 - 2.0))
+                         * sqrt(1.0/n0 + 1.0/n1)) AS t_student,
+            (m0 - m1) / sqrt(v0/n0 + v1/n1) AS t_welch,
+            ((v0/n0 + v1/n1) * (v0/n0 + v1/n1))
+              / ((v0/n0)*(v0/n0)/(n0 - 1.0)
+                 + (v1/n1)*(v1/n1)/(n1 - 1.0)) AS dof_welch
+          FROM tt
+        ),
+        pv AS (
+          SELECT event_type, q,
+                 CAST(count(*) AS HUGEINT) AS c,
+                 CAST(count(*) FILTER (WHERE i = 0) AS HUGEINT) AS c0
+          FROM b GROUP BY event_type, q
+        ),
+        hv AS (
+          SELECT event_type, c, c0,
+                 2 * coalesce(sum(c) OVER (
+                   PARTITION BY event_type ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) + c + 1 AS r2
+          FROM pv
+        ),
+        rk AS (
+          SELECT event_type,
+                 CAST(sum(c0 * r2) AS DOUBLE) AS r1x2,
+                 CAST(sum(c*c*c - c) AS DOUBLE) AS ties,
+                 CAST(sum(c0) AS DOUBLE) AS rn0,
+                 CAST(sum(c - c0) AS DOUBLE) AS rn1
+          FROM hv GROUP BY event_type
+        ),
+        mw AS (
+          SELECT event_type,
+            r1x2/2.0 - rn0*(rn0 + 1.0)/2.0 AS u_stat,
+            (r1x2/2.0 - rn0*(rn0 + 1.0)/2.0 - rn0*rn1/2.0)
+              / sqrt((rn0*rn1/12.0)
+                     * ((rn0 + rn1 + 1.0)
+                        - ties/((rn0 + rn1)*(rn0 + rn1 - 1.0))))
+              AS z_u
+          FROM rk
+        )
+        SELECT t.event_type, t_student, t_welch, dof_welch,
+               u_stat, z_u
+        FROM tfin t JOIN mw ON mw.event_type = t.event_type
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "histogram_adaptive_sketch",
     "stat_moments",
     "lttb_downsample",
+    "two_sample_tests",
 ]
 
 

@@ -1208,3 +1208,142 @@ def bounding_ratio(
         F.col("__l")["x"].cast("double") - F.col("__f")["x"].cast("double")
     )
     return got.select(*gcols, ratio.alias(out_col))
+
+
+def two_sample_tests(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    index_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``studentTTest`` / ``welchTTest`` /
+    ``mannWhitneyUTest`` test STATISTICS per group: ``index_col``
+    (0/1) splits each group into the two samples. Returns
+    ``(*group_cols, t_student, t_welch, dof_welch, u_stat, z_u)``.
+
+    Engine-exact construction (CH's own float accumulators are
+    block-order dependent and return approximate p-values):
+
+    - values quantize half-up to ``round(v*scale)`` int64; per-sample
+      count / sum / sum-of-squares accumulate in DECIMAL(38,0) — the
+      t statistics are then fixed IEEE expression trees over exact
+      integers (Student: pooled variance; Welch: per-sample variances
+      + Welch–Satterthwaite dof). t and z are scale-invariant, so the
+      quantization only touches the grid error.
+    - the Mann–Whitney rank sum uses midrank ties and accumulates in
+      HALF-RANK integer units: per distinct value,
+      ``2*avgrank = 2*cum_before + cnt + 1`` is an integer, so
+      ``R1*2 = sum(n1 * (2*cum_before + cnt + 1))`` is an exact
+      DECIMAL sum under any partitioning. ``u_stat`` is sample 1's U;
+      ``z_u`` applies the tie-corrected normal approximation
+      ``(U - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) - sum(t^3-t)/(n*(n-1))))``
+      with no continuity correction.
+
+    p-values are deliberately NOT returned: both engines' erf /
+    incomplete-beta differ in the last ulp (measured — the same
+    reason entropy is not oracle-gated here), and a p-value that
+    cannot be hash-checked belongs in the caller's stats library.
+    Plan: two partial-agg shuffles (per-sample moments; per-value
+    rank table) sharing the group-key partitioning, one broadcast-size
+    join of the per-group results."""
+    gcols = list(group_cols)
+    q = (
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+    )
+    idx = F.col(index_col).cast("int")
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(*gcols, q.alias("__q"), idx.alias("__i"))
+    qd = F.col("__q").cast("decimal(38,0)")
+    # per-sample exact moments, pivoted wide in one pass
+    mom = base.groupBy(*gcols).agg(
+        F.count(F.when(F.col("__i") == 0, F.lit(1))).alias("__n0"),
+        F.count(F.when(F.col("__i") == 1, F.lit(1))).alias("__n1"),
+        F.sum(F.when(F.col("__i") == 0, qd)).alias("__s0"),
+        F.sum(F.when(F.col("__i") == 1, qd)).alias("__s1"),
+        F.sum(F.when(F.col("__i") == 0, qd * qd)).alias("__ss0"),
+        F.sum(F.when(F.col("__i") == 1, qd * qd)).alias("__ss1"),
+    )
+    n0 = F.col("__n0").cast("double")
+    n1 = F.col("__n1").cast("double")
+    s0 = F.col("__s0").cast("double")
+    s1 = F.col("__s1").cast("double")
+    ss0 = F.col("__ss0").cast("double")
+    ss1 = F.col("__ss1").cast("double")
+    m0 = s0 / n0
+    m1 = s1 / n1
+    v0 = (ss0 / n0 - m0 * m0) * (n0 / (n0 - F.lit(1.0)))
+    v1 = (ss1 / n1 - m1 * m1) * (n1 / (n1 - F.lit(1.0)))
+    sp2 = (
+        (n0 - F.lit(1.0)) * v0 + (n1 - F.lit(1.0)) * v1
+    ) / (n0 + n1 - F.lit(2.0))
+    t_student = (m0 - m1) / (
+        F.sqrt(sp2) * F.sqrt(F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    se0 = v0 / n0
+    se1 = v1 / n1
+    t_welch = (m0 - m1) / F.sqrt(se0 + se1)
+    dof_welch = ((se0 + se1) * (se0 + se1)) / (
+        (se0 * se0) / (n0 - F.lit(1.0))
+        + (se1 * se1) / (n1 - F.lit(1.0))
+    )
+    stats = mom.select(
+        *gcols,
+        t_student.alias("t_student"),
+        t_welch.alias("t_welch"),
+        dof_welch.alias("dof_welch"),
+    )
+    # Mann-Whitney: per distinct value, midrank in half-units
+    per_v = base.groupBy(*gcols, "__q").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.count(F.when(F.col("__i") == 0, F.lit(1))).alias("__c0"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("__c").over(w), F.lit(0))
+    half = per_v.select(
+        *gcols,
+        F.col("__c"),
+        F.col("__c0"),
+        (F.lit(2) * cum_before + F.col("__c") + F.lit(1)).alias("__r2"),
+    )
+    ranks = half.groupBy(*gcols).agg(
+        F.sum(
+            (F.col("__c0") * F.col("__r2")).cast("decimal(38,0)")
+        ).alias("__r1x2"),
+        F.sum(
+            (
+                F.col("__c").cast("decimal(38,0)")
+                * F.col("__c")
+                * F.col("__c")
+                - F.col("__c")
+            )
+        ).alias("__ties"),
+        F.sum("__c0").alias("__mn0"),
+        F.sum(F.col("__c") - F.col("__c0")).alias("__mn1"),
+    )
+    rn0 = F.col("__mn0").cast("double")
+    rn1 = F.col("__mn1").cast("double")
+    nn = rn0 + rn1
+    u1 = (
+        F.col("__r1x2").cast("double") / F.lit(2.0)
+        - rn0 * (rn0 + F.lit(1.0)) / F.lit(2.0)
+    )
+    mu = rn0 * rn1 / F.lit(2.0)
+    sigma2 = (
+        rn0 * rn1 / F.lit(12.0)
+    ) * (
+        (nn + F.lit(1.0))
+        - F.col("__ties").cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    mw = ranks.select(
+        *gcols,
+        u1.alias("u_stat"),
+        ((u1 - mu) / F.sqrt(sigma2)).alias("z_u"),
+    )
+    return stats.join(mw, gcols)

@@ -810,3 +810,47 @@ def test_bounding_ratio_slope_and_ties(spark):
     )
     r3 = bounding_ratio(withnull, ["g"], "x", "y").collect()[0]
     assert r3["bounding_ratio"] == 2.0
+
+
+def test_two_sample_tests_reference_fold(spark):
+    """t/U/z against a direct Python fold over the same quantized
+    integers and the same expression trees, plus a hand-checked
+    Mann-Whitney with ties."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        two_sample_tests,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]        # sample 0
+    b = [2.0, 4.0, 6.0, 8.0]             # sample 1 (ties with a at 2,4)
+    rows = [("g", v, 0) for v in a] + [("g", v, 1) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double, s int")
+    r = two_sample_tests(df, ["g"], "v", "s").collect()[0]
+
+    q0 = [round(v * 1000) for v in a]
+    q1 = [round(v * 1000) for v in b]
+    n0, n1 = float(len(q0)), float(len(q1))
+    m0 = float(sum(q0)) / n0
+    m1 = float(sum(q1)) / n1
+    v0 = (float(sum(x * x for x in q0)) / n0 - m0 * m0) * (n0 / (n0 - 1.0))
+    v1 = (float(sum(x * x for x in q1)) / n1 - m1 * m1) * (n1 / (n1 - 1.0))
+    sp2 = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / (n0 + n1 - 2.0)
+    assert r["t_student"] == (m0 - m1) / (
+        math.sqrt(sp2) * math.sqrt(1.0 / n0 + 1.0 / n1)
+    )
+    assert r["t_welch"] == (m0 - m1) / math.sqrt(v0 / n0 + v1 / n1)
+    se0, se1 = v0 / n0, v1 / n1
+    assert r["dof_welch"] == ((se0 + se1) * (se0 + se1)) / (
+        (se0 * se0) / (n0 - 1.0) + (se1 * se1) / (n1 - 1.0)
+    )
+    # midrank U by hand: pooled sorted 1,2,2,3,4,4,5,6,8
+    # ranks:            1, 2.5,2.5, 4, 5.5,5.5, 7, 8, 9
+    # R1 (sample 0: 1,2,3,4,5) = 1 + 2.5 + 4 + 5.5 + 7 = 20
+    # U1 = 20 - 5*6/2 = 5
+    assert r["u_stat"] == 5.0
+    # z under the tie-corrected normal approximation
+    nn = n0 + n1
+    ties = float(sum(c ** 3 - c for c in (1, 2, 1, 2, 1, 1, 1)))
+    sigma2 = (n0 * n1 / 12.0) * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    assert r["z_u"] == (5.0 - n0 * n1 / 2.0) / math.sqrt(sigma2)
