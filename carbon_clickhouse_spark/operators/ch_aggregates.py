@@ -1020,6 +1020,14 @@ def stat_moments(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
     )
     got = base.groupBy(*gcols).agg(*aggs)
+    return got.select(*gcols, *stat_moment_finals(y_col is not None))
+
+
+def stat_moment_finals(has_y: bool) -> list:
+    """The moment-algebra output columns over the exact sum columns
+    ``__n/__s1..__s4`` (+ ``__sy/__sy2/__sxy``) — one fixed IEEE
+    expression tree, shared verbatim by :func:`stat_moments` and the
+    streaming twin so the oracle replay covers both."""
     n = F.col("__n").cast("double")
     s1 = F.col("__s1").cast("double")
     s2 = F.col("__s2").cast("double")
@@ -1040,7 +1048,7 @@ def stat_moments(
         (m3 / (m2 * F.sqrt(m2))).alias("skew_pop"),
         (m4 / (m2 * m2)).alias("kurt_pop"),
     ]
-    if y_col is not None:
+    if has_y:
         sy = F.col("__sy").cast("double")
         sy2 = F.col("__sy2").cast("double")
         sxy = F.col("__sxy").cast("double")
@@ -1051,7 +1059,7 @@ def stat_moments(
             cov.alias("covar_pop"),
             (cov / F.sqrt(m2 * m2y)).alias("corr_pop"),
         ]
-    return got.select(*gcols, *out)
+    return out
 
 
 def largest_triangle_three_buckets(
