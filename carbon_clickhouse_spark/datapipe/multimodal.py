@@ -13,11 +13,15 @@ unfilter), BMP (BITMAPINFOHEADER dims + pixel-array mean), baseline
 JPEG (real T.81 entropy decode — Huffman + restart markers — with the
 image mean recovered exactly from DC coefficients, no IDCT needed),
 and WAV (RIFF chunk walk: channels / sample rate / bit depth /
-duration / mean absolute 16-bit sample). Formats that require a codec
-stack (progressive JPEG, video) raise ``NotImplementedError`` unless
-``fake=True`` selects the deterministic byte-derived stand-in —
-swapping in PIL/ffmpeg is a one-function change in
-:func:`decode_image`.
+duration / mean absolute 16-bit sample). Progressive (SOF2) JPEG
+decodes FULLY as of round 8 — DC and AC bands, successive-
+approximation first passes and refinements, EOB runs, ZRL
+(:func:`parse_jpeg_coefficients`); the mean-feature paths stay
+DC-only because the block mean IS the DC. The remaining boundary —
+non-MJPEG video codecs and lossless/arithmetic JPEG — raises
+``NotImplementedError`` unless ``fake=True`` selects the
+deterministic byte-derived stand-in; swapping in PIL/ffmpeg is a
+one-function change in :func:`decode_image`.
 """
 
 from __future__ import annotations
@@ -1562,3 +1566,672 @@ def fixture_features(
     if src.rdd.getNumPartitions() < n:
         src = src.repartition(n)
     return src.mapInPandas(run, schema)
+
+
+# --- Progressive AC scans + full-coefficient decode (round 8) -------
+#
+# Closes the r7 "missing" item: progressive (SOF2) JPEGs now decode
+# their AC bands too — spectral selection, successive approximation
+# first passes AND refinement passes, EOB runs, ZRL, restart markers —
+# in pure Python, per T.81 Annex G (the libjpeg
+# decode_mcu_AC_first/decode_mcu_AC_refine control flow, re-derived
+# from the spec). The coefficient-level decoder below serves the
+# detail/energy features; the mean-only paths above stay DC-only
+# (the block mean IS the DC — AC integrates to zero — so decoding AC
+# there would be pure waste).
+
+
+def _decode_ac_scan(
+    buf: bytes,
+    pos: int,
+    comps: list[tuple[int, int, int, int]],
+    scan: list[tuple[int, int, int]],
+    huff: dict,
+    width: int,
+    height: int,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coef: dict[int, dict[tuple[int, int], list[int]]],
+) -> int | None:
+    """Decode one progressive AC scan (first pass when Ah=0, else
+    refinement) into the per-component full-scale coefficient grids
+    (zigzag order). AC scans are single-component by T.81 G.1.1.1.1.
+    Returns the buffer index of the marker ending the scan, or None
+    on a malformed stream."""
+    if len(scan) != 1 or not (0 < ss <= se <= 63):
+        return None
+    cid, _td, ta = scan[0]
+    by_id = {c[0]: c for c in comps}
+    comp = by_id.get(cid)
+    tab = huff.get((1, ta))
+    if comp is None or tab is None:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        bw, bh = -(-width // 8), -(-height // 8)
+    else:
+        bw = -(-(width * comp[1]) // (8 * hmax))
+        bh = -(-(height * comp[2]) // (8 * vmax))
+    grid = coef.setdefault(cid, {})
+    reader = _JpegBitReader(buf, pos)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for m in range(bw * bh):
+        if restart_interval and m and m % restart_interval == 0:
+            marker = reader.sync_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            eobrun = 0
+        blk = grid.setdefault((m // bw, m % bw), [0] * 64)
+        if ah == 0:  # first pass for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.huff(tab)
+                if rs is None:
+                    return None
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    bits = reader.read(r) if r else 0
+                    if bits is None:
+                        return None
+                    eobrun = (1 << r) - 1 + bits
+                    break
+                k += r
+                if k > se:
+                    return None
+                mag = reader.read(s)
+                if mag is None:
+                    return None
+                blk[k] = _jpeg_extend(mag, s) << al
+                k += 1
+            continue
+        # refinement pass (Ah = Al + 1): newly-significant coefficients
+        # arrive as s=1 symbols; already-significant ones receive one
+        # correction bit INLINE at their position while the run
+        # advances (T.81 G.1.2.3 / the decode_mcu_AC_refine rule)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(tab)
+                if rs is None:
+                    return None
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        bits = reader.read(r) if r else 0
+                        if bits is None:
+                            return None
+                        eobrun = (1 << r) + bits  # counts THIS block
+                        break
+                    # r == 15, s == 0: ZRL — sixteen zero-HISTORY
+                    # positions (significant ones crossed get bits)
+                else:
+                    if s != 1:
+                        return None  # refinement codes only s=1
+                    bit = reader.read(1)
+                    if bit is None:
+                        return None
+                    val = p1 if bit else m1
+                # advance over r zero-history positions, refining the
+                # nonzero-history ones crossed on the way
+                while k <= se:
+                    if blk[k] != 0:
+                        bit = reader.read(1)
+                        if bit is None:
+                            return None
+                        if bit and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            # inside an EOB run: the band's remaining significant
+            # coefficients still receive their correction bits
+            while k <= se:
+                if blk[k] != 0:
+                    bit = reader.read(1)
+                    if bit is None:
+                        return None
+                    if bit and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+    return _skip_entropy(buf, reader.pos)
+
+
+def _jpeg_scan_coefficients(
+    buf: bytes,
+    pos: int,
+    comps: list[tuple[int, int, int, int]],
+    scan: list[tuple[int, int, int]],
+    huff: dict,
+    width: int,
+    height: int,
+    restart_interval: int,
+    coef: dict[int, dict[tuple[int, int], list[int]]],
+) -> int | None:
+    """Baseline sequential scan decode RETAINING every coefficient
+    (zigzag order, quantized) — the coefficient-level sibling of
+    :func:`_jpeg_scan_mean`, which only folds the DC running sum."""
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    order = []
+    for cid, td, ta in scan:
+        comp = by_id.get(cid)
+        if comp is None or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        order.append((comp, huff[(0, td)], huff[(1, ta)]))
+    interleaved = len(scan) > 1
+    if not interleaved:
+        comp = order[0][0]
+        if len(comps) == 1:
+            bw, bh = -(-width // 8), -(-height // 8)
+        else:
+            bw = -(-(width * comp[1]) // (8 * hmax))
+            bh = -(-(height * comp[2]) // (8 * vmax))
+        mcus = bw * bh
+    else:
+        mcux = -(-width // (8 * hmax))
+        mcus = mcux * (-(-height // (8 * vmax)))
+    reader = _JpegBitReader(buf, pos)
+    preds = {c[0]: 0 for c in comps}
+
+    def block(cid: int, by: int, bx: int, dc_tab, ac_tab) -> bool:
+        blk = coef.setdefault(cid, {}).setdefault((by, bx), [0] * 64)
+        s = reader.huff(dc_tab)
+        if s is None or s > 15:
+            return False
+        mag = reader.read(s) if s else 0
+        if mag is None:
+            return False
+        preds[cid] += _jpeg_extend(mag, s)
+        blk[0] = preds[cid]
+        k = 1
+        while k < 64:
+            rs = reader.huff(ac_tab)
+            if rs is None:
+                return False
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                return False
+            mag = reader.read(size)
+            if mag is None:
+                return False
+            blk[k] = _jpeg_extend(mag, size)
+            k += 1
+        return True
+
+    for m in range(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            marker = reader.sync_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            preds = {c[0]: 0 for c in comps}
+        if interleaved:
+            mx, my = m % mcux, m // mcux
+            for comp, dc_tab, ac_tab in order:
+                cid, ch, cv = comp[0], comp[1], comp[2]
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        if not block(
+                            cid, my * cv + byi, mx * ch + bxi,
+                            dc_tab, ac_tab,
+                        ):
+                            return None
+        else:
+            comp, dc_tab, ac_tab = order[0]
+            if not block(comp[0], m // bw, m % bw, dc_tab, ac_tab):
+                return None
+    return _skip_entropy(buf, reader.pos)
+
+
+def parse_jpeg_coefficients(
+    payload: bytes,
+) -> tuple[
+    int, int,
+    list[tuple[int, int, int, int]],
+    dict[int, list[int]],
+    dict[int, dict[tuple[int, int], list[int]]],
+] | None:
+    """Full quantized-coefficient decode of a BASELINE (SOF0/1) or
+    PROGRESSIVE (SOF2) JPEG: returns ``(width, height, comps,
+    quant_tables, {component_id: {(by, bx): [64 zigzag coeffs]}})``
+    with DC at index 0 and every AC band merged at full scale —
+    progressive spectral-selection and successive-approximation scans
+    (first passes and refinements, EOB runs, ZRL, restarts) all
+    fold into the same grids. None on anything malformed or
+    non-DCT-Huffman (arithmetic/lossless/12-bit)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] | None = None
+    width = height = None
+    restart_interval = 0
+    progressive = False
+    coef: dict[int, dict[tuple[int, int], list[int]]] = {}
+    dc: dict[int, dict[tuple[int, int], int]] = {}
+    dc_al: dict[int, int] = {}
+    saw_scan = False
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    if p + 128 > len(seg):
+                        return None
+                    qt[tq] = list(struct.unpack_from(">64H", seg, p))
+                    p += 128
+                else:
+                    if p + 64 > len(seg):
+                        return None
+                    qt[tq] = list(seg[p : p + 64])
+                    p += 64
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                if p + 17 + cnt > len(seg):
+                    return None
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                p += 17 + cnt
+        elif marker in (0xC0, 0xC1, 0xC2):
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            progressive = marker == 0xC2
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
+                return None
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                 seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                for c in range(nc)
+            ]
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # lossless/arithmetic/hierarchical
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            if comps is None:
+                return None
+            ns = seg[0] if seg else 0
+            if len(seg) < 4 + 2 * ns:
+                return None
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
+            if not progressive:
+                nxt = _jpeg_scan_coefficients(
+                    payload, i, comps, scan, huff,
+                    width, height, restart_interval, coef,
+                )
+            elif ss == 0:
+                if se != 0:
+                    return None
+                nxt = _decode_dc_scan(
+                    payload, i, comps, scan, huff,
+                    width, height, restart_interval, ah, al, dc, dc_al,
+                )
+            else:
+                nxt = _decode_ac_scan(
+                    payload, i, comps, scan, huff,
+                    width, height, restart_interval,
+                    ss, se, ah, al, coef,
+                )
+            if nxt is None:
+                return None
+            saw_scan = True
+            i = nxt
+    if not saw_scan or comps is None:
+        return None
+    # progressive DC grids merge into the coefficient blocks at k=0
+    for cid, grid in dc.items():
+        dest = coef.setdefault(cid, {})
+        for pos_key, v in grid.items():
+            dest.setdefault(pos_key, [0] * 64)[0] = v
+    return width, height, comps, qt, coef
+
+
+# full fixture Huffman tables: every DC category 0..11 at code length
+# 4, and 176 AC symbols — all EOBn (r<<4, r=0..14: progressive EOB
+# runs up to 2^14), ZRL, and every (r,s) for s=1..10 — at code length
+# 8; canonical, valid per T.81 (no all-ones max-length code),
+# readable by any conforming decoder
+_JPEG_FULL_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_JPEG_FULL_AC = (
+    [0] * 7 + [176] + [0] * 8,
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _jpeg_headers(sof_marker: int, n_blocks: int) -> bytearray:
+    h = 8 * n_blocks
+    out = bytearray(b"\xff\xd8")
+    out += bytes([0xFF, 0xDB]) + struct.pack(">H", 67) + bytes([0]) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0, _JPEG_FULL_DC), (1, _JPEG_FULL_AC)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += bytes([0xFF, 0xC4]) + struct.pack(">H", len(body) + 2) + body
+    return out
+
+
+def _sos(scan_bytes: bytes) -> bytes:
+    return bytes([0xFF, 0xDA]) + struct.pack(">H", len(scan_bytes) + 2) + scan_bytes
+
+
+def encode_jpeg_coeff_blocks(blocks: list[list[int]]) -> bytes:
+    """General BASELINE fixture encoder: one grayscale component,
+    8px wide, ``len(blocks)`` stacked 8x8 blocks given directly as
+    QUANTIZED zigzag coefficient lists (DC at [0]). Quant table all
+    8s. The coefficient-level inverse of
+    :func:`parse_jpeg_coefficients` — round-trip tests feed arbitrary
+    sparse blocks through both."""
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_FULL_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FULL_AC)
+    out = _jpeg_headers(0xC0, len(blocks))
+    out += _sos(bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+        run = 0
+        last = max((k for k in range(1, 64) if blk[k]), default=0)
+        for k in range(1, last + 1):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                w.put(*ac_enc[0xF0])
+                run -= 16
+            s = abs(v).bit_length()
+            w.put(*ac_enc[(run << 4) | s])
+            w.put(v if v >= 0 else v - 1, s)
+            run = 0
+        if last < 63:
+            w.put(*ac_enc[0x00])  # EOB
+    w.pad()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_coeff_blocks_progressive(
+    blocks: list[list[int]],
+    dc_al: int = 1,
+    ac_bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    ac_al: int = 1,
+) -> bytes:
+    """General PROGRESSIVE (SOF2) fixture encoder over the same
+    quantized zigzag coefficient blocks: a DC first scan at
+    ``Al=dc_al`` plus refinements down to 0, then per spectral band a
+    first AC scan at ``Al=ac_al`` plus refinements down to 0 — the
+    full Annex G scan script with EOB-run accumulation, ZRL, and the
+    buffered-correction-bit refinement coding (the
+    encode_mcu_AC_refine control flow, re-derived from T.81 G.1.2.3).
+    Decoding with :func:`parse_jpeg_coefficients` must reproduce the
+    input blocks exactly; the tests also cross-check against the
+    independent baseline encoder/decoder pair."""
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_FULL_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FULL_AC)
+    out = _jpeg_headers(0xC2, len(blocks))
+
+    # DC first scan (Al=dc_al): DIFF coding of dc >> al
+    out += _sos(bytes([1, 1, 0x00, 0, 0, dc_al & 15]))
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        high = blk[0] >> dc_al  # arithmetic shift, T.81 G.1.2.1
+        diff = high - pred
+        pred = high
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+    w.pad()
+    out += w.out
+    # DC refinements: one raw bit per block per level
+    for a in range(dc_al - 1, -1, -1):
+        out += _sos(bytes([1, 1, 0x00, 0, 0, ((a + 1) << 4) | a]))
+        w = _JpegBitWriter()
+        for blk in blocks:
+            w.put((blk[0] >> a) & 1, 1)
+        w.pad()
+        out += w.out
+
+    def emit_ac_first(ss: int, se: int, al: int) -> bytes:
+        w = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                w.put(*ac_enc[r << 4])
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for blk in blocks:
+            t = [
+                (abs(blk[k]) >> al) * (1 if blk[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(t) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = t[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    w.put(*ac_enc[0xF0])
+                    run -= 16
+                s = abs(v).bit_length()
+                w.put(*ac_enc[(run << 4) | s])
+                w.put(v if v >= 0 else v - 1, s)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+        flush_eob()
+        w.pad()
+        return bytes(w.out)
+
+    def emit_ac_refine(ss: int, se: int, a: int) -> bytes:
+        w = _JpegBitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits owed by the EOB run
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                w.put(*ac_enc[r << 4])
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                for b in be:
+                    w.put(b, 1)
+                eobrun = 0
+                be = []
+
+        for blk in blocks:
+            absv = [abs(blk[k]) >> a for k in range(ss, se + 1)]
+            eobpos = max((i for i, v in enumerate(absv) if v == 1), default=-1)
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    flush_eob()
+                    w.put(*ac_enc[0xF0])
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:  # already significant: one correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant at this level
+                flush_eob()
+                w.put(*ac_enc[(r << 4) | 1])
+                w.put(1 if blk[ss + i] > 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        w.pad()
+        return bytes(w.out)
+
+    for ss, se in ac_bands:
+        out += _sos(bytes([1, 1, 0x00, ss, se, ac_al & 15]))
+        out += emit_ac_first(ss, se, ac_al)
+    for a in range(ac_al - 1, -1, -1):
+        for ss, se in ac_bands:
+            out += _sos(bytes([1, 1, 0x00, ss, se, ((a + 1) << 4) | a]))
+            out += emit_ac_refine(ss, se, a)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+IMAGE_DETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("nonzero_ac", T.LongType()),
+        T.StructField("ac_energy", T.DoubleType()),
+    ]
+)
+
+
+def extract_image_detail(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Coefficient-level JPEG detail features — the thing the round-8
+    AC decode buys beyond the DC mean: per image, the luma component's
+    dequantized AC energy (``sum((coef_k * q_k)^2)`` over k=1..63 and
+    all blocks — an exact integer, emitted as the one-IEEE-division
+    per-block average) and the nonzero-AC count, a texture/detail
+    signal a training-data curator filters on (flat synthetic images
+    score ~0). Baseline AND progressive JPEGs decode through the same
+    :func:`parse_jpeg_coefficients`; non-JPEG payloads raise — same
+    explicit-boundary contract as the other extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_blocks",
+                "nonzero_ac", "ac_energy",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                got = (
+                    parse_jpeg_coefficients(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if got is None:
+                    raise NotImplementedError(
+                        "extract_image_detail decodes JPEG "
+                        "(baseline + progressive) only"
+                    )
+                w, h, comps, qt, coef = got
+                luma = comps[0]
+                q = qt.get(luma[3])
+                if q is None:
+                    raise NotImplementedError("missing quant table")
+                grid = coef.get(luma[0], {})
+                energy = 0  # exact int
+                nz = 0
+                for blk in grid.values():
+                    for k in range(1, 64):
+                        c = blk[k]
+                        if c:
+                            nz += 1
+                            d = c * q[k]
+                            energy += d * d
+                nb = max(1, len(grid))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_blocks"].append(len(grid))
+                rows["nonzero_ac"].append(nz)
+                rows["ac_energy"].append(float(energy) / nb)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", payload_col).mapInPandas(
+        run, IMAGE_DETAIL_SCHEMA
+    )
