@@ -1238,10 +1238,16 @@ def extract_video_features(media: DataFrame, payload_col: str = "payload") -> Da
 
                 acc = Fraction(0)
                 for f in frames:
+                    # baseline first; a progressive (SOF2) frame —
+                    # rare in MJPEG but legal — decodes via the DC
+                    # band path, same exact-rational mean contract
                     dec = _parse_jpeg_exact(f)
                     if dec is None:
+                        dec = _parse_jpeg_progressive_exact(f)
+                    if dec is None:
                         raise NotImplementedError(
-                            "AVI frame is not a baseline JPEG"
+                            "AVI frame is not a decodable JPEG "
+                            "(baseline or progressive)"
                         )
                     num, den = dec[2]
                     acc += Fraction(num, den)

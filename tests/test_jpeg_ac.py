@@ -147,3 +147,26 @@ def test_extract_image_detail_spark(spark):
     )
     with pytest.raises(Exception, match="JPEG"):
         extract_image_detail(bad).collect()
+
+
+def test_video_features_accept_progressive_frames(spark):
+    """An MJPEG-AVI whose frames are PROGRESSIVE JPEGs decodes through
+    the same exact-rational mean path (r8: the baseline-only frame
+    restriction is gone)."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray_blocks_progressive,
+        extract_video_features,
+    )
+
+    frames = [
+        encode_jpeg_gray_blocks_progressive([100, 120]),
+        encode_jpeg_gray_blocks_progressive([140, 160]),
+    ]
+    avi = encode_avi_mjpeg(frames, width=8, height=16)
+    df = spark.createDataFrame(
+        [(1, avi)], "doc_id long, payload binary"
+    )
+    r = extract_video_features(df).collect()[0]
+    assert r["n_frames"] == 2
+    assert r["mean_byte"] == (110.0 + 150.0) / 2
