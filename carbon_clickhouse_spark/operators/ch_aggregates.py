@@ -649,6 +649,12 @@ def histogram_adaptive(
 
     if bins < 1 or oversample < 1:
         raise ValueError("bins and oversample must be >= 1")
+    if exact and buckets is not None:
+        raise ValueError(
+            "buckets selects the deterministic SKETCH layout; "
+            "pass exact=False with it (exact mode is already "
+            "deterministic)"
+        )
     gcols = list(group_cols)
     src = df.filter(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
@@ -997,6 +1003,27 @@ def stat_moments(
     At 100 TB: one partial-aggregating groupBy, five decimal sums per
     row; nothing else moves."""
     gcols = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    if y_col is not None:
+        # one population for every output: rows with NULL y drop
+        # entirely (counting them in __n but not __sy would divide
+        # the y moments by the wrong n — CH covarPop skips the pair)
+        base = base.filter(F.col(y_col).isNotNull())
+    got = base.groupBy(*gcols).agg(
+        *stat_moment_aggs(value_col, y_col, scale)
+    )
+    return got.select(*gcols, *stat_moment_finals(y_col is not None))
+
+
+def stat_moment_aggs(
+    value_col: str, y_col: str | None, scale: int
+) -> list:
+    """The exact DECIMAL(38,0) power-sum aggregate expressions shared
+    verbatim by :func:`stat_moments` and the streaming twin — the
+    replay-parity contract needs the quantization and sums to stay
+    bit-identical between them."""
     q = (
         F.round(F.col(value_col).cast("double") * scale)
         .cast("long")
@@ -1016,11 +1043,7 @@ def stat_moments(
             F.sum(y * y).alias("__sy2"),
             F.sum(q * y).alias("__sxy"),
         ]
-    base = df.filter(
-        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
-    )
-    got = base.groupBy(*gcols).agg(*aggs)
-    return got.select(*gcols, *stat_moment_finals(y_col is not None))
+    return aggs
 
 
 def stat_moment_finals(has_y: bool) -> list:
@@ -1044,9 +1067,17 @@ def stat_moment_finals(has_y: bool) -> list:
         + F.lit(6.0) * (mean * mean) * (s2 / n)
         - F.lit(3.0) * ((mean * mean) * (mean * mean))
     )
+    # ANSI mode throws on division by an EXACT double zero, so a
+    # zero-variance group must short-circuit to nan (what CH and any
+    # IEEE engine produce for these 0/0 forms) instead of erroring
+    nan = F.lit(float("nan"))
     out = [
-        (m3 / (m2 * F.sqrt(m2))).alias("skew_pop"),
-        (m4 / (m2 * m2)).alias("kurt_pop"),
+        F.when(m2 == 0.0, nan)
+        .otherwise(m3 / (m2 * F.sqrt(m2)))
+        .alias("skew_pop"),
+        F.when(m2 == 0.0, nan)
+        .otherwise(m4 / (m2 * m2))
+        .alias("kurt_pop"),
     ]
     if has_y:
         sy = F.col("__sy").cast("double")
@@ -1057,7 +1088,9 @@ def stat_moment_finals(has_y: bool) -> list:
         cov = sxy / n - mean * meany
         out += [
             cov.alias("covar_pop"),
-            (cov / F.sqrt(m2 * m2y)).alias("corr_pop"),
+            F.when((m2 == 0.0) | (m2y == 0.0), nan)
+            .otherwise(cov / F.sqrt(m2 * m2y))
+            .alias("corr_pop"),
         ]
     return out
 
@@ -1200,8 +1233,9 @@ def bounding_ratio(
     division; ties on x resolve DETERMINISTICALLY to the smallest y
     at the left end and the largest at the right (CH's pick is
     read-order dependent and cannot be hash-checked). NULL x or y
-    rows are skipped; a single-point group divides 0/0 into NaN, like
-    CH."""
+    rows are skipped; a group whose x-range is zero (single point, or
+    every row sharing one x) returns nan — under ANSI mode an exact
+    0/0 double division would otherwise kill the query."""
     gcols = list(group_cols)
     x, y = F.col(x_col), F.col(y_col)
     pair = F.struct(x.alias("x"), y.alias("y"))
@@ -1210,11 +1244,15 @@ def bounding_ratio(
         .groupBy(*gcols)
         .agg(F.min(pair).alias("__f"), F.max(pair).alias("__l"))
     )
-    ratio = (
-        F.col("__l")["y"].cast("double") - F.col("__f")["y"].cast("double")
-    ) / (
-        F.col("__l")["x"].cast("double") - F.col("__f")["x"].cast("double")
+    dx = (
+        F.col("__l")["x"].cast("double")
+        - F.col("__f")["x"].cast("double")
     )
+    dy = (
+        F.col("__l")["y"].cast("double")
+        - F.col("__f")["y"].cast("double")
+    )
+    ratio = F.when(dx == 0.0, F.lit(float("nan"))).otherwise(dy / dx)
     return got.select(*gcols, ratio.alias(out_col))
 
 
@@ -1262,7 +1300,13 @@ def two_sample_tests(
     )
     idx = F.col(index_col).cast("int")
     base = df.filter(
-        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        # rows whose index is not a sample label are IGNORED — an
+        # unfiltered NULL/2 would enter the pooled ranks (rn1 counts
+        # "everything not sample 0") while the t-statistics only see
+        # i == 1, silently computing U and t over different populations
+        & idx.isin(0, 1)
     ).select(*gcols, q.alias("__q"), idx.alias("__i"))
     qd = F.col("__q").cast("decimal(38,0)")
     # per-sample exact moments, pivoted wide in one pass
@@ -1297,11 +1341,29 @@ def two_sample_tests(
         (se0 * se0) / (n0 - F.lit(1.0))
         + (se1 * se1) / (n1 - F.lit(1.0))
     )
+    # degenerate inputs — a sample with < 2 rows, or two constant
+    # samples — hit exact-zero divisors, which ANSI mode turns into a
+    # query-killing error; short-circuit them to nan (the statistic
+    # genuinely does not exist there, and nan is what CH emits)
+    nan = F.lit(float("nan"))
+    degenerate = (
+        F.col("__n0").isNull()
+        | F.col("__n1").isNull()
+        | (n0 < 2.0)
+        | (n1 < 2.0)
+    )
+    zero_var = (v0 == 0.0) & (v1 == 0.0)
     stats = mom.select(
         *gcols,
-        t_student.alias("t_student"),
-        t_welch.alias("t_welch"),
-        dof_welch.alias("dof_welch"),
+        F.when(degenerate | zero_var, nan)
+        .otherwise(t_student)
+        .alias("t_student"),
+        F.when(degenerate | zero_var, nan)
+        .otherwise(t_welch)
+        .alias("t_welch"),
+        F.when(degenerate | zero_var, nan)
+        .otherwise(dof_welch)
+        .alias("dof_welch"),
     )
     # Mann-Whitney: per distinct value, midrank in half-units
     per_v = base.groupBy(*gcols, "__q").agg(
@@ -1321,8 +1383,11 @@ def two_sample_tests(
         (F.lit(2) * cum_before + F.col("__c") + F.lit(1)).alias("__r2"),
     )
     ranks = half.groupBy(*gcols).agg(
+        # cast BEFORE the multiply: c0 * r2 in int64 wraps around
+        # ~4e9-row groups (r2 ~ 2N), exactly the scale the exactness
+        # contract exists for
         F.sum(
-            (F.col("__c0") * F.col("__r2")).cast("decimal(38,0)")
+            F.col("__c0").cast("decimal(38,0)") * F.col("__r2")
         ).alias("__r1x2"),
         F.sum(
             (
@@ -1349,9 +1414,15 @@ def two_sample_tests(
         (nn + F.lit(1.0))
         - F.col("__ties").cast("double") / (nn * (nn - F.lit(1.0)))
     )
+    # the nn < 2 guard must come FIRST: sigma2's tie-correction term
+    # divides by nn*(nn-1), and even testing sigma2 == 0 evaluates it
+    # (Or short-circuits left-to-right, so the cheap guard runs first)
+    nan_mw = F.lit(float("nan"))
     mw = ranks.select(
         *gcols,
         u1.alias("u_stat"),
-        ((u1 - mu) / F.sqrt(sigma2)).alias("z_u"),
+        F.when((nn < 2.0) | (sigma2 == 0.0), nan_mw)
+        .otherwise((u1 - mu) / F.sqrt(sigma2))
+        .alias("z_u"),
     )
     return stats.join(mw, gcols)

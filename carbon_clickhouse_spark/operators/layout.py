@@ -23,7 +23,10 @@ The guard here is the missing probe: before a partitioned append,
   hidden rows;
 * flat with no ``date`` column — cannot be month-partitioned; the
   caller is told to write flat to match (legacy ``tree``-shaped
-  tables).
+  tables, whose engine-derived frames are equally date-less, so the
+  appended files share the stored schema — a date-CARRYING frame
+  aimed at a date-less store is a schema mismatch no layout choice
+  fixes, and behaves exactly as it did before partitioning existed).
 
 Crash-safety: the migration appends the partitioned copies first and
 deletes the flat originals second, so a crash in between leaves a
@@ -53,8 +56,12 @@ from pyspark.sql import functions as F
 __all__ = ["table_layout", "prepare_partitioned_append", "migrate_flat_to_partitioned"]
 
 # tables confirmed month-partitioned (or freshly created) this process:
-# their layout can only stay partitioned, so skip the per-batch RPC
+# their layout can only stay partitioned, so skip the per-batch RPC.
+# _KNOWN_FLAT memoizes the opposite verdict — a stored date-less flat
+# table stays flat, and re-probing (plus re-pinning the batch frame)
+# every micro-batch would tax the hot path for nothing
 _KNOWN_PARTITIONED: set[str] = set()
+_KNOWN_FLAT: set[str] = set()
 _KNOWN_LOCK = threading.Lock()
 
 
@@ -164,14 +171,22 @@ def prepare_partitioned_append(
     with _KNOWN_LOCK:
         if key in _KNOWN_PARTITIONED:
             return True, None
+        if key in _KNOWN_FLAT:
+            return False, None
     layout = table_layout(spark, path)
     ok = True
     pinned = None
     if layout in ("flat", "mixed"):
-        if pin is not None:
-            pinned = pin.localCheckpoint(eager=True)
-        ok = migrate_flat_to_partitioned(spark, path, sort_cols)
-    if ok:
-        with _KNOWN_LOCK:
-            _KNOWN_PARTITIONED.add(key)
+        # schema probe BEFORE the (expensive) pin: a date-less legacy
+        # table cannot be month-partitioned, so there is nothing to
+        # migrate and no reason to materialize the batch frame
+        flat = _flat_data_files(spark, path)
+        if flat and "date" not in spark.read.parquet(*flat).columns:
+            ok = False
+        else:
+            if pin is not None:
+                pinned = pin.localCheckpoint(eager=True)
+            ok = migrate_flat_to_partitioned(spark, path, sort_cols)
+    with _KNOWN_LOCK:
+        (_KNOWN_PARTITIONED if ok else _KNOWN_FLAT).add(key)
     return ok, pinned

@@ -25,7 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.ch_aggregates import stat_moment_finals
+from ..operators.ch_aggregates import stat_moment_aggs, stat_moment_finals
 
 
 def streaming_stat_moments(
@@ -43,29 +43,17 @@ def streaming_stat_moments(
     tree). ``n_rows`` is the running row count, the natural
     monotone version stamp for downstream latest-wins consumers."""
     gcols = list(group_cols)
-    q = (
-        F.round(F.col(value_col).cast("double") * scale)
-        .cast("long")
-        .cast("decimal(38,0)")
-    )
-    aggs = [
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(q).alias("__s1"),
-        F.sum(q * q).alias("__s2"),
-        F.sum(q * q * q).alias("__s3"),
-        F.sum((q * q) * (q * q)).alias("__s4"),
-    ]
-    if y_col is not None:
-        y = F.col(y_col).cast("decimal(38,0)")
-        aggs += [
-            F.sum(y).alias("__sy"),
-            F.sum(y * y).alias("__sy2"),
-            F.sum(q * y).alias("__sxy"),
-        ]
     base = events.filter(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
     )
-    got = base.groupBy(*gcols).agg(*aggs)
+    if y_col is not None:
+        base = base.filter(F.col(y_col).isNotNull())
+    # the aggregate expressions are SHARED with the batch operator —
+    # the bit-for-bit replay-parity contract lives or dies on the two
+    # twins quantizing and summing identically
+    got = base.groupBy(*gcols).agg(
+        *stat_moment_aggs(value_col, y_col, scale)
+    )
     return got.select(
         *gcols,
         F.col("__n").alias("n_rows"),

@@ -854,3 +854,75 @@ def test_two_sample_tests_reference_fold(spark):
     ties = float(sum(c ** 3 - c for c in (1, 2, 1, 2, 1, 1, 1)))
     sigma2 = (n0 * n1 / 12.0) * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
     assert r["z_u"] == (5.0 - n0 * n1 / 2.0) / math.sqrt(sigma2)
+
+
+def test_degenerate_inputs_return_nan_not_ansi_error(spark):
+    """ANSI mode turns an exact-zero double division into a
+    query-killing error; constant groups / sub-2-row samples /
+    zero-x-range groups must come back as nan instead (review r8)."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        bounding_ratio,
+        stat_moments,
+        two_sample_tests,
+    )
+
+    # zero variance: skew/kurt/corr are nan, covar well-defined
+    const = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 5.0, 2)], "g string, v double, y long"
+    )
+    r = stat_moments(const, ["g"], "v", y_col="y").collect()[0]
+    assert math.isnan(r["skew_pop"]) and math.isnan(r["kurt_pop"])
+    assert math.isnan(r["corr_pop"]) and r["covar_pop"] == 0.0
+
+    # single-row sample: t/dof/z nan, u still defined
+    tiny = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 1)],
+        "g string, v double, s int",
+    )
+    r2 = two_sample_tests(tiny, ["g"], "v", "s").collect()[0]
+    assert math.isnan(r2["t_student"]) and math.isnan(r2["t_welch"])
+    assert math.isnan(r2["dof_welch"])
+    assert r2["u_stat"] == 0.0  # both sample-0 values below sample 1's
+
+    # every value tied: sigma = 0 -> z nan
+    tied = spark.createDataFrame(
+        [("g", 7.0, 0), ("g", 7.0, 0), ("g", 7.0, 1), ("g", 7.0, 1)],
+        "g string, v double, s int",
+    )
+    r3 = two_sample_tests(tied, ["g"], "v", "s").collect()[0]
+    assert math.isnan(r3["z_u"])
+
+    # single point: bounding_ratio nan
+    one = spark.createDataFrame(
+        [("g", 3, 9.0)], "g string, x long, y double"
+    )
+    r4 = bounding_ratio(one, ["g"], "x", "y").collect()[0]
+    assert math.isnan(r4["bounding_ratio"])
+
+    # index values outside {0, 1} are ignored, not mispooled
+    mixed = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 1), ("g", 4.0, 1),
+         ("g", 99.0, 2), ("g", 98.0, None)],
+        "g string, v double, s int",
+    )
+    clean = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 1), ("g", 4.0, 1)],
+        "g string, v double, s int",
+    )
+    got = two_sample_tests(mixed, ["g"], "v", "s").collect()[0]
+    want = two_sample_tests(clean, ["g"], "v", "s").collect()[0]
+    assert got == want
+
+
+def test_histogram_adaptive_rejects_buckets_with_exact(spark):
+    import pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="buckets"):
+        histogram_adaptive(df, "v", 4, ["g"], exact=True, buckets=2)
