@@ -2306,7 +2306,11 @@ def q_ch_agg_breadth(spark, sf_dir):
     (t, value) points, deterministic tie picks), all per event type
     with weight (event_id % 7) + 1. Tiny per-type results join
     broadcast; each piece is one partial-agg pass
-    (operators/ch_aggregates.py)."""
+    (operators/ch_aggregates.py). The joins are inner: an event type
+    whose values were ALL NULL would drop from arg_extrema (its
+    NULL-skip contract) and thus from this row — fine on the
+    NULL-free driver fixtures, and the honest behavior if that ever
+    changes is a loud row-count mismatch, not a silent wrong value."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         arg_extrema,
         avg_weighted,
