@@ -41,6 +41,7 @@ def _reset_memo():
     # deliberate bypass (mixed-dir setup) must not inherit a stale entry
     with layout_mod._KNOWN_LOCK:
         layout_mod._KNOWN_PARTITIONED.clear()
+        layout_mod._KNOWN_FLAT.clear()
 
 
 def _top_level_flat_files(root, name):
@@ -243,3 +244,25 @@ def test_streaming_append_to_legacy_flat_index(spark, tmp_path):
     assert legacy_paths <= got, "streaming append must not hide legacy rows"
     assert any(p.startswith("fresh.") for p in got)
     assert table_layout(spark, os.path.join(root, "index")) == "partitioned"
+
+
+def test_flat_no_date_verdict_is_memoized(spark, tmp_path):
+    """A date-less flat table's False verdict memoizes: subsequent
+    calls neither re-probe nor pin the batch frame (the per-batch
+    localCheckpoint a pre-fix build paid on the hot path)."""
+    _reset_memo()
+    path = str(tmp_path / "tree")
+    spark.createDataFrame([("a.b",)], "path string").write.parquet(path)
+    pin = spark.createDataFrame(
+        [("x", "2021-07-05")], "path string, date string"
+    ).withColumn("date", F.to_date("date"))
+    ok, pinned = prepare_partitioned_append(spark, path, pin=pin)
+    assert ok is False and pinned is None  # schema probe beats the pin
+    key = os.path.abspath(path)
+    assert key in layout_mod._KNOWN_FLAT
+    # second call answers from the memo even if the dir vanished
+    import shutil
+
+    shutil.rmtree(path)
+    ok2, _ = prepare_partitioned_append(spark, path, pin=pin)
+    assert ok2 is False
