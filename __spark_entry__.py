@@ -2249,7 +2249,8 @@ def q_stat_moments(spark, sf_dir):
 
 def q_two_sample_tests(spark, sf_dir):
     """ClickHouse ``studentTTest`` / ``welchTTest`` /
-    ``mannWhitneyUTest`` statistics per event type
+    ``mannWhitneyUTest`` / ``kolmogorovSmirnovTest`` statistics per
+    event type
     (operators/ch_aggregates.two_sample_tests): sample split = user_id
     parity. Exact per-sample power sums in DECIMAL(38,0), half-unit
     integer midrank sums for U, fixed IEEE expression trees for
@@ -4173,7 +4174,15 @@ def _all_oracle_sql() -> dict[str, str]:
                  2 * coalesce(sum(c) OVER (
                    PARTITION BY event_type ORDER BY q
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) + c + 1 AS r2
+                 ), 0) + c + 1 AS r2,
+                 abs(sum(c0) OVER (
+                       PARTITION BY event_type ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * sum(c - c0) OVER (PARTITION BY event_type)
+                   - sum(c - c0) OVER (
+                       PARTITION BY event_type ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * sum(c0) OVER (PARTITION BY event_type)) AS ksn
           FROM pv
         ),
         rk AS (
@@ -4181,7 +4190,8 @@ def _all_oracle_sql() -> dict[str, str]:
                  CAST(sum(c0 * r2) AS DOUBLE) AS r1x2,
                  CAST(sum(c*c*c - c) AS DOUBLE) AS ties,
                  CAST(sum(c0) AS DOUBLE) AS rn0,
-                 CAST(sum(c - c0) AS DOUBLE) AS rn1
+                 CAST(sum(c - c0) AS DOUBLE) AS rn1,
+                 CAST(max(ksn) AS DOUBLE) AS ksn_max
           FROM hv GROUP BY event_type
         ),
         mw AS (
@@ -4191,11 +4201,12 @@ def _all_oracle_sql() -> dict[str, str]:
               / sqrt((rn0*rn1/12.0)
                      * ((rn0 + rn1 + 1.0)
                         - ties/((rn0 + rn1)*(rn0 + rn1 - 1.0))))
-              AS z_u
+              AS z_u,
+            ksn_max / (rn0 * rn1) AS ks_d
           FROM rk
         )
         SELECT t.event_type, t_student, t_welch, dof_welch,
-               u_stat, z_u
+               u_stat, z_u, ks_d
         FROM tfin t JOIN mw ON mw.event_type = t.event_type
     """
     # the LTTB pick loop replayed: one recursion step per middle

@@ -1264,9 +1264,13 @@ def two_sample_tests(
     scale: int = 1000,
 ) -> DataFrame:
     """ClickHouse ``studentTTest`` / ``welchTTest`` /
-    ``mannWhitneyUTest`` test STATISTICS per group: ``index_col``
-    (0/1) splits each group into the two samples. Returns
-    ``(*group_cols, t_student, t_welch, dof_welch, u_stat, z_u)``.
+    ``mannWhitneyUTest`` / ``kolmogorovSmirnovTest`` STATISTICS per
+    group: ``index_col`` (0/1) splits each group into the two
+    samples. Returns ``(*group_cols, t_student, t_welch, dof_welch,
+    u_stat, z_u, ks_d)``. ``ks_d`` is the KS D statistic —
+    max |ECDF0 - ECDF1| over the pooled values, computed as an exact
+    integer maximum (``|cum0*n1 - cum1*n0|`` per distinct value, in
+    DECIMAL) over one IEEE division, so it hash-gates like the rest.
 
     Engine-exact construction (CH's own float accumulators are
     block-order dependent and return approximate p-values):
@@ -1365,7 +1369,9 @@ def two_sample_tests(
         .otherwise(dof_welch)
         .alias("dof_welch"),
     )
-    # Mann-Whitney: per distinct value, midrank in half-units
+    # Mann-Whitney + Kolmogorov-Smirnov: both live on the per-value
+    # rank table — midranks in half-units for U, inclusive cumulative
+    # per-sample counts for the KS empirical CDFs
     per_v = base.groupBy(*gcols, "__q").agg(
         F.count(F.lit(1)).alias("__c"),
         F.count(F.when(F.col("__i") == 0, F.lit(1))).alias("__c0"),
@@ -1375,12 +1381,29 @@ def two_sample_tests(
         .orderBy("__q")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_inc = (
+        Window.partitionBy(*gcols)
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*gcols)
     cum_before = F.coalesce(F.sum("__c").over(w), F.lit(0))
+    cum0 = F.sum("__c0").over(w_inc)
+    cum1 = F.sum(F.col("__c") - F.col("__c0")).over(w_inc)
+    tot0 = F.sum("__c0").over(w_all)
+    tot1 = F.sum(F.col("__c") - F.col("__c0")).over(w_all)
     half = per_v.select(
         *gcols,
         F.col("__c"),
         F.col("__c0"),
         (F.lit(2) * cum_before + F.col("__c") + F.lit(1)).alias("__r2"),
+        # |F0(v) - F1(v)| scaled by n0*n1: an exact integer per
+        # distinct value (decimal casts beat the int64 wrap, as for
+        # the rank sum); D = max / (n0*n1), one IEEE division
+        F.abs(
+            cum0.cast("decimal(38,0)") * tot1
+            - cum1.cast("decimal(38,0)") * tot0
+        ).alias("__ksn"),
     )
     ranks = half.groupBy(*gcols).agg(
         # cast BEFORE the multiply: c0 * r2 in int64 wraps around
@@ -1399,6 +1422,7 @@ def two_sample_tests(
         ).alias("__ties"),
         F.sum("__c0").alias("__mn0"),
         F.sum(F.col("__c") - F.col("__c0")).alias("__mn1"),
+        F.max("__ksn").alias("__ksn_max"),
     )
     rn0 = F.col("__mn0").cast("double")
     rn1 = F.col("__mn1").cast("double")
@@ -1424,5 +1448,10 @@ def two_sample_tests(
         F.when((nn < 2.0) | (sigma2 == 0.0), nan_mw)
         .otherwise((u1 - mu) / F.sqrt(sigma2))
         .alias("z_u"),
+        # KS D: exact integer max over the pooled distinct values,
+        # one division; an empty sample has no ECDF -> nan
+        F.when((rn0 == 0.0) | (rn1 == 0.0), nan_mw)
+        .otherwise(F.col("__ksn_max").cast("double") / (rn0 * rn1))
+        .alias("ks_d"),
     )
     return stats.join(mw, gcols)

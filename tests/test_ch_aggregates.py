@@ -854,6 +854,10 @@ def test_two_sample_tests_reference_fold(spark):
     ties = float(sum(c ** 3 - c for c in (1, 2, 1, 2, 1, 1, 1)))
     sigma2 = (n0 * n1 / 12.0) * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
     assert r["z_u"] == (5.0 - n0 * n1 / 2.0) / math.sqrt(sigma2)
+    # KS D by hand over pooled distinct values 1,2,3,4,5,6,8:
+    # cum0 = 1,2,3,4,5,5,5 ; cum1 = 0,1,1,2,2,3,4
+    # |cum0*n1 - cum1*n0| = |4c0 - 5c1| -> 4,3,7,6,10,5,0 ; max 10
+    assert r["ks_d"] == 10.0 / (n0 * n1)
 
 
 def test_degenerate_inputs_return_nan_not_ansi_error(spark):
