@@ -2269,6 +2269,31 @@ def q_two_sample_tests(spark, sf_dir):
     return two_sample_tests(base, ["event_type"], "value", "s")
 
 
+def q_contingency_stats(spark, sf_dir):
+    """ClickHouse ``cramersV`` / ``cramersVBiasCorrected`` /
+    ``contingency`` per UTC day over (event_type, user_id%8)
+    (operators/ch_aggregates.contingency_stats): exact integer cell
+    counts and marginals, the chi-square folded SEQUENTIALLY over the
+    cells in (x, y) string order — F.aggregate over the sorted cell
+    array here, list_reduce over the same ordering in the oracle — so
+    the order-sensitive double sum is a pure function of the data and
+    hash-gates; empty cells enter via sum_empty(e) = n -
+    sum_observed(e) without materializing the full grid. One
+    partial-agg shuffle to the contingency table; the fold is bounded
+    by the table size, not the row count."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        contingency_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        (F.col("user_id") % 8).alias("ub"),
+    )
+    return contingency_stats(base, ["day"], "event_type", "ub")
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2588,6 +2613,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # welchTTest/mannWhitneyUTest statistics (exact sums, midrank
         # half-units; p-values deliberately not hash-gateable)
         "two_sample_tests": q_two_sample_tests,
+        # graded reps: top_event_types / ch_agg_breadth; adds
+        # cramersV / cramersVBiasCorrected / contingency with the
+        # chi-square fold order pinned in both engines
+        "contingency_stats": q_contingency_stats,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4208,6 +4237,68 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT t.event_type, t_student, t_welch, dof_welch,
                u_stat, z_u, ks_d
         FROM tfin t JOIN mw ON mw.event_type = t.event_type
+    """
+    # contingency family: exact integer cells/marginals, chi-square
+    # folded left-to-right over (x, y)-string-ordered cells via
+    # list_reduce (Spark's F.aggregate seed 0.0 + t1 == t1, so the
+    # fold sequences match), empty cells via n - sum_observed(e)
+    oracles["contingency_stats"] = """
+        WITH b AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 event_type AS x, user_id % 8 AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ),
+        cells AS (
+          SELECT day, x, y, CAST(count(*) AS BIGINT) AS o
+          FROM b GROUP BY day, x, y
+        ),
+        m AS (
+          SELECT day, x, y, o,
+            sum(o) OVER (PARTITION BY day, x) AS r,
+            sum(o) OVER (PARTITION BY day, y) AS c,
+            sum(o) OVER (PARTITION BY day) AS n
+          FROM cells
+        ),
+        t AS (
+          SELECT day, n, CAST(x AS VARCHAR) AS xs,
+                 CAST(y AS VARCHAR) AS ys, x, y,
+            (CAST(o AS DOUBLE)
+               - CAST(r*c AS DOUBLE)/CAST(n AS DOUBLE))
+            * (CAST(o AS DOUBLE)
+               - CAST(r*c AS DOUBLE)/CAST(n AS DOUBLE))
+            / (CAST(r*c AS DOUBLE)/CAST(n AS DOUBLE))
+            - CAST(r*c AS DOUBLE)/CAST(n AS DOUBLE) AS t
+          FROM m
+        ),
+        g AS (
+          SELECT day,
+            list_reduce(list(t ORDER BY xs, ys), (a, b) -> a + b)
+              AS tsum,
+            CAST(max(n) AS DOUBLE) AS n,
+            CAST(count(DISTINCT x) AS DOUBLE) AS rx,
+            CAST(count(DISTINCT y) AS DOUBLE) AS ry
+          FROM t GROUP BY day
+        )
+        SELECT day,
+          tsum + n AS chi_sq,
+          CASE WHEN least(rx - 1.0, ry - 1.0) = 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE sqrt((tsum + n) / (n * least(rx - 1.0, ry - 1.0)))
+          END AS cramers_v,
+          CASE WHEN n = 1.0 OR least(
+                 rx - ((rx - 1.0)*(rx - 1.0))/(n - 1.0) - 1.0,
+                 ry - ((ry - 1.0)*(ry - 1.0))/(n - 1.0) - 1.0) <= 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE sqrt(
+                 greatest(0.0, (tsum + n)/n
+                               - ((rx - 1.0)*(ry - 1.0))/(n - 1.0))
+                 / least(
+                     rx - ((rx - 1.0)*(rx - 1.0))/(n - 1.0) - 1.0,
+                     ry - ((ry - 1.0)*(ry - 1.0))/(n - 1.0) - 1.0))
+          END AS cramers_v_bc,
+          sqrt((tsum + n) / ((tsum + n) + n)) AS contingency_coef
+        FROM g
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "stat_moments",
     "lttb_downsample",
     "two_sample_tests",
+    "contingency_stats",
 ]
 
 

@@ -1455,3 +1455,111 @@ def two_sample_tests(
         .alias("ks_d"),
     )
     return stats.join(mw, gcols)
+
+
+def contingency_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """ClickHouse ``cramersV(x, y)`` / ``cramersVBiasCorrected`` /
+    ``contingency(x, y)`` per group, engine-exact. Returns
+    ``(*group_cols, chi_sq, cramers_v, cramers_v_bc,
+    contingency_coef)``.
+
+    The chi-square sum is the order-sensitive piece: cell terms are
+    IEEE doubles, so the sum is folded SEQUENTIALLY over the cells in
+    ``(x, y)`` order — ``F.aggregate`` over the sorted collected cell
+    array here, ``list_reduce`` over the same ordering in the oracle —
+    making the result a pure function of the data. Empty cells
+    contribute their expected count ``e = r*c/n``; summing those
+    directly would mean materializing the full r-x-c grid, but
+    ``sum_empty(e) = n - sum_observed(e)``, so each OBSERVED cell
+    folds ``(o-e)^2/e - e`` and the group adds ``+ n`` once. Cell
+    counts and the r/c/n marginals are exact integers (DECIMAL
+    products against the int64 wrap); every division is one fixed
+    IEEE tree. Groups with a single row or column value return nan
+    for Cramer's V (zero degrees of freedom), not an ANSI error.
+
+    Plan: one partial-agg shuffle to the (group, x, y) cell table —
+    the only pass over the data — then marginals as window sums and
+    one per-group fold over the collected cells (bounded by the
+    CONTINGENCY-TABLE size, not the row count: the same envelope CH's
+    own hash-table accumulator has)."""
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*gcols, x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    w_r = Window.partitionBy(*gcols, "__x")
+    w_c = Window.partitionBy(*gcols, "__y")
+    w_g = Window.partitionBy(*gcols)
+    with_m = cells.select(
+        *gcols,
+        "__x",
+        "__y",
+        "__o",
+        F.sum("__o").over(w_r).alias("__r"),
+        F.sum("__o").over(w_c).alias("__c"),
+        F.sum("__o").over(w_g).alias("__n"),
+    )
+    e = (
+        F.col("__r").cast("decimal(38,0)") * F.col("__c")
+    ).cast("double") / F.col("__n").cast("double")
+    o = F.col("__o").cast("double")
+    term = (o - e) * (o - e) / e - e
+    per_cell = with_m.select(
+        *gcols,
+        F.struct(
+            F.col("__x").cast("string").alias("x"),
+            F.col("__y").cast("string").alias("y"),
+            term.alias("t"),
+        ).alias("__cell"),
+        F.col("__n"),
+        "__x",
+        "__y",
+    )
+    agg = per_cell.groupBy(*gcols).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__cell")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("__tsum"),
+        F.max("__n").alias("__nn"),
+        F.count_distinct("__x").alias("__rx"),
+        F.count_distinct("__y").alias("__ry"),
+    )
+    n = F.col("__nn").cast("double")
+    rx = F.col("__rx").cast("double")
+    ry = F.col("__ry").cast("double")
+    chi2 = F.col("__tsum") + n
+    nan = F.lit(float("nan"))
+    dof = F.least(rx - F.lit(1.0), ry - F.lit(1.0))
+    cramers = F.when(dof == 0.0, nan).otherwise(
+        F.sqrt(chi2 / (n * dof))
+    )
+    # Bergsma 2013 bias correction (the formula behind CH's
+    # cramersVBiasCorrected): phi2+ = max(0, chi2/n - (r-1)(c-1)/(n-1)),
+    # r~ = r - (r-1)^2/(n-1), c~ likewise, V = sqrt(phi2+ / min(r~-1, c~-1))
+    phi2c = F.greatest(
+        F.lit(0.0),
+        chi2 / n
+        - ((rx - F.lit(1.0)) * (ry - F.lit(1.0))) / (n - F.lit(1.0)),
+    )
+    rt = rx - ((rx - F.lit(1.0)) * (rx - F.lit(1.0))) / (n - F.lit(1.0))
+    ct = ry - ((ry - F.lit(1.0)) * (ry - F.lit(1.0))) / (n - F.lit(1.0))
+    doft = F.least(rt - F.lit(1.0), ct - F.lit(1.0))
+    cramers_bc = F.when(
+        (n == 1.0) | (doft <= 0.0), nan
+    ).otherwise(F.sqrt(phi2c / doft))
+    conting = F.sqrt(chi2 / (chi2 + n))
+    return agg.select(
+        *gcols,
+        chi2.alias("chi_sq"),
+        cramers.alias("cramers_v"),
+        cramers_bc.alias("cramers_v_bc"),
+        conting.alias("contingency_coef"),
+    )

@@ -930,3 +930,46 @@ def test_histogram_adaptive_rejects_buckets_with_exact(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="buckets"):
         histogram_adaptive(df, "v", 4, ["g"], exact=True, buckets=2)
+
+
+def test_contingency_stats_hand_checked(spark):
+    """2x2 table with known chi-square, plus degenerate guards and
+    partition independence of the ordered fold."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        contingency_stats,
+    )
+
+    # o = [[10, 20], [20, 10]]: all e = 15, chi2 = 4 * 25/15 = 20/3
+    rows = (
+        [("g", "a", 0)] * 10 + [("g", "a", 1)] * 20
+        + [("g", "b", 0)] * 20 + [("g", "b", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, x string, y int")
+    r = contingency_stats(df, ["g"], "x", "y").collect()[0]
+    chi2 = 20.0 / 3.0
+    assert abs(r["chi_sq"] - chi2) < 1e-12
+    assert abs(r["cramers_v"] - math.sqrt(chi2 / 60.0)) < 1e-12
+    assert abs(
+        r["contingency_coef"] - math.sqrt(chi2 / (chi2 + 60.0))
+    ) < 1e-12
+    # bias-corrected: phi2+ = max(0, chi2/60 - 1/59); r~=c~=2-1/59
+    phi2c = max(0.0, chi2 / 60.0 - 1.0 / 59.0)
+    dt = (2.0 - 1.0 / 59.0) - 1.0
+    assert abs(r["cramers_v_bc"] - math.sqrt(phi2c / dt)) < 1e-12
+
+    # partition independence: the fold order is pinned by (x, y)
+    r2 = contingency_stats(
+        spark.createDataFrame(rows, "g string, x string, y int")
+        .repartition(7),
+        ["g"], "x", "y",
+    ).collect()[0]
+    assert r == r2
+
+    # single column value: zero dof -> nan, not an ANSI error
+    one_col = spark.createDataFrame(
+        [("g", "a", 0), ("g", "b", 0)], "g string, x string, y int"
+    )
+    r3 = contingency_stats(one_col, ["g"], "x", "y").collect()[0]
+    assert math.isnan(r3["cramers_v"])
