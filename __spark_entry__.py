@@ -2332,11 +2332,11 @@ def q_ch_agg_breadth(spark, sf_dir):
     (t, value) points, deterministic tie picks), all per event type
     with weight (event_id % 7) + 1. Tiny per-type results join
     broadcast; each piece is one partial-agg pass
-    (operators/ch_aggregates.py). The joins are inner: an event type
-    whose values were ALL NULL would drop from arg_extrema (its
-    NULL-skip contract) and thus from this row — fine on the
-    NULL-free driver fixtures, and the honest behavior if that ever
-    changes is a loud row-count mismatch, not a silent wrong value."""
+    (operators/ch_aggregates.py). arg_extrema keeps an all-NULL group
+    with NULL args (the CH behavior), so it anchors LEFT joins to the
+    other pieces — a group a NULL-skipping aggregate drops shows up
+    as a NULL cell, never a silently-missing row, keeping the gate
+    independent of fixture NULL shape."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         arg_extrema,
         avg_weighted,
@@ -2370,10 +2370,10 @@ def q_ch_agg_breadth(spark, sf_dir):
     )
     br = bounding_ratio(base, ["event_type"], "t", "value")
     return (
-        ext.join(avw, "event_type")
-        .join(med, "event_type")
-        .join(uniq, "event_type")
-        .join(br, "event_type")
+        ext.join(avw, "event_type", "left")
+        .join(med, "event_type", "left")
+        .join(uniq, "event_type", "left")
+        .join(br, "event_type", "left")
     )
 
 
@@ -4144,13 +4144,22 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM m
         )
         SELECT event_type,
-          (s3/n - 3.0*mean*(s2/n) + 2.0*(mean*mean*mean))
-            / (m2 * sqrt(m2)) AS skew_pop,
-          (s4/n - 4.0*mean*(s3/n) + 6.0*(mean*mean)*(s2/n)
-             - 3.0*((mean*mean)*(mean*mean)))
-            / (m2 * m2) AS kurt_pop,
+          -- zero-variance guards mirror the Spark side's
+          -- when(m2 == 0, nan) (stat_moment_finals): an unguarded
+          -- 0/0 is NULL in DuckDB but nan in the operator, so the
+          -- gate must not depend on the fixture never producing a
+          -- constant group
+          CASE WHEN m2 = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE (s3/n - 3.0*mean*(s2/n) + 2.0*(mean*mean*mean))
+                      / (m2 * sqrt(m2)) END AS skew_pop,
+          CASE WHEN m2 = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE (s4/n - 4.0*mean*(s3/n) + 6.0*(mean*mean)*(s2/n)
+                       - 3.0*((mean*mean)*(mean*mean)))
+                      / (m2 * m2) END AS kurt_pop,
           sxy/n - mean*meany AS covar_pop,
-          (sxy/n - mean*meany) / sqrt(m2 * m2y) AS corr_pop
+          CASE WHEN m2 = 0.0 OR m2y = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE (sxy/n - mean*meany) / sqrt(m2 * m2y)
+          END AS corr_pop
         FROM c
     """
     # two-sample tests: identical exact integer sums (HUGEINT =
@@ -4182,14 +4191,30 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM mom
         ),
         tfin AS (
+          -- degenerate guards mirror the Spark side's
+          -- when(degenerate | zero_var, nan): a sample with < 2 rows
+          -- or two constant samples is nan in the operator but would
+          -- be NULL here (DuckDB double/0 -> NULL), so the gate must
+          -- not depend on fixture shape; the n-guard runs FIRST so a
+          -- NULL v0 (n0 < 2) never reaches the zero-variance test
           SELECT event_type,
-            (m0 - m1) / (sqrt(((n0 - 1.0)*v0 + (n1 - 1.0)*v1)
+            CASE WHEN n0 < 2.0 OR n1 < 2.0 THEN CAST('nan' AS DOUBLE)
+                 WHEN v0 = 0.0 AND v1 = 0.0 THEN CAST('nan' AS DOUBLE)
+                 ELSE (m0 - m1)
+                      / (sqrt(((n0 - 1.0)*v0 + (n1 - 1.0)*v1)
                               / (n0 + n1 - 2.0))
-                         * sqrt(1.0/n0 + 1.0/n1)) AS t_student,
-            (m0 - m1) / sqrt(v0/n0 + v1/n1) AS t_welch,
-            ((v0/n0 + v1/n1) * (v0/n0 + v1/n1))
-              / ((v0/n0)*(v0/n0)/(n0 - 1.0)
-                 + (v1/n1)*(v1/n1)/(n1 - 1.0)) AS dof_welch
+                         * sqrt(1.0/n0 + 1.0/n1))
+            END AS t_student,
+            CASE WHEN n0 < 2.0 OR n1 < 2.0 THEN CAST('nan' AS DOUBLE)
+                 WHEN v0 = 0.0 AND v1 = 0.0 THEN CAST('nan' AS DOUBLE)
+                 ELSE (m0 - m1) / sqrt(v0/n0 + v1/n1)
+            END AS t_welch,
+            CASE WHEN n0 < 2.0 OR n1 < 2.0 THEN CAST('nan' AS DOUBLE)
+                 WHEN v0 = 0.0 AND v1 = 0.0 THEN CAST('nan' AS DOUBLE)
+                 ELSE ((v0/n0 + v1/n1) * (v0/n0 + v1/n1))
+                      / ((v0/n0)*(v0/n0)/(n0 - 1.0)
+                         + (v1/n1)*(v1/n1)/(n1 - 1.0))
+            END AS dof_welch
           FROM tt
         ),
         pv AS (
@@ -4223,16 +4248,29 @@ def _all_oracle_sql() -> dict[str, str]:
                  CAST(max(ksn) AS DOUBLE) AS ksn_max
           FROM hv GROUP BY event_type
         ),
+        sg AS (
+          SELECT event_type, r1x2, rn0, rn1, ksn_max,
+            (rn0*rn1/12.0)
+              * ((rn0 + rn1 + 1.0)
+                 - ties/((rn0 + rn1)*(rn0 + rn1 - 1.0))) AS sigma2
+          FROM rk
+        ),
         mw AS (
+          -- guards mirror the Spark side: z_u nan when the pooled n
+          -- < 2 or the tie-corrected variance is 0 (all values
+          -- equal); ks_d nan when either sample is empty (no ECDF)
           SELECT event_type,
             r1x2/2.0 - rn0*(rn0 + 1.0)/2.0 AS u_stat,
-            (r1x2/2.0 - rn0*(rn0 + 1.0)/2.0 - rn0*rn1/2.0)
-              / sqrt((rn0*rn1/12.0)
-                     * ((rn0 + rn1 + 1.0)
-                        - ties/((rn0 + rn1)*(rn0 + rn1 - 1.0))))
-              AS z_u,
-            ksn_max / (rn0 * rn1) AS ks_d
-          FROM rk
+            CASE WHEN rn0 + rn1 < 2.0 OR sigma2 = 0.0
+                 THEN CAST('nan' AS DOUBLE)
+                 ELSE (r1x2/2.0 - rn0*(rn0 + 1.0)/2.0 - rn0*rn1/2.0)
+                      / sqrt(sigma2)
+            END AS z_u,
+            CASE WHEN rn0 = 0.0 OR rn1 = 0.0
+                 THEN CAST('nan' AS DOUBLE)
+                 ELSE ksn_max / (rn0 * rn1)
+            END AS ks_d
+          FROM sg
         )
         SELECT t.event_type, t_student, t_welch, dof_welch,
                u_stat, z_u, ks_d
@@ -4512,22 +4550,30 @@ def _all_oracle_sql() -> dict[str, str]:
         br AS (
           -- boundingRatio: slope between the leftmost and rightmost
           -- (t, value) points; tie picks mirror the struct min/max
-          -- (smallest value at the left end, largest at the right)
+          -- (smallest value at the left end, largest at the right).
+          -- NULL filter + zero-x-range nan guard mirror the Spark
+          -- operator exactly, so the gate does not depend on the
+          -- fixture never producing a single-point or NULL group
           SELECT event_type,
-                 (max(struct_pack(x := t, y := value)).y
-                  - min(struct_pack(x := t, y := value)).y)
-                 / CAST(max(struct_pack(x := t, y := value)).x
-                        - min(struct_pack(x := t, y := value)).x
-                        AS DOUBLE) AS bounding_ratio
-          FROM b GROUP BY event_type
+                 CASE WHEN max(struct_pack(x := t, y := value)).x
+                           = min(struct_pack(x := t, y := value)).x
+                      THEN CAST('nan' AS DOUBLE)
+                      ELSE (max(struct_pack(x := t, y := value)).y
+                            - min(struct_pack(x := t, y := value)).y)
+                           / CAST(max(struct_pack(x := t, y := value)).x
+                                  - min(struct_pack(x := t, y := value)).x
+                                  AS DOUBLE)
+                 END AS bounding_ratio
+          FROM b WHERE t IS NOT NULL AND value IS NOT NULL
+          GROUP BY event_type
         )
         SELECT ext.event_type, arg_min_user, arg_max_user,
                avg_weighted, wmedian, user_buckets, bounding_ratio
         FROM ext
-        JOIN avw ON avw.event_type = ext.event_type
-        JOIN med ON med.event_type = ext.event_type
-        JOIN uq ON uq.event_type = ext.event_type
-        JOIN br ON br.event_type = ext.event_type
+        LEFT JOIN avw ON avw.event_type = ext.event_type
+        LEFT JOIN med ON med.event_type = ext.event_type
+        LEFT JOIN uq ON uq.event_type = ext.event_type
+        LEFT JOIN br ON br.event_type = ext.event_type
     """
     oracles["retention_flags"] = """
         SELECT user_id,

@@ -104,28 +104,51 @@ def _last_recorded_batch_legs(names, sf) -> dict[str, float] | None:
     return None if best is None else best[1]
 
 
-def _recorded_meter_max(key: str, sf) -> float | None:
-    """Best value of a throughput meter across ALL recorded rounds at
-    the same scale factor. The drift check compares against the best,
-    not the latest: a loaded host can depress the meter for a round
-    (r7 recorded streaming 56k against a re-measured 92k steady
-    state), and comparing to that depressed record would let the next
-    depressed run through unchallenged."""
+def _recorded_rounds(sf) -> list[dict]:
+    """Parsed BENCH records at the same scale factor (meters + query
+    total), for the ratio-based drift gates."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: float | None = None
+    out = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(p) as fh:
                 parsed = (json.load(fh)).get("parsed") or {}
             if str(parsed.get("sf")) != str(sf):
                 continue
-            v = float(parsed[key])
+            out.append(
+                {
+                    "ingest": float(parsed["ingest_points_per_sec"]),
+                    "streaming": float(
+                        parsed["streaming_points_per_sec"]
+                    ),
+                    "total": float(parsed["value"]),
+                }
+            )
         except (OSError, ValueError, TypeError, KeyError):
             continue
-        best = v if best is None else max(best, v)
-    return best
+    return out
+
+
+def _meter_drifted(
+    value: float, norm: float, recorded: list[tuple[float, float]]
+) -> bool:
+    """Leg-RATIO drift gate (r8 advice): documented host/VM variance
+    shifts every leg ~25% together, so an absolute 15% threshold
+    trips on every slow-host round, re-measures on the same depressed
+    host, and records a depressed number anyway. Instead a meter
+    re-measures when it moves relative to its SIBLING leg — the
+    normalized value ``value * norm`` (norm rises exactly when the
+    host slows, so whole-host shifts cancel) landing >15% below the
+    best recorded normalized value — or when the absolute drop is
+    past 40%, beyond any recorded host variance (a genuine engine
+    collapse must still re-measure even if every leg collapsed)."""
+    if not recorded:
+        return False
+    best_norm = max(v * n for v, n in recorded)
+    best_abs = max(v for v, _ in recorded)
+    return value * norm < 0.85 * best_norm or value < 0.60 * best_abs
 
 
 def _time_batch_queries(spark, sf_dir, qs, repeats) -> dict[str, float]:
@@ -246,13 +269,19 @@ def main() -> None:
 
     # meter drift discipline (r7: the drift gate covered only the
     # batch loop, so a loaded host recorded streaming 56k against a
-    # 92k steady state): a meter landing >15% below the best recorded
-    # round re-measures once and keeps the better number — the same
-    # one-extra-pass trade as the batch re-run, so host noise can't
-    # masquerade as an engine regression in the artifact trail.
+    # 92k steady state; r8 advice: absolute thresholds trip on every
+    # ~25% whole-host shift): a meter re-measures once when it drifts
+    # relative to its SIBLING leg (see _meter_drifted) and keeps the
+    # better number — host noise cancels in the ratio, so only a
+    # single-leg regression or an outright collapse re-measures.
     meter_rerun = {"ingest": False, "streaming": False}
-    prev = _recorded_meter_max("ingest_points_per_sec", sf_val)
-    if prev and pps < 0.85 * prev:
+    rounds = _recorded_rounds(sf_val)
+    batch_total = sum(timings.values())
+    if _meter_drifted(
+        pps,
+        batch_total,
+        [(r["ingest"], r["total"]) for r in rounds],
+    ):
         meter_rerun["ingest"] = True
         fn = qs["points_ingest"]
         best = timings["points_ingest"]
@@ -266,8 +295,11 @@ def main() -> None:
     # sustained STREAMING ingest: land line files, run the
     # foreachBatch four-table pipeline until drained
     stream_pps = _stream_throughput(spark, sf_dir)
-    prev = _recorded_meter_max("streaming_points_per_sec", sf_val)
-    if prev and stream_pps < 0.85 * prev:
+    if _meter_drifted(
+        stream_pps,
+        1.0 / pps,
+        [(r["streaming"], 1.0 / r["ingest"]) for r in rounds],
+    ):
         meter_rerun["streaming"] = True
         stream_pps = max(stream_pps, _stream_throughput(spark, sf_dir))
 

@@ -1703,7 +1703,14 @@ def _decode_ac_scan(
                             break
                         r -= 1
                     k += 1
-                if val and k <= se:
+                if val:
+                    if k > se:
+                        # a decoded newly-significant coefficient
+                        # whose zero-run overran the band is a
+                        # malformed stream — honor the None contract
+                        # like the first-pass `if k > se` branch
+                        # instead of silently dropping the value
+                        return None
                     blk[k] = val
                 k += 1
         if eobrun > 0:

@@ -438,20 +438,21 @@ def arg_extrema(
 
     One partial-aggregating groupBy: min/max over a two-field struct
     — value leads, arg breaks ties — stays in JVM codegen, no window,
-    no second pass. NULL values are SKIPPED like the CH aggregate
-    (struct field ordering is nulls-first, so an unfiltered NULL
-    value would win every arg_min); NaN needs no special case — both
-    engines order NaN above every number, so it loses min and wins
-    max identically."""
+    no second pass. NULL values are SKIPPED like the CH aggregate,
+    but via a ``when(v.isNotNull(), pair)`` projection rather than a
+    row filter: min/max ignore NULL structs, so an all-NULL group
+    still EMITS its row with NULL arg_min/arg_max (CH keeps the group
+    with a default result; a row filter would silently drop it and
+    any downstream inner join would lose the whole group). NaN needs
+    no special case — both engines order NaN above every number, so
+    it loses min and wins max identically."""
     v, a = F.col(value_col), F.col(arg_col)
-    pair = F.struct(v.alias("v"), a.alias("a"))
-    return (
-        df.filter(v.isNotNull())
-        .groupBy(*group_cols)
-        .agg(
-            F.min(pair)["a"].alias("arg_min"),
-            F.max(pair)["a"].alias("arg_max"),
-        )
+    pair = F.when(
+        v.isNotNull(), F.struct(v.alias("v"), a.alias("a"))
+    )
+    return df.groupBy(*group_cols).agg(
+        F.min(pair)["a"].alias("arg_min"),
+        F.max(pair)["a"].alias("arg_max"),
     )
 
 

@@ -53,7 +53,12 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["table_layout", "prepare_partitioned_append", "migrate_flat_to_partitioned"]
+__all__ = [
+    "table_layout",
+    "prepare_partitioned_append",
+    "migrate_flat_to_partitioned",
+    "forget_layout",
+]
 
 # tables confirmed month-partitioned (or freshly created) this process:
 # their layout can only stay partitioned, so skip the per-batch RPC.
@@ -63,6 +68,23 @@ __all__ = ["table_layout", "prepare_partitioned_append", "migrate_flat_to_partit
 _KNOWN_PARTITIONED: set[str] = set()
 _KNOWN_FLAT: set[str] = set()
 _KNOWN_LOCK = threading.Lock()
+
+
+def _memo_key(path: str) -> str:
+    return os.path.abspath(path) if "://" not in path else path
+
+
+def forget_layout(path: str) -> None:
+    """Drop a table's memoized layout verdict. Called when a probe
+    finds the directory MISSING (see :func:`table_layout`) or a
+    partitioned append FAILS — either way the stored layout may no
+    longer be what the memo remembers (an out-of-band
+    delete-and-recreate is invisible to a process-lifetime memo), so
+    the next append must re-probe instead of trusting it."""
+    key = _memo_key(path)
+    with _KNOWN_LOCK:
+        _KNOWN_PARTITIONED.discard(key)
+        _KNOWN_FLAT.discard(key)
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -83,6 +105,10 @@ def table_layout(spark: SparkSession, path: str) -> str:
     side by side — the layout Spark reads HALF of)."""
     fs, jpath = _fs_and_path(spark, path)
     if not fs.exists(jpath):
+        # a memoized table observed MISSING was deleted out of band:
+        # whatever recreates it may pick any layout, so the stale
+        # memo must not short-circuit the next append's probe
+        forget_layout(path)
         return "missing"
     has_flat = False
     has_part = False
@@ -98,7 +124,9 @@ def table_layout(spark: SparkSession, path: str) -> str:
         return "partitioned"
     if has_flat:
         return "flat"
-    # empty dir (e.g. only _SUCCESS): treat as missing — nothing to lose
+    # empty dir (e.g. only _SUCCESS): treat as missing — nothing to
+    # lose (and equally memo-invalidating: the data was removed)
+    forget_layout(path)
     return "missing"
 
 
@@ -167,7 +195,7 @@ def prepare_partitioned_append(
     migration touches anything, and the pinned replacement comes back
     as ``pinned`` (None when no migration ran: the common case costs
     nothing)."""
-    key = os.path.abspath(path) if "://" not in path else path
+    key = _memo_key(path)
     with _KNOWN_LOCK:
         if key in _KNOWN_PARTITIONED:
             return True, None

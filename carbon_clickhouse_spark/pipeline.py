@@ -99,7 +99,11 @@ def write_tables(
         tagged_df = new_series_only(tagged_df, existing_tagged, ["date", "tag1", "path"])
 
     def _write_month_partitioned(name, df, *sort_cols):
-        from .operators.layout import prepare_partitioned_append, table_layout
+        from .operators.layout import (
+            forget_layout,
+            prepare_partitioned_append,
+            table_layout,
+        )
 
         path = os.path.join(root, name)
         spark = df.sparkSession
@@ -132,13 +136,19 @@ def write_tables(
                     path
                 )
                 return
-        (
-            df.withColumn("month", F.date_format("date", "yyyyMM"))
-            .sortWithinPartitions("month", *sort_cols)
-            .write.mode(mode)
-            .partitionBy("month")
-            .parquet(path)
-        )
+        try:
+            (
+                df.withColumn("month", F.date_format("date", "yyyyMM"))
+                .sortWithinPartitions("month", *sort_cols)
+                .write.mode(mode)
+                .partitionBy("month")
+                .parquet(path)
+            )
+        except Exception:
+            # a failed write may leave the dir in any state — drop
+            # the memoized layout so the next append re-probes
+            forget_layout(path)
+            raise
 
     for name, df in (
         ("points", tables["points"]),

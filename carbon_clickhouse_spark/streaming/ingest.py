@@ -35,7 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline import IngestConfig, derive_tables
 from ..operators.dedup import new_series_only
-from ..operators.layout import prepare_partitioned_append
+from ..operators.layout import forget_layout, prepare_partitioned_append
 from ..operators.filters import drop_rule_predicate
 from ..sources.plain import parse_plain_lines
 from ..functions.tags import TagConfig
@@ -298,14 +298,18 @@ def start_ingest(
                             "path", "time"
                         ).write.mode("append").parquet(path)
                     else:
-                        (
-                            tables[name]
-                            .withColumn("month", F.date_format("date", "yyyyMM"))
-                            .sortWithinPartitions("month", "path", "time")
-                            .write.mode("append")
-                            .partitionBy("month")
-                            .parquet(path)
-                        )
+                        try:
+                            (
+                                tables[name]
+                                .withColumn("month", F.date_format("date", "yyyyMM"))
+                                .sortWithinPartitions("month", "path", "time")
+                                .write.mode("append")
+                                .partitionBy("month")
+                                .parquet(path)
+                            )
+                        except Exception:
+                            forget_layout(path)
+                            raise
                 if ch is not None:
                     from ..sinks.clickhouse import insert_points
 
@@ -367,16 +371,22 @@ def start_ingest(
                             # anti-join's date prune then partition-
                             # prunes structurally (legacy `tree` has
                             # no date and stays flat)
-                            (
-                                df.withColumn(
-                                    "month",
-                                    F.date_format("date", "yyyyMM"),
+                            try:
+                                (
+                                    df.withColumn(
+                                        "month",
+                                        F.date_format("date", "yyyyMM"),
+                                    )
+                                    .sortWithinPartitions("month", "path")
+                                    .write.mode("append")
+                                    .partitionBy("month")
+                                    .parquet(path)
                                 )
-                                .sortWithinPartitions("month", "path")
-                                .write.mode("append")
-                                .partitionBy("month")
-                                .parquet(path)
-                            )
+                            except Exception:
+                                # a failed write leaves the dir in an
+                                # unknown state — re-probe next batch
+                                forget_layout(path)
+                                raise
                         elif has_rows:
                             df.write.mode("append").parquet(path)
                     if mirror:

@@ -331,12 +331,15 @@ def test_arg_extrema_skips_null_values(spark):
     )
     r = arg_extrema(df, ["g"], "v", "a").collect()[0]
     assert r["arg_min"] == 2 and r["arg_max"] == 3
-    # a group whose values are ALL NULL disappears, like CH's
-    # aggregate over zero non-NULL rows inside GROUP BY
+    # a group whose values are ALL NULL still EMITS its row, with
+    # NULL args (ADVICE r8: a dropped row made q_ch_agg_breadth's
+    # joins lose the whole group; CH keeps the group with a default)
     all_null = spark.createDataFrame(
         [("g", None, 1)], "g string, v double, a long"
     )
-    assert arg_extrema(all_null, ["g"], "v", "a").count() == 0
+    rows = arg_extrema(all_null, ["g"], "v", "a").collect()
+    assert len(rows) == 1
+    assert rows[0]["arg_min"] is None and rows[0]["arg_max"] is None
 
 
 def test_avg_weighted_exact(spark):

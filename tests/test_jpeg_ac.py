@@ -170,3 +170,34 @@ def test_video_features_accept_progressive_frames(spark):
     r = extract_video_features(df).collect()[0]
     assert r["n_frames"] == 2
     assert r["mean_byte"] == (110.0 + 150.0) / 2
+
+
+def test_refinement_overrun_returns_none():
+    """A refinement-scan s=1 symbol whose zero-run lands past the
+    band end is a malformed stream: the decoder must honor the None
+    contract (ADVICE r8) instead of silently dropping the coefficient
+    and decoding on with a wrong grid."""
+    from carbon_clickhouse_spark.datapipe.multimodal import _decode_ac_scan
+
+    comps = [(1, 1, 1, 0)]  # one 8x8 component -> one block
+    scan = [(1, 0, 0)]
+    # single Huffman code: "0" -> rs 0x21 (run 2, size 1) — two
+    # zero-history skips starting at ss=62 overrun se=63
+    huff = {(1, 0): {(1, 0): 0x21}}
+    coef: dict = {}
+    got = _decode_ac_scan(
+        bytes([0b01000000, 0xFF, 0xD9]),
+        0,
+        comps,
+        scan,
+        huff,
+        8,
+        8,
+        0,
+        62,  # ss
+        63,  # se
+        1,  # ah -> refinement pass
+        0,  # al
+        coef,
+    )
+    assert got is None

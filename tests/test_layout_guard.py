@@ -266,3 +266,69 @@ def test_flat_no_date_verdict_is_memoized(spark, tmp_path):
     shutil.rmtree(path)
     ok2, _ = prepare_partitioned_append(spark, path, pin=pin)
     assert ok2 is False
+
+
+def test_missing_probe_invalidates_stale_memo(spark, tmp_path):
+    """Out-of-band delete-and-recreate (r8 verdict note): the memo is
+    process-lifetime, so a table deleted and recreated FLAT by an
+    external actor used to keep its stale 'partitioned' entry and the
+    next append skipped the probe — mixing the dir and hiding the flat
+    rows. Any probe that observes the missing window now drops the
+    memo entry, so the recreate is re-probed, migrated, and the full
+    history stays visible."""
+    import shutil
+
+    _reset_memo()
+    path = str(tmp_path / "index")
+    part_df = spark.createDataFrame(
+        [("old.a", "2021-07-05")], "path string, date string"
+    ).withColumn("date", F.to_date("date"))
+    part_df.withColumn("month", F.date_format("date", "yyyyMM")).write.partitionBy(
+        "month"
+    ).parquet(path)
+    assert prepare_partitioned_append(spark, path)[0]
+    key = os.path.abspath(path)
+    assert key in layout_mod._KNOWN_PARTITIONED  # memoized
+
+    # out-of-band: table dir deleted; any probe during the missing
+    # window (here: an explicit layout check, in production the
+    # overwrite-truncation probe or a failed write) drops the memo
+    shutil.rmtree(path)
+    assert table_layout(spark, path) == "missing"
+    assert key not in layout_mod._KNOWN_PARTITIONED
+
+    # ...and recreated FLAT by an older build / hand copy
+    flat_df = spark.createDataFrame(
+        [("legacy.b", "2021-07-06")], "path string, date string"
+    ).withColumn("date", F.to_date("date"))
+    flat_df.write.parquet(path)
+
+    # next guarded append re-probes, migrates, keeps the full history
+    ok, _ = prepare_partitioned_append(spark, path)
+    assert ok
+    new_df = spark.createDataFrame(
+        [("fresh.c", "2021-07-07")], "path string, date string"
+    ).withColumn("date", F.to_date("date"))
+    new_df.withColumn("month", F.date_format("date", "yyyyMM")).write.mode(
+        "append"
+    ).partitionBy("month").parquet(path)
+    assert table_layout(spark, path) == "partitioned"
+    assert {r["path"] for r in spark.read.parquet(path).collect()} == {
+        "legacy.b",
+        "fresh.c",
+    }
+
+
+def test_failed_partitioned_write_invalidates_memo(spark, tmp_path):
+    """A failed partitioned append drops the memo entry via
+    forget_layout, so the next batch re-probes instead of trusting a
+    verdict the failed write may have invalidated."""
+    _reset_memo()
+    path = str(tmp_path / "t")
+    with layout_mod._KNOWN_LOCK:
+        layout_mod._KNOWN_PARTITIONED.add(os.path.abspath(path))
+        layout_mod._KNOWN_FLAT.add(os.path.abspath(path))
+    layout_mod.forget_layout(path)
+    with layout_mod._KNOWN_LOCK:
+        assert os.path.abspath(path) not in layout_mod._KNOWN_PARTITIONED
+        assert os.path.abspath(path) not in layout_mod._KNOWN_FLAT
