@@ -2294,6 +2294,52 @@ def q_contingency_stats(spark, sf_dir):
     return contingency_stats(base, ["day"], "event_type", "ub")
 
 
+def q_rank_corr(spark, sf_dir):
+    """ClickHouse ``rankCorr(x, y)`` per event type
+    (operators/ch_aggregates.rank_corr): Spearman with midrank ties —
+    half-rank integer units make the five power sums exact
+    DECIMAL(38,0) under any partitioning, then one fixed IEEE Pearson
+    tree over the rank sums, which the oracle replays bit-for-bit
+    (ranks are integers; no quantization of the values is needed at
+    all, both engines order doubles identically). One Exchange on the
+    group key serves both rank windows and the final aggregation."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        rank_corr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value", (F.col("event_id") % 100).alias("y")
+    )
+    return rank_corr(base, ["event_type"], "value", "y")
+
+
+def q_theils_u(spark, sf_dir):
+    """ClickHouse ``theilsU(x, y)`` per UTC day over
+    (event_type, user_id%8) (operators/ch_aggregates.theils_u): CH's
+    exact fold — h_a over the x marginals, dep over the cells, result
+    (dep - h_a)/h_a (the sign CH documents; its own example is
+    negative). Cells/marginals are exact integers; each entropy term
+    is one fixed IEEE expression quantized to DECIMAL(28,12) before
+    the order-free exact sum (the lm_perplexity convention), and the
+    gate rounds to 6 decimals so the transcendental itself is never
+    hash-gated — the r8 verdict's prescribed pattern."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        theils_u,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        (F.col("user_id") % 8).alias("ub"),
+    )
+    out = theils_u(base, ["day"], "event_type", "ub")
+    return out.select(
+        "day", "n_rows", F.round("theils_u", 6).alias("theils_u")
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2617,6 +2663,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cramersV / cramersVBiasCorrected / contingency with the
         # chi-square fold order pinned in both engines
         "contingency_stats": q_contingency_stats,
+        # graded reps: tpch_q1 / ch_agg_breadth; rides the r8 midrank
+        # table (Spearman over exact half-rank integer sums)
+        "rank_corr": q_rank_corr,
+        # graded rep: contingency_stats (same cell/marginal
+        # scaffolding); entropy terms decimal-quantized, CH sign kept
+        "theils_u": q_theils_u,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4336,6 +4388,95 @@ def _all_oracle_sql() -> dict[str, str]:
                      ry - ((ry - 1.0)*(ry - 1.0))/(n - 1.0) - 1.0))
           END AS cramers_v_bc,
           sqrt((tsum + n) / ((tsum + n) + n)) AS contingency_coef
+        FROM g
+    """
+    # Spearman with midranks: rank arithmetic is pure integers
+    # (2*midrank = 2*(minrank-1) + tieclass + 1), power sums exact in
+    # HUGEINT = DECIMAL(38,0), final Pearson tree identical IEEE
+    oracles["rank_corr"] = """
+        WITH b AS (
+          SELECT event_type, value AS x,
+                 event_id % 100 AS y
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        r AS (
+          SELECT event_type,
+            CAST(2 * (rank() OVER (PARTITION BY event_type ORDER BY x)
+                      - 1)
+                 + count(*) OVER (PARTITION BY event_type, x)
+                 + 1 AS HUGEINT) AS rx2,
+            CAST(2 * (rank() OVER (PARTITION BY event_type ORDER BY y)
+                      - 1)
+                 + count(*) OVER (PARTITION BY event_type, y)
+                 + 1 AS HUGEINT) AS ry2
+          FROM b
+        ),
+        s AS (
+          SELECT event_type,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(rx2) AS DOUBLE) AS sx,
+            CAST(sum(ry2) AS DOUBLE) AS sy,
+            CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+            CAST(sum(ry2 * ry2) AS DOUBLE) AS syy,
+            CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy
+          FROM r GROUP BY event_type
+        )
+        SELECT event_type,
+          CASE WHEN n * sxx - sx * sx = 0.0
+                 OR n * syy - sy * sy = 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE (n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx)
+                       * sqrt(n * syy - sy * sy))
+          END AS rank_corr
+        FROM s
+    """
+    # Theil's U, CH's exact fold and SIGN ((dep - h_a)/h_a — the CH
+    # docs example is negative): entropy terms quantized to
+    # DECIMAL(28,12) before the order-free exact sum (the
+    # lm_perplexity convention), result rounded to 6 so the
+    # transcendental is never hash-gated raw
+    oracles["theils_u"] = """
+        WITH b AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 event_type AS x, user_id % 8 AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ),
+        cells AS (
+          SELECT day, x, y, CAST(count(*) AS BIGINT) AS o
+          FROM b GROUP BY day, x, y
+        ),
+        m AS (
+          SELECT day, x, y, o,
+            CAST(sum(o) OVER (PARTITION BY day, x) AS DOUBLE) AS na,
+            CAST(sum(o) OVER (PARTITION BY day, y) AS DOUBLE) AS nb,
+            CAST(sum(o) OVER (PARTITION BY day) AS DOUBLE) AS n,
+            sum(o) OVER (PARTITION BY day) AS n_int
+          FROM cells
+        ),
+        t AS (
+          SELECT day, n_int,
+            CAST((CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) / nb)
+                 AS DECIMAL(28,12)) AS dep_t,
+            CASE WHEN row_number() OVER (PARTITION BY day, x
+                                         ORDER BY y) = 1
+                 THEN CAST((na / n) * ln(na / n) AS DECIMAL(28,12))
+            END AS ha_t
+          FROM m
+        ),
+        g AS (
+          SELECT day,
+            CAST(sum(dep_t) AS DOUBLE) AS dep,
+            CAST(sum(ha_t) AS DOUBLE) AS ha,
+            CAST(max(n_int) AS BIGINT) AS n_rows
+          FROM t GROUP BY day
+        )
+        SELECT day, n_rows,
+          CASE WHEN n_rows < 2 OR ha = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE round((dep - ha) / ha, 6)
+          END AS theils_u
         FROM g
     """
     # the LTTB pick loop replayed: one recursion step per middle

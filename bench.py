@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "lttb_downsample",
     "two_sample_tests",
     "contingency_stats",
+    # round-9: Spearman over exact half-rank sums (single Exchange)
+    # and the entropy-fold contingency sibling
+    "rank_corr",
+    "theils_u",
 ]
 
 

@@ -1458,6 +1458,176 @@ def two_sample_tests(
     return stats.join(mw, gcols)
 
 
+def rank_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)`` per group: Spearman's rank
+    correlation with midrank (average-rank) ties — Pearson over the
+    two rank vectors. Returns ``(*group_cols, rank_corr)``.
+
+    Engine-exact construction (CH's own accumulator materializes and
+    sorts both arrays in one state — read-order independent but
+    single-threaded; this is the distributed equivalent): midranks
+    accumulate in HALF-RANK integer units — for a row, ``2*midrank =
+    2*(rank-1) + cnt_eq + 1`` where ``rank`` is the min-rank and
+    ``cnt_eq`` the tie-class size, both integers — so the five power
+    sums over (rx2, ry2) are exact DECIMAL(38,0) under any
+    partitioning, and the Pearson expression is one fixed IEEE tree
+    over them (the half-unit scaling cancels). NULL/NaN pairs are
+    skipped (one side NULL drops the pair — both rank vectors must
+    cover the same rows or the correlation is over mismatched
+    populations). A group where either variable is constant has zero
+    rank variance -> nan, not an ANSI 0/0 error.
+
+    Plan: ONE Exchange on the group key serves both rank windows
+    (same partitioning, two sort orders) and the final partial agg —
+    no joins, no per-group collect. Reference parity:
+    ClickHouse ``rankCorr`` (AggregateFunctionRankCorrelation);
+    carbon-clickhouse itself has no query layer (README: queries are
+    issued to ClickHouse), so the CH aggregate surface is the
+    contract, as for the rest of this module."""
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x.cast("double"))
+        & y.isNotNull() & ~F.isnan(y.cast("double"))
+    ).select(*gcols, x.alias("__x"), y.alias("__y"))
+
+    def _rank2(col: str):
+        w_rank = Window.partitionBy(*gcols).orderBy(col)
+        w_ties = (
+            Window.partitionBy(*gcols)
+            .orderBy(col)
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        return (
+            F.lit(2) * (F.rank().over(w_rank) - F.lit(1))
+            + F.count(F.lit(1)).over(w_ties)
+            + F.lit(1)
+        ).cast("long")
+
+    ranked = base.select(
+        *gcols,
+        _rank2("__x").alias("__rx2"),
+        _rank2("__y").alias("__ry2"),
+    )
+    rx = F.col("__rx2").cast("decimal(38,0)")
+    ry = F.col("__ry2").cast("decimal(38,0)")
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    nan = F.lit(float("nan"))
+    out = F.when((vx == 0.0) | (vy == 0.0), nan).otherwise(
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return agg.select(*gcols, out.alias("rank_corr"))
+
+
+def theils_u(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """ClickHouse ``theilsU(x, y)`` per group — the uncertainty
+    coefficient as CH computes it (TheilsUData::getResult):
+    ``h_a = sum_a (n_a/n) ln(n_a/n)``, ``dep = sum_ab (n_ab/n)
+    ln(n_ab/n_b)``, result ``(dep - h_a) / h_a`` — NEGATIVE of the
+    textbook U(x|y) (CH's documented example returns -0.3019...),
+    kept verbatim for drop-in parity. Returns
+    ``(*group_cols, n_rows, theils_u)``.
+
+    Determinism: cell counts and marginals are exact integers (the
+    :func:`contingency_stats` scaffolding); each entropy TERM is one
+    fixed IEEE expression (division + ln + multiply) quantized to
+    DECIMAL(28,12) before summing — the :mod:`..datapipe.lm`
+    convention for transcendental folds: the exact decimal sum is
+    partition-order INDEPENDENT, and the quantization absorbs
+    last-ulp ln() differences between engines, so no fold order needs
+    pinning at all. The final algebra is one IEEE tree; callers
+    hash-gating across engines should round the result (the oracle
+    rounds to 6), never gate the raw transcendental. Groups with
+    n < 2 or zero x-entropy (single x value) return nan like CH.
+
+    Plan: one partial-agg shuffle to the (group, x, y) cell table —
+    the only pass over the data — then marginals as window sums over
+    the same partitioning and one per-group sum bounded by the
+    contingency-table size, not the row count."""
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*gcols, x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    w_r = Window.partitionBy(*gcols, "__x")
+    w_c = Window.partitionBy(*gcols, "__y")
+    w_g = Window.partitionBy(*gcols)
+    with_m = cells.select(
+        *gcols,
+        "__x",
+        "__y",
+        "__o",
+        F.sum("__o").over(w_r).alias("__na"),
+        F.sum("__o").over(w_c).alias("__nb"),
+        F.sum("__o").over(w_g).alias("__n"),
+    )
+    o = F.col("__o").cast("double")
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    n = F.col("__n").cast("double")
+    dep_t = ((o / n) * F.log(o / nb)).cast("decimal(28,12)")
+    # the h_a fold runs over DISTINCT x marginals: every (x, y) cell
+    # carries its x-marginal, so weight the term by o/na — the cell
+    # contributions of one x class sum exactly to its marginal term
+    # ((na/n) ln(na/n)) only in real arithmetic, not IEEE; instead
+    # emit the marginal term once, on the cell that LEADS its x class
+    lead = F.row_number().over(
+        Window.partitionBy(*gcols, "__x").orderBy("__y")
+    )
+    ha_t = F.when(
+        lead == 1, ((na / n) * F.log(na / n)).cast("decimal(28,12)")
+    ).otherwise(F.lit(None).cast("decimal(28,12)"))
+    per_cell = with_m.select(
+        *gcols,
+        F.col("__n"),
+        dep_t.alias("__dep_t"),
+        ha_t.alias("__ha_t"),
+    )
+    agg = per_cell.groupBy(*gcols).agg(
+        F.sum("__dep_t").alias("__dep"),
+        F.sum("__ha_t").alias("__ha"),
+        F.max("__n").alias("__nn"),
+    )
+    dep = F.col("__dep").cast("double")
+    ha = F.col("__ha").cast("double")
+    nan = F.lit(float("nan"))
+    out = F.when(
+        (F.col("__nn") < 2) | (ha == 0.0), nan
+    ).otherwise((dep - ha) / ha)
+    return agg.select(
+        *gcols,
+        F.col("__nn").cast("long").alias("n_rows"),
+        out.alias("theils_u"),
+    )
+
+
 def contingency_stats(
     df: DataFrame,
     group_cols: Sequence[str],

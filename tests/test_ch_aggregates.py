@@ -976,3 +976,114 @@ def test_contingency_stats_hand_checked(spark):
     )
     r3 = contingency_stats(one_col, ["g"], "x", "y").collect()[0]
     assert math.isnan(r3["cramers_v"])
+
+
+def test_rank_corr_known_spearman(spark):
+    """Midrank Spearman against a hand-computed example with ties,
+    plus the degenerate contracts (perfect monotone = 1, constant
+    variable = nan not an ANSI 0/0 error)."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import rank_corr
+
+    rows = [
+        ("g", 1.0, 2.0),
+        ("g", 2.0, 4.0),
+        ("g", 2.0, 5.0),
+        ("g", 3.0, 1.0),
+        ("g", 5.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = rank_corr(df, ["g"], "x", "y").collect()[0]["rank_corr"]
+    # midranks: x -> [1, 2.5, 2.5, 4, 5], y -> [2, 4, 5, 1, 3]
+    rx = [1.0, 2.5, 2.5, 4.0, 5.0]
+    ry = [2.0, 4.0, 5.0, 1.0, 3.0]
+    n = 5.0
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(got - want) < 1e-12
+
+    mono = spark.createDataFrame(
+        [("g", float(i), float(2 * i)) for i in range(6)],
+        "g string, x double, y double",
+    )
+    assert abs(rank_corr(mono, ["g"], "x", "y").collect()[0]["rank_corr"] - 1.0) < 1e-12
+
+    const = spark.createDataFrame(
+        [("g", 1.0, float(i)) for i in range(4)],
+        "g string, x double, y double",
+    )
+    assert math.isnan(rank_corr(const, ["g"], "x", "y").collect()[0]["rank_corr"])
+
+
+def test_rank_corr_partition_independent(spark):
+    """The half-rank power sums are exact DECIMAL — the result must
+    be bit-identical under any input partitioning."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import rank_corr
+
+    rng = random.Random(7)
+    rows = [
+        ("g%d" % (i % 3), float(rng.randrange(0, 40)), float(rng.randrange(0, 9)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = {
+        r["g"]: r["rank_corr"]
+        for r in rank_corr(df.coalesce(1), ["g"], "x", "y").collect()
+    }
+    b = {
+        r["g"]: r["rank_corr"]
+        for r in rank_corr(df.repartition(13), ["g"], "x", "y").collect()
+    }
+    assert a == b  # bit-for-bit, not approx
+
+
+def test_theils_u_ch_documented_example(spark):
+    """The ClickHouse docs' own worked example:
+    theilsU(a, b) over (number % 10, number % 4) x 150 rows =
+    -0.30195720557678846 — NEGATIVE, because CH returns
+    (dep - h_a) / h_a, the sign-flipped textbook U(x|y); parity means
+    reproducing that, not 'fixing' it. Tolerance covers the
+    DECIMAL(28,12) per-term quantization (~1e-11)."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import theils_u
+
+    rows = [("g", i % 10, i % 4) for i in range(150)]
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    r = theils_u(df, ["g"], "a", "b").collect()[0]
+    assert r["n_rows"] == 150
+    assert abs(r["theils_u"] - (-0.30195720557678846)) < 1e-9
+
+    # guards: single x class (zero x-entropy) and n < 2 -> nan
+    one = spark.createDataFrame(
+        [("g", 1, i % 3) for i in range(5)], "g string, a int, b int"
+    )
+    assert math.isnan(theils_u(one, ["g"], "a", "b").collect()[0]["theils_u"])
+    tiny = spark.createDataFrame([("g", 1, 2)], "g string, a int, b int")
+    assert math.isnan(theils_u(tiny, ["g"], "a", "b").collect()[0]["theils_u"])
+
+
+def test_theils_u_partition_independent(spark):
+    """Quantized-term DECIMAL sums are order-free: bit-identical
+    across partitionings (the reason no fold order needs pinning)."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import theils_u
+
+    rng = random.Random(11)
+    rows = [
+        ("g%d" % (i % 2), rng.randrange(0, 12), rng.randrange(0, 5))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    a = {r["g"]: r["theils_u"] for r in theils_u(df.coalesce(1), ["g"], "a", "b").collect()}
+    b = {r["g"]: r["theils_u"] for r in theils_u(df.repartition(17), ["g"], "a", "b").collect()}
+    assert a == b
