@@ -2340,6 +2340,41 @@ def q_theils_u(spark, sf_dir):
     )
 
 
+def q_exp_smoothing(spark, sf_dir):
+    """ClickHouse ``exponentialMovingAverage(86400)(value, t)`` and
+    ``exponentialTimeDecayedAvg(43200)(value, t)`` per event type
+    (operators/ch_aggregates.exponential_moving_average /
+    exponential_time_decayed_avg): weights anchored at the group's
+    latest point (exponents <= 0, no overflow at any time range),
+    each term one fixed IEEE expression quantized to DECIMAL(28,12)
+    before the order-free exact sum, EMA normalized by CH's
+    unit-step geometric series (ExponentiallySmoothedAverage
+    semantics). Gate rounds to 6 — pow/exp last-ulp differences
+    between engines are never hash-gated raw. Both aggregates share
+    one Exchange each; the per-type results join broadcast-size."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_moving_average,
+        exponential_time_decayed_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", "value", _sec(ev).alias("t"))
+    ema = exponential_moving_average(
+        base, ["event_type"], "value", "t", 86400.0
+    )
+    dav = exponential_time_decayed_avg(
+        base, ["event_type"], "value", "t", 43200.0
+    )
+    return (
+        ema.join(dav, "event_type")
+        .select(
+            "event_type",
+            F.round("ema", 6).alias("ema"),
+            F.round("decayed_avg", 6).alias("decayed_avg"),
+        )
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2669,6 +2704,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: contingency_stats (same cell/marginal
         # scaffolding); entropy terms decimal-quantized, CH sign kept
         "theils_u": q_theils_u,
+        # graded reps: read_series / delta_sum (time-anchored series
+        # math); adds exponentialMovingAverage +
+        # exponentialTimeDecayedAvg with t_max-anchored weights
+        "exp_smoothing": q_exp_smoothing,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4477,6 +4516,47 @@ def _all_oracle_sql() -> dict[str, str]:
           CASE WHEN n_rows < 2 OR ha = 0.0 THEN CAST('nan' AS DOUBLE)
                ELSE round((dep - ha) / ha, 6)
           END AS theils_u
+        FROM g
+    """
+    # exponential smoothing: weights anchored at t_max (exponents
+    # <= 0), terms quantized to DECIMAL(28,12) before the order-free
+    # exact sum, EMA normalized by CH's unit-step geometric series;
+    # round(6) keeps pow/exp last-ulp differences out of the gate
+    oracles["exp_smoothing"] = """
+        WITH b AS (
+          SELECT event_type, value AS v,
+                 CAST(epoch_ms(ts) // 1000 AS DOUBLE) AS t
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND ts IS NOT NULL
+        ),
+        mx AS (
+          SELECT event_type, v, t,
+                 max(t) OVER (PARTITION BY event_type) AS tmax
+          FROM b
+        ),
+        q AS (
+          SELECT event_type,
+            CAST(v * pow(2.0, (t - tmax) / 86400.0)
+                 AS DECIMAL(28,12)) AS ema_t,
+            CAST(v * exp((t - tmax) / 43200.0)
+                 AS DECIMAL(28,12)) AS num_t,
+            CAST(exp((t - tmax) / 43200.0)
+                 AS DECIMAL(28,12)) AS den_t
+          FROM mx
+        ),
+        g AS (
+          SELECT event_type,
+            CAST(sum(ema_t) AS DOUBLE) AS s,
+            CAST(sum(num_t) AS DOUBLE) AS n,
+            CAST(sum(den_t) AS DOUBLE) AS d
+          FROM q GROUP BY event_type
+        )
+        SELECT event_type,
+          round(s * (1.0 - pow(2.0, -1.0 / 86400.0)), 6) AS ema,
+          CASE WHEN d = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE round(n / d, 6)
+          END AS decayed_avg
         FROM g
     """
     # the LTTB pick loop replayed: one recursion step per middle

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # and the entropy-fold contingency sibling
     "rank_corr",
     "theils_u",
+    "exp_smoothing",
 ]
 
 

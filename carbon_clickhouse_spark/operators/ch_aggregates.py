@@ -1628,6 +1628,110 @@ def theils_u(
     )
 
 
+def exponential_moving_average(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    time_col: str,
+    half_decay: float,
+) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage(x)(value, time)`` per
+    group: each value weighs in at ``2^(-(t_max - t_i)/x)`` relative
+    to the LATEST point, and the decayed sum is normalized by the
+    unit-step geometric series ``1/(1 - 2^(-1/x))`` — exactly CH's
+    ExponentiallySmoothedAverage state (decay to the max time seen,
+    divide by sumWeights). Returns ``(*group_cols, ema)``.
+
+    CH's own fold is IEEE-order dependent (block order changes the
+    last ulp); this twin is ORDER-FREE instead of order-pinned: each
+    term ``v_i * 2^(-dt/x)`` is one fixed IEEE expression quantized
+    to DECIMAL(28,12) before an exact decimal sum (the lm_perplexity
+    convention), so any partitioning gives the identical result and
+    an oracle replays it without a recursive fold. Exponents are
+    ``<= 0`` — anchoring at t_max means no overflow at any time
+    range, and a weight underflowing the quantization contributes an
+    honest 0. NULL/NaN values and NULL times are skipped.
+
+    Plan: one Exchange on the group key shared by the t_max window
+    and the final partial agg. Reference: the CH aggregate is the
+    query-side contract (carbon-clickhouse delegates querying to CH,
+    README 'graphite-clickhouse')."""
+    if half_decay <= 0:
+        raise ValueError("half_decay must be positive")
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    t = F.col(time_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(v) & t.isNotNull()
+    ).select(*gcols, v.alias("__v"), t.alias("__t"))
+    w_g = Window.partitionBy(*gcols)
+    tmax = F.max("__t").over(w_g)
+    weight = F.pow(
+        F.lit(2.0), (F.col("__t") - tmax) / F.lit(float(half_decay))
+    )
+    term = (F.col("__v") * weight).cast("decimal(28,12)")
+    agg = base.select(*gcols, term.alias("__term")).groupBy(*gcols).agg(
+        F.sum("__term").alias("__sum")
+    )
+    norm = 1.0 - 2.0 ** (-1.0 / float(half_decay))
+    return agg.select(
+        *gcols,
+        (F.col("__sum").cast("double") * F.lit(norm)).alias("ema"),
+    )
+
+
+def exponential_time_decayed_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    time_col: str,
+    decay: float,
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedAvg(x)(v, t)`` evaluated at
+    the group's LATEST point: ``sum(v_i * e^(-(t_max - t_i)/x)) /
+    sum(e^(-(t_max - t_i)/x))`` — the aggregate form of CH's window
+    function at its final frame (the table-side number a dashboard
+    wants; the per-row running series belongs to the render facade's
+    exponentialMovingAverage, query/render.py). Returns
+    ``(*group_cols, decayed_avg)``.
+
+    Same determinism contract as :func:`exponential_moving_average`:
+    numerator and denominator terms each quantize to DECIMAL(28,12)
+    before exact sums, exponents anchored at t_max so they never
+    overflow, one IEEE division at the end. A group whose weights all
+    underflow the quantization returns nan (0/0 guarded), not an
+    ANSI error. One Exchange: t_max window + partial agg share the
+    group-key partitioning."""
+    if decay <= 0:
+        raise ValueError("decay must be positive")
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    t = F.col(time_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(v) & t.isNotNull()
+    ).select(*gcols, v.alias("__v"), t.alias("__t"))
+    w_g = Window.partitionBy(*gcols)
+    tmax = F.max("__t").over(w_g)
+    weight = F.exp((F.col("__t") - tmax) / F.lit(float(decay)))
+    num_t = (F.col("__v") * weight).cast("decimal(28,12)")
+    den_t = weight.cast("decimal(28,12)")
+    agg = (
+        base.select(
+            *gcols, num_t.alias("__num"), den_t.alias("__den")
+        )
+        .groupBy(*gcols)
+        .agg(F.sum("__num").alias("__n"), F.sum("__den").alias("__d"))
+    )
+    den = F.col("__d").cast("double")
+    nan = F.lit(float("nan"))
+    return agg.select(
+        *gcols,
+        F.when(den == 0.0, nan)
+        .otherwise(F.col("__n").cast("double") / den)
+        .alias("decayed_avg"),
+    )
+
+
 def contingency_stats(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1087,3 +1087,90 @@ def test_theils_u_partition_independent(spark):
     a = {r["g"]: r["theils_u"] for r in theils_u(df.coalesce(1), ["g"], "a", "b").collect()}
     b = {r["g"]: r["theils_u"] for r in theils_u(df.repartition(17), ["g"], "a", "b").collect()}
     assert a == b
+
+
+def test_exponential_moving_average_matches_ch_fold(spark):
+    """Against a literal replay of CH's ExponentiallySmoothedAverage
+    add()/get() fold (decay to max time, normalize by the unit-step
+    geometric series): the order-free quantized-term sum must land
+    within the DECIMAL(28,12) envelope of the sequential fold, and a
+    unit-step constant series must tend to the constant."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_moving_average,
+    )
+
+    def ch_fold(pairs, h):
+        value, tm = 0.0, None
+        for v, t in sorted(pairs, key=lambda p: p[1]):
+            if tm is None or t > tm:
+                value = (value * 2 ** ((tm - t) / h) if tm is not None else 0.0) + v
+                tm = t
+            else:
+                value += v * 2 ** ((t - tm) / h)
+        return value * (1 - 2 ** (-1.0 / h))
+
+    rng = random.Random(3)
+    pairs = [
+        (rng.uniform(-5, 20), float(1000 + i * rng.randrange(1, 4)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [("g", v, t) for v, t in pairs], "g string, v double, t double"
+    )
+    got = exponential_moving_average(df, ["g"], "v", "t", 7.0).collect()[0]["ema"]
+    assert abs(got - ch_fold(pairs, 7.0)) < 1e-8
+
+    unit = spark.createDataFrame(
+        [("g", 1.0, float(i)) for i in range(200)],
+        "g string, v double, t double",
+    )
+    assert abs(
+        exponential_moving_average(unit, ["g"], "v", "t", 10.0)
+        .collect()[0]["ema"] - 1.0
+    ) < 1e-4
+
+
+def test_exponential_time_decayed_avg(spark):
+    """t_max-anchored decayed average against the direct formula,
+    plus bit-exact partition independence (the point of quantizing
+    terms to DECIMAL before the sum)."""
+    import math
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_time_decayed_avg,
+    )
+
+    rng = random.Random(5)
+    pairs = [
+        (rng.uniform(0, 50), float(500 + 3 * i)) for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        [("g", v, t) for v, t in pairs], "g string, v double, t double"
+    )
+    tmax = max(t for _, t in pairs)
+    num = sum(v * math.exp(-(tmax - t) / 40.0) for v, t in pairs)
+    den = sum(math.exp(-(tmax - t) / 40.0) for _, t in pairs)
+    got = exponential_time_decayed_avg(df, ["g"], "v", "t", 40.0).collect()[0]
+    assert abs(got["decayed_avg"] - num / den) < 1e-8
+
+    a = exponential_time_decayed_avg(df.coalesce(1), ["g"], "v", "t", 40.0).collect()
+    b = exponential_time_decayed_avg(df.repartition(11), ["g"], "v", "t", 40.0).collect()
+    assert a[0]["decayed_avg"] == b[0]["decayed_avg"]
+
+
+def test_exponential_smoothing_validation(spark):
+    import pytest as _pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_moving_average,
+        exponential_time_decayed_avg,
+    )
+
+    df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, v double, t double")
+    with _pytest.raises(ValueError):
+        exponential_moving_average(df, ["g"], "v", "t", 0.0)
+    with _pytest.raises(ValueError):
+        exponential_time_decayed_avg(df, ["g"], "v", "t", -1.0)
