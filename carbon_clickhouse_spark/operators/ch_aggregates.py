@@ -1299,12 +1299,35 @@ def two_sample_tests(
     rank table) sharing the group-key partitioning, one broadcast-size
     join of the per-group results."""
     gcols = list(group_cols)
+    base = two_sample_base(df, gcols, value_col, index_col, scale)
+    # per-sample exact moments, pivoted wide in one pass
+    mom = base.groupBy(*gcols).agg(*two_sample_moment_aggs())
+    stats = mom.select(*gcols, *two_sample_t_finals())
+    # Mann-Whitney + Kolmogorov-Smirnov: both live on the per-value
+    # rank table — midranks in half-units for U, inclusive cumulative
+    # per-sample counts for the KS empirical CDFs
+    per_v = two_sample_value_cells(base, gcols)
+    mw = two_sample_rank_finals(per_v, gcols)
+    return stats.join(mw, gcols)
+
+
+def two_sample_base(
+    df: DataFrame,
+    gcols: Sequence[str],
+    value_col: str,
+    index_col: str,
+    scale: int,
+) -> DataFrame:
+    """The shared quantize-and-label projection both
+    :func:`two_sample_tests` and the streaming twin start from — the
+    replay-parity contract needs the quantization (and the
+    sample-label filter) bit-identical between them."""
     q = (
         F.round(F.col(value_col).cast("double") * scale)
         .cast("long")
     )
     idx = F.col(index_col).cast("int")
-    base = df.filter(
+    return df.filter(
         F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col))
         # rows whose index is not a sample label are IGNORED — an
@@ -1313,16 +1336,29 @@ def two_sample_tests(
         # i == 1, silently computing U and t over different populations
         & idx.isin(0, 1)
     ).select(*gcols, q.alias("__q"), idx.alias("__i"))
+
+
+def two_sample_moment_aggs() -> list:
+    """Exact per-sample DECIMAL(38,0) moment aggregates over the
+    :func:`two_sample_base` columns — mergeable summaries, shared
+    verbatim by the batch operator and
+    :mod:`..streaming.twosample`'s native incremental aggregation."""
     qd = F.col("__q").cast("decimal(38,0)")
-    # per-sample exact moments, pivoted wide in one pass
-    mom = base.groupBy(*gcols).agg(
+    return [
         F.count(F.when(F.col("__i") == 0, F.lit(1))).alias("__n0"),
         F.count(F.when(F.col("__i") == 1, F.lit(1))).alias("__n1"),
         F.sum(F.when(F.col("__i") == 0, qd)).alias("__s0"),
         F.sum(F.when(F.col("__i") == 1, qd)).alias("__s1"),
         F.sum(F.when(F.col("__i") == 0, qd * qd)).alias("__ss0"),
         F.sum(F.when(F.col("__i") == 1, qd * qd)).alias("__ss1"),
-    )
+    ]
+
+
+def two_sample_t_finals() -> list:
+    """The t-statistic output columns (Student t / Welch t / Welch
+    dof, degenerate guards included) over the exact moment sums —
+    one fixed IEEE tree, shared verbatim by batch and streaming so
+    the replay-parity test can assert bitwise equality."""
     n0 = F.col("__n0").cast("double")
     n1 = F.col("__n1").cast("double")
     s0 = F.col("__s0").cast("double")
@@ -1358,8 +1394,7 @@ def two_sample_tests(
         | (n1 < 2.0)
     )
     zero_var = (v0 == 0.0) & (v1 == 0.0)
-    stats = mom.select(
-        *gcols,
+    return [
         F.when(degenerate | zero_var, nan)
         .otherwise(t_student)
         .alias("t_student"),
@@ -1369,14 +1404,31 @@ def two_sample_tests(
         F.when(degenerate | zero_var, nan)
         .otherwise(dof_welch)
         .alias("dof_welch"),
-    )
-    # Mann-Whitney + Kolmogorov-Smirnov: both live on the per-value
-    # rank table — midranks in half-units for U, inclusive cumulative
-    # per-sample counts for the KS empirical CDFs
-    per_v = base.groupBy(*gcols, "__q").agg(
+    ]
+
+
+def two_sample_value_cells(
+    base: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """The per-distinct-value rank table ``(*gcols, __q, __c, __c0)``
+    — counts per quantized value and per sample-0 — from a
+    :func:`two_sample_base` frame. Mergeable counts (bounded by the
+    number of DISTINCT values per group, not rows): the batch
+    operator derives U/z/KS from it, and the streaming twin maintains
+    it as running native-agg state."""
+    return base.groupBy(*gcols, "__q").agg(
         F.count(F.lit(1)).alias("__c"),
         F.count(F.when(F.col("__i") == 0, F.lit(1))).alias("__c0"),
     )
+
+
+def two_sample_rank_finals(
+    per_v: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """Mann-Whitney U / tie-corrected z / Kolmogorov-Smirnov D from a
+    :func:`two_sample_value_cells` table — shared verbatim by batch
+    and the streaming twin's snapshot finalization, so replaying a
+    stream reproduces the batch statistics bit-for-bit."""
     w = (
         Window.partitionBy(*gcols)
         .orderBy("__q")
@@ -1443,7 +1495,7 @@ def two_sample_tests(
     # divides by nn*(nn-1), and even testing sigma2 == 0 evaluates it
     # (Or short-circuits left-to-right, so the cheap guard runs first)
     nan_mw = F.lit(float("nan"))
-    mw = ranks.select(
+    return ranks.select(
         *gcols,
         u1.alias("u_stat"),
         F.when((nn < 2.0) | (sigma2 == 0.0), nan_mw)
@@ -1455,7 +1507,6 @@ def two_sample_tests(
         .otherwise(F.col("__ksn_max").cast("double") / (rn0 * rn1))
         .alias("ks_d"),
     )
-    return stats.join(mw, gcols)
 
 
 def rank_corr(
@@ -1763,12 +1814,35 @@ def contingency_stats(
     CONTINGENCY-TABLE size, not the row count: the same envelope CH's
     own hash-table accumulator has)."""
     gcols = list(group_cols)
+    return contingency_finals(
+        contingency_cells(df, gcols, x_col, y_col), gcols
+    )
+
+
+def contingency_cells(
+    df: DataFrame, gcols: Sequence[str], x_col: str, y_col: str
+) -> DataFrame:
+    """The exact contingency cell table ``(*gcols, __x, __y, __o)``
+    — mergeable counts bounded by the table size, shared by the
+    batch operator and :mod:`..streaming.contingency`'s running
+    native-agg state (the replay-parity contract needs the NULL
+    filter and grouping bit-identical between them)."""
     x, y = F.col(x_col), F.col(y_col)
-    cells = (
+    return (
         df.filter(x.isNotNull() & y.isNotNull())
         .groupBy(*gcols, x.alias("__x"), y.alias("__y"))
         .agg(F.count(F.lit(1)).alias("__o"))
     )
+
+
+def contingency_finals(
+    cells: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """chi-square / Cramer's V (plain + bias-corrected) / contingency
+    coefficient from a :func:`contingency_cells` table — marginals as
+    window sums, the pinned sequential chi-square fold, the shared
+    final algebra; identical whether the cells came from one batch
+    pass or a streaming state snapshot."""
     w_r = Window.partitionBy(*gcols, "__x")
     w_c = Window.partitionBy(*gcols, "__y")
     w_g = Window.partitionBy(*gcols)
