@@ -1220,6 +1220,68 @@ def largest_triangle_three_buckets(
     return src.groupBy(*gcols).applyInPandas(run, out_schema)
 
 
+def largest_triangle_three_buckets_partitioned(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    n_out: int,
+    partition_col: str,
+    per_partition: int | None = None,
+    order_cols: Sequence[str] | None = None,
+    y_scale: int = 1000,
+) -> DataFrame:
+    """The 100 TB shape for :func:`largest_triangle_three_buckets`
+    (the SCALING.md mitigation, shipped): the plain operator is one
+    Arrow task per SERIES — inherent to the sequential pick loop —
+    which is honestly linear in series length. This composition
+    bounds the task state instead: downsample each time PARTITION of
+    a series to ``per_partition`` candidates (stage 1: one Arrow task
+    per (series, partition) — a month of one series, never the whole
+    history), then re-pick ``n_out`` over the concatenated candidates
+    (stage 2: at most ``partitions * per_partition`` rows per task,
+    a constant independent of row count). Returns the same
+    ``(*group_cols, rnk, x, y)`` contract.
+
+    Exactness envelope: when ``per_partition`` covers every partition
+    row, stage 1 is the identity and the composition EQUALS the
+    global pick bit-for-bit (the regression test pins this); when it
+    truncates, each stage-2 bucket picks from stage-1 survivors —
+    first/last of every partition always survive stage 1 (the LTTB
+    endpoint rule), so partition boundaries and the global endpoints
+    are never lost, and the pick drifts at most within a bucket (the
+    documented Steinarsson composition trade).
+
+    ``partition_col``'s sort order must agree with ``x`` (a
+    ``yyyyMM`` month string does): stage 2 orders candidates by
+    ``(partition, rnk)`` — the deterministic series order stage 1
+    emits — because the original tie-break columns no longer exist
+    after stage 1. ``per_partition`` defaults to ``n_out``."""
+    if per_partition is None:
+        per_partition = n_out
+    if per_partition < 2:
+        raise ValueError("per_partition must be >= 2")
+    gcols = list(group_cols)
+    stage1 = largest_triangle_three_buckets(
+        df,
+        gcols + [partition_col],
+        x_col,
+        y_col,
+        per_partition,
+        order_cols=order_cols,
+        y_scale=y_scale,
+    )
+    return largest_triangle_three_buckets(
+        stage1,
+        gcols,
+        "x",
+        "y",
+        n_out,
+        order_cols=[partition_col, "rnk"],
+        y_scale=y_scale,
+    )
+
+
 def bounding_ratio(
     df: DataFrame,
     group_cols: Sequence[str],

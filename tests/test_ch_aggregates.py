@@ -1174,3 +1174,107 @@ def test_exponential_smoothing_validation(spark):
         exponential_moving_average(df, ["g"], "v", "t", 0.0)
     with _pytest.raises(ValueError):
         exponential_time_decayed_avg(df, ["g"], "v", "t", -1.0)
+
+
+def test_lttb_partitioned_identity_regime(spark):
+    """When per_partition covers every partition row, stage 1 is the
+    identity and the composed pick EQUALS the global pick
+    bit-for-bit — the exactness envelope the docstring promises."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets,
+        largest_triangle_three_buckets_partitioned,
+    )
+
+    rng = random.Random(19)
+    rows = []
+    t = 1_600_000_000
+    for m in range(4):  # four "months" of 60 points each
+        for i in range(60):
+            t += rng.randrange(50, 200)
+            rows.append(("s", "m%d" % m, t, round(rng.uniform(-10, 80), 3)))
+    df = spark.createDataFrame(rows, "g string, mon string, t long, v double")
+
+    want = [
+        (r["rnk"], r["x"], r["y"])
+        for r in largest_triangle_three_buckets(
+            df, ["g"], "t", "v", 20, order_cols=["t"]
+        ).orderBy("rnk").collect()
+    ]
+    got = [
+        (r["rnk"], r["x"], r["y"])
+        for r in largest_triangle_three_buckets_partitioned(
+            df, ["g"], "t", "v", 20, "mon",
+            per_partition=100, order_cols=["t"],
+        ).orderBy("rnk").collect()
+    ]
+    assert got == want
+
+
+def test_lttb_partitioned_bounded_drift(spark):
+    """Truncating regime: the composition keeps the global endpoints,
+    emits exactly n_out real input rows, never crosses the series
+    bounds, and every global pick has a composed pick within one
+    global bucket span — the bounded-error claim, pinned on a fixed
+    seeded series so the assertion is deterministic."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets,
+        largest_triangle_three_buckets_partitioned,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    t = 1_600_000_000
+    for m in range(6):
+        for i in range(300):
+            t += rng.randrange(40, 120)
+            rows.append(
+                ("s", "m%d" % m, t,
+                 round(50.0 * (1 + (i % 37) / 37.0) + rng.uniform(-4, 4), 3))
+            )
+    df = spark.createDataFrame(rows, "g string, mon string, t long, v double")
+    all_x = {r[2] for r in rows}
+    first_x, last_x = rows[0][2], rows[-1][2]
+
+    n_out = 24
+    comp = largest_triangle_three_buckets_partitioned(
+        df, ["g"], "t", "v", n_out, "mon",
+        per_partition=16, order_cols=["t"],
+    ).orderBy("rnk").collect()
+    assert len(comp) == n_out
+    assert comp[0]["x"] == first_x and comp[-1]["x"] == last_x
+    assert all(r["x"] in all_x for r in comp)  # real rows only
+
+    glob = largest_triangle_three_buckets(
+        df, ["g"], "t", "v", n_out, order_cols=["t"]
+    ).orderBy("rnk").collect()
+    span = (last_x - first_x) / (n_out - 2)  # one global bucket width
+    comp_xs = [r["x"] for r in comp]
+    for r in glob:
+        assert min(abs(cx - r["x"]) for cx in comp_xs) <= span, r["x"]
+
+    # determinism: bitwise stable under input repartitioning
+    again = largest_triangle_three_buckets_partitioned(
+        df.repartition(11), ["g"], "t", "v", n_out, "mon",
+        per_partition=16, order_cols=["t"],
+    ).orderBy("rnk").collect()
+    assert [(r["x"], r["y"]) for r in again] == [(r["x"], r["y"]) for r in comp]
+
+
+def test_lttb_partitioned_validation(spark):
+    import pytest as _pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "m0", 1, 1.0)], "g string, mon string, t long, v double"
+    )
+    with _pytest.raises(ValueError):
+        largest_triangle_three_buckets_partitioned(
+            df, ["g"], "t", "v", 10, "mon", per_partition=1
+        )
