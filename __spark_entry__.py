@@ -2375,6 +2375,75 @@ def q_exp_smoothing(spark, sf_dir):
     )
 
 
+def q_linear_regression(spark, sf_dir):
+    """ClickHouse ``simpleLinearRegression(t, value)`` per event type
+    (operators/ch_aggregates.simple_linear_regression): OLS slope +
+    intercept over exact DECIMAL(38,0) sums of (epoch-second x,
+    round(v*1000) y), one fixed IEEE tree — hash-exact with no
+    rounding at all, like rank_corr (no transcendental anywhere).
+    Output is in the quantized coordinate system (k scaled by 1000,
+    b by 1000) — the documented trade for gateability."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        simple_linear_regression,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", _sec(ev).alias("t"), "value")
+    return simple_linear_regression(
+        base, ["event_type"], "t", "value", x_scale=1, y_scale=1000
+    )
+
+
+def q_entropy(spark, sf_dir):
+    """ClickHouse ``entropy(x)`` per event type over user_id%16
+    buckets (operators/ch_aggregates.entropy_agg): Shannon entropy in
+    bits over exact distinct-value counts, per-term DECIMAL(28,12)
+    quantization before the order-free sum, round(6) at the gate —
+    the theils_u transcendental convention."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        entropy_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", (F.col("user_id") % 16).alias("ub")
+    )
+    out = entropy_agg(base, ["event_type"], "ub")
+    return out.select(
+        "event_type", F.round("entropy", 6).alias("entropy")
+    )
+
+
+def q_categorical_iv(spark, sf_dir):
+    """ClickHouse ``categoricalInformationValue(c1, c2, c3, tag)``
+    per UTC day (operators/ch_aggregates.categorical_information_
+    value): weight-of-evidence IV per binary indicator — exact
+    counts, one fixed IEEE tree each, nan on empty cells, round(6)
+    at the gate. Indicators: event_type='click', value>50,
+    event_id%3=0; tag = user_id%2."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        categorical_information_value,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        (F.col("value") > 50).cast("int").alias("hi_value"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("mod3"),
+        (F.col("user_id") % 2).alias("tag"),
+    )
+    out = categorical_information_value(
+        base, ["day"], ["is_click", "hi_value", "mod3"], "tag"
+    )
+    return out.select(
+        "day",
+        F.round("iv_is_click", 6).alias("iv_is_click"),
+        F.round("iv_hi_value", 6).alias("iv_hi_value"),
+        F.round("iv_mod3", 6).alias("iv_mod3"),
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2708,6 +2777,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # math); adds exponentialMovingAverage +
         # exponentialTimeDecayedAvg with t_max-anchored weights
         "exp_smoothing": q_exp_smoothing,
+        # graded reps: tpch_q1 / stat_moments (exact-sum family);
+        # adds simpleLinearRegression, fully hash-exact
+        "linear_regression": q_linear_regression,
+        # graded rep: contingency_stats; adds CH entropy(x) with the
+        # decimal-quantized transcendental fold
+        "entropy": q_entropy,
+        # graded reps: retention_flags / contingency_stats; adds
+        # categoricalInformationValue (WoE IV per binary indicator)
+        "categorical_iv": q_categorical_iv,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4558,6 +4636,110 @@ def _all_oracle_sql() -> dict[str, str]:
                ELSE round(n / d, 6)
           END AS decayed_avg
         FROM g
+    """
+    # OLS over exact integer sums: identical HUGEINT accumulation,
+    # identical IEEE finals (k's expression repeats inside b exactly
+    # as the Spark column tree does) — hash-exact, no rounding
+    oracles["linear_regression"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(epoch_ms(ts) // 1000 AS HUGEINT) AS qx,
+                 CAST(round(value * 1000) AS HUGEINT) AS qy
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND ts IS NOT NULL
+        ),
+        s AS (
+          SELECT event_type,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(qx) AS DOUBLE) AS sx,
+            CAST(sum(qy) AS DOUBLE) AS sy,
+            CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+            CAST(sum(qx * qy) AS DOUBLE) AS sxy
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type,
+          CASE WHEN n * sxx - sx * sx = 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+          END AS k,
+          CASE WHEN n * sxx - sx * sx = 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * sx) / n
+          END AS b
+        FROM s
+    """
+    # Shannon entropy (CH log2 base): exact counts, per-term
+    # DECIMAL(28,12) quantization, round(6) — transcendental never
+    # hash-gated raw
+    oracles["entropy"] = """
+        WITH b AS (
+          SELECT event_type, user_id % 16 AS ub FROM events
+          WHERE user_id IS NOT NULL
+        ),
+        pv AS (
+          SELECT event_type, ub, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY event_type, ub
+        ),
+        t AS (
+          SELECT event_type,
+            CAST(-(CAST(c AS DOUBLE)
+                   / CAST(sum(c) OVER (PARTITION BY event_type)
+                          AS DOUBLE))
+                 * log2(CAST(c AS DOUBLE)
+                        / CAST(sum(c) OVER (PARTITION BY event_type)
+                               AS DOUBLE))
+                 AS DECIMAL(28,12)) AS term
+          FROM pv
+        )
+        SELECT event_type,
+               round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+        FROM t GROUP BY event_type
+    """
+    # weight-of-evidence IV per binary indicator: four exact counts
+    # per (day, indicator), one IEEE tree each, nan on empty cells
+    oracles["categorical_iv"] = """
+        WITH b AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
+            CASE WHEN value > 50 THEN 1 ELSE 0 END AS c2,
+            CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS c3,
+            CAST(user_id % 2 AS INT) AS tag
+          FROM events
+          WHERE user_id IS NOT NULL
+        ),
+        s AS (
+          SELECT day,
+            sum(tag) AS ev, sum(1 - tag) AS no,
+            sum(c1 * tag) AS e1, sum(c1 * (1 - tag)) AS x1,
+            sum(c2 * tag) AS e2, sum(c2 * (1 - tag)) AS x2,
+            sum(c3 * tag) AS e3, sum(c3 * (1 - tag)) AS x3
+          FROM b GROUP BY day
+        )
+        SELECT day,
+          CASE WHEN ev = 0 OR no = 0 OR e1 = 0 OR x1 = 0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE round((CAST(e1 AS DOUBLE) / ev
+                           - CAST(x1 AS DOUBLE) / no)
+                          * ln((CAST(e1 AS DOUBLE) / ev)
+                               / (CAST(x1 AS DOUBLE) / no)), 6)
+          END AS iv_is_click,
+          CASE WHEN ev = 0 OR no = 0 OR e2 = 0 OR x2 = 0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE round((CAST(e2 AS DOUBLE) / ev
+                           - CAST(x2 AS DOUBLE) / no)
+                          * ln((CAST(e2 AS DOUBLE) / ev)
+                               / (CAST(x2 AS DOUBLE) / no)), 6)
+          END AS iv_hi_value,
+          CASE WHEN ev = 0 OR no = 0 OR e3 = 0 OR x3 = 0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE round((CAST(e3 AS DOUBLE) / ev
+                           - CAST(x3 AS DOUBLE) / no)
+                          * ln((CAST(e3 AS DOUBLE) / ev)
+                               / (CAST(x3 AS DOUBLE) / no)), 6)
+          END AS iv_mod3
+        FROM s
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -1741,6 +1741,179 @@ def theils_u(
     )
 
 
+def simple_linear_regression(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` per group: ordinary
+    least squares, returning slope ``k = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2)`` and intercept ``b = (Sy - k*Sx)/n``. Returns
+    ``(*group_cols, k, b)`` — in the QUANTIZED coordinate system
+    (x*x_scale, y*y_scale); the defaults keep x raw (epoch seconds
+    are already integral) and y in the round(v*1000) grid every other
+    exact aggregate here uses, so ``k`` is scaled by
+    ``y_scale/x_scale`` and ``b`` by ``y_scale`` — callers divide
+    once, the documented trade for a hash-gateable result (CH's own
+    double accumulators are block-order dependent).
+
+    The four sums accumulate EXACTLY in DECIMAL(38,0) (one JVM
+    partial-agg shuffle, partition-order independent); the finals are
+    one fixed IEEE tree. A group with zero x-variance returns nan for
+    both (vertical line), not an ANSI 0/0 error. NULL/NaN pairs are
+    skipped."""
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x.cast("double"))
+        & y.isNotNull() & ~F.isnan(y.cast("double"))
+    )
+    qx = (
+        F.round(x.cast("double") * x_scale)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    qy = (
+        F.round(y.cast("double") * y_scale)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    agg = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(qx).alias("__sx"),
+        F.sum(qy).alias("__sy"),
+        F.sum(qx * qx).alias("__sxx"),
+        F.sum(qx * qy).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    k = (n * sxy - sx * sy) / vx
+    nan = F.lit(float("nan"))
+    return agg.select(
+        *gcols,
+        F.when(vx == 0.0, nan).otherwise(k).alias("k"),
+        F.when(vx == 0.0, nan)
+        .otherwise((sy - k * sx) / n)
+        .alias("b"),
+    )
+
+
+def entropy_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """ClickHouse ``entropy(x)`` per group: Shannon entropy of the
+    value distribution, ``-sum (c_v/n) log2(c_v/n)`` over the
+    distinct-value counts (CH uses log2). Returns
+    ``(*group_cols, entropy)``.
+
+    Counts are exact integers (one partial-agg shuffle to the
+    distinct-value table — bounded by cardinality, not rows); each
+    term is one fixed IEEE expression quantized to DECIMAL(28,12)
+    before the order-free exact sum (the :func:`theils_u` /
+    lm_perplexity convention), so the result is a pure function of
+    the data under any partitioning. Gate-side callers round (the
+    oracle rounds to 6) — the transcendental itself is never
+    hash-gated raw. NULL values are skipped like the CH aggregate."""
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    per_v = (
+        df.filter(v.isNotNull())
+        .groupBy(*gcols, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_g = Window.partitionBy(*gcols)
+    n = F.sum("__c").over(w_g)
+    p = F.col("__c").cast("double") / n.cast("double")
+    term = (-(p * F.log2(p))).cast("decimal(28,12)")
+    agg = (
+        per_v.select(*gcols, term.alias("__t"))
+        .groupBy(*gcols)
+        .agg(F.sum("__t").alias("__h"))
+    )
+    return agg.select(
+        *gcols, F.col("__h").cast("double").alias("entropy")
+    )
+
+
+def categorical_information_value(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    category_cols: Sequence[str],
+    tag_col: str,
+) -> DataFrame:
+    """ClickHouse ``categoricalInformationValue(cat1, ..., catN,
+    tag)`` per group: for each 0/1 category indicator, the weight-of-
+    evidence term ``(P(cat|tag=1) - P(cat|tag=0)) *
+    ln(P(cat|tag=1) / P(cat|tag=0))`` — the CH-documented formula
+    over the four exact counts (category hits among events /
+    non-events, total events / non-events). Returns one row per
+    group with ``iv_<cat>`` columns (CH returns the same values as
+    an array, one slot per category argument).
+
+    Counts are exact (one partial-agg pass, every indicator counted
+    in the same groupBy); each IV is one fixed IEEE tree. A category
+    with zero hits on either side (or a group missing a tag class)
+    returns nan — ln(0) forms don't exist, and nan is deterministic
+    where CH's ±inf propagation is library-version dependent.
+    NULL tags are skipped; NULL indicators count as 0."""
+    gcols = list(group_cols)
+    cats = list(category_cols)
+    tag = F.col(tag_col).cast("int")
+    base = df.filter(tag.isin(0, 1)).select(
+        *gcols,
+        tag.alias("__tag"),
+        *[
+            F.when(F.col(c).cast("int") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"__c{i}")
+            for i, c in enumerate(cats)
+        ],
+    )
+    aggs = [
+        F.sum(F.col("__tag")).alias("__ev"),
+        F.sum(F.lit(1) - F.col("__tag")).alias("__no"),
+    ]
+    for i in range(len(cats)):
+        aggs += [
+            F.sum(F.col(f"__c{i}") * F.col("__tag")).alias(f"__e{i}"),
+            F.sum(
+                F.col(f"__c{i}") * (F.lit(1) - F.col("__tag"))
+            ).alias(f"__x{i}"),
+        ]
+    agg = base.groupBy(*gcols).agg(*aggs)
+    ev = F.col("__ev").cast("double")
+    no = F.col("__no").cast("double")
+    nan = F.lit(float("nan"))
+    out = []
+    for i, c in enumerate(cats):
+        e = F.col(f"__e{i}").cast("double")
+        x = F.col(f"__x{i}").cast("double")
+        pe = e / ev
+        px = x / no
+        iv = (pe - px) * F.log(pe / px)
+        out.append(
+            F.when(
+                (F.col("__ev") == 0)
+                | (F.col("__no") == 0)
+                | (F.col(f"__e{i}") == 0)
+                | (F.col(f"__x{i}") == 0),
+                nan,
+            )
+            .otherwise(iv)
+            .alias(f"iv_{c}")
+        )
+    return agg.select(*gcols, *out)
+
+
 def exponential_moving_average(
     df: DataFrame,
     group_cols: Sequence[str],

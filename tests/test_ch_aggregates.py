@@ -1278,3 +1278,94 @@ def test_lttb_partitioned_validation(spark):
         largest_triangle_three_buckets_partitioned(
             df, ["g"], "t", "v", 10, "mon", per_partition=1
         )
+
+
+def test_simple_linear_regression_exact(spark):
+    """y = 3x + 7 recovers (k=3, b=7) exactly in the unscaled system;
+    zero x-variance (vertical line) -> nan, not an ANSI error; the
+    exact decimal sums make the result partition-independent."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        simple_linear_regression,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i), 3.0 * i + 7.0) for i in range(12)],
+        "g string, x double, y double",
+    )
+    r = simple_linear_regression(df, ["g"], "x", "y", 1, 1).collect()[0]
+    assert r["k"] == 3.0 and r["b"] == 7.0
+
+    c = spark.createDataFrame(
+        [("g", 5.0, float(i)) for i in range(3)],
+        "g string, x double, y double",
+    )
+    rc = simple_linear_regression(c, ["g"], "x", "y", 1, 1).collect()[0]
+    assert math.isnan(rc["k"]) and math.isnan(rc["b"])
+
+    big = spark.createDataFrame(
+        [("g", float(i % 50), float((i * 7) % 90)) for i in range(500)],
+        "g string, x double, y double",
+    )
+    a = simple_linear_regression(big.coalesce(1), ["g"], "x", "y").collect()[0]
+    b = simple_linear_regression(big.repartition(13), ["g"], "x", "y").collect()[0]
+    assert (a["k"], a["b"]) == (b["k"], b["b"])  # bitwise
+
+
+def test_entropy_known_values(spark):
+    """Uniform over 4 values = exactly 2 bits; a constant column = 0;
+    NULLs skipped; decimal-quantized terms -> partition-independent."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import entropy_agg
+
+    u = spark.createDataFrame(
+        [("g", i % 4) for i in range(40)], "g string, v int"
+    )
+    assert entropy_agg(u, ["g"], "v").collect()[0]["entropy"] == 2.0
+    one = spark.createDataFrame([("g", 1)] * 5, "g string, v int")
+    assert entropy_agg(one, ["g"], "v").collect()[0]["entropy"] == 0.0
+    withnull = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2)], "g string, v int"
+    )
+    assert entropy_agg(withnull, ["g"], "v").collect()[0]["entropy"] == 1.0
+
+
+def test_categorical_information_value_hand_checked(spark):
+    """IV per binary indicator against the direct WoE formula; empty
+    cells -> nan."""
+    import math
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        categorical_information_value,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):
+        tag = rng.randrange(2)
+        c1 = 1 if (rng.random() < (0.7 if tag else 0.3)) else 0
+        rows.append(("g", c1, rng.randrange(2), tag))
+    df = spark.createDataFrame(rows, "g string, c1 int, c2 int, tag int")
+    got = categorical_information_value(
+        df, ["g"], ["c1", "c2"], "tag"
+    ).collect()[0]
+    ev = sum(r[3] for r in rows)
+    no = len(rows) - ev
+
+    def ref(idx):
+        e = sum(1 for r in rows if r[idx] == 1 and r[3] == 1)
+        x = sum(1 for r in rows if r[idx] == 1 and r[3] == 0)
+        pe, px = e / ev, x / no
+        return (pe - px) * math.log(pe / px)
+
+    assert abs(got["iv_c1"] - ref(1)) < 1e-12
+    assert abs(got["iv_c2"] - ref(2)) < 1e-12
+
+    # empty cell (c always 0 among tag=1) -> nan
+    degen = spark.createDataFrame(
+        [("g", 0, 1), ("g", 0, 1), ("g", 1, 0), ("g", 0, 0)],
+        "g string, c int, tag int",
+    )
+    r = categorical_information_value(degen, ["g"], ["c"], "tag").collect()[0]
+    assert math.isnan(r["iv_c"])
