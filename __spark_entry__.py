@@ -2444,6 +2444,38 @@ def q_categorical_iv(spark, sf_dir):
     )
 
 
+def q_anova(spark, sf_dir):
+    """ClickHouse ``analysisOfVariance(value, user_id%5)`` per event
+    type (operators/ch_aggregates.anova_f): one-way ANOVA F over
+    exact per-level DECIMAL sums, the between-group fold pinned in
+    level order (F.aggregate here, list_reduce in the oracle — the
+    contingency chi-square discipline); p-value deliberately absent
+    (incomplete-beta ulp policy). Hash-exact, no rounding."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import anova_f
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value", (F.col("user_id") % 5).alias("lv")
+    )
+    return anova_f(base, ["event_type"], "value", "lv")
+
+
+def q_mean_z_test(spark, sf_dir):
+    """ClickHouse ``meanZTest(620, 610, conf)(value, user_id%2)``
+    statistic per event type (operators/ch_aggregates.mean_z_test):
+    known-variance z over the shared two-sample exact moments, one
+    fixed IEEE tree, hash-exact (p/CI not emitted — erf policy)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        mean_z_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value", (F.col("user_id") % 2).alias("s")
+    )
+    return mean_z_test(base, ["event_type"], "value", "s", 620.0, 610.0)
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2786,6 +2818,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded reps: retention_flags / contingency_stats; adds
         # categoricalInformationValue (WoE IV per binary indicator)
         "categorical_iv": q_categorical_iv,
+        # graded reps: tpch_q1 / two_sample_tests; adds one-way ANOVA
+        # (analysisOfVariance) with the pinned between-group fold
+        "anova": q_anova,
+        # graded rep: two_sample_tests (same moments); adds meanZTest
+        "mean_z_test": q_mean_z_test,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4740,6 +4777,80 @@ def _all_oracle_sql() -> dict[str, str]:
                                / (CAST(x3 AS DOUBLE) / no)), 6)
           END AS iv_mod3
         FROM s
+    """
+    # one-way ANOVA: exact per-level HUGEINT sums, the between-group
+    # s_l^2/n_l fold replayed left-to-right in level order via
+    # list_reduce (matches F.aggregate seed 0.0), identical F tree
+    oracles["anova"] = """
+        WITH b AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 1000) AS HUGEINT) AS q,
+                 user_id % 5 AS l
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND user_id IS NOT NULL
+        ),
+        pl AS (
+          SELECT g, l, CAST(count(*) AS HUGEINT) AS nl,
+                 sum(q) AS sl, sum(q * q) AS ssl
+          FROM b GROUP BY g, l
+        ),
+        t AS (
+          SELECT g, CAST(l AS VARCHAR) AS ls,
+                 CAST(sl * sl AS DOUBLE) / CAST(nl AS DOUBLE) AS tt,
+                 nl, sl, ssl
+          FROM pl
+        ),
+        ga AS (
+          SELECT g,
+            list_reduce(list(tt ORDER BY ls), (a, b) -> a + b) AS bb,
+            CAST(count(*) AS DOUBLE) AS k,
+            CAST(sum(nl) AS DOUBLE) AS n,
+            CAST(sum(sl) AS DOUBLE) AS s,
+            CAST(sum(ssl) AS DOUBLE) AS ss,
+            count(*) AS k_int,
+            sum(nl) AS n_int
+          FROM t GROUP BY g
+        )
+        SELECT g AS event_type,
+          CASE WHEN k_int < 2 OR n_int <= k_int OR ss - bb = 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE ((bb - (s * s) / n) / (k - 1.0))
+                    / ((ss - bb) / (n - k))
+          END AS f_stat,
+          CAST(k_int - 1 AS BIGINT) AS df_between,
+          CAST(n_int - k_int AS BIGINT) AS df_within
+        FROM ga
+    """
+    # known-variance z: shared exact two-sample moments, the mean
+    # difference descaled once, identical IEEE tree — hash-exact
+    oracles["mean_z_test"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS q,
+                 CAST(user_id % 2 AS INT) AS i
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND user_id % 2 IN (0, 1)
+        ),
+        mom AS (
+          SELECT event_type,
+            count(*) FILTER (WHERE i = 0) AS n0i,
+            count(*) FILTER (WHERE i = 1) AS n1i,
+            CAST(count(*) FILTER (WHERE i = 0) AS DOUBLE) AS n0,
+            CAST(count(*) FILTER (WHERE i = 1) AS DOUBLE) AS n1,
+            CAST(sum(q) FILTER (WHERE i = 0) AS DOUBLE) AS s0,
+            CAST(sum(q) FILTER (WHERE i = 1) AS DOUBLE) AS s1
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type,
+          CASE WHEN n0i = 0 OR n1i = 0
+                 OR 620.0 / n0 + 610.0 / n1 <= 0.0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE ((s0 / n0 - s1 / n1) / 1000.0)
+                    / sqrt(620.0 / n0 + 610.0 / n1)
+          END AS z_stat
+        FROM mom
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -1741,6 +1741,143 @@ def theils_u(
     )
 
 
+def anova_f(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    level_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``analysisOfVariance(value, level)`` per group:
+    one-way ANOVA, returning the F statistic plus the degrees of
+    freedom ``(k - 1, n - k)``. Returns
+    ``(*group_cols, f_stat, df_between, df_within)`` — the p-value is
+    deliberately not emitted (incomplete-beta differs between engines
+    in the last ulp; the established two_sample_tests policy).
+
+    Engine-exact: values quantize half-up to ``round(v*scale)``
+    int64; per-level count/sum/sum-of-squares accumulate in
+    DECIMAL(38,0) (one partial-agg shuffle). The between-group sum
+    ``sum_l s_l^2/n_l`` is the one order-sensitive IEEE piece, so it
+    folds SEQUENTIALLY over the levels in level order — F.aggregate
+    over the sorted collected level array here, list_reduce in the
+    oracle — the contingency_stats chi-square discipline. F is
+    scale-invariant (both numerator and denominator scale by
+    scale^2), so quantization only touches the grid error. Guards:
+    fewer than 2 levels, n <= k, or zero within-group variance
+    return nan, never an ANSI 0/0.
+
+    Plan: one partial-agg shuffle to the per-level table (bounded by
+    level cardinality), one per-group fold over the collected
+    levels."""
+    gcols = list(group_cols)
+    q = (
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & F.col(level_col).isNotNull()
+    )
+    per_l = base.groupBy(
+        *gcols, F.col(level_col).alias("__l")
+    ).agg(
+        F.count(F.lit(1)).alias("__nl"),
+        F.sum(q).alias("__sl"),
+        F.sum(q * q).alias("__ssl"),
+    )
+    cell = F.struct(
+        F.col("__l").cast("string").alias("l"),
+        (
+            (F.col("__sl") * F.col("__sl")).cast("double")
+            / F.col("__nl").cast("double")
+        ).alias("t"),
+    )
+    agg = per_l.select(
+        *gcols,
+        cell.alias("__cell"),
+        "__nl",
+        "__sl",
+        "__ssl",
+    ).groupBy(*gcols).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__cell")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__nl").alias("__n"),
+        F.sum("__sl").alias("__s"),
+        F.sum("__ssl").alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    k = F.col("__k").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    b = F.col("__b")
+    ssb = b - (s * s) / n
+    ssw = ss - b
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    nan = F.lit(float("nan"))
+    bad = (
+        (F.col("__k") < 2)
+        | (F.col("__n") <= F.col("__k"))
+        | (ssw == 0.0)
+    )
+    return agg.select(
+        *gcols,
+        F.when(bad, nan).otherwise(f_stat).alias("f_stat"),
+        (F.col("__k") - 1).cast("long").alias("df_between"),
+        (F.col("__n") - F.col("__k")).cast("long").alias("df_within"),
+    )
+
+
+def mean_z_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    index_col: str,
+    pop_var_0: float,
+    pop_var_1: float,
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``meanZTest(pop_var_x, pop_var_y, conf)(v, i)``
+    STATISTIC per group: ``z = (m0 - m1) / sqrt(var0/n0 + var1/n1)``
+    with KNOWN population variances (given in RAW value units — the
+    quantized mean difference is descaled once, so callers pass the
+    variances they know). Returns ``(*group_cols, z_stat)``;
+    p-value and confidence bounds are not emitted (erf policy, see
+    :func:`two_sample_tests`).
+
+    Shares :func:`two_sample_base` / :func:`two_sample_moment_aggs`
+    verbatim — exact DECIMAL sums, one fixed IEEE tree, nan for an
+    empty sample or non-positive variance term."""
+    if pop_var_0 < 0 or pop_var_1 < 0:
+        raise ValueError("population variances must be >= 0")
+    gcols = list(group_cols)
+    base = two_sample_base(df, gcols, value_col, index_col, scale)
+    mom = base.groupBy(*gcols).agg(*two_sample_moment_aggs())
+    n0 = F.col("__n0").cast("double")
+    n1 = F.col("__n1").cast("double")
+    m0 = F.col("__s0").cast("double") / n0
+    m1 = F.col("__s1").cast("double") / n1
+    se = (
+        F.lit(float(pop_var_0)) / n0 + F.lit(float(pop_var_1)) / n1
+    )
+    z = ((m0 - m1) / F.lit(float(scale))) / F.sqrt(se)
+    nan = F.lit(float("nan"))
+    bad = (
+        (F.col("__n0") == 0)
+        | (F.col("__n1") == 0)
+        | (se <= 0.0)
+    )
+    return mom.select(
+        *gcols, F.when(bad, nan).otherwise(z).alias("z_stat")
+    )
+
+
 def simple_linear_regression(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1369,3 +1369,81 @@ def test_categorical_information_value_hand_checked(spark):
     )
     r = categorical_information_value(degen, ["g"], ["c"], "tag").collect()[0]
     assert math.isnan(r["iv_c"])
+
+
+def test_anova_f_hand_checked(spark):
+    """One-way ANOVA against the direct SSB/SSW computation on the
+    quantized values; single level -> nan; validation of dof."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import anova_f
+
+    rng = random.Random(11)
+    rows = [
+        ("g", "l%d" % (i % 3), round(rng.gauss(10 + (i % 3) * 2, 3), 3))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, lv string, v double")
+    r = anova_f(df, ["g"], "v", "lv").collect()[0]
+
+    groups = defaultdict(list)
+    for _, l, v in rows:
+        groups[l].append(round(v * 1000))
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    gm = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
+    )
+    fref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r["f_stat"] - fref) < 1e-6 * fref
+    assert r["df_between"] == k - 1 and r["df_within"] == n - k
+
+    one = spark.createDataFrame(
+        [("g", "a", float(i)) for i in range(5)],
+        "g string, lv string, v double",
+    )
+    assert math.isnan(anova_f(one, ["g"], "v", "lv").collect()[0]["f_stat"])
+
+    # pinned fold: bitwise identical across partitionings
+    a = anova_f(df.coalesce(1), ["g"], "v", "lv").collect()[0]["f_stat"]
+    b = anova_f(df.repartition(13), ["g"], "v", "lv").collect()[0]["f_stat"]
+    assert a == b
+
+
+def test_mean_z_test_known_variance(spark):
+    """z with known population variances against the direct formula
+    (raw-unit variances, descaled quantized means); empty sample ->
+    nan; negative variance rejected."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import mean_z_test
+
+    rng = random.Random(13)
+    rows = [
+        ("g", round(rng.gauss(5 if i % 2 else 6, 2), 3), i % 2)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, s int")
+    z = mean_z_test(df, ["g"], "v", "s", 4.0, 4.0).collect()[0]["z_stat"]
+    s0 = [round(v * 1000) for _, v, i in rows if i == 0]
+    s1 = [round(v * 1000) for _, v, i in rows if i == 1]
+    zref = ((sum(s0) / len(s0) - sum(s1) / len(s1)) / 1000.0) / math.sqrt(
+        4.0 / len(s0) + 4.0 / len(s1)
+    )
+    assert abs(z - zref) < 1e-10
+
+    onesided = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0)], "g string, v double, s int"
+    )
+    assert math.isnan(
+        mean_z_test(onesided, ["g"], "v", "s", 1.0, 1.0).collect()[0]["z_stat"]
+    )
+    with _pytest.raises(ValueError):
+        mean_z_test(df, ["g"], "v", "s", -1.0, 1.0)
