@@ -1961,12 +1961,31 @@ def entropy_agg(
     oracle rounds to 6) — the transcendental itself is never
     hash-gated raw. NULL values are skipped like the CH aggregate."""
     gcols = list(group_cols)
+    return entropy_finals(
+        entropy_cells(df, gcols, value_col), gcols
+    )
+
+
+def entropy_cells(
+    df: DataFrame, gcols: Sequence[str], value_col: str
+) -> DataFrame:
+    """The exact distinct-value count table ``(*gcols, __v, __c)`` —
+    the mergeable summary shared by :func:`entropy_agg` and the
+    streaming twin (:mod:`..streaming.entropy`)."""
     v = F.col(value_col)
-    per_v = (
+    return (
         df.filter(v.isNotNull())
         .groupBy(*gcols, v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+
+
+def entropy_finals(
+    per_v: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """Shannon entropy from an :func:`entropy_cells` table —
+    identical whether the cells came from one batch pass or a
+    streaming state snapshot."""
     w_g = Window.partitionBy(*gcols)
     n = F.sum("__c").over(w_g)
     p = F.col("__c").cast("double") / n.cast("double")

@@ -177,3 +177,51 @@ def test_streaming_contingency_bit_equal_to_batch(spark, tmp_path):
         assert got[g]["cramers_v"] == w["cramers_v"]
         assert got[g]["cramers_v_bc"] == w["cramers_v_bc"]
         assert got[g]["contingency_coef"] == w["contingency_coef"]
+
+
+def test_streaming_entropy_bit_equal_to_batch(spark, tmp_path):
+    from carbon_clickhouse_spark.operators.ch_aggregates import entropy_agg
+    from carbon_clickhouse_spark.streaming.entropy import (
+        finalize_entropy,
+        streaming_entropy_cells,
+    )
+
+    landing = str(tmp_path / "en")
+    os.makedirs(landing)
+    rng = random.Random(53)
+    rows = [("g%d" % (i % 2), rng.randrange(12)) for i in range(500)]
+    cut = len(rows) // 2
+    schema = "g string, v int"
+
+    stream = spark.readStream.schema(schema).json(landing)
+    q = (
+        streaming_entropy_cells(stream, ["g"], "v")
+        .writeStream.format("memory")
+        .queryName("enc")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write(landing, "b1.json", rows[:cut], ("g", "v"))
+        q.processAllAvailable()
+        _write(landing, "b2.json", rows[cut:], ("g", "v"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    snap_rows = _latest(
+        spark.sql("SELECT * FROM enc").collect(), ["g", "__v"], "__c"
+    )
+    snap = spark.createDataFrame(
+        [(r["g"], r["__v"], r["__c"]) for r in snap_rows],
+        "g string, __v int, __c long",
+    )
+    got = {r["g"]: r["entropy"] for r in finalize_entropy(snap, ["g"]).collect()}
+    want = {
+        r["g"]: r["entropy"]
+        for r in entropy_agg(
+            spark.createDataFrame(rows, schema), ["g"], "v"
+        ).collect()
+    }
+    assert got == want  # bitwise: quantized terms, exact sums
