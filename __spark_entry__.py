@@ -2476,6 +2476,26 @@ def q_mean_z_test(spark, sf_dir):
     return mean_z_test(base, ["event_type"], "value", "s", 620.0, 610.0)
 
 
+def q_corr_matrix(spark, sf_dir):
+    """ClickHouse ``corrMatrix`` / ``covarPopMatrix`` over (value,
+    event_id%100, user_id%50) per event type
+    (operators/ch_aggregates.corr_matrix): all pairwise sums in ONE
+    partial-agg pass, long-form rows a SQL oracle hashes — exact
+    DECIMAL sums, fixed IEEE trees, hash-exact, no rounding."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        corr_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.col("event_id") % 100).alias("e"),
+        (F.col("user_id") % 50).alias("u"),
+    )
+    return corr_matrix(base, ["event_type"], ["v", "e", "u"])
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2823,6 +2843,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova": q_anova,
         # graded rep: two_sample_tests (same moments); adds meanZTest
         "mean_z_test": q_mean_z_test,
+        # graded rep: stat_moments (covarPop/corr singles); adds the
+        # corrMatrix/covarPopMatrix pairwise family in one pass
+        "corr_matrix": q_corr_matrix,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4852,6 +4875,59 @@ def _all_oracle_sql() -> dict[str, str]:
           END AS z_stat
         FROM mom
     """
+    # corrMatrix long form: one CTE of exact HUGEINT sums, six pair
+    # rows via UNION ALL, identical IEEE covariance/correlation trees
+    pair_sql = []
+    cm_cols = {"v": "v", "e": "e", "u": "u"}
+    cm_names = list(cm_cols)
+    for ii in range(3):
+        for jj in range(ii, 3):
+            xi, xj = cm_names[ii], cm_names[jj]
+            sxy = f"ss_{xi}" if ii == jj else f"x_{xi}{xj}"
+            cov = (
+                f"CAST({sxy} AS DOUBLE) / n"
+                f" - (CAST(s_{xi} AS DOUBLE) / n)"
+                f" * (CAST(s_{xj} AS DOUBLE) / n)"
+            )
+            vi = (
+                f"CAST(ss_{xi} AS DOUBLE) / n - (CAST(s_{xi} AS DOUBLE)"
+                f" / n) * (CAST(s_{xi} AS DOUBLE) / n)"
+            )
+            vj = (
+                f"CAST(ss_{xj} AS DOUBLE) / n - (CAST(s_{xj} AS DOUBLE)"
+                f" / n) * (CAST(s_{xj} AS DOUBLE) / n)"
+            )
+            pair_sql.append(
+                f"SELECT event_type, '{xi}' AS x_name, '{xj}' AS y_name,"
+                f" {cov} AS covar_pop,"
+                f" CASE WHEN ({vi}) = 0.0 OR ({vj}) = 0.0"
+                f" THEN CAST('nan' AS DOUBLE)"
+                f" ELSE ({cov}) / sqrt(({vi}) * ({vj})) END AS corr_pop"
+                f" FROM s"
+            )
+    oracles["corr_matrix"] = (
+        """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS qv,
+                 CAST(round((event_id % 100) * 1000) AS HUGEINT) AS qe,
+                 CAST(round((user_id % 50) * 1000) AS HUGEINT) AS qu
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND event_id IS NOT NULL AND user_id IS NOT NULL
+        ),
+        s AS (
+          SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+            sum(qv) AS s_v, sum(qv*qv) AS ss_v,
+            sum(qe) AS s_e, sum(qe*qe) AS ss_e,
+            sum(qu) AS s_u, sum(qu*qu) AS ss_u,
+            sum(qv*qe) AS x_ve, sum(qv*qu) AS x_vu,
+            sum(qe*qu) AS x_eu
+          FROM b GROUP BY event_type
+        )
+        """
+        + " UNION ALL ".join(pair_sql)
+    )
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer
     # floor-division bucket bounds, exact-int bucket sums over one

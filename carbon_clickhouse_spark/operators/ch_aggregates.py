@@ -1741,6 +1741,96 @@ def theils_u(
     )
 
 
+def corr_matrix(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``corrMatrix(x1, ..., xn)`` /
+    ``covarPopMatrix(x1, ..., xn)`` per group, in long form: one row
+    per unordered column pair ``(i <= j)`` with
+    ``(*group_cols, x_name, y_name, covar_pop, corr_pop)`` — the
+    row set a SQL oracle can hash, carrying exactly the numbers CH
+    packs into its Array(Array(Float64)) result.
+
+    Engine-exact like :func:`stat_moments` (same quantization, same
+    conventions): every column quantizes half-up to ``round(v*scale)``
+    int64; the n + per-column sums + per-pair cross sums all
+    accumulate in DECIMAL(38,0) in ONE partial-agg pass (no per-pair
+    rescan — n(n+1)/2 cross sums ride a single groupBy); the final
+    covariance/correlation algebra is a fixed IEEE tree per pair.
+    Rows with a NULL or NaN in ANY column drop (one population for
+    every pair — CH's matrix aggregates skip the whole tuple, and
+    mixed populations would make the matrix inconsistent).
+    ``covar_pop`` is in the quantized grid (scale^2); ``corr_pop`` is
+    scale-free. Zero-variance columns yield nan correlations."""
+    gcols = list(group_cols)
+    vcols = list(value_cols)
+    if len(vcols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    cond = None
+    for c in vcols:
+        cc = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        cond = cc if cond is None else (cond & cc)
+    qs = {
+        c: F.round(F.col(c).cast("double") * scale)
+        .cast("long")
+        .cast("decimal(38,0)")
+        for c in vcols
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(vcols):
+        aggs.append(F.sum(qs[c]).alias(f"__s{i}"))
+        aggs.append(F.sum(qs[c] * qs[c]).alias(f"__ss{i}"))
+    for i in range(len(vcols)):
+        for j in range(i + 1, len(vcols)):
+            aggs.append(
+                F.sum(qs[vcols[i]] * qs[vcols[j]]).alias(f"__x{i}_{j}")
+            )
+    agg = df.filter(cond).groupBy(*gcols).agg(*aggs)
+    n = F.col("__n").cast("double")
+    nan = F.lit(float("nan"))
+
+    def pair_row(i: int, j: int):
+        si = F.col(f"__s{i}").cast("double")
+        sj = F.col(f"__s{j}").cast("double")
+        if i == j:
+            sxy = F.col(f"__ss{i}").cast("double")
+        else:
+            sxy = F.col(f"__x{i}_{j}").cast("double")
+        mi = si / n
+        mj = sj / n
+        cov = sxy / n - mi * mj
+        vi = F.col(f"__ss{i}").cast("double") / n - mi * mi
+        vj = F.col(f"__ss{j}").cast("double") / n - mj * mj
+        corr = F.when((vi == 0.0) | (vj == 0.0), nan).otherwise(
+            cov / F.sqrt(vi * vj)
+        )
+        return F.struct(
+            F.lit(vcols[i]).alias("x_name"),
+            F.lit(vcols[j]).alias("y_name"),
+            cov.alias("covar_pop"),
+            corr.alias("corr_pop"),
+        )
+
+    pairs = [
+        pair_row(i, j)
+        for i in range(len(vcols))
+        for j in range(i, len(vcols))
+    ]
+    exploded = agg.select(
+        *gcols, F.explode(F.array(*pairs)).alias("__p")
+    )
+    return exploded.select(
+        *gcols,
+        F.col("__p.x_name").alias("x_name"),
+        F.col("__p.y_name").alias("y_name"),
+        F.col("__p.covar_pop").alias("covar_pop"),
+        F.col("__p.corr_pop").alias("corr_pop"),
+    )
+
+
 def anova_f(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1447,3 +1447,54 @@ def test_mean_z_test_known_variance(spark):
     )
     with _pytest.raises(ValueError):
         mean_z_test(df, ["g"], "v", "s", -1.0, 1.0)
+
+
+def test_corr_matrix_hand_checked(spark):
+    """Pairwise covariance/correlation against the direct formula on
+    quantized values; diagonal corr = 1; validation; bitwise
+    partition independence (exact sums)."""
+    import itertools
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import corr_matrix
+
+    rng = random.Random(3)
+    rows = [
+        (
+            "g",
+            round(rng.gauss(0, 5), 3),
+            round(rng.gauss(0, 2), 3),
+            float(rng.randrange(10)),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+    out = {
+        (r["x_name"], r["y_name"]): (r["covar_pop"], r["corr_pop"])
+        for r in corr_matrix(df, ["g"], ["a", "b", "c"]).collect()
+    }
+    assert len(out) == 6
+    q = {
+        c: [round(r[i + 1] * 1000) for r in rows]
+        for i, c in enumerate(["a", "b", "c"])
+    }
+    n = len(rows)
+    for x, y in itertools.combinations_with_replacement(["a", "b", "c"], 2):
+        mx, my = sum(q[x]) / n, sum(q[y]) / n
+        cov = sum(p * r for p, r in zip(q[x], q[y])) / n - mx * my
+        vx = sum(p * p for p in q[x]) / n - mx * mx
+        vy = sum(p * p for p in q[y]) / n - my * my
+        gc, gr = out[(x, y)]
+        assert abs(gc - cov) < 1e-6 * max(1.0, abs(cov))
+        assert abs(gr - cov / math.sqrt(vx * vy)) < 1e-9
+    assert out[("a", "a")][1] == 1.0
+
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["g"], ["a"])
+
+    a = sorted(corr_matrix(df.coalesce(1), ["g"], ["a", "b", "c"]).collect())
+    b = sorted(corr_matrix(df.repartition(9), ["g"], ["a", "b", "c"]).collect())
+    assert a == b
