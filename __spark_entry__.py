@@ -2496,6 +2496,58 @@ def q_corr_matrix(spark, sf_dir):
     return corr_matrix(base, ["event_type"], ["v", "e", "u"])
 
 
+def q_decayed_family(spark, sf_dir):
+    """ClickHouse ``exponentialTimeDecayedSum/Count/Max(3600)`` per
+    event type (operators/ch_aggregates.exponential_time_decayed):
+    t_max-anchored weights, DECIMAL(28,12)-quantized terms (sums
+    order-free, max over quantized terms so engines agree at the
+    ulp), round(6) gate — the exp_smoothing conventions."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_time_decayed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", "value", _sec(ev).alias("t"))
+    out = exponential_time_decayed(
+        base, ["event_type"], "value", "t", 3600.0
+    )
+    return out.select(
+        "event_type",
+        F.round("decayed_sum", 6).alias("decayed_sum"),
+        F.round("decayed_count", 6).alias("decayed_count"),
+        F.round("decayed_max", 6).alias("decayed_max"),
+    )
+
+
+def q_bit_ops(spark, sf_dir):
+    """ClickHouse ``groupBitAnd/Or/Xor(user_id)`` per event type
+    (operators/ch_aggregates.group_bit_ops): bit-exact by
+    definition, NULLs skipped both engines."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_bit_ops,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return group_bit_ops(ev, ["event_type"], "user_id")
+
+
+def q_variance_family(spark, sf_dir):
+    """ClickHouse ``varPop/varSamp/stddevPop/stddevSamp/covarSamp``
+    per event type (operators/ch_aggregates.variance_family): exact
+    DECIMAL power sums in the round(v*1000) grid, fixed IEEE
+    finishing trees, hash-exact with no rounding; y = event_id %
+    100 for the sample covariance."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        variance_family,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "value", (F.col("event_id") % 100).alias("y")
+    )
+    return variance_family(base, ["event_type"], "value", y_col="y")
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2846,6 +2898,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: stat_moments (covarPop/corr singles); adds the
         # corrMatrix/covarPopMatrix pairwise family in one pass
         "corr_matrix": q_corr_matrix,
+        # graded rep: exp_smoothing; completes the
+        # exponentialTimeDecayed* family (Sum/Count/Max)
+        "decayed_family": q_decayed_family,
+        # graded rep: ch_agg_breadth; groupBitAnd/Or/Xor
+        "bit_ops": q_bit_ops,
+        # graded rep: stat_moments; varPop/varSamp/stddev*/covarSamp
+        "variance_family": q_variance_family,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -4928,6 +4987,78 @@ def _all_oracle_sql() -> dict[str, str]:
         """
         + " UNION ALL ".join(pair_sql)
     )
+    # exponentialTimeDecayedSum/Count/Max: the exp_smoothing oracle
+    # conventions — quantized terms, order-free sums, max over the
+    # quantized terms, round(6)
+    oracles["decayed_family"] = """
+        WITH b AS (
+          SELECT event_type, value AS v,
+                 CAST(epoch_ms(ts) // 1000 AS DOUBLE) AS t
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND ts IS NOT NULL
+        ),
+        mx AS (
+          SELECT event_type, v, t,
+                 max(t) OVER (PARTITION BY event_type) AS tmax
+          FROM b
+        ),
+        q AS (
+          SELECT event_type,
+            CAST(v * exp((t - tmax) / 3600.0)
+                 AS DECIMAL(28,12)) AS vt,
+            CAST(exp((t - tmax) / 3600.0)
+                 AS DECIMAL(28,12)) AS wt
+          FROM mx
+        )
+        SELECT event_type,
+          round(CAST(sum(vt) AS DOUBLE), 6) AS decayed_sum,
+          round(CAST(sum(wt) AS DOUBLE), 6) AS decayed_count,
+          round(CAST(max(vt) AS DOUBLE), 6) AS decayed_max
+        FROM q GROUP BY event_type
+    """
+    oracles["bit_ops"] = """
+        SELECT event_type,
+               bit_and(user_id) AS bit_and,
+               bit_or(user_id) AS bit_or,
+               bit_xor(user_id) AS bit_xor
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type
+    """
+    # variance family: exact HUGEINT power sums, identical IEEE
+    # finishing trees (var_samp via (s2 - s1^2/n)/(n-1), the Spark
+    # expression order), hash-exact
+    oracles["variance_family"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS q,
+                 CAST(event_id % 100 AS HUGEINT) AS y
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND event_id IS NOT NULL
+        ),
+        s AS (
+          SELECT event_type,
+            count(*) AS ni,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(q) AS DOUBLE) AS s1,
+            CAST(sum(q*q) AS DOUBLE) AS s2,
+            CAST(sum(y) AS DOUBLE) AS sy,
+            CAST(sum(q*y) AS DOUBLE) AS sxy
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type,
+          s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+          CASE WHEN ni < 2 THEN CAST('nan' AS DOUBLE)
+               ELSE (s2 - s1 * s1 / n) / (n - 1.0) END AS var_samp,
+          sqrt(s2 / n - (s1 / n) * (s1 / n)) AS stddev_pop,
+          CASE WHEN ni < 2 THEN CAST('nan' AS DOUBLE)
+               ELSE sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+          END AS stddev_samp,
+          CASE WHEN ni < 2 THEN CAST('nan' AS DOUBLE)
+               ELSE (sxy - s1 * sy / n) / (n - 1.0) END AS covar_samp
+        FROM s
+    """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer
     # floor-division bucket bounds, exact-int bucket sums over one

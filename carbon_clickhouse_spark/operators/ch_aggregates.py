@@ -2264,6 +2264,144 @@ def exponential_time_decayed_avg(
     )
 
 
+def exponential_time_decayed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    time_col: str,
+    decay: float,
+) -> DataFrame:
+    """The rest of ClickHouse's ``exponentialTimeDecayed*`` family at
+    the group's latest point: ``Sum`` (decayed value sum), ``Count``
+    (decayed row count — the weight sum), ``Max`` (max decayed
+    value), alongside the ``Avg`` :func:`exponential_time_decayed_avg`
+    ships separately. Returns ``(*group_cols, decayed_sum,
+    decayed_count, decayed_max)``.
+
+    Same determinism contract as the avg: weights anchored at t_max
+    (exponents <= 0, never overflow), every term one fixed IEEE
+    expression quantized to DECIMAL(28,12) — sums become order-free
+    exact decimal folds, and the max picks among quantized terms so
+    both engines agree even when two raw terms differ in the last
+    ulp. One Exchange: the t_max window and the partial agg share
+    the group-key partitioning."""
+    if decay <= 0:
+        raise ValueError("decay must be positive")
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    t = F.col(time_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(v) & t.isNotNull()
+    ).select(*gcols, v.alias("__v"), t.alias("__t"))
+    w_g = Window.partitionBy(*gcols)
+    tmax = F.max("__t").over(w_g)
+    weight = F.exp((F.col("__t") - tmax) / F.lit(float(decay)))
+    vterm = (F.col("__v") * weight).cast("decimal(28,12)")
+    wterm = weight.cast("decimal(28,12)")
+    agg = (
+        base.select(
+            *gcols, vterm.alias("__vt"), wterm.alias("__wt")
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.sum("__vt").alias("__s"),
+            F.sum("__wt").alias("__c"),
+            F.max("__vt").alias("__m"),
+        )
+    )
+    return agg.select(
+        *gcols,
+        F.col("__s").cast("double").alias("decayed_sum"),
+        F.col("__c").cast("double").alias("decayed_count"),
+        F.col("__m").cast("double").alias("decayed_max"),
+    )
+
+
+def group_bit_ops(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """ClickHouse ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor``
+    per group — Spark's native bitwise aggregates, included for
+    inventory completeness (bit-exact by definition, NULLs skipped
+    on both engines). Returns ``(*group_cols, bit_and, bit_or,
+    bit_xor)``; one partial-agg pass."""
+    v = F.col(value_col).cast("long")
+    return df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+        F.bit_and(v).alias("bit_and"),
+        F.bit_or(v).alias("bit_or"),
+        F.bit_xor(v).alias("bit_xor"),
+    )
+
+
+def variance_family(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    y_col: str | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``varPop`` / ``varSamp`` / ``stddevPop`` /
+    ``stddevSamp`` (+ ``covarSamp`` given ``y_col``) per group with
+    ENGINE-EXACT accumulation — the :func:`stat_moments` conventions
+    (half-up ``round(v*scale)`` quantization, DECIMAL(38,0) power
+    sums, one fixed IEEE finishing tree), so results are in the
+    quantized grid (variance scales by scale^2). Returns
+    ``(*group_cols, var_pop, var_samp, stddev_pop, stddev_samp
+    [, covar_samp])``. n < 2 makes the sample forms nan (0/0),
+    never an ANSI error."""
+    gcols = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    if y_col is not None:
+        base = base.filter(F.col(y_col).isNotNull())
+    q = (
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(q).alias("__s1"),
+        F.sum(q * q).alias("__s2"),
+    ]
+    if y_col is not None:
+        y = F.col(y_col).cast("decimal(38,0)")
+        aggs += [
+            F.sum(y).alias("__sy"),
+            F.sum(q * y).alias("__sxy"),
+        ]
+    agg = base.groupBy(*gcols).agg(*aggs)
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s1 / n
+    var_pop = s2 / n - mean * mean
+    nan = F.lit(float("nan"))
+    var_samp = F.when(F.col("__n") < 2, nan).otherwise(
+        (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    )
+    out = [
+        var_pop.alias("var_pop"),
+        var_samp.alias("var_samp"),
+        F.sqrt(var_pop).alias("stddev_pop"),
+        F.when(F.col("__n") < 2, nan)
+        .otherwise(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))))
+        .alias("stddev_samp"),
+    ]
+    if y_col is not None:
+        sy = F.col("__sy").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        out.append(
+            F.when(F.col("__n") < 2, nan)
+            .otherwise((sxy - s1 * sy / n) / (n - F.lit(1.0)))
+            .alias("covar_samp")
+        )
+    return agg.select(*gcols, *out)
+
+
 def contingency_stats(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1498,3 +1498,86 @@ def test_corr_matrix_hand_checked(spark):
     a = sorted(corr_matrix(df.coalesce(1), ["g"], ["a", "b", "c"]).collect())
     b = sorted(corr_matrix(df.repartition(9), ["g"], ["a", "b", "c"]).collect())
     assert a == b
+
+
+def test_exponential_time_decayed_family(spark):
+    """Sum/Count/Max at the t_max anchor against the direct formulas;
+    quantized terms keep everything partition-independent bitwise."""
+    import math
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_time_decayed,
+    )
+
+    rng = random.Random(9)
+    pairs = [(rng.uniform(-5, 20), float(100 + 3 * i)) for i in range(100)]
+    df = spark.createDataFrame(
+        [("g", v, t) for v, t in pairs], "g string, v double, t double"
+    )
+    r = exponential_time_decayed(df, ["g"], "v", "t", 60.0).collect()[0]
+    tmax = max(t for _, t in pairs)
+    assert abs(
+        r["decayed_sum"]
+        - sum(v * math.exp(-(tmax - t) / 60) for v, t in pairs)
+    ) < 1e-8
+    assert abs(
+        r["decayed_count"]
+        - sum(math.exp(-(tmax - t) / 60) for _, t in pairs)
+    ) < 1e-8
+    assert abs(
+        r["decayed_max"]
+        - max(v * math.exp(-(tmax - t) / 60) for v, t in pairs)
+    ) < 1e-9
+    a = exponential_time_decayed(df.coalesce(1), ["g"], "v", "t", 60.0).collect()[0]
+    b = exponential_time_decayed(df.repartition(7), ["g"], "v", "t", 60.0).collect()[0]
+    assert (a["decayed_sum"], a["decayed_count"], a["decayed_max"]) == (
+        b["decayed_sum"], b["decayed_count"], b["decayed_max"]
+    )
+
+
+def test_group_bit_ops(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import group_bit_ops
+
+    df = spark.createDataFrame(
+        [("g", 0b1100), ("g", 0b1010), ("g", None)], "g string, v long"
+    )
+    r = group_bit_ops(df, ["g"], "v").collect()[0]
+    assert r["bit_and"] == 0b1000
+    assert r["bit_or"] == 0b1110
+    assert r["bit_xor"] == 0b0110
+
+
+def test_variance_family_hand_checked(spark):
+    """var/stddev pop+samp and covarSamp against direct formulas on
+    the quantized grid; n=1 makes the sample forms nan."""
+    import math
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        variance_family,
+    )
+
+    rng = random.Random(5)
+    vals = [round(rng.gauss(10, 4), 3) for _ in range(200)]
+    ys = [rng.randrange(20) for _ in range(200)]
+    df = spark.createDataFrame(
+        [("g", v, y) for v, y in zip(vals, ys)],
+        "g string, v double, y int",
+    )
+    r = variance_family(df, ["g"], "v", y_col="y").collect()[0]
+    q = [round(v * 1000) for v in vals]
+    n = len(q)
+    mean = sum(q) / n
+    vp = sum(x * x for x in q) / n - mean * mean
+    vs = (sum(x * x for x in q) - sum(q) ** 2 / n) / (n - 1)
+    cs = (sum(a * b for a, b in zip(q, ys)) - sum(q) * sum(ys) / n) / (n - 1)
+    assert abs(r["var_pop"] - vp) < 1e-6 * vp
+    assert abs(r["var_samp"] - vs) < 1e-6 * vs
+    assert abs(r["stddev_pop"] - math.sqrt(vp)) < 1e-9 * math.sqrt(vp)
+    assert abs(r["covar_samp"] - cs) < 1e-6 * abs(cs)
+
+    one = spark.createDataFrame([("g", 1.0, 1)], "g string, v double, y int")
+    ro = variance_family(one, ["g"], "v", y_col="y").collect()[0]
+    assert ro["var_pop"] == 0.0
+    assert math.isnan(ro["var_samp"]) and math.isnan(ro["covar_samp"])
