@@ -2350,28 +2350,23 @@ def q_exp_smoothing(spark, sf_dir):
     before the order-free exact sum, EMA normalized by CH's
     unit-step geometric series (ExponentiallySmoothedAverage
     semantics). Gate rounds to 6 — pow/exp last-ulp differences
-    between engines are never hash-gated raw. Both aggregates share
-    one Exchange each; the per-type results join broadcast-size."""
+    between engines are never hash-gated raw. The FUSED operator
+    computes both in ONE Exchange (shared t_max window + partial
+    agg); term-level parity with the single operators is pinned by
+    test_exponential_smoothing_fused_parity."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
-        exponential_moving_average,
-        exponential_time_decayed_avg,
+        exponential_smoothing,
     )
 
     ev = _t(spark, sf_dir, "events")
     base = ev.select("event_type", "value", _sec(ev).alias("t"))
-    ema = exponential_moving_average(
-        base, ["event_type"], "value", "t", 86400.0
+    out = exponential_smoothing(
+        base, ["event_type"], "value", "t", 86400.0, 43200.0
     )
-    dav = exponential_time_decayed_avg(
-        base, ["event_type"], "value", "t", 43200.0
-    )
-    return (
-        ema.join(dav, "event_type")
-        .select(
-            "event_type",
-            F.round("ema", 6).alias("ema"),
-            F.round("decayed_avg", 6).alias("decayed_avg"),
-        )
+    return out.select(
+        "event_type",
+        F.round("ema", 6).alias("ema"),
+        F.round("decayed_avg", 6).alias("decayed_avg"),
     )
 
 

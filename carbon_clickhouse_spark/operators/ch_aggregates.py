@@ -2315,6 +2315,62 @@ def exponential_time_decayed_avg(
     )
 
 
+def exponential_smoothing(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    time_col: str,
+    half_decay: float,
+    decay: float,
+) -> DataFrame:
+    """Fused :func:`exponential_moving_average` +
+    :func:`exponential_time_decayed_avg` in ONE pass: both
+    aggregates share the t_max window and the group-key Exchange, so
+    computing them together costs one shuffle instead of two plus a
+    join — the plan a dashboard query wants. Returns
+    ``(*group_cols, ema, decayed_avg)``; term-level semantics are
+    IDENTICAL to the two single operators (same quantized terms,
+    same finals), pinned by a unit test."""
+    if half_decay <= 0 or decay <= 0:
+        raise ValueError("decay parameters must be positive")
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    t = F.col(time_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(v) & t.isNotNull()
+    ).select(*gcols, v.alias("__v"), t.alias("__t"))
+    w_g = Window.partitionBy(*gcols)
+    tmax = F.max("__t").over(w_g)
+    w_ema = F.pow(
+        F.lit(2.0), (F.col("__t") - tmax) / F.lit(float(half_decay))
+    )
+    w_avg = F.exp((F.col("__t") - tmax) / F.lit(float(decay)))
+    agg = (
+        base.select(
+            *gcols,
+            (F.col("__v") * w_ema).cast("decimal(28,12)").alias("__e"),
+            (F.col("__v") * w_avg).cast("decimal(28,12)").alias("__n"),
+            w_avg.cast("decimal(28,12)").alias("__d"),
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.sum("__e").alias("__es"),
+            F.sum("__n").alias("__ns"),
+            F.sum("__d").alias("__ds"),
+        )
+    )
+    norm = 1.0 - 2.0 ** (-1.0 / float(half_decay))
+    den = F.col("__ds").cast("double")
+    nan = F.lit(float("nan"))
+    return agg.select(
+        *gcols,
+        (F.col("__es").cast("double") * F.lit(norm)).alias("ema"),
+        F.when(den == 0.0, nan)
+        .otherwise(F.col("__ns").cast("double") / den)
+        .alias("decayed_avg"),
+    )
+
+
 def exponential_time_decayed(
     df: DataFrame,
     group_cols: Sequence[str],

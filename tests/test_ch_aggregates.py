@@ -1621,3 +1621,49 @@ def test_group_array_sorted_and_sum_count(spark):
     )
     # the filter on row_number must sit below the final aggregate
     assert "row_number" in plan and "collect_list" in plan
+
+
+def test_exponential_smoothing_fused_parity(spark):
+    """The fused one-Exchange operator must equal the two single
+    operators BITWISE (identical quantized terms and finals), and
+    its plan must carry exactly one hash Exchange."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_moving_average,
+        exponential_smoothing,
+        exponential_time_decayed_avg,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        ("g%d" % (i % 3), rng.uniform(-10, 40), float(1000 + 5 * i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, t double")
+    fused = {
+        r["g"]: (r["ema"], r["decayed_avg"])
+        for r in exponential_smoothing(
+            df, ["g"], "v", "t", 7.0, 11.0
+        ).collect()
+    }
+    ema = {
+        r["g"]: r["ema"]
+        for r in exponential_moving_average(df, ["g"], "v", "t", 7.0).collect()
+    }
+    dav = {
+        r["g"]: r["decayed_avg"]
+        for r in exponential_time_decayed_avg(
+            df, ["g"], "v", "t", 11.0
+        ).collect()
+    }
+    for g in ema:
+        assert fused[g] == (ema[g], dav[g])  # bitwise
+
+    plan = (
+        exponential_smoothing(df, ["g"], "v", "t", 7.0, 11.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
