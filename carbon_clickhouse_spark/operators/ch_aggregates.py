@@ -1703,6 +1703,92 @@ def rank_corr(
     return agg.select(*gcols, out.alias("rank_corr"))
 
 
+def rank_corr_cells(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Joint value-pair cell table ``(*gcols, __x, __y, __c)`` for
+    :func:`rank_corr_finals` — the mergeable summary the streaming
+    twin maintains (state bounded by DISTINCT (x, y) pairs, not
+    rows). NULL/NaN filtering matches :func:`rank_corr` exactly."""
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    return (
+        df.filter(
+            x.isNotNull() & ~F.isnan(x.cast("double"))
+            & y.isNotNull() & ~F.isnan(y.cast("double"))
+        )
+        .groupBy(*gcols, x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def rank_corr_finals(
+    cells: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """Spearman from a :func:`rank_corr_cells` snapshot: midranks
+    derive from the x and y MARGINALS of the joint cells (every row
+    sharing a value shares its midrank, so the per-row half-rank
+    sums collapse to cell-weighted sums — exactly the quantities
+    :func:`rank_corr` accumulates, in the same DECIMAL types), and
+    the final Pearson tree is shared, so a streaming snapshot
+    finalizes BIT-identically to the batch operator."""
+    glist = list(gcols)
+
+    def _marginal(col: str, out: str) -> DataFrame:
+        # per distinct value: 2*midrank = 2*cum_before + cnt + 1
+        m = cells.groupBy(*glist, col).agg(
+            F.sum("__c").alias("__cnt")
+        )
+        w = (
+            Window.partitionBy(*glist)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return m.select(
+            *glist,
+            col,
+            (
+                F.lit(2)
+                * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + F.col("__cnt")
+                + F.lit(1)
+            ).cast("long").alias(out),
+        )
+
+    ranked = (
+        cells.join(_marginal("__x", "__rx2"), [*glist, "__x"])
+        .join(_marginal("__y", "__ry2"), [*glist, "__y"])
+        .select(*glist, "__c", "__rx2", "__ry2")
+    )
+    c = F.col("__c").cast("decimal(38,0)")
+    rx = F.col("__rx2").cast("decimal(38,0)")
+    ry = F.col("__ry2").cast("decimal(38,0)")
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum(c).alias("__n"),
+        F.sum(c * rx).alias("__sx"),
+        F.sum(c * ry).alias("__sy"),
+        F.sum(c * rx * rx).alias("__sxx"),
+        F.sum(c * ry * ry).alias("__syy"),
+        F.sum(c * rx * ry).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    nan = F.lit(float("nan"))
+    out = F.when((vx == 0.0) | (vy == 0.0), nan).otherwise(
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return agg.select(*gcols, out.alias("rank_corr"))
+
+
 def theils_u(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1734,12 +1820,18 @@ def theils_u(
     the same partitioning and one per-group sum bounded by the
     contingency-table size, not the row count."""
     gcols = list(group_cols)
-    x, y = F.col(x_col), F.col(y_col)
-    cells = (
-        df.filter(x.isNotNull() & y.isNotNull())
-        .groupBy(*gcols, x.alias("__x"), y.alias("__y"))
-        .agg(F.count(F.lit(1)).alias("__o"))
+    return theils_u_finals(
+        contingency_cells(df, gcols, x_col, y_col), gcols
     )
+
+
+def theils_u_finals(
+    cells: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """Theil's U from a :func:`contingency_cells` table (the SAME
+    cell shape the contingency family and its streaming twin use) —
+    identical whether the cells came from one batch pass or a
+    streaming state snapshot."""
     w_r = Window.partitionBy(*gcols, "__x")
     w_c = Window.partitionBy(*gcols, "__y")
     w_g = Window.partitionBy(*gcols)
@@ -1912,6 +2004,21 @@ def anova_f(
     level cardinality), one per-group fold over the collected
     levels."""
     gcols = list(group_cols)
+    return anova_finals(
+        anova_cells(df, gcols, value_col, level_col, scale), gcols
+    )
+
+
+def anova_cells(
+    df: DataFrame,
+    gcols: Sequence[str],
+    value_col: str,
+    level_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-level exact moment table ``(*gcols, __l, __nl, __sl,
+    __ssl)`` — the mergeable summary shared by :func:`anova_f` and
+    the streaming twin (state bounded by level cardinality)."""
     q = (
         F.round(F.col(value_col).cast("double") * scale)
         .cast("long")
@@ -1922,13 +2029,23 @@ def anova_f(
         & ~F.isnan(F.col(value_col))
         & F.col(level_col).isNotNull()
     )
-    per_l = base.groupBy(
+    return base.groupBy(
         *gcols, F.col(level_col).alias("__l")
     ).agg(
         F.count(F.lit(1)).alias("__nl"),
         F.sum(q).alias("__sl"),
         F.sum(q * q).alias("__ssl"),
     )
+
+
+def anova_finals(
+    per_l: DataFrame, gcols: Sequence[str]
+) -> DataFrame:
+    """F statistic + dof from an :func:`anova_cells` table —
+    identical whether the cells came from one batch pass or a
+    streaming state snapshot (the between-group fold stays pinned
+    in level order)."""
+    gcols = list(gcols)
     cell = F.struct(
         F.col("__l").cast("string").alias("l"),
         (

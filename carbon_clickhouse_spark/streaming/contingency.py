@@ -32,9 +32,14 @@ from pyspark.sql import DataFrame
 from ..operators.ch_aggregates import (
     contingency_cells,
     contingency_finals,
+    theils_u_finals,
 )
 
-__all__ = ["streaming_contingency_cells", "finalize_contingency"]
+__all__ = [
+    "streaming_contingency_cells",
+    "finalize_contingency",
+    "finalize_theils_u",
+]
 
 
 def streaming_contingency_cells(
@@ -58,3 +63,13 @@ def finalize_contingency(
     state snapshot — the literal batch finalization (shared code
     object), re-exported for streaming consumers."""
     return contingency_finals(cells, list(group_cols))
+
+
+def finalize_theils_u(
+    cells: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Theil's U from the SAME cell snapshot
+    :func:`streaming_contingency_cells` maintains — one running cell
+    table serves the whole contingency statistics family (CH's own
+    CrossTabData layout), each read picking its finalization."""
+    return theils_u_finals(cells, list(group_cols))
