@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "rank_corr",
     "theils_u",
     "exp_smoothing",
+    # the n(n+1)/2-cross-sums single pass — the most plan-subtle of
+    # the round-9 partial-agg family
+    "corr_matrix",
 ]
 
 
