@@ -1,0 +1,134 @@
+"""Degenerate-shape oracle parity (the r8 ADVICE #1 class, closed
+PROACTIVELY for every statistics query): the driver's gate only ever
+sees the generated fixtures, so a Spark-side nan guard whose DuckDB
+oracle lacks the mirror (or vice versa) stays invisible until a
+fixture change breaks the gate. This test runs each statistics
+query AND its oracle over a HAND-BUILT events table full of
+degenerate groups — size-1, zero-variance, single-sample-class,
+single-timestamp, single-x-class — and requires the same
+rows/columns/values (nan == nan), exactly like the driver compare.
+If a future operator gains a guard, this fails until the oracle
+mirrors it, independent of what the driver's fixtures contain."""
+
+import datetime
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+QUERIES = [
+    "stat_moments",
+    "two_sample_tests",
+    "contingency_stats",
+    "ch_agg_breadth",
+    "rank_corr",
+    "theils_u",
+    "exp_smoothing",
+    "linear_regression",
+    "entropy",
+    "categorical_iv",
+    "anova",
+    "mean_z_test",
+    "corr_matrix",
+    "decayed_family",
+    "bit_ops",
+    "variance_family",
+    "array_agg_family",
+]
+
+
+def _degenerate_events() -> pd.DataFrame:
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = []
+
+    def add(et, n, value=None, user=None, same_ts=False, vstep=0.0):
+        for i in range(n):
+            rows.append(
+                {
+                    "event_id": len(rows) + 1,
+                    "ts": t0 if same_ts else t0 + datetime.timedelta(
+                        seconds=60 * len(rows)
+                    ),
+                    "user_id": user if user is not None else len(rows),
+                    "event_type": et,
+                    "value": (
+                        value if value is not None else 10.0 + i * 1.7
+                    )
+                    + i * vstep,
+                    "props": "{}",
+                }
+            )
+
+    add("solo", 1)                       # n = 1: every sample stat nan
+    add("const", 10, value=7.25)         # zero variance
+    add("oneclass", 8, user=2)           # user%2 == 0 only: n1 = 0
+    add("onetime", 5, same_ts=True)      # zero x-range for t-based ops
+    add("onetype_user", 6, user=4)       # single y class for contingency
+    add("normal", 30, vstep=0.3)         # sanity: a regular group
+    pdf = pd.DataFrame(rows)
+    # force a MICROSECOND timestamp column (matching the driver
+    # fixtures): pandas' default ns precision lands in Spark 4 as a
+    # plain long and breaks date_format
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def degen_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen")
+    pdf = _degenerate_events()
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{degen_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda x: str(x) if x is not None else None
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _values_match(a, b):
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        for x, y in zip(a[c].tolist(), b[c].tolist()):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y:
+                    return False
+            elif str(x) != str(y):
+                return False
+    return True
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_degenerate_parity(name, spark, degen_dir, degen_duck):
+    import __spark_entry__ as entry
+
+    qs = {**entry.queries(), **entry.extra_queries()}
+    os_ = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+    sdf = _normalize(qs[name](spark, degen_dir).toPandas())
+    odf = _normalize(degen_duck.execute(os_[name]).fetchdf())
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert list(sdf.columns) == list(odf.columns), name
+    assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
