@@ -113,8 +113,8 @@ def _last_recorded_batch_legs(names, sf) -> dict[str, float] | None:
 
 
 def _recorded_rounds(sf) -> list[dict]:
-    """Parsed BENCH records at the same scale factor (meters + query
-    total), for the ratio-based drift gates."""
+    """Parsed BENCH records at the same scale factor (meters +
+    per-leg timings), for the ratio-based drift gates."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -131,32 +131,51 @@ def _recorded_rounds(sf) -> list[dict]:
                     "streaming": float(
                         parsed["streaming_points_per_sec"]
                     ),
-                    "total": float(parsed["value"]),
+                    "queries": {
+                        k: float(v)
+                        for k, v in (parsed.get("queries") or {}).items()
+                    },
                 }
             )
         except (OSError, ValueError, TypeError, KeyError):
             continue
-    return out
+    return [r for r in out if r["queries"]]
+
+
+def _common_subtotal(a: dict, b: dict) -> float:
+    """Sum of per-leg seconds over the legs BOTH rounds ran — rounds
+    add legs over time, so a raw total comparison would skew the
+    sibling normalization against older records."""
+    common = set(a) & set(b)
+    return sum(a[k] for k in common) if common else 0.0
 
 
 def _meter_drifted(
-    value: float, norm: float, recorded: list[tuple[float, float]]
+    value: float, recorded: list[tuple[float, float, float]]
 ) -> bool:
     """Leg-RATIO drift gate (r8 advice): documented host/VM variance
     shifts every leg ~25% together, so an absolute 15% threshold
     trips on every slow-host round, re-measures on the same depressed
     host, and records a depressed number anyway. Instead a meter
-    re-measures when it moves relative to its SIBLING leg — the
-    normalized value ``value * norm`` (norm rises exactly when the
-    host slows, so whole-host shifts cancel) landing >15% below the
-    best recorded normalized value — or when the absolute drop is
-    past 40%, beyond any recorded host variance (a genuine engine
-    collapse must still re-measure even if every leg collapsed)."""
+    re-measures when it moves relative to its SIBLING leg: each
+    recorded round contributes ``(rec_value, rec_norm, cur_norm)``
+    where the norms are computed over the SAME basis (the common-leg
+    subtotal for the batch meter — rounds add legs over time, so a
+    raw total would skew against older records — or the sibling
+    meter's inverse for streaming); whole-host shifts cancel in
+    ``value * cur_norm`` vs ``rec_value * rec_norm``. The absolute
+    fallback only fires past 40% — beyond any recorded host variance
+    — so a genuine engine collapse still re-measures even when every
+    leg collapsed proportionally."""
     if not recorded:
         return False
-    best_norm = max(v * n for v, n in recorded)
-    best_abs = max(v for v, _ in recorded)
-    return value * norm < 0.85 * best_norm or value < 0.60 * best_abs
+    best_abs = max(v for v, _, _ in recorded)
+    ratio_drift = any(
+        value * cn < 0.85 * v * rn
+        for v, rn, cn in recorded
+        if rn > 0 and cn > 0
+    )
+    return ratio_drift or value < 0.60 * best_abs
 
 
 def _time_batch_queries(spark, sf_dir, qs, repeats) -> dict[str, float]:
@@ -284,11 +303,16 @@ def main() -> None:
     # single-leg regression or an outright collapse re-measures.
     meter_rerun = {"ingest": False, "streaming": False}
     rounds = _recorded_rounds(sf_val)
-    batch_total = sum(timings.values())
     if _meter_drifted(
         pps,
-        batch_total,
-        [(r["ingest"], r["total"]) for r in rounds],
+        [
+            (
+                r["ingest"],
+                _common_subtotal(r["queries"], timings),
+                _common_subtotal(timings, r["queries"]),
+            )
+            for r in rounds
+        ],
     ):
         meter_rerun["ingest"] = True
         fn = qs["points_ingest"]
@@ -305,8 +329,10 @@ def main() -> None:
     stream_pps = _stream_throughput(spark, sf_dir)
     if _meter_drifted(
         stream_pps,
-        1.0 / pps,
-        [(r["streaming"], 1.0 / r["ingest"]) for r in rounds],
+        [
+            (r["streaming"], 1.0 / r["ingest"], 1.0 / pps)
+            for r in rounds
+        ],
     ):
         meter_rerun["streaming"] = True
         stream_pps = max(stream_pps, _stream_throughput(spark, sf_dir))
