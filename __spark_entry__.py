@@ -2571,6 +2571,28 @@ def q_array_agg_family(spark, sf_dir):
     )
 
 
+def q_array_intersect(spark, sf_dir):
+    """ClickHouse ``groupArrayIntersect`` over per-document word sets
+    bucketed by doc_id % 97 (operators/ch_aggregates.
+    group_array_intersect): the words EVERY document in the bucket
+    contains, sorted — elements survive iff their (bucket, word)
+    count equals the bucket's row count; arrays never enter
+    aggregation state. Hash-exact (string sets, no floats)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_intersect,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        (F.col("doc_id") % 97).alias("grp"), words.alias("w")
+    )
+    return group_array_intersect(base, ["grp"], "w")
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2932,6 +2954,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adds groupArraySorted(N) (rank-pruned bounded state) and
         # sumCount
         "array_agg_family": q_array_agg_family,
+        # graded reps: dedup_exact / line_dedup (word-set passes);
+        # adds groupArrayIntersect without arrays in agg state
+        "array_intersect": q_array_intersect,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -5107,6 +5132,28 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT arr.event_type, sorted_values, value_sum, cnt
         FROM arr JOIN sc ON sc.event_type = arr.event_type
+    """
+    # groupArrayIntersect: word survives iff its per-bucket doc count
+    # equals the bucket row count; identical tokenization both sides
+    oracles["array_intersect"] = r"""
+        WITH toks AS (
+          SELECT doc_id % 97 AS grp,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(trim(coalesce(text, ''))),
+                                      '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents
+        ),
+        tot AS (SELECT grp, count(*) AS rows_ FROM toks GROUP BY grp),
+        e AS (SELECT grp, unnest(w) AS el FROM toks),
+        c AS (SELECT grp, el, count(*) AS c FROM e GROUP BY grp, el),
+        s AS (
+          SELECT c.grp, list(el ORDER BY el) AS iv
+          FROM c JOIN tot ON tot.grp = c.grp AND c.c = tot.rows_
+          GROUP BY c.grp
+        )
+        SELECT tot.grp, COALESCE(s.iv, []) AS intersect_values
+        FROM tot LEFT JOIN s ON s.grp = tot.grp
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -591,6 +591,54 @@ def sum_count(
     )
 
 
+def group_array_intersect(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    array_col: str,
+    out_col: str = "intersect_values",
+) -> DataFrame:
+    """ClickHouse ``groupArrayIntersect(arr)``: the intersection of
+    all array values per group, returned SORTED (CH's set order is
+    arbitrary; a sorted array hash-matches an oracle). Rows with a
+    NULL array are skipped (no CH state update); an empty
+    intersection is an empty array, and a group whose every row had
+    a NULL array drops (no state — CH emits nothing either).
+
+    Scale shape: never collects arrays into aggregation state —
+    elements explode DISTINCT-per-row, one (group, element) count
+    pass, and an element survives iff it appeared in EVERY row
+    (count == group row count, a broadcast-size per-group join).
+    Two bounded-key shuffles, rows never re-read."""
+    gcols = list(group_cols)
+    arr = F.col(array_col)
+    base = df.filter(arr.isNotNull()).select(
+        *gcols, F.array_distinct(arr).alias("__a")
+    )
+    totals = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__rows")
+    )
+    elems = base.select(
+        *gcols, F.explode("__a").alias("__e")
+    ).groupBy(*gcols, "__e").agg(F.count(F.lit(1)).alias("__c"))
+    survivors = elems.join(F.broadcast(totals), gcols).filter(
+        F.col("__c") == F.col("__rows")
+    )
+    got = survivors.groupBy(*gcols).agg(
+        F.sort_array(F.collect_list("__e")).alias(out_col)
+    )
+    # groups whose rows shared NO element still exist -> empty array
+    empty = F.array().cast(
+        got.schema[out_col].dataType
+    )
+    return (
+        totals.join(got, gcols, "left")
+        .select(
+            *gcols,
+            F.coalesce(F.col(out_col), empty).alias(out_col),
+        )
+    )
+
+
 def _merge_centroids(v, w, bins):
     """Greedy closest-pair centroid merge (the streaming parallel
     decision tree compaction, Ben-Haim & Tom-Tov 2010 — the algorithm

@@ -1667,3 +1667,42 @@ def test_exponential_smoothing_fused_parity(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_group_array_intersect(spark):
+    """Intersection semantics: duplicates within a row count once,
+    empty intersection emits an empty array, all-NULL groups drop,
+    NULL rows are skipped; plan never collects arrays into state."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_intersect,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g", [1, 2, 3, 2]),
+            ("g", [2, 3, 4]),
+            ("g", [3, 2]),
+            ("h", [5]),
+            ("h", [6]),
+            ("i", None),
+            ("j", [7]),
+            ("j", None),
+        ],
+        "g string, a array<int>",
+    )
+    out = {
+        r["g"]: r["intersect_values"]
+        for r in group_array_intersect(df, ["g"], "a").collect()
+    }
+    assert out == {"g": [2, 3], "h": [], "j": [7]}
+
+    plan = (
+        group_array_intersect(df, ["g"], "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # collect_list runs over SURVIVOR elements only (partial + final
+    # stages of the same aggregate) — never over the raw arrays
+    assert "collect_list(__e" in plan
+    assert "collect_list(__a" not in plan
