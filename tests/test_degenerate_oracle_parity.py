@@ -36,6 +36,24 @@ QUERIES = [
     "bit_ops",
     "variance_family",
     "array_agg_family",
+    # the pre-r9 events-table aggregates, locked in after the same
+    # probe found zero latent divergences on these shapes
+    "value_quantiles",
+    "value_histogram",
+    "quantile_sketch",
+    "top_event_types",
+    "uniq_up_to",
+    "moving_window_arrays",
+    "interval_metrics",
+    "histogram_adaptive",
+    "histogram_adaptive_sketch",
+    "lttb_downsample",
+    "delta_sum",
+    "retention_flags",
+    "sum_map_daily",
+    "sessionization",
+    "window_funnel_strict",
+    "sequence_match_bounds",
 ]
 
 
