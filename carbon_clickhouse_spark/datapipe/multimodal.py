@@ -17,8 +17,12 @@ duration / mean absolute 16-bit sample). Progressive (SOF2) JPEG
 decodes FULLY as of round 8 — DC and AC bands, successive-
 approximation first passes and refinements, EOB runs, ZRL
 (:func:`parse_jpeg_coefficients`); the mean-feature paths stay
-DC-only because the block mean IS the DC. The remaining boundary —
-non-MJPEG video codecs and lossless/arithmetic JPEG — raises
+DC-only because the block mean IS the DC. LOSSLESS (SOF3) JPEG
+decodes fully as of round 9 — the Annex-H predictive scan (all 7
+predictors, point transform, restart resets, modulo-2^16
+arithmetic, category 16) with exact sample reconstruction
+(:func:`_parse_jpeg_lossless`). The remaining boundary —
+non-MJPEG video codecs and arithmetic-coded JPEG — raises
 ``NotImplementedError`` unless ``fake=True`` selects the
 deterministic byte-derived stand-in; swapping in PIL/ffmpeg is a
 one-function change in :func:`decode_image`.
@@ -1374,9 +1378,10 @@ def decode_image(
 ) -> tuple[int, int, float | None]:
     """Decode one image payload -> (width, height, mean_byte).
 
-    netpbm (P5/P6), PNG, BMP, baseline JPEG, and progressive JPEG
-    (SOF2 DC-band entropy decode) decode for real in pure Python. A
-    lossless/arithmetic JPEG returns real dimensions with
+    netpbm (P5/P6), PNG, BMP, baseline JPEG, progressive JPEG
+    (SOF2 DC-band entropy decode), and LOSSLESS JPEG (SOF3 Annex-H
+    predictive decode, r9) decode for real in pure Python. An
+    arithmetic-coded JPEG returns real dimensions with
     ``mean_byte=None``. Other formats need a codec
     library this container does not ship; they raise unless
     ``fake=True`` selects the deterministic byte-derived stand-in
@@ -1386,22 +1391,23 @@ def decode_image(
         or _parse_png(payload)
         or _parse_bmp(payload)
         or _parse_jpeg(payload)
+        or _parse_jpeg_lossless(payload)
     )
     if out is not None:
         return out
-    # non-baseline, non-progressive JPEG (lossless/arithmetic/12-bit):
-    # the frame header still yields real dimensions — return them with
-    # a NULL mean instead of raising (entropy decode needs a codec
-    # library; baseline AND progressive now decode for real above)
+    # arithmetic-coded / hierarchical / 12-bit-DCT JPEG: the frame
+    # header still yields real dimensions — return them with a NULL
+    # mean instead of raising (baseline, progressive, AND lossless
+    # Huffman modes now decode for real above)
     dims = _parse_jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], None
     if not fake:
         raise NotImplementedError(
-            "only netpbm/PNG/BMP/JPEG (baseline + progressive) decode "
-            "in pure Python; lossless/arithmetic JPEG and video codecs "
-            "require PIL/ffmpeg — pass fake=True or swap in a real "
-            "decoder here"
+            "only netpbm/PNG/BMP/JPEG (baseline + progressive + "
+            "lossless) decode in pure Python; arithmetic-coded JPEG "
+            "and video codecs require PIL/ffmpeg — pass fake=True or "
+            "swap in a real decoder here"
         )
     n = len(payload)
     width = 64 + (n % 577)
@@ -1726,6 +1732,274 @@ def _decode_ac_scan(
                 k += 1
             eobrun -= 1
     return _skip_entropy(buf, reader.pos)
+
+
+_LL_PREDICT = {
+    # T.81 table H.1 — Px from Ra (left), Rb (above), Rc (above-left)
+    1: lambda ra, rb, rc: ra,
+    2: lambda ra, rb, rc: rb,
+    3: lambda ra, rb, rc: rc,
+    4: lambda ra, rb, rc: ra + rb - rc,
+    5: lambda ra, rb, rc: ra + ((rb - rc) >> 1),
+    6: lambda ra, rb, rc: rb + ((ra - rc) >> 1),
+    7: lambda ra, rb, rc: (ra + rb) >> 1,
+}
+
+
+def _decode_lossless_scan(
+    buf: bytes,
+    pos: int,
+    precision: int,
+    width: int,
+    height: int,
+    scan_tabs: list[tuple[int, dict]],
+    restart_interval: int,
+    predictor: int,
+    pt: int,
+    grids: dict[int, list[list[int]]],
+) -> int | None:
+    """Decode one LOSSLESS (SOF3) scan, T.81 Annex H: per sample a
+    DC-class Huffman category + extension bits give the DIFFERENCE
+    to the predicted value; prediction comes from the left / above /
+    above-left neighbors per the scan's predictor selector, with the
+    default ``2^(P - Pt - 1)`` at the scan start and after every
+    restart marker; arithmetic is modulo 2^16 (H.1.2.1). Category 16
+    codes a difference of exactly 32768 with NO extension bits.
+    Components interleave one sample per MCU (sampling 1x1 — the
+    standard lossless layout; anything else returns None). Returns
+    the index of the marker ending the scan, or None on a malformed
+    stream."""
+    if predictor not in _LL_PREDICT:
+        return None
+    reader = _JpegBitReader(buf, pos)
+    default = 1 << (precision - pt - 1)
+    pred_fn = _LL_PREDICT[predictor]
+    fresh = True  # scan start / just after a restart marker
+    for m in range(width * height):
+        if restart_interval and m and m % restart_interval == 0:
+            marker = reader.sync_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            fresh = True
+        y, x = divmod(m, width)
+        for cid, tab in scan_tabs:
+            s = reader.huff(tab)
+            if s is None or s > 16:
+                return None
+            if s == 16:
+                diff = 32768
+            elif s == 0:
+                diff = 0
+            else:
+                bits = reader.read(s)
+                if bits is None:
+                    return None
+                diff = _jpeg_extend(bits, s)
+            g = grids[cid]
+            if fresh:
+                px = default
+            elif y == 0:
+                px = g[0][x - 1]
+            elif x == 0:
+                px = g[y - 1][0]
+            else:
+                px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
+            g[y][x] = (px + diff) & 0xFFFF
+        fresh = False
+    return _skip_entropy(buf, reader.pos)
+
+
+def _parse_jpeg_lossless(
+    payload: bytes,
+) -> tuple[int, int, float] | None:
+    """Parse and REALLY decode a lossless JPEG (SOF3) in pure Python
+    -> (width, height, mean_byte): marker walk (DHT DC-class tables,
+    optional DRI), then :func:`_decode_lossless_scan` per scan;
+    samples reconstruct exactly (lossless by definition), shift back
+    by the point transform, and the mean scales to the byte range
+    ``255 / (2^P - 1)``. None for anything that is not a
+    well-formed single-frame SOF3 stream with 1x1 sampling."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    i = 2
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    precision = 0
+    width = height = 0
+    restart_interval = 0
+    pt = 0
+    grids: dict[int, list[list[int]]] = {}
+    saw_scan = False
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xC4:
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                if p + 17 + cnt > len(seg):
+                    return None
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xC3:
+            if len(seg) < 6:
+                return None
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
+                return None
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                if hv != 0x11:
+                    return None  # only 1x1 sampling (Annex H layout)
+                comps.append(cid)
+                grids[cid] = [[0] * width for _ in range(height)]
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # any other frame type: not this parser's job
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            if comps is None:
+                return None
+            ns = seg[0] if seg else 0
+            if len(seg) < 4 + 2 * ns:
+                return None
+            scan_tabs = []
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                td = seg[2 + 2 * c] >> 4
+                tab = huff.get((0, td))
+                if cid not in grids or tab is None:
+                    return None
+                scan_tabs.append((cid, tab))
+            predictor = seg[1 + 2 * ns]  # Ss = predictor selector
+            se = seg[2 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 15  # Al = point transform
+            if se != 0:
+                return None
+            nxt = _decode_lossless_scan(
+                payload, i, precision, width, height,
+                scan_tabs, restart_interval, predictor, pt, grids,
+            )
+            if nxt is None:
+                return None
+            saw_scan = True
+            i = nxt
+    if not saw_scan or comps is None:
+        return None
+    total = 0
+    cnt = 0
+    for cid in comps:
+        for row in grids[cid]:
+            total += sum(row)
+            cnt += len(row)
+    scale = (255.0 / ((1 << precision) - 1)) * (1 << pt)
+    return width, height, (total / cnt) * scale if cnt else None
+
+
+#: DC-class Huffman table covering every lossless category 0..16
+#: (17 symbols at code length 5 — canonical, valid per T.81)
+_JPEG_LL_DC = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def encode_jpeg_lossless(
+    planes: list[list[list[int]]],
+    predictor: int = 1,
+    pt: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless (SOF3) fixture encoder — the inverse of
+    :func:`_parse_jpeg_lossless` for round-trip tests: each plane is
+    a height x width grid of P-bit samples; the point transform
+    codes ``v >> pt`` (the decoder shifts back, so inputs with the
+    low ``pt`` bits zero round-trip exactly); differences code
+    modulo 2^16 with the minimal signed representative (category 16
+    = the bare 32768 difference, no extension bits); restart
+    intervals cut the prediction chain exactly where the decoder
+    resets it."""
+    if predictor not in _LL_PREDICT:
+        raise ValueError("predictor must be 1..7")
+    h = len(planes[0])
+    w = len(planes[0][0])
+    coded = [
+        [[v >> pt for v in row] for row in plane] for plane in planes
+    ]
+    out = bytearray(b"\xff\xd8")
+    body = bytes([0]) + bytes(_JPEG_LL_DC[0]) + bytes(_JPEG_LL_DC[1])
+    out += bytes([0xFF, 0xC4]) + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
+    for c in range(len(planes)):
+        sof += bytes([c + 1, 0x11, 0])
+    out += bytes([0xFF, 0xC3]) + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
+    scan = bytes([len(planes)])
+    for c in range(len(planes)):
+        scan += bytes([c + 1, 0x00])
+    scan += bytes([predictor, 0, pt & 15])
+    out += _sos(scan)
+    enc = _jpeg_huff_encode_table(*_JPEG_LL_DC)
+    wtr = _JpegBitWriter()
+    default = 1 << (precision - pt - 1)
+    pred_fn = _LL_PREDICT[predictor]
+    fresh = True
+    rst = 0
+    for m in range(w * h):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.pad()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            wtr = _JpegBitWriter()
+            fresh = True
+        y, x = divmod(m, w)
+        for g in coded:
+            if fresh:
+                px = default
+            elif y == 0:
+                px = g[0][x - 1]
+            elif x == 0:
+                px = g[y - 1][0]
+            else:
+                px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
+            diff = ((g[y][x] - px + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                wtr.put(*enc[16])  # category 16: no extension bits
+                continue
+            s = abs(diff).bit_length()
+            wtr.put(*enc[s])
+            if s:
+                wtr.put(diff if diff >= 0 else diff - 1, s)
+        fresh = False
+    wtr.pad()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _jpeg_scan_coefficients(
