@@ -1429,10 +1429,12 @@ def q_multimodal_features(spark, sf_dir):
     (DC-mean path, no IDCT needed for the mean) — AND deterministic
     PROGRESSIVE JPEGs (SOF2, DC first scan at Al=1 + DC refinement +
     skipped AC band scan) through the T.81 Annex G
-    successive-approximation decoder — all via Arrow-batched
-    mapInPandas, unioned with a fmt discriminator. The oracle
-    reproduces every feature in closed form over the text length, so
-    every real decode path is hash-checked end-to-end."""
+    successive-approximation decoder — AND deterministic LOSSLESS
+    JPEGs (SOF3, predictors cycling 1..7 via nb%7, restart intervals
+    on odd nb) through the Annex H predictive decoder (r9) — all via
+    Arrow-batched mapInPandas, unioned with a fmt discriminator. The
+    oracle reproduces every feature in closed form over the text
+    length, so every real decode path is hash-checked end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -3978,6 +3980,22 @@ def _all_oracle_sql() -> dict[str, str]:
                 ON s.i < 1 + m.nb % 16
               GROUP BY m.doc_id, m.nb
             ),
+            ljpeg AS (
+              -- lossless (SOF3 Annex H, every predictor via nb%7,
+              -- restart intervals on odd nb): 8 x (1 + nb%32) plane,
+              -- pixel (y, x) = (nb + 17*y + 5*x) % 256 — exact
+              -- reconstruction, so the mean is the plain average
+              SELECT m.doc_id, 'ljpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(1 + m.nb % 32 AS BIGINT) AS height,
+                     round(avg((m.nb + 17 * yy.y + 5 * xx.x) % 256), 4)
+                       AS mean_byte
+              FROM m
+              JOIN (SELECT unnest(range(0, 32)) AS y) yy
+                ON yy.y < 1 + m.nb % 32
+              JOIN (SELECT unnest(range(0, 8)) AS x) xx ON true
+              GROUP BY m.doc_id, m.nb
+            ),
             avi AS (
               -- MJPEG: frame f of 1 + nb%4, block i of 1 + nb%16 is
               -- the constant (nb + 37*i + 11*f) % 256
@@ -3993,6 +4011,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT * FROM pixel_cycle
             UNION ALL SELECT * FROM jpeg
             UNION ALL SELECT * FROM pjpeg
+            UNION ALL SELECT * FROM ljpeg
             UNION ALL SELECT * FROM avi
         """,
     }

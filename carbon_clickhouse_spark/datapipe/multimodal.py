@@ -1483,7 +1483,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
 
 def fixture_features(
     df: DataFrame,
-    formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "avi"),
+    formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "ljpeg", "avi"),
     text_col: str = "text",
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -1536,6 +1536,17 @@ def fixture_features(
         if fmt == "pjpeg":  # progressive: SOF2 DC scans + refinement
             return encode_jpeg_gray_blocks_progressive(
                 [(n_txt + 53 * i) % 256 for i in range(hb)]
+            )
+        if fmt == "ljpeg":  # lossless: SOF3 Annex-H predictive scan
+            hl = 1 + (n_txt % 32)
+            plane = [
+                [(n_txt + 17 * y + 5 * x) % 256 for x in range(8)]
+                for y in range(hl)
+            ]
+            return encode_jpeg_lossless(
+                [plane],
+                predictor=1 + (n_txt % 7),
+                restart_interval=3 if n_txt % 2 else 0,
             )
         nf = 1 + (n_txt % 4)
         frames = [
