@@ -1782,6 +1782,10 @@ def _decode_lossless_scan(
     stream."""
     if predictor not in _LL_PREDICT:
         return None
+    if not 0 <= pt < precision:
+        # a point transform eating the whole precision leaves no
+        # sample bits — malformed (and would shift negatively below)
+        return None
     reader = _JpegBitReader(buf, pos)
     default = 1 << (precision - pt - 1)
     pred_fn = _LL_PREDICT[predictor]

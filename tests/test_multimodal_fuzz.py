@@ -400,3 +400,49 @@ def test_avi_deep_list_nesting_bounded():
         inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
     payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
     assert _parse_avi_mjpeg(payload) is None
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    pred=st.integers(1, 7),
+    pt=st.integers(0, 2),
+    ri=st.sampled_from((0, 3, 7)),
+    mut_pos=st.integers(0, 10_000),
+    mut_val=st.integers(0, 255),
+)
+def test_lossless_jpeg_mutation_never_crashes(
+    seed, pred, pt, ri, mut_pos, mut_val
+):
+    """Round-trip survives every predictor/point-transform/restart
+    combination, and a single-byte mutation anywhere in the stream
+    either still decodes (headers/means may legitimately change) or
+    returns None — never raises. The malformed contract the whole
+    multimodal surface promises."""
+    import random
+
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(seed)
+    h, w = rng.randrange(1, 7), rng.randrange(1, 7)
+    plane = [
+        [rng.randrange(256) & ~((1 << pt) - 1) for _ in range(w)]
+        for _ in range(h)
+    ]
+    payload = encode_jpeg_lossless(
+        [plane], predictor=pred, pt=pt, restart_interval=ri
+    )
+    got = _parse_jpeg_lossless(payload)
+    assert got is not None and (got[0], got[1]) == (w, h)
+    want = sum(sum(r) for r in plane) / (w * h)
+    assert abs(got[2] - want) < 1e-9
+
+    mutated = bytearray(payload)
+    mutated[mut_pos % len(mutated)] = mut_val
+    out = _parse_jpeg_lossless(bytes(mutated))  # must not raise
+    assert out is None or (
+        isinstance(out, tuple) and len(out) == 3
+    )
