@@ -21,7 +21,8 @@ DC-only because the block mean IS the DC. LOSSLESS (SOF3) JPEG
 decodes fully as of round 9 — the Annex-H predictive scan (all 7
 predictors, point transform, restart resets, modulo-2^16
 arithmetic, category 16) with exact sample reconstruction
-(:func:`_parse_jpeg_lossless`). The remaining boundary —
+(:func:`_parse_jpeg_lossless`). 12-bit EXTENDED SEQUENTIAL (SOF1) joins the
+sequential decode path the same round. The remaining boundary —
 non-MJPEG video codecs and arithmetic-coded JPEG — raises
 ``NotImplementedError`` unless ``fake=True`` selects the
 deterministic byte-derived stand-in; swapping in PIL/ffmpeg is a
@@ -514,8 +515,9 @@ def _parse_jpeg_exact(
     component's block grid — exact for the real pixel mean when
     dimensions are block-aligned and samples don't clip (AC terms
     integrate to zero per block); edge blocks weigh equally otherwise.
-    Progressive/arithmetic/12-bit JPEGs and corrupt streams return
-    None (fall through to the unknown-format path) rather than guess."""
+    Handles 12-bit samples behind SOF1 (extended sequential, r9);
+    progressive/arithmetic frames and corrupt streams return None
+    (fall through to their own paths) rather than guess."""
     if payload[:2] != b"\xff\xd8":
         return None
     i, n = 2, len(payload)
@@ -524,6 +526,7 @@ def _parse_jpeg_exact(
     comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, tq)
     width = height = None
     restart_interval = 0
+    precision = 8
     while i + 2 <= n:
         if payload[i] != 0xFF:
             return None
@@ -566,8 +569,13 @@ def _parse_jpeg_exact(
                 vals = list(seg[p + 17 : p + 17 + cnt])
                 huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 p += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline DCT
-            if len(seg) < 6 or seg[0] != 8:
+        elif marker in (0xC0, 0xC1):  # SOF0/1: sequential DCT
+            # baseline (SOF0) is 8-bit by definition; extended
+            # sequential (SOF1) also allows 12-bit samples (r9)
+            if len(seg) < 6:
+                return None
+            precision = seg[0]
+            if precision != 8 and not (marker == 0xC1 and precision == 12):
                 return None
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
@@ -597,7 +605,7 @@ def _parse_jpeg_exact(
             ]
             return _jpeg_scan_mean(
                 payload, i, comps, scan, huff, qt,
-                width, height, restart_interval,
+                width, height, restart_interval, precision,
             )
         # else: APPn/COM/unknown — skipped via seg_len
     return None
@@ -613,6 +621,7 @@ def _jpeg_scan_mean(
     width: int,
     height: int,
     restart_interval: int,
+    precision: int = 8,
 ) -> tuple[int, int, float] | None:
     by_id = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
@@ -677,12 +686,19 @@ def _jpeg_scan_mean(
     if not dc_blocks:
         return None
     q0 = qt[comps[0][3]][0]
-    # per-block constant term: DC*q0/8 + 128, as an exact integer
+    # per-block constant term: DC*q0/8 + 2^(P-1), as an exact integer
     # rational (numerator, denominator) so callers averaging across
     # frames can defer to ONE float division — the correctly-rounded
     # rational mean, bit-identical to any engine computing sum/count
     # over the same per-block values
-    return width, height, (dc_sum * q0 + 1024 * dc_blocks, 8 * dc_blocks)
+    shift = (1 << (precision - 1)) * 8  # 1024 for 8-bit, 16384 for 12
+    num = dc_sum * q0 + shift * dc_blocks
+    den = 8 * dc_blocks
+    if precision != 8:
+        # scale the sample-domain mean to the byte range exactly
+        num *= 255
+        den *= (1 << precision) - 1
+    return width, height, (num, den)
 
 
 def _skip_entropy(buf: bytes, pos: int) -> int | None:
@@ -1066,6 +1082,58 @@ def encode_jpeg_gray_blocks(
     return bytes(out)
 
 
+def encode_jpeg_gray_blocks_12bit(
+    values: list[int], restart_interval: int = 0
+) -> bytes:
+    """12-bit EXTENDED SEQUENTIAL (SOF1) fixture encoder: the 12-bit
+    sibling of :func:`encode_jpeg_gray_blocks` — constant 8x8 blocks
+    of 12-bit samples, quant all-8s so the quantized DC is exactly
+    v - 2048; the decoder's byte-domain mean is exactly
+    ``mean(values) * 255 / 4095``. DC differences reach category 12,
+    so the DC table is the 0..16 lossless table."""
+    h = 8 * len(values)
+    dc_enc = _jpeg_huff_encode_table(*_JPEG_LL_DC)
+    ac_enc = _jpeg_huff_encode_table(*_JPEG_FIX_AC)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4, bytes([0]) + bytes(_JPEG_LL_DC[0]) + bytes(_JPEG_LL_DC[1])
+    )
+    out += seg(
+        0xC4,
+        bytes([1 << 4]) + bytes(_JPEG_FIX_AC[0]) + bytes(_JPEG_FIX_AC[1]),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _JpegBitWriter()
+    pred = 0
+    for i, v in enumerate(values):
+        if restart_interval and i and i % restart_interval == 0:
+            w.pad()
+            out += w.out
+            out += bytes([0xFF, 0xD0 + (i // restart_interval - 1) % 8])
+            w = _JpegBitWriter()
+            pred = 0
+        dcq = int(v) - 2048
+        diff = dcq - pred
+        pred = dcq
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+        w.put(*ac_enc[0x00])  # EOB
+    w.pad()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- Video: MJPEG-in-AVI (RIFF container walk + per-frame JPEG) -----
 #
 # Motion-JPEG needs no inter-frame codec state: the AVI 'movi' list
@@ -1395,10 +1463,10 @@ def decode_image(
     )
     if out is not None:
         return out
-    # arithmetic-coded / hierarchical / 12-bit-DCT JPEG: the frame
-    # header still yields real dimensions — return them with a NULL
-    # mean instead of raising (baseline, progressive, AND lossless
-    # Huffman modes now decode for real above)
+    # arithmetic-coded / hierarchical JPEG: the frame header still
+    # yields real dimensions — return them with a NULL mean instead
+    # of raising (baseline, extended-sequential 12-bit, progressive,
+    # AND lossless Huffman modes now decode for real above)
     dims = _parse_jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], None

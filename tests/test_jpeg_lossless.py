@@ -140,3 +140,39 @@ def test_malformed_contracts():
     assert _parse_jpeg_lossless(
         encode_jpeg_coeff_blocks([[5] + [0] * 63])
     ) is None
+
+
+def test_twelve_bit_extended_sequential():
+    """SOF1 12-bit Huffman DCT (r9): exact byte-domain mean
+    255/4095-scaled from the 12-bit DC sum; SOF0 at 12-bit stays
+    rejected (baseline is 8-bit by definition); the 8-bit path is
+    byte-identical to before."""
+    import random
+
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_exact,
+        decode_image,
+        encode_jpeg_gray_blocks,
+        encode_jpeg_gray_blocks_12bit,
+    )
+
+    rng = random.Random(2)
+    for _ in range(20):
+        vals = [rng.randrange(4096) for _ in range(rng.randrange(1, 9))]
+        ri = rng.choice((0, 0, 2))
+        p = encode_jpeg_gray_blocks_12bit(vals, restart_interval=ri)
+        w, h, mean = decode_image(p)
+        want = (sum(vals) / len(vals)) * 255.0 / 4095.0
+        assert (w, h) == (8, 8 * len(vals))
+        assert abs(mean - want) < 1e-9
+
+    assert decode_image(encode_jpeg_gray_blocks([10, 200, 45])) == (
+        8,
+        24,
+        85.0,
+    )
+
+    bad = bytearray(encode_jpeg_gray_blocks_12bit([100]))
+    i = bad.find(b"\xff\xc1")
+    bad[i + 1] = 0xC0  # relabel SOF1 as SOF0
+    assert _parse_jpeg_exact(bytes(bad)) is None
