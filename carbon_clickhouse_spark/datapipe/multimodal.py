@@ -21,8 +21,9 @@ DC-only because the block mean IS the DC. LOSSLESS (SOF3) JPEG
 decodes fully as of round 9 — the Annex-H predictive scan (all 7
 predictors, point transform, restart resets, modulo-2^16
 arithmetic, category 16) with exact sample reconstruction
-(:func:`_parse_jpeg_lossless`). 12-bit EXTENDED SEQUENTIAL (SOF1) joins the
-sequential decode path the same round. The remaining boundary —
+(:func:`_parse_jpeg_lossless`). 12-bit samples join BOTH Huffman-DCT
+paths the same round (SOF1 extended sequential and SOF2
+progressive). The remaining boundary —
 non-MJPEG video codecs and arithmetic-coded JPEG — raises
 ``NotImplementedError`` unless ``fake=True`` selects the
 deterministic byte-derived stand-in; swapping in PIL/ffmpeg is a
@@ -742,6 +743,7 @@ def _parse_jpeg_progressive_exact(
     comps: list[tuple[int, int, int, int]] | None = None
     width = height = None
     restart_interval = 0
+    precision = 8
     dc: dict[int, dict[tuple[int, int], int]] = {}  # cid -> (by,bx) -> full-scale DC
     dc_al: dict[int, int] = {}  # cid -> Al of the current approximation
     saw_dc_scan = False
@@ -788,8 +790,10 @@ def _parse_jpeg_progressive_exact(
                 huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 p += 17 + cnt
         elif marker == 0xC2:  # SOF2: progressive DCT frame header
-            if len(seg) < 6 or seg[0] != 8:
+            # progressive DCT allows 8- AND 12-bit samples (T.81)
+            if len(seg) < 6 or seg[0] not in (8, 12):
                 return None
+            precision = seg[0]
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
@@ -855,7 +859,13 @@ def _parse_jpeg_progressive_exact(
     if not blocks:
         return None
     q0 = qt[comp0[3]][0]
-    return width, height, (total * q0 + 1024 * blocks, 8 * blocks)
+    shift = (1 << (precision - 1)) * 8
+    num = total * q0 + shift * blocks
+    den = 8 * blocks
+    if precision != 8:
+        num *= 255
+        den *= (1 << precision) - 1
+    return width, height, (num, den)
 
 
 def _decode_dc_scan(
@@ -950,7 +960,9 @@ def _decode_dc_scan(
     return _skip_entropy(buf, reader.pos)
 
 
-def encode_jpeg_gray_blocks_progressive(values: list[int]) -> bytes:
+def encode_jpeg_gray_blocks_progressive(
+    values: list[int], precision: int = 8
+) -> bytes:
     """Deterministic PROGRESSIVE (SOF2) fixture encoder: the same
     8px-wide stacked-constant-block grayscale image as
     :func:`encode_jpeg_gray_blocks`, but coded as three progressive
@@ -958,25 +970,33 @@ def encode_jpeg_gray_blocks_progressive(values: list[int]) -> bytes:
     Al=0), and an AC band scan (Ss=1..63, all-EOB since constant
     blocks have no AC energy) so the skip path over AC entropy data is
     exercised. Valid per T.81 Annex G; decoded mean is exactly
-    mean(values)."""
+    mean(values) (byte-scaled for ``precision=12``, whose wider DC
+    categories ride the 0..16 lossless table)."""
     h = 8 * len(values)
-    dc_enc = _jpeg_huff_encode_table(*_JPEG_FIX_DC)
+    if precision == 8:
+        dc_tab = _JPEG_FIX_DC
+    elif precision == 12:
+        dc_tab = _JPEG_LL_DC
+    else:
+        raise ValueError("precision must be 8 or 12")
+    dc_enc = _jpeg_huff_encode_table(*dc_tab)
     ac_enc = _jpeg_huff_encode_table(*_JPEG_FIX_AC)
+    level = 1 << (precision - 1)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0]) + bytes([8] * 64))
-    out += seg(0xC2, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xC4, bytes([0 << 4]) + bytes(_JPEG_FIX_DC[0]) + bytes(_JPEG_FIX_DC[1]))
+    out += seg(0xC2, struct.pack(">BHHB", precision, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0 << 4]) + bytes(dc_tab[0]) + bytes(dc_tab[1]))
     out += seg(0xC4, bytes([1 << 4]) + bytes(_JPEG_FIX_AC[0]) + bytes(_JPEG_FIX_AC[1]))
     # scan 1: DC first pass, Ss=Se=0, Ah=0, Al=1 — codes DC >> 1
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
     w = _JpegBitWriter()
     pred = 0
     for v in values:
-        high = (int(v) - 128) >> 1  # arithmetic shift (T.81 G.1.2.1)
+        high = (int(v) - level) >> 1  # arithmetic shift (T.81 G.1.2.1)
         diff = high - pred
         pred = high
         s = abs(diff).bit_length()
@@ -989,7 +1009,7 @@ def encode_jpeg_gray_blocks_progressive(values: list[int]) -> bytes:
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
     w = _JpegBitWriter()
     for v in values:
-        w.put((int(v) - 128) & 1, 1)
+        w.put((int(v) - level) & 1, 1)
     w.pad()
     out += w.out
     # scan 3: AC band Ss=1..63, Ah=0, Al=0 — every block EOB(run=1).

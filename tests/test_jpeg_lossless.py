@@ -176,3 +176,28 @@ def test_twelve_bit_extended_sequential():
     i = bad.find(b"\xff\xc1")
     bad[i + 1] = 0xC0  # relabel SOF1 as SOF0
     assert _parse_jpeg_exact(bytes(bad)) is None
+
+
+def test_twelve_bit_progressive():
+    """SOF2 12-bit (r9): the progressive DC path carries the same
+    precision threading as sequential — exact 255/4095-scaled mean;
+    the 8-bit progressive path is unchanged."""
+    import random
+
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        decode_image,
+        encode_jpeg_gray_blocks_progressive,
+    )
+
+    assert decode_image(
+        encode_jpeg_gray_blocks_progressive([10, 200, 45])
+    ) == (8, 24, 85.0)
+
+    rng = random.Random(4)
+    for _ in range(15):
+        vals = [rng.randrange(4096) for _ in range(rng.randrange(1, 8))]
+        p = encode_jpeg_gray_blocks_progressive(vals, precision=12)
+        w, h, mean = decode_image(p)
+        want = (sum(vals) / len(vals)) * 255.0 / 4095.0
+        assert (w, h) == (8, 8 * len(vals))
+        assert abs(mean - want) < 1e-9
