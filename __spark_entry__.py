@@ -5008,8 +5008,7 @@ def _all_oracle_sql() -> dict[str, str]:
     # corrMatrix long form: one CTE of exact HUGEINT sums, six pair
     # rows via UNION ALL, identical IEEE covariance/correlation trees
     pair_sql = []
-    cm_cols = {"v": "v", "e": "e", "u": "u"}
-    cm_names = list(cm_cols)
+    cm_names = ["v", "e", "u"]
     for ii in range(3):
         for jj in range(ii, 3):
             xi, xj = cm_names[ii], cm_names[jj]
