@@ -2595,6 +2595,26 @@ def q_array_intersect(spark, sf_dir):
     return group_array_intersect(base, ["grp"], "w")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (datapipe/text.readability_features): the classic readability
+    quality signals as exact regexp/array counts (sentences, vowel-
+    group syllables with floor 1) and two fixed IEEE trees, rounded
+    to 4 — zero shuffle, zero UDF, the quality_features envelope."""
+    from carbon_clickhouse_spark.datapipe.text import (
+        readability_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_features(docs).select(
+        "doc_id",
+        "n_sentences",
+        "n_syllables",
+        "flesch_reading_ease",
+        "fk_grade",
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets(20)(t, value)`` per
     event type (operators/ch_aggregates.largest_triangle_three_buckets
@@ -2959,6 +2979,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded reps: dedup_exact / line_dedup (word-set passes);
         # adds groupArrayIntersect without arrays in agg state
         "array_intersect": q_array_intersect,
+        # graded rep: text_features (quality column pass); adds the
+        # Flesch / Flesch-Kincaid readability signals
+        "readability": q_readability,
         # graded rep: value_histogram (fixed bins); this is CH's
         # ADAPTIVE histogram with the merge loop replayed in SQL
         "histogram_adaptive": q_histogram_adaptive,
@@ -5172,6 +5195,39 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT tot.grp, COALESCE(s.iv, []) AS intersect_values
         FROM tot LEFT JOIN s ON s.grp = tot.grp
+    """
+    # Flesch / Flesch-Kincaid: exact regexp counts (sentence runs,
+    # vowel-group syllables floor 1), identical IEEE trees, round(4)
+    oracles["readability"] = r"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+            CAST(len(w) AS DOUBLE) AS nw,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS DOUBLE) AS ns,
+            list_sum(list_transform(w, x ->
+              greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')),
+                       1))) AS syl
+          FROM toks
+        )
+        SELECT doc_id,
+          CASE WHEN nw > 0 THEN CAST(ns AS BIGINT) END AS n_sentences,
+          CASE WHEN nw > 0 THEN CAST(syl AS BIGINT) END AS n_syllables,
+          CASE WHEN nw > 0
+               THEN round(206.835 - 1.015 * (nw / ns)
+                          - 84.6 * (CAST(syl AS DOUBLE) / nw), 4)
+          END AS flesch_reading_ease,
+          CASE WHEN nw > 0
+               THEN round(0.39 * (nw / ns)
+                          + 11.8 * (CAST(syl AS DOUBLE) / nw)
+                          - 15.59, 4)
+          END AS fk_grade
+        FROM m
     """
     # the LTTB pick loop replayed: one recursion step per middle
     # bucket (b = 18), carrying 1-based selected indices; integer

@@ -73,6 +73,58 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def readability_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document (the
+    classic readability quality signals — Flesch 1948 / Kincaid 1975
+    constants): sentences = runs of ``[.!?]``, words = whitespace
+    tokens, syllables = vowel-GROUP count per word ([aeiouy]+, floor
+    1 — the standard heuristic). All counts are exact integers from
+    regexp/array ops (JVM codegen, zero shuffle, zero UDF); the two
+    scores are fixed IEEE trees over them, rounded to 4 like every
+    text ratio here. Appends ``n_sentences, n_syllables,
+    flesch_reading_ease, fk_grade`` (word counts ride
+    :func:`quality_features`); empty documents score NULL rather
+    than dividing by zero."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("double")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("double")
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(w), F.lit(r"[aeiouy]+"), 0
+                )
+            ),
+            F.lit(1),
+        ).cast("long"),
+    )
+    wps = n_words / n_sent
+    spw = syl.cast("double") / n_words
+    fre = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    nonempty = F.size(toks) > 0
+    return df.select(
+        "*",
+        F.when(nonempty, n_sent.cast("long")).alias("n_sentences"),
+        F.when(nonempty, syl).alias("n_syllables"),
+        F.when(nonempty, F.round(fre, 4)).alias("flesch_reading_ease"),
+        F.when(nonempty, F.round(fk, 4)).alias("fk_grade"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-anchor language ID heuristic: score = distinct anchor
     hits per language; highest score wins, ties broken by language

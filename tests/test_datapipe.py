@@ -1479,3 +1479,40 @@ def test_lsh_params_calibration():
         assert 0.3 < prob < 0.75  # near the curve's midpoint
     with _pytest.raises(ValueError):
         lsh_params(8, 1.5)
+
+
+def test_readability_features(spark):
+    """Flesch/FK against a hand computation; empty and NULL texts
+    yield NULLs, never a zero division; plan stays UDF-free."""
+    from carbon_clickhouse_spark.datapipe.text import readability_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It was happy!"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability_features(df).collect()}
+    r1 = rows[1]
+    # sentences = 2, words = 6, syllables = 1+1+1+1+1+2 = 7
+    assert r1["n_sentences"] == 2 and r1["n_syllables"] == 7
+    wps, spw = 6 / 2, 7 / 6
+    assert r1["flesch_reading_ease"] == round(
+        206.835 - 1.015 * wps - 84.6 * spw, 4
+    )
+    assert r1["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+    for d in (2, 3, 4):
+        assert rows[d]["flesch_reading_ease"] is None
+        assert rows[d]["n_sentences"] is None
+
+    plan = (
+        readability_features(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan  # zero-shuffle column pass
