@@ -3033,7 +3033,11 @@ def _all_oracle_sql() -> dict[str, str]:
         f"x -> list_contains({s}, x)))"
     )
     lang_case = (
-        f"CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
+        # the NULL guard mirrors the Spark side's und-for-NULL-text:
+        # without it an all-NULL score row (text IS NULL) slides past
+        # every WHEN into the ELSE branch and reads as 'fr'
+        f"CASE WHEN greatest(s_de, s_en, s_es, s_fr) IS NULL "
+        f"OR greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
         f"WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
         f"WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
         f"WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "

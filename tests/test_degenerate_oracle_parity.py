@@ -150,3 +150,82 @@ def test_degenerate_parity(name, spark, degen_dir, degen_duck):
     assert len(sdf) == len(odf), (name, len(sdf), len(odf))
     assert list(sdf.columns) == list(odf.columns), name
     assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
+
+
+# ---- documents-table text family -----------------------------------
+
+DOC_QUERIES = [
+    "text_features",  # caught the und-vs-fr NULL-text oracle gap (r9)
+    "token_counts",
+    "readability",
+    "repetition_signals",
+    "line_dedup",
+    "paragraph_dedup",
+    "dedup_exact",
+    "chunk_docs",
+    "tfidf_top_terms",
+    "domain_filter",
+    "lm_perplexity",
+    "substr_dup_spans",
+]
+
+
+def _degenerate_documents() -> pd.DataFrame:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 11)),
+            "text": [
+                None,                           # NULL text
+                "",                             # empty
+                "   ",                          # whitespace only
+                "a",                            # single char
+                "word",                         # single token
+                "the the the the the",          # pure repetition
+                "x.y!z?",                       # punctuation soup
+                "café naïve résumé",  # accents
+                "line1\nline1\nline1",          # duplicate lines
+                "The quick brown fox jumps over the lazy dog. " * 3,
+            ],
+            "lang": ["en"] * 10,
+            "source": ["src1", "src2"] * 5,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].map(
+        lambda t: len(t) if t is not None else 0
+    )
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def degen_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen_docs")
+    _degenerate_documents().to_parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_docs_duck(degen_docs_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{degen_docs_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_degenerate_documents_parity(
+    name, spark, degen_docs_dir, degen_docs_duck
+):
+    import __spark_entry__ as entry
+
+    qs = {**entry.queries(), **entry.extra_queries()}
+    os_ = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+    sdf = _normalize(qs[name](spark, degen_docs_dir).toPandas())
+    odf = _normalize(degen_docs_duck.execute(os_[name]).fetchdf())
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert list(sdf.columns) == list(odf.columns), name
+    assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
