@@ -175,6 +175,14 @@ QVEC_SQL = """
   FROM embeddings
 """
 
+#: the ANN/cosine-scoring variant: zero-QUANTIZED-norm vectors are
+#: SKIPPED (cosine is undefined there; the Spark side filters them so
+#: a dead embedding cannot ANSI-kill a 100 TB job — r9)
+QVEC_NZ_SQL = f"""
+  SELECT vec_id, q FROM ({QVEC_SQL})
+  WHERE list_sum(list_transform(q, x -> x * x)) > 0
+"""
+
 _DOT = (
     "CAST(list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])) AS DOUBLE)"
 )
@@ -231,7 +239,7 @@ def _lsh_oracle_sql(
         for p in range(num_planes)
     )
     return f"""
-        WITH v AS ({QVEC_SQL}),
+        WITH v AS ({QVEC_NZ_SQL}),
         pl AS (SELECT * FROM (VALUES {rows}) AS t(tbl, p, pl)),
         proj AS (
           SELECT v.vec_id, pl.tbl,
@@ -314,7 +322,7 @@ def _ivf_oracle_sql(sf_dir: str | None = None) -> str | None:
         cand_assign AS (SELECT vec_id, j AS list_id FROM ranked_lists WHERE rn = 1),
         q_assign AS (SELECT vec_id, j AS list_id FROM ranked_lists
                      WHERE rn <= 4 AND vec_id < 5),
-        v AS ({QVEC_SQL}),
+        v AS ({QVEC_NZ_SQL}),
         qq AS (SELECT a.vec_id AS query_id, a.list_id, v.q AS qv
                FROM q_assign a JOIN v ON v.vec_id = a.vec_id),
         cc AS (SELECT a.vec_id AS neighbor_id, a.list_id, v.q AS cv
@@ -3606,7 +3614,7 @@ def _all_oracle_sql() -> dict[str, str]:
               AND bit_count(xor(a.simhash, b.simhash)) <= 6
         """,
         "ann_topk": f"""
-            WITH v AS ({QVEC_SQL}),
+            WITH v AS ({QVEC_NZ_SQL}),
             scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round({_dot_sql('q.q', 'c.q')}
@@ -3707,7 +3715,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM d GROUP BY label
         """,
         "knn_label_noise": f"""
-            WITH v AS ({QVEC_SQL}),
+            WITH v AS ({QVEC_NZ_SQL}),
             scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round({_dot_sql('q.q', 'c.q')}

@@ -36,6 +36,18 @@ def _norm_int(a):
     return F.sqrt(_dot_int(a, a).cast("double"))
 
 
+def _drop_zero_vectors(df, vcol: str):
+    """Cosine against a zero-magnitude vector is undefined — and
+    under ANSI mode the norm division is a QUERY-KILLING error, so a
+    single dead embedding (failed embedder, empty doc) would take a
+    100 TB job down with it. Vectors whose QUANTIZED norm is zero
+    (exact zero, or below the engine's 1/scale resolution — no
+    direction either way) are skipped like every other NULL-ish
+    input in this module; found by the r9 degenerate-embeddings
+    probe."""
+    return df.filter(_dot_int(F.col(vcol), F.col(vcol)) > 0)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -49,11 +61,19 @@ def brute_force_topk(
     -> (query_id, neighbor_id, cosine, rank); self-matches excluded;
     ties broken by neighbor id (deterministic).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), quantize_scale).alias("qv")
+    q = _drop_zero_vectors(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col), quantize_scale).alias("qv"),
+        ),
+        "qv",
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), quantize_scale).alias("cv")
+    c = _drop_zero_vectors(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col), quantize_scale).alias("cv"),
+        ),
+        "cv",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -287,11 +307,19 @@ def ivf_topk(
     cand = _assign_lists(embeddings, centroids, 1, id_col, vec_col)
     q = _assign_lists(queries, centroids, n_probe, id_col, vec_col)
 
-    qq = q.select(
-        F.col("id").alias("query_id"), "list_id", quantize(F.col("v")).alias("qv")
+    qq = _drop_zero_vectors(
+        q.select(
+            F.col("id").alias("query_id"), "list_id",
+            quantize(F.col("v")).alias("qv"),
+        ),
+        "qv",
     )
-    cc = cand.select(
-        F.col("id").alias("neighbor_id"), "list_id", quantize(F.col("v")).alias("cv")
+    cc = _drop_zero_vectors(
+        cand.select(
+            F.col("id").alias("neighbor_id"), "list_id",
+            quantize(F.col("v")).alias("cv"),
+        ),
+        "cv",
     )
     scored = (
         qq.join(cc, "list_id")
@@ -447,9 +475,12 @@ def lsh_bucketed_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    v = embeddings.select(
-        F.col(id_col).alias("id"),
-        quantize(F.col(vec_col)).alias("v"),
+    v = _drop_zero_vectors(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            quantize(F.col(vec_col)).alias("v"),
+        ),
+        "v",
     )
     if num_planes is None:
         n = n_rows if n_rows is not None else v.count()

@@ -229,3 +229,94 @@ def test_degenerate_documents_parity(
     assert len(sdf) == len(odf), (name, len(sdf), len(odf))
     assert list(sdf.columns) == list(odf.columns), name
     assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
+
+
+# ---- embeddings-table ANN family -----------------------------------
+
+EMB_QUERIES = [
+    # the first four ANSI-crashed on a zero-magnitude vector before
+    # the r9 _drop_zero_vectors guard (cosine undefined -> skip)
+    "ann_topk",
+    "ann_ivf",
+    "ann_lsh_pairs",
+    "knn_label_noise",
+    "cosine_pairs",
+    "embedding_covariance",
+    "embedding_outliers",
+    "embedding_stats",
+    "cluster_curation",
+]
+
+
+def _degenerate_embeddings() -> pd.DataFrame:
+    import random
+
+    import numpy as np
+
+    rng = random.Random(5)
+    d = 64
+    v1 = [round(rng.uniform(-0.3, 0.3), 4) for _ in range(d)]
+    rows = [
+        (0, [0.0] * d, 0),            # zero vector: no direction
+        (1, v1, 1),
+        (2, list(v1), 1),             # exact duplicate
+        (3, [x + 0.0001 for x in v1], 0),  # near-duplicate
+    ]
+    for i in range(4, 20):
+        rows.append(
+            (
+                i,
+                [round(rng.uniform(-0.3, 0.3), 4) for _ in range(d)],
+                i % 3,
+            )
+        )
+    return pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [
+                np.array(r[1], dtype=np.float32) for r in rows
+            ],
+            "label": [r[2] for r in rows],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def degen_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen_emb")
+    _degenerate_embeddings().to_parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_emb_duck(degen_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{degen_emb_dir}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_degenerate_embeddings_parity(
+    name, spark, degen_emb_dir, degen_emb_duck, monkeypatch
+):
+    import __spark_entry__ as entry
+
+    # the ivf oracle trains its quantizer from the oracle-side parquet
+    # (shared model state, like a hyperparameter) — point it at the
+    # SAME degenerate table the Spark side reads
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", degen_emb_dir)
+    qs = {**entry.queries(), **entry.extra_queries()}
+    os_ = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+    if name not in os_:
+        pytest.skip(f"{name}: rows-only oracle in this environment")
+    sdf = _normalize(qs[name](spark, degen_emb_dir).toPandas())
+    odf = _normalize(degen_emb_duck.execute(os_[name]).fetchdf())
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert list(sdf.columns) == list(odf.columns), name
+    assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
