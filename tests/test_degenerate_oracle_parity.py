@@ -1,14 +1,24 @@
 """Degenerate-shape oracle parity (the r8 ADVICE #1 class, closed
-PROACTIVELY for every statistics query): the driver's gate only ever
-sees the generated fixtures, so a Spark-side nan guard whose DuckDB
-oracle lacks the mirror (or vice versa) stays invisible until a
-fixture change breaks the gate. This test runs each statistics
-query AND its oracle over a HAND-BUILT events table full of
-degenerate groups — size-1, zero-variance, single-sample-class,
-single-timestamp, single-x-class — and requires the same
-rows/columns/values (nan == nan), exactly like the driver compare.
-If a future operator gains a guard, this fails until the oracle
-mirrors it, independent of what the driver's fixtures contain."""
+PROACTIVELY across the registry): the driver's gate only ever sees
+the generated fixtures, so a Spark-side guard whose DuckDB oracle
+lacks the mirror (or vice versa) stays invisible until a fixture
+change breaks the gate. This suite runs 75 of the registered
+queries AND their oracles over HAND-BUILT degenerate tables —
+
+* events: size-1 / zero-variance / single-sample-class /
+  single-timestamp / single-x-class groups (statistics + the whole
+  graphite four-table family over lines synthesized from them);
+* documents: NULL / empty / whitespace / accented / pure-repetition
+  texts (the text family — this sweep CAUGHT the und-vs-fr
+  NULL-text language oracle gap);
+* embeddings: zero-magnitude / duplicate / near-duplicate vectors
+  (the ANN family — this sweep CAUGHT the zero-vector ANSI
+  divide-by-zero crash)
+
+— and requires identical rows/columns/values (nan == nan), exactly
+like the driver compare. Any future guard added on one side fails
+here until the other side mirrors it, independent of what the
+driver's fixtures contain."""
 
 import datetime
 import math
@@ -54,6 +64,30 @@ QUERIES = [
     "sessionization",
     "window_funnel_strict",
     "sequence_match_bounds",
+    # the graphite four-table/query family over the same degenerate
+    # events (lines synthesized from them) — locked in after the r9
+    # probe found zero divergences
+    "points_ingest",
+    "points_reverse",
+    "index_table",
+    "tagged_table",
+    "tree_series",
+    "series_dedup",
+    "rollup_all",
+    "read_series",
+    "find_metrics_all",
+    "find_tagged_all",
+    "render_recursive",
+    "asof_align",
+    "window_funnel",
+    "retention",
+    "sequence_count",
+    "drop_rules",
+    "ignored_patterns",
+    "template_tagging",
+    "grouping_sets",
+    "sequence_match",
+    "sequence_next_node",
 ]
 
 
