@@ -2,7 +2,7 @@
 PROACTIVELY across the registry): the driver's gate only ever sees
 the generated fixtures, so a Spark-side guard whose DuckDB oracle
 lacks the mirror (or vice versa) stays invisible until a fixture
-change breaks the gate. This suite runs 75 of the registered
+change breaks the gate. This suite runs 77 of the registered
 queries AND their oracles over HAND-BUILT degenerate tables —
 
 * events: size-1 / zero-variance / single-sample-class /
@@ -13,7 +13,9 @@ queries AND their oracles over HAND-BUILT degenerate tables —
   NULL-text language oracle gap);
 * embeddings: zero-magnitude / duplicate / near-duplicate vectors
   (the ANN family — this sweep CAUGHT the zero-vector ANSI
-  divide-by-zero crash)
+  divide-by-zero crash);
+* TPC-H: zero quantities, a 100% discount, orders with no
+  lineitems, customers with no orders
 
 — and requires identical rows/columns/values (nan == nan), exactly
 like the driver compare. Any future guard added on one side fails
@@ -351,6 +353,84 @@ def test_degenerate_embeddings_parity(
         pytest.skip(f"{name}: rows-only oracle in this environment")
     sdf = _normalize(qs[name](spark, degen_emb_dir).toPandas())
     odf = _normalize(degen_emb_duck.execute(os_[name]).fetchdf())
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert list(sdf.columns) == list(odf.columns), name
+    assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
+
+
+# ---- TPC-H business family -----------------------------------------
+
+
+def _degenerate_tpch(d: str) -> None:
+    """Zero quantities/prices, a 100% discount, an order with no
+    lineitems, a customer with no orders, a negative balance — the
+    join/aggregate edges standard SQL fixtures never contain."""
+    D = datetime.date
+    pd.DataFrame(
+        [
+            (1, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "A", "F", D(1994, 1, 1)),
+            (1, 2, 1, 2, 5.0, 100.0, 1.0, 0.1, "A", "F", D(1994, 2, 1)),
+            (2, 1, 1, 1, 3.0, 50.0, 0.05, 0.0, "N", "O", D(1995, 6, 1)),
+            (3, 1, 1, 1, 7.0, 70.0, 0.0, 0.08, "R", "F", D(1993, 12, 31)),
+        ],
+        columns=(
+            "l_orderkey l_partkey l_suppkey l_linenumber l_quantity "
+            "l_extendedprice l_discount l_tax l_returnflag "
+            "l_linestatus l_shipdate"
+        ).split(),
+    ).to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame(
+        [
+            (1, 10, "F", 100.0, D(1994, 1, 1), "1-URGENT"),
+            (2, 10, "O", 50.0, D(1995, 5, 1), "2-HIGH"),
+            (3, 11, "F", 70.0, D(1993, 12, 1), "3-MEDIUM"),
+            (4, 12, "F", 999.0, D(1994, 3, 1), "1-URGENT"),
+        ],
+        columns=(
+            "o_orderkey o_custkey o_orderstatus o_totalprice "
+            "o_orderdate o_orderpriority"
+        ).split(),
+    ).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame(
+        [
+            (10, "Customer#10", 1, 0.0, "BUILDING"),
+            (11, "Customer#11", 2, -5.5, "AUTOMOBILE"),
+            (12, "Customer#12", 1, 10.0, "BUILDING"),
+            (13, "Customer#13", 3, 1.0, "MACHINERY"),
+        ],
+        columns="c_custkey c_name c_nationkey c_acctbal c_mktsegment".split(),
+    ).to_parquet(os.path.join(d, "customer.parquet"))
+
+
+@pytest.fixture(scope="module")
+def degen_tpch_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("degen_tpch"))
+    _degenerate_tpch(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def degen_tpch_duck(degen_tpch_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degen_tpch_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "top_revenue_orders"])
+def test_degenerate_tpch_parity(
+    name, spark, degen_tpch_dir, degen_tpch_duck
+):
+    import __spark_entry__ as entry
+
+    qs = {**entry.queries(), **entry.extra_queries()}
+    os_ = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+    sdf = _normalize(qs[name](spark, degen_tpch_dir).toPandas())
+    odf = _normalize(degen_tpch_duck.execute(os_[name]).fetchdf())
     assert len(sdf) == len(odf), (name, len(sdf), len(odf))
     assert list(sdf.columns) == list(odf.columns), name
     assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
