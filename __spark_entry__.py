@@ -4513,6 +4513,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  CAST(event_id % 100 AS HUGEINT) AS y
           FROM events
           WHERE value IS NOT NULL AND NOT isnan(value)
+            AND event_id IS NOT NULL
         ),
         s AS (
           SELECT event_type,
@@ -4741,6 +4742,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  event_id % 100 AS y
           FROM events
           WHERE value IS NOT NULL AND NOT isnan(value)
+            AND event_id IS NOT NULL
         ),
         r AS (
           SELECT event_type,
@@ -5967,4 +5969,119 @@ def _all_oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle_sql()
     if ivf:
         oracles["ann_ivf"] = ivf
-    return oracles
+    return {k: _correctly_rounded_doubles(v) for k, v in oracles.items()}
+
+
+def _correctly_rounded_doubles(sql: str) -> str:
+    """Route exact-aggregate -> DOUBLE casts through VARCHAR.
+
+    DuckDB's HUGEINT/DECIMAL -> DOUBLE cast double-rounds through the
+    128-bit halves: ``CAST(90106209094436838900 AS HUGEINT)::DOUBLE``
+    yields 0x441389e63f12abec where the IEEE-correct result (Python
+    int->float, Spark DECIMAL(38,0)->double via BigDecimal) is
+    0x...eb — a ~5% per-value misrounding rate on >2^63 sums that the
+    cancellation-heavy statistics finals (n*sxx - sx*sx) amplify into
+    visible divergence (found by the degenerate-fixture gate on
+    linear_regression's 31-row group). The VARCHAR route — exact
+    decimal string -> strtod — IS correctly rounded (0/401 in the
+    sweep), and DOUBLE -> VARCHAR -> DOUBLE is the identity
+    (shortest-round-trip printing, verified incl. nan/inf), so the
+    rewrite is semantics-preserving on any input type and makes both
+    engines' exact-sum conversions bit-identical.
+
+    Mechanically rewrites ``CAST(<expr> AS DOUBLE)`` where ``<expr>``
+    is an aggregate call (sum/count head) or a bare reference to an
+    alias the SAME sql string defines as a sum/count aggregate (the
+    CTE-materialized HUGEINT sums of corr_matrix et al.). Other bare
+    identifiers stay untouched: a FLOAT column's shortest-roundtrip
+    string parses to a DIFFERENT double than exact float32 widening
+    (0.1f -> "0.1" -> 0.1d != 0.10000000149d), so blanket rewriting
+    would corrupt the embedding quantizers. Computed-double casts
+    like ``CAST('nan' AS DOUBLE)`` stay untouched too."""
+    import re
+
+    out: list[str] = []
+    i, n = 0, len(sql)
+    bare = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    agg_aliases = set(_agg_alias_names(sql))
+    while i < n:
+        j = sql.find("CAST(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth, k = 0, j + 4
+        while k < n:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[j + 5 : k]
+        # last top-level " AS " splits expr from the target type
+        d2, aspos = 0, -1
+        for m in range(len(inner) - 3):
+            c = inner[m]
+            if c == "(":
+                d2 += 1
+            elif c == ")":
+                d2 -= 1
+            elif d2 == 0 and inner[m : m + 4] == " AS ":
+                aspos = m
+        if aspos >= 0:
+            expr, typ = inner[:aspos].strip(), inner[aspos + 4 :].strip()
+            low = expr.lower()
+            if typ.upper() == "DOUBLE" and (
+                low.startswith("sum(")
+                or low.startswith("count(")
+                or (bare.match(expr) and expr in agg_aliases)
+            ):
+                out.append(
+                    f"CAST(CAST({_correctly_rounded_doubles(expr)}"
+                    f" AS VARCHAR) AS DOUBLE)"
+                )
+                i = k + 1
+                continue
+        out.append("CAST(")
+        i = j + 5
+    return "".join(out)
+
+
+def _agg_alias_names(sql: str):
+    """Alias names the sql defines as ``sum(...)``/``count(...)``
+    aggregates (optionally windowed): these are exact HUGEINT/BIGINT
+    quantities whose -> DOUBLE cast must be correctly rounded. Only
+    such aliases are eligible for the bare-identifier rewrite in
+    :func:`_correctly_rounded_doubles`."""
+    import re
+
+    low = sql.lower()
+    for m in re.finditer(r"\b(sum|count)\s*\(", low):
+        # balanced close of the call
+        depth, k = 0, m.end() - 1
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        rest = sql[k + 1 :]
+        w = re.match(r"\s*OVER\s*\(", rest, re.IGNORECASE)
+        if w:
+            depth, k2 = 0, w.end() - 1
+            while k2 < len(rest):
+                if rest[k2] == "(":
+                    depth += 1
+                elif rest[k2] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k2 += 1
+            rest = rest[k2 + 1 :]
+        a = re.match(r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)", rest, re.IGNORECASE)
+        if a:
+            yield a.group(1)

@@ -330,8 +330,13 @@ def main() -> None:
     if _meter_drifted(
         stream_pps,
         [
+            # a recorded round with a zero/negative ingest meter
+            # (corrupt or failed run) must not ZeroDivisionError the
+            # whole bench — _meter_drifted itself only uses rn/cn > 0
+            # tuples, so skipping them here changes nothing else
             (r["streaming"], 1.0 / r["ingest"], 1.0 / pps)
             for r in rounds
+            if r.get("ingest") and r["ingest"] > 0 and pps > 0
         ],
     ):
         meter_rerun["streaming"] = True

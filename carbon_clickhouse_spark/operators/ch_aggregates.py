@@ -607,8 +607,13 @@ def group_array_intersect(
     Scale shape: never collects arrays into aggregation state —
     elements explode DISTINCT-per-row, one (group, element) count
     pass, and an element survives iff it appeared in EVERY row
-    (count == group row count, a broadcast-size per-group join).
-    Two bounded-key shuffles, rows never re-read."""
+    (count == group row count). The totals side is two ints per
+    group — tiny for any realistic group-key cardinality — but its
+    size is bounded by GROUP cardinality, not contingency size, so
+    the survivor join carries no explicit broadcast hint: AQE
+    broadcasts it when the runtime size fits and falls back to a
+    shuffle join past the ceiling instead of blowing the driver at
+    10^8+ groups. Two bounded-key shuffles, rows never re-read."""
     gcols = list(group_cols)
     arr = F.col(array_col)
     base = df.filter(arr.isNotNull()).select(
@@ -620,7 +625,7 @@ def group_array_intersect(
     elems = base.select(
         *gcols, F.explode("__a").alias("__e")
     ).groupBy(*gcols, "__e").agg(F.count(F.lit(1)).alias("__c"))
-    survivors = elems.join(F.broadcast(totals), gcols).filter(
+    survivors = elems.join(totals, gcols).filter(
         F.col("__c") == F.col("__rows")
     )
     got = survivors.groupBy(*gcols).agg(
@@ -2628,7 +2633,11 @@ def variance_family(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
     )
     if y_col is not None:
-        base = base.filter(F.col(y_col).isNotNull())
+        # NaN y would ANSI-kill the straight-to-DECIMAL cast below,
+        # the same failure class as zero-magnitude embeddings —
+        # filter it exactly like value_col (CH skips the pair too)
+        yd = F.col(y_col).cast("double")
+        base = base.filter(yd.isNotNull() & ~F.isnan(yd))
     q = (
         F.round(F.col(value_col).cast("double") * scale)
         .cast("long")

@@ -122,6 +122,19 @@ def _degenerate_events() -> pd.DataFrame:
     add("onetype_user", 6, user=4)       # single y class for contingency
     add("normal", 30, vstep=0.3)         # sanity: a regular group
     pdf = pd.DataFrame(rows)
+    # a NULL event_id row (r9 advice): operators deriving y from
+    # event_id (rank_corr, variance_family, corr_matrix, ...) must
+    # drop the pair on BOTH engines, or the oracle sees one row more
+    pdf.loc[len(pdf)] = {
+        "event_id": None,
+        "ts": pd.Timestamp(t0 + datetime.timedelta(seconds=30)),
+        "user_id": 9,
+        "event_type": "normal",
+        "value": 55.5,
+        "props": "{}",
+    }
+    pdf["event_id"] = pdf["event_id"].astype("Int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
     # force a MICROSECOND timestamp column (matching the driver
     # fixtures): pandas' default ns precision lands in Spark 4 as a
     # plain long and breaks date_format
