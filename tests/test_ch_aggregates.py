@@ -1706,3 +1706,29 @@ def test_group_array_intersect(spark):
     # stages of the same aggregate) — never over the raw arrays
     assert "collect_list(__e" in plan
     assert "collect_list(__a" not in plan
+
+
+def test_group_array_intersect_no_broadcast_fallback(spark):
+    """The per-group totals join carries NO broadcast hint (r9
+    advice: totals size is bounded by GROUP cardinality, so an
+    unconditional hint can blow the driver at 10^8+ groups). Under a
+    disabled broadcast ceiling the survivor join must plan as a
+    shuffle join and still produce identical results."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_intersect,
+    )
+
+    df = spark.createDataFrame(
+        [("g", [1, 2, 3]), ("g", [2, 3, 4]), ("h", [5]), ("h", [5, 6])],
+        "g string, a array<int>",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = group_array_intersect(df, ["g"], "a")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        out = {r["g"]: r["intersect_values"] for r in q.collect()}
+        assert out == {"g": [2, 3], "h": [5]}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
