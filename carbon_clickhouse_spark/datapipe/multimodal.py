@@ -1878,12 +1878,14 @@ def _decode_lossless_scan(
     default = 1 << (precision - pt - 1)
     pred_fn = _LL_PREDICT[predictor]
     fresh = True  # scan start / just after a restart marker
+    first_line = 0  # row where the current restart interval began
     for m in range(width * height):
         if restart_interval and m and m % restart_interval == 0:
             marker = reader.sync_marker()
             if marker is None or not 0xD0 <= marker <= 0xD7:
                 return None
             fresh = True
+            first_line = m // width
         y, x = divmod(m, width)
         for cid, tab in scan_tabs:
             s = reader.huff(tab)
@@ -1901,8 +1903,13 @@ def _decode_lossless_scan(
             g = grids[cid]
             if fresh:
                 px = default
-            elif y == 0:
-                px = g[0][x - 1]
+            elif y == first_line:
+                # T.81 H.1.1: the FIRST LINE of the scan AND of each
+                # restart interval predicts one-dimensionally with Ra
+                # — not just the single sample after the RST marker
+                # (conformant DRI streams from DICOM/DNG encoders
+                # depend on this; r9 advice)
+                px = g[y][x - 1]
             elif x == 0:
                 px = g[y - 1][0]
             else:
@@ -2072,6 +2079,7 @@ def encode_jpeg_lossless(
     pred_fn = _LL_PREDICT[predictor]
     fresh = True
     rst = 0
+    first_line = 0
     for m in range(w * h):
         if restart_interval and m and m % restart_interval == 0:
             wtr.pad()
@@ -2080,12 +2088,15 @@ def encode_jpeg_lossless(
             rst += 1
             wtr = _JpegBitWriter()
             fresh = True
+            first_line = m // w
         y, x = divmod(m, w)
         for g in coded:
             if fresh:
                 px = default
-            elif y == 0:
-                px = g[0][x - 1]
+            elif y == first_line:
+                # H.1.1: 1-D Ra prediction for the first line of the
+                # scan and of each restart interval (mirrors decoder)
+                px = g[y][x - 1]
             elif x == 0:
                 px = g[y - 1][0]
             else:

@@ -78,6 +78,87 @@ def test_encoder_matches_hand_derivation_bit_for_bit():
     assert encode_jpeg_lossless([samples], predictor=1) == payload
 
 
+def _golden_dri_stream() -> tuple[bytes, list[list[int]]]:
+    """3x4 grayscale, P=8, predictor 4 (Ra+Rb-Rc), Pt 0, DRI = 6 —
+    worked by hand from T.81 H.1.1, which requires 1-D (Ra)
+    prediction for the ENTIRE first line of each restart interval,
+    not just the single sample after the RST marker (r9 advice; the
+    DICOM/DNG-common conformant-encoder shape):
+
+    interval 1 (rows 0-1, first_line = 0):
+      (0,0) default 128, diff -28 -> cat5 + 00011
+      (0,1) first line Ra=100, diff +2 -> cat2 + 10
+      (0,2) Ra=102, diff +2 -> cat2 + 10
+      (1,0) column 0 Rb=100, diff +10 -> cat4 + 1010
+      (1,1) P4 = 110+102-100 = 112, diff -1 -> cat1 + 0
+      (1,2) P4 = 111+104-102 = 113, diff -1 -> cat1 + 0
+    RST0, interval 2 (rows 2-3, first_line = 2):
+      (2,0) default 128, diff -8 -> cat4 + 0111
+      (2,1) FIRST LINE OF INTERVAL -> Ra=120, diff +1 -> cat1 + 1
+            (the old rule would predict P4 = 120+111-110 = 121,
+            diff 0 -> cat0: a pre-fix decoder reconstructs 122 here
+            and drifts to mean 116.75)
+      (2,2) Ra=121, diff +1 -> cat1 + 1
+      (3,0) column 0 Rb=120, diff +10 -> cat4 + 1010
+      (3,1) P4 = 130+121-120 = 131, diff 0 -> cat0
+      (3,2) P4 = 131+122-121 = 132, diff 0 -> cat0
+    """
+    samples = [
+        [100, 102, 104],
+        [110, 111, 112],
+        [120, 121, 122],
+        [130, 131, 132],
+    ]
+    out = bytearray(b"\xff\xd8")
+    bits = [0, 0, 0, 0, 17] + [0] * 11
+    body = bytes([0]) + bytes(bits) + bytes(range(17))
+    out += bytes([0xFF, 0xC4]) + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, 4, 3, 1) + bytes([1, 0x11, 0])
+    out += bytes([0xFF, 0xC3]) + struct.pack(">H", len(sof) + 2) + sof
+    out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, 6)
+    scan = bytes([1, 1, 0x00, 4, 0, 0])  # Ns=1; comp 1; pred 4, Pt 0
+    out += bytes([0xFF, 0xDA]) + struct.pack(">H", len(scan) + 2) + scan
+    out += _bits_to_bytes(
+        "00101 00011"
+        "00010 10"
+        "00010 10"
+        "00100 1010"
+        "00001 0"
+        "00001 0"
+    )
+    out += bytes([0xFF, 0xD0])
+    out += _bits_to_bytes(
+        "00100 0111"
+        "00001 1"
+        "00001 1"
+        "00100 1010"
+        "00000"
+        "00000"
+    )
+    out += b"\xff\xd9"
+    return bytes(out), samples
+
+
+def test_golden_dri_stream_restart_first_line_is_1d():
+    """Conformant externally-authored DRI stream (hand-encoded from
+    H.1.1) decodes exactly; discriminates the restart first-line rule."""
+    payload, samples = _golden_dri_stream()
+    got = _parse_jpeg_lossless(payload)
+    assert got is not None
+    w, h, mean = got
+    want_mean = sum(sum(r) for r in samples) / 12
+    assert (w, h) == (3, 4)
+    assert abs(mean - want_mean) < 1e-12  # 116.25; old rule: 116.75
+
+
+def test_encoder_matches_dri_hand_derivation_bit_for_bit():
+    payload, samples = _golden_dri_stream()
+    assert (
+        encode_jpeg_lossless([samples], predictor=4, restart_interval=6)
+        == payload
+    )
+
+
 def test_roundtrip_property_all_predictors():
     rng = random.Random(11)
     for trial in range(40):
