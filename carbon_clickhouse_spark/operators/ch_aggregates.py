@@ -1680,6 +1680,7 @@ def rank_corr(
     group_cols: Sequence[str],
     x_col: str,
     y_col: str,
+    via_cells: bool = False,
 ) -> DataFrame:
     """ClickHouse ``rankCorr(x, y)`` per group: Spearman's rank
     correlation with midrank (average-rank) ties — Pearson over the
@@ -1701,12 +1702,25 @@ def rank_corr(
 
     Plan: ONE Exchange on the group key serves both rank windows
     (same partitioning, two sort orders) and the final partial agg —
-    no joins, no per-group collect. Reference parity:
+    no joins, no per-group collect. The window sort is O(n log n)
+    per group (2.9x at 10x data in the SCALING spot-check) — for
+    high-cardinality groups pass ``via_cells=True`` to route through
+    :func:`rank_corr_cells` + :func:`rank_corr_finals` instead:
+    state collapses to the DISTINCT (x, y) joint-value table (the
+    streaming twin's mergeable summary), midranks derive from the
+    marginals, and the identical DECIMAL sums feed the identical
+    IEEE tree, so both forms are BIT-identical (pinned by
+    test_rank_corr_via_cells_bitwise) — the flat-shape escape hatch
+    when rows >> distinct values. Reference parity:
     ClickHouse ``rankCorr`` (AggregateFunctionRankCorrelation);
     carbon-clickhouse itself has no query layer (README: queries are
     issued to ClickHouse), so the CH aggregate surface is the
     contract, as for the rest of this module."""
     gcols = list(group_cols)
+    if via_cells:
+        return rank_corr_finals(
+            rank_corr_cells(df, gcols, x_col, y_col), gcols
+        )
     x, y = F.col(x_col), F.col(y_col)
     base = df.filter(
         x.isNotNull() & ~F.isnan(x.cast("double"))

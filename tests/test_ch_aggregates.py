@@ -1045,6 +1045,43 @@ def test_rank_corr_partition_independent(spark):
     assert a == b  # bit-for-bit, not approx
 
 
+def test_rank_corr_via_cells_bitwise(spark):
+    """The distinct-value-bounded form (via_cells=True: joint-cell
+    counts -> marginal midranks -> cell-weighted sums) must finalize
+    BIT-identically to the window-sort form — same DECIMAL sums, same
+    IEEE tree — including tie-heavy, constant (nan), and n=1 groups.
+    This is the high-cardinality routing (r9 verdict #3): state is
+    bounded by DISTINCT (x, y) pairs instead of an O(n log n)
+    per-group sort."""
+    import math
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import rank_corr
+
+    rng = random.Random(31)
+    rows = [
+        ("g%d" % (i % 4), float(rng.randrange(0, 12)), float(rng.randrange(0, 5)))
+        for i in range(500)
+    ]
+    rows += [("const", 3.0, float(i % 3)) for i in range(8)]  # vx = 0
+    rows += [("solo", 1.5, 2.5)]  # n = 1
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = {
+        r["g"]: r["rank_corr"]
+        for r in rank_corr(df, ["g"], "x", "y").collect()
+    }
+    b = {
+        r["g"]: r["rank_corr"]
+        for r in rank_corr(df, ["g"], "x", "y", via_cells=True).collect()
+    }
+    assert set(a) == set(b)
+    for g in a:
+        if isinstance(a[g], float) and math.isnan(a[g]):
+            assert math.isnan(b[g]), g
+        else:
+            assert a[g] == b[g], g  # bit-for-bit, not approx
+
+
 def test_theils_u_ch_documented_example(spark):
     """The ClickHouse docs' own worked example:
     theilsU(a, b) over (number % 10, number % 4) x 150 rows =
