@@ -1977,12 +1977,34 @@ def corr_matrix(
     scale-free. Zero-variance columns yield nan correlations."""
     gcols = list(group_cols)
     vcols = list(value_cols)
-    if len(vcols) < 2:
-        raise ValueError("corr_matrix needs at least two columns")
+    agg = (
+        df.filter(corr_matrix_filter(vcols))
+        .groupBy(*gcols)
+        .agg(*corr_matrix_aggs(vcols, scale))
+    )
+    return corr_matrix_finals(agg, gcols, vcols)
+
+
+def corr_matrix_filter(value_cols: Sequence[str]):
+    """Row predicate shared by :func:`corr_matrix` and the streaming
+    twin: rows with NULL/NaN in ANY column drop (one population for
+    every pair)."""
     cond = None
-    for c in vcols:
+    for c in value_cols:
         cc = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
         cond = cc if cond is None else (cond & cc)
+    return cond
+
+
+def corr_matrix_aggs(value_cols: Sequence[str], scale: int = 1000):
+    """The mergeable aggregate expressions (count + per-column sums +
+    n(n+1)/2 cross sums, all DECIMAL(38,0)) shared by
+    :func:`corr_matrix` and :func:`..streaming.moments.
+    streaming_corr_matrix` — the bit-for-bit replay-parity contract
+    lives on both twins quantizing and summing identically."""
+    vcols = list(value_cols)
+    if len(vcols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
     qs = {
         c: F.round(F.col(c).cast("double") * scale)
         .cast("long")
@@ -1998,7 +2020,21 @@ def corr_matrix(
             aggs.append(
                 F.sum(qs[vcols[i]] * qs[vcols[j]]).alias(f"__x{i}_{j}")
             )
-    agg = df.filter(cond).groupBy(*gcols).agg(*aggs)
+    return aggs
+
+
+def corr_matrix_finals(
+    agg: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    keep_n: bool = False,
+) -> DataFrame:
+    """Long-form pair rows from a :func:`corr_matrix_aggs` summary —
+    the fixed IEEE finishing tree both twins share verbatim.
+    ``keep_n`` adds the running row count as ``n_rows`` (the
+    streaming twin's monotone version stamp)."""
+    gcols = list(group_cols)
+    vcols = list(value_cols)
     n = F.col("__n").cast("double")
     nan = F.lit(float("nan"))
 
@@ -2029,11 +2065,13 @@ def corr_matrix(
         for i in range(len(vcols))
         for j in range(i, len(vcols))
     ]
+    head = [F.col("__n").alias("n_rows")] if keep_n else []
     exploded = agg.select(
-        *gcols, F.explode(F.array(*pairs)).alias("__p")
+        *gcols, *head, F.explode(F.array(*pairs)).alias("__p")
     )
     return exploded.select(
         *gcols,
+        *([F.col("n_rows")] if keep_n else []),
         F.col("__p.x_name").alias("x_name"),
         F.col("__p.y_name").alias("y_name"),
         F.col("__p.covar_pop").alias("covar_pop"),
@@ -2575,7 +2613,22 @@ def exponential_time_decayed(
     exact decimal folds, and the max picks among quantized terms so
     both engines agree even when two raw terms differ in the last
     ulp. One Exchange: the t_max window and the partial agg share
-    the group-key partitioning."""
+    the group-key partitioning.
+
+    STREAMING ANCHOR CONTRACT (pinned, r9 verdict #4): this family
+    has NO incremental streaming twin by design. The decayed terms
+    are anchored to the group's GLOBAL t_max; a later batch raising
+    t_max retroactively rescales every previously accumulated term
+    by ``e^((old_max - new_max)/x)``, and applying that correction to
+    the stored DECIMAL(28,12) sums would compound quantization error
+    batch by batch — the stored state would no longer equal the batch
+    operator on the same data. The supported streaming form is
+    SNAPSHOT-RECOMPUTE: run this batch operator over the data seen so
+    far (e.g. per micro-batch via foreachBatch on the accumulated
+    table); each snapshot is then bit-identical to a batch run at
+    that moment by construction. Contrast streaming_corr_matrix /
+    streaming_stat_moments, whose power sums are anchor-free and
+    fold incrementally."""
     if decay <= 0:
         raise ValueError("decay must be positive")
     gcols = list(group_cols)

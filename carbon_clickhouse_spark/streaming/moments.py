@@ -25,7 +25,13 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.ch_aggregates import stat_moment_aggs, stat_moment_finals
+from ..operators.ch_aggregates import (
+    corr_matrix_aggs,
+    corr_matrix_filter,
+    corr_matrix_finals,
+    stat_moment_aggs,
+    stat_moment_finals,
+)
 
 
 def streaming_stat_moments(
@@ -59,3 +65,40 @@ def streaming_stat_moments(
         F.col("__n").alias("n_rows"),
         *stat_moment_finals(y_col is not None),
     )
+
+
+def streaming_corr_matrix(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+    scale: int = 1000,
+) -> DataFrame:
+    """Update-mode running ``corrMatrix`` / ``covarPopMatrix`` in
+    long form — one row per unordered column pair per group, plus
+    ``n_rows`` as the monotone version stamp. The matrix aggregate
+    is pure power sums (count + per-column sums + n(n+1)/2 cross
+    sums, all exact DECIMAL(38,0)), so the native incremental
+    aggregation maintains them in the state store and the finishing
+    tree is SHARED verbatim with the batch
+    :func:`..operators.ch_aggregates.corr_matrix` — replaying a
+    stream reproduces the batch matrix BIT-for-bit
+    (tests/test_streaming_moments.py asserts ``==``).
+
+    Scale shape: state is 1 + 2c + c(c-1)/2 decimals per group
+    (c = len(value_cols)), never per-event; map-side partial
+    aggregation before the single shuffle; the post-agg explode into
+    pair rows is stateless. NOTE the contrast with the
+    exponentialTimeDecayed family, which has NO incremental twin by
+    design: its weights are anchored to the GLOBAL t_max, so every
+    new maximum would retroactively rescale all accumulated terms —
+    the documented contract there is snapshot-recompute (run the
+    batch operator over the data seen so far), see
+    ``operators/ch_aggregates.exponential_time_decayed``."""
+    gcols = list(group_cols)
+    vcols = list(value_cols)
+    agg = (
+        events.filter(corr_matrix_filter(vcols))
+        .groupBy(*gcols)
+        .agg(*corr_matrix_aggs(vcols, scale))
+    )
+    return corr_matrix_finals(agg, gcols, vcols, keep_n=True)
