@@ -1439,10 +1439,13 @@ def q_multimodal_features(spark, sf_dir):
     skipped AC band scan) through the T.81 Annex G
     successive-approximation decoder — AND deterministic LOSSLESS
     JPEGs (SOF3, predictors cycling 1..7 via nb%7, restart intervals
-    on odd nb) through the Annex H predictive decoder (r9) — all via
-    Arrow-batched mapInPandas, unioned with a fmt discriminator. The
-    oracle reproduces every feature in closed form over the text
-    length, so every real decode path is hash-checked end-to-end."""
+    on odd nb) through the Annex H predictive decoder (r9) — AND
+    deterministic ARITHMETIC JPEGs (SOF9, Annex D QM-coder + Annex F
+    models, restart interval 2 on nb%3==0) through the adaptive
+    binary arithmetic decoder (r10) — all via Arrow-batched
+    mapInPandas, unioned with a fmt discriminator. The oracle
+    reproduces every feature in closed form over the text length, so
+    every real decode path is hash-checked end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -4045,10 +4048,24 @@ def _all_oracle_sql() -> dict[str, str]:
               JOIN (SELECT unnest(range(0, 4)) AS f) fr ON fr.f < 1 + m.nb % 4
               GROUP BY m.doc_id, m.nb
             )
+            , ajpeg AS (
+              -- arithmetic (SOF9, Annex D QM-coder; restart interval
+              -- 2 when nb%3 == 0): block i of 1 + nb%16 is the
+              -- constant (nb + 71*i) % 256 — exact DC recovery, so
+              -- the mean is the plain average
+              SELECT m.doc_id, 'ajpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 * (1 + m.nb % 16) AS BIGINT) AS height,
+                     round(avg((m.nb + 71 * s.i) % 256), 4) AS mean_byte
+              FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
+                ON s.i < 1 + m.nb % 16
+              GROUP BY m.doc_id, m.nb
+            )
             SELECT * FROM pixel_cycle
             UNION ALL SELECT * FROM jpeg
             UNION ALL SELECT * FROM pjpeg
             UNION ALL SELECT * FROM ljpeg
+            UNION ALL SELECT * FROM ajpeg
             UNION ALL SELECT * FROM avi
         """,
     }

@@ -1,0 +1,186 @@
+"""Arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder + Annex F
+models) — round 10's codec-boundary shrink. Validation strategy
+(no arithmetic-JPEG sample files or codec libraries ship in this
+container, documented in the module):
+
+* QM-coder round-trip fuzz across context counts / skews / lengths;
+* compression-rate sanity — the adaptive coder must approach the
+  entropy of a skewed memoryless source (a mistranscribed Table D.3
+  row breaks adaptation and fails this, while round-trip alone would
+  still pass because encoder and decoder share the table);
+* COEFFICIENT-exact block round-trip across precisions, restart
+  intervals, and dense AC spectra;
+* a Huffman-vs-arithmetic cross-check: the same image through two
+  completely disjoint entropy coders must decode to the same mean;
+* mutation fuzz over the entropy segment: corrupt streams return
+  None or a finite value — never an exception, never a hang.
+"""
+
+import math
+import random
+import struct
+
+from carbon_clickhouse_spark.datapipe.multimodal import (
+    _QM_FIXED,
+    _QM_TABLE,
+    _QmDecoder,
+    _QmEncoder,
+    _arith_scan_blocks,
+    _parse_jpeg_arith,
+    decode_image,
+    encode_jpeg_arith_blocks,
+    encode_jpeg_arith_gray_blocks,
+    encode_jpeg_gray_blocks,
+)
+
+
+def test_qe_table_invariants():
+    assert len(_QM_TABLE) == 114
+    for i, (qe, nmps, nlps, switch) in enumerate(_QM_TABLE):
+        assert 0 < qe < 0x8000
+        assert 0 <= nmps < 114 and 0 <= nlps < 114
+        assert switch in (0, 1)
+    # MPS switching happens exactly at the fast-attack states
+    assert [i for i, t in enumerate(_QM_TABLE) if t[3]] == [
+        0, 14, 36, 64, 80, 88, 95, 105, 110, 112,
+    ]
+    # the fixed bin self-loops and never switches
+    assert _QM_TABLE[_QM_FIXED][1:] == (_QM_FIXED, _QM_FIXED, 0)
+
+
+def test_qm_roundtrip_fuzz():
+    rng = random.Random(5)
+    for _ in range(300):
+        nctx = rng.randrange(1, 6)
+        probs = [rng.choice((0.02, 0.1, 0.5, 0.9, 0.98)) for _ in range(nctx)]
+        bits = [
+            (c, 1 if rng.random() < probs[c] else 0)
+            for c in (rng.randrange(nctx) for _ in range(rng.randrange(1, 1200)))
+        ]
+        enc = _QmEncoder()
+        ebins = bytearray(nctx)
+        for ctx, b in bits:
+            enc.encode(ebins, ctx, b)
+        stream = enc.flush()
+        dec = _QmDecoder(stream, 0)
+        dbins = bytearray(nctx)
+        assert all(dec.decode(dbins, ctx) == b for ctx, b in bits)
+
+
+def test_qm_compression_approaches_entropy():
+    """p = 0.05 memoryless source: H = 0.286 bits/sym. The QM coder's
+    documented inefficiency is ~5%; a wrong Qe/transition entry stalls
+    adaptation and blows this bound (checked: zeroing one NMPS hop
+    pushes the ratio past 1.3)."""
+    rng = random.Random(9)
+    n = 40000
+    bits = [1 if rng.random() < 0.05 else 0 for _ in range(n)]
+    enc = _QmEncoder()
+    bins = bytearray(1)
+    for b in bits:
+        enc.encode(bins, 0, b)
+    out = enc.flush()
+    h = -(0.05 * math.log2(0.05) + 0.95 * math.log2(0.95))
+    assert len(out) < 1.12 * h * n / 8
+
+
+def _sos_end(p: bytes) -> int:
+    i = 2
+    while p[i + 1] != 0xDA:
+        (ln,) = struct.unpack_from(">H", p, i + 2)
+        i += 2 + ln
+    return i + 2 + struct.unpack_from(">H", p, i + 2)[0]
+
+
+def test_block_coefficients_roundtrip_exactly():
+    rng = random.Random(17)
+    for trial in range(60):
+        nb = rng.randrange(1, 12)
+        ri = rng.choice((0, 0, 2, 3, 5))
+        prec = rng.choice((8, 8, 12))
+        blocks = []
+        for _ in range(nb):
+            ac = [0] * 63
+            for _ in range(rng.randrange(0, 30)):
+                ac[rng.randrange(63)] = rng.choice(
+                    (1, -1, 2, -2, rng.randrange(-2000, 2000))
+                )
+            blocks.append((rng.randrange(-4000, 4000), ac))
+        p = encode_jpeg_arith_blocks(blocks, precision=prec, restart_interval=ri)
+        coll = []
+        got = _arith_scan_blocks(
+            p, _sos_end(p), [(1, 1, 1, 0)], [(1, 0, 0)],
+            {0: (0, 1)}, {0: 5}, 8, 8 * nb, ri, collect=coll,
+        )
+        assert got is not None, (trial, prec, ri)
+        assert [c[0] for c in coll] == [b[0] for b in blocks], trial
+        assert [c[1] for c in coll] == [b[1] for b in blocks], trial
+
+
+def test_huffman_vs_arithmetic_cross_check():
+    """The same constant-block image through the two disjoint entropy
+    coders (canonical Huffman vs adaptive QM) must decode to the same
+    (width, height, mean) — the strongest offline substitute for a
+    third-party arithmetic stream."""
+    rng = random.Random(23)
+    for _ in range(20):
+        vals = [rng.randrange(256) for _ in range(rng.randrange(1, 17))]
+        wh, hh, mh = decode_image(encode_jpeg_gray_blocks(vals))
+        wa, ha, ma = decode_image(encode_jpeg_arith_gray_blocks(vals))
+        assert (wh, hh) == (wa, ha)
+        assert mh == ma
+
+
+def test_restart_and_precision_means():
+    vals = [0, 255, 128, 1, 254, 97]
+    got = _parse_jpeg_arith(
+        encode_jpeg_arith_gray_blocks(vals, restart_interval=2)
+    )
+    assert got == (8, 48, sum(vals) / len(vals))
+    v12 = [0, 4095, 2048, 123]
+    got = _parse_jpeg_arith(
+        encode_jpeg_arith_gray_blocks(v12, precision=12, restart_interval=3)
+    )
+    assert got is not None
+    assert abs(got[2] - sum(v12) / len(v12) * 255 / 4095) < 1e-9
+
+
+def test_decode_image_dispatch():
+    p = encode_jpeg_arith_gray_blocks([10, 20, 30])
+    assert decode_image(p) == (8, 24, 20.0)
+
+
+def test_mutation_fuzz_never_raises():
+    """Corrupt entropy bytes (past the SOS header, so the dims stay
+    sane) must yield None or a finite tuple — no exception, no hang.
+    Truncations too."""
+    rng = random.Random(31)
+    base = encode_jpeg_arith_gray_blocks(
+        [rng.randrange(256) for _ in range(9)], restart_interval=3
+    )
+    start = _sos_end(base)
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(start, len(buf))] = rng.randrange(256)
+        got = _parse_jpeg_arith(bytes(buf))
+        if got is not None:
+            w, h, m = got
+            assert w == 8 and h == 72
+            assert m is None or math.isfinite(m)
+    for cut in range(start, len(base), 3):
+        got = _parse_jpeg_arith(base[:cut])
+        assert got is None or math.isfinite(got[2])
+
+
+def test_corrupt_dims_bounded():
+    """A mutated dims field must abort via the MCU sanity cap rather
+    than grinding through synthesized zero-bit decisions."""
+    base = bytearray(encode_jpeg_arith_gray_blocks([5, 6, 7]))
+    # SOF9 height field: find marker 0xC9, height at offset +4
+    i = 2
+    while base[i + 1] != 0xC9:
+        (ln,) = struct.unpack_from(">H", base, i + 2)
+        i += 2 + ln
+    struct.pack_into(">HH", base, i + 4, 0xFFFF, 0xFFF8)
+    assert _parse_jpeg_arith(bytes(base)) is None
