@@ -1440,12 +1440,14 @@ def q_multimodal_features(spark, sf_dir):
     successive-approximation decoder — AND deterministic LOSSLESS
     JPEGs (SOF3, predictors cycling 1..7 via nb%7, restart intervals
     on odd nb) through the Annex H predictive decoder (r9) — AND
-    deterministic ARITHMETIC JPEGs (SOF9, Annex D QM-coder + Annex F
-    models, restart interval 2 on nb%3==0) through the adaptive
-    binary arithmetic decoder (r10) — all via Arrow-batched
-    mapInPandas, unioned with a fmt discriminator. The oracle
-    reproduces every feature in closed form over the text length, so
-    every real decode path is hash-checked end-to-end."""
+    deterministic ARITHMETIC JPEGs, both sequential (SOF9, Annex D
+    QM-coder + Annex F models, restart interval 2 on nb%3==0) and
+    PROGRESSIVE (SOF10, Annex G.2 DC-first/refinement scans, restart
+    interval 3 on odd nb) through the adaptive binary arithmetic
+    decoder (r10) — all via Arrow-batched mapInPandas, unioned with
+    a fmt discriminator. The oracle reproduces every feature in
+    closed form over the text length, so every real decode path is
+    hash-checked end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -4060,12 +4062,26 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
                 ON s.i < 1 + m.nb % 16
               GROUP BY m.doc_id, m.nb
+            ),
+            apjpeg AS (
+              -- progressive arithmetic (SOF10, Annex G.2 scans over
+              -- the QM-coder; restart interval 3 on odd nb): block i
+              -- carries DC (nb + 83*i) % 256 - 128, exact recovery
+              -- through the DC-first + refinement scan pair
+              SELECT m.doc_id, 'apjpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 * (1 + m.nb % 16) AS BIGINT) AS height,
+                     round(avg((m.nb + 83 * s.i) % 256), 4) AS mean_byte
+              FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
+                ON s.i < 1 + m.nb % 16
+              GROUP BY m.doc_id, m.nb
             )
             SELECT * FROM pixel_cycle
             UNION ALL SELECT * FROM jpeg
             UNION ALL SELECT * FROM pjpeg
             UNION ALL SELECT * FROM ljpeg
             UNION ALL SELECT * FROM ajpeg
+            UNION ALL SELECT * FROM apjpeg
             UNION ALL SELECT * FROM avi
         """,
     }

@@ -23,12 +23,15 @@ predictors, point transform, restart resets, modulo-2^16
 arithmetic, category 16) with exact sample reconstruction
 (:func:`_parse_jpeg_lossless`). 12-bit samples join BOTH Huffman-DCT
 paths the same round (SOF1 extended sequential and SOF2
-progressive). SEQUENTIAL ARITHMETIC (SOF9) JPEG decodes fully as of
-round 10 — the T.81 Annex D QM-coder under the Annex F DC/AC
-statistical models, with DAC conditioning and restart resets
-(:func:`_parse_jpeg_arith`). The remaining boundary — non-MJPEG
-video codecs and the rare arithmetic progressive/lossless and
-hierarchical JPEG modes — raises ``NotImplementedError`` unless
+progressive). SEQUENTIAL (SOF9) and PROGRESSIVE
+(SOF10) ARITHMETIC JPEG decode fully as of round 10 — the T.81
+Annex D QM-coder under the Annex F DC/AC statistical models, with
+DAC conditioning, restart resets, and the Annex G.2
+successive-approximation scan kinds (:func:`_parse_jpeg_arith`,
+:func:`_parse_jpeg_arith_progressive`). The remaining boundary —
+non-MJPEG video codecs and the rare (no mainstream encoder emits
+them) lossless-arithmetic and hierarchical JPEG modes — raises
+``NotImplementedError`` unless
 ``fake=True`` selects the deterministic byte-derived stand-in;
 swapping in PIL/ffmpeg is a one-function change in
 :func:`decode_image`.
@@ -1712,6 +1715,360 @@ def _parse_jpeg_arith(payload: bytes) -> tuple[int, int, float] | None:
     return None
 
 
+# --- Progressive arithmetic (SOF10, T.81 Annex G.2 over the same
+# QM-coder + Annex F statistical models) -----------------------------
+#
+# The four scan kinds mirror the Huffman progressive decoder shipped
+# in round 8, with the entropy layer swapped: DC first scans run the
+# sequential DC model on the unshifted difference chain and store
+# diff << Al; DC refinement bits ride the fixed ~0.5 bin; AC first
+# scans run the sequential AC model over the spectral band with
+# values << Al; AC refinement decodes, per coefficient, a correction
+# bit (SP bin) for previously-nonzero positions or a
+# newly-significant decision (S0+1) with a fixed-bin sign, gated by
+# an EOB decision once past the previous scans' last nonzero index
+# (T.81 G.1.3.3). Statistics, predictors, and the QM registers reset
+# at every scan start and restart marker.
+
+
+def _arith_prog_dc_scan(
+    buf, pos, comps, scan, dc_cond, width, height, ri, ah, al,
+    grids,
+):
+    """One progressive-arithmetic DC scan (first pass ah == 0 or
+    refinement). Returns the index of the marker ending the scan, or
+    None. ``grids[cid][(by, bx)]`` accumulates full-scale DC."""
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    order = []
+    for cid, td, _ta in scan:
+        comp = by_id.get(cid)
+        if comp is None or td > 3:
+            return None
+        order.append((comp, td, comp[1] * comp[2]))
+    if len(scan) == 1:
+        comp = order[0][0]
+        if len(comps) == 1:
+            bw, bh = -(-width // 8), -(-height // 8)
+        else:
+            bw = -(-(width * comp[1]) // (8 * hmax))
+            bh = -(-(height * comp[2]) // (8 * vmax))
+        per_row = bw
+        mcus = bw * bh
+        order[0] = (comp, order[0][1], 1)
+    else:
+        per_row = -(-width // (8 * hmax))
+        mcus = per_row * (-(-height // (8 * vmax)))
+    if mcus > 1 << 22:
+        return None
+
+    def fresh():
+        return {t: bytearray(_QM_DC_BINS) for t in {td for _, td, _ in order}}
+
+    stats = fresh()
+    fixed = bytearray([_QM_FIXED << 1])
+    dec = _QmDecoder(buf, pos)
+    last_dc = {c[0]: 0 for c in comps}
+    dc_ctx = {c[0]: 0 for c in comps}
+    rst = 0
+    for m in range(mcus):
+        if ri and m and m % ri == 0:
+            mk = _arith_next_marker(buf, dec.bp)
+            if mk is None or buf[mk + 1] != 0xD0 + (rst & 7):
+                return None
+            rst += 1
+            stats = fresh()
+            fixed = bytearray([_QM_FIXED << 1])
+            last_dc = {c[0]: 0 for c in comps}
+            dc_ctx = {c[0]: 0 for c in comps}
+            dec = _QmDecoder(buf, mk + 2)
+        for idx, (comp, td, nblocks) in enumerate(order):
+            cid = comp[0]
+            L, U = dc_cond.get(td, (0, 1))
+            dbins = stats[td]
+            for b in range(nblocks):
+                if len(scan) == 1:
+                    by, bx = divmod(m, per_row)
+                else:
+                    mby, mbx = divmod(m, per_row)
+                    sv, sh = divmod(b, comp[1])
+                    by = mby * comp[2] + sv
+                    bx = mbx * comp[1] + sh
+                blk = grids.setdefault(cid, {}).setdefault((by, bx), [0] * 64)
+                if ah == 0:
+                    st = dc_ctx[cid]
+                    if dec.decode(dbins, st) == 0:
+                        dc_ctx[cid] = 0
+                    else:
+                        sign = dec.decode(dbins, st + 1)
+                        v = _arith_decode_magnitude(
+                            dec, dbins, st + 2 + sign, 20
+                        )
+                        if v is None:
+                            return None
+                        msb = 1
+                        while msb * 2 <= v - 1:
+                            msb *= 2
+                        mclass = 0 if v == 1 else msb
+                        if mclass < ((1 << L) >> 1):
+                            dc_ctx[cid] = 0
+                        elif mclass > ((1 << U) >> 1):
+                            dc_ctx[cid] = 12 + 4 * sign
+                        else:
+                            dc_ctx[cid] = 4 + 4 * sign
+                        last_dc[cid] += -v if sign else v
+                    blk[0] = last_dc[cid] << al
+                else:
+                    # refinement: one fixed-bin bit per block (G.2)
+                    if dec.decode(fixed, 0):
+                        blk[0] |= 1 << al
+    return _skip_entropy(buf, dec.bp)
+
+
+def _arith_prog_ac_scan(
+    buf, pos, comps, scan, ac_cond, width, height, ri, ss, se, ah, al,
+    grids,
+):
+    """One progressive-arithmetic AC scan (single component per
+    T.81). Returns the marker index ending the scan, or None."""
+    if len(scan) != 1 or not 1 <= ss <= se <= 63:
+        return None
+    cid, _td, ta = scan[0]
+    by_id = {c[0]: c for c in comps}
+    comp = by_id.get(cid)
+    if comp is None or ta > 3:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        bw, bh = -(-width // 8), -(-height // 8)
+    else:
+        bw = -(-(width * comp[1]) // (8 * hmax))
+        bh = -(-(height * comp[2]) // (8 * vmax))
+    nblk = bw * bh
+    if nblk > 1 << 22:
+        return None
+    kx = ac_cond.get(ta, 5)
+    abins = bytearray(_QM_AC_BINS)
+    fixed = bytearray([_QM_FIXED << 1])
+    dec = _QmDecoder(buf, pos)
+    rst = 0
+    grid = grids.setdefault(cid, {})
+    for m in range(nblk):
+        if ri and m and m % ri == 0:
+            mk = _arith_next_marker(buf, dec.bp)
+            if mk is None or buf[mk + 1] != 0xD0 + (rst & 7):
+                return None
+            rst += 1
+            abins = bytearray(_QM_AC_BINS)
+            fixed = bytearray([_QM_FIXED << 1])
+            dec = _QmDecoder(buf, mk + 2)
+        blk = grid.setdefault(divmod(m, bw), [0] * 64)
+        if ah == 0:
+            # first pass: the sequential AC model over the band
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if dec.decode(abins, st):
+                    break  # EOB
+                while dec.decode(abins, st + 1) == 0:
+                    st += 3
+                    k += 1
+                    if k > se:
+                        return None
+                sign = dec.decode(fixed, 0)
+                st2 = st + 2
+                msb = dec.decode(abins, st2)
+                mpos = st2 + 14
+                if msb and dec.decode(abins, st2):
+                    msb = 2
+                    pos2 = 189 if k <= kx else 217
+                    while dec.decode(abins, pos2):
+                        msb <<= 1
+                        if msb == 0x8000:
+                            return None
+                        pos2 += 1
+                    mpos = pos2 + 14
+                sz = msb
+                mm = msb
+                while mm > 1:
+                    mm >>= 1
+                    if dec.decode(abins, mpos):
+                        sz |= mm
+                val = sz + 1
+                blk[k] = (-val if sign else val) << al
+                k += 1
+        else:
+            # refinement pass (G.1.3.3)
+            p1 = 1 << al
+            m1 = -1 << al
+            kex = 0
+            for k in range(se, ss - 1, -1):
+                if blk[k]:
+                    kex = k
+                    break
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if k > kex and dec.decode(abins, st):
+                    break  # EOB
+                while True:
+                    if blk[k]:
+                        if dec.decode(abins, st + 2):
+                            blk[k] += m1 if blk[k] < 0 else p1
+                        break
+                    if dec.decode(abins, st + 1):
+                        blk[k] = m1 if dec.decode(fixed, 0) else p1
+                        break
+                    st += 3
+                    k += 1
+                    if k > se:
+                        return None
+                k += 1
+    return _skip_entropy(buf, dec.bp)
+
+
+def _parse_jpeg_arith_progressive(
+    payload: bytes,
+) -> tuple[int, int, float] | None:
+    """Parse and REALLY decode a PROGRESSIVE ARITHMETIC JPEG (SOF10)
+    -> (width, height, mean_byte): multi-scan coefficient
+    accumulation (DC first/refine interleaved, AC first/refine per
+    component) with the Annex F models over the Annex D QM-coder.
+    The mean derives from the final luma DC grid exactly like the
+    other JPEG paths."""
+    got = _arith_progressive_grids(payload)
+    if got is None:
+        return None
+    width, height, precision, comps, qt, grids = got
+    luma = grids.get(comps[0][0])
+    if not luma:
+        return None
+    dc_sum = sum(b[0] for b in luma.values())
+    dc_blocks = len(luma)
+    q0 = qt[comps[0][3]][0]
+    shift = (1 << (precision - 1)) * 8
+    num = dc_sum * q0 + shift * dc_blocks
+    den = 8 * dc_blocks
+    if precision != 8:
+        num *= 255
+        den *= (1 << precision) - 1
+    return width, height, min(255.0, max(0.0, num / den))
+
+
+def _arith_progressive_grids(payload: bytes):
+    """The SOF10 multi-scan walk -> (width, height, precision, comps,
+    qt, {cid: {(by, bx): [64 zigzag coeffs]}}) with every scan's
+    contribution folded at full scale — the coefficient-level surface
+    tests verify exactly."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    qt: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    comps = None
+    width = height = None
+    ri = 0
+    precision = 8
+    grids: dict[int, dict] = {}
+    saw_scan = False
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                step = 128 if pq else 64
+                if p + step > len(seg):
+                    return None
+                qt[tq] = (
+                    list(struct.unpack_from(">64H", seg, p))
+                    if pq
+                    else list(seg[p : p + 64])
+                )
+                p += step
+        elif marker == 0xCC:
+            p = 0
+            while p + 2 <= len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                p += 2
+        elif marker == 0xCA:  # SOF10
+            if len(seg) < 6:
+                return None
+            precision = seg[0]
+            if precision not in (8, 12):
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
+                return None
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                 seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                for c in range(nc)
+            ]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            (ri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            if comps is None:
+                return None
+            ns = seg[0] if seg else 0
+            if len(seg) < 4 + 2 * ns:
+                return None
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if ss == 0:
+                if se != 0:
+                    return None
+                nxt = _arith_prog_dc_scan(
+                    payload, i, comps, scan, dc_cond,
+                    width, height, ri, ah, al, grids,
+                )
+            else:
+                nxt = _arith_prog_ac_scan(
+                    payload, i, comps, scan, ac_cond,
+                    width, height, ri, ss, se, ah, al, grids,
+                )
+            if nxt is None:
+                return None
+            saw_scan = True
+            i = nxt
+    if not saw_scan or comps is None or comps[0][3] not in qt:
+        return None
+    return width, height, precision, comps, qt, grids
+
+
 class _ArithBlockEncoder:
     """Annex F sequential ENCODER (Figures F.4-F.9) over the
     QM-coder — the dual of :func:`_arith_scan_blocks` for round-trip
@@ -1749,7 +2106,10 @@ class _ArithBlockEncoder:
             self.qm.encode(bins, pos, 1 if (sz & mm) else 0)
         return m
 
-    def put_block(self, dc: int, ac: list[int]) -> None:
+    def put_dc(self, dc: int) -> None:
+        """The DC figures alone (Figures F.4/F.6/F.7) — shared by the
+        sequential scan and the progressive DC-first scan (which must
+        emit NO AC decisions)."""
         diff = dc - self.last_dc
         self.last_dc = dc
         st = self.dc_ctx
@@ -1768,6 +2128,9 @@ class _ArithBlockEncoder:
                 self.dc_ctx = 12 + 4 * sign
             else:
                 self.dc_ctx = 4 + 4 * sign
+
+    def put_block(self, dc: int, ac: list[int]) -> None:
+        self.put_dc(dc)
         ke = 0
         for k in range(63, 0, -1):
             if ac[k - 1]:
@@ -1855,6 +2218,162 @@ def encode_jpeg_arith_blocks(
             enc = _ArithBlockEncoder()
         enc.put_block(dc, ac)
     out += enc.qm.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    blocks: list[tuple[int, list[int]]],
+    precision: int = 8,
+    restart_interval: int = 0,
+    kx: int = 5,
+) -> bytes:
+    """Progressive-arithmetic (SOF10) fixture encoder — the dual of
+    :func:`_parse_jpeg_arith_progressive` for round-trip tests:
+    grayscale, quant all-8s, four scans (DC first Al=1, AC first
+    Ss=1..63 Al=1, DC refinement, AC refinement) so every integer
+    coefficient reconstructs exactly. Each scan flushes its own
+    QM-coder; restart intervals flush + RSTn + reset inside every
+    scan, mirroring the decoder."""
+    h = 8 * len(blocks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(0xCA, struct.pack(">BHHB", precision, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xCC, bytes([0x00, 0x10, 0x10, kx]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def ac_first_block(enc, abins, fixed, tvals, ss, se):
+        ke = 0
+        for k in range(se, ss - 1, -1):
+            if tvals[k]:
+                ke = k
+                break
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            enc.encode(abins, st, 0)
+            while tvals[k] == 0:
+                enc.encode(abins, st + 1, 0)
+                st += 3
+                k += 1
+            enc.encode(abins, st + 1, 1)
+            v = tvals[k]
+            sign = 1 if v < 0 else 0
+            enc.encode(fixed, 0, sign)
+            sz = (-v if sign else v) - 1
+            st2 = st + 2
+            if sz == 0:
+                enc.encode(abins, st2, 0)
+                mpos = st2 + 14
+                m = 0
+            elif sz == 1:
+                enc.encode(abins, st2, 1)
+                enc.encode(abins, st2, 0)
+                mpos = st2 + 14
+                m = 1
+            else:
+                enc.encode(abins, st2, 1)
+                enc.encode(abins, st2, 1)
+                xb = 189 if k <= kx else 217
+                m = 2
+                v2 = sz >> 1
+                pos = xb
+                while v2 >> 1:
+                    enc.encode(abins, pos, 1)
+                    m <<= 1
+                    v2 >>= 1
+                    pos += 1
+                enc.encode(abins, pos, 0)
+                mpos = pos + 14
+            mm = m
+            while mm > 1:
+                mm >>= 1
+                enc.encode(abins, mpos, 1 if (sz & mm) else 0)
+            k += 1
+        if ke < se:
+            enc.encode(abins, 3 * (k - 1), 1)
+
+    def ac_refine_block(enc, abins, fixed, coefs, ss, se, al):
+        p = al + 1
+        ke = kex = 0
+        for k in range(se, ss - 1, -1):
+            if abs(coefs[k]) >> al:
+                ke = k
+                break
+        for k in range(ke, ss - 1, -1):
+            if abs(coefs[k]) >> p:
+                kex = k
+                break
+        k = ss
+        while k <= ke:
+            st = 3 * (k - 1)
+            if k > kex:
+                enc.encode(abins, st, 0)
+            while True:
+                if abs(coefs[k]) >> p:  # previously nonzero
+                    enc.encode(abins, st + 2, (abs(coefs[k]) >> al) & 1)
+                    break
+                if abs(coefs[k]) >> al:  # newly significant
+                    enc.encode(abins, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if coefs[k] < 0 else 0)
+                    break
+                enc.encode(abins, st + 1, 0)
+                st += 3
+                k += 1
+            k += 1
+        if ke < se:
+            enc.encode(abins, 3 * (k - 1), 1)
+
+    def run_scan(kind, al):
+        nonlocal out
+        enc = _QmEncoder()
+        dm = _ArithBlockEncoder(kx=kx)
+        dm.qm = enc
+        abins = bytearray(_QM_AC_BINS)
+        fixed = bytearray([_QM_FIXED << 1])
+        rst = 0
+        for i, (dc, ac) in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                enc = _QmEncoder()
+                dm = _ArithBlockEncoder(kx=kx)
+                dm.qm = enc
+                abins = bytearray(_QM_AC_BINS)
+                fixed = bytearray([_QM_FIXED << 1])
+            if kind == "dc_first":
+                dm.put_dc(dc >> al)
+            elif kind == "dc_refine":
+                enc.encode(fixed, 0, (dc >> al) & 1)
+            elif kind == "ac_first":
+                t = [0] * 64
+                for k in range(1, 64):
+                    v = ac[k - 1]
+                    mag = (-v if v < 0 else v) >> al
+                    t[k] = -mag if v < 0 else mag
+                ac_first_block(enc, abins, fixed, t, 1, 63)
+            else:  # ac_refine
+                coefs = [0] + list(ac)
+                ac_refine_block(enc, abins, fixed, coefs, 1, 63, al)
+        out += enc.flush()
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out += sos(0, 0, 0, 1)
+    run_scan("dc_first", 1)
+    out += sos(1, 63, 0, 1)
+    run_scan("ac_first", 1)
+    out += sos(0, 0, 1, 0)
+    run_scan("dc_refine", 0)
+    out += sos(1, 63, 1, 0)
+    run_scan("ac_refine", 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2201,22 +2720,23 @@ def decode_image(
         or _parse_jpeg(payload)
         or _parse_jpeg_lossless(payload)
         or _parse_jpeg_arith(payload)
+        or _parse_jpeg_arith_progressive(payload)
     )
     if out is not None:
         return out
-    # hierarchical / progressive-arithmetic / lossless-arithmetic
-    # JPEG: the frame header still yields real dimensions — return
-    # them with a NULL mean instead of raising (baseline,
-    # extended-sequential 12-bit, progressive, lossless Huffman, AND
-    # sequential-arithmetic SOF9 modes now decode for real above)
+    # hierarchical / lossless-arithmetic JPEG: the frame header
+    # still yields real dimensions — return them with a NULL mean
+    # instead of raising (baseline, extended-sequential 12-bit,
+    # progressive, lossless Huffman, AND the arithmetic SOF9/SOF10
+    # modes now decode for real above)
     dims = _parse_jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], None
     if not fake:
         raise NotImplementedError(
             "only netpbm/PNG/BMP/JPEG (baseline + progressive + "
-            "lossless + sequential-arithmetic) decode in pure "
-            "Python; the remaining JPEG modes (progressive/lossless "
+            "lossless + sequential/progressive-arithmetic) decode "
+            "in pure Python; the remaining JPEG modes (lossless "
             "arithmetic, hierarchical) and video codecs require "
             "PIL/ffmpeg — pass fake=True or swap in a real decoder"
         )
@@ -2295,7 +2815,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
 def fixture_features(
     df: DataFrame,
     formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "ljpeg", "ajpeg",
-                      "avi"),
+                      "apjpeg", "avi"),
     text_col: str = "text",
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -2364,6 +2884,12 @@ def fixture_features(
             return encode_jpeg_arith_gray_blocks(
                 [(n_txt + 71 * i) % 256 for i in range(hb)],
                 restart_interval=2 if n_txt % 3 == 0 else 0,
+            )
+        if fmt == "apjpeg":  # progressive arithmetic (SOF10, G.2)
+            return encode_jpeg_arith_progressive(
+                [((n_txt + 83 * i) % 256 - 128, [0] * 63)
+                 for i in range(hb)],
+                restart_interval=3 if n_txt % 2 else 0,
             )
         nf = 1 + (n_txt % 4)
         frames = [

@@ -173,6 +173,93 @@ def test_mutation_fuzz_never_raises():
         assert got is None or math.isfinite(got[2])
 
 
+def test_progressive_coefficients_roundtrip_exactly():
+    """SOF10: DC first (Al=1) + AC first + DC refine + AC refine must
+    reconstruct every integer coefficient exactly, restarts included
+    — newly-significant refinement coefficients, corrections, and
+    negative DC bit-OR semantics all exercised by the random spectra."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _arith_progressive_grids,
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = random.Random(47)
+    for trial in range(50):
+        nb = rng.randrange(1, 10)
+        ri = rng.choice((0, 0, 2, 3))
+        blocks = []
+        for _ in range(nb):
+            ac = [0] * 63
+            for _ in range(rng.randrange(0, 25)):
+                ac[rng.randrange(63)] = rng.choice(
+                    (1, -1, 2, -2, 3, -3, rng.randrange(-1500, 1500))
+                )
+            blocks.append((rng.randrange(-3000, 3000), ac))
+        p = encode_jpeg_arith_progressive(blocks, restart_interval=ri)
+        got = _arith_progressive_grids(p)
+        assert got is not None, (trial, ri)
+        grids = got[5][1]
+        for i, (dc, ac) in enumerate(blocks):
+            blk = grids[(i, 0)]
+            assert blk[0] == dc, (trial, i)
+            assert blk[1:] == list(ac), (trial, i)
+
+
+def test_progressive_vs_sequential_arithmetic_cross_check():
+    """The same blocks through SOF9 (one scan) and SOF10 (four
+    successive-approximation scans) must decode to identical
+    (width, height, mean)."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_arith_progressive,
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = random.Random(53)
+    for _ in range(10):
+        blocks = [
+            (rng.randrange(-128, 128), [0] * 63)
+            for _ in range(rng.randrange(1, 12))
+        ]
+        seq = _parse_jpeg_arith(encode_jpeg_arith_blocks(blocks))
+        prog = _parse_jpeg_arith_progressive(
+            encode_jpeg_arith_progressive(blocks)
+        )
+        assert seq == prog
+
+
+def test_progressive_decode_image_dispatch():
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        encode_jpeg_arith_progressive,
+    )
+
+    p = encode_jpeg_arith_progressive([(-28, [0] * 63), (72, [0] * 63)])
+    assert decode_image(p) == (8, 16, (100 + 200) / 2)
+
+
+def test_progressive_mutation_fuzz_never_raises():
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_arith_progressive,
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = random.Random(59)
+    base = encode_jpeg_arith_progressive(
+        [(rng.randrange(-100, 100), [0] * 63) for _ in range(6)],
+        restart_interval=2,
+    )
+    start = _sos_end(base)
+    for _ in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(start, len(buf))] = rng.randrange(256)
+        got = _parse_jpeg_arith_progressive(bytes(buf))
+        if got is not None:
+            assert math.isfinite(got[2])
+    for cut in range(start, len(base), 7):
+        got = _parse_jpeg_arith_progressive(base[:cut])
+        assert got is None or math.isfinite(got[2])
+
+
 def test_corrupt_dims_bounded():
     """A mutated dims field must abort via the MCU sanity cap rather
     than grinding through synthesized zero-bit decisions."""
