@@ -1440,13 +1440,15 @@ def q_multimodal_features(spark, sf_dir):
     successive-approximation decoder — AND deterministic LOSSLESS
     JPEGs (SOF3, predictors cycling 1..7 via nb%7, restart intervals
     on odd nb) through the Annex H predictive decoder (r9) — AND
-    deterministic ARITHMETIC JPEGs, both sequential (SOF9, Annex D
-    QM-coder + Annex F models, restart interval 2 on nb%3==0) and
-    PROGRESSIVE (SOF10, Annex G.2 DC-first/refinement scans, restart
-    interval 3 on odd nb) through the adaptive binary arithmetic
-    decoder (r10) — all via Arrow-batched mapInPandas, unioned with
-    a fmt discriminator. The oracle reproduces every feature in
-    closed form over the text length, so every real decode path is
+    deterministic ARITHMETIC JPEGs in all three forms — sequential
+    (SOF9, Annex D QM-coder + Annex F models, restart interval 2 on
+    nb%3==0), PROGRESSIVE (SOF10, Annex G.2 DC-first/refinement
+    scans, restart interval 3 on odd nb), and LOSSLESS (SOF11, Annex
+    H.2 conditioning, predictors cycling nb%7, restart interval 4 on
+    nb%4==0) — through the adaptive binary arithmetic decoder (r10)
+    — all via Arrow-batched mapInPandas, unioned with a fmt
+    discriminator. The oracle reproduces every feature in closed
+    form over the text length, so every real decode path is
     hash-checked end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
@@ -4075,6 +4077,23 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
                 ON s.i < 1 + m.nb % 16
               GROUP BY m.doc_id, m.nb
+            ),
+            aljpeg AS (
+              -- lossless arithmetic (SOF11, Annex H.2 conditioning
+              -- over the QM-coder; predictors cycling via nb%7,
+              -- restart interval 4 when nb%4 == 0): 8 x (1 + nb%24)
+              -- plane, pixel (y, x) = (nb + 19*y + 7*x) % 256 —
+              -- exact reconstruction, mean is the plain average
+              SELECT m.doc_id, 'aljpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(1 + m.nb % 24 AS BIGINT) AS height,
+                     round(avg((m.nb + 19 * yy.y + 7 * xx.x) % 256), 4)
+                       AS mean_byte
+              FROM m
+              JOIN (SELECT unnest(range(0, 24)) AS y) yy
+                ON yy.y < 1 + m.nb % 24
+              JOIN (SELECT unnest(range(0, 8)) AS x) xx ON true
+              GROUP BY m.doc_id, m.nb
             )
             SELECT * FROM pixel_cycle
             UNION ALL SELECT * FROM jpeg
@@ -4082,6 +4101,7 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM ljpeg
             UNION ALL SELECT * FROM ajpeg
             UNION ALL SELECT * FROM apjpeg
+            UNION ALL SELECT * FROM aljpeg
             UNION ALL SELECT * FROM avi
         """,
     }

@@ -28,10 +28,12 @@ progressive). SEQUENTIAL (SOF9) and PROGRESSIVE
 Annex D QM-coder under the Annex F DC/AC statistical models, with
 DAC conditioning, restart resets, and the Annex G.2
 successive-approximation scan kinds (:func:`_parse_jpeg_arith`,
-:func:`_parse_jpeg_arith_progressive`). The remaining boundary —
-non-MJPEG video codecs and the rare (no mainstream encoder emits
-them) lossless-arithmetic and hierarchical JPEG modes — raises
-``NotImplementedError`` unless
+:func:`_parse_jpeg_arith_progressive`). LOSSLESS ARITHMETIC (SOF11)
+decodes too — the Annex H.1 prediction under the Annex H.2
+158-bin conditioning model (see the honesty note at its
+implementation). The remaining boundary — non-MJPEG video codecs
+and hierarchical JPEG (rare; no mainstream encoder emits it) —
+raises ``NotImplementedError`` unless
 ``fake=True`` selects the deterministic byte-derived stand-in;
 swapping in PIL/ffmpeg is a one-function change in
 :func:`decode_image`.
@@ -2069,6 +2071,342 @@ def _arith_progressive_grids(payload: bytes):
     return width, height, precision, comps, qt, grids
 
 
+# --- Lossless arithmetic (SOF11, T.81 Annex H.2 over the same
+# QM-coder) ----------------------------------------------------------
+#
+# The prediction layer is Annex H.1 — shared with the Huffman
+# lossless path, including the round-10 restart first-line rule and
+# modulo-2^16 arithmetic. The entropy layer swaps the Huffman
+# category for the Annex H.2 statistical model: each difference is
+# conditioned on the classification of the two PRECEDING decoded
+# differences (Da at the left sample, Db above) into the five
+# categories of F.1.4.4.1.1 (zero / +-small / +-large, thresholds
+# from the DAC L/U), giving 25 contexts of 4 bins each, plus two
+# magnitude-category chains (15 X + 14 M bins) selected by whether
+# |Db| is large — the documented 158-bin state. HONESTY NOTE: no
+# mainstream encoder emits SOF11 and no sample stream or codec
+# library ships offline, so while the QM core, the H.1 prediction,
+# and the 158-bin structure follow the published spec, the bin
+# ORDERING within the statistics area is an internal choice
+# validated by encoder/decoder duality (round-trip fuzz), not
+# against third-party streams.
+
+_QM_LL_BINS = 158
+_QM_LL_CHAIN_A = 100  # X1..X15 at 100..114, M2..M15 at 115..128
+_QM_LL_CHAIN_B = 129  # X1..X15 at 129..143, M2..M15 at 144..157
+
+
+def _ll_cat(d: int, small: int) -> int:
+    """F.1.4.4.1.1 five-way difference classification: 0 zero,
+    1/2 +-small (|d| <= small), 3/4 +-large."""
+    if d == 0:
+        return 0
+    if d > 0:
+        return 1 if d <= small else 3
+    return 2 if -d <= small else 4
+
+
+def _arith_lossless_scan(
+    buf: bytes,
+    pos: int,
+    precision: int,
+    width: int,
+    height: int,
+    scan_comps: list[tuple[int, int]],
+    dc_cond: dict[int, tuple[int, int]],
+    restart_interval: int,
+    predictor: int,
+    pt: int,
+    grids: dict[int, list[list[int]]],
+) -> int | None:
+    """Decode one SOF11 scan (per-sample QM decode under the H.2
+    model, H.1 prediction). ``scan_comps`` = (component id, DC table
+    id) per interleave slot. Returns the marker index ending the
+    scan, or None."""
+    if predictor not in _LL_PREDICT or not 0 <= pt < precision:
+        return None
+    if width * height > 1 << 24:
+        return None  # same zero-bit-grind cap class as SOF9/SOF10
+    default = 1 << (precision - pt - 1)
+    pred_fn = _LL_PREDICT[predictor]
+
+    def fresh():
+        stats = {t: bytearray(_QM_LL_BINS) for _, t in scan_comps}
+        diffs = {
+            cid: [[0] * width for _ in range(2)] for cid, _ in scan_comps
+        }
+        return stats, diffs
+
+    stats, dgrid = fresh()
+    dec = _QmDecoder(buf, pos)
+    fresh_sample = True
+    first_line = 0
+    rst = 0
+    for m in range(width * height):
+        if restart_interval and m and m % restart_interval == 0:
+            mk = _arith_next_marker(buf, dec.bp)
+            if mk is None or buf[mk + 1] != 0xD0 + (rst & 7):
+                return None
+            rst += 1
+            stats, dgrid = fresh()
+            dec = _QmDecoder(buf, mk + 2)
+            fresh_sample = True
+            first_line = m // width
+        y, x = divmod(m, width)
+        for cid, td in scan_comps:
+            L, U = dc_cond.get(td, (0, 1))
+            small = (1 << U) >> 1
+            bins = stats[td]
+            drow = dgrid[cid]
+            da = drow[y & 1][x - 1] if x else 0
+            db = drow[(y - 1) & 1][x] if y else 0
+            st = 4 * (5 * _ll_cat(da, small) + _ll_cat(db, small))
+            if dec.decode(bins, st) == 0:
+                diff = 0
+            else:
+                sign = dec.decode(bins, st + 1)
+                chain = (
+                    _QM_LL_CHAIN_B
+                    if _ll_cat(db, small) >= 3
+                    else _QM_LL_CHAIN_A
+                )
+                v = _arith_decode_magnitude(
+                    dec, bins, st + 2 + sign, chain
+                )
+                if v is None:
+                    return None
+                diff = -v if sign else v
+            drow[y & 1][x] = diff
+            g = grids[cid]
+            if fresh_sample:
+                px = default
+            elif y == first_line:
+                px = g[y][x - 1]
+            elif x == 0:
+                px = g[y - 1][0]
+            else:
+                px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
+            g[y][x] = (px + diff) & 0xFFFF
+        fresh_sample = False
+    return _skip_entropy(buf, dec.bp)
+
+
+def _parse_jpeg_arith_lossless(
+    payload: bytes,
+) -> tuple[int, int, float] | None:
+    """Parse and REALLY decode a LOSSLESS ARITHMETIC JPEG (SOF11) ->
+    (width, height, mean_byte): the Annex H.1 predictive walk of the
+    Huffman lossless path with the Annex H.2 QM-coded difference
+    model. Exact sample reconstruction; mean scales like
+    :func:`_parse_jpeg_lossless`."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    dc_cond: dict[int, tuple[int, int]] = {}
+    comps = None
+    width = height = None
+    restart_interval = 0
+    precision = 0
+    grids: dict[int, list[list[int]]] = {}
+    comp_tabs: dict[int, int] = {}
+    saw_scan = False
+    pt_last = 0
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        seg = payload[i + 2 : i + seg_len]
+        i += seg_len
+        if marker == 0xCC:
+            p = 0
+            while p + 2 <= len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                if tc == 0:
+                    dc_cond[tb] = (seg[p + 1] & 15, seg[p + 1] >> 4)
+                p += 2
+        elif marker == 0xCB:  # SOF11
+            if len(seg) < 6:
+                return None
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc or not (0 < width and 0 < height):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp = seg[6 + 3 * c], seg[7 + 3 * c]
+                if samp != 0x11:
+                    return None  # standard lossless layout only
+                comps.append(cid)
+                grids[cid] = [[0] * width for _ in range(height)]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCD, 0xCE, 0xCF):
+            return None
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            if comps is None:
+                return None
+            ns = seg[0] if seg else 0
+            if len(seg) < 4 + 2 * ns:
+                return None
+            scan_comps = []
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                if cid not in grids:
+                    return None
+                scan_comps.append((cid, seg[2 + 2 * c] >> 4))
+            predictor = seg[1 + 2 * ns]
+            pt_last = seg[3 + 2 * ns] & 15
+            nxt = _arith_lossless_scan(
+                payload, i, precision, width, height, scan_comps,
+                dc_cond, restart_interval, predictor, pt_last, grids,
+            )
+            if nxt is None:
+                return None
+            for cid, _ in scan_comps:
+                comp_tabs[cid] = 1
+            saw_scan = True
+            i = nxt
+    if not saw_scan or comps is None:
+        return None
+    total = 0
+    cnt = 0
+    first = grids[comps[0]]
+    for row in first:
+        for v in row:
+            total += v << pt_last
+            cnt += 1
+    mean = total / cnt * 255.0 / ((1 << precision) - 1)
+    return width, height, min(255.0, max(0.0, mean))
+
+
+def encode_jpeg_arith_lossless(
+    planes: list[list[list[int]]],
+    predictor: int = 1,
+    pt: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """SOF11 fixture encoder — the dual of
+    :func:`_parse_jpeg_arith_lossless` for round-trip tests, sharing
+    :func:`encode_jpeg_lossless`'s H.1 conventions (point transform,
+    modulo-2^16 minimal representative, restart first-line rule)."""
+    if predictor not in _LL_PREDICT:
+        raise ValueError("predictor must be 1..7")
+    h = len(planes[0])
+    w = len(planes[0][0])
+    coded = [
+        [[v >> pt for v in row] for row in plane] for plane in planes
+    ]
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
+    for c in range(len(planes)):
+        sof += bytes([c + 1, 0x11, 0])
+    out += bytes([0xFF, 0xCB]) + struct.pack(">H", len(sof) + 2) + sof
+    out += bytes([0xFF, 0xCC]) + struct.pack(">H", 4) + bytes([0x00, 0x10])
+    if restart_interval:
+        out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
+    scan = bytes([len(planes)])
+    for c in range(len(planes)):
+        scan += bytes([c + 1, 0x00])
+    scan += bytes([predictor, 0, pt & 15])
+    out += _sos(scan)
+    default = 1 << (precision - pt - 1)
+    pred_fn = _LL_PREDICT[predictor]
+    small = (1 << 1) >> 1  # default U = 1
+
+    def fresh():
+        enc = _QmEncoder()
+        # every component's scan slot names DC table 0, so they SHARE
+        # one statistics area (T.81 keys statistics by table
+        # destination, not by component — the decoder does the same)
+        stats = bytearray(_QM_LL_BINS)
+        diffs = [[[0] * w for _ in range(2)] for _ in planes]
+        return enc, stats, diffs
+
+    enc, stats, dgrid = fresh()
+    fresh_sample = True
+    first_line = 0
+    rst = 0
+    for m in range(w * h):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            enc, stats, dgrid = fresh()
+            fresh_sample = True
+            first_line = m // w
+        y, x = divmod(m, w)
+        for ci, g in enumerate(coded):
+            if fresh_sample:
+                px = default
+            elif y == first_line:
+                px = g[y][x - 1]
+            elif x == 0:
+                px = g[y - 1][0]
+            else:
+                px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
+            diff = ((g[y][x] - px + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                diff = 32768  # modulo-2^16 positive representative
+            drow = dgrid[ci]
+            da = drow[y & 1][x - 1] if x else 0
+            db = drow[(y - 1) & 1][x] if y else 0
+            bins = stats
+            st = 4 * (5 * _ll_cat(da, small) + _ll_cat(db, small))
+            if diff == 0:
+                enc.encode(bins, st, 0)
+            else:
+                enc.encode(bins, st, 1)
+                sign = 1 if diff < 0 else 0
+                enc.encode(bins, st + 1, sign)
+                chain = (
+                    _QM_LL_CHAIN_B
+                    if _ll_cat(db, small) >= 3
+                    else _QM_LL_CHAIN_A
+                )
+                v = -diff if sign else diff
+                sz = v - 1
+                p2 = st + 2 + sign
+                mm = 0
+                if sz:
+                    enc.encode(bins, p2, 1)
+                    mm = 1
+                    v2 = sz
+                    p2 = chain
+                    while v2 >> 1:
+                        enc.encode(bins, p2, 1)
+                        mm <<= 1
+                        v2 >>= 1
+                        p2 += 1
+                enc.encode(bins, p2, 0)
+                p2 += 14
+                m2 = mm
+                while m2 > 1:
+                    m2 >>= 1
+                    enc.encode(bins, p2, 1 if (sz & m2) else 0)
+            drow[y & 1][x] = diff
+        fresh_sample = False
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _ArithBlockEncoder:
     """Annex F sequential ENCODER (Figures F.4-F.9) over the
     QM-coder — the dual of :func:`_arith_scan_blocks` for round-trip
@@ -2721,24 +3059,25 @@ def decode_image(
         or _parse_jpeg_lossless(payload)
         or _parse_jpeg_arith(payload)
         or _parse_jpeg_arith_progressive(payload)
+        or _parse_jpeg_arith_lossless(payload)
     )
     if out is not None:
         return out
-    # hierarchical / lossless-arithmetic JPEG: the frame header
-    # still yields real dimensions — return them with a NULL mean
-    # instead of raising (baseline, extended-sequential 12-bit,
-    # progressive, lossless Huffman, AND the arithmetic SOF9/SOF10
-    # modes now decode for real above)
+    # hierarchical JPEG: the frame header still yields real
+    # dimensions — return them with a NULL mean instead of raising
+    # (every non-hierarchical JPEG mode now decodes for real above:
+    # baseline, extended sequential incl. 12-bit, progressive,
+    # lossless, and the arithmetic SOF9/SOF10/SOF11 forms)
     dims = _parse_jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], None
     if not fake:
         raise NotImplementedError(
-            "only netpbm/PNG/BMP/JPEG (baseline + progressive + "
-            "lossless + sequential/progressive-arithmetic) decode "
-            "in pure Python; the remaining JPEG modes (lossless "
-            "arithmetic, hierarchical) and video codecs require "
-            "PIL/ffmpeg — pass fake=True or swap in a real decoder"
+            "only netpbm/PNG/BMP/JPEG (every non-hierarchical mode: "
+            "baseline, progressive, lossless, and the arithmetic "
+            "SOF9/SOF10/SOF11 forms) decode in pure Python; "
+            "hierarchical JPEG and video codecs require PIL/ffmpeg "
+            "— pass fake=True or swap in a real decoder"
         )
     n = len(payload)
     width = 64 + (n % 577)
@@ -2815,7 +3154,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
 def fixture_features(
     df: DataFrame,
     formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "ljpeg", "ajpeg",
-                      "apjpeg", "avi"),
+                      "apjpeg", "aljpeg", "avi"),
     text_col: str = "text",
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -2890,6 +3229,17 @@ def fixture_features(
                 [((n_txt + 83 * i) % 256 - 128, [0] * 63)
                  for i in range(hb)],
                 restart_interval=3 if n_txt % 2 else 0,
+            )
+        if fmt == "aljpeg":  # lossless arithmetic (SOF11, H.2)
+            hl = 1 + (n_txt % 24)
+            plane = [
+                [(n_txt + 19 * y + 7 * x) % 256 for x in range(8)]
+                for y in range(hl)
+            ]
+            return encode_jpeg_arith_lossless(
+                [plane],
+                predictor=1 + (n_txt % 7),
+                restart_interval=4 if n_txt % 4 == 0 else 0,
             )
         nf = 1 + (n_txt % 4)
         frames = [

@@ -260,6 +260,90 @@ def test_progressive_mutation_fuzz_never_raises():
         assert got is None or math.isfinite(got[2])
 
 
+def test_lossless_arithmetic_roundtrip_exactly():
+    """SOF11 (Annex H.2 over the QM-coder): every predictor, point
+    transforms, restart intervals, multi-component (SHARED statistics
+    per DC table destination), 8/12/16-bit — exact reconstruction."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_arith_lossless,
+        encode_jpeg_arith_lossless,
+    )
+
+    rng = random.Random(61)
+    for trial in range(60):
+        ncomp = rng.choice((1, 2, 3))
+        h, w = rng.randrange(1, 9), rng.randrange(1, 9)
+        pred = rng.randrange(1, 8)
+        pt = rng.choice((0, 0, 1, 2))
+        ri = rng.choice((0, 0, 3, 5))
+        prec = rng.choice((8, 8, 12, 16))
+        planes = [
+            [
+                [rng.randrange(1 << prec) & ~((1 << pt) - 1) for _ in range(w)]
+                for _ in range(h)
+            ]
+            for _ in range(ncomp)
+        ]
+        p = encode_jpeg_arith_lossless(
+            planes, predictor=pred, pt=pt, precision=prec,
+            restart_interval=ri,
+        )
+        got = _parse_jpeg_arith_lossless(p)
+        assert got is not None, (trial, pred, pt, ri, prec)
+        want = min(
+            255.0,
+            sum(v for r in planes[0] for v in r)
+            / (w * h) * 255 / ((1 << prec) - 1),
+        )
+        assert (got[0], got[1]) == (w, h)
+        assert abs(got[2] - want) < 1e-9, (trial, got[2], want)
+
+
+def test_lossless_arithmetic_vs_huffman_cross_check():
+    """The same plane through SOF3 (Huffman lossless) and SOF11
+    (arithmetic lossless) shares the H.1 prediction layer — identical
+    (width, height, mean) through disjoint entropy coders."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_arith_lossless,
+        _parse_jpeg_lossless,
+        encode_jpeg_arith_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(67)
+    for _ in range(10):
+        h, w = rng.randrange(2, 9), rng.randrange(2, 9)
+        pred = rng.randrange(1, 8)
+        plane = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        hm = _parse_jpeg_lossless(encode_jpeg_lossless([plane], predictor=pred))
+        am = _parse_jpeg_arith_lossless(
+            encode_jpeg_arith_lossless([plane], predictor=pred)
+        )
+        assert hm == am
+
+
+def test_lossless_arithmetic_mutation_fuzz():
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _parse_jpeg_arith_lossless,
+        encode_jpeg_arith_lossless,
+    )
+
+    rng = random.Random(71)
+    plane = [[rng.randrange(256) for _ in range(8)] for _ in range(6)]
+    base = encode_jpeg_arith_lossless([plane], predictor=4, restart_interval=5)
+    start = _sos_end(base)
+    for _ in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(start, len(buf))] = rng.randrange(256)
+        got = _parse_jpeg_arith_lossless(bytes(buf))
+        if got is not None:
+            assert math.isfinite(got[2])
+    for cut in range(start, len(base), 5):
+        got = _parse_jpeg_arith_lossless(base[:cut])
+        assert got is None or math.isfinite(got[2])
+
+
 def test_corrupt_dims_bounded():
     """A mutated dims field must abort via the MCU sanity cap rather
     than grinding through synthesized zero-bit decisions."""
