@@ -1366,15 +1366,19 @@ class _QmDecoder:
         return b
 
     def decode(self, bins: bytearray, i: int) -> int:
+        # hot path: local-variable mirror of the registers (Python
+        # attribute access dominates the per-decision cost; the
+        # multimodal bench leg runs millions of decisions per batch)
         st = bins[i]
         idx, mps = st >> 1, st & 1
         qe, nmps, nlps, switch = _QM_TABLE[idx]
-        self.a -= qe
-        if (self.c >> 16) >= self.a:
+        a = self.a - qe
+        c = self.c
+        if (c >> 16) >= a:
             # upper subinterval
-            self.c -= self.a << 16
-            exchanged = self.a < qe
-            self.a = qe
+            c -= a << 16
+            exchanged = a < qe
+            a = qe
             if exchanged:
                 d = mps
                 if idx != _QM_FIXED:
@@ -1385,8 +1389,8 @@ class _QmDecoder:
                     if switch:
                         mps ^= 1
                     bins[i] = (nlps << 1) | mps
-        elif self.a & 0x8000 == 0:
-            if self.a < qe:
+        elif a & 0x8000 == 0:
+            if a < qe:
                 d = mps ^ 1
                 if idx != _QM_FIXED:
                     if switch:
@@ -1397,14 +1401,19 @@ class _QmDecoder:
                 if idx != _QM_FIXED:
                     bins[i] = (nmps << 1) | mps
         else:
+            self.a = a
             return mps
-        while self.a & 0x8000 == 0:
-            if self.ct == 0:
-                self.c |= self._next_byte() << 8
-                self.ct = 8
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.a = (self.a << 1) & 0xFFFF
-            self.ct -= 1
+        ct = self.ct
+        while a & 0x8000 == 0:
+            if ct == 0:
+                c |= self._next_byte() << 8
+                ct = 8
+            c = (c << 1) & 0xFFFFFFFF
+            a = (a << 1) & 0xFFFF
+            ct -= 1
+        self.a = a
+        self.c = c
+        self.ct = ct
         return d
 
 
@@ -2142,6 +2151,19 @@ def _arith_lossless_scan(
     fresh_sample = True
     first_line = 0
     rst = 0
+
+    def slots():
+        # hoist the per-sample dict lookups: (small, bins, drow, g)
+        # are scan-constant per component slot
+        out = []
+        for cid, td in scan_comps:
+            _L, U = dc_cond.get(td, (0, 1))
+            out.append(
+                ((1 << U) >> 1, stats[td], dgrid[cid], grids[cid])
+            )
+        return out
+
+    comp_slots = slots()
     for m in range(width * height):
         if restart_interval and m and m % restart_interval == 0:
             mk = _arith_next_marker(buf, dec.bp)
@@ -2149,15 +2171,12 @@ def _arith_lossless_scan(
                 return None
             rst += 1
             stats, dgrid = fresh()
+            comp_slots = slots()
             dec = _QmDecoder(buf, mk + 2)
             fresh_sample = True
             first_line = m // width
         y, x = divmod(m, width)
-        for cid, td in scan_comps:
-            L, U = dc_cond.get(td, (0, 1))
-            small = (1 << U) >> 1
-            bins = stats[td]
-            drow = dgrid[cid]
+        for small, bins, drow, g in comp_slots:
             da = drow[y & 1][x - 1] if x else 0
             db = drow[(y - 1) & 1][x] if y else 0
             st = 4 * (5 * _ll_cat(da, small) + _ll_cat(db, small))
@@ -2177,7 +2196,6 @@ def _arith_lossless_scan(
                     return None
                 diff = -v if sign else v
             drow[y & 1][x] = diff
-            g = grids[cid]
             if fresh_sample:
                 px = default
             elif y == first_line:
