@@ -46,6 +46,16 @@ def test_qe_table_invariants():
     ]
     # the fixed bin self-loops and never switches
     assert _QM_TABLE[_QM_FIXED][1:] == (_QM_FIXED, _QM_FIXED, 0)
+    # adaptation direction: an MPS renorm always sharpens the
+    # estimate (Qe non-increasing); an LPS relaxes it (Qe
+    # non-decreasing) except at the SWITCH states, where the MPS
+    # sense flips and the chain restarts sharper for the flipped
+    # sense — universal in Table D.3, so a transposed digit or a
+    # swapped transition in the transcription trips here
+    for i, (qe, nmps, nlps, s) in enumerate(_QM_TABLE[:113]):
+        assert _QM_TABLE[nmps][0] <= qe, i
+        if not s:
+            assert _QM_TABLE[nlps][0] >= qe, i
 
 
 def test_qm_roundtrip_fuzz():
