@@ -354,6 +354,25 @@ def test_lossless_arithmetic_mutation_fuzz():
         assert got is None or math.isfinite(got[2])
 
 
+def test_hierarchical_yields_dims_with_null_mean():
+    """The one remaining JPEG boundary: a hierarchical stream (DHP +
+    differential SOF5 frame) surfaces real dimensions with a NULL
+    mean through decode_image — no exception, no guess."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    frame = struct.pack(">BHHB", 8, 24, 16, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDE, frame)   # DHP
+        + seg(0xC5, frame)   # differential sequential frame
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\xff\xd9"
+    )
+    assert decode_image(payload) == (16, 24, None)
+
+
 def test_corrupt_dims_bounded():
     """A mutated dims field must abort via the MCU sanity cap rather
     than grinding through synthesized zero-bit decisions."""
