@@ -1661,9 +1661,11 @@ def test_group_array_sorted_and_sum_count(spark):
 
 
 def test_exponential_smoothing_fused_parity(spark):
-    """The fused one-Exchange operator must equal the two single
-    operators BITWISE (identical quantized terms and finals), and
-    its plan must carry exactly one hash Exchange."""
+    """The fused operator must equal the two single operators BITWISE
+    (identical quantized terms and finals). Plan shape (r10): the
+    t_max anchor comes from a tiny per-group aggregate joined back —
+    NO window (the window form materialized every group's rows in one
+    task buffer, 2.0x at 10x data), two bounded hash Exchanges."""
     import random
 
     from carbon_clickhouse_spark.operators.ch_aggregates import (
@@ -1703,7 +1705,8 @@ def test_exponential_smoothing_fused_parity(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" not in plan
 
 
 def test_group_array_intersect(spark):
