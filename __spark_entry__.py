@@ -6027,6 +6027,42 @@ def _all_oracle_sql() -> dict[str, str]:
     return {k: _correctly_rounded_doubles(v) for k, v in oracles.items()}
 
 
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of ``sql`` with the contents of single-quoted
+    string literals (including escaped ``''``) and ``--`` comments
+    replaced by NULs, so the lexical scans in
+    :func:`_correctly_rounded_doubles` / :func:`_agg_alias_names`
+    never match ``CAST(`` / ``sum(`` / unbalanced parens INSIDE a
+    literal or comment. Structure characters keep their positions, so
+    indices computed on the mask slice the original text safely."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x00"
+            i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            if j < 0:
+                j = n
+            for k in range(i, j):
+                out[k] = "\x00"
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _correctly_rounded_doubles(sql: str) -> str:
     """Route exact-aggregate -> DOUBLE casts through VARCHAR.
 
@@ -6052,38 +6088,51 @@ def _correctly_rounded_doubles(sql: str) -> str:
     string parses to a DIFFERENT double than exact float32 widening
     (0.1f -> "0.1" -> 0.1d != 0.10000000149d), so blanket rewriting
     would corrupt the embedding quantizers. Computed-double casts
-    like ``CAST('nan' AS DOUBLE)`` stay untouched too."""
+    like ``CAST('nan' AS DOUBLE)`` stay untouched too.
+
+    The scan works on a literal/comment-masked copy of the text
+    (:func:`_mask_literals`) so ``CAST(`` inside a quoted string or
+    a ``--`` comment is never rewritten and literal parens never skew
+    the balance. Known limitation (documented, backstopped by
+    ``test_every_oracle_still_parses``): bare-alias matching is
+    whole-statement, not per-CTE — an alias name defined as a
+    sum/count in one CTE and reused for a non-aggregate column in
+    another would both be rewritten; no current oracle does this and
+    the identity DOUBLE->VARCHAR->DOUBLE round-trip keeps even that
+    case semantics-preserving for any numeric type except FLOAT."""
     import re
 
     out: list[str] = []
     i, n = 0, len(sql)
+    masked = _mask_literals(sql)
     bare = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     agg_aliases = set(_agg_alias_names(sql))
     while i < n:
-        j = sql.find("CAST(", i)
+        j = masked.find("CAST(", i)
         if j < 0:
             out.append(sql[i:])
             break
         out.append(sql[i:j])
         depth, k = 0, j + 4
         while k < n:
-            if sql[k] == "(":
+            if masked[k] == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif masked[k] == ")":
                 depth -= 1
                 if depth == 0:
                     break
             k += 1
         inner = sql[j + 5 : k]
+        inner_m = masked[j + 5 : k]
         # last top-level " AS " splits expr from the target type
         d2, aspos = 0, -1
-        for m in range(len(inner) - 3):
-            c = inner[m]
+        for m in range(len(inner_m) - 3):
+            c = inner_m[m]
             if c == "(":
                 d2 += 1
             elif c == ")":
                 d2 -= 1
-            elif d2 == 0 and inner[m : m + 4] == " AS ":
+            elif d2 == 0 and inner_m[m : m + 4] == " AS ":
                 aspos = m
         if aspos >= 0:
             expr, typ = inner[:aspos].strip(), inner[aspos + 4 :].strip()
@@ -6109,29 +6158,33 @@ def _agg_alias_names(sql: str):
     aggregates (optionally windowed): these are exact HUGEINT/BIGINT
     quantities whose -> DOUBLE cast must be correctly rounded. Only
     such aliases are eligible for the bare-identifier rewrite in
-    :func:`_correctly_rounded_doubles`."""
+    :func:`_correctly_rounded_doubles`. Scans the literal/comment-
+    masked text so ``sum(`` inside a string or comment never
+    matches and literal parens never skew the balance."""
     import re
 
-    low = sql.lower()
+    masked = _mask_literals(sql)
+    low = masked.lower()
     for m in re.finditer(r"\b(sum|count)\s*\(", low):
         # balanced close of the call
         depth, k = 0, m.end() - 1
-        while k < len(sql):
-            if sql[k] == "(":
+        while k < len(masked):
+            if masked[k] == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif masked[k] == ")":
                 depth -= 1
                 if depth == 0:
                     break
             k += 1
         rest = sql[k + 1 :]
-        w = re.match(r"\s*OVER\s*\(", rest, re.IGNORECASE)
+        rest_m = masked[k + 1 :]
+        w = re.match(r"\s*OVER\s*\(", rest_m, re.IGNORECASE)
         if w:
             depth, k2 = 0, w.end() - 1
-            while k2 < len(rest):
-                if rest[k2] == "(":
+            while k2 < len(rest_m):
+                if rest_m[k2] == "(":
                     depth += 1
-                elif rest[k2] == ")":
+                elif rest_m[k2] == ")":
                     depth -= 1
                     if depth == 0:
                         break

@@ -3062,9 +3062,11 @@ def decode_image(
     """Decode one image payload -> (width, height, mean_byte).
 
     netpbm (P5/P6), PNG, BMP, baseline JPEG, progressive JPEG
-    (SOF2 DC-band entropy decode), and LOSSLESS JPEG (SOF3 Annex-H
-    predictive decode, r9) decode for real in pure Python. An
-    arithmetic-coded JPEG returns real dimensions with
+    (SOF2 DC-band entropy decode), LOSSLESS JPEG (SOF3 Annex-H
+    predictive decode, r9), and the arithmetic-coded JPEG forms
+    (SOF9 sequential, SOF10 progressive, SOF11 lossless — r10
+    QM-coder decode) all decode for real in pure Python. A
+    HIERARCHICAL JPEG (Annex K) returns real dimensions with
     ``mean_byte=None``. Other formats need a codec
     library this container does not ship; they raise unless
     ``fake=True`` selects the deterministic byte-derived stand-in

@@ -1977,6 +1977,8 @@ def corr_matrix(
     scale-free. Zero-variance columns yield nan correlations."""
     gcols = list(group_cols)
     vcols = list(value_cols)
+    if len(vcols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
     agg = (
         df.filter(corr_matrix_filter(vcols))
         .groupBy(*gcols)
@@ -1989,6 +1991,8 @@ def corr_matrix_filter(value_cols: Sequence[str]):
     """Row predicate shared by :func:`corr_matrix` and the streaming
     twin: rows with NULL/NaN in ANY column drop (one population for
     every pair)."""
+    if len(value_cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
     cond = None
     for c in value_cols:
         cc = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
@@ -2444,9 +2448,31 @@ def _with_group_tmax(base: DataFrame, gcols: Sequence[str]) -> DataFrame:
     (the group_array_intersect r10 precedent). Downstream arithmetic
     is unchanged — same t_max, same quantized terms, same order-free
     decimal sums — so results stay bit-identical (extra-registry
-    oracles re-verify)."""
-    tmax = base.groupBy(*gcols).agg(F.max("__t").alias("__tmax"))
-    return base.join(tmax, list(gcols))
+    oracles re-verify).
+
+    The join key is ONE ``struct(*gcols)`` column (``__gkey``), which
+    buys two things at once (r11 ADVICE fix): (1) NULL-SAFETY —
+    struct equality compares NULL fields as equal, so NULL group keys
+    survive the join-back exactly as the window form (own partition)
+    and ClickHouse GROUP BY (own group) keep them, where a plain
+    name-equality join silently dropped them; (2) CO-PARTITIONING —
+    the join's hashpartitioning(__gkey) is the same distribution the
+    callers' downstream ``groupBy("__gkey")`` needs, so the whole
+    family stays at two bounded Exchanges (an ``eqNullSafe``
+    condition-join would rewrite the keys to coalesce/isnull pairs
+    and double the big-side shuffles to four). Callers group by
+    ``__gkey`` and unpack via :func:`_gkey_select`. Pinned by the
+    NULL-group-key parity test + the fused plan-shape test."""
+    key = F.struct(*[F.col(c) for c in gcols]) if gcols else F.lit(0)
+    keyed = base.select(key.alias("__gkey"), "__v", "__t")
+    tmax = keyed.groupBy("__gkey").agg(F.max("__t").alias("__tmax"))
+    return keyed.join(tmax, ["__gkey"])
+
+
+def _gkey_select(gcols: Sequence[str]) -> list:
+    """Unpack the :func:`_with_group_tmax` struct key back into the
+    caller's named group columns for the final select."""
+    return [F.col("__gkey").getField(c).alias(c) for c in gcols]
 
 
 def exponential_moving_average(
@@ -2494,12 +2520,14 @@ def exponential_moving_average(
         F.lit(2.0), (F.col("__t") - tmax) / F.lit(float(half_decay))
     )
     term = (F.col("__v") * weight).cast("decimal(28,12)")
-    agg = base.select(*gcols, term.alias("__term")).groupBy(*gcols).agg(
-        F.sum("__term").alias("__sum")
+    agg = (
+        base.select("__gkey", term.alias("__term"))
+        .groupBy("__gkey")
+        .agg(F.sum("__term").alias("__sum"))
     )
     norm = 1.0 - 2.0 ** (-1.0 / float(half_decay))
     return agg.select(
-        *gcols,
+        *_gkey_select(gcols),
         (F.col("__sum").cast("double") * F.lit(norm)).alias("ema"),
     )
 
@@ -2544,15 +2572,15 @@ def exponential_time_decayed_avg(
     den_t = weight.cast("decimal(28,12)")
     agg = (
         base.select(
-            *gcols, num_t.alias("__num"), den_t.alias("__den")
+            "__gkey", num_t.alias("__num"), den_t.alias("__den")
         )
-        .groupBy(*gcols)
+        .groupBy("__gkey")
         .agg(F.sum("__num").alias("__n"), F.sum("__den").alias("__d"))
     )
     den = F.col("__d").cast("double")
     nan = F.lit(float("nan"))
     return agg.select(
-        *gcols,
+        *_gkey_select(gcols),
         F.when(den == 0.0, nan)
         .otherwise(F.col("__n").cast("double") / den)
         .alias("decayed_avg"),
@@ -2594,12 +2622,12 @@ def exponential_smoothing(
     w_avg = F.exp((F.col("__t") - tmax) / F.lit(float(decay)))
     agg = (
         base.select(
-            *gcols,
+            "__gkey",
             (F.col("__v") * w_ema).cast("decimal(28,12)").alias("__e"),
             (F.col("__v") * w_avg).cast("decimal(28,12)").alias("__n"),
             w_avg.cast("decimal(28,12)").alias("__d"),
         )
-        .groupBy(*gcols)
+        .groupBy("__gkey")
         .agg(
             F.sum("__e").alias("__es"),
             F.sum("__n").alias("__ns"),
@@ -2610,7 +2638,7 @@ def exponential_smoothing(
     den = F.col("__ds").cast("double")
     nan = F.lit(float("nan"))
     return agg.select(
-        *gcols,
+        *_gkey_select(gcols),
         (F.col("__es").cast("double") * F.lit(norm)).alias("ema"),
         F.when(den == 0.0, nan)
         .otherwise(F.col("__ns").cast("double") / den)
@@ -2671,9 +2699,9 @@ def exponential_time_decayed(
     wterm = weight.cast("decimal(28,12)")
     agg = (
         base.select(
-            *gcols, vterm.alias("__vt"), wterm.alias("__wt")
+            "__gkey", vterm.alias("__vt"), wterm.alias("__wt")
         )
-        .groupBy(*gcols)
+        .groupBy("__gkey")
         .agg(
             F.sum("__vt").alias("__s"),
             F.sum("__wt").alias("__c"),
@@ -2681,7 +2709,7 @@ def exponential_time_decayed(
         )
     )
     return agg.select(
-        *gcols,
+        *_gkey_select(gcols),
         F.col("__s").cast("double").alias("decayed_sum"),
         F.col("__c").cast("double").alias("decayed_count"),
         F.col("__m").cast("double").alias("decayed_max"),

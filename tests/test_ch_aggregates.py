@@ -1529,8 +1529,19 @@ def test_corr_matrix_hand_checked(spark):
         assert abs(gr - cov / math.sqrt(vx * vy)) < 1e-9
     assert out[("a", "a")][1] == 1.0
 
+    # r11 ADVICE: a clean ValueError for <2 columns (not an obscure
+    # Py4J error from filter(None)), from both the operator and the
+    # shared-filter helper the streaming twin calls
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        corr_matrix_filter,
+    )
+
     with _pytest.raises(ValueError):
         corr_matrix(df, ["g"], ["a"])
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["g"], [])
+    with _pytest.raises(ValueError):
+        corr_matrix_filter([])
 
     a = sorted(corr_matrix(df.coalesce(1), ["g"], ["a", "b", "c"]).collect())
     b = sorted(corr_matrix(df.repartition(9), ["g"], ["a", "b", "c"]).collect())
@@ -1707,6 +1718,75 @@ def test_exponential_smoothing_fused_parity(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window" not in plan
+
+
+def test_decayed_family_keeps_null_group_keys(spark):
+    """r11 ADVICE (medium): the _with_group_tmax join-back must be
+    NULL-SAFE on the group keys. The window form it replaced kept
+    NULL keys as their own partition and ClickHouse GROUP BY keeps
+    NULL groups; a name-equality join silently dropped them. Pins:
+    (1) every family member emits the NULL-key group, (2) its values
+    equal a relabeled copy of the same rows bitwise, (3) multi-column
+    keys with partial NULLs survive too."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        exponential_moving_average,
+        exponential_smoothing,
+        exponential_time_decayed,
+        exponential_time_decayed_avg,
+    )
+
+    rows = [
+        (None, 3.0, 1000.0),
+        (None, 5.0, 1010.0),
+        (None, -2.0, 1025.0),
+        ("g", 1.0, 1000.0),
+        ("g", 4.0, 1030.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, t double")
+    # identical rows with the NULL group relabeled to a real key:
+    # the NULL group's numbers must match that key's bitwise
+    relabeled = spark.createDataFrame(
+        [("z" if g is None else g, v, t) for g, v, t in rows],
+        "g string, v double, t double",
+    )
+
+    for fn, cols, params in [
+        (exponential_moving_average, ["ema"], (7.0,)),
+        (exponential_time_decayed_avg, ["decayed_avg"], (11.0,)),
+        (exponential_smoothing, ["ema", "decayed_avg"], (7.0, 11.0)),
+        (
+            exponential_time_decayed,
+            ["decayed_sum", "decayed_count", "decayed_max"],
+            (11.0,),
+        ),
+    ]:
+        got = {r["g"]: r for r in fn(df, ["g"], "v", "t", *params).collect()}
+        assert None in got, f"{fn.__name__} dropped the NULL group"
+        assert set(got) == {None, "g"}
+        ref = {
+            r["g"]: r
+            for r in fn(relabeled, ["g"], "v", "t", *params).collect()
+        }
+        for c in cols:
+            assert got[None][c] == ref["z"][c]  # bitwise
+            assert got["g"][c] == ref["g"][c]
+
+    # multi-column group keys with partial NULLs
+    mdf = spark.createDataFrame(
+        [
+            (None, "a", 2.0, 10.0),
+            (None, "a", 6.0, 20.0),
+            ("x", None, 3.0, 10.0),
+            (None, None, 4.0, 10.0),
+            ("x", "a", 5.0, 10.0),
+        ],
+        "g1 string, g2 string, v double, t double",
+    )
+    got = exponential_moving_average(
+        mdf, ["g1", "g2"], "v", "t", 7.0
+    ).collect()
+    keys = {(r["g1"], r["g2"]) for r in got}
+    assert keys == {(None, "a"), ("x", None), (None, None), ("x", "a")}
 
 
 def test_group_array_intersect(spark):

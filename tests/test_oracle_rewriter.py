@@ -115,3 +115,39 @@ def test_duckdb_misrounding_is_real_and_fixed():
     if struct.pack(">d", direct).hex() == py:
         pytest.skip("this DuckDB build rounds the direct cast correctly")
     assert struct.pack(">d", routed).hex() == py
+
+
+def test_skips_string_literals_and_comments():
+    """r11 ADVICE: the lexical scan must never rewrite CAST( inside a
+    quoted literal or a -- comment, literal parens must not skew the
+    balance, and sum( inside a literal must not mint an alias."""
+    # CAST( inside a string literal stays verbatim
+    sql = "SELECT 'CAST(sum(q) AS DOUBLE)' AS lit, CAST(sum(q) AS DOUBLE) AS s FROM t"
+    out = rw(sql)
+    assert "'CAST(sum(q) AS DOUBLE)'" in out
+    assert "CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS s" in out
+    # CAST( inside a -- comment stays verbatim
+    sql = "SELECT 1 -- CAST(sum(q) AS DOUBLE)\nFROM t"
+    assert rw(sql) == sql
+    # unbalanced paren inside a literal must not derail the scan
+    sql = "SELECT ':-)' AS smile, CAST(count(*) AS DOUBLE) AS n FROM t"
+    out = rw(sql)
+    assert "CAST(CAST(count(*) AS VARCHAR) AS DOUBLE) AS n" in out
+    assert "':-)'" in out
+    # 'sum(' inside a literal must not register an agg alias: bare sv
+    # here is NOT an aggregate alias, so its cast stays untouched
+    sql = "SELECT 'sum(x) AS sv' AS doc, CAST(sv AS DOUBLE) FROM t"
+    assert rw(sql) == sql
+    # escaped quotes ('') inside literals keep the mask in phase
+    sql = "SELECT 'it''s CAST(' AS a, CAST(sum(v) AS DOUBLE) AS s FROM t"
+    out = rw(sql)
+    assert "'it''s CAST('" in out
+    assert "CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS s" in out
+
+
+def test_mask_literals_helper():
+    m = entry._mask_literals("a 'b''c' -- d\ne")
+    assert len(m) == len("a 'b''c' -- d\ne")
+    assert m[0] == "a"[0]
+    assert "b" not in m and "c" not in m and "d" not in m
+    assert m.endswith("e")
