@@ -1680,7 +1680,8 @@ def rank_corr(
     group_cols: Sequence[str],
     x_col: str,
     y_col: str,
-    via_cells: bool = False,
+    via_cells: bool | None = None,
+    probe_rows: int = 100_000,
 ) -> DataFrame:
     """ClickHouse ``rankCorr(x, y)`` per group: Spearman's rank
     correlation with midrank (average-rank) ties — Pearson over the
@@ -1704,19 +1705,33 @@ def rank_corr(
     (same partitioning, two sort orders) and the final partial agg —
     no joins, no per-group collect. The window sort is O(n log n)
     per group (2.9x at 10x data in the SCALING spot-check) — for
-    high-cardinality groups pass ``via_cells=True`` to route through
+    rows >> distinct values, ``via_cells`` routes through
     :func:`rank_corr_cells` + :func:`rank_corr_finals` instead:
     state collapses to the DISTINCT (x, y) joint-value table (the
     streaming twin's mergeable summary), midranks derive from the
     marginals, and the identical DECIMAL sums feed the identical
     IEEE tree, so both forms are BIT-identical (pinned by
-    test_rank_corr_via_cells_bitwise) — the flat-shape escape hatch
-    when rows >> distinct values. Reference parity:
+    test_rank_corr_via_cells_bitwise) — the flat-shape escape hatch.
+
+    ROUTING (r11, verdict #2): ``via_cells=None`` (the default)
+    decides automatically — a bounded probe reads at most
+    ``probe_rows`` rows (CollectLimit: only enough partitions to
+    fill the limit, never a full scan) and counts distinct (x, y)
+    pairs; if the sample is big enough to be informative (>= 1000
+    rows) and at most half its pairs are distinct, the repeating-
+    domain shape is in play and the cells route wins, else the
+    window route. Because both routes are bit-identical, the probe
+    is a pure COST choice — a wrong guess can only cost time, never
+    change a value — but it does launch one small eager job at plan-
+    build time; callers on a hot path pass ``via_cells=True/False``
+    explicitly to skip it. Reference parity:
     ClickHouse ``rankCorr`` (AggregateFunctionRankCorrelation);
     carbon-clickhouse itself has no query layer (README: queries are
     issued to ClickHouse), so the CH aggregate surface is the
     contract, as for the rest of this module."""
     gcols = list(group_cols)
+    if via_cells is None:
+        via_cells = _rank_corr_probe(df, x_col, y_col, probe_rows)
     if via_cells:
         return rank_corr_finals(
             rank_corr_cells(df, gcols, x_col, y_col), gcols
@@ -1768,6 +1783,28 @@ def rank_corr(
         (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
     )
     return agg.select(*gcols, out.alias("rank_corr"))
+
+
+def _rank_corr_probe(
+    df: DataFrame, x_col: str, y_col: str, probe_rows: int
+) -> bool:
+    """Bounded-cost route probe for :func:`rank_corr`: True (take the
+    cells route) when a <=``probe_rows`` sample has >= 1000 rows and
+    at most half of its (x, y) pairs are distinct. ``limit`` compiles
+    to CollectLimit — Spark reads partitions only until the limit
+    fills, so the probe never scans the full input; ``count_distinct``
+    skips NULL pairs, matching the operator's own pair filter. Purely
+    a cost decision: both routes are bit-identical."""
+    row = (
+        df.select(x_col, y_col)
+        .limit(int(probe_rows))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(x_col), F.col(y_col)).alias("d"),
+        )
+        .collect()[0]
+    )
+    return row["n"] >= 1000 and row["d"] * 2 <= row["n"]
 
 
 def rank_corr_cells(

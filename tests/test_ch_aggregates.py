@@ -1082,6 +1082,52 @@ def test_rank_corr_via_cells_bitwise(spark):
             assert a[g] == b[g], g  # bit-for-bit, not approx
 
 
+def test_rank_corr_auto_routing(spark):
+    """r11 (r10 verdict #2): via_cells=None probes a bounded sample
+    and routes automatically. Pins (1) the decision on both shapes —
+    rows >> distinct pairs -> cells, near-all-distinct -> window,
+    sub-1000-row samples -> window (uninformative); (2) three-way
+    bitwise equivalence auto == window == cells on the repeating-
+    domain shape, so a routing flip can never change a value; (3) the
+    explicit flags still skip the probe and force each route."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        _rank_corr_probe,
+        rank_corr,
+    )
+
+    rng = random.Random(7)
+    # rows >> distinct: 4000 rows over a 12x5 joint domain
+    rep = spark.createDataFrame(
+        [
+            ("g%d" % (i % 4), float(rng.randrange(12)), float(rng.randrange(5)))
+            for i in range(4000)
+        ],
+        "g string, x double, y double",
+    )
+    # near-all-distinct: continuous x, unique-ish y
+    dis = spark.createDataFrame(
+        [("g", rng.uniform(0, 1), float(i)) for i in range(4000)],
+        "g string, x double, y double",
+    )
+    tiny = rep.limit(200)
+    assert _rank_corr_probe(rep, "x", "y", 100_000) is True
+    assert _rank_corr_probe(dis, "x", "y", 100_000) is False
+    assert _rank_corr_probe(tiny, "x", "y", 100_000) is False
+
+    auto = {r["g"]: r["rank_corr"] for r in rank_corr(rep, ["g"], "x", "y").collect()}
+    win = {
+        r["g"]: r["rank_corr"]
+        for r in rank_corr(rep, ["g"], "x", "y", via_cells=False).collect()
+    }
+    cel = {
+        r["g"]: r["rank_corr"]
+        for r in rank_corr(rep, ["g"], "x", "y", via_cells=True).collect()
+    }
+    assert auto == win == cel  # bit-for-bit
+
+
 def test_theils_u_ch_documented_example(spark):
     """The ClickHouse docs' own worked example:
     theilsU(a, b) over (number % 10, number % 4) x 150 rows =
