@@ -1446,10 +1446,13 @@ def q_multimodal_features(spark, sf_dir):
     scans, restart interval 3 on odd nb), and LOSSLESS (SOF11, Annex
     H.2 conditioning, predictors cycling nb%7, restart interval 4 on
     nb%4==0) — through the adaptive binary arithmetic decoder (r10)
-    — all via Arrow-batched mapInPandas, unioned with a fmt
-    discriminator. The oracle reproduces every feature in closed
-    form over the text length, so every real decode path is
-    hash-checked end-to-end."""
+    — AND deterministic HIERARCHICAL JPEGs (DHP + non-differential
+    first frame cycling baseline/arith/lossless via nb%3, plus a
+    differential refinement frame the decoder stops before) through
+    the Annex K first-frame splice (r11) — all via Arrow-batched
+    mapInPandas, unioned with a fmt discriminator. The oracle
+    reproduces every feature in closed form over the text length, so
+    every real decode path is hash-checked end-to-end."""
     from carbon_clickhouse_spark.datapipe.multimodal import fixture_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -4106,6 +4109,27 @@ def _all_oracle_sql() -> dict[str, str]:
               JOIN (SELECT unnest(range(0, 8)) AS x) xx ON true
               GROUP BY m.doc_id, m.nb
             )
+            , hjpeg AS (
+              -- hierarchical (Annex K, r11): DHP + a non-differential
+              -- first frame at full resolution (mode cycles
+              -- baseline/arith/lossless via nb%3; restart interval 2
+              -- when nb%5 == 0; a differential refinement frame
+              -- appended on even nb that the decoder stops before).
+              -- Block i of 1 + nb%16 is the constant (nb + 29*i) %
+              -- 256 and the hierarchy keeps resolution, so the
+              -- first-frame mean IS the image mean — the same plain
+              -- average as the flat modes (the lossless variant's
+              -- per-sample mean equals the block mean bit-for-bit:
+              -- numerator and denominator both scale by 64, a power
+              -- of two)
+              SELECT m.doc_id, 'hjpeg' AS fmt,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 * (1 + m.nb % 16) AS BIGINT) AS height,
+                     round(avg((m.nb + 29 * s.i) % 256), 4) AS mean_byte
+              FROM m JOIN (SELECT unnest(range(0, 16)) AS i) s
+                ON s.i < 1 + m.nb % 16
+              GROUP BY m.doc_id, m.nb
+            )
             SELECT * FROM pixel_cycle
             UNION ALL SELECT * FROM jpeg
             UNION ALL SELECT * FROM pjpeg
@@ -4113,6 +4137,7 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM ajpeg
             UNION ALL SELECT * FROM apjpeg
             UNION ALL SELECT * FROM aljpeg
+            UNION ALL SELECT * FROM hjpeg
             UNION ALL SELECT * FROM avi
         """,
     }

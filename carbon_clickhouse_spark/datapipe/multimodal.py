@@ -513,6 +513,136 @@ def _parse_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _parse_jpeg_hierarchical(
+    payload: bytes,
+) -> tuple[int, int, float | None] | None:
+    """Hierarchical JPEG (T.81 Annex K): decode the NON-DIFFERENTIAL
+    first frame for real (r11, verdict #3).
+
+    A hierarchical stream is SOI, tables/misc, DHP (0xDE — same
+    syntax as a frame header, declares the FULL image dims), then a
+    sequence of frames: the first MUST be non-differential (K.2 —
+    SOF0/1/2/3/9/10/11), later ones differential (SOF5/6/7/13/14/15)
+    and/or preceded by EXP (0xDF) reference-grid expansion. The first
+    frame alone is a complete image at its own resolution, so this
+    splices it out — everything before DHP (tables), everything after
+    DHP up to the first frame boundary (next DHP/EXP/SOFn/EOI after
+    its scans), EOI appended — and routes the splice through the
+    SAME flat decoders (baseline/progressive/lossless and the three
+    arithmetic forms). Returns ``(dhp_width, dhp_height, mean)``:
+    dims are the DHP full-image declaration, the mean is the decoded
+    first frame's mean (exact when the hierarchy does not change
+    resolution; the low-pass approximation of the full mean when it
+    does — documented, deterministic either way). The differential
+    refinement frames stay fenced: spec-invalid streams whose FIRST
+    frame is differential, or a first frame the flat decoders reject,
+    yield ``(dims, None)`` — the boundary behavior pinned in r10
+    (commit 077b8eb) is preserved exactly for those. Returns None
+    for any stream without a DHP (not hierarchical).
+
+    Reference: ITU-T T.81 Annex K (hierarchical mode), B.2.2 (frame
+    header syntax shared by DHP), B.3 (EXP segment)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    i = 2
+    dhp_span = None
+    width = height = None
+    # walk to DHP, proving no flat frame precedes it
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            return None
+        (ln,) = struct.unpack_from(">H", payload, i + 2)
+        if ln < 2 or i + 2 + ln > n:
+            return None
+        if marker == 0xDE:
+            seg = payload[i + 4 : i + 2 + ln]
+            if len(seg) < 5:
+                return None
+            height, width = struct.unpack_from(">HH", seg, 1)
+            if not (width and height):
+                return None
+            dhp_span = (i, i + 2 + ln)
+            i += 2 + ln
+            break
+        if marker == 0xDA or (
+            0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+        ):
+            return None  # flat JPEG — not hierarchical
+        i += 2 + ln
+    if dhp_span is None:
+        return None
+    # first frame: tables/misc, one non-differential SOF, its scans,
+    # up to the frame boundary
+    sof_seen = False
+    frame_end = None
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return width, height, None
+        marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            frame_end = i
+            break
+        if marker in (0xDE, 0xDF):
+            # next hierarchy element; EXP before any SOF would mean
+            # an expanded (differential) first frame — fenced
+            frame_end = i
+            break
+        if i + 4 > n:
+            return width, height, None
+        (ln,) = struct.unpack_from(">H", payload, i + 2)
+        if ln < 2 or i + 2 + ln > n:
+            return width, height, None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if sof_seen:
+                frame_end = i  # next frame begins: first one ends
+                break
+            if marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+                # differential FIRST frame: spec-invalid ordering —
+                # keep the pinned dims + NULL-mean boundary
+                return width, height, None
+            sof_seen = True
+        i += 2 + ln
+        if marker == 0xDA:
+            # entropy-coded data: to the next unstuffed non-RST marker
+            while i + 1 < n:
+                if (
+                    payload[i] == 0xFF
+                    and payload[i + 1] != 0x00
+                    and not (0xD0 <= payload[i + 1] <= 0xD7)
+                ):
+                    break
+                i += 1
+    if not sof_seen:
+        return width, height, None
+    if frame_end is None:
+        frame_end = min(i, n)  # truncated: let the decoder judge
+    sub = (
+        payload[: dhp_span[0]]
+        + payload[dhp_span[1] : frame_end]
+        + b"\xff\xd9"
+    )
+    dec = (
+        _parse_jpeg(sub)
+        or _parse_jpeg_lossless(sub)
+        or _parse_jpeg_arith(sub)
+        or _parse_jpeg_arith_progressive(sub)
+        or _parse_jpeg_arith_lossless(sub)
+    )
+    if dec is None:
+        return width, height, None
+    return width, height, dec[2]
+
+
 def _parse_jpeg_exact(
     payload: bytes,
 ) -> tuple[int, int, tuple[int, int]] | None:
@@ -1107,6 +1237,68 @@ def encode_jpeg_gray_blocks(
         w.put(*ac_enc[0x00])  # EOB: constant block has no AC terms
     w.pad()
     out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical(
+    values: list[int],
+    first: str = "baseline",
+    restart_interval: int = 0,
+    refinement: bool = True,
+) -> bytes:
+    """Deterministic HIERARCHICAL JPEG (T.81 Annex K) fixture: a DHP
+    segment declaring the full dims, then a NON-DIFFERENTIAL first
+    frame reusing a flat fixture encoder verbatim (``first`` =
+    'baseline' SOF0, 'lossless' SOF3, or 'arith' SOF9 — the closed
+    forms of those encoders carry over unchanged: mean(values) for
+    baseline/arith over constant 8x8 blocks), then optionally one
+    structurally valid DIFFERENTIAL refinement frame (SOF5 header +
+    scan whose entropy data codes all-zero corrections with the same
+    fixed DC table — byte-level plausible, and past the first-frame
+    boundary the decoder must stop before it). The hierarchy keeps
+    the first frame at full resolution (no EXP), so the first-frame
+    mean IS the image mean and the flat closed form doubles as the
+    hierarchical oracle."""
+    if first == "baseline":
+        inner = encode_jpeg_gray_blocks(values, restart_interval)
+        h = 8 * len(values)
+    elif first == "arith":
+        inner = encode_jpeg_arith_gray_blocks(
+            values, restart_interval=restart_interval
+        )
+        h = 8 * len(values)
+    elif first == "lossless":
+        # one 8-wide plane, each value an 8-row constant band — the
+        # plane mean is exactly mean(values), same closed form
+        plane = [[v] * 8 for v in values for _ in range(8)]
+        inner = encode_jpeg_lossless(
+            [plane], predictor=1, restart_interval=restart_interval
+        )
+        h = 8 * len(values)
+    else:
+        raise ValueError(f"unknown first-frame mode {first!r}")
+    assert inner[:2] == b"\xff\xd8" and inner[-2:] == b"\xff\xd9"
+    body = inner[2:-2]
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(b) + 2) + b
+
+    out = bytearray(b"\xff\xd8")
+    # DHP: frame-header syntax, Tq = 0 (B.2.2 note for DHP)
+    out += seg(0xDE, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += body
+    if refinement:
+        dc_enc = _jpeg_huff_encode_table(*_JPEG_FIX_DC)
+        out += seg(
+            0xC5, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0])
+        )
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        w = _JpegBitWriter()
+        for _ in values:
+            w.put(*dc_enc[0])  # zero correction per block
+        w.pad()
+        out += w.out
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3066,8 +3258,11 @@ def decode_image(
     predictive decode, r9), and the arithmetic-coded JPEG forms
     (SOF9 sequential, SOF10 progressive, SOF11 lossless — r10
     QM-coder decode) all decode for real in pure Python. A
-    HIERARCHICAL JPEG (Annex K) returns real dimensions with
-    ``mean_byte=None``. Other formats need a codec
+    HIERARCHICAL JPEG (Annex K, r11) decodes its non-differential
+    first frame for real — DHP full-image dims + the first frame's
+    mean — while a stream whose first frame is differential
+    (spec-invalid) or undecodable keeps the pinned dims +
+    ``mean_byte=None`` boundary. Other formats need a codec
     library this container does not ship; they raise unless
     ``fake=True`` selects the deterministic byte-derived stand-in
     (pseudo-dimensions + hash-mean from payload length)."""
@@ -3075,6 +3270,11 @@ def decode_image(
         _parse_netpbm(payload)
         or _parse_png(payload)
         or _parse_bmp(payload)
+        # hierarchical BEFORE the flat parsers: they skip unknown
+        # segments, so a DHP stream would otherwise fall through to
+        # _parse_jpeg and report the first frame's dims instead of
+        # the DHP full-image dims
+        or _parse_jpeg_hierarchical(payload)
         or _parse_jpeg(payload)
         or _parse_jpeg_lossless(payload)
         or _parse_jpeg_arith(payload)
@@ -3083,21 +3283,21 @@ def decode_image(
     )
     if out is not None:
         return out
-    # hierarchical JPEG: the frame header still yields real
-    # dimensions — return them with a NULL mean instead of raising
-    # (every non-hierarchical JPEG mode now decodes for real above:
-    # baseline, extended sequential incl. 12-bit, progressive,
-    # lossless, and the arithmetic SOF9/SOF10/SOF11 forms)
+    # a JPEG whose frame every decoder above rejected (corrupt
+    # entropy data, exotic SOF the walk recognizes but the decoders
+    # don't): the frame header still yields real dimensions — return
+    # them with a NULL mean instead of raising
     dims = _parse_jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], None
     if not fake:
         raise NotImplementedError(
-            "only netpbm/PNG/BMP/JPEG (every non-hierarchical mode: "
-            "baseline, progressive, lossless, and the arithmetic "
-            "SOF9/SOF10/SOF11 forms) decode in pure Python; "
-            "hierarchical JPEG and video codecs require PIL/ffmpeg "
-            "— pass fake=True or swap in a real decoder"
+            "only netpbm/PNG/BMP/JPEG (every mode: baseline, "
+            "progressive, lossless, the arithmetic SOF9/SOF10/SOF11 "
+            "forms, and the hierarchical first frame) decode in pure "
+            "Python; differential hierarchical refinement frames and "
+            "video codecs require PIL/ffmpeg — pass fake=True or "
+            "swap in a real decoder"
         )
     n = len(payload)
     width = 64 + (n % 577)
@@ -3174,7 +3374,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
 def fixture_features(
     df: DataFrame,
     formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "ljpeg", "ajpeg",
-                      "apjpeg", "aljpeg", "avi"),
+                      "apjpeg", "aljpeg", "hjpeg", "avi"),
     text_col: str = "text",
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -3260,6 +3460,16 @@ def fixture_features(
                 [plane],
                 predictor=1 + (n_txt % 7),
                 restart_interval=4 if n_txt % 4 == 0 else 0,
+            )
+        if fmt == "hjpeg":  # hierarchical (Annex K, r11): DHP + a
+            # non-differential first frame (mode cycles with the text
+            # length) + a differential refinement the decoder must
+            # stop before
+            return encode_jpeg_hierarchical(
+                [(n_txt + 29 * i) % 256 for i in range(hb)],
+                first=("baseline", "arith", "lossless")[n_txt % 3],
+                restart_interval=2 if n_txt % 5 == 0 else 0,
+                refinement=n_txt % 2 == 0,
             )
         nf = 1 + (n_txt % 4)
         frames = [
