@@ -2714,11 +2714,13 @@ def exponential_time_decayed(
     batch by batch — the stored state would no longer equal the batch
     operator on the same data. The supported streaming form is
     SNAPSHOT-RECOMPUTE: run this batch operator over the data seen so
-    far (e.g. per micro-batch via foreachBatch on the accumulated
-    table); each snapshot is then bit-identical to a batch run at
-    that moment by construction. Contrast streaming_corr_matrix /
-    streaming_stat_moments, whose power sums are anchor-free and
-    fold incrementally."""
+    far — EXECUTABLE as :func:`..streaming.snapshot.snapshot_stream`
+    (foreachBatch lands each micro-batch in an idempotent per-batch
+    parquet directory and recomputes over the accumulation); each
+    snapshot is then bit-identical to a batch run at that moment by
+    construction, pinned by tests/test_streaming_snapshot.py.
+    Contrast streaming_corr_matrix / streaming_stat_moments, whose
+    power sums are anchor-free and fold incrementally."""
     if decay <= 0:
         raise ValueError("decay must be positive")
     gcols = list(group_cols)
