@@ -134,13 +134,12 @@ _FUNCS = {
     "integralByInterval": lambda df, iv: render.integral_by_interval(
         df, _seconds(iv)
     ),
-    "movingAverage": lambda df, p=5: render.moving_average(df, **_movwin(p)),
-    "movingMedian": lambda df, p=5: render.moving(df, "median", **_movwin(p)),
-    "movingMin": lambda df, p=5: render.moving(df, "min", **_movwin(p)),
-    "movingMax": lambda df, p=5: render.moving(df, "max", **_movwin(p)),
-    "movingSum": lambda df, p=5: render.moving(df, "sum", **_movwin(p)),
+    # movingAverage/Median/Min/Max/Sum and movingWindow are DISPATCH
+    # forms (preview fetch + exclusive preceding-points window, the
+    # graphite-web 1.1 movingWindow contract) — see evaluate_target
     "stdev": render.stdev,
-    "timeShift": lambda df, s: render.time_shift(df, _seconds(s)),
+    # timeShift is a DISPATCH form (shifts the fetch window with the
+    # graphite sign convention) — see evaluate_target
     "timeSlice": lambda df, a, b: render.time_slice(df, int(a), int(b)),
     "delay": render.delay,
     "keepLastValue": render.keep_last_value,
@@ -241,11 +240,6 @@ _FUNCS = {
     "averageOutsidePercentile": render.average_outside_percentile,
     "removeBetweenPercentile": render.remove_between_percentile,
     "cactiStyle": render.cacti_style,
-    "movingWindow": lambda df, p=5, fn="avg": (
-        render.moving_average(df, **_movwin(p))
-        if fn in ("avg", "average")
-        else render.moving(df, fn, **_movwin(p))
-    ),
     "aggregateLine": lambda df, fn="avg": render.aggregate_line(df, fn),
     "aggregateWithWildcards": lambda df, fn, *pos: (
         render.combine_with_wildcards(df, fn, *[int(p) for p in pos])
@@ -306,7 +300,38 @@ _DISPATCH_FORMS = (
     "cumulative", "setXFilesFactor", "xFilesFactor", "sinFunction",
     "randomWalkFunction", "randomWalk", "verticalLine",
     "useSeriesAbove", "aliasQuery", "events",
+    "timeShift", "movingAverage", "movingMedian", "movingMin",
+    "movingMax", "movingSum", "movingWindow",
 )
+
+#: moving* forms sharing the graphite-web 1.1 movingWindow contract:
+#: value at point i aggregates the PRECEDING window (current point
+#: excluded), bootstrapped by a preview fetch before the requested
+#: start. Maps facade name -> render func key ('avg' = moving_average).
+_MOVING_FORMS = {
+    "movingAverage": "avg",
+    "movingMedian": "median",
+    "movingMin": "min",
+    "movingMax": "max",
+    "movingSum": "sum",
+}
+
+
+def _shift_seconds(v) -> int:
+    """graphite-web timeShift sign convention (functions.rst
+    timeShift: 'If no sign is given, a minus sign ( - ) is implied
+    which will shift the metric back in time. If a plus sign ( + ) is
+    given, the metric will be shifted forward in time.'): returns the
+    FETCH-WINDOW delta — negative = read an earlier window (back in
+    time), positive = a later one."""
+    if isinstance(v, (int, float)):
+        return -int(v)
+    s = str(v).strip()
+    if s.startswith("+"):
+        return _seconds(s[1:])
+    if s.startswith("-"):
+        return _seconds(s)
+    return -_seconds(s)
 
 
 def function_index() -> dict:
@@ -1031,6 +1056,39 @@ def evaluate_target(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+    if expr.name == "timeShift":
+        # graphite-web 1.1: shift the FETCH window itself (back in
+        # time by default), then stamp the shifted data onto the
+        # requested timestamps — evaluating the inner expression over
+        # [t0, t1] and relabeling times would leave the window empty
+        delta = _shift_seconds(
+            expr.args[1] if len(expr.args) > 1 else "1d"
+        )
+        df = evaluate_target(expr.args[0], store, t0 + delta, t1 + delta, ctx)
+        return df.select(
+            "path", (F.col("time") - F.lit(delta)).alias("time"), "value"
+        )
+    if expr.name in _MOVING_FORMS or expr.name == "movingWindow":
+        # graphite-web 1.1 movingWindow: the value at each point
+        # aggregates the PRECEDING window (series[i-wp:i] — current
+        # point excluded), with a preview fetch before the requested
+        # start standing in for upstream's bootstrap re-fetch; points
+        # before t0 are trimmed after the window runs. The preview for
+        # the points form assumes the 60 s native step (documented —
+        # upstream reads the true step from the bootstrap response).
+        p = expr.args[1] if len(expr.args) > 1 else 5
+        fn = (
+            str(expr.args[2]) if expr.name == "movingWindow" and len(expr.args) > 2
+            else _MOVING_FORMS.get(expr.name, "avg")
+        )
+        kw = _movwin(p)
+        preview = kw.get("window_s") or kw["points"] * 60
+        df = evaluate_target(expr.args[0], store, t0 - preview, t1, ctx)
+        if fn in ("avg", "average"):
+            out = render.moving_average(df, exclusive=True, **kw)
+        else:
+            out = render.moving(df, fn, exclusive=True, **kw)
+        return out.filter(F.col("time") >= F.lit(t0))
     # two-series combiners dispatch on BOTH args
     if expr.name in ("diffSeries", "divideSeries", "asPercent"):
         a = evaluate_target(expr.args[0], store, t0, t1, ctx)

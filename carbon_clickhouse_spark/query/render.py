@@ -49,22 +49,44 @@ def per_second(series: DataFrame) -> DataFrame:
 
 
 def moving_average(
-    series: DataFrame, points: int = 5, window_s: int | None = None
+    series: DataFrame,
+    points: int = 5,
+    window_s: int | None = None,
+    exclusive: bool = False,
 ) -> DataFrame:
-    """Trailing moving average over the last ``points`` samples, or —
-    when ``window_s`` is given (Graphite's quoted-interval form,
+    """Moving average over the last ``points`` samples, or — when
+    ``window_s`` is given (Graphite's quoted-interval form,
     ``movingAverage(s, '5min')``) — over the trailing time window.
+
+    ``exclusive=True`` is graphite-web 1.1's documented contract
+    ("the moving average of the *preceding* datapoints for each
+    point": functions.rst movingAverage, and movingWindow's window
+    ``series[i - windowPoints : i]``) — the CURRENT point is NOT in
+    its own window, and an empty window yields NULL. The facade
+    evaluates movingAverage this way with a preview fetch before the
+    requested start (upstream's bootstrap). ``exclusive=False`` keeps
+    the trailing-inclusive form for direct library use.
 
     Sums in DECIMAL over the frame (exact, engine-independent) and
     divides by the frame row count.
     """
     if window_s is not None:
-        frame = _w().rangeBetween(-(window_s - 1), 0)
+        frame = (
+            _w().rangeBetween(-window_s, -1)
+            if exclusive
+            else _w().rangeBetween(-(window_s - 1), 0)
+        )
     else:
-        frame = _w().rowsBetween(-(points - 1), 0)
+        frame = (
+            _w().rowsBetween(-points, -1)
+            if exclusive
+            else _w().rowsBetween(-(points - 1), 0)
+        )
     s = F.sum(F.col("value").cast("decimal(32,6)")).over(frame).cast("double")
     n = F.count("value").over(frame)
-    return series.select("path", "time", (s / n).alias("value"))
+    return series.select(
+        "path", "time", F.when(n > 0, s / n).alias("value")
+    )
 
 
 def summarize(
@@ -817,16 +839,28 @@ def moving(
     func: str = "median",
     points: int = 5,
     window_s: int | None = None,
+    exclusive: bool = False,
 ) -> DataFrame:
     """Graphite ``movingMedian / movingMin / movingMax / movingSum``:
-    trailing window of the last ``points`` values per series, or of
-    the trailing ``window_s`` seconds for the quoted-interval form
-    (``movingMedian(s, '5min')``). ``movingAverage`` has its own
+    window of the last ``points`` values per series, or of the
+    trailing ``window_s`` seconds for the quoted-interval form
+    (``movingMedian(s, '5min')``). ``exclusive=True`` is the
+    graphite-web 1.1 movingWindow contract (preceding points only,
+    current point excluded — see :func:`moving_average`); the facade
+    uses it with a preview fetch. ``movingAverage`` has its own
     entry point (kept for parity)."""
     if window_s is not None:
-        w = _w().rangeBetween(-(window_s - 1), 0)
+        w = (
+            _w().rangeBetween(-window_s, -1)
+            if exclusive
+            else _w().rangeBetween(-(window_s - 1), 0)
+        )
     else:
-        w = _w().rowsBetween(-(points - 1), 0)
+        w = (
+            _w().rowsBetween(-points, -1)
+            if exclusive
+            else _w().rowsBetween(-(points - 1), 0)
+        )
     if func == "median":
         v = F.expr("percentile(value, 0.5)").over(w)  # exact median
     elif func == "min":

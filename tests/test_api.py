@@ -105,29 +105,30 @@ def test_interval_string_args(store):
         1_625_478_000: 0.0, 1_625_478_060: 1.0,
         1_625_478_120: 3.0, 1_625_478_180: 6.0,
     }
-    # time-window moving average: '2min' covers current + previous
-    # point (60s spacing) -> averages (0), (0,1), (1,2), (2,3)
+    # graphite-web 1.1 movingWindow contract (r11): the value at each
+    # point aggregates the PRECEDING window, current point excluded;
+    # the first point has no preview data here -> None
     out = evaluate_target(
         parse_target("movingAverage(dc.h1.cpu, '2min')"), store, t0, t1
     ).collect()
     assert {r.time: r.value for r in out} == {
-        1_625_478_000: 0.0, 1_625_478_060: 0.5,
-        1_625_478_120: 1.5, 1_625_478_180: 2.5,
+        1_625_478_000: None, 1_625_478_060: 0.0,
+        1_625_478_120: 0.5, 1_625_478_180: 1.5,
     }
-    # integer form still means last-N-points
+    # integer form: preceding-N-points window
     out = evaluate_target(
         parse_target("movingSum(dc.h1.cpu, 2)"), store, t0, t1
     ).collect()
     assert {r.time: r.value for r in out} == {
-        1_625_478_000: 0.0, 1_625_478_060: 1.0,
-        1_625_478_120: 3.0, 1_625_478_180: 5.0,
+        1_625_478_000: None, 1_625_478_060: 0.0,
+        1_625_478_120: 1.0, 1_625_478_180: 3.0,
     }
     out = evaluate_target(
         parse_target("movingMedian(dc.h1.cpu, '2min')"), store, t0, t1
     ).collect()
     assert {r.time: r.value for r in out} == {
-        1_625_478_000: 0.0, 1_625_478_060: 0.5,
-        1_625_478_120: 1.5, 1_625_478_180: 2.5,
+        1_625_478_000: None, 1_625_478_060: 0.0,
+        1_625_478_120: 0.5, 1_625_478_180: 1.5,
     }
 
 

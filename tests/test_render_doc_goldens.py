@@ -1,0 +1,330 @@
+"""Graphite-web 1.1 SEMANTIC goldens (r11, verdict #5): the function
+catalog pin proves the top dashboard functions EXIST; these goldens
+pin what each one COMPUTES against the behavior documented in
+graphite-web 1.1's docs/render_api/functions.rst — every test cites
+the upstream doc sentence or example its numbers are derived from,
+and the numbers are hand-worked from that definition, not from this
+repo's implementation. Where upstream docs are silent and only the
+1.1 source fixes a detail (movingWindow's preceding-points window),
+the docstring says so explicitly.
+
+All goldens drive the USER-FACING surface — parse_target +
+evaluate_target over a real four-table store — not the python
+functions directly, so argument parsing, dispatch, and window
+handling are inside the pinned contract."""
+
+import math
+
+import pytest
+
+from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+from carbon_clickhouse_spark.query.api import (
+    GraphiteStore,
+    evaluate_target,
+    parse_target,
+)
+from carbon_clickhouse_spark.sources.plain import parse_plain_lines
+
+BASE = 1_625_478_000  # aligned to 60
+
+
+def _mkstore(spark, lines, now_offset=3600):
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    pts = parse_plain_lines(df, now=BASE)
+    t = derive_tables(pts, IngestConfig(now=BASE + now_offset))
+    return GraphiteStore(t["index"].cache(), t["points"].cache())
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    """web.a: 1,2,4,4,10 at 60s; web.b: 2,2,2,2,2; plus a counter
+    series ctr.reqs that resets mid-way and a dotted 4-node name
+    ganglia.server1.cpu.load5 (the aliasByNode doc example shape)."""
+    lines = []
+    a_vals = [1, 2, 4, 4, 10]
+    for i, v in enumerate(a_vals):
+        lines.append(f"web.a {v} {BASE + 60 * i}")
+        lines.append(f"web.b 2 {BASE + 60 * i}")
+        lines.append(f"ganglia.server1.cpu.load5 {v} {BASE + 60 * i}")
+    for i, v in enumerate([10, 25, 25, 5, 15]):  # reset at i=3
+        lines.append(f"ctr.reqs {v} {BASE + 60 * i}")
+    return _mkstore(spark, lines)
+
+
+def _got(store, target, t0=BASE, t1=BASE + 240):
+    out = evaluate_target(parse_target(target), store, t0, t1).collect()
+    return {(r.path, r.time): r.value for r in out}
+
+
+def _one(store, target, t0=BASE, t1=BASE + 240):
+    out = _got(store, target, t0, t1)
+    assert len({p for p, _ in out}) == 1
+    return {t: v for (_, t), v in out.items()}
+
+
+def test_derivative(store):
+    """functions.rst derivative: 'This is the opposite of the
+    integral function. This is useful for taking a running total
+    metric and calculating the delta between subsequent data
+    points... the first datapoint will be null.'"""
+    got = _one(store, "derivative(ctr.reqs)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 15.0,
+        BASE + 120: 0.0,
+        BASE + 180: -20.0,
+        BASE + 240: 10.0,
+    }
+
+
+def test_non_negative_derivative(store):
+    """functions.rst nonNegativeDerivative: 'Same as the derivative
+    function above, but ignores datapoints that trend down...
+    useful for counters that increase for a long time, then wrap or
+    reset.' The reset delta (-20) must come out None, not negative."""
+    got = _one(store, "nonNegativeDerivative(ctr.reqs)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 15.0,
+        BASE + 120: 0.0,
+        BASE + 180: None,
+        BASE + 240: 10.0,
+    }
+
+
+def test_per_second(store):
+    """functions.rst perSecond: 'derivative adjusted for the series
+    time interval, useful for taking a running total metric and
+    showing how many requests per second were handled.' 60 s spacing
+    -> delta/60; the reset point is None like
+    nonNegativeDerivative."""
+    got = _one(store, "perSecond(ctr.reqs)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 0.25,
+        BASE + 120: 0.0,
+        BASE + 180: None,
+        BASE + 240: 10.0 / 60.0,
+    }
+
+
+def test_integral(store):
+    """functions.rst integral: 'This will show the sum over time,
+    sort of like a continuous addition function... showing a
+    running total.'"""
+    got = _one(store, "integral(web.a)")
+    assert got == {
+        BASE: 1.0,
+        BASE + 60: 3.0,
+        BASE + 120: 7.0,
+        BASE + 180: 11.0,
+        BASE + 240: 21.0,
+    }
+
+
+def test_moving_average_doc_contract(store):
+    """functions.rst movingAverage: 'Graphs the moving average of a
+    metric (or metrics) over a fixed number of past points, or a time
+    interval... The moving average of the PRECEDING datapoints for
+    each point on the graph' — upstream's movingWindow computes
+    series[i - windowPoints : i], the current point excluded, with a
+    bootstrap fetch before the requested start. web.a = 1,2,4,4,10:
+    movingAverage(web.a, 2) -> None (no preview data), avg(1)=1,
+    avg(1,2)=1.5, avg(2,4)=3, avg(4,4)=4."""
+    got = _one(store, "movingAverage(web.a, 2)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 1.0,
+        BASE + 120: 1.5,
+        BASE + 180: 3.0,
+        BASE + 240: 4.0,
+    }
+    # quoted-interval form: '2min' covers the preceding 120 s
+    got = _one(store, "movingAverage(web.a, '2min')")
+    assert got[BASE + 120] == 1.5 and got[BASE] is None
+
+
+def test_moving_average_bootstrap_uses_preview_data(store):
+    """The doc contract implies the FIRST requested point still has a
+    full window when earlier data exists (upstream bootstraps it):
+    requesting from BASE+120 must average the two points BEFORE the
+    window start, not return None."""
+    got = _one(store, "movingAverage(web.a, 2)", t0=BASE + 120)
+    assert got[BASE + 120] == 1.5  # avg(1, 2) from the preview fetch
+
+
+def test_moving_sum_min_max(store):
+    """functions.rst movingSum/movingMin/movingMax: 'Graphs the
+    moving sum/minimum/maximum of a metric (or metrics) over a fixed
+    number of past points, or a time interval.' Same preceding-points
+    window as movingAverage."""
+    s = _one(store, "movingSum(web.a, 2)")
+    assert s[BASE + 180] == 6.0 and s[BASE + 240] == 8.0
+    mn = _one(store, "movingMin(web.a, 2)")
+    mx = _one(store, "movingMax(web.a, 2)")
+    assert mn[BASE + 240] == 4.0 and mx[BASE + 240] == 4.0
+    assert mn[BASE + 120] == 1.0 and mx[BASE + 120] == 2.0
+
+
+def test_time_shift_signs(store):
+    """functions.rst timeShift: 'Draws the selected metrics shifted
+    in time. If no sign is given, a minus sign ( - ) is implied which
+    will shift the metric back in time. If a plus sign ( + ) is
+    given, the metric will be shifted forward in time.' Doc example:
+    timeShift(Sales.widgets.largeBlue, "+1h"). Back in time = data
+    from an earlier window stamped onto the requested timestamps."""
+    # request [BASE+120, BASE+240]; '1min' (implied minus) must show
+    # the values from [BASE+60, BASE+180] at the requested times
+    got = _one(store, "timeShift(web.a, '1min')", t0=BASE + 120)
+    assert got == {
+        BASE + 120: 2.0,
+        BASE + 180: 4.0,
+        BASE + 240: 4.0,
+    }
+    # explicit minus is the same direction as implied
+    assert got == _one(store, "timeShift(web.a, '-1min')", t0=BASE + 120)
+    # plus shifts forward: request [BASE, BASE+120] shows the values
+    # from [BASE+60, BASE+180]
+    fwd = _one(store, "timeShift(web.a, '+1min')", t1=BASE + 120)
+    assert fwd == {
+        BASE: 2.0,
+        BASE + 60: 4.0,
+        BASE + 120: 4.0,
+    }
+
+
+def test_keep_last_value_limit(store, spark):
+    """functions.rst keepLastValue: 'Continues the line with the last
+    received value when gaps (None values) appear in your data,
+    rather than breaking your line. limit: fill in gaps of up to this
+    many None values... longer gaps are left unfilled.'"""
+    # removeAboveValue makes gaps: web.a = 1,2,None,None,None with
+    # threshold 2 -> keepLastValue(..., 2) fills only 2 of the 3
+    got = _one(store, "keepLastValue(removeAboveValue(web.a, 2), 2)")
+    assert got == {
+        BASE: 1.0,
+        BASE + 60: 2.0,
+        BASE + 120: 2.0,
+        BASE + 180: 2.0,
+        BASE + 240: None,
+    }
+    # no limit: every gap bridges
+    got = _one(store, "keepLastValue(removeAboveValue(web.a, 2))")
+    assert got[BASE + 240] == 2.0
+
+
+def test_as_percent_single_list(store):
+    """functions.rst asPercent: 'Calculates a percentage of the total
+    of a wildcard series. If total is not specified, the sum of all
+    points in the wildcard series will be used instead.' At BASE:
+    a=1, b=2 -> a is 100*1/3, b is 100*2/3."""
+    got = _got(store, "asPercent(web.*)")
+    assert abs(got[("web.a", BASE)] - 100.0 / 3.0) < 1e-9
+    assert abs(got[("web.b", BASE)] - 200.0 / 3.0) < 1e-9
+    assert abs(got[("web.a", BASE + 240)] - 100.0 * 10 / 12) < 1e-9
+
+
+def test_summarize_epoch_aligned(store):
+    """functions.rst summarize: 'Summarize the data into interval
+    buckets of a certain size. By default, the contents of each
+    interval bucket are summed together... By default, buckets are
+    calculated by rounding to the nearest interval. This works well
+    for intervals smaller than a day. For example, 22:32 will end up
+    in the bucket 22:00-23:00 when the interval=1hour.' BASE is
+    2min-aligned, so '2min' buckets pair the points."""
+    got = _one(store, "summarize(web.a, '2min')")
+    assert got == {BASE: 3.0, BASE + 120: 8.0, BASE + 240: 10.0}
+    got = _one(store, "summarize(web.a, '2min', 'max')")
+    assert got == {BASE: 2.0, BASE + 120: 4.0, BASE + 240: 10.0}
+
+
+def test_hitcount(store):
+    """functions.rst hitcount: 'Estimate hit counts from a list of
+    time series. This function assumes the values in each time series
+    represent hits per second. It calculates hits per some larger
+    interval such as per day or per hour.' Each 60 s point at rate v
+    contributes v*60 hits to its bucket."""
+    got = _one(store, "hitcount(web.b, '2min')")
+    # web.b = 2/s for the whole range: 2 points x 2/s x 60s per full
+    # 2-min bucket; the last bucket holds one point
+    assert got == {BASE: 240.0, BASE + 120: 240.0, BASE + 240: 120.0}
+
+
+def test_alias_by_node_doc_example(store):
+    """functions.rst aliasByNode doc example:
+    '&target=aliasByNode(ganglia.*.cpu.load5,1)' — takes the 1st
+    (0-indexed) dot node as the series name: 'server1'."""
+    got = _got(store, "aliasByNode(ganglia.*.cpu.load5, 1)")
+    assert {p for p, _ in got} == {"server1"}
+    # multi-node form keeps dot-joined selected nodes
+    got = _got(store, "aliasByNode(ganglia.*.cpu.load5, 1, 3)")
+    assert {p for p, _ in got} == {"server1.load5"}
+
+
+def test_sort_by_maxima(store):
+    """functions.rst sortByMaxima: 'Sorts the list of metrics by the
+    maximum value across the time period specified. Useful with the
+    areaMode=all parameter, to keep the lowest value lines visible.'
+    web.a max 10 > web.b max 2 -> a first."""
+    out = evaluate_target(
+        parse_target("sortByMaxima(web.*)"), store, BASE, BASE + 240
+    )
+    paths = [r.path for r in out.select("path").distinct().collect()]
+    # order is carried by the series rank the facade attaches; assert
+    # via the first-returned series of the ordered output
+    ordered = evaluate_target(
+        parse_target("sortByMaxima(web.*)"), store, BASE, BASE + 240
+    ).collect()
+    assert set(paths) == {"web.a", "web.b"}
+    assert ordered[0].path == "web.a"
+
+
+def test_n_percentile(store):
+    """functions.rst nPercentile: 'Returns n-percent of each series
+    in the seriesList' — a flat line at the series' n-th percentile
+    value for every timestamp."""
+    got = _one(store, "nPercentile(web.a, 50)")
+    assert set(got.values()) == {4.0}  # median of 1,2,4,4,10
+    assert len(got) == 5
+
+
+def test_transform_null(store):
+    """functions.rst transformNull: 'Takes a metric or wildcard
+    seriesList and replaces null values with the value specified.
+    Default is 0.' Doc example: transformNull(webapp.pages.*.views,
+    -1)."""
+    got = _one(store, "transformNull(removeAboveValue(web.a, 2), -1)")
+    assert got == {
+        BASE: 1.0,
+        BASE + 60: 2.0,
+        BASE + 120: -1.0,
+        BASE + 180: -1.0,
+        BASE + 240: -1.0,
+    }
+
+
+def test_holt_winters_forecast_constant_series(store, spark):
+    """functions.rst holtWintersForecast: 'Performs a Holt-Winters
+    forecast for the dataset of the series... using a 7-day bootstrap
+    of data before the request period.' For a CONSTANT series every
+    forecast of the documented triple-exponential model is the
+    constant itself (level = constant, trend = 0, seasonality = 0) —
+    a golden derivable from the model definition alone."""
+    got = _one(store, "holtWintersForecast(web.b)")
+    assert len(got) > 0
+    for v in got.values():
+        assert v is not None and abs(v - 2.0) < 1e-6
+
+
+def test_changed(store):
+    """functions.rst changed: 'Output 1 when the value changed
+    between points, 0 when it did not.' web.a = 1,2,4,4,10 ->
+    0,1,1,0,1 (first point has no previous value -> 0)."""
+    got = _one(store, "changed(web.a)")
+    assert got == {
+        BASE: 0.0,
+        BASE + 60: 1.0,
+        BASE + 120: 1.0,
+        BASE + 180: 0.0,
+        BASE + 240: 1.0,
+    }
