@@ -1339,6 +1339,29 @@ def test_pq_topk_recall(embs):
     assert sum(recalls) / len(recalls) >= 0.7
 
 
+def test_ann_query_side_cap(embs):
+    """r11 (r10 verdict minor note): the driver-side query
+    materialization in pq_topk / ivfpq_topk is bounded — a
+    corpus-sized query frame fails fast with a clear error instead
+    of OOMing the driver; the cap is overridable."""
+    import pytest as _pytest
+
+    from carbon_clickhouse_spark.datapipe.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq_topk(embs, embs, k=2, m=16, max_queries=10)
+    with _pytest.raises(ValueError, match="max_queries"):
+        ivfpq_topk(embs, embs, k=2, m=16, max_queries=10)
+    # raising the cap admits the same frame
+    out = pq_topk(
+        embs, embs.filter(F.col("vec_id") < 3), k=2, m=16, max_queries=3
+    )
+    assert out.count() > 0
+
+
 def test_pq_topk_jvm_scoring_plan(embs):
     """The ADC scan must stay JVM-side: no Python eval in the scoring
     stage (the one Arrow stage is the corpus encode)."""
