@@ -191,7 +191,8 @@ _FUNCS = {
     ),
     "nPercentile": render.n_percentile,
     "sortByName": render.sort_by_name,
-    "exponentialMovingAverage": render.exponential_moving_average,
+    # exponentialMovingAverage is a DISPATCH form (preview fetch +
+    # SMA seed, the functions.rst formula) — see evaluate_target
     "squareRoot": render.square_root,
     "pow": render.pow_values,
     "exp": render.exp_values,
@@ -302,6 +303,7 @@ _DISPATCH_FORMS = (
     "useSeriesAbove", "aliasQuery", "events",
     "timeShift", "movingAverage", "movingMedian", "movingMin",
     "movingMax", "movingSum", "movingWindow",
+    "exponentialMovingAverage",
 )
 
 #: moving* forms sharing the graphite-web 1.1 movingWindow contract:
@@ -1068,6 +1070,21 @@ def evaluate_target(
         return df.select(
             "path", (F.col("time") - F.lit(delta)).alias("time"), "value"
         )
+    if expr.name == "exponentialMovingAverage":
+        # functions.rst exponentialMovingAverage: constant =
+        # 2/(windowSize+1); 'The first period EMA uses a simple
+        # moving average of the preceding windowSize points' — so the
+        # fetch extends back by the window (60 s step assumed for the
+        # points form, as for moving*), the bootstrap's simple average
+        # seeds the recursion, and the first emitted point carries it
+        p = expr.args[1] if len(expr.args) > 1 else 10
+        kw = _movwin(p)
+        preview = kw.get("window_s") or kw["points"] * 60
+        window_pts = kw.get("points") or max(1, kw["window_s"] // 60)
+        df = evaluate_target(expr.args[0], store, t0 - preview, t1, ctx)
+        return render.ema_holt(
+            df, window=window_pts, emit_from=t0, ema_seed="sma"
+        ).select("path", "time", F.col("ema").alias("value"))
     if expr.name in _MOVING_FORMS or expr.name == "movingWindow":
         # graphite-web 1.1 movingWindow: the value at each point
         # aggregates the PRECEDING window (series[i-wp:i] — current

@@ -383,6 +383,8 @@ def ema_holt(
     window: int = 10,
     alpha: float = 0.1,
     beta: float = 0.0035,
+    emit_from: int | None = None,
+    ema_seed: str = "first",
 ) -> DataFrame:
     """THE sequential-recursion kernel behind both
     ``exponentialMovingAverage`` and the Holt linear forecast — one
@@ -397,6 +399,18 @@ def ema_holt(
     forecast_1 = NULL; then forecast_t = l_{t-1} + b_{t-1},
     l_t = alpha*x_t + (1-alpha)*forecast_t,
     b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}.
+
+    ``emit_from``/``ema_seed`` implement the graphite-web 1.1
+    documented EMA contract (functions.rst exponentialMovingAverage:
+    'The Constant is calculated as: constant = 2 / (windowSize + 1).
+    The first period EMA uses a simple moving average of the
+    preceding windowSize points'): rows with time < ``emit_from`` are
+    the bootstrap — with ``ema_seed='sma'`` their simple average
+    seeds the EMA (0 when the bootstrap is empty, upstream's safeAvg
+    `or 0`), the first emitted point carries that seed, and bootstrap
+    rows warm the Holt state without being emitted. The defaults
+    (emit everything, seed with the first value) keep the direct
+    library behavior.
 
     No closed window-function form stays numerically stable, so this
     is the textbook applyInPandas case: one shuffle on path, one
@@ -424,23 +438,58 @@ def ema_holt(
         emas, fcs = [], []
         e = None
         level = trend = None
-        for v in pdf["value"]:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                emas.append(None)
+        seeded = False
+        if ema_seed == "sma" and emit_from is not None:
+            boot = [
+                v
+                for t, v in zip(pdf["time"], pdf["value"])
+                if t < emit_from
+                and v is not None
+                and not (isinstance(v, float) and math.isnan(v))
+            ]
+            e = (sum(boot) / len(boot)) if boot else 0.0
+            seeded = True
+        first_emit = True
+        for t, v in zip(pdf["time"], pdf["value"]):
+            boot_row = emit_from is not None and t < emit_from
+            null_v = v is None or (
+                isinstance(v, float) and math.isnan(v)
+            )
+            if seeded and not boot_row and first_emit:
+                # the first emitted point IS the seed (the doc's
+                # 'first period EMA is a simple moving average of the
+                # preceding windowSize points'); the recursion starts
+                # with the next point
+                emas.append(e)
+                first_emit = False
+            elif null_v:
+                if not boot_row:
+                    emas.append(None)
+            elif seeded and boot_row:
+                pass  # the SMA seed already summarizes the bootstrap
             else:
                 e = v if e is None else alpha_e * v + om_e * e
-                emas.append(e)
+                if not boot_row:
+                    emas.append(e)
             if level is None:
                 level, trend = v, 0.0
-                fcs.append(None)
+                if not boot_row:
+                    fcs.append(None)
             else:
                 s = level + trend
-                fcs.append(s)
-                new_level = alpha * v + oma * s
-                trend = beta * (new_level - level) + omb * trend
-                level = new_level
+                if not boot_row:
+                    fcs.append(s)
+                if not null_v:
+                    new_level = alpha * v + oma * s
+                    trend = beta * (new_level - level) + omb * trend
+                    level = new_level
+        keep = (
+            pdf[pdf["time"] >= emit_from]
+            if emit_from is not None
+            else pdf
+        )
         return pd.DataFrame(
-            {"path": pdf["path"], "time": pdf["time"], "ema": emas,
+            {"path": keep["path"], "time": keep["time"], "ema": emas,
              "forecast": fcs}
         )
 

@@ -316,6 +316,31 @@ def test_holt_winters_forecast_constant_series(store, spark):
         assert v is not None and abs(v - 2.0) < 1e-6
 
 
+def test_exponential_moving_average(store):
+    """functions.rst exponentialMovingAverage: 'Takes a series of
+    values and a window size and produces an exponential moving
+    average utilizing the following formula: ema(current) = constant
+    * (Current Value) + (1 - constant) * ema(previous). The Constant
+    is calculated as: constant = 2 / (windowSize + 1). The first
+    period EMA uses a simple moving average of the preceding
+    windowSize points.' web.a = 1,2,4,4,10, window 2 -> c = 2/3.
+    Requesting from BASE+120: seed = avg(1,2) = 1.5 (the preceding 2
+    points, via the preview fetch), first point = 1.5, then
+    c*4+(1-c)*1.5 = 3.1666.., c*10+(1-c)*3.1666.. = 7.7222.."""
+    got = _one(store, "exponentialMovingAverage(web.a, 2)", t0=BASE + 120)
+    c = 2.0 / 3.0
+    e1 = 1.5
+    e2 = c * 4 + (1 - c) * e1
+    e3 = c * 10 + (1 - c) * e2
+    assert got[BASE + 120] == e1
+    assert abs(got[BASE + 180] - e2) < 1e-12
+    assert abs(got[BASE + 240] - e3) < 1e-12
+    # no preceding data at all: the doc formula degenerates to a 0
+    # seed (average of an empty window, upstream's safeAvg or 0)
+    got = _one(store, "exponentialMovingAverage(web.a, 2)")
+    assert got[BASE] == 0.0
+
+
 def test_changed(store):
     """functions.rst changed: 'Output 1 when the value changed
     between points, 0 when it did not.' web.a = 1,2,4,4,10 ->
