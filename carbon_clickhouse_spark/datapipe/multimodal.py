@@ -31,11 +31,15 @@ successive-approximation scan kinds (:func:`_parse_jpeg_arith`,
 :func:`_parse_jpeg_arith_progressive`). LOSSLESS ARITHMETIC (SOF11)
 decodes too — the Annex H.1 prediction under the Annex H.2
 158-bin conditioning model (see the honesty note at its
-implementation). The remaining boundary — non-MJPEG video codecs
-and hierarchical JPEG (rare; no mainstream encoder emits it) —
-raises ``NotImplementedError`` unless
-``fake=True`` selects the deterministic byte-derived stand-in;
-swapping in PIL/ffmpeg is a one-function change in
+implementation). HIERARCHICAL JPEG (Annex K, round 11) decodes its
+non-differential FIRST frame for real — DHP full-image dims + the
+first frame's mean via :func:`_parse_jpeg_hierarchical`'s splice
+through the flat decoders. The remaining boundary — non-MJPEG video
+codecs and the DIFFERENTIAL hierarchical refinement frames (rare;
+no mainstream encoder emits them) — degrades to dims + NULL mean
+for refinements and raises ``NotImplementedError`` for foreign
+codecs unless ``fake=True`` selects the deterministic byte-derived
+stand-in; swapping in PIL/ffmpeg is a one-function change in
 :func:`decode_image`.
 """
 
