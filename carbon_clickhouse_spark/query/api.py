@@ -128,8 +128,14 @@ _FUNCS = {
     "invert": render.invert,
     "logarithm": render.logarithm,
     "derivative": render.derivative,
-    "nonNegativeDerivative": render.non_negative_derivative,
-    "perSecond": render.per_second,
+    "nonNegativeDerivative": lambda df, mv=None: (
+        render.non_negative_derivative(
+            df, None if mv is None else float(mv)
+        )
+    ),
+    "perSecond": lambda df, mv=None: render.per_second(
+        df, None if mv is None else float(mv)
+    ),
     "integral": render.integral,
     "integralByInterval": lambda df, iv: render.integral_by_interval(
         df, _seconds(iv)

@@ -32,19 +32,46 @@ def derivative(series: DataFrame) -> DataFrame:
     )
 
 
-def non_negative_derivative(series: DataFrame) -> DataFrame:
-    """Like derivative but counter resets (negative deltas) -> NULL."""
-    d = F.col("value") - F.lag("value").over(_w())
-    return series.select(
-        "path", "time", F.when(d >= 0, d).alias("value")
+def _nn_delta(max_value: float | None):
+    """graphite-web 1.1's counter delta rule (functions.rst
+    nonNegativeDerivative: 'By default, a null value is returned in
+    place of negative datapoints. When maxValue is supplied, the
+    missing value is computed as if the counter had wrapped at
+    maxValue'): value > maxValue -> NULL (impossible reading),
+    negative delta with maxValue -> maxValue + 1 + delta (the wrap),
+    negative delta without -> NULL."""
+    prev = F.lag("value").over(_w())
+    d = F.col("value") - prev
+    if max_value is None:
+        return F.when(d >= 0, d)
+    mv = F.lit(float(max_value))
+    return (
+        F.when(F.col("value") > mv, F.lit(None).cast("double"))
+        .when(d >= 0, d)
+        .when(prev <= mv, mv + F.lit(1.0) + d)
     )
 
 
-def per_second(series: DataFrame) -> DataFrame:
-    """Rate: delta value / delta time (the counter -> rate transform)."""
-    dv = F.col("value") - F.lag("value").over(_w())
+def non_negative_derivative(
+    series: DataFrame, max_value: float | None = None
+) -> DataFrame:
+    """Like derivative but counter resets (negative deltas) -> NULL;
+    with ``max_value``, negative deltas are un-wrapped as
+    ``maxValue + 1 + delta`` per the graphite-web 1.1 contract (see
+    :func:`_nn_delta`)."""
+    return series.select(
+        "path", "time", _nn_delta(max_value).alias("value")
+    )
+
+
+def per_second(
+    series: DataFrame, max_value: float | None = None
+) -> DataFrame:
+    """Rate: counter delta / delta time (the counter -> rate
+    transform); ``max_value`` un-wraps counter wraps exactly as
+    :func:`non_negative_derivative`."""
     dt = F.col("time") - F.lag("time").over(_w())
-    rate = F.when((dv >= 0) & (dt > 0), dv / dt)
+    rate = F.when(dt > 0, _nn_delta(max_value) / dt)
     return series.select("path", "time", rate.alias("value"))
 
 

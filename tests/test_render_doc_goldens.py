@@ -92,6 +92,27 @@ def test_non_negative_derivative(store):
     }
 
 
+def test_non_negative_derivative_max_value(store):
+    """functions.rst nonNegativeDerivative maxValue: 'When maxValue
+    is supplied, the missing value is computed as if the counter had
+    wrapped at maxValue.' ctr.reqs = 10,25,25,5,15: the 25 -> 5 drop
+    under maxValue=30 un-wraps to 30 + 1 + (5 - 25) = 11."""
+    got = _one(store, "nonNegativeDerivative(ctr.reqs, 30)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 15.0,
+        BASE + 120: 0.0,
+        BASE + 180: 11.0,
+        BASE + 240: 10.0,
+    }
+    # a reading above maxValue is impossible -> None at that point
+    got = _one(store, "nonNegativeDerivative(ctr.reqs, 20)")
+    assert got[BASE + 60] is None  # 25 > maxValue
+    # perSecond applies the same wrap rule over the 60 s step
+    got = _one(store, "perSecond(ctr.reqs, 30)")
+    assert abs(got[BASE + 180] - 11.0 / 60.0) < 1e-12
+
+
 def test_per_second(store):
     """functions.rst perSecond: 'derivative adjusted for the series
     time interval, useful for taking a running total metric and
