@@ -774,6 +774,18 @@ def evaluate_target(
         iv = _seconds(expr.args[1])
         fn = str(expr.args[2]) if len(expr.args) > 2 else "sum"
         return render.smart_summarize(inner, iv, fn, origin=t0)
+    if expr.name == "summarize" and len(expr.args) > 3:
+        # functions.rst summarize alignToFrom: 'By default, buckets
+        # are calculated by rounding to the nearest interval...
+        # Setting alignToFrom to true will instead create buckets
+        # starting at the from time' — the epoch-grid registry entry
+        # handles the default; the aligned form anchors at t0
+        inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        iv = _seconds(expr.args[1])
+        fn = str(expr.args[2]) if len(expr.args) > 2 else "sum"
+        if str(expr.args[3]).lower() in ("true", "1"):
+            return render.smart_summarize(inner, iv, fn, origin=t0)
+        return render.summarize(inner, iv, fn)
     if expr.name == "fallbackSeries":
         a = evaluate_target(expr.args[0], store, t0, t1, ctx)
         if a.take(1):

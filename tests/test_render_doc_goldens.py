@@ -259,6 +259,23 @@ def test_summarize_epoch_aligned(store):
     assert got == {BASE: 2.0, BASE + 120: 4.0, BASE + 240: 10.0}
 
 
+def test_summarize_align_to_from(store):
+    """functions.rst summarize alignToFrom: 'Setting alignToFrom to
+    true will instead create buckets starting at the from time.'
+    Requesting from BASE+60 with '2min' buckets: aligned buckets are
+    [BASE+60, BASE+180), [BASE+180, ...) -> sums 2+4=6 and 4+10=14,
+    anchored at the request start rather than the epoch grid."""
+    got = _one(
+        store, "summarize(web.a, '2min', 'sum', true)", t0=BASE + 60
+    )
+    assert got == {BASE + 60: 6.0, BASE + 180: 14.0}
+    # the 4-arg false form stays on the epoch grid
+    got = _one(
+        store, "summarize(web.a, '2min', 'sum', false)", t0=BASE + 60
+    )
+    assert got == {BASE: 2.0, BASE + 120: 8.0, BASE + 240: 10.0}
+
+
 def test_hitcount(store):
     """functions.rst hitcount: 'Estimate hit counts from a list of
     time series. This function assumes the values in each time series
