@@ -2708,12 +2708,19 @@ def q_ch_agg_breadth(spark, sf_dir):
         out_col="user_buckets",
     )
     br = bounding_ratio(base, ["event_type"], "t", "value")
-    return (
-        ext.join(avw, "event_type", "left")
-        .join(med, "event_type", "left")
-        .join(uniq, "event_type", "left")
-        .join(br, "event_type", "left")
-    )
+
+    # NULL-SAFE left joins (r11): a NULL event_type is its own group
+    # in every piece (plain groupBy keeps it, as CH GROUP BY does),
+    # and the single-GROUP-BY query this mirrors on ClickHouse gives
+    # that group real values — a name-equality join would fail the
+    # NULL match and misreport every piece as a NULL cell
+    def nsj(a, b):
+        bb = b.withColumnRenamed("event_type", "__r")
+        return a.join(
+            bb, a["event_type"].eqNullSafe(bb["__r"]), "left"
+        ).drop("__r")
+
+    return nsj(nsj(nsj(nsj(ext, avw), med), uniq), br)
 
 
 def q_uniq_up_to(spark, sf_dir):
@@ -4332,8 +4339,11 @@ def _all_oracle_sql() -> dict[str, str]:
     """
     oracles["top_event_types"] = """
         WITH c AS (
+          -- NULL values skipped: CH aggregate functions (topK incl.)
+          -- ignore NULL inputs; the group keys are not affected
           SELECT user_id, event_type AS value, count(*) AS cnt
-          FROM events GROUP BY user_id, event_type
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY user_id, event_type
         ),
         r AS (
           SELECT user_id, value, cnt,
@@ -5566,10 +5576,12 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT ext.event_type, arg_min_user, arg_max_user,
                avg_weighted, wmedian, user_buckets, bounding_ratio
         FROM ext
-        LEFT JOIN avw ON avw.event_type = ext.event_type
-        LEFT JOIN med ON med.event_type = ext.event_type
-        LEFT JOIN uq ON uq.event_type = ext.event_type
-        LEFT JOIN br ON br.event_type = ext.event_type
+        -- null-safe joins: the NULL event_type group must carry its
+        -- real per-piece values, as one CH GROUP BY would give it
+        LEFT JOIN avw ON avw.event_type IS NOT DISTINCT FROM ext.event_type
+        LEFT JOIN med ON med.event_type IS NOT DISTINCT FROM ext.event_type
+        LEFT JOIN uq ON uq.event_type IS NOT DISTINCT FROM ext.event_type
+        LEFT JOIN br ON br.event_type IS NOT DISTINCT FROM ext.event_type
     """
     oracles["retention_flags"] = """
         SELECT user_id,

@@ -93,7 +93,7 @@ QUERIES = [
 ]
 
 
-def _degenerate_events() -> pd.DataFrame:
+def _degenerate_events(null_group: bool = False) -> pd.DataFrame:
     t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
     rows = []
 
@@ -133,6 +133,28 @@ def _degenerate_events() -> pd.DataFrame:
         "value": 55.5,
         "props": "{}",
     }
+    if null_group:
+        # a NULL-GROUP-KEY cohort (r11 ADVICE): ClickHouse and DuckDB
+        # GROUP BY both keep NULL keys as their own group, so every
+        # grouped operator must too — the decayed family's pre-r11
+        # name-equality join-back silently dropped this group and
+        # would have failed exactly this sweep. Kept OUT of the base
+        # table: the graphite four-table queries build metric paths
+        # from event_type, where Spark's concat propagates NULL but
+        # DuckDB's skips it — a fixture-plumbing artifact (a NULL
+        # event type never reaches a real plain line), not the
+        # grouped-aggregate contract this cohort pins.
+        for j, v in enumerate((3.0, 5.5, -2.25)):
+            pdf.loc[len(pdf)] = {
+                "event_id": 900 + j,
+                "ts": pd.Timestamp(
+                    t0 + datetime.timedelta(seconds=7 + 60 * j)
+                ),
+                "user_id": 11,
+                "event_type": None,
+                "value": v,
+                "props": "{}",
+            }
     pdf["event_id"] = pdf["event_id"].astype("Int64")
     pdf["user_id"] = pdf["user_id"].astype("int64")
     # force a MICROSECOND timestamp column (matching the driver
@@ -140,6 +162,36 @@ def _degenerate_events() -> pd.DataFrame:
     # plain long and breaks date_format
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
     return pdf
+
+
+#: grouped-aggregate queries additionally swept over the NULL-group-
+#: key events variant (every one groups by event_type, so the NULL
+#: cohort must come out as its own group on BOTH engines)
+NULL_KEY_QUERIES = [
+    "stat_moments",
+    "two_sample_tests",
+    "contingency_stats",
+    "ch_agg_breadth",
+    "rank_corr",
+    "theils_u",
+    "exp_smoothing",
+    "linear_regression",
+    "entropy",
+    "categorical_iv",
+    "anova",
+    "mean_z_test",
+    "corr_matrix",
+    "decayed_family",
+    "bit_ops",
+    "variance_family",
+    "array_agg_family",
+    "value_quantiles",
+    "top_event_types",
+    "quantile_sketch",
+    "histogram_adaptive",
+    "sum_map_daily",
+    "grouping_sets",
+]
 
 
 @pytest.fixture(scope="module")
@@ -151,11 +203,30 @@ def degen_dir(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def degen_null_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen_null")
+    pdf = _degenerate_events(null_group=True)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
 def degen_duck(degen_dir):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{degen_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def degen_null_duck(degen_null_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{degen_null_dir}/events.parquet')"
     )
     yield con
     con.close()
@@ -188,17 +259,31 @@ def _values_match(a, b):
     return True
 
 
-@pytest.mark.parametrize("name", QUERIES)
-def test_degenerate_parity(name, spark, degen_dir, degen_duck):
+def _check_parity(name, spark, sf_dir, duck, label=""):
     import __spark_entry__ as entry
 
     qs = {**entry.queries(), **entry.extra_queries()}
     os_ = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
-    sdf = _normalize(qs[name](spark, degen_dir).toPandas())
-    odf = _normalize(degen_duck.execute(os_[name]).fetchdf())
-    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
-    assert list(sdf.columns) == list(odf.columns), name
-    assert _values_match(sdf, odf), f"{name}: degenerate-shape mismatch"
+    sdf = _normalize(qs[name](spark, sf_dir).toPandas())
+    odf = _normalize(duck.execute(os_[name]).fetchdf())
+    assert len(sdf) == len(odf), (name, label, len(sdf), len(odf))
+    assert list(sdf.columns) == list(odf.columns), (name, label)
+    assert _values_match(sdf, odf), (
+        f"{name}: degenerate-shape mismatch {label}"
+    )
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_degenerate_parity(name, spark, degen_dir, degen_duck):
+    _check_parity(name, spark, degen_dir, degen_duck)
+
+
+@pytest.mark.parametrize("name", NULL_KEY_QUERIES)
+def test_null_group_key_parity(name, spark, degen_null_dir, degen_null_duck):
+    """r11: the NULL-group-key cohort must come out as its own group
+    with identical values on both engines — the class of bug the
+    decayed family's pre-r11 join-back had."""
+    _check_parity(name, spark, degen_null_dir, degen_null_duck, "(null keys)")
 
 
 # ---- documents-table text family -----------------------------------
