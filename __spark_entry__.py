@@ -2191,8 +2191,12 @@ def q_moving_window_arrays(spark, sf_dir):
     ma = group_array_moving(
         base, ["event_type"], "value", ["t", "event_id"], k=5,
         how="avg", out_col="moving_avg",
-    )
-    return ms.join(ma, "event_type")
+    ).withColumnRenamed("event_type", "__r")
+    # null-safe join (r11): a NULL event_type is its own group in
+    # both pieces, as in one CH GROUP BY — name equality drops it
+    return ms.join(
+        ma, ms["event_type"].eqNullSafe(ma["__r"])
+    ).drop("__r")
 
 
 def q_histogram_adaptive(spark, sf_dir):
@@ -4770,7 +4774,9 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT t.event_type, t_student, t_welch, dof_welch,
                u_stat, z_u, ks_d
-        FROM tfin t JOIN mw ON mw.event_type = t.event_type
+        FROM tfin t -- null-safe: the NULL event_type group is its own group in
+        -- both pieces (CH GROUP BY semantics)
+        JOIN mw ON mw.event_type IS NOT DISTINCT FROM t.event_type
     """
     # contingency family: exact integer cells/marginals, chi-square
     # folded left-to-right over (x, y)-string-ordered cells via

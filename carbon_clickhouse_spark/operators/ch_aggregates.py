@@ -193,16 +193,16 @@ def top_k_sketch(
     mins = parts.filter(F.col("__v").isNull()).groupBy(*gcols).agg(
         F.sum("__adj").alias("__m_total")
     )
-    merged = (
+    merged = _ns_join(
         parts.filter(F.col("__v").isNotNull())
         .groupBy(*gcols, "__v")
         .agg(
             F.sum("__adj").alias("__adj"),
             F.sum("__low").alias("cnt_lower"),
-        )
-        .join(F.broadcast(mins), gcols)
-        .withColumn("cnt_upper", F.col("__adj") + F.col("__m_total"))
-    )
+        ),
+        F.broadcast(mins),
+        gcols,
+    ).withColumn("cnt_upper", F.col("__adj") + F.col("__m_total"))
     w = Window.partitionBy(*gcols).orderBy(
         F.col("cnt_upper").desc(), F.col("__v").asc()
     )
@@ -1474,7 +1474,9 @@ def two_sample_tests(
     # per-sample counts for the KS empirical CDFs
     per_v = two_sample_value_cells(base, gcols)
     mw = two_sample_rank_finals(per_v, gcols)
-    return stats.join(mw, gcols)
+    # null-safe: a NULL group key is its own group in both pieces
+    # (CH GROUP BY semantics) — name equality would drop it here
+    return _ns_join(stats, mw, gcols)
 
 
 def two_sample_base(
@@ -1838,21 +1840,30 @@ def rank_corr_finals(
     sums collapse to cell-weighted sums — exactly the quantities
     :func:`rank_corr` accumulates, in the same DECIMAL types), and
     the final Pearson tree is shared, so a streaming snapshot
-    finalizes BIT-identically to the batch operator."""
+    finalizes BIT-identically to the batch operator.
+
+    Group keys ride ONE ``struct`` column through the marginal joins
+    (r11): struct equality is null-safe, so a NULL group key stays
+    its own group exactly as the window route and CH GROUP BY keep
+    it — a name-equality join dropped it and made the two rank_corr
+    routes disagree on NULL keys — and both joins and the final
+    aggregate share the struct key's hash partitioning."""
     glist = list(gcols)
+    key = F.struct(*[F.col(c) for c in glist]) if glist else F.lit(0)
+    kcells = cells.select(key.alias("__gk"), "__x", "__y", "__c")
 
     def _marginal(col: str, out: str) -> DataFrame:
         # per distinct value: 2*midrank = 2*cum_before + cnt + 1
-        m = cells.groupBy(*glist, col).agg(
+        m = kcells.groupBy("__gk", col).agg(
             F.sum("__c").alias("__cnt")
         )
         w = (
-            Window.partitionBy(*glist)
+            Window.partitionBy("__gk")
             .orderBy(col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         return m.select(
-            *glist,
+            "__gk",
             col,
             (
                 F.lit(2)
@@ -1863,14 +1874,14 @@ def rank_corr_finals(
         )
 
     ranked = (
-        cells.join(_marginal("__x", "__rx2"), [*glist, "__x"])
-        .join(_marginal("__y", "__ry2"), [*glist, "__y"])
-        .select(*glist, "__c", "__rx2", "__ry2")
+        kcells.join(_marginal("__x", "__rx2"), ["__gk", "__x"])
+        .join(_marginal("__y", "__ry2"), ["__gk", "__y"])
+        .select("__gk", "__c", "__rx2", "__ry2")
     )
     c = F.col("__c").cast("decimal(38,0)")
     rx = F.col("__rx2").cast("decimal(38,0)")
     ry = F.col("__ry2").cast("decimal(38,0)")
-    agg = ranked.groupBy(*gcols).agg(
+    agg = ranked.groupBy("__gk").agg(
         F.sum(c).alias("__n"),
         F.sum(c * rx).alias("__sx"),
         F.sum(c * ry).alias("__sy"),
@@ -1878,6 +1889,7 @@ def rank_corr_finals(
         F.sum(c * ry * ry).alias("__syy"),
         F.sum(c * rx * ry).alias("__sxy"),
     )
+    gsel = [F.col("__gk").getField(c2).alias(c2) for c2 in glist]
     n = F.col("__n").cast("double")
     sx = F.col("__sx").cast("double")
     sy = F.col("__sy").cast("double")
@@ -1890,7 +1902,7 @@ def rank_corr_finals(
     out = F.when((vx == 0.0) | (vy == 0.0), nan).otherwise(
         (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
     )
-    return agg.select(*gcols, out.alias("rank_corr"))
+    return agg.select(*gsel, out.alias("rank_corr"))
 
 
 def theils_u(
@@ -2510,6 +2522,27 @@ def _gkey_select(gcols: Sequence[str]) -> list:
     """Unpack the :func:`_with_group_tmax` struct key back into the
     caller's named group columns for the final select."""
     return [F.col("__gkey").getField(c).alias(c) for c in gcols]
+
+
+def _ns_join(
+    a: DataFrame, b: DataFrame, cols: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """NULL-SAFE equi-join on ``cols`` keeping one copy of the keys
+    (r11): ClickHouse GROUP BY keeps NULL keys as their own group, so
+    any join reassembling per-group pieces must match NULL = NULL —
+    a name-equality join silently drops those groups (the decayed-
+    family ADVICE class). Used where per-group result fragments are
+    tiny (AQE broadcasts them); big-side joins use the struct-key
+    shape instead (:func:`_with_group_tmax`) to keep co-partitioning."""
+    bb = b
+    for c in cols:
+        bb = bb.withColumnRenamed(c, f"__nsj_{c}")
+    cond = None
+    for c in cols:
+        eq = a[c].eqNullSafe(bb[f"__nsj_{c}"])
+        cond = eq if cond is None else cond & eq
+    joined = a.join(bb, cond, how) if cond is not None else a.crossJoin(bb)
+    return joined.drop(*[f"__nsj_{c}" for c in cols])
 
 
 def exponential_moving_average(

@@ -1082,6 +1082,55 @@ def test_rank_corr_via_cells_bitwise(spark):
             assert a[g] == b[g], g  # bit-for-bit, not approx
 
 
+def test_null_group_keys_survive_piece_joins(spark):
+    """r11: operators that reassemble per-group pieces with a join
+    must keep NULL group keys (CH GROUP BY keeps them): rank_corr's
+    cells route must agree with the window route on a NULL key
+    bitwise, two_sample_tests must emit the NULL group, and
+    top_k_sketch's min-row merge join must not drop it."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        rank_corr,
+        top_k_sketch,
+        two_sample_tests,
+    )
+
+    rows = [
+        (g, float(i % 7), float(i % 5))
+        for g in (None, "g")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    win = {
+        str(r["g"]): r["rank_corr"]
+        for r in rank_corr(df, ["g"], "x", "y", via_cells=False).collect()
+    }
+    cel = {
+        str(r["g"]): r["rank_corr"]
+        for r in rank_corr(df, ["g"], "x", "y", via_cells=True).collect()
+    }
+    assert set(win) == set(cel) == {"None", "g"}
+    for k in win:
+        assert win[k] == cel[k] or (
+            math.isnan(win[k]) and math.isnan(cel[k])
+        )
+
+    df2 = spark.createDataFrame(
+        [
+            (g, float(i % 7), i % 2)
+            for g in (None, "g")
+            for i in range(40)
+        ],
+        "g string, v double, cls int",
+    )
+    ts = two_sample_tests(df2, ["g"], "v", "cls").collect()
+    assert sorted(str(r["g"]) for r in ts) == ["None", "g"]
+
+    tk = top_k_sketch(df, ["g"], "x", k=3).collect()
+    assert {str(r["g"]) for r in tk} == {"None", "g"}
+
+
 def test_rank_corr_auto_routing(spark):
     """r11 (r10 verdict #2): via_cells=None probes a bounded sample
     and routes automatically. Pins (1) the decision on both shapes —

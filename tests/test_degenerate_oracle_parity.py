@@ -191,6 +191,12 @@ NULL_KEY_QUERIES = [
     "histogram_adaptive",
     "sum_map_daily",
     "grouping_sets",
+    "uniq_up_to",
+    "value_histogram",
+    "histogram_adaptive_sketch",
+    "moving_window_arrays",
+    "lttb_downsample",
+    "delta_sum",
 ]
 
 
