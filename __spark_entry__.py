@@ -5866,7 +5866,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  w.started OR (e.event_type = 'signup' AND NOT w.stopped),
                  w.stopped OR x.nstop
           FROM walk w
-          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1,
+          JOIN e ON e.user_id IS NOT DISTINCT FROM w.user_id AND e.rn = w.rn + 1,
           LATERAL (
             SELECT CASE
               WHEN w.stopped THEN FALSE
@@ -5884,7 +5884,7 @@ def _all_oracle_sql() -> dict[str, str]:
                          WHEN w.s2 IS NOT NULL THEN 2
                          WHEN w.s1 IS NOT NULL THEN 1
                          ELSE 0 END AS INT) AS funnel_level
-        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
+        FROM walk w JOIN mx ON mx.user_id IS NOT DISTINCT FROM w.user_id AND w.rn = mx.mx
     """
     # same recursive fold with the dedup interrupt: a view/purchase
     # whose own slot is already set stops the walk (signup re-matches
@@ -5918,7 +5918,7 @@ def _all_oracle_sql() -> dict[str, str]:
                       ELSE w.s3 END,
                  w.stopped OR x.nstop
           FROM walk w
-          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1,
+          JOIN e ON e.user_id IS NOT DISTINCT FROM w.user_id AND e.rn = w.rn + 1,
           LATERAL (
             SELECT CASE
               WHEN w.stopped THEN FALSE
@@ -5933,7 +5933,7 @@ def _all_oracle_sql() -> dict[str, str]:
                          WHEN w.s2 IS NOT NULL THEN 2
                          WHEN w.s1 IS NOT NULL THEN 1
                          ELSE 0 END AS INT) AS funnel_level
-        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
+        FROM walk w JOIN mx ON mx.user_id IS NOT DISTINCT FROM w.user_id AND w.rn = mx.mx
     """
     # latest-COMPLETION running-max DP (per-gap bounds, so each step
     # tracks its own end time, unlike window_funnel's chain start)
@@ -6003,14 +6003,14 @@ def _all_oracle_sql() -> dict[str, str]:
                            AND e.t - w.s2 <= 3600 THEN w.s2
                       ELSE w.s3 END
           FROM walk w
-          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+          JOIN e ON e.user_id IS NOT DISTINCT FROM w.user_id AND e.rn = w.rn + 1
         )
         SELECT w.user_id,
                CAST(CASE WHEN w.s3 IS NOT NULL THEN 3
                          WHEN w.s2 IS NOT NULL THEN 2
                          WHEN w.s1 IS NOT NULL THEN 1
                          ELSE 0 END AS INT) AS funnel_level
-        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
+        FROM walk w JOIN mx ON mx.user_id IS NOT DISTINCT FROM w.user_id AND w.rn = mx.mx
     """
     # the sequential earliest-end fold replayed as a recursive CTE:
     # one step per event row (rn), per-user state = (b1, b2, b3,
@@ -6038,7 +6038,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  CAST(NULL AS BIGINT),
                  w.matches + CASE WHEN nb3 IS NOT NULL THEN 1 ELSE 0 END
           FROM walk w
-          JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1,
+          JOIN e ON e.user_id IS NOT DISTINCT FROM w.user_id AND e.rn = w.rn + 1,
           LATERAL (
             SELECT
               CASE WHEN e.event_type = 'purchase' AND w.b2 IS NOT NULL
@@ -6051,7 +6051,7 @@ def _all_oracle_sql() -> dict[str, str]:
           ) s
         )
         SELECT w.user_id, w.matches AS n_matches
-        FROM walk w JOIN mx ON mx.user_id = w.user_id AND w.rn = mx.mx
+        FROM walk w JOIN mx ON mx.user_id IS NOT DISTINCT FROM w.user_id AND w.rn = mx.mx
     """
     oracles["retention"] = """
         WITH e AS (

@@ -209,6 +209,7 @@ def _funnel_sequential(
 
     def scan(batches):
         cur = None
+        has_cur = False
         slots: list = [None] * n  # slot[i] = (chain start, event time)
         started = stopped = False
         out_u: list = []
@@ -228,11 +229,16 @@ def _funnel_sequential(
             times = pdf[time_col].to_numpy()
             types = pdf["__ty"].to_numpy()
             for j in range(len(pdf)):
+                # NULL-safe run detection (r11): a NULL user is ONE
+                # group (CH GROUP BY semantics); NaN != NaN would
+                # start a fresh run on every NULL row
                 u = users[j]
-                if u != cur:
-                    if cur is not None:
+                if pd.isna(u):
+                    u = None
+                if not has_cur or u != cur:
+                    if has_cur:
                         flush()
-                    cur = u
+                    cur, has_cur = u, True
                     slots = [None] * n
                     started = stopped = False
                 if stopped:
@@ -268,7 +274,7 @@ def _funnel_sequential(
                     if s_inc and not tev < t:
                         continue
                     slots[ci] = (start, t)
-        if cur is not None:
+        if has_cur:
             flush()
         if out_u:
             yield pd.DataFrame(

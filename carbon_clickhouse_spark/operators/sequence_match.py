@@ -188,6 +188,7 @@ def _sequence_match_general(
 
     def scan(batches):
         cur = None
+        has_cur = False
         cand: list = [collections.deque() for _ in range(n)]
         matches = 0
         out_u: list = []
@@ -199,12 +200,17 @@ def _sequence_match_general(
                 pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)
             ]
             for j in range(len(pdf)):
+                # NULL-safe run detection (r11): a NULL user is ONE
+                # group (CH GROUP BY semantics); NaN != NaN would
+                # start a fresh run on every NULL row
                 u = users[j]
-                if u != cur:
-                    if cur is not None:
+                if pd.isna(u):
+                    u = None
+                if not has_cur or u != cur:
+                    if has_cur:
                         out_u.append(cur)
                         out_m.append(matches)
-                    cur = u
+                    cur, has_cur = u, True
                     cand = [collections.deque() for _ in range(n)]
                     matches = 0
                 if matches and not count:
@@ -238,7 +244,7 @@ def _sequence_match_general(
                         break
                     if not cand[k] or cand[k][-1] != t:
                         cand[k].append(t)
-        if cur is not None:
+        if has_cur:
             out_u.append(cur)
             out_m.append(matches)
         if out_u:
@@ -331,6 +337,7 @@ def sequence_count(
 
     def scan(batches):
         cur = None  # current user key
+        has_cur = False
         best: list = [None] * (n + 1)  # best[k]: latest end of step-k prefix
         matches = 0
         out_u: list = []
@@ -342,12 +349,18 @@ def sequence_count(
                 pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)
             ]
             for j in range(len(pdf)):
+                # NULL-safe run detection (r11): a NULL user is ONE
+                # group (CH GROUP BY semantics); NaN != NaN would
+                # start a fresh run on every NULL row
                 u = users[j]
-                if u != cur:
-                    if cur is not None:
+                if pd.isna(u):
+                    u = None
+                if not has_cur or u != cur:
+                    if has_cur:
                         out_u.append(cur)
                         out_m.append(matches)
-                    cur, best, matches = u, [None] * (n + 1), 0
+                    cur, has_cur = u, True
+                    best, matches = [None] * (n + 1), 0
                 t = times[j]
                 # descending k: step k may only chain to a completion
                 # on a strictly earlier ROW, so this row's own updates
@@ -364,7 +377,7 @@ def sequence_count(
                 if best[n] is not None:
                     matches += 1
                     best = [None] * (n + 1)
-        if cur is not None:
+        if has_cur:
             out_u.append(cur)
             out_m.append(matches)
         if out_u:

@@ -93,7 +93,9 @@ QUERIES = [
 ]
 
 
-def _degenerate_events(null_group: bool = False) -> pd.DataFrame:
+def _degenerate_events(
+    null_group: bool = False, null_user: bool = False
+) -> pd.DataFrame:
     t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
     rows = []
 
@@ -155,8 +157,30 @@ def _degenerate_events(null_group: bool = False) -> pd.DataFrame:
                 "value": v,
                 "props": "{}",
             }
+    if null_user:
+        # a NULL-USER cohort (r11): user_id is the group key of the
+        # whole event-analytics family; CH GROUP BY keeps a NULL user
+        # as one group, so the funnels/sequence folds must treat the
+        # NULL run as ONE group (NaN != NaN started a fresh run per
+        # row pre-r11) and the recursive-walk oracles must join it
+        # null-safely. The cohort completes a full
+        # signup -> click -> purchase chain so levels/counts are
+        # non-trivial.
+        for j, et in enumerate(("signup", "view", "click", "purchase")):
+            pdf.loc[len(pdf)] = {
+                "event_id": 950 + j,
+                "ts": pd.Timestamp(
+                    t0 + datetime.timedelta(seconds=13 + 45 * j)
+                ),
+                "user_id": None,
+                "event_type": et,
+                "value": 1.0 + j,
+                "props": "{}",
+            }
     pdf["event_id"] = pdf["event_id"].astype("Int64")
-    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype(
+        "Int64" if null_user else "int64"
+    )
     # force a MICROSECOND timestamp column (matching the driver
     # fixtures): pandas' default ns precision lands in Spark 4 as a
     # plain long and breaks date_format
@@ -217,11 +241,30 @@ def degen_null_dir(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def degen_user_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen_user")
+    pdf = _degenerate_events(null_user=True)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
 def degen_duck(degen_dir):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{degen_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def degen_user_duck(degen_user_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{degen_user_dir}/events.parquet')"
     )
     yield con
     con.close()
@@ -282,6 +325,33 @@ def _check_parity(name, spark, sf_dir, duck, label=""):
 @pytest.mark.parametrize("name", QUERIES)
 def test_degenerate_parity(name, spark, degen_dir, degen_duck):
     _check_parity(name, spark, degen_dir, degen_duck)
+
+
+#: user-grouped event-analytics queries swept over the NULL-user
+#: events variant
+NULL_USER_QUERIES = [
+    "window_funnel",
+    "window_funnel_strict",
+    "window_funnel_strict_order",
+    "window_funnel_strict_dedup",
+    "window_funnel_strict_once",
+    "retention",
+    "retention_flags",
+    "sequence_match",
+    "sequence_match_bounds",
+    "sequence_count",
+    "sequence_next_node",
+    "sessionization",
+]
+
+
+@pytest.mark.parametrize("name", NULL_USER_QUERIES)
+def test_null_user_parity(name, spark, degen_user_dir, degen_user_duck):
+    """r11: a NULL user_id is one group across the event-analytics
+    family on both engines — the funnels' and sequence matchers'
+    Arrow folds must not split the NULL run, and the recursive-walk
+    oracles must not drop it at their equality joins."""
+    _check_parity(name, spark, degen_user_dir, degen_user_duck, "(null user)")
 
 
 @pytest.mark.parametrize("name", NULL_KEY_QUERIES)
