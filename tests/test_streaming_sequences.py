@@ -473,3 +473,51 @@ def test_streaming_sequence_next_node_ttl_determines_tail(spark, tmp_path):
         assert got[0]["next_event"] is None  # matched run, no next
     finally:
         q.stop()
+
+
+def test_null_user_is_one_group_parity(spark, tmp_path):
+    """r11: a NULL user_id is ONE group in the streaming twin (the
+    state key) AND in the batch operator (pd.isna-normalized run
+    detection) — the NULL user's full a->b chain must count once,
+    matching batch replay, not split per row or vanish."""
+    landing = str(tmp_path / "sq_null")
+    os.makedirs(landing)
+    base = 1_700_000_000
+    events = [
+        (None, base + 10, "a"),
+        (None, base + 30, "b"),
+        (7, base + 10, "a"),
+        (7, base + 30, "b"),
+    ]
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    out = streaming_sequence_count(
+        stream, ["a", "b"], max_gaps=[60],
+        watermark_delay="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq_null")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write(landing, "b1.json", events)
+        q.processAllAvailable()
+        # advance the watermark, then poke BOTH keys (a key refolds
+        # when it receives rows — the documented invocation contract)
+        _write(landing, "b2.json", [(0, base + 100_000, "x")])
+        q.processAllAvailable()
+        _write(
+            landing,
+            "b3.json",
+            [(None, base + 150_000, "x"), (7, base + 150_000, "x")],
+        )
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    got = {u: r["n_matches"] for u, r in _latest(spark, "sq_null").items()}
+    want = _batch_counts(spark, events, ["a", "b"], [None], [60])
+    want = {u: c for u, c in want.items() if c > 0}
+    assert want == {None: 1, 7: 1}  # batch keeps the NULL group
+    assert got == want, (got, want)
