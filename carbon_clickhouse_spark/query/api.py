@@ -1134,9 +1134,18 @@ def evaluate_target(
             return render.diff_series(a, b)
         if expr.name == "divideSeries":
             return render.divide_series(a, b)
-        total = b.groupBy("time").agg(F.sum("value").alias("value"))
-        return render.divide_series(a, total.select(F.lit("total").alias("path"), "time", "value")).select(
-            "path", "time", (F.col("value") * 100).alias("value")
+        # asPercent(seriesList, totalList): each dividend series as a
+        # percent of the total's per-timestamp sum, KEEPING its own
+        # path (routing through divide_series merged all dividends
+        # into one relabeled series — wrong for a wildcard dividend)
+        total = b.groupBy("time").agg(F.sum("value").alias("__tot"))
+        pct = F.when(
+            F.col("__tot").isNotNull() & (F.col("__tot") != 0),
+            F.col("value") * 100 / F.col("__tot"),
+        )
+        return (
+            a.join(total, "time", "left")
+            .select("path", "time", pct.alias("value"))
         )
     fn = _FUNCS.get(expr.name)
     if fn is None:

@@ -391,3 +391,45 @@ def test_changed(store):
         BASE + 180: 0.0,
         BASE + 240: 1.0,
     }
+
+
+def test_as_percent_with_total_series(store):
+    """functions.rst asPercent with an explicit total: 'Calculates a
+    percentage of the total of a wildcard series' — doc example
+    asPercent(Server*.connections.{failed,succeeded},
+    Server*.connections.attempted). Here web.a as a percent of the
+    web.* total: at BASE, 100 * 1 / (1+2)."""
+    got = _got(store, "asPercent(web.a, web.*)")
+    assert abs(got[("web.a", BASE)] - 100.0 / 3.0) < 1e-9
+    assert abs(got[("web.a", BASE + 240)] - 100.0 * 10 / 12) < 1e-9
+
+
+def test_holt_winters_confidence_bands_constant(store):
+    """functions.rst holtWintersConfidenceBands: 'Performs a
+    Holt-Winters forecast for the dataset of the series and plots
+    upper and lower bands with the predicted forecast deviations'
+    (bands = forecast +/- delta * deviation, delta default 3). For a
+    constant series the deviation tends to 0, so both bands equal
+    the constant — derivable from the model definition alone."""
+    out = evaluate_target(
+        parse_target("holtWintersConfidenceBands(web.b)"),
+        store,
+        BASE,
+        BASE + 240,
+    ).collect()
+    assert len(out) > 0
+    paths = {r.path for r in out}
+    assert len(paths) == 2  # an upper and a lower band per series
+    for r in out:
+        assert r.value is not None and abs(r.value - 2.0) < 1e-6
+
+
+def test_group_by_node(store):
+    """functions.rst groupByNode doc example:
+    '&target=groupByNode(ganglia.by-function.*.*.cpu.load5,2,
+    "sumSeries")' — groups series by the selected node and applies
+    the callback per group. Grouping web.* by node 1 with sum leaves
+    each series its own group (nodes 'a' and 'b'), values intact."""
+    got = _got(store, "groupByNode(web.*, 1, 'sum')")
+    assert {p for p, _ in got} == {"a", "b"}
+    assert got[("a", BASE)] == 1.0 and got[("b", BASE)] == 2.0
