@@ -102,7 +102,9 @@ def mixture_plan(
             "(typo, or a source filtered to zero rows?): %s "
             "(available: %s) — they contribute nothing",
             ", ".join(sorted(unknown)),
-            ", ".join(sorted(available)) or "none",
+            # a NULL source (real data, never nameable in weights)
+            # must not break the sort
+            ", ".join(sorted(str(s) for s in available)) or "none",
         )
     w = {s: weights.get(s, 0.0) for s in available}
     wsum = sum(w.values())
@@ -163,7 +165,12 @@ def mix_sources(
         )
 
     legs = []
-    for s, rate in sorted(rates.items()):
+    # None-safe sort: a NULL source group gets rate 0.0 (it can never
+    # be named in weights) and is skipped below, but it must not crash
+    # the ordering (r11 probe)
+    for s, rate in sorted(
+        rates.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
         if rate <= 0:
             continue
         src = df.filter(F.col(source_col) == s)

@@ -152,3 +152,18 @@ def test_temperature_weights_rebalance():
         temperature_weights(avail, alpha=1.5)
     with pytest.raises(ValueError):
         temperature_weights({"empty": 0})
+
+
+def test_null_source_contributes_nothing_without_crashing(spark):
+    """r11: a NULL source can never be named in the weights, so it
+    contributes nothing — but its presence must not crash the plan's
+    source ordering (None < str TypeError pre-r11)."""
+    rows = [
+        (i, "word " * (1 + i % 5), f"s{i % 2}", 5) for i in range(20)
+    ] + [(99, "null src", None, 2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_tokens int"
+    )
+    out = mix_sources(df, {"s0": 0.5, "s1": 0.5}).collect()
+    assert len(out) > 0
+    assert all(r["source"] is not None for r in out)
