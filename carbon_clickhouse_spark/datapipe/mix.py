@@ -146,8 +146,13 @@ def mix_sources(
     Documents, not tokens, are the sampling unit (standard practice —
     token-exact trimming happens downstream in ``pack``); the
     realized token share converges to the plan by the law of large
-    numbers over md5 buckets. Sources with zero weight drop."""
+    numbers over md5 buckets. Sources with zero weight drop. An EMPTY
+    corpus yields an empty mixture (the tolerant extension of 'an
+    empty source contributes nothing' to every source — r11
+    empty-input probe; previously a misleading ValueError)."""
     available = source_token_counts(df, tok_col, source_col)
+    if not available:
+        return df.withColumn("epoch", F.lit(0)).limit(0)
     rates = mixture_plan(available, weights, total_tokens)
 
     # per-source hash in [0, _BUCKETS): fraction f keeps buckets

@@ -226,6 +226,11 @@ def _train_quantizer(
         .limit(sample_limit)
         .toPandas()[vec_col]
     )
+    if len(sample) == 0:
+        # an empty corpus trains nothing: a clear error beats the
+        # obscure numpy axis error it used to raise (r11 empty-input
+        # probe); ivf_topk's empty-corpus fast path avoids it
+        raise ValueError("cannot train IVF centroids: empty embeddings")
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
     return train_ivf_centroids(mat, n_lists, iters)
 
@@ -301,6 +306,14 @@ def ivf_topk(
     (deterministic) — at 100 TB you train once on a sample and reuse.
     Output schema matches brute_force_topk; recall < 1.0 by design.
     """
+    # empty corpus: nothing to train on and nothing to retrieve —
+    # an empty result with the contract schema (r11 empty-input probe)
+    if not embeddings.take(1):
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine double, rank long",
+        )
     # --- train the coarse quantizer on a bounded sample (driver) ----
     centroids = _train_quantizer(
         embeddings, n_lists, kmeans_iters, id_col, vec_col, sample_limit

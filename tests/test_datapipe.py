@@ -1539,3 +1539,20 @@ def test_readability_features(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Exchange" not in plan  # zero-shuffle column pass
+
+
+def test_ivf_topk_empty_corpus(spark):
+    """r11 empty-input probe: an empty embeddings table returns an
+    empty result with the brute_force_topk schema instead of an
+    obscure numpy axis error from the centroid trainer."""
+    from carbon_clickhouse_spark.datapipe.similarity import ivf_topk
+
+    e0 = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    out = ivf_topk(e0, e0, k=3)
+    assert out.count() == 0
+    assert out.schema.simpleString() == (
+        "struct<query_id:bigint,neighbor_id:bigint,"
+        "cosine:double,rank:bigint>"
+    )

@@ -167,3 +167,14 @@ def test_null_source_contributes_nothing_without_crashing(spark):
     out = mix_sources(df, {"s0": 0.5, "s1": 0.5}).collect()
     assert len(out) > 0
     assert all(r["source"] is not None for r in out)
+
+
+def test_empty_corpus_yields_empty_mixture(spark):
+    """r11 empty-input probe: an empty corpus mixes to an empty frame
+    with the output schema (epoch attached), not a ValueError."""
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_tokens int"
+    )
+    out = mix_sources(df, {"s0": 1.0})
+    assert out.count() == 0
+    assert "epoch" in out.columns
