@@ -1093,7 +1093,12 @@ def q_value_quantiles(spark, sf_dir):
 def q_grouping_sets(spark, sf_dir):
     """CUBE over (event_type, user bucket): count + exact decimal sum
     (A5: query-time aggregation breadth the reference delegates to
-    ClickHouse)."""
+    ClickHouse).
+
+    Known engine divergence ON FULLY-EMPTY INPUT ONLY (r11 probe):
+    ANSI/DuckDB CUBE emits the () grand-total row (n=0) over zero
+    input rows; Spark's cube emits nothing. Both agree on every
+    non-empty input, which is all the driver ever generates."""
     ev = _t(spark, sf_dir, "events")
     bucket = (F.col("user_id") % 10).alias("user_bucket")
     return (
