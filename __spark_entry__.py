@@ -2276,6 +2276,23 @@ def q_stat_moments(spark, sf_dir):
     return stat_moments(base, ["event_type"], "value", y_col="y")
 
 
+def q_moments_samp(spark, sf_dir):
+    """ClickHouse ``skewSamp`` / ``kurtSamp`` per event type
+    (operators/ch_aggregates.stat_moments_samp): the SAMPLE moment
+    variants — CH keeps the population central moments m3/m4 and
+    swaps the denominator variance for varSamp = n*m2/(n-1)
+    (AggregateFunctionsStatisticsSimple, replicated verbatim). Same
+    exact-DECIMAL power sums and fixed IEEE finals as stat_moments,
+    so the oracle replays it hash-exact; n=1 and zero-variance
+    groups are nan on both engines."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        stat_moments_samp,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return stat_moments_samp(ev, ["event_type"], "value")
+
+
 def q_two_sample_tests(spark, sf_dir):
     """ClickHouse ``studentTTest`` / ``welchTTest`` /
     ``mannWhitneyUTest`` / ``kolmogorovSmirnovTest`` statistics per
@@ -3019,6 +3036,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bit_ops": q_bit_ops,
         # graded rep: stat_moments; varPop/varSamp/stddev*/covarSamp
         "variance_family": q_variance_family,
+        # graded rep: stat_moments (same sums); adds skewSamp/kurtSamp
+        "moments_samp": q_moments_samp,
         # graded reps: ch_agg_breadth (groupUniqArray) / tpch_q1;
         # adds groupArraySorted(N) (rank-pruned bounded state) and
         # sumCount
@@ -4616,6 +4635,45 @@ def _all_oracle_sql() -> dict[str, str]:
     """
     # skew/kurt/covar/corr: identical integer power sums (HUGEINT =
     # Spark's DECIMAL(38,0)) then the identical IEEE expression tree
+    oracles["moments_samp"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS q
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ),
+        s AS (
+          SELECT event_type,
+                 count(*) AS n_rows,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(q) AS DOUBLE) AS s1,
+                 CAST(sum(q*q) AS DOUBLE) AS s2,
+                 CAST(sum(q*q*q) AS DOUBLE) AS s3,
+                 CAST(sum((q*q)*(q*q)) AS DOUBLE) AS s4
+          FROM b GROUP BY event_type
+        ),
+        c AS (
+          SELECT event_type, n_rows, n, s2, s3, s4, s1/n AS mean,
+                 s2/n - (s1/n)*(s1/n) AS m2
+          FROM s
+        ),
+        v AS (
+          -- varSamp = n*m2/(n-1); n = 1 guarded below
+          SELECT *, CASE WHEN n = 1.0 THEN CAST('nan' AS DOUBLE)
+                         ELSE m2 * n / (n - 1.0) END AS vs
+          FROM c
+        )
+        SELECT event_type, n_rows,
+          CASE WHEN n = 1.0 OR m2 = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE (s3/n - 3.0*mean*(s2/n) + 2.0*(mean*mean*mean))
+                    / (vs * sqrt(vs)) END AS skew_samp,
+          CASE WHEN n = 1.0 OR m2 = 0.0 THEN CAST('nan' AS DOUBLE)
+               ELSE (s4/n - 4.0*mean*(s3/n)
+                     + 6.0*(mean*mean)*(s2/n)
+                     - 3.0*((mean*mean)*(mean*mean)))
+                    / (vs * vs) END AS kurt_samp
+        FROM v
+    """
     oracles["stat_moments"] = """
         WITH b AS (
           SELECT event_type,

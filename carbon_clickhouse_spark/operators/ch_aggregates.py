@@ -1200,6 +1200,66 @@ def stat_moment_finals(has_y: bool) -> list:
     return out
 
 
+def stat_moments_samp(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """ClickHouse ``skewSamp(x)`` / ``kurtSamp(x)`` per group — the
+    SAMPLE variants (r11): CH keeps the POPULATION central moments
+    m3/m4 and swaps only the denominator variance for
+    ``varSamp = n*m2/(n-1)`` (AggregateFunctionsStatisticsSimple:
+    getSkewSamp = moment3 / varSamp^1.5, getKurtSamp =
+    moment4 / varSamp^2 — the docs' 'unbiased estimate' phrasing
+    notwithstanding, the code is this exact form, replicated here
+    verbatim). Same engine-exact construction as
+    :func:`stat_moments`: half-up quantized int64 values, exact
+    DECIMAL(38,0) power sums (mergeable — the same cells stream), a
+    fixed IEEE finals tree; the skew/kurt ratios are quantization-
+    scale invariant (scale^3/scale^3, scale^4/scale^4). ``n = 1``
+    (varSamp 0/0) and zero sample variance yield nan, matching CH.
+    Returns ``(*group_cols, n_rows, skew_samp, kurt_samp)``; one
+    partial-agg Exchange."""
+    gcols = list(group_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    got = base.groupBy(*gcols).agg(
+        *stat_moment_aggs(value_col, None, scale)
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * (
+        mean * mean * mean
+    )
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * (mean * mean) * (s2 / n)
+        - F.lit(3.0) * ((mean * mean) * (mean * mean))
+    )
+    nan = F.lit(float("nan"))
+    var_samp = F.when(n == 1.0, nan).otherwise(
+        m2 * n / (n - F.lit(1.0))
+    )
+    return got.select(
+        *gcols,
+        F.col("__n").alias("n_rows"),
+        F.when((n == 1.0) | (m2 == 0.0), nan)
+        .otherwise(m3 / (var_samp * F.sqrt(var_samp)))
+        .alias("skew_samp"),
+        F.when((n == 1.0) | (m2 == 0.0), nan)
+        .otherwise(m4 / (var_samp * var_samp))
+        .alias("kurt_samp"),
+    )
+
+
 def largest_triangle_three_buckets(
     df: DataFrame,
     group_cols: Sequence[str],

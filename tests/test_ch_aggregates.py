@@ -1947,3 +1947,32 @@ def test_group_array_intersect_no_broadcast_fallback(spark):
         assert out == {"g": [2, 3], "h": [5]}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stat_moments_samp_known_values(spark):
+    """skewSamp/kurtSamp pinned to CH's exact form (population central
+    moments over varSamp = n*m2/(n-1)) on hand-computable data, plus
+    the n=1 and zero-variance nan guards."""
+    import math
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        stat_moments_samp,
+    )
+
+    vals = [1.0, 2.0, 4.0, 8.0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    vs = m2 * n / (n - 1)
+    rows = [("g", v) for v in vals] + [("solo", 5.0)] + [
+        ("const", 3.0), ("const", 3.0), ("const", 3.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in stat_moments_samp(df, ["g"], "v").collect()}
+    assert abs(got["g"]["skew_samp"] - m3 / vs**1.5) < 1e-9
+    assert abs(got["g"]["kurt_samp"] - m4 / vs**2) < 1e-9
+    assert got["g"]["n_rows"] == 4
+    assert math.isnan(got["solo"]["skew_samp"])  # n = 1
+    assert math.isnan(got["const"]["kurt_samp"])  # zero variance

@@ -47,6 +47,7 @@ QUERIES = [
     "decayed_family",
     "bit_ops",
     "variance_family",
+    "moments_samp",
     "array_agg_family",
     # the pre-r9 events-table aggregates, locked in after the same
     # probe found zero latent divergences on these shapes
@@ -208,6 +209,7 @@ NULL_KEY_QUERIES = [
     "decayed_family",
     "bit_ops",
     "variance_family",
+    "moments_samp",
     "array_agg_family",
     "value_quantiles",
     "top_event_types",
