@@ -2148,7 +2148,8 @@ def q_window_funnel_strict_once(spark, sf_dir):
 
 
 def q_interval_metrics(spark, sf_dir):
-    """ClickHouse ``intervalLengthSum`` + ``maxIntersections`` per
+    """ClickHouse ``intervalLengthSum`` + ``maxIntersections`` +
+    ``maxIntersectionsPosition`` per
     event type over intervals derived from the events table
     (start = event time, end = start + value*60 — deterministic,
     heavily overlapping). Both are the classic sweep as pure window
@@ -2158,7 +2159,7 @@ def q_interval_metrics(spark, sf_dir):
     Exchange each; tiny per-type results join broadcast."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         interval_length_sum,
-        max_intersections,
+        max_intersections_position,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -2168,8 +2169,14 @@ def q_interval_metrics(spark, sf_dir):
         (_sec(ev) + F.col("value") * 60).cast("double").alias("e"),
     )
     a = interval_length_sum(base, ["event_type"], "s", "e")
-    b = max_intersections(base, ["event_type"], "s", "e")
-    return a.join(b, "event_type")
+    # r11: maxIntersectionsPosition completes the family — one sweep
+    # yields both the peak depth and the position it is first reached
+    b = max_intersections_position(
+        base, ["event_type"], "s", "e"
+    ).withColumnRenamed("event_type", "__r")
+    # null-safe join: a NULL event_type is its own group in both
+    # pieces, as one CH GROUP BY would keep it
+    return a.join(b, a["event_type"].eqNullSafe(b["__r"])).drop("__r")
 
 
 def q_moving_window_arrays(spark, sf_dir):
@@ -4487,11 +4494,28 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM ev
         ),
         mi AS (
-          SELECT event_type, CAST(max(dep) AS INT) AS max_intersections
-          FROM depth GROUP BY event_type
+          -- position: the earliest sweep time whose running depth
+          -- equals the max (always a start event) — CH's
+          -- maxIntersectionsPosition
+          SELECT event_type, CAST(max(dep) AS INT) AS max_intersections,
+                 min(t) FILTER (WHERE dep = mx)
+                   AS max_intersections_position
+          FROM (
+            SELECT *, max(dep) OVER (PARTITION BY event_type) AS mx,
+                   t
+            FROM (
+              SELECT event_type, t,
+                sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS dep
+              FROM ev
+            )
+          ) GROUP BY event_type
         )
-        SELECT ils.event_type, interval_length_sum, max_intersections
-        FROM ils JOIN mi ON mi.event_type = ils.event_type
+        SELECT ils.event_type, interval_length_sum, max_intersections,
+               max_intersections_position
+        FROM ils JOIN mi
+          ON mi.event_type IS NOT DISTINCT FROM ils.event_type
     """
     # one shared window computes the exact-decimal moving sum; the
     # avg list divides by the window size k (the CH MovingAvg quirk)

@@ -1079,6 +1079,57 @@ def max_intersections(
     )
 
 
+def max_intersections_position(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    out_col: str = "max_intersections_position",
+    depth_col: str = "max_intersections",
+) -> DataFrame:
+    """ClickHouse ``maxIntersectionsPosition(start, end)`` (r11): the
+    POSITION where :func:`max_intersections`' maximum depth is FIRST
+    reached — necessarily a start event, so it is the earliest sweep
+    time whose running depth equals the group maximum. Same sweep,
+    same (time, delta) order (ends before starts at equal instants,
+    CH's half-open convention); one extra whole-partition max window
+    sharing the sweep's Exchange. Returns ``(*group_cols, depth_col,
+    out_col)`` — both numbers in one pass."""
+    gcols = list(group_cols)
+    ev = df.select(
+        *gcols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).cast("double").alias("t"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.col(end_col).cast("double").alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e"),
+    ).select(*gcols, F.col("e.t").alias("__t"), F.col("e.d").alias("__d"))
+    run = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__t"), F.col("__d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy(*gcols)
+    depth = ev.select(
+        *gcols, "__t", F.sum("__d").over(run).alias("__depth")
+    ).withColumn("__mx", F.max("__depth").over(whole))
+    return (
+        depth.filter(F.col("__depth") == F.col("__mx"))
+        .groupBy(*gcols)
+        .agg(
+            F.max("__mx").cast("int").alias(depth_col),
+            F.min("__t").alias(out_col),
+        )
+    )
+
+
 def stat_moments(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1976,3 +1976,32 @@ def test_stat_moments_samp_known_values(spark):
     assert got["g"]["n_rows"] == 4
     assert math.isnan(got["solo"]["skew_samp"])  # n = 1
     assert math.isnan(got["const"]["kurt_samp"])  # zero variance
+
+
+def test_max_intersections_position(spark):
+    """CH maxIntersectionsPosition: the earliest sweep position where
+    the peak depth is first reached. Intervals [1,5) [2,6) [4,8): all
+    three overlap on [4,5), so depth peaks at 3 first at t=4; a
+    tie-heavy group where depth 2 is reached twice ([1,3) [2,4) then
+    [6,9) [7,10)) reports the FIRST attainment (t=2); a disjoint
+    group peaks at 1 at its earliest start. Half-open: [1,2) [2,3)
+    never overlap (the end at 2 sorts before the start at 2)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        max_intersections_position,
+    )
+
+    rows = [
+        ("g", 1.0, 5.0), ("g", 2.0, 6.0), ("g", 4.0, 8.0),
+        ("t", 1.0, 3.0), ("t", 2.0, 4.0), ("t", 6.0, 9.0), ("t", 7.0, 10.0),
+        ("h", 10.0, 11.0), ("h", 20.0, 21.0),
+        ("ho", 1.0, 2.0), ("ho", 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, e double")
+    got = {
+        r["g"]: (r["max_intersections"], r["max_intersections_position"])
+        for r in max_intersections_position(df, ["g"], "s", "e").collect()
+    }
+    assert got["g"] == (3, 4.0)
+    assert got["t"] == (2, 2.0)
+    assert got["h"] == (1, 10.0)
+    assert got["ho"] == (1, 1.0)
