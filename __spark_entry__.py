@@ -2602,10 +2602,14 @@ def q_array_agg_family(spark, sf_dir):
     group_array_sorted / sum_count): the bounded-N sorted head is
     rank-pruned BEFORE the collect (state = N rows per group, like
     CH's heap accumulator), the sum is exact DECIMAL — hash-exact,
-    no rounding. Tiny per-type results join broadcast."""
+    no rounding. r11 adds ``sumWithOverflow`` over a deliberately
+    huge integer (event_id * 50000000000000) so the int64 wraparound
+    is exercised and hash-checked. Tiny per-type results join
+    broadcast, null-safe on the group key."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         group_array_sorted,
         sum_count,
+        sum_with_overflow,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -2613,14 +2617,24 @@ def q_array_agg_family(spark, sf_dir):
         "event_type",
         (F.col("user_id") % 1000).alias("ub"),
         "value",
+        # a deliberately huge integer so per-type sums exceed 2^63
+        # and sumWithOverflow's wraparound is actually exercised
+        (F.col("event_id") * F.lit(50000000000000)).alias("big"),
     )
     arr = group_array_sorted(base, ["event_type"], "ub", 8)
     sc = sum_count(base, ["event_type"], "value")
-    return arr.join(sc, "event_type").select(
+    ov = sum_with_overflow(base, ["event_type"], "big")
+    # null-safe piece joins (r11): a NULL event_type is its own group
+    nsj = lambda a, b: a.join(  # noqa: E731
+        b.withColumnRenamed("event_type", "__r"),
+        a["event_type"].eqNullSafe(F.col("__r")),
+    ).drop("__r")
+    return nsj(nsj(arr, sc), ov).select(
         "event_type",
         "sorted_values",
         F.col("sum").cast("double").alias("value_sum"),
         "cnt",
+        "sum_overflow",
     )
 
 
@@ -5378,9 +5392,29 @@ def _all_oracle_sql() -> dict[str, str]:
                    AS value_sum,
                  count(value) AS cnt
           FROM b WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        ov AS (
+          -- sumWithOverflow: exact HUGEINT sum wrapped onto the
+          -- signed 64-bit ring, the same closed form as the operator
+          SELECT event_type,
+                 CAST(
+                   ((sum(CAST(big AS HUGEINT))
+                     + CAST(9223372036854775808 AS HUGEINT))
+                    % CAST(18446744073709551616 AS HUGEINT)
+                    + CAST(18446744073709551616 AS HUGEINT))
+                   % CAST(18446744073709551616 AS HUGEINT)
+                   - CAST(9223372036854775808 AS HUGEINT)
+                 AS BIGINT) AS sum_overflow
+          FROM (SELECT event_type,
+                       event_id * 50000000000000 AS big
+                FROM events WHERE event_id IS NOT NULL)
+          GROUP BY event_type
         )
-        SELECT arr.event_type, sorted_values, value_sum, cnt
-        FROM arr JOIN sc ON sc.event_type = arr.event_type
+        SELECT arr.event_type, sorted_values, value_sum, cnt,
+               sum_overflow
+        FROM arr
+        JOIN sc ON sc.event_type IS NOT DISTINCT FROM arr.event_type
+        JOIN ov ON ov.event_type IS NOT DISTINCT FROM arr.event_type
     """
     # groupArrayIntersect: word survives iff its per-bucket doc count
     # equals the bucket row count; identical tokenization both sides

@@ -591,6 +591,36 @@ def sum_count(
     )
 
 
+def sum_with_overflow(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "sum_overflow",
+) -> DataFrame:
+    """ClickHouse ``sumWithOverflow(x)`` (r11): sum in the ARGUMENT's
+    integer type with two's-complement wraparound — int64 here. The
+    sum accumulates EXACTLY in DECIMAL(38,0) (order-independent,
+    mergeable; |sum| <= rows * 2^63 stays inside 38 digits up to
+    ~10^19 rows) and wraps once at the end:
+    ``pmod(s + 2^63, 2^64) - 2^63`` — the same closed form an oracle
+    replays in HUGEINT, so the result is hash-exact instead of
+    depending on per-engine native overflow order. NULLs skipped.
+    Returns ``(*group_cols, out_col long)``; one partial-agg pass."""
+    from decimal import Decimal
+
+    v = F.col(value_col)
+    s = F.sum(v.cast("long").cast("decimal(38,0)"))
+    # 2^63 / 2^64 exceed the long literal range: Decimal literals
+    two63 = F.lit(Decimal(2**63))
+    two64 = F.lit(Decimal(2**64))
+    wrapped = F.pmod(s + two63, two64) - two63
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(wrapped.cast("long").alias(out_col))
+    )
+
+
 def group_array_intersect(
     df: DataFrame,
     group_cols: Sequence[str],

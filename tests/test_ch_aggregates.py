@@ -2005,3 +2005,23 @@ def test_max_intersections_position(spark):
     assert got["t"] == (2, 2.0)
     assert got["h"] == (1, 10.0)
     assert got["ho"] == (1, 1.0)
+
+
+def test_sum_with_overflow(spark):
+    """CH sumWithOverflow: int64 two's-complement wraparound of the
+    exact sum, hand-checked against Python's own ring arithmetic —
+    a group summing past 2^63 wraps negative; a small group equals
+    the plain sum; NULLs skip."""
+    big = 2**62
+    rows = [("g", big), ("g", big), ("g", big),  # 3*2^62 wraps
+            ("h", 5), ("h", 7), ("h", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        sum_with_overflow,
+    )
+
+    got = {r["g"]: r["sum_overflow"]
+           for r in sum_with_overflow(df, ["g"], "v").collect()}
+    want_g = ((3 * big + 2**63) % 2**64) - 2**63
+    assert got["g"] == want_g and want_g < 0
+    assert got["h"] == 12
