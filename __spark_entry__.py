@@ -5405,9 +5405,12 @@ def _all_oracle_sql() -> dict[str, str]:
                    % CAST(18446744073709551616 AS HUGEINT)
                    - CAST(9223372036854775808 AS HUGEINT)
                  AS BIGINT) AS sum_overflow
+          -- no row pre-filter: an all-NULL group keeps its key with
+          -- a NULL sum (the operator's ADVICE-r11 contract); DuckDB
+          -- sum() skips NULLs and NULL propagates through the ring
           FROM (SELECT event_type,
                        event_id * 50000000000000 AS big
-                FROM events WHERE event_id IS NOT NULL)
+                FROM events)
           GROUP BY event_type
         )
         SELECT arr.event_type, sorted_values, value_sum, cnt,

@@ -293,7 +293,6 @@ def ivf_topk(
     vec_col: str = "embedding",
     kmeans_iters: int = 5,
     sample_limit: int = 100_000,
-    max_queries: int = 65_536,
 ) -> DataFrame:
     """IVF approximate top-k cosine: a coarse k-means quantizer
     partitions vectors into ``n_lists`` inverted lists; each query
@@ -305,6 +304,12 @@ def ivf_topk(
     are trained driver-side on a bounded sample with seeded numpy
     (deterministic) — at 100 TB you train once on a sample and reuse.
     Output schema matches brute_force_topk; recall < 1.0 by design.
+
+    Unlike :func:`pq_topk` / :func:`ivfpq_topk`, the QUERY side never
+    materializes on the driver — ``_assign_lists`` streams it through
+    mapInPandas against broadcast centroids — so there is no
+    ``max_queries`` cap to apply (a dead parameter of that name was
+    removed in r12; ADVICE r11).
     """
     # empty corpus: nothing to train on and nothing to retrieve —
     # an empty result with the contract schema (r11 empty-input probe)
@@ -567,7 +572,6 @@ def semantic_dedup(
     vec_col: str = "embedding",
     kmeans_iters: int = 5,
     sample_limit: int = 100_000,
-    max_queries: int = 65_536,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the coarse spherical
@@ -586,7 +590,10 @@ def semantic_dedup(
     bound — clusters are sized by n_clusters, tune it so c fits an
     Arrow batch); the cluster assignment is one Arrow pass over the
     data against broadcast centroids, and the groupBy shuffles each
-    vector exactly once on its int cluster key.
+    vector exactly once on its int cluster key. Nothing materializes
+    on the driver beyond the sampled centroids, so there is no
+    ``max_queries`` cap (a dead parameter of that name was removed
+    in r12; ADVICE r11).
     """
     import numpy as np
     import pandas as pd

@@ -604,7 +604,11 @@ def sum_with_overflow(
     ~10^19 rows) and wraps once at the end:
     ``pmod(s + 2^63, 2^64) - 2^63`` — the same closed form an oracle
     replays in HUGEINT, so the result is hash-exact instead of
-    depending on per-engine native overflow order. NULLs skipped.
+    depending on per-engine native overflow order. NULLs skip via
+    the aggregate itself (NOT a row pre-filter), so a group whose
+    values are ALL NULL keeps its key with a NULL sum — CH GROUP BY
+    keeps the key and ``sumWithOverflow(Nullable)`` yields NULL
+    there; a pre-filter dropped the key entirely (ADVICE r11).
     Returns ``(*group_cols, out_col long)``; one partial-agg pass."""
     from decimal import Decimal
 
@@ -613,11 +617,10 @@ def sum_with_overflow(
     # 2^63 / 2^64 exceed the long literal range: Decimal literals
     two63 = F.lit(Decimal(2**63))
     two64 = F.lit(Decimal(2**64))
+    # NULL sum (all-NULL group) propagates: pmod(NULL+c, c) is NULL
     wrapped = F.pmod(s + two63, two64) - two63
-    return (
-        df.filter(v.isNotNull())
-        .groupBy(*group_cols)
-        .agg(wrapped.cast("long").alias(out_col))
+    return df.groupBy(*group_cols).agg(
+        wrapped.cast("long").alias(out_col)
     )
 
 
@@ -1867,14 +1870,26 @@ def rank_corr(
     is a pure COST choice — a wrong guess can only cost time, never
     change a value — but it does launch one small eager job at plan-
     build time; callers on a hot path pass ``via_cells=True/False``
-    explicitly to skip it. Reference parity:
+    explicitly to skip it.
+
+    PROBE-FREE FAST PATHS (r12, verdict #3 / ADVICE r11): before
+    probing, the auto route consults (1) the session conf
+    ``spark.carbonClickhouseSpark.rankCorr.route`` (``cells`` /
+    ``window`` / ``auto``) — a deployment-wide hint that skips the
+    eager job entirely — and (2) a per-plan memo keyed by the
+    analyzed plan's ``semanticHash`` + columns, so re-running the
+    same rank_corr (bench repeats, retried stages, dashboards
+    re-issuing a query) probes at most ONCE per session and the
+    route is DETERMINISTIC within it (the probe's CollectLimit
+    sample is partition-order dependent; the memo pins the first
+    decision). Reference parity:
     ClickHouse ``rankCorr`` (AggregateFunctionRankCorrelation);
     carbon-clickhouse itself has no query layer (README: queries are
     issued to ClickHouse), so the CH aggregate surface is the
     contract, as for the rest of this module."""
     gcols = list(group_cols)
     if via_cells is None:
-        via_cells = _rank_corr_probe(df, x_col, y_col, probe_rows)
+        via_cells = _rank_corr_route(df, x_col, y_col, probe_rows)
     if via_cells:
         return rank_corr_finals(
             rank_corr_cells(df, gcols, x_col, y_col), gcols
@@ -1926,6 +1941,59 @@ def rank_corr(
         (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
     )
     return agg.select(*gcols, out.alias("rank_corr"))
+
+
+_RANK_CORR_ROUTE_CONF = "spark.carbonClickhouseSpark.rankCorr.route"
+# per-plan route memo: (analyzed-plan semanticHash, x, y, probe_rows)
+# -> via_cells. Bounded; cleared wholesale rather than LRU-evicted —
+# route decisions are three machine words, correctness never depends
+# on a hit, and a stale entry can only re-pick a still-valid route.
+_rank_corr_route_memo: dict[tuple, bool] = {}
+_RANK_CORR_MEMO_MAX = 256
+
+
+def _rank_corr_route(
+    df: DataFrame, x_col: str, y_col: str, probe_rows: int
+) -> bool:
+    """Route decision for ``via_cells=None`` (r12): session-conf
+    hint, then per-plan memo, then the bounded probe. The memo keys
+    on the ANALYZED plan's ``semanticHash`` (stable across repeated
+    builds of the same logical query — exactly the bench/dashboard
+    repeat shape) so the eager probe job runs at most once per
+    distinct input per session; on Spark Connect (no ``_jdf``) the
+    memo degrades to probing each call, same as r11."""
+    try:
+        hint = (
+            df.sparkSession.conf.get(_RANK_CORR_ROUTE_CONF, "auto")
+            or "auto"
+        ).lower()
+    except Exception:
+        hint = "auto"
+    if hint == "cells":
+        return True
+    if hint == "window":
+        return False
+    key = None
+    try:
+        key = (
+            df.select(x_col, y_col)
+            ._jdf.queryExecution()
+            .analyzed()
+            .semanticHash(),
+            x_col,
+            y_col,
+            int(probe_rows),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _rank_corr_route_memo:
+        return _rank_corr_route_memo[key]
+    route = _rank_corr_probe(df, x_col, y_col, probe_rows)
+    if key is not None:
+        if len(_rank_corr_route_memo) >= _RANK_CORR_MEMO_MAX:
+            _rank_corr_route_memo.clear()
+        _rank_corr_route_memo[key] = route
+    return route
 
 
 def _rank_corr_probe(

@@ -1094,7 +1094,10 @@ def evaluate_target(
         # moving average of the preceding windowSize points' — so the
         # fetch extends back by the window (60 s step assumed for the
         # points form, as for moving*), the bootstrap's simple average
-        # seeds the recursion, and the first emitted point carries it
+        # seeds the recursion, and the first emitted point carries it.
+        # Alignment matches the 1.1 IMPLEMENTATION (r12, ADVICE r11):
+        # the value at T-step folds into the output at T and emitted
+        # values round to 6 decimals — see render.ema_holt
         p = expr.args[1] if len(expr.args) > 1 else 10
         kw = _movwin(p)
         preview = kw.get("window_s") or kw["points"] * 60

@@ -435,9 +435,21 @@ def ema_holt(
     the bootstrap — with ``ema_seed='sma'`` their simple average
     seeds the EMA (0 when the bootstrap is empty, upstream's safeAvg
     `or 0`), the first emitted point carries that seed, and bootstrap
-    rows warm the Holt state without being emitted. The defaults
-    (emit everything, seed with the first value) keep the direct
-    library behavior.
+    rows warm the Holt state without being emitted.
+
+    SEEDED-MODE ALIGNMENT (r12, ADVICE r11): upstream's loop is
+    ``for value in series[windowPoints:-1]`` appended AFTER the seed
+    — the value at T-step folds into the output at T, the first
+    requested point's value feeds the SECOND output, the final
+    point's value never enters the recursion, a None input emits
+    None and leaves the state untouched, and every emitted value is
+    ``round(ema, 6)`` (state stays unrounded). functions.rst is
+    ambiguous on the alignment; this matches the 1.1
+    implementation, not the earlier same-step doc reading (the
+    sparse-row caveat: upstream's dense list emits None for a
+    missing step — a sparse store simply has no row to emit there).
+    The defaults (emit everything, seed with the first value) keep
+    the direct library behavior, same-step fold, unrounded.
 
     No closed window-function form stays numerically stable, so this
     is the textbook applyInPandas case: one shuffle on path, one
@@ -477,23 +489,32 @@ def ema_holt(
             e = (sum(boot) / len(boot)) if boot else 0.0
             seeded = True
         first_emit = True
+        prev_v, prev_null = None, True
         for t, v in zip(pdf["time"], pdf["value"]):
             boot_row = emit_from is not None and t < emit_from
             null_v = v is None or (
                 isinstance(v, float) and math.isnan(v)
             )
-            if seeded and not boot_row and first_emit:
-                # the first emitted point IS the seed (the doc's
-                # 'first period EMA is a simple moving average of the
-                # preceding windowSize points'); the recursion starts
-                # with the next point
-                emas.append(e)
-                first_emit = False
+            if seeded:
+                # upstream 1.1 alignment (r12): the first emitted
+                # point IS the seed; every later point folds the
+                # PREVIOUS emitted row's value (series[wp:-1] — the
+                # final value never folds); None emits None, state
+                # unchanged; emitted values round(., 6)
+                if not boot_row:
+                    if first_emit:
+                        emas.append(round(e, 6))
+                        first_emit = False
+                    elif prev_null:
+                        emas.append(None)
+                    else:
+                        e = alpha_e * prev_v + om_e * e
+                        emas.append(round(e, 6))
+                    prev_v, prev_null = v, null_v
+                # boot rows: the SMA seed already summarizes them
             elif null_v:
                 if not boot_row:
                     emas.append(None)
-            elif seeded and boot_row:
-                pass  # the SMA seed already summarizes the bootstrap
             else:
                 e = v if e is None else alpha_e * v + om_e * e
                 if not boot_row:

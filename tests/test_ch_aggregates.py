@@ -1082,6 +1082,56 @@ def test_rank_corr_via_cells_bitwise(spark):
             assert a[g] == b[g], g  # bit-for-bit, not approx
 
 
+def test_rank_corr_route_memo_and_hint(spark, monkeypatch):
+    """r12 probe-free fast paths: (1) rebuilding the SAME logical
+    rank_corr probes at most once per session — the per-plan memo
+    keyed on the analyzed plan's semanticHash absorbs bench-style
+    repeats, making the auto route deterministic within a session;
+    (2) the session conf hint skips the probe entirely and forces
+    the named route. Both routes are bit-identical, so this test
+    watches the PROBE CALL COUNT, not values."""
+    from pyspark.sql import functions as F
+
+    from carbon_clickhouse_spark.operators import ch_aggregates as cha
+
+    def build():
+        # a deterministic source plan (like the bench's parquet
+        # scans): createDataFrame would wrap a fresh RDD per call,
+        # whose semanticHash legitimately differs
+        df = spark.range(50).select(
+            F.lit("g").alias("g"),
+            (F.col("id") % 7).cast("double").alias("x"),
+            (F.col("id") % 3).cast("double").alias("y"),
+        )
+        return cha.rank_corr(df, ["g"], "x", "y")
+
+    calls = {"n": 0}
+    real_probe = cha._rank_corr_probe
+
+    def counting_probe(df, x, y, n):
+        calls["n"] += 1
+        return real_probe(df, x, y, n)
+
+    monkeypatch.setattr(cha, "_rank_corr_probe", counting_probe)
+    cha._rank_corr_route_memo.clear()
+    a = build().collect()
+    b = build().collect()  # same logical plan -> memo hit, no probe
+    assert calls["n"] == 1
+    assert a == b
+    # conf hint: no probe at all, and the forced routes bit-match
+    calls["n"] = 0
+    cha._rank_corr_route_memo.clear()
+    try:
+        spark.conf.set(cha._RANK_CORR_ROUTE_CONF, "cells")
+        c = build().collect()
+        spark.conf.set(cha._RANK_CORR_ROUTE_CONF, "window")
+        w = build().collect()
+    finally:
+        spark.conf.unset(cha._RANK_CORR_ROUTE_CONF)
+    assert calls["n"] == 0
+    assert c == w == a
+
+
 def test_null_group_keys_survive_piece_joins(spark):
     """r11: operators that reassemble per-group pieces with a join
     must keep NULL group keys (CH GROUP BY keeps them): rank_corr's
@@ -2011,10 +2061,13 @@ def test_sum_with_overflow(spark):
     """CH sumWithOverflow: int64 two's-complement wraparound of the
     exact sum, hand-checked against Python's own ring arithmetic —
     a group summing past 2^63 wraps negative; a small group equals
-    the plain sum; NULLs skip."""
+    the plain sum; NULLs skip — and an ALL-NULL group keeps its key
+    with a NULL sum instead of vanishing (ADVICE r11: CH GROUP BY
+    keeps the key; sumWithOverflow(Nullable) yields NULL there)."""
     big = 2**62
     rows = [("g", big), ("g", big), ("g", big),  # 3*2^62 wraps
-            ("h", 5), ("h", 7), ("h", None)]
+            ("h", 5), ("h", 7), ("h", None),
+            ("z", None), ("z", None)]           # all-NULL group
     df = spark.createDataFrame(rows, "g string, v long")
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         sum_with_overflow,
@@ -2025,3 +2078,4 @@ def test_sum_with_overflow(spark):
     want_g = ((3 * big + 2**63) % 2**64) - 2**63
     assert got["g"] == want_g and want_g < 0
     assert got["h"] == 12
+    assert "z" in got and got["z"] is None

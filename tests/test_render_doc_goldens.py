@@ -361,18 +361,26 @@ def test_exponential_moving_average(store):
     * (Current Value) + (1 - constant) * ema(previous). The Constant
     is calculated as: constant = 2 / (windowSize + 1). The first
     period EMA uses a simple moving average of the preceding
-    windowSize points.' web.a = 1,2,4,4,10, window 2 -> c = 2/3.
-    Requesting from BASE+120: seed = avg(1,2) = 1.5 (the preceding 2
-    points, via the preview fetch), first point = 1.5, then
-    c*4+(1-c)*1.5 = 3.1666.., c*10+(1-c)*3.1666.. = 7.7222.."""
+    windowSize points.' The rst is AMBIGUOUS on alignment; this
+    golden pins the 1.1 IMPLEMENTATION (ADVICE r11): the loop is
+    ``for value in series[windowPoints:-1]`` appended after the
+    seed, so the value at T-step folds into the output at T — the
+    first requested point's value feeds the SECOND output, the
+    final point's value never enters, and emitted values are
+    round(ema, 6). web.a = 1,2,4,4,10, window 2 -> c = 2/3.
+    Requesting from BASE+120: seed = avg(1,2) = 1.5 (the preceding
+    2 points, via the preview fetch), first point = 1.5, then
+    round(c*4+(1-c)*1.5, 6) = 3.166667 (folds the value AT
+    BASE+120), then c*4+(1-c)*(19/6) = 67/18 -> 3.722222 (folds
+    the value at BASE+180; the 10 at BASE+240 never folds)."""
     got = _one(store, "exponentialMovingAverage(web.a, 2)", t0=BASE + 120)
     c = 2.0 / 3.0
     e1 = 1.5
-    e2 = c * 4 + (1 - c) * e1
-    e3 = c * 10 + (1 - c) * e2
+    e2 = c * 4 + (1 - c) * e1       # state unrounded: 19/6
+    e3 = c * 4 + (1 - c) * e2       # 67/18
     assert got[BASE + 120] == e1
-    assert abs(got[BASE + 180] - e2) < 1e-12
-    assert abs(got[BASE + 240] - e3) < 1e-12
+    assert got[BASE + 180] == round(e2, 6)
+    assert got[BASE + 240] == round(e3, 6)
     # no preceding data at all: the doc formula degenerates to a 0
     # seed (average of an empty window, upstream's safeAvg or 0)
     got = _one(store, "exponentialMovingAverage(web.a, 2)")
