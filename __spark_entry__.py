@@ -2008,6 +2008,31 @@ def q_top_event_types(spark, sf_dir):
     return top_k(ev, ["user_id"], "event_type", k=2)
 
 
+def q_top_k_sketch(spark, sf_dir):
+    """ClickHouse ``topK`` SKETCH mode (operators/ch_aggregates.
+    top_k_sketch — SpaceSaving, Metwally et al. 2005, the 100 TB
+    heavy-hitters path: k*oversample slots per group per partition,
+    summaries-only shuffle, Agarwal-2012 min-row merge). Graded in
+    the EXACT REGIME (r12 rotation): distinct event types per
+    (user_id % 100) bucket < slots = 12, so no partition ever
+    evicts, every min-row is 0, and cnt_lower == cnt_upper == the
+    true count — the full two-level merge protocol (per-partition
+    Arrow summaries, min-row sentinel rows, broadcast fold, bound
+    arithmetic, deterministic (cnt_upper desc, value asc) ranking)
+    runs and is hash-checked against the exact SQL topK; the
+    eviction/bound math under slot pressure stays pinned by the
+    skewed-corpus containment tests in test_ch_aggregates."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        top_k_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 100).alias("ub"), "event_type"
+    )
+    return top_k_sketch(base, ["ub"], "event_type", k=3, oversample=4)
+
+
 def q_sum_map_daily(spark, sf_dir):
     """ClickHouse ``sumMap``: per UTC day, per-key value sums over
     parallel key/value arrays (keys = [event_type, 'total'] so every
@@ -2903,6 +2928,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # line_dedup (substr_dup_spans + dedup_exact grade the rewrite
     # family), token_counts (corpus_prep grades the tokenize stage;
     # text_features the column-pass family).
+    # Round-12 rotation (r11 verdict #1) — the LAST extras-only
+    # families move under the driver's independent oracle: theils_u,
+    # categorical_iv, histogram_adaptive, quantile_sketch,
+    # variance_family, moments_samp, ch_agg_breadth, uniq_up_to,
+    # retention_flags, and top_k_sketch (new graded query: the
+    # SpaceSaving merge protocol in its exact regime). Ten
+    # redundantly-covered slots move to extras (reps noted there):
+    # grpc_ingest (decode-parity with points_ingest), simhash_pairs
+    # (same banded-join machinery as minhash_lsh_pairs), ann_ivf
+    # (ann_topk grades the scoring path; ann_lsh_pairs extras-green),
+    # embedding_outliers (embedding_covariance + ann_topk),
+    # pii_scrub + domain_filter (text_features/contamination grade
+    # the column-pass family), incremental_dedup (dedup_exact +
+    # minhash_lsh_pairs), retention (retention_flags is the same CH
+    # aggregate, cohort flavor — it replaces it in the window),
+    # sequence_count (window_funnel grades the events DP family;
+    # sequence_match* extras-green), dsir_resample (lm_perplexity
+    # grades model scoring; dsir_scores shares the DSIR core).
     return {
         "points_ingest": q_points_ingest,
         "index_table": q_index_table,
@@ -2913,7 +2956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_series": q_read_series,
         "telegraf_ingest": q_telegraf_ingest,
         "prometheus_ingest": q_prometheus_ingest,
-        "grpc_ingest": q_grpc_ingest,
         "template_tagging": q_template_tagging,
         "tpch_q1": q_tpch_q1,
         "top_revenue_orders": q_top_revenue_orders,
@@ -2922,27 +2964,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "incremental_dedup": q_incremental_dedup,
         "substr_dup_spans": q_substr_dup_spans,
         "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
         "cosine_pairs": q_cosine_pairs,
         "embedding_covariance": q_embedding_covariance,
-        "embedding_outliers": q_embedding_outliers,
         "corpus_prep": q_corpus_prep,
-        "domain_filter": q_domain_filter,
-        "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "source_mixture": q_source_mixture,
         "cluster_curation": q_cluster_curation,
-        "dsir_resample": q_dsir_resample,
         "train_order": q_train_order,
         "multimodal_features": q_multimodal_features,
         "window_funnel": q_window_funnel,
-        "retention": q_retention,
-        "sequence_count": q_sequence_count,
         "stat_moments": q_stat_moments,
         "two_sample_tests": q_two_sample_tests,
         "rank_corr": q_rank_corr,
@@ -2954,6 +2987,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "lttb_downsample": q_lttb_downsample,
         "decayed_family": q_decayed_family,
+        # r12 rotation: the last extras-only families, now graded
+        "theils_u": q_theils_u,
+        "categorical_iv": q_categorical_iv,
+        "histogram_adaptive": q_histogram_adaptive,
+        "quantile_sketch": q_quantile_sketch,
+        "variance_family": q_variance_family,
+        "moments_samp": q_moments_samp,
+        "ch_agg_breadth": q_ch_agg_breadth,
+        "uniq_up_to": q_uniq_up_to,
+        "retention_flags": q_retention_flags,
+        "top_k_sketch": q_top_k_sketch,
     }
 
 
@@ -2965,6 +3009,34 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every test run and by ``tools/check_oracle.py`` alongside the
     graded set."""
     return {
+        # r12 rotation evictees (each redundant with a graded family
+        # member, kept oracle-green here):
+        # graded rep: points_ingest (protobuf decode parity pinned by
+        # the live-front e2e + unit tests; same points contract)
+        "grpc_ingest": q_grpc_ingest,
+        # graded rep: minhash_lsh_pairs (same banded equi-join
+        # machinery); `simhash` extras entry pins the hash itself
+        "simhash_pairs": q_simhash_pairs,
+        # graded rep: ann_topk (same scoring path); ann_lsh_pairs
+        # keeps the bucketed-routing family oracle-green here
+        "ann_ivf": q_ann_ivf,
+        # graded reps: embedding_covariance (same one-pass partials)
+        # + ann_topk (same vector math)
+        "embedding_outliers": q_embedding_outliers,
+        # graded reps: text_features + contamination (column passes)
+        "pii_scrub": q_pii_scrub,
+        "domain_filter": q_domain_filter,
+        # graded reps: dedup_exact + minhash_lsh_pairs (dedup family)
+        "incremental_dedup": q_incremental_dedup,
+        # graded rep: retention_flags — the SAME CH retention
+        # aggregate, cohort flavor, replaced it in the window
+        "retention": q_retention,
+        # graded reps: window_funnel (events DP family) +
+        # sequence_match / sequence_match_bounds below
+        "sequence_count": q_sequence_count,
+        # graded rep: lm_perplexity (model scoring); dsir_scores
+        # shares the DSIR core weights
+        "dsir_resample": q_dsir_resample,
         # r11 rotation evictees (each redundant with a graded family
         # member, kept oracle-green here):
         # graded reps: rollup_all + read_series (the replacing-dedup
@@ -3031,34 +3103,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types": q_top_event_types,
         "sum_map_daily": q_sum_map_daily,
         "value_histogram": q_value_histogram,
-        # graded rep: value_quantiles (exact); this is the mergeable
-        # quantileState/quantileDD sketch over the same column
-        "quantile_sketch": q_quantile_sketch,
         # graded reps: sequence_match / window_funnel (same family)
         "sequence_next_node": q_sequence_next_node,
         # graded rep: sequence_count; adds the (?t>N) lower-bound form
         "sequence_match_bounds": q_sequence_match_bounds,
-        # graded rep: retention (cohort flavor of the same aggregate)
-        "retention_flags": q_retention_flags,
-        # graded reps: grouping_sets / top_event_types (agg family)
-        "uniq_up_to": q_uniq_up_to,
-        # graded reps: tpch_q1 / top_event_types; adds argMin/argMax,
-        # avgWeighted, quantileExactWeighted, groupUniqArray parity
-        "ch_agg_breadth": q_ch_agg_breadth,
-        # graded rep: contingency_stats (same cell/marginal
-        # scaffolding); entropy terms decimal-quantized, CH sign kept
-        "theils_u": q_theils_u,
-        # graded reps: retention_flags / contingency_stats; adds
-        # categoricalInformationValue (WoE IV per binary indicator)
-        "categorical_iv": q_categorical_iv,
         # graded rep: two_sample_tests (same moments); adds meanZTest
         "mean_z_test": q_mean_z_test,
         # graded rep: ch_agg_breadth; groupBitAnd/Or/Xor
         "bit_ops": q_bit_ops,
-        # graded rep: stat_moments; varPop/varSamp/stddev*/covarSamp
-        "variance_family": q_variance_family,
-        # graded rep: stat_moments (same sums); adds skewSamp/kurtSamp
-        "moments_samp": q_moments_samp,
         # graded reps: ch_agg_breadth (groupUniqArray) / tpch_q1;
         # adds groupArraySorted(N) (rank-pruned bounded state) and
         # sumCount
@@ -3069,9 +3121,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: text_features (quality column pass); adds the
         # Flesch / Flesch-Kincaid readability signals
         "readability": q_readability,
-        # graded rep: value_histogram (fixed bins); this is CH's
-        # ADAPTIVE histogram with the merge loop replayed in SQL
-        "histogram_adaptive": q_histogram_adaptive,
         # graded rep: histogram_adaptive (exact mode); this pins the
         # SKETCH mode (the 100 TB path) via deterministic value
         # buckets, both merge levels replayed in SQL
@@ -4401,6 +4450,26 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM c
         )
         SELECT user_id, value, cnt, rnk FROM r WHERE rnk <= 2
+    """
+    # topK sketch graded in the exact regime (distinct < slots: no
+    # eviction, min-rows 0) -> both bounds equal the true count and
+    # the ranking matches exact topK with (cnt desc, value asc) ties
+    oracles["top_k_sketch"] = """
+        WITH c AS (
+          SELECT user_id % 100 AS ub,
+                 CAST(event_type AS VARCHAR) AS value,
+                 count(*) AS cnt
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT ub, value, cnt AS cnt_lower, cnt AS cnt_upper,
+                 CAST(row_number() OVER (PARTITION BY ub
+                      ORDER BY cnt DESC, value ASC) AS INT) AS rnk
+          FROM c
+        )
+        SELECT ub, value, cnt_lower, cnt_upper, rnk
+        FROM r WHERE rnk <= 3
     """
     oracles["sum_map_daily"] = """
         WITH base AS (
