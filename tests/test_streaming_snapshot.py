@@ -119,3 +119,77 @@ def test_snapshot_retry_is_idempotent(spark, tmp_path):
         ("ema", "decayed_avg"),
     )
     _assert_bit_equal(got, want)
+
+
+def test_snapshot_contract_reusable_lttb(spark, tmp_path):
+    """snapshot_stream is GENERIC (r12, verdict #5): the same
+    accumulate-and-recompute harness pins a second anchor-bearing
+    family — LTTB, whose bucket boundaries derive from the group's
+    TOTAL row count and whose first/last anchors move whenever a
+    batch extends the series, so no incremental state can fold it.
+    Every per-batch snapshot must be bit-identical to the batch
+    operator over the rows landed so far, including batches that
+    EXTEND the x-range (moving the last-point anchor and every
+    bucket boundary) and a NULL group key."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        largest_triangle_three_buckets,
+    )
+
+    landing = str(tmp_path / "landing")
+    accum = str(tmp_path / "accum")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    rng = random.Random(61)
+
+    batches = [
+        [("s%d" % (i % 2), rng.uniform(-5, 40), float(1000 + 10 * i))
+         for i in range(60)],
+        # extends every series' x-range: last anchor + ALL bucket
+        # boundaries move; adds a NULL series key
+        [("s%d" % (i % 2), rng.uniform(-5, 40), float(4000 + 10 * i))
+         for i in range(50)]
+        + [(None, rng.uniform(0, 5), float(4000 + 10 * i))
+           for i in range(12)],
+        [("s%d" % (i % 3), rng.uniform(-5, 40), float(8000 + 10 * i))
+         for i in range(40)],
+    ]
+
+    # rows land as (g, v=y, t=x) to reuse the stream schema
+    snapshots = {}
+
+    def publish(df, batch_id):
+        snapshots[batch_id] = df.collect()
+
+    def compute(df):
+        return largest_triangle_three_buckets(
+            df, ["g"], "t", "v", n_out=6
+        )
+
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    q = snapshot_stream(
+        stream, accum, compute, publish, checkpoint=ckpt,
+        query_name="snapshot_lttb",
+    )
+    try:
+        seen = []
+        for i, rows in enumerate(batches):
+            _write(landing, f"b{i}.json", rows)
+            q.processAllAvailable()
+            assert q.exception() is None, q.exception()
+            seen += rows
+            batch_df = spark.createDataFrame(seen, SCHEMA)
+            want = {
+                (r["g"], r["rnk"]): (r["x"], r["y"])
+                for r in compute(batch_df).collect()
+            }
+            got = {
+                (r["g"], r["rnk"]): (r["x"], r["y"])
+                for r in snapshots[max(snapshots)]
+            }
+            assert set(got) == set(want)
+            for k in want:
+                assert got[k] == want[k], (k, got[k], want[k])  # bit-equal
+    finally:
+        q.stop()
