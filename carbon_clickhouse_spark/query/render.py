@@ -222,27 +222,31 @@ def clamp(series: DataFrame, lo: float, hi: float) -> DataFrame:
 
 def keep_last_value(series: DataFrame, limit: int | None = None) -> DataFrame:
     """Graphite ``keepLastValue``: forward-fill NULL gaps per series
-    with the last non-NULL value; with ``limit`` only gaps of at most
-    ``limit`` consecutive NULLs are filled.
+    with the last non-NULL value; with ``limit`` a gap is filled
+    ONLY when its TOTAL length is at most ``limit`` consecutive
+    NULLs — all-or-nothing per gap, exactly graphite-web 1.1's
+    ``consecutiveNones <= limit`` check at the gap's end (r12: the
+    previous reading filled the first ``limit`` points of a LONGER
+    gap too, which upstream never does).
 
     Two windows, no UDFs: last-non-null carry via
-    ``last(ignorenulls)``, gap length via a run-id (count of non-nulls
-    so far) and a position-within-run counter.
+    ``last(ignorenulls)``, gap length via a run-id (count of
+    non-nulls so far — one run = a real point plus its trailing NULL
+    gap) and an unordered count over the run.
     """
     w = _w().rowsBetween(Window.unboundedPreceding, 0)
     carried = F.last("value", ignorenulls=True).over(w)
     if limit is None:
         return series.select("path", "time", carried.alias("value"))
-    # run_id = number of non-null points at or before this row; within a
-    # NULL run it is constant, so row_number within (path, run_id) - 1
-    # is the distance from the last real point.
     run_id = F.count("value").over(w)
     s = series.withColumn("_run", run_id)
-    wrun = Window.partitionBy("path", "_run").orderBy("time")
-    gap_pos = F.row_number().over(wrun) - 1
+    gap_len = (
+        F.count(F.lit(1)).over(Window.partitionBy("path", "_run"))
+        - F.lit(1)
+    )
     filled = F.when(
         F.col("value").isNotNull(), F.col("value")
-    ).when(gap_pos <= limit, carried)
+    ).when(gap_len <= limit, carried)
     return s.select("path", "time", filled.alias("value"))
 
 
@@ -1314,8 +1318,20 @@ def sort_by_stat(
     """Graphite ``sortByTotal / sortByMaxima / sortByMinima``:
     presentation ordering of whole series by a per-series statistic.
     The stat table is series-cardinality — broadcast back, then one
-    output sort."""
+    output sort.
+
+    sortByMinima (func='min', ascending) keeps ONLY series whose
+    maximum is > 0 — functions.rst: 'Sorts the list of metrics by
+    the lowest value..., including only series that have a maximum
+    value greater than 0' (r12: previously unfiltered)."""
     stat = _per_series_stat(series, func)
+    if func == "min" and not descending:
+        keep = (
+            _per_series_stat(series, "max")
+            .filter(F.col("stat") > 0)
+            .select("path")
+        )
+        stat = stat.join(F.broadcast(keep), "path", "left_semi")
     joined = series.join(F.broadcast(stat), "path")
     key = F.col("stat").desc() if descending else F.col("stat").asc()
     return joined.orderBy(key, F.col("path"), F.col("time")).select(

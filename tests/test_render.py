@@ -98,17 +98,20 @@ def test_keep_last_value(spark):
     rows = [
         ("m", 1, None),       # leading gap: stays NULL
         ("m", 2, 5.0),
-        ("m", 3, None),       # gap pos 1
-        ("m", 4, None),       # gap pos 2
-        ("m", 5, None),       # gap pos 3 (beyond limit=2)
+        ("m", 3, None),       # gap of 3 > limit=2:
+        ("m", 4, None),       #   NOTHING fills (graphite-web 1.1 is
+        ("m", 5, None),       #   all-or-nothing per gap, r12)
         ("m", 6, 7.0),
-        ("m", 7, None),
+        ("m", 7, None),       # trailing gap of 1 <= limit: fills
     ]
     s = spark.createDataFrame(rows, "path string, time long, value double")
     unlimited = {r.time: r.value for r in keep_last_value(s).collect()}
     assert unlimited == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: 5.0, 6: 7.0, 7: 7.0}
     limited = {r.time: r.value for r in keep_last_value(s, limit=2).collect()}
-    assert limited == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: None, 6: 7.0, 7: 7.0}
+    assert limited == {1: None, 2: 5.0, 3: None, 4: None, 5: None, 6: 7.0, 7: 7.0}
+    # limit >= gap length: the whole gap bridges
+    limit3 = {r.time: r.value for r in keep_last_value(s, limit=3).collect()}
+    assert limit3 == {1: None, 2: 5.0, 3: 5.0, 4: 5.0, 5: 5.0, 6: 7.0, 7: 7.0}
 
 
 def test_as_percent(spark):

@@ -217,17 +217,30 @@ def test_time_shift_signs(store):
 def test_keep_last_value_limit(store, spark):
     """functions.rst keepLastValue: 'Continues the line with the last
     received value when gaps (None values) appear in your data,
-    rather than breaking your line. limit: fill in gaps of up to this
-    many None values... longer gaps are left unfilled.'"""
+    rather than breaking your line', with 'a limit to the number of
+    None values to skip over.' The 1.1 IMPLEMENTATION is
+    all-or-nothing PER GAP (r12, ADVICE-class fix): the backfill
+    loop runs only when ``0 < consecutiveNones <= limit`` at the
+    gap's end, so a gap LONGER than limit stays entirely unfilled —
+    never partially bridged."""
     # removeAboveValue makes gaps: web.a = 1,2,None,None,None with
-    # threshold 2 -> keepLastValue(..., 2) fills only 2 of the 3
+    # threshold 2 -> a single trailing gap of THREE Nones
     got = _one(store, "keepLastValue(removeAboveValue(web.a, 2), 2)")
+    assert got == {
+        BASE: 1.0,
+        BASE + 60: 2.0,
+        BASE + 120: None,  # gap of 3 > limit 2: nothing fills
+        BASE + 180: None,
+        BASE + 240: None,
+    }
+    # limit >= gap length: the WHOLE gap bridges
+    got = _one(store, "keepLastValue(removeAboveValue(web.a, 2), 3)")
     assert got == {
         BASE: 1.0,
         BASE + 60: 2.0,
         BASE + 120: 2.0,
         BASE + 180: 2.0,
-        BASE + 240: None,
+        BASE + 240: 2.0,
     }
     # no limit: every gap bridges
     got = _one(store, "keepLastValue(removeAboveValue(web.a, 2))")
@@ -441,3 +454,154 @@ def test_group_by_node(store):
     got = _got(store, "groupByNode(web.*, 1, 'sum')")
     assert {p for p, _ in got} == {"a", "b"}
     assert got[("a", BASE)] == 1.0 and got[("b", BASE)] == 2.0
+
+
+# ---------------------------------------------------------------- #
+# tier-2 goldens (r12, verdict #2): next ~15 dashboard functions   #
+# ---------------------------------------------------------------- #
+
+
+def test_remove_above_below_value(store):
+    """functions.rst removeAboveValue: 'Removes data above the given
+    threshold from the series... Values above this threshold are
+    assigned a value of None'; removeBelowValue is the mirror
+    ('Values below this threshold are assigned a value of None').
+    web.a = 1,2,4,4,10."""
+    got = _one(store, "removeAboveValue(web.a, 4)")
+    assert got == {
+        BASE: 1.0,
+        BASE + 60: 2.0,
+        BASE + 120: 4.0,   # boundary: 4 is NOT above 4
+        BASE + 180: 4.0,
+        BASE + 240: None,
+    }
+    got = _one(store, "removeBelowValue(web.a, 2)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 2.0,    # boundary: 2 is NOT below 2
+        BASE + 120: 4.0,
+        BASE + 180: 4.0,
+        BASE + 240: 10.0,
+    }
+
+
+def test_stdev_trailing_points(store):
+    """functions.rst stdev: 'Takes one metric or a wildcard
+    seriesList followed by an integer N. Draw the Standard Deviation
+    of all metrics passed for the past N data points.' Population
+    stddev over the trailing window (fewer points at the start, as
+    available) — hand-worked for web.a = 1,2,4,4,10, N=3."""
+    got = _one(store, "stdev(web.a, 3)")
+    want = {
+        BASE: 0.0,                               # std([1])
+        BASE + 60: 0.5,                          # std([1,2])
+        BASE + 120: math.sqrt(14.0 / 9.0),       # std([1,2,4])
+        BASE + 180: math.sqrt(8.0 / 9.0),        # std([2,4,4])
+        BASE + 240: math.sqrt(8.0),              # std([4,4,10])
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-9, t
+
+
+def test_linear_regression_values(store):
+    """functions.rst linearRegression: 'Graphs the linear regression
+    function by least squares method.' For web.a = 1,2,4,4,10 at
+    t = 0,60,...,240 the closed-form OLS line is
+    y = t/30 + 0.2 (slope = (nΣty - ΣtΣy) / (nΣtt - (Σt)²) =
+    6000/180000, intercept = (Σy - slope Σt)/n = 0.2) -> fitted
+    values 0.2, 2.2, 4.2, 6.2, 8.2."""
+    got = _one(store, "linearRegression(web.a)")
+    want = {BASE + 60 * i: 0.2 + 2.0 * i for i in range(5)}
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-9, t
+
+
+def test_alias_sub(store):
+    """functions.rst aliasSub: 'Runs series names through a regex
+    search/replace.' Doc example shape:
+    aliasSub(ip.*TCP*,"^.*TCP(d+)","1") — here ^web -> srv renames
+    web.a to srv.a, values untouched."""
+    got = _got(store, 'aliasSub(web.a, "^web", "srv")')
+    assert {p for p, _ in got} == {"srv.a"}
+    assert got[("srv.a", BASE + 240)] == 10.0
+
+
+def test_average_series_with_wildcards(store):
+    """functions.rst averageSeriesWithWildcards: 'Call averageSeries
+    after inserting wildcards at the given position(s)' — doc
+    example averageSeriesWithWildcards(host.cpu-[0-7].cpu-{user,
+    system}.value, 1). Node 1 removed: web.a and web.b collapse to
+    one series named 'web' holding the pointwise average."""
+    got = _got(store, "averageSeriesWithWildcards(web.*, 1)")
+    assert {p for p, _ in got} == {"web"}
+    want = {BASE: 1.5, BASE + 60: 2.0, BASE + 120: 3.0,
+            BASE + 180: 3.0, BASE + 240: 6.0}
+    for t, v in want.items():
+        assert abs(got[("web", t)] - v) < 1e-12, t
+
+
+def test_highest_family(store):
+    """functions.rst highestMax: 'Out of all metrics passed, draws
+    only the N metrics with the highest maximum value in the time
+    period specified'; highestCurrent: '...with the highest value at
+    the end of the time period'; highestAverage: '...with the
+    highest average value for the time period'. web.a (max 10,
+    last 10, avg 4.2) beats web.b (2, 2, 2) on all three."""
+    for fn in ("highestMax", "highestCurrent", "highestAverage"):
+        got = _got(store, f"{fn}(web.*, 1)")
+        assert {p for p, _ in got} == {"web.a"}, fn
+        assert len(got) == 5, fn
+
+
+def test_sort_by_total_and_minima(store):
+    """functions.rst sortByTotal: 'Sorts the list of metrics in
+    descending order by the sum of values across the time period
+    specified.' sortByMinima: 'Sorts the list of metrics by the
+    lowest value across the time period specified, including only
+    series that have a maximum value greater than 0.' Ordering is
+    the COLLECTED row order (presentation contract); the max>0
+    filter must drop an all-negative series."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = evaluate_target(
+        parse_target("sortByTotal(web.*)"), store, BASE, BASE + 240
+    ).collect()
+    order = []
+    for r in out:
+        if r.path not in order:
+            order.append(r.path)
+    assert order == ["web.a", "web.b"]  # totals 21 > 10
+
+    # sortByMinima ascending by min: web.a (min 1) before web.b (2)
+    out = evaluate_target(
+        parse_target("sortByMinima(web.*)"), store, BASE, BASE + 240
+    ).collect()
+    order = []
+    for r in out:
+        if r.path not in order:
+            order.append(r.path)
+    assert order == ["web.a", "web.b"]
+
+    # the max>0 filter: scale(web.b, -1) has max -2 -> dropped, only
+    # the positive series survives
+    out = evaluate_target(
+        parse_target("sortByMinima(scale(web.b, -1))"),
+        store, BASE, BASE + 240,
+    ).collect()
+    assert out == []
+
+
+def test_holt_winters_aberration_constant(store):
+    """functions.rst holtWintersAberration: 'Performs a Holt-Winters
+    forecast for the dataset of the series and calculates the
+    deviation of the series from the forecast. Values are
+    calculated as the difference of the series value from the upper
+    or lower confidence band, or 0 if inside.' A CONSTANT series
+    forecasts itself with zero deviation, so every aberration point
+    is exactly 0."""
+    got = _one(store, "holtWintersAberration(web.b)")
+    assert len(got) > 0
+    for v in got.values():
+        assert v == 0.0
