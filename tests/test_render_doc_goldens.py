@@ -605,3 +605,126 @@ def test_holt_winters_aberration_constant(store):
     assert len(got) > 0
     for v in got.values():
         assert v == 0.0
+
+
+# ---------------------------------------------------------------- #
+# tier-3 goldens (r12): arithmetic transforms, filters, combiners  #
+# ---------------------------------------------------------------- #
+
+
+def test_scale_offset_absolute_invert(store):
+    """functions.rst scale: 'multiplies the datapoint by the constant
+    provided'; offset: 'adds the value to each datapoint'; absolute:
+    'applies the mathematical abs function to each datapoint';
+    invert: 'inverts each datapoint (i.e. 1/x)'. web.a = 1,2,4,4,10.
+    invert of a 0 point has no defined value (upstream safeDiv ->
+    None)."""
+    got = _one(store, "scale(web.a, 2)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [2, 4, 8, 8, 20]
+    got = _one(store, "offset(web.a, 10)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [11, 12, 14, 14, 20]
+    got = _one(store, "absolute(offset(web.a, -4))")
+    assert [got[BASE + 60 * i] for i in range(5)] == [3, 2, 0, 0, 6]
+    got = _one(store, "invert(web.a)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [1.0, 0.5, 0.25, 0.25, 0.1]
+    got = _one(store, "invert(offset(web.b, -2))")  # 1/0 -> None
+    assert all(v is None for v in got.values())
+
+
+def test_scale_to_seconds(store):
+    """functions.rst scaleToSeconds: 'Takes one metric or a wildcard
+    seriesList and returns "value per seconds" where seconds is a
+    last argument to this functions' — each point multiplies by
+    seconds/step. 60 s step, seconds=120 -> x2."""
+    got = _one(store, "scaleToSeconds(web.a, 120)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [2, 4, 8, 8, 20]
+
+
+def test_exclude_and_grep(store):
+    """functions.rst exclude: 'Excludes metrics that match the
+    regular expression' (doc example exclude(servers*.instance*.
+    threads.busy,"server02")); grep: 'Excludes metrics that DON'T
+    match the regular expression.'"""
+    got = _got(store, 'exclude(web.*, "b$")')
+    assert {p for p, _ in got} == {"web.a"}
+    got = _got(store, 'grep(web.*, "a$")')
+    assert {p for p, _ in got} == {"web.a"}
+
+
+def test_alias_forms(store):
+    """functions.rst alias: 'Takes one metric or a wildcard seriesList
+    and a string in quotes. Prints the string instead of the metric
+    name in the legend'; aliasByMetric: 'Takes a seriesList and
+    applies an alias derived from the base metric name' (the last
+    path segment); substr: 'Prints the 1st to Nth elements of the
+    metric name' (doc example substr(carbon.agents.hostname.
+    avgUpdateTime, 2, 4) -> hostname.avgUpdateTime)."""
+    got = _got(store, 'alias(web.a, "foo")')
+    assert {p for p, _ in got} == {"foo"}
+    got = _got(store, "aliasByMetric(ganglia.server1.cpu.load5)")
+    assert {p for p, _ in got} == {"load5"}
+    got = _got(store, "substr(ganglia.server1.cpu.load5, 2, 4)")
+    assert {p for p, _ in got} == {"cpu.load5"}
+
+
+def test_filter_series_families(store):
+    """functions.rst averageAbove: 'draws only the metrics with an
+    average value above N'; currentAbove: '...whose value is above N
+    at the end of the time period'; maximumAbove: '...with a maximum
+    value above N'; minimumAbove: '...with a minimum value above N'.
+    Thresholds chosen OFF the boundary (web.a: avg 4.2, last 10,
+    max 10, min 1; web.b: all 2)."""
+    assert {p for p, _ in _got(store, "averageAbove(web.*, 3)")} == {"web.a"}
+    assert {p for p, _ in _got(store, "currentAbove(web.*, 5)")} == {"web.a"}
+    assert {p for p, _ in _got(store, "maximumAbove(web.*, 5)")} == {"web.a"}
+    assert {p for p, _ in _got(store, "minimumAbove(web.*, 1.5)")} == {"web.b"}
+
+
+def test_most_deviant(store):
+    """functions.rst mostDeviant: 'Draws the N most deviant metrics.
+    To find the deviants, the standard deviation (sigma) of each
+    series is taken and ranked.' web.a varies, web.b is constant
+    (sigma 0) -> web.a is the 1 most deviant."""
+    assert {p for p, _ in _got(store, "mostDeviant(web.*, 1)")} == {"web.a"}
+
+
+def test_series_combiners(store):
+    """functions.rst sumSeries: 'adds metrics together and returns
+    the sum at each datapoint'; averageSeries: 'the average of the
+    metrics'; maxSeries: 'the maximum across the wildcard at each
+    point'; minSeries mirror; multiplySeries: 'the product';
+    rangeOfSeries: 'the range (i.e. max - min)'; countSeries: 'draws
+    a horizontal line representing the number of nodes found'.
+    web.a = 1,2,4,4,10 and web.b = 2 constant."""
+    cases = {
+        "sumSeries(web.*)": [3, 4, 6, 6, 12],
+        "averageSeries(web.*)": [1.5, 2, 3, 3, 6],
+        "maxSeries(web.*)": [2, 2, 4, 4, 10],
+        "minSeries(web.*)": [1, 2, 2, 2, 2],
+        "multiplySeries(web.*)": [2, 4, 8, 8, 20],
+        "rangeOfSeries(web.*)": [1, 0, 2, 2, 8],
+        "countSeries(web.*)": [2, 2, 2, 2, 2],
+    }
+    for target, want in cases.items():
+        got = _one(store, target)
+        assert [got[BASE + 60 * i] for i in range(5)] == want, target
+
+
+def test_diff_and_divide_series(store):
+    """functions.rst diffSeries: 'Subtracts series 2 through n from
+    series 1'; divideSeries: 'Draws the ratio of dividendSeries over
+    divisorSeries at each point.'"""
+    got = _one(store, "diffSeries(web.a, web.b)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [-1, 0, 2, 2, 8]
+    got = _one(store, "divideSeries(web.a, web.b)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [0.5, 1, 2, 2, 5]
+
+
+def test_integral_by_interval(store):
+    """functions.rst integralByInterval: 'This will do the same as
+    integral() function, except resetting the total to 0 at the
+    given time in the parameter "from"... Useful for finding totals
+    per hour/day/week.' 2min buckets (BASE is 120-aligned):
+    [1,3 | 4,8 | 10]."""
+    got = _one(store, 'integralByInterval(web.a, "2min")')
+    assert [got[BASE + 60 * i] for i in range(5)] == [1, 3, 4, 8, 10]
