@@ -728,3 +728,84 @@ def test_integral_by_interval(store):
     [1,3 | 4,8 | 10]."""
     got = _one(store, 'integralByInterval(web.a, "2min")')
     assert [got[BASE + 60 * i] for i in range(5)] == [1, 3, 4, 8, 10]
+
+
+def test_math_transforms(store):
+    """functions.rst logarithm: 'Takes one metric or a wildcard
+    seriesList, a base, and draws the y-axis in logarithmic format'
+    (log_base per point, non-positive -> gap); squareRoot: 'computes
+    the square root of each datapoint'; pow: 'raises the datapoint
+    by the power of the constant provided'; sigmoid: 'applies the
+    sigmoid function 1 / (1 + exp(-x)) to each datapoint'; logit:
+    'applies the logit function log(x / (1 - x))'."""
+    got = _one(store, "logarithm(web.a, 10)")
+    for i, v in enumerate([1, 2, 4, 4, 10]):
+        assert abs(got[BASE + 60 * i] - math.log10(v)) < 1e-12
+    got = _one(store, "squareRoot(web.a)")
+    for i, v in enumerate([1, 2, 4, 4, 10]):
+        assert abs(got[BASE + 60 * i] - math.sqrt(v)) < 1e-12
+    got = _one(store, "pow(web.a, 2)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [1, 4, 16, 16, 100]
+    got = _one(store, "sigmoid(web.b)")
+    for v in got.values():
+        assert abs(v - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12
+    # logit(0.5) = 0 exactly; logit outside (0,1) is a gap
+    got = _one(store, "logit(scale(web.b, 0.25))")
+    assert all(v == 0.0 for v in got.values())
+    got = _one(store, "logit(web.a)")  # values >= 1: no finite logit
+    assert all(v is None for v in got.values())
+
+
+def test_delay_and_time_slice(store):
+    """functions.rst delay: 'This shifts the values forward in time
+    by steps: draws the original metric delayed by N datapoints'
+    (leading points have no source -> None); timeSlice: 'The start
+    and end times are inclusive... Useful for filtering out a part
+    of a series of data from a wider range of data.'"""
+    got = _one(store, "delay(web.a, 1)")
+    assert got == {
+        BASE: None,
+        BASE + 60: 1.0,
+        BASE + 120: 2.0,
+        BASE + 180: 4.0,
+        BASE + 240: 4.0,
+    }
+    got = _one(store, f"timeSlice(web.a, {BASE + 60}, {BASE + 180})")
+    assert set(got) == {BASE + 60, BASE + 120, BASE + 180}
+    assert got[BASE + 120] == 4.0
+
+
+def test_stddev_series(store):
+    """functions.rst stddevSeries: 'Takes one metric or a wildcard
+    seriesList. Draws the standard deviation of all metrics passed
+    at each time.' Per-point population stddev of {web.a, web.b}:
+    std({1,2})=0.5, std({2,2})=0, std({4,2})=1, std({4,2})=1,
+    std({10,2})=4."""
+    got = _one(store, "stddevSeries(web.*)")
+    want = [0.5, 0.0, 1.0, 1.0, 4.0]
+    for i, v in enumerate(want):
+        assert abs(got[BASE + 60 * i] - v) < 1e-9, i
+
+
+def test_interpolate_interior_gap(store):
+    """functions.rst interpolate: 'Takes one metric or a wildcard
+    seriesList, and optionally a limit to the number of None values
+    to skip over.' The 1.1 implementation linearly interpolates an
+    interior gap between its bounding values (backfill loop:
+    lastValue + k * (value - lastValue) / (gap + 1)), leaves leading
+    and TRAILING gaps alone (no right endpoint), and is
+    all-or-nothing per gap under limit like keepLastValue.
+    ctr.reqs = 10,25,25,5,15: removeAboveValue(.., 20) makes
+    10,None,None,5,15 -> interpolate fills 10, 8.33.., 6.66.., 5,
+    15."""
+    got = _one(store, "interpolate(removeAboveValue(ctr.reqs, 20))")
+    assert got[BASE] == 10.0
+    assert abs(got[BASE + 60] - (10.0 + (5.0 - 10.0) / 3.0)) < 1e-9
+    assert abs(got[BASE + 120] - (10.0 + 2 * (5.0 - 10.0) / 3.0)) < 1e-9
+    assert got[BASE + 180] == 5.0 and got[BASE + 240] == 15.0
+    # gap of 2 > limit 1: entirely unfilled
+    got = _one(store, "interpolate(removeAboveValue(ctr.reqs, 20), 1)")
+    assert got[BASE + 60] is None and got[BASE + 120] is None
+    # trailing gap: no right endpoint -> stays None
+    got = _one(store, "interpolate(removeAboveValue(web.a, 4))")
+    assert got[BASE + 240] is None
