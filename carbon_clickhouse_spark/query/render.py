@@ -13,6 +13,8 @@ like Graphite: nonNegativeDerivative emits NULL on resets.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -834,14 +836,46 @@ def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
     )
 
 
+def _graphite_percentile(sorted_arr, n: float):
+    """graphite-web 1.1 ``_getPercentile(points, n)`` with its
+    default ``interpolate=False`` (r12): RANK-based, not Spark's
+    interpolated ``percentile`` — ``fractionalRank = n/100 * (k+1)``,
+    ``rank = int(fr) + ceil(frac)``, clamped into the sorted array
+    (rank 0 -> first element, rank k+1 -> last). The whole render
+    percentile family (nPercentile, percentileOfSeries,
+    removeAbove/Below/BetweenPercentile, averageOutsidePercentile)
+    routes through upstream's single helper, so this one expression
+    keeps them all in lock-step. ``sorted_arr`` must be an ascending
+    non-null array column; OOB-safe via 0-based ``get`` (empty array
+    -> NULL, never an ANSI error)."""
+    k = F.size(sorted_arr)
+    fr = F.lit(float(n) / 100.0) * (k + F.lit(1)).cast("double")
+    rank = F.floor(fr).cast("int")
+    rank = rank + F.when(fr > rank.cast("double"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    idx = F.greatest(F.lit(1), F.least(rank, k))  # 1-based, clamped
+    return F.get(sorted_arr, idx - F.lit(1))
+
+
+def _sorted_values_over(partition_cols: Sequence[str]):
+    """Ascending non-null value array per partition — the
+    ``sorted(filter(None, points))`` graphite feeds _getPercentile.
+    Window-scoped collect: bounded by the fetched render window per
+    series / by series count per timestamp, same materialization the
+    previous percentile() aggregate did internally."""
+    w = Window.partitionBy(*partition_cols)
+    return F.sort_array(F.collect_list("value").over(w))
+
+
 def n_percentile(series: DataFrame, n: float) -> DataFrame:
     """Graphite ``nPercentile``: each series flattened to its n-th
-    percentile (interpolated) — one row per (path, time) carrying the
-    per-series constant."""
+    percentile — one row per (path, time) carrying the per-series
+    constant. Uses upstream's rank-based :func:`_graphite_percentile`
+    (r12; the interpolated form differed on even-count series)."""
     # aggregate-over-window: one shuffle on path, no broadcast (the
     # per-path stat table can be huge — millions of series)
-    w = Window.partitionBy("path")
-    pv = F.expr(f"percentile(value, {n / 100.0})").over(w)
+    pv = _graphite_percentile(_sorted_values_over(["path"]), n)
     return series.select("path", "time", pv.alias("value"))
 
 
@@ -1066,9 +1100,10 @@ def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
     two scalars, crossJoin-broadcast back."""
     n = max(float(n), 100.0 - float(n))
     stat = _per_series_stat(series, "avg")
+    avgs = F.sort_array(F.collect_list("stat"))
     band = stat.agg(
-        F.expr(f"percentile(stat, {(100.0 - n) / 100.0})").alias("lo"),
-        F.expr(f"percentile(stat, {n / 100.0})").alias("hi"),
+        _graphite_percentile(avgs, 100.0 - n).alias("lo"),
+        _graphite_percentile(avgs, n).alias("hi"),
     )
     winners = (
         stat.crossJoin(F.broadcast(band))
@@ -1088,9 +1123,9 @@ def remove_between_percentile(series: DataFrame, n: float) -> DataFrame:
     time-partitioned window; the qualifying path set semi-joins
     back."""
     n = max(float(n), 100.0 - float(n))
-    wt = Window.partitionBy("time")
-    lo = F.expr(f"percentile(value, {(100.0 - n) / 100.0})").over(wt)
-    hi = F.expr(f"percentile(value, {n / 100.0})").over(wt)
+    arr = _sorted_values_over(["time"])
+    lo = _graphite_percentile(arr, 100.0 - n)
+    hi = _graphite_percentile(arr, n)
     outside = series.select(
         "path",
         ((F.col("value") <= lo) | (F.col("value") >= hi)).alias("out"),
@@ -1340,28 +1375,30 @@ def sort_by_stat(
 
 
 def remove_above_percentile(series: DataFrame, n: float) -> DataFrame:
-    """Graphite ``removeAbovePercentile``: per-series interpolated
-    n-th percentile; points above it -> NULL."""
-    w = Window.partitionBy("path")
-    pv = F.expr(f"percentile(value, {float(n) / 100.0})").over(w)
+    """Graphite ``removeAbovePercentile``: per-series n-th percentile
+    (upstream's rank-based :func:`_graphite_percentile`, r12); points
+    above it -> NULL."""
+    pv = _graphite_percentile(_sorted_values_over(["path"]), n)
     v = F.when(F.col("value") <= pv, F.col("value"))
     return series.select("path", "time", v.alias("value"))
 
 
 def remove_below_percentile(series: DataFrame, n: float) -> DataFrame:
-    w = Window.partitionBy("path")
-    pv = F.expr(f"percentile(value, {float(n) / 100.0})").over(w)
+    pv = _graphite_percentile(_sorted_values_over(["path"]), n)
     v = F.when(F.col("value") >= pv, F.col("value"))
     return series.select("path", "time", v.alias("value"))
 
 
 def percentile_of_series(series: DataFrame, n: float) -> DataFrame:
     """Graphite ``percentileOfSeries``: the n-th percentile ACROSS
-    series per timestamp, as one output series."""
+    series per timestamp, as one output series (upstream's
+    rank-based :func:`_graphite_percentile`, r12)."""
     return (
         series.groupBy("time")
         .agg(
-            F.expr(f"percentile(value, {float(n) / 100.0})").alias("value")
+            _graphite_percentile(
+                F.sort_array(F.collect_list("value")), n
+            ).alias("value")
         )
         .select(F.lit("percentileOfSeries").alias("path"), "time", "value")
     )

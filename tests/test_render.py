@@ -223,7 +223,10 @@ def test_n_percentile(spark):
 
     s = _series(spark, [("m", t, float(v)) for t, v in ((10, 1), (20, 2), (30, 3), (40, 4))])
     out = {r.time: r.value for r in n_percentile(s, 50).collect()}
-    assert out == {10: 2.5, 20: 2.5, 30: 2.5, 40: 2.5}
+    # graphite's rank-based _getPercentile (r12): k=4, n=50 ->
+    # fractionalRank 2.5 -> rank 3 -> sorted[2] = 3 (the interpolated
+    # 2.5 was an upstream deviation on even counts)
+    assert out == {10: 3.0, 20: 3.0, 30: 3.0, 40: 3.0}
 
 
 def test_exponential_moving_average(spark):

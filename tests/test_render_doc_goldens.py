@@ -809,3 +809,116 @@ def test_interpolate_interior_gap(store):
     # trailing gap: no right endpoint -> stays None
     got = _one(store, "interpolate(removeAboveValue(web.a, 4))")
     assert got[BASE + 240] is None
+
+
+def test_percentile_family_rank_based(store):
+    """functions.rst nPercentile: 'Returns n-percentile values for
+    specified series definitions'; percentileOfSeries: 'returns a
+    single series which is composed of the n-percentile values taken
+    across a wildcard series at each point'; removeAbovePercentile:
+    'Values above this percentile are assigned a value of None.' The
+    rst never states the percentile formula; the 1.1 source's
+    _getPercentile (interpolate=False) is RANK-based:
+    fractionalRank = n/100 * (k+1), rank = int(fr) + ceil(frac),
+    element rank-1 of the sorted points (r12 — the interpolated
+    form deviated on even counts). web.a sorted = 1,2,4,4,10."""
+    # k=5, n=50: fr=3.0 -> rank 3 -> sorted[2] = 4
+    got = _one(store, "nPercentile(web.a, 50)")
+    assert set(got.values()) == {4.0}
+    # k=5, n=80: fr=4.8 -> rank 5 -> sorted[4] = 10: nothing above
+    got = _one(store, "removeAbovePercentile(web.a, 80)")
+    assert got[BASE + 240] == 10.0
+    # k=5, n=60: fr=3.6 -> rank 4 -> sorted[3] = 4: the 10 nulls
+    got = _one(store, "removeAbovePercentile(web.a, 60)")
+    assert got[BASE + 240] is None and got[BASE + 120] == 4.0
+    # ACROSS series: k=2 per point, n=50: fr=1.5 -> rank 2 -> the
+    # UPPER of the two values (the even-count divergence pinned)
+    got = _one(store, "percentileOfSeries(web.*, 50)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [2, 2, 4, 4, 10]
+
+
+def test_below_and_lowest_families(store):
+    """functions.rst averageBelow: 'draws only the metrics with an
+    average value below N'; currentBelow / maximumBelow /
+    minimumBelow mirror Above; lowestAverage: 'Out of all metrics
+    passed, draws only the N metrics with the lowest average value';
+    lowestCurrent: '...the lowest value at the end of the time
+    period.' Thresholds off the boundary (web.a avg 4.2 last 10
+    max 10 min 1; web.b all 2)."""
+    assert {p for p, _ in _got(store, "averageBelow(web.*, 3)")} == {"web.b"}
+    assert {p for p, _ in _got(store, "currentBelow(web.*, 5)")} == {"web.b"}
+    assert {p for p, _ in _got(store, "maximumBelow(web.*, 5)")} == {"web.b"}
+    assert {p for p, _ in _got(store, "minimumBelow(web.*, 1.5)")} == {"web.a"}
+    assert {p for p, _ in _got(store, "lowestAverage(web.*, 1)")} == {"web.b"}
+    assert {p for p, _ in _got(store, "lowestCurrent(web.*, 1)")} == {"web.b"}
+
+
+def test_min_max_normalization(store):
+    """functions.rst minMax: 'Applies the popular min max
+    normalization technique, which takes each point and applies the
+    following normalization transformation to it: normalized =
+    (point - min) / (max - min).' web.a -> (v-1)/9."""
+    got = _one(store, "minMax(web.a)")
+    want = [0.0, 1.0 / 9.0, 3.0 / 9.0, 3.0 / 9.0, 1.0]
+    for i, v in enumerate(want):
+        assert abs(got[BASE + 60 * i] - v) < 1e-12, i
+
+
+def test_round_precision(store):
+    """functions.rst round: 'Takes one metric or a wildcard
+    seriesList optionally followed by a precision, and rounds each
+    datapoint to the specified precision.' scale(web.a, 0.123) =
+    0.123, 0.246, 0.492, 0.492, 1.23 -> 2dp."""
+    got = _one(store, "round(scale(web.a, 0.123), 2)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [
+        0.12, 0.25, 0.49, 0.49, 1.23]
+
+
+def test_remove_empty_series(store):
+    """functions.rst removeEmptySeries: 'Out of all metrics passed,
+    draws only the metrics with not empty data'; 'xFilesFactor...
+    Setting it to 0 (the default) means that only a single value in
+    the series needs to be non-null for it to be considered
+    non-empty.' removeAboveValue(web.*, 1) leaves web.a with 1/5
+    points and web.b with none."""
+    got = _got(store, "removeEmptySeries(removeAboveValue(web.*, 1))")
+    assert {p for p, _ in got} == {"web.a"}
+    # xff 0.5: web.a's 1/5 non-null fraction is below it -> dropped
+    got = _got(store, "removeEmptySeries(removeAboveValue(web.*, 1), 0.5)")
+    assert got == {}
+
+
+def test_constant_line_and_threshold(store):
+    """functions.rst constantLine: 'Takes a float F. Draws a
+    horizontal line at value F across the graph'; threshold: 'Takes
+    a float F, followed by a label and a color... Draws a horizontal
+    line at value F.'"""
+    got = _one(store, "constantLine(7)")
+    assert len(got) > 0 and set(got.values()) == {7.0}
+    got = _one(store, 'threshold(7, "limit")')
+    assert len(got) > 0 and set(got.values()) == {7.0}
+
+
+def test_weighted_average_shared_node(store):
+    """functions.rst weightedAverage: 'Takes a series of average
+    values and a series of weights and produces a weighted average
+    for all values... The corresponding values should share one or
+    more zero-indexed nodes and/or tags.' weightedAverage(web.a,
+    web.b, 0): node 0 ('web') matches, result = sum(a*b)/sum(b) =
+    a pointwise (constant weight)."""
+    got = _one(store, "weightedAverage(web.a, web.b, 0)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [1, 2, 4, 4, 10]
+
+
+def test_sort_by_name(store):
+    """functions.rst sortByName: 'Sorts the list of metrics by the
+    metric name using either alphabetical order or natural
+    sorting.'"""
+    out = evaluate_target(
+        parse_target("sortByName(web.*)"), store, BASE, BASE + 240
+    ).collect()
+    order = []
+    for r in out:
+        if r.path not in order:
+            order.append(r.path)
+    assert order == ["web.a", "web.b"]

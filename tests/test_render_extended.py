@@ -118,9 +118,16 @@ def test_percentile_family(spark):
         spark,
         [("m", t, float(v)) for t, v in zip(range(1, 6), (1, 2, 3, 4, 100))],
     )
+    # graphite's rank-based _getPercentile (r12): k=5, n=80 ->
+    # fractionalRank 4.8 -> rank 5 -> sorted[4] = 100, so the 100 is
+    # NOT above its own percentile and survives (the interpolated
+    # form returned 23.2 and nulled it — an upstream deviation)
     above = {r.time: r.value for r in
              render.remove_above_percentile(s, 80).collect()}
-    assert above[5] is None and above[1] == 1.0
+    assert above[5] == 100.0 and above[1] == 1.0
+    above60 = {r.time: r.value for r in
+               render.remove_above_percentile(s, 60).collect()}
+    assert above60[5] is None and above60[4] == 4.0  # pv = sorted[3]
     below = {r.time: r.value for r in
              render.remove_below_percentile(s, 40).collect()}
     assert below[1] is None and below[5] == 100.0
@@ -276,14 +283,16 @@ def test_percentile_band_selection(spark):
     for i, base in enumerate((1.0, 2.0, 3.0, 4.0, 100.0)):
         rows += [(f"s{i}", t, base) for t in (1, 2)]
     s = _series(spark, rows)
-    # graphite keeps boundary averages: band over (1,2,3,4,100) is
-    # (p25, p75) = (2, 4) OPEN, so 2 and 4 survive alongside 1 and 100
+    # graphite keeps boundary averages, with the rank-based
+    # _getPercentile (r12): over (1,2,3,4,100), p25 -> fr 1.5 ->
+    # rank 2 -> 2; p75 -> fr 4.5 -> rank 5 -> 100. Band (2, 100)
+    # OPEN: 1, 2 and 100 survive; 3 and 4 are inside
     out = {r.path for r in
            render.average_outside_percentile(s, 75).collect()}
-    assert out == {"s0", "s1", "s3", "s4"}
+    assert out == {"s0", "s1", "s4"}
     rb = {r.path for r in
           render.remove_between_percentile(s, 75).collect()}
-    assert rb == {"s0", "s1", "s3", "s4"}
+    assert rb == {"s0", "s1", "s4"}
 
 
 def test_time_stack(spark):
