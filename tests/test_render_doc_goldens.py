@@ -922,3 +922,76 @@ def test_sort_by_name(store):
         if r.path not in order:
             order.append(r.path)
     assert order == ["web.a", "web.b"]
+
+
+def test_series_lists_combiners(store):
+    """functions.rst sumSeriesLists: 'Iterates over a two lists and
+    subtracts series lists 2 through n from series 1 list1[0] to
+    list2[0], list1[1] to list2[1] and so on' (the *SeriesLists
+    family pairs the Nth series of each list); diffSeriesLists /
+    multiplySeriesLists mirror with -, *. web.a paired with
+    web.b."""
+    got = _one(store, "sumSeriesLists(web.a, web.b)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [3, 4, 6, 6, 12]
+    got = _one(store, "diffSeriesLists(web.a, web.b)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [-1, 0, 2, 2, 8]
+    got = _one(store, "multiplySeriesLists(web.a, web.b)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [2, 4, 8, 8, 20]
+    got = _one(store, "divideSeriesLists(web.a, web.b)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [0.5, 1, 2, 2, 5]
+
+
+def test_fallback_series(store):
+    """functions.rst fallbackSeries: 'Takes a wildcard seriesList,
+    and a second fallback metric. If the wildcard does not match any
+    series, draws the fallback metric.'"""
+    got = _got(store, "fallbackSeries(web.nosuch.*, web.b)")
+    assert {p for p, _ in got} == {"web.b"}
+    got = _got(store, "fallbackSeries(web.a, web.b)")
+    assert {p for p, _ in got} == {"web.a"}
+
+
+def test_smart_summarize_from_aligned(store):
+    """functions.rst smartSummarize: 'Smarter version of summarize.
+    The alignToFrom boolean parameter has been replaced by
+    alignTo... the function defaults to (effectively) aligning to
+    the from parameter' — buckets anchor at the request start, not
+    the epoch grid. Requesting from BASE+60, 2min buckets:
+    [2,4 | 4,10] -> sums 6 and 14 stamped at the bucket starts."""
+    got = _one(store, 'smartSummarize(web.a, "2min", "sum")',
+               t0=BASE + 60)
+    assert got == {BASE + 60: 6.0, BASE + 180: 14.0}
+
+
+def test_group_by_nodes(store):
+    """functions.rst groupByNodes: 'Takes a serieslist and maps a
+    callback to subgroups within as defined by multiple nodes' —
+    doc example groupByNodes(ganglia.server*.*.cpu.load*, "sum",
+    1, 4). Grouping web.* on node 0 with sum collapses both series
+    to one 'web' group."""
+    got = _got(store, 'groupByNodes(web.*, "sum", 0)')
+    assert {p for p, _ in got} == {"web"}
+    want = [3, 4, 6, 6, 12]
+    for i, v in enumerate(want):
+        assert abs(got[("web", BASE + 60 * i)] - v) < 1e-12
+
+
+def test_cacti_style_legend(store):
+    """functions.rst cactiStyle: 'Takes a series list and modifies
+    the aliases to provide column aligned output with Current, Max,
+    and Min values in the style of cacti.' web.b: all three stats
+    are 2.00."""
+    got = _got(store, "cactiStyle(web.b)")
+    paths = {p for p, _ in got}
+    assert len(paths) == 1
+    p = next(iter(paths))
+    assert "Current:" in p and "Max:" in p and "Min:" in p
+    assert p.count("2.00") == 3
+
+
+def test_identity_and_time_function(store):
+    """functions.rst identity: 'Identity function: Returns datapoints
+    where the value equals the timestamp of the datapoint' (and
+    timeFunction is its named alias taking a step)."""
+    got = _one(store, 'identity("x")')
+    assert all(v == t for t, v in got.items())
