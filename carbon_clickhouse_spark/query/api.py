@@ -224,7 +224,9 @@ _FUNCS = {
     "minimumAbove": render.minimum_above,
     "sortByTotal": lambda df: render.sort_by_stat(df, "total", True),
     "sortByMaxima": lambda df: render.sort_by_stat(df, "max", True),
-    "sortByMinima": lambda df: render.sort_by_stat(df, "min", False),
+    "sortByMinima": lambda df: render.sort_by_stat(
+        df, "min", False, positive_max_only=True
+    ),
     "removeAbovePercentile": render.remove_above_percentile,
     "removeBelowPercentile": render.remove_below_percentile,
     "percentileOfSeries": render.percentile_of_series,
@@ -896,6 +898,21 @@ def evaluate_target(
             func = str(expr.args[2]) if len(expr.args) > 2 else "sum"
             label = f"{func}Series"
         return render.aggregate_series_lists(a, b, func, label)
+    if expr.name == "powSeries" and len(expr.args) > 1:
+        # graphite folds in LIST order (arg order, then fetch order
+        # within a glob): tag each evaluated argument with its index
+        # so the fold is argument-ordered, not path-ordered (r12)
+        frames = []
+        for i, a in enumerate(expr.args):
+            frames.append(
+                evaluate_target(a, store, t0, t1, ctx).withColumn(
+                    "__arg", F.lit(i)
+                )
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return render.pow_series(u, order_col="__arg")
     if expr.name == "sinFunction":
         # generator: amplitude * sin(t) on the step grid
         label = str(expr.args[0]) if expr.args else "sin"

@@ -332,7 +332,10 @@ def filter_series(
     The qualifying path set is series-cardinality (tiny next to the
     points) — broadcast semi-join back, same shape as :func:`highest`.
     """
-    stat = _per_series_stat(series, func)
+    # upstream consolidation-function names ('average', 'last', ...)
+    # normalize through the same table sortBy uses (r12 — 'average'
+    # previously raised)
+    stat = _per_series_stat(series, _SORT_FUNCS.get(str(func), func))
     ops = {
         ">": F.col("stat") > threshold,
         ">=": F.col("stat") >= threshold,
@@ -1348,19 +1351,24 @@ def minimum_above(series: DataFrame, n: float) -> DataFrame:
 
 
 def sort_by_stat(
-    series: DataFrame, func: str = "total", descending: bool = True
+    series: DataFrame,
+    func: str = "total",
+    descending: bool = True,
+    positive_max_only: bool = False,
 ) -> DataFrame:
     """Graphite ``sortByTotal / sortByMaxima / sortByMinima``:
     presentation ordering of whole series by a per-series statistic.
     The stat table is series-cardinality — broadcast back, then one
     output sort.
 
-    sortByMinima (func='min', ascending) keeps ONLY series whose
-    maximum is > 0 — functions.rst: 'Sorts the list of metrics by
-    the lowest value..., including only series that have a maximum
-    value greater than 0' (r12: previously unfiltered)."""
+    ``positive_max_only`` is sortByMinima's extra filter —
+    functions.rst: 'Sorts the list of metrics by the lowest
+    value..., including only series that have a maximum value
+    greater than 0' (r12: previously unfiltered). It is EXPLICIT,
+    not inferred from func='min' ascending, because the generic
+    ``sortBy(seriesList, 'min')`` must NOT filter."""
     stat = _per_series_stat(series, func)
-    if func == "min" and not descending:
+    if positive_max_only:
         keep = (
             _per_series_stat(series, "max")
             .filter(F.col("stat") > 0)
@@ -1594,14 +1602,20 @@ def alias_by_tags(series: DataFrame, *tags: str) -> DataFrame:
     return series.select(label.alias("path"), "time", "value")
 
 
-def pow_series(series: DataFrame) -> DataFrame:
+def pow_series(series: DataFrame, order_col: str | None = None) -> DataFrame:
     """Graphite ``powSeries(*seriesLists)``: per timestamp, left-fold
-    exponentiation over the values in sorted-path order (graphite
-    folds in list order; sorted order is the deterministic analog,
-    mirroring :func:`divide_series_lists`). One groupBy(time) — the
+    exponentiation over the values in ARGUMENT order — graphite folds
+    in list order, so the facade tags each evaluated argument with
+    its index and passes it as ``order_col`` (r12; within one glob
+    argument, path order breaks ties — the fetch-order analog).
+    Without ``order_col`` the fold runs in sorted-path order (the
+    direct-library deterministic default). One groupBy(time) — the
     fold runs over the per-timestamp struct array, never a window."""
+    head = [F.col(order_col)] if order_col else []
     vals = F.array_sort(
-        F.collect_list(F.struct(F.col("path"), F.col("value")))
+        F.collect_list(
+            F.struct(*head, F.col("path"), F.col("value"))
+        )
     )
     folded = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),

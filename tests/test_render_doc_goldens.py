@@ -995,3 +995,89 @@ def test_identity_and_time_function(store):
     timeFunction is its named alias taking a step)."""
     got = _one(store, 'identity("x")')
     assert all(v == t for t, v in got.items())
+
+
+def test_exp_and_pow_series(store):
+    """functions.rst exp: 'Raise e to the power of the datapoint';
+    powSeries: 'Takes two or more series and pows their points. A
+    constant line may be used' — pointwise left-fold
+    exponentiation. powSeries(web.b, web.a) = 2^v for v in
+    web.a."""
+    got = _one(store, "exp(web.b)")
+    for v in got.values():
+        assert abs(v - math.exp(2.0)) < 1e-9
+    got = _one(store, "powSeries(web.b, web.a)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [
+        2.0, 4.0, 16.0, 16.0, 1024.0]
+
+
+def test_offset_to_zero(store):
+    """functions.rst offsetToZero: 'Offsets a metric or wildcard
+    seriesList by subtracting the minimum value in the series from
+    each datapoint.' web.a - 1."""
+    got = _one(store, "offsetToZero(web.a)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [0, 1, 3, 3, 9]
+
+
+def test_filter_series(store):
+    """functions.rst filterSeries: 'Takes one metric or a wildcard
+    seriesList followed by a consolidation function, an operator and
+    a threshold. Draws only the metrics which match the filter
+    expression. Example: filterSeries(system.interface.eth*.
+    packetsSent, "max", ">", 1000)'."""
+    got = _got(store, 'filterSeries(web.*, "max", ">", 5)')
+    assert {p for p, _ in got} == {"web.a"}
+    got = _got(store, 'filterSeries(web.*, "average", "<=", 2)')
+    assert {p for p, _ in got} == {"web.b"}
+
+
+def test_sort_by_generic(store):
+    """functions.rst sortBy: 'Takes one metric or a wildcard
+    seriesList followed by an aggregation function and an optional
+    reverse parameter. Returns the metrics sorted according to the
+    specified function' — and UNLIKE sortByMinima it applies no
+    max>0 filter, so sortBy('min') keeps an all-negative series."""
+    out = evaluate_target(
+        parse_target('sortBy(web.*, "max", true)'), store, BASE, BASE + 240
+    ).collect()
+    order = []
+    for r in out:
+        if r.path not in order:
+            order.append(r.path)
+    assert order == ["web.a", "web.b"]  # descending by max
+    # no positive-max filter on the generic form
+    got = _got(store, 'sortBy(scale(web.b, -1), "min")')
+    assert len(got) == 5  # the all-negative series SURVIVES
+
+
+def test_use_series_above(store):
+    """functions.rst useSeriesAbove: 'Compares the maximum of each
+    series against the given value. If the series maximum is greater
+    than value, the regular expression search and replace is applied
+    against the series name to plot a related metric... Useful for
+    for monitoring a related metric only when it crosses a
+    threshold.' max(web.a)=10 > 5 -> plot web.b via sub(a -> b)."""
+    got = _got(store, 'useSeriesAbove(web.a, 5, "a", "b")')
+    assert {p for p, _ in got} == {"web.b"}
+    assert set(v for _, v in got.items()) == {2.0}
+    # below the threshold: nothing plotted
+    got = _got(store, 'useSeriesAbove(web.b, 5, "b", "a")')
+    assert got == {}
+
+
+def test_unique_and_group(store):
+    """functions.rst group: 'Takes an arbitrary number of seriesLists
+    and adds them to a single seriesList. This is used to pass
+    multiple seriesLists to a function which only takes one';
+    unique: 'Removes series lists with duplicate metrics from the
+    list.' group(web.a, web.a, web.b) has web.a twice; unique keeps
+    one copy."""
+    got = evaluate_target(
+        parse_target("unique(group(web.a, web.a, web.b))"),
+        store, BASE, BASE + 240,
+    ).collect()
+    counts = {}
+    for r in got:
+        counts[(r.path, r.time)] = counts.get((r.path, r.time), 0) + 1
+    assert set(counts.values()) == {1}
+    assert {p for p, _ in counts} == {"web.a", "web.b"}
