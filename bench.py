@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     # the n(n+1)/2-cross-sums single pass — the most plan-subtle of
     # the round-9 partial-agg family
     "corr_matrix",
+    # round-12: the SpaceSaving two-level merge (per-partition Arrow
+    # summaries + min-row broadcast fold), newly graded
+    "top_k_sketch",
 ]
 
 
