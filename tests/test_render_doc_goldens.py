@@ -1081,3 +1081,23 @@ def test_unique_and_group(store):
         counts[(r.path, r.time)] = counts.get((r.path, r.time), 0) + 1
     assert set(counts.values()) == {1}
     assert {p for p, _ in counts} == {"web.a", "web.b"}
+
+
+def test_r12_degenerate_arms(store):
+    """Degenerate-input arms over this round's new paths (the r11
+    NULL-sweep discipline): percentile of an all-NULL series is NULL
+    per point (upstream sorts the non-None points — an empty list
+    yields None); keepLastValue over all-NULL stays NULL (no last
+    value exists); single-argument powSeries is the identity fold;
+    stddevSeries of one series is 0 per point."""
+    allnull = "removeAboveValue(web.a, 0)"
+    got = _one(store, f"nPercentile({allnull}, 50)")
+    assert all(v is None for v in got.values())
+    got = _one(store, f"keepLastValue({allnull}, 2)")
+    assert all(v is None for v in got.values())
+    got = _one(store, f"removeAbovePercentile({allnull}, 80)")
+    assert all(v is None for v in got.values())
+    got = _one(store, "powSeries(web.a)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [1, 2, 4, 4, 10]
+    got = _one(store, "stddevSeries(web.a)")
+    assert set(got.values()) == {0.0}
