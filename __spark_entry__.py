@@ -1381,6 +1381,27 @@ def q_contamination(spark, sf_dir):
     return out.select("doc_id", "n_ngrams", "n_matched", "overlap")
 
 
+def q_contamination_spans(spark, sf_dir):
+    """Span-level decontamination (datapipe/contamination.
+    mask_contaminated_spans, r12): tokens covered by any src0
+    benchmark 3-gram are replaced by a sentinel, the rest of the
+    document survives — the keep-the-page fix-up next to the
+    drop-the-page rule `contamination` grades. Broadcast benchmark
+    grams; positioned posexplode; match-bounded hit lists join back
+    on the doc_id partitioning the groupBy established. Hash-gated
+    on counts, round(4) fraction, and the FULL masked text."""
+    from carbon_clickhouse_spark.datapipe.contamination import (
+        mask_contaminated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mask_contaminated_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit. The synthetic corpus has no PII, so a
     deterministic doc_id-keyed injection (identical in the oracle)
@@ -3037,6 +3058,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: lm_perplexity (model scoring); dsir_scores
         # shares the DSIR core weights
         "dsir_resample": q_dsir_resample,
+        # r12 new operator: span-level decontamination (graded rep:
+        # contamination drops whole docs; this masks exact spans)
+        "contamination_spans": q_contamination_spans,
         # r11 rotation evictees (each redundant with a graded family
         # member, kept oracle-green here):
         # graded reps: rollup_all + read_series (the replacing-dedup
@@ -3899,6 +3923,54 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM agg
         """
         ),
+        # span-level decontamination: positioned 3-grams both sides,
+        # token j masked iff a matched gram start p has p<=j<p+3;
+        # text rebuilt over the same whitespace token stream
+        "contamination_spans": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE source <> 'src0'
+            ),
+            btoks AS (
+              SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents WHERE source = 'src0'
+            ),
+            bgrams AS (
+              SELECT DISTINCT concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+              FROM btoks, unnest(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            hits AS (
+              SELECT c.doc_id, list_sort(list(DISTINCT i - 1)) AS hp
+              FROM corpus c, unnest(range(1, len(c.toks) - 1)) AS u(i)
+              WHERE len(c.toks) >= 3
+                AND concat_ws(' ', c.toks[i], c.toks[i+1], c.toks[i+2])
+                    IN (SELECT g FROM bgrams)
+              GROUP BY c.doc_id
+            ),
+            f AS (
+              SELECT c.doc_id, c.toks, coalesce(h.hp, []) AS hp
+              FROM corpus c LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len([j for j in range(len(toks))
+                             if len(list_filter(hp,
+                                  p -> p <= j AND j < p + 3)) > 0])
+                        AS BIGINT) AS n_masked,
+                   CASE WHEN len(toks) > 0
+                        THEN round(CAST(n_masked AS DOUBLE) / len(toks), 4)
+                   END AS masked_frac,
+                   array_to_string(list_transform(range(len(toks)),
+                     j -> CASE WHEN len(list_filter(hp,
+                                    p -> p <= j AND j < p + 3)) > 0
+                               THEN '<CONTAMINATED>' ELSE toks[j+1] END),
+                     ' ') AS text_masked
+            FROM f
+        """,
         "pii_scrub": (
             """
             WITH inj AS (

@@ -70,6 +70,102 @@ def benchmark_ngram_contamination(
     )
 
 
+def mask_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sentinel: str = "<CONTAMINATED>",
+) -> DataFrame:
+    """Span-level decontamination (r12): instead of DROPPING a
+    document whose benchmark n-gram overlap crosses a threshold
+    (:func:`benchmark_ngram_contamination`), MASK exactly the token
+    spans covered by benchmark n-grams and keep the rest — the
+    fix-up used when whole-document dropping is too lossy (a long
+    page quoting one eval question loses everything under the
+    drop rule; here only the quoted span is masked).
+
+    Returns ``(id_col, n_tokens, n_masked, masked_frac,
+    text_masked)``: ``text_masked`` is the whitespace-normalized
+    token stream with every covered token replaced by ``sentinel``
+    (token-level masking — each covered token becomes one sentinel
+    token, exactly SQL-replayable). A doc with fewer than ``n``
+    tokens has no n-grams and masks nothing; an empty doc has
+    ``n_tokens`` 0 and a NULL ``masked_frac``. Unlike
+    :func:`~.dedup.shingles` there is NO short-doc whole-text
+    fallback: spans need positions, and a sub-``n`` doc cannot
+    contain a length-``n`` span.
+
+    Scale shape: benchmark n-grams dedupe and broadcast (eval suites
+    are MBs against a TB corpus); the corpus explodes POSITIONED
+    n-grams once, left-semi-joins the broadcast set, and regroups on
+    ``id_col`` into match-bounded hit lists — one row per
+    CONTAMINATED doc only — which LEFT-join back to the docs on the
+    same ``id_col`` partitioning the groupBy already established.
+    One bounded doc-keyed Exchange per side; the corpus never
+    shuffles on an n-gram key. The span expansion itself is pure
+    higher-order-function codegen (sequence/exists/zip_with), zero
+    Python."""
+    k = F.lit(int(n))
+
+    def grams_of(col):
+        # positioned proper n-grams: array index i (0-based) starts
+        # at token index i
+        tk = tokens(col)
+        m = F.size(tk)
+        return F.when(
+            m >= k,
+            F.transform(
+                F.sequence(F.lit(1), m - k + F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, int(n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench = (
+        benchmark.select(
+            F.explode(grams_of(F.col(text_col))).alias("ngram")
+        ).distinct()
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(grams_of(F.col(text_col))).alias("__pos", "ngram"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__pos")).alias("__hits"))
+    )
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    joined = base.join(hits, id_col, "left")
+    hitarr = F.coalesce(F.col("__hits"), F.array().cast("array<int>"))
+    m = F.size("__toks")
+    idxs = F.when(m > 0, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    covered = F.transform(
+        idxs,
+        lambda jx: F.exists(hitarr, lambda p: (p <= jx) & (jx < p + k)),
+    )
+    n_masked = F.size(F.filter(covered, lambda x: x))
+    masked = F.zip_with(
+        "__toks",
+        covered,
+        lambda tkn, c: F.when(c, F.lit(sentinel)).otherwise(tkn),
+    )
+    return joined.select(
+        F.col(id_col),
+        m.cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        F.when(m > 0, F.round(n_masked.cast("double") / m, 4)).alias(
+            "masked_frac"
+        ),
+        F.array_join(masked, " ").alias("text_masked"),
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / phone numbers / IPv4 addresses, keeping audit
     counts: adds ``n_emails``, ``n_phones``, ``n_ips`` and

@@ -1556,3 +1556,46 @@ def test_ivf_topk_empty_corpus(spark):
         "struct<query_id:bigint,neighbor_id:bigint,"
         "cosine:double,rank:bigint>"
     )
+
+
+def test_mask_contaminated_spans(spark):
+    """Span-level decontamination: exactly the tokens covered by a
+    benchmark 3-gram mask; everything else survives. Hand-built:
+    the benchmark phrase 'what is two plus two' plants two
+    overlapping 3-grams; a doc quoting it mid-sentence masks only
+    the quoted span (5 tokens), a clean doc masks nothing, a
+    sub-n doc can never match, an empty doc is (0, 0, NULL, '')."""
+    from carbon_clickhouse_spark.datapipe.contamination import (
+        mask_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "what is two plus two")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the question what is two plus two appeared here"),
+            (11, "a perfectly clean document with no overlap at all"),
+            (12, "two plus"),           # < n tokens: no grams
+            (13, ""),                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in mask_contaminated_spans(corpus, bench, n=3).collect()
+    }
+    r = got[10]
+    # tokens 2..6 (0-based) covered by the three benchmark 3-grams
+    assert (r.n_tokens, r.n_masked, r.masked_frac) == (9, 5, 0.5556)
+    s = "<CONTAMINATED>"
+    assert r.text_masked == f"the question {s} {s} {s} {s} {s} appeared here"
+    r = got[11]
+    assert (r.n_masked, r.masked_frac) == (0, 0.0)
+    assert r.text_masked.startswith("a perfectly clean")
+    r = got[12]
+    assert (r.n_tokens, r.n_masked) == (2, 0)
+    assert r.text_masked == "two plus"
+    r = got[13]
+    assert (r.n_tokens, r.n_masked, r.masked_frac, r.text_masked) == (
+        0, 0, None, "")

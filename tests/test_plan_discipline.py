@@ -22,6 +22,10 @@ SHUFFLE_JOIN_WHITELIST = {
     "dedup_clusters": 1,
     "dsir_resample": 1,
     "dsir_scores": 1,
+    # r12 span masking: match-bounded hit lists join back to the
+    # docs on the SAME doc_id partitioning the groupBy established —
+    # one bounded Exchange per side, never an n-gram-keyed shuffle
+    "contamination_spans": 1,
 }
 
 
