@@ -1402,6 +1402,37 @@ def q_contamination_spans(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Crawl first-pass URL dedup (datapipe/text.canonical_url +
+    url_dedup, r12): a deterministic URL per document varies case,
+    www, default port, tracking params, param order, trailing slash,
+    fragment, and NULLs with doc_id so every canonicalization rule
+    fires and real collisions form (site = doc_id%50, page =
+    doc_id%25); the lowest doc_id per canonical form survives.
+    Hash-gated on the canonical string, keep flag, and dup_of."""
+    from carbon_clickhouse_spark.datapipe.text import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
+            F.lit("http://")
+        ),
+        F.lit("site"), (d % 50).cast("string"), F.lit(".example.com"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), (d % 25).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=x&q=1"))
+        .when(d % 5 == 1, F.lit("?q=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id", F.when(d % 11 != 0, url).alias("url")
+    )
+    return url_dedup(base)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit. The synthetic corpus has no PII, so a
     deterministic doc_id-keyed injection (identical in the oracle)
@@ -3061,6 +3092,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 new operator: span-level decontamination (graded rep:
         # contamination drops whole docs; this masks exact spans)
         "contamination_spans": q_contamination_spans,
+        # r12 new operator: URL canonicalize + first-seen dedup (graded
+        # reps: dedup_exact for the survivor rule, domain_filter for
+        # the URL parsing family)
+        "url_dedup": q_url_dedup,
         # r11 rotation evictees (each redundant with a graded family
         # member, kept oracle-green here):
         # graded reps: rollup_all + read_series (the replacing-dedup
@@ -3970,6 +4005,63 @@ def _all_oracle_sql() -> dict[str, str]:
                                THEN '<CONTAMINATED>' ELSE toks[j+1] END),
                      ' ') AS text_masked
             FROM f
+        """,
+        # URL dedup: the SAME injection and every canonicalization rule
+        # replayed in SQL (lowercased scheme/host, www and default-port
+        # strip, fragment drop, tracking-param filter + bytewise param
+        # sort, trailing-slash strip), then first-seen per canonical
+        "url_dedup": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 11 <> 0 THEN
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END)
+                  || 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+                  || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+                  || '/page/' || CAST(doc_id % 25 AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&q=1'
+                           WHEN doc_id % 5 = 1 THEN '?q=1' ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END)
+                END AS url
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS query
+              FROM u
+            ),
+            c2 AS (
+              SELECT doc_id, url, scheme, path,
+                regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                array_to_string(list_sort(list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)='))), '&') AS qs
+              FROM c
+            ),
+            c3 AS (
+              SELECT doc_id, url,
+                scheme || '://' || host
+                || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                                  OR (scheme = 'https' AND port = '443'))
+                         THEN ':' || port ELSE '' END)
+                || path
+                || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
+              FROM c2
+            ),
+            r AS (
+              SELECT doc_id, url, canonical_url,
+                row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn,
+                first_value(doc_id) OVER (PARTITION BY canonical_url ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id
+              FROM c3
+            )
+            SELECT doc_id, url, canonical_url,
+                   (url IS NULL OR rn = 1) AS keep,
+                   CASE WHEN url IS NOT NULL AND rn > 1 THEN first_id END AS dup_of
+            FROM r
         """,
         "pii_scrub": (
             """

@@ -512,6 +512,100 @@ def filter_blocked_domains(
     return df.filter(~cond)
 
 
+#: query parameters stripped by URL canonicalization: analytics /
+#: click-tracking noise that never changes the fetched content
+#: (utm_* is a prefix match, the rest exact keys)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of an absolute URL — the key for first-pass
+    crawl deduplication (the same page crawled as
+    ``HTTP://WWW.Example.com:80/a/?utm_source=x&b=1#frag`` and
+    ``http://example.com/a?b=1`` must collide):
+
+    - scheme and host lowercase; a ``www.`` host prefix drops
+    - the port drops when it is the scheme default (http:80 /
+      https:443), stays otherwise
+    - the fragment drops (never sent to the server)
+    - tracking query params drop (:data:`TRACKING_PARAM_RE`);
+      survivors sort bytewise so param order never splits a page
+    - trailing path slashes drop (root path becomes empty)
+
+    Pure column expressions (regexp + array higher-order functions,
+    whole-stage codegen) — no UDF, no shuffle; every rule is
+    replayed verbatim by the DuckDB oracle."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    hostport = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.sort_array(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-seen URL deduplication over :func:`canonical_url`: per
+    canonical form the LOWEST ``id_col`` survives (``keep`` true,
+    ``dup_of`` NULL); every other crawl of the same page points at
+    it. One shuffle on the canonical key (a window over it — the
+    same single-Exchange shape as the exact-dedup family); rows with
+    a NULL url pass through as their own keepers (nothing to
+    collide on)."""
+    canon = canonical_url(url_col)
+    w = Window.partitionBy(canon).orderBy(F.col(id_col).asc())
+    first_id = F.first(id_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rn = F.row_number().over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(url_col),
+        canon.alias("canonical_url"),
+        (F.col(url_col).isNull() | (rn == 1)).alias("keep"),
+        F.when(
+            F.col(url_col).isNotNull() & (rn > 1), first_id
+        ).alias("dup_of"),
+    )
+
+
 #: Gopher quality-rule defaults (Rae et al. 2021, Table A1 — public
 #: paper): documents outside these bounds are flagged low-quality
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -1599,3 +1599,37 @@ def test_mask_contaminated_spans(spark):
     r = got[13]
     assert (r.n_tokens, r.n_masked, r.masked_frac, r.text_masked) == (
         0, 0, None, "")
+
+
+def test_url_canonicalize_and_dedup(spark):
+    """Crawl first-pass URL dedup: case/www/default-port/tracking-
+    param/param-order/trailing-slash/fragment variants of one page
+    all collapse to one canonical form; the lowest doc_id survives
+    and duplicates point at it. Distinct pages stay distinct
+    (non-default port, different param VALUE)."""
+    from carbon_clickhouse_spark.datapipe.text import (
+        canonical_url,
+        url_dedup,
+    )
+
+    rows = [
+        (1, "http://example.com/a?b=1"),
+        (2, "HTTP://WWW.Example.com:80/a/?utm_source=x&b=1#frag"),
+        (3, "http://example.com/a?b=1&gclid=zzz"),
+        (4, "http://example.com:8080/a?b=1"),     # non-default port
+        (5, "http://example.com/a?b=2"),          # different value
+        (6, "https://example.com/a?b=1"),         # different scheme
+        (7, None),                                # NULL url passes
+        (8, "http://example.com/a?c=9&b=1"),      # param order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert got[2].canonical_url == "http://example.com/a?b=1"
+    assert got[1].keep and got[1].dup_of is None
+    assert not got[2].keep and got[2].dup_of == 1
+    assert not got[3].keep and got[3].dup_of == 1
+    assert got[4].keep and got[4].canonical_url == "http://example.com:8080/a?b=1"
+    assert got[5].keep and got[6].keep
+    assert got[7].keep and got[7].dup_of is None
+    assert got[8].keep  # ?b=1&c=9 is a DIFFERENT page than ?b=1
+    assert got[8].canonical_url == "http://example.com/a?b=1&c=9"
