@@ -1101,3 +1101,18 @@ def test_r12_degenerate_arms(store):
     assert [got[BASE + 60 * i] for i in range(5)] == [1, 2, 4, 4, 10]
     got = _one(store, "stddevSeries(web.a)")
     assert set(got.values()) == {0.0}
+
+
+def test_legend_value(store):
+    """functions.rst legendValue: 'Takes one metric or a wildcard
+    seriesList and a string in quotes. Appends a value to the metric
+    name in the legend. Currently one or several of: last, avg,
+    total, min, max.' web.a = 1,2,4,4,10 -> avg 4.2, max 10."""
+    got = _got(store, 'legendValue(web.a, "max")')
+    paths = {p for p, _ in got}
+    assert len(paths) == 1
+    p = next(iter(paths))
+    assert p.startswith("web.a") and "max" in p and "10" in p
+    got = _got(store, 'legendValue(web.b, "avg", "total")')
+    p = next(iter({q for q, _ in got}))
+    assert "avg" in p and "total" in p and "2" in p and "10" in p
