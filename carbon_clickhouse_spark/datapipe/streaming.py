@@ -65,18 +65,31 @@ class CorpusStreamConfig:
     languages: tuple[str, ...] = field(default_factory=tuple)
     #: cross-batch exact content dedup via the hashes side table
     dedup: bool = True
+    #: when set, the incoming stream's URL column drives cross-batch
+    #: FIRST-SEEN URL dedup over text.canonical_url (r12): a
+    #: re-crawl of the same page — differing tracking params, case,
+    #: default port, even UPDATED CONTENT — drops in favor of the
+    #: first crawl, the complementary pass to content dedup (which
+    #: catches same-content-different-URL). Rows with a NULL url
+    #: always pass. Side table: 16-byte md5(canonical) keys only.
+    url_col: str | None = None
     trigger: str = "1 second"
     audit_rejected: bool = True
 
 
 def document_stream(
-    spark: SparkSession, landing_dir: str, max_files: int = 64
+    spark: SparkSession,
+    landing_dir: str,
+    max_files: int = 64,
+    schema: str = DOC_SCHEMA,
 ) -> DataFrame:
     """File-source stream of json-lines documents (the landing-zone
     contract: producers atomically rename complete files in, same as
-    the metrics receivers)."""
+    the metrics receivers). ``schema`` extends the landing contract
+    (e.g. ``DOC_SCHEMA + ", url string"`` for URL-carrying crawls
+    feeding ``CorpusStreamConfig.url_col``)."""
     return (
-        spark.readStream.schema(DOC_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .json(landing_dir)
     )
@@ -133,6 +146,7 @@ def start_corpus_ingest(
     checkpoint = cfg.checkpoint or os.path.join(cfg.root, "_checkpoint")
     corpus_path = os.path.join(cfg.root, "corpus")
     hashes_path = os.path.join(cfg.root, "hashes")
+    urls_path = os.path.join(cfg.root, "urls")
     rejected_path = os.path.join(cfg.root, "rejected")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -145,6 +159,43 @@ def start_corpus_ingest(
                 with _lock(rejected_path):
                     rejected.write.mode("append").parquet(rejected_path)
             kept = feats.filter(F.col("reason").isNull()).drop("reason")
+            if cfg.url_col:
+                # first-seen URL dedup BEFORE content dedup: the
+                # canonical form collides across re-crawl variants
+                # even when the content changed; within-batch the
+                # lowest doc_id wins (deterministic), cross-batch the
+                # stored 16-byte md5(canonical) keys anti-join —
+                # NULL-url rows always pass (nothing to collide on)
+                from .text import canonical_url
+
+                from pyspark.sql import Window
+
+                kept = kept.withColumn(
+                    "__url_key", F.md5(canonical_url(cfg.url_col))
+                )
+                w_u = Window.partitionBy("__url_key").orderBy("doc_id")
+                kept = (
+                    kept.withColumn("__rk", F.row_number().over(w_u))
+                    .filter(
+                        F.col("__url_key").isNull()
+                        | (F.col("__rk") == 1)
+                    )
+                    .drop("__rk")
+                )
+                if _exists(spark_b, urls_path):
+                    stored_u = spark_b.read.parquet(urls_path).select(
+                        "__url_key"
+                    )
+                    nulls = kept.filter(F.col("__url_key").isNull())
+                    keyed = kept.filter(F.col("__url_key").isNotNull())
+                    fresh_u = (
+                        keyed.select("__url_key")
+                        .distinct()
+                        .join(stored_u, "__url_key", "left_anti")
+                    )
+                    kept = keyed.join(
+                        F.broadcast(fresh_u), "__url_key", "left_semi"
+                    ).unionByName(nulls)
             if cfg.dedup:
                 # within-batch: first doc_id per content hash wins
                 # (deterministic); cross-batch: anti-join the stored
@@ -177,12 +228,23 @@ def start_corpus_ingest(
             kept = kept.persist()
             try:
                 with _lock(corpus_path):
-                    kept.write.mode("append").parquet(corpus_path)
+                    kept.drop("__url_key").write.mode("append").parquet(
+                        corpus_path
+                    )
                 if cfg.dedup:
                     with _lock(hashes_path):
                         kept.select("content_hash").write.mode(
                             "append"
                         ).parquet(hashes_path)
+                if cfg.url_col:
+                    # corpus-before-keys, same crash discipline as
+                    # the content hashes (duplicates resolve at read)
+                    with _lock(urls_path):
+                        kept.filter(
+                            F.col("__url_key").isNotNull()
+                        ).select("__url_key").write.mode(
+                            "append"
+                        ).parquet(urls_path)
             finally:
                 kept.unpersist()
         finally:

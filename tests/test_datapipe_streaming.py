@@ -167,3 +167,66 @@ def test_read_corpus_replay_dedup(spark, tmp_path):
     replay.write.mode("append").parquet(root + "/corpus")
     out = {r.doc_id for r in read_corpus(spark, root).collect()}
     assert out == {1, 2}
+
+
+def test_corpus_ingest_url_first_seen_dedup(spark, tmp_path):
+    """Cross-batch first-seen URL dedup (r12): a re-crawl of the same
+    canonical URL drops even when its CONTENT CHANGED (the pass
+    content dedup cannot make), tracking-param/case/www variants
+    collide, NULL urls always pass, and a genuinely new URL with
+    duplicate-free content survives."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "corpus_root")
+    os.makedirs(landing)
+    _write_docs(
+        landing,
+        "wave1.json",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s1",
+             "url": "http://example.com/a?b=1"},
+            # same canonical URL in the SAME batch (tracking params):
+            # lowest doc_id wins even though the content differs
+            {"doc_id": 2, "text": GOOD2, "lang": "en", "source": "s1",
+             "url": "HTTP://WWW.Example.com:80/a/?utm_source=x&b=1"},
+            {"doc_id": 3, "text": GOOD2 + " more", "lang": "en",
+             "source": "s1", "url": None},  # NULL url passes
+        ],
+    )
+    cfg = CorpusStreamConfig(root=root, url_col="url", dedup=False)
+    docs = document_stream(
+        spark, landing,
+        schema="doc_id long, text string, lang string, source string,"
+               " url string",
+    )
+    q = start_corpus_ingest(spark, docs, cfg)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        corpus = spark.read.parquet(os.path.join(root, "corpus"))
+        assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
+        assert "__url_key" not in corpus.columns
+
+        # wave 2: re-crawl of the stored URL with NEW content ->
+        # dropped; a new URL survives; another NULL url passes
+        _write_docs(
+            landing,
+            "wave2.json",
+            [
+                {"doc_id": 4, "text": GOOD + " updated content",
+                 "lang": "en", "source": "s2",
+                 "url": "http://example.com/a?b=1&gclid=z"},
+                {"doc_id": 5, "text": GOOD2, "lang": "en",
+                 "source": "s2", "url": "http://example.com/b"},
+                {"doc_id": 6, "text": GOOD2 + " null again",
+                 "lang": "en", "source": "s2", "url": None},
+            ],
+        )
+        q.processAllAvailable()
+        assert q.exception() is None
+        corpus = spark.read.parquet(os.path.join(root, "corpus"))
+        assert sorted(r.doc_id for r in corpus.collect()) == [1, 3, 5, 6]
+        urls = spark.read.parquet(os.path.join(root, "urls"))
+        # one key per distinct canonical URL seen (a, b)
+        assert urls.distinct().count() == 2
+    finally:
+        q.stop()
