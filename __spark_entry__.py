@@ -1433,6 +1433,50 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(base)
 
 
+def q_agg_last_family(spark, sf_dir):
+    """ClickHouse ``groupArrayLast(5)`` + ``singleValueOrNull`` +
+    ``sparkbar(12)`` per event type (operators/ch_aggregates, r12):
+    the last-5 user buckets by event_id (rank-pruned bounded state,
+    emitted in encounter order), the is-this-constant probe (the
+    purchase group mixes -> NULL, every other group is the constant
+    42), and the per-day value sparkline whose bucket/level formulas
+    the oracle replays glyph-for-glyph (DECIMAL bucket sums -> one
+    double ceil). Tiny per-type pieces join null-safe."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_last,
+        single_value_or_null,
+        sparkbar,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("user_id") % 1000).alias("ub"),
+        "value",
+        (_sec(ev) / F.lit(86400)).cast("long").alias("day"),
+    )
+    la = group_array_last(base, ["event_type"], "ub", 5, "event_id")
+    sv = single_value_or_null(
+        base.select(
+            "event_type",
+            F.when(F.col("event_type") == "purchase", F.col("ub"))
+            .otherwise(F.lit(42))
+            .alias("sval"),
+        ),
+        ["event_type"],
+        "sval",
+    )
+    sb = sparkbar(base, ["event_type"], "day", "value", 12)
+    nsj = lambda a, b: a.join(  # noqa: E731
+        b.withColumnRenamed("event_type", "__r"),
+        a["event_type"].eqNullSafe(F.col("__r")),
+    ).drop("__r")
+    return nsj(nsj(la, sv), sb).select(
+        "event_type", "last_values", "single_value", "sparkbar"
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction audit. The synthetic corpus has no PII, so a
     deterministic doc_id-keyed injection (identical in the oracle)
@@ -3096,6 +3140,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reps: dedup_exact for the survivor rule, domain_filter for
         # the URL parsing family)
         "url_dedup": q_url_dedup,
+        # r12 new CH aggregates: groupArrayLast / singleValueOrNull /
+        # sparkbar (graded reps: array_agg_family, ch_agg_breadth)
+        "agg_last_family": q_agg_last_family,
         # r11 rotation evictees (each redundant with a graded family
         # member, kept oracle-green here):
         # graded reps: rollup_all + read_series (the replacing-dedup
@@ -4010,6 +4057,75 @@ def _all_oracle_sql() -> dict[str, str]:
         # replayed in SQL (lowercased scheme/host, www and default-port
         # strip, fragment drop, tracking-param filter + bytewise param
         # sort, trailing-slash strip), then first-seen per canonical
+        # groupArrayLast(5) + singleValueOrNull + sparkbar(12): the
+        # last-5 slice in encounter order, the constant probe, and a
+        # glyph-for-glyph sparkline replay (same bucket floor, same
+        # decimal sums, same single double ceil)
+        "agg_last_family": """
+            WITH b AS (
+              SELECT event_type, event_id, user_id % 1000 AS ub, value,
+                     epoch_ms(ts) // 1000 // 86400 AS day
+              FROM events
+            ),
+            la AS (
+              SELECT event_type,
+                     l[greatest(len(l) - 4, 1):] AS last_values
+              FROM (SELECT event_type,
+                           list(ub ORDER BY event_id) AS l
+                    FROM b WHERE ub IS NOT NULL GROUP BY event_type)
+            ),
+            sv AS (
+              SELECT event_type,
+                     CASE WHEN count(DISTINCT sval) = 1
+                          THEN min(sval) END AS single_value
+              FROM (SELECT event_type,
+                           CASE WHEN event_type = 'purchase' THEN ub
+                                ELSE 42 END AS sval
+                    FROM b)
+              GROUP BY event_type
+            ),
+            rng AS (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM b WHERE day IS NOT NULL AND value IS NOT NULL
+              GROUP BY event_type
+            ),
+            pb AS (
+              SELECT b.event_type,
+                     least(11, CAST(floor((day - lo) * 12.0 / (hi - lo + 1))
+                                    AS INT)) AS bkt,
+                     sum(CAST(value AS DECIMAL(28,6))) AS s
+              FROM b JOIN rng USING (event_type)
+              WHERE day IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            mx AS (
+              SELECT event_type, max(CASE WHEN s > 0 THEN s END) AS mp
+              FROM pb GROUP BY event_type
+            ),
+            lv AS (
+              SELECT pb.event_type, bkt,
+                     CASE WHEN s > 0 THEN least(8,
+                          CAST(ceil(CAST(s AS DOUBLE) * 8
+                                    / CAST(mp AS DOUBLE)) AS INT))
+                          ELSE 0 END AS lvl
+              FROM pb JOIN mx USING (event_type)
+            ),
+            grid AS (SELECT DISTINCT event_type FROM b),
+            bars AS (
+              SELECT g.event_type,
+                     string_agg(substring(' \u2581\u2582\u2583\u2584\u2585\u2586\u2587\u2588',
+                                coalesce(lvl, 0) + 1, 1), ''
+                                ORDER BY r.i) AS sparkbar
+              FROM grid g CROSS JOIN range(12) AS r(i)
+              LEFT JOIN lv ON lv.event_type IS NOT DISTINCT FROM g.event_type
+                           AND lv.bkt = r.i
+              GROUP BY g.event_type
+            )
+            SELECT la.event_type, last_values, single_value, sparkbar
+            FROM la
+            JOIN sv ON sv.event_type IS NOT DISTINCT FROM la.event_type
+            JOIN bars ON bars.event_type IS NOT DISTINCT FROM la.event_type
+        """,
         "url_dedup": r"""
             WITH u AS (
               SELECT doc_id,

@@ -572,6 +572,157 @@ def group_array_sorted(
     )
 
 
+def group_array_last(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n: int,
+    order_col: str,
+    out_col: str = "last_values",
+) -> DataFrame:
+    """ClickHouse ``groupArrayLast(N)(x)`` (r12): the LAST ``n``
+    values per group in arrival order. CH's arrival order is storage
+    order, which a distributed scan cannot honor, so — exactly as
+    :func:`group_array_sorted` and ``deltaSum`` do — the
+    deterministic form orders by an explicit ``order_col``: keep the
+    n highest ``order_col`` rows, emit their values ascending by
+    ``order_col`` (the encounter order of the survivors). NULL
+    values are skipped via the AGGREGATE, not a row pre-filter, so
+    an all-NULL group keeps its key with an EMPTY array (CH's empty
+    state emits []; the sumWithOverflow r12 discipline). The rank
+    window orders non-NULL values first, so aggregation state stays
+    bounded by ``n`` rows per group; one Exchange."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    w = Window.partitionBy(*gcols).orderBy(
+        v.isNull().asc(), F.col(order_col).desc()
+    )
+    marked = df.withColumn(
+        "__keep", v.isNotNull() & (F.row_number().over(w) <= int(n))
+    )
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__keep"),
+                    F.struct(F.col(order_col).alias("o"), v.alias("v")),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    return marked.groupBy(*gcols).agg(arr.alias(out_col))
+
+
+def single_value_or_null(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "single_value",
+) -> DataFrame:
+    """ClickHouse ``singleValueOrNull(x)`` (r12): the group's value
+    when EXACTLY one distinct non-NULL value occurs, else NULL — the
+    'is this column constant here' aggregate. NULLs skip (CH
+    aggregate-NULL rule); an all-NULL group keeps its key with NULL
+    (the sumWithOverflow r12 discipline). One partial-agg pass:
+    count_distinct + min share the Exchange."""
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.when(F.count_distinct(v) == 1, F.min(v)).alias(out_col)
+    )
+
+
+#: sparkbar glyph ramp (U+2581..U+2588), index 1..8; 0 = space
+_SPARKBAR_GLYPHS = " ▁▂▃▄▅▆▇█"
+
+
+def sparkbar(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    width: int,
+    min_x: int | None = None,
+    max_x: int | None = None,
+    out_col: str = "sparkbar",
+) -> DataFrame:
+    """ClickHouse ``sparkbar(width[, min_x, max_x])(x, y)`` (r12): a
+    unicode bar-chart string per group — ``width`` buckets over the
+    x range, bucket height = sum(y), drawn with the eight block
+    glyphs (empty bucket = space).
+
+    Deterministic closed form (CH's own glyph rounding is not
+    documented; these rules are pinned here and replayed verbatim by
+    the oracle): with explicit or per-group observed ``[min_x,
+    max_x]``, bucket(x) = least(width-1, floor((x - min_x) * width /
+    (max_x - min_x + 1))) over integer x; height level =
+    ceil(sum_y * 8 / max_positive_sum) clamped to [1, 8] for a
+    positive sum, space for an empty or non-positive bucket; a
+    single-valued x-range puts everything in bucket 0. NULL x or y
+    rows are skipped. Two chained partial aggs on (group, bucket)
+    then (group) — bounded state, no window over raw rows."""
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    gcols = list(group_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *gcols, x.cast("long").alias("__x"),
+        # DECIMAL bucket sums: partition-order independent (a double
+        # sum's last ulp could flip a ceil at a level boundary)
+        y.cast("decimal(28,6)").alias("__y"),
+    )
+    wb = Window.partitionBy(*gcols)
+    lo = (
+        F.lit(int(min_x)) if min_x is not None else F.min("__x").over(wb)
+    )
+    hi = (
+        F.lit(int(max_x)) if max_x is not None else F.max("__x").over(wb)
+    )
+    span = hi - lo + F.lit(1)
+    bucket = F.least(
+        F.lit(int(width) - 1),
+        F.floor((F.col("__x") - lo) * int(width) / span),
+    ).cast("int")
+    per_bucket = (
+        base.withColumn("__b", bucket)
+        .filter((F.col("__b") >= 0) & (F.col("__b") < int(width)))
+        .groupBy(*gcols, "__b")
+        .agg(F.sum("__y").alias("__s"))
+    )
+    glyphs = F.lit(_SPARKBAR_GLYPHS)
+    # exact decimal sums cast ONCE to double, then one IEEE
+    # multiply/divide/ceil — identically rounded on any engine
+    mp = F.max(
+        F.when(F.col("__s") > 0, F.col("__s"))
+    ).over(Window.partitionBy(*gcols)).cast("double")
+    level = F.when(
+        F.col("__s") > 0,
+        F.least(
+            F.lit(8),
+            F.ceil(F.col("__s").cast("double") * 8 / mp),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    chars = per_bucket.select(
+        *gcols, "__b", F.substring(glyphs, level + 1, 1).alias("__c")
+    )
+    # assemble width chars: missing buckets render as spaces
+    filled = chars.groupBy(*gcols).agg(
+        F.map_from_arrays(
+            F.collect_list("__b"), F.collect_list("__c")
+        ).alias("__m")
+    )
+    bar = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(width) - 1)),
+            lambda i: F.coalesce(F.col("__m")[i], F.lit(" ")),
+        ),
+    )
+    return filled.select(*gcols, bar.alias(out_col))
+
+
 def sum_count(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -2079,3 +2079,56 @@ def test_sum_with_overflow(spark):
     assert got["g"] == want_g and want_g < 0
     assert got["h"] == 12
     assert "z" in got and got["z"] is None
+
+
+def test_group_array_last(spark):
+    """CH groupArrayLast(N): last n values in (deterministic) order,
+    emitted in encounter order; NULLs skip; state pruned to n rows
+    before the collect."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_last,
+    )
+
+    rows = [("g", i, float(i)) for i in range(1, 6)]  # o 1..5
+    rows += [("g", 6, None), ("h", 1, 9.0),
+             ("z", 1, None), ("z", 2, None)]  # all-NULL group
+    df = spark.createDataFrame(rows, "g string, o long, v double")
+    got = {r["g"]: r["last_values"]
+           for r in group_array_last(df, ["g"], "v", 3, "o").collect()}
+    assert got["g"] == [3.0, 4.0, 5.0]  # NULL at o=6 skipped
+    assert got["h"] == [9.0]
+    assert got["z"] == []  # key kept, empty state (CH emits [])
+
+
+def test_single_value_or_null(spark):
+    """CH singleValueOrNull: the value iff exactly one distinct
+    non-NULL value; NULL otherwise — incl. the all-NULL group, which
+    keeps its key."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        single_value_or_null,
+    )
+
+    rows = [("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0),
+            ("c", None), ("c", None), ("d", 7.0), ("d", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["single_value"]
+           for r in single_value_or_null(df, ["g"], "v").collect()}
+    assert got == {"a": 5.0, "b": None, "c": None, "d": 7.0}
+
+
+def test_sparkbar(spark):
+    """CH sparkbar(width): per-bucket y sums drawn with the block
+    ramp — equal buckets all render the full block, an empty bucket
+    renders a space, the tallest bucket pins level 8, and the pinned
+    bucket/level formulas are the ones the oracle replays."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import sparkbar
+
+    rows = [("g", x, 1.0) for x in range(10)]           # uniform
+    rows += [("s", 0, 1.0), ("s", 9, 8.0)]              # skew + gaps
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r["g"]: r["sparkbar"]
+           for r in sparkbar(df, ["g"], "x", "y", 5).collect()}
+    assert got["g"] == "█████"   # equal sums -> all level 8
+    # s: span 10, buckets 0 and 4 hit; sums 1 and 8 -> levels
+    # ceil(1*8/8)=1, 8 -> glyphs ▁ and █ with 3 spaces between
+    assert got["s"] == "▁   █"
