@@ -1633,3 +1633,57 @@ def test_url_canonicalize_and_dedup(spark):
     assert got[7].keep and got[7].dup_of is None
     assert got[8].keep  # ?b=1&c=9 is a DIFFERENT page than ?b=1
     assert got[8].canonical_url == "http://example.com/a?b=1&c=9"
+
+
+def test_canonical_url_fuzz_equivalence_classes(spark):
+    """Seeded fuzz over canonical_url's equivalence classes: for 200
+    random base URLs, every generated variant (scheme/host case,
+    www., default port, tracking params, param order, trailing
+    slashes, fragment) must collapse to its base's canonical form,
+    and two DIFFERENT bases must never collide (distinct host/path/
+    param-value construction guarantees distinct canonicals)."""
+    import random
+
+    from carbon_clickhouse_spark.datapipe.text import canonical_url
+
+    rng = random.Random(97)
+    rows = []
+    for b in range(200):
+        scheme = rng.choice(["http", "https"])
+        host = f"h{b}.example.org"
+        path = f"/p{b}/x" if b % 3 else f"/p{b}"
+        params = [f"a={b}", f"z={b % 7}"][: 1 + b % 2]
+        base = f"{scheme}://{host}{path}"
+        if params:
+            base += "?" + "&".join(sorted(params))
+        for v in range(4):
+            s = scheme.upper() if v % 2 else scheme
+            h = ("WWW." + host.upper()) if v == 1 else (
+                "www." + host if v == 2 else host)
+            port = (":80" if scheme == "http" else ":443") if v == 3 else ""
+            p = path + ("/" if v % 2 else "")
+            q = list(params)
+            if v % 2:
+                q.append(f"utm_campaign=c{v}")
+            if v == 3:
+                q.append("gclid=g")
+            rng.shuffle(q)
+            url = f"{s}://{h}{port}{p}"
+            if q:
+                url += "?" + "&".join(q)
+            if v == 2:
+                url += "#frag"
+            rows.append((b, url))
+    df = spark.createDataFrame(rows, "base long, url string")
+    out = df.select(
+        "base", canonical_url("url").alias("c")
+    ).collect()
+    by_base = {}
+    for r in out:
+        by_base.setdefault(r.base, set()).add(r.c)
+    # every variant of a base collapses to ONE canonical form
+    bad = {b: cs for b, cs in by_base.items() if len(cs) != 1}
+    assert not bad, list(bad.items())[:3]
+    # distinct bases never collide
+    all_canon = [next(iter(cs)) for cs in by_base.values()]
+    assert len(set(all_canon)) == len(all_canon)
