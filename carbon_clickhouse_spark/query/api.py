@@ -60,6 +60,19 @@ class Call:
     args: list
 
 
+def _unparse(expr) -> str:
+    """Best-effort inverse of :func:`parse_target` for labeling
+    (graphite names some results after the argument EXPRESSION, e.g.
+    areaBetween's ``'areaBetween(%s)' % series.pathExpression``).
+    Quoted strings parse to plain ``str`` so they re-emit bare — fine
+    for the path/call expressions these labels are built from."""
+    if isinstance(expr, Call):
+        return f"{expr.name}({','.join(_unparse(a) for a in expr.args)})"
+    if isinstance(expr, float) and expr == int(expr):
+        return str(expr)
+    return str(expr)
+
+
 def parse_target(s: str):
     """Parse one Graphite target expression -> nested Call / str
     (path glob) / float / int. Raises ValueError on malformed input."""
@@ -284,7 +297,7 @@ _FUNCS = {
 # the data: accepted as identity so dashboards round-trip unchanged
 for _name in (
     "color", "lineWidth", "dashed", "secondYAxis", "stacked", "alpha",
-    "drawAsInfinite", "areaBetween",
+    "drawAsInfinite",
 ):
     _FUNCS.setdefault(_name, lambda df, *a: df)
 
@@ -311,7 +324,7 @@ _DISPATCH_FORMS = (
     "useSeriesAbove", "aliasQuery", "events",
     "timeShift", "movingAverage", "movingMedian", "movingMin",
     "movingMax", "movingSum", "movingWindow",
-    "exponentialMovingAverage",
+    "exponentialMovingAverage", "areaBetween",
 )
 
 #: moving* forms sharing the graphite-web 1.1 movingWindow contract:
@@ -632,7 +645,14 @@ class GraphiteStore:
             m = re.fullmatch(r"\s*([^!=~]+?)\s*(!=~|=~|!=|=)\s*(.*)", t)
             if not m:
                 raise ValueError(f"bad seriesByTag term {t!r}")
-            parsed.append((m.group(1), m.group(2), m.group(3)))
+            # graphite-web's metric-name tag is 'name'
+            # (seriesByTag("name=cpu") in functions.rst); the stored
+            # canonical form is '__name__' — same translation
+            # graphite-clickhouse applies
+            key = m.group(1)
+            if key == "name":
+                key = "__name__"
+            parsed.append((key, m.group(2), m.group(3)))
         eq_idx = next((i for i, p in enumerate(parsed) if p[1] == "="), None)
         if eq_idx is not None:
             k0, _, v0 = parsed.pop(eq_idx)
@@ -826,8 +846,10 @@ def evaluate_target(
         # reduceSeries(mapSeries(expr, *mapNodes), 'fn', reduceNode,
         # 'm1', 'm2'): within each mapNodes group, pair the series
         # whose reduceNode segment equals m1 with the m2 series and
-        # apply fn per timestamp. Output named as the path with the
-        # reduceNode segment dropped (graphite's reduced-key name).
+        # apply fn per timestamp. functions.rst pins the output alias:
+        # 'the resulting series names would become:
+        # devices.dev1.load.reduce.asPercent' — the nodes BEFORE
+        # reduceNode plus '.reduce.<function>'.
         inner_call = expr.args[0]
         if not (
             isinstance(inner_call, Call) and inner_call.name == "mapSeries"
@@ -841,8 +863,9 @@ def evaluate_target(
         segs = F.split(F.col("path"), r"\.")
         key = F.concat_ws(".", *[segs.getItem(n) for n in map_nodes])
         seg_r = segs.getItem(reduce_node)
-        reduced_name = F.array_join(
-            F.filter(segs, lambda _, i: i != reduce_node), "."
+        reduced_name = F.concat(
+            F.array_join(F.slice(segs, 1, reduce_node), "."),
+            F.lit(f".reduce.{fn}"),
         )
         base = df.select(
             key.alias("k"), seg_r.alias("r"),
@@ -1043,6 +1066,9 @@ def evaluate_target(
             raise ValueError("applyByNode needs a path glob first arg")
         node = int(expr.args[1])
         template = str(expr.args[2])
+        # optional 4th arg: rename each result, '%' expanding to the
+        # node prefix (graphite-web 1.1 newName.replace('%', node))
+        new_name = str(expr.args[3]) if len(expr.args) > 3 else None
         prefixes = sorted(
             {
                 ".".join(p.split(".")[: node + 1])
@@ -1050,19 +1076,40 @@ def evaluate_target(
             }
         )
         _guard_series(len(prefixes), "applyByNode")
-        frames = [
-            evaluate_target(
+        frames = []
+        for pre in prefixes:
+            df_pre = evaluate_target(
                 parse_target(template.replace("%", pre)),
                 store, t0, t1, ctx,
             )
-            for pre in prefixes
-        ]
+            if new_name is not None:
+                df_pre = df_pre.select(
+                    F.lit(new_name.replace("%", pre)).alias("path"),
+                    "time",
+                    "value",
+                )
+            frames.append(df_pre)
         if not frames:
             raise ValueError(f"applyByNode: no series match {glob!r}")
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+    if expr.name == "areaBetween":
+        # graphite-web 1.1: asserts exactly 2 series and renames BOTH
+        # to 'areaBetween(%s)' % upper.pathExpression (the fill range
+        # reads as one legend entry); the data passes through
+        inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        n = inner.select("path").distinct().count()
+        if n != 2:
+            raise ValueError(
+                f"areaBetween series argument must reference exactly"
+                f" 2 series (got {n})"
+            )
+        label = f"areaBetween({_unparse(expr.args[0])})"
+        return inner.select(
+            F.lit(label).alias("path"), "time", "value"
+        )
     if expr.name == "timeStack":
         # overlay N window-shifted copies of the inner expression
         # (graphite's day-over-day comparison); each copy evaluates

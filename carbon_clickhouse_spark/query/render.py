@@ -1163,10 +1163,83 @@ def cacti_style(series: DataFrame, units: str = "") -> DataFrame:
     return series.select(label.alias("path"), "time", "value")
 
 
+def format_g(col) -> F.Column:
+    """C/printf ``%g`` of a double as a string column, built from
+    JVM-side expressions (Java's own ``%g`` never strips zeros or
+    switches to plain notation, so ``format_string`` can't be used):
+    6 significant digits, trailing zeros stripped, scientific
+    ``e±XX`` when the decimal exponent is < -4 or >= 6. Graphite-web
+    formats computed values into series names with ``%g``
+    (``aggregateLine(%s, %g)``), so legend parity needs the exact
+    C rendering ('4.2', '123456', '1.23457e+07', '0.0001',
+    '1e-05')."""
+    x = col.cast("double")
+    av = F.abs(x)
+    exp0 = F.floor(F.log10(av)).cast("int")
+    # 6-digit significand D in [100000, 1000000): round half-up at
+    # the 6th significant digit, then carry a 1000000 overflow into
+    # the exponent (999999.7 -> D=100000, exp 6 -> '1e+06')
+    d_raw = F.round(av / F.pow(F.lit(10.0), (exp0 - 5).cast("double"))).cast(
+        "long"
+    )
+    carry = d_raw >= 1000000
+    digits = F.when(carry, F.lit(100000)).otherwise(d_raw)
+    exp = F.when(carry, exp0 + 1).otherwise(exp0)
+    s_full = F.lpad(digits.cast("string"), 6, "0")
+    s_trim = F.regexp_replace(s_full, "0+$", "")  # kept digits, >= 1
+    # fixed notation, |v| >= 1 (exp 0..5): integer part is the first
+    # exp+1 digits (zero-padded), fraction is the rest zero-stripped
+    int_len = exp + 1
+    int_part = F.rpad(F.substring(s_full, 1, 6), 6, "0").substr(
+        F.lit(1), int_len
+    )
+    frac_part = F.when(
+        F.length(s_trim) > int_len,
+        F.concat(F.lit("."), s_trim.substr(int_len + 1, F.lit(6))),
+    ).otherwise(F.lit(""))
+    fixed_ge1 = F.concat(int_part, frac_part)
+    # fixed notation, |v| < 1 (exp -4..-1): '0.' + leading zeros
+    lead_zeros = F.substring(F.lit("000"), 1, -exp - 1)
+    fixed_lt1 = F.concat(F.lit("0."), lead_zeros, s_trim)
+    # scientific: 'M[.mmm]e±XX'
+    mant = F.concat(
+        s_trim.substr(1, 1),
+        F.when(
+            F.length(s_trim) > 1,
+            F.concat(F.lit("."), s_trim.substr(2, 5)),
+        ).otherwise(F.lit("")),
+    )
+    sci = F.concat(
+        mant,
+        F.lit("e"),
+        F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.abs(exp).cast("string"), 2, "0"),
+    )
+    body = (
+        F.when((exp >= 0) & (exp <= 5), fixed_ge1)
+        .when((exp >= -4) & (exp < 0), fixed_lt1)
+        .otherwise(sci)
+    )
+    return (
+        F.when(x.isNull(), F.lit(None).cast("string"))
+        .when(F.isnan(x), F.lit("nan"))
+        .when(x == F.lit(float("inf")), F.lit("inf"))
+        .when(x == F.lit(float("-inf")), F.lit("-inf"))
+        .when((x == 0) & x.cast("string").startswith("-"), F.lit("-0"))
+        .when(x == 0, F.lit("0"))
+        .otherwise(
+            F.concat(F.when(x < 0, F.lit("-")).otherwise(F.lit("")), body)
+        )
+    )
+
+
 def aggregate_line(series: DataFrame, func: str = "avg") -> DataFrame:
     """Graphite ``aggregateLine``: a flat line per series at its
-    ``func`` over the window, named ``aggregateLine(<path>, <func>)``.
-    One per-path window stat carried onto every timestamp."""
+    ``func`` over the window. graphite-web 1.1 names the result with
+    the computed VALUE, not the function — ``'aggregateLine(%s, %g)'
+    % (series.name, value)`` (functions.py, 1.1.x), 'None' when the
+    window is empty — so the legend shows the number the line sits
+    at. One per-path window stat carried onto every timestamp."""
     wp = Window.partitionBy("path")
     v = F.col("value").cast("decimal(32,6)")
     if func in ("avg", "average"):
@@ -1181,8 +1254,13 @@ def aggregate_line(series: DataFrame, func: str = "avg") -> DataFrame:
         stat = F.max_by("value", "time").over(wp)
     else:
         raise ValueError(f"unsupported func {func!r}")
+    stat = stat.cast("double")
     label = F.concat(
-        F.lit("aggregateLine("), F.col("path"), F.lit(f", {func})")
+        F.lit("aggregateLine("),
+        F.col("path"),
+        F.lit(", "),
+        F.coalesce(format_g(stat), F.lit("None")),
+        F.lit(")"),
     )
     return series.select(label.alias("path"), "time", stat.alias("value"))
 
@@ -1522,6 +1600,17 @@ def aggregate_series(series: DataFrame, func: str = "sum") -> DataFrame:
         out = g.agg(F.product("value").alias("value"))
     elif name == "last":
         out = g.agg(F.max_by("value", "path").alias("value"))
+    elif name == "diff":
+        # graphite safeDiff: first present value (series order = path
+        # order here, deterministic) minus the sum of the rest =
+        # 2*first - total over non-null values
+        nn_path = F.when(F.col("value").isNotNull(), F.col("path"))
+        out = g.agg(
+            (
+                2 * F.min_by("value", nn_path).cast("double")
+                - F.sum("value")
+            ).alias("value")
+        )
     else:
         raise ValueError(f"unsupported aggregate func {func!r}")
     return out.select(F.lit(f"{func}Series").alias("path"), "time", "value")
@@ -1593,7 +1682,9 @@ def alias_by_tags(series: DataFrame, *tags: str) -> DataFrame:
     qs = F.substring_index(F.col("path"), "?", -1)
 
     def tag_value(t: str):
-        if t == "__name__":
+        # graphite-web's doc example uses 'name' for the metric name
+        # (aliasByTags(seriesByTag("name=cpu"), "server", "name"))
+        if t in ("name", "__name__"):
             return name
         return F.regexp_extract(qs, rf"(?:^|&){re.escape(t)}=([^&]*)", 1)
 

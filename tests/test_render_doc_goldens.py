@@ -1116,3 +1116,416 @@ def test_legend_value(store):
     got = _got(store, 'legendValue(web.b, "avg", "total")')
     p = next(iter({q for q, _ in got}))
     assert "avg" in p and "total" in p and "2" in p and "10" in p
+
+
+# --- tier 8 (r12 continuation): generic aggregate forms, wildcard
+# --- combiners, template application, selection, and value-named
+# --- legends ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def store5(spark):
+    """Five constant series m.1..m.5 = 1..5 (the percentile-band
+    shapes) plus the disk used/total idiom for mapSeries/reduceSeries
+    (srv.s1 30/100, srv.s2 10/40)."""
+    lines = []
+    for i in range(1, 6):
+        for t in range(3):
+            lines.append(f"m.{i} {i} {BASE + 60 * t}")
+    for t in range(3):
+        lines.append(f"srv.s1.disk.used 30 {BASE + 60 * t}")
+        lines.append(f"srv.s1.disk.total 100 {BASE + 60 * t}")
+        lines.append(f"srv.s2.disk.used 10 {BASE + 60 * t}")
+        lines.append(f"srv.s2.disk.total 40 {BASE + 60 * t}")
+    return _mkstore(spark, lines)
+
+
+def test_aggregate_generic(store):
+    """functions.rst aggregate: 'Aggregate series using the specified
+    function... &target=aggregate(host.cpu-[0-7].cpu-{user,system}.
+    value, "sum") ...This would be the equivalent of
+    target=sumSeries(...)' — every documented func over web.a
+    (1,2,4,4,10) and web.b (2,2,2,2,2), values hand-worked."""
+    cases = {
+        "sum": [3, 4, 6, 6, 12],
+        "max": [2, 2, 4, 4, 10],
+        "min": [1, 2, 2, 2, 2],
+        "average": [1.5, 2, 3, 3, 6],
+        "multiply": [2, 4, 8, 8, 20],
+        "range": [1, 0, 2, 2, 8],
+        "count": [2, 2, 2, 2, 2],
+        # diff = first series (path order: web.a) minus the rest
+        "diff": [-1, 0, 2, 2, 8],
+        "median": [1.5, 2, 3, 3, 6],
+    }
+    for fn, want in cases.items():
+        got = _one(store, f"aggregate(web.*, '{fn}')")
+        assert [got[BASE + 60 * i] for i in range(5)] == [
+            float(v) for v in want
+        ], fn
+
+
+def test_aggregate_with_wildcards(store):
+    """functions.rst aggregateWithWildcards: 'Call aggregator after
+    inserting wildcards at the given position(s)... equivalent to
+    target=sumSeries(host.cpu-[0-7].cpu-user.value)&target=
+    sumSeries(host.cpu-[0-7].cpu-system.value)' — removing node 1
+    of web.{a,b} leaves one 'web' group; sumSeriesWithWildcards /
+    multiplySeriesWithWildcards are the named legacy forms."""
+    for target in (
+        "aggregateWithWildcards(web.*, 'sum', 1)",
+        "sumSeriesWithWildcards(web.*, 1)",
+    ):
+        got = _got(store, target)
+        assert {p for p, _ in got} == {"web"}
+        assert [got[("web", BASE + 60 * i)] for i in range(5)] == [
+            3.0, 4.0, 6.0, 6.0, 12.0
+        ], target
+    got = _got(store, "multiplySeriesWithWildcards(web.*, 1)")
+    assert [got[("web", BASE + 60 * i)] for i in range(5)] == [
+        2.0, 4.0, 8.0, 8.0, 20.0
+    ]
+
+
+def test_apply_by_node_doc_example(store):
+    """functions.rst applyByNode: 'Takes a seriesList and applies
+    some complicated function (described by a string), replacing
+    templates with unique prefixes of keys from the seriesList (the
+    key is all nodes up to the index given as nodeNum)' — and the
+    newName form: 'If the newName parameter is provided, the name of
+    the resulting series will be given by that parameter, with any %
+    characters replaced by the unique prefix.'"""
+    got = _got(
+        store, "applyByNode(ganglia.*.cpu.load5, 1, 'sumSeries(%.cpu.load5)')"
+    )
+    vals = [v for (_, t), v in sorted(got.items(), key=lambda kv: kv[0][1])]
+    assert vals == [1.0, 2.0, 4.0, 4.0, 10.0]
+    named = _got(
+        store,
+        "applyByNode(ganglia.*.cpu.load5, 1, 'sumSeries(%.cpu.load5)',"
+        " '% total')",
+    )
+    assert {p for p, _ in named} == {"ganglia.server1 total"}
+
+
+def test_map_reduce_series_doc_idiom(store5):
+    """functions.rst reduceSeries doc example — asPercent over
+    mapSeries groups: 'The resulting list of series are aliased so
+    that they can easily be nested in other functions, in the above
+    example the resulting series names would become:
+    devices.dev1.load.reduce.asPercent' — prefix + .reduce.<fn>;
+    srv.s1 is 30/100 = 30%, srv.s2 is 10/40 = 25%."""
+    got = _got(
+        store5,
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'asPercent', 3,"
+        " 'used', 'total')",
+    )
+    by_path = {}
+    for (p, _), v in got.items():
+        by_path.setdefault(p, set()).add(v)
+    assert by_path == {
+        "srv.s1.disk.reduce.asPercent": {30.0},
+        "srv.s2.disk.reduce.asPercent": {25.0},
+    }
+
+
+def test_aggregate_line_value_in_name(store):
+    """graphite-web 1.1 aggregateLine names the flat line with the
+    COMPUTED VALUE — functions.py: name = 'aggregateLine(%s, %g)' %
+    (series.name, value) — so the legend shows the number. avg of
+    web.a (1,2,4,4,10) = 4.2; '%g' renders it '4.2'."""
+    got = _got(store, "aggregateLine(web.a, 'avg')")
+    assert {p for p, _ in got} == {"aggregateLine(web.a, 4.2)"}
+    assert {v for _, v in got.items()} == {4.2}
+    # max of web.b = 2 -> %g drops the trailing '.0'
+    got = _got(store, "aggregateLine(web.b, 'max')")
+    assert {p for p, _ in got} == {"aggregateLine(web.b, 2)"}
+
+
+def test_is_non_null(store):
+    """functions.rst isNonNull: 'Takes a metric or wildcard
+    seriesList and counts up the number of non-null values... Useful
+    for understanding the number of metrics that have data at a given
+    point in time (i.e. to count which servers are alive).' 1 where
+    present, 0 where null — derivative's leading null maps to 0."""
+    got = _one(store, "isNonNull(derivative(web.a))")
+    assert got == {
+        BASE: 0.0,
+        BASE + 60: 1.0,
+        BASE + 120: 1.0,
+        BASE + 180: 1.0,
+        BASE + 240: 1.0,
+    }
+
+
+def test_limit(store):
+    """functions.rst limit: 'Only draw the first N metrics. Useful
+    when testing a wildcard in a metric.' The first N of the resolved
+    (path-ordered) list: limit(web.*, 1) -> web.a alone."""
+    got = _got(store, "limit(web.*, 1)")
+    assert {p for p, _ in got} == {"web.a"}
+
+
+def test_moving_median_and_window(store):
+    """functions.rst movingMedian: 'Graphs the moving median of a
+    metric (or metrics) over a fixed number of past points' — the
+    same PRECEDING-points window as movingAverage (series[i-n:i],
+    current point excluded); movingWindow(..., 'median') is the
+    generic form and must agree. web.a = 1,2,4,4,10, window 3:
+    med()=None, med(1)=1, med(1,2)=1.5, med(1,2,4)=2, med(2,4,4)=4."""
+    want = {
+        BASE: None,
+        BASE + 60: 1.0,
+        BASE + 120: 1.5,
+        BASE + 180: 2.0,
+        BASE + 240: 4.0,
+    }
+    assert _one(store, "movingMedian(web.a, 3)") == want
+    assert _one(store, "movingWindow(web.a, 3, 'median')") == want
+
+
+def test_add_constant(store):
+    """functions.rst add: 'Takes one metric or a wildcard seriesList
+    followed by a constant, and adds the constant to each datapoint.
+    Example: &target=add(Server.instance01.threads.busy, 10)'"""
+    got = _one(store, "add(web.a, 10)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [
+        11.0, 12.0, 14.0, 14.0, 20.0
+    ]
+
+
+def test_percentile_removals_and_outside(store, store5):
+    """functions.rst removeBelowPercentile: 'Values below this
+    percentile are assigned a value of None' — the rank-based
+    _getPercentile of web.a (1,2,4,4,10) at n=50 is 4 (fr = 0.5*6 =
+    3 -> sorted[2]), so 1,2 null out. averageOutsidePercentile:
+    'Removes series lying inside an average percentile interval';
+    removeBetweenPercentile: 'Removes series that do not have a
+    value lying in the x-percentile of all the values at a moment' —
+    over m.1..m.5 (averages 1..5) at n=75 the open band is (2, 5),
+    keeping m.1, m.2 (<= 2) and m.5 (>= 5)."""
+    got = _one(store, "removeBelowPercentile(web.a, 50)")
+    assert got == {
+        BASE: None,
+        BASE + 60: None,
+        BASE + 120: 4.0,
+        BASE + 180: 4.0,
+        BASE + 240: 10.0,
+    }
+    out = _got(store5, "averageOutsidePercentile(m.*, 75)")
+    assert {p for p, _ in out} == {"m.1", "m.2", "m.5"}
+    out = _got(store5, "removeBetweenPercentile(m.*, 75)")
+    assert {p for p, _ in out} == {"m.1", "m.2", "m.5"}
+
+
+def test_aggregate_series_lists(store):
+    """functions.rst aggregateSeriesLists: 'Iterates over a two lists
+    and aggregates using specified function list1[0] to list2[0],
+    list1[1] to list2[1] and so on' — pairwise diff of web.a and
+    web.b."""
+    got = _one(store, "aggregateSeriesLists(web.a, web.b, 'diff')")
+    assert [got[BASE + 60 * i] for i in range(5)] == [
+        -1.0, 0.0, 2.0, 2.0, 8.0
+    ]
+
+
+# --- tier 9: time stacking, generators, value-legend forms, request
+# --- hints, and the tagged-query surface ------------------------------
+
+
+@pytest.fixture(scope="module")
+def tagged_store_g(spark):
+    """Three tagged cpu.load series: h1/h3 prod (10, 30), h2 dev
+    (20), two points each — enough to distinguish grouping by env
+    from grouping by host."""
+    from carbon_clickhouse_spark.pipeline import IngestConfig, derive_tables
+
+    lines = []
+    for host, env, v in (("h1", "prod", 10), ("h2", "dev", 20),
+                         ("h3", "prod", 30)):
+        for t in range(2):
+            lines.append(
+                f"cpu.load;env={env};host={host} {v} {BASE + 60 * t}"
+            )
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    pts = parse_plain_lines(df, now=BASE)
+    t = derive_tables(pts, IngestConfig(now=BASE + 3600))
+    return GraphiteStore(
+        t["index"].cache(), t["points"].cache(), tagged=t["tagged"].cache()
+    )
+
+
+def test_time_stack(store):
+    """functions.rst timeStack: 'Takes one metric or a wildcard
+    seriesList, followed by a quoted string with the length of time...
+    also takes a start multiplier and end multiplier for the length of
+    time — create a seriesList which is composed of the original
+    metric series stacked with time shifts starting time shifts from
+    the start multiplier through the end multiplier.' Window
+    [BASE+120, BASE+240], shifts 0 and 1 of '1min': the i=1 copy
+    overlays last minute's values on this window's grid."""
+    out = evaluate_target(
+        parse_target("timeStack(web.a, '1min', 0, 2)"),
+        store, BASE + 120, BASE + 240,
+    ).collect()
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r.path, {})[r.time] = r.value
+    assert len(by_series) == 2
+    vals = sorted(
+        tuple(v[BASE + 120 + 60 * i] for i in range(3))
+        for v in by_series.values()
+    )
+    assert vals == [(2.0, 4.0, 4.0), (4.0, 4.0, 10.0)]
+    assert all(p.startswith("timeShift(web.a,") for p in by_series)
+
+
+def test_sin_and_time_function(store):
+    """functions.rst sinFunction: 'Just returns the sine of the
+    current time. The optional amplitude parameter changes the
+    amplitude of the wave'; timeFunction: 'Just returns the timestamp
+    for each X value... accepts an optional step parameter.'"""
+    got = _one(store, "sinFunction('s', 2)")
+    assert set(got) == {BASE + 60 * i for i in range(5)}
+    for t, v in got.items():
+        assert abs(v - 2 * math.sin(t)) < 1e-9
+    got = _one(store, "timeFunction('t', 120)")
+    assert got == {t: float(t) for t in (BASE, BASE + 120, BASE + 240)}
+
+
+def test_area_between_legend(store):
+    """graphite-web 1.1 areaBetween: 'Draws the vertical area in
+    between the two series in seriesList'; the 1.1 implementation
+    renames BOTH series to areaBetween(<pathExpression>) so the band
+    reads as one legend entry, and asserts exactly 2 series."""
+    out = evaluate_target(
+        parse_target("areaBetween(web.*)"), store, BASE, BASE + 240
+    ).collect()
+    assert {r.path for r in out} == {"areaBetween(web.*)"}
+    assert len(out) == 10  # both series' points pass through
+    assert sorted(r.value for r in out)[-1] == 10.0
+    with pytest.raises(ValueError):
+        evaluate_target(
+            parse_target("areaBetween(web.a)"), store, BASE, BASE + 240
+        )
+
+
+def test_holt_winters_confidence_area_matches_bands(store):
+    """functions.rst holtWintersConfidenceArea: 'Performs a
+    Holt-Winters forecast for the metric. Plots the area between the
+    upper and lower bands of the predicted forecast deviations' —
+    the DATA is exactly holtWintersConfidenceBands; only the fill
+    mode differs (presentation)."""
+    kw = "(ctr.reqs, 3, '100s')"
+    area = evaluate_target(
+        parse_target(f"holtWintersConfidenceArea{kw}"),
+        store, BASE, BASE + 240,
+    ).collect()
+    bands = evaluate_target(
+        parse_target(f"holtWintersConfidenceBands{kw}"),
+        store, BASE, BASE + 240,
+    ).collect()
+    assert {(r.path, r.time, r.value) for r in area} == {
+        (r.path, r.time, r.value) for r in bands
+    }
+
+
+def test_alias_query_last_value(store):
+    """functions.rst aliasQuery: 'Performs a query to alias the
+    metrics in seriesList... the series name is translated with the
+    search/replace pair into a new query, and the last value of that
+    query's result feeds the sprintf-style alias' — doc example
+    'Channel %d MHz'. web.a -> query web.b, last value 2."""
+    got = _got(store, r"aliasQuery(web.a, 'web\.a', 'web.b', 'b is %d')")
+    assert {p for p, _ in got} == {"b is 2"}
+    # the DATA stays web.a's
+    assert sorted(v for _, v in got.items()) == [1.0, 2.0, 4.0, 4.0, 10.0]
+
+
+def test_consolidation_request_hints(store):
+    """functions.rst consolidateBy: 'When a graph is drawn where
+    width of the graph size in pixels is smaller than the number of
+    datapoints to be graphed, the data has to be consolidated...
+    by default, average. consolidateBy changes the consolidation
+    function'; cumulative: 'an alias for consolidateBy(series,
+    "sum")'; setXFilesFactor/xFilesFactor: 'Short form: xFilesFactor()
+    — takes one metric or a wildcard seriesList and an xFilesFactor
+    value between 0 and 1'. All are REQUEST hints: data passes
+    through, the hint lands in the render context."""
+    ctx: dict = {}
+    got_rows = evaluate_target(
+        parse_target("consolidateBy(web.a, 'max')"),
+        store, BASE, BASE + 240, ctx,
+    ).collect()
+    assert ctx["consolidate"] == "max" and len(got_rows) == 5
+    ctx = {}
+    evaluate_target(
+        parse_target("cumulative(web.a)"), store, BASE, BASE + 240, ctx
+    ).collect()
+    assert ctx["consolidate"] == "sum"
+    ctx = {}
+    evaluate_target(
+        parse_target("xFilesFactor(web.a, 0.25)"),
+        store, BASE, BASE + 240, ctx,
+    ).collect()
+    assert ctx["xFilesFactor"] == 0.25
+
+
+def test_series_by_tag_golden(tagged_store_g):
+    """functions.rst seriesByTag: 'Returns a SeriesList of series
+    matching all given tag expressions... seriesByTag("tag1=value1",
+    "tag2!=value2")' — equality, inequality, and regex terms over
+    the canonical name?tags path."""
+    got = _got(tagged_store_g, "seriesByTag('env=prod')",
+               t0=BASE, t1=BASE + 60)
+    assert {p for p, _ in got} == {
+        "cpu.load?env=prod&host=h1",
+        "cpu.load?env=prod&host=h3",
+    }
+    got = _got(tagged_store_g, "seriesByTag('env=prod', 'host!=h1')",
+               t0=BASE, t1=BASE + 60)
+    assert {p for p, _ in got} == {"cpu.load?env=prod&host=h3"}
+    got = _got(tagged_store_g, "seriesByTag('host=~h[12]')",
+               t0=BASE, t1=BASE + 60)
+    assert {p for p, _ in got} == {
+        "cpu.load?env=prod&host=h1",
+        "cpu.load?env=dev&host=h2",
+    }
+
+
+def test_alias_by_tags_golden(tagged_store_g):
+    """functions.rst aliasByTags: 'Takes a seriesList and applies an
+    alias derived from one or more tags and/or nodes' — doc example
+    '&target=aliasByTags(seriesByTag("name=cpu"), "server", "name")'
+    joins the selected tag values."""
+    got = _got(
+        tagged_store_g,
+        "aliasByTags(seriesByTag('env=prod'), 'host')",
+        t0=BASE, t1=BASE + 60,
+    )
+    assert {p for p, _ in got} == {"h1", "h3"}
+    got = _got(
+        tagged_store_g,
+        "aliasByTags(seriesByTag('env=prod'), 'host', '__name__')",
+        t0=BASE, t1=BASE + 60,
+    )
+    assert {p for p, _ in got} == {"h1.cpu.load", "h3.cpu.load"}
+
+
+def test_group_by_tags_golden(tagged_store_g):
+    """functions.rst groupByTags: 'Takes a serieslist and maps a
+    callback to subgroups within as defined by multiple tags...
+    &target=groupByTags(seriesByTag("name=cpu"), "average", "dc")
+    would be the equivalent of target=averageSeries(seriesByTag(
+    "name=cpu", "dc=dc1"))&target=averageSeries(seriesByTag(
+    "name=cpu", "dc=dc2")) ...' — sum by env: prod = 10+30 = 40,
+    dev = 20."""
+    got = _got(
+        tagged_store_g,
+        "groupByTags(seriesByTag('name=cpu.load'), 'sum', 'env')",
+        t0=BASE, t1=BASE + 60,
+    )
+    by_group = {}
+    for (p, _), v in got.items():
+        by_group.setdefault(p, set()).add(v)
+    assert by_group == {"prod": {40.0}, "dev": {20.0}}

@@ -319,8 +319,9 @@ def test_cacti_style_and_aggregate_line(spark):
     assert render.cacti_style(big).collect()[0].path == (
         "m Current:1234.50 Max:1234.50 Min:1234.50"
     )
+    # graphite-web 1.1 names the line with the %g-formatted VALUE
     al = render.aggregate_line(s, "avg").collect()
-    assert {r.path for r in al} == {"aggregateLine(m, avg)"}
+    assert {r.path for r in al} == {"aggregateLine(m, 2)"}
     assert {r.value for r in al} == {2.0}
 
 
@@ -500,7 +501,11 @@ def test_map_reduce_series(spark):
         store, 0, 200,
     ).collect()
     got = {r.path: r.value for r in out}
-    assert got == {"disk.h1": 30.0, "disk.h2": 25.0}
+    # functions.rst: results alias to <prefix>.reduce.<function>
+    assert got == {
+        "disk.h1.reduce.asPercent": 30.0,
+        "disk.h2.reduce.asPercent": 25.0,
+    }
 
 
 def test_variadic_series_args(spark):
@@ -748,3 +753,33 @@ def test_round_function_alias_and_compress_periodic_gaps(spark):
     ).collect()
     assert all(r.value is not None for r in gap)
     assert {r.time for r in gap} == {100, 160}
+
+
+def test_format_g_matches_c_printf(spark):
+    """render.format_g is the JVM-side twin of C/Python '%g'
+    (graphite-web formats computed values into legend names with it:
+    aggregateLine's 'aggregateLine(%s, %g)'). Seeded fuzz across the
+    fixed/scientific boundary plus the documented edge shapes."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 4.2, 10.0, 0.5, 2.0 / 3.0,
+        0.0001, 0.00001, -0.00001, 100000.0, 999999.0, 1000000.0,
+        123456.0, 1234567.0, -1234567.89, 1.5e-7, 3.25e12,
+        float("inf"), float("-inf"),
+    ]
+    for _ in range(400):
+        vals.append(rng.uniform(-10, 10))
+        vals.append(rng.uniform(-1e8, 1e8))
+        vals.append(rng.uniform(-1, 1) * 10 ** rng.randint(-12, 12))
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r.s
+        for r in df.select(render.format_g(df["v"]).alias("s")).collect()
+    ]
+    want = ["%g" % v for v in vals]
+    mismatches = [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ]
+    assert not mismatches, mismatches[:10]
