@@ -275,20 +275,7 @@ def highest(series: DataFrame, n: int, func: str = "max") -> DataFrame:
     partial-aggregating groupBy; the winner set is broadcast back —
     never a global sort of the points.
     """
-    v = F.col("value").cast("decimal(32,6)")
-    per_path = series.groupBy("path")
-    if func == "max":
-        stat = per_path.agg(F.max(v).alias("stat"))
-    elif func == "avg":
-        stat = per_path.agg(
-            (F.sum(v).cast("double") / F.count("value")).alias("stat")
-        )
-    elif func == "current":
-        stat = per_path.agg(
-            F.max_by(v, F.col("time")).alias("stat")
-        )
-    else:
-        raise ValueError(f"unsupported func {func}")
+    stat = _per_series_stat(series, func)
     # distributed top-k (TakeOrderedAndProject), NOT a global
     # single-partition window — survives millions of paths
     top = stat.orderBy(F.desc("stat"), F.asc("path")).limit(n).select("path")

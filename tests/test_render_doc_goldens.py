@@ -1529,3 +1529,130 @@ def test_group_by_tags_golden(tagged_store_g):
     for (p, _), v in got.items():
         by_group.setdefault(p, set()).add(v)
     assert by_group == {"prod": {40.0}, "dev": {20.0}}
+
+
+# --- tier 10: the catalog long tail — presentation identities,
+# --- generic selection, generators, markers, and events ----------------
+
+
+def test_presentation_identities(store):
+    """functions.rst color/alpha/lineWidth/dashed/secondYAxis/
+    stacked/drawAsInfinite all describe DRAWING changes only ('Assigns
+    the given color to the seriesList', 'assigns the given alpha
+    transparency', 'Takes one metric or a wildcard seriesList, followed
+    by a float F. Draw the selected metrics with a line width of F'...)
+    — in a headless data engine the datapoints must pass through
+    bit-unchanged."""
+    want = _one(store, "web.a")
+    for tgt in (
+        "color(web.a, 'blue')",
+        "alpha(web.a, 0.5)",
+        "lineWidth(web.a, 2)",
+        "dashed(web.a, 5)",
+        "secondYAxis(web.a)",
+        "stacked(web.a)",
+        "drawAsInfinite(web.a)",
+    ):
+        assert _one(store, tgt) == want, tgt
+
+
+def test_highest_lowest_generic(store):
+    """functions.rst highest: 'Out of all metrics passed, draws only
+    the N metrics with the highest aggregated value over the time
+    period specified' (lowest mirrors); the default aggregation is
+    average. web.a avg 4.2 > web.b avg 2."""
+    got = _got(store, "highest(web.*, 1)")
+    assert {p for p, _ in got} == {"web.a"}
+    got = _got(store, "lowest(web.*, 1)")
+    assert {p for p, _ in got} == {"web.b"}
+    # explicit func: web.b's min (2) beats web.a's min (1) for
+    # highest-by-min
+    got = _got(store, "highest(web.*, 1, 'min')")
+    assert {p for p, _ in got} == {"web.b"}
+
+
+def test_random_walk_grid(store):
+    """functions.rst randomWalkFunction: 'Short Alias: randomWalk().
+    Returns a random walk starting at 0... the optional step parameter
+    (default 60)' — the VALUES are random (unpinnable), so the golden
+    pins the contract around them: the requested name, the step grid,
+    a deterministic re-evaluation (no flaky dashboards), and the walk
+    shape (bounded per-step increments)."""
+    out1 = evaluate_target(
+        parse_target("randomWalk('rw', 120)"), store, BASE, BASE + 240
+    ).collect()
+    out2 = evaluate_target(
+        parse_target("randomWalk('rw', 120)"), store, BASE, BASE + 240
+    ).collect()
+    assert {r.path for r in out1} == {"rw"}
+    assert sorted(r.time for r in out1) == [BASE, BASE + 120, BASE + 240]
+    assert [(r.time, r.value) for r in out1] == [
+        (r.time, r.value) for r in out2
+    ]
+    vals = [r.value for r in sorted(out1, key=lambda r: r.time)]
+    assert all(abs(b - a) <= 0.5 for a, b in zip(vals, vals[1:]))
+
+
+def test_vertical_line_marker(store):
+    """functions.rst verticalLine: 'Takes a timestamp string ts. Draws
+    a vertical line at the designated timestamp with optional 'label'
+    ... &target=verticalLine("12:3420131108","event")' — a marker
+    series at the resolved timestamp, and 'If the timestamp is out of
+    range... an exception is raised'."""
+    out = evaluate_target(
+        parse_target(f"verticalLine('{BASE + 120}', 'deploy')"),
+        store, BASE, BASE + 240,
+    ).collect()
+    assert {r.path for r in out} == {"deploy"}
+    assert {r.time for r in out} == {BASE + 120}
+    with pytest.raises(ValueError):
+        evaluate_target(
+            parse_target(f"verticalLine('{BASE - 999}')"),
+            store, BASE, BASE + 240,
+        )
+
+
+def test_set_x_files_factor_hint(store):
+    """functions.rst setXFilesFactor: 'Short form: xFilesFactor() ...
+    The xFilesFactor set via this function is applied to all functions
+    that accept an xFilesFactor parameter in the same target' — the
+    long form lands the same request hint."""
+    ctx: dict = {}
+    out = evaluate_target(
+        parse_target("setXFilesFactor(web.a, 0.75)"),
+        store, BASE, BASE + 240, ctx,
+    ).collect()
+    assert ctx["xFilesFactor"] == 0.75 and len(out) == 5
+
+
+def test_events_render_form(spark, tmp_path):
+    """events render form: 'events(*tags) — returns the number of
+    events at this point in time. Usable with drawAsInfinite...
+    &target=events("tag-one", "tag-two")' — counts matching events
+    at each event timestamp, filtered to events carrying ALL the
+    given tags."""
+    from carbon_clickhouse_spark.query.events import EventsStore
+
+    es = EventsStore(spark, str(tmp_path / "events"))
+    es.add("deploy", tags="prod web", when=BASE + 60)
+    es.add("deploy", tags="prod", when=BASE + 60)
+    es.add("restart", tags="prod web", when=BASE + 120)
+    es.add("old", tags="prod web", when=BASE - 999)  # out of window
+    idx = spark.createDataFrame([("x", 10000)], "path string, level int")
+    pts = spark.createDataFrame([], "path string, time long, value double")
+    st = GraphiteStore(idx, pts, events=es)
+    out = evaluate_target(
+        parse_target("events('prod', 'web')"), st, BASE, BASE + 240
+    ).collect()
+    got = {(r.path, r.time, r.value) for r in out}
+    assert got == {
+        ("events(prod, web)", BASE + 60, 1.0),
+        ("events(prod, web)", BASE + 120, 1.0),
+    }
+    # no tags: every in-window event counts (2 at BASE+60)
+    out = evaluate_target(
+        parse_target("events()"), st, BASE, BASE + 240
+    ).collect()
+    assert {(r.time, r.value) for r in out} == {
+        (BASE + 60, 2.0), (BASE + 120, 1.0),
+    }
