@@ -2891,6 +2891,83 @@ def q_ch_agg_breadth(spark, sf_dir):
     return nsj(nsj(nsj(nsj(ext, avw), med), uniq), br)
 
 
+def q_ch_agg_breadth2(spark, sf_dir):
+    """Second CH aggregate-breadth gate (r12): ``anyHeavy`` (the
+    documented-deterministic slice — exact majority element or NULL),
+    ``groupConcat(sep)`` (explicit-order deterministic form over a
+    sparse event subset), and ``groupArraySample(5, seed=7)``
+    (md5-of-(seed, id) smallest-hash sample — engine-portable, so
+    DuckDB draws the IDENTICAL sample) — the sample emitted as
+    exploded (idx, value) rows to keep the hash compare on scalar
+    longs. Per event type; anyHeavy's groupBy keeps every group (incl.
+    an all-NULL one) so it anchors null-safe left joins
+    (operators/ch_aggregates.py)."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        any_heavy,
+        group_array_sample,
+        group_concat,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.least(F.col("user_id") % 10, F.lit(2)).alias("hv"),
+        (F.col("user_id") % 100).alias("sv"),
+    )
+    heavy = any_heavy(base, ["event_type"], "hv", out_col="heavy")
+    conc = group_concat(
+        base.filter(F.col("event_id") % 97 == 0).withColumn(
+            "cs", F.col("sv").cast("string")
+        ),
+        ["event_type"],
+        "cs",
+        "event_id",
+        sep="-",
+        out_col="concat",
+    )
+    samp = group_array_sample(
+        base, ["event_type"], "sv", "event_id", max_size=5, seed=7
+    )
+    sampled = samp.select(
+        "event_type", F.posexplode("sample").alias("s_idx", "s_val")
+    )
+
+    def nsj(a, b):
+        bb = b.withColumnRenamed("event_type", "__r")
+        return a.join(
+            bb, a["event_type"].eqNullSafe(bb["__r"]), "left"
+        ).drop("__r")
+
+    return nsj(nsj(heavy, conc), sampled)
+
+
+def q_array_insert_grid(spark, sf_dir):
+    """``groupArrayInsertAt(default, size)(x, pos)`` exploded to a
+    (type, idx, slot) grid: per event type, the minimum (user_id %
+    100) landing at position (event_id % 8) in an 8-slot array,
+    unfilled slots -1 (operators/ch_aggregates.py:
+    group_array_insert_at — deterministic min-per-position form of
+    CH's row-order collision rule). Exploding keeps the oracle
+    compare on scalar longs."""
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_insert_at,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("event_id") % 8).alias("pos"),
+        (F.col("user_id") % 100).alias("v"),
+    )
+    arr = group_array_insert_at(
+        base, ["event_type"], "v", "pos", size=8, default=-1
+    )
+    return arr.select(
+        "event_type", F.posexplode("slots").alias("idx", "slot")
+    )
+
+
 def q_uniq_up_to(spark, sf_dir):
     """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
     event type, the exact distinct user count saturated at N+1 — the
@@ -3246,6 +3323,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel_strict_once": q_window_funnel_strict_once,
         # graded reps: rollup_all / read_series (window-over-series)
         "delta_sum": q_delta_sum,
+        # graded rep: ch_agg_breadth; adds anyHeavy (documented
+        # majority slice), groupConcat (explicit-order deterministic
+        # form), and groupArraySample (portable md5 smallest-hash
+        # sample — DuckDB draws the identical sample)
+        "ch_agg_breadth2": q_ch_agg_breadth2,
+        # graded rep: ch_agg_breadth; groupArrayInsertAt's
+        # min-per-position deterministic form, exploded to a grid
+        "array_insert_grid": q_array_insert_grid,
     }
 
 
@@ -6076,6 +6161,70 @@ def _all_oracle_sql() -> dict[str, str]:
     """
     # IEEE doubles all the way: lag + subtraction + sum of positive
     # deltas are identically rounded on both engines
+    # anyHeavy: per-(type, v) counts, max (count, value) struct,
+    # majority check; groupConcat: string_agg with explicit order and
+    # '' for all-NULL groups; groupArraySample: the IDENTICAL
+    # md5('seed|id') smallest-hash window draw, exploded in hash rank
+    oracles["ch_agg_breadth2"] = """
+        WITH base AS (
+          SELECT event_type, event_id,
+                 least(user_id % 10, 2) AS hv,
+                 user_id % 100 AS sv
+          FROM events
+        ), per AS (
+          SELECT event_type, hv, count(hv) AS c
+          FROM base GROUP BY 1, 2
+        ), hvagg AS (
+          SELECT event_type, sum(c) AS n,
+                 max(CASE WHEN hv IS NOT NULL
+                          THEN struct_pack(c := c, v := hv) END) AS b
+          FROM per GROUP BY 1
+        ), heavy AS (
+          SELECT event_type,
+                 CASE WHEN b.c * 2 > n THEN b.v END AS heavy
+          FROM hvagg
+        ), conc AS (
+          SELECT event_type,
+                 coalesce(string_agg(CAST(sv AS VARCHAR), '-'
+                                     ORDER BY event_id), '') AS concat
+          FROM base WHERE event_id % 97 = 0 GROUP BY 1
+        ), ranked AS (
+          SELECT event_type, sv,
+                 md5('7|' || CAST(event_id AS VARCHAR)) AS h,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (sv IS NULL), md5('7|' || CAST(event_id AS VARCHAR))
+                 ) AS rn
+          FROM base
+        ), samp AS (
+          SELECT event_type, rn - 1 AS s_idx, sv AS s_val
+          FROM ranked WHERE rn <= 5 AND sv IS NOT NULL
+        )
+        SELECT h.event_type, h.heavy, c.concat, s.s_idx, s.s_val
+        FROM heavy h
+        LEFT JOIN conc c ON h.event_type IS NOT DISTINCT FROM c.event_type
+        LEFT JOIN samp s ON h.event_type IS NOT DISTINCT FROM s.event_type
+    """
+    oracles["array_insert_grid"] = """
+        WITH base AS (
+          SELECT event_type, event_id % 8 AS pos, user_id % 100 AS v
+          FROM events
+        ), types AS (
+          SELECT DISTINCT event_type FROM base
+        ), grid AS (
+          SELECT t.event_type, CAST(r.range AS INT) AS idx
+          FROM types t CROSS JOIN range(8) r
+        ), vals AS (
+          SELECT event_type, pos, min(v) AS mv
+          FROM base WHERE v IS NOT NULL AND pos IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT g.event_type, g.idx, coalesce(v.mv, -1) AS slot
+        FROM grid g
+        LEFT JOIN vals v
+          ON g.event_type IS NOT DISTINCT FROM v.event_type
+         AND g.idx = v.pos
+    """
     oracles["delta_sum"] = """
         WITH d AS (
           SELECT event_type,

@@ -616,6 +616,178 @@ def group_array_last(
     return marked.groupBy(*gcols).agg(arr.alias(out_col))
 
 
+def any_heavy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "heavy",
+) -> DataFrame:
+    """ClickHouse ``anyHeavy(x)`` (r12): heavy-hitters 'pick a
+    frequently occurring value'. Below a true majority CH's answer is
+    block-order dependent, so the deterministic contract implemented
+    here is the part CH documents as guaranteed: 'if there is a value
+    that occurs in more than half of the cases in each of the query
+    execution threads, this value is returned' — the exact majority
+    element over non-NULL values, NULL when no strict majority exists
+    (and for all-NULL groups, which keep their key). Count ties can't
+    involve a majority, so the tie rule never fires; largest value is
+    pinned anyway. Two bounded Exchanges: per-(group, value) counts,
+    then one max over the reduced count rows."""
+    gcols = list(group_cols)
+    per = df.groupBy(*gcols, F.col(value_col).alias("__v")).agg(
+        F.count(value_col).alias("__c")  # count(col): NULLs -> 0
+    )
+    cand = F.when(
+        F.col("__v").isNotNull(),
+        F.struct(F.col("__c").alias("c"), F.col("__v").alias("v")),
+    )
+    best = per.groupBy(*gcols).agg(
+        F.sum("__c").alias("__n"), F.max(cand).alias("__b")
+    )
+    return best.select(
+        *gcols,
+        F.when(
+            F.col("__b").getField("c") * 2 > F.col("__n"),
+            F.col("__b").getField("v"),
+        ).alias(out_col),
+    )
+
+
+def group_concat(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_col: str,
+    sep: str = ",",
+    out_col: str = "concat",
+) -> DataFrame:
+    """ClickHouse ``groupConcat(sep)(x)`` (24.7+): concatenate the
+    group's values. CH concatenates in storage order, which a
+    distributed scan cannot honor — the deterministic form orders by
+    an explicit ``order_col`` (the groupArraySorted / deltaSum
+    discipline). NULL values skip via the aggregate (CH's rule), so
+    an all-NULL group keeps its key with the empty string. One
+    Exchange; per-group state is the collected pair list."""
+    s = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.col(order_col).alias("o"),
+            F.col(value_col).cast("string").alias("v"),
+        ),
+    )
+    arr = F.array_sort(F.collect_list(s))
+    return df.groupBy(*group_cols).agg(
+        F.array_join(
+            F.transform(arr, lambda x: x["v"]), sep
+        ).alias(out_col)
+    )
+
+
+def group_array_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_col: str,
+    max_size: int,
+    seed: int = 0,
+    out_col: str = "sample",
+) -> DataFrame:
+    """ClickHouse ``groupArraySample(max_size[, seed])(x)`` (r12): a
+    fixed-size pseudo-random sample per group. CH's reservoir is row-
+    order dependent; the engine-portable deterministic form keeps the
+    ``max_size`` SMALLEST md5 hashes of (seed, ``order_col``) — a
+    uniform sample under the usual hash-as-random-oracle reading,
+    reproducible on any engine (DuckDB computes the identical md5
+    string), stable under re-partitioning. Values emit in hash order
+    (the pinned sample order). NULL values skip via the aggregate;
+    an all-NULL group keeps its key with []. The rank window orders
+    non-NULL first so per-group state stays bounded by ``max_size``;
+    one Exchange."""
+    if max_size < 1:
+        raise ValueError("max_size must be >= 1")
+    v = F.col(value_col)
+    h = F.md5(
+        F.concat_ws("|", F.lit(int(seed)), F.col(order_col).cast("string"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(v.isNull().asc(), h.asc())
+    marked = df.withColumn("__h", h).withColumn(
+        "__keep", v.isNotNull() & (F.row_number().over(w) <= int(max_size))
+    )
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__keep"),
+                    F.struct(F.col("__h").alias("h"), v.alias("v")),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    return marked.groupBy(*group_cols).agg(arr.alias(out_col))
+
+
+def group_array_insert_at(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    pos_col: str,
+    size: int,
+    default,
+    out_col: str = "slots",
+) -> DataFrame:
+    """ClickHouse ``groupArrayInsertAt(default, size)(x, pos)``: a
+    fixed-length array with each value placed at its position and
+    ``default`` in unfilled slots. CH keeps whichever value arrives
+    first on a position collision (row-order dependent) — the
+    deterministic form keeps the MINIMUM value per position.
+    Positions outside [0, size) raise, as CH does for a fixed size.
+    Plan: per-(group, pos) min (partial-aggregating), then one
+    map-build per group — two bounded Exchanges, the second over
+    rows already reduced to <= size per group."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    gcols = list(group_cols)
+    p = F.col(pos_col).cast("int")
+    # NULL position or NULL value = no insert (but the row still
+    # anchors its group, so an all-NULL group keeps its key with an
+    # all-default array); a real out-of-range position raises
+    checked = (
+        F.when(p.isNull(), F.lit(None).cast("int"))
+        .when((p >= 0) & (p < size), p)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"groupArrayInsertAt: position out of"
+                        f" [0, {size}): "
+                    ),
+                    F.col(pos_col).cast("string"),
+                )
+            )
+        )
+    )
+    per = df.groupBy(*gcols, checked.alias("__p")).agg(
+        F.min(value_col).alias("__v")
+    )
+    m = F.map_from_entries(
+        F.collect_list(
+            F.when(
+                F.col("__p").isNotNull() & F.col("__v").isNotNull(),
+                F.struct(F.col("__p"), F.col("__v")),
+            )
+        )
+    )
+    filled = per.groupBy(*gcols).agg(m.alias("__m"))
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(size - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i), F.lit(default)
+        ),
+    )
+    return filled.select(*gcols, arr.alias(out_col))
+
+
 def single_value_or_null(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -2132,3 +2132,111 @@ def test_sparkbar(spark):
     # s: span 10, buckets 0 and 4 hit; sums 1 and 8 -> levels
     # ceil(1*8/8)=1, 8 -> glyphs ▁ and █ with 3 spaces between
     assert got["s"] == "▁   █"
+
+
+def test_any_heavy(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import any_heavy
+
+    rows = (
+        [("g1", "a")] * 5 + [("g1", "b")] * 3        # a is a majority
+        + [("g2", "x")] * 2 + [("g2", "y")] * 2      # no majority
+        + [("g3", None)] * 3                         # all-NULL group
+        + [("g4", "m")] * 3 + [("g4", None)] * 2     # NULLs skip
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {
+        r.grp: r.heavy for r in any_heavy(df, ["grp"], "v").collect()
+    }
+    assert got == {"g1": "a", "g2": None, "g3": None, "g4": "m"}
+    # NULL group key is its own group (CH GROUP BY)
+    df2 = spark.createDataFrame(
+        [(None, "z")] * 3 + [(None, "w")], "grp string, v string"
+    )
+    got = {r.grp: r.heavy for r in any_heavy(df2, ["grp"], "v").collect()}
+    assert got == {None: "z"}
+
+
+def test_group_concat(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import group_concat
+
+    df = spark.createDataFrame(
+        [("g", 3, "c"), ("g", 1, "a"), ("g", 2, "b"),
+         ("g2", 1, None), ("g2", 2, None)],
+        "grp string, o int, v string",
+    )
+    got = {
+        r.grp: r.concat
+        for r in group_concat(df, ["grp"], "v", "o", sep="-").collect()
+    }
+    # order_col order; all-NULL group keeps its key with ''
+    assert got == {"g": "a-b-c", "g2": ""}
+
+
+def test_group_array_sample(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_sample,
+    )
+
+    rows = [("g", i, float(i)) for i in range(50)] + [("e", 0, None)]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    out = {
+        r.grp: r.sample
+        for r in group_array_sample(
+            df, ["grp"], "v", "id", max_size=5, seed=7
+        ).collect()
+    }
+    assert len(out["g"]) == 5 and out["e"] == []
+    # reproducible: same seed -> same sample; different seed differs
+    again = {
+        r.grp: r.sample
+        for r in group_array_sample(
+            df, ["grp"], "v", "id", max_size=5, seed=7
+        ).collect()
+    }
+    assert again["g"] == out["g"]
+    other = {
+        r.grp: r.sample
+        for r in group_array_sample(
+            df, ["grp"], "v", "id", max_size=5, seed=8
+        ).collect()
+    }
+    assert other["g"] != out["g"]
+    # partitioning-independent: a repartitioned input samples the same
+    rep = {
+        r.grp: r.sample
+        for r in group_array_sample(
+            df.repartition(7), ["grp"], "v", "id", max_size=5, seed=7
+        ).collect()
+    }
+    assert rep["g"] == out["g"]
+    with pytest.raises(ValueError):
+        group_array_sample(df, ["grp"], "v", "id", max_size=0)
+
+
+def test_group_array_insert_at(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        group_array_insert_at,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0, "a"), ("g", 2, "c"), ("g", 2, "b"),  # collision -> min
+         ("g2", None, "x"),                            # NULL pos: no insert
+         ("g3", 1, None)],                             # NULL value: no insert
+        "grp string, pos int, v string",
+    )
+    got = {
+        r.grp: r.slots
+        for r in group_array_insert_at(
+            df, ["grp"], "v", "pos", size=4, default="-"
+        ).collect()
+    }
+    assert got == {
+        "g": ["a", "-", "b", "-"],
+        "g2": ["-", "-", "-", "-"],
+        "g3": ["-", "-", "-", "-"],
+    }
+    bad = spark.createDataFrame([("g", 9, "a")], "grp string, pos int, v string")
+    with pytest.raises(Exception):
+        group_array_insert_at(
+            bad, ["grp"], "v", "pos", size=4, default="-"
+        ).collect()
