@@ -193,3 +193,73 @@ def test_snapshot_contract_reusable_lttb(spark, tmp_path):
                 assert got[k] == want[k], (k, got[k], want[k])  # bit-equal
     finally:
         q.stop()
+
+
+def test_snapshot_contract_reusable_histogram(spark, tmp_path):
+    """Third anchor-bearing family through the SAME harness (r12):
+    histogram(N)'s adaptive bins are a greedy merge over ALL values
+    seen, and the outer edges are the group's true min/max — a batch
+    with a new global min or max retroactively moves every bin
+    boundary, so no incremental state can fold it. Each snapshot must
+    be bit-identical to the exact-mode batch operator over the rows
+    landed so far, including a min/max-extending batch and a NULL
+    group key."""
+    import random
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import (
+        histogram_adaptive,
+    )
+
+    landing = str(tmp_path / "landing")
+    accum = str(tmp_path / "accum")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    rng = random.Random(43)
+
+    batches = [
+        [("h%d" % (i % 2), rng.uniform(0, 10), float(i))
+         for i in range(80)],
+        # extends both groups' value range on BOTH ends (every bin
+        # edge moves) and adds a NULL group key
+        [("h0", -7.5, 1000.0), ("h0", 23.25, 1001.0),
+         ("h1", -2.0, 1002.0), ("h1", 99.0, 1003.0)]
+        + [(None, rng.uniform(0, 3), float(2000 + i))
+           for i in range(15)],
+        [("h%d" % (i % 3), rng.uniform(2, 8), float(3000 + i))
+         for i in range(40)],
+    ]
+
+    snapshots = {}
+
+    def publish(df, batch_id):
+        snapshots[batch_id] = df.collect()
+
+    def compute(df):
+        return histogram_adaptive(df, "v", bins=5, group_cols=["g"])
+
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    q = snapshot_stream(
+        stream, accum, compute, publish, checkpoint=ckpt,
+        query_name="snapshot_hist",
+    )
+    try:
+        seen = []
+        for i, rows in enumerate(batches):
+            _write(landing, f"b{i}.json", rows)
+            q.processAllAvailable()
+            assert q.exception() is None, q.exception()
+            seen += rows
+            batch_df = spark.createDataFrame(seen, SCHEMA)
+            want = {
+                (r["g"], r["bin"]): (r["lower"], r["upper"], r["height"])
+                for r in compute(batch_df).collect()
+            }
+            got = {
+                (r["g"], r["bin"]): (r["lower"], r["upper"], r["height"])
+                for r in snapshots[max(snapshots)]
+            }
+            assert set(got) == set(want)
+            for k in want:
+                assert got[k] == want[k], (k, got[k], want[k])  # bit-equal
+    finally:
+        q.stop()
