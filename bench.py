@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # round-12: the SpaceSaving two-level merge (per-partition Arrow
     # summaries + min-row broadcast fold), newly graded
     "top_k_sketch",
+    # round-12 session 2: anyHeavy's reduced-row max + the portable
+    # md5 sample window + groupConcat in one null-safe-joined plan
+    "ch_agg_breadth2",
 ]
 
 

@@ -709,7 +709,11 @@ def group_array_sample(
     h = F.md5(
         F.concat_ws("|", F.lit(int(seed)), F.col(order_col).cast("string"))
     )
-    w = Window.partitionBy(*group_cols).orderBy(v.isNull().asc(), h.asc())
+    # value tie-break keeps the draw deterministic even when
+    # order_col repeats (duplicate order values share a hash)
+    w = Window.partitionBy(*group_cols).orderBy(
+        v.isNull().asc(), h.asc(), v.asc()
+    )
     marked = df.withColumn("__h", h).withColumn(
         "__keep", v.isNotNull() & (F.row_number().over(w) <= int(max_size))
     )

@@ -68,8 +68,6 @@ def _unparse(expr) -> str:
     for the path/call expressions these labels are built from."""
     if isinstance(expr, Call):
         return f"{expr.name}({','.join(_unparse(a) for a in expr.args)})"
-    if isinstance(expr, float) and expr == int(expr):
-        return str(expr)
     return str(expr)
 
 
