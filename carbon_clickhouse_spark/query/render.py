@@ -1161,7 +1161,19 @@ def format_g(col) -> F.Column:
     C rendering ('4.2', '123456', '1.23457e+07', '0.0001',
     '1e-05')."""
     x = col.cast("double")
-    av = F.abs(x)
+    av0 = F.abs(x)
+    # range-normalize the extremes first: 10^(exp-5) underflows to 0
+    # below ~1e-320 (ANSI divide-by-zero on subnormals) and the
+    # significand division can overflow near DBL_MAX — shift by
+    # 10^±300 into the safe band, then add the shift back into the
+    # printed exponent
+    exp_pre = F.floor(F.log10(av0)).cast("int")
+    shift = (
+        F.when(exp_pre < -290, F.lit(300))
+        .when(exp_pre > 290, F.lit(-300))
+        .otherwise(F.lit(0))
+    )
+    av = av0 * F.pow(F.lit(10.0), shift.cast("double"))
     exp0 = F.floor(F.log10(av)).cast("int")
     # 6-digit significand D in [100000, 1000000): round half-up at
     # the 6th significant digit, then carry a 1000000 overflow into
@@ -1171,7 +1183,7 @@ def format_g(col) -> F.Column:
     )
     carry = d_raw >= 1000000
     digits = F.when(carry, F.lit(100000)).otherwise(d_raw)
-    exp = F.when(carry, exp0 + 1).otherwise(exp0)
+    exp = F.when(carry, exp0 + 1).otherwise(exp0) - shift
     s_full = F.lpad(digits.cast("string"), 6, "0")
     s_trim = F.regexp_replace(s_full, "0+$", "")  # kept digits, >= 1
     # fixed notation, |v| >= 1 (exp 0..5): integer part is the first
@@ -1196,11 +1208,17 @@ def format_g(col) -> F.Column:
             F.concat(F.lit("."), s_trim.substr(2, 5)),
         ).otherwise(F.lit("")),
     )
+    # at least 2 exponent digits, but never truncate 3-digit ones
+    # (lpad cuts to its length: lpad('324', 2) would give '32')
+    exp_digits = F.abs(exp).cast("string")
+    exp_str = F.when(
+        F.length(exp_digits) < 2, F.concat(F.lit("0"), exp_digits)
+    ).otherwise(exp_digits)
     sci = F.concat(
         mant,
         F.lit("e"),
         F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
-        F.lpad(F.abs(exp).cast("string"), 2, "0"),
+        exp_str,
     )
     body = (
         F.when((exp >= 0) & (exp <= 5), fixed_ge1)

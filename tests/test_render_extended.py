@@ -768,11 +768,18 @@ def test_format_g_matches_c_printf(spark):
         0.0001, 0.00001, -0.00001, 100000.0, 999999.0, 1000000.0,
         123456.0, 1234567.0, -1234567.89, 1.5e-7, 3.25e12,
         float("inf"), float("-inf"),
+        # full double range incl. subnormals and DBL_MAX (r12: the
+        # scale division underflowed below ~1e-320, and 3-digit
+        # exponents were lpad-truncated)
+        1e300, -1e300, 1.7976931348623157e308, 1e-308, 5e-324,
+        2.2250738585072014e-308, 1e100, -3.7e-200, 2.5e-310,
     ]
     for _ in range(400):
         vals.append(rng.uniform(-10, 10))
         vals.append(rng.uniform(-1e8, 1e8))
         vals.append(rng.uniform(-1, 1) * 10 ** rng.randint(-12, 12))
+    for _ in range(100):
+        vals.append(rng.uniform(-1, 1) * 10 ** rng.randint(-320, 307))
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = [
         r.s
