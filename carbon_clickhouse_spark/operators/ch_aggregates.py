@@ -659,24 +659,39 @@ def group_concat(
     value_col: str,
     order_col: str,
     sep: str = ",",
+    limit: int | None = None,
     out_col: str = "concat",
 ) -> DataFrame:
-    """ClickHouse ``groupConcat(sep)(x)`` (24.7+): concatenate the
-    group's values. CH concatenates in storage order, which a
-    distributed scan cannot honor — the deterministic form orders by
-    an explicit ``order_col`` (the groupArraySorted / deltaSum
-    discipline). NULL values skip via the aggregate (CH's rule), so
-    an all-NULL group keeps its key with the empty string. One
-    Exchange; per-group state is the collected pair list."""
+    """ClickHouse ``groupConcat(sep[, limit])(x)`` (24.7+):
+    concatenate the group's values, optionally only the first
+    ``limit``. CH concatenates in storage order, which a distributed
+    scan cannot honor — the deterministic form orders by an explicit
+    ``order_col`` (the groupArraySorted / deltaSum discipline), and
+    ``limit`` takes the first N in that order. NULL values skip via
+    the aggregate (CH's rule), so an all-NULL group keeps its key
+    with the empty string. One Exchange; per-group state is the
+    collected pair list (with ``limit``, the rank window bounds it
+    to ``limit`` rows per group before collection)."""
+    if limit is not None and limit < 1:
+        raise ValueError("limit must be >= 1")
+    v = F.col(value_col)
+    src = df
+    keep = v.isNotNull()
+    if limit is not None:
+        w = Window.partitionBy(*group_cols).orderBy(
+            v.isNull().asc(), F.col(order_col).asc()
+        )
+        src = df.withColumn("__rn", F.row_number().over(w))
+        keep = keep & (F.col("__rn") <= int(limit))
     s = F.when(
-        F.col(value_col).isNotNull(),
+        keep,
         F.struct(
             F.col(order_col).alias("o"),
-            F.col(value_col).cast("string").alias("v"),
+            v.cast("string").alias("v"),
         ),
     )
     arr = F.array_sort(F.collect_list(s))
-    return df.groupBy(*group_cols).agg(
+    return src.groupBy(*group_cols).agg(
         F.array_join(
             F.transform(arr, lambda x: x["v"]), sep
         ).alias(out_col)

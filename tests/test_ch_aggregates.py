@@ -2240,3 +2240,16 @@ def test_group_array_insert_at(spark):
         group_array_insert_at(
             bad, ["grp"], "v", "pos", size=4, default="-"
         ).collect()
+
+
+def test_group_concat_limit(spark):
+    from carbon_clickhouse_spark.operators.ch_aggregates import group_concat
+
+    df = spark.createDataFrame(
+        [("g", i, f"v{i}") for i in range(6)] + [("g", 99, None)],
+        "grp string, o int, v string",
+    )
+    got = group_concat(df, ["grp"], "v", "o", sep=",", limit=3).collect()
+    assert got[0].concat == "v0,v1,v2"
+    with pytest.raises(ValueError):
+        group_concat(df, ["grp"], "v", "o", limit=0)
