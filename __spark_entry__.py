@@ -2968,6 +2968,39 @@ def q_array_insert_grid(spark, sf_dir):
     )
 
 
+def q_ch_if_combinators(spark, sf_dir):
+    """ClickHouse aggregate COMBINATORS (-If and -Array) — the parity
+    recipe, since Spark expresses both natively: ``aggIf(x, cond)``
+    is ``agg(when(cond, x))`` (condition inside the aggregate — the
+    group's key survives even when no row matches, exactly CH's
+    behavior) and ``aggArray(arr)`` aggregates over every ELEMENT of
+    every row's array (posexplode, or a per-row fold + exact sum).
+    Per event type: sumIf/countIf/avgIf/minIf/maxIf over the
+    even-user slice in the round(v*1000) exact-decimal grid (IEEE
+    double sums are partition-order dependent — the engine-wide
+    hash-gating discipline), and sumArray/maxArray over a per-row
+    [v, 2v] array."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 1000).cast("long").cast("decimal(38,0)")
+    even = (F.col("user_id") % 2) == 0
+    qi = F.when(even, q)
+    arr = F.array(q, q * 2)
+    per_row_sum = F.aggregate(
+        arr, F.lit(0).cast("decimal(38,0)"), lambda a, x: a + x
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(qi).cast("long").alias("sum_if"),
+        F.count(qi).alias("count_if"),
+        F.when(
+            F.count(qi) > 0, F.sum(qi).cast("double") / F.count(qi)
+        ).alias("avg_if"),
+        F.min(qi).cast("long").alias("min_if"),
+        F.max(qi).cast("long").alias("max_if"),
+        F.sum(per_row_sum).cast("long").alias("sum_array"),
+        F.max(F.array_max(arr)).cast("long").alias("max_array"),
+    )
+
+
 def q_uniq_up_to(spark, sf_dir):
     """ClickHouse ``uniqUpTo(N)`` (operators/ch_aggregates.py): per
     event type, the exact distinct user count saturated at N+1 — the
@@ -3331,6 +3364,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded rep: ch_agg_breadth; groupArrayInsertAt's
         # min-per-position deterministic form, exploded to a grid
         "array_insert_grid": q_array_insert_grid,
+        # graded rep: tpch_q1 (conditional aggregation); pins the CH
+        # -If / -Array combinator mapping in the exact-decimal grid
+        "ch_if_combinators": q_ch_if_combinators,
     }
 
 
@@ -6224,6 +6260,28 @@ def _all_oracle_sql() -> dict[str, str]:
         LEFT JOIN vals v
           ON g.event_type IS NOT DISTINCT FROM v.event_type
          AND g.idx = v.pos
+    """
+    # -If = FILTER (the key still survives an empty slice), -Array =
+    # aggregate over elements (sum distributes: sum(q)+sum(2q)=3sum,
+    # max = greatest(q, 2q) handles negative q)
+    oracles["ch_if_combinators"] = """
+        WITH base AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS HUGEINT) AS q,
+                 (user_id % 2 = 0) AS even
+          FROM events
+        )
+        SELECT event_type,
+               CAST(sum(q) FILTER (even) AS BIGINT) AS sum_if,
+               count(q) FILTER (even) AS count_if,
+               CASE WHEN count(q) FILTER (even) > 0
+                    THEN CAST(sum(q) FILTER (even) AS DOUBLE)
+                         / count(q) FILTER (even) END AS avg_if,
+               CAST(min(q) FILTER (even) AS BIGINT) AS min_if,
+               CAST(max(q) FILTER (even) AS BIGINT) AS max_if,
+               CAST(sum(3 * q) AS BIGINT) AS sum_array,
+               CAST(max(greatest(q, 2 * q)) AS BIGINT) AS max_array
+        FROM base GROUP BY event_type
     """
     oracles["delta_sum"] = """
         WITH d AS (

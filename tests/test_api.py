@@ -953,3 +953,29 @@ def test_seriesbytag_serves_from_hot_rollup_tier(spark, tmp_path):
         assert f"GreaterThanOrEqual(time,{base + 60})" in plan, plan
     finally:
         api.stop()
+
+
+def test_render_max_data_points_honors_consolidate_by(store):
+    """graphite-web: consolidateBy changes WHICH function squeezes
+    the series into maxDataPoints buckets ('by default, average');
+    cumulative is its documented sum alias. Same 4 minutely points
+    (0,1,2,3) as test_render_max_data_points: max -> [1, 3],
+    cumulative/sum -> [1, 5]."""
+    api = RenderApi(store).start()
+    try:
+        base = (
+            f"http://127.0.0.1:{api.port}/render?"
+            "from=1625478000&until=1625478240&maxDataPoints=2"
+        )
+        with urllib.request.urlopen(
+            base + "&target=consolidateBy(dc.h1.cpu,'max')"
+        ) as resp:
+            series = json.loads(resp.read())
+        assert [v for v, _ in series[0]["datapoints"]] == [1.0, 3.0]
+        with urllib.request.urlopen(
+            base + "&target=cumulative(dc.h1.cpu)"
+        ) as resp:
+            series = json.loads(resp.read())
+        assert [v for v, _ in series[0]["datapoints"]] == [1.0, 5.0]
+    finally:
+        api.stop()

@@ -73,7 +73,7 @@ def duck():
 def test_every_extra_has_an_oracle():
     q, o = _registry()
     assert set(q) == set(o)
-    assert len(q) == 59
+    assert len(q) == 60
 
 
 def test_no_overlap_with_graded_window():
