@@ -377,20 +377,39 @@ def function_index() -> dict:
     return out
 
 
-_UNIT_S = {"s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
+#: graphite-web attime.getUnitString prefix table (r12): 'min' must
+#: precede 'mon' the way upstream orders its startswith chain, so
+#: 'minutes' -> minutes and 'months'/'mon' -> months (30 days, the
+#: parseTimeOffset convention). Accepts every spelling the docs use
+#: ('1hour', '30minutes', '7days', '2weeks', '1month', '1year').
+_UNIT_PREFIX_S = (
+    ("min", 60),
+    ("mon", 2592000),
+    ("s", 1),
+    ("h", 3600),
+    ("d", 86400),
+    ("w", 604800),
+    ("y", 31536000),
+)
+
+
+def _unit_seconds(unit: str) -> int:
+    for prefix, sec in _UNIT_PREFIX_S:
+        if unit.startswith(prefix):
+            return sec
+    raise ValueError(f"bad interval unit {unit!r}")
 
 
 def _seconds(v) -> int:
-    """'1h'/'30min'/'10s'/number -> seconds (graphite interval syntax)."""
+    """'1h'/'30min'/'1hour'/'7days'/number -> seconds (graphite
+    attime interval syntax, prefix-matched like upstream)."""
     if isinstance(v, (int, float)):
         return int(v)
     m = re.fullmatch(r"(-?\d+)([a-z]+)?", v.strip())
     if not m:
         raise ValueError(f"bad interval {v!r}")
     n, unit = int(m.group(1)), m.group(2) or "s"
-    if unit not in _UNIT_S:
-        raise ValueError(f"bad interval unit {unit!r}")
-    return n * _UNIT_S[unit]
+    return n * _unit_seconds(unit)
 
 
 def _go_float(v: float) -> str:

@@ -1656,3 +1656,18 @@ def test_events_render_form(spark, tmp_path):
     assert {(r.time, r.value) for r in out} == {
         (BASE + 60, 2.0), (BASE + 120, 1.0),
     }
+
+
+def test_interval_unit_spellings(store):
+    """graphite-web attime.getUnitString prefix-matches unit names
+    (s/min/h/d/w/mon/y), so the docs' own spellings — summarize(
+    ..., "1hour"), "30minutes", "1day" — must parse; 'min' wins over
+    'mon' exactly as upstream's startswith chain orders them, and
+    months are 30 days (parseTimeOffset)."""
+    for iv in ("2min", "2minutes", "120s", "120seconds"):
+        got = _one(store, f"summarize(web.a, '{iv}', 'sum', true)")
+        assert got == {BASE: 3.0, BASE + 120: 8.0, BASE + 240: 10.0}, iv
+    # one whole-window bucket under every long spelling
+    for iv in ("1hour", "1h", "1day", "1week", "1month", "1year"):
+        got = _one(store, f"summarize(web.a, '{iv}', 'sum', true)")
+        assert got == {BASE: 21.0}, iv

@@ -185,3 +185,62 @@ def test_group_identity(rstore):
     """group(m.a, m.b) == m.* — grouping is a union, never a
     transform."""
     assert _vals(rstore, "group(m.a, m.b)") == _vals(rstore, "m.*")
+
+
+def test_as_percent_of_total_sums_to_hundred(rstore):
+    """asPercent(a, sumSeries(a, b)) + asPercent(b, sumSeries(a, b))
+    == 100 at every point where the total is nonzero — ties asPercent
+    division to the combiner it normalizes by."""
+    pa = _flat(_vals(rstore, "asPercent(m.a, sumSeries(m.a, m.b))"))
+    pb = _flat(_vals(rstore, "asPercent(m.b, sumSeries(m.a, m.b))"))
+    tot = _flat(_vals(rstore, "sumSeries(m.a, m.b)"))
+    for t in tot:
+        if tot[t] not in (None, 0.0):
+            assert pa[t] + pb[t] == pytest.approx(100.0, abs=1e-6), t
+
+
+def test_summarize_whole_window_equals_aggregate(rstore):
+    """summarize over one bucket spanning the whole request ==
+    the series total — ties bucketing to plain aggregation."""
+    got = _vals(rstore, "summarize(m.a, '1hour', 'sum')")
+    vals = [v for d in got.values() for v in d.values()]
+    assert len(vals) == 1
+    want = sum(_flat(_vals(rstore, "m.a")).values())
+    assert vals[0] == pytest.approx(want, abs=1e-9)
+
+
+def test_moving_sum_average_consistency(rstore):
+    """movingSum(s, n) == movingAverage(s, n) * (points in window):
+    the shared movingWindow machinery must agree between its
+    aggregators. With a gap-free series the window holds min(i, n)
+    points at index i."""
+    ms = _flat(_vals(rstore, "movingSum(m.a, 3)"))
+    ma = _flat(_vals(rstore, "movingAverage(m.a, 3)"))
+    times = sorted(ms)
+    for i, t in enumerate(times):
+        if ms[t] is None:
+            assert ma[t] is None, t
+            continue
+        cnt = min(i, 3)
+        assert ms[t] == pytest.approx(ma[t] * cnt, abs=1e-9), t
+
+
+def test_derivative_sums_to_range(rstore):
+    """The derivative telescopes: sum of non-null derivative values
+    == last - first value of the series."""
+    d = _flat(_vals(rstore, "derivative(m.a)"))
+    s = _flat(_vals(rstore, "m.a"))
+    times = sorted(s)
+    got = sum(v for v in d.values() if v is not None)
+    assert got == pytest.approx(
+        s[times[-1]] - s[times[0]], abs=1e-9
+    )
+
+
+def test_scale_to_seconds_equals_per_step_scale(rstore):
+    """scaleToSeconds(s, step) == s for a series whose step IS the
+    requested seconds-per-step (the factor is seconds/step = 1)."""
+    got = _flat(_vals(rstore, "scaleToSeconds(m.a, 60)"))
+    want = _flat(_vals(rstore, "m.a"))
+    for t in want:
+        assert got[t] == pytest.approx(want[t], abs=1e-9), t
