@@ -1657,8 +1657,15 @@ class RenderApi:
                         if store.events is None:
                             self._json([])
                             return
-                        t0 = int(q.get("from", ["0"])[0])
-                        t1 = int(q.get("until", [str(now_ts())])[0])
+                        now = now_ts()
+                        # same at-style from/until forms as /render
+                        # (graphite's /events accepts -1h, now, ...)
+                        t0 = _parse_time(
+                            q.get("from", [None])[0], 0, now
+                        )
+                        t1 = _parse_time(
+                            q.get("until", [None])[0], now, now
+                        )
                         # graphite: tags space-separated in one param
                         tags = " ".join(q.get("tags", [])).split()
                         self._json(store.events.get(t0, t1, tags))

@@ -86,6 +86,20 @@ def test_http_events_round_trip(spark, tmp_path):
         )
         assert [e["what"] for e in got] == ["deploy v1", "deploy v1 canary"]
 
+        # graphite's /events accepts the same at-style from/until
+        # forms as /render (r12): a relative window anchored at 'now'
+        # reaches back past every event above
+        rel = json.loads(
+            urllib.request.urlopen(
+                f"{base}/events/get_data?from=-10years&until=now"
+                "&tags=deploy",
+                timeout=60,
+            ).read()
+        )
+        assert [e["what"] for e in rel] == [
+            "deploy v1", "deploy v1 canary"
+        ]
+
         body = json.loads(
             urllib.request.urlopen(
                 f"{base}/render?target=events('deploy')"
