@@ -154,10 +154,18 @@ _FUNCS = {
     # movingAverage/Median/Min/Max/Sum and movingWindow are DISPATCH
     # forms (preview fetch + exclusive preceding-points window, the
     # graphite-web 1.1 movingWindow contract) — see evaluate_target
-    "stdev": render.stdev,
+    "stdev": lambda df, points=5, tol=0.1: render.stdev(
+        df, int(points), float(tol)
+    ),
     # timeShift is a DISPATCH form (shifts the fetch window with the
     # graphite sign convention) — see evaluate_target
-    "timeSlice": lambda df, a, b: render.time_slice(df, int(a), int(b)),
+    # at-style start/end (upstream parses with parseATTime; the end
+    # defaults to 'now')
+    "timeSlice": lambda df, a, b="now": render.time_slice(
+        df,
+        _parse_time(str(a), 0, int(_time.time())),
+        _parse_time(str(b), int(_time.time()), int(_time.time())),
+    ),
     "delay": render.delay,
     "keepLastValue": render.keep_last_value,
     "transformNull": render.transform_null,
@@ -207,7 +215,13 @@ _FUNCS = {
         F.lit(name).alias("path"), "time", "value"
     ),
     "nPercentile": render.n_percentile,
-    "sortByName": render.sort_by_name,
+    "sortByName": lambda df, natural=False, reverse=False: (
+        render.sort_by_name(
+            df,
+            str(natural).lower() in ("true", "1"),
+            str(reverse).lower() in ("true", "1"),
+        )
+    ),
     # exponentialMovingAverage is a DISPATCH form (preview fetch +
     # SMA seed, the functions.rst formula) — see evaluate_target
     "squareRoot": render.square_root,
@@ -240,7 +254,11 @@ _FUNCS = {
     ),
     "removeAbovePercentile": render.remove_above_percentile,
     "removeBelowPercentile": render.remove_below_percentile,
-    "percentileOfSeries": render.percentile_of_series,
+    "percentileOfSeries": lambda df, n, interp=False: (
+        render.percentile_of_series(
+            df, float(n), str(interp).lower() in ("true", "1")
+        )
+    ),
     "stddevSeries": render.stddev_series,
     "substr": lambda df, a=0, b=0: render.substr_path(df, int(a), int(b)),
     "aliasByMetric": render.alias_by_metric,
@@ -1112,6 +1130,29 @@ def evaluate_target(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+    if expr.name == "linearRegression" and len(expr.args) > 1:
+        # linearRegression(series, startSourceAt, endSourceAt): fit
+        # on the at-style SOURCE window, draw the fitted line over
+        # the request window (functions.rst: 'source of the second
+        # argument... useful for filtering out a recent change')
+        wall = int(_time.time())
+        s0 = _parse_time(str(expr.args[1]), t0, wall)
+        s1 = (
+            _parse_time(str(expr.args[2]), t1, wall)
+            if len(expr.args) > 2
+            else t1
+        )
+        src = evaluate_target(expr.args[0], store, s0, s1, ctx)
+        fit = render.linear_regression_fit(src)
+        req = evaluate_target(expr.args[0], store, t0, t1, ctx)
+        val = (
+            F.col("slope")
+            * (F.col("time") - F.col("anchor")).cast("double")
+            + F.col("intercept")
+        )
+        return req.join(F.broadcast(fit), "path").select(
+            "path", "time", val.alias("value")
+        )
     if expr.name == "areaBetween":
         # graphite-web 1.1: asserts exactly 2 series and renames BOTH
         # to 'areaBetween(%s)' % upper.pathExpression (the fill range
@@ -1213,11 +1254,49 @@ def evaluate_target(
         a = evaluate_target(expr.args[0], store, t0, t1, ctx)
         if len(expr.args) == 1 and expr.name == "asPercent":
             return render.as_percent(a)
+        if expr.name == "asPercent" and isinstance(
+            expr.args[1], (int, float)
+        ):
+            # asPercent(seriesList, total) with a CONSTANT total
+            # (functions.rst: 'a constant may be passed')
+            tot = float(expr.args[1])
+            pct = (
+                F.lit(None).cast("double")
+                if tot == 0
+                else F.col("value") * 100 / F.lit(tot)
+            )
+            return a.select("path", "time", pct.alias("value"))
         b = evaluate_target(expr.args[1], store, t0, t1, ctx)
         if expr.name == "diffSeries":
             return render.diff_series(a, b)
         if expr.name == "divideSeries":
             return render.divide_series(a, b)
+        if len(expr.args) > 2:
+            # asPercent(seriesList, totalList, *nodes): series pair
+            # up BY NODE KEY — each dividend divides by the total
+            # sum of the series sharing its selected path segments
+            # (functions.rst's node-grouped form)
+            segs = F.split(F.col("path"), r"\.")
+            key = F.concat_ws(
+                ".",
+                *[
+                    render._node_item(segs, int(n))
+                    for n in expr.args[2:]
+                ],
+            )
+            tk = (
+                b.select(key.alias("__k"), "time", "value")
+                .groupBy("__k", "time")
+                .agg(F.sum("value").alias("__tot"))
+            )
+            ak = a.select(key.alias("__k"), "path", "time", "value")
+            pct = F.when(
+                F.col("__tot").isNotNull() & (F.col("__tot") != 0),
+                F.col("value") * 100 / F.col("__tot"),
+            )
+            return ak.join(tk, ["__k", "time"], "left").select(
+                "path", "time", pct.alias("value")
+            )
         # asPercent(seriesList, totalList): each dividend series as a
         # percent of the total's per-timestamp sum, KEEPING its own
         # path (routing through divide_series merged all dividends

@@ -149,7 +149,7 @@ def group_by_node(
 
     Cross-series aggregation per timestamp; sums run in DECIMAL when
     ``exact`` (engine-stable)."""
-    key = F.split(F.col("path"), r"\.").getItem(node).alias("path")
+    key = _node_item(F.split(F.col("path"), r"\."), node).alias("path")
     v = F.col("value").cast("decimal(32,6)") if exact else F.col("value")
     grouped = series.select(key, "time", v.alias("v")).groupBy("path", "time")
     if func == "sum":
@@ -305,6 +305,30 @@ def _per_series_stat(series: DataFrame, func: str) -> DataFrame:
         )
     if func in ("sum", "total"):
         return per_path.agg(F.sum(v).cast("double").alias("stat"))
+    # the rest of graphite's aggFuncTable (usable wherever an
+    # aggregation name is accepted: highest/lowest, sortBy, ...)
+    if func == "median":
+        return per_path.agg(
+            F.expr("percentile(value, 0.5)").alias("stat")
+        )
+    if func == "stddev":
+        return per_path.agg(F.stddev_pop("value").alias("stat"))
+    if func == "count":
+        return per_path.agg(F.count("value").cast("double").alias("stat"))
+    if func in ("range", "rangeOf"):
+        return per_path.agg(
+            (F.max("value") - F.min("value")).alias("stat")
+        )
+    if func == "last":
+        return per_path.agg(
+            F.max_by("value", F.col("time")).cast("double").alias("stat")
+        )
+    if func == "first":
+        return per_path.agg(
+            F.min_by("value", F.col("time")).cast("double").alias("stat")
+        )
+    if func == "multiply":
+        return per_path.agg(F.product("value").alias("stat"))
     raise ValueError(f"unsupported func {func}")
 
 
@@ -382,22 +406,33 @@ def offset_to_zero(series: DataFrame) -> DataFrame:
     )
 
 
-def stdev(series: DataFrame, points: int = 5) -> DataFrame:
-    """Graphite ``stdev(series, points)``: trailing population stddev
-    over the last ``points`` samples.
+def stdev(
+    series: DataFrame, points: int = 5, window_tolerance: float = 0.1
+) -> DataFrame:
+    """Graphite ``stdev(series, points, windowTolerance=0.1)``:
+    trailing population stddev over the last ``points`` samples; a
+    window whose NULL fraction exceeds ``windowTolerance`` emits
+    None instead (upstream skips the calculation when too much of
+    the window is missing — explicit null rows, e.g. from upstream
+    transforms, count against the budget; absent grid slots cannot,
+    since the row window only sees materialized rows).
 
     Integer-exact moment sums (values scaled to 2-decimal ints), one
     double division, one sqrt — bit-identical across engines."""
     frame = _w().rowsBetween(-(points - 1), 0)
     x = F.round(F.col("value") * 100).cast("long")
     n = F.count("value").over(frame)
+    rows = F.count(F.lit(1)).over(frame)
     sx = F.sum(x).over(frame)
     sxx = F.sum(x * x).over(frame)
     # var = (n*sxx - sx^2) / (n^2 * 10^4); exact integers until the cast
     num = (n * sxx - sx * sx).cast("double")
     den = (n * n * F.lit(10000)).cast("double")
+    ok = (rows - n).cast("double") <= F.lit(float(window_tolerance)) * rows
+    # n > 0 keeps the 0/0 division out of an all-null window even
+    # under a permissive tolerance (ANSI would error, not NaN)
     return series.select(
-        "path", "time", F.sqrt(num / den).alias("value")
+        "path", "time", F.when(ok & (n > 0), F.sqrt(num / den)).alias("value")
     )
 
 
@@ -816,11 +851,20 @@ def grep(series: DataFrame, pattern: str) -> DataFrame:
     return series.filter(F.col("path").rlike(pattern))
 
 
+def _node_item(segs, n: int):
+    """One 0-based path segment; negative indices count from the end
+    (functions.rst aliasByNode: 'takes one or more node positions...
+    negative numbers count backwards'). element_at is 1-based and
+    handles the negative form natively."""
+    n = int(n)
+    return F.element_at(segs, n + 1 if n >= 0 else n)
+
+
 def alias_by_node(series: DataFrame, *nodes: int) -> DataFrame:
     """Graphite ``aliasByNode``: rename each series to the selected
-    dot-segments of its path (0-based)."""
+    dot-segments of its path (0-based; negatives from the end)."""
     segs = F.split(F.col("path"), r"\.")
-    new_path = F.concat_ws(".", *[segs.getItem(n) for n in nodes])
+    new_path = F.concat_ws(".", *[_node_item(segs, n) for n in nodes])
     return series.select(
         new_path.alias("path"), "time", "value"
     )
@@ -846,6 +890,29 @@ def _graphite_percentile(sorted_arr, n: float):
     )
     idx = F.greatest(F.lit(1), F.least(rank, k))  # 1-based, clamped
     return F.get(sorted_arr, idx - F.lit(1))
+
+
+def _graphite_percentile_interp(sorted_arr, n: float):
+    """graphite-web 1.1 ``_getPercentile(points, n,
+    interpolate=True)``: rank = int(fr) without the ceil bump, base =
+    sorted[rank-1] (rank 0 -> first), then linear interpolation
+    toward sorted[rank] by the fractional rank (skipped at the top
+    edge, upstream's ``rank != len(sortedPoints)`` guard). NOTE this
+    is upstream's own formula, not Spark's percentile() — the two
+    disagree on interior points (type-6 vs type-7 quantiles)."""
+    k = F.size(sorted_arr)
+    fr = F.lit(float(n) / 100.0) * (k + F.lit(1)).cast("double")
+    rank = F.floor(fr).cast("int")
+    frac = fr - rank.cast("double")
+    base = (
+        F.when(rank <= 0, F.get(sorted_arr, 0))
+        .when(rank - 1 >= k, F.get(sorted_arr, k - 1))
+        .otherwise(F.get(sorted_arr, rank - 1))
+    )
+    nxt = F.get(sorted_arr, F.least(rank, k - 1))
+    return F.when(
+        (rank < k) & nxt.isNotNull(), base + frac * (nxt - base)
+    ).otherwise(base)
 
 
 def _sorted_values_over(partition_cols: Sequence[str]):
@@ -1045,10 +1112,32 @@ def integral_by_interval(series: DataFrame, interval_s: int) -> DataFrame:
     )
 
 
-def sort_by_name(series: DataFrame, descending: bool = False) -> DataFrame:
-    """Graphite ``sortByName``: order output by series name (then
-    time). Ordering is presentation-level; the rows are unchanged."""
-    p = F.col("path").desc() if descending else F.col("path").asc()
+def sort_by_name(
+    series: DataFrame, natural: bool = False, reverse: bool = False
+) -> DataFrame:
+    """Graphite ``sortByName(seriesList, natural=False,
+    reverse=False)``: order output by series name (then time).
+    ``natural`` is upstream's natural sort — digit runs compare
+    numerically, so 'server2' precedes 'server10' (implemented by
+    zero-padding each digit run to 12 places in the sort key);
+    ``reverse`` flips the order. Ordering is presentation-level; the
+    rows are unchanged."""
+    if natural:
+        parts = F.split(
+            F.col("path"), r"(?<=\D)(?=\d)|(?<=\d)(?=\D)"
+        )
+        key = F.array_join(
+            F.transform(
+                parts,
+                lambda p: F.when(
+                    p.rlike("^[0-9]+$"), F.lpad(p, 12, "0")
+                ).otherwise(p),
+            ),
+            "",
+        )
+    else:
+        key = F.col("path")
+    p = key.desc() if reverse else key.asc()
     return series.orderBy(p, F.col("time"))
 
 
@@ -1079,6 +1168,36 @@ def linear_regression_series(series: DataFrame) -> DataFrame:
     return series.select(
         "path", "time", (slope * t + intercept).alias("value")
     )
+
+
+def linear_regression_fit(series: DataFrame) -> DataFrame:
+    """Per-path OLS coefficient table for
+    ``linearRegression(series, startSourceAt, endSourceAt)`` — the
+    fit runs over a SOURCE window and is then projected onto the
+    request window, so the coefficients must come out as data:
+    ``(path, anchor, slope, intercept)`` with t anchored at each
+    path's earliest source point (same anchoring as
+    :func:`linear_regression_series`). Series-cardinality output —
+    broadcast-joinable back onto any fetch."""
+    wp = Window.partitionBy("path")
+    t = (F.col("time") - F.min("time").over(wp)).cast("double")
+    y = F.col("value")
+    n = F.count(y).over(wp).cast("double")
+    st = F.sum(t).over(wp)
+    stt = F.sum(t * t).over(wp)
+    sy = F.sum(y).over(wp)
+    sty = F.sum(t * y).over(wp)
+    den = n * stt - st * st
+    slope = F.when(den != 0, (n * sty - st * sy) / den).otherwise(
+        F.lit(0.0)
+    )
+    intercept = (sy - slope * st) / n
+    return series.select(
+        "path",
+        F.min("time").over(wp).alias("anchor"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).distinct()
 
 
 def average_outside_percentile(series: DataFrame, n: float) -> DataFrame:
@@ -1282,7 +1401,7 @@ def weighted_average(
     lexically-largest path (graphite keys a dict per node-key; this
     makes the overwrite deterministic)."""
     segs = F.split(F.col("path"), r"\.")
-    key = F.concat_ws(".", *[segs.getItem(int(n)) for n in nodes])
+    key = F.concat_ws(".", *[_node_item(segs, n) for n in nodes])
 
     def keyed(df, out):
         return (
@@ -1480,17 +1599,23 @@ def remove_below_percentile(series: DataFrame, n: float) -> DataFrame:
     return series.select("path", "time", v.alias("value"))
 
 
-def percentile_of_series(series: DataFrame, n: float) -> DataFrame:
-    """Graphite ``percentileOfSeries``: the n-th percentile ACROSS
-    series per timestamp, as one output series (upstream's
-    rank-based :func:`_graphite_percentile`, r12)."""
+def percentile_of_series(
+    series: DataFrame, n: float, interpolate: bool = False
+) -> DataFrame:
+    """Graphite ``percentileOfSeries(seriesList, n,
+    interpolate=False)``: the n-th percentile ACROSS series per
+    timestamp, as one output series — upstream's rank-based
+    :func:`_graphite_percentile`, or its linear-interpolation form
+    when the third arg is true (r12)."""
+    arr = F.sort_array(F.collect_list("value"))
+    pv = (
+        _graphite_percentile_interp(arr, n)
+        if interpolate
+        else _graphite_percentile(arr, n)
+    )
     return (
         series.groupBy("time")
-        .agg(
-            _graphite_percentile(
-                F.sort_array(F.collect_list("value")), n
-            ).alias("value")
-        )
+        .agg(pv.alias("value"))
         .select(F.lit("percentileOfSeries").alias("path"), "time", "value")
     )
 
@@ -1629,7 +1754,7 @@ def group_by_nodes(
     generalization of :func:`group_by_node`); same single-shuffle
     partial-aggregating groupBy."""
     segs = F.split(F.col("path"), r"\.")
-    key = F.concat_ws(".", *[segs.getItem(int(n)) for n in nodes])
+    key = F.concat_ws(".", *[_node_item(segs, n) for n in nodes])
     return _group_agg(series, key, func)
 
 

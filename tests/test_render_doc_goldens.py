@@ -1671,3 +1671,120 @@ def test_interval_unit_spellings(store):
     for iv in ("1hour", "1h", "1day", "1week", "1month", "1year"):
         got = _one(store, f"summarize(web.a, '{iv}', 'sum', true)")
         assert got == {BASE: 21.0}, iv
+
+
+# --- tier 11: documented optional-argument forms (found by a
+# --- signature sweep over functions.rst's examples) -------------------
+
+
+def test_as_percent_constant_and_nodes(store, store5):
+    """functions.rst asPercent: 'a constant may be passed' —
+    asPercent(web.a, 10) = value * 100 / 10; and the node-grouped
+    form pairs series BY NODE KEY: asPercent(srv.*.disk.used,
+    srv.*.disk.total, 1) divides each server's used by ITS OWN
+    total (30% and 25%), not by the global sum."""
+    got = _one(store, "asPercent(web.a, 10)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [
+        10.0, 20.0, 40.0, 40.0, 100.0
+    ]
+    got = _got(store5, "asPercent(srv.*.disk.used, srv.*.disk.total, 1)")
+    by_path = {}
+    for (p, _), v in got.items():
+        by_path.setdefault(p, set()).add(v)
+    assert by_path == {
+        "srv.s1.disk.used": {30.0},
+        "srv.s2.disk.used": {25.0},
+    }
+
+
+def test_alias_by_node_negative(store):
+    """functions.rst aliasByNode: negative node positions count from
+    the END of the path."""
+    got = _got(store, "aliasByNode(ganglia.*.cpu.load5, -1)")
+    assert {p for p, _ in got} == {"load5"}
+    got = _got(store, "aliasByNode(ganglia.*.cpu.load5, 0, -2)")
+    assert {p for p, _ in got} == {"ganglia.cpu"}
+
+
+def test_sort_by_name_natural_and_reverse(spark):
+    """functions.rst sortByName(seriesList, natural=False,
+    reverse=False): natural sorting treats digit runs numerically
+    ('server2' before 'server10'); reverse flips the order."""
+    lines = []
+    for name in ("srv2.x", "srv10.x", "srv1.x"):
+        lines.append(f"{name} 1 {BASE}")
+    st = _mkstore(spark, lines)
+
+    def order(target):
+        out = evaluate_target(
+            parse_target(target), st, BASE, BASE + 60
+        ).collect()
+        seen = []
+        for r in out:
+            if r.path not in seen:
+                seen.append(r.path)
+        return seen
+
+    assert order("sortByName(srv*.x)") == ["srv1.x", "srv10.x", "srv2.x"]
+    assert order("sortByName(srv*.x, true)") == [
+        "srv1.x", "srv2.x", "srv10.x"
+    ]
+    assert order("sortByName(srv*.x, true, true)") == [
+        "srv10.x", "srv2.x", "srv1.x"
+    ]
+
+
+def test_percentile_of_series_interpolate(store):
+    """_getPercentile(points, 50, interpolate=True): fr = 0.5*(k+1);
+    over the two series' values the rank-based default returns the
+    UPPER value while the interpolated form returns the midpoint."""
+    upper = _one(store, "percentileOfSeries(web.*, 50)")
+    interp = _one(store, "percentileOfSeries(web.*, 50, true)")
+    # values at BASE: {1, 2} -> default 2, interpolated 1.5
+    assert upper[BASE] == 2.0
+    assert interp[BASE] == 1.5
+    # at BASE+240: {10, 2} -> default 10, interpolated 6
+    assert upper[BASE + 240] == 10.0
+    assert interp[BASE + 240] == 6.0
+
+
+def test_highest_median_func(store):
+    """highest/lowest accept every aggFuncTable name — by median,
+    web.a (4) beats web.b (2)."""
+    got = _got(store, "highest(web.*, 1, 'median')")
+    assert {p for p, _ in got} == {"web.a"}
+    got = _got(store, "lowest(web.*, 1, 'median')")
+    assert {p for p, _ in got} == {"web.b"}
+
+
+def test_stdev_window_tolerance(store):
+    """functions.rst stdev(seriesList, points, windowTolerance=0.1):
+    'Draw the Standard Deviation of all metrics passed for the past
+    N datapoints... windowTolerance adjusts the ratio of missing to
+    present values allowed' — derivative(ctr.reqs) opens with a null,
+    so a zero tolerance nulls the first windows while 0.5 admits the
+    one-null window."""
+    strict = _one(store, "stdev(derivative(ctr.reqs), 2, 0)")
+    loose = _one(store, "stdev(derivative(ctr.reqs), 2, 0.5)")
+    assert strict[BASE + 60] is None  # [None, 15]: 1 of 2 missing
+    assert loose[BASE + 60] == 0.0    # stddev_pop of the single 15
+    # a full window behaves identically under both tolerances
+    assert strict[BASE + 120] == loose[BASE + 120] == 7.5
+
+
+def test_linear_regression_source_window(store):
+    """functions.rst linearRegression(series, startSourceAt,
+    endSourceAt): 'graphs the linear regression function... fitted
+    to the source time window' — fit on [BASE, BASE+120] (values
+    1,2,4 at t=0,60,120: slope = 540/21600 = 0.025/s = 1.5/step,
+    intercept 5/6 at the anchor) and draw over the full request
+    window."""
+    got = _one(
+        store, f"linearRegression(web.a, {BASE}, {BASE + 120})"
+    )
+    want = {
+        BASE + 60 * i: 5.0 / 6.0 + 1.5 * i
+        for i in range(5)
+    }
+    for t in want:
+        assert got[t] == pytest.approx(want[t], abs=1e-9), t
