@@ -1241,13 +1241,21 @@ def evaluate_target(
             str(expr.args[2]) if expr.name == "movingWindow" and len(expr.args) > 2
             else _MOVING_FORMS.get(expr.name, "avg")
         )
+        # movingWindow's 4th arg: xFilesFactor — windows with too
+        # many nulls emit None (the ctx hint from setXFilesFactor
+        # applies when the call carries none)
+        xff = None
+        if expr.name == "movingWindow" and len(expr.args) > 3:
+            xff = float(expr.args[3])
+        elif ctx is not None and "xFilesFactor" in (ctx or {}):
+            xff = float(ctx["xFilesFactor"])
         kw = _movwin(p)
         preview = kw.get("window_s") or kw["points"] * 60
         df = evaluate_target(expr.args[0], store, t0 - preview, t1, ctx)
         if fn in ("avg", "average"):
-            out = render.moving_average(df, exclusive=True, **kw)
+            out = render.moving_average(df, exclusive=True, xff=xff, **kw)
         else:
-            out = render.moving(df, fn, exclusive=True, **kw)
+            out = render.moving(df, fn, exclusive=True, xff=xff, **kw)
         return out.filter(F.col("time") >= F.lit(t0))
     # two-series combiners dispatch on BOTH args
     if expr.name in ("diffSeries", "divideSeries", "asPercent"):

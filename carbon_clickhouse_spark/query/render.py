@@ -82,6 +82,7 @@ def moving_average(
     points: int = 5,
     window_s: int | None = None,
     exclusive: bool = False,
+    xff: float | None = None,
 ) -> DataFrame:
     """Moving average over the last ``points`` samples, or — when
     ``window_s`` is given (Graphite's quoted-interval form,
@@ -113,8 +114,15 @@ def moving_average(
         )
     s = F.sum(F.col("value").cast("decimal(32,6)")).over(frame).cast("double")
     n = F.count("value").over(frame)
+    ok = n > 0
+    if xff is not None:
+        # movingWindow xFilesFactor: a window whose non-null fraction
+        # falls below xff emits None (explicit null rows count
+        # against the budget; absent grid slots cannot)
+        rows = F.count(F.lit(1)).over(frame)
+        ok = ok & (n.cast("double") >= F.lit(float(xff)) * rows)
     return series.select(
-        "path", "time", F.when(n > 0, s / n).alias("value")
+        "path", "time", F.when(ok, s / n).alias("value")
     )
 
 
@@ -1032,6 +1040,7 @@ def moving(
     points: int = 5,
     window_s: int | None = None,
     exclusive: bool = False,
+    xff: float | None = None,
 ) -> DataFrame:
     """Graphite ``movingMedian / movingMin / movingMax / movingSum``:
     window of the last ``points`` values per series, or of the
@@ -1063,6 +1072,12 @@ def moving(
         v = F.sum("value").over(w)
     else:
         raise ValueError(f"unsupported func {func}")
+    if xff is not None:
+        n = F.count("value").over(w)
+        rows = F.count(F.lit(1)).over(w)
+        v = F.when(
+            n.cast("double") >= F.lit(float(xff)) * rows, v
+        )
     return series.select("path", "time", v.alias("value"))
 
 

@@ -1788,3 +1788,18 @@ def test_linear_regression_source_window(store):
     }
     for t in want:
         assert got[t] == pytest.approx(want[t], abs=1e-9), t
+
+
+def test_moving_window_x_files_factor(store):
+    """functions.rst movingWindow(seriesList, windowSize,
+    func='average', xFilesFactor=None): 'if the ratio of non-null
+    points in the window is below xFilesFactor, None is returned' —
+    derivative(ctr.reqs) opens with a null, so the window covering
+    it passes at xff 0.5 but fails at 0.9."""
+    loose = _one(store, "movingWindow(derivative(ctr.reqs), 2, 'average', 0.5)")
+    strict = _one(store, "movingWindow(derivative(ctr.reqs), 2, 'average', 0.9)")
+    # window at BASE+120 holds [None, 15]: 1 of 2 present
+    assert loose[BASE + 120] == 15.0
+    assert strict[BASE + 120] is None
+    # full windows agree under both
+    assert loose[BASE + 180] == strict[BASE + 180] == 7.5
