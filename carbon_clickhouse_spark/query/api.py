@@ -269,7 +269,9 @@ _FUNCS = {
     # newer graphite-web accepts an xFilesFactor third arg; the
     # parquet store has no gap-filled buckets for it to act on, so it
     # is accepted and ignored rather than 400ing dashboards
-    "aggregate": lambda df, fn="sum", *_xff: render.aggregate_series(df, fn),
+    "aggregate": lambda df, fn="sum", xff=None: render.aggregate_series(
+        df, str(fn), None if xff is None else float(xff)
+    ),
     "groupByNodes": lambda df, fn, *nodes: render.group_by_nodes(
         df, fn, *[int(n) for n in nodes]
     ),

@@ -1719,12 +1719,35 @@ _AGG_FUNCS = ("sum", "avg", "max", "min", "median", "count", "range",
               "stddev", "multiply", "last")
 
 
-def aggregate_series(series: DataFrame, func: str = "sum") -> DataFrame:
-    """Graphite ``aggregate(seriesList, 'func')`` — the modern generic
-    form of the *Series combiners. Extends :func:`combine_series` with
-    median / count / range / stddev / multiply / last (elementwise
-    across series per timestamp; 'last' = the value of the
-    lexically-last series present, deterministic)."""
+def aggregate_series(
+    series: DataFrame, func: str = "sum", xff: float | None = None
+) -> DataFrame:
+    """Graphite ``aggregate(seriesList, 'func', xFilesFactor=None)``
+    — the modern generic form of the *Series combiners. Extends
+    :func:`combine_series` with median / count / range / stddev /
+    multiply / last / diff (elementwise across series per timestamp;
+    'last' = the value of the lexically-last series present,
+    deterministic). With ``xff``, a timestamp where fewer than that
+    fraction of the list's series are present emits None (the
+    upstream xFilesFactor contract); the series count is one
+    broadcast scalar."""
+    if xff is not None:
+        out = aggregate_series(series, func)
+        pres = series.groupBy("time").agg(
+            F.count("value").alias("__n")
+        )
+        total = series.agg(F.countDistinct("path").alias("__t"))
+        ok = F.col("__n").cast("double") >= (
+            F.lit(float(xff)) * F.col("__t").cast("double")
+        )
+        return (
+            out.join(pres, "time", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "path", "time",
+                F.when(ok, F.col("value")).alias("value"),
+            )
+        )
     name = {"average": "avg", "total": "sum", "rangeOf": "range",
             "prod": "multiply"}.get(func, func)
     if name in ("sum", "avg", "max", "min"):

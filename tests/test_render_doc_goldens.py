@@ -1803,3 +1803,23 @@ def test_moving_window_x_files_factor(store):
     assert strict[BASE + 120] is None
     # full windows agree under both
     assert loose[BASE + 180] == strict[BASE + 180] == 7.5
+
+
+def test_aggregate_x_files_factor(store):
+    """functions.rst aggregate(seriesList, func, xFilesFactor):
+    'a timestamp where fewer than xFilesFactor of the series have
+    values is not aggregated' — over web.* and the single-series
+    ctr.reqs timeline, transformNull keeps both series' grids;
+    requesting xff above the present fraction nulls the point."""
+    # both web series present everywhere: xff 1.0 keeps every point
+    got = _one(store, "aggregate(web.*, 'sum', 1.0)")
+    assert [got[BASE + 60 * i] for i in range(5)] == [
+        3.0, 4.0, 6.0, 6.0, 12.0
+    ]
+    # derivative nulls web.a's first point -> at BASE only 1 of 2
+    # series present: xff 1.0 nulls it, xff 0.5 keeps it
+    strict = _one(store, "aggregate(group(derivative(web.a), web.b), 'sum', 1.0)")
+    loose = _one(store, "aggregate(group(derivative(web.a), web.b), 'sum', 0.5)")
+    assert strict[BASE] is None
+    assert loose[BASE] == 2.0
+    assert strict[BASE + 60] == loose[BASE + 60] == 3.0
