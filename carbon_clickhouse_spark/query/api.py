@@ -1204,7 +1204,10 @@ def evaluate_target(
         # graphite-web 1.1: shift the FETCH window itself (back in
         # time by default), then stamp the shifted data onto the
         # requested timestamps — evaluating the inner expression over
-        # [t0, t1] and relabeling times would leave the window empty
+        # [t0, t1] and relabeling times would leave the window empty.
+        # The optional resetEnd/alignDST args are ACCEPTED and inert:
+        # restamping confines data to [t0, t1] (= resetEnd's effect),
+        # and the session TZ is pinned UTC, where alignDST is a no-op
         delta = _shift_seconds(
             expr.args[1] if len(expr.args) > 1 else "1d"
         )

@@ -94,3 +94,37 @@ def test_catalog_count_sanity():
     # the 1.1 docs list ~143 functions; a pin mangled by a bad merge
     # (duplicated words collapse in a set) should fail loudly
     assert len(GRAPHITE_WEB_1_1_FUNCTIONS) == 143
+
+
+def test_catalog_is_behavior_pinned():
+    """r12: every catalog function appears in the SEMANTIC golden
+    suite (tests/test_render_doc_goldens.py), not just the name
+    registry — a future catalog addition without a doc-cited golden
+    turns this red. A few functions are exercised through loops or
+    f-strings rather than a literal call; they are allowlisted with
+    the indirection that covers them."""
+    import re
+
+    src = open(
+        "tests/test_render_doc_goldens.py", encoding="utf-8"
+    ).read()
+    #: covered via a loop or alias the regex can't see:
+    #: highest* via the ("highestMax", ...) loop, the HW area leg
+    #: via an f-string suffix, randomWalkFunction via its documented
+    #: short alias randomWalk
+    INDIRECT = {
+        "highestAverage": 'for fn in ("highestMax"',
+        "highestCurrent": 'for fn in ("highestMax"',
+        "highestMax": 'for fn in ("highestMax"',
+        "holtWintersConfidenceArea": "holtWintersConfidenceArea{kw}",
+        "randomWalkFunction": "randomWalk('rw'",
+    }
+    missing = []
+    for f in sorted(GRAPHITE_WEB_1_1_FUNCTIONS):
+        if re.search(r"\b" + re.escape(f) + r"\(", src):
+            continue
+        probe = INDIRECT.get(f)
+        if probe and probe in src:
+            continue
+        missing.append(f)
+    assert not missing, f"catalog functions without a golden: {missing}"
