@@ -1800,6 +1800,39 @@ class RenderApi:
                             self.end_headers()
                             self.wfile.write(body)
                             return
+                        fmt = q.get("format", ["treejson"])[0]
+                        if fmt == "completer":
+                            # graphite-web completer: {'metrics':
+                            # [{path, name, is_leaf}]} — branch paths
+                            # carry a trailing dot, is_leaf is a
+                            # string flag, wildcards=1 appends a '*'
+                            # entry (metrics/views.py)
+                            results = [
+                                {
+                                    "path": p + ("" if leaf else "."),
+                                    "name": p.rsplit(".", 1)[-1],
+                                    "is_leaf": str(int(leaf)),
+                                }
+                                for p, leaf in nodes
+                            ]
+                            if q.get("wildcards", ["0"])[0] == "1":
+                                results.append({"name": "*"})
+                            self._json({"metrics": results})
+                            return
+                        if fmt == "nodelist":
+                            # graphite-web nodelist: unique node
+                            # names at the query position
+                            self._json(
+                                {
+                                    "nodes": sorted(
+                                        {
+                                            p.rsplit(".", 1)[-1]
+                                            for p, _ in nodes
+                                        }
+                                    )
+                                }
+                            )
+                            return
                         out = [
                             {
                                 "text": p.rsplit(".", 1)[-1],

@@ -979,3 +979,35 @@ def test_render_max_data_points_honors_consolidate_by(store):
         assert [v for v, _ in series[0]["datapoints"]] == [1.0, 5.0]
     finally:
         api.stop()
+
+
+def test_metrics_find_completer_and_nodelist(store):
+    """graphite-web /metrics/find formats beyond treejson:
+    'completer' returns {'metrics': [{path, name, is_leaf}]} with a
+    trailing dot on branch paths and string is_leaf flags (plus a
+    '*' entry under wildcards=1); 'nodelist' returns the unique node
+    names at the query position."""
+    api = RenderApi(store).start()
+    try:
+        base = f"http://127.0.0.1:{api.port}/metrics/find"
+        with urllib.request.urlopen(
+            base + "?query=dc.*&format=completer"
+        ) as r:
+            got = json.loads(r.read())
+        assert {m["name"] for m in got["metrics"]} >= {"h1"}
+        for m in got["metrics"]:
+            assert m["is_leaf"] in ("0", "1")
+            if m["is_leaf"] == "0":
+                assert m["path"].endswith(".")
+        with urllib.request.urlopen(
+            base + "?query=dc.*&format=completer&wildcards=1"
+        ) as r:
+            got = json.loads(r.read())
+        assert got["metrics"][-1] == {"name": "*"}
+        with urllib.request.urlopen(
+            base + "?query=dc.*&format=nodelist"
+        ) as r:
+            got = json.loads(r.read())
+        assert "h1" in got["nodes"] == sorted(got["nodes"])
+    finally:
+        api.stop()
