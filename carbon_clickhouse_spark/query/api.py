@@ -677,6 +677,16 @@ class GraphiteStore:
         (the /tags/findSeries endpoint)."""
         if self.tagged is None:
             raise ValueError("store has no tagged table")
+        df = self._tagged_matching(terms)
+        return sorted(
+            r["path"] for r in df.select("path").distinct().collect()
+        )
+
+    def _tagged_matching(self, terms: list[str]):
+        """Tagged rows matching seriesByTag-grammar terms — the
+        shared scan behind /tags/findSeries and the expr-filtered
+        autocomplete endpoints: first equality term drives the
+        indexed tag1 prefix, the rest post-filter the Tags array."""
         parsed = []  # (key, op, value)
         for t in terms:
             m = re.fullmatch(r"\s*([^!=~]+?)\s*(!=~|=~|!=|=)\s*(.*)", t)
@@ -719,39 +729,91 @@ class GraphiteStore:
             else:  # !=~
                 cond = ~val.rlike(v)
             df = df.filter(cond)
-        return sorted(
-            r["path"] for r in df.select("path").distinct().collect()
-        )
+        return df
 
-    def tag_names(self, prefix: str = "") -> list[str]:
-        """Distinct tag keys (autocomplete)."""
+    def tag_names(
+        self,
+        prefix: str = "",
+        exprs: list[str] | None = None,
+        limit: int | None = None,
+    ) -> list[str]:
+        """Distinct tag keys (autocomplete). ``exprs`` restricts to
+        series matching seriesByTag-grammar terms (graphite-web's
+        /tags/autoComplete/tags?expr=...); ``limit`` caps the sorted
+        result (upstream defaults to 100)."""
         if self.tagged is None:
             return []
-        keys = self.tagged.select(
-            F.split_part(F.col("tag1"), F.lit("="), F.lit(1)).alias("k")
-        ).distinct()
+        if exprs:
+            src = self._tagged_matching(exprs)
+            keys = src.select(
+                F.explode(
+                    F.transform(
+                        F.col("tags"),
+                        lambda tg: F.split_part(
+                            tg, F.lit("="), F.lit(1)
+                        ),
+                    )
+                ).alias("k")
+            ).distinct()
+        else:
+            keys = self.tagged.select(
+                F.split_part(F.col("tag1"), F.lit("="), F.lit(1)).alias("k")
+            ).distinct()
         if prefix:
             keys = keys.filter(F.col("k").startswith(prefix))
-        return sorted(r["k"] for r in keys.collect())
+        out = sorted(r["k"] for r in keys.collect())
+        return out[:limit] if limit else out
 
-    def tag_values(self, tag: str, prefix: str = "") -> list[str]:
+    def tag_values(
+        self,
+        tag: str,
+        prefix: str = "",
+        exprs: list[str] | None = None,
+        limit: int | None = None,
+    ) -> list[str]:
         """Distinct values of one tag key (autocomplete). The tag1
         scan prefix-matches the CH ORDER BY key, same as
-        graphite-clickhouse."""
+        graphite-clickhouse. ``exprs`` restricts to series matching
+        seriesByTag-grammar terms (/tags/autoComplete/values?expr=);
+        ``limit`` caps the sorted result."""
         if self.tagged is None:
             return []
-        vals = (
-            self.tagged.filter(F.col("tag1").startswith(tag + "="))
-            .select(
-                F.substring(
-                    F.col("tag1"), len(tag) + 2, 10_000
-                ).alias("v")
+        if tag == "name":
+            tag = "__name__"
+        if exprs:
+            src = self._tagged_matching(exprs)
+            vals = (
+                src.select(
+                    F.explode(
+                        F.filter(
+                            F.transform(
+                                F.col("tags"),
+                                lambda tg: F.when(
+                                    tg.startswith(tag + "="),
+                                    F.substring(
+                                        tg, len(tag) + 2, 10_000
+                                    ),
+                                ),
+                            ),
+                            lambda x: x.isNotNull(),
+                        )
+                    ).alias("v")
+                ).distinct()
             )
-            .distinct()
-        )
+        else:
+            vals = (
+                self.tagged.filter(F.col("tag1").startswith(tag + "="))
+                .select(
+                    F.substring(
+                        F.col("tag1"), len(tag) + 2, 10_000
+                    ).alias("v")
+                )
+                .distinct()
+            )
         if prefix:
             vals = vals.filter(F.col("v").startswith(prefix))
-        return sorted(r["v"] for r in vals.collect())
+        out = sorted(r["v"] for r in vals.collect())
+        return out[:limit] if limit else out
 
 
 def evaluate_target(
@@ -1856,14 +1918,26 @@ class RenderApi:
                     elif u.path == "/tags/findSeries":
                         self._json(store.find_series(q.get("expr", [])))
                     elif u.path == "/tags/autoComplete/tags":
+                        # expr= restricts to matching series; limit
+                        # caps the list (graphite-web defaults 100)
                         self._json(
-                            store.tag_names(q.get("tagPrefix", [""])[0])
+                            store.tag_names(
+                                q.get("tagPrefix", [""])[0],
+                                exprs=q.get("expr", []) or None,
+                                limit=int(
+                                    q.get("limit", ["100"])[0]
+                                ),
+                            )
                         )
                     elif u.path == "/tags/autoComplete/values":
                         self._json(
                             store.tag_values(
                                 q.get("tag", [""])[0],
                                 q.get("valuePrefix", [""])[0],
+                                exprs=q.get("expr", []) or None,
+                                limit=int(
+                                    q.get("limit", ["100"])[0]
+                                ),
                             )
                         )
                     elif u.path in ("/render", "/render/"):

@@ -1011,3 +1011,34 @@ def test_metrics_find_completer_and_nodelist(store):
         assert "h1" in got["nodes"] == sorted(got["nodes"])
     finally:
         api.stop()
+
+
+def test_tags_autocomplete_expr_and_limit(tagged_store):
+    """graphite-web /tags/autoComplete with expr filters: values of
+    one tag restricted to series matching the expressions, and the
+    tag-key list of matching series; limit caps both (upstream
+    default 100)."""
+    api = RenderApi(tagged_store).start()
+    try:
+        base = f"http://127.0.0.1:{api.port}/tags/autoComplete"
+        with urllib.request.urlopen(
+            base + "/values?tag=host&expr=env%3Dprod"
+        ) as r:
+            got = json.loads(r.read())
+        assert got == ["h1", "h3"]
+        with urllib.request.urlopen(
+            base + "/values?tag=host&expr=env%3Dprod&limit=1"
+        ) as r:
+            assert json.loads(r.read()) == ["h1"]
+        with urllib.request.urlopen(
+            base + "/tags?expr=env%3Ddev"
+        ) as r:
+            got = json.loads(r.read())
+        assert got == ["__name__", "env", "host"]
+        # the 'name' spelling resolves to the stored __name__ tag
+        with urllib.request.urlopen(
+            base + "/values?tag=name&expr=host%3Dh1"
+        ) as r:
+            assert json.loads(r.read()) == ["cpu.load"]
+    finally:
+        api.stop()
