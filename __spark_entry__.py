@@ -6229,7 +6229,7 @@ def _all_oracle_sql() -> dict[str, str]:
                  md5('7|' || CAST(event_id AS VARCHAR)) AS h,
                  row_number() OVER (
                    PARTITION BY event_type
-                   ORDER BY (sv IS NULL), md5('7|' || CAST(event_id AS VARCHAR))
+                   ORDER BY (sv IS NULL), md5('7|' || CAST(event_id AS VARCHAR)), sv
                  ) AS rn
           FROM base
         ), samp AS (

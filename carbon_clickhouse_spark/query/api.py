@@ -216,11 +216,7 @@ _FUNCS = {
     ),
     "nPercentile": render.n_percentile,
     "sortByName": lambda df, natural=False, reverse=False: (
-        render.sort_by_name(
-            df,
-            str(natural).lower() in ("true", "1"),
-            str(reverse).lower() in ("true", "1"),
-        )
+        render.sort_by_name(df, _boolish(natural), _boolish(reverse))
     ),
     # exponentialMovingAverage is a DISPATCH form (preview fetch +
     # SMA seed, the functions.rst formula) — see evaluate_target
@@ -255,9 +251,7 @@ _FUNCS = {
     "removeAbovePercentile": render.remove_above_percentile,
     "removeBelowPercentile": render.remove_below_percentile,
     "percentileOfSeries": lambda df, n, interp=False: (
-        render.percentile_of_series(
-            df, float(n), str(interp).lower() in ("true", "1")
-        )
+        render.percentile_of_series(df, float(n), _boolish(interp))
     ),
     "stddevSeries": render.stddev_series,
     "substr": lambda df, a=0, b=0: render.substr_path(df, int(a), int(b)),
@@ -294,7 +288,7 @@ _FUNCS = {
         df, float(xff)
     ),
     "sortBy": lambda df, fn="average", rev=False: render.sort_by(
-        df, str(fn), str(rev).lower() in ("true", "1")
+        df, str(fn), _boolish(rev)
     ),
     "highest": lambda df, n=1, fn="average": render.highest(
         df, int(n), {"average": "avg"}.get(str(fn), str(fn))
@@ -411,6 +405,12 @@ _UNIT_PREFIX_S = (
     ("w", 604800),
     ("y", 31536000),
 )
+
+
+def _boolish(v) -> bool:
+    """graphite target booleans arrive as bare tokens ('true'/'1') —
+    one parse for every boolean argument."""
+    return str(v).lower() in ("true", "1")
 
 
 def _unit_seconds(unit: str) -> int:
@@ -1220,17 +1220,25 @@ def evaluate_target(
     if expr.name == "areaBetween":
         # graphite-web 1.1: asserts exactly 2 series and renames BOTH
         # to 'areaBetween(%s)' % upper.pathExpression (the fill range
-        # reads as one legend entry); the data passes through
+        # reads as one legend entry); the data passes through. The
+        # original path rides along as __series so the response
+        # assembly emits TWO same-named targets (as upstream does)
+        # instead of merging their points into one garbled series.
         inner = evaluate_target(expr.args[0], store, t0, t1, ctx)
-        n = inner.select("path").distinct().count()
-        if n != 2:
+        paths = sorted(
+            r["path"] for r in inner.select("path").distinct().collect()
+        )
+        if len(paths) != 2:
             raise ValueError(
                 f"areaBetween series argument must reference exactly"
-                f" 2 series (got {n})"
+                f" 2 series (got {len(paths)})"
             )
         label = f"areaBetween({_unparse(expr.args[0])})"
         return inner.select(
-            F.lit(label).alias("path"), "time", "value"
+            F.lit(label).alias("path"),
+            "time",
+            "value",
+            F.col("path").alias("__series"),
         )
     if expr.name == "timeStack":
         # overlay N window-shifted copies of the inner expression
@@ -1308,17 +1316,28 @@ def evaluate_target(
             str(expr.args[2]) if expr.name == "movingWindow" and len(expr.args) > 2
             else _MOVING_FORMS.get(expr.name, "avg")
         )
-        # movingWindow's 4th arg: xFilesFactor — windows with too
-        # many nulls emit None (the ctx hint from setXFilesFactor
-        # applies when the call carries none)
+        kw = _movwin(p)
+        preview = kw.get("window_s") or kw["points"] * 60
+        # evaluate the inner expression BEFORE resolving the
+        # xFilesFactor so an inner setXFilesFactor lands its ctx hint
+        # first (upstream evaluates arguments before reading the
+        # requestContext default); a local ctx stands in when the
+        # caller passed none so the hint has somewhere to land
+        inner_ctx = ctx if ctx is not None else {}
+        df = evaluate_target(
+            expr.args[0], store, t0 - preview, t1, inner_ctx
+        )
+        # xFilesFactor: movingWindow's 4th arg, the named moving*
+        # forms' 3rd (movingAverage(s, w, xff) — graphite-web 1.1
+        # signatures); the setXFilesFactor hint applies when the
+        # call carries none. Windows with too many nulls emit None.
         xff = None
         if expr.name == "movingWindow" and len(expr.args) > 3:
             xff = float(expr.args[3])
-        elif ctx is not None and "xFilesFactor" in (ctx or {}):
-            xff = float(ctx["xFilesFactor"])
-        kw = _movwin(p)
-        preview = kw.get("window_s") or kw["points"] * 60
-        df = evaluate_target(expr.args[0], store, t0 - preview, t1, ctx)
+        elif expr.name in _MOVING_FORMS and len(expr.args) > 2:
+            xff = float(expr.args[2])
+        elif "xFilesFactor" in inner_ctx:
+            xff = float(inner_ctx["xFilesFactor"])
         if fn in ("avg", "average"):
             out = render.moving_average(df, exclusive=True, xff=xff, **kw)
         else:
@@ -1341,7 +1360,17 @@ def evaluate_target(
                 else F.col("value") * 100 / F.lit(tot)
             )
             return a.select("path", "time", pct.alias("value"))
-        b = evaluate_target(expr.args[1], store, t0, t1, ctx)
+        # asPercent's documented None total: with nodes, each series
+        # is a percent of ITS OWN node group's sum (the bare token
+        # parses as the string 'None')
+        none_total = expr.name == "asPercent" and (
+            expr.args[1] is None or str(expr.args[1]) == "None"
+        )
+        b = (
+            a
+            if none_total
+            else evaluate_target(expr.args[1], store, t0, t1, ctx)
+        )
         if expr.name == "diffSeries":
             return render.diff_series(a, b)
         if expr.name == "divideSeries":
@@ -2034,15 +2063,26 @@ class RenderApi:
                                 if ordered
                                 else df.orderBy("path", "time").collect()
                             )
-                            by_path: dict[str, list] = {}
+                            # a __series column (areaBetween) keeps
+                            # same-named series as SEPARATE targets,
+                            # the way upstream emits its renamed pair
+                            split = "__series" in df.columns
+                            by_path: dict = {}
+                            names: dict = {}
                             for r in rows:
-                                by_path.setdefault(r["path"], []).append(
+                                k = (
+                                    (r["path"], r["__series"])
+                                    if split
+                                    else r["path"]
+                                )
+                                names[k] = r["path"]
+                                by_path.setdefault(k, []).append(
                                     [r["value"], r["time"]]
                                 )
-                            for path, pts in by_path.items():
+                            for k, pts in by_path.items():
                                 pts.sort(key=lambda p: p[1])
                                 series.append(
-                                    {"target": path, "datapoints": pts}
+                                    {"target": names[k], "datapoints": pts}
                                 )
                         fmt = q.get("format", ["json"])[0]
                         if fmt == "json":

@@ -307,9 +307,13 @@ def _per_series_stat(series: DataFrame, func: str) -> DataFrame:
         return per_path.agg(
             (F.sum(v).cast("double") / F.count("value")).alias("stat")
         )
-    if func == "current":
+    if func in ("current", "last"):
+        # graphite safeLast: the last NON-NULL value (a null ordering
+        # key drops the row from max_by, so trailing nulls — e.g.
+        # from timeSlice — don't null the stat)
+        nn_t = F.when(F.col("value").isNotNull(), F.col("time"))
         return per_path.agg(
-            F.max_by(v, F.col("time")).cast("double").alias("stat")
+            F.max_by(v, nn_t).cast("double").alias("stat")
         )
     if func in ("sum", "total"):
         return per_path.agg(F.sum(v).cast("double").alias("stat"))
@@ -327,13 +331,11 @@ def _per_series_stat(series: DataFrame, func: str) -> DataFrame:
         return per_path.agg(
             (F.max("value") - F.min("value")).alias("stat")
         )
-    if func == "last":
-        return per_path.agg(
-            F.max_by("value", F.col("time")).cast("double").alias("stat")
-        )
     if func == "first":
+        # safeFirst: the first NON-NULL value
+        nn_t = F.when(F.col("value").isNotNull(), F.col("time"))
         return per_path.agg(
-            F.min_by("value", F.col("time")).cast("double").alias("stat")
+            F.min_by("value", nn_t).cast("double").alias("stat")
         )
     if func == "multiply":
         return per_path.agg(F.product("value").alias("stat"))
@@ -1141,11 +1143,15 @@ def sort_by_name(
         parts = F.split(
             F.col("path"), r"(?<=\D)(?=\d)|(?<=\d)(?=\D)"
         )
+        # digit runs become (3-digit length, digits) so arbitrary
+        # magnitudes order numerically — a fixed-width lpad would
+        # TRUNCATE runs past its width (the format_g lesson)
         key = F.array_join(
             F.transform(
                 parts,
                 lambda p: F.when(
-                    p.rlike("^[0-9]+$"), F.lpad(p, 12, "0")
+                    p.rlike("^[0-9]+$"),
+                    F.concat(F.lpad(F.length(p), 3, "0"), p),
                 ).otherwise(p),
             ),
             "",

@@ -1042,3 +1042,23 @@ def test_tags_autocomplete_expr_and_limit(tagged_store):
             assert json.loads(r.read()) == ["cpu.load"]
     finally:
         api.stop()
+
+
+def test_render_area_between_two_targets(store):
+    """areaBetween must come back as TWO same-named targets (upstream
+    renames its pair but keeps them separate series), never one
+    merged series with interleaved datapoints."""
+    api = RenderApi(store).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api.port}/render?"
+            "target=areaBetween(dc.*.cpu)"
+            "&from=1625478000&until=1625478240&format=json"
+        ) as r:
+            out = json.loads(r.read())
+        assert len(out) == 2
+        assert {s["target"] for s in out} == {"areaBetween(dc.*.cpu)"}
+        lens = [len(s["datapoints"]) for s in out]
+        assert lens[0] == lens[1]  # one series each, not interleaved
+    finally:
+        api.stop()

@@ -1823,3 +1823,72 @@ def test_aggregate_x_files_factor(store):
     assert strict[BASE] is None
     assert loose[BASE] == 2.0
     assert strict[BASE + 60] == loose[BASE + 60] == 3.0
+
+
+# --- tier 12: review findings (r12 session 3) -------------------------
+
+
+def test_moving_named_forms_x_files_factor(store):
+    """The NAMED moving* forms take xFilesFactor as their THIRD arg
+    (movingAverage(seriesList, windowSize, xFilesFactor) — only
+    movingWindow puts func before it), and an INNER setXFilesFactor
+    hint applies when the call carries none."""
+    strict = _one(store, "movingAverage(derivative(ctr.reqs), 2, 0.9)")
+    loose = _one(store, "movingAverage(derivative(ctr.reqs), 2, 0.5)")
+    assert strict[BASE + 120] is None  # [None, 15]: half missing
+    assert loose[BASE + 120] == 15.0
+    hinted = _one(
+        store, "movingSum(setXFilesFactor(derivative(ctr.reqs), 0.9), 2)"
+    )
+    assert hinted[BASE + 120] is None
+
+
+def test_as_percent_none_total_with_nodes(store5):
+    """functions.rst asPercent: 'if totalSeriesList is None, the
+    total is the sum of the series in seriesList sharing the node
+    key' — each disk column as a percent of its server's own sum:
+    used/(used+total) = 30/130 and 10/50."""
+    got = _got(store5, "asPercent(srv.*.disk.*, None, 1)")
+    by_path = {}
+    for (p, _), v in got.items():
+        by_path.setdefault(p, set()).add(round(v, 6))
+    assert by_path == {
+        "srv.s1.disk.used": {round(30 * 100 / 130, 6)},
+        "srv.s1.disk.total": {round(100 * 100 / 130, 6)},
+        "srv.s2.disk.used": {round(10 * 100 / 50, 6)},
+        "srv.s2.disk.total": {round(40 * 100 / 50, 6)},
+    }
+
+
+def test_sort_by_name_natural_long_digit_runs(spark):
+    """Natural sort must order digit runs of ANY length numerically
+    (a fixed-width pad would truncate 13+-digit runs — epoch-ms
+    segments)."""
+    lines = [
+        f"m.9999999999999.x 1 {BASE}",      # 13 digits
+        f"m.10000000000000.x 1 {BASE}",     # 14 digits, larger
+        f"m.2.x 1 {BASE}",
+    ]
+    st = _mkstore(spark, lines)
+    out = evaluate_target(
+        parse_target("sortByName(m.*.x, true)"), st, BASE, BASE + 60
+    ).collect()
+    order = []
+    for r in out:
+        if r.path not in order:
+            order.append(r.path)
+    assert order == [
+        "m.2.x", "m.9999999999999.x", "m.10000000000000.x"
+    ]
+
+
+def test_highest_last_skips_trailing_nulls(store):
+    """graphite safeLast: ranking by 'last' uses each series' last
+    NON-NULL value — timeSlice's trailing nulls must not null the
+    stat. web.a sliced to its first half still ranks by 4 (its last
+    in-slice value), beating web.b's 2."""
+    got = _got(
+        store,
+        f"highest(timeSlice(web.*, {BASE}, {BASE + 120}), 1, 'last')",
+    )
+    assert {p for p, _ in got} == {"web.a"}
