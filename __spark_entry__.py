@@ -443,7 +443,11 @@ def q_rollup_all(spark, sf_dir):
     `retention`: the age ladder — points older than 7 days (vs fixed
     now 2024-02-01) roll to 1-day buckets, newer to 1-hour. Exact
     decimal aggregation throughout."""
-    from carbon_clickhouse_spark.operators.rollup import Retention, RollupRule, rollup
+    from carbon_clickhouse_spark.operators.rollup import (
+        Retention,
+        RollupRule,
+        rollup_sets,
+    )
 
     pts = _events_points(spark, sf_dir)
     fn_rules = (
@@ -452,23 +456,27 @@ def q_rollup_all(spark, sf_dir):
         RollupRule(r"\.purchase$", "min"),
         RollupRule("", "avg"),
     )
-    hourly = rollup(
-        pts, fn_rules, precision_s=3600, exact_decimal=True, round_avg_to=4
-    )
     now = 1706745600  # 2024-02-01T00:00:00Z
     ret_rules = (
         RollupRule("", "avg", (Retention(0, 3600), Retention(7 * 86400, 86400))),
     )
-    retention = rollup(
-        pts, ret_rules, now=now, exact_decimal=True, round_avg_to=4
+    # r12 optimization (guide §1.2): both rule families in ONE scan +
+    # ONE partial-agg Exchange via the labeled explode (was a union of
+    # two independent rollup passes — 2 scans, 2 Exchanges). Per-label
+    # rows are expression-identical to the unioned form
+    # (operators/rollup.rollup_sets).
+    out = rollup_sets(
+        pts,
+        [
+            ("hourly", fn_rules, 3600, None),
+            ("retention", ret_rules, None, now),
+        ],
+        exact_decimal=True,
+        round_avg_to=4,
     )
-    lab = lambda tag, df: df.select(  # noqa: E731
-        F.lit(tag).alias("rule_set"),
-        "path",
-        "time",
-        F.round("value", 4).alias("value"),
+    return out.select(
+        "rule_set", "path", "time", F.round("value", 4).alias("value")
     )
-    return lab("hourly", hourly).unionByName(lab("retention", retention))
 
 
 def q_drop_rules(spark, sf_dir):
@@ -1159,19 +1167,34 @@ def q_top_revenue_orders(spark, sf_dir):
     li_rev = li.groupBy("l_orderkey").agg(
         F.sum(rev).cast("double").alias("revenue")
     )
-    joined = (
-        li_rev.join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select("o_orderkey", "o_orderdate", "c_name", "revenue")
-    )
+    # top-10 BEFORE the dimension joins (optimization guide §8:
+    # decide on the small aggregated rows, attach wide attributes
+    # after): the rank key (round(revenue,4) desc, l_orderkey asc) is
+    # a pure function of lineitem and l_orderkey == o_orderkey
+    # (TPC-H referential integrity: every lineitem order exists in
+    # orders, so the inner joins are 1:1 on the winners and the
+    # cutoff commutes with them — oracle-verified). The joins then
+    # probe 10 rows instead of every order, and the 150k-row orders
+    # broadcast build disappears: only the 10-row top side and the
+    # customer dimension are broadcast.
     # order by the ROUNDED revenue (the emitted value) so the top-10
     # cutoff is identical in any engine
+    top = (
+        li_rev.select(
+            "l_orderkey", F.round("revenue", 4).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
     return (
-        joined.select(
+        F.broadcast(top)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
             "o_orderkey",
             F.to_date("o_orderdate").alias("o_orderdate"),
             "c_name",
-            F.round("revenue", 4).alias("revenue"),
+            "revenue",
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -2845,10 +2868,6 @@ def q_ch_agg_breadth(spark, sf_dir):
     as a NULL cell, never a silently-missing row, keeping the gate
     independent of fixture NULL shape."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
-        arg_extrema,
-        avg_weighted,
-        bounding_ratio,
-        group_uniq_array,
         quantile_exact_weighted,
     )
 
@@ -2860,35 +2879,61 @@ def q_ch_agg_breadth(spark, sf_dir):
         "user_id",
         _sec(ev).alias("t"),
     )
-    ext = arg_extrema(base, ["event_type"], "value", "user_id").select(
-        "event_type",
-        F.col("arg_min").alias("arg_min_user"),
-        F.col("arg_max").alias("arg_max_user"),
+    # r12 optimization (guide §1.2/§2.4): arg_extrema, avgWeighted,
+    # groupUniqArray and boundingRatio all aggregate the SAME base by
+    # the SAME key — fused into ONE partial-agg pass carrying each
+    # piece's aggregate expression verbatim (boundingRatio's row
+    # filter becomes its conditional struct pair, which min/max skip
+    # exactly as the filter did), so 3 scans and 3 of the null-safe
+    # joins disappear: 5 scans / 6 Exchanges -> 2 scans / 3
+    # Exchanges. quantileExactWeighted keeps its own (group, value)
+    # pre-aggregation — a different first-level key — and joins in as
+    # before. Piece semantics incl. the all-NULL-group anchor
+    # behavior are unchanged (the operators stay the library
+    # surface); the oracle hash pins equality.
+    v, w, uid, t = F.col("value"), F.col("w"), F.col("user_id"), F.col("t")
+    ext_pair = F.when(v.isNotNull(), F.struct(v.alias("v"), uid.alias("a")))
+    br_pair = F.when(
+        t.isNotNull() & v.isNotNull(), F.struct(t.alias("x"), v.alias("y"))
     )
-    avw = avg_weighted(base, ["event_type"], "value", "w")
+    fused = base.groupBy("event_type").agg(
+        F.min(ext_pair)["a"].alias("arg_min_user"),
+        F.max(ext_pair)["a"].alias("arg_max_user"),
+        (
+            F.sum(v.cast("decimal(28,6)") * w).cast("double")
+            / F.sum(w).cast("double")
+        ).alias("avg_weighted"),
+        F.sort_array(F.collect_set(uid % 10)).alias("user_buckets"),
+        F.min(br_pair).alias("__f"),
+        F.max(br_pair).alias("__l"),
+    )
     med = quantile_exact_weighted(
         base, ["event_type"], "value", "w", 0.5, out_col="wmedian"
     )
-    uniq = group_uniq_array(
-        base.withColumn("ub", F.col("user_id") % 10),
-        ["event_type"],
-        "ub",
-        out_col="user_buckets",
-    )
-    br = bounding_ratio(base, ["event_type"], "t", "value")
 
-    # NULL-SAFE left joins (r11): a NULL event_type is its own group
+    # NULL-SAFE left join (r11): a NULL event_type is its own group
     # in every piece (plain groupBy keeps it, as CH GROUP BY does),
     # and the single-GROUP-BY query this mirrors on ClickHouse gives
     # that group real values — a name-equality join would fail the
-    # NULL match and misreport every piece as a NULL cell
+    # NULL match and misreport the piece as a NULL cell
     def nsj(a, b):
         bb = b.withColumnRenamed("event_type", "__r")
         return a.join(
             bb, a["event_type"].eqNullSafe(bb["__r"]), "left"
         ).drop("__r")
 
-    return nsj(nsj(nsj(nsj(ext, avw), med), uniq), br)
+    dx = F.col("__l")["x"].cast("double") - F.col("__f")["x"].cast("double")
+    dy = F.col("__l")["y"].cast("double") - F.col("__f")["y"].cast("double")
+    ratio = F.when(dx == 0.0, F.lit(float("nan"))).otherwise(dy / dx)
+    return nsj(fused, med).select(
+        "event_type",
+        "arg_min_user",
+        "arg_max_user",
+        "avg_weighted",
+        "wmedian",
+        "user_buckets",
+        ratio.alias("bounding_ratio"),
+    )
 
 
 def q_ch_agg_breadth2(spark, sf_dir):
@@ -2902,11 +2947,9 @@ def q_ch_agg_breadth2(spark, sf_dir):
     longs. Per event type; anyHeavy's groupBy keeps every group (incl.
     an all-NULL one) so it anchors null-safe left joins
     (operators/ch_aggregates.py)."""
-    from carbon_clickhouse_spark.operators.ch_aggregates import (
-        any_heavy,
-        group_array_sample,
-        group_concat,
-    )
+    from pyspark.sql import Window
+
+    from carbon_clickhouse_spark.operators.ch_aggregates import any_heavy
 
     ev = _t(spark, sf_dir, "events")
     base = ev.select(
@@ -2916,21 +2959,61 @@ def q_ch_agg_breadth2(spark, sf_dir):
         (F.col("user_id") % 100).alias("sv"),
     )
     heavy = any_heavy(base, ["event_type"], "hv", out_col="heavy")
-    conc = group_concat(
-        base.filter(F.col("event_id") % 97 == 0).withColumn(
-            "cs", F.col("sv").cast("string")
-        ),
-        ["event_type"],
-        "cs",
-        "event_id",
-        sep="-",
-        out_col="concat",
+    # r12 optimization (guide §1.2/§2.4): groupConcat and
+    # groupArraySample aggregate the SAME base by the SAME key — fuse
+    # them into samp's window pass with the operators' aggregate
+    # expressions verbatim (group_concat's pre-filter becomes the
+    # conditional collect + an explicit row-counter so a type with NO
+    # filtered rows still reads NULL, exactly like the missing piece
+    # row did under the left join), cutting one scan, one Exchange
+    # and one join. anyHeavy keeps its own (group, value)
+    # pre-aggregation — a different first-level key.
+    sv, eid = F.col("sv"), F.col("event_id")
+    h = F.md5(F.concat_ws("|", F.lit(7), eid.cast("string")))
+    wnd = Window.partitionBy("event_type").orderBy(
+        sv.isNull().asc(), h.asc(), sv.asc()
     )
-    samp = group_array_sample(
-        base, ["event_type"], "sv", "event_id", max_size=5, seed=7
+    marked = base.withColumn("__h", h).withColumn(
+        "__keep", sv.isNotNull() & (F.row_number().over(wnd) <= 5)
     )
-    sampled = samp.select(
-        "event_type", F.posexplode("sample").alias("s_idx", "s_val")
+    conc_keep = (eid % 97 == 0) & sv.cast("string").isNotNull()
+    fused = marked.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__keep"),
+                        F.struct(F.col("__h").alias("h"), sv.alias("v")),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("sample"),
+        F.count(F.when(eid % 97 == 0, F.lit(1))).alias("__cn"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            conc_keep,
+                            F.struct(
+                                eid.alias("o"),
+                                sv.cast("string").alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            "-",
+        ).alias("__conc_raw"),
+    )
+    exploded = fused.select(
+        "event_type",
+        # a type with no event_id%97 row had NO group_concat piece
+        # row, so the left join read NULL — reproduce that
+        F.when(F.col("__cn") > 0, F.col("__conc_raw")).alias("concat"),
+        F.posexplode_outer("sample").alias("s_idx", "s_val"),
     )
 
     def nsj(a, b):
@@ -2939,7 +3022,7 @@ def q_ch_agg_breadth2(spark, sf_dir):
             bb, a["event_type"].eqNullSafe(bb["__r"]), "left"
         ).drop("__r")
 
-    return nsj(nsj(heavy, conc), sampled)
+    return nsj(heavy, exploded)
 
 
 def q_array_insert_grid(spark, sf_dir):

@@ -63,6 +63,14 @@ def _banded_candidate_pairs(
         return cols
 
     if max_bucket_size is None:
+        # r12 optimization (guide §1.2 "don't compute things twice"):
+        # Spark plans the two sides of a self-join independently, so
+        # joining the raw bucket lineage would run the whole
+        # shingle/signature pipeline (a Python stage + the md5
+        # signature groupBy) TWICE. Materialize the bucket table once
+        # (lazy local checkpoint — the capped path below already does
+        # this) and self-join the materialized rows.
+        buckets = buckets.localCheckpoint(eager=False)
         a, b = buckets.alias("a"), buckets.alias("b")
         return (
             a.join(b, key)

@@ -424,23 +424,56 @@ class _JpegBitReader:
         return True
 
     def read(self, n: int) -> int | None:
-        while self.nbits < n:
+        # r12 optimization: trim the register to its live bits after
+        # every extraction. The old form never truncated `bits`, so
+        # over a scan it grew into an arbitrary-precision integer and
+        # every fill/extract paid bignum arithmetic proportional to
+        # the bits consumed so far — quadratic in scan length. The
+        # invariant bits < 2^nbits keeps it a machine int; extracted
+        # values are bit-identical (only the low nbits were ever
+        # readable).
+        nbits = self.nbits
+        while nbits < n:
             if not self._fill():
                 return None
-        self.nbits -= n
-        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+            nbits = self.nbits
+        nbits -= n
+        bits = self.bits
+        v = (bits >> nbits) & ((1 << n) - 1)
+        self.bits = bits & ((1 << nbits) - 1)
+        self.nbits = nbits
         return v
 
     def huff(self, table: dict) -> int | None:
-        length, code = 0, 0
+        # hot path (one call per Huffman symbol, one iteration per
+        # bit): local-variable mirror of the register, same treatment
+        # as _QmDecoder.decode; dict.get replaces the double
+        # `in`+getitem probe. Symbol values are small non-negative
+        # ints, so `is not None` is the containment test.
+        bits = self.bits
+        nbits = self.nbits
+        length = 0
+        code = 0
+        get = table.get
         for _ in range(16):
-            bit = self.read(1)
-            if bit is None:
-                return None
-            code = (code << 1) | bit
+            if nbits == 0:
+                self.bits = bits
+                self.nbits = nbits
+                if not self._fill():
+                    return None
+                bits = self.bits
+                nbits = self.nbits
+            nbits -= 1
+            code = (code << 1) | ((bits >> nbits) & 1)
+            bits &= (1 << nbits) - 1
             length += 1
-            if (length, code) in table:
-                return table[(length, code)]
+            v = get((length, code))
+            if v is not None:
+                self.bits = bits
+                self.nbits = nbits
+                return v
+        self.bits = bits
+        self.nbits = nbits
         return None
 
     def sync_marker(self) -> int | None:
@@ -1182,14 +1215,22 @@ class _JpegBitWriter:
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            self.n -= 8
-            b = (self.acc >> self.n) & 0xFF
+        # r12 optimization: trim the accumulator to its pending bits
+        # after draining — the old form never truncated `acc`, so over
+        # a scan it grew into an arbitrary-precision integer and every
+        # shift paid bignum arithmetic proportional to bits written so
+        # far (the mirror of the _JpegBitReader register fix). Emitted
+        # bytes only ever read the low n bits, so output is identical.
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def pad(self) -> None:
         if self.n:
@@ -1456,36 +1497,49 @@ class _QmEncoder:
         self.raw: list[int] = []
 
     def encode(self, bins: bytearray, i: int, d: int) -> None:
+        # hot path: local-variable mirror of the registers, the same
+        # treatment _QmDecoder.decode already has — attribute access
+        # dominates the per-decision cost, and the common no-renorm
+        # MPS case returns after two local ops
         st = bins[i]
         idx, mps = st >> 1, st & 1
         qe, nmps, nlps, switch = _QM_TABLE[idx]
+        a = self.a - qe
         if d == mps:
-            self.a -= qe
-            if self.a & 0x8000:
+            if a & 0x8000:
+                self.a = a
                 return
-            if self.a < qe:  # conditional exchange: MPS takes the top
-                self.c += self.a
-                self.a = qe
+            c = self.c
+            if a < qe:  # conditional exchange: MPS takes the top
+                c += a
+                a = qe
             if idx != _QM_FIXED:
                 bins[i] = (nmps << 1) | mps
         else:
-            self.a -= qe
-            if self.a >= qe:  # LPS takes the top
-                self.c += self.a
-                self.a = qe
+            c = self.c
+            if a >= qe:  # LPS takes the top
+                c += a
+                a = qe
             # else conditional exchange: LPS keeps the small bottom
             if idx != _QM_FIXED:
                 if switch:
                     mps ^= 1
                 bins[i] = (nlps << 1) | mps
+        ct = self.ct
         while True:
-            self.a <<= 1
-            self.c <<= 1
-            self.ct -= 1
-            if self.ct == 0:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                self.c = c
                 self._byteout()
-            if self.a & 0x8000:
+                c = self.c
+                ct = self.ct
+            if a & 0x8000:
                 break
+        self.a = a
+        self.c = c
+        self.ct = ct
 
     def _byteout(self) -> None:
         t = self.c >> 19

@@ -1952,17 +1952,51 @@ def two_sample_tests(
     join of the per-group results."""
     gcols = list(group_cols)
     base = two_sample_base(df, gcols, value_col, index_col, scale)
-    # per-sample exact moments, pivoted wide in one pass
-    mom = base.groupBy(*gcols).agg(*two_sample_moment_aggs())
-    stats = mom.select(*gcols, *two_sample_t_finals())
-    # Mann-Whitney + Kolmogorov-Smirnov: both live on the per-value
-    # rank table — midranks in half-units for U, inclusive cumulative
-    # per-sample counts for the KS empirical CDFs
+    # FUSED single pipeline (r12 optimization, guide §2.3/§2.4): the
+    # per-sample moment sums are derivable from the SAME per-value
+    # cell table the rank/KS statistics fold over — n0 = Σc0,
+    # s0 = Σ q·c0, ss0 = Σ q²·c0 — and as exact integer/DECIMAL(38,0)
+    # arithmetic those are bit-identical to the row-level sums the
+    # two-pass form computed (sums of identical integers, merely
+    # grouped by value first). Folding them into the rank table's
+    # final aggregation removes the second full-data pass, its
+    # shuffle, and the per-group join: 1 scan + 2 Exchanges + 0 joins
+    # (was 2 scans, 3 Exchanges, 1 broadcast join).
+    # two_sample_moment_aggs()/two_sample_t_finals() remain the
+    # streaming twin's incremental-state contract (bit-parity with
+    # this operator is pinned by the replay tests).
     per_v = two_sample_value_cells(base, gcols)
-    mw = two_sample_rank_finals(per_v, gcols)
-    # null-safe: a NULL group key is its own group in both pieces
-    # (CH GROUP BY semantics) — name equality would drop it here
-    return _ns_join(stats, mw, gcols)
+    half = _two_sample_rank_half(per_v, gcols, keep_q=True)
+    qd = F.col("__q").cast("decimal(38,0)")
+    c0d = F.col("__c0").cast("decimal(38,0)")
+    c1d = (F.col("__c") - F.col("__c0")).cast("decimal(38,0)")
+    agg = half.groupBy(*gcols).agg(
+        *_two_sample_rank_aggs(),
+        # all-sample-1 groups: sum over zero c0 weights yields 0 where
+        # the row-level conditional sum yielded NULL — both are inside
+        # the n<2 degenerate guard, so the emitted statistics agree
+        F.sum("__c0").alias("__n0"),
+        F.sum(F.col("__c") - F.col("__c0")).alias("__n1"),
+        F.sum(qd * c0d).alias("__s0b"),
+        F.sum(qd * c1d).alias("__s1b"),
+        F.sum(qd * qd * c0d).alias("__ss0b"),
+        F.sum(qd * qd * c1d).alias("__ss1b"),
+    )
+    # an absent sample must yield NULL sums (as the row-level
+    # conditional sums did), not 0: under ANSI mode the t-tree's
+    # divisions are hoisted as common subexpressions OUTSIDE the
+    # degenerate-guard CaseWhen, and 0/0 errors where NULL/0 is NULL
+    dnull = F.lit(None).cast("decimal(38,0)")
+    agg = agg.select(
+        "*",
+        F.when(F.col("__n0") > 0, F.col("__s0b")).otherwise(dnull).alias("__s0"),
+        F.when(F.col("__n1") > 0, F.col("__s1b")).otherwise(dnull).alias("__s1"),
+        F.when(F.col("__n0") > 0, F.col("__ss0b")).otherwise(dnull).alias("__ss0"),
+        F.when(F.col("__n1") > 0, F.col("__ss1b")).otherwise(dnull).alias("__ss1"),
+    )
+    return agg.select(
+        *gcols, *two_sample_t_finals(), *_two_sample_rank_select()
+    )
 
 
 def two_sample_base(
@@ -2083,6 +2117,20 @@ def two_sample_rank_finals(
     :func:`two_sample_value_cells` table — shared verbatim by batch
     and the streaming twin's snapshot finalization, so replaying a
     stream reproduces the batch statistics bit-for-bit."""
+    half = _two_sample_rank_half(per_v, gcols)
+    ranks = half.groupBy(*gcols).agg(*_two_sample_rank_aggs())
+    return ranks.select(*gcols, *_two_sample_rank_select())
+
+
+def _two_sample_rank_half(
+    per_v: DataFrame, gcols: Sequence[str], keep_q: bool = False
+) -> DataFrame:
+    """The windowed midrank/ECDF projection over a
+    :func:`two_sample_value_cells` table — factored so the fused
+    batch operator (which also folds the moment sums over the same
+    rows) and :func:`two_sample_rank_finals` share it verbatim.
+    ``keep_q`` carries the quantized value through for the fused
+    moment sums."""
     w = (
         Window.partitionBy(*gcols)
         .orderBy("__q")
@@ -2099,8 +2147,9 @@ def two_sample_rank_finals(
     cum1 = F.sum(F.col("__c") - F.col("__c0")).over(w_inc)
     tot0 = F.sum("__c0").over(w_all)
     tot1 = F.sum(F.col("__c") - F.col("__c0")).over(w_all)
-    half = per_v.select(
+    return per_v.select(
         *gcols,
+        *(["__q"] if keep_q else []),
         F.col("__c"),
         F.col("__c0"),
         (F.lit(2) * cum_before + F.col("__c") + F.lit(1)).alias("__r2"),
@@ -2112,7 +2161,13 @@ def two_sample_rank_finals(
             - cum1.cast("decimal(38,0)") * tot0
         ).alias("__ksn"),
     )
-    ranks = half.groupBy(*gcols).agg(
+
+
+def _two_sample_rank_aggs() -> list:
+    """The rank/KS aggregates over a :func:`_two_sample_rank_half`
+    frame — one list, shared by the fused batch pipeline and
+    :func:`two_sample_rank_finals`."""
+    return [
         # cast BEFORE the multiply: c0 * r2 in int64 wraps around
         # ~4e9-row groups (r2 ~ 2N), exactly the scale the exactness
         # contract exists for
@@ -2130,7 +2185,13 @@ def two_sample_rank_finals(
         F.sum("__c0").alias("__mn0"),
         F.sum(F.col("__c") - F.col("__c0")).alias("__mn1"),
         F.max("__ksn").alias("__ksn_max"),
-    )
+    ]
+
+
+def _two_sample_rank_select() -> list:
+    """The U/z/KS output columns over the :func:`_two_sample_rank_aggs`
+    sums — one fixed IEEE tree, shared by the fused batch pipeline
+    and :func:`two_sample_rank_finals`."""
     rn0 = F.col("__mn0").cast("double")
     rn1 = F.col("__mn1").cast("double")
     nn = rn0 + rn1
@@ -2149,8 +2210,7 @@ def two_sample_rank_finals(
     # divides by nn*(nn-1), and even testing sigma2 == 0 evaluates it
     # (Or short-circuits left-to-right, so the cheap guard runs first)
     nan_mw = F.lit(float("nan"))
-    return ranks.select(
-        *gcols,
+    return [
         u1.alias("u_stat"),
         F.when((nn < 2.0) | (sigma2 == 0.0), nan_mw)
         .otherwise((u1 - mu) / F.sqrt(sigma2))
@@ -2160,7 +2220,7 @@ def two_sample_rank_finals(
         F.when((rn0 == 0.0) | (rn1 == 0.0), nan_mw)
         .otherwise(F.col("__ksn_max").cast("double") / (rn0 * rn1))
         .alias("ks_d"),
-    )
+    ]
 
 
 def rank_corr(
@@ -2498,45 +2558,80 @@ def theils_u_finals(
     """Theil's U from a :func:`contingency_cells` table (the SAME
     cell shape the contingency family and its streaming twin use) —
     identical whether the cells came from one batch pass or a
-    streaming state snapshot."""
-    w_r = Window.partitionBy(*gcols, "__x")
-    w_c = Window.partitionBy(*gcols, "__y")
-    w_g = Window.partitionBy(*gcols)
-    with_m = cells.select(
+    streaming state snapshot.
+
+    r12 optimization (guide §2.4), the :func:`contingency_finals`
+    rewrite applied here too: marginals and the group total come off
+    ONE sorted collected cell array (bounded by the contingency-table
+    size) instead of three window passes plus a row_number lead
+    marker — 2 Exchanges, no window sorts. Terms are the identical
+    IEEE trees quantized to DECIMAL(28,12); both the dep and h_a
+    sums are exact decimal folds (order-free), and the h_a term is
+    emitted exactly once per x class — on the cell that leads its x
+    class in the sorted array, the same cell row_number picked — so
+    results are bit-identical."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__x").cast("string").alias("x"),
+                F.col("__y").cast("string").alias("y"),
+                F.col("__o").alias("o"),
+            )
+        )
+    )
+    agg0 = cells.groupBy(*gcols).agg(arr.alias("__cells"))
+    cells_a = F.col("__cells")
+    zero = F.lit(0).cast("long")
+    n_l = F.aggregate(cells_a, zero, lambda a, s: a + s["o"])
+    n = n_l.cast("double")
+
+    def marg(field, cell):
+        return F.aggregate(
+            cells_a,
+            zero,
+            lambda a2, s2: a2
+            + F.when(s2[field] == cell[field], s2["o"]).otherwise(zero),
+        )
+
+    def per_cell(c, i):
+        o = c["o"].cast("double")
+        nb = marg("y", c).cast("double")
+        na = marg("x", c).cast("double")
+        dep_t = ((o / n) * F.log(o / nb)).cast("decimal(28,12)")
+        # the h_a fold runs over DISTINCT x marginals: emit the
+        # marginal term once, on the cell that LEADS its x class in
+        # the sorted array (i == 0 or a different x right before it);
+        # non-lead cells add an exact decimal zero, which the
+        # order-free exact sum treats identically to the window
+        # form's NULL-skip
+        lead = F.when(i == F.lit(0), F.lit(True)).otherwise(
+            F.element_at(cells_a, i)["x"] != c["x"]
+        )
+        ha_t = F.when(
+            lead, ((na / n) * F.log(na / n)).cast("decimal(28,12)")
+        ).otherwise(F.lit(0).cast("decimal(28,12)"))
+        return F.struct(dep_t.alias("d"), ha_t.alias("h"))
+
+    terms = F.transform(cells_a, per_cell)
+    # accumulator DECIMAL(37,12): the step sum types as (38,12) — no
+    # precision-loss rescale — and the cast back to (37,12) keeps
+    # scale 12, so every addition is exact; the fold equals
+    # F.sum(decimal(28,12)) bit-for-bit (terms are O(1)-magnitude,
+    # nowhere near the 10^25 integral-digit capacity)
+    dzero = F.lit(0).cast("decimal(37,12)")
+    agg = agg0.select(
         *gcols,
-        "__x",
-        "__y",
-        "__o",
-        F.sum("__o").over(w_r).alias("__na"),
-        F.sum("__o").over(w_c).alias("__nb"),
-        F.sum("__o").over(w_g).alias("__n"),
-    )
-    o = F.col("__o").cast("double")
-    na = F.col("__na").cast("double")
-    nb = F.col("__nb").cast("double")
-    n = F.col("__n").cast("double")
-    dep_t = ((o / n) * F.log(o / nb)).cast("decimal(28,12)")
-    # the h_a fold runs over DISTINCT x marginals: every (x, y) cell
-    # carries its x-marginal, so weight the term by o/na — the cell
-    # contributions of one x class sum exactly to its marginal term
-    # ((na/n) ln(na/n)) only in real arithmetic, not IEEE; instead
-    # emit the marginal term once, on the cell that LEADS its x class
-    lead = F.row_number().over(
-        Window.partitionBy(*gcols, "__x").orderBy("__y")
-    )
-    ha_t = F.when(
-        lead == 1, ((na / n) * F.log(na / n)).cast("decimal(28,12)")
-    ).otherwise(F.lit(None).cast("decimal(28,12)"))
-    per_cell = with_m.select(
-        *gcols,
-        F.col("__n"),
-        dep_t.alias("__dep_t"),
-        ha_t.alias("__ha_t"),
-    )
-    agg = per_cell.groupBy(*gcols).agg(
-        F.sum("__dep_t").alias("__dep"),
-        F.sum("__ha_t").alias("__ha"),
-        F.max("__n").alias("__nn"),
+        F.aggregate(
+            terms,
+            dzero,
+            lambda a3, t3: (a3 + t3["d"]).cast("decimal(37,12)"),
+        ).alias("__dep"),
+        F.aggregate(
+            terms,
+            dzero,
+            lambda a4, t4: (a4 + t4["h"]).cast("decimal(37,12)"),
+        ).alias("__ha"),
+        n_l.alias("__nn"),
     )
     dep = F.col("__dep").cast("double")
     ha = F.col("__ha").cast("double")
@@ -3484,47 +3579,67 @@ def contingency_finals(
     cells: DataFrame, gcols: Sequence[str]
 ) -> DataFrame:
     """chi-square / Cramer's V (plain + bias-corrected) / contingency
-    coefficient from a :func:`contingency_cells` table — marginals as
-    window sums, the pinned sequential chi-square fold, the shared
-    final algebra; identical whether the cells came from one batch
-    pass or a streaming state snapshot."""
-    w_r = Window.partitionBy(*gcols, "__x")
-    w_c = Window.partitionBy(*gcols, "__y")
-    w_g = Window.partitionBy(*gcols)
-    with_m = cells.select(
-        *gcols,
-        "__x",
-        "__y",
-        "__o",
-        F.sum("__o").over(w_r).alias("__r"),
-        F.sum("__o").over(w_c).alias("__c"),
-        F.sum("__o").over(w_g).alias("__n"),
+    coefficient from a :func:`contingency_cells` table — the pinned
+    sequential chi-square fold plus the shared final algebra;
+    identical whether the cells came from one batch pass or a
+    streaming state snapshot.
+
+    r12 optimization (guide §2.4): the fold already collects every
+    cell of the bounded contingency table per group, so the
+    marginals, the group total and the distinct-class counts are read
+    off that SAME sorted array (O(cells) higher-order folds per cell,
+    bounded by the table size the fold already assumes) instead of
+    three differently-keyed window passes plus two count_distincts —
+    dropping the plan from 4 Exchanges + 3 window sorts + an Expand
+    to 2 Exchanges. Cell terms, fold order and the final IEEE trees
+    are unchanged expression-for-expression, so results are
+    bit-identical (distinct classes are counted on the canonical
+    string forms the fold always sorted by — injective for the
+    atomic types a contingency dimension can be)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__x").cast("string").alias("x"),
+                F.col("__y").cast("string").alias("y"),
+                F.col("__o").alias("o"),
+            )
+        )
     )
-    e = (
-        F.col("__r").cast("decimal(38,0)") * F.col("__c")
-    ).cast("double") / F.col("__n").cast("double")
-    o = F.col("__o").cast("double")
-    term = (o - e) * (o - e) / e - e
-    per_cell = with_m.select(
+    agg0 = cells.groupBy(*gcols).agg(arr.alias("__cells"))
+    cells_a = F.col("__cells")
+    zero = F.lit(0).cast("long")
+    n_l = F.aggregate(cells_a, zero, lambda a, s: a + s["o"])
+
+    def marg(field, cell):
+        # exact integer marginal of the cell's row/column class
+        return F.aggregate(
+            cells_a,
+            zero,
+            lambda a2, s2: a2
+            + F.when(s2[field] == cell[field], s2["o"]).otherwise(zero),
+        )
+
+    def term(cell):
+        # identical IEEE tree to the window form: exact DECIMAL
+        # product of the integer marginals, one double division
+        e = (
+            marg("x", cell).cast("decimal(38,0)") * marg("y", cell)
+        ).cast("double") / n_l.cast("double")
+        o = cell["o"].cast("double")
+        return (o - e) * (o - e) / e - e
+
+    agg = agg0.select(
         *gcols,
-        F.struct(
-            F.col("__x").cast("string").alias("x"),
-            F.col("__y").cast("string").alias("y"),
-            term.alias("t"),
-        ).alias("__cell"),
-        F.col("__n"),
-        "__x",
-        "__y",
-    )
-    agg = per_cell.groupBy(*gcols).agg(
         F.aggregate(
-            F.array_sort(F.collect_list("__cell")),
-            F.lit(0.0),
-            lambda acc, s: acc + s["t"],
+            cells_a, F.lit(0.0), lambda acc, c: acc + term(c)
         ).alias("__tsum"),
-        F.max("__n").alias("__nn"),
-        F.count_distinct("__x").alias("__rx"),
-        F.count_distinct("__y").alias("__ry"),
+        n_l.alias("__nn"),
+        F.size(
+            F.array_distinct(F.transform(cells_a, lambda s: s["x"]))
+        ).cast("long").alias("__rx"),
+        F.size(
+            F.array_distinct(F.transform(cells_a, lambda s: s["y"]))
+        ).cast("long").alias("__ry"),
     )
     n = F.col("__nn").cast("double")
     rx = F.col("__rx").cast("double")

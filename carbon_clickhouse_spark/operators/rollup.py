@@ -150,15 +150,29 @@ def rollup(
             func.alias("__fn"),
         )
         .groupBy("path", "time", "__fn")
-        .agg(
-            F.sum("value").alias("__sum"),
-            F.count("value").alias("__cnt"),
-            F.min("value").alias("__min"),
-            F.max("value").alias("__max"),
-            F.max_by("value", F.col("__t")).alias("__last"),
-        )
+        .agg(*_rollup_aggs())
     )
+    value = _rollup_value(exact_decimal, round_avg_to)
+    return aggregated.select("path", "time", value.alias("value"))
 
+
+def _rollup_aggs() -> list:
+    """The five candidate aggregates every rollup group computes —
+    shared by :func:`rollup` and :func:`rollup_sets` so the fused
+    multi-rule-set pass is aggregate-for-aggregate identical."""
+    return [
+        F.sum("value").alias("__sum"),
+        F.count("value").alias("__cnt"),
+        F.min("value").alias("__min"),
+        F.max("value").alias("__max"),
+        F.max_by("value", F.col("__t")).alias("__last"),
+    ]
+
+
+def _rollup_value(exact_decimal: bool, round_avg_to: int | None) -> Column:
+    """Final per-group value selection over the :func:`_rollup_aggs`
+    columns — one fixed expression tree, shared by :func:`rollup`
+    and :func:`rollup_sets`."""
     if exact_decimal:
         s = F.col("__sum").cast("double")
         if round_avg_to is not None:
@@ -186,14 +200,88 @@ def rollup(
         avg = s / F.col("__cnt")
         mn, mx, last = F.col("__min"), F.col("__max"), F.col("__last")
 
-    value = (
+    return (
         F.when(F.col("__fn") == "sum", s)
         .when(F.col("__fn") == "min", mn)
         .when(F.col("__fn") == "max", mx)
         .when(F.col("__fn") == "last", last)
         .otherwise(avg)
     )
-    return aggregated.select("path", "time", value.alias("value"))
+
+
+def rollup_sets(
+    points: DataFrame,
+    sets,
+    path_col: str = "path",
+    time_col: str = "time",
+    value_col: str = "value",
+    exact_decimal: bool = False,
+    round_avg_to: int | None = None,
+    label_col: str = "rule_set",
+) -> DataFrame:
+    """Several rollup rule families over ONE scan and ONE partial-agg
+    Exchange (r12 optimization, guide §1.2: a union of independent
+    :func:`rollup` calls scans and shuffles the points once PER
+    family). ``sets`` is a sequence of ``(label, rules, precision_s,
+    now)`` tuples; each contributes a labeled ``(bucket, function)``
+    struct per input row, the structs explode once, and a single
+    ``groupBy(label, path, bucket, fn)`` computes the shared
+    :func:`_rollup_aggs`. Per-label output rows are identical to
+    ``rollup(points, rules, precision_s=..., now=...)`` with the same
+    flags: the bucket/function selection, the aggregates and the
+    :func:`_rollup_value` finals are the same expression trees, and
+    the exact-decimal sums are partition-order independent. Returns
+    ``(label_col, path, time, value)``."""
+    path = F.col(path_col)
+    entries = []
+    for label, rules, precision_s, now in sets:
+        if precision_s is not None:
+            prec = F.lit(precision_s)
+        else:
+            now_col = (
+                F.lit(now).cast("long")
+                if now is not None
+                else F.unix_timestamp()
+            )
+            age = now_col - F.col(time_col)
+            idx = retention_rule_idx_col(path, rules)
+            prec = precision_col(age, idx, rules)
+        func = rule_function_col(path, rules)
+        bucket = F.col(time_col) - (F.col(time_col) % prec)
+        entries.append(
+            F.struct(
+                F.lit(label).alias("l"),
+                bucket.alias("b"),
+                func.alias("f"),
+            )
+        )
+
+    value_in = F.col(value_col)
+    if exact_decimal:
+        value_in = value_in.cast("decimal(32,6)")
+
+    aggregated = (
+        points.select(
+            path.alias("path"),
+            F.col(time_col).alias("__t"),
+            value_in.alias("value"),
+            F.explode(F.array(*entries)).alias("__e"),
+        )
+        .select(
+            F.col("__e")["l"].alias(label_col),
+            "path",
+            F.col("__e")["b"].alias("time"),
+            F.col("__e")["f"].alias("__fn"),
+            "__t",
+            "value",
+        )
+        .groupBy(label_col, "path", "time", "__fn")
+        .agg(*_rollup_aggs())
+    )
+    value = _rollup_value(exact_decimal, round_avg_to)
+    return aggregated.select(
+        label_col, "path", "time", value.alias("value")
+    )
 
 
 def rules_from_xml(path_or_text: str) -> tuple[RollupRule, ...]:

@@ -22,9 +22,9 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # deterministic cross-engine comparison + the reference's
         # utc-date behavior (SURVEY §1.4)
+        .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         # runtime re-planning: coalesce small shuffle partitions,
         # split skewed ones — required posture at 100 TB
@@ -32,6 +32,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE coalesce target (guide §2.2): post-shuffle partitions in
+        # the 100 MB-1 GB band, not the 64 MB default — at cluster
+        # scale this halves reduce-side block count; locally every
+        # bench shuffle is far below either target so the coalesced
+        # plan is identical (verified: leg timings unchanged).
+        # Env-tunable for deployments with slower NICs.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "256m"),
+        )
+        # allow shuffled-hash joins where the per-partition build side
+        # fits (guide §3.1): sort-merge's sort is pure overhead for
+        # the bounded-summary joins this engine plans; the planner
+        # still falls back to SMJ when size conditions fail
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # Arrow batches for the pandas-UDF parity functions
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
