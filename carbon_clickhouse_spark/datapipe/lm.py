@@ -75,7 +75,15 @@ def train_bigram_lm(
     path-deterministic tie-break on the token) so the scoring side
     can broadcast them.
     """
-    toks = reference.select(_words(text_col).alias("w"))
+    # r12 optimization (guide §1.2): four consumers walk this
+    # tokenization — the unigram top-k, the bigram top-k, the
+    # total-token count and the vocab count — and Spark would re-run
+    # the scan + tokenize per consumer. Materialize it once (lazy
+    # local checkpoint); the two eager stats jobs below then read the
+    # materialized tokens instead of re-tokenizing the corpus.
+    toks = reference.select(_words(text_col).alias("w")).localCheckpoint(
+        eager=False
+    )
     uni = (
         toks.select(F.explode("w").alias("word"))
         .groupBy("word")

@@ -374,15 +374,49 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, float] | None:
 # skips only the IDCT that the mean provably does not need.
 
 
+class _HuffTable(dict):
+    """{(length, code): symbol} plus an optional flat prefix LUT
+    (r12 optimization): ``_lut[p]`` for every ``_maxlen``-bit prefix
+    ``p`` holds ``(length, symbol)`` of the code that prefix starts
+    with, or None for an invalid prefix — one buffered peek + one
+    list index per symbol instead of a dict probe per bit. The LUT is
+    built only for tables whose longest code is <= 11 bits (2048
+    entries; covers every fixture table at <= 5), so an adversarial
+    16-bit DHT from the fuzz corpus cannot force a 65536-entry build
+    per image. Plain dicts (hand-built in tests) keep the bitwise
+    walk."""
+
+    __slots__ = ("_lut", "_maxlen")
+
+
 def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict:
     """Canonical JPEG Huffman table (T.81 C.2): {(length, code): symbol}."""
-    table, code, k = {}, 0, 0
+    table, code, k = _HuffTable(), 0, 0
+    maxlen = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
             code += 1
             k += 1
+            maxlen = length
         code <<= 1
+    if 0 < maxlen <= 11:
+        lut: list = [None] * (1 << maxlen)
+        for (length, code), sym in table.items():
+            if code >= (1 << length):
+                # malformed DHT overflowing the code space at this
+                # length: the bitwise walk can never match such an
+                # entry (walked codes are < 2^length), so it must not
+                # enter the LUT either — and its slots don't exist
+                continue
+            lo = code << (maxlen - length)
+            for p in range(lo, lo + (1 << (maxlen - length))):
+                lut[p] = (length, sym)
+        table._lut = lut
+        table._maxlen = maxlen
+    else:
+        table._lut = None
+        table._maxlen = 0
     return table
 
 
@@ -445,7 +479,31 @@ class _JpegBitReader:
         return v
 
     def huff(self, table: dict) -> int | None:
-        # hot path (one call per Huffman symbol, one iteration per
+        # fast path (r12): peek the table's longest-code width once
+        # and resolve the symbol with a single flat-LUT index (see
+        # _HuffTable). Pre-filling up to maxlen bits is
+        # observationally identical — _fill stops at markers without
+        # consuming them, and sync_marker scans to the same next
+        # marker regardless of how many data bytes were buffered. An
+        # invalid prefix or a marker-truncated register falls through
+        # to the exact bitwise walk below with the state untouched.
+        lut = getattr(table, "_lut", None)
+        if lut is not None:
+            maxlen = table._maxlen
+            while self.nbits < maxlen:
+                if not self._fill():
+                    break
+            nbits = self.nbits
+            if nbits >= maxlen:
+                bits = self.bits
+                entry = lut[(bits >> (nbits - maxlen)) & ((1 << maxlen) - 1)]
+                if entry is not None:
+                    length, sym = entry
+                    nbits -= length
+                    self.bits = bits & ((1 << nbits) - 1)
+                    self.nbits = nbits
+                    return sym
+        # slow path (one call per Huffman symbol, one iteration per
         # bit): local-variable mirror of the register, same treatment
         # as _QmDecoder.decode; dict.get replaces the double
         # `in`+getitem probe. Symbol values are small non-negative
