@@ -49,6 +49,17 @@ def ngram_buckets(
     oracle-checked mode."""
     if n < 1:
         raise ValueError("n must be >= 1")
+    # CPU-bound tokenize+hash scales with cores, not input bytes: a
+    # small corpus file arrives as ONE scan partition, so fan out to
+    # the cluster's parallelism before the per-gram work (the same
+    # guard fixture_features uses — measured 7.4 s -> 1.7 s for the
+    # 266k-gram sf0.1 corpus on local[32]). At production scale scans
+    # carry >= defaultParallelism partitions and this is a no-op; the
+    # shuffle moves only (doc_id, text), once, before the explode
+    # multiplies rows.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     last = F.size(toks) - F.lit(n)
 
@@ -111,35 +122,56 @@ def importance_log_ratios(
 ) -> DataFrame:
     """Per-bucket ``log p_target(b) - log p_source(b)`` for every
     bucket observed in either corpus: ``(bucket, log_ratio)``. At
-    most ``num_buckets`` rows — broadcastable by construction."""
-    t = bucket_distribution(target, n, num_buckets, text_col, id_col, portable)
-    s = bucket_distribution(source, n, num_buckets, text_col, id_col, portable)
-    t = t.select("bucket", F.col("logp").alias("t_logp"),
-                 F.col("logp_unseen").alias("t_un"))
-    s = s.select("bucket", F.col("logp").alias("s_logp"),
-                 F.col("logp_unseen").alias("s_un"))
-    j = t.drop("t_un").join(s.drop("s_un"), "bucket", "full_outer")
-    # a bucket missing from one side uses that side's smoothed
-    # unseen mass — a per-corpus scalar, broadcast onto every row
-    t_const = t.agg(F.first("t_un").alias("t_un"))
-    s_const = s.agg(F.first("s_un").alias("s_un"))
-    return (
-        j.crossJoin(F.broadcast(t_const))
-        .crossJoin(F.broadcast(s_const))
-        .select(
-            "bucket",
-            (
-                F.coalesce(F.col("t_logp"), F.col("t_un"))
-                - F.coalesce(F.col("s_logp"), F.col("s_un"))
-            ).alias(
-                "log_ratio",
-                # hash-space stamp in the SCHEMA (no job to read it):
-                # scoring must bucket with the same (n, num_buckets)
-                # or every lookup silently misses — consumers read
-                # this instead of trusting their own defaults
-                metadata={"n": n, "num_buckets": num_buckets, "portable": portable},
-            ),
+    most ``num_buckets`` rows — broadcastable by construction.
+
+    Plan shape (r12 optimization): BOTH corpora's bucket counts come
+    out of ONE ``groupBy("bucket")`` over the side-labeled union —
+    one Exchange instead of two plus a full-outer SortMergeJoin —
+    and the ≤ ``num_buckets``-row count table is materialized
+    (lazy ``localCheckpoint``) before anything derives from it. The
+    old form re-ran the full corpus tokenize+aggregate lineage once
+    per CONSUMER (the join, each unseen-mass scalar, and again for
+    every downstream reference to the ratio table): ~20 parquet
+    scans / 46 Exchanges in the resample plan, now 3 scans / a
+    handful of Exchanges. Values are bit-identical: a bucket absent
+    from one corpus has ``cnt = 0`` there, and
+    ``log((0 + 1) / denom)`` IS the old ``logp_unseen`` term
+    (same longs, same IEEE division and log); an entirely gram-less
+    corpus keeps the old NULL ratios via the ``total > 0`` guard
+    (NULL denominator, exactly like the old ``first()`` over an
+    empty distribution)."""
+    t_occ = ngram_buckets(target, n, num_buckets, text_col, id_col, portable)
+    s_occ = ngram_buckets(source, n, num_buckets, text_col, id_col, portable)
+    counts = (
+        t_occ.select("bucket", F.lit(1).alias("__is_t"))
+        .unionByName(s_occ.select("bucket", F.lit(0).alias("__is_t")))
+        .groupBy("bucket")
+        .agg(
+            F.sum("__is_t").alias("cnt_t"),
+            F.sum(F.lit(1) - F.col("__is_t")).alias("cnt_s"),
         )
+        .localCheckpoint(eager=False)
+    )
+    denoms = counts.agg(
+        F.sum("cnt_t").alias("t_total"),
+        F.sum("cnt_s").alias("s_total"),
+    )
+    b = F.lit(num_buckets)
+    t_denom = F.when(F.col("t_total") > 0, F.col("t_total") + b)
+    s_denom = F.when(F.col("s_total") > 0, F.col("s_total") + b)
+    return counts.crossJoin(F.broadcast(denoms)).select(
+        "bucket",
+        (
+            F.log((F.col("cnt_t") + 1) / t_denom)
+            - F.log((F.col("cnt_s") + 1) / s_denom)
+        ).alias(
+            "log_ratio",
+            # hash-space stamp in the SCHEMA (no job to read it):
+            # scoring must bucket with the same (n, num_buckets)
+            # or every lookup silently misses — consumers read
+            # this instead of trusting their own defaults
+            metadata={"n": n, "num_buckets": num_buckets, "portable": portable},
+        ),
     )
 
 

@@ -3487,6 +3487,89 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
     )
 
 
+def _fixture_payload(fmt: str, n_txt: int) -> bytes:
+    """Deterministic fixture payload for one (format, text-length)
+    pair — the closed forms the attach_* builders use, factored to
+    module level so fixture_features and the off-Spark profiling
+    harness (tools/profile_multimodal.py) share one definition."""
+    h = 1 + (n_txt % 64)
+    if fmt == "ppm":
+        n = 8 * h * 3
+        body = (_PIX_CYCLE * (n // 256 + 1))[:n]
+        return b"P6\n8 %d\n255\n" % h + body
+    if fmt == "png":
+        n = 8 * h
+        body = (_PIX_CYCLE * (n // 256 + 1))[:n]
+        raw = b"".join(b"\x00" + body[r * 8 : (r + 1) * 8] for r in range(h))
+        ihdr = struct.pack(">IIBBBBB", 8, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b"")
+        )
+    hb = 1 + (n_txt % 16)
+    if fmt == "jpeg":
+        return encode_jpeg_gray_blocks(
+            [(n_txt + 37 * i) % 256 for i in range(hb)]
+        )
+    if fmt == "pjpeg":  # progressive: SOF2 DC scans + refinement
+        return encode_jpeg_gray_blocks_progressive(
+            [(n_txt + 53 * i) % 256 for i in range(hb)]
+        )
+    if fmt == "ljpeg":  # lossless: SOF3 Annex-H predictive scan
+        hl = 1 + (n_txt % 32)
+        plane = [
+            [(n_txt + 17 * y + 5 * x) % 256 for x in range(8)]
+            for y in range(hl)
+        ]
+        return encode_jpeg_lossless(
+            [plane],
+            predictor=1 + (n_txt % 7),
+            restart_interval=3 if n_txt % 2 else 0,
+        )
+    if fmt == "ajpeg":  # arithmetic (SOF9, Annex D QM-coder)
+        return encode_jpeg_arith_gray_blocks(
+            [(n_txt + 71 * i) % 256 for i in range(hb)],
+            restart_interval=2 if n_txt % 3 == 0 else 0,
+        )
+    if fmt == "apjpeg":  # progressive arithmetic (SOF10, G.2)
+        return encode_jpeg_arith_progressive(
+            [((n_txt + 83 * i) % 256 - 128, [0] * 63)
+             for i in range(hb)],
+            restart_interval=3 if n_txt % 2 else 0,
+        )
+    if fmt == "aljpeg":  # lossless arithmetic (SOF11, H.2)
+        hl = 1 + (n_txt % 24)
+        plane = [
+            [(n_txt + 19 * y + 7 * x) % 256 for x in range(8)]
+            for y in range(hl)
+        ]
+        return encode_jpeg_arith_lossless(
+            [plane],
+            predictor=1 + (n_txt % 7),
+            restart_interval=4 if n_txt % 4 == 0 else 0,
+        )
+    if fmt == "hjpeg":  # hierarchical (Annex K, r11): DHP + a
+        # non-differential first frame (mode cycles with the text
+        # length) + a differential refinement the decoder must
+        # stop before
+        return encode_jpeg_hierarchical(
+            [(n_txt + 29 * i) % 256 for i in range(hb)],
+            first=("baseline", "arith", "lossless")[n_txt % 3],
+            restart_interval=2 if n_txt % 5 == 0 else 0,
+            refinement=n_txt % 2 == 0,
+        )
+    nf = 1 + (n_txt % 4)
+    frames = [
+        encode_jpeg_gray_blocks(
+            [(n_txt + 37 * i + 11 * f) % 256 for i in range(hb)]
+        )
+        for f in range(nf)
+    ]
+    return encode_avi_mjpeg(frames, 8, 8 * hb)
+
+
 def fixture_features(
     df: DataFrame,
     formats: tuple = ("ppm", "png", "jpeg", "pjpeg", "ljpeg", "ajpeg",
@@ -3517,84 +3600,7 @@ def fixture_features(
             T.StructField("mean_byte", T.DoubleType()),
         ]
     )
-
-    def build(fmt: str, n_txt: int) -> bytes:
-        h = 1 + (n_txt % 64)
-        if fmt == "ppm":
-            n = 8 * h * 3
-            body = (_PIX_CYCLE * (n // 256 + 1))[:n]
-            return b"P6\n8 %d\n255\n" % h + body
-        if fmt == "png":
-            n = 8 * h
-            body = (_PIX_CYCLE * (n // 256 + 1))[:n]
-            raw = b"".join(b"\x00" + body[r * 8 : (r + 1) * 8] for r in range(h))
-            ihdr = struct.pack(">IIBBBBB", 8, h, 8, 0, 0, 0, 0)
-            return (
-                _PNG_SIG
-                + _png_chunk(b"IHDR", ihdr)
-                + _png_chunk(b"IDAT", zlib.compress(raw, 6))
-                + _png_chunk(b"IEND", b"")
-            )
-        hb = 1 + (n_txt % 16)
-        if fmt == "jpeg":
-            return encode_jpeg_gray_blocks(
-                [(n_txt + 37 * i) % 256 for i in range(hb)]
-            )
-        if fmt == "pjpeg":  # progressive: SOF2 DC scans + refinement
-            return encode_jpeg_gray_blocks_progressive(
-                [(n_txt + 53 * i) % 256 for i in range(hb)]
-            )
-        if fmt == "ljpeg":  # lossless: SOF3 Annex-H predictive scan
-            hl = 1 + (n_txt % 32)
-            plane = [
-                [(n_txt + 17 * y + 5 * x) % 256 for x in range(8)]
-                for y in range(hl)
-            ]
-            return encode_jpeg_lossless(
-                [plane],
-                predictor=1 + (n_txt % 7),
-                restart_interval=3 if n_txt % 2 else 0,
-            )
-        if fmt == "ajpeg":  # arithmetic (SOF9, Annex D QM-coder)
-            return encode_jpeg_arith_gray_blocks(
-                [(n_txt + 71 * i) % 256 for i in range(hb)],
-                restart_interval=2 if n_txt % 3 == 0 else 0,
-            )
-        if fmt == "apjpeg":  # progressive arithmetic (SOF10, G.2)
-            return encode_jpeg_arith_progressive(
-                [((n_txt + 83 * i) % 256 - 128, [0] * 63)
-                 for i in range(hb)],
-                restart_interval=3 if n_txt % 2 else 0,
-            )
-        if fmt == "aljpeg":  # lossless arithmetic (SOF11, H.2)
-            hl = 1 + (n_txt % 24)
-            plane = [
-                [(n_txt + 19 * y + 7 * x) % 256 for x in range(8)]
-                for y in range(hl)
-            ]
-            return encode_jpeg_arith_lossless(
-                [plane],
-                predictor=1 + (n_txt % 7),
-                restart_interval=4 if n_txt % 4 == 0 else 0,
-            )
-        if fmt == "hjpeg":  # hierarchical (Annex K, r11): DHP + a
-            # non-differential first frame (mode cycles with the text
-            # length) + a differential refinement the decoder must
-            # stop before
-            return encode_jpeg_hierarchical(
-                [(n_txt + 29 * i) % 256 for i in range(hb)],
-                first=("baseline", "arith", "lossless")[n_txt % 3],
-                restart_interval=2 if n_txt % 5 == 0 else 0,
-                refinement=n_txt % 2 == 0,
-            )
-        nf = 1 + (n_txt % 4)
-        frames = [
-            encode_jpeg_gray_blocks(
-                [(n_txt + 37 * i + 11 * f) % 256 for i in range(hb)]
-            )
-            for f in range(nf)
-        ]
-        return encode_avi_mjpeg(frames, 8, 8 * hb)
+    build = _fixture_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fractions import Fraction

@@ -20,8 +20,9 @@ SF_DIR = "/root/testdata/sf0.001"
 SHUFFLE_JOIN_WHITELIST = {
     "dedup_survivors": 1,
     "dedup_clusters": 1,
-    "dsir_resample": 1,
-    "dsir_scores": 1,
+    # dsir_resample/dsir_scores left this list in r12: the fused
+    # single-groupBy ratio table (importance_log_ratios) removed the
+    # full-outer SortMergeJoin of the two bucket distributions
     # r12 span masking: match-bounded hit lists join back to the
     # docs on the SAME doc_id partitioning the groupBy established —
     # one bounded Exchange per side, never an n-gram-keyed shuffle
