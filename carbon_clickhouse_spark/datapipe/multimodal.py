@@ -389,8 +389,22 @@ class _HuffTable(dict):
     __slots__ = ("_lut", "_maxlen")
 
 
+_HUFF_TABLE_MEMO: dict = {}
+
+
 def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """Canonical JPEG Huffman table (T.81 C.2): {(length, code): symbol}."""
+    """Canonical JPEG Huffman table (T.81 C.2): {(length, code): symbol}.
+
+    Memoized by the (bits, vals) spec bytes (r12): scans re-derive
+    their DHT tables per image, and the canonical build + prefix LUT
+    is pure — identical specs share one read-only table. The memo is
+    bounded (reset at 512 entries) so an adversarial stream of
+    distinct DHTs cannot grow it without limit."""
+    key = (tuple(bits), tuple(vals))
+    memo = _HUFF_TABLE_MEMO
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     table, code, k = _HuffTable(), 0, 0
     maxlen = 0
     for length in range(1, 17):
@@ -417,6 +431,9 @@ def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict:
     else:
         table._lut = None
         table._maxlen = 0
+    if len(memo) >= 512:
+        memo.clear()
+    memo[key] = table
     return table
 
 
@@ -431,6 +448,8 @@ def _jpeg_huff_encode_table(bits: list[int], vals: list[int]) -> dict:
 class _JpegBitReader:
     """Entropy-segment bit reader: 0xFF00 unstuffing, marker detection
     (stops and exposes RSTn / EOI instead of consuming them as data)."""
+
+    __slots__ = ("buf", "pos", "bits", "nbits", "marker")
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf, self.pos = buf, pos
@@ -487,7 +506,10 @@ class _JpegBitReader:
         # marker regardless of how many data bytes were buffered. An
         # invalid prefix or a marker-truncated register falls through
         # to the exact bitwise walk below with the state untouched.
-        lut = getattr(table, "_lut", None)
+        try:
+            lut = table._lut  # EAFP: cheaper than getattr-with-default
+        except AttributeError:  # plain dict (hand-built in tests)
+            lut = None
         if lut is not None:
             maxlen = table._maxlen
             while self.nbits < maxlen:
@@ -1267,6 +1289,8 @@ _JPEG_FIX_AC = ([0, 3] + [0] * 14, [0x00, 0x01, 0xF0])
 
 
 class _JpegBitWriter:
+    __slots__ = ("out", "acc", "n")
+
     def __init__(self) -> None:
         self.out = bytearray()
         self.acc = 0
@@ -1548,6 +1572,8 @@ class _QmEncoder:
     pass — byte-for-byte the stream of the spec's stacked-FF
     BYTEOUT, without replicating its bookkeeping."""
 
+    __slots__ = ("a", "c", "ct", "raw")
+
     def __init__(self) -> None:
         self.a = 0x10000
         self.c = 0
@@ -1599,6 +1625,97 @@ class _QmEncoder:
         self.c = c
         self.ct = ct
 
+    def encode_diff(self, bins: bytearray, st: int, xbase: int,
+                    diff: int) -> int:
+        """One signed-difference encode — the zero decision, sign,
+        magnitude category chain and mantissa bits (Figures
+        F.4/F.6/F.7; also the H.2 per-sample unit) — in a single
+        call (r12): the encoder mirror of
+        :meth:`_QmDecoder.decode_diff`. The common MPS-no-renorm
+        decision is inlined as two local ops — it replicates exactly
+        :meth:`encode`'s ``d == mps and (A−Qe) & 0x8000`` arm
+        (``A −= Qe``, nothing else changes) — and every other
+        decision syncs ``A`` back and delegates to the one full
+        :meth:`encode` implementation. Output bitstreams are
+        byte-identical to the per-call form (md5-verified over the
+        fixture corpus + the round-trip fuzz suites).
+
+        Returns the chain MSB ``m`` (0 when ``|diff| == 1``) for the
+        F.1.4.4.1.2 conditioning classification, or -1 when
+        ``diff == 0``."""
+        table = _QM_TABLE
+        a = self.a
+        s = bins[st]
+        an = a - table[s >> 1][0]
+        if (1 if diff else 0) == (s & 1) and an & 0x8000:
+            a = an
+        else:
+            self.a = a
+            self.encode(bins, st, 1 if diff else 0)
+            a = self.a
+        if diff == 0:
+            self.a = a
+            return -1
+        sign = 1 if diff < 0 else 0
+        s = bins[st + 1]
+        an = a - table[s >> 1][0]
+        if sign == (s & 1) and an & 0x8000:
+            a = an
+        else:
+            self.a = a
+            self.encode(bins, st + 1, sign)
+            a = self.a
+        sz = (-diff if sign else diff) - 1
+        pos = st + 2 + sign
+        m = 0
+        if sz:
+            s = bins[pos]
+            an = a - table[s >> 1][0]
+            if (s & 1) and an & 0x8000:
+                a = an
+            else:
+                self.a = a
+                self.encode(bins, pos, 1)
+                a = self.a
+            m = 1
+            v2 = sz
+            pos = xbase
+            while v2 >> 1:
+                s = bins[pos]
+                an = a - table[s >> 1][0]
+                if (s & 1) and an & 0x8000:
+                    a = an
+                else:
+                    self.a = a
+                    self.encode(bins, pos, 1)
+                    a = self.a
+                m <<= 1
+                v2 >>= 1
+                pos += 1
+        s = bins[pos]
+        an = a - table[s >> 1][0]
+        if not (s & 1) and an & 0x8000:
+            a = an
+        else:
+            self.a = a
+            self.encode(bins, pos, 0)
+            a = self.a
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            d = 1 if (sz & mm) else 0
+            s = bins[pos]
+            an = a - table[s >> 1][0]
+            if d == (s & 1) and an & 0x8000:
+                a = an
+            else:
+                self.a = a
+                self.encode(bins, pos, d)
+                a = self.a
+        self.a = a
+        return m
+
     def _byteout(self) -> None:
         t = self.c >> 19
         if t > 0xFF:
@@ -1642,6 +1759,8 @@ class _QmDecoder:
     conditional exchange. BYTEIN consumes 0xFF 0x00 as a data 0xFF
     and feeds 1-bits once a real marker is seen (D.4.6), leaving
     ``bp`` parked at the marker for the restart walk."""
+
+    __slots__ = ("buf", "bp", "n", "marker_seen", "c", "a", "ct")
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf = buf
@@ -1724,6 +1843,122 @@ class _QmDecoder:
         self.ct = ct
         return d
 
+    def decode_magnitude(self, bins: bytearray, i: int, xbase: int,
+                         mbase_off: int = 14) -> int | None:
+        """The shared magnitude decode (T.81 Figures F.23/F.24) in ONE
+        call instead of one :meth:`decode` call per decision (r12
+        optimization — the chains are the densest decision runs in
+        every arithmetic scan). The overwhelmingly common decision
+        outcome — MPS with no renormalization — is inlined as two
+        local integer ops; it replicates exactly :meth:`decode`'s
+        final ``else`` arm (``chigh < A−Qe`` and ``A−Qe`` keeps the
+        high bit ⇒ return MPS, ``A −= Qe``, C/CT/BP untouched), so
+        registers can stay in Python locals across the whole chain.
+        Every other outcome syncs ``A`` back and delegates to the
+        one full :meth:`decode` implementation — no duplicated
+        renormalization/exchange logic. Decisions, state transitions
+        and returned magnitudes are bit-identical to the per-call
+        form (md5-verified over the full fixture corpus + the
+        round-trip fuzz suites).
+
+        First decision at bin ``i`` says magnitude > 1; the category
+        chain then runs at ``xbase``; the mantissa reuses the chain's
+        stop position + ``mbase_off``. Returns v >= 1, or None on
+        overflow (malformed stream)."""
+        table = _QM_TABLE
+        a = self.a
+        c16 = self.c >> 16
+        st = bins[i]
+        an = a - table[st >> 1][0]
+        if c16 < an and an & 0x8000:
+            a = an
+            m = st & 1
+        else:
+            self.a = a
+            m = self.decode(bins, i)
+            a = self.a
+            c16 = self.c >> 16
+        pos = i
+        if m:
+            pos = xbase
+            while True:
+                st = bins[pos]
+                an = a - table[st >> 1][0]
+                if c16 < an and an & 0x8000:
+                    a = an
+                    d = st & 1
+                else:
+                    self.a = a
+                    d = self.decode(bins, pos)
+                    a = self.a
+                    c16 = self.c >> 16
+                if not d:
+                    break
+                m <<= 1
+                if m == 0x8000:
+                    self.a = a
+                    return None
+                pos += 1
+        v = m
+        pos += mbase_off
+        while m > 1:
+            m >>= 1
+            st = bins[pos]
+            an = a - table[st >> 1][0]
+            if c16 < an and an & 0x8000:
+                a = an
+                d = st & 1
+            else:
+                self.a = a
+                d = self.decode(bins, pos)
+                a = self.a
+                c16 = self.c >> 16
+            if d:
+                v |= m
+        self.a = a
+        return v + 1
+
+    def decode_diff(self, bins: bytearray, st: int, chain: int,
+                    mbase_off: int = 14) -> int | None:
+        """One signed-difference entropy decode — the zero decision,
+        the sign, and the magnitude chain — in a single call (r12):
+        the per-sample unit of the SOF11/H.2 scan and the per-block
+        DC unit of the SOF9/F.1.4 scan, which otherwise cost 3-6
+        :meth:`decode` calls each. Same fast-path-inline + delegate
+        pattern (and the same bit-exactness argument) as
+        :meth:`decode_magnitude`. Returns the signed difference
+        (0 when the zero decision fires), or None on overflow."""
+        table = _QM_TABLE
+        a = self.a
+        c16 = self.c >> 16
+        s0 = bins[st]
+        an = a - table[s0 >> 1][0]
+        if c16 < an and an & 0x8000:
+            a = an
+            d = s0 & 1
+        else:
+            self.a = a
+            d = self.decode(bins, st)
+            a = self.a
+            c16 = self.c >> 16
+        if d == 0:
+            self.a = a
+            return 0
+        s1 = bins[st + 1]
+        an = a - table[s1 >> 1][0]
+        if c16 < an and an & 0x8000:
+            a = an
+            sign = s1 & 1
+        else:
+            self.a = a
+            sign = self.decode(bins, st + 1)
+            a = self.a
+        self.a = a
+        v = self.decode_magnitude(bins, st + 2 + sign, chain, mbase_off)
+        if v is None:
+            return None
+        return -v if sign else v
+
 
 def _arith_next_marker(buf: bytes, pos: int) -> int | None:
     """Index of the next marker (INCLUDING RSTn) at/after ``pos`` in
@@ -1744,23 +1979,11 @@ def _arith_decode_magnitude(dec, bins, st, xbase, mbase_off=14):
     decision at ``st`` says magnitude > 1; the category chain then
     runs at ``xbase`` (X bins); the bit pattern reuses the chain's
     stop position + ``mbase_off`` (the M bin column). Returns the
-    decoded magnitude v >= 1, or None on overflow (malformed)."""
-    m = dec.decode(bins, st)
-    pos = st
-    if m:
-        pos = xbase
-        while dec.decode(bins, pos):
-            m <<= 1
-            if m == 0x8000:
-                return None
-            pos += 1
-    v = m
-    pos += mbase_off
-    while m > 1:
-        m >>= 1
-        if dec.decode(bins, pos):
-            v |= m
-    return v + 1
+    decoded magnitude v >= 1, or None on overflow (malformed).
+
+    Delegates to :meth:`_QmDecoder.decode_magnitude` — the fused
+    register-local form of exactly this loop (r12 optimization)."""
+    return dec.decode_magnitude(bins, st, xbase, mbase_off)
 
 
 def _arith_scan_blocks(
@@ -1848,17 +2071,18 @@ def _arith_scan_blocks(
             abins = ac_stats[ta]
             for _ in range(nblocks):
                 block = None
-                # DC (Figures F.19/F.22-F.26, Table F.4)
+                # DC (Figures F.19/F.22-F.26, Table F.4) — one fused
+                # decode_diff call per block (r12; the zero/sign/
+                # magnitude sequence is the same H.2 unit)
                 st = dc_ctx[cid]
-                if dec.decode(dbins, st) == 0:
+                diff = dec.decode_diff(dbins, st, 20)
+                if diff is None:
+                    return None
+                if diff == 0:
                     dc_ctx[cid] = 0
                 else:
-                    sign = dec.decode(dbins, st + 1)
-                    v = _arith_decode_magnitude(
-                        dec, dbins, st + 2 + sign, 20
-                    )
-                    if v is None:
-                        return None
+                    sign = 1 if diff < 0 else 0
+                    v = -diff if sign else diff
                     mcat = v - 1  # category MSB (0 when v == 1)
                     # F.1.4.4.1.2 conditioning classification: use
                     # the category MSB like the magnitude decode saw
@@ -2116,16 +2340,17 @@ def _arith_prog_dc_scan(
                     bx = mbx * comp[1] + sh
                 blk = grids.setdefault(cid, {}).setdefault((by, bx), [0] * 64)
                 if ah == 0:
+                    # fused decode_diff (r12): same zero/sign/
+                    # magnitude unit as the sequential DC path
                     st = dc_ctx[cid]
-                    if dec.decode(dbins, st) == 0:
+                    diff = dec.decode_diff(dbins, st, 20)
+                    if diff is None:
+                        return None
+                    if diff == 0:
                         dc_ctx[cid] = 0
                     else:
-                        sign = dec.decode(dbins, st + 1)
-                        v = _arith_decode_magnitude(
-                            dec, dbins, st + 2 + sign, 20
-                        )
-                        if v is None:
-                            return None
+                        sign = 1 if diff < 0 else 0
+                        v = -diff if sign else diff
                         msb = 1
                         while msb * 2 <= v - 1:
                             msb *= 2
@@ -2487,22 +2712,16 @@ def _arith_lossless_scan(
         for small, bins, drow, g in comp_slots:
             da = drow[y & 1][x - 1] if x else 0
             db = drow[(y - 1) & 1][x] if y else 0
-            st = 4 * (5 * _ll_cat(da, small) + _ll_cat(db, small))
-            if dec.decode(bins, st) == 0:
-                diff = 0
-            else:
-                sign = dec.decode(bins, st + 1)
-                chain = (
-                    _QM_LL_CHAIN_B
-                    if _ll_cat(db, small) >= 3
-                    else _QM_LL_CHAIN_A
-                )
-                v = _arith_decode_magnitude(
-                    dec, bins, st + 2 + sign, chain
-                )
-                if v is None:
-                    return None
-                diff = -v if sign else v
+            # cb hoisted: the context and the chain selector both
+            # classify db (was computed twice per sample)
+            cb = _ll_cat(db, small)
+            st = 4 * (5 * _ll_cat(da, small) + cb)
+            diff = dec.decode_diff(
+                bins, st,
+                _QM_LL_CHAIN_B if cb >= 3 else _QM_LL_CHAIN_A,
+            )
+            if diff is None:
+                return None
             drow[y & 1][x] = diff
             if fresh_sample:
                 px = default
@@ -2693,39 +2912,16 @@ def encode_jpeg_arith_lossless(
             drow = dgrid[ci]
             da = drow[y & 1][x - 1] if x else 0
             db = drow[(y - 1) & 1][x] if y else 0
-            bins = stats
-            st = 4 * (5 * _ll_cat(da, small) + _ll_cat(db, small))
-            if diff == 0:
-                enc.encode(bins, st, 0)
-            else:
-                enc.encode(bins, st, 1)
-                sign = 1 if diff < 0 else 0
-                enc.encode(bins, st + 1, sign)
-                chain = (
-                    _QM_LL_CHAIN_B
-                    if _ll_cat(db, small) >= 3
-                    else _QM_LL_CHAIN_A
-                )
-                v = -diff if sign else diff
-                sz = v - 1
-                p2 = st + 2 + sign
-                mm = 0
-                if sz:
-                    enc.encode(bins, p2, 1)
-                    mm = 1
-                    v2 = sz
-                    p2 = chain
-                    while v2 >> 1:
-                        enc.encode(bins, p2, 1)
-                        mm <<= 1
-                        v2 >>= 1
-                        p2 += 1
-                enc.encode(bins, p2, 0)
-                p2 += 14
-                m2 = mm
-                while m2 > 1:
-                    m2 >>= 1
-                    enc.encode(bins, p2, 1 if (sz & m2) else 0)
+            # one fused encode_diff call per sample (r12); cb hoisted
+            # like the decoder's loop (context + chain both classify
+            # db)
+            cb = _ll_cat(db, small)
+            st = 4 * (5 * _ll_cat(da, small) + cb)
+            enc.encode_diff(
+                stats, st,
+                _QM_LL_CHAIN_B if cb >= 3 else _QM_LL_CHAIN_A,
+                diff,
+            )
             drow[y & 1][x] = diff
         fresh_sample = False
     out += enc.flush()
@@ -2776,16 +2972,13 @@ class _ArithBlockEncoder:
         emit NO AC decisions)."""
         diff = dc - self.last_dc
         self.last_dc = dc
-        st = self.dc_ctx
-        if diff == 0:
-            self.qm.encode(self.dc, st, 0)
+        # fused encode_diff (r12): the same decision sequence as the
+        # old encode/encode/_magnitude triple, one call per block
+        m = self.qm.encode_diff(self.dc, self.dc_ctx, 20, diff)
+        if m < 0:
             self.dc_ctx = 0
         else:
-            self.qm.encode(self.dc, st, 1)
             sign = 1 if diff < 0 else 0
-            self.qm.encode(self.dc, st + 1, sign)
-            v = -diff if sign else diff
-            m = self._magnitude(self.dc, st + 2 + sign, 20, v)
             if m < ((1 << self.L) >> 1):
                 self.dc_ctx = 0
             elif m > ((1 << self.U) >> 1):

@@ -159,3 +159,129 @@ def test_rollup_sets_equals_union_of_rollups(spark):
         for r in fused.collect()
     )
     assert got == expect
+
+
+# --- fused QM-coder units (decode_diff / decode_magnitude /
+# encode_diff) must be decision-for-decision identical to the
+# per-call form -------------------------------------------------------
+
+
+def _reference_encode_diff(enc, bins, st, xbase, diff):
+    """The pre-fusion per-call encode sequence (the exact loop the
+    SOF11 encoder and put_dc ran), kept here as the spec mirror."""
+    if diff == 0:
+        enc.encode(bins, st, 0)
+        return -1
+    enc.encode(bins, st, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(bins, st + 1, sign)
+    v = -diff if sign else diff
+    sz = v - 1
+    pos = st + 2 + sign
+    m = 0
+    if sz:
+        enc.encode(bins, pos, 1)
+        m = 1
+        v2 = sz
+        pos = xbase
+        while v2 >> 1:
+            enc.encode(bins, pos, 1)
+            m <<= 1
+            v2 >>= 1
+            pos += 1
+    enc.encode(bins, pos, 0)
+    pos += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(bins, pos, 1 if (sz & mm) else 0)
+    return m
+
+
+def _reference_decode_diff(dec, bins, st, chain):
+    """The pre-fusion per-call decode sequence."""
+    if dec.decode(bins, st) == 0:
+        return 0
+    sign = dec.decode(bins, st + 1)
+    m = dec.decode(bins, st + 2 + sign)
+    pos = st + 2 + sign
+    if m:
+        pos = chain
+        while dec.decode(bins, pos):
+            m <<= 1
+            if m == 0x8000:
+                return None
+            pos += 1
+    v = m
+    pos += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(bins, pos):
+            v |= m
+    return -(v + 1) if sign else (v + 1)
+
+
+def test_fused_qm_diff_units_match_per_call_form():
+    """Random signed-difference streams through encode_diff /
+    decode_diff vs the per-call reference: byte-identical bitstreams,
+    identical statistics areas, identical decoded values — including
+    streams long enough to renormalize and carry many times."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _QM_LL_BINS,
+        _QM_LL_CHAIN_A,
+        _QmDecoder,
+        _QmEncoder,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(40):
+        diffs = [
+            rng.choice([0, 0, 1, -1, 2, -3, 7, -15, 100, -1000, 20000])
+            for _ in range(rng.randint(1, 200))
+        ]
+        sts = [4 * rng.randrange(25) for _ in diffs]
+
+        enc_a, enc_b = _QmEncoder(), _QmEncoder()
+        bins_a = bytearray(_QM_LL_BINS)
+        bins_b = bytearray(_QM_LL_BINS)
+        for d, st in zip(diffs, sts):
+            ma = enc_a.encode_diff(bins_a, st, _QM_LL_CHAIN_A, d)
+            mb = _reference_encode_diff(enc_b, bins_b, st, _QM_LL_CHAIN_A, d)
+            assert ma == mb
+        assert bins_a == bins_b
+        stream_a = enc_a.flush()
+        stream_b = enc_b.flush()
+        assert stream_a == stream_b
+
+        dec_a = _QmDecoder(stream_a, 0)
+        dec_b = _QmDecoder(stream_b, 0)
+        dbins_a = bytearray(_QM_LL_BINS)
+        dbins_b = bytearray(_QM_LL_BINS)
+        for d, st in zip(diffs, sts):
+            ga = dec_a.decode_diff(dbins_a, st, _QM_LL_CHAIN_A)
+            gb = _reference_decode_diff(dec_b, dbins_b, st, _QM_LL_CHAIN_A)
+            assert ga == gb == d
+        assert dbins_a == dbins_b
+        assert (dec_a.a, dec_a.c, dec_a.ct, dec_a.bp) == (
+            dec_b.a, dec_b.c, dec_b.ct, dec_b.bp
+        )
+
+
+def test_huff_table_memo_returns_equal_tables():
+    """The DHT memo must hand back a table identical to a fresh
+    build, and distinct specs must not collide."""
+    from carbon_clickhouse_spark.datapipe.multimodal import (
+        _HUFF_TABLE_MEMO,
+    )
+
+    _HUFF_TABLE_MEMO.clear()
+    bits = [0, 2, 1] + [0] * 13
+    t1 = _jpeg_huff_decode_table(bits, [5, 9, 1])
+    t2 = _jpeg_huff_decode_table(bits, [5, 9, 1])
+    assert t1 is t2  # memo hit
+    t3 = _jpeg_huff_decode_table(bits, [5, 9, 2])
+    assert t3 is not t1 and dict(t3) != dict(t1)
+    _HUFF_TABLE_MEMO.clear()
+    t4 = _jpeg_huff_decode_table(bits, [5, 9, 1])
+    assert t4 is not t1 and dict(t4) == dict(t1)
+    assert t4._maxlen == t1._maxlen and t4._lut == t1._lut
