@@ -96,6 +96,17 @@ def _table_lock(path: str) -> threading.Lock:
         return _TABLE_WRITE_LOCKS[os.path.abspath(path)]
 
 
+# series tables that have provably held rows this process (a prior
+# non-empty write landed): their per-batch head(1) emptiness probe is
+# pure overhead — an empty month-partitioned append to an established
+# table writes no data files (the dynamic-partition writer creates
+# files on first row) and only refreshes _SUCCESS, whereas on a table
+# that might not exist yet the probe still guards against creating an
+# unreadable _SUCCESS-only directory (r12 optimization; see
+# _write_series).
+_ESTABLISHED_TABLES: set[str] = set()
+
+
 @dataclass
 class StreamConfig:
     root: str
@@ -333,13 +344,58 @@ def start_ingest(
                 # config names a table for them (ch_names carries just
                 # the four modern types by default)
                 mirror = ch is not None and name in ch_names
+                path = os.path.join(config.root, name)
+                # steady-state fast path (r12): once the table has
+                # provably held rows, the write job is the ONLY
+                # consumer (no mirror upload) — skip the persist and
+                # the head(1) emptiness probe (one extra Spark job
+                # per series table per micro-batch). An all-deduped
+                # batch then appends zero data files to the
+                # established month-partitioned table (only _SUCCESS
+                # is rewritten). Date-less legacy flat tables fall
+                # through to the probing path: an empty FLAT append
+                # would create one empty part file per task.
+                if (
+                    not mirror
+                    and "date" in df.columns
+                    and os.path.abspath(path) in _ESTABLISHED_TABLES
+                ):
+                    with _table_lock(path):
+                        partitioned_ok, pinned = (
+                            prepare_partitioned_append(
+                                spark_b, path, ("path",), pin=df
+                            )
+                        )
+                        if pinned is not None:
+                            df = pinned
+                        if partitioned_ok:
+                            try:
+                                (
+                                    df.withColumn(
+                                        "month",
+                                        F.date_format("date", "yyyyMM"),
+                                    )
+                                    .sortWithinPartitions("month", "path")
+                                    .write.mode("append")
+                                    .partitionBy("month")
+                                    .parquet(path)
+                                )
+                            except Exception:
+                                # unknown directory state: next batch
+                                # must re-probe layout AND emptiness
+                                forget_layout(path)
+                                _ESTABLISHED_TABLES.discard(
+                                    os.path.abspath(path)
+                                )
+                                raise
+                            return
+                    # legacy flat layout: probing path below
                 # pin the deduped rows: reused by the emptiness probe,
                 # the parquet append, and (for mirrors) the CH upload
                 # — and re-evaluating the anti-join after the write
                 # would see the just-appended rows and go empty
                 df = df.persist()
                 try:
-                    path = os.path.join(config.root, name)
                     # a PARTITIONED append of an empty frame writes a
                     # directory holding only _SUCCESS — unreadable
                     # (UNABLE_TO_INFER_SCHEMA) — so an all-deduped
@@ -389,6 +445,10 @@ def start_ingest(
                                 raise
                         elif has_rows:
                             df.write.mode("append").parquet(path)
+                    if has_rows:
+                        # the table now provably holds rows: later
+                        # batches take the probe-free fast path above
+                        _ESTABLISHED_TABLES.add(os.path.abspath(path))
                     if mirror:
                         # same deduped rows as the parquet write: the
                         # A2 exists-cache throttles the CH upload

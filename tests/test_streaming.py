@@ -1295,3 +1295,63 @@ def test_rollup_horizon_partitioned_equals_unpartitioned(spark, tmp_path):
     h1 = rollup_horizon(spark.read.parquet(f"{tmp_path}/t1"), 60)
     h2 = rollup_horizon(spark.read.parquet(f"{tmp_path}/t2"), 60)
     assert h1 == h2 == aug + 180
+
+def test_established_table_fast_path_skips_probe_and_handles_empty(
+    spark, tmp_path
+):
+    """r12 optimization pin: once a series table holds rows, later
+    batches skip the head(1) emptiness probe and append directly —
+    an ALL-DUPLICATE batch (anti-join empties it) must add zero data
+    files to the established table and leave every read intact."""
+    import glob
+
+    from carbon_clickhouse_spark.streaming.ingest import (
+        _ESTABLISHED_TABLES,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "tables")
+    lines = [
+        "est.host1.cpu 1.5 1625478100",
+        "est.host2.cpu 2.5 1625478200",
+    ]
+    cfg = StreamConfig(
+        root=root,
+        chunk_interval="500 milliseconds",
+        ingest=IngestConfig(now=1625478400),
+        audit_dropped=False,
+        exists_cache=True,
+    )
+    q = start_plain_ingest(spark, file_landing_source(spark, str(landing)), cfg)
+    try:
+        (landing / "c1.txt").write_text("\n".join(lines) + "\n")
+        q.processAllAvailable()
+        assert q.exception() is None
+        idx = os.path.abspath(f"{root}/index")
+        assert idx in _ESTABLISHED_TABLES  # first write marked it
+        files_before = sorted(glob.glob(f"{root}/index/**/*.parquet",
+                                        recursive=True))
+        # the SAME lines again: the A2 anti-join empties the index /
+        # tagged frames, and the established fast path appends nothing
+        (landing / "c2.txt").write_text("\n".join(lines) + "\n")
+        q.processAllAvailable()
+        assert q.exception() is None
+        files_after = sorted(glob.glob(f"{root}/index/**/*.parquet",
+                                       recursive=True))
+        assert files_after == files_before  # zero new data files
+        # a genuinely new series after the dedup round still lands
+        (landing / "c3.txt").write_text("est.host3.cpu 9 1625478300\n")
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    points = spark.read.parquet(f"{root}/points")
+    assert points.count() == 5  # 2 + 2 (dup points still append) + 1
+    index = spark.read.parquet(f"{root}/index")
+    per_series = index.groupBy("date", "level", "path").count()
+    assert per_series.filter("count > 1").count() == 0  # no dup rows
+    assert index.filter(
+        F.col("path") == "est.host3.cpu"
+    ).count() > 0
