@@ -1631,90 +1631,156 @@ class _QmEncoder:
         magnitude category chain and mantissa bits (Figures
         F.4/F.6/F.7; also the H.2 per-sample unit) — in a single
         call (r12): the encoder mirror of
-        :meth:`_QmDecoder.decode_diff`. The common MPS-no-renorm
-        decision is inlined as two local ops — it replicates exactly
-        :meth:`encode`'s ``d == mps and (A−Qe) & 0x8000`` arm
-        (``A −= Qe``, nothing else changes) — and every other
-        decision syncs ``A`` back and delegates to the one full
-        :meth:`encode` implementation. Output bitstreams are
-        byte-identical to the per-call form (md5-verified over the
-        fixture corpus + the round-trip fuzz suites).
+        :meth:`_QmDecoder.decode_diff`.
+
+        Fully register-local (r12 batch 4, same reasoning as the
+        decoder): the chain/mantissa bits are near-random, so the
+        first fused form's MPS-no-renorm fast path missed most of
+        the time and ~80% of decisions still paid a delegate
+        :meth:`encode` call. The WHOLE decision — both arms,
+        conditional exchange, state transition, renormalization and
+        BYTEOUT with carry — is inlined ONCE at the top of the same
+        phase loop (zero → sign → magnitude>1 → chain → terminator →
+        mantissa), with A/C/CT in Python locals across the unit
+        (``raw`` is shared by reference). The decision block is a
+        line-for-line replica of :meth:`encode`'s arms (which stays
+        the reference implementation for the scan-loop callers);
+        byte-exactness is pinned by
+        ``test_fused_qm_diff_units_match_per_call_form`` (streams,
+        statistics bins and encoder register state vs the per-call
+        form) and the md5 corpus checks.
 
         Returns the chain MSB ``m`` (0 when ``|diff| == 1``) for the
         F.1.4.4.1.2 conditioning classification, or -1 when
         ``diff == 0``."""
         table = _QM_TABLE
+        fixed = _QM_FIXED
         a = self.a
-        s = bins[st]
-        an = a - table[s >> 1][0]
-        if (1 if diff else 0) == (s & 1) and an & 0x8000:
-            a = an
-        else:
-            self.a = a
-            self.encode(bins, st, 1 if diff else 0)
-            a = self.a
-        if diff == 0:
-            self.a = a
-            return -1
-        sign = 1 if diff < 0 else 0
-        s = bins[st + 1]
-        an = a - table[s >> 1][0]
-        if sign == (s & 1) and an & 0x8000:
-            a = an
-        else:
-            self.a = a
-            self.encode(bins, st + 1, sign)
-            a = self.a
-        sz = (-diff if sign else diff) - 1
-        pos = st + 2 + sign
+        c = self.c
+        ct = self.ct
+        raw = self.raw
+        # phases mirror decode_diff: 0 zero-decision @st, 1 sign
+        # @st+1, 2 magnitude>1 @st+2+sign, 3 category chain @xbase..,
+        # 4 terminator, 5 mantissa (fixed pos). Unlike the decoder,
+        # each next decision's value d is KNOWN from diff — the
+        # transition computes (pos, d) for the next round.
+        sign = 0
+        sz = 0
+        v2 = 0
         m = 0
-        if sz:
-            s = bins[pos]
-            an = a - table[s >> 1][0]
-            if (s & 1) and an & 0x8000:
-                a = an
+        mm = 0
+        phase = 0
+        pos = st
+        d = 1 if diff else 0
+        result = -1
+        while True:
+            # --- encode decision d at bins[pos] (encode() inlined) ---
+            stt = bins[pos]
+            idx = stt >> 1
+            mps = stt & 1
+            qe, nmps, nlps, switch = table[idx]
+            an = a - qe
+            if d == mps and an & 0x8000:
+                a = an  # MPS, no renormalization: nothing else moves
             else:
-                self.a = a
-                self.encode(bins, pos, 1)
-                a = self.a
-            m = 1
-            v2 = sz
-            pos = xbase
-            while v2 >> 1:
-                s = bins[pos]
-                an = a - table[s >> 1][0]
-                if (s & 1) and an & 0x8000:
-                    a = an
+                if d == mps:
+                    if an < qe:  # conditional exchange: MPS takes top
+                        c += an
+                        an = qe
+                    if idx != fixed:
+                        bins[pos] = (nmps << 1) | mps
                 else:
-                    self.a = a
-                    self.encode(bins, pos, 1)
-                    a = self.a
+                    if an >= qe:  # LPS takes the top
+                        c += an
+                        an = qe
+                    # else conditional exchange: LPS keeps the bottom
+                    if idx != fixed:
+                        if switch:
+                            mps ^= 1
+                        bins[pos] = (nlps << 1) | mps
+                # renorm + BYTEOUT w/ carry (encode()/_byteout inlined)
+                while True:
+                    an <<= 1
+                    c <<= 1
+                    ct -= 1
+                    if ct == 0:
+                        t = c >> 19
+                        if t > 0xFF:
+                            j = len(raw) - 1
+                            while j >= 0 and raw[j] == 0xFF:
+                                raw[j] = 0x00
+                                j -= 1
+                            if j < 0:  # code value >= 1.0: impossible
+                                raise ValueError(
+                                    "arithmetic carry out of stream"
+                                )
+                            raw[j] += 1
+                            t &= 0xFF
+                        raw.append(t)
+                        c &= 0x7FFFF
+                        ct = 8
+                    if an & 0x8000:
+                        break
+                a = an
+            # --- phase transition: the NEXT (pos, d) ---
+            if phase == 3:  # category chain (the densest run)
                 m <<= 1
                 v2 >>= 1
                 pos += 1
-        s = bins[pos]
-        an = a - table[s >> 1][0]
-        if not (s & 1) and an & 0x8000:
-            a = an
-        else:
-            self.a = a
-            self.encode(bins, pos, 0)
-            a = self.a
-        pos += 14
-        mm = m
-        while mm > 1:
-            mm >>= 1
-            d = 1 if (sz & mm) else 0
-            s = bins[pos]
-            an = a - table[s >> 1][0]
-            if d == (s & 1) and an & 0x8000:
-                a = an
-            else:
-                self.a = a
-                self.encode(bins, pos, d)
-                a = self.a
+                if v2 >> 1:
+                    continue  # d stays 1
+                d = 0
+                phase = 4
+                continue
+            if phase == 5:  # mantissa bit (pos stays fixed)
+                if mm > 1:
+                    mm >>= 1
+                    d = 1 if (sz & mm) else 0
+                    continue
+                break
+            if phase == 0:
+                if diff == 0:
+                    break  # result stays -1
+                sign = 1 if diff < 0 else 0
+                d = sign
+                pos = st + 1
+                phase = 1
+                continue
+            if phase == 1:
+                sz = (-diff if sign else diff) - 1
+                pos = st + 2 + sign
+                if sz:
+                    d = 1
+                    phase = 2
+                else:
+                    d = 0
+                    phase = 4  # terminator directly, m stays 0
+                continue
+            if phase == 2:  # encoded the magnitude-is->1 decision
+                m = 1
+                v2 = sz
+                pos = xbase
+                if v2 >> 1:
+                    d = 1
+                    phase = 3
+                else:
+                    d = 0
+                    phase = 4
+                continue
+            # phase 4: encoded the chain terminator
+            result = m
+            pos += 14
+            mm = m
+            if mm > 1:
+                mm >>= 1
+                d = 1 if (sz & mm) else 0
+                phase = 5
+                continue
+            break
         self.a = a
-        return m
+        self.c = c
+        self.ct = ct
+        return result
 
     def _byteout(self) -> None:
         t = self.c >> 19
@@ -1924,40 +1990,151 @@ class _QmDecoder:
         the sign, and the magnitude chain — in a single call (r12):
         the per-sample unit of the SOF11/H.2 scan and the per-block
         DC unit of the SOF9/F.1.4 scan, which otherwise cost 3-6
-        :meth:`decode` calls each. Same fast-path-inline + delegate
-        pattern (and the same bit-exactness argument) as
-        :meth:`decode_magnitude`. Returns the signed difference
-        (0 when the zero decision fires), or None on overflow."""
+        :meth:`decode` calls each.
+
+        Fully register-local (r12 batch 4): the chain/mantissa bits
+        are near-random, so the MPS-no-renorm fast path of the first
+        fused form missed most of the time and ~80% of decisions
+        still paid a delegate :meth:`decode` call. The WHOLE decision
+        — both subinterval arms, conditional exchange, state
+        transition, renormalization and BYTEIN — is now inlined ONCE
+        at the top of a small phase loop (zero → sign → magnitude>1 →
+        chain → mantissa), with every register (A, C, CT, BP,
+        marker_seen) held in Python locals across the whole unit and
+        written back only at the exits. The decision block is a
+        line-for-line replica of :meth:`decode`'s arms (which stays
+        the reference implementation for the scan-loop callers);
+        bit-exactness is pinned by
+        ``test_fused_qm_diff_units_match_per_call_form`` (streams,
+        statistics bins AND final register state vs the per-call
+        form) and the md5 corpus checks. Returns the signed
+        difference (0 when the zero decision fires), or None on
+        overflow (malformed stream)."""
         table = _QM_TABLE
+        fixed = _QM_FIXED
+        buf = self.buf
+        n = self.n
         a = self.a
-        c16 = self.c >> 16
-        s0 = bins[st]
-        an = a - table[s0 >> 1][0]
-        if c16 < an and an & 0x8000:
-            a = an
-            d = s0 & 1
-        else:
-            self.a = a
-            d = self.decode(bins, st)
-            a = self.a
-            c16 = self.c >> 16
-        if d == 0:
-            self.a = a
-            return 0
-        s1 = bins[st + 1]
-        an = a - table[s1 >> 1][0]
-        if c16 < an and an & 0x8000:
-            a = an
-            sign = s1 & 1
-        else:
-            self.a = a
-            sign = self.decode(bins, st + 1)
-            a = self.a
+        c = self.c
+        ct = self.ct
+        bp = self.bp
+        marker_seen = self.marker_seen
+        # phases: 0 zero-decision @st, 1 sign @st+1, 2 magnitude>1
+        # @st+2+sign, 3 category chain @chain.., 4 mantissa (fixed pos)
+        phase = 0
+        pos = st
+        sign = 0
+        m = 0
+        v = 0
+        result: int | None = 0
+        while True:
+            # --- one QM decision at bins[pos] (decode() inlined) ---
+            stt = bins[pos]
+            idx = stt >> 1
+            mps = stt & 1
+            qe, nmps, nlps, switch = table[idx]
+            an = a - qe
+            if (c >> 16) < an and an & 0x8000:
+                a = an
+                d = mps  # MPS, no renormalization: nothing else moves
+            else:
+                if (c >> 16) >= an:
+                    # upper subinterval
+                    c -= an << 16
+                    if an < qe:
+                        d = mps
+                        if idx != fixed:
+                            bins[pos] = (nmps << 1) | mps
+                    else:
+                        d = mps ^ 1
+                        if idx != fixed:
+                            if switch:
+                                mps ^= 1
+                            bins[pos] = (nlps << 1) | mps
+                    a = qe
+                else:
+                    if an < qe:
+                        d = mps ^ 1
+                        if idx != fixed:
+                            if switch:
+                                mps ^= 1
+                            bins[pos] = (nlps << 1) | mps
+                    else:
+                        d = mps
+                        if idx != fixed:
+                            bins[pos] = (nmps << 1) | mps
+                    a = an
+                # renormalization + BYTEIN (decode() inlined)
+                while a & 0x8000 == 0:
+                    if ct == 0:
+                        # _next_byte() inlined
+                        if marker_seen or bp >= n:
+                            b = 0x00
+                        else:
+                            b = buf[bp]
+                            if b == 0xFF:
+                                if bp + 1 < n and buf[bp + 1] == 0x00:
+                                    bp += 2  # stuffed zero: data 0xFF
+                                else:
+                                    marker_seen = True
+                                    b = 0x00
+                            else:
+                                bp += 1
+                        c |= b << 8
+                        ct = 8
+                    c = (c << 1) & 0xFFFFFFFF
+                    a = (a << 1) & 0xFFFF
+                    ct -= 1
+            # --- phase transition ---
+            if phase == 3:  # category chain (the densest run)
+                if d:
+                    m <<= 1
+                    if m == 0x8000:
+                        result = None
+                        break
+                    pos += 1
+                    continue
+                v = m
+                pos += mbase_off
+                if m > 1:
+                    m >>= 1
+                    phase = 4
+                    continue
+                result = -(v + 1) if sign else (v + 1)
+                break
+            if phase == 4:  # mantissa bit (pos stays fixed)
+                if d:
+                    v |= m
+                if m > 1:
+                    m >>= 1
+                    continue
+                result = -(v + 1) if sign else (v + 1)
+                break
+            if phase == 0:
+                if d == 0:
+                    break  # result stays 0
+                phase = 1
+                pos = st + 1
+                continue
+            if phase == 1:
+                sign = d
+                phase = 2
+                pos = st + 2 + sign
+                continue
+            # phase 2: magnitude-is->1 decision
+            if d:
+                m = 1
+                phase = 3
+                pos = chain
+                continue
+            result = -1 if sign else 1  # |magnitude| == 1
+            break
         self.a = a
-        v = self.decode_magnitude(bins, st + 2 + sign, chain, mbase_off)
-        if v is None:
-            return None
-        return -v if sign else v
+        self.c = c
+        self.ct = ct
+        self.bp = bp
+        self.marker_seen = marker_seen
+        return result
 
 
 def _arith_next_marker(buf: bytes, pos: int) -> int | None:
