@@ -4206,27 +4206,112 @@ def _decode_lossless_scan(
     pred_fn = _LL_PREDICT[predictor]
     fresh = True  # scan start / just after a restart marker
     first_line = 0  # row where the current restart interval began
+    # r12 batch 4: this one loop drives ~80% of all bit-reader calls
+    # in the fixture corpus (one huff + one read per SAMPLE), so the
+    # reader's registers live in locals across the whole scan and the
+    # LUT fast path of huff() / read() / _fill() are inlined. Every
+    # slow path — non-LUT table, invalid prefix, marker-truncated
+    # register, restart sync — syncs the locals back into the reader,
+    # delegates to the ONE reference implementation, and reloads, so
+    # decisions are identical by construction (pinned by the lossless
+    # round-trip + DRI/restart + mutation-fuzz suites and the corpus
+    # md5 checks).
+    buflen = len(buf)
+    bits = 0
+    nbits = 0
+    rpos = reader.pos
+    marker: int | None = None
     for m in range(width * height):
         if restart_interval and m and m % restart_interval == 0:
-            marker = reader.sync_marker()
-            if marker is None or not 0xD0 <= marker <= 0xD7:
+            reader.bits, reader.nbits = bits, nbits
+            reader.pos, reader.marker = rpos, marker
+            mk = reader.sync_marker()
+            if mk is None or not 0xD0 <= mk <= 0xD7:
                 return None
+            bits, nbits = reader.bits, reader.nbits
+            rpos, marker = reader.pos, reader.marker
             fresh = True
             first_line = m // width
         y, x = divmod(m, width)
         for cid, tab in scan_tabs:
-            s = reader.huff(tab)
-            if s is None or s > 16:
+            # --- reader.huff(tab) inlined: flat-LUT fast path ---
+            s = None
+            try:
+                lut = tab._lut
+            except AttributeError:  # plain dict (hand-built in tests)
+                lut = None
+            if lut is not None:
+                maxlen = tab._maxlen
+                while nbits < maxlen:
+                    # --- reader._fill() inlined ---
+                    if marker is not None or rpos >= buflen:
+                        break
+                    b = buf[rpos]
+                    if b == 0xFF:
+                        if rpos + 1 >= buflen:
+                            break
+                        nxt = buf[rpos + 1]
+                        if nxt == 0x00:
+                            rpos += 2  # stuffed zero: data byte 0xFF
+                        else:
+                            marker = nxt
+                            break
+                    else:
+                        rpos += 1
+                    bits = (bits << 8) | b
+                    nbits += 8
+                if nbits >= maxlen:
+                    entry = lut[
+                        (bits >> (nbits - maxlen)) & ((1 << maxlen) - 1)
+                    ]
+                    if entry is not None:
+                        length, s = entry
+                        nbits -= length
+                        bits &= (1 << nbits) - 1
+            if s is None:
+                # slow path: sync, delegate, reload
+                reader.bits, reader.nbits = bits, nbits
+                reader.pos, reader.marker = rpos, marker
+                s = reader.huff(tab)
+                if s is None or s > 16:
+                    return None
+                bits, nbits = reader.bits, reader.nbits
+                rpos, marker = reader.pos, reader.marker
+            elif s > 16:
                 return None
             if s == 16:
                 diff = 32768
             elif s == 0:
                 diff = 0
             else:
-                bits = reader.read(s)
-                if bits is None:
+                # --- reader.read(s) + _jpeg_extend inlined ---
+                ok = True
+                while nbits < s:
+                    if marker is not None or rpos >= buflen:
+                        ok = False
+                        break
+                    b = buf[rpos]
+                    if b == 0xFF:
+                        if rpos + 1 >= buflen:
+                            ok = False
+                            break
+                        nxt = buf[rpos + 1]
+                        if nxt == 0x00:
+                            rpos += 2
+                        else:
+                            marker = nxt
+                            ok = False
+                            break
+                    else:
+                        rpos += 1
+                    bits = (bits << 8) | b
+                    nbits += 8
+                if not ok:
                     return None
-                diff = _jpeg_extend(bits, s)
+                nbits -= s
+                v = (bits >> nbits) & ((1 << s) - 1)
+                bits &= (1 << nbits) - 1
+                diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             g = grids[cid]
             if fresh:
                 px = default
@@ -4243,7 +4328,7 @@ def _decode_lossless_scan(
                 px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
             g[y][x] = (px + diff) & 0xFFFF
         fresh = False
-    return _skip_entropy(buf, reader.pos)
+    return _skip_entropy(buf, rpos)
 
 
 def _parse_jpeg_lossless(
@@ -4407,13 +4492,29 @@ def encode_jpeg_lossless(
     fresh = True
     rst = 0
     first_line = 0
+    # r12 batch 4: this loop drives ~70% of all bit-writer put()
+    # calls in the fixture corpus (category + extension per SAMPLE).
+    # The category code and its extension bits concatenate into ONE
+    # put, inlined with the accumulator in locals — byte-identical:
+    # the drain emits the same bit stream at the same 8-bit
+    # boundaries, and stuffing depends only on byte values. Restart
+    # padding syncs the locals back through the writer's reference
+    # pad() (pinned by the lossless round-trip + DRI suites).
+    out_w = wtr.out
+    acc = 0
+    nb = 0
+    enc16 = enc[16]
     for m in range(w * h):
         if restart_interval and m and m % restart_interval == 0:
+            wtr.acc, wtr.n = acc, nb
             wtr.pad()
             out += wtr.out
             out += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             wtr = _JpegBitWriter()
+            out_w = wtr.out
+            acc = 0
+            nb = 0
             fresh = True
             first_line = m // w
         y, x = divmod(m, w)
@@ -4430,13 +4531,28 @@ def encode_jpeg_lossless(
                 px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
             diff = ((g[y][x] - px + 32768) & 0xFFFF) - 32768
             if diff == -32768:
-                wtr.put(*enc[16])  # category 16: no extension bits
-                continue
-            s = abs(diff).bit_length()
-            wtr.put(*enc[s])
-            if s:
-                wtr.put(diff if diff >= 0 else diff - 1, s)
+                code, length = enc16  # category 16: no extension bits
+            else:
+                s = abs(diff).bit_length()
+                code, length = enc[s]
+                if s:
+                    ext = (diff if diff >= 0 else diff - 1) & (
+                        (1 << s) - 1
+                    )
+                    code = (code << s) | ext
+                    length += s
+            # --- wtr.put(code, length) inlined ---
+            acc = (acc << length) | code
+            nb += length
+            while nb >= 8:
+                nb -= 8
+                b = (acc >> nb) & 0xFF
+                out_w.append(b)
+                if b == 0xFF:
+                    out_w.append(0x00)  # byte stuffing
+            acc &= (1 << nb) - 1
         fresh = False
+    wtr.acc, wtr.n = acc, nb
     wtr.pad()
     out += wtr.out
     out += b"\xff\xd9"
