@@ -341,10 +341,17 @@ def ngram_jaccard_pairs(
     # so the mapInPandas shingling runs once, not per branch
     sh = exploded_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
     # per-doc shingle set: bounded by document length, shuffles once on
-    # doc_id — carries both the size and the exact-intersection payload
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs"),
-        F.count("*").cast("long").alias("n_sh"),
+    # doc_id — carries both the size and the exact-intersection payload.
+    # Materialized (r12): both pair sides (sa/sb) attach it, and Spark
+    # plans each join side independently — without the checkpoint the
+    # groupBy ran TWICE over the shingle table
+    doc_sets = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("shs"),
+            F.count("*").cast("long").alias("n_sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     # blocking: document frequency via a COUNT-ONLY agg (no arrays for
     # hot shingles), filter to rare, and shrink the exploded shingles
@@ -357,7 +364,11 @@ def ngram_jaccard_pairs(
         .filter((F.col("df_") >= 2) & (F.col("df_") <= max_shingle_df))
         .select("shingle")
     )
-    rsh = sh.join(rare, "shingle")
+    # materialized (r12): the candidate generator self-joins rsh, and
+    # each side would otherwise re-run the rare-shingle DF aggregation
+    # and the blocking join — the same one-time materialization the
+    # minhash bucket table gets
+    rsh = sh.join(rare, "shingle").localCheckpoint(eager=False)
     cand = (
         rsh.alias("x")
         .join(rsh.alias("y"), "shingle")
