@@ -495,11 +495,16 @@ def q_drop_rules(spark, sf_dir):
 def q_find_metrics_all(spark, sf_dir):
     """Query layer: Graphite glob resolution against the index — the
     prefix glob on the direct rows and the suffix glob on the REVERSE
-    rows (what graphite_reverse exists for), one index build."""
+    rows (what graphite_reverse exists for), one index build.
+
+    The index is materialized once (r12): both globs filter AFTER the
+    ancestor explode, so they cannot prune the build — without the
+    checkpoint each union branch re-ran the full scan + dedup
+    Exchange + Generate over identical data."""
     from carbon_clickhouse_spark.operators.index import build_index
     from carbon_clickhouse_spark.query.finder import find_metrics, find_metrics_reverse
 
-    idx = build_index(_events_points(spark, sf_dir))
+    idx = build_index(_events_points(spark, sf_dir)).localCheckpoint(eager=False)
     direct = find_metrics(idx, "ev.u1*.click").select(
         F.lit("direct").alias("dir"), "path"
     )
@@ -1612,15 +1617,23 @@ def q_incremental_dedup(spark, sf_dir):
     a new doc is flagged dup iff any of its MinHash-LSH band buckets
     is occupied by a reference doc. No pair is materialized — the
     reference reduces to distinct (band, bucket) keys and the check
-    is one semi-join on short keys (inherently skew-safe)."""
+    is one semi-join on short keys (inherently skew-safe).
+
+    Both corpora are parity halves of ONE table, so the bucket table
+    is computed once over the parent and split (r12: the scan and the
+    Python shingle stage ran once per side before)."""
     from carbon_clickhouse_spark.datapipe.dedup import (
         dedup_against_reference,
+        minhash_buckets,
     )
 
     docs = _fan(_t(spark, sf_dir, "documents"))
+    buckets = minhash_buckets(docs).localCheckpoint(eager=False)
     return dedup_against_reference(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
+        new_buckets=buckets.filter(F.col("doc_id") % 2 == 1),
+        ref_buckets=buckets.filter(F.col("doc_id") % 2 == 0),
     )
 
 
@@ -1698,10 +1711,15 @@ def q_ccnet_bands(spark, sf_dir):
     scores, head = lowest (best) perplexity band. Cutoffs are two
     exact percentile scalars computed distributed from the SAME
     rounded doubles both engines hold, then a pure column CASE — no
-    join, no extra shuffle beyond the scoring itself."""
+    join, no extra shuffle beyond the scoring itself.
+
+    The (doc_id, log_ppl) score table is materialized once (r12):
+    perplexity_buckets' eager percentile pass and the returned banded
+    frame otherwise each re-run the whole LM scoring pipeline. Two
+    narrow columns, so the materialization is tiny at any scale."""
     from carbon_clickhouse_spark.datapipe.lm import perplexity_buckets
 
-    base = q_lm_perplexity(spark, sf_dir)
+    base = q_lm_perplexity(spark, sf_dir).localCheckpoint(eager=False)
     return perplexity_buckets(base, ppl_col="log_ppl").select(
         "doc_id", "log_ppl", "band"
     )

@@ -288,6 +288,8 @@ def dedup_against_reference(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    new_buckets: DataFrame | None = None,
+    ref_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup of a NEW corpus against an EXISTING
     reference corpus (crawl N+1 vs crawl N): a new doc is a duplicate
@@ -301,13 +303,27 @@ def dedup_against_reference(
     left-semi join on short keys.  Unlike the self-join path this is
     inherently skew-safe (a boilerplate bucket costs its member count,
     not its square), so it needs no ``max_bucket_size`` guard.
+
+    When both corpora are slices of ONE table (e.g. an id-range split
+    of a single crawl), pass precomputed ``new_buckets`` /
+    ``ref_buckets``: compute :func:`minhash_buckets` once over the
+    parent, ``localCheckpoint(eager=False)`` it, and hand in filtered
+    views — the table scan and the Python shingle/signature stage then
+    run once instead of once per side.  The bucket values are per-doc
+    (independent of the rest of the corpus), so a filtered view of the
+    parent's bucket table is exactly the per-side bucket table.
     """
-    new_b = minhash_buckets(
-        new_docs, text_col, id_col, num_hashes, band_size, k
+    new_b = (
+        new_buckets
+        if new_buckets is not None
+        else minhash_buckets(new_docs, text_col, id_col, num_hashes, band_size, k)
     )
-    ref_keys = minhash_buckets(
-        ref_docs, text_col, id_col, num_hashes, band_size, k
-    ).select("band", "bucket").distinct()
+    ref_b = (
+        ref_buckets
+        if ref_buckets is not None
+        else minhash_buckets(ref_docs, text_col, id_col, num_hashes, band_size, k)
+    )
+    ref_keys = ref_b.select("band", "bucket").distinct()
     dup_ids = (
         new_b.join(ref_keys, ["band", "bucket"], "left_semi")
         .select("doc_id")

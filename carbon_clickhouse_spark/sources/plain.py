@@ -93,8 +93,14 @@ def parse_plain_lines(
     )
 
     if tag_config is not None and tag_config.enabled:
-        # templates may tag ANY name -> rows go through Python (P4)
-        canon = make_graphite_canonicalize_udf(tag_config)
+        # templates may tag ANY name -> rows go through Python (P4).
+        # asNondeterministic: the validity filter below references the
+        # UDF column, and the optimizer's filter pushdown would
+        # otherwise duplicate the (expensive, per-line) UDF — one
+        # ArrowEvalPython below the filter plus one above (r12 plan
+        # audit; optimization guide §4.4). Marking it non-deterministic
+        # pins a single evaluation; rows are unchanged.
+        canon = make_graphite_canonicalize_udf(tag_config).asNondeterministic()
         df = df.withColumn("path", canon(F.col("__name_norm")))
         df = df.filter(F.col("path").isNotNull() & (F.col("path") != ""))
     elif dedup_names:

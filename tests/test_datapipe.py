@@ -106,6 +106,23 @@ def test_dedup_against_reference(spark):
         for r in dedup_against_reference(new, ref.filter("doc_id < 0")).collect()
     }
     assert got3 == {10: 0, 11: 0}
+    # shared-scan path: one parent corpus split by id, bucket table
+    # computed once and passed in as filtered views — flags identical
+    # to the two-call form (r12 optimization contract)
+    from carbon_clickhouse_spark.datapipe.dedup import minhash_buckets
+
+    parent = new.unionByName(ref)
+    buckets = minhash_buckets(parent).localCheckpoint(eager=False)
+    got4 = {
+        r["doc_id"]: r["dup"]
+        for r in dedup_against_reference(
+            new,
+            ref,
+            new_buckets=buckets.filter("doc_id >= 10"),
+            ref_buckets=buckets.filter("doc_id < 10"),
+        ).collect()
+    }
+    assert got4 == got
 
 
 def test_ngram_jaccard(spark):
