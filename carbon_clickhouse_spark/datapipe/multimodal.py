@@ -2874,18 +2874,45 @@ def _arith_lossless_scan(
         return out
 
     comp_slots = slots()
-    for m in range(width * height):
-        if restart_interval and m and m % restart_interval == 0:
-            mk = _arith_next_marker(buf, dec.bp)
+    # r12: decode_diff inlined into the pixel loop — this scan is the
+    # densest caller (one signed-difference unit per sample), and the
+    # remaining per-unit cost after the batch-4 fusing was the method
+    # call itself plus the register load/store at its edges. The QM
+    # registers (A, C, CT, BP, marker_seen) now live in Python locals
+    # across the WHOLE scan, re-pulled only at restart boundaries
+    # (where the decoder is re-initialized anyway). The decision body
+    # and phase machine below are a line-for-line replica of
+    # :meth:`_QmDecoder.decode_diff` (the reference implementation,
+    # still used by the per-block DC callers); bit-exactness is pinned
+    # by the interleaved old-vs-new corpus identity check recorded in
+    # OPTIMIZATION_r12.md and the lossless round-trip/DRI/fuzz suites.
+    table = _QM_TABLE
+    fixed = _QM_FIXED
+    n = len(buf)
+    chain_a = _QM_LL_CHAIN_A
+    chain_b = _QM_LL_CHAIN_B
+    a = dec.a
+    c = dec.c
+    ct = dec.ct
+    bp = dec.bp
+    marker_seen = dec.marker_seen
+    for mi in range(width * height):
+        if restart_interval and mi and mi % restart_interval == 0:
+            mk = _arith_next_marker(buf, bp)
             if mk is None or buf[mk + 1] != 0xD0 + (rst & 7):
                 return None
             rst += 1
             stats, dgrid = fresh()
             comp_slots = slots()
             dec = _QmDecoder(buf, mk + 2)
+            a = dec.a
+            c = dec.c
+            ct = dec.ct
+            bp = dec.bp
+            marker_seen = dec.marker_seen
             fresh_sample = True
-            first_line = m // width
-        y, x = divmod(m, width)
+            first_line = mi // width
+        y, x = divmod(mi, width)
         for small, bins, drow, g in comp_slots:
             da = drow[y & 1][x - 1] if x else 0
             db = drow[(y - 1) & 1][x] if y else 0
@@ -2893,12 +2920,114 @@ def _arith_lossless_scan(
             # classify db (was computed twice per sample)
             cb = _ll_cat(db, small)
             st = 4 * (5 * _ll_cat(da, small) + cb)
-            diff = dec.decode_diff(
-                bins, st,
-                _QM_LL_CHAIN_B if cb >= 3 else _QM_LL_CHAIN_A,
-            )
-            if diff is None:
-                return None
+            chain = chain_b if cb >= 3 else chain_a
+            # --- decode_diff body (phases: 0 zero @st, 1 sign @st+1,
+            # 2 magnitude>1 @st+2+sign, 3 chain, 4 mantissa @+14) ---
+            phase = 0
+            pos_b = st
+            sign = 0
+            m = 0
+            v = 0
+            diff = 0
+            while True:
+                stt = bins[pos_b]
+                idx = stt >> 1
+                mps = stt & 1
+                qe, nmps, nlps, switch = table[idx]
+                an = a - qe
+                if (c >> 16) < an and an & 0x8000:
+                    a = an
+                    d = mps  # MPS, no renormalization
+                else:
+                    if (c >> 16) >= an:
+                        # upper subinterval
+                        c -= an << 16
+                        if an < qe:
+                            d = mps
+                            if idx != fixed:
+                                bins[pos_b] = (nmps << 1) | mps
+                        else:
+                            d = mps ^ 1
+                            if idx != fixed:
+                                if switch:
+                                    mps ^= 1
+                                bins[pos_b] = (nlps << 1) | mps
+                        a = qe
+                    else:
+                        if an < qe:
+                            d = mps ^ 1
+                            if idx != fixed:
+                                if switch:
+                                    mps ^= 1
+                                bins[pos_b] = (nlps << 1) | mps
+                        else:
+                            d = mps
+                            if idx != fixed:
+                                bins[pos_b] = (nmps << 1) | mps
+                        a = an
+                    # renormalization + BYTEIN
+                    while a & 0x8000 == 0:
+                        if ct == 0:
+                            if marker_seen or bp >= n:
+                                b = 0x00
+                            else:
+                                b = buf[bp]
+                                if b == 0xFF:
+                                    if bp + 1 < n and buf[bp + 1] == 0x00:
+                                        bp += 2  # stuffed zero
+                                    else:
+                                        marker_seen = True
+                                        b = 0x00
+                                else:
+                                    bp += 1
+                            c |= b << 8
+                            ct = 8
+                        c = (c << 1) & 0xFFFFFFFF
+                        a = (a << 1) & 0xFFFF
+                        ct -= 1
+                # --- phase transition ---
+                if phase == 3:  # category chain
+                    if d:
+                        m <<= 1
+                        if m == 0x8000:
+                            return None  # overflow: malformed stream
+                        pos_b += 1
+                        continue
+                    v = m
+                    pos_b += 14
+                    if m > 1:
+                        m >>= 1
+                        phase = 4
+                        continue
+                    diff = -(v + 1) if sign else (v + 1)
+                    break
+                if phase == 4:  # mantissa bit (pos stays fixed)
+                    if d:
+                        v |= m
+                    if m > 1:
+                        m >>= 1
+                        continue
+                    diff = -(v + 1) if sign else (v + 1)
+                    break
+                if phase == 0:
+                    if d == 0:
+                        break  # diff stays 0
+                    phase = 1
+                    pos_b = st + 1
+                    continue
+                if phase == 1:
+                    sign = d
+                    phase = 2
+                    pos_b = st + 2 + sign
+                    continue
+                # phase 2: magnitude-is->1 decision
+                if d:
+                    m = 1
+                    phase = 3
+                    pos_b = chain
+                    continue
+                diff = -1 if sign else 1  # |magnitude| == 1
+                break
             drow[y & 1][x] = diff
             if fresh_sample:
                 px = default
@@ -2910,7 +3039,7 @@ def _arith_lossless_scan(
                 px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
             g[y][x] = (px + diff) & 0xFFFF
         fresh_sample = False
-    return _skip_entropy(buf, dec.bp)
+    return _skip_entropy(buf, bp)
 
 
 def _parse_jpeg_arith_lossless(
@@ -3065,15 +3194,42 @@ def encode_jpeg_arith_lossless(
     fresh_sample = True
     first_line = 0
     rst = 0
-    for m in range(w * h):
-        if restart_interval and m and m % restart_interval == 0:
+    # r12: encode_diff inlined into the sample loop — the encoder
+    # mirror of the decoder-side inline in _arith_lossless_scan (one
+    # signed-difference unit per sample; the remaining per-unit cost
+    # after batch 4 was the method call + register load/store at its
+    # edges). A/C/CT live in Python locals across the whole scan,
+    # synced back only at flush boundaries; ``raw`` is shared by
+    # reference. The decision body and phase machine replicate
+    # :meth:`_QmEncoder.encode_diff` line for line (the reference
+    # implementation, still used by the block encoders); the unused
+    # chain-MSB return value is dropped. Byte-exactness pinned by the
+    # interleaved old-vs-new corpus identity check and the round-trip
+    # suites.
+    table = _QM_TABLE
+    fixed = _QM_FIXED
+    chain_a = _QM_LL_CHAIN_A
+    chain_b = _QM_LL_CHAIN_B
+    a = enc.a
+    c = enc.c
+    ct = enc.ct
+    raw = enc.raw
+    for mi in range(w * h):
+        if restart_interval and mi and mi % restart_interval == 0:
+            enc.a = a
+            enc.c = c
+            enc.ct = ct
             out += enc.flush()
             out += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             enc, stats, dgrid = fresh()
+            a = enc.a
+            c = enc.c
+            ct = enc.ct
+            raw = enc.raw
             fresh_sample = True
-            first_line = m // w
-        y, x = divmod(m, w)
+            first_line = mi // w
+        y, x = divmod(mi, w)
         for ci, g in enumerate(coded):
             if fresh_sample:
                 px = default
@@ -3089,18 +3245,128 @@ def encode_jpeg_arith_lossless(
             drow = dgrid[ci]
             da = drow[y & 1][x - 1] if x else 0
             db = drow[(y - 1) & 1][x] if y else 0
-            # one fused encode_diff call per sample (r12); cb hoisted
-            # like the decoder's loop (context + chain both classify
-            # db)
+            # cb hoisted (context + chain both classify db)
             cb = _ll_cat(db, small)
             st = 4 * (5 * _ll_cat(da, small) + cb)
-            enc.encode_diff(
-                stats, st,
-                _QM_LL_CHAIN_B if cb >= 3 else _QM_LL_CHAIN_A,
-                diff,
-            )
+            xbase = chain_b if cb >= 3 else chain_a
+            # --- encode_diff body (phases: 0 zero @st, 1 sign @st+1,
+            # 2 magnitude>1 @st+2+sign, 3 chain @xbase.., 4
+            # terminator, 5 mantissa @+14; d KNOWN from diff) ---
+            sign = 0
+            sz = 0
+            v2 = 0
+            m = 0
+            mm = 0
+            phase = 0
+            pos_b = st
+            d = 1 if diff else 0
+            while True:
+                stt = stats[pos_b]
+                idx = stt >> 1
+                mps = stt & 1
+                qe, nmps, nlps, switch = table[idx]
+                an = a - qe
+                if d == mps and an & 0x8000:
+                    a = an  # MPS, no renormalization
+                else:
+                    if d == mps:
+                        if an < qe:  # conditional exchange: MPS top
+                            c += an
+                            an = qe
+                        if idx != fixed:
+                            stats[pos_b] = (nmps << 1) | mps
+                    else:
+                        if an >= qe:  # LPS takes the top
+                            c += an
+                            an = qe
+                        # else conditional exchange: LPS keeps bottom
+                        if idx != fixed:
+                            if switch:
+                                mps ^= 1
+                            stats[pos_b] = (nlps << 1) | mps
+                    # renorm + BYTEOUT with carry
+                    while True:
+                        an <<= 1
+                        c <<= 1
+                        ct -= 1
+                        if ct == 0:
+                            t = c >> 19
+                            if t > 0xFF:
+                                j = len(raw) - 1
+                                while j >= 0 and raw[j] == 0xFF:
+                                    raw[j] = 0x00
+                                    j -= 1
+                                if j < 0:  # code >= 1.0: impossible
+                                    raise ValueError(
+                                        "arithmetic carry out of stream"
+                                    )
+                                raw[j] += 1
+                                t &= 0xFF
+                            raw.append(t)
+                            c &= 0x7FFFF
+                            ct = 8
+                        if an & 0x8000:
+                            break
+                    a = an
+                # --- phase transition: the NEXT (pos, d) ---
+                if phase == 3:  # category chain
+                    m <<= 1
+                    v2 >>= 1
+                    pos_b += 1
+                    if v2 >> 1:
+                        continue  # d stays 1
+                    d = 0
+                    phase = 4
+                    continue
+                if phase == 5:  # mantissa bit (pos stays fixed)
+                    if mm > 1:
+                        mm >>= 1
+                        d = 1 if (sz & mm) else 0
+                        continue
+                    break
+                if phase == 0:
+                    if diff == 0:
+                        break
+                    sign = 1 if diff < 0 else 0
+                    d = sign
+                    pos_b = st + 1
+                    phase = 1
+                    continue
+                if phase == 1:
+                    sz = (-diff if sign else diff) - 1
+                    pos_b = st + 2 + sign
+                    if sz:
+                        d = 1
+                        phase = 2
+                    else:
+                        d = 0
+                        phase = 4  # terminator directly, m stays 0
+                    continue
+                if phase == 2:  # encoded the magnitude-is->1 decision
+                    m = 1
+                    v2 = sz
+                    pos_b = xbase
+                    if v2 >> 1:
+                        d = 1
+                        phase = 3
+                    else:
+                        d = 0
+                        phase = 4
+                    continue
+                # phase 4: encoded the chain terminator
+                pos_b += 14
+                mm = m
+                if mm > 1:
+                    mm >>= 1
+                    d = 1 if (sz & mm) else 0
+                    phase = 5
+                    continue
+                break
             drow[y & 1][x] = diff
         fresh_sample = False
+    enc.a = a
+    enc.c = c
+    enc.ct = ct
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

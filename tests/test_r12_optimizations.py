@@ -4,6 +4,7 @@ bitwise walk, and the fused multi-rule-set rollup must equal the
 union of single rollup passes row-for-row."""
 
 import random
+import struct
 
 import pytest
 
@@ -285,3 +286,196 @@ def test_huff_table_memo_returns_equal_tables():
     t4 = _jpeg_huff_decode_table(bits, [5, 9, 1])
     assert t4 is not t1 and dict(t4) == dict(t1)
     assert t4._maxlen == t1._maxlen and t4._lut == t1._lut
+
+
+def _sos_end(p: bytes) -> int:
+    i = 2
+    while p[i + 1] != 0xDA:
+        (ln,) = struct.unpack_from(">H", p, i + 2)
+        i += 2 + ln
+    return i + 2 + struct.unpack_from(">H", p, i + 2)[0]
+
+
+def _reference_arith_lossless_entropy(
+    coded, w, h, predictor, pt, precision, restart_interval
+):
+    """The PRE-INLINE encoder sample loop: one
+    :meth:`_QmEncoder.encode_diff` call per sample — the per-call
+    reference form the r12 inlined loop in
+    ``encode_jpeg_arith_lossless`` must reproduce byte for byte.
+    Returns only the entropy bytes (flushes + RSTn markers)."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    default = 1 << (precision - pt - 1)
+    pred_fn = mm._LL_PREDICT[predictor]
+    small = (1 << 1) >> 1
+
+    def fresh():
+        enc = mm._QmEncoder()
+        stats = bytearray(mm._QM_LL_BINS)
+        diffs = [[[0] * w for _ in range(2)] for _ in coded]
+        return enc, stats, diffs
+
+    out = bytearray()
+    enc, stats, dgrid = fresh()
+    fresh_sample = True
+    first_line = 0
+    rst = 0
+    for m in range(w * h):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            enc, stats, dgrid = fresh()
+            fresh_sample = True
+            first_line = m // w
+        y, x = divmod(m, w)
+        for ci, g in enumerate(coded):
+            if fresh_sample:
+                px = default
+            elif y == first_line:
+                px = g[y][x - 1]
+            elif x == 0:
+                px = g[y - 1][0]
+            else:
+                px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
+            diff = ((g[y][x] - px + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                diff = 32768
+            drow = dgrid[ci]
+            da = drow[y & 1][x - 1] if x else 0
+            db = drow[(y - 1) & 1][x] if y else 0
+            cb = mm._ll_cat(db, small)
+            st = 4 * (5 * mm._ll_cat(da, small) + cb)
+            enc.encode_diff(
+                stats, st,
+                mm._QM_LL_CHAIN_B if cb >= 3 else mm._QM_LL_CHAIN_A,
+                diff,
+            )
+            drow[y & 1][x] = diff
+        fresh_sample = False
+    out += enc.flush()
+    return bytes(out)
+
+
+def _reference_arith_lossless_scan(
+    buf, pos, precision, width, height, scan_comps, dc_cond,
+    restart_interval, predictor, pt, grids
+):
+    """The PRE-INLINE decoder pixel loop: one
+    :meth:`_QmDecoder.decode_diff` call per sample — the per-call
+    reference form the r12 inlined loop in ``_arith_lossless_scan``
+    must reproduce decision for decision (grids AND return value)."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    default = 1 << (precision - pt - 1)
+    pred_fn = mm._LL_PREDICT[predictor]
+
+    def fresh():
+        stats = {t: bytearray(mm._QM_LL_BINS) for _, t in scan_comps}
+        diffs = {
+            cid: [[0] * width for _ in range(2)] for cid, _ in scan_comps
+        }
+        return stats, diffs
+
+    stats, dgrid = fresh()
+    dec = mm._QmDecoder(buf, pos)
+    fresh_sample = True
+    first_line = 0
+    rst = 0
+
+    def slots():
+        out = []
+        for cid, td in scan_comps:
+            _L, U = dc_cond.get(td, (0, 1))
+            out.append(((1 << U) >> 1, stats[td], dgrid[cid], grids[cid]))
+        return out
+
+    comp_slots = slots()
+    for m in range(width * height):
+        if restart_interval and m and m % restart_interval == 0:
+            mk = mm._arith_next_marker(buf, dec.bp)
+            if mk is None or buf[mk + 1] != 0xD0 + (rst & 7):
+                return None
+            rst += 1
+            stats, dgrid = fresh()
+            comp_slots = slots()
+            dec = mm._QmDecoder(buf, mk + 2)
+            fresh_sample = True
+            first_line = m // width
+        y, x = divmod(m, width)
+        for small, bins, drow, g in comp_slots:
+            da = drow[y & 1][x - 1] if x else 0
+            db = drow[(y - 1) & 1][x] if y else 0
+            cb = mm._ll_cat(db, small)
+            st = 4 * (5 * mm._ll_cat(da, small) + cb)
+            diff = dec.decode_diff(
+                bins, st,
+                mm._QM_LL_CHAIN_B if cb >= 3 else mm._QM_LL_CHAIN_A,
+            )
+            if diff is None:
+                return None
+            drow[y & 1][x] = diff
+            if fresh_sample:
+                px = default
+            elif y == first_line:
+                px = g[y][x - 1]
+            elif x == 0:
+                px = g[y - 1][0]
+            else:
+                px = pred_fn(g[y][x - 1], g[y - 1][x], g[y - 1][x - 1])
+            g[y][x] = (px + diff) & 0xFFFF
+        fresh_sample = False
+    return mm._skip_entropy(buf, dec.bp)
+
+
+def test_inlined_lossless_scan_loops_match_per_call_form():
+    """The r12 fully-inlined SOF11 scan loops (QM decision machine in
+    scan-loop locals) vs the per-call encode_diff/decode_diff
+    reference loops: entropy bytes identical, decoded grids identical,
+    scan return identical — across predictors, point transforms,
+    restart intervals, precisions and component counts."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    rng = random.Random(977)
+    for trial in range(30):
+        ncomp = rng.choice((1, 2, 3))
+        h, w = rng.randrange(1, 10), rng.randrange(1, 10)
+        pred = rng.randrange(1, 8)
+        pt = rng.choice((0, 0, 1, 2))
+        ri = rng.choice((0, 0, 3, 5))
+        prec = rng.choice((8, 8, 12, 16))
+        planes = [
+            [
+                [rng.randrange(1 << prec) & ~((1 << pt) - 1) for _ in range(w)]
+                for _ in range(h)
+            ]
+            for _ in range(ncomp)
+        ]
+        payload = mm.encode_jpeg_arith_lossless(
+            planes, predictor=pred, pt=pt, precision=prec,
+            restart_interval=ri,
+        )
+        # 1. encoder: inlined entropy bytes == per-call reference bytes
+        coded = [
+            [[v >> pt for v in row] for row in plane] for plane in planes
+        ]
+        ref_entropy = _reference_arith_lossless_entropy(
+            coded, w, h, pred, pt, prec, ri
+        )
+        start = _sos_end(payload)
+        assert payload[start:-2] == ref_entropy, (trial, pred, pt, ri, prec)
+        # 2. decoder: inlined scan grids + return == per-call reference
+        scan_comps = [(c + 1, 0) for c in range(ncomp)]
+        g_new = {c + 1: [[0] * w for _ in range(h)] for c in range(ncomp)}
+        g_ref = {c + 1: [[0] * w for _ in range(h)] for c in range(ncomp)}
+        r_new = mm._arith_lossless_scan(
+            payload, start, prec, w, h, scan_comps, {0: (0, 1)}, ri,
+            pred, pt, g_new,
+        )
+        r_ref = _reference_arith_lossless_scan(
+            payload, start, prec, w, h, scan_comps, {0: (0, 1)}, ri,
+            pred, pt, g_ref,
+        )
+        assert r_new == r_ref and r_new is not None, (trial,)
+        assert g_new == g_ref, (trial, pred, pt, ri, prec)
