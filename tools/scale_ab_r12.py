@@ -77,6 +77,13 @@ def main() -> None:
         spark.read.parquet(f"{src}/customer.parquet").write.parquet(
             f"{sf}/customer.parquet"
         )
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        # EVEN key shift so the replica keeps each doc's parity (the
+        # incremental_dedup query splits new/ref corpora on doc_id%2)
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("__r") * 1_000_000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        ).repartition(32).write.parquet(f"{sf}/documents.parquet")
 
         def old_two_sample(spark, sf_dir):
             ev = entry._t(spark, sf_dir, "events")
@@ -229,13 +236,49 @@ def main() -> None:
                 .limit(10)
             )
 
+        def old_incremental_dedup(spark, sf_dir):
+            # the pre-batch-5 two-call form: minhash_buckets planned
+            # (scan + shingle stage + sig-agg) once PER SIDE
+            from carbon_clickhouse_spark.datapipe.dedup import (
+                dedup_against_reference,
+            )
+
+            d = entry._fan(entry._t(spark, sf_dir, "documents"))
+            return dedup_against_reference(
+                d.filter(F.col("doc_id") % 2 == 1),
+                d.filter(F.col("doc_id") % 2 == 0),
+            )
+
+        def old_find_metrics(spark, sf_dir):
+            # the pre-batch-5 form: the index build re-planned per
+            # union branch (the globs cannot prune it)
+            from carbon_clickhouse_spark.operators.index import build_index
+            from carbon_clickhouse_spark.query.finder import (
+                find_metrics,
+                find_metrics_reverse,
+            )
+
+            idx = build_index(entry._events_points(spark, sf_dir))
+            direct = find_metrics(idx, "ev.u1*.click").select(
+                F.lit("direct").alias("dir"), "path"
+            )
+            rev = find_metrics_reverse(idx, "*.*.click").select(
+                F.lit("reverse").alias("dir"), "path"
+            )
+            return direct.unionByName(rev)
+
         pairs = [
             ("two_sample", old_two_sample, entry.q_two_sample_tests),
             ("contingency", old_contingency, entry.q_contingency_stats),
             ("ch_agg_breadth", old_breadth, entry.q_ch_agg_breadth),
             ("rollup_all", old_rollup, entry.q_rollup_all),
             ("top_revenue", old_top_rev, entry.q_top_revenue_orders),
+            ("incr_dedup", old_incremental_dedup, entry.q_incremental_dedup),
+            ("find_metrics", old_find_metrics, entry.q_find_metrics_all),
         ]
+        only = set(sys.argv[2:])
+        if only:
+            pairs = [p for p in pairs if p[0] in only]
         spark.read.parquet(f"{sf}/events.parquet").count()  # warm
         for name, old, new in pairs:
             res = {"old": [], "new": []}
