@@ -908,29 +908,158 @@ def _jpeg_scan_mean(
     preds = {c[0]: 0 for c in comps}
     dc_sum = 0  # luma DC (quantized) running sum
     dc_blocks = 0
+    # r12 (round-2 tail): this loop pays one huff per DC plus one huff
+    # (+ skip-read) per AC run — the dominant bit-reader consumer for
+    # baseline/extended-sequential frames — so the reader's registers
+    # live in locals across the scan and the LUT fast path of huff() /
+    # read() / _fill() is inlined, the same idiom as
+    # _decode_lossless_scan. Every slow path (non-LUT table, invalid
+    # prefix, marker-truncated register, restart sync) syncs the
+    # locals back into the reader, delegates to the ONE reference
+    # implementation, and reloads — decisions identical by
+    # construction (pinned by the baseline/DRI suites and the corpus
+    # md5 check in tools/profile_multimodal.py).
+    buflen = len(buf)
+    bits = 0
+    nbits = 0
+    rpos = reader.pos
+    rmarker: int | None = None
     for m in range(mcus):
         if restart_interval and m and m % restart_interval == 0:
-            marker = reader.sync_marker()
-            if marker is None or not 0xD0 <= marker <= 0xD7:
+            reader.bits, reader.nbits = bits, nbits
+            reader.pos, reader.marker = rpos, rmarker
+            mk = reader.sync_marker()
+            if mk is None or not 0xD0 <= mk <= 0xD7:
                 return None
+            bits, nbits = reader.bits, reader.nbits
+            rpos, rmarker = reader.pos, reader.marker
             preds = {c[0]: 0 for c in comps}
         for comp, dc_tab, ac_tab, nblocks in order:
             for _ in range(nblocks):
-                s = reader.huff(dc_tab)
-                if s is None or s > 15:
+                # --- reader.huff(dc_tab) inlined: flat-LUT fast path ---
+                s = None
+                try:
+                    lut = dc_tab._lut
+                except AttributeError:  # plain dict (hand-built in tests)
+                    lut = None
+                if lut is not None:
+                    maxlen = dc_tab._maxlen
+                    while nbits < maxlen:
+                        # --- reader._fill() inlined ---
+                        if rmarker is not None or rpos >= buflen:
+                            break
+                        b = buf[rpos]
+                        if b == 0xFF:
+                            if rpos + 1 >= buflen:
+                                break
+                            nxt = buf[rpos + 1]
+                            if nxt == 0x00:
+                                rpos += 2  # stuffed zero: data byte 0xFF
+                            else:
+                                rmarker = nxt
+                                break
+                        else:
+                            rpos += 1
+                        bits = (bits << 8) | b
+                        nbits += 8
+                    if nbits >= maxlen:
+                        entry = lut[
+                            (bits >> (nbits - maxlen)) & ((1 << maxlen) - 1)
+                        ]
+                        if entry is not None:
+                            length, s = entry
+                            nbits -= length
+                            bits &= (1 << nbits) - 1
+                if s is None:
+                    # slow path: sync, delegate, reload
+                    reader.bits, reader.nbits = bits, nbits
+                    reader.pos, reader.marker = rpos, rmarker
+                    s = reader.huff(dc_tab)
+                    if s is None or s > 15:
+                        return None
+                    bits, nbits = reader.bits, reader.nbits
+                    rpos, rmarker = reader.pos, reader.marker
+                elif s > 15:
                     return None
-                mag = reader.read(s) if s else 0
-                if mag is None:
-                    return None
-                preds[comp[0]] += _jpeg_extend(mag, s)
+                if s:
+                    # --- reader.read(s) + _jpeg_extend inlined ---
+                    ok = True
+                    while nbits < s:
+                        if rmarker is not None or rpos >= buflen:
+                            ok = False
+                            break
+                        b = buf[rpos]
+                        if b == 0xFF:
+                            if rpos + 1 >= buflen:
+                                ok = False
+                                break
+                            nxt = buf[rpos + 1]
+                            if nxt == 0x00:
+                                rpos += 2
+                            else:
+                                rmarker = nxt
+                                ok = False
+                                break
+                        else:
+                            rpos += 1
+                        bits = (bits << 8) | b
+                        nbits += 8
+                    if not ok:
+                        return None
+                    nbits -= s
+                    mag = (bits >> nbits) & ((1 << s) - 1)
+                    bits &= (1 << nbits) - 1
+                    preds[comp[0]] += (
+                        mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+                    )
+                # s == 0: zero diff, predictor unchanged
                 if comp[0] == luma_id:
                     dc_sum += preds[comp[0]]
                     dc_blocks += 1
                 k = 1
                 while k < 64:  # AC: decode to advance, values unused
-                    rs = reader.huff(ac_tab)
+                    # --- reader.huff(ac_tab) inlined (same fast path) ---
+                    rs = None
+                    try:
+                        lut = ac_tab._lut
+                    except AttributeError:
+                        lut = None
+                    if lut is not None:
+                        maxlen = ac_tab._maxlen
+                        while nbits < maxlen:
+                            if rmarker is not None or rpos >= buflen:
+                                break
+                            b = buf[rpos]
+                            if b == 0xFF:
+                                if rpos + 1 >= buflen:
+                                    break
+                                nxt = buf[rpos + 1]
+                                if nxt == 0x00:
+                                    rpos += 2
+                                else:
+                                    rmarker = nxt
+                                    break
+                            else:
+                                rpos += 1
+                            bits = (bits << 8) | b
+                            nbits += 8
+                        if nbits >= maxlen:
+                            entry = lut[
+                                (bits >> (nbits - maxlen))
+                                & ((1 << maxlen) - 1)
+                            ]
+                            if entry is not None:
+                                length, rs = entry
+                                nbits -= length
+                                bits &= (1 << nbits) - 1
                     if rs is None:
-                        return None
+                        reader.bits, reader.nbits = bits, nbits
+                        reader.pos, reader.marker = rpos, rmarker
+                        rs = reader.huff(ac_tab)
+                        if rs is None:
+                            return None
+                        bits, nbits = reader.bits, reader.nbits
+                        rpos, rmarker = reader.pos, reader.marker
                     r, size = rs >> 4, rs & 15
                     if size == 0:
                         if r == 15:
@@ -938,8 +1067,32 @@ def _jpeg_scan_mean(
                             continue
                         break  # EOB
                     k += r + 1
-                    if reader.read(size) is None:
+                    # --- reader.read(size) inlined: skip, value unused ---
+                    ok = True
+                    while nbits < size:
+                        if rmarker is not None or rpos >= buflen:
+                            ok = False
+                            break
+                        b = buf[rpos]
+                        if b == 0xFF:
+                            if rpos + 1 >= buflen:
+                                ok = False
+                                break
+                            nxt = buf[rpos + 1]
+                            if nxt == 0x00:
+                                rpos += 2
+                            else:
+                                rmarker = nxt
+                                ok = False
+                                break
+                        else:
+                            rpos += 1
+                        bits = (bits << 8) | b
+                        nbits += 8
+                    if not ok:
                         return None
+                    nbits -= size
+                    bits &= (1 << nbits) - 1
     if not dc_blocks:
         return None
     q0 = qt[comps[0][3]][0]
@@ -1345,23 +1498,57 @@ def encode_jpeg_gray_blocks(
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # r12 (round-2 tail): the three w.put() calls per block are
+    # inlined with the accumulator in locals (the encode_jpeg_lossless
+    # idiom) and drained once per block — byte-identical, because the
+    # emitted bytes are a pure function of the cumulative bit string
+    # and a block adds at most 13 bits (3-bit DC code + <=8-bit
+    # magnitude + 2-bit EOB), so the register stays a machine int.
+    # pad()/restart flushes sync the locals back into the ONE
+    # reference writer. Pinned by the baseline/hierarchical/AVI
+    # round-trip suites and the corpus md5 check.
+    eob_code, eob_len = ac_enc[0x00]
     w = _JpegBitWriter()
+    sout = w.out
+    acc = 0
+    nb = 0
     pred = 0
     for i, v in enumerate(values):
         if restart_interval and i and i % restart_interval == 0:
+            w.acc, w.n = acc, nb
             w.pad()
             out += w.out
             out += bytes([0xFF, 0xD0 + (i // restart_interval - 1) % 8])
             w = _JpegBitWriter()
+            sout = w.out
+            acc = 0
+            nb = 0
             pred = 0
         dcq = int(v) - 128
         diff = dcq - pred
         pred = dcq
         s = abs(diff).bit_length()
-        w.put(*dc_enc[s])
+        # --- w.put(*dc_enc[s]) inlined ---
+        code, length = dc_enc[s]
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nb += length
         if s:
-            w.put(diff if diff >= 0 else diff - 1, s)
-        w.put(*ac_enc[0x00])  # EOB: constant block has no AC terms
+            # --- w.put(diff-or-complement, s) inlined ---
+            acc = (acc << s) | (
+                (diff if diff >= 0 else diff - 1) & ((1 << s) - 1)
+            )
+            nb += s
+        # --- w.put(*ac_enc[0x00]) inlined (EOB: no AC terms) ---
+        acc = (acc << eob_len) | (eob_code & ((1 << eob_len) - 1))
+        nb += eob_len
+        while nb >= 8:
+            nb -= 8
+            b = (acc >> nb) & 0xFF
+            sout.append(b)
+            if b == 0xFF:
+                sout.append(0x00)  # byte stuffing
+        acc &= (1 << nb) - 1
+    w.acc, w.n = acc, nb
     w.pad()
     out += w.out
     out += b"\xff\xd9"

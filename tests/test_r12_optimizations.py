@@ -479,3 +479,263 @@ def test_inlined_lossless_scan_loops_match_per_call_form():
         )
         assert r_new == r_ref and r_new is not None, (trial,)
         assert g_new == g_ref, (trial, pred, pt, ri, prec)
+
+
+def _reference_jpeg_scan_mean(
+    buf, pos, comps, scan, huff, qt, width, height,
+    restart_interval, precision=8
+):
+    """The PRE-INLINE baseline/extended-sequential MCU loop: one
+    reader.huff()/reader.read() call per symbol — the per-call
+    reference form the r12 inlined loop in ``_jpeg_scan_mean`` must
+    reproduce decision for decision (including every failure path)."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_id = comps[0][0]
+    order = []
+    for cid, td, ta in scan:
+        comp = by_id.get(cid)
+        if comp is None or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        if comp[3] not in qt:
+            return None
+        order.append(
+            (comp, huff[(0, td)], huff[(1, ta)], comp[1] * comp[2])
+        )
+    if len(scan) == 1:
+        comp = order[0][0]
+        if len(comps) == 1:
+            bw, bh = -(-width // 8), -(-height // 8)
+        else:
+            bw = -(-(width * comp[1]) // (8 * hmax))
+            bh = -(-(height * comp[2]) // (8 * vmax))
+        mcus = bw * bh
+        order[0] = (comp, order[0][1], order[0][2], 1)
+    else:
+        mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+    reader = mm._JpegBitReader(buf, pos)
+    preds = {c[0]: 0 for c in comps}
+    dc_sum = 0
+    dc_blocks = 0
+    for m in range(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            marker = reader.sync_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            preds = {c[0]: 0 for c in comps}
+        for comp, dc_tab, ac_tab, nblocks in order:
+            for _ in range(nblocks):
+                s = reader.huff(dc_tab)
+                if s is None or s > 15:
+                    return None
+                mag = reader.read(s) if s else 0
+                if mag is None:
+                    return None
+                preds[comp[0]] += mm._jpeg_extend(mag, s)
+                if comp[0] == luma_id:
+                    dc_sum += preds[comp[0]]
+                    dc_blocks += 1
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_tab)
+                    if rs is None:
+                        return None
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r + 1
+                    if reader.read(size) is None:
+                        return None
+    if not dc_blocks:
+        return None
+    q0 = qt[comps[0][3]][0]
+    shift = (1 << (precision - 1)) * 8
+    num = dc_sum * q0 + shift * dc_blocks
+    den = 8 * dc_blocks
+    if precision != 8:
+        num *= 255
+        den *= (1 << precision) - 1
+    return width, height, (num, den)
+
+
+def _reference_encode_jpeg_gray_blocks(values, restart_interval=0):
+    """The PRE-INLINE fixture encoder entropy loop: three
+    ``w.put()`` calls per block — the per-call reference form the r12
+    inlined accumulator in ``encode_jpeg_gray_blocks`` must reproduce
+    byte for byte."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    h = 8 * len(values)
+    dc_enc = mm._jpeg_huff_encode_table(*mm._JPEG_FIX_DC)
+    ac_enc = mm._jpeg_huff_encode_table(*mm._JPEG_FIX_AC)
+
+    def seg(marker, body):
+        return (
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    def dht(tc, bits, vals):
+        return bytes([tc << 4]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, dht(0, *mm._JPEG_FIX_DC))
+    out += seg(0xC4, dht(1, *mm._JPEG_FIX_AC))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = mm._JpegBitWriter()
+    pred = 0
+    for i, v in enumerate(values):
+        if restart_interval and i and i % restart_interval == 0:
+            w.pad()
+            out += w.out
+            out += bytes([0xFF, 0xD0 + (i // restart_interval - 1) % 8])
+            w = mm._JpegBitWriter()
+            pred = 0
+        dcq = int(v) - 128
+        diff = dcq - pred
+        pred = dcq
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+        w.put(*ac_enc[0x00])
+    w.pad()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _craft_ac_payload(rng, nblocks, restart_interval=0):
+    """A valid baseline payload whose blocks carry real AC terms —
+    EOB, ZRL and (run 0, size 1) coefficients — written with the
+    per-call bit writer, to exercise the inlined AC skip loop (the
+    fixture encoders only ever emit EOB)."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    h = 8 * nblocks
+    dc_enc = mm._jpeg_huff_encode_table(*mm._JPEG_FIX_DC)
+    ac_enc = mm._jpeg_huff_encode_table(*mm._JPEG_FIX_AC)
+
+    def seg(marker, body):
+        return (
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    def dht(tc, bits, vals):
+        return bytes([tc << 4]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, dht(0, *mm._JPEG_FIX_DC))
+    out += seg(0xC4, dht(1, *mm._JPEG_FIX_AC))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = mm._JpegBitWriter()
+    pred = 0
+    for i in range(nblocks):
+        if restart_interval and i and i % restart_interval == 0:
+            w.pad()
+            out += w.out
+            out += bytes([0xFF, 0xD0 + (i // restart_interval - 1) % 8])
+            w = mm._JpegBitWriter()
+            pred = 0
+        v = rng.randrange(256)
+        dcq = v - 128
+        diff = dcq - pred
+        pred = dcq
+        s = abs(diff).bit_length()
+        w.put(*dc_enc[s])
+        if s:
+            w.put(diff if diff >= 0 else diff - 1, s)
+        # AC: mirror the decoder's k loop so the stream stays in sync
+        k = 1
+        while k < 64:
+            op = rng.random()
+            if op < 0.2:
+                w.put(*ac_enc[0xF0])  # ZRL: run 15, no value
+                k += 16
+            elif op < 0.75:
+                w.put(*ac_enc[0x01])  # (run 0, size 1) + 1 mag bit
+                w.put(rng.randrange(2), 1)
+                k += 1
+            else:
+                w.put(*ac_enc[0x00])  # EOB
+                break
+    w.pad()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_inlined_baseline_scan_and_writer_match_per_call_form():
+    """The r12 inlined baseline MCU loop (bit-reader registers in
+    scan-loop locals, LUT fast path inlined) and the inlined
+    gray-blocks bit writer vs their per-call reference forms: encoder
+    bytes identical; decode_image results identical across restart
+    intervals, AC-bearing streams, 12-bit frames, truncations and
+    byte flips."""
+    from carbon_clickhouse_spark.datapipe import multimodal as mm
+
+    rng = random.Random(431)
+
+    # 1. encoder: inlined accumulator == per-call w.put() bytes,
+    # including values that force 0xFF byte stuffing in the stream
+    for trial in range(40):
+        n = rng.randrange(1, 40)
+        vals = [rng.randrange(256) for _ in range(n)]
+        if trial % 3 == 0:  # long constant runs -> stuffed 0xFF bytes
+            vals = [255] * n
+        ri = rng.choice((0, 0, 1, 3, 5, 8))
+        assert mm.encode_jpeg_gray_blocks(
+            vals, restart_interval=ri
+        ) == _reference_encode_jpeg_gray_blocks(vals, restart_interval=ri), (
+            trial, ri,
+        )
+
+    # 2. decoder: swap _jpeg_scan_mean for the per-call reference and
+    # compare the full decode_image outcome on every payload shape
+    def outcome(payload):
+        try:
+            return mm.decode_image(payload)
+        except Exception as e:  # undecodable -> compare the failure
+            return ("raise", type(e).__name__)
+
+    payloads = []
+    for trial in range(30):
+        n = rng.randrange(1, 30)
+        ri = rng.choice((0, 0, 2, 4, 7))
+        vals = [rng.randrange(256) for _ in range(n)]
+        payloads.append(mm.encode_jpeg_gray_blocks(vals, restart_interval=ri))
+        payloads.append(_craft_ac_payload(rng, n, restart_interval=ri))
+        payloads.append(
+            mm.encode_jpeg_gray_blocks_12bit(
+                [rng.randrange(4096) for _ in range(n)], restart_interval=ri
+            )
+        )
+    mutated = []
+    for p in payloads:
+        cut = rng.randrange(len(p) // 2, len(p))
+        mutated.append(p[:cut])  # truncation: marker/EOF paths
+        flip = bytearray(p)
+        j = rng.randrange(len(p) // 2, len(p))
+        flip[j] ^= 1 << rng.randrange(8)  # bit flip: invalid prefixes
+        mutated.append(bytes(flip))
+    results_new = [outcome(p) for p in payloads + mutated]
+    orig = mm._jpeg_scan_mean
+    mm._jpeg_scan_mean = _reference_jpeg_scan_mean
+    try:
+        results_ref = [outcome(p) for p in payloads + mutated]
+    finally:
+        mm._jpeg_scan_mean = orig
+    assert results_new == results_ref
