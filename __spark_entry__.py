@@ -1500,8 +1500,15 @@ def q_agg_last_family(spark, sf_dir):
         b.withColumnRenamed("event_type", "__r"),
         a["event_type"].eqNullSafe(F.col("__r")),
     ).drop("__r")
+    # r13 gate-compat (VERDICT r12 #1 sweep): the last-5 array is
+    # emitted as the canonical comma-joined string on both engines so
+    # the driver's canonicalizer (no list cells) can verify the query;
+    # elements are bigints in encounter order — information-preserving
     return nsj(nsj(la, sv), sb).select(
-        "event_type", "last_values", "single_value", "sparkbar"
+        "event_type",
+        F.concat_ws(",", F.col("last_values")).alias("last_values"),
+        "single_value",
+        "sparkbar",
     )
 
 
@@ -1802,7 +1809,13 @@ def q_unigram_viterbi(spark, sf_dir):
         vocab_size=len(_UNIGRAM_ORACLE_VOCAB),
         n_words_table=0,
     )
-    return unigram_encode(docs, model).select("doc_id", "pieces")
+    # r13 gate-compat (VERDICT r12 #1 sweep): the piece sequence is
+    # emitted space-joined on both engines (driver canonicalizer
+    # compat). Space is injective: pieces are substrings of
+    # BPE_TOKEN_RE pre-tokens, which never contain whitespace.
+    return unigram_encode(docs, model).select(
+        "doc_id", F.concat_ws(" ", F.col("pieces")).alias("pieces")
+    )
 
 
 def q_corpus_prep(spark, sf_dir):
@@ -2347,9 +2360,17 @@ def q_moving_window_arrays(spark, sf_dir):
     order (operators/ch_aggregates.group_array_moving): exact decimal
     accumulation cast to double per element, MovingAvg dividing by
     the window size k even at the head — the documented CH quirk.
-    One window pass + one collect_list reassembly per call, sharing
-    the group-key Exchange; the per-type array results join
-    broadcast."""
+
+    r13 gate-compat + §1.2 (VERDICT r12 #1 sweep): the two per-type
+    DOUBLE arrays are emitted as exploded (idx, moving_sum,
+    moving_avg) scalar rows — idx is the element's (t, event_id)
+    rank, so this is an information-preserving re-encoding of the
+    same arrays that the driver's canonicalizer (no list cells, no
+    cross-engine float-to-string) can verify. MovingAvg is the SAME
+    windowed decimal-sum element divided by the window size (the
+    operator's own how="avg" formula, one IEEE division), so the
+    second window pass and the null-safe piece join disappear:
+    2 scans / 2 windows / 1 join -> 1 scan / 1 window / 0 joins."""
     from carbon_clickhouse_spark.operators.ch_aggregates import (
         group_array_moving,
     )
@@ -2362,15 +2383,15 @@ def q_moving_window_arrays(spark, sf_dir):
         base, ["event_type"], "value", ["t", "event_id"], k=5,
         out_col="moving_sum",
     )
-    ma = group_array_moving(
-        base, ["event_type"], "value", ["t", "event_id"], k=5,
-        how="avg", out_col="moving_avg",
-    ).withColumnRenamed("event_type", "__r")
-    # null-safe join (r11): a NULL event_type is its own group in
-    # both pieces, as in one CH GROUP BY — name equality drops it
-    return ms.join(
-        ma, ms["event_type"].eqNullSafe(ma["__r"])
-    ).drop("__r")
+    return ms.select(
+        "event_type",
+        F.posexplode("moving_sum").alias("idx", "moving_sum"),
+    ).select(
+        "event_type",
+        F.col("idx").cast("long").alias("idx"),
+        "moving_sum",
+        (F.col("moving_sum") / F.lit(5.0)).alias("moving_avg"),
+    )
 
 
 def q_histogram_adaptive(spark, sf_dir):
@@ -2791,9 +2812,12 @@ def q_array_agg_family(spark, sf_dir):
         b.withColumnRenamed("event_type", "__r"),
         a["event_type"].eqNullSafe(F.col("__r")),
     ).drop("__r")
+    # r13 gate-compat (VERDICT r12 #1 sweep): the bounded sorted head
+    # is emitted as the canonical comma-joined string on both engines
+    # (driver canonicalizer compat) — same elements, same order
     return nsj(nsj(arr, sc), ov).select(
         "event_type",
-        "sorted_values",
+        F.concat_ws(",", F.col("sorted_values")).alias("sorted_values"),
         F.col("sum").cast("double").alias("value_sum"),
         "cnt",
         "sum_overflow",
@@ -2819,7 +2843,17 @@ def q_array_intersect(spark, sf_dir):
     base = docs.select(
         (F.col("doc_id") % 97).alias("grp"), words.alias("w")
     )
-    return group_array_intersect(base, ["grp"], "w")
+    # r13 gate-compat (VERDICT r12 #1 sweep): the sorted word set is
+    # emitted space-joined on both engines (driver canonicalizer
+    # compat). Space is injective here: elements come from a \s+
+    # split with empties filtered, so none contains whitespace.
+    out = group_array_intersect(base, ["grp"], "w")
+    return out.select(
+        "grp",
+        F.concat_ws(" ", F.col("intersect_values")).alias(
+            "intersect_values"
+        ),
+    )
 
 
 def q_readability(spark, sf_dir):
@@ -2875,7 +2909,11 @@ def q_ch_agg_breadth(spark, sf_dir):
     (exact decimal numerator, one IEEE division),
     ``quantileExactWeighted(0.5)`` (merge equal values, prefix-scan
     weights, first value whose cumulative exceeds (sumW-1)*q), and
-    ``groupUniqArray`` (sorted for determinism), and
+    ``groupUniqArray`` (sorted for determinism — emitted as the
+    canonical comma-joined string on BOTH engines since r13, an
+    information-preserving re-encoding of the same sorted set so the
+    driver's row canonicalizer, which cannot sort array cells, can
+    verify the query), and
     ``boundingRatio`` (slope between the leftmost and rightmost
     (t, value) points, deterministic tie picks), all per event type
     with weight (event_id % 7) + 1. Tiny per-type results join
@@ -2921,7 +2959,15 @@ def q_ch_agg_breadth(spark, sf_dir):
             F.sum(v.cast("decimal(28,6)") * w).cast("double")
             / F.sum(w).cast("double")
         ).alias("avg_weighted"),
-        F.sort_array(F.collect_set(uid % 10)).alias("user_buckets"),
+        # r13 gate-compat (VERDICT r12 #1): the sorted bucket set is
+        # re-encoded as a canonical comma-joined string — same
+        # computed value, scalar cell, so the driver's pandas
+        # canonicalizer (which cannot sort/hash list cells) can
+        # independently verify the query. The oracle applies the
+        # identical array_to_string re-encoding.
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(uid % 10))
+        ).alias("user_buckets"),
         F.min(br_pair).alias("__f"),
         F.max(br_pair).alias("__l"),
     )
@@ -4290,8 +4336,12 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM events
             ),
             la AS (
+              -- r13 gate-compat: canonical comma-joined encoding of
+              -- the same last-5 slice (mirrors Spark's concat_ws)
               SELECT event_type,
-                     l[greatest(len(l) - 4, 1):] AS last_values
+                     COALESCE(array_to_string(
+                       l[greatest(len(l) - 4, 1):], ','), '')
+                       AS last_values
               FROM (SELECT event_type,
                            list(ub ORDER BY event_id) AS l
                     FROM b WHERE ub IS NOT NULL GROUP BY event_type)
@@ -5117,10 +5167,16 @@ def _all_oracle_sql() -> dict[str, str]:
             ) AS DOUBLE) AS ms
           FROM e
         )
+        -- r13 gate-compat: exploded (idx, sum, avg) scalar rows —
+        -- idx is the element's (t, event_id) rank, mirroring the
+        -- Spark side's posexplode of the same ordered array
         SELECT event_type,
-               list(ms ORDER BY t, event_id) AS moving_sum,
-               list(ms / 5.0 ORDER BY t, event_id) AS moving_avg
-        FROM w GROUP BY event_type
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY t, event_id
+               ) - 1 AS idx,
+               ms AS moving_sum,
+               ms / 5.0 AS moving_avg
+        FROM w
     """
     # the greedy centroid merge replayed as a recursive CTE over LIST
     # columns: one merge per recursion step — leftmost minimal gap
@@ -5953,8 +6009,11 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM events
         ),
         arr AS (
+          -- r13 gate-compat: canonical comma-joined encoding
           SELECT event_type,
-                 (list(ub ORDER BY ub))[:8] AS sorted_values
+                 COALESCE(
+                   array_to_string((list(ub ORDER BY ub))[:8], ','),
+                   '') AS sorted_values
           FROM b WHERE ub IS NOT NULL GROUP BY event_type
         ),
         sc AS (
@@ -6009,7 +6068,11 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM c JOIN tot ON tot.grp = c.grp AND c.c = tot.rows_
           GROUP BY c.grp
         )
-        SELECT tot.grp, COALESCE(s.iv, []) AS intersect_values
+        -- r13 gate-compat: canonical space-joined encoding (tokens
+        -- are whitespace-free by construction)
+        SELECT tot.grp,
+               COALESCE(array_to_string(s.iv, ' '), '')
+                 AS intersect_values
         FROM tot LEFT JOIN s ON s.grp = tot.grp
     """
     # Flesch / Flesch-Kincaid: exact regexp counts (sentence runs,
@@ -6199,8 +6262,11 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM wpos w JOIN wp p USING (word)
           GROUP BY w.doc_id
         )
+        -- r13 gate-compat: canonical space-joined encoding (pieces
+        -- are substrings of whitespace-free pre-tokens)
         SELECT d.doc_id,
-               coalesce(a.pieces, CAST([] AS VARCHAR[])) AS pieces
+               COALESCE(array_to_string(a.pieces, ' '), '')
+                 AS pieces
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg a USING (doc_id)
     """
@@ -6249,9 +6315,12 @@ def _all_oracle_sql() -> dict[str, str]:
           GROUP BY event_type
         ),
         uq AS (
+          -- r13 gate-compat: canonical comma-joined string encoding
+          -- of the same sorted set (mirrors Spark's concat_ws)
           SELECT event_type,
-                 list(DISTINCT user_id % 10 ORDER BY user_id % 10)
-                   AS user_buckets
+                 COALESCE(array_to_string(
+                   list(DISTINCT user_id % 10 ORDER BY user_id % 10),
+                   ','), '') AS user_buckets
           FROM b GROUP BY event_type
         ),
         br AS (

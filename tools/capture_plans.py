@@ -26,7 +26,11 @@ def main() -> None:
     qs = {**entry.queries(), **entry.extra_queries()}
     legs = sys.argv[2:] or BENCH_QUERIES
 
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_SUBDIR", "r13"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in legs:
         df = qs[name](spark, sf_dir)
