@@ -184,18 +184,45 @@ def _meter_drifted(
     return ratio_drift or value < 0.60 * best_abs
 
 
-def _time_batch_queries(spark, sf_dir, qs, repeats) -> dict[str, float]:
+def _max_job_id(sc) -> int:
+    """Highest Spark job id submitted so far (-1 before the first).
+
+    Job ids are app-wide and monotonically increasing, so the delta
+    across a timed run counts the jobs it submitted. The id MAX is
+    robust to the UI's retained-jobs eviction (a full bench submits
+    well past spark.ui.retainedJobs=1000, where a length delta would
+    undercount); during the timed sections no other job group runs,
+    so every id in the window belongs to the timed leg."""
+    ids = sc.statusTracker().getJobIdsForGroup(None) or []
+    return max(ids) if ids else -1
+
+
+def _time_batch_queries(
+    spark, sf_dir, qs, repeats
+) -> tuple[dict[str, float], dict[str, int]]:
+    """Per-leg best-of-N wall seconds plus the Spark JOB COUNT of the
+    last repeat (r12 verdict #2: wall time on this host drifts ~25%
+    whole-host between rounds; the job count is the load-independent
+    structural signal — eager probes, extra broadcasts and AQE stage
+    materializations all show up in it and it does not move with
+    host noise)."""
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
-        for _ in range(repeats):
+        jobs_before = -1
+        for i in range(repeats):
+            if i == repeats - 1:
+                jobs_before = _max_job_id(sc)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-    return timings
+        jobs[name] = _max_job_id(sc) - jobs_before
+    return timings, jobs
 
 
 def main() -> None:
@@ -216,7 +243,7 @@ def main() -> None:
     # warmup, the rest sample steady-state throughput — and the host
     # shows multi-second noise spikes, so two steady samples beat one
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
-    timings = _time_batch_queries(spark, sf_dir, qs, repeats)
+    timings, leg_jobs = _time_batch_queries(spark, sf_dir, qs, repeats)
 
     # drift policy (codifies SCALING.md's leg-ratio argument): when
     # this run's batch subtotal is >15% slower than the last recorded
@@ -230,10 +257,15 @@ def main() -> None:
         cur = sum(timings[n] for n in last_legs)  # like-for-like legs
         if cur > 1.15 * sum(last_legs.values()):
             drift_rerun = True
-            second = _time_batch_queries(spark, sf_dir, qs, repeats)
+            second, second_jobs = _time_batch_queries(
+                spark, sf_dir, qs, repeats
+            )
             timings = {
                 n: min(timings[n], second[n]) for n in timings
             }
+            # structural counts are load-independent; both passes
+            # agree unless a plan is nondeterministic — keep the rerun
+            leg_jobs = second_jobs
 
     # storage path: write the four-table contract once, then time the
     # read queries a graphite-web-shaped client would issue
@@ -254,7 +286,11 @@ def main() -> None:
         # with only two, one slow-I/O run landed as the reported
         # number — measured 3.8 s vs a 1.4-1.8 s steady state)
         best = None
+        sc = spark.sparkContext
+        jobs_before = -1
         for i in range(max(3, repeats)):
+            if i == max(3, repeats) - 1:
+                jobs_before = _max_job_id(sc)
             sub = os.path.join(root, f"w{i}")
             t0 = time.perf_counter()
             pts = entry_mod._events_points(spark, sf_dir)
@@ -264,13 +300,16 @@ def main() -> None:
             if i < max(3, repeats) - 1:
                 shutil.rmtree(sub, ignore_errors=True)
         timings["store_tables"] = round(best, 3)
+        leg_jobs["store_tables"] = _max_job_id(sc) - jobs_before
         last = os.path.join(root, f"w{max(3, repeats) - 1}")
 
         stored_points = spark.read.parquet(f"{last}/points")
         stored_index = spark.read.parquet(f"{last}/index")
 
         best = None
-        for _ in range(repeats):
+        for i in range(repeats):
+            if i == repeats - 1:
+                jobs_before = _max_job_id(sc)
             t0 = time.perf_counter()
             find_metrics(stored_index, "ev.u1*.*").write.format("noop").mode(
                 "overwrite"
@@ -278,9 +317,12 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings["stored_find_metrics"] = round(best, 3)
+        leg_jobs["stored_find_metrics"] = _max_job_id(sc) - jobs_before
 
         best = None
-        for _ in range(repeats):
+        for i in range(repeats):
+            if i == repeats - 1:
+                jobs_before = _max_job_id(sc)
             t0 = time.perf_counter()
             read_series(
                 stored_points,
@@ -292,6 +334,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings["stored_read_series"] = round(best, 3)
+        leg_jobs["stored_read_series"] = _max_job_id(sc) - jobs_before
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -356,6 +399,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # additive r13 field (r12 verdict #2): per-leg Spark
+                # job count of the last timing repeat — the
+                # load-independent structural signal that separates
+                # host noise from a real plan regression
+                "jobs": leg_jobs,
                 "ingest_points_per_sec": pps,
                 "streaming_points_per_sec": stream_pps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
