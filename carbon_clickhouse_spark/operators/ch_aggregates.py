@@ -3047,13 +3047,38 @@ def entropy_finals(
 ) -> DataFrame:
     """Shannon entropy from an :func:`entropy_cells` table —
     identical whether the cells came from one batch pass or a
-    streaming state snapshot."""
-    w_g = Window.partitionBy(*gcols)
-    n = F.sum("__c").over(w_g)
-    p = F.col("__c").cast("double") / n.cast("double")
+    streaming state snapshot.
+
+    r13 (guide §2.4): the per-group total used to be a
+    ``Window.partitionBy(gcols)`` sum, which plans a per-partition
+    SORT of the whole cell table — and unlike the bounded
+    contingency/theils domains, the value domain here is unbounded,
+    so the sort grows with distinct values at 100 TB. The total is
+    one tiny row per group, so it is now a second aggregate
+    broadcast-joined back (the exp_smoothing t_max-anchor idiom;
+    null-safe on the group key — a NULL group is its own group).
+    ``p``, the per-term quantization and the exact sum are the same
+    expressions over the same doubles — bit-identical results, zero
+    Windows/Sorts in the plan."""
+    gcols = list(gcols)
+    totals = per_v.groupBy(*gcols).agg(F.sum("__c").alias("__n"))
+    if gcols:
+        t = totals
+        for i, c in enumerate(gcols):
+            t = t.withColumnRenamed(c, f"__g{i}")
+        cond = None
+        for i, c in enumerate(gcols):
+            e = per_v[c].eqNullSafe(F.col(f"__g{i}"))
+            cond = e if cond is None else (cond & e)
+        cells = per_v.join(F.broadcast(t), cond).drop(
+            *[f"__g{i}" for i in range(len(gcols))]
+        )
+    else:
+        cells = per_v.crossJoin(F.broadcast(totals))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
     term = (-(p * F.log2(p))).cast("decimal(28,12)")
     agg = (
-        per_v.select(*gcols, term.alias("__t"))
+        cells.select(*gcols, term.alias("__t"))
         .groupBy(*gcols)
         .agg(F.sum("__t").alias("__h"))
     )
