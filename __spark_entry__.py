@@ -126,7 +126,9 @@ def _events_tagged_series(spark, sf_dir) -> DataFrame:
     # times; without the barrier projection collapse inlines the whole
     # canonicalize expression per reference (interpreted, ~10x work).
     # The checkpoint materializes the tiny series set once.
-    return series.localCheckpoint(eager=False)
+    from carbon_clickhouse_spark.materialize import materialize
+
+    return materialize(series)
 
 
 PTS_SQL = """
@@ -504,7 +506,9 @@ def q_find_metrics_all(spark, sf_dir):
     from carbon_clickhouse_spark.operators.index import build_index
     from carbon_clickhouse_spark.query.finder import find_metrics, find_metrics_reverse
 
-    idx = build_index(_events_points(spark, sf_dir)).localCheckpoint(eager=False)
+    from carbon_clickhouse_spark.materialize import materialize
+
+    idx = materialize(build_index(_events_points(spark, sf_dir)))
     direct = find_metrics(idx, "ev.u1*.click").select(
         F.lit("direct").alias("dir"), "path"
     )
@@ -1635,7 +1639,9 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    buckets = minhash_buckets(docs).localCheckpoint(eager=False)
+    from carbon_clickhouse_spark.materialize import materialize
+
+    buckets = materialize(minhash_buckets(docs))
     return dedup_against_reference(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
@@ -1726,7 +1732,9 @@ def q_ccnet_bands(spark, sf_dir):
     narrow columns, so the materialization is tiny at any scale."""
     from carbon_clickhouse_spark.datapipe.lm import perplexity_buckets
 
-    base = q_lm_perplexity(spark, sf_dir).localCheckpoint(eager=False)
+    from carbon_clickhouse_spark.materialize import materialize
+
+    base = materialize(q_lm_perplexity(spark, sf_dir))
     return perplexity_buckets(base, ppl_col="log_ppl").select(
         "doc_id", "log_ppl", "band"
     )

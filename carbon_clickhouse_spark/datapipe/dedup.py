@@ -21,6 +21,7 @@ import logging
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..materialize import materialize
 from .text import fingerprint, tokens
 
 logger = logging.getLogger(__name__)
@@ -70,7 +71,7 @@ def _banded_candidate_pairs(
         # signature groupBy) TWICE. Materialize the bucket table once
         # (lazy local checkpoint — the capped path below already does
         # this) and self-join the materialized rows.
-        buckets = buckets.localCheckpoint(eager=False)
+        buckets = materialize(buckets)
         a, b = buckets.alias("a"), buckets.alias("b")
         return (
             a.join(b, key)
@@ -82,7 +83,7 @@ def _banded_candidate_pairs(
         raise ValueError("max_bucket_size must be >= 2")
     # compute the banding once: sizes feeds both the count job and the
     # routing join
-    buckets = buckets.localCheckpoint(eager=False)
+    buckets = materialize(buckets)
     sizes = (
         buckets.groupBy(*key)
         .agg(
@@ -91,8 +92,8 @@ def _banded_candidate_pairs(
             # the hub's signature along for the verify step
             F.min(F.struct("doc_id", *sig)).alias("_hub"),
         )
-        .localCheckpoint(eager=False)
     )
+    sizes = materialize(sizes)
     n_over = sizes.filter(F.col("_bsz") > max_bucket_size).count()
     if n_over:
         logger.warning(
@@ -355,7 +356,7 @@ def ngram_jaccard_pairs(
     """
     # the shingle set feeds doc-sets and the blocking join: checkpoint
     # so the mapInPandas shingling runs once, not per branch
-    sh = exploded_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    sh = materialize(exploded_shingles(df, text_col, id_col, k))
     # per-doc shingle set: bounded by document length, shuffles once on
     # doc_id — carries both the size and the exact-intersection payload.
     # Materialized (r12): both pair sides (sa/sb) attach it, and Spark
@@ -367,8 +368,8 @@ def ngram_jaccard_pairs(
             F.collect_list("shingle").alias("shs"),
             F.count("*").cast("long").alias("n_sh"),
         )
-        .localCheckpoint(eager=False)
     )
+    doc_sets = materialize(doc_sets)
     # blocking: document frequency via a COUNT-ONLY agg (no arrays for
     # hot shingles), filter to rare, and shrink the exploded shingles
     # to rare ones BEFORE any self-join — a shingle in 10^6 docs never
@@ -384,7 +385,7 @@ def ngram_jaccard_pairs(
     # each side would otherwise re-run the rare-shingle DF aggregation
     # and the blocking join — the same one-time materialization the
     # minhash bucket table gets
-    rsh = sh.join(rare, "shingle").localCheckpoint(eager=False)
+    rsh = materialize(sh.join(rare, "shingle"))
     cand = (
         rsh.alias("x")
         .join(rsh.alias("y"), "shingle")

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..materialize import materialize
+
 
 def ngram_buckets(
     df: DataFrame,
@@ -150,8 +152,8 @@ def importance_log_ratios(
             F.sum("__is_t").alias("cnt_t"),
             F.sum(F.lit(1) - F.col("__is_t")).alias("cnt_s"),
         )
-        .localCheckpoint(eager=False)
     )
+    counts = materialize(counts)
     denoms = counts.agg(
         F.sum("cnt_t").alias("t_total"),
         F.sum("cnt_s").alias("s_total"),

@@ -30,6 +30,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..materialize import materialize
+
 #: sentence-start pseudo-token (prev of the first word of a doc)
 BOS = "<s>"
 #: out-of-vocabulary pseudo-token
@@ -81,9 +83,7 @@ def train_bigram_lm(
     # the scan + tokenize per consumer. Materialize it once (lazy
     # local checkpoint); the two eager stats jobs below then read the
     # materialized tokens instead of re-tokenizing the corpus.
-    toks = reference.select(_words(text_col).alias("w")).localCheckpoint(
-        eager=False
-    )
+    toks = materialize(reference.select(_words(text_col).alias("w")))
     uni = (
         toks.select(F.explode("w").alias("word"))
         .groupBy("word")

@@ -32,6 +32,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..materialize import materialize
+
 
 def top_k(
     df: DataFrame,
@@ -187,9 +189,7 @@ def top_k_sketch(
             {**rows, "__v": out_v, "__adj": out_adj, "__low": out_low}
         )
 
-    parts = src.mapInPandas(summarize, part_schema).localCheckpoint(
-        eager=False
-    )
+    parts = materialize(src.mapInPandas(summarize, part_schema))
     mins = parts.filter(F.col("__v").isNull()).groupBy(*gcols).agg(
         F.sum("__adj").alias("__m_total")
     )
