@@ -48,6 +48,28 @@ def _drop_zero_vectors(df, vcol: str):
     return df.filter(_dot_int(F.col(vcol), F.col(vcol)) > 0)
 
 
+def _with_norm(df, vcol: str, ncol: str):
+    """Zero-vector filter + the vector's norm as a COLUMN, computed
+    once per vector (r13, guide §1.2 step 2 / §2.3 "project before
+    the exchange"): the cosine expression used to call
+    ``_norm_int(v)`` — a full zip_with+aggregate over the array —
+    inside the PER-PAIR projection, so each side's norm was
+    recomputed once per joined pair (candidate norms x |queries|,
+    query norms x |candidates|). The self-dot also subsumes the
+    zero-vector filter's dot. ``sqrt(cast(dot))`` is the identical
+    expression tree ``_norm_int`` builds, so cosines are
+    bit-identical; the column is materialized below the join (joins
+    reference attributes, not expressions), so it cannot be
+    re-inlined per pair."""
+    d = _dot_int(F.col(vcol), F.col(vcol))
+    return (
+        df.withColumn("__sq", d)
+        .filter(F.col("__sq") > 0)
+        .withColumn(ncol, F.sqrt(F.col("__sq").cast("double")))
+        .drop("__sq")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -61,19 +83,21 @@ def brute_force_topk(
     -> (query_id, neighbor_id, cosine, rank); self-matches excluded;
     ties broken by neighbor id (deterministic).
     """
-    q = _drop_zero_vectors(
+    q = _with_norm(
         queries.select(
             F.col(id_col).alias("query_id"),
             quantize(F.col(vec_col), quantize_scale).alias("qv"),
         ),
         "qv",
+        "qn",
     )
-    c = _drop_zero_vectors(
+    c = _with_norm(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             quantize(F.col(vec_col), quantize_scale).alias("cv"),
         ),
         "cv",
+        "cn",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -83,7 +107,7 @@ def brute_force_topk(
             "neighbor_id",
             F.round(
                 _dot_int(F.col("qv"), F.col("cv")).cast("double")
-                / (_norm_int(F.col("qv")) * _norm_int(F.col("cv"))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cosine"),
         )
@@ -326,19 +350,21 @@ def ivf_topk(
     cand = _assign_lists(embeddings, centroids, 1, id_col, vec_col)
     q = _assign_lists(queries, centroids, n_probe, id_col, vec_col)
 
-    qq = _drop_zero_vectors(
+    qq = _with_norm(
         q.select(
             F.col("id").alias("query_id"), "list_id",
             quantize(F.col("v")).alias("qv"),
         ),
         "qv",
+        "qn",
     )
-    cc = _drop_zero_vectors(
+    cc = _with_norm(
         cand.select(
             F.col("id").alias("neighbor_id"), "list_id",
             quantize(F.col("v")).alias("cv"),
         ),
         "cv",
+        "cn",
     )
     scored = (
         qq.join(cc, "list_id")
@@ -348,7 +374,7 @@ def ivf_topk(
             "neighbor_id",
             F.round(
                 _dot_int(F.col("qv"), F.col("cv")).cast("double")
-                / (_norm_int(F.col("qv")) * _norm_int(F.col("cv"))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cosine"),
         )
@@ -545,7 +571,22 @@ def lsh_bucketed_pairs(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    bucketed = v.mapInPandas(sigs, sig_schema)
+    from ..materialize import materialize
+
+    # r13 (guide §1.2): the self-join's sides are planned
+    # independently, so joining the raw lineage ran the Python
+    # signature stage TWICE (the same duplication the minhash bucket
+    # table had before r12); materialize it once. The vector norm is
+    # likewise attached as a column BEFORE the join — the cosine
+    # projection recomputed both sides' zip_with+aggregate norms per
+    # candidate PAIR. sqrt(cast(dot)) is _norm_int's exact tree, and
+    # the (n_a, n_b) multiplication order matches the old
+    # (_norm_int(a.v) * _norm_int(b.v)) — cosines bit-identical.
+    bucketed = materialize(
+        v.mapInPandas(sigs, sig_schema).withColumn(
+            "n", _norm_int(F.col("v"))
+        )
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, ["tbl", "bucket"])
@@ -555,7 +596,7 @@ def lsh_bucketed_pairs(
             F.col("b.id").alias("id_b"),
             F.round(
                 _dot_int(F.col("a.v"), F.col("b.v")).cast("double")
-                / (_norm_int(F.col("a.v")) * _norm_int(F.col("b.v"))),
+                / (F.col("a.n") * F.col("b.n")),
                 6,
             ).alias("cosine"),
         )
