@@ -215,9 +215,72 @@ def main() -> None:
                 .filter(F.col("jaccard") >= threshold)
             )
 
+        def old_ccnet(spark, sf_dir):
+            # pre-r12: the (doc_id, log_ppl) score table NOT
+            # materialized — perplexity_buckets' eager percentile pass
+            # and the banded output each re-ran the LM pipeline
+            from carbon_clickhouse_spark.datapipe.lm import (
+                perplexity_buckets,
+            )
+
+            base = entry.q_lm_perplexity(spark, sf_dir)
+            return perplexity_buckets(base, ppl_col="log_ppl").select(
+                "doc_id", "log_ppl", "band"
+            )
+
+        class _DetWrap:
+            """Stand-in whose asNondeterministic() hands back a fresh
+            DETERMINISTIC udf — reconstructs the pre-r12 duplicated-UDF
+            plans without touching the shipped call sites."""
+
+            def __init__(self, det_udf):
+                self._u = det_udf
+
+            def asNondeterministic(self):
+                return self._u
+
+        def old_prometheus(spark, sf_dir):
+            from pyspark.sql import types as T
+
+            from carbon_clickhouse_spark.sources import (
+                prometheus as prom,
+            )
+
+            det = F.pandas_udf(
+                prom.prometheus_canonicalize_udf.func, T.StringType()
+            )
+            saved = prom.prometheus_canonicalize_udf
+            prom.prometheus_canonicalize_udf = _DetWrap(det)
+            try:
+                return entry.q_prometheus_ingest(spark, sf_dir)
+            finally:
+                prom.prometheus_canonicalize_udf = saved
+
+        def old_template(spark, sf_dir):
+            from carbon_clickhouse_spark.sources import plain as pl
+
+            real = pl.make_graphite_canonicalize_udf
+            pl.make_graphite_canonicalize_udf = lambda cfg: _DetWrap(
+                real(cfg)
+            )
+            try:
+                return entry.q_template_tagging(spark, sf_dir)
+            finally:
+                pl.make_graphite_canonicalize_udf = real
+
         pairs = []
         if "rollup_all" in only:
             pairs.append(("rollup_all", old_rollup, entry.q_rollup_all))
+        if "ccnet_bands" in only:
+            pairs.append(("ccnet_bands", old_ccnet, entry.q_ccnet_bands))
+        if "prometheus" in only:
+            pairs.append(
+                ("prometheus", old_prometheus, entry.q_prometheus_ingest)
+            )
+        if "template" in only:
+            pairs.append(
+                ("template", old_template, entry.q_template_tagging)
+            )
         if "minhash" in only:
             pairs.append(
                 ("minhash", old_minhash, entry.q_minhash_lsh_pairs)
