@@ -313,7 +313,22 @@ def dedup_against_reference(
     run once instead of once per side.  The bucket values are per-doc
     (independent of the rest of the corpus), so a filtered view of the
     parent's bucket table is exactly the per-side bucket table.
+
+    The hashing parameters (``text_col``/``num_hashes``/``band_size``/
+    ``k``) describe how buckets are BUILT, so they are ignored for any
+    side whose buckets are supplied — passing both a bucket table and
+    non-default hashing params is a caller bug (the supplied buckets
+    were hashed under different parameters than requested) and raises
+    instead of silently returning wrong dup flags (ADVICE r12 #2).
     """
+    if (new_buckets is not None or ref_buckets is not None) and (
+        (text_col, num_hashes, band_size, k) != ("text", 8, 2, 3)
+    ):
+        raise ValueError(
+            "dedup_against_reference: hashing params are ignored when "
+            "precomputed buckets are supplied — build the bucket table "
+            "with those params instead of passing both"
+        )
     new_b = (
         new_buckets
         if new_buckets is not None

@@ -458,6 +458,11 @@ class _JpegBitReader:
         self.marker: int | None = None
 
     def _fill(self) -> bool:
+        # SYNC WARNING (ADVICE r12 #4): this fill loop is hand-inlined
+        # in the hot scan loops (_decode_lossless_scan, _jpeg_scan_mean
+        # DC huff/read/AC-skip) — any semantic change here MUST be
+        # mirrored there; the test_inlined_* equivalence suites are the
+        # mandatory gate for edits to reader/writer/QM internals.
         if self.marker is not None or self.pos >= len(self.buf):
             return False
         b = self.buf[self.pos]
@@ -1450,6 +1455,9 @@ class _JpegBitWriter:
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
+        # SYNC WARNING (ADVICE r12 #4): inlined copies live in
+        # encode_jpeg_lossless and encode_jpeg_gray_blocks — mirror any
+        # change there; test_inlined_* suites gate edits.
         # r12 optimization: trim the accumulator to its pending bits
         # after draining — the old form never truncated `acc`, so over
         # a scan it grew into an arbitrary-precision integer and every
@@ -1820,6 +1828,11 @@ class _QmEncoder:
         call (r12): the encoder mirror of
         :meth:`_QmDecoder.decode_diff`.
 
+        SYNC WARNING (ADVICE r12 #4): encode_jpeg_arith_lossless
+        holds a line-for-line inlined replica of this unit — mirror
+        any change there (test_inlined_lossless_scan_loops_* is the
+        gate).
+
         Fully register-local (r12 batch 4, same reasoning as the
         decoder): the chain/mantissa bits are near-random, so the
         first fused form's MPS-no-renorm fast path missed most of
@@ -2178,6 +2191,11 @@ class _QmDecoder:
         the per-sample unit of the SOF11/H.2 scan and the per-block
         DC unit of the SOF9/F.1.4 scan, which otherwise cost 3-6
         :meth:`decode` calls each.
+
+        SYNC WARNING (ADVICE r12 #4): _arith_lossless_scan holds a
+        line-for-line inlined replica of this unit — mirror any
+        change there (test_inlined_lossless_scan_loops_* is the
+        gate).
 
         Fully register-local (r12 batch 4): the chain/mantissa bits
         are near-random, so the MPS-no-renorm fast path of the first

@@ -109,6 +109,17 @@ def prometheus_canonicalize_udf(labels: pd.Series) -> pd.Series:
     return labels.map(conv)
 
 
+# Marked non-deterministic at DEFINITION (r13, ADVICE r12 #1): the
+# one call site filters on the UDF's output, and the optimizer's
+# filter pushdown would otherwise duplicate the per-row UDF into two
+# ArrowEvalPython stages (optimization guide §4.4). Marking it here
+# instead of mutating the shared object at the call site removes the
+# action-at-a-distance: every consumer sees the same (single-eval)
+# behavior. The function is a pure map; non-determinism only
+# restricts optimizer reordering, never changes rows.
+prometheus_canonicalize_udf = prometheus_canonicalize_udf.asNondeterministic()
+
+
 @pandas_udf(_TAGS_SCHEMA)
 def parse_tags_udf(path: pd.Series) -> pd.DataFrame:
     """Canonical tagged path -> (unescaped name, unescaped k=v tags

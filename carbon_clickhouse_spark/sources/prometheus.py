@@ -178,11 +178,11 @@ def prometheus_series_to_points(
     exploded = (
         series.withColumn(
             "path",
-            # asNondeterministic: the isNotNull filter below is pushed
-            # beneath the projection by the optimizer, which duplicates
-            # the per-row canonicalize UDF (two ArrowEvalPython stages
-            # for one call — r12 plan audit; optimization guide §4.4)
-            prometheus_canonicalize_udf.asNondeterministic()(F.col("labels")),
+            # the UDF is marked non-deterministic at its DEFINITION
+            # (functions/udfs.py, ADVICE r12 #1) so the isNotNull
+            # filter below cannot duplicate it into two
+            # ArrowEvalPython stages (optimization guide §4.4)
+            prometheus_canonicalize_udf(F.col("labels")),
         )
         .filter(F.col("path").isNotNull())
         .select("path", F.explode("samples").alias("s"))

@@ -123,6 +123,17 @@ def test_dedup_against_reference(spark):
         ).collect()
     }
     assert got4 == got
+    # guard (ADVICE r12 #2): supplying precomputed buckets together
+    # with non-default hashing params is a caller bug — the params
+    # describe how buckets are BUILT and would be silently ignored
+    with pytest.raises(ValueError, match="hashing params are ignored"):
+        dedup_against_reference(
+            new,
+            ref,
+            num_hashes=4,
+            new_buckets=buckets.filter("doc_id >= 10"),
+            ref_buckets=buckets.filter("doc_id < 10"),
+        )
 
 
 def test_ngram_jaccard(spark):

@@ -246,11 +246,14 @@ def main() -> None:
                 prometheus as prom,
             )
 
+            # since r13 the shipped UDF is nondeterministic at its
+            # definition and the call site applies it directly —
+            # patch in a fresh DETERMINISTIC copy for the old form
             det = F.pandas_udf(
                 prom.prometheus_canonicalize_udf.func, T.StringType()
             )
             saved = prom.prometheus_canonicalize_udf
-            prom.prometheus_canonicalize_udf = _DetWrap(det)
+            prom.prometheus_canonicalize_udf = det
             try:
                 return entry.q_prometheus_ingest(spark, sf_dir)
             finally:
